@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+/** Helpers whose results are bit-identical between Spark and DuckDB, so
+  * the driver's hash-compare oracle is deterministic.
+  *
+  * Why: a plain `sum(double)` is order-dependent (Spark sums per
+  * partition, DuckDB sequentially), so the low mantissa bits differ.
+  * Routing money-scale doubles through DECIMAL(18,2) makes the sum
+  * exact and order-independent; casting back to double yields the same
+  * IEEE value in both engines. Division / min / max / floor / sqrt on
+  * identical operands are IEEE-exact, hence portable.
+  */
+object Portable {
+  val Money: DecimalType = DecimalType(18, 2)
+
+  def dec(c: Column): Column = c.cast(Money)
+
+  /** Order-independent exact sum of a 2-decimal double column. */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Exact-sum / count average; IEEE division of identical operands. */
+  def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(c)
+
+  /** price * (1 - discount) in exact decimal arithmetic. */
+  def revenueTerm(price: Column, discount: Column): Column =
+    dec(price) * (lit(1).cast(Money) - dec(discount))
+
+  /** Non-overlapping occurrence count of a literal needle, via the
+    * length/replace trick — identical left-to-right replace-all
+    * semantics in Spark and DuckDB.
+    */
+  def occurrences(s: Column, needle: String): Column =
+    ((length(s) - length(replace(s, lit(needle), lit("")))) / needle.length)
+      .cast(IntegerType)
+
+  /** SQL fragments mirroring the helpers above (DuckDB dialect = ANSI). */
+  object sql {
+    def dsum(col: String): String =
+      s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+    def davg(col: String): String =
+      s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE) / COUNT($col)"
+    def revenueSum(price: String, discount: String): String =
+      s"CAST(SUM(CAST($price AS DECIMAL(18,2)) * (1 - CAST($discount AS DECIMAL(18,2)))) AS DOUBLE)"
+    def occurrences(expr: String, needle: String): String =
+      s"CAST((LENGTH($expr) - LENGTH(REPLACE($expr, '$needle', ''))) / ${needle.length} AS INT)"
+  }
+}
