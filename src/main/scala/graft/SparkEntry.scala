@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
-import graft.functions.StatsQueries
+import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity}
+import graft.functions.{StatsQueries, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (capability
   * inventory) and §7 (build plan). Every implemented capability is one
@@ -12,7 +12,9 @@ import graft.functions.StatsQueries
 object SparkEntry {
 
   /** All implemented capabilities, in SURVEY §2 order. */
-  def all: Seq[QueryDef] = Relational.defs ++ StatsQueries.defs
+  def all: Seq[QueryDef] =
+    Relational.defs ++ StatsQueries.defs ++ TextFunctions.defs ++
+      Events.defs ++ Dedup.defs ++ Similarity.defs ++ Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -59,10 +59,10 @@ object StatsQueries {
     */
   val stringHistogram: QueryDef = QueryDef(
     "q_string_histogram",
-    (s, dir) => Tables.load(s, dir, "nation")
-      .groupBy(substring(col("n_name"), 1, 1).as("first_letter"))
+    (s, dir) => Tables.load(s, dir, "customer")
+      .groupBy(substring(col("c_mktsegment"), 1, 1).as("first_letter"))
       .agg(count(lit(1)).as("n")),
-    Some("SELECT SUBSTR(n_name, 1, 1) AS first_letter, COUNT(*) AS n FROM nation GROUP BY 1"))
+    Some("SELECT SUBSTR(c_mktsegment, 1, 1) AS first_letter, COUNT(*) AS n FROM customer GROUP BY 1"))
 
   val defs: Seq[QueryDef] = Seq(histogram, tableStats, stringHistogram)
 }

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.Portable.{sql => P}
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, fingerprinting (SURVEY §2.2 rows
+  * 28–31). All four are single-pass narrow projections — at 100 TB they
+  * are embarrassingly parallel map work with no shuffle; only the
+  * final (tiny) aggregates would move data.
+  *
+  * Every scoring rule is arithmetic portable to DuckDB (length/replace
+  * occurrence counting, IEEE division), so all four carry exact SQL
+  * oracles.
+  */
+object TextFunctions {
+
+  /** Marker stopwords per language for the n-gram-ish heuristic. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und"),
+    "en" -> Seq("the", "and"),
+    "es" -> Seq("el", "la"),
+    "fr" -> Seq("le", "et"))
+
+  private def padded(c: Column): Column = concat(lit(" "), lower(c), lit(" "))
+
+  private def score(c: Column, words: Seq[String]): Column =
+    words.map(w => Portable.occurrences(padded(c), s" $w "))
+      .reduce(_ + _)
+
+  private def sqlScore(expr: String, words: Seq[String]): String =
+    words.map(w => P.occurrences(expr, s" $w ")).mkString(" + ")
+
+  /** §2.2 row 28 — language ID: occurrence-count scores per language,
+    * argmax with deterministic first-wins tie-break, compared against
+    * the labeled `lang` column.
+    */
+  val langId: QueryDef = {
+    val langs = markers.map(_._1)
+    QueryDef(
+      "t_langid",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val scored = markers.foldLeft(d) { case (df, (lang, ws)) =>
+          df.withColumn(s"s_$lang", score(col("text"), ws))
+        }
+        val pred = markers.init.foldRight(lit(markers.last._1): Column) {
+          case ((lang, _), rest) =>
+            val isMax = langs.filter(_ != lang)
+              .map(o => col(s"s_$lang") >= col(s"s_$o"))
+              .reduce(_ && _)
+            when(isMax, lit(lang)).otherwise(rest)
+        }
+        scored
+          .withColumn("pred_lang", pred)
+          .withColumn("is_correct", col("pred_lang") === col("lang"))
+          .select("doc_id", "s_de", "s_en", "s_es", "s_fr", "pred_lang",
+            "lang", "is_correct")
+      },
+      Some {
+        val p = "(' ' || lower(text) || ' ')"
+        val scores = markers
+          .map { case (l, ws) => s"${sqlScore(p, ws)} AS s_$l" }
+          .mkString(", ")
+        val caseExpr = markers.init.map { case (l, _) =>
+          val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString(" ")
+        s"""WITH scored AS (SELECT doc_id, lang, $scores FROM documents),
+            p AS (SELECT *, CASE $caseExpr ELSE '${markers.last._1}' END AS pred_lang FROM scored)
+            SELECT doc_id, s_de, s_en, s_es, s_fr, pred_lang, lang,
+                   (pred_lang = lang) AS is_correct FROM p"""
+      })
+  }
+
+  /** §2.2 row 29 — quality scoring: length, punctuation density,
+    * stopword ratio, mean token length → linear score. All-IEEE
+    * arithmetic on exact integers, hence engine-portable.
+    */
+  val quality: QueryDef = QueryDef(
+    "t_quality",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val nChars = length(col("text"))
+      val nTokens = (nChars - length(replace(col("text"), lit(" "), lit("")))) + 1
+      val nStop = score(col("text"), Seq("the", "a", "and", "of"))
+      d.select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        nTokens.as("n_tokens"),
+        (nStop.cast("double") / nTokens).as("stop_ratio"),
+        ((nChars - (nTokens - 1)).cast("double") / nTokens).as("avg_token_len"))
+        .withColumn("quality_score",
+          col("stop_ratio") * 0.5 +
+            when(col("n_tokens") >= 20 && col("n_tokens") <= 200, 0.3).otherwise(0.0) +
+            when(col("avg_token_len") >= 3.0 && col("avg_token_len") <= 8.0, 0.2)
+              .otherwise(0.0))
+    },
+    Some {
+      val p = "(' ' || lower(text) || ' ')"
+      val stop = sqlScore(p, Seq("the", "a", "and", "of"))
+      s"""WITH b AS (SELECT doc_id, LENGTH(text) AS n_chars,
+              LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+              $stop AS n_stop
+            FROM documents),
+          f AS (SELECT doc_id, n_chars, n_tokens,
+              CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+              CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len
+            FROM b)
+          SELECT *, stop_ratio * 0.5
+             + CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.3 ELSE 0.0 END
+             + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 8.0 THEN 0.2 ELSE 0.0 END
+             AS quality_score
+          FROM f"""
+    })
+
+  /** §2.2 row 30 — token counting: exact whitespace tokens + a
+    * chars/4 BPE-ish token estimate.
+    */
+  val tokens: QueryDef = QueryDef(
+    "t_tokens",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val nChars = length(col("text"))
+      val nTokens = (nChars - length(replace(col("text"), lit(" "), lit("")))) + 1
+      d.select(
+        col("doc_id"),
+        nTokens.as("n_ws_tokens"),
+        ceil(nChars / 4.0).cast("long").as("n_bpe_est"))
+    },
+    Some("""SELECT doc_id,
+            LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_ws_tokens,
+            CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_bpe_est
+            FROM documents"""))
+
+  /** §2.2 row 31 — content fingerprint of whitespace/case-normalized
+    * text (md5, engine-portable). The rolling-hash variant used for
+    * shingling lives in [[graft.operators.Dedup]].
+    */
+  val fingerprint: QueryDef = QueryDef(
+    "t_fingerprint",
+    (s, dir) => Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      md5(replace(lower(col("text")), lit(" "), lit(""))).as("fp")),
+    Some("SELECT doc_id, md5(REPLACE(LOWER(text), ' ', '')) AS fp FROM documents"))
+
+  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint)
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.Portable
+
+/** Event-stream analytics in batch form (SURVEY §2.2 rows 33–34).
+  * These are the DuckDB-checkable batch equivalents of the Structured
+  * Streaming pipelines in [[graft.streaming.EventStreams]] — same
+  * grouping logic, same results on a static table.
+  *
+  * Scale notes: the tumbling-window aggregate shuffles only (window,
+  * event_type) partial states; sessionization shuffles once on
+  * user_id and computes per-user windows in a single sort within
+  * each partition — the batch analog of `flatMapGroupsWithState`.
+  */
+object Events {
+
+  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark
+    * only reads as a raw nanosecond Long (legacy conf) — so load with
+    * that conf and derive whole-second epochs with integer division
+    * (`div`, exact on Long; double division would lose precision at
+    * 1e18 magnitudes). DuckDB side: FLOOR(epoch(ts)). Identical values.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.load(s, dir, "events")
+  }
+
+  private val sec = expr("ts div 1000000000")
+
+  /** §2.2 row 33 — tumbling 1-hour window aggregate. */
+  val window1h: QueryDef = QueryDef(
+    "q_events_window",
+    (s, dir) => events(s, dir)
+      .groupBy(
+        (floor(sec / 3600.0).cast("long") * 3600).as("window_start_s"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Portable.dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users")),
+    Some(s"""SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) * 3600 AS window_start_s,
+             event_type, COUNT(*) AS n_events,
+             ${Portable.sql.dsum("value")} AS sum_value,
+             COUNT(DISTINCT user_id) AS n_users
+             FROM events GROUP BY 1, 2"""))
+
+  /** §2.2 row 34 — sessionization with a 30-minute inactivity gap:
+    * per-user event counts and session counts.
+    */
+  val sessionize: QueryDef = QueryDef(
+    "q_events_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), sec.as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+            .as("n_sessions"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+            l AS (SELECT user_id,
+                    sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+                  FROM e)
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM l GROUP BY user_id"""))
+
+  val defs: Seq[QueryDef] = Seq(window1h, sessionize)
+}

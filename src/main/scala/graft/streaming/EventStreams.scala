@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.2 rows 33–34): the
+  * streaming counterparts of [[graft.operators.Events]]. Batch is the
+  * oracle-checked path; these run the same logic incrementally with
+  * watermarks / keyed state, verified against the batch results in
+  * StreamingSpec via the memory sink.
+  *
+  * Scale notes: the windowed aggregate keeps per-(window, event_type)
+  * partial state only, bounded by the 2-hour watermark; sessionization
+  * keeps one small state record per user key, partitioned across
+  * executors by the groupByKey shuffle.
+  */
+object EventStreams {
+
+  /** events.parquet schema when TIMESTAMP(NANOS) is read as Long. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events table. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file source wants a directory; filter to just the events table
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
+  /** Streaming tumbling 1-hour window aggregate with a 2-hour
+    * watermark — same grouping as the batch `q_events_window`.
+    */
+  def window1h(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  case class EventRow(event_id: Long, ts: Long, user_id: Long)
+  case class SessionState(lastSec: Long, nSessions: Long, nEvents: Long)
+  case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Keyed-state sessionization (30-minute gap), the streaming analog
+    * of batch `q_events_sessionize`. Events within a micro-batch are
+    * sorted per key before folding, so on a single batch of static
+    * data this reproduces the batch result exactly.
+    */
+  def sessionize(events: Dataset[EventRow]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, it: Iterator[EventRow],
+        state: GroupState[SessionState]): Iterator[UserSessions] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+      val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+      val next = sorted.foldLeft(init) { (st, e) =>
+        val sec = e.ts / 1000000000L
+        val newSession = st.lastSec == Long.MinValue || sec - st.lastSec > 1800
+        SessionState(sec, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+      }
+      state.update(next)
+      Iterator.single(UserSessions(userId, next.nEvents, next.nSessions))
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Run a streaming DataFrame to completion on static input via the
+    * memory sink; returns the collected result table.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+}

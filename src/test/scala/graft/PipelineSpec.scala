@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Semantics of the training-data-pipeline operators on controlled
+  * inputs (SURVEY §2.2) — known duplicates, known vectors.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, base), (2L, base), (3L, "something else entirely here"))
+      .toDF("doc_id", "text")
+    val got = df.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .collect()
+    assert(got.length == 2)
+    assert(got.find(_.getLong(2) == 2L).exists(_.getLong(1) == 1L))
+  }
+
+  test("minhash LSH surfaces a true near-duplicate pair") {
+    // doc 2 appends one word to doc 1 (jaccard ≈ 0.92); doc 3 unrelated
+    val nearDup = base + " tomorrow"
+    val docs = Seq((1L, base), (2L, nearDup),
+      (3L, "completely different content with no overlap whatsoever in any shingle"))
+      .toDF("doc_id", "text")
+    val sg = docs.select(col("doc_id"), Dedup.wordShingles(col("text")).as("shingles"))
+      .withColumn("sig", Dedup.minhashSignature(
+        transform(col("shingles"), s => pmod(crc32(s), lit(1000003L)))))
+    val cands = Dedup.minhashCandidates(sg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), s"expected (1,2) in $cands")
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)), cands.toString)
+    val jac = Dedup.verifiedJaccard(Dedup.minhashCandidates(sg), sg)
+      .where(col("a") === 1 && col("b") === 2)
+      .head().getDouble(2)
+    assert(jac > 0.5 && jac < 1.0, s"jaccard $jac")
+  }
+
+  test("simhash of identical texts is identical; different texts differ") {
+    val df = Seq((1L, base), (2L, base), (3L, "unrelated words entirely different"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhash32(col("text")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+    assert(m.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("cosine similarity: identical int vectors give exactly 1.0") {
+    val df = Seq((1L, Seq(0.1f, 0.2f, 0.3f)), (2L, Seq(0.1f, 0.2f, 0.3f)),
+      (3L, Seq(-0.3f, 0.1f, -0.2f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val a = df.where(col("vec_id") === 1).select(col("q").as("qa")).crossJoin(
+      df.where(col("vec_id") === 2).select(col("q").as("qb")))
+      .select(Similarity.cosine(
+        Similarity.dotL(col("qa"), col("qb")),
+        Similarity.dotL(col("qa"), col("qa")),
+        Similarity.dotL(col("qb"), col("qb"))).as("sim"))
+      .head().getDouble(0)
+    assert(a == 1.0)
+  }
+
+  test("brute-force knn returns k neighbors per query, best-first") {
+    val rows = SparkEntry.queries("s_knn_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { ns =>
+      assert(ns.length == 10)
+      val sims = ns.map(_._3).toSeq
+      assert(sims == sims.sorted.reverse, "not sorted desc")
+    }
+  }
+
+  test("multimodal stub decode agrees with the columnar meta query") {
+    val decoded = Multimodal.decodeAll(Multimodal.asMediaTable(spark, sfDir))
+      .collect().map(d => d.doc_id -> d).toMap
+    val meta = SparkEntry.queries("m_multimodal_meta")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(decoded.keySet == meta.keySet)
+    for ((id, d) <- decoded) {
+      val m = meta(id)
+      assert(d.n_bytes == m.getLong(1), s"doc $id n_bytes")
+      assert(d.features.width == m.getLong(3), s"doc $id width")
+      assert(d.features.height == m.getLong(4), s"doc $id height")
+      assert(d.features.nFrames == m.getLong(5), s"doc $id frames")
+    }
+  }
+
+  test("langid marker scoring is deterministic and self-consistent") {
+    val got = SparkEntry.queries("t_langid")(spark, sfDir).collect()
+    assert(got.length == 500)
+    got.foreach { r =>
+      val scores = Map("de" -> r.getInt(1), "en" -> r.getInt(2),
+        "es" -> r.getInt(3), "fr" -> r.getInt(4))
+      val pred = r.getString(5)
+      assert(scores(pred) == scores.values.max, s"pred $pred not argmax in $scores")
+    }
+  }
+}

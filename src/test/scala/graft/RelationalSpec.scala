@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Correctness + physical-plan shape for the core relational surface
+  * (SURVEY §2.1). The plan assertions are the scale contract: pushed
+  * filters, broadcast dims, partial aggregation, top-k without a
+  * global sort.
+  */
+class RelationalSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("every declared query returns rows at sf0.001") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL exists for every SQL-expressible query") {
+    val withOracle = SparkEntry.oracleSql.keySet
+    assert(withOracle.subsetOf(SparkEntry.queries.keySet))
+    // every oracle is a single line (driver JSON friendliness)
+    SparkEntry.oracleSql.values.foreach(s => assert(!s.contains("\n")))
+  }
+
+  test("filter + projection are pushed into the parquet scan") {
+    val plan = physicalPlan(run("q_index_range_scan"))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("IsNotNull(l_shipdate)") || plan.contains("GreaterThanOrEqual"), plan)
+    // pruned read schema: only the needed columns reach the reader
+    assert(!plan.contains("l_extendedprice"), plan)
+  }
+
+  test("dimension joins broadcast (no fact shuffle)") {
+    assertPlanContains(run("q_join_broadcast"), "BroadcastHashJoin")
+  }
+
+  test("shuffle-hash hint yields ShuffledHashJoin (Grace hash analog)") {
+    assertPlanContains(run("q_join_shuffle_hash"), "ShuffledHashJoin")
+  }
+
+  test("merge hint yields SortMergeJoin") {
+    assertPlanContains(run("q_join_sort_merge"), "SortMergeJoin")
+  }
+
+  test("theta join plans as BroadcastNestedLoopJoin") {
+    assertPlanContains(run("q_join_theta"), "BroadcastNestedLoopJoin")
+  }
+
+  test("grouped aggregation has map-side partial aggregation") {
+    val plan = physicalPlan(run("q_groupby_agg"))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    assertPlanContains(run("q_topk"), "TakeOrderedAndProject")
+  }
+
+  test("semi/anti join returns one row per customer") {
+    val c = Tables.load(spark, sfDir, "customer").count()
+    assert(run("q_semi_anti").count() == c)
+  }
+
+  test("QueryBuilder pipeline matches the equivalent direct plan") {
+    import graft.operators.{PredicateOperator, QueryBuilder}
+    val got = QueryBuilder(Tables.load(spark, sfDir, "orders"))
+      .where("o_totalprice", PredicateOperator.GreaterThan, 1000)
+      .groupBy("o_orderstatus")
+      .count("n")
+      .execute()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exp = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 1000)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == exp)
+  }
+
+  test("concurrent snapshot reads are consistent (reference P3 analog)") {
+    // Spark's immutable-batch model: parallel readers over the same
+    // table see identical snapshots — the role the reference's
+    // table-level S locks play for its mutable heap files.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val counts = Await.result(
+      Future.sequence((1 to 4).map(_ =>
+        Future(Tables.load(spark, sfDir, "lineitem").count()))),
+      2.minutes).toSet
+    assert(counts.size == 1)
+  }
+}

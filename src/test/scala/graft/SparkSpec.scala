@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session + helpers for all suites. One warm session per JVM. */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.session
+  val sfDir = "/root/testdata/sf0.001"
+
+  def physicalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  /** Assert the final physical plan contains an operator/marker. */
+  def assertPlanContains(df: DataFrame, marker: String): Unit = {
+    val plan = physicalPlan(df)
+    assert(plan.contains(marker), s"expected '$marker' in plan:\n$plan")
+  }
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = GraftSession.create("local[4]", 4)
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+
+/** Structured Streaming paths must reproduce the (oracle-checked)
+  * batch results when run over the same static events table.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming 1h window agg matches batch q_events_window") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.window1h(EventStreams.readEvents(spark, sfDir)),
+      "win1h", OutputMode.Complete())
+      .select("window_start_s", "event_type", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val batch = SparkEntry.queries("q_events_window")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(streamed == batch)
+  }
+
+  test("stateful streaming sessionization matches batch q_events_sessionize") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = EventStreams.readEvents(spark, sfDir)
+      .select("event_id", "ts", "user_id").as[EventStreams.EventRow]
+    val streamed = EventStreams.runToMemory(
+      EventStreams.sessionize(events).toDF(), "sessions", OutputMode.Update())
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = SparkEntry.queries("q_events_sessionize")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+  }
+}
