@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable band (range) join: for each left row, count right rows
+  * whose value exceeds the left value — the workload a naive theta
+  * join (reference: query/SNLJOperator.java tuple nested loop; Spark:
+  * BroadcastNestedLoopJoin) handles in O(|L|·|R|).
+  *
+  * Strategy (all declarative, shuffle-light):
+  *  1. bucket both sides into `nBuckets` equi-width value buckets;
+  *  2. per-bucket right-side counts (tiny) → suffix sums give each
+  *     left row its strictly-higher-bucket count via broadcast join;
+  *  3. only same-bucket pairs are compared exactly (equi-join on
+  *     bucket id → co-partitioned shuffle, |L|·|R|/B expected work).
+  * At 100 TB this is one small broadcast + one key-partitioned join;
+  * the nested loop never materializes.
+  */
+object RangeJoin {
+
+  /** Returns `left` keyed rows with `n_greater` = count of right rows
+    * where rightVal > leftVal. Rows with zero matches are dropped
+    * (inner-join semantics).
+    */
+  def countGreater(
+      left: DataFrame, leftKey: String, leftVal: String,
+      right: DataFrame, rightVal: String,
+      nBuckets: Int = 256): DataFrame = {
+
+    val bounds = broadcast(right.agg(
+      min(col(rightVal)).as("lo"), max(col(rightVal)).as("hi")))
+
+    def bucketOf(v: Column): Column =
+      least(greatest(
+        floor((v - col("lo")) * nBuckets / (col("hi") - col("lo"))), lit(0L)),
+        lit(nBuckets - 1L))
+
+    val r = right.crossJoin(bounds)
+      .select(bucketOf(col(rightVal)).as("bucket"), col(rightVal).as("rv"))
+
+    // dense per-bucket counts + strictly-higher suffix sums (B rows)
+    val spine = right.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+    val perBucket = spine.join(
+        r.groupBy("bucket").agg(count(lit(1)).as("cnt")), Seq("bucket"), "left")
+      .na.fill(0, Seq("cnt"))
+    val wDesc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val higher = broadcast(perBucket
+      .select(col("bucket"), coalesce(sum(col("cnt")).over(wDesc), lit(0L)).as("n_higher")))
+
+    val l = left.crossJoin(bounds)
+      .select(col(leftKey), col(leftVal).as("lv"), bucketOf(col(leftVal)).as("bucket"))
+      .join(higher, Seq("bucket"))
+
+    // exact comparison only within the shared bucket
+    val same = l.join(r, Seq("bucket"))
+      .where(col("rv") > col("lv"))
+      .groupBy(leftKey).agg(count(lit(1)).as("n_same"))
+
+    l.join(same, Seq(leftKey), "left").na.fill(0, Seq("n_same"))
+      .select(col(leftKey), (col("n_higher") + col("n_same")).as("n_greater"))
+      .where(col("n_greater") > 0)
+  }
+}

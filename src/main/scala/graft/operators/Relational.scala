@@ -171,16 +171,18 @@ object Relational {
              GROUP BY o_orderstatus"""))
 
   /** §2.1 row 9 — theta (non-equi) join: the general SNLJ case
-    * (reference: SNLJOperator.java). Spark plans a broadcast
-    * nested-loop join — the small side is broadcast, matching the
-    * reference's inner-loop table.
+    * (reference: SNLJOperator.java). Spark's naive plan is a
+    * BroadcastNestedLoopJoin — O(|L|·|R|), which dies at scale — so
+    * this re-expresses the range predicate as a bucketed band join
+    * ([[RangeJoin.countGreater]]): broadcast bucket statistics +
+    * same-bucket equi-join. Same semantics, shuffle-light.
     */
   val joinTheta: QueryDef = QueryDef(
     "q_join_theta",
-    (s, dir) => broadcast(t(s, dir, "supplier"))
-      .join(t(s, dir, "customer"), col("c_acctbal") > col("s_acctbal"))
-      .groupBy("s_suppkey")
-      .agg(count(lit(1)).as("n_richer_customers")),
+    (s, dir) => RangeJoin.countGreater(
+      t(s, dir, "supplier"), "s_suppkey", "s_acctbal",
+      t(s, dir, "customer"), "c_acctbal")
+      .withColumnRenamed("n_greater", "n_richer_customers"),
     Some("""SELECT s_suppkey, COUNT(*) AS n_richer_customers
             FROM supplier JOIN customer ON c_acctbal > s_acctbal
             GROUP BY s_suppkey"""))

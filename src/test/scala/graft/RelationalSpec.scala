@@ -49,8 +49,22 @@ class RelationalSpec extends SparkSpec {
     assertPlanContains(run("q_join_sort_merge"), "SortMergeJoin")
   }
 
-  test("theta join plans as BroadcastNestedLoopJoin") {
-    assertPlanContains(run("q_join_theta"), "BroadcastNestedLoopJoin")
+  test("naive theta join plans as BroadcastNestedLoopJoin; RangeJoin avoids it and matches") {
+    import graft.operators.RangeJoin
+    val sup = Tables.load(spark, sfDir, "supplier")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val naive = broadcast(sup)
+      .join(cust, col("c_acctbal") > col("s_acctbal"))
+      .groupBy("s_suppkey").agg(count(lit(1)).as("n_greater"))
+    assertPlanContains(naive, "BroadcastNestedLoopJoin")
+    val banded = RangeJoin.countGreater(sup, "s_suppkey", "s_acctbal", cust, "c_acctbal")
+    // the pairwise comparison path must be an equi-join on bucket id
+    // (the only nested loop left is the 1-row bounds broadcast)
+    val plan = physicalPlan(banded)
+    assert(plan.contains("HashJoin [bucket") || plan.contains("SortMergeJoin [bucket"), plan)
+    val a = naive.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = banded.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
   }
 
   test("grouped aggregation has map-side partial aggregation") {
