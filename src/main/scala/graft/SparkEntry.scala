@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity}
+import graft.operators.{Dedup, Events, Extended, Multimodal, Relational, Similarity}
 import graft.functions.{StatsQueries, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (capability
@@ -13,8 +13,9 @@ object SparkEntry {
 
   /** All implemented capabilities, in SURVEY §2 order. */
   def all: Seq[QueryDef] =
-    Relational.defs ++ StatsQueries.defs ++ TextFunctions.defs ++
-      Events.defs ++ Dedup.defs ++ Similarity.defs ++ Multimodal.defs
+    Relational.defs ++ Extended.defs ++ StatsQueries.defs ++
+      TextFunctions.defs ++ Events.defs ++ Dedup.defs ++
+      Similarity.defs ++ Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -120,37 +120,16 @@ object Dedup {
 
   // ---- §2.2 row 23: SimHash (rows-only; deterministic) ----
 
-  /** 32-bit simhash over crc32 token hashes, built with pure array
-    * arithmetic (bit i extracted as floor(h / 2^i) mod 2 — exact in
-    * doubles for h < 2^32).
-    */
-  def simhash32(text: Column): Column = {
-    val hs = transform(split(text, " "), t => crc32(t))
-    val bitVotes = aggregate(
-      hs,
-      array_repeat(lit(0L), 32),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(31)), i =>
-          when(pmod(floor(h.cast("double") / pow(lit(2.0), i.cast("double"))).cast("long"),
-            lit(2L)) === 1L, lit(1L)).otherwise(lit(-1L))),
-        (a, b) => a + b))
-    aggregate(
-      zip_with(bitVotes, sequence(lit(0), lit(31)),
-        (v, i) => when(v >= 0, floor(pow(lit(2.0), i.cast("double"))).cast("long"))
-          .otherwise(lit(0L))),
-      lit(0L), (a, b) => a + b)
-  }
-
   val simhashDef: QueryDef = QueryDef(
     "d_dedup_simhash",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), simhash32(col("text")).as("simhash"))
-      // pigeonhole: pairs within Hamming distance 3 share >= 1 of 4 bytes
+        .select(col("doc_id"),
+          graft.functions.Native.simhash64(col("text")).as("simhash"))
+      // pigeonhole: pairs within Hamming distance 7 share >= 1 of 8 bytes
       val blocks = d.select(col("doc_id"), col("simhash"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          j => pmod(floor(col("simhash").cast("double") /
-            pow(lit(256.0), j.cast("double"))).cast("long"), lit(256L)))))
+        posexplode(array((0 until 8).map(j =>
+          shiftrightunsigned(col("simhash"), 8 * j).bitwiseAND(lit(255L))): _*)))
         .toDF("doc_id", "simhash", "block", "byte")
       val cand = blocks.toDF("a", "sh_a", "block", "byte")
         .join(blocks.toDF("b", "sh_b", "block", "byte"), Seq("block", "byte"))

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.Portable
+import graft.functions.Portable.{sql => P}
+
+/** Extended relational surface beyond the reference's literal operator
+  * set — the rest of what "a user could run today" on any engine this
+  * replaces: hierarchical aggregates, window functions, outer joins,
+  * set operations, exact percentiles, scalar function sampler.
+  * All SQL-oracle-checked.
+  */
+object Extended {
+
+  /** ROLLUP hierarchy (GroupByOperator generalization): per (flag,
+    * status), per flag, and grand total in one pass — Spark's Expand
+    * keeps it a single shuffle.
+    */
+  val rollup: QueryDef = QueryDef(
+    "q_rollup",
+    (s, dir) => Tables.load(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), Portable.dsum(col("l_quantity")).as("sum_qty")),
+    Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             ${P.dsum("l_quantity")} AS sum_qty
+             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
+  /** Window functions: per-status rank and exact-decimal running sum
+    * (deterministic ordering on the unique key).
+    */
+  val windowFuncs: QueryDef = QueryDef(
+    "q_window_funcs",
+    (s, dir) => {
+      val byKey = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+      Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        row_number().over(byKey).as("rn"),
+        sum(Portable.dec(col("o_totalprice"))).over(byKey)
+          .cast("double").as("running_total"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+            ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS DOUBLE) AS running_total
+            FROM orders"""))
+
+  /** Left outer join with aggregate: customers keep a row even with
+    * zero orders (COUNT of the nullable key counts matches only).
+    */
+  val joinOuter: QueryDef = QueryDef(
+    "q_join_outer",
+    (s, dir) => Tables.load(s, dir, "customer")
+      .join(Tables.load(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        Portable.dsum(col("o_totalprice")).as("sum_spend")),
+    Some(s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+             ${P.dsum("o_totalprice")} AS sum_spend
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey"""))
+
+  /** Set operations: INTERSECT / EXCEPT / UNION in one tagged result. */
+  val setOps: QueryDef = QueryDef(
+    "q_set_ops",
+    (s, dir) => {
+      val seg = Tables.load(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ordered = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"))
+      seg.intersect(ordered).withColumn("tag", lit("seg_with_orders"))
+        .unionAll(seg.except(ordered).withColumn("tag", lit("seg_no_orders")))
+        .select("tag", "c_custkey")
+    },
+    Some("""SELECT 'seg_with_orders' AS tag, c_custkey FROM
+              (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+               INTERSECT SELECT o_custkey FROM orders) t1
+            UNION ALL
+            SELECT 'seg_no_orders' AS tag, c_custkey FROM
+              (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+               EXCEPT SELECT o_custkey FROM orders) t2"""))
+
+  /** Exact interpolated percentiles over integer-valued quantities
+    * (integer order statistics → both engines interpolate exactly).
+    */
+  val percentiles: QueryDef = QueryDef(
+    "q_percentiles",
+    (s, dir) => Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty")),
+    Some("""SELECT l_returnflag,
+            quantile_cont(l_quantity, 0.5) AS p50_qty,
+            quantile_cont(l_quantity, 0.9) AS p90_qty,
+            MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag"""))
+
+  /** Scalar function sampler: strings, dates, conditionals — the
+    * "DataType operations" surface of the reference (reference: the
+    * datatypes package — IntDataType, StringDataType, FloatDataType,
+    * BoolDataType) mapped to engine-portable built-ins.
+    */
+  val scalarFuncs: QueryDef = QueryDef(
+    "q_scalar_funcs",
+    (s, dir) => Tables.load(s, dir, "orders")
+      .where(col("o_orderkey") < 100)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        length(col("o_orderstatus")).as("status_len"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        when(col("o_totalprice") > 1000, "big").otherwise("small").as("size_class"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open")),
+    Some("""SELECT o_orderkey,
+            UPPER(o_orderpriority) AS prio_upper,
+            SUBSTR(o_orderpriority, 1, 1) AS prio_code,
+            CAST(LENGTH(o_orderstatus) AS INT) AS status_len,
+            o_orderstatus || '|' || o_orderpriority AS status_prio,
+            CAST(YEAR(o_orderdate) AS INT) AS o_year,
+            CAST(MONTH(o_orderdate) AS INT) AS o_month,
+            CAST(DAY(o_orderdate) AS INT) AS o_day,
+            CASE WHEN o_totalprice > 1000 THEN 'big' ELSE 'small' END AS size_class,
+            COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open
+            FROM orders WHERE o_orderkey < 100"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs)
+}

@@ -40,14 +40,26 @@ class PipelineSpec extends SparkSpec {
     assert(jac > 0.5 && jac < 1.0, s"jaccard $jac")
   }
 
-  test("simhash of identical texts is identical; different texts differ") {
-    val df = Seq((1L, base), (2L, base), (3L, "unrelated words entirely different"))
+  test("native simhash64: identical texts equal, near-dups close, unrelated far") {
+    import graft.functions.Native
+    val df = Seq((1L, base), (2L, base), (3L, "unrelated words entirely different"),
+      (4L, base + " extra"))
       .toDF("doc_id", "text")
-      .select(col("doc_id"), Dedup.simhash32(col("text")).as("sh"))
+      .select(col("doc_id"), Native.simhash64(col("text")).as("sh"))
     val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(1L) == m(2L))
     assert(m(1L) != m(3L))
-    assert(m.values.forall(v => v >= 0 && v < (1L << 32)))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(4L)) < hamming(m(1L), m(3L)),
+      s"near-dup should be closer: ${hamming(m(1L), m(4L))} vs ${hamming(m(1L), m(3L))}")
+  }
+
+  test("native functions registered for SQL via extensions") {
+    GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT graft_simhash64('a b c') AS h, graft_cosine_f32(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      .head()
+    assert(r.getDouble(1) == 1.0)
   }
 
   test("cosine similarity: identical int vectors give exactly 1.0") {

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+/** Source/sink round-trips and physical-design layouts. */
+class SourcesSpec extends SparkSpec {
+
+  private val tmp = "/root/repo/target/sources-spec"
+
+  test("csv round-trip preserves rows and values") {
+    val orig = Tables.load(spark, sfDir, "nation")
+    Sources.writeCsv(orig, s"$tmp/nation_csv")
+    val back = Sources.readCsv(spark, s"$tmp/nation_csv", orig.schema)
+    assert(back.count() == orig.count())
+    assert(back.orderBy("n_nationkey").collect().map(_.toSeq.toList).toList ==
+      orig.orderBy("n_nationkey").collect().map(_.toSeq.toList).toList)
+  }
+
+  test("json round-trip preserves rows and values") {
+    val orig = Tables.load(spark, sfDir, "region")
+    Sources.writeJson(orig, s"$tmp/region_json")
+    val back = Sources.readJson(spark, s"$tmp/region_json", orig.schema)
+    assert(back.orderBy("r_regionkey").collect().map(_.toSeq.toList).toList ==
+      orig.orderBy("r_regionkey").collect().map(_.toSeq.toList).toList)
+  }
+
+  test("partitioned write enables partition pruning") {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    Sources.writePartitioned(orders, s"$tmp/orders_part", "o_year")
+    val pruned = spark.read.parquet(s"$tmp/orders_part")
+      .where(col("o_year") === 1996)
+    val plan = physicalPlan(pruned)
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"), plan)
+    val expected = orders.where(col("o_year") === 1996).count()
+    assert(pruned.count() == expected)
+  }
+
+  test("bucketed tables join with no exchange (pre-shuffled by key)") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Sources.writeBucketed(
+      Tables.load(spark, sfDir, "lineitem"), "li_b", "l_orderkey", 8)
+    Sources.writeBucketed(
+      Tables.load(spark, sfDir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
+      "or_b", "l_orderkey", 8)
+    try {
+      val joined = spark.table("li_b").join(spark.table("or_b"), Seq("l_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      val plan = physicalPlan(joined)
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join should not reshuffle by key:\n$plan")
+      // values match the plain-parquet join
+      val exp = Tables.load(spark, sfDir, "lineitem")
+        .join(Tables.load(spark, sfDir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exp)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS or_b")
+    }
+  }
+}
