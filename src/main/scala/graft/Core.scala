@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineF32, SimHash64}
+import graft.functions.{CosineF32, SimHash64, WordNGramHashes}
 
 /** One engine capability: a named query over a scale-factor directory,
   * with an optional ANSI-SQL oracle (DuckDB-checked by the driver).
@@ -74,5 +74,9 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => SimHash64(exprs.head)),
     (FunctionIdentifier("graft_cosine_f32"),
       new ExpressionInfo(classOf[CosineF32].getName, "graft_cosine_f32"),
-      (exprs: Seq[Expression]) => CosineF32(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => CosineF32(exprs.head, exprs(1))),
+    (FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNGramHashes].getName, "graft_word_ngrams"),
+      (exprs: Seq[Expression]) => WordNGramHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
 }

@@ -30,17 +30,15 @@ object Dedup {
   private val Bands = 8    // LSH bands
   private val Rows = 4     // rows per band (K = Bands * Rows)
 
-  /** Distinct word 3-gram shingles of a text column. */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-  }
+  /** Sorted distinct hashed word 3-gram shingles (native one-pass
+    * expression — see [[graft.functions.Native.wordNGramHashes]]).
+    */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    graft.functions.Native.wordNGramHashes(text, n)
 
-  /** crc32-based shingle hash reduced into the affine-safe domain. */
+  /** Shingle hashes reduced into the affine-safe minhash domain. */
   private def shingleHashes(shingles: Column): Column =
-    transform(shingles, s => pmod(crc32(s), lit(HashP)))
+    transform(shingles, h => pmod(h, lit(HashP)))
 
   /** K-row minhash signature: sig[k] = min over shingle hashes h of
     * ((2k+1)*h + (k*2654435761 mod P)) mod P.
@@ -56,8 +54,8 @@ object Dedup {
   private def bandBucket(sigSlice: Column): Column =
     aggregate(sigSlice, lit(0L), (acc, x) => pmod(acc * HashP + x, lit(BucketP)))
 
-  /** Per-document LSH state: doc_id, shingles, signature. */
-  private def signed(docs: DataFrame): DataFrame = {
+  /** Per-document LSH state: doc_id, shingles (sorted hashes), signature. */
+  def signed(docs: DataFrame): DataFrame = {
     val sh = wordShingles(col("text"))
     docs.select(col("doc_id"), sh.as("shingles"))
       .withColumn("sig", minhashSignature(shingleHashes(col("shingles"))))
@@ -79,14 +77,17 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** Exact Jaccard of the shingle sets for a pair DataFrame. */
+  /** Exact Jaccard of the (sorted, hashed) shingle sets for a pair
+    * DataFrame — native merge-intersect, O(|A|+|B|) per pair.
+    */
   def verifiedJaccard(pairs: DataFrame, s: DataFrame): DataFrame = {
     val sa = s.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
     val sb = s.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
+    val inter = graft.functions.Native.sortedIntersectSize(col("sh_a"), col("sh_b"))
     pairs.join(sa, "a").join(sb, "b")
       .select(col("a"), col("b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
   }
 
   // ---- §2.2 row 21: exact dedup (SQL oracle) ----
@@ -151,20 +152,27 @@ object Dedup {
     "d_dedup_ngram_jaccard",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      // hashed word bigrams: set intersections run on longs, not
-      // strings — ~10x cheaper per pair at identical semantics
-      val toks = split(lower(col("text")), " ")
-      val grams = array_distinct(transform(
-        sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-        i => crc32(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))))
+      // inverted-index set-similarity join: explode hashed word
+      // bigrams (native one-pass expression), co-count pairs per
+      // (band, gram), then |A∩B| = co-count — gram ARRAYS never
+      // travel through the join, and work is proportional to actual
+      // overlap, not to candidate pairs.
+      // The 100 TB shape (add a stop-gram frequency cutoff there).
+      val grams = graft.functions.Native.wordNGramHashes(col("text"), 2)
       val g = d.select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 40).as("len_band"), grams.as("grams"))
-      val a = g.toDF("a", "lang", "len_band", "g_a")
-      val b = g.toDF("b", "lang", "len_band", "g_b")
-      a.join(b, Seq("lang", "len_band")).where(col("a") < col("b"))
+      val sizes = g.select(col("doc_id"), size(col("grams")).as("sz"))
+      val inv = g.select(col("doc_id"), col("lang"), col("len_band"),
+        explode(col("grams")).as("gram"))
+      val co = inv.toDF("a", "lang", "len_band", "gram")
+        .join(inv.toDF("b", "lang", "len_band", "gram"), Seq("lang", "len_band", "gram"))
+        .where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      co.join(sizes.toDF("a", "sz_a"), "a")
+        .join(sizes.toDF("b", "sz_b"), "b")
         .select(col("a"), col("b"),
-          (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-            size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+          (col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(50)
     },

@@ -27,9 +27,7 @@ class PipelineSpec extends SparkSpec {
     val docs = Seq((1L, base), (2L, nearDup),
       (3L, "completely different content with no overlap whatsoever in any shingle"))
       .toDF("doc_id", "text")
-    val sg = docs.select(col("doc_id"), Dedup.wordShingles(col("text")).as("shingles"))
-      .withColumn("sig", Dedup.minhashSignature(
-        transform(col("shingles"), s => pmod(crc32(s), lit(1000003L)))))
+    val sg = Dedup.signed(docs)
     val cands = Dedup.minhashCandidates(sg)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((1L, 2L)), s"expected (1,2) in $cands")
@@ -52,6 +50,15 @@ class PipelineSpec extends SparkSpec {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(m(1L), m(4L)) < hamming(m(1L), m(3L)),
       s"near-dup should be closer: ${hamming(m(1L), m(4L))} vs ${hamming(m(1L), m(3L))}")
+  }
+
+  test("native sorted-intersect matches array_intersect semantics") {
+    import graft.functions.Native
+    val df = Seq((Seq(1L, 3L, 5L, 7L), Seq(2L, 3L, 5L, 9L, 11L))).toDF("a", "b")
+    val got = df.select(Native.sortedIntersectSize(col("a"), col("b"))).head().getLong(0)
+    assert(got == 2L)
+    val empty = Seq((Seq.empty[Long], Seq(1L))).toDF("a", "b")
+    assert(empty.select(Native.sortedIntersectSize(col("a"), col("b"))).head().getLong(0) == 0L)
   }
 
   test("native functions registered for SQL via extensions") {
