@@ -75,6 +75,17 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming member of the dedup family (SURVEY §2.2 row 21):
+    * state holds only ids inside the 2-hour watermark, so it is
+    * bounded regardless of stream length.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .dropDuplicates("event_id")
+
   /** Run a streaming DataFrame to completion on static input via the
     * memory sink; returns the collected result table.
     */

@@ -97,6 +97,19 @@ class RelationalSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("salted skew join matches the plain equi-join") {
+    import graft.operators.SkewJoin
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val o = Tables.load(spark, sfDir, "orders")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedEquiJoin(li, "l_orderkey", "l_partkey", o, "o_orderkey")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
   test("concurrent snapshot reads are consistent (reference P3 analog)") {
     // Spark's immutable-batch model: parallel readers over the same
     // table see identical snapshots — the role the reference's

@@ -23,6 +23,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup keeps exactly the distinct event ids") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.dedupEvents(EventStreams.readEvents(spark, sfDir))
+        .select("event_id"), "dedup", OutputMode.Append())
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val expected = Tables.load(spark, sfDir, "events").select("event_id").distinct().count()
+    assert(streamed.count() == expected)
+  }
+
   test("stateful streaming sessionization matches batch q_events_sessionize") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = EventStreams.readEvents(spark, sfDir)
