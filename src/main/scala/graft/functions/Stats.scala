@@ -64,5 +64,20 @@ object StatsQueries {
       .agg(count(lit(1)).as("n")),
     Some("SELECT SUBSTR(c_mktsegment, 1, 1) AS first_letter, COUNT(*) AS n FROM customer GROUP BY 1"))
 
-  val defs: Seq[QueryDef] = Seq(histogram, tableStats, stringHistogram)
+  /** The 100 TB statistics path: HyperLogLog distinct counts and
+    * t-digest-style approximate percentiles — one pass, tiny sketches
+    * shuffled instead of exact state. Rows-only (sketch results are
+    * engine-specific by design; exact twins are rows 15–16).
+    */
+  val approxStats: QueryDef = QueryDef(
+    "q_approx_stats",
+    (s, dir) => Tables.load(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct(col("l_orderkey")).as("ad_orderkey"),
+      approx_count_distinct(col("l_partkey")).as("ad_partkey"),
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+        .as("price_p50_p95")),
+    None)
+
+  val defs: Seq[QueryDef] = Seq(histogram, tableStats, stringHistogram, approxStats)
 }

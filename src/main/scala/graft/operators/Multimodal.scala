@@ -79,5 +79,18 @@ object Multimodal {
             doc_id % 30 + 1 AS n_frames
             FROM documents"""))
 
-  val defs: Seq[QueryDef] = Seq(metaQuery)
+  /** Frame sampling: expand each media item to its frames (batch
+    * expansion — the explode side of decode) and keep every 3rd frame.
+    * At scale this is map-side row generation; no shuffle.
+    */
+  val frameSample: QueryDef = QueryDef(
+    "m_frame_sample",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("doc_id") % 30 + 1)).as("frame"))
+      .where(col("frame") % 3 === 0),
+    Some("""WITH f AS (SELECT doc_id, unnest(range(1, doc_id % 30 + 2)) AS frame FROM documents)
+            SELECT doc_id, CAST(frame AS BIGINT) AS frame FROM f WHERE frame % 3 = 0"""))
+
+  val defs: Seq[QueryDef] = Seq(metaQuery, frameSample)
 }

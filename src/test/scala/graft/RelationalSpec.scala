@@ -73,6 +73,12 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("star multijoin broadcasts the dimension chain") {
+    val plan = physicalPlan(run("q_multijoin_optimal"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     assertPlanContains(run("q_topk"), "TakeOrderedAndProject")
   }
