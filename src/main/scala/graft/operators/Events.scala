@@ -72,5 +72,26 @@ object Events {
                    CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM l GROUP BY user_id"""))
 
-  val defs: Seq[QueryDef] = Seq(window1h, sessionize)
+  /** §2.2 — as-of join: each purchase event matched to the user's
+    * latest signup event at or before it (point-in-time feature
+    * lookup). Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  val asofJoin: QueryDef = QueryDef(
+    "q_asof_join",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), sec.as("sec"))
+      val purchases = e.where(col("event_type") === "purchase").drop("event_type")
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("user_id"), col("sec"))
+      AsOfJoin.asOf(purchases, signups, "user_id", "sec")
+        .withColumnRenamed("asof_sec", "signup_sec")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+            l AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, sec FROM e WHERE event_type = 'signup')
+            SELECT l.event_id, l.user_id, l.sec, r.sec AS signup_sec
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.sec >= r.sec"""))
+
+  val defs: Seq[QueryDef] = Seq(window1h, sessionize, asofJoin)
 }

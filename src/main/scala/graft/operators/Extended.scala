@@ -132,6 +132,21 @@ object Extended {
             COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open
             FROM orders WHERE o_orderkey < 100"""))
 
+  /** Pivot (conditional aggregation): per return flag, quantity sums
+    * pivoted by line status. Spark plans pivot as a single hash
+    * aggregate over CASE projections — one shuffle.
+    */
+  val pivot: QueryDef = QueryDef(
+    "q_pivot",
+    (s, dir) => Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(Portable.dsum(col("l_quantity"))),
+    Some("""SELECT l_returnflag,
+            CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+            CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+            FROM lineitem GROUP BY l_returnflag"""))
+
   val defs: Seq[QueryDef] = Seq(
-    rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs)
+    rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot)
 }

@@ -111,6 +111,19 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("as-of join picks latest prior-or-equal right time, null when none") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "payload")
+    val r = Seq((1L, 10L), (1L, 20L), (2L, 7L)).toDF("k", "t")
+    val got = AsOfJoin.asOf(l, r, "k", "t")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    assert(got((1L, 10L)) == 10L)   // equal time matches
+    assert(got((1L, 25L)) == 20L)   // latest prior
+    assert(got((2L, 5L)) == -1L)    // nothing at or before
+  }
+
   test("langid marker scoring is deterministic and self-consistent") {
     val got = SparkEntry.queries("t_langid")(spark, sfDir).collect()
     assert(got.length == 500)
