@@ -18,6 +18,13 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("plan lint: no query plans a CartesianProduct") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = physicalPlan(fn(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -37,6 +37,26 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("dynamic partition overwrite isolates writers per partition (P3 analog)") {
+    // the reference serializes table writes with X locks; Spark's
+    // equivalent isolation unit is the partition + atomic job commit
+    val orders = Tables.load(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val path = s"$tmp/orders_dyn"
+    orders.where(col("o_year") === 1995)
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    orders.where(col("o_year") === 1996)
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    val back = spark.read.parquet(path)
+    val got = back.groupBy("o_year").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exp = orders.where(col("o_year").isin(1995, 1996))
+      .groupBy("o_year").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == exp, s"dynamic overwrite clobbered partitions: $got vs $exp")
+  }
+
   test("bucketed tables join with no exchange (pre-shuffled by key)") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
