@@ -1,8 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.Portable.{sql => P}
+import graft.operators.PredicateOperator
 
 /** Statistics surface — Spark-first re-expression of the reference's
   * table statistics and per-column histograms that feed its System R
@@ -80,4 +82,55 @@ object StatsQueries {
     None)
 
   val defs: Seq[QueryDef] = Seq(histogram, tableStats, stringHistogram, approxStats)
+
+  /** Equi-width histogram summary of a numeric column: (lo, hi,
+    * bucket counts). One narrow aggregate pass; the B-bucket result is
+    * driver-size (reference: table/stats histograms feeding
+    * TableStats).
+    */
+  final case class ColumnHistogram(lo: Double, hi: Double, counts: Array[Long]) {
+    val total: Long = counts.sum
+    private val width = (hi - lo) / counts.length
+
+    /** System R-style reduction factor for (col op value) — the
+      * reference's TableStats.computeReductionFactor re-expressed
+      * (uniform-within-bucket assumption).
+      */
+    def selectivity(op: PredicateOperator, value: Double): Double = {
+      if (total == 0) return 0.0
+      val clamped = math.max(lo, math.min(hi, value))
+      val b = math.min(counts.length - 1, ((clamped - lo) / width).toInt)
+      val bucketLo = lo + b * width
+      val within = if (width == 0) 0.5 else (clamped - bucketLo) / width
+      def mass(lt: Boolean): Double = {
+        val full = if (lt) counts.take(b).sum else counts.drop(b + 1).sum
+        val part = counts(b) * (if (lt) within else 1.0 - within)
+        (full + part) / total
+      }
+      op match {
+        case PredicateOperator.Equals =>
+          if (value < lo || value > hi) 0.0
+          else math.min(1.0, counts(b).toDouble / total / math.max(width, 1.0))
+        case PredicateOperator.NotEquals => 1.0 - selectivity(PredicateOperator.Equals, value)
+        case PredicateOperator.LessThan | PredicateOperator.LessThanEquals => mass(lt = true)
+        case PredicateOperator.GreaterThan | PredicateOperator.GreaterThanEquals => mass(lt = false)
+      }
+    }
+  }
+
+  /** Build a [[ColumnHistogram]] in two narrow passes (bounds, then
+    * bucket counts) — only B+2 numbers ever reach the driver.
+    */
+  def columnHistogram(df: DataFrame, column: String, buckets: Int = 10): ColumnHistogram = {
+    val Array(lo, hi) = df.agg(
+      min(col(column)).cast("double"), max(col(column)).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val width = (hi - lo) / buckets
+    val bucketOf: Column =
+      if (width == 0) lit(0L)
+      else least(floor((col(column) - lo) / width), lit(buckets - 1L))
+    val m = df.groupBy(bucketOf.as("b")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ColumnHistogram(lo, hi, Array.tabulate(buckets)(i => m.getOrElse(i.toLong, 0L)))
+  }
 }

@@ -146,5 +146,19 @@ object TextFunctions {
       md5(replace(lower(col("text")), lit(" "), lit(""))).as("fp")),
     Some("SELECT doc_id, md5(REPLACE(LOWER(text), ' ', '')) AS fp FROM documents"))
 
-  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint)
+  /** Deterministic content-hash sampling (~1/16 of documents): keep a
+    * row iff the first hex digit of md5(text) is '0'. The standard
+    * reproducible-sampling trick for training-data pipelines —
+    * stable across engines, runs, and partitionings, unlike RNG-based
+    * `sample()`.
+    */
+  val hashSample: QueryDef = QueryDef(
+    "t_hash_sample",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .where(substring(md5(col("text")), 1, 1) === "0")
+      .select("doc_id", "lang", "n_chars"),
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+            WHERE SUBSTR(md5(text), 1, 1) = '0'"""))
+
+  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, hashSample)
 }

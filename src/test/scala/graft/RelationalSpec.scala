@@ -123,6 +123,35 @@ class RelationalSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("cached table scans from memory with identical results (LRUCache analog)") {
+    val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val before = li.groupBy("l_orderkey").count().count()
+    val cached = li.cache()
+    try {
+      cached.count() // materialize
+      val plan = physicalPlan(cached.groupBy("l_orderkey").count())
+      assert(plan.contains("InMemoryTableScan"), plan)
+      assert(cached.groupBy("l_orderkey").count().count() == before)
+    } finally cached.unpersist()
+  }
+
+  test("histogram selectivity estimates match actual fractions (TableStats analog)") {
+    import graft.functions.StatsQueries
+    import graft.operators.PredicateOperator
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val h = StatsQueries.columnHistogram(li, "l_quantity", 10)
+    val n = li.count().toDouble
+    def actual(c: org.apache.spark.sql.Column): Double = li.where(c).count() / n
+    val cases = Seq(
+      (PredicateOperator.LessThan, 25.0, actual(col("l_quantity") < 25.0)),
+      (PredicateOperator.GreaterThan, 40.0, actual(col("l_quantity") > 40.0)),
+      (PredicateOperator.Equals, 10.0, actual(col("l_quantity") === 10.0)))
+    for ((op, v, act) <- cases) {
+      val est = h.selectivity(op, v)
+      assert(math.abs(est - act) < 0.08, s"$op $v: est $est vs actual $act")
+    }
+  }
+
   test("concurrent snapshot reads are consistent (reference P3 analog)") {
     // Spark's immutable-batch model: parallel readers over the same
     // table see identical snapshots — the role the reference's
