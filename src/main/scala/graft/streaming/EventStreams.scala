@@ -86,6 +86,28 @@ object EventStreams {
       .withWatermark("event_time", "2 hours")
       .dropDuplicates("event_id")
 
+  /** Stream-stream interval join: purchases matched to the same
+    * user's signups within [t-1h, t]. Both sides carry watermarks so
+    * join state is bounded; the range condition bounds retention.
+    */
+  def purchaseSignupJoin(events: DataFrame): DataFrame = {
+    val withTime = events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val purchases = withTime.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "2 hours")
+    val signups = withTime.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("event_id").as("signup_id"),
+        col("event_time").as("s_time"))
+      .withWatermark("s_time", "2 hours")
+    purchases.join(signups,
+      col("user_id") === col("s_user_id") &&
+        col("s_time") <= col("p_time") &&
+        col("s_time") >= col("p_time") - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "signup_id", "user_id")
+  }
+
   /** Run a streaming DataFrame to completion on static input via the
     * memory sink; returns the collected result table.
     */

@@ -32,6 +32,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == expected)
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.purchaseSignupJoin(EventStreams.readEvents(spark, sfDir)),
+      "ssjoin", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = Tables.load(spark, sfDir, "events")
+      .withColumn("us", expr("ts div 1000")) // microseconds, matching the stream
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("p_us"))
+    val s2 = e.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("event_id").as("signup_id"),
+        col("us").as("s_us"))
+    val batch = p.join(s2,
+      col("user_id") === col("s_user_id") &&
+        col("s_us") <= col("p_us") && col("s_us") >= col("p_us") - 3600000000L)
+      .select("purchase_id", "signup_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("stateful streaming sessionization matches batch q_events_sessionize") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = EventStreams.readEvents(spark, sfDir)
