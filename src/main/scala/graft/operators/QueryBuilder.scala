@@ -55,6 +55,14 @@ final class QueryBuilder private (
   def select(columns: Seq[String]): QueryBuilder =
     new QueryBuilder(df.select(columns.map(col): _*), groupCols, aggs)
 
+  /** Table aliasing — reference Transaction.queryAs(table, alias). */
+  def as(alias: String): QueryBuilder =
+    new QueryBuilder(df.alias(alias), groupCols, aggs)
+
+  /** Deterministic ordered limit (TakeOrderedAndProject at scale). */
+  def orderByLimit(k: Int, ordering: Column*): QueryBuilder =
+    new QueryBuilder(df.orderBy(ordering: _*).limit(k), groupCols, aggs)
+
   def groupBy(columns: String*): QueryBuilder =
     new QueryBuilder(df, groupCols ++ columns, aggs)
 
