@@ -93,7 +93,7 @@ object StatsQueries {
     private val width = (hi - lo) / counts.length
 
     /** System R-style reduction factor for (col op value) — the
-      * reference's TableStats.computeReductionFactor re-expressed
+      * reference's TableStats.computeReductionFactor (TableStats.java:184-203) re-expressed
       * (uniform-within-bucket assumption).
       */
     def selectivity(op: PredicateOperator, value: Double): Double = {

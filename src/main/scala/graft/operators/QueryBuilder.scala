@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.{avg => favg, col, count => fcount, lit}
 import graft.functions.Portable
 
 /** The six comparison operators of the reference engine's predicate
-  * surface (reference: query/QueryPlan.java `PredicateOperator`,
+  * surface (reference: query/QueryPlan.java:16-23 `PredicateOperator`,
   * query/WhereOperator.java).
   */
 sealed abstract class PredicateOperator(val apply: (Column, Column) => Column)
@@ -20,7 +20,7 @@ object PredicateOperator {
 
 /** Spark-first re-expression of the reference's fluent `QueryPlan` API
   * (reference: query/QueryPlan.java — where/join/select/groupBy/
-  * count/sum/average, executed by `execute` or `executeOptimal`).
+  * count/sum/average, executed by `execute` (QueryPlan.java:168) or `executeOptimal` (QueryPlan.java:193)).
   *
   * Instead of hand-building an operator DAG and costing it with System
   * R (reference: QueryPlan.executeOptimal + table/stats/TableStats

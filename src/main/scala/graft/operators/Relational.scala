@@ -136,7 +136,7 @@ object Relational {
             JOIN region ON n_regionkey = r_regionkey"""))
 
   /** §2.1 row 7 — shuffle-hash join: Grace hash join at cluster scale
-    * (reference: GraceHashOperator.java — partition both sides by key
+    * (reference: GraceHashOperator.java:12 — partition both sides by key
     * hash, build per partition; Spark's shuffle is exactly the Grace
     * partitioning phase).
     */
@@ -171,7 +171,7 @@ object Relational {
              GROUP BY o_orderstatus"""))
 
   /** §2.1 row 9 — theta (non-equi) join: the general SNLJ case
-    * (reference: SNLJOperator.java). Spark's naive plan is a
+    * (reference: SNLJOperator.java:14). Spark's naive plan is a
     * BroadcastNestedLoopJoin — O(|L|·|R|), which dies at scale — so
     * this re-expresses the range predicate as a bucketed band join
     * ([[RangeJoin.countGreater]]): broadcast bucket statistics +
