@@ -88,9 +88,26 @@ object Similarity {
   def lshBucket(q: Column): Column =
     (0 until NPlanes).map(j => planeBit(q, j)).reduce(_ + _)
 
+  /** DuckDB rendering of [[lshBucket]] — the same plane arithmetic on
+    * the quantized vector list, so the oracle covers the LSH path too.
+    */
+  private def bucketSql(qcol: String): String = {
+    val terms = (0 until NPlanes).map { j =>
+      val dot = s"list_sum(list_transform(list_zip($qcol, range(0, 64)), " +
+        s"s -> s[1] * ((((s[2] * ${31 + 2 * j}) + ${17 * j}) % 13) - 6)))"
+      s"(CASE WHEN $dot >= 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    terms.mkString(" + ")
+  }
+
+  private val quantizedSql =
+    """v AS (SELECT vec_id,
+       list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
+       FROM embeddings)"""
+
   /** §2.2 row 27 — LSH-bucketed ANN: candidates only within a sign
-    * bucket, cosine rerank, top-5 per query. Rows-only (same math as
-    * the brute-force oracle, restricted to buckets).
+    * bucket, cosine rerank, top-5 per query. Oracle reproduces the
+    * bucket arithmetic in DuckDB list lambdas.
     */
   val knnLsh: QueryDef = QueryDef(
     "s_knn_lsh",
@@ -106,11 +123,23 @@ object Similarity {
       scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
         .select("q_id", "n_id", "sim")
     },
-    None)
+    Some(s"""WITH $quantizedSql,
+         n AS (SELECT vec_id, q,
+              CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm,
+              (${bucketSql("q")}) AS bucket FROM v),
+         p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+              CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+              a.nrm AS na, b.nrm AS nb
+            FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         s AS (SELECT q_id, n_id,
+              CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM p)
+         SELECT q_id, n_id, sim FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s)
+         WHERE rn <= 5"""))
 
   /** §2.2 row 25 — embedding-cosine near-duplicate detection: LSH
     * buckets → within-bucket pairs → top-20 most similar pairs.
-    * Rows-only (deterministic integer math).
+    * Oracle shares the bucket arithmetic with the LSH ANN oracle.
     */
   val embeddingNearDup: QueryDef = QueryDef(
     "d_dedup_embedding",
@@ -125,7 +154,16 @@ object Similarity {
         .orderBy(col("sim").desc, col("a"), col("b"))
         .limit(20)
     },
-    None)
+    Some(s"""WITH $quantizedSql,
+         n AS (SELECT vec_id, q,
+              CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm,
+              (${bucketSql("q")}) AS bucket FROM v),
+         p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+              CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+              a.nrm AS na, b.nrm AS nb
+            FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         SELECT a, b, CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim
+         FROM p ORDER BY sim DESC, a, b LIMIT 20"""))
 
   val defs: Seq[QueryDef] = Seq(knnBruteForce, knnLsh, embeddingNearDup)
 }
