@@ -160,5 +160,26 @@ object TextFunctions {
     Some("""SELECT doc_id, lang, n_chars FROM documents
             WHERE SUBSTR(md5(text), 1, 1) = '0'"""))
 
-  val defs: Seq[QueryDef] = Seq(langId, quality, tokens, fingerprint, hashSample)
+  /** Deterministic stratified sampling: per language, the 3 documents
+    * with smallest md5 priority — a reproducible per-stratum sample
+    * (hash-priority sampling), one shuffle on the stratum key.
+    */
+  val stratifiedSample: QueryDef = QueryDef(
+    "t_stratified_sample",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("lang", "doc_id", "rk")
+    },
+    Some("""SELECT lang, doc_id, rk FROM (
+              SELECT lang, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+              FROM documents) t
+            WHERE rk <= 3"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(langId, quality, tokens, fingerprint, hashSample, stratifiedSample)
 }
