@@ -23,10 +23,13 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
-  test("streaming dedup keeps exactly the distinct event ids") {
+  test("streaming dedup collapses duplicated events to distinct ids") {
+    // double the stream so every event id arrives twice
+    val doubled = EventStreams.readEvents(spark, sfDir)
+      .union(EventStreams.readEvents(spark, sfDir))
     val streamed = EventStreams.runToMemory(
-      EventStreams.dedupEvents(EventStreams.readEvents(spark, sfDir))
-        .select("event_id"), "dedup", OutputMode.Append())
+      EventStreams.dedupEvents(doubled).select("event_id"),
+      "dedup", OutputMode.Append())
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val expected = Tables.load(spark, sfDir, "events").select("event_id").distinct().count()
     assert(streamed.count() == expected)
