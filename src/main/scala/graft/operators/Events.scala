@@ -93,5 +93,21 @@ object Events {
             SELECT l.event_id, l.user_id, l.sec, r.sec AS signup_sec
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.sec >= r.sec"""))
 
-  val defs: Seq[QueryDef] = Seq(window1h, sessionize, asofJoin)
+  /** Semi-structured columns: JSON property extraction from the events
+    * `props` payload — map-side `get_json_object`, aggregated by the
+    * extracted key. (At scale: parse once into a struct column with
+    * `from_json` + schema, then prune.)
+    */
+  val jsonExtract: QueryDef = QueryDef(
+    "q_json_extract",
+    (s, dir) => events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), Portable.dsum(col("value")).as("sum_value")),
+    Some(s"""SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS k,
+             COUNT(*) AS n, ${Portable.sql.dsum("value")} AS sum_value
+             FROM events GROUP BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(window1h, sessionize, asofJoin, jsonExtract)
 }

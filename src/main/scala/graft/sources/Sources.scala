@@ -45,3 +45,34 @@ object Sources {
       .bucketBy(nBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 }
+
+/** Copy-on-write mutations — the reference's record insert/update/
+  * delete path (reference: Database.java Transaction addRecord /
+  * updateRecord / deleteRecord on mutable heap files) re-expressed for
+  * immutable columnar storage: a mutation is a rewritten snapshot,
+  * committed atomically by the job commit protocol. Readers always see
+  * a complete snapshot (the P3 isolation story without a lock manager).
+  */
+object Mutations {
+  import org.apache.spark.sql.{Column, SparkSession}
+
+  /** Append rows (schema-aligned by name). */
+  def insertInto(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** Delete = rewrite without matching rows; returns rows remaining. */
+  def deleteWhere(spark: SparkSession, path: String, cond: Column, outPath: String): Long = {
+    val remaining = spark.read.parquet(path).where(!cond)
+    remaining.write.mode(SaveMode.Overwrite).parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+
+  /** Update = rewrite with the column conditionally replaced. */
+  def updateWhere(spark: SparkSession, path: String, cond: Column,
+      column: String, value: Column, outPath: String): Unit = {
+    import org.apache.spark.sql.functions.when
+    val df = spark.read.parquet(path)
+    df.withColumn(column, when(cond, value).otherwise(df(column)))
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+}

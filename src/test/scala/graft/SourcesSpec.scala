@@ -57,6 +57,26 @@ class SourcesSpec extends SparkSpec {
     assert(got == exp, s"dynamic overwrite clobbered partitions: $got vs $exp")
   }
 
+  test("copy-on-write insert/delete/update round-trip (reference write path)") {
+    import graft.sources.Mutations
+    val base = s"$tmp/mut_orders"
+    val orig = Tables.load(spark, sfDir, "orders")
+    orig.write.mode("overwrite").parquet(base)
+    // insert: append the first 10 orders again
+    Mutations.insertInto(orig.where(col("o_orderkey") < 10), base)
+    assert(spark.read.parquet(base).count() == orig.count() + 10)
+    // delete: remove every appended duplicate's key entirely
+    val afterDelete = Mutations.deleteWhere(
+      spark, base, col("o_orderkey") < 10, s"$tmp/mut_orders_d")
+    assert(afterDelete == orig.where(col("o_orderkey") >= 10).count())
+    // update: zero out totalprice for one status
+    Mutations.updateWhere(spark, s"$tmp/mut_orders_d",
+      col("o_orderstatus") === "F", "o_totalprice", lit(0.0), s"$tmp/mut_orders_u")
+    val updated = spark.read.parquet(s"$tmp/mut_orders_u")
+    assert(updated.where(col("o_orderstatus") === "F" && col("o_totalprice") =!= 0.0).count() == 0)
+    assert(updated.where(col("o_orderstatus") =!= "F" && col("o_totalprice") === 0.0).count() == 0)
+  }
+
   test("bucketed tables join with no exchange (pre-shuffled by key)") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
