@@ -147,6 +147,23 @@ object Extended {
             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
             FROM lineitem GROUP BY l_returnflag"""))
 
+  /** SQL-text interface + scalar subquery: orders above the average
+    * order value, run through spark.sql over registered views (the
+    * exact-decimal average keeps the boundary comparison engine-
+    * portable). Catalyst plans the scalar subquery as a one-row
+    * broadcast — no per-row re-evaluation.
+    */
+  val subqueryScalar: QueryDef = QueryDef(
+    "q_subquery_scalar",
+    (s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(s"""SELECT o_orderkey, o_totalprice FROM orders_v
+                WHERE o_totalprice > (SELECT ${P.davg("o_totalprice")} * 1.5 FROM orders_v)""")
+    },
+    Some(s"""SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_totalprice > (SELECT ${P.davg("o_totalprice")} * 1.5 FROM orders)"""))
+
   val defs: Seq[QueryDef] = Seq(
-    rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot)
+    rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
+    subqueryScalar)
 }
