@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineF32, SimHash64, WordNGramHashes}
+import graft.functions.{CosineF32, SimHash60, WordNGramHashes}
 
 /** One engine capability: a named query over a scale-factor directory,
   * with an optional ANSI-SQL oracle (DuckDB-checked by the driver).
@@ -69,9 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    (FunctionIdentifier("graft_simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+    (FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)),
     (FunctionIdentifier("graft_cosine_f32"),
       new ExpressionInfo(classOf[CosineF32].getName, "graft_cosine_f32"),
       (exprs: Seq[Expression]) => CosineF32(exprs.head, exprs(1))),

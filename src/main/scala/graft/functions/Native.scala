@@ -15,12 +15,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Native {
 
-  /** 64-bit SimHash of whitespace-tokenized text (Charikar 2002):
-    * per-token FNV-1a 64 hashes vote on each bit; the sign of each
-    * vote total becomes the bit. One pass over the bytes, zero
-    * allocation.
+  /** 60-bit SimHash of whitespace-tokenized text (Charikar 2002):
+    * per-token md5-derived 60-bit hashes vote on each bit; the sign of
+    * each vote total becomes the bit. 60 bits (not 64) so the value —
+    * and every intermediate — stays positive in a signed 64-bit
+    * integer, which makes the whole computation reproducible in the
+    * DuckDB oracle (md5 hex → integer is exact arithmetic there).
     */
-  def simhash64(c: Column): Column = B.column(SimHash64(B.expression(c)))
+  def simhash60(c: Column): Column = B.column(SimHash60(B.expression(c)))
 
   /** Sequential-order cosine similarity of two float vectors —
     * deterministic (no parallel-reduction reordering), single pass.
@@ -35,7 +37,7 @@ object Native {
   def sortedIntersectSize(a: Column, b: Column): Column =
     B.column(SortedIntersectSize(B.expression(a), B.expression(b)))
 
-  /** Sorted distinct FNV-1a64 hashes of the lowercase word n-grams of
+  /** Sorted distinct md5-derived 60-bit hashes of the word n-grams of
     * a text column, in one pass over the bytes. The composable-HOF
     * equivalent (`transform(sequence(...), i => crc32(concat_ws(
     * element_at(toks, i), ...)))`) re-evaluates the tokenizer per
@@ -47,63 +49,86 @@ object Native {
     B.column(WordNGramHashes(B.expression(text), n))
 }
 
-object SimHash64Util {
-  private final val FnvOffset = 0xcbf29ce484222325L
-  private final val FnvPrime = 0x100000001b3L
+/** Engine-portable 60-bit hash: the first 15 hex characters of the
+  * md5 digest, parsed as an integer (equivalently: the first 8 digest
+  * bytes, big-endian, shifted right by 4). Both Spark and DuckDB
+  * expose md5; 60 bits keeps every value — and any affine re-hash of
+  * it — positive in signed 64-bit arithmetic, so the DuckDB oracle
+  * reproduces it exactly with
+  * `list_sum(list_transform(range(0,15), i -> hexdigit * 16^(14-i)))`.
+  */
+object Md5Hash60Util {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
-  /** One-pass simhash over UTF-8 bytes; tokens split on ASCII space. */
+  def hash60(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = digest.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+}
+
+object SimHash60Util {
+
+  /** One-pass simhash over UTF-8 bytes; tokens split on ASCII space,
+    * hashed with [[Md5Hash60Util]], voting on 60 bits.
+    */
   def compute(s: UTF8String): Long = {
     val bytes = s.getBytes
-    val votes = new Array[Int](64)
-    var h = FnvOffset
-    var inToken = false
+    val votes = new Array[Int](60)
+    var tokStart = -1
     var i = 0
     while (i <= bytes.length) {
       val isSpace = i == bytes.length || bytes(i) == ' '.toByte
       if (isSpace) {
-        if (inToken) { vote(votes, h); h = FnvOffset; inToken = false }
-      } else {
-        h = (h ^ (bytes(i) & 0xff)) * FnvPrime
-        inToken = true
-      }
+        if (tokStart >= 0) {
+          vote(votes, Md5Hash60Util.hash60(bytes, tokStart, i - tokStart))
+          tokStart = -1
+        }
+      } else if (tokStart < 0) tokStart = i
       i += 1
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (votes(b) >= 0) out |= (1L << b); b += 1 }
+    while (b < 60) { if (votes(b) >= 0) out |= (1L << b); b += 1 }
     out
   }
 
   private def vote(votes: Array[Int], h: Long): Unit = {
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
       b += 1
     }
   }
 }
 
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def prettyName: String = "graft_simhash64"
+  override def prettyName: String = "graft_simhash60"
 
   override protected def nullSafeEval(input: Any): Any =
-    SimHash64Util.compute(input.asInstanceOf[UTF8String])
+    SimHash60Util.compute(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64Util.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash60Util.compute($c)")
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
 }
 
 object WordNGramHashesUtil {
-  private final val FnvOffset = 0xcbf29ce484222325L
-  private final val FnvPrime = 0x100000001b3L
 
-  /** Sorted distinct non-negative FNV-1a64 hashes of word n-grams
-    * (tokens split on ASCII space, ASCII-lowercased, joined by a
-    * single space). Fewer than n tokens → one hash of all tokens.
+  /** Sorted distinct [[Md5Hash60Util]] hashes of word n-grams (tokens
+    * split on runs of ASCII space, joined by a single space). Fewer
+    * than n tokens → one hash of all tokens.
     */
   def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val bytes = s.getBytes
@@ -122,24 +147,23 @@ object WordNGramHashesUtil {
     val t = starts.size()
     val win = if (t == 0) 0 else math.max(t - n + 1, 1)
     val out = new Array[Long](win)
+    var buf = new Array[Byte](64)
     var w = 0
     while (w < win) {
-      var h = FnvOffset
+      var blen = 0
       var j = w
       val jEnd = math.min(w + n, t)
       while (j < jEnd) {
-        var p = starts.get(j).intValue()
+        val st = starts.get(j).intValue()
         val e = ends.get(j).intValue()
-        while (p < e) {
-          val b = bytes(p)
-          val lower = if (b >= 'A'.toByte && b <= 'Z'.toByte) (b + 32).toByte else b
-          h = (h ^ (lower & 0xff)) * FnvPrime
-          p += 1
-        }
-        if (j < jEnd - 1) h = (h ^ ' '.toInt) * FnvPrime
+        val need = blen + (e - st) + 1
+        if (need > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        System.arraycopy(bytes, st, buf, blen, e - st)
+        blen += e - st
+        if (j < jEnd - 1) { buf(blen) = ' '.toByte; blen += 1 }
         j += 1
       }
-      out(w) = h & Long.MaxValue
+      out(w) = Md5Hash60Util.hash60(buf, 0, blen)
       w += 1
     }
     java.util.Arrays.sort(out)

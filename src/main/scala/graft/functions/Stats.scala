@@ -78,7 +78,10 @@ object StatsQueries {
       approx_count_distinct(col("l_orderkey")).as("ad_orderkey"),
       approx_count_distinct(col("l_partkey")).as("ad_partkey"),
       expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-        .as("price_p50_p95")),
+        .as("p"))
+      .select(col("n_rows"), col("ad_orderkey"), col("ad_partkey"),
+        element_at(col("p"), 1).as("price_p50"),
+        element_at(col("p"), 2).as("price_p95")),
     None)
 
   val defs: Seq[QueryDef] = Seq(histogram, tableStats, stringHistogram, approxStats)

@@ -1,22 +1,30 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
 /** Document deduplication family (SURVEY §2.2 rows 21–24): exact,
-  * MinHash+LSH, SimHash, and banded n-gram Jaccard.
+  * MinHash+LSH, SimHash, and prefix-filtered n-gram Jaccard.
   *
   * Scale design: none of these ever cross-joins the corpus.
   *  - exact dedup shuffles 16-byte md5 keys only;
   *  - MinHash LSH shuffles (band, bucket) keys; candidate pairs are
   *    verified only within buckets (the standard shingle→minhash→band
   *    →bucket-join pipeline);
-  *  - SimHash joins on 8-bit blocks (pigeonhole for small Hamming
-  *    distance);
-  *  - n-gram Jaccard compares only within (lang, length-band) blocks.
-  * All signature computation is pure `functions._` array arithmetic —
-  * codegen'd, no UDFs, no driver-side loops.
+  *  - SimHash joins on 15-bit blocks (4 blocks × 15 bits: pigeonhole
+  *    guarantees any pair with Hamming ≤ 3 shares a block; 32,768
+  *    values per block keeps within-block pair counts ~N²/131072);
+  *  - n-gram Jaccard uses PPJoin-style prefix filtering: grams are
+  *    ordered by ascending document frequency and only each doc's
+  *    first |g| − ⌈t·|g|⌉ + 1 grams are indexed — lossless for
+  *    J ≥ t, and the candidate count is driven by *rare* grams.
+  * All signature computation is pure `functions._` array arithmetic
+  * over md5-derived 60-bit hashes ([[graft.functions.Md5Hash60Util]])
+  * — codegen'd, no UDFs, no driver-side loops, and every step is
+  * reproduced exactly by the DuckDB oracles below (60-bit values keep
+  * all arithmetic positive in signed 64-bit).
   */
 object Dedup {
 
@@ -29,6 +37,7 @@ object Dedup {
   private val K = 32       // minhash signature length
   private val Bands = 8    // LSH bands
   private val Rows = 4     // rows per band (K = Bands * Rows)
+  private val SimT = 0.5   // near-duplicate Jaccard threshold
 
   /** Sorted distinct hashed word 3-gram shingles (native one-pass
     * expression — see [[graft.functions.Native.wordNGramHashes]]).
@@ -90,6 +99,40 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
   }
 
+  // ---- DuckDB oracle fragments (same arithmetic, list lambdas) ----
+
+  /** DuckDB: first 15 hex chars of md5(e) as a 60-bit integer —
+    * bit-identical to [[graft.functions.Md5Hash60Util.hash60]]
+    * (all powers of 16 up to 16^14 are exact doubles).
+    */
+  private def h60(e: String): String =
+    s"list_sum(list_transform(range(0,15), i -> (strpos('0123456789abcdef', " +
+      s"substr(md5($e), CAST(i+1 AS INT), 1)) - 1) * CAST(power(16, 14-i) AS BIGINT)))"
+
+  /** DuckDB: tokens split on runs of ASCII space (matches the native
+    * tokenizer in [[graft.functions.WordNGramHashesUtil]]).
+    */
+  private val tokensSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** DuckDB: sorted distinct 60-bit hashes of word n-grams over a
+    * token list column `tk` — the oracle twin of
+    * [[graft.functions.Native.wordNGramHashes]] (incl. the
+    * fewer-than-n-tokens → one-gram edge case).
+    */
+  private def gramsSql(n: Int): String =
+    s"""CASE WHEN len(tk) = 0 THEN CAST([] AS BIGINT[])
+        ELSE list_sort(list_distinct(list_transform(
+          list_transform(range(1, CAST(greatest(len(tk)-$n+2, 2) AS BIGINT)),
+            i -> array_to_string(tk[i:least(i+$n-1, len(tk))], ' ')),
+          g -> ${h60("g")}))) END"""
+
+  /** DuckDB: the [[bandBucket]] polynomial fold over sig[band*Rows+1
+    * .. band*Rows+Rows] (first step: (0*P + x₁) mod BP = x₁).
+    */
+  private def bandBucketSql(band: String): String =
+    (2 to Rows).foldLeft(s"sig[CAST($band*$Rows+1 AS INT)]")((acc, r) =>
+      s"(($acc) * $HashP + sig[CAST($band*$Rows+$r AS INT)]) % $BucketP")
+
   // ---- §2.2 row 21: exact dedup (SQL oracle) ----
 
   val exact: QueryDef = QueryDef(
@@ -100,43 +143,68 @@ object Dedup {
     Some("""SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
             FROM documents GROUP BY 1"""))
 
-  // ---- §2.2 row 22: MinHash + LSH (rows-only; deterministic) ----
+  // ---- §2.2 row 22: MinHash + LSH (full-pipeline SQL oracle) ----
 
   val minhash: QueryDef = QueryDef(
     "d_dedup_minhash",
     (s, dir) => {
       val sg = signed(Tables.load(s, dir, "documents"))
       val near = verifiedJaccard(minhashCandidates(sg), sg)
-        .where(col("jaccard") >= 0.5)
+        .where(col("jaccard") >= SimT)
       val perDoc = near.select(col("a").as("doc_id"), col("jaccard"))
         .unionAll(near.select(col("b").as("doc_id"), col("jaccard")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_near_dups"), max(col("jaccard")).as("max_jaccard"))
-      sg.select(col("doc_id"), size(col("shingles")).as("n_shingles"),
+      sg.select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"),
           element_at(col("sig"), 1).as("minhash_0"))
         .join(perDoc, Seq("doc_id"), "left")
         .na.fill(Map("n_near_dups" -> 0L, "max_jaccard" -> -1.0))
     },
-    None)
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         sh AS (SELECT doc_id, ${gramsSql(3)} AS shingles FROM tk),
+         sg AS (SELECT doc_id, shingles, list_transform(range(0, $K), k ->
+             list_min(list_transform(shingles, h ->
+               ((2*k+1)*(h % $HashP) + ((k*2654435761) % $HashP)) % $HashP))) AS sig
+           FROM sh),
+         bx AS (SELECT doc_id, unnest(range(0, $Bands)) AS band, sig FROM sg),
+         bb AS (SELECT doc_id, band, ${bandBucketSql("band")} AS bucket FROM bx),
+         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bb l JOIN bb r
+             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         pj AS (SELECT c.a, c.b, len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+               len(sa.shingles) AS za, len(sb.shingles) AS zb
+             FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+         near AS (SELECT * FROM (SELECT a, b,
+               CAST(inter AS DOUBLE)/(za + zb - inter) AS jaccard FROM pj) x
+             WHERE jaccard >= $SimT),
+         per AS (SELECT doc_id, COUNT(*) AS n_near_dups, MAX(jaccard) AS max_jaccard FROM
+             (SELECT a AS doc_id, jaccard FROM near
+              UNION ALL SELECT b AS doc_id, jaccard FROM near) u GROUP BY doc_id)
+         SELECT sg.doc_id, CAST(len(sg.shingles) AS BIGINT) AS n_shingles,
+           CAST(sg.sig[1] AS BIGINT) AS minhash_0,
+           COALESCE(per.n_near_dups, 0) AS n_near_dups,
+           COALESCE(per.max_jaccard, -1.0) AS max_jaccard
+         FROM sg LEFT JOIN per ON sg.doc_id = per.doc_id"""))
 
-  // ---- §2.2 row 23: SimHash (rows-only; deterministic) ----
+  // ---- §2.2 row 23: SimHash, 4 × 15-bit pigeonhole blocks ----
 
   val simhashDef: QueryDef = QueryDef(
     "d_dedup_simhash",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          graft.functions.Native.simhash64(col("text")).as("simhash"))
-      // pigeonhole: pairs within Hamming distance 7 share >= 1 of 8 bytes
+          graft.functions.Native.simhash60(col("text")).as("simhash"))
+      // pigeonhole: pairs within Hamming distance 3 share >= 1 of the
+      // 4 15-bit blocks (32,768 values each — candidate pairs shrink
+      // ~N²/131072 vs ~N²/2048 for the 8-bit-byte blocking).
       val blocks = d.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 8).map(j =>
-          shiftrightunsigned(col("simhash"), 8 * j).bitwiseAND(lit(255L))): _*)))
-        .toDF("doc_id", "simhash", "block", "byte")
-      val cand = blocks.toDF("a", "sh_a", "block", "byte")
-        .join(blocks.toDF("b", "sh_b", "block", "byte"), Seq("block", "byte"))
+        posexplode(array((0 until 4).map(j =>
+          shiftrightunsigned(col("simhash"), 15 * j).bitwiseAND(lit(32767L))): _*)))
+        .toDF("doc_id", "simhash", "block", "blockval")
+      val cand = blocks.toDF("a", "sh_a", "block", "blockval")
+        .join(blocks.toDF("b", "sh_b", "block", "blockval"), Seq("block", "blockval"))
         .where(col("a") < col("b"))
         .select("a", "b", "sh_a", "sh_b").distinct()
-        .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+        .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
       val perDoc = cand.select(col("a").as("doc_id"), col("hamming"))
         .unionAll(cand.select(col("b").as("doc_id"), col("hamming")))
         .groupBy("doc_id")
@@ -144,39 +212,76 @@ object Dedup {
       d.join(perDoc, Seq("doc_id"), "left")
         .na.fill(Map("n_candidates" -> 0L, "min_hamming" -> 99L))
     },
-    None)
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         th AS (SELECT doc_id, list_transform(tk, t -> ${h60("t")}) AS hs FROM tk),
+         sh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
+                 CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END)), 0) >= 0
+               THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+           FROM th),
+         bx AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS block FROM sh),
+         bb AS (SELECT doc_id, simhash, block,
+             (simhash >> CAST(block*15 AS INT)) & 32767 AS blockval FROM bx),
+         cand AS (SELECT DISTINCT l.doc_id AS a, l.simhash AS sh_a,
+               r.doc_id AS b, r.simhash AS sh_b
+             FROM bb l JOIN bb r
+             ON l.block = r.block AND l.blockval = r.blockval AND l.doc_id < r.doc_id),
+         hm AS (SELECT a, b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming FROM cand),
+         per AS (SELECT doc_id, COUNT(*) AS n_candidates, MIN(hamming) AS min_hamming FROM
+             (SELECT a AS doc_id, hamming FROM hm
+              UNION ALL SELECT b AS doc_id, hamming FROM hm) u GROUP BY doc_id)
+         SELECT sh.doc_id, sh.simhash, COALESCE(per.n_candidates, 0) AS n_candidates,
+           COALESCE(per.min_hamming, 99) AS min_hamming
+         FROM sh LEFT JOIN per ON sh.doc_id = per.doc_id"""))
 
-  // ---- §2.2 row 24: banded n-gram Jaccard (rows-only; deterministic) ----
+  // ---- §2.2 row 24: n-gram Jaccard with PPJoin prefix filtering ----
 
   val ngramJaccard: QueryDef = QueryDef(
     "d_dedup_ngram_jaccard",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      // inverted-index set-similarity join: explode hashed word
-      // bigrams (native one-pass expression), co-count pairs per
-      // (band, gram), then |A∩B| = co-count — gram ARRAYS never
-      // travel through the join, and work is proportional to actual
-      // overlap, not to candidate pairs.
-      // The 100 TB shape (add a stop-gram frequency cutoff there).
-      val grams = graft.functions.Native.wordNGramHashes(col("text"), 2)
       val g = d.select(col("doc_id"), col("lang"),
-        floor(col("n_chars") / 40).as("len_band"), grams.as("grams"))
-      val sizes = g.select(col("doc_id"), size(col("grams")).as("sz"))
+        floor(col("n_chars") / 40).as("len_band"),
+        graft.functions.Native.wordNGramHashes(col("text"), 2).as("grams"))
+      // Prefix filtering (Chaudhuri et al. 2006 / PPJoin): under a
+      // global gram order by ascending block df, any pair with
+      // J >= t shares one of each doc's first |g| - ceil(t*|g|) + 1
+      // grams. Candidate generation therefore keys on RARE grams —
+      // the stop-gram df² blowup is gone — and stays lossless: the
+      // oracle below computes the same result by exhaustive
+      // within-block comparison.
       val inv = g.select(col("doc_id"), col("lang"), col("len_band"),
-        explode(col("grams")).as("gram"))
-      val co = inv.toDF("a", "lang", "len_band", "gram")
-        .join(inv.toDF("b", "lang", "len_band", "gram"), Seq("lang", "len_band", "gram"))
-        .where(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      co.join(sizes.toDF("a", "sz_a"), "a")
-        .join(sizes.toDF("b", "sz_b"), "b")
+        size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
+      val dfreq = inv.groupBy("lang", "len_band", "gram").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
+      val prefix = inv.join(dfreq, Seq("lang", "len_band", "gram"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= col("sz") - ceil(lit(SimT) * col("sz")) + 1)
+        .select("doc_id", "lang", "len_band", "gram")
+      val cand = prefix.toDF("a", "lang", "len_band", "gram")
+        .join(prefix.toDF("b", "lang", "len_band", "gram"), Seq("lang", "len_band", "gram"))
+        .where(col("a") < col("b")).select("a", "b").distinct()
+      val full = g.select(col("doc_id"), col("grams"))
+      val inter = graft.functions.Native.sortedIntersectSize(col("g_a"), col("g_b"))
+      cand.join(full.toDF("a", "g_a"), "a").join(full.toDF("b", "g_b"), "b")
         .select(col("a"), col("b"),
-          (col("inter").cast("double") /
-            (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+          (inter.cast("double") /
+            (size(col("g_a")) + size(col("g_b")) - inter)).as("jaccard"))
+        .where(col("jaccard") >= SimT)
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(50)
     },
-    None)
+    Some(s"""WITH tk AS (SELECT doc_id, lang, n_chars, $tokensSql AS tk FROM documents),
+         g AS (SELECT doc_id, lang, CAST(FLOOR(n_chars/40) AS BIGINT) AS len_band,
+             ${gramsSql(2)} AS grams FROM tk),
+         p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             len(list_intersect(x.grams, y.grams)) AS inter,
+             len(x.grams) AS za, len(y.grams) AS zb
+           FROM g x JOIN g y
+           ON x.lang = y.lang AND x.len_band = y.len_band AND x.doc_id < y.doc_id),
+         j AS (SELECT a, b, CAST(inter AS DOUBLE)/(za + zb - inter) AS jaccard FROM p)
+         SELECT a, b, jaccard FROM j WHERE jaccard >= $SimT
+         ORDER BY jaccard DESC, a, b LIMIT 50"""))
 
   val defs: Seq[QueryDef] = Seq(exact, minhash, simhashDef, ngramJaccard)
 }

@@ -14,7 +14,7 @@ object DemoReadme {
       .count("n_orders").sum("o_totalprice", "sum_price")
       .execute()
     println("rows=" + result.count())
-    println(spark.sql(s"SELECT graft_simhash64(text) AS h FROM parquet.`$dir/documents.parquet` LIMIT 1").head())
+    println(spark.sql(s"SELECT graft_simhash60(text) AS h FROM parquet.`$dir/documents.parquet` LIMIT 1").head())
     val sg = Dedup.signed(Tables.load(spark, dir, "documents"))
     println("jacc rows=" + Dedup.verifiedJaccard(Dedup.minhashCandidates(sg), sg).count())
     spark.stop()

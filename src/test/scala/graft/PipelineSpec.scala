@@ -38,12 +38,12 @@ class PipelineSpec extends SparkSpec {
     assert(jac > 0.5 && jac < 1.0, s"jaccard $jac")
   }
 
-  test("native simhash64: identical texts equal, near-dups close, unrelated far") {
+  test("native simhash60: identical texts equal, near-dups close, unrelated far") {
     import graft.functions.Native
     val df = Seq((1L, base), (2L, base), (3L, "unrelated words entirely different"),
       (4L, base + " extra"))
       .toDF("doc_id", "text")
-      .select(col("doc_id"), Native.simhash64(col("text")).as("sh"))
+      .select(col("doc_id"), Native.simhash60(col("text")).as("sh"))
     val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(1L) == m(2L))
     assert(m(1L) != m(3L))
@@ -64,7 +64,7 @@ class PipelineSpec extends SparkSpec {
   test("native functions registered for SQL via extensions") {
     GraftSession.registerFunctions(spark)
     val r = spark.sql(
-      "SELECT graft_simhash64('a b c') AS h, graft_cosine_f32(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      "SELECT graft_simhash60('a b c') AS h, graft_cosine_f32(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
       .head()
     assert(r.getDouble(1) == 1.0)
   }
