@@ -47,6 +47,15 @@ object Native {
     */
   def wordNGramHashes(text: Column, n: Int): Column =
     B.column(WordNGramHashes(B.expression(text), n))
+
+  /** Sign bits of `planes` deterministic hyperplane dot products over
+    * an integer vector, packed into one Long (bit j = plane j). The
+    * lambda form (zip_with + aggregate per plane) is interpreted, not
+    * codegen'd, and re-walks the vector once per plane through boxed
+    * HOF dispatch; this runs all planes in one compiled pass.
+    */
+  def planeSignBits(q: Column, planes: Int): Column =
+    B.column(PlaneSignBits(B.expression(q), planes))
 }
 
 /** Engine-portable 60-bit hash: the first 15 hex characters of the
@@ -191,6 +200,47 @@ case class WordNGramHashes(child: Expression, n: Int) extends UnaryExpression {
       c => s"graft.functions.WordNGramHashesUtil.compute($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordNGramHashes =
+    copy(child = newChild)
+}
+
+object PlaneSignBitsUtil {
+  /** Bit j = 1 iff dot(q, plane_j) >= 0, where plane_j[i] =
+    * ((i*(31+2j) + 17j) mod 13) - 6 — the derandomized Charikar
+    * construction shared with the DuckDB oracle
+    * (operators/Similarity.scala bandBucketSql).
+    */
+  def compute(q: ArrayData, planes: Int): Long = {
+    val n = q.numElements()
+    var out = 0L
+    var j = 0
+    while (j < planes) {
+      val a = 31 + 2 * j
+      val b = 17 * j
+      var dot = 0L
+      var i = 0
+      while (i < n) {
+        dot += q.getLong(i) * (((i * a + b) % 13) - 6)
+        i += 1
+      }
+      if (dot >= 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+case class PlaneSignBits(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_plane_sign_bits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PlaneSignBitsUtil.compute(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PlaneSignBitsUtil.compute($c, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneSignBits =
     copy(child = newChild)
 }
 

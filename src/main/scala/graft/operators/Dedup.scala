@@ -254,13 +254,28 @@ object Dedup {
         size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
       val dfreq = inv.groupBy("lang", "len_band", "gram").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
-      val prefix = inv.join(dfreq, Seq("lang", "len_band", "gram"))
+      // dfreq is bounded by the distinct-gram vocabulary, not the
+      // corpus — broadcast it so the df lookup is map-side.
+      val prefix = inv.join(broadcast(dfreq), Seq("lang", "len_band", "gram"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= col("sz") - ceil(lit(SimT) * col("sz")) + 1)
-        .select("doc_id", "lang", "len_band", "gram")
-      val cand = prefix.toDF("a", "lang", "len_band", "gram")
-        .join(prefix.toDF("b", "lang", "len_band", "gram"), Seq("lang", "len_band", "gram"))
-        .where(col("a") < col("b")).select("a", "b").distinct()
+        .select("doc_id", "lang", "len_band", "gram", "rn", "sz")
+      // Positional filter (PPJoin): for the globally-first common gram
+      // at prefix positions (rn_a, rn_b), the overlap is at most
+      // 1 + min(sz_a - rn_a, sz_b - rn_b); J >= t needs overlap >=
+      // ceil(t/(1+t) * (sz_a+sz_b)). Taking the max bound over all
+      // shared prefix grams keeps a superset of PPJoin's survivors —
+      // still lossless, replaces distinct() with the same one shuffle.
+      val cand = prefix.toDF("a", "lang", "len_band", "gram", "rn_a", "sz_a")
+        .join(prefix.toDF("b", "lang", "len_band", "gram", "rn_b", "sz_b"),
+          Seq("lang", "len_band", "gram"))
+        .where(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(max(least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))).as("slack"),
+          first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+        .where(lit(1) + col("slack") >=
+          ceil((col("sz_a") + col("sz_b")) * lit(SimT) / (lit(1.0) + lit(SimT))))
+        .select("a", "b")
       val full = g.select(col("doc_id"), col("grams"))
       val inter = graft.functions.Native.sortedIntersectSize(col("g_a"), col("g_b"))
       cand.join(full.toDF("a", "g_a"), "a").join(full.toDF("b", "g_b"), "b")

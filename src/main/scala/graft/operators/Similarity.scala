@@ -16,9 +16,17 @@ import graft.{QueryDef, Tables}
   *
   * Scale design: the brute-force path broadcasts only the (small)
   * query set and streams the corpus — one pass, no corpus shuffle.
-  * The LSH path shuffles the corpus once by bucket id and compares
-  * within buckets — the standard scale-out ANN shape; vectors stay
-  * packed as arrays end to end.
+  * The LSH path uses 24 sign hyperplanes (Charikar 2002) arranged as
+  * 3 OR-bands × 8 bits, mirroring the minhash Bands×Rows structure:
+  * a candidate pair must agree on all 8 bits of at least one band.
+  * Expected within-band pair work is ~N²/256 per band under a uniform
+  * sign assumption (vs ~N²/64 for the previous single 6-bit bucket),
+  * and — unlike a single wider bucket — recall degrades gracefully:
+  * two 0.9-cosine vectors disagreeing on one plane of one band still
+  * collide in another band. At 100× data, grow BitsPerBand with
+  * log₂ N (smaller buckets) and add bands to hold recall; the shuffle
+  * keys stay (band, bucket) pairs, never vectors², so the plan shape
+  * is unchanged.
   */
 object Similarity {
 
@@ -68,100 +76,124 @@ object Similarity {
               SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s)
             WHERE rn <= 10"""))
 
-  /** Deterministic random-hyperplane components: plane j, dim i →
-    * small signed integer. Public LSH construction (Charikar 2002),
-    * derandomized so both engines / reruns agree.
+  // Deterministic random-hyperplane components: plane j, dim i →
+  // ((i*(31+2j) + 17j) mod 13) - 6, a small signed integer. Public
+  // LSH construction (Charikar 2002), derandomized so both engines /
+  // reruns agree; evaluated natively in PlaneSignBitsUtil and mirrored
+  // in bandBucketSql below.
+  private val BandsV = 3
+  private val BitsPerBand = 8
+
+  /** Per-band bucket ids: band b packs the sign bits of planes
+    * b*BitsPerBand … b*BitsPerBand+BitsPerBand−1 into an 8-bit value.
+    * All plane dots run in one native compiled pass
+    * ([[graft.functions.Native.planeSignBits]]) — the lambda
+    * (zip_with+aggregate) form re-walks the vector per plane through
+    * interpreted HOF dispatch, ~5× slower at 24 planes.
     */
-  private def planeComponent(j: Int, i: Column): Column =
-    pmod(i * (31 + 2 * j) + j * 17, lit(13)) - 6
-
-  private val NPlanes = 6
-
-  /** Sign-bucket of a quantized vector under the j-th hyperplane. */
-  private def planeBit(q: Column, j: Int): Column = {
-    val dims = sequence(lit(0), size(q) - 1)
-    val dot = aggregate(zip_with(q, transform(dims, i => planeComponent(j, i)),
-      (x, c) => x * c), lit(0L), (a, x) => a + x)
-    when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+  def lshBandBuckets(q: Column): Column = {
+    val bits = graft.functions.Native.planeSignBits(q, BandsV * BitsPerBand)
+    array((0 until BandsV).map(b =>
+      shiftrightunsigned(bits, b * BitsPerBand)
+        .bitwiseAND(lit((1L << BitsPerBand) - 1))): _*)
   }
 
-  def lshBucket(q: Column): Column =
-    (0 until NPlanes).map(j => planeBit(q, j)).reduce(_ + _)
+  /** (vec_id, band, bucket) — one row per band, the ANN shuffle key. */
+  private def bandedVectors(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), posexplode(col("buckets"))).toDF("vec_id", "band", "bucket")
 
-  /** DuckDB rendering of [[lshBucket]] — the same plane arithmetic on
-    * the quantized vector list, so the oracle covers the LSH path too.
+  /** DuckDB rendering of one band's bucket — the same plane arithmetic
+    * on the quantized vector list, so the oracle covers the LSH path.
     */
-  private def bucketSql(qcol: String): String = {
-    val terms = (0 until NPlanes).map { j =>
+  private def bandBucketSql(qcol: String, band: Int): String =
+    (0 until BitsPerBand).map { i =>
+      val j = band * BitsPerBand + i
       val dot = s"list_sum(list_transform(list_zip($qcol, range(0, 64)), " +
         s"s -> s[1] * ((((s[2] * ${31 + 2 * j}) + ${17 * j}) % 13) - 6)))"
-      s"(CASE WHEN $dot >= 0 THEN ${1L << j} ELSE 0 END)"
-    }
-    terms.mkString(" + ")
-  }
+      s"(CASE WHEN $dot >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def allBandsSql(qcol: String): String =
+    (0 until BandsV).map(b => s"(${bandBucketSql(qcol, b)})").mkString("[", ", ", "]")
 
   private val quantizedSql =
     """v AS (SELECT vec_id,
        list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
        FROM embeddings)"""
 
-  /** §2.2 row 27 — LSH-bucketed ANN: candidates only within a sign
-    * bucket, cosine rerank, top-5 per query. Oracle reproduces the
-    * bucket arithmetic in DuckDB list lambdas.
+  private val bandedSql =
+    s"""n AS (SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+       bb AS (SELECT vec_id, unnest(range(0, $BandsV)) AS band,
+         unnest(${allBandsSql("q")}) AS bucket FROM n)"""
+
+  /** §2.2 row 27 — LSH-banded ANN: candidates collide on all bits of
+    * ≥1 band, cosine rerank, top-5 per query. Oracle reproduces the
+    * band arithmetic in DuckDB list lambdas.
     */
   val knnLsh: QueryDef = QueryDef(
     "s_knn_lsh",
     (s, dir) => {
       val v = quantized(Tables.load(s, dir, "embeddings"))
-        .withColumn("bucket", lshBucket(col("q")))
-      val q = v.where(col("vec_id") < 5).toDF("q_id", "q_q", "q_nrm", "bucket")
-      val scored = q.join(v.toDF("n_id", "n_q", "n_nrm", "bucket"), Seq("bucket"))
+        .withColumn("buckets", lshBandBuckets(col("q")))
+      val bv = bandedVectors(v)
+      val cand = bv.toDF("q_id", "band", "bucket").where(col("q_id") < 5)
+        .join(bv.toDF("n_id", "band", "bucket"), Seq("band", "bucket"))
         .where(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id").distinct()
+      val scored = cand
+        .join(v.select(col("vec_id").as("q_id"), col("q").as("q_q"), col("nrm").as("q_nrm")), Seq("q_id"))
+        .join(v.select(col("vec_id").as("n_id"), col("q").as("n_q"), col("nrm").as("n_nrm")), Seq("n_id"))
         .select(col("q_id"), col("n_id"),
           cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
       val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
       scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
         .select("q_id", "n_id", "sim")
     },
-    Some(s"""WITH $quantizedSql,
-         n AS (SELECT vec_id, q,
-              CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm,
-              (${bucketSql("q")}) AS bucket FROM v),
-         p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+    Some(s"""WITH $quantizedSql, $bandedSql,
+         cand AS (SELECT DISTINCT qb.vec_id AS q_id, nb.vec_id AS n_id
+             FROM bb qb JOIN bb nb ON qb.band = nb.band AND qb.bucket = nb.bucket
+             WHERE qb.vec_id < 5 AND nb.vec_id <> qb.vec_id),
+         p AS (SELECT c.q_id, c.n_id,
               CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
               a.nrm AS na, b.nrm AS nb
-            FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < 5 AND b.vec_id <> a.vec_id),
+            FROM cand c JOIN n a ON a.vec_id = c.q_id JOIN n b ON b.vec_id = c.n_id),
          s AS (SELECT q_id, n_id,
               CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM p)
          SELECT q_id, n_id, sim FROM (
            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s)
          WHERE rn <= 5"""))
 
-  /** §2.2 row 25 — embedding-cosine near-duplicate detection: LSH
-    * buckets → within-bucket pairs → top-20 most similar pairs.
-    * Oracle shares the bucket arithmetic with the LSH ANN oracle.
+  /** §2.2 row 25 — embedding-cosine near-duplicate detection: banded
+    * LSH buckets → within-bucket pairs (any band) → top-20 most
+    * similar pairs. Oracle shares the band arithmetic with the ANN
+    * oracle.
     */
   val embeddingNearDup: QueryDef = QueryDef(
     "d_dedup_embedding",
     (s, dir) => {
       val v = quantized(Tables.load(s, dir, "embeddings"))
-        .withColumn("bucket", lshBucket(col("q")))
-      val a = v.toDF("a", "q_a", "n_a", "bucket")
-      val b = v.toDF("b", "q_b", "n_b", "bucket")
-      a.join(b, Seq("bucket")).where(col("a") < col("b"))
+        .withColumn("buckets", lshBandBuckets(col("q")))
+      val bv = bandedVectors(v)
+      val cand = bv.toDF("a", "band", "bucket")
+        .join(bv.toDF("b", "band", "bucket"), Seq("band", "bucket"))
+        .where(col("a") < col("b")).select("a", "b").distinct()
+      cand
+        .join(v.select(col("vec_id").as("a"), col("q").as("q_a"), col("nrm").as("n_a")), Seq("a"))
+        .join(v.select(col("vec_id").as("b"), col("q").as("q_b"), col("nrm").as("n_b")), Seq("b"))
         .select(col("a"), col("b"),
           cosine(dotL(col("q_a"), col("q_b")), col("n_a"), col("n_b")).as("sim"))
         .orderBy(col("sim").desc, col("a"), col("b"))
         .limit(20)
     },
-    Some(s"""WITH $quantizedSql,
-         n AS (SELECT vec_id, q,
-              CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm,
-              (${bucketSql("q")}) AS bucket FROM v),
-         p AS (SELECT a.vec_id AS a, b.vec_id AS b,
-              CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
-              a.nrm AS na, b.nrm AS nb
-            FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    Some(s"""WITH $quantizedSql, $bandedSql,
+         cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+             FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
+             WHERE l.vec_id < r.vec_id),
+         p AS (SELECT c.a, c.b,
+              CAST(list_sum(list_transform(list_zip(x.q, y.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+              x.nrm AS na, y.nrm AS nb
+            FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b)
          SELECT a, b, CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim
          FROM p ORDER BY sim DESC, a, b LIMIT 20"""))
 
