@@ -56,6 +56,16 @@ object Native {
     */
   def planeSignBits(q: Column, planes: Int): Column =
     B.column(PlaneSignBits(B.expression(q), planes))
+
+  /** K-row minhash signature of a non-negative hash array:
+    * sig[k] = min over h of ((2k+1)·(h mod p) + (k·2654435761 mod p))
+    * mod p. One compiled pass over the array for all K rows — the
+    * transform(seq, k -> array_min(transform(hs, …))) form evaluates
+    * K·|hs| interpreted lambda calls per document, which dominated
+    * the dedup bench once the sink stopped pruning the signature.
+    */
+  def minhashSignature(hashes: Column, k: Int, p: Long): Column =
+    B.column(MinhashSignature(B.expression(hashes), k, p))
 }
 
 /** Engine-portable 60-bit hash: the first 15 hex characters of the
@@ -241,6 +251,50 @@ case class PlaneSignBits(child: Expression, planes: Int) extends UnaryExpression
       c => s"graft.functions.PlaneSignBitsUtil.compute($c, $planes)")
 
   override protected def withNewChildInternal(newChild: Expression): PlaneSignBits =
+    copy(child = newChild)
+}
+
+object MinhashSignatureUtil {
+  /** Empty input mirrors array_min(empty) = null per row (and DuckDB
+    * list_min), so both engines agree on degenerate documents.
+    */
+  def compute(hashes: ArrayData, k: Int, p: Long): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = hashes.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](k))
+    val out = new Array[Long](k)
+    var kk = 0
+    while (kk < k) {
+      val a = 2L * kk + 1
+      val b = (kk * 2654435761L) % p
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = (a * (hashes.getLong(i) % p) + b) % p
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(kk) = mn
+      kk += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class MinhashSignature(child: Expression, k: Int, p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashSignatureUtil.compute(input.asInstanceOf[ArrayData], k, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinhashSignatureUtil.compute($c, $k, ${p}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
     copy(child = newChild)
 }
 

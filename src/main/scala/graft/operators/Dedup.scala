@@ -45,17 +45,13 @@ object Dedup {
   def wordShingles(text: Column, n: Int = 3): Column =
     graft.functions.Native.wordNGramHashes(text, n)
 
-  /** Shingle hashes reduced into the affine-safe minhash domain. */
-  private def shingleHashes(shingles: Column): Column =
-    transform(shingles, h => pmod(h, lit(HashP)))
-
   /** K-row minhash signature: sig[k] = min over shingle hashes h of
-    * ((2k+1)*h + (k*2654435761 mod P)) mod P.
+    * ((2k+1)*(h mod P) + (k*2654435761 mod P)) mod P — all K rows in
+    * one native compiled pass over the shingle array
+    * ([[graft.functions.Native.minhashSignature]]).
     */
   def minhashSignature(hashes: Column): Column =
-    transform(sequence(lit(0), lit(K - 1)), k =>
-      array_min(transform(hashes, h =>
-        pmod((k * 2 + 1) * h + pmod(k * lit(2654435761L), lit(HashP)), lit(HashP)))))
+    graft.functions.Native.minhashSignature(hashes, K, HashP)
 
   /** Polynomial-combine one LSH band of the signature into a bucket id
     * (the rolling-hash fingerprint primitive of SURVEY §2.2 row 31).
@@ -67,7 +63,7 @@ object Dedup {
   def signed(docs: DataFrame): DataFrame = {
     val sh = wordShingles(col("text"))
     docs.select(col("doc_id"), sh.as("shingles"))
-      .withColumn("sig", minhashSignature(shingleHashes(col("shingles"))))
+      .withColumn("sig", minhashSignature(col("shingles")))
   }
 
   /** (doc_id, band, bucket) — one row per band, the LSH shuffle key. */
