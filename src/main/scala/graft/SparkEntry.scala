@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Dedup, Events, Extended, Multimodal, Relational, Similarity}
 import graft.functions.{StatsQueries, TextFunctions}
+import graft.sources.SourceQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (capability
   * inventory) and §7 (build plan). Every implemented capability is one
@@ -15,7 +16,7 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Extended.defs ++ StatsQueries.defs ++
       TextFunctions.defs ++ Events.defs ++ Dedup.defs ++
-      Similarity.defs ++ Multimodal.defs
+      Similarity.defs ++ Multimodal.defs ++ SourceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -121,6 +121,49 @@ object StatsQueries {
     }
   }
 
+  /** Prefix-bucket string histogram: per-leading-character counts plus
+    * the column's distinct count — the string-predicate reduction
+    * factors the numeric [[ColumnHistogram]] cannot provide
+    * (reference: table/stats/StringHistogram.java:1-80 buckets by
+    * leading character; TableStats.computeReductionFactor:184-203).
+    * Equality uses the uniform 1/V(col) System R rule; ranges sum
+    * whole buckets below/above the probe's first character and charge
+    * half the boundary bucket (uniform-within-bucket).
+    */
+  final case class StringHistogram(buckets: Map[String, Long], distinct: Long) {
+    val total: Long = buckets.values.sum
+
+    def selectivity(op: PredicateOperator, value: String): Double = {
+      if (total == 0) return 0.0
+      val k = value.take(1)
+      def range(below: Boolean): Double = {
+        val full = buckets.filter(b => if (below) b._1 < k else b._1 > k).values.sum
+        (full + buckets.getOrElse(k, 0L) * 0.5) / total
+      }
+      op match {
+        case PredicateOperator.Equals =>
+          if (distinct == 0) 0.0 else 1.0 / distinct
+        case PredicateOperator.NotEquals =>
+          1.0 - selectivity(PredicateOperator.Equals, value)
+        case PredicateOperator.LessThan | PredicateOperator.LessThanEquals =>
+          range(below = true)
+        case PredicateOperator.GreaterThan | PredicateOperator.GreaterThanEquals =>
+          range(below = false)
+      }
+    }
+  }
+
+  /** Build a [[StringHistogram]] in two narrow aggregate passes; only
+    * the ≤256-entry bucket map and one count reach the driver.
+    */
+  def stringColumnHistogram(df: DataFrame, column: String): StringHistogram = {
+    val b = df.groupBy(substring(col(column), 1, 1).as("k"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d = df.agg(countDistinct(col(column))).head().getLong(0)
+    StringHistogram(b, d)
+  }
+
   /** Build a [[ColumnHistogram]] in two narrow passes (bounds, then
     * bucket counts) — only B+2 numbers ever reach the driver.
     */

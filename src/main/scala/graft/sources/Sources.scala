@@ -1,7 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import graft.{QueryDef, Tables}
+import graft.functions.Portable
+import graft.functions.Portable.{sql => P}
 
 /** Source/sink surface (SURVEY §2 — the reference ingests CSV fixtures
   * into its page-file heap tables; reference: Database.java
@@ -44,6 +48,78 @@ object Sources {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative integer columns: bit i of a → bit 2i, bit i of b →
+    * bit 2i+1. Pure shift/mask arithmetic — codegen'd, no UDF.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map(i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))).reduce(_ + _)
+
+  /** Z-order clustered parquet layout: range-partition + sort by the
+    * Morton value of (colA, colB), so rows close in EITHER dimension
+    * land in the same files and every file's parquet min/max stats
+    * stay tight on BOTH columns. This is the multi-column analog of
+    * the reference's secondary B+-tree access path (reference:
+    * index/BPlusTree.java:130 lookupKey, :184 sortedScanFrom): a
+    * single-key sorted layout prunes on one column only; Z-order
+    * gives pruned scans on colA *and* colB from one clustered copy.
+    *
+    * Both columns are min/max-normalized into the full `bits` domain
+    * before interleaving — without this, a column whose values span
+    * fewer bits than the other contributes only low-order z bits, the
+    * range partitioner splits on the wide column alone, and the
+    * narrow column gets zero pruning. The stats pass is one narrow
+    * agg (at 100 TB it would come from table statistics). The write
+    * is a one-shot shuffle amortized over every later selective read;
+    * grow `files` with the data so each file stays a few row groups.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      bits: Int = 16, files: Int = 16): Unit = {
+    val r = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      (c.cast("long") - lo) * ((1L << bits) - 1) / math.max(hi - lo, 1L)
+    val z = zValue(
+      norm(col(colA), r.getLong(0), r.getLong(1)),
+      norm(col(colB), r.getLong(2), r.getLong(3)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}
+
+/** Oracle-checked queries over the physical-design layer. */
+object SourceQueries {
+
+  /** Write lineitem Z-ordered by (l_partkey, l_suppkey), then read it
+    * back filtering on the SECONDARY clustered column — the pruned
+    * secondary access path. The oracle runs the same predicate on the
+    * unclustered table: layout must never change semantics.
+    * (SourcesSpec asserts the pruning itself: scan row counts drop on
+    * both clustered columns.)
+    */
+  val zorderSecondary: QueryDef = QueryDef(
+    "q_zorder_secondary",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      val path = "/root/repo/target/zorder/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Sources.writeZOrdered(li, path, "l_partkey", "l_suppkey")
+      s.read.parquet(path)
+        .where(col("l_suppkey").between(2, 5))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), Portable.dsum(col("l_extendedprice")).as("sum_price"))
+    },
+    Some(s"""SELECT l_suppkey, COUNT(*) AS n, ${P.dsum("l_extendedprice")} AS sum_price
+             FROM lineitem WHERE l_suppkey BETWEEN 2 AND 5 GROUP BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(zorderSecondary)
 }
 
 /** Copy-on-write mutations — the reference's record insert/update/

@@ -152,6 +152,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("string histogram selectivity estimates match actual fractions (StringHistogram analog)") {
+    import graft.functions.StatsQueries
+    import graft.operators.PredicateOperator
+    val c = Tables.load(spark, sfDir, "customer")
+    val h = StatsQueries.stringColumnHistogram(c, "c_mktsegment")
+    val n = c.count().toDouble
+    def actual(cond: org.apache.spark.sql.Column): Double = c.where(cond).count() / n
+    val cases = Seq(
+      (PredicateOperator.Equals, "MACHINERY", actual(col("c_mktsegment") === "MACHINERY")),
+      (PredicateOperator.LessThan, "C", actual(col("c_mktsegment") < "C")),
+      (PredicateOperator.GreaterThan, "G", actual(col("c_mktsegment") > "G")))
+    for ((op, v, act) <- cases) {
+      val est = h.selectivity(op, v)
+      assert(math.abs(est - act) < 0.08, s"$op '$v': est $est vs actual $act")
+    }
+  }
+
   test("concurrent snapshot reads are consistent (reference P3 analog)") {
     // Spark's immutable-batch model: parallel readers over the same
     // table see identical snapshots — the role the reference's

@@ -77,6 +77,38 @@ class SourcesSpec extends SparkSpec {
     assert(updated.where(col("o_orderstatus") =!= "F" && col("o_totalprice") === 0.0).count() == 0)
   }
 
+  test("z-ordered layout prunes row groups on BOTH clustered columns") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val path = s"$tmp/li_zorder"
+    Sources.writeZOrdered(li, path, "l_partkey", "l_suppkey")
+    val total = li.count()
+    // AQE wraps the plan; disable so executedPlan exposes the scan node
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def rowsScanned(df: DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.metrics("numOutputRows").value
+        }.sum
+      }
+      val zli = spark.read.parquet(path)
+      // primary clustered column
+      val pkMax = li.agg(max(col("l_partkey"))).head().getLong(0)
+      val a = rowsScanned(zli.where(col("l_partkey") <= pkMax / 8))
+      // secondary clustered column — the reference's secondary-index case
+      val skMax = li.agg(max(col("l_suppkey"))).head().getLong(0)
+      val b = rowsScanned(zli.where(col("l_suppkey") <= skMax / 8))
+      assert(a < total / 2, s"primary-column pruning: scanned $a of $total")
+      assert(b < total / 2, s"secondary-column pruning: scanned $b of $total")
+      // layout never changes semantics
+      assert(zli.where(col("l_suppkey") <= skMax / 8).count() ==
+        li.where(col("l_suppkey") <= skMax / 8).count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bucketed tables join with no exchange (pre-shuffled by key)") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
