@@ -73,6 +73,19 @@ object Dedup {
         b => bandBucket(slice(col("sig"), b * Rows + 1, lit(Rows))))))
       .toDF("doc_id", "band", "bucket")
 
+  /** (doc_id, shingles, band, bucket) — the LSH layout with the
+    * shingle set carried alongside so a consumer can verify exact
+    * Jaccard per candidate. Pure narrow projections over native
+    * expressions: works identically on batch and streaming inputs
+    * (used by [[graft.streaming.EventStreams.minhashDedupStream]]).
+    */
+  def bandedSigned(docs: DataFrame): DataFrame =
+    signed(docs).select(col("doc_id"), col("shingles"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => bandBucket(slice(col("sig"), b * Rows + 1, lit(Rows))))))
+      .select(col("doc_id"), col("shingles"),
+        col("pos").as("band"), col("col").as("bucket"))
+
   /** Candidate pairs (a < b) that collide in at least one band. */
   def minhashCandidates(s: DataFrame): DataFrame = {
     val bb = bandedBuckets(s)

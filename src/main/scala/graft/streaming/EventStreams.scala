@@ -116,4 +116,74 @@ object EventStreams {
     try q.processAllAvailable() finally q.stop()
     df.sparkSession.table(name)
   }
+
+  // ---- streaming MinHash near-dup dedup (SURVEY §2.2 row 22, streaming) ----
+
+  case class BucketDoc(doc_id: Long, shingles: Seq[Long], band: Int, bucket: Long)
+  case class BucketState(ids: List[Long], shingles: List[Seq[Long]])
+  case class DupHit(doc_id: Long, dup_of: Long)
+
+  /** Streaming MinHash+LSH near-duplicate detection: each document's
+    * (band, bucket) rows shuffle to keyed state holding the shingle
+    * sets of earlier documents in that bucket; an arriving document is
+    * verified (exact Jaccard >= 0.5) against those and reports its
+    * earliest near-duplicate, or -1. Same signature/band arithmetic as
+    * the batch `d_dedup_minhash` — StreamingSpec proves streaming ≡
+    * batch on the same corpus.
+    *
+    * State is per-bucket and proportional to the documents inside the
+    * dedup horizon. In production the document stream carries event
+    * time: add `withWatermark` + `GroupStateTimeout.EventTimeTimeout`
+    * and `state.setTimeoutTimestamp(horizon)` so buckets evict
+    * documents past the horizon and state stays bounded regardless of
+    * stream length (the pattern `dedupEvents` shows for exact ids).
+    */
+  def minhashDedupStream(docs: DataFrame): Dataset[DupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.Dedup.bandedSigned(docs).as[BucketDoc]
+      .groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(dedupUpdate)
+  }
+
+  private def dedupUpdate(key: (Int, Long), it: Iterator[BucketDoc],
+      state: GroupState[BucketState]): Iterator[DupHit] = {
+    val sorted = it.toSeq.sortBy(_.doc_id)
+    var ids = state.getOption.map(_.ids).getOrElse(Nil)
+    var shs = state.getOption.map(_.shingles).getOrElse(Nil)
+    val out = List.newBuilder[DupHit]
+    for (d <- sorted) {
+      val hits = ids.lazyZip(shs).collect {
+        case (id, sh) if jaccardSorted(sh, d.shingles) >= 0.5 => id
+      }
+      out += DupHit(d.doc_id, if (hits.isEmpty) -1L else hits.min)
+      ids = d.doc_id :: ids
+      shs = d.shingles :: shs
+    }
+    state.update(BucketState(ids, shs))
+    out.result().iterator
+  }
+
+  /** Exact Jaccard of two sorted distinct hash sequences
+    * (merge-intersect, the state-side twin of the native
+    * sortedIntersectSize expression).
+    */
+  private def jaccardSorted(a: Seq[Long], b: Seq[Long]): Double = {
+    val (xa, xb) = (a.toArray, b.toArray)
+    var i = 0; var j = 0; var inter = 0
+    while (i < xa.length && j < xb.length) {
+      if (xa(i) == xb(j)) { inter += 1; i += 1; j += 1 }
+      else if (xa(i) < xb(j)) i += 1
+      else j += 1
+    }
+    val union = xa.length + xb.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Collapse per-(band, bucket) hits to one row per document with a
+    * near-duplicate: the earliest prior match across all bands.
+    */
+  def consolidateDups(hits: DataFrame): DataFrame =
+    hits.where(col("dup_of") >= 0).groupBy("doc_id")
+      .agg(min(col("dup_of")).as("dup_of"))
 }

@@ -56,6 +56,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming minhash near-dup dedup matches the batch LSH pipeline") {
+    import org.apache.spark.sql.types._
+    import graft.operators.Dedup
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // union a shifted copy so every copied doc has a guaranteed (J = 1)
+    // near-duplicate, independent of natural near-dups at this SF
+    def readDocs = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .select(col("doc_id"), col("text"))
+    val doubled = readDocs.union(
+      readDocs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val streamed = EventStreams.consolidateDups(
+      EventStreams.runToMemory(
+        EventStreams.minhashDedupStream(doubled).toDF(), "mh_dedup", OutputMode.Update()))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch twin: earliest banded-LSH near-dup per doc on the same input
+    val b = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val doubledBatch = b.union(b.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val sg = Dedup.signed(doubledBatch)
+    val batch = Dedup.verifiedJaccard(Dedup.minhashCandidates(sg), sg)
+      .where(col("jaccard") >= 0.5)
+      .groupBy(col("b")).agg(min(col("a")).as("dup_of"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty, "shifted copies must surface near-dups")
+    assert(streamed == batch)
+  }
+
   test("stateful streaming sessionization matches batch q_events_sessionize") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = EventStreams.readEvents(spark, sfDir)
