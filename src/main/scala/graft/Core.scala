@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineF32, SimHash60, WordNGramHashes}
+import graft.functions.{CosineF32, MinhashSignature, PlaneSignBits, SimHash60, WordNGramHashes}
 
 /** One engine capability: a named query over a scale-factor directory,
   * with an optional ANSI-SQL oracle (DuckDB-checked by the driver).
@@ -78,5 +78,14 @@ object GraftExtensions {
     (FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNGramHashes].getName, "graft_word_ngrams"),
       (exprs: Seq[Expression]) => WordNGramHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
+        exprs(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_plane_sign_bits"),
+      new ExpressionInfo(classOf[PlaneSignBits].getName, "graft_plane_sign_bits"),
+      (exprs: Seq[Expression]) => PlaneSignBits(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash_signature"),
+      (exprs: Seq[Expression]) => MinhashSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval() match { case i: Int => i.toLong; case l: Long => l })))
 }
