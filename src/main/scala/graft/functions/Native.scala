@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -66,6 +66,16 @@ object Native {
     */
   def minhashSignature(hashes: Column, k: Int, p: Long): Column =
     B.column(MinhashSignature(B.expression(hashes), k, p))
+
+  /** Σ (scale·aᵢ − bᵢ)² over two long arrays — exact integer
+    * arithmetic, one compiled pass. With scale = 1 this is plain
+    * squared L2; with scale = n and b = a cluster's component-sum
+    * vector it compares a point against an un-divided centroid
+    * (n·x − s)², avoiding inexact mean division entirely (divide the
+    * final scalar by n² instead — exact in a double up to 2^53).
+    */
+  def sqDistScaled(a: Column, b: Column, scale: Column): Column =
+    B.column(SqDistScaled(B.expression(a), B.expression(b), B.expression(scale)))
 }
 
 /** Engine-portable 60-bit hash: the first 15 hex characters of the
@@ -296,6 +306,38 @@ case class MinhashSignature(child: Expression, k: Int, p: Long)
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
     copy(child = newChild)
+}
+
+object SqDistScaledUtil {
+  def compute(a: ArrayData, b: ArrayData, scale: Long): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = scale * a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
+case class SqDistScaled(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sqdist_scaled"
+
+  override protected def nullSafeEval(a: Any, b: Any, s: Any): Any =
+    SqDistScaledUtil.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      s.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, s) => s"graft.functions.SqDistScaledUtil.compute($a, $b, $s)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): SqDistScaled =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 object CosineF32Util {

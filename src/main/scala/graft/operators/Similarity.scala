@@ -197,5 +197,109 @@ object Similarity {
          SELECT a, b, CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim
          FROM p ORDER BY sim DESC, a, b LIMIT 20"""))
 
-  val defs: Seq[QueryDef] = Seq(knnBruteForce, knnLsh, embeddingNearDup)
+  // ---- §2.2 row 27b: IVF ANN (second scale path next to banded LSH) ----
+
+  private val CCount = 16
+  private val NProbe = 2
+
+  /** §2.2 row 27b — IVF ANN: deterministic seed centroids (the first
+    * CCount vectors) + ONE Lloyd step in exact integer arithmetic,
+    * corpus partitioned into inverted lists by nearest centroid,
+    * queries probe the NProbe nearest lists and rerank by exact
+    * cosine.
+    *
+    * Portability: assignment 1 is integer L2 (exact); the Lloyd
+    * update keeps centroids as (component-sum vector, count) — never
+    * dividing — and assignment 2 compares Σ(n·x − s)² / n², whose
+    * numerator is an exact ≤2^53 integer, so the IEEE divide is
+    * bit-identical in DuckDB. Ties always break by centroid id.
+    *
+    * Scale: centroids are a broadcast of C rows; the corpus is
+    * touched in full passes only (assign ×2), shuffles only C×dims
+    * partial sums for the update, and the probe join shuffles by
+    * centroid id — queries read NProbe/C of the corpus. At 100 TB,
+    * grow C with √N, run more Lloyd rounds offline, and persist the
+    * inverted lists partitioned by cid so probes prune at the scan.
+    */
+  val knnIvf: QueryDef = QueryDef(
+    "s_knn_ivf",
+    (s, dir) => {
+      val v = quantized(Tables.load(s, dir, "embeddings"))
+      val seeds = broadcast(v.where(col("vec_id") < CCount)
+        .select(col("vec_id").as("cid"), col("q").as("cq")))
+      val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
+      // assignment 1: nearest seed by exact integer squared L2
+      val a1 = v.crossJoin(seeds)
+        .select(col("vec_id"), col("q"), col("nrm"), col("cid"),
+          graft.functions.Native.sqDistScaled(col("q"), col("cq"), lit(1L))
+            .cast("double").as("m"))
+        .withColumn("rn", row_number().over(byDist)).where(col("rn") === 1)
+        .select("vec_id", "q", "nrm", "cid")
+      // Lloyd update, exact integers: component sums + member count
+      val sums = a1.select(col("cid"), posexplode(col("q"))).toDF("cid", "dim", "v")
+        .groupBy("cid", "dim").agg(sum(col("v")).as("sv"))
+        .groupBy("cid").agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("sv")))),
+          x => x.getField("sv")).as("cs"))
+      val c1 = broadcast(sums.join(
+        a1.groupBy("cid").agg(count(lit(1)).as("cn")), "cid"))
+      def metric: Column =
+        graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
+          .cast("double") / (col("cn") * col("cn")).cast("double")
+      // assignment 2: inverted lists under the updated centroids
+      val a2 = v.crossJoin(c1)
+        .select(col("vec_id"), col("q"), col("nrm"), col("cid"), metric.as("m"))
+        .withColumn("rn", row_number().over(byDist)).where(col("rn") === 1)
+        .select("vec_id", "q", "nrm", "cid")
+      // queries probe the NProbe nearest lists
+      val probes = v.where(col("vec_id") < 5).crossJoin(c1)
+        .select(col("vec_id"), col("q"), col("nrm"), col("cid"), metric.as("m"))
+        .withColumn("rn", row_number().over(byDist)).where(col("rn") <= NProbe)
+        .select(col("vec_id").as("q_id"), col("q").as("q_q"),
+          col("nrm").as("q_nrm"), col("cid"))
+      val scored = probes.join(a2.toDF("n_id", "n_q", "n_nrm", "cid"), Seq("cid"))
+        .where(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("q_id", "n_id", "sim")
+    },
+    Some {
+      val sqd = "list_sum(list_transform(list_zip(n.q, c0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"
+      val met = "CAST(list_sum(list_transform(list_zip(n.q, c1.cs), " +
+        "s -> (c1.cn*s[1]-s[2])*(c1.cn*s[1]-s[2]))) AS DOUBLE) / (c1.cn*c1.cn)"
+      s"""WITH $quantizedSql,
+       n AS (SELECT vec_id, q,
+           CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+       c0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < $CCount),
+       a1 AS (SELECT vec_id, q, nrm, cid FROM (
+           SELECT n.vec_id, n.q, n.nrm, c0.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $sqd, c0.cid) AS rn
+           FROM n, c0) x WHERE rn = 1),
+       ex AS (SELECT cid, unnest(q) AS val, unnest(range(0, 64)) AS dim FROM a1),
+       c1 AS (SELECT s.cid, list(s.sv ORDER BY s.dim) AS cs, MAX(c.cn) AS cn
+           FROM (SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS sv FROM ex GROUP BY cid, dim) s
+           JOIN (SELECT cid, COUNT(*) AS cn FROM a1 GROUP BY cid) c USING (cid)
+           GROUP BY s.cid),
+       a2 AS (SELECT vec_id, q, nrm, cid FROM (
+           SELECT n.vec_id, n.q, n.nrm, c1.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $met, c1.cid) AS rn
+           FROM n, c1) x WHERE rn = 1),
+       pr AS (SELECT vec_id AS q_id, q AS q_q, nrm AS q_nrm, cid FROM (
+           SELECT n.vec_id, n.q, n.nrm, c1.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $met, c1.cid) AS rn
+           FROM n, c1 WHERE n.vec_id < 5) x WHERE rn <= $NProbe),
+       p AS (SELECT pr.q_id, a2.vec_id AS n_id,
+             CAST(list_sum(list_transform(list_zip(pr.q_q, a2.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+             pr.q_nrm AS na, a2.nrm AS nb
+           FROM pr JOIN a2 ON pr.cid = a2.cid AND a2.vec_id <> pr.q_id),
+       sc AS (SELECT q_id, n_id,
+             CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM p)
+       SELECT q_id, n_id, sim FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
+       WHERE rn <= 5"""
+    })
+
+  val defs: Seq[QueryDef] = Seq(knnBruteForce, knnLsh, embeddingNearDup, knnIvf)
 }
