@@ -45,7 +45,10 @@ object RangeJoin {
     val perBucket = spine.join(
         r.groupBy("bucket").agg(count(lit(1)).as("cnt")), Seq("bucket"), "left")
       .na.fill(0, Seq("cnt"))
-    val wDesc = Window.orderBy(col("bucket").desc)
+    // constant partition key: the suffix sum runs over exactly
+    // nBuckets (=256) rows, so the single partition is intentional —
+    // the key only silences WindowExec's single-partition warning
+    val wDesc = Window.partitionBy(lit(0)).orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val higher = broadcast(perBucket
       .select(col("bucket"), coalesce(sum(col("cnt")).over(wDesc), lit(0L)).as("n_higher")))
