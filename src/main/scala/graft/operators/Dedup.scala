@@ -245,9 +245,11 @@ object Dedup {
 
   // ---- §2.2 row 24: n-gram Jaccard with PPJoin prefix filtering ----
 
-  val ngramJaccard: QueryDef = QueryDef(
-    "d_dedup_ngram_jaccard",
-    (s, dir) => {
+  /** All near-duplicate pairs (a < b, J ≥ SimT) under the PPJoin
+    * candidate generation — shared by the pairwise query and the
+    * clustering query.
+    */
+  def ngramNearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
       val d = Tables.load(s, dir, "documents")
       val g = d.select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 40).as("len_band"),
@@ -292,20 +294,93 @@ object Dedup {
           (inter.cast("double") /
             (size(col("g_a")) + size(col("g_b")) - inter)).as("jaccard"))
         .where(col("jaccard") >= SimT)
-        .orderBy(col("jaccard").desc, col("a"), col("b"))
-        .limit(50)
-    },
-    Some(s"""WITH tk AS (SELECT doc_id, lang, n_chars, $tokensSql AS tk FROM documents),
-         g AS (SELECT doc_id, lang, CAST(FLOOR(n_chars/40) AS BIGINT) AS len_band,
-             ${gramsSql(2)} AS grams FROM tk),
-         p AS (SELECT x.doc_id AS a, y.doc_id AS b,
-             len(list_intersect(x.grams, y.grams)) AS inter,
-             len(x.grams) AS za, len(y.grams) AS zb
-           FROM g x JOIN g y
-           ON x.lang = y.lang AND x.len_band = y.len_band AND x.doc_id < y.doc_id),
-         j AS (SELECT a, b, CAST(inter AS DOUBLE)/(za + zb - inter) AS jaccard FROM p)
-         SELECT a, b, jaccard FROM j WHERE jaccard >= $SimT
+  }
+
+  /** DuckDB twin of [[ngramNearDupPairs]] (CTE body; exhaustive
+    * within-block compare — the prefix/positional filters are
+    * lossless, so the sets agree).
+    */
+  private val ngramPairsSql: String =
+    s"""tk AS (SELECT doc_id, lang, n_chars, $tokensSql AS tk FROM documents),
+       g AS (SELECT doc_id, lang, CAST(FLOOR(n_chars/40) AS BIGINT) AS len_band,
+           ${gramsSql(2)} AS grams FROM tk),
+       pp AS (SELECT x.doc_id AS a, y.doc_id AS b,
+           len(list_intersect(x.grams, y.grams)) AS inter,
+           len(x.grams) AS za, len(y.grams) AS zb
+         FROM g x JOIN g y
+         ON x.lang = y.lang AND x.len_band = y.len_band AND x.doc_id < y.doc_id),
+       pj2 AS (SELECT a, b, CAST(inter AS DOUBLE)/(za + zb - inter) AS jaccard FROM pp),
+       pairs AS (SELECT a, b, jaccard FROM pj2 WHERE jaccard >= $SimT)"""
+
+  val ngramJaccard: QueryDef = QueryDef(
+    "d_dedup_ngram_jaccard",
+    (s, dir) => ngramNearDupPairs(s, dir)
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(50),
+    Some(s"""WITH $ngramPairsSql
+         SELECT a, b, jaccard FROM pairs
          ORDER BY jaccard DESC, a, b LIMIT 50"""))
 
-  val defs: Seq[QueryDef] = Seq(exact, minhash, simhashDef, ngramJaccard)
+  // ---- §2.2 row 24b: near-dup clustering (connected components) ----
+
+  /** Connected components over a near-duplicate pair graph via
+    * Pregel-style min-label propagation: each round every vertex
+    * takes the minimum label among itself and its neighbors;
+    * convergence in O(diameter) rounds. The driver loop carries only
+    * one change-count per round (an aggregate, never data rows), and
+    * `localCheckpoint` truncates lineage so round N's plan does not
+    * embed rounds 1..N-1. At 100 TB this is the standard iterative
+    * label-propagation shape (alternating small-star/large-star
+    * would cut rounds further); every round is one shuffle on the
+    * label key.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    // vertices: (v); edges: (src, dst) directed both ways
+    var labels = vertices.select(col("v"), col("v").as("label")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val msgs = edges.join(labels.withColumnRenamed("v", "dst"), "dst")
+        .select(col("src").as("v"), col("label"))
+      val next = labels.unionAll(msgs)
+        .groupBy("v").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "v")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  val cluster: QueryDef = QueryDef(
+    "d_dedup_cluster",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val pairs = ngramNearDupPairs(s, dir)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      val labels = connectedComponents(d.select(col("doc_id").as("v")), edges)
+      val size = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      labels.join(size, "label")
+        .select(col("v").as("doc_id"), col("label").as("canonical_id"),
+          col("cluster_size"))
+    },
+    Some(s"""WITH RECURSIVE $ngramPairsSql,
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b, a FROM pairs),
+         reach(src, node) AS (
+           SELECT doc_id AS src, doc_id AS node FROM documents
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+         canon AS (SELECT src AS doc_id, MIN(node) AS canonical_id
+                   FROM reach GROUP BY src),
+         sz AS (SELECT canonical_id, COUNT(*) AS cluster_size
+                FROM canon GROUP BY canonical_id)
+         SELECT c.doc_id, c.canonical_id, sz.cluster_size
+         FROM canon c JOIN sz USING (canonical_id)"""))
+
+  val defs: Seq[QueryDef] = Seq(exact, minhash, simhashDef, ngramJaccard, cluster)
 }

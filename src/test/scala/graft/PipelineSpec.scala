@@ -52,6 +52,19 @@ class PipelineSpec extends SparkSpec {
       s"near-dup should be closer: ${hamming(m(1L), m(4L))} vs ${hamming(m(1L), m(3L))}")
   }
 
+  test("connected components: chains merge, isolates stay singletons") {
+    import graft.operators.Dedup
+    // components: {1,2,3,4} (a chain), {10,11}, isolate {20}
+    val vs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("v")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val got = Dedup.connectedComponents(vs, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L), got.toString)
+  }
+
   test("native sorted-intersect matches array_intersect semantics") {
     import graft.functions.Native
     val df = Seq((Seq(1L, 3L, 5L, 7L), Seq(2L, 3L, 5L, 9L, 11L))).toDF("a", "b")
