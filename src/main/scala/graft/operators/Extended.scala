@@ -163,7 +163,41 @@ object Extended {
     Some(s"""SELECT o_orderkey, o_totalprice FROM orders
              WHERE o_totalprice > (SELECT ${P.davg("o_totalprice")} * 1.5 FROM orders)"""))
 
+  /** Correlated EXISTS / NOT EXISTS through the SQL-text interface —
+    * Catalyst decorrelates both into semi/anti joins (no per-row
+    * subquery execution; the DataFrame twins are §2.1 row 12).
+    */
+  val existsSubquery: QueryDef = QueryDef(
+    "q_exists_subquery",
+    (s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_ev")
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_ev")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders_ev o
+               WHERE EXISTS (SELECT 1 FROM lineitem_ev l
+                             WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+                 AND NOT EXISTS (SELECT 1 FROM lineitem_ev l
+                                 WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')""")
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')"""))
+
+  /** Full cube over two dimensions — the lattice completion of
+    * `rollup` (§2.1 row 19): one Expand + one shuffle for all 4
+    * grouping sets.
+    */
+  val cube: QueryDef = QueryDef(
+    "q_cube",
+    (s, dir) => Tables.load(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), Portable.dsum(col("l_quantity")).as("sum_qty")),
+    Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             ${P.dsum("l_quantity")} AS sum_qty
+             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
-    subqueryScalar)
+    subqueryScalar, existsSubquery, cube)
 }

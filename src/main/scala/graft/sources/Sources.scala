@@ -110,7 +110,15 @@ object SourceQueries {
       val li = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
       val path = "/root/repo/target/zorder/" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      Sources.writeZOrdered(li, path, "l_partkey", "l_suppkey")
+      // physical design is write-once / read-many: the clustered copy
+      // is rebuilt only when absent or its layout version changes
+      // (bump the marker name when writeZOrdered's layout semantics
+      // change)
+      val marker = java.nio.file.Paths.get(path, "_GRAFT_ZORDER_V1")
+      if (!java.nio.file.Files.exists(marker)) {
+        Sources.writeZOrdered(li, path, "l_partkey", "l_suppkey")
+        java.nio.file.Files.write(marker, Array.emptyByteArray)
+      }
       s.read.parquet(path)
         .where(col("l_suppkey").between(2, 5))
         .groupBy("l_suppkey")
