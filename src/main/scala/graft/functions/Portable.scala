@@ -37,6 +37,33 @@ object Portable {
     ((length(s) - length(replace(s, lit(needle), lit("")))) / needle.length)
       .cast(IntegerType)
 
+  /** DuckDB fragments mirroring the native md5-60bit text hashing
+    * ([[Md5Hash60Util]], [[WordNGramHashesUtil]]) — shared by every
+    * oracle that re-derives shingles/tokens in SQL.
+    */
+  object textSql {
+    /** First 15 hex chars of md5(e) as a 60-bit integer — bit-identical
+      * to `Md5Hash60Util.hash60` (powers of 16 ≤ 16^14 are exact doubles).
+      */
+    def h60(e: String): String =
+      s"list_sum(list_transform(range(0,15), i -> (strpos('0123456789abcdef', " +
+        s"substr(md5($e), CAST(i+1 AS INT), 1)) - 1) * CAST(power(16, 14-i) AS BIGINT)))"
+
+    /** Tokens split on runs of ASCII space (the native tokenizer). */
+    val tokens: String = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+    /** Sorted distinct 60-bit hashes of word n-grams over a token-list
+      * column `tk` — the oracle twin of `Native.wordNGramHashes`
+      * (incl. the fewer-than-n-tokens → one-gram edge case).
+      */
+    def grams(n: Int): String =
+      s"""CASE WHEN len(tk) = 0 THEN CAST([] AS BIGINT[])
+          ELSE list_sort(list_distinct(list_transform(
+            list_transform(range(1, CAST(greatest(len(tk)-$n+2, 2) AS BIGINT)),
+              i -> array_to_string(tk[i:least(i+$n-1, len(tk))], ' ')),
+            g -> ${h60("g")}))) END"""
+  }
+
   /** SQL fragments mirroring the helpers above (DuckDB dialect = ANSI). */
   object sql {
     def dsum(col: String): String =

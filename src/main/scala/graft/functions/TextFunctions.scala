@@ -180,6 +180,59 @@ object TextFunctions {
               FROM documents) t
             WHERE rk <= 3"""))
 
+  /** Text normalization for dedup preprocessing: lowercase, strip
+    * non-alphanumerics, collapse whitespace — the standard first pass
+    * before exact dedup, catching case/punctuation/spacing variants
+    * the raw-text fingerprint misses. Output carries the normalized
+    * fingerprint so the hash check covers the full normalized string.
+    * (DuckDB regexp_replace is single-occurrence by default — the
+    * oracle passes the 'g' flag to match Spark's replace-all.)
+    */
+  val normalize: QueryDef = QueryDef(
+    "t_normalize",
+    (s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(norm).as("norm_fp"),
+          length(norm).cast("long").as("n_chars_norm"))
+    },
+    Some("""SELECT doc_id,
+            md5(TRIM(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp,
+            CAST(LENGTH(TRIM(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+            FROM documents"""))
+
+  /** Benchmark-contamination detection: corpus documents sharing any
+    * word 5-gram with a designated eval set (here doc_id < 10) —
+    * the decontamination pass every training-data pipeline runs
+    * before training. The eval set's gram index is tiny and
+    * broadcast; the corpus streams through one explode + map-side
+    * join, so at 100 TB this is a broadcast semi-join with no corpus
+    * shuffle (only the per-doc hit counts aggregate).
+    */
+  val contamination: QueryDef = QueryDef(
+    "t_contamination",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          explode(graft.functions.Native.wordNGramHashes(col("text"), 5)).as("gram"))
+      val benchGrams = broadcast(
+        grams(d.where(col("doc_id") < 10)).select("gram").distinct())
+      grams(d.where(col("doc_id") >= 10))
+        .join(benchGrams, "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_shared_grams"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, ${Portable.textSql.tokens} AS tk FROM documents),
+         g AS (SELECT doc_id, ${Portable.textSql.grams(5)} AS grams FROM tk),
+         ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         bench AS (SELECT DISTINCT gram FROM ex WHERE doc_id < 10)
+         SELECT e.doc_id, COUNT(DISTINCT e.gram) AS n_shared_grams
+         FROM ex e JOIN bench b ON e.gram = b.gram
+         WHERE e.doc_id >= 10 GROUP BY e.doc_id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(langId, quality, tokens, fingerprint, hashSample, stratifiedSample)
+    Seq(langId, quality, tokens, fingerprint, hashSample, stratifiedSample,
+      normalize, contamination)
 }

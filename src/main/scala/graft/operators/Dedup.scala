@@ -108,32 +108,12 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
   }
 
-  // ---- DuckDB oracle fragments (same arithmetic, list lambdas) ----
+  // ---- DuckDB oracle fragments (same arithmetic, list lambdas;
+  //      shared text-hashing fragments live in Portable.textSql) ----
 
-  /** DuckDB: first 15 hex chars of md5(e) as a 60-bit integer —
-    * bit-identical to [[graft.functions.Md5Hash60Util.hash60]]
-    * (all powers of 16 up to 16^14 are exact doubles).
-    */
-  private def h60(e: String): String =
-    s"list_sum(list_transform(range(0,15), i -> (strpos('0123456789abcdef', " +
-      s"substr(md5($e), CAST(i+1 AS INT), 1)) - 1) * CAST(power(16, 14-i) AS BIGINT)))"
-
-  /** DuckDB: tokens split on runs of ASCII space (matches the native
-    * tokenizer in [[graft.functions.WordNGramHashesUtil]]).
-    */
-  private val tokensSql = "list_filter(string_split(text, ' '), x -> x <> '')"
-
-  /** DuckDB: sorted distinct 60-bit hashes of word n-grams over a
-    * token list column `tk` — the oracle twin of
-    * [[graft.functions.Native.wordNGramHashes]] (incl. the
-    * fewer-than-n-tokens → one-gram edge case).
-    */
-  private def gramsSql(n: Int): String =
-    s"""CASE WHEN len(tk) = 0 THEN CAST([] AS BIGINT[])
-        ELSE list_sort(list_distinct(list_transform(
-          list_transform(range(1, CAST(greatest(len(tk)-$n+2, 2) AS BIGINT)),
-            i -> array_to_string(tk[i:least(i+$n-1, len(tk))], ' ')),
-          g -> ${h60("g")}))) END"""
+  private def h60(e: String): String = graft.functions.Portable.textSql.h60(e)
+  private val tokensSql = graft.functions.Portable.textSql.tokens
+  private def gramsSql(n: Int): String = graft.functions.Portable.textSql.grams(n)
 
   /** DuckDB: the [[bandBucket]] polynomial fold over sig[band*Rows+1
     * .. band*Rows+Rows] (first step: (0*P + x₁) mod BP = x₁).
