@@ -197,6 +197,59 @@ object Similarity {
          SELECT a, b, CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim
          FROM p ORDER BY sim DESC, a, b LIMIT 20"""))
 
+  /** §2.2 row 27c — multi-probe LSH ANN: queries probe their own
+    * bucket AND every 1-bit-flip neighbor in each band (1 + 8 probes
+    * per band). The near-miss case banding alone drops — a 0.9-cosine
+    * neighbor disagreeing on exactly one plane in every band — is
+    * recovered at the cost of expanding only the (tiny) query side
+    * 9×; the corpus index is untouched and still shuffles once by
+    * (band, bucket). This is how recall scales WITHOUT adding bands:
+    * probes grow the query fan-out (cheap), bands grow the corpus
+    * index (expensive).
+    */
+  val knnLshMultiprobe: QueryDef = QueryDef(
+    "s_knn_lsh_multiprobe",
+    (s, dir) => {
+      val v = quantized(Tables.load(s, dir, "embeddings"))
+        .withColumn("buckets", lshBandBuckets(col("q")))
+      val bv = bandedVectors(v)
+      val probes = bv.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("band"),
+          explode(array(col("bucket") +: (0 until BitsPerBand).map(i =>
+            col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
+      val cand = probes
+        .join(bv.toDF("n_id", "band", "bucket"), Seq("band", "bucket"))
+        .where(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id").distinct()
+      val scored = cand
+        .join(v.select(col("vec_id").as("q_id"), col("q").as("q_q"), col("nrm").as("q_nrm")), Seq("q_id"))
+        .join(v.select(col("vec_id").as("n_id"), col("q").as("n_q"), col("nrm").as("n_nrm")), Seq("n_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("q_id", "n_id", "sim")
+    },
+    Some {
+      val flips = (0 until BitsPerBand).map(i => s"xor(qb.bucket, ${1L << i})")
+      s"""WITH $quantizedSql, $bandedSql,
+       probes AS (SELECT qb.vec_id AS q_id, qb.band,
+           unnest(${flips.mkString("[qb.bucket, ", ", ", "]")}) AS bucket
+         FROM bb qb WHERE qb.vec_id < 5),
+       cand AS (SELECT DISTINCT p.q_id, nb.vec_id AS n_id
+           FROM probes p JOIN bb nb ON p.band = nb.band AND p.bucket = nb.bucket
+           WHERE nb.vec_id <> p.q_id),
+       p AS (SELECT c.q_id, c.n_id,
+            CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+            a.nrm AS na, b.nrm AS nb
+          FROM cand c JOIN n a ON a.vec_id = c.q_id JOIN n b ON b.vec_id = c.n_id),
+       sc AS (SELECT q_id, n_id,
+            CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM p)
+       SELECT q_id, n_id, sim FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
+       WHERE rn <= 5"""
+    })
+
   // ---- §2.2 row 27b: IVF ANN (second scale path next to banded LSH) ----
 
   private val CCount = 16
@@ -301,5 +354,6 @@ object Similarity {
        WHERE rn <= 5"""
     })
 
-  val defs: Seq[QueryDef] = Seq(knnBruteForce, knnLsh, embeddingNearDup, knnIvf)
+  val defs: Seq[QueryDef] =
+    Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf)
 }
