@@ -197,7 +197,34 @@ object Extended {
              ${P.dsum("l_quantity")} AS sum_qty
              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
 
+  /** Window frame variety: lag/lead, quartile ntile, and a 3-row
+    * moving average (exact-decimal sum over the frame / frame count,
+    * so the result is order-of-frame-defined and engine-portable).
+    */
+  val windowFrames: QueryDef = QueryDef(
+    "q_window_frames",
+    (s, dir) => {
+      val byCust = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderkey")
+      val frame = byCust.rowsBetween(-2, 0)
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(byCust).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(byCust).as("next_price"),
+          ntile(4).over(byCust).as("quartile"),
+          (sum(Portable.dec(col("o_totalprice"))).over(frame).cast("double") /
+            count(lit(1)).over(frame)).as("moving_avg3"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+            lag(o_totalprice, 1) OVER w AS prev_price,
+            lead(o_totalprice, 1) OVER w AS next_price,
+            ntile(4) OVER w AS quartile,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+            FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
-    subqueryScalar, existsSubquery, cube)
+    subqueryScalar, existsSubquery, cube, windowFrames)
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.Portable
+import graft.functions.Portable.{sql => P}
+
+/** Faithful TPC-H query shapes over the driver's TPC-H-ish tables —
+  * the classic "would a reference user recognize this engine" check
+  * (the reference's own multi-table test queries are star-join
+  * fragments of these; reference: TestDatabaseQueries.java).
+  *
+  * Every money aggregate routes through DECIMAL(18,2) (Portable) so
+  * the result hash-matches DuckDB exactly; product terms widen the
+  * decimal (38,x) before the final cast to double, which both engines
+  * compute exactly within range.
+  *
+  * Scale shapes: Q1 is a two-key hash aggregate with map-side
+  * partials over a pushed-down date filter; Q6 is a pure
+  * filter-aggregate (predicate fully pushed to parquet); Q3 is the
+  * canonical broadcast-dim + fact-fact shuffle join with a top-k
+  * (TakeOrderedAndProject) — no global sort.
+  */
+object TpcH {
+
+  /** Q1 pricing summary report (all eight aggregates). */
+  val q1: QueryDef = QueryDef(
+    "q_tpch_q1",
+    (s, dir) => Tables.load(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Portable.dsum(col("l_quantity")).as("sum_qty"),
+        Portable.dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(Portable.revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(Portable.revenueTerm(col("l_extendedprice"), col("l_discount")) *
+            (lit(1).cast(Portable.Money) + Portable.dec(col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        Portable.davg(col("l_quantity")).as("avg_qty"),
+        Portable.davg(col("l_extendedprice")).as("avg_price"),
+        Portable.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order")),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+         ${P.dsum("l_quantity")} AS sum_qty,
+         ${P.dsum("l_extendedprice")} AS sum_base_price,
+         ${P.revenueSum("l_extendedprice", "l_discount")} AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+              * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+         ${P.davg("l_quantity")} AS avg_qty,
+         ${P.davg("l_extendedprice")} AS avg_price,
+         ${P.davg("l_discount")} AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus"""))
+
+  /** Q3 shipping-priority variant (orders carries o_orderpriority in
+    * this schema): top-10 open orders by pending revenue.
+    */
+  val q3: QueryDef = QueryDef(
+    "q_tpch_q3",
+    (s, dir) => {
+      val c = broadcast(Tables.load(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey"))
+      val o = Tables.load(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val l = Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(Portable.revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         ${P.revenueSum("l_extendedprice", "l_discount")} AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND o_orderkey = l_orderkey
+           AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  /** Q6 forecasting revenue change: pure filter-aggregate, every
+    * predicate pushed to the parquet scan.
+    */
+  val q6: QueryDef = QueryDef(
+    "q_tpch_q6",
+    (s, dir) => Tables.load(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(Portable.dec(col("l_extendedprice")) * Portable.dec(col("l_discount")))
+        .cast("double").as("revenue")),
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q6)
+}
