@@ -342,11 +342,20 @@ object Dedup {
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
         .localCheckpoint()
-      val labels = connectedComponents(d.select(col("doc_id").as("v")), edges)
+      // iterate only over edge-touched vertices (a vertex with no
+      // edges never changes label); isolated docs join back as
+      // singletons after convergence — at scale the iteration frame
+      // is the near-dup subgraph, not the corpus
+      val touched = edges.select(col("src").as("v")).distinct()
+      val labels = connectedComponents(touched, edges)
       val size = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-      labels.join(size, "label")
+      val clustered = labels.join(size, "label")
         .select(col("v").as("doc_id"), col("label").as("canonical_id"),
           col("cluster_size"))
+      val isolated = d.select(col("doc_id")).join(touched.toDF("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("canonical_id"),
+          lit(1L).as("cluster_size"))
+      clustered.unionAll(isolated)
     },
     Some(s"""WITH RECURSIVE $ngramPairsSql,
          edges AS (SELECT a AS src, b AS dst FROM pairs
