@@ -49,14 +49,18 @@ object Sources {
       .bucketBy(nBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
-  /** Morton (Z-order) interleave of the low `bits` bits of two
-    * non-negative integer columns: bit i of a → bit 2i, bit i of b →
-    * bit 2i+1. Pure shift/mask arithmetic — codegen'd, no UDF.
+  /** Morton (Z-order) interleave of the low `bits` bits of N
+    * non-negative integer columns: bit i of column k lands at bit
+    * i·N + k. Pure shift/mask arithmetic — codegen'd, no UDF.
     */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column =
-    (0 until bits).map(i =>
-      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))).reduce(_ + _)
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    (for (i <- 0 until bits; k <- 0 until n) yield
+      shiftright(cols(k), i).bitwiseAND(lit(1L)) * lit(1L << (i * n + k)))
+      .reduce(_ + _)
+  }
+
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = zValueN(Seq(a, b), bits)
 
   /** Z-order clustered parquet layout: range-partition + sort by the
     * Morton value of (colA, colB), so rows close in EITHER dimension
@@ -77,15 +81,23 @@ object Sources {
     * grow `files` with the data so each file stays a few row groups.
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-      bits: Int = 16, files: Int = 16): Unit = {
-    val r = df.agg(
-      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+      bits: Int = 16, files: Int = 16): Unit =
+    writeZOrderedN(df, path, Seq(colA, colB), bits, files)
+
+  /** N-column generalization: interleaved bits per column shrink as
+    * 60/N (the z value must stay in a positive Long), trading
+    * per-column pruning precision for more clustered dimensions.
+    */
+  def writeZOrderedN(df: DataFrame, path: String, zCols: Seq[String],
+      bits0: Int = 16, files: Int = 16): Unit = {
+    val bits = math.min(bits0, 60 / zCols.size)
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
     def norm(c: Column, lo: Long, hi: Long): Column =
       (c.cast("long") - lo) * ((1L << bits) - 1) / math.max(hi - lo, 1L)
-    val z = zValue(
-      norm(col(colA), r.getLong(0), r.getLong(1)),
-      norm(col(colB), r.getLong(2), r.getLong(3)), bits)
+    val z = zValueN(zCols.zipWithIndex.map { case (c, k) =>
+      norm(col(c), r.getLong(2 * k), r.getLong(2 * k + 1)) }, bits)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")

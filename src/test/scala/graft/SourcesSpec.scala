@@ -145,6 +145,31 @@ class SourcesSpec extends SparkSpec {
       nation.where(col("n_regionkey") === 2).count())
   }
 
+  test("3-column z-order prunes on every clustered column") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val path = s"$tmp/li_zorder3"
+    Sources.writeZOrderedN(li, path, Seq("l_partkey", "l_suppkey", "l_orderkey"))
+    val total = li.count()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def rowsScanned(df: DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.metrics("numOutputRows").value
+        }.sum
+      }
+      val zli = spark.read.parquet(path)
+      for (c <- Seq("l_partkey", "l_suppkey", "l_orderkey")) {
+        val hi = li.agg(max(col(c))).head().getLong(0)
+        val scanned = rowsScanned(zli.where(col(c) <= hi / 8))
+        assert(scanned < total * 3 / 4, s"$c: scanned $scanned of $total")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bucketed tables join with no exchange (pre-shuffled by key)") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
