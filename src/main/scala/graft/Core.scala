@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineF32, MinhashSignature, PlaneSignBits, SimHash60, WordNGramHashes}
+import graft.functions.{CosineF32, HilbertIndex, MinhashSignature, PlaneSignBits, SimHash60, WordNGramHashes}
 
 /** One engine capability: a named query over a scale-factor directory,
   * with an optional ANSI-SQL oracle (DuckDB-checked by the driver).
@@ -87,5 +87,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash_signature"),
       (exprs: Seq[Expression]) => MinhashSignature(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval() match { case i: Int => i.toLong; case l: Long => l })))
+        exprs(2).eval() match { case i: Int => i.toLong; case l: Long => l })),
+    (FunctionIdentifier("graft_hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert_index"),
+      (exprs: Seq[Expression]) => HilbertIndex(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Int])))
 }

@@ -62,6 +62,32 @@ object Sources {
 
   def zValue(a: Column, b: Column, bits: Int = 16): Column = zValueN(Seq(a, b), bits)
 
+  /** Hilbert-curve clustered layout — same normalize/partition/sort
+    * pipeline as [[writeZOrdered]] but ordered by the Hilbert index
+    * (native expression): adjacent curve positions are always
+    * adjacent grid cells, so range-partition boundaries cut fewer
+    * 2-D neighborhoods than the Morton curve's long jumps and
+    * per-file min/max boxes stay tighter on both columns.
+    */
+  def writeHilbertClustered(df: DataFrame, path: String, colA: String, colB: String,
+      bits: Int = 16, files: Int = 16): Unit = {
+    val aggs = Seq(colA, colB).flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    // Column./ on longs yields double — cast back for the native Long input
+    def norm(c: Column, lo: Long, hi: Long): Column =
+      ((c.cast("long") - lo) * ((1L << bits) - 1) / math.max(hi - lo, 1L))
+        .cast("long")
+    val h = graft.functions.Native.hilbertIndex(
+      norm(col(colA), r.getLong(0), r.getLong(1)),
+      norm(col(colB), r.getLong(2), r.getLong(3)), bits)
+    df.withColumn("__h", h)
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Z-order clustered parquet layout: range-partition + sort by the
     * Morton value of (colA, colB), so rows close in EITHER dimension
     * land in the same files and every file's parquet min/max stats

@@ -145,6 +145,35 @@ class SourcesSpec extends SparkSpec {
       nation.where(col("n_regionkey") === 2).count())
   }
 
+  test("hilbert-clustered layout prunes row groups on BOTH columns") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val path = s"$tmp/li_hilbert"
+    Sources.writeHilbertClustered(li, path, "l_partkey", "l_suppkey")
+    val total = li.count()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def rowsScanned(df: DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.metrics("numOutputRows").value
+        }.sum
+      }
+      val hli = spark.read.parquet(path)
+      for (c <- Seq("l_partkey", "l_suppkey")) {
+        val hi = li.agg(max(col(c))).head().getLong(0)
+        val scanned = rowsScanned(hli.where(col(c) <= hi / 8))
+        assert(scanned < total / 2, s"$c: scanned $scanned of $total")
+      }
+      // layout never changes semantics
+      val skMax = li.agg(max(col("l_suppkey"))).head().getLong(0)
+      assert(hli.where(col("l_suppkey") <= skMax / 8).count() ==
+        li.where(col("l_suppkey") <= skMax / 8).count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("3-column z-order prunes on every clustered column") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.FileSourceScanExec
