@@ -354,6 +354,59 @@ object Similarity {
        WHERE rn <= 5"""
     })
 
+  // ---- offline IVF index build (multi-round Lloyd) ----
+
+  /** Nearest-centroid assignment under the exact (Σ(n·x−s)²)/n²
+    * metric; centroids are broadcast (C rows). Returns one row per
+    * vector with its centroid id and distance.
+    */
+  def ivfAssign(v: DataFrame, centroids: DataFrame): DataFrame = {
+    val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
+    v.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("q"), col("nrm"), col("cid"),
+        (graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
+          .cast("double") / (col("cn") * col("cn")).cast("double")).as("m"))
+      .withColumn("rn", row_number().over(byDist)).where(col("rn") === 1)
+      .select("vec_id", "q", "nrm", "cid", "m")
+  }
+
+  /** Lloyd update in exact integers: per-centroid component sums +
+    * member counts (empty clusters drop, standard Lloyd practice).
+    */
+  def ivfUpdate(assigned: DataFrame): DataFrame = {
+    val sums = assigned.select(col("cid"), posexplode(col("q"))).toDF("cid", "dim", "v")
+      .groupBy("cid", "dim").agg(sum(col("v")).as("sv"))
+      .groupBy("cid").agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("sv")))),
+        x => x.getField("sv")).as("cs"))
+    sums.join(assigned.groupBy("cid").agg(count(lit(1)).as("cn")), "cid")
+  }
+
+  /** Offline IVF build: deterministic seeds (first `c` vectors, each
+    * a (Σ=q, n=1) centroid) + `rounds` Lloyd iterations, returning
+    * the centroid table and the per-round clustering objective
+    * Σ min-dist² — non-increasing by the classic Lloyd argument,
+    * asserted in PipelineSpec. Each round is two shuffles (assign
+    * argmin + C×dims partial sums); lineage is cut per round. At
+    * 100 TB this runs as a periodic batch job whose output feeds the
+    * `s_knn_ivf`-shaped serving query.
+    */
+  def ivfBuild(embeddings: DataFrame, c: Int, rounds: Int): (DataFrame, Seq[Double]) = {
+    val v = quantized(embeddings).localCheckpoint()
+    var centroids = v.where(col("vec_id") < c)
+      .select(col("vec_id").as("cid"), col("q").as("cs"), lit(1L).as("cn"))
+      .localCheckpoint()
+    val objectives = Seq.newBuilder[Double]
+    for (_ <- 1 to rounds) {
+      val assigned = ivfAssign(v, centroids).localCheckpoint()
+      objectives += assigned.agg(sum(col("m"))).head().getDouble(0)
+      centroids = ivfUpdate(assigned).localCheckpoint()
+    }
+    objectives += ivfAssign(v, centroids)
+      .agg(sum(col("m"))).head().getDouble(0)
+    (centroids, objectives.result())
+  }
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf)
 }

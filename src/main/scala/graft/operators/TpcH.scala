@@ -102,5 +102,29 @@ object TpcH {
               AND l_shipdate < TIMESTAMP '1995-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q6)
+  /** Q13 customer distribution: outer join with an ON-clause filter
+    * (customers with zero qualifying orders must survive with count
+    * 0), then a second aggregation over the counts — the classic
+    * two-level aggregate.
+    */
+  val q13: QueryDef = QueryDef(
+    "q_tpch_q13",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .where(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) t
+            GROUP BY c_count"""))
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q6, q13)
 }

@@ -109,6 +109,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF k-means objective is non-increasing across Lloyd rounds") {
+    val (centroids, obj) = Similarity.ivfBuild(
+      Tables.load(spark, sfDir, "embeddings"), c = 8, rounds = 3)
+    assert(obj.length == 4)
+    obj.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"objective increased: $obj")
+    }
+    assert(obj.last < obj.head, s"no improvement at all: $obj")
+    assert(centroids.count() <= 8 && centroids.count() > 0)
+  }
+
   test("multimodal stub decode agrees with the columnar meta query") {
     val decoded = Multimodal.decodeAll(Multimodal.asMediaTable(spark, sfDir))
       .collect().map(d => d.doc_id -> d).toMap
