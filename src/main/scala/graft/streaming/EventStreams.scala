@@ -35,13 +35,22 @@ object EventStreams {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
   }
 
+  /** Attach event time + watermark once; a stream that already
+    * carries them (e.g. the output of [[dedupEvents]]) passes through
+    * untouched — Spark disallows redefining a watermark downstream,
+    * and reuse is what lets stateful operators chain in one query.
+    */
+  private def withEventTime(events: DataFrame): DataFrame =
+    if (events.columns.contains("event_time")) events
+    else events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+
   /** Streaming tumbling 1-hour window aggregate with a 2-hour
     * watermark — same grouping as the batch `q_events_window`.
     */
   def window1h(events: DataFrame): DataFrame =
-    events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("event_time", "2 hours")
+    withEventTime(events)
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
@@ -81,10 +90,7 @@ object EventStreams {
     * bounded regardless of stream length.
     */
   def dedupEvents(events: DataFrame): DataFrame =
-    events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("event_time", "2 hours")
-      .dropDuplicates("event_id")
+    withEventTime(events).dropDuplicates("event_id")
 
   /** Stream-stream interval join: purchases matched to the same
     * user's signups within [t-1h, t]. Both sides carry watermarks so

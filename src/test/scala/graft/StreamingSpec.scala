@@ -56,6 +56,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("composed stateful stream: dedup then windowed agg equals batch") {
+    // two stateful operators chained in ONE streaming query: the
+    // duplicated stream collapses in dropDuplicates state, then the
+    // watermarked window aggregate consumes the deduped rows — the
+    // result must equal the batch window aggregate over the
+    // un-duplicated table
+    val doubled = EventStreams.readEvents(spark, sfDir)
+      .union(EventStreams.readEvents(spark, sfDir))
+    val streamed = EventStreams.runToMemory(
+      EventStreams.window1h(EventStreams.dedupEvents(doubled)),
+      "dedup_win", OutputMode.Complete())
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val batch = SparkEntry.queries("q_events_window")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(streamed == batch)
+  }
+
   test("streaming minhash near-dup dedup matches the batch LSH pipeline") {
     import org.apache.spark.sql.types._
     import graft.operators.Dedup
