@@ -126,5 +126,59 @@ object TpcH {
               GROUP BY c_custkey) t
             GROUP BY c_count"""))
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q6, q13)
+  /** Q16 parts/supplier relationship (adapted: lineitem stands in for
+    * partsupp as the part↔supplier relation): distinct-supplier
+    * counts per part group, excluding a brand, a type prefix, and a
+    * supplier blocklist via anti-join — count-distinct grouping over
+    * a filtered join with NOT-IN semantics.
+    */
+  val q16: QueryDef = QueryDef(
+    "q_tpch_q16",
+    (s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#13" && !col("p_type").startsWith("MEDIUM") &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      val blocked = Tables.load(s, dir, "supplier")
+        .where(col("s_name").endsWith("1")).select(col("s_suppkey"))
+      val ls = Tables.load(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(blocked, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      ls.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+    Some("""SELECT p_brand, p_type, p_size,
+            COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'MEDIUM%'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_name LIKE '%1')
+            GROUP BY p_brand, p_type, p_size"""))
+
+  /** Q20 (adapted): suppliers who shipped more than a threshold
+    * quantity of PROMO-type parts — an aggregate-with-HAVING subquery
+    * feeding a semi-join back to the supplier dimension.
+    */
+  val q20: QueryDef = QueryDef(
+    "q_tpch_q20",
+    (s, dir) => {
+      val promo = Tables.load(s, dir, "part")
+        .where(col("p_type") === "PROMO").select("p_partkey")
+      val heavy = Tables.load(s, dir, "lineitem")
+        .join(promo, col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(Portable.dsum(col("l_quantity")).as("qty"))
+        .where(col("qty") > 100.0)
+        .select("l_suppkey")
+      Tables.load(s, dir, "supplier")
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    },
+    Some("""SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_type = 'PROMO'
+              GROUP BY l_suppkey
+              HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 100)"""))
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q6, q13, q16, q20)
 }
