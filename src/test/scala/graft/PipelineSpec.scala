@@ -120,6 +120,26 @@ class PipelineSpec extends SparkSpec {
     assert(centroids.count() <= 8 && centroids.count() > 0)
   }
 
+  test("IVF inverted lists persist partitioned by centroid and prune on probe") {
+    import graft.sources.Sources
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val (centroids, _) = Similarity.ivfBuild(e, c = 8, rounds = 1)
+    val q = Similarity.quantize(col("embedding"))
+    val v = e.select(col("vec_id"), q.as("q"))
+      .withColumn("nrm", Similarity.dotL(col("q"), col("q")))
+    val assigned = Similarity.ivfAssign(v, centroids)
+      .select("vec_id", "cid")
+    val path = "/root/repo/target/ivf-lists"
+    Sources.writePartitioned(assigned, path, "cid")
+    // probing one list reads only that partition directory
+    val probe = spark.read.parquet(path).where(col("cid") === centroids.head().getLong(0))
+    val plan = physicalPlan(probe)
+    assert(plan.contains("PartitionFilters: [isnotnull(cid"), plan)
+    // lists are complete and disjoint
+    assert(spark.read.parquet(path).count() == v.count())
+    assert(spark.read.parquet(path).select("vec_id").distinct().count() == v.count())
+  }
+
   test("multimodal stub decode agrees with the columnar meta query") {
     val decoded = Multimodal.decodeAll(Multimodal.asMediaTable(spark, sfDir))
       .collect().map(d => d.doc_id -> d).toMap
