@@ -95,6 +95,27 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Skew-hardened candidate generation: a hot (band, bucket) — one
+    * viral boilerplate text duplicated millions of times — sends all
+    * its pairs to one task in the plain self-join. Salting the left
+    * side by doc-id hash and replicating the right side `saltFactor`×
+    * spreads a hot bucket over saltFactor tasks (the
+    * [[SkewJoin.saltedEquiJoin]] pattern applied to the LSH key);
+    * result-identical to [[minhashCandidates]], tested in
+    * PipelineSpec. AQE skew-splitting handles moderate skew
+    * automatically; this is the explicit form for known-pathological
+    * corpora.
+    */
+  def minhashCandidatesSalted(s: DataFrame, saltFactor: Int = 8): DataFrame = {
+    val bb = bandedBuckets(s)
+    val l = bb.toDF("a", "band", "bucket")
+      .withColumn("_salt", pmod(hash(col("a")), lit(saltFactor)))
+    val r = bb.toDF("b", "band", "bucket")
+      .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, Seq("band", "bucket", "_salt")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   /** Exact Jaccard of the (sorted, hashed) shingle sets for a pair
     * DataFrame — native merge-intersect, O(|A|+|B|) per pair.
     */

@@ -52,6 +52,20 @@ class PipelineSpec extends SparkSpec {
       s"near-dup should be closer: ${hamming(m(1L), m(4L))} vs ${hamming(m(1L), m(3L))}")
   }
 
+  test("salted LSH candidate join equals the plain band join") {
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    // shifted copy creates hot buckets (every doc collides with its copy)
+    val doubled = docs.union(
+      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val sg = Dedup.signed(doubled)
+    val plain = Dedup.minhashCandidates(sg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Dedup.minhashCandidatesSalted(sg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.nonEmpty && salted == plain,
+      s"salted ${salted.size} vs plain ${plain.size}")
+  }
+
   test("connected components: chains merge, isolates stay singletons") {
     import graft.operators.Dedup
     // components: {1,2,3,4} (a chain), {10,11}, isolate {20}
