@@ -90,16 +90,16 @@ object TpcH {
   val q6: QueryDef = QueryDef(
     "q_tpch_q6",
     (s, dir) => Tables.load(s, dir, "lineitem")
-      .where(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .agg(sum(Portable.dec(col("l_extendedprice")) * Portable.dec(col("l_discount")))
         .cast("double").as("revenue")),
     Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-              AND l_shipdate < TIMESTAMP '1995-01-01'
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
 
   /** Q13 customer distribution: outer join with an ON-clause filter
@@ -180,5 +180,61 @@ object TpcH {
               GROUP BY l_suppkey
               HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 100)"""))
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q6, q13, q16, q20)
+  /** Q12 (adapted: order priority stands in for ship mode): per
+    * returnflag, how many high- vs low-priority orders shipped in a
+    * date window — the CASE-conditional aggregation shape.
+    */
+  val q12: QueryDef = QueryDef(
+    "q_tpch_q12",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val o = Tables.load(s, dir, "orders")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+    },
+    Some("""SELECT l_returnflag,
+            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+            CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag"""))
+
+  /** Q14 promotion effect: promo revenue as a percentage of total
+    * revenue in a month window — a ratio of conditional exact-decimal
+    * sums (one divide on identical operands, portable).
+    */
+  val q14: QueryDef = QueryDef(
+    "q_tpch_q14",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+      val p = broadcast(Tables.load(s, dir, "part").select("p_partkey", "p_type"))
+      val rev = Portable.revenueTerm(col("l_extendedprice"), col("l_discount"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(Portable.Money)))
+            .cast("double") /
+          sum(rev).cast("double")).as("promo_revenue_pct"))
+    },
+    Some("""SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+              THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+            AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1995-04-01'"""))
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q6, q12, q13, q14, q16, q20)
 }
