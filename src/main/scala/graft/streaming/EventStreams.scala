@@ -84,6 +84,48 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Sessionization on the `transformWithState` processor API (the
+    * arbitrary-state successor to flatMapGroupsWithState; requires
+    * the RocksDB state store): same 30-minute-gap semantics as
+    * [[sessionize]], with state in a typed ValueState handle. TTL
+    * hooks (TTLConfig / timers) are where production bounds state.
+    */
+  class SessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserSessions] {
+    import org.apache.spark.sql.streaming.{TimerValues, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      implicit val enc: Encoder[SessionState] = Encoders.product[SessionState]
+      state = getHandle.getValueState[SessionState]("session", enc, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[UserSessions] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+      val init = if (state.exists()) state.get() else SessionState(Long.MinValue, 0L, 0L)
+      val next = sorted.foldLeft(init) { (st, e) =>
+        val sec = e.ts / 1000000000L
+        val newSession = st.lastSec == Long.MinValue || sec - st.lastSec > 1800
+        SessionState(sec, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+      }
+      state.update(next)
+      Iterator.single(UserSessions(key, next.nEvents, next.nSessions))
+    }
+  }
+
+  /** [[sessionize]] re-expressed on `transformWithState` — proven
+    * equivalent to the batch query in StreamingSpec.
+    */
+  def sessionizeTws(events: Dataset[EventRow]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * the streaming member of the dedup family (SURVEY §2.2 row 21):
     * state holds only ids inside the 2-hour watermark, so it is

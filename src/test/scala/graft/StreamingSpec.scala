@@ -105,6 +105,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("transformWithState sessionization matches batch q_events_sessionize") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // the processor API requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = EventStreams.readEvents(spark, sfDir)
+        .select("event_id", "ts", "user_id").as[EventStreams.EventRow]
+      val streamed = EventStreams.runToMemory(
+        EventStreams.sessionizeTws(events).toDF(), "sessions_tws", OutputMode.Update())
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = SparkEntry.queries("q_events_sessionize")(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed == batch)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stateful streaming sessionization matches batch q_events_sessionize") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = EventStreams.readEvents(spark, sfDir)
