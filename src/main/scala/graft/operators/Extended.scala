@@ -224,7 +224,26 @@ object Extended {
               / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
             FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)"""))
 
+  /** Arbitrary GROUPING SETS — the lattice fragments rollup/cube
+    * can't express (each flag alone + grand total, but NOT the
+    * pairwise set), through the SQL-text interface; one Expand + one
+    * shuffle like the others.
+    */
+  val groupingSets: QueryDef = QueryDef(
+    "q_grouping_sets",
+    (s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                ${P.dsum("l_quantity")} AS sum_qty
+                FROM lineitem_gs
+                GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             ${P.dsum("l_quantity")} AS sum_qty
+             FROM lineitem
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
-    subqueryScalar, existsSubquery, cube, windowFrames)
+    subqueryScalar, existsSubquery, cube, windowFrames, groupingSets)
 }
