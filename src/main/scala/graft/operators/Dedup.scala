@@ -252,9 +252,13 @@ object Dedup {
     */
   def ngramNearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
       val d = Tables.load(s, dir, "documents")
+      // computed once, read three times (the inverted index feeding the
+      // prefix pipeline + both sides of the verification join) — without
+      // the checkpoint each reader re-runs the scan + ngram hashing
       val g = d.select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 40).as("len_band"),
         graft.functions.Native.wordNGramHashes(col("text"), 2).as("grams"))
+        .localCheckpoint()
       // Prefix filtering (Chaudhuri et al. 2006 / PPJoin): under a
       // global gram order by ascending block df, any pair with
       // J >= t shares one of each doc's first |g| - ceil(t*|g|) + 1
@@ -266,12 +270,27 @@ object Dedup {
         size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
       val dfreq = inv.groupBy("lang", "len_band", "gram").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
-      // dfreq is bounded by the distinct-gram vocabulary, not the
-      // corpus — broadcast it so the df lookup is map-side.
-      val prefix = inv.join(broadcast(dfreq), Seq("lang", "len_band", "gram"))
+      // The df lookup is a SHUFFLE join on the gram key, never a
+      // broadcast: the distinct-gram vocabulary grows with the corpus
+      // (billions of word 2-grams at 100 TB), so a broadcast hint here
+      // would force an un-broadcastable build side. The shuffle is
+      // cheap — dfreq is map-side-combined (partial count per gram),
+      // and hot stop-gram keys are many-to-one probes that AQE's skew
+      // splitting handles. Note a df CAP cannot make this lossless
+      // cheaper: prefix membership is relative to each doc's own gram
+      // order (a block of identical docs has all-high-df prefixes), so
+      // no absolute df threshold excludes a gram from every prefix.
+      // The prefix filter itself is lossless under ANY consistent
+      // global gram order; df-ascending is the candidate-minimizing
+      // choice, not a correctness requirement.
+      val prefix = inv.join(dfreq.hint("shuffle_hash"), Seq("lang", "len_band", "gram"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= col("sz") - ceil(lit(SimT) * col("sz")) + 1)
         .select("doc_id", "lang", "len_band", "gram", "rn", "sz")
+        // materialize ONCE: both sides of the candidate self-join read
+        // this frame, and without the checkpoint Catalyst re-executes
+        // the whole scan→ngram→explode→df-join→window pipeline per side
+        .localCheckpoint()
       // Positional filter (PPJoin): for the globally-first common gram
       // at prefix positions (rn_a, rn_b), the overlap is at most
       // 1 + min(sz_a - rn_a, sz_b - rn_b); J >= t needs overlap >=
@@ -344,12 +363,16 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       val msgs = edges.join(labels.withColumnRenamed("v", "dst"), "dst")
         .select(col("src").as("v"), col("label"))
-      val next = labels.unionAll(msgs)
-        .groupBy("v").agg(min(col("label")).as("label"))
+      // carry the previous label through the aggregate so convergence
+      // detection is a filter over the already-checkpointed frame —
+      // one shuffle per round, no second join re-shuffling both sides
+      val next = labels.select(col("v"), col("label"), col("label").as("prev"))
+        .unionAll(msgs.select(col("v"), col("label"),
+          lit(null).cast(vertices.schema("v").dataType).as("prev")))
+        .groupBy("v").agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "v")
-        .where(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("label") =!= col("prev")).count()
+      labels = next.select(col("v"), col("label"))
       iter += 1
     }
     labels
