@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -21,25 +21,49 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *   table/
   *     data/<version>-<nonce>/part-*.parquet   (immutable)
   *     meta/v<N>.manifest                      (one data dir per line)
-  *     meta/HEAD                               (current version number)
   * }}}
+  *
+  * Concurrency (optimistic, lock-free): the commit point is the
+  * CREATION of `vN.manifest`, done with an atomic hard link —
+  * `link(2)` fails with EEXIST if version N is already claimed,
+  * whereas `rename(2)` silently replaces (two racing committers would
+  * lose a commit, the bug the reference's LockManager exists to
+  * prevent — reference: concurrency/LockManager.java:30 acquireLock).
+  * A committer that loses the race re-resolves the current version
+  * (for appends: re-reads the new predecessor's manifest so the loser
+  * commits ON TOP of the winner) and retries with N+1. No writer ever
+  * blocks another; data directories are written once, outside the
+  * retry loop.
   *
   * Scale notes: a manifest lists directories, not files, so it stays
   * tiny; commits are O(new data) with no rewrite of prior versions;
   * `vacuum` drops directories unreachable from any retained manifest.
-  * On a real deployment HEAD's atomic rename maps to the metastore /
-  * catalog swap every table format relies on.
+  * On a real deployment the create-exclusive manifest claim maps to
+  * the metastore / catalog conditional-put every table format relies
+  * on (Iceberg's compare-and-swap commit, Delta's transaction log
+  * `N.json` put-if-absent).
   */
 object Snapshots {
 
   private def meta(table: String): Path = Paths.get(table, "meta")
-  private def head(table: String): Path = meta(table).resolve("HEAD")
 
-  /** Current committed version, 0 if the table does not exist yet. */
-  def currentVersion(table: String): Int =
-    if (Files.exists(head(table)))
-      new String(Files.readAllBytes(head(table)), StandardCharsets.UTF_8).trim.toInt
-    else 0
+  private val ManifestRe = "^v(\\d+)\\.manifest$".r
+
+  /** Current committed version = max N with a vN.manifest present,
+    * 0 if the table does not exist yet. Resolution scans the (tiny)
+    * meta directory rather than trusting a mutable HEAD pointer, so
+    * it cannot observe a stale cache of a concurrent commit.
+    */
+  def currentVersion(table: String): Int = {
+    val m = meta(table)
+    if (!Files.exists(m)) return 0
+    Files.list(m).iterator().asScala
+      .flatMap(p => p.getFileName.toString match {
+        case ManifestRe(n) => Some(n.toInt)
+        case _ => None
+      })
+      .foldLeft(0)(math.max)
+  }
 
   private def manifestDirs(table: String, version: Int): Seq[String] = {
     val p = meta(table).resolve(s"v$version.manifest")
@@ -47,41 +71,61 @@ object Snapshots {
     Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty)
   }
 
-  private def writeManifest(table: String, version: Int, dirs: Seq[String]): Unit = {
+  /** Atomically claim version `version`: true iff this caller created
+    * the manifest. Content is staged to a unique tmp file first, so
+    * the claim publishes fully-written bytes; the hard link is the
+    * atomic create-exclusive.
+    */
+  private def claimManifest(table: String, version: Int, dirs: Seq[String]): Boolean = {
     Files.createDirectories(meta(table))
-    val tmp = meta(table).resolve(s".v$version.manifest.tmp")
+    val tmp = meta(table).resolve(s".v$version-${java.util.UUID.randomUUID}.tmp")
     Files.write(tmp, dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, meta(table).resolve(s"v$version.manifest"),
-      StandardCopyOption.ATOMIC_MOVE)
-    val tmpHead = meta(table).resolve(".HEAD.tmp")
-    Files.write(tmpHead, version.toString.getBytes(StandardCharsets.UTF_8))
-    // the commit point: readers resolve HEAD before or after, never mid-swap
-    Files.move(tmpHead, head(table), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.createLink(meta(table).resolve(s"v$version.manifest"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
   }
 
-  private def writeData(df: DataFrame, table: String, version: Int): String = {
-    val dir = Paths.get(table, "data", s"$version-${java.util.UUID.randomUUID}")
+  private def writeData(df: DataFrame, table: String): String = {
+    val dir = Paths.get(table, "data", java.util.UUID.randomUUID.toString)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
     dir.toString
   }
 
+  private val MaxCommitAttempts = 100
+
+  /** Resolve-claim retry loop shared by both commit flavors:
+    * `dirsFor(prevVersion)` recomputes the manifest content against
+    * the CURRENT predecessor on every attempt.
+    */
+  private def commitLoop(table: String, dirsFor: Int => Seq[String]): Int = {
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val prev = currentVersion(table)
+      val v = prev + 1
+      if (claimManifest(table, v, dirsFor(prev))) return v
+      attempt += 1
+    }
+    sys.error(s"commit to $table failed after $MaxCommitAttempts attempts")
+  }
+
   /** Commit a new version whose content REPLACES the table. */
   def commitOverwrite(df: DataFrame, table: String): Int = {
-    val v = currentVersion(table) + 1
-    writeManifest(table, v, Seq(writeData(df, table, v)))
-    v
+    val dir = writeData(df, table)
+    commitLoop(table, _ => Seq(dir))
   }
 
   /** Commit a new version = previous content plus `df` (no rewrite of
-    * existing data).
+    * existing data). Concurrent appenders serialize optimistically:
+    * the loser of a version race retries on top of the winner's
+    * manifest, so both data directories reach the final snapshot.
     */
   def commitAppend(df: DataFrame, table: String): Int = {
-    val prev = currentVersion(table)
-    val prevDirs = if (prev == 0) Seq.empty else manifestDirs(table, prev)
-    val v = prev + 1
-    writeManifest(table, v, prevDirs :+ writeData(df, table, v))
-    v
+    val dir = writeData(df, table)
+    commitLoop(table, prev =>
+      (if (prev == 0) Seq.empty else manifestDirs(table, prev)) :+ dir)
   }
 
   /** Read the latest snapshot. */

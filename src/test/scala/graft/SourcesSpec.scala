@@ -149,6 +149,45 @@ class SourcesSpec extends SparkSpec {
       nation.where(col("n_regionkey") === 2).count())
   }
 
+  test("optimistic concurrency: racing appenders never lose a commit") {
+    import graft.sources.Snapshots
+    val table = s"$tmp/snap_race"
+    val root = new java.io.File(table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    if (root.exists()) rm(root)
+
+    // five committers, one per region, all racing to append. rename(2)
+    // would silently let a later manifest clobber an earlier one (a
+    // lost update — the failure the reference's LockManager serializes
+    // away, concurrency/LockManager.java:30); the create-exclusive
+    // claim + retry must instead serialize them optimistically.
+    val nation = Tables.load(spark, sfDir, "nation")
+    nation.count() // warm the session before threads race
+    val barrier = new java.util.concurrent.CyclicBarrier(5)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val commits = (0 until 5).map { k =>
+      Future {
+        barrier.await()
+        Snapshots.commitAppend(nation.where(col("n_regionkey") === k), table)
+      }
+    }
+    val versions = Await.result(Future.sequence(commits),
+      scala.concurrent.duration.Duration("120s"))
+
+    // every committer claimed a DISTINCT version 1..5 …
+    assert(versions.sorted == (1 to 5), s"claimed versions: $versions")
+    assert(Snapshots.currentVersion(table) == 5)
+    // … and the final snapshot holds every append — nothing clobbered
+    assert(Snapshots.read(spark, table).count() == nation.count())
+    // each intermediate version is a strict superset of its parent
+    val sizes = (1 to 5).map(v => Snapshots.readVersion(spark, table, v).count())
+    assert(sizes == sizes.sorted && sizes.distinct == sizes,
+      s"version row counts not strictly increasing: $sizes")
+  }
+
   test("hilbert-clustered layout prunes row groups on BOTH columns") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.FileSourceScanExec
