@@ -27,23 +27,32 @@ object Extended {
              ${P.dsum("l_quantity")} AS sum_qty
              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
 
-  /** Window functions: per-status rank and exact-decimal running sum
-    * (deterministic ordering on the unique key).
+  /** Window functions: per-customer order rank and exact-decimal
+    * running spend (deterministic ordering on the unique key).
+    *
+    * Scale note: the window PARTITION BY key is o_custkey — cardinality
+    * grows with the data, so each WindowExec partition stays a few
+    * rows no matter the scale factor. Partitioning a running sum by a
+    * low-cardinality key (e.g. the 3-value o_orderstatus) would funnel
+    * ~⅓ of the table through a single task's sort; a truly global
+    * running sum at scale needs a range-repartition + per-partition
+    * prefix sums + a broadcast of the (tiny) per-partition offsets,
+    * not a WindowExec.
     */
   val windowFuncs: QueryDef = QueryDef(
     "q_window_funcs",
     (s, dir) => {
-      val byKey = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+      val byKey = Window.partitionBy("o_custkey").orderBy("o_orderkey")
       Tables.load(s, dir, "orders").select(
-        col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderkey"), col("o_custkey"),
         row_number().over(byKey).as("rn"),
         sum(Portable.dec(col("o_totalprice"))).over(byKey)
           .cast("double").as("running_total"))
     },
-    Some("""SELECT o_orderkey, o_orderstatus,
-            ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn,
+    Some("""SELECT o_orderkey, o_custkey,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                 OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS DOUBLE) AS running_total
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS DOUBLE) AS running_total
             FROM orders"""))
 
   /** Left outer join with aggregate: customers keep a row even with

@@ -29,15 +29,23 @@ object RangeJoin {
       right: DataFrame, rightVal: String,
       nBuckets: Int = 256): DataFrame = {
 
-    val bounds = broadcast(right.agg(
-      min(col(rightVal)).as("lo"), max(col(rightVal)).as("hi")))
+    // ONE bounds pass, fetched as two scalars: cross-joining a bounds
+    // aggregate into both sides made the plan re-run the min/max scan
+    // once per consumer (four identical subtrees); a 2-value driver
+    // fetch is the legitimate exception to the no-collect rule, and
+    // the literal bounds keep bucket assignment inside codegen.
+    val boundsRow = right.agg(
+      min(col(rightVal)).cast("double").as("lo"),
+      max(col(rightVal)).cast("double").as("hi")).head()
+    val (lo, hi) = (boundsRow.getDouble(0), boundsRow.getDouble(1))
 
     def bucketOf(v: Column): Column =
-      least(greatest(
-        floor((v - col("lo")) * nBuckets / (col("hi") - col("lo"))), lit(0L)),
+      if (hi == lo) lit(0L)
+      else least(greatest(
+        floor((v - lit(lo)) * nBuckets / lit(hi - lo)), lit(0L)),
         lit(nBuckets - 1L))
 
-    val r = right.crossJoin(bounds)
+    val r = right
       .select(bucketOf(col(rightVal)).as("bucket"), col(rightVal).as("rv"))
 
     // dense per-bucket counts + strictly-higher suffix sums (B rows)
@@ -53,7 +61,7 @@ object RangeJoin {
     val higher = broadcast(perBucket
       .select(col("bucket"), coalesce(sum(col("cnt")).over(wDesc), lit(0L)).as("n_higher")))
 
-    val l = left.crossJoin(bounds)
+    val l = left
       .select(col(leftKey), col(leftVal).as("lv"), bucketOf(col(leftVal)).as("bucket"))
       .join(higher, Seq("bucket"))
 
