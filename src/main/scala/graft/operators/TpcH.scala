@@ -170,8 +170,12 @@ object TpcH {
         .agg(Portable.dsum(col("l_quantity")).as("qty"))
         .where(col("qty") > 100.0)
         .select("l_suppkey")
+      // the HAVING survivors are a small fraction of suppliers —
+      // broadcast them so the semi-join needs no shuffle of the
+      // supplier dimension (AQE usually converts this; the hint makes
+      // the plan deterministic)
       Tables.load(s, dir, "supplier")
-        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(heavy), col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
     },
     Some("""SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
@@ -236,5 +240,127 @@ object TpcH {
             WHERE l_shipdate >= TIMESTAMP '1995-01-01'
               AND l_shipdate < TIMESTAMP '1995-04-01'"""))
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q6, q12, q13, q14, q16, q20)
+  /** Q17 small-quantity-order revenue: the correlated aggregate
+    * subquery shape — each lineitem compares against the AVERAGE
+    * quantity of ITS OWN part (`WHERE l_quantity < 0.5 * (SELECT
+    * avg(l_quantity) ... WHERE l2.l_partkey = p_partkey)`).
+    * Decorrelated Spark-first: semi-push the brand filter into
+    * lineitem via a broadcast of the (tiny) qualifying part keys, then
+    * ONE per-part average aggregate joined back on l_partkey — no
+    * per-row subquery execution anywhere. (Adapted thresholds: this
+    * schema's quantities are TPC-H-ish; 0.5·avg keeps the filter
+    * selective but non-empty.)
+    */
+  val q17: QueryDef = QueryDef(
+    "q_tpch_q17",
+    (s, dir) => {
+      val pk = broadcast(Tables.load(s, dir, "part")
+        .where(col("p_brand") === "Brand#4").select("p_partkey"))
+      val lp = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(pk, col("l_partkey") === col("p_partkey"))
+      // avg(l_quantity) is exact: integer-valued doubles sum exactly,
+      // and both engines divide the same sum by the same count
+      val thresh = lp.groupBy("l_partkey")
+        .agg((avg(col("l_quantity")) * 0.5).as("qlim"))
+      lp.join(thresh, Seq("l_partkey"))
+        .where(col("l_quantity") < col("qlim"))
+        .agg((Portable.dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    },
+    Some(s"""SELECT ${P.dsum("l_extendedprice")} / 7.0 AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#4'
+           AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+                             WHERE l2.l_partkey = part.p_partkey)"""))
+
+  /** Q18 large-volume customers: `o_orderkey IN (SELECT l_orderkey …
+    * GROUP BY … HAVING SUM(l_quantity) > 300)` — the IN-over-grouped-
+    * HAVING shape, decorrelated to a semi-join of orders against the
+    * HAVING survivors. The survivor set's size is data-dependent, so
+    * no broadcast hint: AQE picks the strategy from the aggregate's
+    * runtime size. Top-100 by price via TakeOrderedAndProject, never
+    * a global sort.
+    */
+  val q18: QueryDef = QueryDef(
+    "q_tpch_q18",
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val big = l.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sq")).where(col("sq") > 300.0)
+        .select("l_orderkey")
+      val o = Tables.load(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+            SUM(l_quantity) AS sum_qty
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  /** Q21 suppliers who kept orders waiting (adapted: l_returnflag='R'
+    * stands in for the late-receipt predicate this schema lacks) — the
+    * double-correlated EXISTS / NOT EXISTS shape: count, per supplier
+    * of a nation, finished orders where THIS supplier's lineitem
+    * failed, ANOTHER supplier took part (EXISTS → left_semi on
+    * orderkey with a suppkey inequality), and NO other supplier failed
+    * (NOT EXISTS → left_anti, same composite condition). Both
+    * subqueries decorrelate to one shuffle join each on l_orderkey;
+    * the supplier/nation dims ride along as broadcasts.
+    */
+  val q21: QueryDef = QueryDef(
+    "q_tpch_q21",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val nat = Tables.load(s, dir, "nation")
+        .where(col("n_name") === "NATION_3").select("n_nationkey")
+      val sup = broadcast(Tables.load(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name"))
+      // status-F orders are a constant fraction of the orders table —
+      // NOT broadcastable at scale; the semi-join shuffles on orderkey
+      val fOrders = Tables.load(s, dir, "orders")
+        .where(col("o_orderstatus") === "F").select("o_orderkey")
+      val l1 = li.where(col("l_returnflag") === "R")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val l2 = li.select(col("l_orderkey").as("x_orderkey"),
+        col("l_suppkey").as("x_suppkey"))
+      val exists2 = l1.join(l2,
+        col("x_orderkey") === col("l_orderkey") &&
+          col("x_suppkey") =!= col("l_suppkey"), "left_semi")
+      val l3 = li.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("y_orderkey"), col("l_suppkey").as("y_suppkey"))
+      val survivors = exists2.join(l3,
+        col("y_orderkey") === col("l_orderkey") &&
+          col("y_suppkey") =!= col("l_suppkey"), "left_anti")
+      survivors.groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+    Some("""SELECT s_name, COUNT(*) AS numwait
+            FROM supplier, lineitem l1, orders, nation
+            WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+              AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+              AND EXISTS (SELECT * FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT * FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+              AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""))
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q6, q12, q13, q14, q16, q17, q18, q20, q21)
 }
