@@ -59,10 +59,13 @@ object Dedup {
   private def bandBucket(sigSlice: Column): Column =
     aggregate(sigSlice, lit(0L), (acc, x) => pmod(acc * HashP + x, lit(BucketP)))
 
-  /** Per-document LSH state: doc_id, shingles (sorted hashes), signature. */
-  def signed(docs: DataFrame): DataFrame = {
+  /** Per-document LSH state: doc_id, shingles (sorted hashes),
+    * signature — plus any `keep` columns carried through untouched
+    * (e.g. event time for the watermarked streaming variant).
+    */
+  def signed(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val sh = wordShingles(col("text"))
-    docs.select(col("doc_id"), sh.as("shingles"))
+    docs.select(col("doc_id") +: keep.map(col) :+ sh.as("shingles"): _*)
       .withColumn("sig", minhashSignature(col("shingles")))
   }
 
@@ -79,12 +82,12 @@ object Dedup {
     * expressions: works identically on batch and streaming inputs
     * (used by [[graft.streaming.EventStreams.minhashDedupStream]]).
     */
-  def bandedSigned(docs: DataFrame): DataFrame =
-    signed(docs).select(col("doc_id"), col("shingles"),
+  def bandedSigned(docs: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    signed(docs, keep).select(col("doc_id") +: keep.map(col) :+ col("shingles") :+
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => bandBucket(slice(col("sig"), b * Rows + 1, lit(Rows))))))
-      .select(col("doc_id"), col("shingles"),
-        col("pos").as("band"), col("col").as("bucket"))
+        b => bandBucket(slice(col("sig"), b * Rows + 1, lit(Rows))))): _*)
+      .select(col("doc_id") +: keep.map(col) :+ col("shingles") :+
+        col("pos").as("band") :+ col("col").as("bucket"): _*)
 
   /** Candidate pairs (a < b) that collide in at least one band. */
   def minhashCandidates(s: DataFrame): DataFrame = {

@@ -179,12 +179,10 @@ object EventStreams {
     * the batch `d_dedup_minhash` — StreamingSpec proves streaming ≡
     * batch on the same corpus.
     *
-    * State is per-bucket and proportional to the documents inside the
-    * dedup horizon. In production the document stream carries event
-    * time: add `withWatermark` + `GroupStateTimeout.EventTimeTimeout`
-    * and `state.setTimeoutTimestamp(horizon)` so buckets evict
-    * documents past the horizon and state stays bounded regardless of
-    * stream length (the pattern `dedupEvents` shows for exact ids).
+    * State here is unbounded (useful for finite backfills); for
+    * endless streams use [[minhashDedupStreamBounded]], which adds the
+    * watermark + event-time-timeout eviction that keeps bucket state
+    * inside the dedup horizon.
     */
   def minhashDedupStream(docs: DataFrame): Dataset[DupHit] = {
     val spark = docs.sparkSession
@@ -209,6 +207,84 @@ object EventStreams {
       shs = d.shingles :: shs
     }
     state.update(BucketState(ids, shs))
+    out.result().iterator
+  }
+
+  // ---- bounded-state variant: watermark + event-time timeout ----
+
+  case class TimedBucketDoc(doc_id: Long, shingles: Seq[Long], band: Int,
+    bucket: Long, event_time: java.sql.Timestamp)
+  case class TimedBucketState(ids: List[Long], shingles: List[Seq[Long]],
+    timesMs: List[Long])
+
+  /** [[minhashDedupStream]] with PROVABLY BOUNDED state: documents
+    * carry an `event_time` column, the stream is watermarked with the
+    * dedup horizon, and each bucket's state holds only documents whose
+    * event time is at or past the current watermark (= max observed
+    * time − horizon). Matching enforces the horizon PAIRWISE (event-
+    * time gap ≤ horizon — exact even though the watermark lags a
+    * batch); eviction is two-tier:
+    *  - on every bucket visit, entries older than the watermark are
+    *    dropped before matching;
+    *  - an event-time timeout fires `horizon` past the newest kept
+    *    entry, removing the WHOLE bucket state for idle buckets — the
+    *    store holds nothing for buckets the stream stopped touching.
+    * State is therefore ≤ (docs inside one horizon) × Bands rows
+    * regardless of stream length.
+    */
+  def minhashDedupStreamBounded(docs: DataFrame,
+      horizonMinutes: Int = 120): Dataset[DupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hMs = horizonMinutes * 60000L
+    graft.operators.Dedup
+      .bandedSigned(docs.withWatermark("event_time", s"$horizonMinutes minutes"),
+        keep = Seq("event_time"))
+      .as[TimedBucketDoc]
+      .groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(boundedDedupUpdate(hMs))
+  }
+
+  private def boundedDedupUpdate(horizonMs: Long)(key: (Int, Long),
+      it: Iterator[TimedBucketDoc],
+      state: GroupState[TimedBucketState]): Iterator[DupHit] = {
+    if (state.hasTimedOut) {
+      // watermark passed horizon beyond the newest entry: every entry
+      // is un-matchable, drop the bucket entirely
+      state.remove()
+      return Iterator.empty
+    }
+    val wm = state.getCurrentWatermarkMs()
+    val prior = state.getOption.getOrElse(TimedBucketState(Nil, Nil, Nil))
+    // tier 1: evict entries the watermark has passed — no future
+    // document can be within the horizon of them
+    var (ids, shs, ts) = (List.empty[Long], List.empty[Seq[Long]], List.empty[Long])
+    prior.ids.lazyZip(prior.shingles).lazyZip(prior.timesMs).foreach { (id, sh, t) =>
+      if (t >= wm) { ids = id :: ids; shs = sh :: shs; ts = t :: ts }
+    }
+    val out = List.newBuilder[DupHit]
+    for (d <- it.toSeq.sortBy(_.doc_id)) {
+      // pairwise horizon check: watermark eviction lags one batch, so
+      // the time gap is ALSO enforced per candidate — a document never
+      // matches another more than `horizon` away in event time
+      val dMs = d.event_time.getTime
+      val hits = ids.lazyZip(shs).lazyZip(ts).collect {
+        case (id, sh, t) if math.abs(dMs - t) <= horizonMs &&
+          jaccardSorted(sh, d.shingles) >= 0.5 => id
+      }
+      out += DupHit(d.doc_id, if (hits.isEmpty) -1L else hits.min)
+      ids = d.doc_id :: ids
+      shs = d.shingles :: shs
+      ts = dMs :: ts
+    }
+    if (ids.isEmpty) state.remove()
+    else {
+      state.update(TimedBucketState(ids, shs, ts))
+      // tier 2: when the watermark passes (newest entry + horizon),
+      // nothing in this bucket can match again — time the state out
+      state.setTimeoutTimestamp(ts.max + horizonMs)
+    }
     out.result().iterator
   }
 

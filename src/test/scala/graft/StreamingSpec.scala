@@ -105,6 +105,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("bounded minhash dedup evicts state past the horizon, matches inside it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = mem.toDF.toDF("doc_id", "text", "event_time")
+    val q = EventStreams.minhashDedupStreamBounded(docs, horizonMinutes = 120)
+      .toDF.writeStream.outputMode("update").format("memory")
+      .queryName("mh_bounded").start()
+    def at(hours: Int) = new java.sql.Timestamp(86400000L + hours * 3600L * 1000)
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val textB = "completely unrelated filler content about databases indexes and partitions"
+    try {
+      // t=0h: the original; t=1h: a copy INSIDE the 2h horizon → match
+      mem.addData((1L, textA, at(0)), (2L, textB, at(0)))
+      q.processAllAvailable()
+      mem.addData((3L, textA, at(1)))
+      q.processAllAvailable()
+      // advance the watermark far past 1h + horizon (filler doc at 9h;
+      // watermark after this batch = 9h − 2h = 7h) → docs 1/3 evicted
+      mem.addData((90L, textB + " plus some extra words", at(9)))
+      q.processAllAvailable()
+      // t=10h: same text as doc 1, but its duplicates are OUTSIDE the
+      // horizon and evicted → must report no match
+      mem.addData((4L, textA, at(10)))
+      q.processAllAvailable()
+      // t=10h: doc 4 is in-horizon state → must match it
+      mem.addData((5L, textA, at(10)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.table("mh_bounded").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    def dupsOf(id: Long) = hits.collect { case (d, o) if d == id && o >= 0 => o }.toSet
+    assert(dupsOf(3L) == Set(1L), s"doc 3 must match doc 1 inside the horizon: ${hits.toList}")
+    assert(dupsOf(4L).isEmpty, s"doc 4 must NOT match evicted state: ${hits.toList}")
+    assert(dupsOf(5L) == Set(4L), s"doc 5 must match in-horizon doc 4: ${hits.toList}")
+    // doc 90 is a near-dup of doc 2 by text, but 9h apart: the pairwise
+    // horizon check must reject it even though the (lagging) watermark
+    // had not yet evicted doc 2 when doc 90 arrived
+    assert(dupsOf(90L).isEmpty, s"doc 90 must not match beyond the horizon: ${hits.toList}")
+  }
+
   test("transformWithState sessionization matches batch q_events_sessionize") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
