@@ -128,6 +128,28 @@ object Snapshots {
       (if (prev == 0) Seq.empty else manifestDirs(table, prev)) :+ dir)
   }
 
+  /** Commit a new version whose directory list is an arbitrary
+    * transform of the predecessor's (compaction, re-clustering,
+    * retention): `f` receives the current dirs and returns the new
+    * list; re-evaluated against the NEW predecessor if the claim
+    * races. Returns (version, dirs it replaced).
+    */
+  def commitTransform(table: String)(f: Seq[String] => Seq[String]): Int =
+    commitLoop(table, prev =>
+      f(if (prev == 0) Seq.empty else manifestDirs(table, prev)))
+
+  /** The data directories making up a committed version (read-only
+    * view for compaction planners).
+    */
+  def versionDirs(table: String, version: Int): Seq[String] =
+    manifestDirs(table, version)
+
+  /** A fresh (unique, not yet committed) data directory path for
+    * writers that stage data before a [[commitTransform]].
+    */
+  def stageDir(table: String): String =
+    Paths.get(table, "data", java.util.UUID.randomUUID.toString).toString
+
   /** Read the latest snapshot. */
   def read(spark: SparkSession, table: String): DataFrame =
     readVersion(spark, table, currentVersion(table))
@@ -135,6 +157,63 @@ object Snapshots {
   /** Time travel: read the exact content of any committed version. */
   def readVersion(spark: SparkSession, table: String, version: Int): DataFrame =
     spark.read.parquet(manifestDirs(table, version): _*)
+
+  // ---- clustered tables: merge-on-append + delta compaction ----
+
+  /** Marker file identifying a data directory whose files are
+    * Z-order-clustered (written by [[commitClustered]]/[[compact]]).
+    */
+  private val ClusteredMarker = "_GRAFT_CLUSTERED"
+
+  private def isClustered(dir: String): Boolean =
+    Files.exists(Paths.get(dir, ClusteredMarker))
+
+  private def markClustered(dir: String): Unit =
+    Files.write(Paths.get(dir, ClusteredMarker), Array.emptyByteArray)
+
+  /** Commit a version whose single data dir is Z-order-clustered on
+    * `zCols` — the indexed base the reference maintains as a B+ tree
+    * (reference: index/BPlusTree.java:119 insertKey keeps the index
+    * current; here the index IS the file layout, kept current by
+    * [[compact]]).
+    */
+  def commitClustered(df: DataFrame, table: String, zCols: Seq[String],
+      files: Int = 16): Int = {
+    val dir = stageDir(table)
+    Sources.writeZOrderedN(df, dir, zCols, files = files)
+    markClustered(dir)
+    commitLoop(table, _ => Seq(dir))
+  }
+
+  /** Append rows WITHOUT clustering them — cheap ingest; the delta
+    * dir is unclustered until the next [[compact]].
+    */
+  def appendDelta(df: DataFrame, table: String): Int = commitAppend(df, table)
+
+  /** Re-cluster the accumulated (unclustered) delta dirs into ONE new
+    * Z-ordered dir and commit base + compacted delta as a new version.
+    * Cost is O(delta), never O(table) — the clustered base dirs are
+    * untouched (the LSM/Delta-OPTIMIZE shape: each compacted dir is a
+    * sorted run; parquet min/max stats prune within every run
+    * independently, so reads stay pruned as runs accumulate, and runs
+    * can themselves be merged by a later whole-table re-cluster if
+    * their count ever grows large). No-op (returns current version)
+    * when there is nothing to compact. Readers are never blocked:
+    * pre-compaction versions remain readable until vacuumed.
+    */
+  def compact(spark: SparkSession, table: String, zCols: Seq[String],
+      files: Int = 16): Int = {
+    val cur = currentVersion(table)
+    val (clustered, deltas) = manifestDirs(table, cur).partition(isClustered)
+    if (deltas.isEmpty) return cur
+    val dir = stageDir(table)
+    Sources.writeZOrderedN(spark.read.parquet(deltas: _*), dir, zCols, files = files)
+    markClustered(dir)
+    // racing appenders may have added NEW deltas since we read `cur`:
+    // keep any dirs we did not compact
+    commitTransform(table)(dirs =>
+      dirs.filterNot(deltas.contains) :+ dir)
+  }
 
   /** Drop data directories unreachable from the retained manifests
     * (keep the last `retain` versions). Returns deleted dir count.

@@ -188,6 +188,64 @@ class SourcesSpec extends SparkSpec {
       s"version row counts not strictly increasing: $sizes")
   }
 
+  test("clustered table: deltas append cheaply, compaction restores pruning, time travel intact") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val table = s"$tmp/clustered_li"
+    val root = new java.io.File(table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    if (root.exists()) rm(root)
+
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val zc = Seq("l_partkey", "l_suppkey")
+    val base = li.where(pmod(col("l_orderkey"), lit(5)) =!= 0)
+    val d1 = li.where(pmod(col("l_orderkey"), lit(5)) === 0 &&
+      pmod(col("l_orderkey"), lit(2)) === 0)
+    val d2 = li.where(pmod(col("l_orderkey"), lit(5)) === 0 &&
+      pmod(col("l_orderkey"), lit(2)) === 1)
+
+    assert(Snapshots.commitClustered(base, table, zc) == 1)
+    assert(Snapshots.appendDelta(d1, table) == 2)
+    assert(Snapshots.appendDelta(d2, table) == 3)
+    // appends are visible immediately (merge-on-read, unclustered)
+    assert(Snapshots.read(spark, table).count() == li.count())
+
+    assert(Snapshots.compact(spark, table, zc) == 4)
+    assert(Snapshots.read(spark, table).count() == li.count(), "compaction lost rows")
+    // compacting again with no new deltas is a no-op
+    assert(Snapshots.compact(spark, table, zc) == 4)
+
+    // post-compaction reads prune on BOTH clustered columns again
+    val total = li.count()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def rowsScanned(df: DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.metrics("numOutputRows").value
+        }.sum
+      }
+      val ct = Snapshots.read(spark, table)
+      val pkMax = li.agg(max(col("l_partkey"))).head().getLong(0)
+      val skMax = li.agg(max(col("l_suppkey"))).head().getLong(0)
+      val a = rowsScanned(ct.where(col("l_partkey") <= pkMax / 8))
+      val b = rowsScanned(ct.where(col("l_suppkey") <= skMax / 8))
+      assert(a < total * 2 / 3, s"primary pruning after compact: scanned $a of $total")
+      assert(b < total * 2 / 3, s"secondary pruning after compact: scanned $b of $total")
+      // layout never changes semantics
+      assert(ct.where(col("l_suppkey") <= skMax / 8).count() ==
+        li.where(col("l_suppkey") <= skMax / 8).count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // time travel: pre-compaction versions read their exact content
+    assert(Snapshots.readVersion(spark, table, 1).count() == base.count())
+    assert(Snapshots.readVersion(spark, table, 3).count() == li.count())
+  }
+
   test("hilbert-clustered layout prunes row groups on BOTH columns") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.FileSourceScanExec
