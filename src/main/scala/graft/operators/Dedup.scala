@@ -200,23 +200,32 @@ object Dedup {
 
   // ---- §2.2 row 23: SimHash, 4 × 15-bit pigeonhole blocks ----
 
+  /** SimHash 4×15-bit pigeonhole candidates: (a, b, sh_a, sh_b) pairs
+    * sharing ≥1 block. Public so the scale-law test can count them.
+    */
+  def simhashCandidates(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      graft.functions.Native.simhash60(col("text")).as("simhash"))
+    // pigeonhole: pairs within Hamming distance 3 share >= 1 of the
+    // 4 15-bit blocks (32,768 values each — candidate pairs shrink
+    // ~N²/131072 vs ~N²/2048 for the 8-bit-byte blocking).
+    val blocks = d.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned(col("simhash"), 15 * j).bitwiseAND(lit(32767L))): _*)))
+      .toDF("doc_id", "simhash", "block", "blockval")
+    blocks.toDF("a", "sh_a", "block", "blockval")
+      .join(blocks.toDF("b", "sh_b", "block", "blockval"), Seq("block", "blockval"))
+      .where(col("a") < col("b"))
+      .select("a", "b", "sh_a", "sh_b").distinct()
+  }
+
   val simhashDef: QueryDef = QueryDef(
     "d_dedup_simhash",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           graft.functions.Native.simhash60(col("text")).as("simhash"))
-      // pigeonhole: pairs within Hamming distance 3 share >= 1 of the
-      // 4 15-bit blocks (32,768 values each — candidate pairs shrink
-      // ~N²/131072 vs ~N²/2048 for the 8-bit-byte blocking).
-      val blocks = d.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(j =>
-          shiftrightunsigned(col("simhash"), 15 * j).bitwiseAND(lit(32767L))): _*)))
-        .toDF("doc_id", "simhash", "block", "blockval")
-      val cand = blocks.toDF("a", "sh_a", "block", "blockval")
-        .join(blocks.toDF("b", "sh_b", "block", "blockval"), Seq("block", "blockval"))
-        .where(col("a") < col("b"))
-        .select("a", "b", "sh_a", "sh_b").distinct()
+      val cand = simhashCandidates(Tables.load(s, dir, "documents"))
         .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
       val perDoc = cand.select(col("a").as("doc_id"), col("hamming"))
         .unionAll(cand.select(col("b").as("doc_id"), col("hamming")))
@@ -254,6 +263,25 @@ object Dedup {
     * clustering query.
     */
   def ngramNearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val (g, cand) = ngramStage(s, dir)
+    val full = g.select(col("doc_id"), col("grams"))
+    val inter = graft.functions.Native.sortedIntersectSize(col("g_a"), col("g_b"))
+    cand.join(full.toDF("a", "g_a"), "a").join(full.toDF("b", "g_b"), "b")
+      .select(col("a"), col("b"),
+        (inter.cast("double") /
+          (size(col("g_a")) + size(col("g_b")) - inter)).as("jaccard"))
+      .where(col("jaccard") >= SimT)
+  }
+
+  /** PPJoin prefix+positional-filter survivors (a, b) BEFORE exact
+    * verification — public so the scale-law test can compare the
+    * candidate count against the all-pairs-within-block baseline.
+    */
+  def ngramCandidates(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    ngramStage(s, dir)._2
+
+  private def ngramStage(
+      s: org.apache.spark.sql.SparkSession, dir: String): (DataFrame, DataFrame) = {
       val d = Tables.load(s, dir, "documents")
       // computed once, read three times (the inverted index feeding the
       // prefix pipeline + both sides of the verification join) — without
@@ -310,13 +338,7 @@ object Dedup {
         .where(lit(1) + col("slack") >=
           ceil((col("sz_a") + col("sz_b")) * lit(SimT) / (lit(1.0) + lit(SimT))))
         .select("a", "b")
-      val full = g.select(col("doc_id"), col("grams"))
-      val inter = graft.functions.Native.sortedIntersectSize(col("g_a"), col("g_b"))
-      cand.join(full.toDF("a", "g_a"), "a").join(full.toDF("b", "g_b"), "b")
-        .select(col("a"), col("b"),
-          (inter.cast("double") /
-            (size(col("g_a")) + size(col("g_b")) - inter)).as("jaccard"))
-        .where(col("jaccard") >= SimT)
+      (g, cand)
   }
 
   /** DuckDB twin of [[ngramNearDupPairs]] (CTE body; exhaustive

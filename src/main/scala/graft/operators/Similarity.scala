@@ -169,15 +169,24 @@ object Similarity {
     * similar pairs. Oracle shares the band arithmetic with the ANN
     * oracle.
     */
+  /** Banded-LSH candidate pairs (a < b) colliding in ≥1 of the
+    * [[BandsV]] 8-bit sign bands. Public so the scale-law test can
+    * check the ~BandsV·C(N,2)/2^BitsPerBand expected count.
+    */
+  def lshCandidatePairs(embeddings: DataFrame): DataFrame = {
+    val bv = bandedVectors(quantized(embeddings)
+      .withColumn("buckets", lshBandBuckets(col("q"))))
+    bv.toDF("a", "band", "bucket")
+      .join(bv.toDF("b", "band", "bucket"), Seq("band", "bucket"))
+      .where(col("a") < col("b")).select("a", "b").distinct()
+  }
+
   val embeddingNearDup: QueryDef = QueryDef(
     "d_dedup_embedding",
     (s, dir) => {
       val v = quantized(Tables.load(s, dir, "embeddings"))
         .withColumn("buckets", lshBandBuckets(col("q")))
-      val bv = bandedVectors(v)
-      val cand = bv.toDF("a", "band", "bucket")
-        .join(bv.toDF("b", "band", "bucket"), Seq("band", "bucket"))
-        .where(col("a") < col("b")).select("a", "b").distinct()
+      val cand = lshCandidatePairs(Tables.load(s, dir, "embeddings"))
       cand
         .join(v.select(col("vec_id").as("a"), col("q").as("q_a"), col("nrm").as("n_a")), Seq("a"))
         .join(v.select(col("vec_id").as("b"), col("q").as("q_b"), col("nrm").as("n_b")), Seq("b"))

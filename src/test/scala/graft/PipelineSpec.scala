@@ -192,4 +192,72 @@ class PipelineSpec extends SparkSpec {
       assert(scores(pred) == scores.values.max, s"pred $pred not argmax in $scores")
     }
   }
+
+  // ---- scale laws: candidate counts on a 10× corpus must track the
+  // ---- bucketing math each family's 100 TB claim rests on
+
+  private val sfSmall = "/root/testdata/sf0.01"
+  private val sfBig = "/root/testdata/sf0.1"   // 10× the documents
+
+  test("scale law: minhash LSH candidates grow linearly, never quadratically") {
+    def count(dir: String): (Double, Double) = {
+      val docs = Tables.load(spark, dir, "documents")
+      (docs.count().toDouble,
+        Dedup.minhashCandidates(Dedup.signed(docs)).count().toDouble)
+    }
+    val ((n1, c1), (n2, c2)) = (count(sfSmall), count(sfBig))
+    // the (band, bucket) domain is ~1e9, so random band collisions are
+    // negligible: candidates are dominated by TRUE near-duplicates,
+    // whose count is linear in N at a constant dup rate. 2× slack.
+    assert(c2 <= 2.0 * (n2 / n1) * c1,
+      s"candidate growth superlinear: N $n1->$n2, candidates $c1->$c2")
+    // and a vanishing fraction of all N²/2 pairs (no quadratic work)
+    assert(c2 <= n2 * n2 / 2 / 1000,
+      s"candidates not a vanishing fraction of all pairs: $c2 of ${n2 * n2 / 2}")
+  }
+
+  test("scale law: simhash block candidates track the N²/buckets prediction") {
+    def count(dir: String): (Double, Double) = {
+      val docs = Tables.load(spark, dir, "documents")
+      (docs.count().toDouble, Dedup.simhashCandidates(docs).count().toDouble)
+    }
+    val ((n1, c1), (n2, c2)) = (count(sfSmall), count(sfBig))
+    // block collisions dominate: candidates scale with N² (the 4
+    // 15-bit blocks divide the N²/2 pairs by a data-dependent but
+    // scale-free constant). The 10× corpus must show a ~100× count,
+    // within 2× either way.
+    val ratio = c2 / c1
+    val predicted = (n2 / n1) * (n2 / n1)
+    assert(ratio >= predicted / 2 && ratio <= predicted * 2,
+      s"quadratic scaling violated: ratio $ratio vs predicted $predicted")
+  }
+
+  test("scale law: embedding LSH candidates within 2× of Bands·C(N,2)/2^bits") {
+    for (dir <- Seq(sfSmall, sfBig)) {
+      val e = Tables.load(spark, dir, "embeddings")
+      val n = e.count().toDouble
+      val c = Similarity.lshCandidatePairs(e).count().toDouble
+      // 3 OR-bands of 8 sign bits: uniform-hash expectation is
+      // 3 · C(N,2) / 256 per the SURVEY §5 claim; real embeddings sit
+      // within 2× of uniform (signs decorrelate across hyperplanes)
+      val predicted = 3.0 * n * (n - 1) / 2 / 256
+      assert(c >= predicted / 2 && c <= predicted * 2,
+        s"$dir: $c candidates vs predicted $predicted (N=$n)")
+    }
+  }
+
+  test("scale law: PPJoin prefix filter cuts candidates well below the block baseline") {
+    for (dir <- Seq(sfSmall, sfBig)) {
+      val docs = Tables.load(spark, dir, "documents")
+      val cand = Dedup.ngramCandidates(spark, dir).count().toDouble
+      // baseline: exhaustive all-pairs within each (lang, len_band)
+      // block — what candidate generation would cost with blocking only
+      val blockPairs = docs.groupBy(col("lang"), floor(col("n_chars") / 40))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum((col("c") * (col("c") - 1)).cast("long") / 2).cast("long"))
+        .head().getLong(0).toDouble
+      assert(cand < blockPairs / 2,
+        s"$dir: prefix filter left $cand of $blockPairs block pairs")
+    }
+  }
 }
