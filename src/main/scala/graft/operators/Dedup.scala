@@ -380,8 +380,33 @@ object Dedup {
     * label key.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, localThreshold: Long = 100000): DataFrame = {
     // vertices: (v); edges: (src, dst) directed both ways
+    //
+    // Size-adaptive: the iteration frame is the NEAR-DUP GRAPH, not
+    // the corpus — usually orders of magnitude smaller. When it fits
+    // comfortably on the driver (≤ localThreshold edges ≈ 1.6 MB),
+    // a driver-side union-find replaces K rounds × 2 Spark jobs of
+    // scheduler latency with one collect; the distributed min-label
+    // loop below is the ≥ threshold path (and the one the scale story
+    // rests on — forced in tests via localThreshold = 0).
+    if (localThreshold > 0 && edges.count() <= localThreshold) {
+      val spark = vertices.sparkSession
+      val vs = vertices.select("v").collect().map(_.getLong(0))
+      val parent = scala.collection.mutable.HashMap.from(vs.map(v => v -> v))
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges.select("src", "dst").collect().foreach { e =>
+        val (a, b) = (find(e.getLong(0)), find(e.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      import spark.implicits._
+      return vs.map(v => (v, find(v))).toSeq.toDF("v", "label")
+        .repartition(1).localCheckpoint()
+    }
     var labels = vertices.select(col("v"), col("v").as("label")).localCheckpoint()
     var iter = 0
     var changed = 1L

@@ -73,10 +73,16 @@ class PipelineSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+    // small-graph fast path (driver union-find) …
     val got = Dedup.connectedComponents(vs, edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L), got.toString)
+    assert(got == expected, got.toString)
+    // … and the distributed min-label loop must agree (forced)
+    val gotDist = Dedup.connectedComponents(vs, edges, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == expected, gotDist.toString)
   }
 
   test("native sorted-intersect matches array_intersect semantics") {
