@@ -428,6 +428,32 @@ object Dedup {
     labels
   }
 
+  /** Incrementally maintain a component labeling as new near-dup
+    * edges stream in (the production shape: nightly dedup emits new
+    * pairs; relabeling the full corpus graph from scratch is wasted
+    * work). The prior labeling is sound exactly because each old
+    * component is connected THROUGH its label vertex — so collapsing
+    * every old component to a star (v ↔ label) preserves
+    * connectivity, and running [[connectedComponents]] over
+    * stars ∪ new edges yields the same labels as a full recompute
+    * (tested) while iterating only over the collapsed graph:
+    * O(|labels| + |new edges|) per round, with round count driven by
+    * how many old components the new edges chain together, not by the
+    * original graph's diameter.
+    */
+  def incrementalComponents(oldLabels: DataFrame, newEdges: DataFrame,
+      maxIters: Int = 20, localThreshold: Long = 100000): DataFrame = {
+    val stars = oldLabels.where(col("v") =!= col("label"))
+      .select(col("v").as("src"), col("label").as("dst"))
+    val edges = stars
+      .unionAll(stars.select(col("dst").as("src"), col("src").as("dst")))
+      .unionAll(newEdges)
+    val vertices = oldLabels.select("v")
+      .unionAll(newEdges.select(col("src").as("v")))
+      .distinct()
+    connectedComponents(vertices, edges, maxIters, localThreshold)
+  }
+
   val cluster: QueryDef = QueryDef(
     "d_dedup_cluster",
     (s, dir) => {

@@ -252,7 +252,38 @@ object Extended {
              FROM lineitem
              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""))
 
+  /** Multiset (ALL) set operations — the bag-semantics counterparts
+    * of §2.1 row 22, through the SQL-text interface: INTERSECT ALL
+    * keeps min(count_l, count_r) copies per value, EXCEPT ALL
+    * subtracts counts. Catalyst plans both as a single aggregate of
+    * per-side counts + generate (no distinct collapse) — one shuffle,
+    * same scale shape as the DISTINCT variants.
+    */
+  val setOpsAll: QueryDef = QueryDef(
+    "q_set_ops_all",
+    (s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_sa")
+      s.sql("""SELECT 'open_and_filled' AS tag, c FROM (
+                 SELECT o_custkey AS c FROM orders_sa WHERE o_orderstatus = 'O'
+                 INTERSECT ALL
+                 SELECT o_custkey FROM orders_sa WHERE o_orderstatus = 'F') t1
+               UNION ALL
+               SELECT 'open_minus_filled' AS tag, c FROM (
+                 SELECT o_custkey AS c FROM orders_sa WHERE o_orderstatus = 'O'
+                 EXCEPT ALL
+                 SELECT o_custkey FROM orders_sa WHERE o_orderstatus = 'F') t2""")
+    },
+    Some("""SELECT 'open_and_filled' AS tag, c FROM (
+              SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+              INTERSECT ALL
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t1
+            UNION ALL
+            SELECT 'open_minus_filled' AS tag, c FROM (
+              SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+              EXCEPT ALL
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t2"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
-    subqueryScalar, existsSubquery, cube, windowFrames, groupingSets)
+    subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll)
 }

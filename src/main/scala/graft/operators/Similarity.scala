@@ -206,6 +206,45 @@ object Similarity {
          SELECT a, b, CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim
          FROM p ORDER BY sim DESC, a, b LIMIT 20"""))
 
+  /** §2.2 row 27d — all-pairs kNN JOIN: the top-k neighbor list for
+    * EVERY vector (not just a query set) — the shape behind corpus-
+    * wide diversity sampling and near-dup graph construction. Banded
+    * LSH candidates (symmetrized) → exact cosine → per-vector top-3
+    * via window, which plans as a two-phase WindowGroupLimit: each
+    * partition keeps ≤k rows per vector BEFORE the shuffle, so the
+    * exchange carries O(N·k), not the candidate set. ANN semantics:
+    * vectors colliding in no band have no row — recall is tuned by
+    * bands/bits, never by widening to N².
+    */
+  val knnJoin: QueryDef = QueryDef(
+    "s_knn_join",
+    (s, dir) => {
+      val v = quantized(Tables.load(s, dir, "embeddings"))
+      val cand = lshCandidatePairs(Tables.load(s, dir, "embeddings"))
+      val sym = cand.unionAll(cand.select(col("b").as("a"), col("a").as("b")))
+      val scored = sym
+        .join(v.select(col("vec_id").as("a"), col("q").as("q_a"), col("nrm").as("n_a")), Seq("a"))
+        .join(v.select(col("vec_id").as("b"), col("q").as("q_b"), col("nrm").as("n_b")), Seq("b"))
+        .select(col("a").as("q_id"), col("b").as("n_id"),
+          cosine(dotL(col("q_a"), col("q_b")), col("n_a"), col("n_b")).as("sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select("q_id", "n_id", "sim")
+    },
+    Some(s"""WITH $quantizedSql, $bandedSql,
+         cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+             FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
+             WHERE l.vec_id <> r.vec_id),
+         p AS (SELECT c.a AS q_id, c.b AS n_id,
+              CAST(list_sum(list_transform(list_zip(x.q, y.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+              x.nrm AS na, y.nrm AS nb
+            FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b),
+         sc AS (SELECT q_id, n_id,
+              CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM p)
+         SELECT q_id, n_id, sim FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
+         WHERE rn <= 3"""))
+
   /** §2.2 row 27c — multi-probe LSH ANN: queries probe their own
     * bucket AND every 1-bit-flip neighbor in each band (1 + 8 probes
     * per band). The near-miss case banding alone drops — a 0.9-cosine
@@ -443,5 +482,5 @@ object Similarity {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf)
+    Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf, knnJoin)
 }

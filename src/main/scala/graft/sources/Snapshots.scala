@@ -215,6 +215,23 @@ object Snapshots {
       dirs.filterNot(deltas.contains) :+ dir)
   }
 
+  /** MAJOR compaction: merge EVERY current dir — clustered runs and
+    * deltas alike — into one freshly Z-ordered dir (the tier above
+    * [[compact]]: minor compactions bound the run count cheaply;
+    * an occasional major pass restores the single-run layout whose
+    * per-file min/max boxes are globally tight). O(table) by design,
+    * so schedule it like any table rewrite. Dirs that race in after
+    * our snapshot read survive untouched.
+    */
+  def compactFull(spark: SparkSession, table: String, zCols: Seq[String],
+      files: Int = 16): Int = {
+    val snap = manifestDirs(table, currentVersion(table))
+    val dir = stageDir(table)
+    Sources.writeZOrderedN(spark.read.parquet(snap: _*), dir, zCols, files = files)
+    markClustered(dir)
+    commitTransform(table)(dirs => dir +: dirs.filterNot(snap.contains))
+  }
+
   /** Drop data directories unreachable from the retained manifests
     * (keep the last `retain` versions). Returns deleted dir count.
     */

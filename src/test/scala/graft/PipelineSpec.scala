@@ -85,6 +85,54 @@ class PipelineSpec extends SparkSpec {
     assert(gotDist == expected, gotDist.toString)
   }
 
+  test("incremental connected components equal a full recompute") {
+    import graft.operators.Dedup
+    def sym(pairs: Seq[(Long, Long)]) = {
+      val p = pairs.toDF("a", "b")
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(p.select(col("b").as("src"), col("a").as("dst")))
+    }
+    // epoch 1: components {1,2,3}, {10,11}; 20 isolated
+    val vs1 = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("v")
+    val labels1 = Dedup.connectedComponents(vs1, sym(Seq((1L, 2L), (2L, 3L), (10L, 11L))))
+    // epoch 2: a bridge 3–10 merges two old components; 30–31 is new
+    val newEdges = sym(Seq((3L, 10L), (30L, 31L)))
+    val incr = Dedup.incrementalComponents(labels1, newEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(
+      Seq(1L, 2L, 3L, 10L, 11L, 20L, 30L, 31L).toDF("v"),
+      sym(Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L), (30L, 31L))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == full, s"incremental $incr vs full $full")
+    assert(incr(11L) == 1L, "old components merged by the bridge must relabel")
+    // both code paths (driver union-find above; distributed forced)
+    val incrDist = Dedup.incrementalComponents(labels1, newEdges, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incrDist == full)
+  }
+
+  test("IVF at √N centroids: probes read ~NProbe/C of the corpus") {
+    val e = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val n = e.count()
+    val c = math.sqrt(n.toDouble).round.toInt  // the 100 TB sizing rule
+    val (centroids, _) = Similarity.ivfBuild(e, c = c, rounds = 2)
+    val q = Similarity.quantize(col("embedding"))
+    val v = e.select(col("vec_id"), q.as("q"))
+      .withColumn("nrm", Similarity.dotL(col("q"), col("q")))
+    val assigned = Similarity.ivfAssign(v, centroids).localCheckpoint()
+    assert(assigned.count() == n, "every vector lands in exactly one list")
+    // k-means lists skew, but reading the NProbe densest lists must
+    // still be a small corpus fraction — the serving-cost claim
+    val listSizes = assigned.groupBy("cid").agg(count(lit(1)).as("sz"))
+      .orderBy(col("sz").desc).collect().map(_.getLong(1))
+    val worstProbe = listSizes.take(2).sum.toDouble  // NProbe = 2
+    assert(worstProbe / n < 0.25,
+      s"2 densest of ${listSizes.length} lists hold ${worstProbe / n} of the corpus")
+    val avgProbe = 2.0 * n / listSizes.length
+    assert(worstProbe < 8 * avgProbe,
+      s"list skew: worst 2-probe $worstProbe vs avg $avgProbe")
+  }
+
   test("native sorted-intersect matches array_intersect semantics") {
     import graft.functions.Native
     val df = Seq((Seq(1L, 3L, 5L, 7L), Seq(2L, 3L, 5L, 9L, 11L))).toDF("a", "b")

@@ -244,6 +244,15 @@ class SourcesSpec extends SparkSpec {
     // time travel: pre-compaction versions read their exact content
     assert(Snapshots.readVersion(spark, table, 1).count() == base.count())
     assert(Snapshots.readVersion(spark, table, 3).count() == li.count())
+
+    // major compaction: more deltas accumulate, then EVERYTHING merges
+    // into one globally clustered run
+    assert(Snapshots.appendDelta(d1.limit(100), table) == 5)
+    assert(Snapshots.compactFull(spark, table, zc) == 6)
+    assert(Snapshots.read(spark, table).count() == li.count() + 100)
+    assert(new java.io.File(s"$table/data").listFiles().count(d =>
+      Snapshots.versionDirs(table, 6).contains(d.toString)) == 1,
+      "major compaction must leave exactly one data dir")
   }
 
   test("hilbert-clustered layout prunes row groups on BOTH columns") {
