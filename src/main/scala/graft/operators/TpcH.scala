@@ -362,5 +362,223 @@ object TpcH {
               AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""))
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q6, q12, q13, q14, q16, q17, q18, q20, q21)
+  /** Q4 order-priority checking: EXISTS over lineitem decorrelated to
+    * a semi-join on orderkey, then a tiny priority aggregate.
+    */
+  val q4: QueryDef = QueryDef(
+    "q_tpch_q4",
+    (s, dir) => {
+      val heavy = Tables.load(s, dir, "lineitem")
+        .where(col("l_quantity") > 45).select("l_orderkey")
+      Tables.load(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+            GROUP BY o_orderpriority"""))
+
+  /** Q5 local-supplier volume: the co-nation join (customer's nation =
+    * supplier's nation) threaded through two fact joins; supplier and
+    * nation ride as broadcasts, facts shuffle once each on their keys.
+    */
+  val q5: QueryDef = QueryDef(
+    "q_tpch_q5",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val sn = broadcast(Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(sn, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(Portable.revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+    },
+    Some(s"""SELECT n_name, ${P.revenueSum("l_extendedprice", "l_discount")} AS revenue
+         FROM customer, orders, lineitem, supplier, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name"""))
+
+  /** Q10 returned-item reporting: revenue lost to returns per
+    * customer, top-20 by TakeOrderedAndProject.
+    */
+  val q10: QueryDef = QueryDef(
+    "q_tpch_q10",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.load(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val c = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val n = broadcast(Tables.load(s, dir, "nation").select("n_nationkey", "n_name"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(Portable.revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         ${P.revenueSum("l_extendedprice", "l_discount")} AS revenue
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-07-01'
+           AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
+  /** Q11 important stock (adapted: lineitem value stands in for
+    * partsupp): per-part value among a nation group's suppliers,
+    * HAVING above a fraction of the GLOBAL value — the grouped
+    * aggregate vs scalar-subquery-over-the-same-join shape. The
+    * global total is one extra narrow aggregate broadcast into the
+    * HAVING filter, never a recompute per group.
+    */
+  val q11: QueryDef = QueryDef(
+    "q_tpch_q11",
+    (s, dir) => {
+      val sn = broadcast(Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .where(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey"))
+      val lv = Tables.load(s, dir, "lineitem")
+        .join(sn, col("l_suppkey") === col("s_suppkey"))
+        .select("l_partkey", "l_extendedprice")
+      val per = lv.groupBy("l_partkey")
+        .agg(Portable.dsum(col("l_extendedprice")).as("value"))
+      val total = lv.agg((Portable.dsum(col("l_extendedprice")) * 0.0001).as("cut"))
+      per.join(broadcast(total), col("value") > col("cut"))
+        .select("l_partkey", "value")
+    },
+    Some(s"""SELECT l_partkey, ${P.dsum("l_extendedprice")} AS value
+         FROM lineitem, supplier, nation
+         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+         GROUP BY l_partkey
+         HAVING ${P.dsum("l_extendedprice")} > (
+           SELECT 0.0001 * ${P.dsum("l_extendedprice")}
+           FROM lineitem, supplier, nation
+           WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))"""))
+
+  /** Q15 top supplier: the revenue "view" reused twice — once grouped,
+    * once for its max — without recomputation on the Spark side (the
+    * max is a one-row broadcast joined back on equality; exact-decimal
+    * revenue makes the double equality safe in both engines).
+    */
+  val q15: QueryDef = QueryDef(
+    "q_tpch_q15",
+    (s, dir) => {
+      val rev = Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(Portable.revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("total_revenue"))
+        .localCheckpoint()
+      val mx = broadcast(rev.agg(max(col("total_revenue")).as("mx")))
+      Tables.load(s, dir, "supplier").select("s_suppkey", "s_name")
+        .join(rev, col("s_suppkey") === col("supplier_no"))
+        .join(mx, col("total_revenue") === col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    },
+    Some(s"""WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+             ${P.revenueSum("l_extendedprice", "l_discount")} AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue FROM supplier, revenue
+         WHERE s_suppkey = supplier_no
+           AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)"""))
+
+  /** Q19 discounted revenue: the disjunction-of-conjunctions predicate
+    * (brand × size × quantity bands) over a broadcast part join —
+    * Catalyst keeps the whole OR inside one codegen'd filter stage.
+    */
+  val q19: QueryDef = QueryDef(
+    "q_tpch_q19",
+    (s, dir) => {
+      val p = broadcast(Tables.load(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_size"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 21)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 40)))
+        .agg(sum(Portable.revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+    },
+    Some(s"""SELECT ${P.revenueSum("l_extendedprice", "l_discount")} AS revenue
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey AND (
+           (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40))"""))
+
+  /** Q22 global-sales opportunity (adapted: no phone column, so
+    * "dormant" = no orders in the data's final months): above-average-
+    * balance customers with no recent orders, per market segment —
+    * scalar subquery + anti-join.
+    */
+  val q22: QueryDef = QueryDef(
+    "q_tpch_q22",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val cut = broadcast(c.where(col("c_acctbal") > 0)
+        .agg(Portable.davg(col("c_acctbal")).as("cut")))
+      val recent = Tables.load(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+      c.join(cut, col("c_acctbal") > col("cut"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          Portable.dsum(col("c_acctbal")).as("totacctbal"))
+    },
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS numcust,
+         ${P.dsum("c_acctbal")} AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT ${P.davg("c_acctbal")} FROM customer
+                            WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2001-01-01')
+         GROUP BY c_mktsegment"""))
+
+  val defs: Seq[QueryDef] = Seq(q1, q3, q4, q5, q6, q10, q11, q12, q13, q14,
+    q15, q16, q17, q18, q19, q20, q21, q22)
 }
