@@ -18,9 +18,13 @@ object SparkEntry {
       TextFunctions.defs ++ Events.defs ++ Dedup.defs ++
       Similarity.defs ++ Multimodal.defs ++ SourceQueries.defs ++ TpcH.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The end-to-end preprocessing pipeline (normalize →
+    * quality gate → dedup → per-language stats) — the single plan a
+    * reference user would run nightly.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_groupby_agg")(spark, "/root/testdata/sf0.001")
+    queries("t_pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

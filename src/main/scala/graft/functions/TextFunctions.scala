@@ -232,7 +232,80 @@ object TextFunctions {
          FROM ex e JOIN bench b ON e.gram = b.gram
          WHERE e.doc_id >= 10 GROUP BY e.doc_id"""))
 
+  /** Deterministic WEIGHTED Bernoulli sampling: P(keep) ∝ n_chars —
+    * the importance-sampling primitive (upweight long documents, or
+    * any per-row weight) with hash-derived "randomness", so the sample
+    * is reproducible across engines, runs, and partitionings. Keep a
+    * row iff h60(text)/2^60 < w/max(w): h/2^60 divides by a power of
+    * two (exact) and both engines evaluate the same IEEE quotient on
+    * the right, so the comparison is bit-deterministic. One narrow
+    * pass + a one-row broadcast for the weight normalizer.
+    */
+  val weightedSample: QueryDef = QueryDef(
+    "t_weighted_sample",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val mx = broadcast(d.agg(max(col("n_chars")).as("mx")))
+      val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+      d.crossJoin(mx)
+        .where(h.cast("double") / 1152921504606846976.0 <
+          col("n_chars").cast("double") / col("mx").cast("double"))
+        .select("doc_id", "lang", "n_chars")
+    },
+    Some(s"""SELECT doc_id, lang, n_chars FROM documents
+         WHERE CAST(${Portable.textSql.h60("text")} AS DOUBLE) / 1152921504606846976.0 <
+           CAST(n_chars AS DOUBLE) /
+             CAST((SELECT MAX(n_chars) FROM documents) AS DOUBLE)"""))
+
+  /** The END-TO-END preprocessing pipeline as ONE declarative plan —
+    * what a reference user actually runs nightly: normalize → quality
+    * gate → exact dedup on the normalized fingerprint (keep the
+    * earliest copy) → per-language corpus statistics. Catalyst fuses
+    * normalize+quality+fingerprint into a single codegen'd map stage;
+    * the only shuffles are the dedup's 16-byte-key aggregate and the
+    * final tiny per-language rollup — the whole pipeline touches the
+    * corpus exactly once at any scale.
+    */
+  val pipelineE2e: QueryDef = QueryDef(
+    "t_pipeline_e2e",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val nChars = length(col("text"))
+      val nTokens = (nChars - length(replace(col("text"), lit(" "), lit("")))) + 1
+      val staged = d.select(col("doc_id"), col("lang"), md5(norm).as("norm_fp"),
+          nTokens.as("n_tokens"))
+        .where(col("n_tokens").between(10, 500))
+      val deduped = staged.groupBy("norm_fp")
+        .agg(min(col("doc_id")).as("doc_id"),
+          // min, not first: copies of the same normalized text can
+          // differ in raw token count / label, and first() is
+          // partition-order-dependent
+          min(col("lang")).as("lang"), min(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).as("n_copies"))
+      deduped.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          sum(col("n_copies") - 1).cast("long").as("n_dups_removed"))
+    },
+    Some("""WITH staged AS (
+           SELECT doc_id, lang,
+             md5(TRIM(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+           FROM documents
+           WHERE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 BETWEEN 10 AND 500),
+         deduped AS (
+           SELECT norm_fp, MIN(doc_id) AS doc_id,
+             MIN(lang) AS lang, MIN(n_tokens) AS n_tokens,
+             COUNT(*) AS n_copies
+           FROM staged GROUP BY norm_fp)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_dups_removed
+         FROM deduped GROUP BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, hashSample, stratifiedSample,
-      normalize, contamination)
+      normalize, contamination, weightedSample, pipelineE2e)
 }
