@@ -37,6 +37,30 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    val path = s"$tmp/orders_dpp"
+    Sources.writePartitioned(orders, path, "o_year")
+    val fact = spark.read.parquet(path)
+    // the year filter lives on the DIM side only — static pruning
+    // can't see it; DPP must push a runtime subquery filter into the
+    // fact scan's PartitionFilters
+    import spark.implicits._
+    // dim must be a real datasource: a local relation folds the filter
+    // away and DPP sees no selective predicate to subscribe to
+    Seq((1996, "pick"), (1997, "skip"), (1998, "skip"))
+      .toDF("d_year", "d_tag").write.mode("overwrite").parquet(s"$tmp/year_dim")
+    val dim = spark.read.parquet(s"$tmp/year_dim")
+    val joined = fact.join(dim.where(col("d_tag") === "pick"),
+      col("o_year") === col("d_year"))
+    val plan = physicalPlan(joined)
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected runtime partition pruning in:\n$plan")
+    assert(joined.count() ==
+      orders.where(col("o_year") === 1996).count())
+  }
+
   test("dynamic partition overwrite isolates writers per partition (P3 analog)") {
     // the reference serializes table writes with X locks; Spark's
     // equivalent isolation unit is the partition + atomic job commit
