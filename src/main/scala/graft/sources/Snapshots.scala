@@ -68,18 +68,23 @@ object Snapshots {
   private def manifestDirs(table: String, version: Int): Seq[String] = {
     val p = meta(table).resolve(s"v$version.manifest")
     require(Files.exists(p), s"no snapshot v$version at $table")
-    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty)
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
   /** Atomically claim version `version`: true iff this caller created
     * the manifest. Content is staged to a unique tmp file first, so
     * the claim publishes fully-written bytes; the hard link is the
-    * atomic create-exclusive.
+    * atomic create-exclusive. `tags` are provenance comment lines
+    * ('#'-prefixed, ignored by [[manifestDirs]]) committed ATOMICALLY
+    * with the version — the exactly-once anchor for streaming ingest.
     */
-  private def claimManifest(table: String, version: Int, dirs: Seq[String]): Boolean = {
+  private def claimManifest(table: String, version: Int, dirs: Seq[String],
+      tags: Seq[String] = Nil): Boolean = {
     Files.createDirectories(meta(table))
     val tmp = meta(table).resolve(s".v$version-${java.util.UUID.randomUUID}.tmp")
-    Files.write(tmp, dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp,
+      (tags.map("#" + _) ++ dirs).mkString("\n").getBytes(StandardCharsets.UTF_8))
     try {
       Files.createLink(meta(table).resolve(s"v$version.manifest"), tmp)
       true
@@ -100,12 +105,13 @@ object Snapshots {
     * `dirsFor(prevVersion)` recomputes the manifest content against
     * the CURRENT predecessor on every attempt.
     */
-  private def commitLoop(table: String, dirsFor: Int => Seq[String]): Int = {
+  private def commitLoop(table: String, dirsFor: Int => Seq[String],
+      tags: Seq[String] = Nil): Int = {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       val prev = currentVersion(table)
       val v = prev + 1
-      if (claimManifest(table, v, dirsFor(prev))) return v
+      if (claimManifest(table, v, dirsFor(prev), tags)) return v
       attempt += 1
     }
     sys.error(s"commit to $table failed after $MaxCommitAttempts attempts")
@@ -157,6 +163,53 @@ object Snapshots {
   /** Time travel: read the exact content of any committed version. */
   def readVersion(spark: SparkSession, table: String, version: Int): DataFrame =
     spark.read.parquet(manifestDirs(table, version): _*)
+
+  // ---- streaming ingest: exactly-once micro-batch commits ----
+
+  private def ingestTag(streamId: String, batchId: Long) =
+    s"ingest $streamId $batchId"
+
+  /** True iff (streamId, batchId) already committed — scans the (tiny)
+    * manifest set for the provenance tag. On a metastore-backed
+    * deployment this is one conditional read.
+    */
+  def batchCommitted(table: String, streamId: String, batchId: Long): Boolean = {
+    val m = meta(table)
+    if (!Files.exists(m)) return false
+    val needle = "#" + ingestTag(streamId, batchId)
+    Files.list(m).iterator().asScala
+      .filter(_.getFileName.toString.matches("^v\\d+\\.manifest$"))
+      .exists(p => Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        .exists(_ == needle))
+  }
+
+  /** Commit one micro-batch EXACTLY ONCE: the (streamId, batchId)
+    * provenance tag travels inside the atomically-claimed manifest,
+    * so a replayed batch (Structured Streaming re-runs foreachBatch
+    * after failures) sees its tag and no-ops instead of appending
+    * twice. Returns the (existing or new) committed version.
+    */
+  def ingestBatch(df: DataFrame, table: String, streamId: String,
+      batchId: Long): Int = {
+    if (batchCommitted(table, streamId, batchId)) return currentVersion(table)
+    val dir = writeData(df, table)
+    commitLoop(table, prev =>
+      (if (prev == 0) Seq.empty else manifestDirs(table, prev)) :+ dir,
+      tags = Seq(ingestTag(streamId, batchId)))
+  }
+
+  /** Continuous ingestion: run a streaming DataFrame into the
+    * versioned table — one snapshot version per micro-batch, readers
+    * always see a consistent committed snapshot, time travel works
+    * per batch, and batch replays are idempotent via [[ingestBatch]].
+    */
+  def ingestStream(stream: DataFrame, table: String, streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, table, streamId, batchId)
+        ()
+      }
 
   // ---- clustered tables: merge-on-append + delta compaction ----
 

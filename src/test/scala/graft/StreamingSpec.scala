@@ -146,6 +146,43 @@ class StreamingSpec extends SparkSpec {
     assert(dupsOf(90L).isEmpty, s"doc 90 must not match beyond the horizon: ${hits.toList}")
   }
 
+  test("streaming ingest into the snapshot table format is exactly-once per batch") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = "/root/repo/target/sources-spec/ingest_tbl"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(table))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Snapshots.ingestStream(mem.toDF.toDF("id", "payload"), table, "s1").start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // every micro-batch became a consistent committed version
+    val vAfter = Snapshots.currentVersion(table)
+    assert(vAfter >= 2, s"expected one version per batch, got $vAfter")
+    assert(Snapshots.read(spark, table).count() == 3)
+    // version 1 time-travels to exactly the first batch
+    assert(Snapshots.readVersion(spark, table, 1).count() == 2)
+
+    // a replayed batch (same stream, same batchId) must NO-OP: the
+    // provenance tag rides inside the atomically-claimed manifest
+    val replay = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+    assert(Snapshots.ingestBatch(replay, table, "s1", 0L) == vAfter)
+    assert(Snapshots.currentVersion(table) == vAfter, "replay committed twice")
+    assert(Snapshots.read(spark, table).count() == 3)
+    // …while a NEW batch id still commits
+    assert(Snapshots.ingestBatch(replay, table, "s1", 99L) == vAfter + 1)
+    assert(Snapshots.read(spark, table).count() == 5)
+  }
+
   test("transformWithState sessionization matches batch q_events_sessionize") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
