@@ -84,7 +84,41 @@ object StatsQueries {
         element_at(col("p"), 2).as("price_p95")),
     None)
 
-  val defs: Seq[QueryDef] = Seq(histogram, tableStats, stringHistogram, approxStats)
+  /** Equi-DEPTH histogram (the complement of row 15's equi-width):
+    * bucket boundaries are the 8-quantiles of l_quantity, computed as
+    * SEVEN SCALARS in one aggregate and broadcast — never a global
+    * ntile sort (a single-task scale-killer); bucket assignment is a
+    * sum of seven comparisons inside codegen, then one hash
+    * aggregate. Integer-valued quantities make the quantile
+    * interpolation exact in both engines.
+    */
+  val histogramEquiDepth: QueryDef = QueryDef(
+    "q_histogram_equidepth",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val qs = (1 to 7).map(i =>
+        expr(s"percentile(l_quantity, ${i / 8.0})").as(s"b$i"))
+      val bounds = broadcast(li.agg(qs.head, qs.tail: _*))
+      val bucket = (1 to 7).map(i =>
+        when(col("l_quantity") > col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+      li.crossJoin(bounds)
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
+    },
+    Some {
+      val bs = (1 to 7).map(i => s"quantile_cont(l_quantity, ${i / 8.0}) AS b$i")
+        .mkString(", ")
+      val bucket = (1 to 7).map(i =>
+        s"CASE WHEN l_quantity > b$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH bounds AS (SELECT $bs FROM lineitem)
+          SELECT CAST($bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+            MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
+          FROM lineitem, bounds GROUP BY 1"""
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(histogram, tableStats, stringHistogram, approxStats, histogramEquiDepth)
 
   /** Equi-width histogram summary of a numeric column: (lo, hi,
     * bucket counts). One narrow aggregate pass; the B-bucket result is

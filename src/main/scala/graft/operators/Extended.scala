@@ -283,7 +283,30 @@ object Extended {
               EXCEPT ALL
               SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t2"""))
 
+  /** Correlated scalar subquery IN THE PROJECTION — the remaining
+    * subquery position (§2.1 row 30 covers the WHERE clause): each
+    * customer's maximum order value, null for customers with no
+    * orders. Catalyst decorrelates to ONE grouped aggregate
+    * left-outer-joined back on the correlation key — no per-row
+    * subquery execution.
+    */
+  val subquerySelect: QueryDef = QueryDef(
+    "q_subquery_select",
+    (s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer_ss")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_ss")
+      s.sql("""SELECT c_custkey,
+                 (SELECT MAX(o_totalprice) FROM orders_ss o
+                  WHERE o.o_custkey = c.c_custkey) AS max_order
+               FROM customer_ss c""")
+    },
+    Some("""SELECT c_custkey,
+            (SELECT MAX(o_totalprice) FROM orders o
+             WHERE o.o_custkey = c.c_custkey) AS max_order
+            FROM customer c"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
-    subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll)
+    subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll,
+    subquerySelect)
 }
