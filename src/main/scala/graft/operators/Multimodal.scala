@@ -92,5 +92,48 @@ object Multimodal {
     Some("""WITH f AS (SELECT doc_id, unnest(range(1, doc_id % 30 + 2)) AS frame FROM documents)
             SELECT doc_id, CAST(frame AS BIGINT) AS frame FROM f WHERE frame % 3 = 0"""))
 
-  val defs: Seq[QueryDef] = Seq(metaQuery, frameSample)
+  /** Patch/tile extraction — the vision-training prep shape (image →
+    * fixed-size patch grid): each item expands map-side into its
+    * 64×64 patch coordinates with clamped pixel bounds (the resize/
+    * crop arithmetic a real decoder would apply per patch), sampled
+    * modularly to bound output. Like frame sampling this is pure
+    * map-side row generation — no shuffle, payloads never move, and
+    * the patch grid prunes to metadata at the scan.
+    */
+  val patchGrid: QueryDef = QueryDef(
+    "m_patch_grid",
+    (s, dir) => {
+      val P = 64L
+      val w = octet_length(col("text")).cast("long") % 640 + 32
+      val h = (octet_length(col("text")).cast("long") * 7) % 480 + 32
+      val nx = ceil(w.cast("double") / P).cast("long")
+      val ny = ceil(h.cast("double") / P).cast("long")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), w.as("w"), h.as("h"), nx.as("nx"), ny.as("ny"))
+        .select(col("doc_id"), col("w"), col("h"), col("ny"),
+          explode(sequence(lit(0L), col("nx") - 1)).as("px"))
+        .select(col("doc_id"), col("w"), col("h"), col("px"),
+          explode(sequence(lit(0L), col("ny") - 1)).as("py"))
+        .where((col("px") + col("py")) % 5 === 0)
+        .select(col("doc_id"), col("px"), col("py"),
+          (col("px") * P).as("x0"), (col("py") * P).as("y0"),
+          least(col("px") * P + P, col("w")).as("x1"),
+          least(col("py") * P + P, col("h")).as("y1"))
+    },
+    Some("""WITH m AS (SELECT doc_id,
+              CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) % 640 + 32 AS w,
+              (CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) * 7) % 480 + 32 AS h
+            FROM documents),
+          g AS (SELECT doc_id, w, h,
+              CAST(CEIL(CAST(w AS DOUBLE) / 64) AS BIGINT) AS nx,
+              CAST(CEIL(CAST(h AS DOUBLE) / 64) AS BIGINT) AS ny
+            FROM m),
+          px AS (SELECT doc_id, w, h, ny, unnest(range(0, nx)) AS px FROM g),
+          pp AS (SELECT doc_id, w, h, px, unnest(range(0, ny)) AS py FROM px)
+          SELECT doc_id, CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+            CAST(px * 64 AS BIGINT) AS x0, CAST(py * 64 AS BIGINT) AS y0,
+            LEAST(px * 64 + 64, w) AS x1, LEAST(py * 64 + 64, h) AS y1
+          FROM pp WHERE (px + py) % 5 = 0"""))
+
+  val defs: Seq[QueryDef] = Seq(metaQuery, frameSample, patchGrid)
 }
