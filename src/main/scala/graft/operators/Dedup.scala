@@ -491,5 +491,56 @@ object Dedup {
          SELECT c.doc_id, c.canonical_id, sz.cluster_size
          FROM canon c JOIN sz USING (canonical_id)"""))
 
-  val defs: Seq[QueryDef] = Seq(exact, minhash, simhashDef, ngramJaccard, cluster)
+  /** Canonical-document SELECTION BY QUALITY — the step after
+    * clustering in a real pipeline: within each near-dup cluster keep
+    * the longest document (ties to the smaller id) rather than
+    * blindly the smallest id. Composition of the cluster labels with
+    * a per-cluster argmax window; the window partitions by cluster
+    * label (cardinality grows with the corpus, partitions stay
+    * cluster-sized). Emits one row per KEPT document with how many
+    * duplicates it absorbed.
+    */
+  val canonicalByQuality: QueryDef = QueryDef(
+    "d_dedup_canonical",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val pairs = ngramNearDupPairs(s, dir)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      val touched = edges.select(col("src").as("v")).distinct()
+      val labels = connectedComponents(touched, edges)
+      val byQuality = Window.partitionBy("label")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val kept = labels.join(d.select(col("doc_id"), col("n_chars")),
+          col("v") === col("doc_id"))
+        .withColumn("rk", row_number().over(byQuality))
+        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
+        .where(col("rk") === 1)
+        .select(col("doc_id"), col("n_chars"),
+          (col("cluster_size") - 1).cast("long").as("n_absorbed"))
+      val isolated = d.select(col("doc_id"), col("n_chars"))
+        .join(touched.toDF("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"), lit(0L).as("n_absorbed"))
+      kept.unionAll(isolated)
+    },
+    Some(s"""WITH RECURSIVE $ngramPairsSql,
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b, a FROM pairs),
+         reach(src, node) AS (
+           SELECT doc_id AS src, doc_id AS node FROM documents
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+         canon AS (SELECT src AS doc_id, MIN(node) AS label
+                   FROM reach GROUP BY src),
+         ranked AS (SELECT c.doc_id, d.n_chars, c.label,
+             ROW_NUMBER() OVER (PARTITION BY c.label
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY c.label) AS cluster_size
+           FROM canon c JOIN documents d USING (doc_id))
+         SELECT doc_id, n_chars, CAST(cluster_size - 1 AS BIGINT) AS n_absorbed
+         FROM ranked WHERE rk = 1"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(exact, minhash, simhashDef, ngramJaccard, cluster, canonicalByQuality)
 }
