@@ -305,8 +305,33 @@ object Extended {
              WHERE o.o_custkey = c.c_custkey) AS max_order
             FROM customer c"""))
 
+  /** Correlated LATERAL subquery with LIMIT — top-1-per-key through
+    * the SQL-text interface (each customer's single most expensive
+    * order, dropping orderless customers). Catalyst decorrelates the
+    * LATERAL into a ranked window + join — never a per-row subquery —
+    * so the plan is the same WindowGroupLimit shape as the DataFrame
+    * top-k-per-group idiom.
+    */
+  val lateralTopPerKey: QueryDef = QueryDef(
+    "q_lateral_topk",
+    (s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer_lt")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_lt")
+      s.sql("""SELECT c_custkey, t.o_orderkey, t.o_totalprice
+               FROM customer_lt c
+               JOIN LATERAL (
+                 SELECT o_orderkey, o_totalprice FROM orders_lt o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t""")
+    },
+    Some("""SELECT c_custkey, t.o_orderkey, t.o_totalprice
+            FROM customer c, LATERAL (
+              SELECT o_orderkey, o_totalprice FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
     subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll,
-    subquerySelect)
+    subquerySelect, lateralTopPerKey)
 }
