@@ -109,5 +109,46 @@ object Events {
              COUNT(*) AS n, ${Portable.sql.dsum("value")} AS sum_value
              FROM events GROUP BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(window1h, sessionize, asofJoin, jsonExtract)
+  /** Funnel / conversion analysis — the ordered-sequence shape of
+    * product analytics: per user, the first signup, the first purchase
+    * STRICTLY AFTER it, and the conversion delay, rolled up into one
+    * summary row per conversion-hour bucket. Two conditional
+    * aggregations + one join on user_id; no self-join of the event
+    * log against itself and no per-user subqueries — at scale this is
+    * two shuffles of per-user scalars.
+    */
+  val funnel: QueryDef = QueryDef(
+    "q_events_funnel",
+    (s, dir) => {
+      val e = events(s, dir)
+      val signups = e.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(sec).as("t_signup"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), sec.as("t"))
+      // the time condition belongs in the JOIN, not a post-filter: a
+      // user whose purchases all precede signup must survive as
+      // unconverted (t_conv null), not vanish
+      val conv = signups.join(purchases,
+          col("user_id") === col("p_user") && col("t") > col("t_signup"), "left")
+        .groupBy("user_id", "t_signup").agg(min(col("t")).as("t_conv"))
+      conv.groupBy(
+          when(col("t_conv").isNull, -1L)
+            .otherwise(floor((col("t_conv") - col("t_signup")) / 3600.0)
+              .cast("long")).as("hours_to_convert"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH s AS (SELECT user_id, MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t_signup
+              FROM events WHERE event_type = 'signup' GROUP BY user_id),
+            p AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+              FROM events WHERE event_type = 'purchase'),
+            conv AS (SELECT s.user_id, s.t_signup, MIN(p.t) AS t_conv
+              FROM s LEFT JOIN p ON s.user_id = p.user_id AND p.t > s.t_signup
+              GROUP BY s.user_id, s.t_signup)
+            SELECT CASE WHEN t_conv IS NULL THEN -1
+                   ELSE CAST(FLOOR((t_conv - t_signup) / 3600.0) AS BIGINT) END
+                     AS hours_to_convert,
+              COUNT(*) AS n_users
+            FROM conv GROUP BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(window1h, sessionize, asofJoin, jsonExtract, funnel)
 }
