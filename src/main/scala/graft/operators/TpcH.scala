@@ -579,6 +579,171 @@ object TpcH {
                              AND o_orderdate >= TIMESTAMP '2001-01-01')
          GROUP BY c_mktsegment"""))
 
-  val defs: Seq[QueryDef] = Seq(q1, q3, q4, q5, q6, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22)
+  /** Q2 minimum-cost supplier (adapted: s_acctbal stands in for the
+    * partsupp supply cost this schema lacks): for every size-15 part,
+    * the supplier(s) with the MINIMUM balance among the suppliers who
+    * shipped it — the correlated-scalar-min + equality shape,
+    * decorrelated to one per-part min aggregate joined back.
+    */
+  val q2: QueryDef = QueryDef(
+    "q_tpch_q2",
+    (s, dir) => {
+      val pl = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+      val p = Tables.load(s, dir, "part")
+        .where(col("p_size") === 15).select("p_partkey")
+      val sup = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val ps = pl.join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+      val minBal = ps.groupBy(col("p_partkey").as("mb_partkey"))
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      ps.join(minBal, col("p_partkey") === col("mb_partkey") &&
+          col("s_acctbal") === col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey").distinct()
+        .orderBy(col("s_acctbal"), col("p_partkey"), col("s_name"))
+        .limit(100)
+    },
+    Some("""SELECT s_acctbal, s_name, n_name, p_partkey
+         FROM part, supplier, lineitem, nation
+         WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+           AND p_size = 15 AND s_nationkey = n_nationkey
+           AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                            FROM supplier s2, lineitem l2
+                            WHERE l2.l_partkey = p_partkey
+                              AND l2.l_suppkey = s2.s_suppkey)
+         GROUP BY ALL
+         ORDER BY s_acctbal, p_partkey, s_name LIMIT 100"""))
+
+  /** Q7 volume shipping between a nation pair, by year: the nation
+    * filters push into supplier/customer BEFORE the fact joins (each
+    * side shrinks to 2/25 of its table first), then lineitem ⋈ orders
+    * shuffle once each on their keys.
+    */
+  val q7: QueryDef = QueryDef(
+    "q_tpch_q7",
+    (s, dir) => {
+      val (na, nb) = ("NATION_20", "NATION_11")
+      val nat = Tables.load(s, dir, "nation").where(col("n_name").isin(na, nb))
+      val sup = Tables.load(s, dir, "supplier")
+        .join(broadcast(nat.select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sk"))
+        .select("s_suppkey", "supp_nation")
+      val cus = Tables.load(s, dir, "customer")
+        .join(broadcast(nat.select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("ck"))
+        .select("c_custkey", "cust_nation")
+      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      l.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === na && col("cust_nation") === nb) ||
+          (col("supp_nation") === nb && col("cust_nation") === na))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(Portable.revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+    },
+    Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           ${P.revenueSum("l_extendedprice", "l_discount")} AS revenue
+         FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+           AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+           AND c_nationkey = n2.n_nationkey
+           AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+             OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+         GROUP BY 1, 2, 3"""))
+
+  /** Q8 market share: a supplier nation's share of PROMO-part revenue
+    * sold into a region, by year — the conditional-ratio aggregate
+    * over a seven-table join; region/nation prune customer before the
+    * fact joins.
+    */
+  val q8: QueryDef = QueryDef(
+    "q_tpch_q8",
+    (s, dir) => {
+      val asiaNations = Tables.load(s, dir, "nation")
+        .join(broadcast(Tables.load(s, dir, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("rk"))
+      val cus = Tables.load(s, dir, "customer")
+        .join(broadcast(asiaNations), col("c_nationkey") === col("rk"), "left_semi")
+        .select("c_custkey")
+      val supN = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("sk"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("sk"))
+        .select("s_suppkey", "nation")
+      val promo = Tables.load(s, dir, "part")
+        .where(col("p_type") === "PROMO").select("p_partkey")
+      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+      val rev = Portable.revenueTerm(col("l_extendedprice"), col("l_discount"))
+      Tables.load(s, dir, "lineitem")
+        .join(promo, col("l_partkey") === col("p_partkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("nation") === "NATION_3", rev)
+            .otherwise(lit(0).cast(Portable.Money))).cast("double") /
+          sum(rev).cast("double")).as("mkt_share"))
+    },
+    Some("""SELECT year(o_orderdate) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS mkt_share
+         FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+         WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+           AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+           AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+           AND p_type = 'PROMO'
+         GROUP BY o_year"""))
+
+  /** Q9 product-type profit (adapted: 0.8×p_retailprice stands in for
+    * the partsupp supply cost): per supplier nation and year, revenue
+    * minus cost over parts whose name matches — exact-decimal
+    * subtraction inside the sum.
+    */
+  val q9: QueryDef = QueryDef(
+    "q_tpch_q9",
+    (s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .where(col("p_name").like("%rod%")).select("p_partkey", "p_retailprice")
+      val supN = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("sk"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("sk"))
+        .select("s_suppkey", "nation")
+      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      val amount = Portable.revenueTerm(col("l_extendedprice"), col("l_discount")) -
+        Portable.dec(col("l_quantity")) *
+          (lit(0.8).cast(Portable.Money) * Portable.dec(col("p_retailprice")))
+      Tables.load(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+    },
+    Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             - CAST(l_quantity AS DECIMAL(18,2))
+               * (CAST(0.8 AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_profit
+         FROM part, supplier, lineitem, orders, nation
+         WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+           AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+           AND p_name LIKE '%rod%'
+         GROUP BY n_name, year(o_orderdate)"""))
+
+  val defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11,
+    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }
