@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Randomized equivalence checks: every distributed formulation must
+  * agree with a brute-force reference implementation on many random
+  * inputs (fixed seeds — failures reproduce). These catch the edge
+  * cases hand-picked fixtures miss: empty sides, ties, duplicate
+  * keys, single-element groups, disconnected graphs.
+  */
+class RandomizedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join equals the brute-force prior-or-equal scan on random data") {
+    import graft.operators.AsOfJoin
+    val rnd = new Random(42)
+    for (round <- 1 to 8) {
+      val nk = 1 + rnd.nextInt(4)
+      val left = Seq.fill(3 + rnd.nextInt(20))(
+        (rnd.nextInt(nk).toLong, rnd.nextInt(50).toLong, rnd.nextInt(100).toLong))
+      val right = Seq.fill(rnd.nextInt(20))(
+        (rnd.nextInt(nk).toLong, rnd.nextInt(50).toLong))
+      val l = left.toDF("k", "t", "payload")
+      val r = right.toDF("k", "t")
+      val got = AsOfJoin.asOf(l, r, "k", "t")
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)) ->
+          (if (x.isNullAt(3)) None else Some(x.getLong(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toList.sorted).toMap
+      val expected = left
+        .map { case (k, t, p) =>
+          val prior = right.filter(x => x._1 == k && x._2 <= t).map(_._2)
+          (k, t, p) -> (if (prior.isEmpty) None else Some(prior.max))
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toList.sorted).toMap
+      assert(got == expected, s"round $round: $got vs $expected")
+    }
+  }
+
+  test("connected components (both paths) equal transitive closure on random graphs") {
+    import graft.operators.Dedup
+    val rnd = new Random(7)
+    for (round <- 1 to 6) {
+      val n = 2 + rnd.nextInt(12)
+      val vs = (0L until n).toList
+      val pairs = Seq.fill(rnd.nextInt(n))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(p => p._1 != p._2)
+      val edges = pairs.toDF("a", "b")
+        .select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.toDF("a", "b").select(col("b").as("src"), col("a").as("dst")))
+      // brute-force: iterate min-label to fixpoint on the driver
+      val labels = scala.collection.mutable.Map(vs.map(v => v -> v): _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        for ((a, b) <- pairs) {
+          val m = math.min(labels(a), labels(b))
+          if (labels(a) != m) { labels(a) = m; changed = true }
+          if (labels(b) != m) { labels(b) = m; changed = true }
+        }
+      }
+      val expected = labels.toMap
+      for (threshold <- Seq(100000L, 0L)) {
+        val got = Dedup.connectedComponents(vs.toDF("v"), edges,
+            localThreshold = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected,
+          s"round $round threshold $threshold: $got vs $expected (pairs $pairs)")
+      }
+    }
+  }
+
+  test("bucketed band join equals the brute-force theta count on random data") {
+    import graft.operators.RangeJoin
+    val rnd = new Random(99)
+    for (round <- 1 to 6) {
+      val left = Seq.tabulate(2 + rnd.nextInt(15))(i =>
+        (i.toLong, rnd.nextInt(100).toDouble))
+      val right = Seq.fill(rnd.nextInt(25))(rnd.nextInt(100).toDouble)
+      val l = left.toDF("id", "v")
+      val r = right.toDF("rv")
+      val got = RangeJoin.countGreater(l, "id", "v", r, "rv", nBuckets = 4)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val expected = left
+        .map { case (id, v) => id -> right.count(_ > v).toLong }
+        .filter(_._2 > 0).toMap
+      assert(got == expected, s"round $round: $got vs $expected ($left vs $right)")
+    }
+  }
+
+  test("native sorted-intersect equals set intersection on random sorted arrays") {
+    val rnd = new Random(5)
+    val cases = Seq.fill(40) {
+      val a = Seq.fill(rnd.nextInt(12))(rnd.nextInt(20).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(12))(rnd.nextInt(20).toLong).distinct.sorted
+      (a, b)
+    }
+    val got = cases.toDF("a", "b")
+      .select(graft.functions.Native.sortedIntersectSize(col("a"), col("b")))
+      .collect().map(_.getLong(0).toInt)
+    val expected = cases.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+    assert(got.toSeq == expected, s"${got.toSeq} vs $expected")
+  }
+
+  test("exact-decimal sums are partitioning-invariant on random money values") {
+    import graft.functions.Portable
+    val rnd = new Random(31)
+    val values = Seq.fill(500)((rnd.nextInt(2000000) - 1000000) / 100.0)
+    val reference = values.toDF("v").coalesce(1)
+      .agg(Portable.dsum(col("v"))).head().getDouble(0)
+    for (parts <- Seq(2, 7, 32)) {
+      val got = values.toDF("v").repartition(parts)
+        .agg(Portable.dsum(col("v"))).head().getDouble(0)
+      assert(got == reference,
+        s"decimal sum changed under $parts partitions: $got vs $reference")
+    }
+  }
+}
