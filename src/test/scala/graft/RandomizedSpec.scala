@@ -103,6 +103,29 @@ class RandomizedSpec extends SparkSpec {
     assert(got.toSeq == expected, s"${got.toSeq} vs $expected")
   }
 
+  test("dedup pipeline survives degenerate texts: empty, one word, whitespace") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, ""), (2L, "word"), (3L, "   "), (4L, "two words"),
+      (5L, "the quick brown fox jumps over the lazy dog"),
+      (6L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val sg = Dedup.signed(docs)
+    // every doc gets a signature row; sub-n-gram docs get empty shingles
+    assert(sg.count() == 6)
+    val shingleSizes = sg.select(col("doc_id"), size(col("shingles")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // documented short-text behavior: < n tokens hash as ONE shingle
+    // of the full token list; zero tokens yield zero shingles
+    assert(shingleSizes(1L) == 0 && shingleSizes(3L) == 0)
+    assert(shingleSizes(2L) == 1 && shingleSizes(4L) == 1)
+    assert(shingleSizes(5L) > 0)
+    val near = Dedup.verifiedJaccard(Dedup.minhashCandidates(sg), sg)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    println("NEAR PAIRS: " + near)
+    assert(near.filter(_._2 >= 0.5).keySet == Set((5L, 6L)), near.toString)
+  }
+
   test("exact-decimal sums are partitioning-invariant on random money values") {
     import graft.functions.Portable
     val rnd = new Random(31)
