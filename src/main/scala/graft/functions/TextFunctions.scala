@@ -305,7 +305,78 @@ object TextFunctions {
            CAST(SUM(n_copies - 1) AS BIGINT) AS n_dups_removed
          FROM deduped GROUP BY lang"""))
 
+  /** Corpus vocabulary / heavy hitters — the wordcount: top-20 most
+    * frequent lowercase tokens. One explode + one map-side-combined
+    * hash aggregate + TakeOrderedAndProject: the shuffle carries
+    * (token, partial count) pairs, never documents, and the top-k
+    * needs no global sort. At 100 TB the aggregate state is the
+    * vocabulary, not the corpus.
+    */
+  val wordCount: QueryDef = QueryDef(
+    "t_wordcount",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(20),
+    Some("""SELECT w, COUNT(*) AS n FROM (
+              SELECT unnest(list_filter(string_split(lower(text), ' '),
+                x -> x <> '')) AS w
+              FROM documents) t
+            GROUP BY w ORDER BY n DESC, w LIMIT 20"""))
+
+  /** Collocation mining by LIFT: bigrams scoring highest on
+    * P(ab)/(P(a)·P(b)), the portable core of PMI (the log is monotone,
+    * so ranking by the raw ratio avoids engine-specific transcendental
+    * rounding; the ratio itself is one IEEE division of exact integer
+    * counts). Tokens project into an array column FIRST so the bigram
+    * lambda references a bound attribute — an inline split would
+    * re-evaluate per element (the lambda-CSE trap). Three aggregates
+    * (unigrams, bigrams, total) + two joins on the word keys.
+    */
+  val collocations: QueryDef = QueryDef(
+    "t_collocations",
+    (s, dir) => {
+      val tk = Tables.load(s, dir, "documents")
+        .select(expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
+      val uni = tk.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val totalDf = broadcast(uni.agg(sum(col("c")).cast("long").as("total")))
+      val bi = tk.select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> " +
+          "concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("ab"))
+        .groupBy("ab").agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= 5)
+      bi.withColumn("a", substring_index(col("ab"), " ", 1))
+        .withColumn("b", substring_index(col("ab"), " ", -1))
+        .join(uni.select(col("w").as("a"), col("c").as("c_a")), Seq("a"))
+        .join(uni.select(col("w").as("b"), col("c").as("c_b")), Seq("b"))
+        .crossJoin(totalDf)
+        .select(col("ab"), col("c_ab"),
+          ((col("c_ab") * col("total")).cast("double") /
+            (col("c_a") * col("c_b")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("ab")).limit(15)
+    },
+    Some("""WITH tk AS (SELECT list_filter(string_split(lower(text), ' '),
+              x -> x <> '') AS tk FROM documents),
+            uni AS (SELECT w, COUNT(*) AS c FROM
+              (SELECT unnest(tk) AS w FROM tk) u GROUP BY w),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM uni),
+            bi AS (SELECT ab, COUNT(*) AS c_ab FROM
+              (SELECT unnest(list_transform(range(1, len(tk)),
+                 i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)])) AS ab
+               FROM tk) b
+              GROUP BY ab HAVING COUNT(*) >= 5)
+            SELECT ab, c_ab,
+              CAST(c_ab * total AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) AS lift
+            FROM bi, tot,
+              uni ua, uni ub
+            WHERE ua.w = string_split(ab, ' ')[1]
+              AND ub.w = string_split(ab, ' ')[2]
+            ORDER BY lift DESC, ab LIMIT 15"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, hashSample, stratifiedSample,
-      normalize, contamination, weightedSample, pipelineE2e)
+      normalize, contamination, weightedSample, pipelineE2e, wordCount,
+      collocations)
 }
