@@ -183,6 +183,29 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.read(spark, table).count() == 5)
   }
 
+  test("streaming wordcount matches the batch heavy-hitters query") {
+    import org.apache.spark.sql.types._
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val streamedCounts = EventStreams.runToMemory(
+      spark.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n")),
+      "wc_stream", OutputMode.Complete())
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // same incremental aggregate, same answer: the streaming state IS
+    // the batch hash-aggregate state
+    val streamedTop = streamedCounts
+      .sortBy { case (w, n) => (-n, w) }.take(20).toSeq
+    val batchTop = SparkEntry.queries("t_wordcount")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(streamedTop == batchTop)
+  }
+
   test("transformWithState sessionization matches batch q_events_sessionize") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
