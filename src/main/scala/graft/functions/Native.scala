@@ -67,6 +67,15 @@ object Native {
   def minhashSignature(hashes: Column, k: Int, p: Long): Column =
     B.column(MinhashSignature(B.expression(hashes), k, p))
 
+  /** Σ aᵢ·bᵢ over two long arrays — exact integer arithmetic in one
+    * compiled pass. The `zip_with + aggregate` lambda form is
+    * interpreted (HOFs never enter codegen) and walks the 64-dim
+    * vectors through boxed dispatch per candidate pair — the ANN
+    * scoring hot path.
+    */
+  def dotLong(a: Column, b: Column): Column =
+    B.column(DotLong(B.expression(a), B.expression(b)))
+
   /** Σ (scale·aᵢ − bᵢ)² over two long arrays — exact integer
     * arithmetic, one compiled pass. With scale = 1 this is plain
     * squared L2; with scale = n and b = a cluster's component-sum
@@ -403,6 +412,32 @@ object CosineF32Util {
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
+}
+
+object DotLongUtil {
+  /** Σ aᵢ·bᵢ over two long arrays — exact integer arithmetic. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var s = 0L
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+}
+
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotLongUtil.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotLongUtil.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
 }
 
 object SortedIntersectSizeUtil {

@@ -34,8 +34,12 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
 
+  /** Exact integer dot product — native codegen'd expression; the
+    * equivalent `aggregate(zip_with(...))` lambda form is interpreted
+    * and was the scoring hot path of every ANN query.
+    */
   def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.Native.dotLong(a, b)
 
   /** Cosine from integer dot/norms — one IEEE divide, portable. */
   def cosine(dot: Column, na: Column, nb: Column): Column =
