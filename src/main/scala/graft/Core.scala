@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineF32, HilbertIndex, MinhashSignature, PlaneSignBits, SimHash60, WordNGramHashes}
+import graft.functions.{CosineF32, DotLong, HilbertIndex, MinhashSignature, PlaneSignBits, SimHash60, SortedIntersectSize, WordNGramHashes}
 
 /** One engine capability: a named query over a scale-factor directory,
   * with an optional ANSI-SQL oracle (DuckDB-checked by the driver).
@@ -91,5 +91,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_hilbert_index"),
       new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert_index"),
       (exprs: Seq[Expression]) => HilbertIndex(exprs.head, exprs(1),
-        exprs(2).eval().asInstanceOf[Int])))
+        exprs(2).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "graft_dot_long"),
+      (exprs: Seq[Expression]) => DotLong(exprs.head, exprs(1))),
+    (FunctionIdentifier("graft_sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs.head, exprs(1))))
 }

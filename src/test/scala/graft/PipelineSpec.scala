@@ -145,9 +145,13 @@ class PipelineSpec extends SparkSpec {
   test("native functions registered for SQL via extensions") {
     GraftSession.registerFunctions(spark)
     val r = spark.sql(
-      "SELECT graft_simhash60('a b c') AS h, graft_cosine_f32(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      "SELECT graft_simhash60('a b c') AS h, graft_cosine_f32(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c, " +
+      "graft_dot_long(array(2L, 3L), array(4L, 5L)) AS d, " +
+      "graft_sorted_intersect_size(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS i")
       .head()
     assert(r.getDouble(1) == 1.0)
+    assert(r.getLong(2) == 23L)
+    assert(r.getLong(3) == 2L)
   }
 
   test("cosine similarity: identical int vectors give exactly 1.0") {
