@@ -40,6 +40,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom-filter join filters: a selective dim-filtered side
+      // of a fact-fact shuffle join injects a bloom filter into the
+      // probe-side scan — the runtime analog of the reference's
+      // reduction factors (reference: query/TableStats.java
+      // computeReductionFactor) applied to shuffles. Size thresholds
+      // stay at Spark defaults (creation side ≤ 10 MB, probe scan
+      // ≥ 10 GB), which is exactly the 100 TB regime; CboSpec lowers
+      // them to prove injection at test scale.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .config("spark.ui.enabled", "false")

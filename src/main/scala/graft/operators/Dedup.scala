@@ -390,7 +390,12 @@ object Dedup {
     // scheduler latency with one collect; the distributed min-label
     // loop below is the ≥ threshold path (and the one the scale story
     // rests on — forced in tests via localThreshold = 0).
-    if (localThreshold > 0 && edges.count() <= localThreshold) {
+    // BOTH frames must fit: edge count does not bound vertex count
+    // (incrementalComponents passes every previously labeled vertex —
+    // a mostly-singleton labeling has few edges but arbitrarily many
+    // vertices), so the local path gates on the larger of the two.
+    if (localThreshold > 0 && edges.count() <= localThreshold
+        && vertices.count() <= localThreshold) {
       val spark = vertices.sparkSession
       val vs = vertices.select("v").collect().map(_.getLong(0))
       val parent = scala.collection.mutable.HashMap.from(vs.map(v => v -> v))
@@ -473,6 +478,99 @@ object Dedup {
       .distinct()
     connectedComponents(vertices, edges, maxIters, localThreshold)
   }
+
+  // ---- §2.2 incremental corpus dedup: persisted band index ----
+
+  /** Bootstrap the PERSISTED minhash band index for an existing corpus
+    * — the write-once/serve pattern (same as the IVF inverted lists
+    * and the materialized pair table) applied to dedup signatures: at
+    * 100 TB the corpus's shingling + minhash pass runs ONCE, and every
+    * later batch joins against the stored (doc_id, shingles, band,
+    * bucket) rows instead of recomputing them. Storage is a
+    * [[graft.sources.Snapshots]] table, so the index is versioned
+    * (the corpus bootstrap stays readable at its own version while
+    * batches append) and batch commits are exactly-once.
+    */
+  def buildBandIndex(docs: DataFrame, table: String): Int =
+    graft.sources.Snapshots.commitOverwrite(bandedSigned(docs), table)
+
+  /** Near-dup stats for a NEW document batch against corpus ∪ batch,
+    * with the corpus side served ENTIRELY from the persisted index at
+    * `indexVersion` — no signature recompute — and the batch's own
+    * signatures appended to the index exactly-once under
+    * (streamId, batchId), so replays (and bench re-runs) no-op.
+    * Candidate generation is the same (band, bucket) equi-join as
+    * [[minhash]]: cross candidates come from batch ⋈ index, intra-
+    * batch candidates from batch ⋈ batch — together exactly the
+    * full-recompute candidate set restricted to pairs touching the
+    * batch, which is why the full-corpus oracle hash-matches.
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, table: String, indexVersion: Int,
+      streamId: String, batchId: Long): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newBand = bandedSigned(newDocs).localCheckpoint()
+    graft.sources.Snapshots.ingestBatch(newBand, table, streamId, batchId)
+    val idx = graft.sources.Snapshots.readVersion(spark, table, indexVersion)
+    val all = idx.unionAll(newBand)
+    val cand = newBand.select(col("doc_id").as("b"), col("band"), col("bucket"))
+      .join(all.select(col("doc_id").as("a"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val sigs = all.select("doc_id", "shingles").dropDuplicates("doc_id")
+    val near = verifiedJaccard(cand, sigs).where(col("jaccard") >= SimT)
+    // every partner of a batch doc x appears in some pair with b = x
+    // (corpus partners in that orientation only; batch partners in
+    // both), so grouping by b counts each partner exactly once
+    val perDoc = near.groupBy(col("b").as("doc_id"))
+      .agg(count(lit(1)).as("n_near_dups"), max(col("jaccard")).as("max_jaccard"))
+    newBand.select("doc_id", "shingles").dropDuplicates("doc_id")
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(Map("n_near_dups" -> 0L, "max_jaccard" -> -1.0))
+  }
+
+  /** Catalog entry: corpus = 90% of documents (bootstrapped into the
+    * persisted index on first run), batch = the doc_id % 10 == 0 slice
+    * deduped incrementally against it. The oracle recomputes the FULL
+    * corpus pipeline and restricts to batch docs — proving
+    * batch-incremental ≡ full-rerun.
+    */
+  val incremental: QueryDef = QueryDef(
+    "d_dedup_incremental",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val table = "/root/repo/target/minhash_index/v1_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (graft.sources.Snapshots.currentVersion(table) == 0)
+        buildBandIndex(d.where(col("doc_id") % 10 =!= 0), table)
+      dedupAgainstIndex(d.where(col("doc_id") % 10 === 0), table,
+        indexVersion = 1, streamId = "d_dedup_incremental", batchId = 0L)
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         sh AS (SELECT doc_id, ${gramsSql(3)} AS shingles FROM tk),
+         sg AS (SELECT doc_id, shingles, list_transform(range(0, $K), k ->
+             list_min(list_transform(shingles, h ->
+               ((2*k+1)*(h % $HashP) + ((k*2654435761) % $HashP)) % $HashP))) AS sig
+           FROM sh),
+         bx AS (SELECT doc_id, unnest(range(0, $Bands)) AS band, sig FROM sg),
+         bb AS (SELECT doc_id, band, ${bandBucketSql("band")} AS bucket FROM bx),
+         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bb l JOIN bb r
+             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         pj AS (SELECT c.a, c.b, len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+               len(sa.shingles) AS za, len(sb.shingles) AS zb
+             FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+         near AS (SELECT * FROM (SELECT a, b,
+               CAST(inter AS DOUBLE)/(za + zb - inter) AS jaccard FROM pj) x
+             WHERE jaccard >= $SimT),
+         per AS (SELECT doc_id, COUNT(*) AS n_near_dups, MAX(jaccard) AS max_jaccard FROM
+             (SELECT a AS doc_id, jaccard FROM near
+              UNION ALL SELECT b AS doc_id, jaccard FROM near) u GROUP BY doc_id)
+         SELECT sg.doc_id, CAST(len(sg.shingles) AS BIGINT) AS n_shingles,
+           COALESCE(per.n_near_dups, 0) AS n_near_dups,
+           COALESCE(per.max_jaccard, -1.0) AS max_jaccard
+         FROM sg LEFT JOIN per ON sg.doc_id = per.doc_id
+         WHERE sg.doc_id % 10 = 0"""))
 
   val cluster: QueryDef = QueryDef(
     "d_dedup_cluster",
@@ -562,5 +660,6 @@ object Dedup {
          FROM ranked WHERE rk = 1"""))
 
   val defs: Seq[QueryDef] =
-    Seq(exact, minhash, simhashDef, ngramJaccard, cluster, canonicalByQuality)
+    Seq(exact, minhash, simhashDef, ngramJaccard, cluster, canonicalByQuality,
+      incremental)
 }

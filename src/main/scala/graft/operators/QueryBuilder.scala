@@ -79,8 +79,9 @@ final class QueryBuilder private (
     new QueryBuilder(df, groupCols, aggs :+ Portable.davg(col(column)).as(as))
 
   /** Produce the final DataFrame. Catalyst optimizes the whole tree —
-    * this is the reference's `executeOptimal`, and there is no "naive
-    * execute" to offer: declarative plans are always optimized.
+    * this is the reference's `executeOptimal`: declarative plans are
+    * optimized by default, and [[executeNaive]] exists only as the
+    * pedagogical bad-plan baseline.
     */
   def execute(): DataFrame =
     if (aggs.isEmpty) df
@@ -88,6 +89,44 @@ final class QueryBuilder private (
     else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
   def executeOptimal(): DataFrame = execute()
+
+  /** The reference's pedagogical NAIVE plan (reference:
+    * query/QueryPlan.java:168 `execute` — syntactic operator order, no
+    * costing — vs :193 `executeOptimal`, asserted apart by
+    * QueryPlanCostsTest.java): the SAME logical tree planned with the
+    * optimizer's cost-based choices pinned off — joins stay in fluent
+    * (left-deep syntactic) order, nothing broadcasts, filters and
+    * projections are not pushed into the scans, no AQE/CBO/runtime
+    * filters. Same answer, strictly worse plan; CboSpec measures the
+    * shuffle-byte gap. Planning is forced while the pins are in effect
+    * (and restored after), so the returned frame keeps its naive
+    * physical plan.
+    */
+  def executeNaive(): DataFrame = {
+    val out = execute()
+    val spark = out.sparkSession
+    val pins = Map(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.cbo.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.parquet.filterPushdown" -> "false",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false",
+      "spark.sql.optimizer.excludedRules" -> Seq(
+        "org.apache.spark.sql.catalyst.optimizer.CostBasedJoinReorder",
+        "org.apache.spark.sql.catalyst.optimizer.ReorderJoin",
+        "org.apache.spark.sql.catalyst.optimizer.PushDownPredicates",
+        "org.apache.spark.sql.catalyst.optimizer.PushPredicateThroughJoin",
+        "org.apache.spark.sql.catalyst.optimizer.ColumnPruning").mkString(","))
+    val saved = pins.keys.map(k => k -> spark.conf.getOption(k)).toSeq
+    pins.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      out.queryExecution.executedPlan // force planning under the pins
+      out
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
 
 object QueryBuilder {

@@ -37,6 +37,11 @@ object RangeJoin {
     val boundsRow = right.agg(
       min(col(rightVal)).cast("double").as("lo"),
       max(col(rightVal)).cast("double").as("hi")).head()
+    // empty right side → null bounds → no right row can exceed anything:
+    // inner-join semantics mean an empty result, not an NPE
+    if (boundsRow.isNullAt(0)) {
+      return left.select(col(leftKey), lit(0L).as("n_greater")).where(lit(false))
+    }
     val (lo, hi) = (boundsRow.getDouble(0), boundsRow.getDouble(1))
 
     def bucketOf(v: Column): Column =

@@ -142,8 +142,13 @@ object Relational {
     */
   val joinShuffleHash: QueryDef = QueryDef(
     "q_join_shuffle_hash",
-    (s, dir) => t(s, dir, "lineitem").hint("shuffle_hash")
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+    // The hint lives on ORDERS (the smaller relation): Spark builds the
+    // per-task hash map on the hinted side, and Grace hash builds on the
+    // SMALL side — hinting lineitem would build fact-sized maps per task,
+    // an OOM risk at scale that AQE cannot undo.
+    (s, dir) => t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
         sum(Portable.revenueTerm(col("l_extendedprice"), col("l_discount")))

@@ -583,7 +583,12 @@ object TpcH {
     * partsupp supply cost this schema lacks): for every size-15 part,
     * the supplier(s) with the MINIMUM balance among the suppliers who
     * shipped it — the correlated-scalar-min + equality shape,
-    * decorrelated to one per-part min aggregate joined back.
+    * decorrelated to a per-part window min + equality filter so the
+    * part-supplier subtree is computed ONCE (the min-aggregate-join-back
+    * formulation fed `ps` to two consumers and Catalyst does not dedupe
+    * common subtrees: lineitem was scanned and distinct-shuffled twice).
+    * supplier⋈nation is dim-sized and broadcast, so the only shuffles
+    * are the pair distinct and the window partition.
     */
   val q2: QueryDef = QueryDef(
     "q_tpch_q2",
@@ -596,12 +601,11 @@ object TpcH {
         .join(broadcast(Tables.load(s, dir, "nation")),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-      val ps = pl.join(p, col("l_partkey") === col("p_partkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-      val minBal = ps.groupBy(col("p_partkey").as("mb_partkey"))
-        .agg(min(col("s_acctbal")).as("min_bal"))
-      ps.join(minBal, col("p_partkey") === col("mb_partkey") &&
-          col("s_acctbal") === col("min_bal"))
+      val ps = pl.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+      ps.withColumn("min_bal", min(col("s_acctbal")).over(w))
+        .where(col("s_acctbal") === col("min_bal"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey").distinct()
         .orderBy(col("s_acctbal"), col("p_partkey"), col("s_name"))
         .limit(100)

@@ -57,12 +57,21 @@ object Snapshots {
   def currentVersion(table: String): Int = {
     val m = meta(table)
     if (!Files.exists(m)) return 0
-    Files.list(m).iterator().asScala
+    listDir(m)
       .flatMap(p => p.getFileName.toString match {
         case ManifestRe(n) => Some(n.toInt)
         case _ => None
       })
       .foldLeft(0)(math.max)
+  }
+
+  /** Files.list with the stream closed — currentVersion runs inside the
+    * commit retry loop, so a leaked directory handle per attempt would
+    * accumulate until GC.
+    */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
   }
 
   private def manifestDirs(table: String, version: Int): Seq[String] = {
@@ -105,10 +114,18 @@ object Snapshots {
     * `dirsFor(prevVersion)` recomputes the manifest content against
     * the CURRENT predecessor on every attempt.
     */
+  /** `abortIf` is re-evaluated at the top of EVERY attempt (not just
+    * once before the loop): a committer that loses the version race
+    * must re-validate its preconditions against the new predecessor —
+    * e.g. a replayed ingest batch whose twin just committed, or a
+    * compaction whose inputs a racing compactor already replaced.
+    * Returning Some(v) abandons the commit and yields v.
+    */
   private def commitLoop(table: String, dirsFor: Int => Seq[String],
-      tags: Seq[String] = Nil): Int = {
+      tags: Seq[String] = Nil, abortIf: () => Option[Int] = () => None): Int = {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
+      abortIf().foreach(v => return v)
       val prev = currentVersion(table)
       val v = prev + 1
       if (claimManifest(table, v, dirsFor(prev), tags)) return v
@@ -144,6 +161,28 @@ object Snapshots {
     commitLoop(table, prev =>
       f(if (prev == 0) Seq.empty else manifestDirs(table, prev)))
 
+  /** Conflict-checked transform: aborts (returns None) when any dir in
+    * `requires` is no longer part of the predecessor's manifest. Two
+    * racing compactors each stage a compacted dir over the same deltas;
+    * without this check the loser's filterNot+append keeps the winner's
+    * compacted dir AND adds its own — the delta rows land twice. Same
+    * hazard against a racing commitOverwrite, whose fresh content must
+    * not have stale compacted data grafted back on top.
+    */
+  def commitTransformIf(table: String, requires: Seq[String])(
+      f: Seq[String] => Seq[String]): Option[Int] = {
+    val ConflictSentinel = -1
+    val v = commitLoop(table,
+      prev => f(if (prev == 0) Seq.empty else manifestDirs(table, prev)),
+      abortIf = () => {
+        val cur = currentVersion(table)
+        val present = if (cur == 0) Set.empty[String]
+          else manifestDirs(table, cur).toSet
+        if (requires.forall(present.contains)) None else Some(ConflictSentinel)
+      })
+    if (v == ConflictSentinel) None else Some(v)
+  }
+
   /** The data directories making up a committed version (read-only
     * view for compaction planners).
     */
@@ -177,11 +216,19 @@ object Snapshots {
     val m = meta(table)
     if (!Files.exists(m)) return false
     val needle = "#" + ingestTag(streamId, batchId)
-    Files.list(m).iterator().asScala
+    listDir(m)
       .filter(_.getFileName.toString.matches("^v\\d+\\.manifest$"))
       .exists(p => Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        .exists(_ == needle)) ||
+    // tags from vacuumed manifests live on in the tombstone file, so a
+    // batch replay older than the retention window still no-ops
+    (Files.exists(tombstones(table)) &&
+      Files.readAllLines(tombstones(table), StandardCharsets.UTF_8).asScala
         .exists(_ == needle))
   }
+
+  private def tombstones(table: String): Path =
+    meta(table).resolve("ingest.tombstones")
 
   /** Commit one micro-batch EXACTLY ONCE: the (streamId, batchId)
     * provenance tag travels inside the atomically-claimed manifest,
@@ -193,9 +240,17 @@ object Snapshots {
       batchId: Long): Int = {
     if (batchCommitted(table, streamId, batchId)) return currentVersion(table)
     val dir = writeData(df, table)
+    // the committed-check re-runs at the top of EVERY claim attempt:
+    // two concurrent replays of the same batch (a zombie driver racing
+    // its restarted query) can both pass the check above, but the loser
+    // of the version race re-checks, sees the winner's tag, and abandons
+    // its commit instead of appending the batch twice
     commitLoop(table, prev =>
       (if (prev == 0) Seq.empty else manifestDirs(table, prev)) :+ dir,
-      tags = Seq(ingestTag(streamId, batchId)))
+      tags = Seq(ingestTag(streamId, batchId)),
+      abortIf = () =>
+        if (batchCommitted(table, streamId, batchId)) Some(currentVersion(table))
+        else None)
   }
 
   /** Continuous ingestion: run a streaming DataFrame into the
@@ -263,9 +318,15 @@ object Snapshots {
     Sources.writeZOrderedN(spark.read.parquet(deltas: _*), dir, zCols, files = files)
     markClustered(dir)
     // racing appenders may have added NEW deltas since we read `cur`:
-    // keep any dirs we did not compact
-    commitTransform(table)(dirs =>
-      dirs.filterNot(deltas.contains) :+ dir)
+    // keep any dirs we did not compact. Racing COMPACTORS/overwrites are
+    // a conflict, not a merge: if any input delta left the manifest, our
+    // staged dir would duplicate (or resurrect) its rows — abort, drop
+    // the staged dir, and recompact from the new snapshot.
+    commitTransformIf(table, deltas)(dirs =>
+      dirs.filterNot(deltas.contains) :+ dir).getOrElse {
+      deleteDataDir(dir)
+      compact(spark, table, zCols, files)
+    }
   }
 
   /** MAJOR compaction: merge EVERY current dir — clustered runs and
@@ -282,11 +343,34 @@ object Snapshots {
     val dir = stageDir(table)
     Sources.writeZOrderedN(spark.read.parquet(snap: _*), dir, zCols, files = files)
     markClustered(dir)
-    commitTransform(table)(dirs => dir +: dirs.filterNot(snap.contains))
+    commitTransformIf(table, snap)(dirs => dir +: dirs.filterNot(snap.contains))
+      .getOrElse {
+        deleteDataDir(dir)
+        compactFull(spark, table, zCols, files)
+      }
+  }
+
+  private def deleteDataDir(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
   }
 
   /** Drop data directories unreachable from the retained manifests
     * (keep the last `retain` versions). Returns deleted dir count.
+    *
+    * Retention contract: after `vacuum(table, retain)` with current
+    * version C, [[readVersion]] is guaranteed only for versions in
+    * [C-retain+1, C]. Older versions fail FAST at manifest resolution
+    * (`require` in manifestDirs — the manifest is retired before its
+    * data could dangle); an already-resolved DataFrame over a retained
+    * version keeps reading its immutable files. Ingest provenance tags
+    * from retired manifests are carried into `meta/ingest.tombstones`
+    * first, so exactly-once holds even for replays older than the
+    * retention window.
     */
   def vacuum(table: String, retain: Int = 1): Int = {
     val cur = currentVersion(table)
@@ -294,16 +378,27 @@ object Snapshots {
       .flatMap(v => manifestDirs(table, v)).toSet
     val dataRoot = Paths.get(table, "data")
     if (!Files.exists(dataRoot)) return 0
-    val doomed = Files.list(dataRoot).iterator().asScala.toSeq
-      .filterNot(p => keep.contains(p.toString))
-    doomed.foreach { p =>
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    // preserve ingest tags BEFORE retiring the manifests that carry
+    // them (duplicate tombstone lines from concurrent vacuums are
+    // harmless — batchCommitted only tests membership)
+    val doomedTags = (1 to cur - retain).flatMap { v =>
+      val p = meta(table).resolve(s"v$v.manifest")
+      if (!Files.exists(p)) Seq.empty
+      else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        .filter(_.startsWith("#ingest "))
     }
+    if (doomedTags.nonEmpty)
+      Files.write(tombstones(table),
+        (doomedTags.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     // retire manifests below the retention window so vacuumed versions
     // cannot be resolved to missing files
     (1 to cur - retain).foreach { v =>
       Files.deleteIfExists(meta(table).resolve(s"v$v.manifest"))
     }
+    val doomed = listDir(dataRoot).filterNot(p => keep.contains(p.toString))
+    doomed.foreach(p => deleteDataDir(p.toString))
     doomed.size
   }
 }

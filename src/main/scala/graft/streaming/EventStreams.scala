@@ -84,22 +84,77 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  case class TimedEventRow(event_id: Long, ts: Long, user_id: Long,
+    event_time: java.sql.Timestamp)
+
+  /** [[sessionize]] with PROVABLY BOUNDED state (the same watermark +
+    * event-time-timeout treatment as [[minhashDedupStreamBounded]]):
+    * a user idle past `horizonMinutes` has their state evicted, so the
+    * store holds one record per RECENTLY ACTIVE user, not per user
+    * ever seen. Because the horizon is ≥ the 30-minute session gap,
+    * eviction never splits a session — the first event after an
+    * eviction would have started a new session anyway; what resets is
+    * the CUMULATIVE counters, which become per-activity-epoch (the
+    * meaning bounded state must have on an endless stream). Streaming
+    * ≡ batch for any input contained in one horizon (tested).
+    */
+  def sessionizeBounded(events: DataFrame,
+      horizonMinutes: Int = 120): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    require(horizonMinutes * 60 >= 1800, "horizon must cover the session gap")
+    val hMs = horizonMinutes * 60000L
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", s"$horizonMinutes minutes")
+      .select("event_id", "ts", "user_id", "event_time").as[TimedEventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(boundedSessionUpdate(hMs))
+  }
+
+  private def boundedSessionUpdate(horizonMs: Long)(userId: Long,
+      it: Iterator[TimedEventRow],
+      state: GroupState[SessionState]): Iterator[UserSessions] = {
+    if (state.hasTimedOut) {
+      // watermark passed (last event + horizon): the user is idle —
+      // drop their state entirely
+      state.remove()
+      return Iterator.empty
+    }
+    val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+    val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+    val next = sorted.foldLeft(init) { (st, e) =>
+      val sec = e.ts / 1000000000L
+      val newSession = st.lastSec == Long.MinValue || sec - st.lastSec > 1800
+      SessionState(sec, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+    }
+    state.update(next)
+    // timeout must sit strictly past the current watermark (Spark
+    // rejects an already-expired timestamp when the watermark outran
+    // this key's last event between batches)
+    state.setTimeoutTimestamp(
+      math.max(next.lastSec * 1000L + horizonMs, state.getCurrentWatermarkMs() + 1))
+    Iterator.single(UserSessions(userId, next.nEvents, next.nSessions))
+  }
+
   /** Sessionization on the `transformWithState` processor API (the
     * arbitrary-state successor to flatMapGroupsWithState; requires
     * the RocksDB state store): same 30-minute-gap semantics as
-    * [[sessionize]], with state in a typed ValueState handle. TTL
-    * hooks (TTLConfig / timers) are where production bounds state.
+    * [[sessionize]], with state in a typed ValueState handle. The
+    * `ttl` bounds state in production: an idle user's record expires
+    * `ttl` after its last update and the store stops carrying it —
+    * pass [[sessionizeTws]] a real duration for endless streams.
     */
-  class SessionProcessor
+  class SessionProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserSessions] {
-    import org.apache.spark.sql.streaming.{TimerValues, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{TimerValues, TimeMode, ValueState}
     import org.apache.spark.sql.{Encoder, Encoders}
 
     @transient private var state: ValueState[SessionState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       implicit val enc: Encoder[SessionState] = Encoders.product[SessionState]
-      state = getHandle.getValueState[SessionState]("session", enc, TTLConfig.NONE)
+      state = getHandle.getValueState[SessionState]("session", enc, ttl)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[EventRow],
@@ -117,13 +172,18 @@ object EventStreams {
   }
 
   /** [[sessionize]] re-expressed on `transformWithState` — proven
-    * equivalent to the batch query in StreamingSpec.
+    * equivalent to the batch query in StreamingSpec. A non-NONE `ttl`
+    * switches to processing-time mode (the mode TTL requires) and
+    * bounds state to recently-active users.
     */
-  def sessionizeTws(events: Dataset[EventRow]): Dataset[UserSessions] = {
+  def sessionizeTws(events: Dataset[EventRow],
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.TimeMode
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    val mode = if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events.groupByKey(_.user_id)
-      .transformWithState(new SessionProcessor, TimeMode.None(), OutputMode.Update())
+      .transformWithState(new SessionProcessor(ttl), mode, OutputMode.Update())
   }
 
   /** Streaming exact dedup on event_id within the watermark horizon —

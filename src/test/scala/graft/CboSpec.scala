@@ -48,6 +48,86 @@ class CboSpec extends SparkSpec {
     }
   }
 
+  test("executeNaive vs executeOptimal: optimal moves strictly fewer shuffle bytes") {
+    // QueryPlanCostsTest analog (reference: QueryPlan.java:168 execute
+    // vs :193 executeOptimal): the naive plan — syntactic join order,
+    // nothing broadcast, no pushdown/pruning — must give the same
+    // answer at a strictly higher measured cost.
+    import graft.operators.{PredicateOperator, QueryBuilder}
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // one traversable plan shape for both
+    try {
+      def star = QueryBuilder(Tables.load(spark, sfDir, "customer"))
+        .join(Tables.load(spark, sfDir, "orders"), "c_custkey", "o_custkey")
+        .join(Tables.load(spark, sfDir, "nation"), "c_nationkey", "n_nationkey")
+        .join(Tables.load(spark, sfDir, "region"), "n_regionkey", "r_regionkey")
+        .where("r_name", PredicateOperator.Equals, "ASIA")
+        .groupBy("n_name").count("n")
+
+      val optimal = star.executeOptimal()
+      val naive = star.executeNaive()
+      val optRows = optimal.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val naiveRows = naive.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(optRows.nonEmpty && optRows == naiveRows, "naive plan changed the answer")
+
+      // plan evidence: dims broadcast in the optimal plan only; the
+      // naive plan keeps the selective region filter above its joins
+      val optPlan = optimal.queryExecution.executedPlan.toString
+      val naivePlan = naive.queryExecution.executedPlan.toString
+      assert(optPlan.contains("BroadcastHashJoin"), optPlan)
+      assert(!naivePlan.contains("BroadcastHashJoin"), naivePlan)
+
+      // cost evidence (the reference asserts IO costs apart): shuffled
+      // bytes, from the executed plans' own metrics
+      def shuffleBytes(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            s.metrics("dataSize").value
+        }.sum
+      val (optBytes, naiveBytes) = (shuffleBytes(optimal), shuffleBytes(naive))
+      assert(optBytes < naiveBytes,
+        s"optimal should shuffle strictly less: $optBytes vs $naiveBytes")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("runtime bloom filter injects into the probe side of a fact-fact shuffle join") {
+    // The runtime analog of the reference's reduction factors
+    // (reference: query/TableStats.java computeReductionFactor): a
+    // selective filter on one shuffle-join side becomes a bloom filter
+    // probed by the OTHER side's scan, cutting shuffled bytes before
+    // the join. Thresholds are lowered so injection (a ≥10 GB probe
+    // scan in production) is demonstrable at test scale.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle join shape
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def join = Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .join(Tables.load(spark, sfDir, "orders")
+          .where(col("o_custkey") < 50).select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+
+      val optimized = join.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no bloom filter injected into the probe side:\n$optimized")
+      val withBloom = join.collect().head
+
+      // the filter is a pure pre-shuffle reduction: same answer without it
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = join.collect().head
+      assert(!join.queryExecution.optimizedPlan.toString.contains("might_contain"))
+      assert(withBloom == without, s"$withBloom != $without")
+    } finally {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("join strategy follows the surfaced cost estimates (QueryPlanCostsTest analog)") {
     // The reference asserts IO-cost numbers for competing physical
     // plans (BNLJ vs SNLJ vs hash) and that executeOptimal picks the

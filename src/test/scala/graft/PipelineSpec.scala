@@ -111,6 +111,45 @@ class PipelineSpec extends SparkSpec {
     assert(incrDist == full)
   }
 
+  test("incremental dedup over the persisted band index equals a full recompute") {
+    import graft.sources.Snapshots
+    val table = "/root/repo/target/pipeline-spec/mh_index"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(table))
+    val d = Tables.load(spark, sfDir, "documents")
+    assert(Dedup.buildBandIndex(d.where(col("doc_id") % 10 =!= 0), table) == 1)
+    val batch = d.where(col("doc_id") % 10 === 0)
+    def run() = Dedup.dedupAgainstIndex(batch, table, 1, "t", 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val incr = run()
+
+    // full rerun: the d_dedup_minhash per-doc pipeline over ALL
+    // documents, restricted to the batch ids
+    val sg = Dedup.signed(d)
+    val near = Dedup.verifiedJaccard(Dedup.minhashCandidates(sg), sg)
+      .where(col("jaccard") >= 0.5)
+    val per = near.select(col("a").as("doc_id"), col("jaccard"))
+      .unionAll(near.select(col("b").as("doc_id"), col("jaccard")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_near_dups"), max(col("jaccard")).as("max_jaccard"))
+    val full = sg
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
+      .join(per, Seq("doc_id"), "left")
+      .na.fill(Map("n_near_dups" -> 0L, "max_jaccard" -> -1.0))
+      .where(col("doc_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(incr == full, s"incremental $incr vs full $full")
+
+    // the batch's signatures were appended exactly-once: a replayed
+    // call neither grows the index nor changes the answer
+    val vAfter = Snapshots.currentVersion(table)
+    assert(vAfter == 2, s"batch append should be v2, got $vAfter")
+    assert(run() == incr)
+    assert(Snapshots.currentVersion(table) == vAfter, "replay committed twice")
+  }
+
   test("IVF at √N centroids: probes read ~NProbe/C of the corpus") {
     val e = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
     val n = e.count()

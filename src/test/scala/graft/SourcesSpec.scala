@@ -173,6 +173,90 @@ class SourcesSpec extends SparkSpec {
       nation.where(col("n_regionkey") === 2).count())
   }
 
+  test("vacuum vs readers: retained versions survive, vacuumed ones fail fast") {
+    import graft.sources.Snapshots
+    val table = s"$tmp/snap_vacuum"
+    val root = new java.io.File(table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    if (root.exists()) rm(root)
+
+    val nation = Tables.load(spark, sfDir, "nation")
+    (0 to 3).foreach(k =>
+      Snapshots.commitAppend(nation.where(col("n_regionkey") === k), table))
+
+    // resolve v3 BEFORE vacuuming with retain = 2 (keeps v3, v4)
+    val v3 = Snapshots.readVersion(spark, table, 3)
+    Snapshots.vacuum(table, retain = 2)
+    // the retained version reads intact — both the pre-resolved frame
+    // and a fresh resolution
+    val exp3 = nation.where(col("n_regionkey").isin(0, 1, 2)).count()
+    assert(v3.count() == exp3)
+    assert(Snapshots.readVersion(spark, table, 3).count() == exp3)
+    // a version below retention fails CLEANLY at manifest resolution
+    // (never a dangling-file read)
+    val err = intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, table, 1)
+    }
+    assert(err.getMessage.contains("no snapshot"), err.getMessage)
+
+    // ingest provenance outlives vacuum: commit a tagged batch, vacuum
+    // its manifest away, and the replay must still no-op via tombstones
+    val batch = nation.where(col("n_regionkey") === 4)
+    Snapshots.ingestBatch(batch, table, "s9", 7L)
+    (0 to 2).foreach(k =>
+      Snapshots.commitAppend(nation.where(col("n_regionkey") === k), table))
+    Snapshots.vacuum(table, retain = 1) // the tagged manifest is retired
+    val head = Snapshots.currentVersion(table)
+    val rows = Snapshots.read(spark, table).count()
+    assert(Snapshots.ingestBatch(batch, table, "s9", 7L) == head,
+      "replay of a vacuumed batch must no-op via the tombstone file")
+    assert(Snapshots.currentVersion(table) == head)
+    assert(Snapshots.read(spark, table).count() == rows)
+  }
+
+  test("racing compactors never duplicate delta rows") {
+    import graft.sources.Snapshots
+    val table = s"$tmp/snap_compact_race"
+    val root = new java.io.File(table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    if (root.exists()) rm(root)
+
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val zc = Seq("l_orderkey", "l_partkey")
+    Snapshots.commitClustered(li.where(col("l_orderkey") % 4 === 0), table, zc, files = 2)
+    (1 to 3).foreach(k =>
+      Snapshots.appendDelta(li.where(col("l_orderkey") % 4 === k), table))
+    val expected = li.count()
+
+    // deterministic conflict: a transform whose required dirs were
+    // replaced under it must abort, not graft stale content back
+    val deltas = Snapshots.versionDirs(table, Snapshots.currentVersion(table))
+    Snapshots.commitOverwrite(li.where(col("l_orderkey") % 4 === 0), table)
+    assert(Snapshots.commitTransformIf(table, deltas)(dirs => dirs).isEmpty,
+      "conflicting transform must abort")
+
+    // rebuild, then two compactors race for real: whatever interleaving
+    // occurs, the snapshot must hold every row exactly once
+    rm(root)
+    Snapshots.commitClustered(li.where(col("l_orderkey") % 4 === 0), table, zc, files = 2)
+    (1 to 3).foreach(k =>
+      Snapshots.appendDelta(li.where(col("l_orderkey") % 4 === k), table))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val racers = (0 until 2).map { _ =>
+      Future { barrier.await(); Snapshots.compact(spark, table, zc, files = 2) }
+    }
+    Await.result(Future.sequence(racers), scala.concurrent.duration.Duration("120s"))
+    assert(Snapshots.read(spark, table).count() == expected,
+      "racing compactors duplicated or lost delta rows")
+  }
+
   test("optimistic concurrency: racing appenders never lose a commit") {
     import graft.sources.Snapshots
     val table = s"$tmp/snap_race"

@@ -227,6 +227,97 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bounded sessionization evicts idle users, matches batch inside the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val events = mem.toDF.toDF("event_id", "ts", "user_id")
+    val q = EventStreams.sessionizeBounded(events, horizonMinutes = 120)
+      .toDF.writeStream.outputMode("update").format("memory")
+      .queryName("sess_bounded").start()
+    // nanos; based at day 1 so the initial zero watermark never drops rows
+    def nanosAt(sec: Long) = (86400L + sec) * 1000000000L
+    try {
+      // user 7: two events 100 s apart — one session, two events
+      mem.addData((1L, nanosAt(0), 7L), (2L, nanosAt(100), 7L))
+      q.processAllAvailable()
+      // user 99 at +20 h pushes the watermark to 18 h — far past
+      // user 7's (last event + 2 h horizon) timeout target
+      mem.addData((3L, nanosAt(72000), 99L))
+      q.processAllAvailable()
+      // next batch fires user 7's timeout (timeouts run on the
+      // watermark as of the PREVIOUS batch) → state evicted
+      mem.addData((4L, nanosAt(72100), 99L))
+      q.processAllAvailable()
+      // user 7 returns at +21 h: counters restart from the evicted
+      // state — (1 event, 1 session), not the cumulative (3, 2)
+      mem.addData((5L, nanosAt(75600), 7L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_bounded").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // inside the horizon: batch-identical fold for user 7's first epoch
+    assert(rows.contains((7L, 2L, 1L)), s"first epoch must fold both events: ${rows.toList}")
+    // after eviction: fresh state, proving the idle user's record left the store
+    assert(rows.last == ((7L, 1L, 1L)),
+      s"post-eviction epoch must restart counters: ${rows.toList}")
+  }
+
+  test("transformWithState sessionization with TTL expires idle state") {
+    // In ProcessingTime mode the TWS operator ALWAYS reports "requires
+    // another batch" (to fire TTL cleanup), so processAllAvailable and
+    // even AvailableNow livelock on endless no-data batches. Each phase
+    // is therefore a single-batch Trigger.Once run over a shared
+    // checkpoint: state (with its TTL clocks) persists in RocksDB
+    // between runs, and expiry is evaluated when run 2 READS the state
+    // — no cleanup batch needed.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = "/root/repo/target/streaming-spec/ttl_ckpt"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(ckpt))
+    try {
+      val mem = MemoryStream[(Long, Long, Long)]
+      val events = mem.toDF.toDF("event_id", "ts", "user_id")
+        .as[EventStreams.EventRow]
+      val ttl = org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofMillis(50))
+      // memory sink refuses checkpoint recovery; foreachBatch restarts
+      def runOnce(): Seq[(Long, Long, Long)] = {
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]
+        val q = EventStreams.sessionizeTws(events, ttl)
+          .toDF.writeStream.outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.collect().foreach(r => got.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        got.toArray(Array.empty[(Long, Long, Long)]).toSeq
+      }
+      def nanosAt(sec: Long) = (86400L + sec) * 1000000000L
+      mem.addData((1L, nanosAt(0), 7L), (2L, nanosAt(100), 7L))
+      val first = runOnce()
+      assert(first.contains((7L, 2L, 1L)), s"pre-TTL fold: $first")
+      Thread.sleep(500) // let the 50 ms TTL lapse in processing time
+      mem.addData((3L, nanosAt(7200), 7L))
+      val second = runOnce()
+      assert(second.contains((7L, 1L, 1L)),
+        s"expired state must not feed the restarted run: $second")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stateful streaming sessionization matches batch q_events_sessionize") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = EventStreams.readEvents(spark, sfDir)
