@@ -375,8 +375,163 @@ object TextFunctions {
               AND ub.w = string_split(ab, ' ')[2]
             ORDER BY lift DESC, ab LIMIT 15"""))
 
+  /** Repetition metrics (the Gopher-rule family): per document, the
+    * fraction of tokens covered by the single most frequent word, the
+    * most frequent bigram's share of all bigrams, and the share of
+    * 5-gram occurrences belonging to 5-grams repeated WITHIN the
+    * document — the three signals used to drop template/spam pages
+    * before training. Three explode + two-level aggregates, each
+    * keyed on (doc_id, gram): the shuffle carries per-doc gram count
+    * partials, never documents, and each doc's grams colocate so the
+    * second-level max/sum is partition-local after one shuffle.
+    * Thresholds follow the published Gopher cuts (0.2 / 0.1 / 0.3);
+    * all fractions are single IEEE divisions of exact counts.
+    */
+  /** Repetition-metric core over (doc_id, text) rows — see
+    * [[repetition]] for semantics, thresholds, and scale notes. */
+  def repetitionMetrics(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
+    def grams(n: Int) =
+      (if (n == 1) tk.select(col("doc_id"), explode(col("tk")).as("g"))
+       else tk.where(size(col("tk")) >= n)
+         .select(col("doc_id"), explode(expr(
+           s"transform(sequence(1, size(tk) - ${n - 1}), " +
+           s"i -> array_join(slice(tk, i, $n), ' '))")).as("g")))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val uni = grams(1).groupBy("doc_id")
+      .agg(max(col("c")).as("top_word_c"), sum(col("c")).cast("long").as("n_tokens"))
+    val bi = grams(2).groupBy("doc_id")
+      .agg(max(col("c")).as("top_bigram_c"), sum(col("c")).cast("long").as("n_bigrams"))
+    val five = grams(5).groupBy("doc_id")
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("long").as("dup5_c"),
+        sum(col("c")).cast("long").as("n_5grams"))
+    uni.join(bi, "doc_id").join(five, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_word_c").cast("double") / col("n_tokens")).as("top_word_frac"),
+        (col("top_bigram_c").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        (col("dup5_c").cast("double") / col("n_5grams")).as("dup_5gram_frac"))
+      .withColumn("is_repetitive",
+        col("top_word_frac") > 0.2 || col("top_bigram_frac") > 0.1 ||
+          col("dup_5gram_frac") > 0.3)
+  }
+
+  val repetition: QueryDef = QueryDef(
+    "t_repetition",
+    (s, dir) => repetitionMetrics(Tables.load(s, dir, "documents")),
+    Some(s"""WITH tk AS (SELECT doc_id, ${Portable.textSql.tokens} AS tk FROM documents),
+         uni AS (SELECT doc_id, MAX(c) AS top_word_c, CAST(SUM(c) AS BIGINT) AS n_tokens
+           FROM (SELECT doc_id, g, COUNT(*) AS c
+                 FROM (SELECT doc_id, unnest(tk) AS g FROM tk) u GROUP BY doc_id, g) x
+           GROUP BY doc_id),
+         bi AS (SELECT doc_id, MAX(c) AS top_bigram_c, CAST(SUM(c) AS BIGINT) AS n_bigrams
+           FROM (SELECT doc_id, g, COUNT(*) AS c
+                 FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                     i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)])) AS g
+                   FROM tk) u GROUP BY doc_id, g) x
+           GROUP BY doc_id),
+         five AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup5_c,
+             CAST(SUM(c) AS BIGINT) AS n_5grams
+           FROM (SELECT doc_id, g, COUNT(*) AS c
+                 FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 3),
+                     i -> array_to_string(tk[CAST(i AS INT) : CAST(i + 4 AS INT)], ' '))) AS g
+                   FROM tk) u GROUP BY doc_id, g) x
+           GROUP BY doc_id)
+         SELECT uni.doc_id, n_tokens,
+           CAST(top_word_c AS DOUBLE) / n_tokens AS top_word_frac,
+           CAST(top_bigram_c AS DOUBLE) / n_bigrams AS top_bigram_frac,
+           CAST(dup5_c AS DOUBLE) / n_5grams AS dup_5gram_frac,
+           (CAST(top_word_c AS DOUBLE) / n_tokens > 0.2
+             OR CAST(top_bigram_c AS DOUBLE) / n_bigrams > 0.1
+             OR CAST(dup5_c AS DOUBLE) / n_5grams > 0.3) AS is_repetitive
+         FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+                  JOIN five ON uni.doc_id = five.doc_id"""))
+
+  /** Pattern redaction — the PII-scrub shape (emails, phone numbers,
+    * numeric identifiers) run over the semi-structured `props`
+    * payload of the event log. One narrow codegen'd projection per
+    * row; at 100 TB this is pure map work. The regexes stay inside
+    * the POSIX-class subset that Java and RE2 evaluate identically,
+    * and occurrence counts come from length arithmetic on the
+    * replaced string (exact, engine-portable). Emails/phones are
+    * structurally absent from this corpus — their counts are
+    * hash-checked zeros proving the patterns run — while numeric-ID
+    * redaction fires on every row.
+    */
+  val piiRedact: QueryDef = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+"
+    val phoneRe = "[+]?[0-9][0-9 ()-]{6,}[0-9]"
+    val numRe = "[0-9]+"
+    QueryDef(
+      "t_pii_redact",
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+          col("props"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), numRe, "<NUM>")
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), scrubbed.as("scrubbed"))
+          .withColumn("n_email", Portable.occurrences(col("scrubbed"), "<EMAIL>"))
+          .withColumn("n_phone", Portable.occurrences(col("scrubbed"), "<PHONE>"))
+          .withColumn("n_num", Portable.occurrences(col("scrubbed"), "<NUM>"))
+      },
+      Some {
+        val scrub = s"regexp_replace(regexp_replace(regexp_replace(props, " +
+          s"'$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'), '$numRe', '<NUM>', 'g')"
+        s"""WITH r AS (SELECT event_id, $scrub AS scrubbed FROM events)
+            SELECT event_id, scrubbed,
+              ${P.occurrences("scrubbed", "<EMAIL>")} AS n_email,
+              ${P.occurrences("scrubbed", "<PHONE>")} AS n_phone,
+              ${P.occurrences("scrubbed", "<NUM>")} AS n_num
+            FROM r"""
+      })
+  }
+
+  /** Sequence packing — the training-batch prep step: documents are
+    * concatenated in a deterministic order within each language shard
+    * and chopped into fixed 2048-token context windows; each document
+    * is assigned the pack its first token lands in. A running-total
+    * window per shard (one shuffle on the shard key, one
+    * partition-local sort) — never a global sort: shards pack
+    * independently, which is exactly how a 100 TB corpus packs on
+    * 1000 executors. Output: per (lang, pack) doc/token counts and
+    * how many docs straddle a window boundary.
+    */
+  val packSequences: QueryDef = QueryDef(
+    "t_pack_sequences",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          ((length(col("text")) - length(replace(col("text"), lit(" "), lit("")))) + 1
+            ).cast("long").as("n_tokens"))
+        .withColumn("tok_end", sum(col("n_tokens")).over(w))
+        .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+        .withColumn("pack_id", floor(col("tok_start") / 2048.0).cast("long"))
+      d.groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          sum(when(floor((col("tok_end") - 1) / 2048.0).cast("long") =!= col("pack_id"),
+            1).otherwise(0)).cast("long").as("n_straddling"))
+    },
+    Some("""WITH d AS (SELECT doc_id, lang,
+              CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (SELECT doc_id, lang, n_tokens,
+              SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS tok_end
+            FROM d),
+          p AS (SELECT lang, n_tokens, tok_end, tok_end - n_tokens AS tok_start,
+              CAST(FLOOR((tok_end - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+            FROM c)
+          SELECT lang, pack_id, COUNT(*) AS n_docs,
+            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+            CAST(SUM(CASE WHEN CAST(FLOOR((tok_end - 1) / 2048.0) AS BIGINT) <> pack_id
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+          FROM p GROUP BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
-      collocations)
+      collocations, repetition, piiRedact, packSequences)
 }

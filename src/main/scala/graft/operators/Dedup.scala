@@ -156,6 +156,69 @@ object Dedup {
     Some("""SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
             FROM documents GROUP BY 1"""))
 
+  // ---- §2.2 row 21b: chunk-level exact dedup (C4-style) ----
+
+  /** Sub-document exact dedup — the C4/RefinedWeb "duplicated line"
+    * pass re-expressed over this corpus's newline-free text: documents
+    * split into consecutive 20-word chunks, and only the corpus-wide
+    * FIRST occurrence of each distinct chunk (ordered by doc_id, then
+    * position) survives; each document is then reassembled from its
+    * surviving chunks. Output per document: chunk counts and the
+    * fingerprint of the reassembled text.
+    *
+    * Scale shape: chunks shuffle once keyed on their 16-byte content
+    * hash (the rank-1 window — no corpus self-join), then once more
+    * back to doc_id for reassembly. Both shuffles carry chunks, which
+    * is inherent to reassembly semantics; ranking itself only needs
+    * (hash, doc_id, idx) scalars.
+    */
+  /** Chunk-level dedup core over (doc_id, text) rows: split into
+    * `chunkWords`-word chunks, keep only each distinct chunk's
+    * corpus-wide first occurrence, reassemble per doc. See
+    * [[paragraph]] for semantics and scale notes.
+    */
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 20): DataFrame = {
+    val tk = docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
+      .where(size(col("tk")) > 0)
+    val ch = tk.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(ceil(size(tk) / $chunkWords.0) as int) - 1), " +
+          s"i -> array_join(slice(tk, i * $chunkWords + 1, $chunkWords), ' '))")))
+      .toDF("doc_id", "chunk_idx", "chunk")
+    val w = Window.partitionBy(md5(col("chunk")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    ch.withColumn("rk", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rk") === 1, 1).otherwise(0)).cast("long").as("n_kept"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("rk") === 1, struct(col("chunk_idx"), col("chunk"))))),
+            c => c.getField("chunk")))).as("kept_fp"))
+  }
+
+  val paragraph: QueryDef = QueryDef(
+    "d_dedup_paragraph",
+    (s, dir) => chunkDedup(Tables.load(s, dir, "documents")),
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         ex AS (SELECT doc_id, tk,
+             unnest(range(0, CAST(CEIL(len(tk) / 20.0) AS BIGINT))) AS i
+           FROM tk WHERE len(tk) > 0),
+         ch AS (SELECT doc_id, i AS chunk_idx,
+             array_to_string(tk[CAST(i*20+1 AS BIGINT) : CAST(LEAST((i+1)*20, len(tk)) AS BIGINT)], ' ') AS chunk
+           FROM ex),
+         k AS (SELECT doc_id, chunk_idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rk
+           FROM ch)
+         SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE rk = 1), '')) AS kept_fp
+         FROM k GROUP BY doc_id"""))
+
   // ---- §2.2 row 22: MinHash + LSH (full-pipeline SQL oracle) ----
 
   val minhash: QueryDef = QueryDef(
@@ -660,6 +723,6 @@ object Dedup {
          FROM ranked WHERE rk = 1"""))
 
   val defs: Seq[QueryDef] =
-    Seq(exact, minhash, simhashDef, ngramJaccard, cluster, canonicalByQuality,
-      incremental)
+    Seq(exact, paragraph, minhash, simhashDef, ngramJaccard, cluster,
+      canonicalByQuality, incremental)
 }

@@ -150,5 +150,42 @@ object Events {
               COUNT(*) AS n_users
             FROM conv GROUP BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(window1h, sessionize, asofJoin, jsonExtract, funnel)
+  /** Cohort / retention analysis — the signup-week × activity-week
+    * matrix: users are grouped into cohorts by the week of their first
+    * signup, and each (cohort_week, week_offset) cell counts the
+    * distinct cohort members active in that week. Two aggregations and
+    * one join, all keyed on user_id or (cohort, week) scalars — the
+    * event log shuffles once into per-user firsts and once into
+    * per-(user, week) activity flags, never row-by-row. At 100 TB both
+    * shuffles carry per-user/per-cell scalars, not events.
+    */
+  val retention: QueryDef = QueryDef(
+    "q_events_retention",
+    (s, dir) => {
+      val e = events(s, dir)
+      val signups = e.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(sec).as("t_signup"))
+        .withColumn("cohort_wk", floor(col("t_signup") / 604800.0).cast("long"))
+      // distinct active weeks per signed-up user, at-or-after signup
+      val active = e.select(col("user_id").as("a_user"), sec.as("t"))
+        .join(signups, col("a_user") === col("user_id") && col("t") >= col("t_signup"))
+        .select(col("user_id"), col("cohort_wk"),
+          (floor(col("t") / 604800.0).cast("long") - col("cohort_wk")).as("week_offset"))
+      active.groupBy("cohort_wk", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""WITH s AS (SELECT user_id, MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t_signup
+              FROM events WHERE event_type = 'signup' GROUP BY user_id),
+            c AS (SELECT user_id, t_signup,
+                    CAST(FLOOR(t_signup / 604800.0) AS BIGINT) AS cohort_wk FROM s),
+            a AS (SELECT c.user_id, c.cohort_wk,
+                    CAST(FLOOR(CAST(FLOOR(epoch(e.ts)) AS BIGINT) / 604800.0) AS BIGINT)
+                      - c.cohort_wk AS week_offset
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE CAST(FLOOR(epoch(e.ts)) AS BIGINT) >= c.t_signup)
+            SELECT cohort_wk, week_offset, COUNT(DISTINCT user_id) AS n_users
+            FROM a GROUP BY 1, 2"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention)
 }

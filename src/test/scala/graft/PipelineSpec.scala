@@ -357,4 +357,95 @@ class PipelineSpec extends SparkSpec {
         s"$dir: prefix filter left $cand of $blockPairs block pairs")
     }
   }
+
+  test("chunk dedup drops later occurrences, keeps first, reassembles in order") {
+    val w20 = (1 to 20).map(i => s"w$i").mkString(" ")      // shared chunk
+    val u20 = (1 to 20).map(i => s"u$i").mkString(" ")      // doc1-only chunk
+    val v20 = (1 to 20).map(i => s"v$i").mkString(" ")      // doc2-only chunk
+    val docs = Seq(
+      (1L, s"$w20 $u20"),   // chunks: [w20, u20]
+      (2L, s"$v20 $w20"),   // chunks: [v20, w20] — w20 already seen in doc 1
+      (3L, w20)             // single chunk, fully duplicated
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.chunkDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L)._1 == 2 && got(1L)._2 == 2)
+    assert(got(2L)._1 == 2 && got(2L)._2 == 1)   // w20 dropped
+    assert(got(3L)._1 == 1 && got(3L)._2 == 0)   // everything dropped
+    // reassembly is position-ordered: doc2 keeps only v20
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L)._3 == md5s(s"$w20 $u20"))
+    assert(got(2L)._3 == md5s(v20))
+    assert(got(3L)._3 == md5s(""))
+  }
+
+  test("chunk dedup catalog invariant: kept chunks = distinct chunks corpus-wide") {
+    val d = SparkEntry.queries("d_dedup_paragraph")(spark, sfDir)
+    val (nChunks, nKept) = {
+      val r = d.agg(sum("n_chunks"), sum("n_kept")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // every surviving chunk is the unique first occurrence of its text
+    val docs = Tables.load(spark, sfDir, "documents")
+    val distinctChunks = docs
+      .select(expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
+      .select(explode(expr(
+        "transform(sequence(0, cast(ceil(size(tk) / 20.0) as int) - 1), " +
+        "i -> array_join(slice(tk, i * 20 + 1, 20), ' '))")).as("chunk"))
+      .distinct().count()
+    assert(nKept == distinctChunks, s"$nKept kept vs $distinctChunks distinct")
+    assert(nKept <= nChunks)
+  }
+
+  test("repetition metrics: pure spam maxes out, varied text scores low") {
+    val spam = Array.fill(30)("buy now").mkString(" ")        // one bigram repeated
+    val varied = (1 to 60).map(i => s"tok$i").mkString(" ")   // all tokens distinct
+    val got = graft.functions.TextFunctions.repetitionMetrics(
+      Seq((1L, spam), (2L, varied)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val s = got(1L); val v = got(2L)
+    assert(s.getDouble(2) == 0.5 && s.getBoolean(5),  // top word = 30/60
+      s"spam row: $s")
+    assert(s.getDouble(4) == 1.0)                     // every 5-gram duplicated
+    assert(v.getDouble(2) < 0.2 && v.getDouble(4) == 0.0 && !v.getBoolean(5),
+      s"varied row: $v")
+  }
+
+  test("pii redaction leaves no digits and counts every replacement") {
+    val d = SparkEntry.queries("t_pii_redact")(spark, sfDir)
+    val bad = d.where(col("scrubbed").rlike("[0-9]")).count()
+    assert(bad == 0, s"$bad rows still contain digits")
+    val zeroNum = d.where(col("n_num") === 0 && col("n_phone") === 0).count()
+    assert(zeroNum == 0, "every props payload carries a numeric id")
+  }
+
+  test("sequence packing conserves tokens and numbers packs contiguously") {
+    val d = SparkEntry.queries("t_pack_sequences")(spark, sfDir).cache()
+    val total = d.agg(sum("n_tokens")).head().getLong(0)
+    val fromDocs = Tables.load(spark, sfDir, "documents")
+      .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(total == fromDocs, s"packed $total tokens vs corpus $fromDocs")
+    // pack ids are dense 0..max within each lang shard
+    val gaps = d.groupBy("lang")
+      .agg(min("pack_id").as("mn"), max("pack_id").as("mx"), count(lit(1)).as("n"))
+      .where(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count()
+    assert(gaps == 0, "pack ids must be dense per shard")
+    d.unpersist()
+  }
+
+  test("retention matrix: offset-0 cell counts the whole cohort") {
+    val d = SparkEntry.queries("q_events_retention")(spark, sfDir).cache()
+    assert(d.where(col("week_offset") < 0).count() == 0)
+    // every cohort member is active in their signup week (the signup
+    // itself is an event at t >= t_signup), so offset 0 = cohort size
+    val cohorts = d.where(col("week_offset") === 0)
+      .select(col("cohort_wk"), col("n_users"))
+    val later = d.where(col("week_offset") > 0)
+      .groupBy("cohort_wk").agg(max("n_users").as("mx"))
+    val violated = cohorts.join(later, "cohort_wk")
+      .where(col("mx") > col("n_users")).count()
+    assert(violated == 0, "no later week can exceed the cohort size")
+    d.unpersist()
+  }
 }
