@@ -573,7 +573,16 @@ object Dedup {
     val spark = newDocs.sparkSession
     val newBand = bandedSigned(newDocs).localCheckpoint()
     graft.sources.Snapshots.ingestBatch(newBand, table, streamId, batchId)
-    val idx = graft.sources.Snapshots.readVersion(spark, table, indexVersion)
+    batchDedupStats(newBand,
+      graft.sources.Snapshots.readVersion(spark, table, indexVersion))
+  }
+
+  /** Near-dup stats of the banded batch against index ∪ batch (shared
+    * tail of [[dedupAgainstIndex]] / [[dedupBatchIncremental]]; also
+    * the pure-recompute reference in StreamingSpec, fed freshly-signed
+    * frames instead of stored index rows).
+    */
+  private[graft] def batchDedupStats(newBand: DataFrame, idx: DataFrame): DataFrame = {
     val all = idx.unionAll(newBand)
     val cand = newBand.select(col("doc_id").as("b"), col("band"), col("bucket"))
       .join(all.select(col("doc_id").as("a"), col("band"), col("bucket")),
@@ -591,6 +600,28 @@ object Dedup {
       .select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
       .join(perDoc, Seq("doc_id"), "left")
       .na.fill(Map("n_near_dups" -> 0L, "max_jaccard" -> -1.0))
+  }
+
+  /** One micro-batch of STREAMING incremental dedup: the batch's
+    * signatures commit to the index exactly-once FIRST (creating
+    * version v), then the batch dedups against the table content at
+    * v − 1 — everything committed strictly before it. A replay
+    * resolves v from its own ingest tag
+    * ([[graft.sources.Snapshots.committedVersion]]) and re-reads the
+    * SAME v − 1, so its result is bit-identical no matter how many
+    * later batches have committed in between — the property that makes
+    * foreachBatch retries safe end-to-end. Streaming wrapper:
+    * [[graft.streaming.EventStreams.incrementalDedupStream]].
+    */
+  def dedupBatchIncremental(newDocs: DataFrame, table: String,
+      streamId: String, batchId: Long): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newBand = bandedSigned(newDocs).localCheckpoint()
+    val v = graft.sources.Snapshots.ingestBatch(newBand, table, streamId, batchId)
+    val idx =
+      if (v <= 1) newBand.where(lit(false)) // first commit: empty corpus
+      else graft.sources.Snapshots.readVersion(spark, table, v - 1)
+    batchDedupStats(newBand, idx)
   }
 
   /** Catalog entry: corpus = 90% of documents (bootstrapped into the

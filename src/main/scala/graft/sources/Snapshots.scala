@@ -230,6 +230,27 @@ object Snapshots {
   private def tombstones(table: String): Path =
     meta(table).resolve("ingest.tombstones")
 
+  /** The version whose manifest carries the (streamId, batchId) ingest
+    * tag — i.e. the snapshot that batch's commit created. None if the
+    * batch never committed or its manifest was vacuumed (the tombstone
+    * file remembers the tag but not the version). Lets a replayed
+    * batch recompute against exactly the table state its first attempt
+    * saw (version − 1), making batch results replay-deterministic.
+    */
+  def committedVersion(table: String, streamId: String, batchId: Long): Option[Int] = {
+    val m = meta(table)
+    if (!Files.exists(m)) return None
+    val needle = "#" + ingestTag(streamId, batchId)
+    listDir(m)
+      .flatMap(p => p.getFileName.toString match {
+        case ManifestRe(n)
+          if Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+            .exists(_ == needle) => Some(n.toInt)
+        case _ => None
+      })
+      .sorted.headOption
+  }
+
   /** Commit one micro-batch EXACTLY ONCE: the (streamId, batchId)
     * provenance tag travels inside the atomically-claimed manifest,
     * so a replayed batch (Structured Streaming re-runs foreachBatch
@@ -238,7 +259,12 @@ object Snapshots {
     */
   def ingestBatch(df: DataFrame, table: String, streamId: String,
       batchId: Long): Int = {
-    if (batchCommitted(table, streamId, batchId)) return currentVersion(table)
+    if (batchCommitted(table, streamId, batchId))
+      // resolve the replay to the version ITS OWN commit created (falls
+      // back to the head only when a vacuumed tombstone is all that
+      // remembers the tag)
+      return committedVersion(table, streamId, batchId)
+        .getOrElse(currentVersion(table))
     val dir = writeData(df, table)
     // the committed-check re-runs at the top of EVERY claim attempt:
     // two concurrent replays of the same batch (a zombie driver racing
@@ -249,7 +275,9 @@ object Snapshots {
       (if (prev == 0) Seq.empty else manifestDirs(table, prev)) :+ dir,
       tags = Seq(ingestTag(streamId, batchId)),
       abortIf = () =>
-        if (batchCommitted(table, streamId, batchId)) Some(currentVersion(table))
+        if (batchCommitted(table, streamId, batchId))
+          Some(committedVersion(table, streamId, batchId)
+            .getOrElse(currentVersion(table)))
         else None)
   }
 

@@ -370,4 +370,33 @@ object EventStreams {
   def consolidateDups(hits: DataFrame): DataFrame =
     hits.where(col("dup_of") >= 0).groupBy("doc_id")
       .agg(min(col("dup_of")).as("dup_of"))
+
+  // ---- streaming incremental corpus dedup (row 22b, streaming twin) ----
+
+  /** STREAMING incremental corpus dedup — `d_dedup_incremental` as a
+    * continuous pipeline: each micro-batch of (doc_id, text) rows
+    *  1. appends its minhash signatures to the persisted band index
+    *     EXACTLY-ONCE (one snapshot version per batch),
+    *  2. is deduped against everything committed strictly before it
+    *     (the index at version − 1 — corpus bootstrap plus all earlier
+    *     batches), and
+    *  3. lands its per-doc near-dup stats in `resultsTable`, also
+    *     exactly-once under the same (streamId, batchId) tag.
+    * A replayed micro-batch therefore cannot double-append signatures
+    * OR results, and recomputes bit-identical stats (it re-reads the
+    * same version − 1 via its ingest tag) even if later batches have
+    * committed meanwhile. This is the steady-state 100 TB dedup shape:
+    * O(batch) signature work per batch, corpus signatures served from
+    * the versioned index, never recomputed.
+    */
+  def incrementalDedupStream(docs: DataFrame, indexTable: String,
+      resultsTable: String, streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val stats = graft.operators.Dedup.dedupBatchIncremental(
+          batch, indexTable, streamId, batchId)
+        graft.sources.Snapshots.ingestBatch(stats, resultsTable, streamId, batchId)
+        ()
+      }
 }

@@ -173,9 +173,13 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, table, 1).count() == 2)
 
     // a replayed batch (same stream, same batchId) must NO-OP: the
-    // provenance tag rides inside the atomically-claimed manifest
+    // provenance tag rides inside the atomically-claimed manifest, and
+    // the replay resolves to the version ITS OWN commit created (batch
+    // 0 → version 1), so downstream consumers can re-read the exact
+    // pre-batch state (version − 1)
     val replay = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
-    assert(Snapshots.ingestBatch(replay, table, "s1", 0L) == vAfter)
+    assert(Snapshots.ingestBatch(replay, table, "s1", 0L) == 1)
+    assert(Snapshots.committedVersion(table, "s1", 0L).contains(1))
     assert(Snapshots.currentVersion(table) == vAfter, "replay committed twice")
     assert(Snapshots.read(spark, table).count() == 3)
     // …while a NEW batch id still commits
@@ -316,6 +320,62 @@ class StreamingSpec extends SparkSpec {
       case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
+  }
+
+  test("streaming incremental dedup: index-served batches equal a recompute, replays no-op") {
+    import graft.operators.Dedup
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idxT = "/root/repo/target/streaming-spec/inc_idx"
+    val resT = "/root/repo/target/streaming-spec/inc_res"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(idxT)); rm(new java.io.File(resT))
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    Dedup.buildBandIndex(corpus, idxT) // bootstrap = version 1
+    val batches = docs.where(col("doc_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1 % 3) // 3 deterministic micro-batches
+
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.incrementalDedupStream(
+      mem.toDF.toDF("doc_id", "text"), idxT, resT, "inc_s1").start()
+    try {
+      for (k <- 0L to 2L) {
+        mem.addData(batches(k).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // reference: pure recompute — batch k signed fresh against
+    // corpus ∪ batches < k, no stored index anywhere
+    import spark.implicits._
+    var seen = corpus
+    var expect = Set.empty[(Long, Long, Long, Double)]
+    for (k <- 0L to 2L) {
+      val b = batches(k).toSeq.toDF("doc_id", "text")
+      expect ++= key(Dedup.batchDedupStats(
+        Dedup.bandedSigned(b), Dedup.bandedSigned(seen)))
+      seen = seen.unionAll(b)
+    }
+    val got = key(Snapshots.read(spark, resT))
+    assert(got == expect, s"index-served stream diverged: ${got.size} vs ${expect.size}")
+
+    // replay batch 1 after batch 2 committed: same stats, no new version
+    val vBefore = Snapshots.currentVersion(idxT)
+    val replay = key(Dedup.dedupBatchIncremental(
+      batches(1L).toSeq.toDF("doc_id", "text"), idxT, "inc_s1", 1L))
+    assert(Snapshots.currentVersion(idxT) == vBefore, "replay must not commit")
+    val batch1Expected = key(Dedup.batchDedupStats(
+      Dedup.bandedSigned(batches(1L).toSeq.toDF("doc_id", "text")),
+      Dedup.bandedSigned(corpus.unionAll(batches(0L).toSeq.toDF("doc_id", "text")))))
+    assert(replay == batch1Expected, "replay must recompute against its own v-1")
   }
 
   test("stateful streaming sessionization matches batch q_events_sessionize") {
