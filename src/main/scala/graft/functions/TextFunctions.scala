@@ -388,25 +388,38 @@ object TextFunctions {
     * all fractions are single IEEE divisions of exact counts.
     */
   /** Repetition-metric core over (doc_id, text) rows — see
-    * [[repetition]] for semantics, thresholds, and scale notes. */
+    * [[repetition]] for semantics, thresholds, and scale notes.
+    *
+    * Single-pass: unigrams, bigrams and 5-grams explode as ONE tagged
+    * stream from one corpus scan (the `slice(sequence(...))` start
+    * lists are empty — never descending — for docs shorter than n), so
+    * the whole computation is one (doc_id, n, gram) count plus one
+    * per-doc conditional aggregate: two exchanges, no joins, instead
+    * of three scans + six exchanges + two joins for the per-gram-size
+    * formulation.
+    */
   def repetitionMetrics(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tk = docs.select(col("doc_id"),
       expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
-    def grams(n: Int) =
-      (if (n == 1) tk.select(col("doc_id"), explode(col("tk")).as("g"))
-       else tk.where(size(col("tk")) >= n)
-         .select(col("doc_id"), explode(expr(
-           s"transform(sequence(1, size(tk) - ${n - 1}), " +
-           s"i -> array_join(slice(tk, i, $n), ' '))")).as("g")))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-    val uni = grams(1).groupBy("doc_id")
-      .agg(max(col("c")).as("top_word_c"), sum(col("c")).cast("long").as("n_tokens"))
-    val bi = grams(2).groupBy("doc_id")
-      .agg(max(col("c")).as("top_bigram_c"), sum(col("c")).cast("long").as("n_bigrams"))
-    val five = grams(5).groupBy("doc_id")
-      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("long").as("dup5_c"),
-        sum(col("c")).cast("long").as("n_5grams"))
-    uni.join(bi, "doc_id").join(five, "doc_id")
+    def tagged(n: Int) =
+      if (n == 1) s"transform(tk, x -> named_struct('n', 1, 'g', x))"
+      else s"transform(slice(sequence(1, size(tk)), 1, greatest(size(tk) - ${n - 1}, 0)), " +
+        s"i -> named_struct('n', $n, 'g', array_join(slice(tk, i, $n), ' ')))"
+    val g = tk.select(col("doc_id"),
+        explode(expr(s"concat(${tagged(1)}, ${tagged(2)}, ${tagged(5)})")).as("s"))
+      .select(col("doc_id"), col("s.n").as("n"), col("s.g").as("g"))
+    g.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max(when(col("n") === 1, col("c"))).as("top_word_c"),
+        sum(when(col("n") === 1, col("c"))).cast("long").as("n_tokens"),
+        max(when(col("n") === 2, col("c"))).as("top_bigram_c"),
+        sum(when(col("n") === 2, col("c"))).cast("long").as("n_bigrams"),
+        sum(when(col("n") === 5 && col("c") > 1, col("c")).otherwise(0L))
+          .cast("long").as("dup5_c"),
+        sum(when(col("n") === 5, col("c"))).cast("long").as("n_5grams"))
+      // docs too short for a bigram/5-gram drop, matching the oracle's
+      // inner joins
+      .where(col("n_bigrams").isNotNull && col("n_5grams").isNotNull)
       .select(col("doc_id"), col("n_tokens"),
         (col("top_word_c").cast("double") / col("n_tokens")).as("top_word_frac"),
         (col("top_bigram_c").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
