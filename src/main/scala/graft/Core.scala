@@ -106,5 +106,22 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => DotLong(exprs.head, exprs(1))),
     (FunctionIdentifier("graft_sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
-      (exprs: Seq[Expression]) => SortedIntersectSize(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs.head, exprs(1))),
+    (FunctionIdentifier("graft_quantile_sketch"),
+      new ExpressionInfo(classOf[graft.functions.QuantileSketch].getName, "graft_quantile_sketch"),
+      (exprs: Seq[Expression]) => graft.functions.QuantileSketch.of(exprs.head, {
+        // SQL literals like array(0.5) arrive as decimal arrays — cast
+        // to array<double> before folding
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        val asDoubles = exprs(1).dataType match {
+          case _: ArrayType => Cast(exprs(1), ArrayType(DoubleType))
+          case _ => Cast(exprs(1), DoubleType)
+        }
+        asDoubles.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray().toSeq
+          case d: Double => Seq(d)
+          case x => throw new IllegalArgumentException(s"quantiles must be a double array, got $x")
+        }
+      })))
 }

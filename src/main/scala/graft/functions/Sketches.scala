@@ -1,0 +1,157 @@
+package graft.functions
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Column, GraftColumnBridge => B}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Deterministic mergeable quantile sketch — the custom-AGGREGATE tier
+  * of the native extension surface (SURVEY §2 row 28 covers scalar
+  * Expressions; this is the `TypedImperativeAggregate` counterpart,
+  * the mechanism behind Spark's own approx_percentile).
+  *
+  * The sketch is the DDSketch idea (Masson et al., VLDB 2019) with
+  * IEEE-754 buckets: a positive double maps to its biased exponent
+  * plus the top `MantissaBits` mantissa bits — i.e. log-spaced buckets
+  * with relative width 2^-MantissaBits — extracted by ONE shift of the
+  * raw bit pattern (no transcendentals, no branches). Negatives mirror
+  * below -1-id (the positive-double bit pattern is order-preserving,
+  * so bucket ids sort exactly like values). The buffer is a sparse
+  * (bucket → count) map.
+  *
+  * Properties that matter at 100 TB:
+  *  - MERGEABLE: merge = counter addition, so partial aggregation
+  *    works and the shuffle carries one small map per group;
+  *  - DETERMINISTIC: bucket ids are pure bit arithmetic and merges
+  *    commute, so the result is identical across partitionings, task
+  *    orders, and retries — unlike rank-based sketches (t-digest, GK)
+  *    whose results depend on merge order;
+  *  - BOUNDED ERROR: the returned quantile is its bucket's lower
+  *    bound, within relative 2^-MantissaBits (= 1/128 < 1%) of the
+  *    true element for normal doubles;
+  *  - BOUNDED SIZE: ≤ one entry per occupied bucket, ≤ a few thousand
+  *    for any physically plausible value range.
+  */
+case class QuantileSketch(
+    child: Expression,
+    qs: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.LongMap[Long]] {
+
+  require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+    "quantiles must be in [0, 1]")
+  // numeric inputs are cast to double at construction
+  // ([[QuantileSketch.of]]); AbstractDataType (the ImplicitCastInputTypes
+  // contract) is private[sql] in Spark 4, so the cast happens here
+  require(child.dataType == DoubleType, s"expected double input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = "graft_quantile_sketch"
+
+  override def createAggregationBuffer(): mutable.LongMap[Long] =
+    mutable.LongMap.empty[Long]
+
+  override def update(buf: mutable.LongMap[Long], input: InternalRow): mutable.LongMap[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Double]
+      if (!x.isNaN) {
+        val id = QuantileSketch.bucketOf(x)
+        buf.update(id, buf.getOrElse(id, 0L) + 1L)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: mutable.LongMap[Long], b: mutable.LongMap[Long]): mutable.LongMap[Long] = {
+    b.foreach { case (id, c) => a.update(id, a.getOrElse(id, 0L) + c) }
+    a
+  }
+
+  override def eval(buf: mutable.LongMap[Long]): Any = {
+    val total = buf.values.sum
+    if (total == 0L) return null
+    val sorted = buf.toArray.sortBy(_._1)
+    // "lower" interpolation: the element at 0-based rank floor(q·(N−1))
+    val out = qs.map { q =>
+      val target = math.floor(q * (total - 1)).toLong
+      var cum = 0L
+      var i = 0
+      while (cum + sorted(i)._2 <= target) { cum += sorted(i)._2; i += 1 }
+      QuantileSketch.valueOf(sorted(i)._1)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def serialize(buf: mutable.LongMap[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach { case (k, v) => bb.putLong(k); bb.putLong(v) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.LongMap[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val m = mutable.LongMap.empty[Long]
+    var i = 0
+    while (i < n) { m.update(bb.getLong, bb.getLong); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QuantileSketch =
+    copy(child = newChildren.head)
+}
+
+object QuantileSketch {
+  /** Log-bucket resolution: relative bucket width 2^-7 = 1/128. */
+  val MantissaBits: Int = 7
+
+  /** Construct over any numeric child: non-double inputs get an
+    * explicit cast (the stand-in for ImplicitCastInputTypes, whose
+    * AbstractDataType signature is private[sql] in Spark 4).
+    */
+  def of(child: Expression, qs: Seq[Double]): QuantileSketch =
+    QuantileSketch(
+      if (child.dataType == DoubleType) child else Cast(child, DoubleType), qs)
+
+  /** value → orderable bucket id: biased exponent and top mantissa
+    * bits of the magnitude, mirrored below -1-id for negatives. Pure
+    * bit arithmetic, monotone in the value. (+0.0 → id 0; -0.0 → -1.)
+    */
+  def bucketOf(x: Double): Long = {
+    val bits = java.lang.Double.doubleToLongBits(x)
+    val pos = (bits & Long.MaxValue) >>> (52 - MantissaBits)
+    if (bits >= 0) pos else -1L - pos
+  }
+
+  /** bucket id → the bucket's bound nearest zero (so the estimate's
+    * magnitude never exceeds the true element's): reconstruct the
+    * double whose exponent/mantissa-prefix the id encodes.
+    */
+  def valueOf(id: Long): Double = {
+    val pos = if (id < 0) -1L - id else id
+    val v = java.lang.Double.longBitsToDouble(pos << (52 - MantissaBits))
+    if (id < 0) -v else v
+  }
+}
+
+/** Column-API entry points for the sketch aggregates. */
+object Sketches {
+  /** Quantile estimates at `qs` from one deterministic mergeable
+    * sketch pass — see [[QuantileSketch]].
+    */
+  def quantileSketch(c: Column, qs: Seq[Double]): Column =
+    B.column(QuantileSketch.of(B.expression(c), qs).toAggregateExpression())
+}

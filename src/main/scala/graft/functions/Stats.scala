@@ -84,6 +84,29 @@ object StatsQueries {
         element_at(col("p"), 2).as("price_p95")),
     None)
 
+  /** Grouped quantile estimates from graft's own deterministic
+    * mergeable sketch ([[QuantileSketch]] — the TypedImperativeAggregate
+    * tier of the native extension surface): per return flag, four
+    * price quantiles in ONE pass whose shuffle carries a small
+    * (bucket → count) map per group instead of values. Rows-only like
+    * the other sketch query (the estimates are this sketch's by
+    * design); accuracy (≤ 1/128 relative of the true element) and
+    * partitioning-invariance are proven in SketchSpec.
+    */
+  val sketchQuantiles: QueryDef = QueryDef(
+    "q_sketch_quantiles",
+    (s, dir) => Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        Sketches.quantileSketch(col("l_extendedprice"),
+          Seq(0.25, 0.5, 0.75, 0.95)).as("p"))
+      .select(col("l_returnflag"), col("n"),
+        element_at(col("p"), 1).as("price_p25"),
+        element_at(col("p"), 2).as("price_p50"),
+        element_at(col("p"), 3).as("price_p75"),
+        element_at(col("p"), 4).as("price_p95")),
+    None)
+
   /** Equi-DEPTH histogram (the complement of row 15's equi-width):
     * bucket boundaries are the 8-quantiles of l_quantity, computed as
     * SEVEN SCALARS in one aggregate and broadcast — never a global
@@ -118,7 +141,8 @@ object StatsQueries {
     })
 
   val defs: Seq[QueryDef] =
-    Seq(histogram, tableStats, stringHistogram, approxStats, histogramEquiDepth)
+    Seq(histogram, tableStats, stringHistogram, approxStats, histogramEquiDepth,
+      sketchQuantiles)
 
   /** Equi-width histogram summary of a numeric column: (lo, hi,
     * bucket counts). One narrow aggregate pass; the B-bucket result is

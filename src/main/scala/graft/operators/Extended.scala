@@ -193,6 +193,38 @@ object Extended {
               AND NOT EXISTS (SELECT 1 FROM lineitem l
                               WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')"""))
 
+  /** RECURSIVE CTE — linear recursion through the SQL-text interface:
+    * per-customer order chains walked via successor pointers
+    * precomputed by a LEAD window in the anchor CTE, one recursion
+    * level per chain position; output is the depth distribution
+    * (customers with ≥ depth orders). The IDENTICAL ANSI text runs in
+    * DuckDB as the oracle. Scale shape: each level joins the frontier
+    * (≤ one row per live chain) against the successor table and the
+    * frontier only shrinks; level count is the max per-customer order
+    * count (24 at sf0.1), far under Spark's recursion limit.
+    */
+  val recursiveCte: QueryDef = {
+    def text(t: String) =
+      s"""WITH RECURSIVE nxt AS (
+            SELECT o_custkey, o_orderkey,
+                   LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM $t),
+          chain AS (
+            SELECT o_custkey, next_key, CAST(1 AS BIGINT) AS depth FROM nxt WHERE rn = 1
+            UNION ALL
+            SELECT n.o_custkey, n.next_key, c.depth + 1
+            FROM chain c JOIN nxt n ON n.o_orderkey = c.next_key)
+          SELECT depth, COUNT(*) AS n_customers FROM chain GROUP BY depth"""
+    QueryDef(
+      "q_recursive_cte",
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_rc")
+        s.sql(text("orders_rc"))
+      },
+      Some(text("orders")))
+  }
+
   /** Full cube over two dimensions — the lattice completion of
     * `rollup` (§2.1 row 19): one Expand + one shuffle for all 4
     * grouping sets.
@@ -333,5 +365,5 @@ object Extended {
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
     subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll,
-    subquerySelect, lateralTopPerKey)
+    subquerySelect, lateralTopPerKey, recursiveCte)
 }

@@ -35,6 +35,14 @@ object Sources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC — the second columnar system-of-record format (predicate
+    * pushdown + column pruning work the same as parquet's). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Hive-style partitioned parquet layout; queries filtering on the
     * partition columns scan only matching directories.
     */

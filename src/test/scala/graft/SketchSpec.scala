@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{QuantileSketch, Sketches}
+
+/** The deterministic mergeable quantile sketch (TypedImperativeAggregate
+  * tier): bucket math, accuracy bound, partitioning invariance, SQL
+  * registration.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucket math: monotone, sign-mirrored, value within 1/128 relative") {
+    val xs = Seq(-1e9, -1234.5, -1.0, -0.001, -0.0, 0.0, 1e-300, 0.25, 1.0,
+      1.0000001, 7.5, 1234.5, 9.99e8)
+    val ids = xs.map(QuantileSketch.bucketOf)
+    assert(ids == ids.sorted, s"bucket ids must be monotone in the value: $ids")
+    for (x <- xs if x != 0.0 && math.abs(x) > 1e-300) {
+      val back = QuantileSketch.valueOf(QuantileSketch.bucketOf(x))
+      assert(math.signum(back) == math.signum(x), s"sign lost for $x -> $back")
+      val rel = math.abs(back - x) / math.abs(x)
+      assert(rel <= 1.0 / 128 + 1e-12, s"$x -> $back rel err $rel")
+      assert(math.abs(back) <= math.abs(x), s"bound must be nearest zero: $x -> $back")
+    }
+  }
+
+  test("quantile estimates within 1/128 relative of the exact percentile") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val got = li.agg(Sketches.quantileSketch(col("l_extendedprice"), qs).as("p"))
+      .head().getSeq[Double](0)
+    val exact = li.agg(expr(
+      "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("e"))
+      .head().getSeq[Double](0)
+    got.lazyZip(exact).foreach { (g, e) =>
+      // the exact percentile interpolates between neighbors, so allow
+      // one bucket width on either side
+      assert(math.abs(g - e) / e <= 2.0 / 128, s"sketch $g vs exact $e")
+    }
+  }
+
+  test("sketch is partitioning-invariant (deterministic merges)") {
+    val li = Tables.load(spark, sfDir, "lineitem").select("l_extendedprice", "l_returnflag")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_returnflag")
+        .agg(Sketches.quantileSketch(col("l_extendedprice"), Seq(0.1, 0.5, 0.9)).as("p"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val a = run(li.repartition(1))
+    val b = run(li.repartition(17, col("l_extendedprice")))
+    val c = run(li.orderBy(col("l_extendedprice").desc))
+    assert(a == b && b == c, s"partitioning changed the sketch: $a vs $b vs $c")
+  }
+
+  test("registered for SQL; null column and empty input handled") {
+    Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("li_sk")
+    val viaSql = spark.sql(
+      """SELECT graft_quantile_sketch(l_extendedprice, array(0.5)) AS p
+         FROM li_sk""").head().getSeq[Double](0)
+    assert(viaSql.length == 1 && viaSql.head > 0)
+    val empty = spark.sql(
+      """SELECT graft_quantile_sketch(l_extendedprice, array(0.5)) AS p
+         FROM li_sk WHERE l_extendedprice < -1""").head()
+    assert(empty.isNullAt(0), "empty input must aggregate to null")
+    val withNulls = Seq(Some(1.0), None, Some(3.0), None, Some(2.0))
+      .toDF("x")
+      .agg(Sketches.quantileSketch(col("x"), Seq(0.0, 1.0)).as("p"))
+      .head().getSeq[Double](0)
+    assert(withNulls.head <= 1.0 && withNulls.last >= 2.9, s"nulls must be skipped: $withNulls")
+  }
+}

@@ -25,6 +25,22 @@ class SourcesSpec extends SparkSpec {
       orig.orderBy("r_regionkey").collect().map(_.toSeq.toList).toList)
   }
 
+  test("orc round-trip preserves values and pushes filters to the scan") {
+    val orig = Tables.load(spark, sfDir, "customer")
+    Sources.writeOrc(orig, s"$tmp/customer_orc")
+    val back = Sources.readOrc(spark, s"$tmp/customer_orc")
+    assert(back.orderBy("c_custkey").collect().map(_.toSeq.toList).toList ==
+      orig.orderBy("c_custkey").collect().map(_.toSeq.toList).toList)
+    // predicate pushdown + column pruning reach the ORC scan exactly
+    // like parquet's
+    val q = back.where(col("c_custkey") < 10).select("c_custkey", "c_mktsegment")
+    val scan = physicalPlan(q)
+    assert(scan.contains("PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,10)]"),
+      s"expected pushed filter in:\n$scan")
+    assert(scan.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"),
+      s"expected pruned schema in:\n$scan")
+  }
+
   test("partitioned write enables partition pruning") {
     val orders = Tables.load(spark, sfDir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
