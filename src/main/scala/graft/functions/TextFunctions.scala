@@ -500,6 +500,43 @@ object TextFunctions {
       })
   }
 
+  /** Temperature-scaled mixture resampling (the multilingual α = 0.5
+    * sampler): stratum s keeps k_s = ⌊√(n_s · n_min)⌋ documents, so
+    * kept counts are proportional to n_s^α — rare strata keep
+    * everything relative to common ones, the standard rebalance before
+    * multilingual training. k_s is exact portable arithmetic (integer
+    * product, correctly-rounded IEEE sqrt, floor); WHICH documents
+    * survive is the deterministic hash-priority rank, reproducible
+    * across engines and partitionings. One tiny per-stratum count
+    * (broadcast both ways), one rank window per stratum — a single
+    * corpus shuffle on the stratum key.
+    */
+  val mixtureSample: QueryDef = QueryDef(
+    "t_mixture_sample",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("n_s"))
+      val minN = broadcast(counts.agg(min(col("n_s")).as("n_min")))
+      val k = counts.crossJoin(minN)
+        .select(col("lang"),
+          floor(sqrt((col("n_s") * col("n_min")).cast("double"))).cast("long").as("k_s"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+      d.withColumn("rk", row_number().over(w))
+        .join(broadcast(k), "lang")
+        .where(col("rk") <= col("k_s"))
+        .select("doc_id", "lang", "rk")
+    },
+    Some("""WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+            k AS (SELECT lang,
+                    CAST(FLOOR(SQRT(CAST(n_s * (SELECT MIN(n_s) FROM c) AS DOUBLE))) AS BIGINT) AS k_s
+                  FROM c),
+            r AS (SELECT doc_id, lang,
+                    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+                  FROM documents)
+            SELECT doc_id, r.lang, rk FROM r JOIN k ON r.lang = k.lang
+            WHERE rk <= k_s"""))
+
   /** Sequence packing — the training-batch prep step: documents are
     * concatenated in a deterministic order within each language shard
     * and chopped into fixed 2048-token context windows; each document
@@ -546,5 +583,5 @@ object TextFunctions {
   val defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
-      collocations, repetition, piiRedact, packSequences)
+      collocations, repetition, piiRedact, packSequences, mixtureSample)
 }

@@ -434,6 +434,22 @@ class PipelineSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("mixture sampling keeps floor(sqrt(n_s*n_min)) per stratum, min stratum whole") {
+    val kept = SparkEntry.queries("t_mixture_sample")(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = Tables.load(spark, sfDir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    for ((lang, n) <- counts) {
+      val expect = math.floor(math.sqrt((n * nMin).toDouble)).toLong
+      assert(kept(lang) == expect, s"$lang: kept ${kept(lang)} want $expect")
+    }
+    val minLang = counts.minBy(_._2)._1
+    assert(kept(minLang) == counts(minLang), "the smallest stratum keeps everything")
+  }
+
   test("retention matrix: offset-0 cell counts the whole cohort") {
     val d = SparkEntry.queries("q_events_retention")(spark, sfDir).cache()
     assert(d.where(col("week_offset") < 0).count() == 0)
