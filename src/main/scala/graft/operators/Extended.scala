@@ -225,6 +225,62 @@ object Extended {
       Some(text("orders")))
   }
 
+  /** FULL OUTER join — the remaining outer-join flavor (row 21 covers
+    * LEFT): BUILDING-segment customers against big-spender order
+    * aggregates, classified by which side matched. Null-safe
+    * classification happens AFTER the join; both sides shuffle once on
+    * the key (or broadcast when a side is small — AQE's call).
+    */
+  val joinFullOuter: QueryDef = QueryDef(
+    "q_join_full_outer",
+    (s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_mktsegment")
+      val o = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          Portable.dsum(col("o_totalprice")).as("spend"))
+        .where(col("spend") > 300000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "full")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+            .when(col("c_custkey").isNotNull, "customer_only")
+            .otherwise("bigspender_only").as("side"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    },
+    Some(s"""WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
+               WHERE c_mktsegment = 'BUILDING'),
+             o AS (SELECT o_custkey, COUNT(*) AS n_orders,
+                     ${P.dsum("o_totalprice")} AS spend
+                   FROM orders GROUP BY o_custkey
+                   HAVING ${P.dsum("o_totalprice")} > 300000.0)
+             SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+               CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+                    WHEN c_custkey IS NOT NULL THEN 'customer_only'
+                    ELSE 'bigspender_only' END AS side,
+               COALESCE(n_orders, 0) AS n_orders
+             FROM c FULL OUTER JOIN o ON c_custkey = o_custkey"""))
+
+  /** UNPIVOT (wide → long reshaping, the inverse of row 37's pivot):
+    * part metrics melt into (key, metric, value) rows. Both engines
+    * run the IDENTICAL ANSI text; Spark plans Expand — a map-side
+    * row-multiplier, no shuffle at all.
+    */
+  val unpivot: QueryDef = {
+    def text(t: String) =
+      s"""SELECT p_partkey, metric, CAST(v AS DOUBLE) AS v
+          FROM $t UNPIVOT (v FOR metric IN (p_size, p_retailprice))"""
+    QueryDef(
+      "q_unpivot",
+      (s, dir) => {
+        Tables.load(s, dir, "part").createOrReplaceTempView("part_up")
+        s.sql(text("part_up"))
+      },
+      Some(text("part")))
+  }
+
   /** Full cube over two dimensions — the lattice completion of
     * `rollup` (§2.1 row 19): one Expand + one shuffle for all 4
     * grouping sets.
@@ -365,5 +421,5 @@ object Extended {
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
     subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll,
-    subquerySelect, lateralTopPerKey, recursiveCte)
+    subquerySelect, lateralTopPerKey, recursiveCte, joinFullOuter, unpivot)
 }
