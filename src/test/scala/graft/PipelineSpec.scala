@@ -172,6 +172,32 @@ class PipelineSpec extends SparkSpec {
       s"list skew: worst 2-probe $worstProbe vs avg $avgProbe")
   }
 
+  test("IVF scaling study: probe read fraction falls as centroid count grows") {
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val n = e.count().toDouble
+    val q = Similarity.quantize(col("embedding"))
+    val v = e.select(col("vec_id"), q.as("q"))
+      .withColumn("nrm", Similarity.dotL(col("q"), col("q"))).localCheckpoint()
+    // doubling C should roughly halve what a 2-probe query reads —
+    // the knob that keeps probe cost flat as the corpus grows 100×
+    // (resize C ∝ √N and both the probe fraction AND the broadcast
+    // centroid table grow as √)
+    val fractions = Seq(4, 8, 16).map { c =>
+      val (centroids, objective) = Similarity.ivfBuild(e, c = c, rounds = 2)
+      assert(objective.sliding(2).forall(w => w.last <= w.head * (1 + 1e-9)),
+        s"C=$c: Lloyd objective must not increase: $objective")
+      val sizes = Similarity.ivfAssign(v, centroids)
+        .groupBy("cid").agg(count(lit(1)).as("sz"))
+        .orderBy(col("sz").desc).collect().map(_.getLong(1))
+      assert(sizes.length == c, s"C=$c: every centroid owns a list")
+      sizes.take(2).sum / n // worst-case 2-probe read fraction
+    }
+    assert(fractions(0) > fractions(1) && fractions(1) > fractions(2),
+      s"probe fraction must fall with C: $fractions")
+    assert(fractions(2) < fractions(0) / 2,
+      s"4x the centroids should at least halve the probe read: $fractions")
+  }
+
   test("native sorted-intersect matches array_intersect semantics") {
     import graft.functions.Native
     val df = Seq((Seq(1L, 3L, 5L, 7L), Seq(2L, 3L, 5L, 9L, 11L))).toDF("a", "b")

@@ -126,6 +126,31 @@ class RandomizedSpec extends SparkSpec {
     assert(near.filter(_._2 >= 0.5).keySet == Set((5L, 6L)), near.toString)
   }
 
+  test("chunk dedup equals a brute-force single-threaded reference on random corpora") {
+    import graft.operators.Dedup
+    val rnd = new Random(13)
+    val vocab = Vector("a", "b", "c", "d")
+    for (round <- 1 to 6) {
+      val cw = 1 + rnd.nextInt(3) // chunk width 1..3
+      val docs = (0L until (2 + rnd.nextInt(8))).map { id =>
+        // tiny vocabulary + short docs → plenty of chunk collisions
+        id -> Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = Dedup.chunkDedup(docs.toDF("doc_id", "text"), cw)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      // reference: global first-occurrence scan in (doc_id, idx) order
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expect = docs.map { case (id, text) =>
+        val chunks = text.split(" ").filter(_.nonEmpty).grouped(cw).map(_.mkString(" ")).toList
+        val kept = chunks.filter(c => seen.add(c))
+        def md5s(x: String) = java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        id -> (chunks.size.toLong, kept.size.toLong, md5s(kept.mkString(" ")))
+      }.toMap
+      assert(got == expect, s"round $round (cw=$cw): $got vs $expect")
+    }
+  }
+
   test("exact-decimal sums are partitioning-invariant on random money values") {
     import graft.functions.Portable
     val rnd = new Random(31)
