@@ -182,4 +182,20 @@ class RelationalSpec extends SparkSpec {
       2.minutes).toSet
     assert(counts.size == 1)
   }
+
+  test("recursive CTE chain depth equals the one-window optimal rewrite") {
+    // the recursion (q_recursive_cte) walks successor pointers level
+    // by level; for chain position the window rank IS the depth, so
+    // one WindowExec + one aggregate must reproduce the distribution
+    // — the naive-vs-optimal pairing of the recursive surface
+    import org.apache.spark.sql.expressions.Window
+    val recursive = SparkEntry.queries("q_recursive_cte")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val viaWindow = Tables.load(spark, sfDir, "orders")
+      .withColumn("depth", row_number().over(w).cast("long"))
+      .groupBy("depth").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(recursive == viaWindow, s"$recursive vs $viaWindow")
+  }
 }
