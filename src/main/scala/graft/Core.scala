@@ -107,6 +107,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
       (exprs: Seq[Expression]) => SortedIntersectSize(exprs.head, exprs(1))),
+    (FunctionIdentifier("graft_repetition_stats"),
+      new ExpressionInfo(classOf[graft.functions.RepetitionStats].getName, "graft_repetition_stats"),
+      (exprs: Seq[Expression]) => graft.functions.RepetitionStats(exprs.head)),
     (FunctionIdentifier("graft_quantile_sketch"),
       new ExpressionInfo(classOf[graft.functions.QuantileSketch].getName, "graft_quantile_sketch"),
       (exprs: Seq[Expression]) => graft.functions.QuantileSketch.of(exprs.head, {

@@ -73,6 +73,11 @@ object Native {
     * vectors through boxed dispatch per candidate pair — the ANN
     * scoring hot path.
     */
+  /** Six Gopher-rule repetition scalars in one compiled pass per
+    * document — see [[RepetitionStats]]. */
+  def repetitionStats(text: Column): Column =
+    B.column(RepetitionStats(B.expression(text)))
+
   def dotLong(a: Column, b: Column): Column =
     B.column(DotLong(B.expression(a), B.expression(b)))
 
@@ -486,4 +491,90 @@ case class CosineF32(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineF32 =
     copy(left = newLeft, right = newRight)
+}
+
+object RepetitionStatsUtil {
+  private def bump(m: java.util.HashMap[String, Long], k: String): Long = {
+    val c = m.merge(k, 1L, (a, b) => a + b)
+    c
+  }
+
+  /** One pass over a (pre-lowercased) document: unigram/bigram/5-gram
+    * occurrence counts folded into the six Gopher-rule scalars. Local
+    * hash maps replace the explode + (doc_id, gram) shuffle — the
+    * whole repetition query becomes map work.
+    */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val text = s.toString
+    // tokens = runs of non-space (== split(' ') + filter nonEmpty)
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && text.charAt(i) == ' ') i += 1
+      val st = i
+      while (i < n && text.charAt(i) != ' ') i += 1
+      if (i > st) toks.add(text.substring(st, i))
+    }
+    val t = toks.size()
+    val uni = new java.util.HashMap[String, Long]()
+    var topWord = 0L
+    i = 0
+    while (i < t) {
+      val c = bump(uni, toks.get(i))
+      if (c > topWord) topWord = c
+      i += 1
+    }
+    val bi = new java.util.HashMap[String, Long]()
+    var topBi = 0L
+    i = 0
+    while (i < t - 1) {
+      val c = bump(bi, toks.get(i) + " " + toks.get(i + 1))
+      if (c > topBi) topBi = c
+      i += 1
+    }
+    val five = new java.util.HashMap[String, Long]()
+    i = 0
+    while (i < t - 4) {
+      val sb = new java.lang.StringBuilder(toks.get(i))
+      var j = i + 1
+      while (j < i + 5) { sb.append(' ').append(toks.get(j)); j += 1 }
+      bump(five, sb.toString)
+      i += 1
+    }
+    // occurrences belonging to grams seen more than once
+    var dup5 = 0L
+    val it = five.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > 1) dup5 += c }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](topWord, t.toLong,
+        topBi, math.max(t - 1, 0).toLong,
+        dup5, math.max(t - 4, 0).toLong))
+  }
+}
+
+/** Six repetition scalars (top-word count, token count, top-bigram
+  * count, bigram count, duplicated-5-gram occurrences, 5-gram count)
+  * in ONE compiled pass per document — the Gopher-rule hot path as
+  * pure map work: no explode, no (doc_id, gram) shuffle, gram counts
+  * live in task-local maps exactly as long as one document.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_word_c", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("top_bigram_c", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("dup5_c", LongType, nullable = false),
+    StructField("n_5grams", LongType, nullable = false)))
+  override def prettyName: String = "graft_repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStatsUtil.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionStatsUtil.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
 }

@@ -390,15 +390,38 @@ object TextFunctions {
   /** Repetition-metric core over (doc_id, text) rows — see
     * [[repetition]] for semantics, thresholds, and scale notes.
     *
-    * Single-pass: unigrams, bigrams and 5-grams explode as ONE tagged
-    * stream from one corpus scan (the `slice(sequence(...))` start
-    * lists are empty — never descending — for docs shorter than n), so
-    * the whole computation is one (doc_id, n, gram) count plus one
-    * per-doc conditional aggregate: two exchanges, no joins, instead
-    * of three scans + six exchanges + two joins for the per-gram-size
-    * formulation.
+    * ZERO-shuffle: the six per-doc gram scalars come from ONE compiled
+    * pass per document ([[Native.repetitionStats]] — gram counts live
+    * in task-local maps exactly as long as one document), so the whole
+    * query is a narrow projection: no explode, no (doc_id, gram)
+    * exchange, nothing for AQE to plan. The tagged-explode formulation
+    * it replaced ([[repetitionMetricsExploded]], kept as the
+    * equivalence reference) needed two exchanges; the naive
+    * per-gram-size one needed three corpus scans, six exchanges and
+    * two joins.
     */
-  def repetitionMetrics(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def repetitionMetrics(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.Native.repetitionStats(lower(col("text"))).as("m"))
+      .select(col("doc_id"), col("m.*"))
+      // docs too short for a bigram/5-gram drop, matching the oracle's
+      // inner joins
+      .where(col("n_bigrams") > 0 && col("n_5grams") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_word_c").cast("double") / col("n_tokens")).as("top_word_frac"),
+        (col("top_bigram_c").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        (col("dup5_c").cast("double") / col("n_5grams")).as("dup_5gram_frac"))
+      .withColumn("is_repetitive",
+        col("top_word_frac") > 0.2 || col("top_bigram_frac") > 0.1 ||
+          col("dup_5gram_frac") > 0.3)
+
+  /** The tagged-explode formulation (one corpus scan, one
+    * (doc_id, n, gram) count, one per-doc conditional aggregate) —
+    * superseded by the native single-pass [[repetitionMetrics]] but
+    * kept as the distributed reference it is equivalence-tested
+    * against in PipelineSpec.
+    */
+  private[graft] def repetitionMetricsExploded(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tk = docs.select(col("doc_id"),
       expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
     def tagged(n: Int) =

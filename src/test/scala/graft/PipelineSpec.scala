@@ -424,6 +424,18 @@ class PipelineSpec extends SparkSpec {
     assert(nKept <= nChunks)
   }
 
+  test("native repetition pass equals the tagged-explode distributed reference") {
+    import graft.functions.TextFunctions
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toMap
+    val native = key(TextFunctions.repetitionMetrics(docs))
+    val exploded = key(TextFunctions.repetitionMetricsExploded(docs))
+    assert(native == exploded,
+      s"native and exploded diverge on ${native.size}/${exploded.size} docs")
+  }
+
   test("repetition metrics: pure spam maxes out, varied text scores low") {
     val spam = Array.fill(30)("buy now").mkString(" ")        // one bigram repeated
     val varied = (1 to 60).map(i => s"tok$i").mkString(" ")   // all tokens distinct
