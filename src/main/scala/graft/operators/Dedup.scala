@@ -261,6 +261,50 @@ object Dedup {
            COALESCE(per.max_jaccard, -1.0) AS max_jaccard
          FROM sg LEFT JOIN per ON sg.doc_id = per.doc_id"""))
 
+  // ---- §2.2 row 22c: edit-distance near-dup (LSH-prefiltered) ----
+
+  /** Edit-distance near-duplicates — the second STAGE-2 VERIFIER over
+    * the LSH candidate generator: band-collision pairs (the same
+    * (band, bucket) equi-join as [[minhash]] — never all-pairs) are
+    * verified with exact Levenshtein at ≤ 20% of the longer text.
+    * Character-level distance catches in-place edits (typo farms,
+    * template fills) that shingle Jaccard can miss, at O(|a|·|b|) per
+    * pair — affordable precisely BECAUSE the prefilter bounds the pair
+    * count (the scale-law tests measure that bound). Both engines run
+    * the identical DP (`levenshtein`), so the oracle is the full
+    * pipeline.
+    */
+  val editDistance: QueryDef = QueryDef(
+    "d_dedup_editdist",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val cand = minhashCandidates(signed(d))
+      val texts = d.select(col("doc_id"), col("text"))
+      cand
+        .join(texts.select(col("doc_id").as("a"), col("text").as("text_a")), Seq("a"))
+        .join(texts.select(col("doc_id").as("b"), col("text").as("text_b")), Seq("b"))
+        .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+        .where(col("dist").cast("double") <=
+          greatest(length(col("text_a")), length(col("text_b"))).cast("double") * 0.2)
+        .select("a", "b", "dist")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         sh AS (SELECT doc_id, ${gramsSql(3)} AS shingles FROM tk),
+         sg AS (SELECT doc_id, shingles, list_transform(range(0, $K), k ->
+             list_min(list_transform(shingles, h ->
+               ((2*k+1)*(h % $HashP) + ((k*2654435761) % $HashP)) % $HashP))) AS sig
+           FROM sh),
+         bx AS (SELECT doc_id, unnest(range(0, $Bands)) AS band, sig FROM sg),
+         bb AS (SELECT doc_id, band, ${bandBucketSql("band")} AS bucket FROM bx),
+         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bb l JOIN bb r
+             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+         SELECT c.a, c.b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+         FROM cand c
+           JOIN documents da ON da.doc_id = c.a
+           JOIN documents db ON db.doc_id = c.b
+         WHERE CAST(levenshtein(da.text, db.text) AS DOUBLE) <=
+           CAST(GREATEST(LENGTH(da.text), LENGTH(db.text)) AS DOUBLE) * 0.2"""))
+
   // ---- §2.2 row 23: SimHash, 4 × 15-bit pigeonhole blocks ----
 
   /** SimHash 4×15-bit pigeonhole candidates: (a, b, sh_a, sh_b) pairs
@@ -754,6 +798,6 @@ object Dedup {
          FROM ranked WHERE rk = 1"""))
 
   val defs: Seq[QueryDef] =
-    Seq(exact, paragraph, minhash, simhashDef, ngramJaccard, cluster,
-      canonicalByQuality, incremental)
+    Seq(exact, paragraph, minhash, editDistance, simhashDef, ngramJaccard,
+      cluster, canonicalByQuality, incremental)
 }

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally maintained materialized aggregates over a
+  * [[Snapshots]] base table — the missing piece between the snapshot
+  * log and serving: a grouped count/sum view that a refresh brings
+  * current by folding ONLY the data directories appended since the
+  * last refresh (algebraic merge — counts and sums add), never
+  * re-scanning history.
+  *
+  * The refreshed-through base version rides as a tag inside the MV's
+  * own atomically-claimed manifest, so
+  *  - refreshes are IDEMPOTENT (already-current → no new version),
+  *  - a crash between base append and MV refresh loses nothing (the
+  *    next refresh sees the old watermark and folds the gap),
+  *  - the MV is itself versioned and time-travelable like any table.
+  * If the base history was REWRITTEN under the watermark (compaction /
+  * overwrite / vacuum), delta folding would double- or miss-count —
+  * detected by a dir-set subset check, which falls back to one full
+  * recompute and a fresh watermark.
+  *
+  * At 100 TB this is the nightly-rollup pattern: refresh cost is
+  * O(new data) + O(|MV|), not O(base); sums stay exact decimals so a
+  * merged refresh is bit-identical to a full recompute (tested, and
+  * hash-checked against DuckDB by `q_mv_incremental`).
+  */
+object MaterializedView {
+
+  private val TagPrefix = "mv_through "
+
+  /** The base version the MV at `mvTable` currently reflects (0 if the
+    * MV does not exist yet).
+    */
+  def refreshedThrough(mvTable: String): Int = {
+    val v = Snapshots.currentVersion(mvTable)
+    if (v == 0) 0
+    else Snapshots.versionTags(mvTable, v).collectFirst {
+      case t if t.startsWith(TagPrefix) => t.drop(TagPrefix.length).toInt
+    }.getOrElse(0)
+  }
+
+  /** Stable MV schema: keys, `cnt` long, one exact decimal(38,6)
+    * running sum per value column (wide enough that repeated merges
+    * never re-coerce the type).
+    */
+  private def aggregate(df: DataFrame, keys: Seq[String], sums: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sums.map(c => sum(col(c).cast("decimal(18,2)")).as(s"sum_$c")): _*)
+      .select(keys.map(col) ++ (col("cnt") +:
+        sums.map(c => col(s"sum_$c").cast("decimal(38,6)").as(s"sum_$c"))): _*)
+
+  /** Bring the MV current with the base table's head version. Returns
+    * the MV version serving the result (unchanged when already
+    * current). Racing refreshes both commit correct content — the
+    * optimistic claim serializes them and both carry a valid watermark.
+    */
+  def refresh(spark: SparkSession, baseTable: String, mvTable: String,
+      keys: Seq[String], sums: Seq[String]): Int = {
+    val curV = Snapshots.currentVersion(baseTable)
+    require(curV > 0, s"base table $baseTable has no committed version")
+    val lastV = refreshedThrough(mvTable)
+    if (lastV == curV) return Snapshots.currentVersion(mvTable)
+
+    val newDirs = Snapshots.versionDirs(baseTable, curV)
+    val oldDirs = if (lastV == 0) Seq.empty else Snapshots.versionDirs(baseTable, lastV)
+    val fresh =
+      if (lastV == 0 || !oldDirs.toSet.subsetOf(newDirs.toSet))
+        // first build, or history rewritten under the watermark
+        // (compaction / overwrite): fold from scratch
+        aggregate(Snapshots.readVersion(spark, baseTable, curV), keys, sums)
+      else {
+        val deltaDirs = newDirs.filterNot(oldDirs.toSet)
+        val deltaAgg = aggregate(spark.read.parquet(deltaDirs: _*), keys, sums)
+        Snapshots.read(spark, mvTable).unionByName(deltaAgg)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col("cnt")).cast("long").as("cnt"),
+            sums.map(c => sum(col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c")): _*)
+      }
+    Snapshots.commitOverwriteTagged(fresh, mvTable, Seq(TagPrefix + curV))
+  }
+}

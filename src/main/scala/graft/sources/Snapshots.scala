@@ -140,6 +140,24 @@ object Snapshots {
     commitLoop(table, _ => Seq(dir))
   }
 
+  /** [[commitOverwrite]] carrying provenance tags in the manifest —
+    * e.g. a materialized view's refreshed-through watermark. Tags
+    * commit atomically with the version (same mechanism as streaming
+    * ingest's exactly-once anchor).
+    */
+  def commitOverwriteTagged(df: DataFrame, table: String, tags: Seq[String]): Int = {
+    val dir = writeData(df, table)
+    commitLoop(table, _ => Seq(dir), tags = tags)
+  }
+
+  /** The provenance tags committed with a version's manifest. */
+  def versionTags(table: String, version: Int): Seq[String] = {
+    val p = meta(table).resolve(s"v$version.manifest")
+    require(Files.exists(p), s"no snapshot v$version at $table")
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.startsWith("#")).map(_.drop(1))
+  }
+
   /** Commit a new version = previous content plus `df` (no rewrite of
     * existing data). Concurrent appenders serialize optimistically:
     * the loser of a version race retries on top of the winner's

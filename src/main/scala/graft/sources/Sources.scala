@@ -173,7 +173,50 @@ object SourceQueries {
     Some(s"""SELECT l_suppkey, COUNT(*) AS n, ${P.dsum("l_extendedprice")} AS sum_price
              FROM lineitem WHERE l_suppkey BETWEEN 2 AND 5 GROUP BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(zorderSecondary)
+  /** Incrementally maintained materialized aggregate
+    * ([[MaterializedView]]): the base snapshot table bootstraps with
+    * 90% of lineitem, two exactly-once batches append the rest, and
+    * each refresh folds ONLY the appended directories into the stored
+    * per-(flag, status) counts/sums. The DuckDB oracle is the full
+    * group-by over ALL of lineitem — proving merged increments ≡ one
+    * recompute, bit-exactly (sums stay decimal until the final cast).
+    */
+  val mvIncremental: QueryDef = QueryDef(
+    "q_mv_incremental",
+    (s, dir) => {
+      val root = "/root/repo/target/mv/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"$root/base"
+      val mv = s"$root/mv"
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val sums = Seq("l_quantity", "l_extendedprice")
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_linestatus",
+          "l_quantity", "l_extendedprice")
+      if (graft.sources.Snapshots.currentVersion(base) == 0) {
+        graft.sources.Snapshots.commitOverwrite(
+          li.where(col("l_orderkey") % 10 =!= 0), base) // v1
+        MaterializedView.refresh(s, base, mv, keys, sums) // MV through v1
+      }
+      // two appended batches (exactly-once: replays and bench re-runs
+      // no-op), folded by the refresh below
+      graft.sources.Snapshots.ingestBatch(
+        li.where(col("l_orderkey") % 10 === 0 && col("l_orderkey") % 20 === 0),
+        base, "q_mv_incremental", 0L)
+      graft.sources.Snapshots.ingestBatch(
+        li.where(col("l_orderkey") % 10 === 0 && col("l_orderkey") % 20 =!= 0),
+        base, "q_mv_incremental", 1L)
+      MaterializedView.refresh(s, base, mv, keys, sums)
+      graft.sources.Snapshots.read(s, mv).select(
+        col("l_returnflag"), col("l_linestatus"), col("cnt"),
+        col("sum_l_quantity").cast("double").as("sum_qty"),
+        col("sum_l_extendedprice").cast("double").as("sum_price"))
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             ${P.dsum("l_quantity")} AS sum_qty,
+             ${P.dsum("l_extendedprice")} AS sum_price
+             FROM lineitem GROUP BY 1, 2"""))
+
+  val defs: Seq[QueryDef] = Seq(zorderSecondary, mvIncremental)
 }
 
 /** Copy-on-write mutations — the reference's record insert/update/
