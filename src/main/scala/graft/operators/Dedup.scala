@@ -187,17 +187,25 @@ object Dedup {
           s"transform(sequence(0, cast(ceil(size(tk) / $chunkWords.0) as int) - 1), " +
           s"i -> array_join(slice(tk, i * $chunkWords + 1, $chunkWords), ' '))")))
       .toDF("doc_id", "chunk_idx", "chunk")
-    val w = Window.partitionBy(md5(col("chunk")))
-      .orderBy(col("doc_id"), col("chunk_idx"))
-    ch.withColumn("rk", row_number().over(w))
+    // first occurrence per distinct chunk as a MIN aggregate, not a
+    // rank window: min(struct) combines map-side, so a boilerplate
+    // chunk repeated millions of times collapses to one row per map
+    // task instead of funneling every occurrence through one task's
+    // window sort; the join back is an AQE-skew-splittable equi-join
+    val firsts = ch.groupBy(md5(col("chunk")).as("ck"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+    ch.join(firsts, md5(col("chunk")) === col("ck"))
+      .withColumn("kept",
+        col("first.doc_id") === col("doc_id") &&
+          col("first.chunk_idx") === col("chunk_idx"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),
-        sum(when(col("rk") === 1, 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("long").as("n_kept"),
         md5(concat_ws(" ",
           transform(
             array_sort(collect_list(
-              when(col("rk") === 1, struct(col("chunk_idx"), col("chunk"))))),
+              when(col("kept"), struct(col("chunk_idx"), col("chunk"))))),
             c => c.getField("chunk")))).as("kept_fp"))
   }
 

@@ -81,4 +81,22 @@ object MaterializedView {
       }
     Snapshots.commitOverwriteTagged(fresh, mvTable, Seq(TagPrefix + curV))
   }
+
+  /** Continuously maintained rollup: each micro-batch lands in the
+    * base snapshot table EXACTLY-ONCE ([[Snapshots.ingestBatch]]) and
+    * the MV is brought current in the same foreachBatch — so readers
+    * of the MV always see a consistent, at-most-one-batch-stale
+    * aggregate. A replayed batch no-ops on both sides: the ingest tag
+    * blocks the double-append, and the refresh watermark is already at
+    * the head. The streaming form of the nightly-rollup pattern.
+    */
+  def ingestWithRollup(stream: DataFrame, baseTable: String, mvTable: String,
+      streamId: String, keys: Seq[String], sums: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Snapshots.ingestBatch(batch, baseTable, streamId, batchId)
+        refresh(batch.sparkSession, baseTable, mvTable, keys, sums)
+        ()
+      }
 }

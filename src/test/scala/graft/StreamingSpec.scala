@@ -378,6 +378,53 @@ class StreamingSpec extends SparkSpec {
     assert(replay == batch1Expected, "replay must recompute against its own v-1")
   }
 
+  test("streaming ingest with rollup keeps the MV current and exactly-once") {
+    import graft.sources.{MaterializedView, Snapshots}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = "/root/repo/target/streaming-spec/mv_roll"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val base = s"$root/base"; val mv = s"$root/mv"
+
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = MaterializedView.ingestWithRollup(
+      mem.toDF.toDF("l_orderkey", "l_returnflag", "l_quantity"),
+      base, mv, "roll_s1", Seq("l_returnflag"), Seq("l_quantity")).start()
+    try {
+      for (k <- 0 until 3) {
+        mem.addData(rows.filter(_._1 % 3 == k).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // MV reflects every batch, exactly
+    def mvRows() = Snapshots.read(spark, mv).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    val expect = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    assert(mvRows() == expect, "rolled-up MV must equal the full recompute")
+    assert(MaterializedView.refreshedThrough(mv) == Snapshots.currentVersion(base))
+
+    // a replayed batch no-ops on BOTH tables
+    import spark.implicits._
+    val (vb, vm) = (Snapshots.currentVersion(base), Snapshots.currentVersion(mv))
+    Snapshots.ingestBatch(rows.filter(_._1 % 3 == 1).toSeq
+      .toDF("l_orderkey", "l_returnflag", "l_quantity"), base, "roll_s1", 1L)
+    MaterializedView.refresh(spark, base, mv, Seq("l_returnflag"), Seq("l_quantity"))
+    assert(Snapshots.currentVersion(base) == vb && Snapshots.currentVersion(mv) == vm,
+      "replay must not advance either table")
+    assert(mvRows() == expect)
+  }
+
   test("stateful streaming sessionization matches batch q_events_sessionize") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = EventStreams.readEvents(spark, sfDir)
