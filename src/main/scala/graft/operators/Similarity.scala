@@ -432,6 +432,106 @@ object Similarity {
        WHERE rn <= 5"""
     })
 
+  // ---- §2.2 row 27e: product-quantization ANN (compressed codes) ----
+
+  private val PqM = 8      // subspaces
+  private val PqSub = 8    // dims per subspace (D = 64)
+  private val PqK = 8      // centroids per subspace codebook
+  private val PqShort = 64 // ADC shortlist per query before exact rerank
+
+  /** §2.2 row 27e — product quantization (Jégou et al., PAMI 2011),
+    * the memory-side scale path next to IVF's I/O-side one: vectors
+    * compress to M = 8 subspace codes (one byte each — 32× smaller
+    * than the raw floats), queries score the WHOLE corpus through an
+    * asymmetric-distance (ADC) lookup join against those codes, and
+    * only a `PqShort` shortlist per query is reranked with exact
+    * cosine.
+    *
+    * All PQ arithmetic is exact integers over the quantized vectors
+    * (subspace squared-L2 partial distances, code argmin with id
+    * tie-break, ADC sums), so the full pipeline reproduces bit-for-bit
+    * in DuckDB. Codebooks here are deterministic seed slices (the
+    * first PqK vectors); production training runs the [[ivfBuild]]
+    * Lloyd machinery per subspace offline — same exact-integer update.
+    *
+    * Scale shape: codebooks are an M×K broadcast (64 rows); encoding
+    * is one corpus pass; serving joins the queries' tiny ADC tables
+    * (broadcast, queries×M×K rows) against the code table — the
+    * shuffle carries (n_id, m, code) triples, never vectors — and the
+    * exact rerank touches PqShort vectors per query. At 100 TB the
+    * code table IS the resident index (M bytes/vector); combine with
+    * IVF lists (probe, then ADC within the probed lists) when even
+    * codes exceed memory.
+    */
+  val knnPq: QueryDef = QueryDef(
+    "s_knn_pq",
+    (s, dir) => {
+      val v = quantized(Tables.load(s, dir, "embeddings")).localCheckpoint()
+      val sv = v.select(col("vec_id"), col("nrm"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("q"))
+        .withColumn("sq", expr(s"slice(q, m * $PqSub + 1, $PqSub)"))
+        .drop("q")
+      val cb = broadcast(sv.where(col("vec_id") < PqK)
+        .select(col("vec_id").as("k"), col("m").as("cb_m"), col("sq").as("cq")))
+      val pdist = sv.join(cb, col("m") === col("cb_m"))
+        .select(col("vec_id"), col("m"), col("k"),
+          graft.functions.Native.sqDistScaled(col("sq"), col("cq"), lit(1L)).as("pd"))
+      val byD = Window.partitionBy("vec_id", "m").orderBy(col("pd"), col("k"))
+      val codes = pdist.withColumn("rn", row_number().over(byD)).where(col("rn") === 1)
+        .select(col("vec_id").as("n_id"), col("m").as("c_m"), col("k").as("code"))
+      // per-query ADC lookup tables: partial distance to every
+      // (subspace, centroid) — queries × M × K rows, broadcast
+      val adc = pdist.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("m"), col("k"), col("pd"))
+      val approx = broadcast(adc)
+        .join(codes, col("m") === col("c_m") && col("k") === col("code"))
+        .where(col("n_id") =!= col("q_id"))
+        .groupBy("q_id", "n_id").agg(sum(col("pd")).as("approx"))
+      val bySh = Window.partitionBy("q_id").orderBy(col("approx"), col("n_id"))
+      val short = approx.withColumn("rn", row_number().over(bySh))
+        .where(col("rn") <= PqShort).select("q_id", "n_id")
+      val qv = broadcast(v.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("nrm").as("q_nrm")))
+      val nv = v.select(col("vec_id").as("n_id"), col("q").as("n_q"), col("nrm").as("n_nrm"))
+      val scored = short.join(qv, "q_id").join(nv, "n_id")
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("q_id", "n_id", "sim")
+    },
+    Some(s"""WITH $quantizedSql,
+         n AS (SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+         sv AS (SELECT vec_id, nrm, m,
+             q[CAST(m*$PqSub+1 AS BIGINT) : CAST(m*$PqSub+$PqSub AS BIGINT)] AS sq
+           FROM (SELECT vec_id, q, nrm, unnest(range(0, $PqM)) AS m FROM n) t),
+         cb AS (SELECT vec_id AS k, m, sq AS cq FROM sv WHERE vec_id < $PqK),
+         pdist AS (SELECT sv.vec_id, sv.m, cb.k,
+             CAST(list_sum(list_transform(list_zip(sv.sq, cb.cq),
+               z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS pd
+           FROM sv JOIN cb ON sv.m = cb.m),
+         codes AS (SELECT vec_id AS n_id, m, k AS code FROM (
+             SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY pd, k) AS rn
+             FROM pdist) x WHERE rn = 1),
+         adc AS (SELECT vec_id AS q_id, m, k, pd FROM pdist WHERE vec_id < 5),
+         approx AS (SELECT a.q_id, c.n_id, CAST(SUM(a.pd) AS BIGINT) AS approx
+           FROM adc a JOIN codes c ON a.m = c.m AND a.k = c.code
+           WHERE c.n_id <> a.q_id GROUP BY a.q_id, c.n_id),
+         short AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx, n_id) AS rn
+             FROM approx) x WHERE rn <= $PqShort),
+         sc AS (SELECT s.q_id, s.n_id,
+             CAST(list_sum(list_transform(list_zip(qn.q, nn.q), z -> z[1]*z[2])) AS DOUBLE)
+               / SQRT(CAST(qn.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS sim
+           FROM short s JOIN n qn ON qn.vec_id = s.q_id
+                        JOIN n nn ON nn.vec_id = s.n_id)
+         SELECT q_id, n_id, sim FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+           FROM sc) WHERE rn <= 5"""))
+
   // ---- offline IVF index build (multi-round Lloyd) ----
 
   /** Nearest-centroid assignment under the exact (Σ(n·x−s)²)/n²
@@ -486,5 +586,6 @@ object Similarity {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf, knnJoin)
+    Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf, knnJoin,
+      knnPq)
 }

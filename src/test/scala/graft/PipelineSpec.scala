@@ -198,6 +198,21 @@ class PipelineSpec extends SparkSpec {
       s"4x the centroids should at least halve the probe read: $fractions")
   }
 
+  test("PQ ANN recall: compressed-code shortlist finds most true top-5 neighbors") {
+    val pq = SparkEntry.queries("s_knn_pq")(spark, sfDir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfW = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    val bf = SparkEntry.queries("s_knn_bruteforce")(spark, sfDir)
+      .withColumn("rn", row_number().over(bfW)).where(col("rn") <= 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & bf).size.toDouble / bf.size
+    // seed codebooks (untrained) with a 64-wide ADC shortlist; trained
+    // codebooks (ivfBuild per subspace) and a wider shortlist are the
+    // recall knobs — 0.84 measured at sf0.01, 0.6 is the floor asserted
+    assert(recall >= 0.6, s"PQ recall@5 = $recall")
+  }
+
   test("native sorted-intersect matches array_intersect semantics") {
     import graft.functions.Native
     val df = Seq((Seq(1L, 3L, 5L, 7L), Seq(2L, 3L, 5L, 9L, 11L))).toDF("a", "b")
