@@ -532,6 +532,86 @@ object Similarity {
            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
            FROM sc) WHERE rn <= 5"""))
 
+  // ---- offline PQ codebook training (Lloyd per subspace) ----
+
+  /** Subspace view of the quantized corpus: (vec_id, m, sq). */
+  private def subVectors(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("q"))
+      .withColumn("sq", expr(s"slice(q, m * $PqSub + 1, $PqSub)"))
+      .drop("q")
+
+  /** Exact centroid metric for (cs, cn)-form centroids. */
+  private def pqMetric: Column =
+    graft.functions.Native.sqDistScaled(col("sq"), col("cs"), col("cn"))
+      .cast("double") / (col("cn") * col("cn")).cast("double")
+
+  /** Offline PQ codebook training: per subspace, deterministic seeds
+    * (the first PqK vectors' slices) + `rounds` Lloyd iterations in
+    * exact integer arithmetic — [[ivfBuild]]'s update run for all M
+    * subspaces AT ONCE (the m column just joins the grouping key, so
+    * training M codebooks costs the same two shuffles per round as
+    * one). Returns ((m, k, cs, cn) centroids, per-round Σ min-dist²
+    * objective — non-increasing, asserted in PipelineSpec).
+    */
+  def pqBuild(embeddings: DataFrame, rounds: Int): (DataFrame, Seq[Double]) = {
+    val sv = subVectors(quantized(embeddings)).localCheckpoint()
+    val byD = Window.partitionBy("vec_id", "m").orderBy(col("pd"), col("k"))
+    var cents = sv.where(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("k"), col("sq").as("cs"), lit(1L).as("cn"))
+      .localCheckpoint()
+    def assign() = sv.join(broadcast(cents), Seq("m"))
+      .withColumn("pd", pqMetric)
+      .withColumn("rn", row_number().over(byD)).where(col("rn") === 1)
+      .select("m", "k", "vec_id", "sq", "pd")
+    val objectives = Seq.newBuilder[Double]
+    for (_ <- 1 to rounds) {
+      val a = assign().localCheckpoint()
+      objectives += a.agg(sum(col("pd"))).head().getDouble(0)
+      val sums = a.select(col("m"), col("k"), posexplode(col("sq"))).toDF("m", "k", "dim", "v")
+        .groupBy("m", "k", "dim").agg(sum(col("v")).as("sv"))
+        .groupBy("m", "k").agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("sv")))),
+          x => x.getField("sv")).as("cs"))
+      cents = sums.join(a.groupBy("m", "k").agg(count(lit(1)).as("cn")), Seq("m", "k"))
+        .localCheckpoint()
+    }
+    objectives += assign().agg(sum(col("pd"))).head().getDouble(0)
+    (cents, objectives.result())
+  }
+
+  /** PQ search under arbitrary (m, k, cs, cn) codebooks (the serving
+    * path of [[knnPq]] generalized to trained codebooks): encode the
+    * corpus, ADC-score via the code join, exact-rerank a shortlist.
+    */
+  def pqSearch(embeddings: DataFrame, cents: DataFrame, nQueries: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    val v = quantized(embeddings).localCheckpoint()
+    val sv = subVectors(v)
+    val byD = Window.partitionBy("vec_id", "m").orderBy(col("pd"), col("k"))
+    val pdist = sv.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("k"), pqMetric.as("pd"))
+    val codes = pdist.withColumn("rn", row_number().over(byD)).where(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("m").as("c_m"), col("k").as("code"))
+    val adc = pdist.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("k"), col("pd"))
+    val approx = broadcast(adc)
+      .join(codes, col("m") === col("c_m") && col("k") === col("code"))
+      .where(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id").agg(sum(col("pd")).as("approx"))
+    val bySh = Window.partitionBy("q_id").orderBy(col("approx"), col("n_id"))
+    val short = approx.withColumn("rn", row_number().over(bySh))
+      .where(col("rn") <= shortlist).select("q_id", "n_id")
+    val qv = broadcast(v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("nrm").as("q_nrm")))
+    val nv = v.select(col("vec_id").as("n_id"), col("q").as("n_q"), col("nrm").as("n_nrm"))
+    val scored = short.join(qv, "q_id").join(nv, "n_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("q_id", "n_id", "sim")
+  }
+
   // ---- offline IVF index build (multi-round Lloyd) ----
 
   /** Nearest-centroid assignment under the exact (Σ(n·x−s)²)/n²

@@ -213,6 +213,27 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ recall@5 = $recall")
   }
 
+  test("trained PQ codebooks: Lloyd objective falls, recall at least holds") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
+      val pq = Similarity.pqSearch(e, cents, nQueries = 5, shortlist = 64, k = 5)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bfW = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      val bf = SparkEntry.queries("s_knn_bruteforce")(spark, sfDir)
+        .withColumn("rn", row_number().over(bfW)).where(col("rn") <= 5)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (pq & bf).size.toDouble / bf.size
+    }
+    val (seeds, _) = Similarity.pqBuild(e, rounds = 0)
+    val (trained, objective) = Similarity.pqBuild(e, rounds = 2)
+    assert(objective.sliding(2).forall(w => w.last <= w.head * (1 + 1e-9)),
+      s"per-subspace Lloyd objective must not increase: $objective")
+    val (rs, rt) = (recallOf(seeds), recallOf(trained))
+    assert(rt >= 0.6, s"trained PQ recall@5 = $rt")
+    assert(rt >= rs - 0.08, s"training should not cost recall: seed $rs trained $rt")
+  }
+
   test("native sorted-intersect matches array_intersect semantics") {
     import graft.functions.Native
     val df = Seq((Seq(1L, 3L, 5L, 7L), Seq(2L, 3L, 5L, 9L, 11L))).toDF("a", "b")
