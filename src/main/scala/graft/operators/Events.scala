@@ -186,6 +186,48 @@ object Events {
             SELECT cohort_wk, week_offset, COUNT(DISTINCT user_id) AS n_users
             FROM a GROUP BY 1, 2"""))
 
+  /** Windowed anomaly detection — the ops-monitoring shape: hourly
+    * event counts per type, z-scored against that type's own
+    * distribution, |z| > 2 flagged. The z-score is computed from
+    * EXACT integer moments (n·x − Σx over √(n·(n·Σx² − (Σx)²)/(n−1)),
+    * all integers ≤ 2^53 before the one IEEE divide+sqrt), so both
+    * engines produce bit-identical scores — no Welford-vs-naive
+    * variance drift. One windowed count + one tiny per-type moment
+    * aggregate (broadcast back); the log shuffles once.
+    */
+  val anomaly: QueryDef = QueryDef(
+    "q_events_anomaly",
+    (s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy((floor(sec / 3600.0).cast("long") * 3600).as("window_start_s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("x"))
+      val stats = hourly.groupBy(col("event_type").as("t"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .where(col("n") > 1)
+      hourly.join(broadcast(stats), col("event_type") === col("t"))
+        .select(col("window_start_s"), col("event_type"), col("x").as("n_events"),
+          ((col("n") * col("x") - col("sx")).cast("double") /
+            sqrt((col("n") * (col("n") * col("sxx") - col("sx") * col("sx")))
+              .cast("double") / (col("n") - 1).cast("double"))).as("z"))
+        .withColumn("is_anomaly", abs(col("z")) > 2.0)
+    },
+    Some("""WITH hourly AS (
+              SELECT CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) * 3600
+                       AS window_start_s,
+                     event_type, COUNT(*) AS x
+              FROM events GROUP BY 1, 2),
+            st AS (SELECT event_type AS t, COUNT(*) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx
+                   FROM hourly GROUP BY 1 HAVING COUNT(*) > 1)
+            SELECT window_start_s, event_type, x AS n_events,
+              CAST(n*x - sx AS DOUBLE) /
+                SQRT(CAST(n*(n*sxx - sx*sx) AS DOUBLE) / (n - 1)) AS z,
+              (ABS(CAST(n*x - sx AS DOUBLE) /
+                SQRT(CAST(n*(n*sxx - sx*sx) AS DOUBLE) / (n - 1))) > 2.0) AS is_anomaly
+            FROM hourly JOIN st ON event_type = t"""))
+
   val defs: Seq[QueryDef] =
-    Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention)
+    Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention, anomaly)
 }

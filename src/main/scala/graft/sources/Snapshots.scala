@@ -140,6 +140,31 @@ object Snapshots {
     commitLoop(table, _ => Seq(dir))
   }
 
+  /** Versioned DML — the reference's updateRecord/deleteRecord
+    * (reference: Database.java) on immutable storage: the snapshot is
+    * rewritten with the predicate applied and committed as a NEW
+    * version, so concurrent readers keep their version and time
+    * travel reaches the pre-DML state. The rewrite reads the current
+    * dirs and stages into a fresh dir — never in place. At 100 TB
+    * selective DML would rewrite only affected files (the dir-level
+    * analog is [[commitTransform]]); these whole-table forms are the
+    * semantics contract.
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column): Int =
+    commitOverwrite(read(spark, table).where(!cond), table)
+
+  /** See [[deleteWhere]]: conditional column replacement as a new
+    * version. */
+  def updateWhere(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column, column: String,
+      value: org.apache.spark.sql.Column): Int = {
+    val df = read(spark, table)
+    commitOverwrite(
+      df.withColumn(column, org.apache.spark.sql.functions
+        .when(cond, value).otherwise(df(column))), table)
+  }
+
   /** [[commitOverwrite]] carrying provenance tags in the manifest —
     * e.g. a materialized view's refreshed-through watermark. Tags
     * commit atomically with the version (same mechanism as streaming

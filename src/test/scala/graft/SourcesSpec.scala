@@ -232,6 +232,31 @@ class SourcesSpec extends SparkSpec {
     assert(Snapshots.read(spark, table).count() == rows)
   }
 
+  test("versioned DML: update/delete commit new versions, old versions intact") {
+    import graft.sources.Snapshots
+    val table = "/root/repo/target/sources-spec/dml_tbl"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(table))
+    val nation = Tables.load(spark, sfDir, "nation")
+    Snapshots.commitOverwrite(nation, table) // v1
+    val v2 = Snapshots.updateWhere(spark, table,
+      col("n_regionkey") === 0, "n_name", lit("REDACTED"))
+    assert(v2 == 2)
+    val cur = Snapshots.read(spark, table)
+    assert(cur.where(col("n_regionkey") === 0 && col("n_name") =!= "REDACTED").count() == 0)
+    assert(cur.where(col("n_regionkey") =!= 0 && col("n_name") === "REDACTED").count() == 0)
+    val v3 = Snapshots.deleteWhere(spark, table, col("n_regionkey") === 1)
+    assert(v3 == 3)
+    assert(Snapshots.read(spark, table).where(col("n_regionkey") === 1).count() == 0)
+    // time travel reaches every pre-DML state
+    assert(Snapshots.readVersion(spark, table, 1).where(col("n_name") === "REDACTED").count() == 0)
+    assert(Snapshots.readVersion(spark, table, 2).where(col("n_regionkey") === 1).count() ==
+      nation.where(col("n_regionkey") === 1).count())
+    assert(Snapshots.readVersion(spark, table, 1).count() == nation.count())
+  }
+
   test("materialized view: delta refresh equals recompute, idempotent, rewrite-safe") {
     import graft.sources.{MaterializedView, Snapshots}
     val root = "/root/repo/target/sources-spec/mv_test"
