@@ -235,7 +235,11 @@ object Extended {
           """SELECT o_custkey, o_orderkey,
                     LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key,
                     ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
-             FROM orders_rc""").localCheckpoint()
+             FROM orders_rc""")
+          // pre-partitioned on the per-level join key: localCheckpoint
+          // preserves the partitioning, so each recursion level joins
+          // the frontier against already-partitioned successors
+          .repartition(col("o_orderkey")).localCheckpoint()
           .createOrReplaceTempView("nxt_rc")
         s.sql(
           """WITH RECURSIVE chain AS (
