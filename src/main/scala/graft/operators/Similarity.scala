@@ -532,6 +532,130 @@ object Similarity {
            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
            FROM sc) WHERE rn <= 5"""))
 
+  // ---- §2.2 row 27f: IVF+PQ combined serving ----
+
+  /** §2.2 row 27f — IVF+PQ, the index shape production vector stores
+    * actually run: the coarse quantizer (one exact-integer Lloyd
+    * round, as [[knnIvf]]) prunes the corpus to NProbe inverted
+    * lists, and WITHIN the probed lists candidates are scored through
+    * the PQ code table (ADC lookup join, as [[knnPq]]) before the
+    * exact rerank of a 64-wide shortlist. I/O pruning × memory
+    * compression: a query reads NProbe/C of the corpus and scores it
+    * at one byte per subspace — at 100 TB this is "fetch 2 of 4096
+    * lists, scan their codes, rerank 64 vectors". Every stage is
+    * exact integer arithmetic until the final cosine, so the FULL
+    * composite pipeline hash-reproduces in DuckDB.
+    */
+  val knnIvfPq: QueryDef = QueryDef(
+    "s_knn_ivfpq",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val v = quantized(e).localCheckpoint()
+      // coarse quantizer + inverted lists (seeds -> 1 Lloyd round)
+      val (cents, _) = ivfBuild(e, CCount, 1)
+      val lists = ivfAssign(v, cents)
+        .select(col("vec_id").as("n_id"), col("cid")).localCheckpoint()
+      // PQ codebooks, corpus codes, query ADC tables (seed codebooks)
+      val sv = subVectors(v)
+      val cb = broadcast(sv.where(col("vec_id") < PqK)
+        .select(col("m").as("cb_m"), col("vec_id").as("k"), col("sq").as("cq")))
+      val pdist = sv.join(cb, col("m") === col("cb_m"))
+        .select(col("vec_id"), col("m"), col("k"),
+          graft.functions.Native.sqDistScaled(col("sq"), col("cq"), lit(1L)).as("pd"))
+      val byD = Window.partitionBy("vec_id", "m").orderBy(col("pd"), col("k"))
+      val codes = pdist.withColumn("rn", row_number().over(byD)).where(col("rn") === 1)
+        .select(col("vec_id").as("n_id"), col("m").as("c_m"), col("k").as("code"))
+      // queries probe the NProbe nearest lists
+      val byDist = Window.partitionBy("vec_id").orderBy(col("mm"), col("cid"))
+      val probes = v.where(col("vec_id") < 5).crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          (graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
+            .cast("double") / (col("cn") * col("cn")).cast("double")).as("mm"))
+        .withColumn("rn", row_number().over(byDist)).where(col("rn") <= NProbe)
+        .select(col("vec_id").as("q_id"), col("cid"))
+      val adc = pdist.where(col("vec_id") < 5)
+        .select(col("vec_id").as("a_q"), col("m").as("a_m"), col("k").as("a_k"),
+          col("pd"))
+      // ADC only over candidates inside the probed lists
+      val cand = broadcast(probes).join(lists, Seq("cid"))
+        .where(col("n_id") =!= col("q_id")).select("q_id", "n_id")
+      val approx = cand.join(codes, Seq("n_id"))
+        .join(broadcast(adc),
+          col("q_id") === col("a_q") && col("c_m") === col("a_m") &&
+            col("code") === col("a_k"))
+        .groupBy("q_id", "n_id").agg(sum(col("pd")).as("approx"))
+      val bySh = Window.partitionBy("q_id").orderBy(col("approx"), col("n_id"))
+      val short = approx.withColumn("rn", row_number().over(bySh))
+        .where(col("rn") <= PqShort).select("q_id", "n_id")
+      val qv = broadcast(v.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("nrm").as("q_nrm")))
+      val nv = v.select(col("vec_id").as("n_id"), col("q").as("n_q"), col("nrm").as("n_nrm"))
+      val scored = short.join(qv, "q_id").join(nv, "n_id")
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("q_id", "n_id", "sim")
+    },
+    Some {
+      val sqd = "list_sum(list_transform(list_zip(n.q, c0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"
+      val met = "CAST(list_sum(list_transform(list_zip(n.q, c1.cs), " +
+        "s -> (c1.cn*s[1]-s[2])*(c1.cn*s[1]-s[2]))) AS DOUBLE) / (c1.cn*c1.cn)"
+      s"""WITH $quantizedSql,
+       n AS (SELECT vec_id, q,
+           CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+       c0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < $CCount),
+       a1 AS (SELECT vec_id, q, nrm, cid FROM (
+           SELECT n.vec_id, n.q, n.nrm, c0.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $sqd, c0.cid) AS rn
+           FROM n, c0) x WHERE rn = 1),
+       ex AS (SELECT cid, unnest(q) AS val, unnest(range(0, 64)) AS dim FROM a1),
+       c1 AS (SELECT s.cid, list(s.sv ORDER BY s.dim) AS cs, MAX(c.cn) AS cn
+           FROM (SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS sv FROM ex GROUP BY cid, dim) s
+           JOIN (SELECT cid, COUNT(*) AS cn FROM a1 GROUP BY cid) c USING (cid)
+           GROUP BY s.cid),
+       a2 AS (SELECT vec_id, cid FROM (
+           SELECT n.vec_id, c1.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $met, c1.cid) AS rn
+           FROM n, c1) x WHERE rn = 1),
+       sv AS (SELECT vec_id, m,
+           q[CAST(m*$PqSub+1 AS BIGINT) : CAST(m*$PqSub+$PqSub AS BIGINT)] AS sq
+         FROM (SELECT vec_id, q, unnest(range(0, $PqM)) AS m FROM n) t),
+       cb AS (SELECT vec_id AS k, m, sq AS cq FROM sv WHERE vec_id < $PqK),
+       pdist AS (SELECT sv.vec_id, sv.m, cb.k,
+           CAST(list_sum(list_transform(list_zip(sv.sq, cb.cq),
+             z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS pd
+         FROM sv JOIN cb ON sv.m = cb.m),
+       codes AS (SELECT vec_id AS n_id, m, k AS code FROM (
+           SELECT vec_id, m, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY pd, k) AS rn
+           FROM pdist) x WHERE rn = 1),
+       adc AS (SELECT vec_id AS q_id, m, k, pd FROM pdist WHERE vec_id < 5),
+       pr AS (SELECT vec_id AS q_id, cid FROM (
+           SELECT n.vec_id, c1.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $met, c1.cid) AS rn
+           FROM n, c1 WHERE n.vec_id < 5) x WHERE rn <= $NProbe),
+       cand AS (SELECT pr.q_id, a2.vec_id AS n_id
+           FROM pr JOIN a2 ON pr.cid = a2.cid AND a2.vec_id <> pr.q_id),
+       ax AS (SELECT cd.q_id, cd.n_id, CAST(SUM(a.pd) AS BIGINT) AS approx
+           FROM cand cd
+             JOIN codes c ON c.n_id = cd.n_id
+             JOIN adc a ON a.q_id = cd.q_id AND a.m = c.m AND a.k = c.code
+           GROUP BY cd.q_id, cd.n_id),
+       short AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx, n_id) AS rn
+           FROM ax) x WHERE rn <= $PqShort),
+       sc AS (SELECT s.q_id, s.n_id,
+           CAST(list_sum(list_transform(list_zip(qn.q, nn.q), z -> z[1]*z[2])) AS DOUBLE)
+             / SQRT(CAST(qn.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS sim
+         FROM short s JOIN n qn ON qn.vec_id = s.q_id
+                      JOIN n nn ON nn.vec_id = s.n_id)
+       SELECT q_id, n_id, sim FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+         FROM sc) WHERE rn <= 5"""
+    })
+
   // ---- offline PQ codebook training (Lloyd per subspace) ----
 
   /** Subspace view of the quantized corpus: (vec_id, m, sq). */
@@ -667,5 +791,5 @@ object Similarity {
 
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf, knnJoin,
-      knnPq)
+      knnPq, knnIvfPq)
 }
