@@ -42,15 +42,23 @@ object MaterializedView {
   }
 
   /** Stable MV schema: keys, `cnt` long, one exact decimal(38,6)
-    * running sum per value column (wide enough that repeated merges
-    * never re-coerce the type).
+    * running sum per sum column, plus native-typed min/max columns.
+    * count/sum/min/max are the algebraic aggregates an APPEND-only
+    * fold maintains exactly (deletes/rewrites trip the recompute
+    * path); avg is served at read as sum/cnt of exact operands.
     */
-  private def aggregate(df: DataFrame, keys: Seq[String], sums: Seq[String]): DataFrame =
+  private def aggregate(df: DataFrame, keys: Seq[String], sums: Seq[String],
+      mins: Seq[String], maxs: Seq[String]): DataFrame = {
+    val aggs = sums.map(c => sum(col(c).cast("decimal(18,2)")).as(s"sum_$c")) ++
+      mins.map(c => min(col(c)).as(s"min_$c")) ++
+      maxs.map(c => max(col(c)).as(s"max_$c"))
     df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("cnt"),
-        sums.map(c => sum(col(c).cast("decimal(18,2)")).as(s"sum_$c")): _*)
+      .agg(count(lit(1)).as("cnt"), aggs: _*)
       .select(keys.map(col) ++ (col("cnt") +:
-        sums.map(c => col(s"sum_$c").cast("decimal(38,6)").as(s"sum_$c"))): _*)
+        (sums.map(c => col(s"sum_$c").cast("decimal(38,6)").as(s"sum_$c")) ++
+          mins.map(c => col(s"min_$c")) ++
+          maxs.map(c => col(s"max_$c")))): _*)
+  }
 
   /** Bring the MV current with the base table's head version. Returns
     * the MV version serving the result (unchanged when already
@@ -58,7 +66,8 @@ object MaterializedView {
     * optimistic claim serializes them and both carry a valid watermark.
     */
   def refresh(spark: SparkSession, baseTable: String, mvTable: String,
-      keys: Seq[String], sums: Seq[String]): Int = {
+      keys: Seq[String], sums: Seq[String],
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil): Int = {
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
     val lastV = refreshedThrough(mvTable)
@@ -69,15 +78,17 @@ object MaterializedView {
     val fresh =
       if (lastV == 0 || !oldDirs.toSet.subsetOf(newDirs.toSet))
         // first build, or history rewritten under the watermark
-        // (compaction / overwrite): fold from scratch
-        aggregate(Snapshots.readVersion(spark, baseTable, curV), keys, sums)
+        // (compaction / overwrite / DML): fold from scratch
+        aggregate(Snapshots.readVersion(spark, baseTable, curV), keys, sums, mins, maxs)
       else {
         val deltaDirs = newDirs.filterNot(oldDirs.toSet)
-        val deltaAgg = aggregate(spark.read.parquet(deltaDirs: _*), keys, sums)
+        val deltaAgg = aggregate(spark.read.parquet(deltaDirs: _*), keys, sums, mins, maxs)
+        val merges = sums.map(c => sum(col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c")) ++
+          mins.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
+          maxs.map(c => max(col(s"max_$c")).as(s"max_$c"))
         Snapshots.read(spark, mvTable).unionByName(deltaAgg)
           .groupBy(keys.map(col): _*)
-          .agg(sum(col("cnt")).cast("long").as("cnt"),
-            sums.map(c => sum(col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c")): _*)
+          .agg(sum(col("cnt")).cast("long").as("cnt"), merges: _*)
       }
     Snapshots.commitOverwriteTagged(fresh, mvTable, Seq(TagPrefix + curV))
   }
@@ -91,12 +102,13 @@ object MaterializedView {
     * the head. The streaming form of the nightly-rollup pattern.
     */
   def ingestWithRollup(stream: DataFrame, baseTable: String, mvTable: String,
-      streamId: String, keys: Seq[String], sums: Seq[String])
+      streamId: String, keys: Seq[String], sums: Seq[String],
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Snapshots.ingestBatch(batch, baseTable, streamId, batchId)
-        refresh(batch.sparkSession, baseTable, mvTable, keys, sums)
+        refresh(batch.sparkSession, baseTable, mvTable, keys, sums, mins, maxs)
         ()
       }
 }

@@ -165,6 +165,53 @@ object Snapshots {
         .when(cond, value).otherwise(df(column))), table)
   }
 
+  /** FILE-LEVEL selective DML: rewrite ONLY the data directories that
+    * can contain predicate matches — a pushed-down existence probe per
+    * dir (parquet row-group min/max stats make non-matching dirs a
+    * metadata read) — and carry every untouched dir over BY REFERENCE
+    * into the new manifest. The commit is conflict-checked
+    * ([[commitTransformIf]]): if a racing writer replaced any touched
+    * dir, the DML aborts (None) instead of resurrecting stale data.
+    * This is the production shape of DML at 100 TB: a point delete
+    * rewrites a handful of files, not the table; the whole-snapshot
+    * [[deleteWhere]]/[[updateWhere]] forms remain the semantic
+    * contract. The per-dir probe loop runs on the driver but is
+    * bounded by the manifest's dir count, not data.
+    */
+  def deleteWhereSelective(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column): Option[Int] =
+    rewriteTouched(spark, table, cond, df => df.where(!cond))
+
+  /** See [[deleteWhereSelective]]: conditional column replacement that
+    * rewrites only the dirs the predicate can touch. */
+  def updateWhereSelective(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column, column: String,
+      value: org.apache.spark.sql.Column): Option[Int] =
+    rewriteTouched(spark, table, cond, df =>
+      df.withColumn(column, org.apache.spark.sql.functions
+        .when(cond, value).otherwise(df(column))))
+
+  private def rewriteTouched(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column,
+      rewrite: DataFrame => DataFrame): Option[Int] = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"no committed version at $table")
+    val dirs = manifestDirs(table, cur)
+    // pushed-down existence probe: parquet stats answer this from
+    // footers for dirs whose min/max exclude the predicate
+    val touched = dirs.filter(d =>
+      !spark.read.parquet(d).where(cond).isEmpty)
+    if (touched.isEmpty) return Some(cur)
+    val staged = touched.map { d =>
+      val out = stageDir(table)
+      rewrite(spark.read.parquet(d)).write
+        .mode(SaveMode.ErrorIfExists).parquet(out)
+      out
+    }
+    commitTransformIf(table, requires = touched)(prev =>
+      prev.filterNot(touched.toSet) ++ staged)
+  }
+
   /** [[commitOverwrite]] carrying provenance tags in the manifest —
     * e.g. a materialized view's refreshed-through watermark. Tags
     * commit atomically with the version (same mechanism as streaming

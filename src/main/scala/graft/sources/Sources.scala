@@ -192,10 +192,11 @@ object SourceQueries {
       val li = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_returnflag", "l_linestatus",
           "l_quantity", "l_extendedprice")
+      val (mins, maxs) = (Seq("l_quantity"), Seq("l_extendedprice"))
       if (graft.sources.Snapshots.currentVersion(base) == 0) {
         graft.sources.Snapshots.commitOverwrite(
           li.where(col("l_orderkey") % 10 =!= 0), base) // v1
-        MaterializedView.refresh(s, base, mv, keys, sums) // MV through v1
+        MaterializedView.refresh(s, base, mv, keys, sums, mins, maxs) // through v1
       }
       // two appended batches (exactly-once: replays and bench re-runs
       // no-op), folded by the refresh below
@@ -205,15 +206,22 @@ object SourceQueries {
       graft.sources.Snapshots.ingestBatch(
         li.where(col("l_orderkey") % 10 === 0 && col("l_orderkey") % 20 =!= 0),
         base, "q_mv_incremental", 1L)
-      MaterializedView.refresh(s, base, mv, keys, sums)
+      MaterializedView.refresh(s, base, mv, keys, sums, mins, maxs)
       graft.sources.Snapshots.read(s, mv).select(
         col("l_returnflag"), col("l_linestatus"), col("cnt"),
         col("sum_l_quantity").cast("double").as("sum_qty"),
-        col("sum_l_extendedprice").cast("double").as("sum_price"))
+        col("sum_l_extendedprice").cast("double").as("sum_price"),
+        col("min_l_quantity").as("min_qty"),
+        col("max_l_extendedprice").as("max_price"),
+        // avg served AT READ from the exact stored operands
+        (col("sum_l_quantity").cast("double") / col("cnt")).as("avg_qty"))
     },
     Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
              ${P.dsum("l_quantity")} AS sum_qty,
-             ${P.dsum("l_extendedprice")} AS sum_price
+             ${P.dsum("l_extendedprice")} AS sum_price,
+             MIN(l_quantity) AS min_qty,
+             MAX(l_extendedprice) AS max_price,
+             ${P.dsum("l_quantity")} / COUNT(*) AS avg_qty
              FROM lineitem GROUP BY 1, 2"""))
 
   val defs: Seq[QueryDef] = Seq(zorderSecondary, mvIncremental)

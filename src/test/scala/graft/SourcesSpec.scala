@@ -257,6 +257,51 @@ class SourcesSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, table, 1).count() == nation.count())
   }
 
+  test("selective DML rewrites only the touched dirs, untouched carry by reference") {
+    import graft.sources.Snapshots
+    val table = "/root/repo/target/sources-spec/seldml_tbl"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(table))
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    // three appended dirs with DISJOINT key ranges → parquet stats
+    // discriminate which dir a point predicate can touch
+    Snapshots.commitOverwrite(li.where(col("l_orderkey") < 500), table)
+    Snapshots.commitAppend(li.where(col("l_orderkey").between(500, 999)), table)
+    Snapshots.commitAppend(li.where(col("l_orderkey") >= 1000), table)
+    val dirsBefore = Snapshots.versionDirs(table, Snapshots.currentVersion(table))
+
+    // point delete inside the middle dir's range only
+    val v = Snapshots.deleteWhereSelective(spark, table, col("l_orderkey") === 750)
+    assert(v.isDefined)
+    val dirsAfter = Snapshots.versionDirs(table, v.get)
+    val kept = dirsBefore.toSet & dirsAfter.toSet
+    assert(kept.size == 2,
+      s"exactly the two untouched dirs must carry by reference: $kept")
+    val got = Snapshots.read(spark, table)
+    assert(got.where(col("l_orderkey") === 750).count() == 0)
+    assert(got.count() == li.where(col("l_orderkey") =!= 750).count())
+
+    // predicate matching nothing: no new version at all
+    val v2 = Snapshots.deleteWhereSelective(spark, table, col("l_orderkey") === -1)
+    assert(v2.contains(v.get), "no-match DML must not commit")
+
+    // selective update, same file-level behavior
+    val dirsB2 = Snapshots.versionDirs(table, v.get)
+    val v3 = Snapshots.updateWhereSelective(spark, table,
+      col("l_orderkey") === 1200, "l_returnflag", lit("X"))
+    assert(v3.isDefined)
+    assert((dirsB2.toSet & Snapshots.versionDirs(table, v3.get).toSet).size == 2)
+    assert(Snapshots.read(spark, table)
+      .where(col("l_returnflag") === "X").count() ==
+      li.where(col("l_orderkey") === 1200).count())
+    // time travel still reaches the pre-DML states
+    assert(Snapshots.readVersion(spark, table, 3)
+      .where(col("l_orderkey") === 750).count() > 0)
+  }
+
   test("materialized view: delta refresh equals recompute, idempotent, rewrite-safe") {
     import graft.sources.{MaterializedView, Snapshots}
     val root = "/root/repo/target/sources-spec/mv_test"
