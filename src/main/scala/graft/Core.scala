@@ -72,8 +72,12 @@ object GraftSession {
   * the Column API in [[graft.functions.Native]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // optimizer-rule tier: cheap necessary conditions screening
+    // expensive exact predicates (see EditDistancePruning)
+    ext.injectOptimizerRule(_ => graft.plans.EditDistancePruning)
+  }
 }
 
 object GraftExtensions {

@@ -170,4 +170,28 @@ class CboSpec extends SparkSpec {
       Seq("cc_t", "nn_t").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("injected optimizer rule guards levenshtein predicates with length pruning") {
+    import spark.implicits._
+    // a real datasource: a LocalRelation filter would be folded away
+    // by ConvertToLocalRelation before any plan survives to inspect
+    val path = "/root/repo/target/cbo-spec/lev_pairs"
+    Seq(("kitten", "sitting"), ("abc", "abcdefghij"), ("same", "same"))
+      .toDF("a", "b").write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path).where(expr("levenshtein(a, b) <= 3"))
+    val opt = df.queryExecution.optimizedPlan.toString.toLowerCase
+    // the cheap necessary condition precedes the O(n*m) DP …
+    assert(opt.contains("abs("), s"expected a length guard in:\n$opt")
+    // … exactly once: the rule is idempotent across optimizer re-runs
+    assert("abs\\(".r.findAllIn(opt).size == 1, opt)
+    // and never changes the answer (abc/abcdefghij pruned by length 7
+    // AND distance 7; kitten/sitting passes both at distance 3)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("kitten", "sitting"), ("same", "same")), got.toString)
+    // a pre-guarded predicate is left alone
+    val manual = spark.read.parquet(path)
+      .where(expr("abs(length(a) - length(b)) <= 2 AND levenshtein(a, b) <= 2"))
+    assert("abs\\(".r.findAllIn(
+      manual.queryExecution.optimizedPlan.toString.toLowerCase).size == 1)
+  }
 }
