@@ -75,8 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // optimizer-rule tier: cheap necessary conditions screening
-    // expensive exact predicates (see EditDistancePruning)
+    // expensive exact predicates (see EditDistancePruning), and
+    // MV-aware aggregate rewriting (see MvRewrite)
     ext.injectOptimizerRule(_ => graft.plans.EditDistancePruning)
+    ext.injectOptimizerRule(session => new graft.plans.MvRewriteRule(session))
   }
 }
 

@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** MV-aware query rewrite — the materialized-view half of the
+  * optimizer-rule tier: an `Aggregate` whose grouping keys, aggregate
+  * shapes, and SCANNED SNAPSHOT VERSION exactly match a registered
+  * [[graft.sources.MaterializedView]] is redirected to read the
+  * (tiny) MV instead of re-scanning the base table.
+  *
+  * The freshness contract is structural, not temporal: a registration
+  * records the base data directories the MV's watermark version
+  * reflects, and the rewrite fires ONLY when the query's scan reads
+  * exactly those directories. A query over a base version the MV has
+  * not folded (or a time-travel read of an older one) keeps its scan
+  * — no staleness is ever observable.
+  *
+  * Aggregate shapes covered are the MV's own: `count(1)` and the
+  * exact-decimal sum `sum(cast(c as decimal(18,2)))` with or without
+  * the final cast to double — value-identical to the MV's stored
+  * decimal (the MV column is the same exact sum, only wider), so the
+  * rewrite is answer-invariant bit-for-bit (tested in CboSpec).
+  */
+object MvRewrite {
+
+  /** One registered MV: the base dirs its watermark version reflects,
+    * the MV's data dirs, and the aggregate spec it stores.
+    */
+  final case class MvDef(baseDirs: Set[String], mvDirs: Seq[String],
+    keys: Set[String], sums: Set[String])
+
+  @volatile private[plans] var registry: Seq[MvDef] = Nil
+
+  /** Register an MV for rewriting, pinning the base version its
+    * current watermark reflects. Call again after a refresh to move
+    * the pin forward.
+    */
+  def register(baseTable: String, mvTable: String,
+      keys: Seq[String], sums: Seq[String]): Unit = {
+    import graft.sources.{MaterializedView, Snapshots}
+    val through = MaterializedView.refreshedThrough(mvTable)
+    require(through > 0, s"$mvTable has no refreshed version")
+    registry = MvDef(
+      Snapshots.versionDirs(baseTable, through).map(normalize).toSet,
+      Snapshots.versionDirs(mvTable, Snapshots.currentVersion(mvTable)),
+      keys.toSet, sums.toSet) +: registry
+  }
+
+  def clear(): Unit = registry = Nil
+
+  /** Path normalization: relation rootPaths carry a scheme. */
+  private[plans] def normalize(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+}
+
+class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import MvRewrite._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (registry.isEmpty) plan
+    else plan.transform {
+      case agg @ Aggregate(groupExprs, aggExprs, child, _)
+          if scanDirs(child).nonEmpty =>
+        val dirs = scanDirs(child).get
+        registry.find(_.baseDirs == dirs) match {
+          case Some(mv) if rewritable(agg, groupExprs, mv) =>
+            rewrite(agg, mv).getOrElse(agg)
+          case _ => agg
+        }
+    }
+
+  /** The scan dirs under an Aggregate child that is a bare relation or
+    * a column-pruning projection over one.
+    */
+  private def scanDirs(plan: LogicalPlan): Option[Set[String]] = plan match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      Some(fs.location.rootPaths.map(p => normalize(p.toString)).toSet)
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      scanDirs(child)
+    case _ => None
+  }
+
+  private def rewritable(agg: Aggregate, groupExprs: Seq[Expression], mv: MvDef): Boolean =
+    groupExprs.forall {
+      case a: AttributeReference => mv.keys.contains(a.name)
+      case _ => false
+    } && groupExprs.map { case a: AttributeReference => a.name }.toSet == mv.keys
+
+  /** Map each output expression onto an MV column; None (no rewrite)
+    * if any aggregate falls outside the MV's stored shapes.
+    */
+  private def rewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
+    val rel = session.read.parquet(mv.mvDirs: _*).queryExecution.analyzed
+    val byName = rel.output.map(a => a.name -> a).toMap
+
+    def mvSum(attr: AttributeReference): Option[Attribute] =
+      if (mv.sums.contains(attr.name)) byName.get(s"sum_${attr.name}") else None
+
+    val mapped = agg.aggregateExpressions.map {
+      case key: AttributeReference if mv.keys.contains(key.name) =>
+        byName.get(key.name).map(c => Alias(c, key.name)(exprId = key.exprId))
+      case al @ Alias(child, name) =>
+        val replacement: Option[Expression] = child match {
+          case key: AttributeReference if mv.keys.contains(key.name) =>
+            byName.get(key.name)
+          case AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _) =>
+            byName.get("cnt")
+          case AggregateExpression(
+              Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _), _, false, None, _)
+              if dt.precision == 18 && dt.scale == 2 =>
+            // the query's sum type is decimal(28,2); the MV stores the
+            // same exact value at decimal(38,6)
+            mvSum(a).map(c => Cast(c, DecimalType(28, 2)))
+          case Cast(AggregateExpression(
+              Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _), _, false, None, _),
+              DoubleType, _, _)
+              if dt.precision == 18 && dt.scale == 2 =>
+            mvSum(a).map(c => Cast(c, DoubleType))
+          case _ => None
+        }
+        replacement.map(r => Alias(r, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) None
+    else Some(Project(mapped.map(_.get), rel))
+  }
+}

@@ -171,6 +171,50 @@ class CboSpec extends SparkSpec {
     }
   }
 
+  test("MV-aware rewrite serves a matching aggregate from the view, never stale") {
+    import graft.functions.Portable
+    import graft.plans.MvRewrite
+    import graft.sources.{MaterializedView, Snapshots}
+    val root = "/root/repo/target/cbo-spec/mv_rw"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val base = s"$root/base"; val mv = s"$root/mv"
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    Snapshots.commitOverwrite(li, base)
+    MaterializedView.refresh(spark, base, mv, Seq("l_returnflag"), Seq("l_quantity"))
+    try {
+      def canonical() = Snapshots.read(spark, base)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Portable.dsum(col("l_quantity")).as("s"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val before = rows(canonical()) // unregistered: the real aggregate
+
+      MvRewrite.register(base, mv, Seq("l_returnflag"), Seq("l_quantity"))
+      val served = canonical()
+      val plan = physicalPlan(served)
+      assert(plan.contains("/mv/") && !plan.contains("/base/"),
+        s"expected the MV scan to replace the base aggregate:\n$plan")
+      assert(rows(served) == before, "rewrite must be answer-invariant bit-for-bit")
+
+      // base moves past the MV's watermark: the rewrite must NOT fire
+      Snapshots.commitAppend(li.where(col("l_orderkey") < 100), base)
+      val stale = canonical()
+      assert(physicalPlan(stale).contains("/base/"),
+        "a scan the MV has not folded must keep its aggregate")
+      assert(rows(stale) != before, "appended rows must be visible")
+      // refresh + re-register: serving resumes from the new watermark
+      MaterializedView.refresh(spark, base, mv, Seq("l_returnflag"), Seq("l_quantity"))
+      MvRewrite.register(base, mv, Seq("l_returnflag"), Seq("l_quantity"))
+      val fresh = canonical()
+      assert(physicalPlan(fresh).contains("/mv/"), physicalPlan(fresh))
+      assert(rows(fresh) == rows(stale))
+    } finally MvRewrite.clear()
+  }
+
   test("injected optimizer rule guards levenshtein predicates with length pruning") {
     import spark.implicits._
     // a real datasource: a LocalRelation filter would be folded away
