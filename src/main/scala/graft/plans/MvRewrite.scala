@@ -86,21 +86,33 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Rewritable when the query's grouping keys are a SUBSET of the
+    * MV's — the rollup lattice: an equal-keys query projects the MV
+    * directly, a coarser one re-aggregates it (counts and exact
+    * decimal sums are re-aggregable; min/max would be too).
+    */
   private def rewritable(agg: Aggregate, groupExprs: Seq[Expression], mv: MvDef): Boolean =
     groupExprs.forall {
       case a: AttributeReference => mv.keys.contains(a.name)
       case _ => false
-    } && groupExprs.map { case a: AttributeReference => a.name }.toSet == mv.keys
+    }
 
-  /** Map each output expression onto an MV column; None (no rewrite)
-    * if any aggregate falls outside the MV's stored shapes.
+  /** Map each output expression onto an MV column — projected when the
+    * keys match exactly, re-aggregated when the query is a coarser
+    * point of the lattice; None (no rewrite) if any aggregate falls
+    * outside the MV's stored shapes.
     */
   private def rewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
     val rel = session.read.parquet(mv.mvDirs: _*).queryExecution.analyzed
     val byName = rel.output.map(a => a.name -> a).toMap
+    val exact = agg.groupingExpressions
+      .map { case a: AttributeReference => a.name }.toSet == mv.keys
 
     def mvSum(attr: AttributeReference): Option[Attribute] =
       if (mv.sums.contains(attr.name)) byName.get(s"sum_${attr.name}") else None
+    // coarser lattice point: fold the MV's partials one level further
+    def reagg(c: Attribute): Expression =
+      if (exact) c else Sum(c).toAggregateExpression()
 
     val mapped = agg.aggregateExpressions.map {
       case key: AttributeReference if mv.keys.contains(key.name) =>
@@ -110,24 +122,30 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           case key: AttributeReference if mv.keys.contains(key.name) =>
             byName.get(key.name)
           case AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _) =>
-            byName.get("cnt")
+            byName.get("cnt").map(c => if (exact) c else Cast(reagg(c), c.dataType))
           case AggregateExpression(
               Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _), _, false, None, _)
               if dt.precision == 18 && dt.scale == 2 =>
             // the query's sum type is decimal(28,2); the MV stores the
             // same exact value at decimal(38,6)
-            mvSum(a).map(c => Cast(c, DecimalType(28, 2)))
+            mvSum(a).map(c => Cast(reagg(c), DecimalType(28, 2)))
           case Cast(AggregateExpression(
               Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _), _, false, None, _),
               DoubleType, _, _)
               if dt.precision == 18 && dt.scale == 2 =>
-            mvSum(a).map(c => Cast(c, DoubleType))
+            mvSum(a).map(c => Cast(reagg(c), DoubleType))
           case _ => None
         }
         replacement.map(r => Alias(r, name)(exprId = al.exprId))
       case _ => None
     }
     if (mapped.exists(_.isEmpty)) None
-    else Some(Project(mapped.map(_.get), rel))
+    else if (exact) Some(Project(mapped.map(_.get), rel))
+    else {
+      val groupCols = agg.groupingExpressions.map {
+        case a: AttributeReference => byName(a.name)
+      }
+      Some(Aggregate(groupCols, mapped.map(_.get), rel))
+    }
   }
 }

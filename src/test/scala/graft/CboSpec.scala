@@ -212,6 +212,19 @@ class CboSpec extends SparkSpec {
       val fresh = canonical()
       assert(physicalPlan(fresh).contains("/mv/"), physicalPlan(fresh))
       assert(rows(fresh) == rows(stale))
+
+      // the rollup lattice: a GLOBAL aggregate (keys ⊂ MV keys) is
+      // served by re-aggregating the view's partials one level further
+      val global = Snapshots.read(spark, base)
+        .groupBy()
+        .agg(count(lit(1)).as("n"), Portable.dsum(col("l_quantity")).as("s"))
+      val gPlan = physicalPlan(global)
+      assert(gPlan.contains("/mv/") && !gPlan.contains("/base/"), gPlan)
+      val g = global.head()
+      val expect = Snapshots.read(spark, base)
+        .agg(count(lit(1)), Portable.dsum(col("l_quantity"))).head()
+      assert(g.getLong(0) == expect.getLong(0) && g.getDouble(1) == expect.getDouble(1),
+        s"lattice re-aggregation diverged: $g vs $expect")
     } finally MvRewrite.clear()
   }
 
