@@ -213,6 +213,55 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ recall@5 = $recall")
   }
 
+  test("IVF lists stay current under appends via the clustered snapshot path") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val table = "/root/repo/target/pipeline-spec/ivf_clustered"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(table))
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val (cents, _) = Similarity.ivfBuild(e, c = 8, rounds = 1)
+    val q = Similarity.quantize(col("embedding"))
+    val v = e.select(col("vec_id"), q.as("q"))
+      .withColumn("nrm", Similarity.dotL(col("q"), col("q"))).localCheckpoint()
+    val assignedAll = Similarity.ivfAssign(v, cents)
+      .select("vec_id", "cid").localCheckpoint()
+
+    // bootstrap the clustered index with even ids; odd ids arrive
+    // later as a cheap unclustered delta (the nightly-append shape)
+    Snapshots.commitClustered(
+      assignedAll.where(col("vec_id") % 2 === 0), table, Seq("cid"))
+    Snapshots.appendDelta(assignedAll.where(col("vec_id") % 2 =!= 0), table)
+
+    def contents() = Snapshots.read(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = assignedAll.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(contents() == expect, "merge-on-read must serve base + delta")
+
+    // compaction re-clusters ONLY the delta; content identical, and a
+    // one-list probe prunes at the scan again
+    Snapshots.compact(spark, table, Seq("cid"))
+    assert(contents() == expect, "compaction must not change content")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def rowsScanned(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case sc: FileSourceScanExec => sc.metrics("numOutputRows").value
+        }.sum
+      }
+      val probed = rowsScanned(Snapshots.read(spark, table).where(col("cid") === 3))
+      val total = expect.size
+      assert(probed < total / 2,
+        s"post-compaction probe must prune: scanned $probed of $total")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // pre-append version still time-travels
+    assert(Snapshots.readVersion(spark, table, 1).count() ==
+      assignedAll.where(col("vec_id") % 2 === 0).count())
+  }
+
   test("trained PQ codebooks: Lloyd objective falls, recall at least holds") {
     val e = Tables.load(spark, sfDir, "embeddings")
     def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
