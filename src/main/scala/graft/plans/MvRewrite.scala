@@ -33,7 +33,7 @@ object MvRewrite {
     * the MV's data dirs, and the aggregate spec it stores.
     */
   final case class MvDef(baseDirs: Set[String], mvDirs: Seq[String],
-    keys: Set[String], sums: Set[String])
+    keys: Set[String], sums: Set[String], rows: Long)
 
   @volatile private[plans] var registry: Seq[MvDef] = Nil
 
@@ -46,10 +46,14 @@ object MvRewrite {
     import graft.sources.{MaterializedView, Snapshots}
     val through = MaterializedView.refreshedThrough(mvTable)
     require(through > 0, s"$mvTable has no refreshed version")
+    val spark = SparkSession.active
+    val mvDirs = Snapshots.versionDirs(mvTable, Snapshots.currentVersion(mvTable))
     registry = MvDef(
       Snapshots.versionDirs(baseTable, through).map(normalize).toSet,
-      Snapshots.versionDirs(mvTable, Snapshots.currentVersion(mvTable)),
-      keys.toSet, sums.toSet) +: registry
+      mvDirs, keys.toSet, sums.toSet,
+      // the cost statistic for view selection: row count at register
+      // time (the analog of the reference's TableStats row counts)
+      spark.read.parquet(mvDirs: _*).count()) +: registry
   }
 
   def clear(): Unit = registry = Nil
@@ -68,11 +72,15 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case agg @ Aggregate(groupExprs, aggExprs, child, _)
           if scanDirs(child).nonEmpty =>
         val dirs = scanDirs(child).get
-        registry.find(_.baseDirs == dirs) match {
-          case Some(mv) if rewritable(agg, groupExprs, mv) =>
-            rewrite(agg, mv).getOrElse(agg)
-          case _ => agg
-        }
+        // cost-based view selection: among all registered MVs that
+        // cover this aggregate, serve from the SMALLEST (fewest rows
+        // to scan/re-aggregate) — the coarse rollup wins for a coarse
+        // query even though the fine MV also covers it
+        registry.filter(mv => mv.baseDirs == dirs && rewritable(agg, groupExprs, mv))
+          .sortBy(_.rows)
+          .iterator.map(mv => rewrite(agg, mv))
+          .collectFirst { case Some(p) => p }
+          .getOrElse(agg)
     }
 
   /** The scan dirs under an Aggregate child that is a bare relation or

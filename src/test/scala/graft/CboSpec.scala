@@ -225,6 +225,20 @@ class CboSpec extends SparkSpec {
         .agg(count(lit(1)), Portable.dsum(col("l_quantity"))).head()
       assert(g.getLong(0) == expect.getLong(0) && g.getDouble(1) == expect.getDouble(1),
         s"lattice re-aggregation diverged: $g vs $expect")
+
+      // cost-based selection: a COARSER second MV (grand-total, 1 row)
+      // also covers the global query and must win over the fine one
+      val mvCoarse = s"$root/mv_coarse"
+      MaterializedView.refresh(spark, base, mvCoarse, Nil, Seq("l_quantity"))
+      MvRewrite.register(base, mvCoarse, Nil, Seq("l_quantity"))
+      val viaCoarse = Snapshots.read(spark, base)
+        .groupBy()
+        .agg(count(lit(1)).as("n"), Portable.dsum(col("l_quantity")).as("s"))
+      val cPlan = physicalPlan(viaCoarse)
+      assert(cPlan.contains("/mv_coarse/") && !cPlan.contains("/mv/data"),
+        s"the smaller view must be selected:\n$cPlan")
+      val c = viaCoarse.head()
+      assert(c.getLong(0) == expect.getLong(0) && c.getDouble(1) == expect.getDouble(1))
     } finally MvRewrite.clear()
   }
 
