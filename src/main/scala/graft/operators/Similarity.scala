@@ -712,8 +712,14 @@ object Similarity {
     val v = quantized(embeddings).localCheckpoint()
     val sv = subVectors(v)
     val byD = Window.partitionBy("vec_id", "m").orderBy(col("pd"), col("k"))
+    // partial distances quantize onto a 2^20 grid: the per-(m,k)
+    // metric is one exact IEEE divide (bit-identical across engines),
+    // and flooring it to a long makes the ADC SUM exact and
+    // order-independent — float summation order would otherwise leak
+    // into the shortlist
     val pdist = sv.join(broadcast(cents), Seq("m"))
-      .select(col("vec_id"), col("m"), col("k"), pqMetric.as("pd"))
+      .select(col("vec_id"), col("m"), col("k"),
+        floor(pqMetric * lit(1L << 20)).cast("long").as("pd"))
     val codes = pdist.withColumn("rn", row_number().over(byD)).where(col("rn") === 1)
       .select(col("vec_id").as("n_id"), col("m").as("c_m"), col("k").as("code"))
     val adc = pdist.where(col("vec_id") < nQueries)
@@ -789,7 +795,72 @@ object Similarity {
     (centroids, objectives.result())
   }
 
+  /** §2.2 row 27e, TRAINED twin — the full trained-PQ pipeline under
+    * the oracle: one per-subspace Lloyd round over deterministic seeds
+    * (all M codebooks in the same two shuffles — [[pqBuild]]), then
+    * [[pqSearch]]'s encode / ADC / rerank. Portability anatomy:
+    * centroids stay undivided (Σ-vector, count) integers; the
+    * per-(subspace, centroid) metric is ONE exact IEEE divide
+    * (bit-identical in DuckDB); and partial distances floor onto a
+    * 2^20 grid so the ADC sum is exact integer addition — float
+    * summation order never leaks into the shortlist.
+    */
+  val knnPqTrained: QueryDef = QueryDef(
+    "s_knn_pq_trained",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val (cents, _) = pqBuild(e, rounds = 1)
+      pqSearch(e, cents, nQueries = 5, shortlist = PqShort, k = 5)
+    },
+    Some {
+      val sqd0 = "list_sum(list_transform(list_zip(sv.sq, cb0.cs), " +
+        "z -> (z[1]-z[2])*(z[1]-z[2])))"
+      val met1 = "CAST(list_sum(list_transform(list_zip(sv.sq, c.cs), " +
+        "z -> (c.cn*z[1]-z[2])*(c.cn*z[1]-z[2]))) AS DOUBLE) / (c.cn*c.cn)"
+      s"""WITH $quantizedSql,
+       n AS (SELECT vec_id, q,
+           CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+       sv AS (SELECT vec_id, m,
+           q[CAST(m*$PqSub+1 AS BIGINT) : CAST(m*$PqSub+$PqSub AS BIGINT)] AS sq
+         FROM (SELECT vec_id, q, unnest(range(0, $PqM)) AS m FROM n) t),
+       cb0 AS (SELECT m, vec_id AS k, sq AS cs FROM sv WHERE vec_id < $PqK),
+       p0 AS (SELECT vec_id, m, k, sq FROM (
+           SELECT sv.vec_id, sv.m, cb0.k, sv.sq,
+             ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.m
+               ORDER BY $sqd0, cb0.k) AS rn
+           FROM sv JOIN cb0 ON sv.m = cb0.m) x WHERE rn = 1),
+       exd AS (SELECT m, k, unnest(sq) AS val, unnest(range(0, $PqSub)) AS dim FROM p0),
+       cb1 AS (SELECT s1.m, s1.k, list(s1.sv ORDER BY s1.dim) AS cs, MAX(c2.cn) AS cn
+           FROM (SELECT m, k, dim, CAST(SUM(val) AS BIGINT) AS sv
+                 FROM exd GROUP BY m, k, dim) s1
+           JOIN (SELECT m, k, COUNT(*) AS cn FROM p0 GROUP BY m, k) c2 USING (m, k)
+           GROUP BY s1.m, s1.k),
+       pdist AS (SELECT sv.vec_id, sv.m, c.k,
+           CAST(FLOOR(($met1) * ${1L << 20}) AS BIGINT) AS pd
+         FROM sv JOIN cb1 c ON sv.m = c.m),
+       codes AS (SELECT vec_id AS n_id, m, k AS code FROM (
+           SELECT vec_id, m, k,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY pd, k) AS rn
+           FROM pdist) x WHERE rn = 1),
+       adc AS (SELECT vec_id AS q_id, m, k, pd FROM pdist WHERE vec_id < 5),
+       approx AS (SELECT a.q_id, c.n_id, CAST(SUM(a.pd) AS BIGINT) AS approx
+           FROM adc a JOIN codes c ON a.m = c.m AND a.k = c.code
+           WHERE c.n_id <> a.q_id GROUP BY a.q_id, c.n_id),
+       short AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx, n_id) AS rn
+           FROM approx) x WHERE rn <= $PqShort),
+       sc AS (SELECT s.q_id, s.n_id,
+           CAST(list_sum(list_transform(list_zip(qn.q, nn.q), z -> z[1]*z[2])) AS DOUBLE)
+             / SQRT(CAST(qn.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS sim
+         FROM short s JOIN n qn ON qn.vec_id = s.q_id
+                      JOIN n nn ON nn.vec_id = s.n_id)
+       SELECT q_id, n_id, sim FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+         FROM sc) WHERE rn <= 5"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf, knnJoin,
-      knnPq, knnIvfPq)
+      knnPq, knnIvfPq, knnPqTrained)
 }
