@@ -183,6 +183,19 @@ class RelationalSpec extends SparkSpec {
     assert(counts.size == 1)
   }
 
+  test("plan-shape guards: map-only catalog queries stay exchange-free") {
+    // these queries were engineered to be pure map work (narrow
+    // projections / Expand / native expressions) — a regression that
+    // reintroduces a shuffle should fail loudly, not show up as a
+    // silent bench slide
+    for (q <- Seq("t_repetition", "t_pii_redact", "q_unpivot", "t_tokens",
+        "t_fingerprint", "t_normalize", "t_quality")) {
+      val plan = physicalPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("Exchange"),
+        s"$q grew a shuffle:\n$plan")
+    }
+  }
+
   test("recursive CTE chain depth equals the one-window optimal rewrite") {
     // the recursion (q_recursive_cte) walks successor pointers level
     // by level; for chain position the window rank IS the depth, so
