@@ -249,6 +249,76 @@ object Similarity {
            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
          WHERE rn <= 3"""))
 
+  /** §2.2 row 27g — GRAPH-expanded ANN (the tractable member of the
+    * HNSW family): the all-pairs kNN graph ([[knnJoin]]'s output —
+    * at scale a persisted index like the IVF lists) becomes a serving
+    * structure. A query's LSH band collisions seed the pool, ONE hop
+    * through the graph adds the seeds' own top neighbors —
+    * neighbors-of-neighbors are likely neighbors, so the hop recovers
+    * exactly the near-misses banding drops — and the expanded pool is
+    * exact-reranked. Full beam search iterates this hop with a
+    * frontier (round-6); one hop already lifts recall measurably
+    * (PipelineSpec) at the cost of one extra equi-join.
+    *
+    * Scale shape: the graph carries O(N·k) edges keyed by source; the
+    * hop join shuffles seed-sized frames (queries × candidates), never
+    * the corpus; the rerank pool is ≤ seeds · (1 + k).
+    */
+  val knnGraph: QueryDef = QueryDef(
+    "s_knn_graph",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val v = quantized(e).localCheckpoint()
+      val cand = lshCandidatePairs(e)
+      val sym = cand.unionAll(cand.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      def score(pairs: DataFrame, lk: String, rk: String) = pairs
+        .join(v.select(col("vec_id").as(lk), col("q").as("q_l"), col("nrm").as("n_l")), Seq(lk))
+        .join(v.select(col("vec_id").as(rk), col("q").as("q_r"), col("nrm").as("n_r")), Seq(rk))
+        .select(col(lk), col(rk),
+          cosine(dotL(col("q_l"), col("q_r")), col("n_l"), col("n_r")).as("sim"))
+      val wG = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
+      val graph = score(sym, "a", "b")
+        .withColumn("rn", row_number().over(wG)).where(col("rn") <= 3)
+        .select(col("a").as("g_src"), col("b").as("g_dst"))
+      val seeds = sym.where(col("a") < 5)
+        .select(col("a").as("q_id"), col("b").as("n_id"))
+      val hop = seeds.join(graph, col("n_id") === col("g_src"))
+        .select(col("q_id"), col("g_dst").as("n_id"))
+      val expanded = seeds.unionAll(hop)
+        .where(col("n_id") =!= col("q_id")).distinct()
+      val scored = score(expanded, "q_id", "n_id")
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("q_id", "n_id", "sim")
+    },
+    Some(s"""WITH $quantizedSql, $bandedSql,
+         cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+             FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
+             WHERE l.vec_id <> r.vec_id),
+         gsc AS (SELECT c.a, c.b,
+              CAST(list_sum(list_transform(list_zip(x.q, y.q), s -> s[1]*s[2])) AS DOUBLE)
+                / SQRT(CAST(x.nrm AS DOUBLE) * CAST(y.nrm AS DOUBLE)) AS sim
+            FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b),
+         graph AS (SELECT a AS g_src, b AS g_dst FROM (
+             SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
+             FROM gsc) x WHERE rn <= 3),
+         seeds AS (SELECT a AS q_id, b AS n_id FROM cand WHERE a < 5),
+         hop AS (SELECT s.q_id, g.g_dst AS n_id
+             FROM seeds s JOIN graph g ON s.n_id = g.g_src),
+         ex AS (SELECT DISTINCT q_id, n_id FROM (
+             SELECT q_id, n_id FROM seeds UNION ALL SELECT q_id, n_id FROM hop) u
+           WHERE n_id <> q_id),
+         p AS (SELECT e2.q_id, e2.n_id,
+              CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+              a.nrm AS na, b.nrm AS nb
+            FROM ex e2 JOIN n a ON a.vec_id = e2.q_id JOIN n b ON b.vec_id = e2.n_id),
+         sc AS (SELECT q_id, n_id,
+              CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM p)
+         SELECT q_id, n_id, sim FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
+         WHERE rn <= 5"""))
+
   /** §2.2 row 27c — multi-probe LSH ANN: queries probe their own
     * bucket AND every 1-bit-flip neighbor in each band (1 + 8 probes
     * per band). The near-miss case banding alone drops — a 0.9-cosine
@@ -862,5 +932,5 @@ object Similarity {
 
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf, knnJoin,
-      knnPq, knnIvfPq, knnPqTrained)
+      knnPq, knnIvfPq, knnPqTrained, knnGraph)
 }
