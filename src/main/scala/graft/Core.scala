@@ -123,6 +123,10 @@ object GraftExtensions {
         // to array<double> before folding
         import org.apache.spark.sql.catalyst.expressions.Cast
         import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        if (!exprs(1).foldable)
+          throw new IllegalArgumentException(
+            "graft_quantile_sketch: quantiles must be a foldable array " +
+              s"literal (e.g. array(0.5, 0.9)), got ${exprs(1).sql}")
         val asDoubles = exprs(1).dataType match {
           case _: ArrayType => Cast(exprs(1), ArrayType(DoubleType))
           case _ => Cast(exprs(1), DoubleType)

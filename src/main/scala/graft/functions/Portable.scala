@@ -52,6 +52,14 @@ object Portable {
     /** Tokens split on runs of ASCII space (the native tokenizer). */
     val tokens: String = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+    /** [[tokens]] over LOWERCASED text — the oracle twin of every
+      * Spark side that tokenizes `lower(text)` (chunk dedup,
+      * repetition metrics). Using the raw-text [[tokens]] there only
+      * happens to match on an all-lowercase corpus; mixed-case data
+      * would silently diverge.
+      */
+    val tokensLower: String = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
     /** Sorted distinct 60-bit hashes of word n-grams over a token-list
       * column `tk` — the oracle twin of `Native.wordNGramHashes`
       * (incl. the fewer-than-n-tokens → one-gram edge case).

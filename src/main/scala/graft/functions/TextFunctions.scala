@@ -455,7 +455,7 @@ object TextFunctions {
   val repetition: QueryDef = QueryDef(
     "t_repetition",
     (s, dir) => repetitionMetrics(Tables.load(s, dir, "documents")),
-    Some(s"""WITH tk AS (SELECT doc_id, ${Portable.textSql.tokens} AS tk FROM documents),
+    Some(s"""WITH tk AS (SELECT doc_id, ${Portable.textSql.tokensLower} AS tk FROM documents),
          uni AS (SELECT doc_id, MAX(c) AS top_word_c, CAST(SUM(c) AS BIGINT) AS n_tokens
            FROM (SELECT doc_id, g, COUNT(*) AS c
                  FROM (SELECT doc_id, unnest(tk) AS g FROM tk) u GROUP BY doc_id, g) x

@@ -137,6 +137,7 @@ object Dedup {
 
   private def h60(e: String): String = graft.functions.Portable.textSql.h60(e)
   private val tokensSql = graft.functions.Portable.textSql.tokens
+  private val tokensLowerSql = graft.functions.Portable.textSql.tokensLower
   private def gramsSql(n: Int): String = graft.functions.Portable.textSql.grams(n)
 
   /** DuckDB: the [[bandBucket]] polynomial fold over sig[band*Rows+1
@@ -212,7 +213,7 @@ object Dedup {
   val paragraph: QueryDef = QueryDef(
     "d_dedup_paragraph",
     (s, dir) => chunkDedup(Tables.load(s, dir, "documents")),
-    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensLowerSql AS tk FROM documents),
          ex AS (SELECT doc_id, tk,
              unnest(range(0, CAST(CEIL(len(tk) / 20.0) AS BIGINT))) AS i
            FROM tk WHERE len(tk) > 0),

@@ -192,7 +192,9 @@ object Events {
     * EXACT integer moments (n·x − Σx over √(n·(n·Σx² − (Σx)²)/(n−1)),
     * all integers ≤ 2^53 before the one IEEE divide+sqrt), so both
     * engines produce bit-identical scores — no Welford-vs-naive
-    * variance drift. One windowed count + one tiny per-type moment
+    * variance drift. The ≤ 2^53 claim is a GUARDED precondition, not an
+    * assumption: per-type moment bounds are checked on the tiny stats
+    * side and raise instead of silently corrupting (see inline note). One windowed count + one tiny per-type moment
     * aggregate (broadcast back); the log shuffles once.
     */
   val anomaly: QueryDef = QueryDef(
@@ -206,7 +208,24 @@ object Events {
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(col("x") * col("x")).as("sxx"))
         .where(col("n") > 1)
-      hourly.join(broadcast(stats), col("event_type") === col("t"))
+      // exactness PRECONDITION of the integer-moment arithmetic below:
+      // n·sx ≤ 2^53 (covers the numerator, since x ≤ sx), n²·sxx ≤ 2^53
+      // (covers the denominator — n·(n·sxx − sx²) ≤ n²·sxx), and
+      // sx ≤ 3·10^9 (so sx² stays inside Long). Violations RAISE on the
+      // tiny per-type stats side instead of silently corrupting
+      // z-scores; at the documented 100 TB shape (many huge hourly
+      // windows) the caller must pre-aggregate or widen to decimal.
+      val twoTo53 = 9007199254740992.0
+      val exactOk = col("n").cast("double") * col("sx").cast("double") <= twoTo53 &&
+        col("n").cast("double") * col("n").cast("double") *
+          col("sxx").cast("double") <= twoTo53 &&
+        col("sx").cast("double") <= 3.0e9
+      val guarded = stats.select(col("t"), col("n"), col("sx"),
+        when(exactOk, col("sxx")).otherwise(raise_error(concat(
+          lit("q_events_anomaly: integer moments exceed the exact-double "
+            + "bound (n*sx<=2^53, n^2*sxx<=2^53, sx<=3e9) for event_type "),
+          col("t")))).as("sxx"))
+      hourly.join(broadcast(guarded), col("event_type") === col("t"))
         .select(col("window_start_s"), col("event_type"), col("x").as("n_events"),
           ((col("n") * col("x") - col("sx")).cast("double") /
             sqrt((col("n") * (col("n") * col("sxx") - col("sx") * col("sx")))

@@ -130,7 +130,12 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           case key: AttributeReference if mv.keys.contains(key.name) =>
             byName.get(key.name)
           case AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _) =>
-            byName.get("cnt").map(c => if (exact) c else Cast(reagg(c), c.dataType))
+            // coarser lattice: sum(cnt) over a ZERO-row MV is NULL, but
+            // the original global count over an empty base is 0 —
+            // coalesce keeps the rewrite answer-invariant there
+            byName.get("cnt").map(c =>
+              if (exact) c
+              else Coalesce(Seq(Cast(reagg(c), c.dataType), Literal(0L))))
           case AggregateExpression(
               Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _), _, false, None, _)
               if dt.precision == 18 && dt.scale == 2 =>

@@ -62,35 +62,55 @@ object MaterializedView {
 
   /** Bring the MV current with the base table's head version. Returns
     * the MV version serving the result (unchanged when already
-    * current). Racing refreshes both commit correct content — the
-    * optimistic claim serializes them and both carry a valid watermark.
+    * current). Racing refreshes serialize on a compare-and-swap of the
+    * MV head: the watermark tag AND the MV content are both read from
+    * ONE pinned MV version, and the fold commits only if the head is
+    * still that version ([[Snapshots.commitOverwriteTaggedIf]]) — a
+    * loser re-reads the winner's MV and re-folds, so a delta can never
+    * land on top of content that already folded it (double-counting).
     */
   def refresh(spark: SparkSession, baseTable: String, mvTable: String,
       keys: Seq[String], sums: Seq[String],
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil): Int = {
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
-    val lastV = refreshedThrough(mvTable)
-    if (lastV == curV) return Snapshots.currentVersion(mvTable)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 20, s"MV refresh of $mvTable lost $attempt head races")
+      // pin one MV version: watermark and content below both resolve
+      // from mvV, never from a re-read head
+      val mvV = Snapshots.currentVersion(mvTable)
+      val lastV =
+        if (mvV == 0) 0
+        else Snapshots.versionTags(mvTable, mvV).collectFirst {
+          case t if t.startsWith(TagPrefix) => t.drop(TagPrefix.length).toInt
+        }.getOrElse(0)
+      if (lastV == curV) return mvV
 
-    val newDirs = Snapshots.versionDirs(baseTable, curV)
-    val oldDirs = if (lastV == 0) Seq.empty else Snapshots.versionDirs(baseTable, lastV)
-    val fresh =
-      if (lastV == 0 || !oldDirs.toSet.subsetOf(newDirs.toSet))
-        // first build, or history rewritten under the watermark
-        // (compaction / overwrite / DML): fold from scratch
-        aggregate(Snapshots.readVersion(spark, baseTable, curV), keys, sums, mins, maxs)
-      else {
-        val deltaDirs = newDirs.filterNot(oldDirs.toSet)
-        val deltaAgg = aggregate(spark.read.parquet(deltaDirs: _*), keys, sums, mins, maxs)
-        val merges = sums.map(c => sum(col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c")) ++
-          mins.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
-          maxs.map(c => max(col(s"max_$c")).as(s"max_$c"))
-        Snapshots.read(spark, mvTable).unionByName(deltaAgg)
-          .groupBy(keys.map(col): _*)
-          .agg(sum(col("cnt")).cast("long").as("cnt"), merges: _*)
-      }
-    Snapshots.commitOverwriteTagged(fresh, mvTable, Seq(TagPrefix + curV))
+      val newDirs = Snapshots.versionDirs(baseTable, curV)
+      val oldDirs = if (lastV == 0) Seq.empty else Snapshots.versionDirs(baseTable, lastV)
+      val fresh =
+        if (lastV == 0 || !oldDirs.toSet.subsetOf(newDirs.toSet))
+          // first build, or history rewritten under the watermark
+          // (compaction / overwrite / DML): fold from scratch
+          aggregate(Snapshots.readVersion(spark, baseTable, curV), keys, sums, mins, maxs)
+        else {
+          val deltaDirs = newDirs.filterNot(oldDirs.toSet)
+          val deltaAgg = aggregate(spark.read.parquet(deltaDirs: _*), keys, sums, mins, maxs)
+          val merges = sums.map(c => sum(col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c")) ++
+            mins.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
+            maxs.map(c => max(col(s"max_$c")).as(s"max_$c"))
+          Snapshots.readVersion(spark, mvTable, mvV).unionByName(deltaAgg)
+            .groupBy(keys.map(col): _*)
+            .agg(sum(col("cnt")).cast("long").as("cnt"), merges: _*)
+        }
+      Snapshots.commitOverwriteTaggedIf(fresh, mvTable, mvV, Seq(TagPrefix + curV))
+        .foreach(v => return v)
+      // head moved between our pin and the claim: re-fold from the
+      // winner's MV
+    }
+    -1 // unreachable
   }
 
   /** Continuously maintained rollup: each micro-batch lands in the

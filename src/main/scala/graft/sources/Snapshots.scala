@@ -175,8 +175,8 @@ object Snapshots {
     * This is the production shape of DML at 100 TB: a point delete
     * rewrites a handful of files, not the table; the whole-snapshot
     * [[deleteWhere]]/[[updateWhere]] forms remain the semantic
-    * contract. The per-dir probe loop runs on the driver but is
-    * bounded by the manifest's dir count, not data.
+    * contract. The existence probe is ONE Spark job regardless of dir
+    * count; only the rewrite itself is per-touched-dir.
     */
   def deleteWhereSelective(spark: SparkSession, table: String,
       cond: org.apache.spark.sql.Column): Option[Int] =
@@ -197,10 +197,24 @@ object Snapshots {
     val cur = currentVersion(table)
     require(cur > 0, s"no committed version at $table")
     val dirs = manifestDirs(table, cur)
-    // pushed-down existence probe: parquet stats answer this from
-    // footers for dirs whose min/max exclude the predicate
+    // ONE existence-probe job over ALL candidate dirs — not a serial
+    // per-dir isEmpty loop, which at 100 TB (thousands of dirs per
+    // manifest) would launch thousands of driver-serialized jobs
+    // before the DML even starts. The predicate is pushed down, so
+    // parquet footer min/max stats still answer non-matching files
+    // from metadata inside the single scan; surviving rows reduce to
+    // their DISTINCT parent data directories (bounded by dir count,
+    // tiny) via input_file_name. Job count is O(1) in the number of
+    // dirs (asserted in SourcesSpec).
+    val touchedAbs = spark.read.parquet(dirs: _*).where(cond)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .select(org.apache.spark.sql.functions
+        .regexp_replace(org.apache.spark.sql.functions.col("f"), "/[^/]+$", "").as("d"))
+      .distinct().collect()
+      .map(r => Paths.get(java.net.URI.create(r.getString(0))).toString)
+      .toSet
     val touched = dirs.filter(d =>
-      !spark.read.parquet(d).where(cond).isEmpty)
+      touchedAbs.contains(Paths.get(d).toAbsolutePath.normalize.toString))
     if (touched.isEmpty) return Some(cur)
     val staged = touched.map { d =>
       val out = stageDir(table)
@@ -220,6 +234,26 @@ object Snapshots {
   def commitOverwriteTagged(df: DataFrame, table: String, tags: Seq[String]): Int = {
     val dir = writeData(df, table)
     commitLoop(table, _ => Seq(dir), tags = tags)
+  }
+
+  /** Conflict-checked tagged overwrite — compare-and-swap on the table
+    * head: commits `df` as version `expectHead + 1` iff the head is
+    * still `expectHead` at claim time, otherwise aborts (None) and
+    * removes the staged data. The primitive a read-fold-overwrite
+    * cycle (e.g. a materialized-view refresh) needs: the caller reads
+    * state from version `expectHead`, folds, and can only publish if
+    * nothing committed in between — a racing folder must re-read and
+    * re-fold rather than stack its delta on the winner's already-folded
+    * content.
+    */
+  def commitOverwriteTaggedIf(df: DataFrame, table: String, expectHead: Int,
+      tags: Seq[String]): Option[Int] = {
+    val dir = writeData(df, table)
+    val ConflictSentinel = -1
+    val v = commitLoop(table, _ => Seq(dir), tags = tags,
+      abortIf = () =>
+        if (currentVersion(table) == expectHead) None else Some(ConflictSentinel))
+    if (v == ConflictSentinel) { deleteDataDir(dir); None } else Some(v)
   }
 
   /** The provenance tags committed with a version's manifest. */

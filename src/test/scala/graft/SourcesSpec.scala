@@ -302,6 +302,47 @@ class SourcesSpec extends SparkSpec {
       .where(col("l_orderkey") === 750).count() > 0)
   }
 
+  test("selective DML existence probe is one job, not one per dir") {
+    import graft.sources.Snapshots
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+
+    // build a table of `nDirs` disjoint-range dirs, run a 1-dir point
+    // delete, return the Spark job count the DML needed
+    def jobsForDirCount(nDirs: Int): Int = {
+      val table = s"/root/repo/target/sources-spec/seldml_jobs_$nDirs"
+      rm(new java.io.File(table))
+      Snapshots.commitOverwrite(li.where(col("l_orderkey") % nDirs === 0), table)
+      (1 until nDirs).foreach(i =>
+        Snapshots.commitAppend(li.where(col("l_orderkey") % nDirs === i), table))
+      assert(Snapshots.versionDirs(table, Snapshots.currentVersion(table)).size == nDirs)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val v = Snapshots.deleteWhereSelective(spark, table, col("l_orderkey") === 17)
+        Thread.sleep(1000) // listener bus is async; let job-start events drain
+        assert(v.isDefined)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(Snapshots.read(spark, table).where(col("l_orderkey") === 17).count() == 0)
+      jobs.get()
+    }
+
+    // the O(1) claim itself: doubling the dir count must not grow the
+    // job count (pre-fix, the serial per-dir probe made this linear —
+    // 8 vs 16 probe jobs; thousands at a 100 TB manifest)
+    val jobs8 = jobsForDirCount(8)
+    val jobs16 = jobsForDirCount(16)
+    assert(jobs16 <= jobs8,
+      s"selective-DML job count must be O(1) in dir count: $jobs8 jobs at 8 dirs, $jobs16 at 16")
+  }
+
   test("materialized view: delta refresh equals recompute, idempotent, rewrite-safe") {
     import graft.sources.{MaterializedView, Snapshots}
     val root = "/root/repo/target/sources-spec/mv_test"
@@ -344,6 +385,46 @@ class SourcesSpec extends SparkSpec {
     MaterializedView.refresh(spark, base, mv, keys, sums)
     assert(mvRows() == recompute(li.where(col("l_orderkey") % 2 === 0)),
       "rewrite under the watermark must trigger recompute")
+  }
+
+  test("racing MV refreshes never double-count a delta") {
+    import graft.sources.{MaterializedView, Snapshots}
+    val root = "/root/repo/target/sources-spec/mv_race"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val base = s"$root/base"; val mv = s"$root/mv"
+    val keys = Seq("l_returnflag"); val sums = Seq("l_quantity")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+
+    Snapshots.commitOverwrite(li.where(col("l_orderkey") % 2 === 0), base)
+    MaterializedView.refresh(spark, base, mv, keys, sums)
+    Snapshots.commitAppend(li.where(col("l_orderkey") % 2 === 1), base)
+
+    // two refreshes race to fold the same delta: the head CAS must
+    // serialize them — the loser re-reads the winner's MV (already
+    // folded) and no-ops on the watermark, never stacking the delta a
+    // second time on top of the winner's already-folded content
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val racers = (1 to 2).map(_ => Future {
+      MaterializedView.refresh(spark, base, mv, keys, sums)
+    })
+    racers.foreach(f => Await.result(f, 120.seconds))
+
+    val got = Snapshots.read(spark, mv)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    val want = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    assert(got == want, "racing refreshes must not double-count the delta")
+    assert(MaterializedView.refreshedThrough(mv) == Snapshots.currentVersion(base))
   }
 
   test("racing compactors never duplicate delta rows") {
