@@ -249,16 +249,60 @@ object Similarity {
            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
          WHERE rn <= 3"""))
 
-  /** §2.2 row 27g — GRAPH-expanded ANN (the tractable member of the
-    * HNSW family): the all-pairs kNN graph ([[knnJoin]]'s output —
-    * at scale a persisted index like the IVF lists) becomes a serving
-    * structure. A query's LSH band collisions seed the pool, ONE hop
-    * through the graph adds the seeds' own top neighbors —
-    * neighbors-of-neighbors are likely neighbors, so the hop recovers
-    * exactly the near-misses banding drops — and the expanded pool is
-    * exact-reranked. Full beam search iterates this hop with a
-    * frontier (round-6); one hop already lifts recall measurably
-    * (PipelineSpec) at the cost of one extra equi-join.
+  // ---- §2.2 row 27g: graph ANN — persisted kNN graph, hop + beam ----
+
+  private val GraphK = 3     // graph out-degree
+  private val BeamEf = 10    // beam pool width
+  private val BeamRounds = 3 // bounded expansion rounds (oracle-unrolled)
+
+  /** Score (lk, rk) id pairs by exact integer cosine against the
+    * quantized corpus `v`.
+    */
+  private def scorePairs(v: DataFrame, pairs: DataFrame,
+      lk: String, rk: String): DataFrame = pairs
+    .join(v.select(col("vec_id").as(lk), col("q").as("q_l"), col("nrm").as("n_l")), Seq(lk))
+    .join(v.select(col("vec_id").as(rk), col("q").as("q_r"), col("nrm").as("n_r")), Seq(rk))
+    .select(col(lk), col(rk),
+      cosine(dotL(col("q_l"), col("q_r")), col("n_l"), col("n_r")).as("sim"))
+
+  /** The PERSISTED kNN graph over an embeddings input: LSH candidate
+    * pairs symmetrized, exact-cosine scored, top-[[GraphK]] out-edges
+    * per source, committed once per input fingerprint through
+    * [[graft.sources.Snapshots.ensureIndex]] (claim-elected single
+    * builder, atomic tagged commit, content-keyed so regenerated data
+    * rebuilds). Both the one-hop expansion (`s_knn_graph`) and the
+    * beam search (`s_knn_beam`) SERVE hops from this table — the graph
+    * is scanned from parquet, not rebuilt per query. Edges land
+    * repartitioned by g_src: at scale every hop is an equi-join on the
+    * edge partitioning key.
+    */
+  def knnGraphTable(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val table = "/root/repo/target/knngraph/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
+    val ver = Snapshots.ensureIndex(table, fp) { out =>
+      val e = Tables.load(s, dir, "embeddings")
+      val v = quantized(e).localCheckpoint()
+      val cand = lshCandidatePairs(e)
+      val sym = cand.unionAll(cand.select(col("b").as("a"), col("a").as("b")))
+      val wG = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
+      scorePairs(v, sym, "a", "b")
+        .withColumn("rn", row_number().over(wG)).where(col("rn") <= GraphK)
+        .select(col("a").as("g_src"), col("b").as("g_dst"))
+        .repartition(col("g_src"))
+        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+    }
+    s.read.parquet(Snapshots.versionDirs(table, ver): _*)
+  }
+
+  /** §2.2 row 27g — GRAPH-expanded ANN (the HNSW family's core move):
+    * the persisted kNN graph ([[knnGraphTable]] — built once, served
+    * from parquet like the IVF lists) becomes a serving structure. A
+    * query's LSH band collisions seed the pool, ONE hop through the
+    * graph adds the seeds' own top neighbors — neighbors-of-neighbors
+    * are likely neighbors, so the hop recovers exactly the near-misses
+    * banding drops — and the expanded pool is exact-reranked. The
+    * ITERATED version with a frontier + visited set is `s_knn_beam`.
     *
     * Scale shape: the graph carries O(N·k) edges keyed by source; the
     * hop join shuffles seed-sized frames (queries × candidates), never
@@ -269,25 +313,16 @@ object Similarity {
     (s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val v = quantized(e).localCheckpoint()
+      val graph = knnGraphTable(s, dir)
       val cand = lshCandidatePairs(e)
       val sym = cand.unionAll(cand.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint()
-      def score(pairs: DataFrame, lk: String, rk: String) = pairs
-        .join(v.select(col("vec_id").as(lk), col("q").as("q_l"), col("nrm").as("n_l")), Seq(lk))
-        .join(v.select(col("vec_id").as(rk), col("q").as("q_r"), col("nrm").as("n_r")), Seq(rk))
-        .select(col(lk), col(rk),
-          cosine(dotL(col("q_l"), col("q_r")), col("n_l"), col("n_r")).as("sim"))
-      val wG = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
-      val graph = score(sym, "a", "b")
-        .withColumn("rn", row_number().over(wG)).where(col("rn") <= 3)
-        .select(col("a").as("g_src"), col("b").as("g_dst"))
       val seeds = sym.where(col("a") < 5)
         .select(col("a").as("q_id"), col("b").as("n_id"))
       val hop = seeds.join(graph, col("n_id") === col("g_src"))
         .select(col("q_id"), col("g_dst").as("n_id"))
       val expanded = seeds.unionAll(hop)
         .where(col("n_id") =!= col("q_id")).distinct()
-      val scored = score(expanded, "q_id", "n_id")
+      val scored = scorePairs(v, expanded, "q_id", "n_id")
       val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
       scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
         .select("q_id", "n_id", "sim")
@@ -318,6 +353,107 @@ object Similarity {
          SELECT q_id, n_id, sim FROM (
            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
          WHERE rn <= 5"""))
+
+  /** §2.2 row 27g, FULL BEAM SEARCH — the iterated expansion real
+    * graph-ANN serving (HNSW/NSG family) runs, completing
+    * `s_knn_graph`'s single hop: keep a per-query pool of the best
+    * [[BeamEf]] candidates; each round, EXPAND the pool entries not
+    * yet expanded (the frontier) by joining them against the persisted
+    * kNN graph ([[knnGraphTable]] — scanned from parquet, shared with
+    * the one-hop query), exact-score only the never-seen candidates
+    * (the visited set), and re-rank the pool. Rounds are BOUNDED at
+    * [[BeamRounds]] so the DuckDB oracle can unroll them exactly; a
+    * round whose frontier is empty adds nothing in either engine, so
+    * early convergence stays hash-identical.
+    *
+    * Scale shape: per round, the frontier is ≤ queries × BeamEf rows
+    * (tiny — the graph-side join broadcast-shapes it), the graph scan
+    * is pruned to frontier sources by the join, and scoring touches
+    * only NEW candidates (≤ frontier × GraphK). The corpus is never
+    * re-scanned after the seed round; pool and visited state stay
+    * driver-free as checkpointed (q_id, n_id) frames.
+    */
+  val knnBeam: QueryDef = QueryDef(
+    "s_knn_beam",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val v = quantized(e).localCheckpoint()
+      // NOT checkpointed: each round's hop re-reads the (tiny, pruned)
+      // edge scan, keeping the persisted-graph lineage visible in the
+      // final plan — asserted in PipelineSpec
+      val graph = knnGraphTable(s, dir)
+      val cand = lshCandidatePairs(e)
+      val sym = cand.unionAll(cand.select(col("b").as("a"), col("a").as("b")))
+      val seeds = sym.where(col("a") < 5)
+        .select(col("a").as("q_id"), col("b").as("n_id"))
+        .where(col("n_id") =!= col("q_id")).distinct()
+      val byQ = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      var scored = scorePairs(v, seeds, "q_id", "n_id").localCheckpoint()
+      var expanded = seeds.limit(0).localCheckpoint()
+      for (r <- 1 to BeamRounds) {
+        val pool = scored.withColumn("rn", row_number().over(byQ))
+          .where(col("rn") <= BeamEf).select("q_id", "n_id")
+        val frontier = pool.join(expanded, Seq("q_id", "n_id"), "left_anti")
+          .localCheckpoint()
+        expanded = expanded.unionAll(frontier).localCheckpoint()
+        val hop = frontier.join(graph, col("n_id") === col("g_src"))
+          .select(col("q_id"), col("g_dst").as("n_id"))
+          .where(col("n_id") =!= col("q_id")).distinct()
+        val fresh = hop.join(scored.select("q_id", "n_id"),
+          Seq("q_id", "n_id"), "left_anti")
+        val next = scored.unionAll(scorePairs(v, fresh, "q_id", "n_id"))
+        // per-round checkpoints bound the iterated plan; the LAST round
+        // stays lineage-visible so the served graph scan shows in the
+        // final plan (asserted in PipelineSpec)
+        scored = if (r < BeamRounds) next.localCheckpoint() else next
+      }
+      scored.withColumn("rn", row_number().over(byQ)).where(col("rn") <= 5)
+        .select("q_id", "n_id", "sim")
+    },
+    Some {
+      def score(pairs: String) =
+        s"""SELECT d.q_id, d.n_id,
+            CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1]*z[2])) AS DOUBLE)
+              / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS sim
+            FROM $pairs d JOIN n a ON a.vec_id = d.q_id JOIN n b ON b.vec_id = d.n_id"""
+      def round(r: Int): String = {
+        val prev = s"sc${r - 1}"
+        val expandedSoFar =
+          (1 until r).map(i => s"SELECT q_id, n_id FROM f$i").mkString(" UNION ALL ")
+        val fDef =
+          if (r == 1) "f1 AS (SELECT q_id, n_id FROM p0)"
+          else s"f$r AS (SELECT q_id, n_id FROM p${r - 1} EXCEPT ($expandedSoFar))"
+        s"""p${r - 1} AS (SELECT q_id, n_id FROM (
+              SELECT q_id, n_id,
+                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+              FROM $prev) x WHERE rn <= $BeamEf),
+            $fDef,
+            nw$r AS (SELECT q_id, n_id FROM (
+                SELECT DISTINCT f.q_id, g.g_dst AS n_id
+                FROM f$r f JOIN graph g ON f.n_id = g.g_src
+                WHERE g.g_dst <> f.q_id) h
+              EXCEPT SELECT q_id, n_id FROM $prev),
+            sc$r AS (SELECT * FROM $prev UNION ALL ${score(s"nw$r")})"""
+      }
+      s"""WITH $quantizedSql, $bandedSql,
+       cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+           FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
+           WHERE l.vec_id <> r.vec_id),
+       gsc AS (SELECT c.a, c.b,
+            CAST(list_sum(list_transform(list_zip(x.q, y.q), s -> s[1]*s[2])) AS DOUBLE)
+              / SQRT(CAST(x.nrm AS DOUBLE) * CAST(y.nrm AS DOUBLE)) AS sim
+          FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b),
+       graph AS (SELECT a AS g_src, b AS g_dst FROM (
+           SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
+           FROM gsc) x WHERE rn <= $GraphK),
+       seeds AS (SELECT DISTINCT a AS q_id, b AS n_id FROM cand
+           WHERE a < 5 AND b <> a),
+       sc0 AS (${score("seeds")}),
+       ${(1 to BeamRounds).map(round).mkString(",\n")}
+       SELECT q_id, n_id, sim FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+         FROM sc$BeamRounds) WHERE rn <= 5"""
+    })
 
   /** §2.2 row 27c — multi-probe LSH ANN: queries probe their own
     * bucket AND every 1-bit-flip neighbor in each band (1 + 8 probes
@@ -399,16 +535,20 @@ object Similarity {
   val knnIvf: QueryDef = QueryDef(
     "s_knn_ivf",
     (s, dir) => {
-      // The index is physical design, built once and SERVED from disk:
-      // inverted lists land as parquet partitioned by centroid id, so
-      // a probe reads only its cid= directories (partition pruning at
-      // the scan — the IVF analog of the z-order secondary path).
-      // Rebuilt only when absent; bump the marker on layout changes.
+      // The index is physical design, built AT MOST ONCE per input
+      // fingerprint and SERVED from disk: inverted lists land as
+      // parquet partitioned by centroid id, so a probe reads only its
+      // cid= directories (partition pruning at the scan — the IVF
+      // analog of the z-order secondary path). Builds go through
+      // Snapshots.ensureIndex: a claim-elected single builder, an
+      // ATOMIC tagged commit (no torn index is ever visible), and a
+      // content key that rebuilds when the input data is regenerated.
+      import graft.sources.Snapshots
       val base = "/root/repo/target/ivf/" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      val (listsPath, centsPath) = (s"$base/lists", s"$base/centroids")
-      val marker = java.nio.file.Paths.get(base, "_GRAFT_IVF_V1")
+      val (listsT, centsT) = (s"$base/lists", s"$base/centroids")
+      val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
       val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
-      if (!java.nio.file.Files.exists(marker)) {
+      val centsV = Snapshots.ensureIndex(centsT, fp) { out =>
         val v = quantized(Tables.load(s, dir, "embeddings")).localCheckpoint()
         val seeds = broadcast(v.where(col("vec_id") < CCount)
           .select(col("vec_id").as("cid"), col("q").as("cq")))
@@ -425,20 +565,21 @@ object Similarity {
           .groupBy("cid").agg(transform(
             array_sort(collect_list(struct(col("dim"), col("sv")))),
             x => x.getField("sv")).as("cs"))
-        val c1 = broadcast(sums.join(
-          a1.groupBy("cid").agg(count(lit(1)).as("cn")), "cid"))
-        // assignment 2: inverted lists under the updated centroids
-        val a2 = v.crossJoin(c1)
+        sums.join(a1.groupBy("cid").agg(count(lit(1)).as("cn")), "cid")
+          .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+      }
+      val cents = broadcast(s.read.parquet(Snapshots.versionDirs(centsT, centsV): _*))
+      val listsV = Snapshots.ensureIndex(listsT, fp) { out =>
+        // assignment 2: inverted lists under the committed centroids
+        val v = quantized(Tables.load(s, dir, "embeddings"))
+        val a2 = v.crossJoin(cents)
           .select(col("vec_id"), col("q"), col("nrm"), col("cid"),
             (graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
               .cast("double") / (col("cn") * col("cn")).cast("double")).as("m"))
           .withColumn("rn", row_number().over(byDist)).where(col("rn") === 1)
           .select("vec_id", "q", "nrm", "cid")
-        c1.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(centsPath)
-        graft.sources.Sources.writePartitioned(a2, listsPath, "cid")
-        java.nio.file.Files.write(marker, Array.emptyByteArray)
+        graft.sources.Sources.writePartitioned(a2, out, "cid")
       }
-      val cents = broadcast(s.read.parquet(centsPath))
       def metric: Column =
         graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
           .cast("double") / (col("cn") * col("cn")).cast("double")
@@ -454,7 +595,7 @@ object Similarity {
       // by C — a legitimate driver fetch) so the list scan PRUNES to
       // exactly the probed partitions instead of reading the corpus
       val probeCids = probes.select("cid").distinct().collect().map(_.getLong(0))
-      val lists = s.read.parquet(listsPath)
+      val lists = s.read.parquet(Snapshots.versionDirs(listsT, listsV): _*)
         .where(col("cid").isin(probeCids: _*))
         .select(col("vec_id").as("n_id"), col("q").as("n_q"),
           col("nrm").as("n_nrm"), col("cid").cast("long").as("cid"))
@@ -932,5 +1073,5 @@ object Similarity {
 
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf, knnJoin,
-      knnPq, knnIvfPq, knnPqTrained, knnGraph)
+      knnPq, knnIvfPq, knnPqTrained, knnGraph, knnBeam)
 }

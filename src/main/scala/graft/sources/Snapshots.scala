@@ -418,6 +418,92 @@ object Snapshots {
         ()
       }
 
+  // ---- claimed index builds: one builder, content-keyed, atomic ----
+
+  /** Stable content key for index builds: a fingerprint of an input
+    * file tree folded from (relative name, size, mtime) — cheap (no
+    * data read), and REGENERATED data at the same path changes it, so
+    * a fingerprint-keyed [[ensureIndex]] can never serve an index of
+    * replaced inputs. On a real deployment this is the source table's
+    * snapshot version; for raw parquet inputs file metadata is the
+    * closest honest analog.
+    */
+  def fileFingerprint(path: String): String = {
+    val root = Paths.get(path)
+    val files =
+      if (Files.isDirectory(root)) {
+        val w = Files.walk(root)
+        try w.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+          .sortBy(_.toString)
+        finally w.close()
+      } else Seq(root)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.foreach { f =>
+      md.update(s"$f|${Files.size(f)}|${Files.getLastModifiedTime(f).toMillis}\n"
+        .getBytes(StandardCharsets.UTF_8))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def indexTag(tag: String) = s"index $tag"
+
+  /** The newest committed version carrying `#index <tag>`, if any. */
+  def taggedVersion(table: String, tag: String): Option[Int] = {
+    val m = meta(table)
+    if (!Files.exists(m)) return None
+    val needle = "#" + indexTag(tag)
+    listDir(m)
+      .flatMap(p => p.getFileName.toString match {
+        case ManifestRe(n)
+          if Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+            .exists(_ == needle) => Some(n.toInt)
+        case _ => None
+      })
+      .sorted.lastOption
+  }
+
+  /** Ensure a derived-index version keyed on `tag` (typically
+    * [[fileFingerprint]] of the index's input) exists in `table`,
+    * building AT MOST ONCE across racing callers: the builder is
+    * elected by an atomic create-exclusive claim file; losers wait for
+    * the winner's tagged commit instead of duplicating a
+    * multi-second build (the fix for the check-then-write marker race,
+    * where two queries both saw "no index" and both built). `stage`
+    * writes the index into a fresh staged data dir — partitioned
+    * layouts included — and the commit publishes it atomically with
+    * the tag. A changed input fingerprint yields a NEW tagged version
+    * (readers pinned to the old one are undisturbed); a crashed
+    * winner's claim is bounded by `timeoutMs`, after which a waiter
+    * builds anyway — the atomic tagged commit keeps that safe (worst
+    * case a duplicate build, never a torn or stale index). Returns the
+    * version to pin.
+    */
+  def ensureIndex(table: String, tag: String, timeoutMs: Long = 120000)(
+      stage: String => Unit): Int = {
+    taggedVersion(table, tag).foreach(v => return v)
+    Files.createDirectories(meta(table))
+    val claim = meta(table).resolve(
+      ".claim_" + tag.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val won =
+      try { Files.createFile(claim); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!won) {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (System.currentTimeMillis() < deadline) {
+        taggedVersion(table, tag).foreach(v => return v)
+        Thread.sleep(50)
+      }
+      // winner presumed crashed: build after all (safe, not unique)
+    }
+    try taggedVersion(table, tag).getOrElse {
+      val dir = stageDir(table)
+      stage(dir)
+      commitLoop(table, _ => Seq(dir), tags = Seq(indexTag(tag)))
+    } finally {
+      if (won) Files.deleteIfExists(claim); ()
+    }
+  }
+
   // ---- clustered tables: merge-on-append + delta compaction ----
 
   /** Marker file identifying a data directory whose files are

@@ -290,6 +290,71 @@ class PipelineSpec extends SparkSpec {
       s"graph ${recall(graph)} vs lsh ${recall(lsh)}")
     assert((graph -- lsh).nonEmpty,
       "one hop must surface neighbors plain banding missed")
+    // full beam search iterates the hop with a frontier + visited set:
+    // recall is monotone again — beam ≥ one-hop ≥ banding
+    val beam = top5("s_knn_beam")
+    assert(recall(beam) >= recall(graph),
+      s"beam ${recall(beam)} vs one-hop ${recall(graph)} vs lsh ${recall(lsh)}")
+    // both graph queries SERVE hops from the persisted edge table — the
+    // graph is a parquet scan in the plan, not an in-query rebuild
+    Seq("s_knn_graph", "s_knn_beam").foreach { q =>
+      val plan = physicalPlan(SparkEntry.queries(q)(spark, dir))
+      assert(plan.contains("target/knngraph"),
+        s"$q must scan the persisted graph table:\n$plan")
+    }
+  }
+
+  test("index builds are claim-elected: two racing builders, one build") {
+    import graft.sources.Snapshots
+    val table = "/root/repo/target/pipeline-spec/idx_race"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(table))
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val racers = (1 to 2).map(_ => Future {
+      Snapshots.ensureIndex(table, "fp_a") { out =>
+        builds.incrementAndGet()
+        Thread.sleep(300) // widen the race window for the loser
+        Seq((1L, 2L)).toDF("g_src", "g_dst").write.parquet(out)
+      }
+    })
+    val vs = racers.map(f => Await.result(f, 120.seconds))
+    assert(builds.get() == 1,
+      s"the claim must elect exactly ONE builder, ${builds.get()} built")
+    assert(vs.toSet.size == 1, s"both callers must serve the same version: $vs")
+    // content key: a different input fingerprint REBUILDS (regenerated
+    // data at the same path can never be served a stale index) ...
+    val v2 = Snapshots.ensureIndex(table, "fp_b") { out =>
+      builds.incrementAndGet()
+      Seq((3L, 4L)).toDF("g_src", "g_dst").write.parquet(out)
+    }
+    assert(builds.get() == 2 && v2 != vs.head)
+    assert(spark.read.parquet(Snapshots.versionDirs(table, v2): _*)
+      .head().getLong(0) == 3L)
+    // ... while the original fingerprint still serves its pinned version
+    assert(Snapshots.ensureIndex(table, "fp_a")(_ =>
+      fail("fp_a is already committed — must not rebuild")) == vs.head)
+  }
+
+  test("fileFingerprint changes when input is regenerated in place") {
+    import graft.sources.Snapshots
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val p = Paths.get("/root/repo/target/pipeline-spec/fp_probe")
+    Files.createDirectories(p.getParent)
+    Files.write(p, "one".getBytes)
+    Files.setLastModifiedTime(p, FileTime.fromMillis(1000000L))
+    val f1 = Snapshots.fileFingerprint(p.toString)
+    assert(Snapshots.fileFingerprint(p.toString) == f1, "fingerprint must be stable")
+    // same byte LENGTH, new mtime — the regenerated-testdata shape
+    Files.write(p, "two".getBytes)
+    Files.setLastModifiedTime(p, FileTime.fromMillis(2000000L))
+    assert(Snapshots.fileFingerprint(p.toString) != f1,
+      "regenerating the input must invalidate the fingerprint")
   }
 
   test("trained PQ codebooks: Lloyd objective falls, recall at least holds") {
