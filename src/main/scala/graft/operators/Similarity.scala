@@ -757,9 +757,14 @@ object Similarity {
     * exact integer arithmetic until the final cosine, so the FULL
     * composite pipeline hash-reproduces in DuckDB.
     */
-  val knnIvfPq: QueryDef = QueryDef(
-    "s_knn_ivfpq",
-    (s, dir) => {
+  /** The in-query trainer twin of `s_knn_ivfpq` — the full pipeline
+    * (coarse Lloyd round, PQ encode, probe, ADC, rerank) in one query,
+    * exactly what the DuckDB oracle reproduces. Kept for the
+    * served-vs-trained equality and A/B tests; the catalog query
+    * serves the same artifacts from their persisted pinned versions.
+    */
+  private[graft] def ivfPqInQuery(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
       val e = Tables.load(s, dir, "embeddings")
       val v = quantized(e).localCheckpoint()
       // coarse quantizer + inverted lists (seeds -> 1 Lloyd round)
@@ -791,6 +796,94 @@ object Similarity {
       val cand = broadcast(probes).join(lists, Seq("cid"))
         .where(col("n_id") =!= col("q_id")).select("q_id", "n_id")
       val approx = cand.join(codes, Seq("n_id"))
+        .join(broadcast(adc),
+          col("q_id") === col("a_q") && col("c_m") === col("a_m") &&
+            col("code") === col("a_k"))
+        .groupBy("q_id", "n_id").agg(sum(col("pd")).as("approx"))
+      val bySh = Window.partitionBy("q_id").orderBy(col("approx"), col("n_id"))
+      val short = approx.withColumn("rn", row_number().over(bySh))
+        .where(col("rn") <= PqShort).select("q_id", "n_id")
+      val qv = broadcast(v.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("nrm").as("q_nrm")))
+      val nv = v.select(col("vec_id").as("n_id"), col("q").as("n_q"), col("nrm").as("n_nrm"))
+      val scored = short.join(qv, "q_id").join(nv, "n_id")
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("q_id", "n_id", "sim")
+  }
+
+  /** §2.2 row 27f, SERVED: the quantizers train OFFLINE (at most once
+    * per input fingerprint, claim-elected + atomically committed via
+    * [[graft.sources.Snapshots.ensureIndex]]) and the query serves
+    * from the pinned versions — coarse centroids and PQ codebooks as
+    * tiny broadcasts, and the corpus CODES as one parquet table
+    * PARTITIONED BY cid (the inverted lists and the code table are the
+    * same structure: cid → (n_id, m, code)). A probe collects its
+    * NProbe cids as scan literals, so the code scan PRUNES to the
+    * probed partitions; the ADC join then carries (n_id, m, code)
+    * triples only. Training is deterministic exact-integer arithmetic,
+    * so the served result is bit-identical to the in-query trainer
+    * ([[ivfPqInQuery]], equality-tested) and the full-pipeline DuckDB
+    * oracle still covers it.
+    */
+  val knnIvfPq: QueryDef = QueryDef(
+    "s_knn_ivfpq",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val base = "/root/repo/target/ivfpq/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (centsT, cbT, codesT) = (s"$base/cents", s"$base/codebooks", s"$base/codes")
+      val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
+      val e = Tables.load(s, dir, "embeddings")
+      // ---- offline: coarse quantizer, PQ codebooks, cid-keyed codes
+      val centsV = Snapshots.ensureIndex(centsT, fp) { out =>
+        val (cents, _) = ivfBuild(e, CCount, 1)
+        cents.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+      }
+      val cents = broadcast(s.read.parquet(Snapshots.versionDirs(centsT, centsV): _*))
+      val cbV = Snapshots.ensureIndex(cbT, fp) { out =>
+        subVectors(quantized(e)).where(col("vec_id") < PqK)
+          .select(col("m").as("cb_m"), col("vec_id").as("k"), col("sq").as("cq"))
+          .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+      }
+      val cb = broadcast(s.read.parquet(Snapshots.versionDirs(cbT, cbV): _*))
+      val codesV = Snapshots.ensureIndex(codesT, fp) { out =>
+        val v = quantized(e).localCheckpoint()
+        val lists = ivfAssign(v, cents).select(col("vec_id"), col("cid"))
+        val sv = subVectors(v)
+        val pdistC = sv.join(cb, col("m") === col("cb_m"))
+          .select(col("vec_id"), col("m"), col("k"),
+            graft.functions.Native.sqDistScaled(col("sq"), col("cq"), lit(1L)).as("pd"))
+        val byD = Window.partitionBy("vec_id", "m").orderBy(col("pd"), col("k"))
+        val codes = pdistC.withColumn("rn", row_number().over(byD)).where(col("rn") === 1)
+          .select(col("vec_id").as("n_id"), col("m").as("c_m"), col("k").as("code"))
+        graft.sources.Sources.writePartitioned(
+          codes.join(lists, codes("n_id") === lists("vec_id"))
+            .select("n_id", "c_m", "code", "cid"),
+          out, "cid")
+      }
+      // ---- serving: probe, prune the code scan, ADC, exact rerank
+      val v = quantized(e).localCheckpoint()
+      val byDist = Window.partitionBy("vec_id").orderBy(col("mm"), col("cid"))
+      val probes = v.where(col("vec_id") < 5).crossJoin(cents)
+        .select(col("vec_id"), col("cid"),
+          (graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
+            .cast("double") / (col("cn") * col("cn")).cast("double")).as("mm"))
+        .withColumn("rn", row_number().over(byDist)).where(col("rn") <= NProbe)
+        .select(col("vec_id").as("q_id"), col("cid"))
+      // probed cids as scan literals (bounded by C): the code-table
+      // scan prunes to exactly the probed partitions
+      val probeCids = probes.select("cid").distinct().collect().map(_.getLong(0))
+      val codes = s.read.parquet(Snapshots.versionDirs(codesT, codesV): _*)
+        .where(col("cid").isin(probeCids: _*))
+        .select(col("n_id"), col("c_m"), col("code"), col("cid").cast("long").as("cid"))
+      // query-side ADC tables from the persisted codebooks
+      val adc = subVectors(v.where(col("vec_id") < 5)).join(cb, col("m") === col("cb_m"))
+        .select(col("vec_id").as("a_q"), col("m").as("a_m"), col("k").as("a_k"),
+          graft.functions.Native.sqDistScaled(col("sq"), col("cq"), lit(1L)).as("pd"))
+      val approx = codes.join(broadcast(probes), Seq("cid"))
+        .where(col("n_id") =!= col("q_id"))
         .join(broadcast(adc),
           col("q_id") === col("a_q") && col("c_m") === col("a_m") &&
             col("code") === col("a_k"))
@@ -1016,14 +1109,13 @@ object Similarity {
     * 2^20 grid so the ADC sum is exact integer addition — float
     * summation order never leaks into the shortlist.
     */
-  val knnPqTrained: QueryDef = QueryDef(
-    "s_knn_pq_trained",
-    (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-      val (cents, _) = pqBuild(e, rounds = 1)
-      pqSearch(e, cents, nQueries = 5, shortlist = PqShort, k = 5)
-    },
-    Some {
+  /** Shared oracle of the trained-PQ pipeline — covers BOTH the
+    * in-query trainer (`s_knn_pq_trained`) and the persisted-index
+    * serving twin (`s_knn_pq_served`): training is deterministic
+    * exact-integer arithmetic, so serving the committed artifacts is
+    * bit-identical to training in the query.
+    */
+  private val pqTrainedOracle: String = {
       val sqd0 = "list_sum(list_transform(list_zip(sv.sq, cb0.cs), " +
         "z -> (z[1]-z[2])*(z[1]-z[2])))"
       val met1 = "CAST(list_sum(list_transform(list_zip(sv.sq, c.cs), " +
@@ -1069,9 +1161,78 @@ object Similarity {
        SELECT q_id, n_id, sim FROM (
          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
          FROM sc) WHERE rn <= 5"""
-    })
+  }
+
+  val knnPqTrained: QueryDef = QueryDef(
+    "s_knn_pq_trained",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val (cents, _) = pqBuild(e, rounds = 1)
+      pqSearch(e, cents, nQueries = 5, shortlist = PqShort, k = 5)
+    },
+    Some(pqTrainedOracle))
+
+  /** §2.2 row 27e, TRAINED + SERVED: [[pqBuild]]'s Lloyd-trained
+    * codebooks AND the corpus codes they induce are committed at most
+    * once per input fingerprint ([[graft.sources.Snapshots.ensureIndex]])
+    * and SERVED — the query never trains or encodes. It broadcasts the
+    * persisted codebooks (M×K rows), scans the persisted code table
+    * (M bytes per vector — the resident index at 100 TB), builds the
+    * tiny query-side ADC tables, and exact-reranks the shortlist.
+    * Training is deterministic exact-integer arithmetic, so serving is
+    * bit-identical to the in-query trainer — the two queries share one
+    * oracle, and equality is also asserted in PipelineSpec.
+    */
+  val knnPqServed: QueryDef = QueryDef(
+    "s_knn_pq_served",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val base = "/root/repo/target/pqtrained/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (cbT, codesT) = (s"$base/codebooks", s"$base/codes")
+      val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
+      val e = Tables.load(s, dir, "embeddings")
+      val cbV = Snapshots.ensureIndex(cbT, fp) { out =>
+        val (cents, _) = pqBuild(e, rounds = 1)
+        cents.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+      }
+      val cb = broadcast(s.read.parquet(Snapshots.versionDirs(cbT, cbV): _*))
+      val codesV = Snapshots.ensureIndex(codesT, fp) { out =>
+        val v = quantized(e).localCheckpoint()
+        val byD = Window.partitionBy("vec_id", "m").orderBy(col("pd"), col("k"))
+        subVectors(v).join(cb, Seq("m"))
+          .select(col("vec_id"), col("m"), col("k"),
+            floor(pqMetric * lit(1L << 20)).cast("long").as("pd"))
+          .withColumn("rn", row_number().over(byD)).where(col("rn") === 1)
+          .select(col("vec_id").as("n_id"), col("m").as("c_m"), col("k").as("code"))
+          .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+      }
+      val codes = s.read.parquet(Snapshots.versionDirs(codesT, codesV): _*)
+      val v = quantized(e).localCheckpoint()
+      // query-side ADC tables under the persisted trained codebooks —
+      // same 2^20-grid partial distances the codes were encoded with
+      val adc = subVectors(v.where(col("vec_id") < 5)).join(cb, Seq("m"))
+        .select(col("vec_id").as("q_id"), col("m"), col("k"),
+          floor(pqMetric * lit(1L << 20)).cast("long").as("pd"))
+      val approx = broadcast(adc)
+        .join(codes, col("m") === col("c_m") && col("k") === col("code"))
+        .where(col("n_id") =!= col("q_id"))
+        .groupBy("q_id", "n_id").agg(sum(col("pd")).as("approx"))
+      val bySh = Window.partitionBy("q_id").orderBy(col("approx"), col("n_id"))
+      val short = approx.withColumn("rn", row_number().over(bySh))
+        .where(col("rn") <= PqShort).select("q_id", "n_id")
+      val qv = broadcast(v.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("nrm").as("q_nrm")))
+      val nv = v.select(col("vec_id").as("n_id"), col("q").as("n_q"), col("nrm").as("n_nrm"))
+      val scored = short.join(qv, "q_id").join(nv, "n_id")
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("q_id", "n_id", "sim")
+    },
+    Some(pqTrainedOracle))
 
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf, knnJoin,
-      knnPq, knnIvfPq, knnPqTrained, knnGraph, knnBeam)
+      knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnBeam)
 }

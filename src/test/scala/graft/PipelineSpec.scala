@@ -304,6 +304,41 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("served IVF+PQ equals the in-query trainer, prunes codes, and is faster") {
+    val dir = sfDir
+    // first call may build the index; the A/B below times the SERVED
+    // steady state against the in-query trainer in the same session
+    val served = SparkEntry.queries("s_knn_ivfpq")(spark, dir)
+    val plan = physicalPlan(served)
+    assert("""PartitionFilters: \[cid#\d+ IN \(""".r.findFirstIn(plan).isDefined,
+      s"the code-table scan must prune to the probed cids:\n$plan")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val trained = Similarity.ivfPqInQuery(spark, dir)
+    assert(rows(served) == rows(trained),
+      "serving the persisted artifacts must be bit-identical to training in-query")
+    // same-session A/B: serving skips the coarse Lloyd round and the
+    // corpus encode entirely
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tServe = time(SparkEntry.queries("s_knn_ivfpq")(spark, dir).collect())
+    val tTrain = time(Similarity.ivfPqInQuery(spark, dir).collect())
+    info(f"ivfpq: served $tServe%.2f s vs in-query trainer $tTrain%.2f s")
+    assert(tServe < tTrain,
+      f"serving must beat in-query training: $tServe%.2f s vs $tTrain%.2f s")
+    // the trained-PQ pair: persisted codebooks + codes vs in-query Lloyd
+    val pqServed = SparkEntry.queries("s_knn_pq_served")(spark, dir)
+    val pqTrained = SparkEntry.queries("s_knn_pq_trained")(spark, dir)
+    assert(rows(pqServed) == rows(pqTrained),
+      "served trained-PQ must equal the in-query trainer bit-for-bit")
+    val tPqServe = time(SparkEntry.queries("s_knn_pq_served")(spark, dir).collect())
+    val tPqTrain = time(SparkEntry.queries("s_knn_pq_trained")(spark, dir).collect())
+    info(f"trained pq: served $tPqServe%.2f s vs in-query trainer $tPqTrain%.2f s")
+    assert(tPqServe < tPqTrain,
+      f"PQ serving must beat in-query training: $tPqServe%.2f s vs $tPqTrain%.2f s")
+  }
+
   test("index builds are claim-elected: two racing builders, one build") {
     import graft.sources.Snapshots
     val table = "/root/repo/target/pipeline-spec/idx_race"
