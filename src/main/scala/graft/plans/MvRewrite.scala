@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -21,39 +21,48 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * not folded (or a time-travel read of an older one) keeps its scan
   * — no staleness is ever observable.
   *
-  * Aggregate shapes covered are the MV's own: `count(1)` and the
+  * Aggregate shapes covered are the MV's own: `count(1)`, the
   * exact-decimal sum `sum(cast(c as decimal(18,2)))` with or without
-  * the final cast to double — value-identical to the MV's stored
-  * decimal (the MV column is the same exact sum, only wider), so the
-  * rewrite is answer-invariant bit-for-bit (tested in CboSpec).
+  * the final cast to double, native-typed `min`/`max`, and
+  * `avg(cast(c as decimal(18,2)))` — avg is rebuilt from the stored
+  * exact operands as the SAME expression Average evaluates
+  * (Divide(decimal(28,2), decimal(20,0)) cast to decimal(22,6)), so
+  * every shape is answer-invariant bit-for-bit (tested in CboSpec),
+  * at the registered keys and at coarser lattice points alike.
   */
 object MvRewrite {
 
   /** One registered MV: the base dirs its watermark version reflects,
     * the MV's data dirs, and the aggregate spec it stores.
     */
-  final case class MvDef(baseDirs: Set[String], mvDirs: Seq[String],
-    keys: Set[String], sums: Set[String], rows: Long)
+  final case class MvDef(mvTable: String, baseDirs: Set[String], mvDirs: Seq[String],
+    keys: Set[String], sums: Set[String], rows: Long,
+    mins: Set[String] = Set.empty, maxs: Set[String] = Set.empty)
 
-  @volatile private[plans] var registry: Seq[MvDef] = Nil
+  @volatile private[graft] var registry: Seq[MvDef] = Nil
 
   /** Register an MV for rewriting, pinning the base version its
     * current watermark reflects. Call again after a refresh to move
-    * the pin forward.
+    * the pin forward — re-registration REPLACES the table's previous
+    * pin (the registry stays bounded when a streaming rollup
+    * re-registers every micro-batch).
     */
   def register(baseTable: String, mvTable: String,
-      keys: Seq[String], sums: Seq[String]): Unit = {
+      keys: Seq[String], sums: Seq[String],
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil): Unit = {
     import graft.sources.{MaterializedView, Snapshots}
     val through = MaterializedView.refreshedThrough(mvTable)
     require(through > 0, s"$mvTable has no refreshed version")
     val spark = SparkSession.active
     val mvDirs = Snapshots.versionDirs(mvTable, Snapshots.currentVersion(mvTable))
     registry = MvDef(
+      mvTable,
       Snapshots.versionDirs(baseTable, through).map(normalize).toSet,
       mvDirs, keys.toSet, sums.toSet,
       // the cost statistic for view selection: row count at register
       // time (the analog of the reference's TableStats row counts)
-      spark.read.parquet(mvDirs: _*).count()) +: registry
+      spark.read.parquet(mvDirs: _*).count(),
+      mins.toSet, maxs.toSet) +: registry.filterNot(_.mvTable == mvTable)
   }
 
   def clear(): Unit = registry = Nil
@@ -96,8 +105,8 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   /** Rewritable when the query's grouping keys are a SUBSET of the
     * MV's — the rollup lattice: an equal-keys query projects the MV
-    * directly, a coarser one re-aggregates it (counts and exact
-    * decimal sums are re-aggregable; min/max would be too).
+    * directly, a coarser one re-aggregates it (counts, exact decimal
+    * sums, min/max, and avg-from-operands are all re-aggregable).
     */
   private def rewritable(agg: Aggregate, groupExprs: Seq[Expression], mv: MvDef): Boolean =
     groupExprs.forall {
@@ -147,6 +156,37 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
               DoubleType, _, _)
               if dt.precision == 18 && dt.scale == 2 =>
             mvSum(a).map(c => Cast(reagg(c), DoubleType))
+          // min/max re-aggregate losslessly at any lattice point — the
+          // MV stores them native-typed, so the served value is the
+          // stored (or re-folded) column verbatim
+          case AggregateExpression(Min(a: AttributeReference), _, false, None, _)
+              if mv.mins.contains(a.name) =>
+            byName.get(s"min_${a.name}").map(c =>
+              if (exact) c else Min(c).toAggregateExpression())
+          case AggregateExpression(Max(a: AttributeReference), _, false, None, _)
+              if mv.maxs.contains(a.name) =>
+            byName.get(s"max_${a.name}").map(c =>
+              if (exact) c else Max(c).toAggregateExpression())
+          // avg(cast(c as decimal(18,2))) is served from the EXACT
+          // operands the MV stores (decimal sum + count), rebuilt as
+          // the very expression Average evaluates — Divide(sum as
+          // decimal(28,2), count as decimal(20,0)) cast to the query's
+          // decimal(22,6) — so the rewrite is bit-identical, not just
+          // numerically close
+          case AggregateExpression(
+              Average(Cast(a: AttributeReference, dt: DecimalType, _, _), _), _, false, None, _)
+              if dt.precision == 18 && dt.scale == 2 =>
+            mvSum(a).map { sc =>
+              val cnt = byName("cnt")
+              val sumPart: Expression =
+                if (exact) sc else Sum(sc).toAggregateExpression()
+              val cntPart: Expression =
+                if (exact) cnt else Sum(cnt).toAggregateExpression()
+              Cast(
+                Divide(Cast(sumPart, DecimalType(28, 2)),
+                  Cast(cntPart, DecimalType(20, 0))),
+                DecimalType(22, 6))
+            }
           case _ => None
         }
         replacement.map(r => Alias(r, name)(exprId = al.exprId))

@@ -120,15 +120,26 @@ object MaterializedView {
     * aggregate. A replayed batch no-ops on both sides: the ingest tag
     * blocks the double-append, and the refresh watermark is already at
     * the head. The streaming form of the nightly-rollup pattern.
+    *
+    * With `autoRegister` the MV-aware rewrite pin
+    * ([[graft.plans.MvRewrite.register]]) moves forward INSIDE the
+    * same foreachBatch, replacing the table's previous registration —
+    * so a matching aggregate issued BETWEEN micro-batches is served
+    * fresh from the view; without it (or in the refresh-to-register
+    * instant) the structural freshness check makes the query fall back
+    * to its base scan, never to a stale answer.
     */
   def ingestWithRollup(stream: DataFrame, baseTable: String, mvTable: String,
       streamId: String, keys: Seq[String], sums: Seq[String],
-      mins: Seq[String] = Nil, maxs: Seq[String] = Nil)
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
+      autoRegister: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Snapshots.ingestBatch(batch, baseTable, streamId, batchId)
         refresh(batch.sparkSession, baseTable, mvTable, keys, sums, mins, maxs)
+        if (autoRegister)
+          graft.plans.MvRewrite.register(baseTable, mvTable, keys, sums, mins, maxs)
         ()
       }
 }

@@ -242,6 +242,73 @@ class CboSpec extends SparkSpec {
     } finally MvRewrite.clear()
   }
 
+  test("MV rewrite serves min/max/avg shapes, including the lattice") {
+    import graft.plans.MvRewrite
+    import graft.sources.{MaterializedView, Snapshots}
+    val root = "/root/repo/target/cbo-spec/mv_minmax"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val base = s"$root/base"; val mv = s"$root/mv"
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    Snapshots.commitOverwrite(li, base)
+    MaterializedView.refresh(spark, base, mv, Seq("l_returnflag"), Seq("l_quantity"),
+      mins = Seq("l_extendedprice"), maxs = Seq("l_extendedprice"))
+    try {
+      def grouped() = Snapshots.read(spark, base)
+        .groupBy("l_returnflag")
+        .agg(min(col("l_extendedprice")).as("mn"),
+          max(col("l_extendedprice")).as("mx"),
+          avg(col("l_quantity").cast("decimal(18,2)")).as("av"))
+      def globalQ() = Snapshots.read(spark, base)
+        .groupBy()
+        .agg(min(col("l_extendedprice")).as("mn"),
+          max(col("l_extendedprice")).as("mx"),
+          avg(col("l_quantity").cast("decimal(18,2)")).as("av"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDecimal(3))).toMap
+      // expected values BEFORE registration (afterwards every matching
+      // aggregate is served from the view)
+      val wantGrouped = rows(grouped())
+      val wantGlobal = globalQ().head()
+
+      MvRewrite.register(base, mv, Seq("l_returnflag"), Seq("l_quantity"),
+        mins = Seq("l_extendedprice"), maxs = Seq("l_extendedprice"))
+      val served = grouped()
+      val plan = physicalPlan(served)
+      assert(plan.contains("/mv/") && !plan.contains("/base/"),
+        s"min/max/avg must be served from the view:\n$plan")
+      assert(rows(served) == wantGrouped,
+        "min/max/avg rewrite must be answer-invariant bit-for-bit")
+
+      // the lattice: GLOBAL min/max/avg re-aggregates the view's
+      // partials (min of mins, max of maxs, sum of sums / sum of cnts)
+      val g = globalQ()
+      val gPlan = physicalPlan(g)
+      assert(gPlan.contains("/mv/") && !gPlan.contains("/base/"), gPlan)
+      val got = g.head()
+      assert(got.getDouble(0) == wantGlobal.getDouble(0) &&
+        got.getDouble(1) == wantGlobal.getDouble(1) &&
+        got.getDecimal(2) == wantGlobal.getDecimal(2),
+        s"lattice min/max/avg diverged: $got vs $wantGlobal")
+
+      // empty base: the coarser-lattice count rewrite must serve 0,
+      // not NULL (sum over a zero-row MV is NULL; coalesce restores
+      // the count-over-empty contract)
+      val base2 = s"$root/base_empty"; val mv2 = s"$root/mv_empty"
+      Snapshots.commitOverwrite(li.where(lit(false)), base2)
+      MaterializedView.refresh(spark, base2, mv2, Seq("l_returnflag"), Seq("l_quantity"))
+      MvRewrite.register(base2, mv2, Seq("l_returnflag"), Seq("l_quantity"))
+      val ec = Snapshots.read(spark, base2).groupBy().agg(count(lit(1)).as("n"))
+      assert(physicalPlan(ec).contains("/mv_empty/"), physicalPlan(ec))
+      assert(!ec.head().isNullAt(0) && ec.head().getLong(0) == 0L,
+        "count over an empty base must serve 0 from the view, not NULL")
+    } finally MvRewrite.clear()
+  }
+
   test("injected optimizer rule guards levenshtein predicates with length pruning") {
     import spark.implicits._
     // a real datasource: a LocalRelation filter would be folded away

@@ -425,6 +425,61 @@ class StreamingSpec extends SparkSpec {
     assert(mvRows() == expect)
   }
 
+  test("streaming rollup auto re-registers: between-batch queries serve fresh from the MV") {
+    import graft.plans.MvRewrite
+    import graft.sources.{MaterializedView, Snapshots}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = "/root/repo/target/streaming-spec/mv_roll_auto"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val base = s"$root/base"; val mv = s"$root/mv"
+
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = MaterializedView.ingestWithRollup(
+      mem.toDF.toDF("l_orderkey", "l_returnflag", "l_quantity"),
+      base, mv, "roll_auto_s1", Seq("l_returnflag"), Seq("l_quantity"),
+      autoRegister = true).start()
+    try {
+      for (k <- 0 until 3) {
+        mem.addData(rows.filter(_._1 % 3 == k).toSeq: _*)
+        q.processAllAvailable()
+        // BETWEEN micro-batches: a matching aggregate must be served
+        // from the re-registered view (the pin moved inside the same
+        // foreachBatch as the refresh) ...
+        val agg = Snapshots.read(spark, base)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+        val plan = physicalPlan(agg)
+        assert(plan.contains("/mv/") && !plan.contains("/base/"),
+          s"batch $k: between-batch query must serve from the fresh MV:\n$plan")
+        // ... and reflect EXACTLY the batches ingested so far — fresh,
+        // never one batch behind
+        val got = agg.collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+        val sofar = rows.filter(_._1 % 3 <= k)
+        val want = sofar.groupBy(_._2).map { case (f, rs) =>
+          f -> (rs.length.toLong,
+            rs.map(r => BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+              .sum.doubleValue)
+        }
+        assert(got == want, s"batch $k: served aggregate must be fresh")
+      }
+      // the registry holds ONE pin for the table, not one per batch
+      assert(MvRewrite.registry.count(_.mvTable == mv) == 1,
+        "re-registration must replace the previous pin, not accumulate")
+    } finally {
+      q.stop()
+      MvRewrite.clear()
+    }
+  }
+
   test("stateful streaming sessionization matches batch q_events_sessionize") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = EventStreams.readEvents(spark, sfDir)
