@@ -191,30 +191,36 @@ object Snapshots {
       df.withColumn(column, org.apache.spark.sql.functions
         .when(cond, value).otherwise(df(column))))
 
-  private def rewriteTouched(spark: SparkSession, table: String,
-      cond: org.apache.spark.sql.Column,
-      rewrite: DataFrame => DataFrame): Option[Int] = {
-    val cur = currentVersion(table)
-    require(cur > 0, s"no committed version at $table")
-    val dirs = manifestDirs(table, cur)
-    // ONE existence-probe job over ALL candidate dirs — not a serial
-    // per-dir isEmpty loop, which at 100 TB (thousands of dirs per
-    // manifest) would launch thousands of driver-serialized jobs
-    // before the DML even starts. The predicate is pushed down, so
-    // parquet footer min/max stats still answer non-matching files
-    // from metadata inside the single scan; surviving rows reduce to
-    // their DISTINCT parent data directories (bounded by dir count,
-    // tiny) via input_file_name. Job count is O(1) in the number of
-    // dirs (asserted in SourcesSpec).
-    val touchedAbs = spark.read.parquet(dirs: _*).where(cond)
+  /** ONE existence-probe job over candidate dirs — not a serial
+    * per-dir isEmpty loop, which at 100 TB (thousands of dirs per
+    * manifest) would launch thousands of driver-serialized jobs.
+    * `probe` (a pushed-down predicate or key semi-join) filters a scan
+    * of ALL dirs at once — parquet footer min/max stats still answer
+    * non-matching files from metadata inside the single scan — and
+    * survivors reduce to their DISTINCT parent data directories
+    * (bounded by dir count, tiny) via input_file_name. Job count is
+    * O(1) in the number of dirs (asserted in SourcesSpec).
+    */
+  private def probeTouched(spark: SparkSession, dirs: Seq[String],
+      probe: DataFrame => DataFrame): Seq[String] = {
+    val touchedAbs = probe(spark.read.parquet(dirs: _*))
       .select(org.apache.spark.sql.functions.input_file_name().as("f"))
       .select(org.apache.spark.sql.functions
         .regexp_replace(org.apache.spark.sql.functions.col("f"), "/[^/]+$", "").as("d"))
       .distinct().collect()
       .map(r => Paths.get(java.net.URI.create(r.getString(0))).toString)
       .toSet
-    val touched = dirs.filter(d =>
+    dirs.filter(d =>
       touchedAbs.contains(Paths.get(d).toAbsolutePath.normalize.toString))
+  }
+
+  private def rewriteTouched(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column,
+      rewrite: DataFrame => DataFrame): Option[Int] = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"no committed version at $table")
+    val dirs = manifestDirs(table, cur)
+    val touched = probeTouched(spark, dirs, _.where(cond))
     if (touched.isEmpty) return Some(cur)
     val staged = touched.map { d =>
       val out = stageDir(table)
@@ -225,6 +231,107 @@ object Snapshots {
     commitTransformIf(table, requires = touched)(prev =>
       prev.filterNot(touched.toSet) ++ staged)
   }
+
+  /** Keyed MERGE (upsert) — the CDC-apply / dimension-maintenance
+    * write path (Delta MERGE INTO, Iceberg MERGE, re-expressed on the
+    * snapshot format): every `source` row REPLACES the table row with
+    * the same `key` (and inserts, for new keys), committed as ONE
+    * atomic version. File-level: one existence-probe job (pushed-down
+    * key semi-join) finds the dirs holding matched keys; ONLY those
+    * are rewritten (anti-join against the source keys), untouched dirs
+    * carry by reference, and the source lands as one new dir. The
+    * commit is conflict-checked: a racing writer replacing a touched
+    * dir aborts the merge (None — recompute and retry) instead of
+    * resurrecting replaced rows. `source` must be keyed (≤ 1 row per
+    * key — a multi-row key makes "the" replacement ambiguous).
+    *
+    * At 100 TB: the probe is one scan whose non-matching files are
+    * answered from parquet footers; the rewrite is O(matched dirs) —
+    * a clustered layout ([[commitClustered]]) keeps that small for
+    * point-keyed CDC batches; the commit is O(1) manifest work.
+    */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+      key: String): Option[Int] =
+    mergeTagged(spark, table, source, key, Nil, () => None)
+
+  private def mergeTagged(spark: SparkSession, table: String, source: DataFrame,
+      key: String, tags: Seq[String], extraAbort: () => Option[Int]): Option[Int] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val cur = currentVersion(table)
+    // cur == 0: first batch bootstraps the table — nothing to probe
+    val dirs = if (cur == 0) Seq.empty else manifestDirs(table, cur)
+    val srcKeys = source.select(col(key)).distinct().localCheckpoint()
+    val touched =
+      if (dirs.isEmpty) Seq.empty[String]
+      else probeTouched(spark, dirs,
+        _.join(broadcast(srcKeys), Seq(key), "left_semi"))
+    val staged = touched.map { d =>
+      val out = stageDir(table)
+      spark.read.parquet(d)
+        .join(broadcast(srcKeys), Seq(key), "left_anti")
+        .write.mode(SaveMode.ErrorIfExists).parquet(out)
+      out
+    }
+    val srcDir = writeData(source, table)
+    val ConflictSentinel = -1
+    val v = commitLoop(table,
+      prev => {
+        val prevDirs = if (prev == 0) Seq.empty else manifestDirs(table, prev)
+        prevDirs.filterNot(touched.toSet) ++ staged :+ srcDir
+      },
+      tags = tags,
+      abortIf = () => extraAbort().orElse {
+        val now = currentVersion(table)
+        val present = if (now == 0) Set.empty[String]
+          else manifestDirs(table, now).toSet
+        if (touched.forall(present.contains)) None else Some(ConflictSentinel)
+      })
+    if (v == ConflictSentinel) {
+      (staged :+ srcDir).foreach(deleteDataDir); None
+    } else Some(v)
+  }
+
+  /** EXACTLY-ONCE streaming merge — the CDC-apply loop: each
+    * micro-batch of keyed changes upserts via [[merge]], the
+    * (streamId, batchId) tag commits atomically with the version, and
+    * a replayed batch no-ops (an upsert replayed against its own
+    * result would also be a no-op by value, but the tag spares the
+    * rewrite entirely and anchors [[committedVersion]] time travel).
+    * A version-race loser recomputes against the winner's snapshot.
+    */
+  def mergeBatch(df: DataFrame, table: String, key: String,
+      streamId: String, batchId: Long): Int = {
+    if (batchCommitted(table, streamId, batchId))
+      return committedVersion(table, streamId, batchId)
+        .getOrElse(currentVersion(table))
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      mergeTagged(df.sparkSession, table, df, key,
+        tags = Seq(ingestTag(streamId, batchId)),
+        extraAbort = () =>
+          if (batchCommitted(table, streamId, batchId))
+            Some(committedVersion(table, streamId, batchId)
+              .getOrElse(currentVersion(table)))
+          else None)
+        .foreach(v => return v)
+      // conflict: a racing writer replaced a touched dir — re-probe
+      // against the new snapshot and retry
+    }
+    sys.error(s"mergeBatch to $table lost $attempt conflicts")
+  }
+
+  /** Continuous CDC apply: run a stream of keyed changes into the
+    * versioned table — one upserted snapshot version per micro-batch,
+    * exactly-once under replays via [[mergeBatch]].
+    */
+  def mergeStream(stream: DataFrame, table: String, key: String, streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, table, key, streamId, batchId)
+        ()
+      }
 
   /** [[commitOverwrite]] carrying provenance tags in the manifest —
     * e.g. a materialized view's refreshed-through watermark. Tags

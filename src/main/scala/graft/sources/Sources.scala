@@ -224,7 +224,60 @@ object SourceQueries {
              ${P.dsum("l_quantity")} / COUNT(*) AS avg_qty
              FROM lineitem GROUP BY 1, 2"""))
 
-  val defs: Seq[QueryDef] = Seq(zorderSecondary, mvIncremental)
+  /** Keyed MERGE / upsert ([[Snapshots.merge]]) as an oracle-checked
+    * query: the orders table bootstraps a snapshot table, then ONE
+    * atomic merge applies a CDC batch — doubled-price updates for
+    * every fifth key plus brand-new keys — and the query aggregates
+    * the post-merge snapshot. The DuckDB oracle reconstructs the same
+    * final state relationally (source ∪ base-anti-source), proving
+    * update, insert, and carry-over semantics bit-for-bit. The table
+    * is rebuilt per run (the merge IS the operator under test), so
+    * re-runs are deterministic.
+    */
+  val mergeUpsert: QueryDef = QueryDef(
+    "q_merge_upsert",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val table = "/root/repo/target/merge/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(table))
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      Snapshots.commitOverwrite(o, table)
+      val updates = o.where(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = o.where(col("o_orderkey") % 5 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+        .withColumn("o_orderstatus", lit("N"))
+      val v = Snapshots.merge(s, table, updates.unionByName(inserts), "o_orderkey")
+        .getOrElse(sys.error("merge aborted without a concurrent writer"))
+      Snapshots.readVersion(s, table, v)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          Portable.dsum(col("o_totalprice")).as("sum_price"))
+    },
+    Some(s"""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+         src AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                        o_totalprice * 2 AS o_totalprice
+                 FROM base WHERE o_orderkey % 5 = 0
+                 UNION ALL
+                 SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+                        'N' AS o_orderstatus, o_totalprice
+                 FROM base WHERE o_orderkey % 5 = 1),
+         fin AS (SELECT * FROM src
+                 UNION ALL
+                 SELECT b.* FROM base b
+                 WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = b.o_orderkey))
+         SELECT o_orderstatus, COUNT(*) AS n,
+                COUNT(DISTINCT o_custkey) AS n_cust,
+                ${P.dsum("o_totalprice")} AS sum_price
+         FROM fin GROUP BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(zorderSecondary, mvIncremental, mergeUpsert)
 }
 
 /** Copy-on-write mutations — the reference's record insert/update/

@@ -387,6 +387,63 @@ class SourcesSpec extends SparkSpec {
       "rewrite under the watermark must trigger recompute")
   }
 
+  test("keyed merge: touched dirs rewrite, others carry by reference, replays no-op") {
+    import graft.sources.Snapshots
+    val table = "/root/repo/target/sources-spec/merge_tbl"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(table))
+    val o = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Snapshots.commitOverwrite(o.where(col("o_orderkey") < 1000), table)
+    Snapshots.commitAppend(o.where(col("o_orderkey").between(1000, 1999)), table)
+    Snapshots.commitAppend(o.where(col("o_orderkey") >= 2000), table)
+    val before = Snapshots.versionDirs(table, Snapshots.currentVersion(table))
+    val preMergeV = Snapshots.currentVersion(table)
+
+    // one CDC batch: updates inside the middle dir's key range plus a
+    // brand-new key
+    val updates = o.where(col("o_orderkey").between(1200, 1400))
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+    val insert = o.where(col("o_orderkey") === 1200)
+      .withColumn("o_orderkey", lit(999999999L))
+    val changes = updates.unionByName(insert).localCheckpoint()
+    val v = Snapshots.merge(spark, table, changes, "o_orderkey")
+    assert(v.isDefined)
+
+    // file-level: exactly the two key-disjoint dirs carry by reference
+    val after = Snapshots.versionDirs(table, v.get)
+    assert((before.toSet & after.toSet).size == 2,
+      "merge must rewrite only the dirs holding matched keys")
+
+    // semantics: updates replaced, insert present, untouched intact
+    val got = Snapshots.read(spark, table)
+    assert(got.count() == o.count() + 1)
+    assert(got.where(col("o_orderkey") === 999999999L).count() == 1)
+    val gotUpd = got.where(col("o_orderkey").between(1200, 1400))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val wantUpd = updates.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(gotUpd == wantUpd, "matched keys must carry the source rows")
+    val untouched = got.where(col("o_orderkey") < 1000)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(untouched == o.where(col("o_orderkey") < 1000)
+      .collect().map(_.getLong(0)).sorted.toSeq)
+    // time travel still reaches the pre-merge state
+    assert(Snapshots.readVersion(spark, table, preMergeV).count() == o.count())
+
+    // exactly-once CDC apply: a replayed batch returns its own version
+    // and changes nothing
+    val batch2 = o.where(col("o_orderkey").between(100, 200))
+      .withColumn("o_totalprice", col("o_totalprice") * 3).localCheckpoint()
+    val vb = Snapshots.mergeBatch(batch2, table, "o_orderkey", "cdc_s1", 7L)
+    val countAfter = Snapshots.read(spark, table).count()
+    val vb2 = Snapshots.mergeBatch(batch2, table, "o_orderkey", "cdc_s1", 7L)
+    assert(vb2 == vb, "replayed merge batch must resolve to its own commit")
+    assert(Snapshots.currentVersion(table) == vb, "replay must not advance the table")
+    assert(Snapshots.read(spark, table).count() == countAfter)
+  }
+
   test("racing MV refreshes never double-count a delta") {
     import graft.sources.{MaterializedView, Snapshots}
     val root = "/root/repo/target/sources-spec/mv_race"
