@@ -388,25 +388,41 @@ object Similarity {
         .select(col("a").as("q_id"), col("b").as("n_id"))
         .where(col("n_id") =!= col("q_id")).distinct()
       val byQ = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      // every beam-state frame (pool, frontier, visited, new
+      // candidates) is ≤ queries × BeamEf(×GraphK) rows, yet each
+      // round's checkpoints would schedule session-width exchanges —
+      // the same per-level latency tax the recursive CTE pays. Run the
+      // loop NARROW and restore the session width for the final plan
+      // (the q_recursive_cte A/B measured this trade; the frontier is
+      // query-sized at ANY corpus scale, so narrow is always right
+      // here — unlike the corpus-sized structures, which are all
+      // behind the persisted graph/index scans)
+      val oldWidth = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       var scored = scorePairs(v, seeds, "q_id", "n_id").localCheckpoint()
       var expanded = seeds.limit(0).localCheckpoint()
-      for (r <- 1 to BeamRounds) {
-        val pool = scored.withColumn("rn", row_number().over(byQ))
-          .where(col("rn") <= BeamEf).select("q_id", "n_id")
-        val frontier = pool.join(expanded, Seq("q_id", "n_id"), "left_anti")
-          .localCheckpoint()
-        expanded = expanded.unionAll(frontier).localCheckpoint()
-        val hop = frontier.join(graph, col("n_id") === col("g_src"))
-          .select(col("q_id"), col("g_dst").as("n_id"))
-          .where(col("n_id") =!= col("q_id")).distinct()
-        val fresh = hop.join(scored.select("q_id", "n_id"),
-          Seq("q_id", "n_id"), "left_anti")
-        val next = scored.unionAll(scorePairs(v, fresh, "q_id", "n_id"))
-        // per-round checkpoints bound the iterated plan; the LAST round
-        // stays lineage-visible so the served graph scan shows in the
-        // final plan (asserted in PipelineSpec)
-        scored = if (r < BeamRounds) next.localCheckpoint() else next
-      }
+      try {
+        for (r <- 1 to BeamRounds) {
+          val pool = scored.withColumn("rn", row_number().over(byQ))
+            .where(col("rn") <= BeamEf).select("q_id", "n_id")
+          // the visited set stays LAZY — a union of already-
+          // checkpointed frontiers — so each round materializes two
+          // frames (frontier, scored), not three
+          val frontier = pool.join(expanded, Seq("q_id", "n_id"), "left_anti")
+            .localCheckpoint()
+          expanded = expanded.unionAll(frontier)
+          val hop = frontier.join(graph, col("n_id") === col("g_src"))
+            .select(col("q_id"), col("g_dst").as("n_id"))
+            .where(col("n_id") =!= col("q_id")).distinct()
+          val fresh = hop.join(scored.select("q_id", "n_id"),
+            Seq("q_id", "n_id"), "left_anti")
+          val next = scored.unionAll(scorePairs(v, fresh, "q_id", "n_id"))
+          // per-round checkpoints bound the iterated plan; the LAST
+          // round stays lineage-visible so the served graph scan shows
+          // in the final plan (asserted in PipelineSpec)
+          scored = if (r < BeamRounds) next.localCheckpoint() else next
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldWidth)
       scored.withColumn("rn", row_number().over(byQ)).where(col("rn") <= 5)
         .select("q_id", "n_id", "sim")
     },
