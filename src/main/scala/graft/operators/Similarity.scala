@@ -265,9 +265,65 @@ object Similarity {
     .select(col(lk), col(rk),
       cosine(dotL(col("q_l"), col("q_r")), col("n_l"), col("n_r")).as("sim"))
 
-  /** The PERSISTED kNN graph over an embeddings input: LSH candidate
+  /** Full kNN-graph build over an embeddings frame: LSH candidate
     * pairs symmetrized, exact-cosine scored, top-[[GraphK]] out-edges
-    * per source, committed once per input fingerprint through
+    * per source — (g_src, g_dst, g_sim). Storing the edge score makes
+    * [[graphAppendIncremental]] possible without re-scoring old edges.
+    */
+  private[graft] def buildGraph(embeddings: DataFrame): DataFrame = {
+    val v = quantized(embeddings).localCheckpoint()
+    val cand = lshCandidatePairs(embeddings)
+    val sym = cand.unionAll(cand.select(col("b").as("a"), col("a").as("b")))
+    val wG = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
+    scorePairs(v, sym, "a", "b")
+      .withColumn("rn", row_number().over(wG)).where(col("rn") <= GraphK)
+      .select(col("a").as("g_src"), col("b").as("g_dst"), col("sim").as("g_sim"))
+  }
+
+  /** INCREMENTAL graph maintenance under appends — the index twin of
+    * `d_dedup_incremental`: fold a batch of NEW vectors into an
+    * existing kNN graph withOUT rebuilding it. Only pairs with ≥ 1 new
+    * side are banded and scored (new-new and new-old — old-old pairs
+    * cannot have changed); sources that gained a candidate re-rank
+    * their stored top-[[GraphK]] edges MERGED with the new edges, and
+    * every other source's adjacency carries over untouched. Exactly
+    * equivalent to a full rebuild: top-K(top-K(A) ∪ B) = top-K(A ∪ B)
+    * — a displaced edge can only be displaced by a NEW candidate, and
+    * a dropped old candidate could never re-enter. Hash-proven by
+    * `s_knn_graph_incremental`, whose DuckDB oracle builds the graph
+    * from the FULL corpus.
+    *
+    * Scale shape: cost is O(new-batch candidates + affected
+    * adjacency), never O(corpus²); the affected set is bounded by the
+    * new batch's collision fan-out.
+    */
+  def graphAppendIncremental(all: DataFrame, oldGraph: DataFrame,
+      newIds: DataFrame): DataFrame = {
+    val v = quantized(all).localCheckpoint()
+    val banded = bandedVectors(v.withColumn("buckets", lshBandBuckets(col("q"))))
+    val nb = banded.join(newIds.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val candNew = nb.toDF("a", "band", "bucket")
+      .join(banded.toDF("b", "band", "bucket"), Seq("band", "bucket"))
+      .where(col("a") =!= col("b")).select("a", "b")
+    val newPairs = candNew
+      .unionAll(candNew.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val newEdges = scorePairs(v, newPairs, "a", "b").localCheckpoint()
+    val affected = newEdges.select("a").distinct()
+    val carried = oldGraph
+      .join(affected, oldGraph("g_src") === affected("a"), "left_anti")
+    val merged = oldGraph
+      .join(affected, oldGraph("g_src") === affected("a"), "left_semi")
+      .select(col("g_src").as("a"), col("g_dst").as("b"), col("g_sim").as("sim"))
+      .unionAll(newEdges)
+    val wG = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
+    carried.unionByName(
+      merged.withColumn("rn", row_number().over(wG)).where(col("rn") <= GraphK)
+        .select(col("a").as("g_src"), col("b").as("g_dst"), col("sim").as("g_sim")))
+  }
+
+  /** The PERSISTED kNN graph over an embeddings input
+    * ([[buildGraph]]), committed once per input fingerprint through
     * [[graft.sources.Snapshots.ensureIndex]] (claim-elected single
     * builder, atomic tagged commit, content-keyed so regenerated data
     * rebuilds). Both the one-hop expansion (`s_knn_graph`) and the
@@ -281,14 +337,7 @@ object Similarity {
     val table = "/root/repo/target/knngraph/" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
     val ver = Snapshots.ensureIndex(table, fp) { out =>
-      val e = Tables.load(s, dir, "embeddings")
-      val v = quantized(e).localCheckpoint()
-      val cand = lshCandidatePairs(e)
-      val sym = cand.unionAll(cand.select(col("b").as("a"), col("a").as("b")))
-      val wG = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
-      scorePairs(v, sym, "a", "b")
-        .withColumn("rn", row_number().over(wG)).where(col("rn") <= GraphK)
-        .select(col("a").as("g_src"), col("b").as("g_dst"))
+      buildGraph(Tables.load(s, dir, "embeddings"))
         .repartition(col("g_src"))
         .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
     }
@@ -327,7 +376,17 @@ object Similarity {
       scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
         .select("q_id", "n_id", "sim")
     },
-    Some(s"""WITH $quantizedSql, $bandedSql,
+    Some(graphServeOracle))
+
+  /** Shared oracle of the one-hop graph serve: the graph is built from
+    * the FULL corpus in SQL, so it covers both `s_knn_graph` (serving
+    * the persisted full build) and `s_knn_graph_incremental` (serving
+    * a graph folded incrementally — hash equality IS the proof that
+    * incremental maintenance ≡ full rebuild). A def, not a val: the
+    * QueryDefs above and below both capture it at object init.
+    */
+  private def graphServeOracle: String =
+    s"""WITH $quantizedSql, $bandedSql,
          cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
              FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
              WHERE l.vec_id <> r.vec_id),
@@ -352,7 +411,40 @@ object Similarity {
               CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM p)
          SELECT q_id, n_id, sim FROM (
            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
-         WHERE rn <= 5"""))
+         WHERE rn <= 5"""
+
+  /** §2.2 row 27g, INCREMENTAL MAINTENANCE — the serving proof of
+    * [[graphAppendIncremental]]: the graph is built on 90% of the
+    * corpus, the remaining batch folds in incrementally (only
+    * new-sided pairs scored, only affected adjacency re-ranked), and
+    * the SAME one-hop expansion as `s_knn_graph` serves from the
+    * folded graph. The oracle builds its graph from the FULL corpus —
+    * hash equality proves incremental ≡ full rebuild, the
+    * `d_dedup_incremental` argument applied to the vector index.
+    */
+  val knnGraphIncremental: QueryDef = QueryDef(
+    "s_knn_graph_incremental",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val v = quantized(e).localCheckpoint()
+      val oldE = e.where(col("vec_id") % 10 =!= 9)
+      val newIds = e.where(col("vec_id") % 10 === 9).select("vec_id")
+      val graph = graphAppendIncremental(e, buildGraph(oldE), newIds)
+        .localCheckpoint()
+      val cand = lshCandidatePairs(e)
+      val sym = cand.unionAll(cand.select(col("b").as("a"), col("a").as("b")))
+      val seeds = sym.where(col("a") < 5)
+        .select(col("a").as("q_id"), col("b").as("n_id"))
+      val hop = seeds.join(graph, col("n_id") === col("g_src"))
+        .select(col("q_id"), col("g_dst").as("n_id"))
+      val expanded = seeds.unionAll(hop)
+        .where(col("n_id") =!= col("q_id")).distinct()
+      val scored = scorePairs(v, expanded, "q_id", "n_id")
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("q_id", "n_id", "sim")
+    },
+    Some(graphServeOracle))
 
   /** §2.2 row 27g, FULL BEAM SEARCH — the iterated expansion real
     * graph-ANN serving (HNSW/NSG family) runs, completing
@@ -1250,5 +1342,6 @@ object Similarity {
 
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf, knnJoin,
-      knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnBeam)
+      knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
+      knnBeam)
 }

@@ -339,6 +339,21 @@ class PipelineSpec extends SparkSpec {
       f"PQ serving must beat in-query training: $tPqServe%.2f s vs $tPqTrain%.2f s")
   }
 
+  test("incremental graph fold equals the full rebuild edge-for-edge") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val oldE = e.where(col("vec_id") % 10 =!= 9)
+    val newIds = e.where(col("vec_id") % 10 === 9).select("vec_id")
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oldG = Similarity.buildGraph(oldE).localCheckpoint()
+    val inc = Similarity.graphAppendIncremental(e, oldG, newIds)
+    val full = Similarity.buildGraph(e)
+    assert(edges(inc) == edges(full),
+      "folding the batch must reproduce the full rebuild exactly")
+    // the batch is not a no-op: it displaces old-graph edges
+    assert(edges(oldG) != edges(full))
+  }
+
   test("index builds are claim-elected: two racing builders, one build") {
     import graft.sources.Snapshots
     val table = "/root/repo/target/pipeline-spec/idx_race"
