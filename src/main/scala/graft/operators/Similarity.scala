@@ -322,6 +322,45 @@ object Similarity {
         .select(col("a").as("g_src"), col("b").as("g_dst"), col("sim").as("g_sim")))
   }
 
+  /** EXACTLY-ONCE streaming maintenance of a persisted kNN graph —
+    * the index twin of `Snapshots.ingestWithRollup`'s MV maintenance:
+    * each micro-batch of vectors (1) appends to the versioned vector
+    * table exactly-once, (2) folds into the current graph via
+    * [[graphAppendIncremental]] (full [[buildGraph]] on bootstrap),
+    * and (3) commits the updated graph as a new version carrying the
+    * SAME (streamId, batchId) tag — so a replayed batch no-ops on
+    * both tables and the graph is never more than one batch behind
+    * the vectors. Readers (the hop/beam serving queries) pin a graph
+    * version and are never torn.
+    */
+  def graphIngestBatch(batch: DataFrame, vecTable: String, graphTable: String,
+      streamId: String, batchId: Long): Int = {
+    import graft.sources.Snapshots
+    val s = batch.sparkSession
+    val vecV = Snapshots.ingestBatch(batch, vecTable, streamId, batchId)
+    if (Snapshots.batchCommitted(graphTable, streamId, batchId))
+      return Snapshots.committedVersion(graphTable, streamId, batchId)
+        .getOrElse(Snapshots.currentVersion(graphTable))
+    val all = Snapshots.readVersion(s, vecTable, vecV)
+    val graph =
+      if (Snapshots.currentVersion(graphTable) == 0) buildGraph(all)
+      else graphAppendIncremental(all,
+        Snapshots.read(s, graphTable), batch.select("vec_id"))
+    Snapshots.commitBatchOverwrite(graph, graphTable, streamId, batchId)
+  }
+
+  /** Continuous form of [[graphIngestBatch]]: run a vector stream into
+    * the versioned table with the graph maintained per micro-batch.
+    */
+  def graphIngestStream(stream: DataFrame, vecTable: String,
+      graphTable: String, streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graphIngestBatch(batch, vecTable, graphTable, streamId, batchId)
+        ()
+      }
+
   /** The PERSISTED kNN graph over an embeddings input
     * ([[buildGraph]]), committed once per input fingerprint through
     * [[graft.sources.Snapshots.ensureIndex]] (claim-elected single

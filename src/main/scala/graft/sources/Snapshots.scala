@@ -512,6 +512,28 @@ object Snapshots {
         else None)
   }
 
+  /** [[ingestBatch]]'s OVERWRITE flavor — exactly-once per
+    * (streamId, batchId), but the batch's content REPLACES the table
+    * instead of appending: the commit shape of a derived artifact
+    * (an index, a rollup) recomputed per micro-batch. Replays resolve
+    * to their own committed version; the tag re-check runs inside
+    * every claim attempt (zombie-replay safe).
+    */
+  def commitBatchOverwrite(df: DataFrame, table: String, streamId: String,
+      batchId: Long): Int = {
+    if (batchCommitted(table, streamId, batchId))
+      return committedVersion(table, streamId, batchId)
+        .getOrElse(currentVersion(table))
+    val dir = writeData(df, table)
+    commitLoop(table, _ => Seq(dir),
+      tags = Seq(ingestTag(streamId, batchId)),
+      abortIf = () =>
+        if (batchCommitted(table, streamId, batchId))
+          Some(committedVersion(table, streamId, batchId)
+            .getOrElse(currentVersion(table)))
+        else None)
+  }
+
   /** Continuous ingestion: run a streaming DataFrame into the
     * versioned table — one snapshot version per micro-batch, readers
     * always see a consistent committed snapshot, time travel works

@@ -480,6 +480,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming vector ingest keeps the kNN graph current, exactly-once") {
+    import graft.operators.Similarity
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = "/root/repo/target/streaming-spec/graph_ingest"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val vecT = s"$root/vectors"; val graphT = s"$root/graph"
+
+    val rows = Tables.load(spark, sfDir, "embeddings")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Similarity.graphIngestStream(
+      mem.toDF.toDF("vec_id", "embedding"), vecT, graphT, "gi_s1").start()
+    try {
+      for (k <- 0 until 3) {
+        mem.addData(rows.filter(_._1 % 3 == k).toSeq: _*)
+        q.processAllAvailable()
+        // after every batch the persisted graph equals a full rebuild
+        // over everything ingested so far — never more than one batch
+        // behind, and correct mid-stream, not just at the end
+        val want = edges(Similarity.buildGraph(Snapshots.read(spark, vecT)))
+        assert(edges(Snapshots.read(spark, graphT)) == want,
+          s"batch $k: maintained graph must equal the full rebuild")
+      }
+    } finally q.stop()
+
+    // a replayed batch no-ops on BOTH tables
+    val (vv, gv) = (Snapshots.currentVersion(vecT), Snapshots.currentVersion(graphT))
+    import spark.implicits._
+    Similarity.graphIngestBatch(
+      rows.filter(_._1 % 3 == 1).toSeq.toDF("vec_id", "embedding"),
+      vecT, graphT, "gi_s1", 1L)
+    assert(Snapshots.currentVersion(vecT) == vv &&
+      Snapshots.currentVersion(graphT) == gv,
+      "replay must not advance either table")
+  }
+
   test("stateful streaming sessionization matches batch q_events_sessionize") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = EventStreams.readEvents(spark, sfDir)
