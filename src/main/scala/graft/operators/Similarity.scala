@@ -996,19 +996,7 @@ object Similarity {
       }
       val cb = broadcast(s.read.parquet(Snapshots.versionDirs(cbT, cbV): _*))
       val codesV = Snapshots.ensureIndex(codesT, fp) { out =>
-        val v = quantized(e).localCheckpoint()
-        val lists = ivfAssign(v, cents).select(col("vec_id"), col("cid"))
-        val sv = subVectors(v)
-        val pdistC = sv.join(cb, col("m") === col("cb_m"))
-          .select(col("vec_id"), col("m"), col("k"),
-            graft.functions.Native.sqDistScaled(col("sq"), col("cq"), lit(1L)).as("pd"))
-        val byD = Window.partitionBy("vec_id", "m").orderBy(col("pd"), col("k"))
-        val codes = pdistC.withColumn("rn", row_number().over(byD)).where(col("rn") === 1)
-          .select(col("vec_id").as("n_id"), col("m").as("c_m"), col("k").as("code"))
-        graft.sources.Sources.writePartitioned(
-          codes.join(lists, codes("n_id") === lists("vec_id"))
-            .select("n_id", "c_m", "code", "cid"),
-          out, "cid")
+        graft.sources.Sources.writePartitioned(pqEncode(e, cents, cb), out, "cid")
       }
       // ---- serving: probe, prune the code scan, ADC, exact rerank
       val v = quantized(e).localCheckpoint()
@@ -1022,7 +1010,7 @@ object Similarity {
       // probed cids as scan literals (bounded by C): the code-table
       // scan prunes to exactly the probed partitions
       val probeCids = probes.select("cid").distinct().collect().map(_.getLong(0))
-      val codes = s.read.parquet(Snapshots.versionDirs(codesT, codesV): _*)
+      val codes = readPartitionedDirs(s, codesT, codesV)
         .where(col("cid").isin(probeCids: _*))
         .select(col("n_id"), col("c_m"), col("code"), col("cid").cast("long").as("cid"))
       // query-side ADC tables from the persisted codebooks
@@ -1153,6 +1141,63 @@ object Similarity {
     objectives += assign().agg(sum(col("pd"))).head().getDouble(0)
     (cents, objectives.result())
   }
+
+  /** Read a cid-partitioned index table committed as one or more
+    * partitioned dirs (the full build plus incremental appends): Spark
+    * cannot put multiple partitioned roots under one scan without a
+    * shared basePath, so each dir partition-discovers independently
+    * and the frames union — a probe's cid filter pushes into EVERY
+    * branch, so partition pruning survives appends.
+    */
+  def readPartitionedDirs(s: org.apache.spark.sql.SparkSession,
+      table: String, version: Int): DataFrame =
+    graft.sources.Snapshots.versionDirs(table, version)
+      .map(d => s.read.parquet(d)).reduce(_.unionByName(_))
+
+  /** Encode vectors for IVF+PQ serving under FROZEN quantizers:
+    * coarse-assign each vector to its inverted list and PQ-encode its
+    * subspaces — (n_id, c_m, code, cid), the cid-partitioned
+    * code-table row. Encoding is PER-VECTOR independent, so the same
+    * function serves the offline full build and per-batch incremental
+    * ingest ([[ivfPqIngestBatch]]) — new data never re-encodes old.
+    */
+  def pqEncode(embeddings: DataFrame, cents: DataFrame, cb: DataFrame): DataFrame = {
+    val v = quantized(embeddings).localCheckpoint()
+    val lists = ivfAssign(v, cents).select(col("vec_id"), col("cid"))
+    val sv = subVectors(v)
+    val pdistC = sv.join(broadcast(cb), col("m") === col("cb_m"))
+      .select(col("vec_id"), col("m"), col("k"),
+        graft.functions.Native.sqDistScaled(col("sq"), col("cq"), lit(1L)).as("pd"))
+    val byD = Window.partitionBy("vec_id", "m").orderBy(col("pd"), col("k"))
+    val codes = pdistC.withColumn("rn", row_number().over(byD)).where(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("m").as("c_m"), col("k").as("code"))
+    codes.join(lists, codes("n_id") === lists("vec_id"))
+      .select("n_id", "c_m", "code", "cid")
+  }
+
+  /** Seed PQ codebooks of a corpus — (cb_m, k, cq), the frozen
+    * quantizer shape [[pqEncode]] consumes.
+    */
+  def pqSeedCodebooks(embeddings: DataFrame): DataFrame =
+    subVectors(quantized(embeddings)).where(col("vec_id") < PqK)
+      .select(col("m").as("cb_m"), col("vec_id").as("k"), col("sq").as("cq"))
+
+  /** EXACTLY-ONCE incremental maintenance of the IVF+PQ code table:
+    * quantizers are FROZEN artifacts of the trained index version, and
+    * PQ codes are per-vector, so a batch of new vectors needs only ITS
+    * OWN codes — encoded against the pinned centroids/codebooks and
+    * APPENDED as a cid-partitioned dir (the pruned serving scan picks
+    * the new rows up at its next version pin). No re-rank, no rebuild,
+    * no old-data touch: the cheapest possible index maintenance, and
+    * exactly what production vector stores do between re-trains.
+    */
+  def ivfPqIngestBatch(batch: DataFrame, cents: DataFrame, cb: DataFrame,
+      codesTable: String, streamId: String, batchId: Long): Int =
+    graft.sources.Snapshots.ingestBatchStaged(codesTable, streamId, batchId) {
+      out =>
+        graft.sources.Sources.writePartitioned(
+          pqEncode(batch, cents, cb), out, "cid")
+    }
 
   /** PQ search under arbitrary (m, k, cs, cn) codebooks (the serving
     * path of [[knnPq]] generalized to trained codebooks): encode the

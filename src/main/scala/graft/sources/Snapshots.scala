@@ -512,6 +512,30 @@ object Snapshots {
         else None)
   }
 
+  /** [[ingestBatch]] with a CALLER-STAGED data dir — for batches whose
+    * on-disk layout matters (e.g. a cid-partitioned append to a
+    * served, partition-pruned index: the new dir must carry the same
+    * partition structure or the pruned scan breaks). Same
+    * exactly-once contract: the (streamId, batchId) tag commits
+    * atomically and is re-checked inside every claim attempt.
+    */
+  def ingestBatchStaged(table: String, streamId: String, batchId: Long)(
+      stage: String => Unit): Int = {
+    if (batchCommitted(table, streamId, batchId))
+      return committedVersion(table, streamId, batchId)
+        .getOrElse(currentVersion(table))
+    val dir = stageDir(table)
+    stage(dir)
+    commitLoop(table, prev =>
+      (if (prev == 0) Seq.empty else manifestDirs(table, prev)) :+ dir,
+      tags = Seq(ingestTag(streamId, batchId)),
+      abortIf = () =>
+        if (batchCommitted(table, streamId, batchId))
+          Some(committedVersion(table, streamId, batchId)
+            .getOrElse(currentVersion(table)))
+        else None)
+  }
+
   /** [[ingestBatch]]'s OVERWRITE flavor — exactly-once per
     * (streamId, batchId), but the batch's content REPLACES the table
     * instead of appending: the commit shape of a derived artifact

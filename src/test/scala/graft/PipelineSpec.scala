@@ -339,6 +339,41 @@ class PipelineSpec extends SparkSpec {
       f"PQ serving must beat in-query training: $tPqServe%.2f s vs $tPqTrain%.2f s")
   }
 
+  test("IVF+PQ code table maintains under appends: encode only the batch") {
+    import graft.sources.Snapshots
+    val root = "/root/repo/target/pipeline-spec/pq_ingest"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val codesT = s"$root/codes"
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val oldE = e.where(col("vec_id") % 3 =!= 2)
+    val batchE = e.where(col("vec_id") % 3 === 2)
+    // quantizers train once on the initial corpus and are FROZEN
+    val (cents, _) = Similarity.ivfBuild(oldE, c = 8, rounds = 1)
+    val cb = Similarity.pqSeedCodebooks(oldE).localCheckpoint()
+
+    def codeRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("n_id"), col("c_m"), col("code"), col("cid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    Similarity.ivfPqIngestBatch(oldE, cents, cb, codesT, "pq_s1", 0L)
+    val v = Similarity.ivfPqIngestBatch(batchE, cents, cb, codesT, "pq_s1", 1L)
+    def codesNow() = Similarity.readPartitionedDirs(spark, codesT, v)
+    // two appends == one full encode of everything, under the same
+    // frozen quantizers — per-vector encoding makes appends exact
+    assert(codeRows(codesNow()) == codeRows(Similarity.pqEncode(e, cents, cb)),
+      "incremental code appends must equal the full encode")
+    // a replayed batch no-ops
+    Similarity.ivfPqIngestBatch(batchE, cents, cb, codesT, "pq_s1", 1L)
+    assert(Snapshots.currentVersion(codesT) == v)
+    // the appended dirs keep the partitioned layout: a one-list probe
+    // still prunes at the scan in BOTH dirs' branches
+    val plan = physicalPlan(codesNow().where(col("cid") === 3))
+    assert("""PartitionFilters: \[.*cid""".r.findAllIn(plan).size == 2, plan)
+  }
+
   test("incremental graph fold equals the full rebuild edge-for-edge") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val oldE = e.where(col("vec_id") % 10 =!= 9)
