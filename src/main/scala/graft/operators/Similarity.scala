@@ -298,9 +298,15 @@ object Similarity {
     * new batch's collision fan-out.
     */
   def graphAppendIncremental(all: DataFrame, oldGraph: DataFrame,
-      newIds: DataFrame): DataFrame = {
+      newIds: DataFrame, bandedIndex: Option[DataFrame] = None): DataFrame = {
     val v = quantized(all).localCheckpoint()
-    val banded = bandedVectors(v.withColumn("buckets", lshBandBuckets(col("q"))))
+    // band rows are PER-VECTOR and append-only, so at scale the banded
+    // index is a persisted artifact maintained batch-by-batch
+    // ([[graphIngestBatch]]'s bands table — the Dedup band-index
+    // pattern): folding a batch then bands ONLY the batch. The
+    // recompute below is the self-contained fallback.
+    val banded = bandedIndex.getOrElse(
+      bandedVectors(v.withColumn("buckets", lshBandBuckets(col("q")))))
     val nb = banded.join(newIds.select(col("vec_id")), Seq("vec_id"), "left_semi")
     val candNew = nb.toDF("a", "band", "bucket")
       .join(banded.toDF("b", "band", "bucket"), Seq("band", "bucket"))
@@ -338,6 +344,13 @@ object Similarity {
     import graft.sources.Snapshots
     val s = batch.sparkSession
     val vecV = Snapshots.ingestBatch(batch, vecTable, streamId, batchId)
+    // the per-vector banded index appends exactly-once alongside the
+    // vectors, so a fold never re-bands the corpus — each batch bands
+    // only itself and the candidate join reads the accumulated index
+    val bandsT = graphTable + "_bands"
+    val bandsV = Snapshots.ingestBatch(
+      bandedVectors(quantized(batch).withColumn("buckets", lshBandBuckets(col("q")))),
+      bandsT, streamId, batchId)
     if (Snapshots.batchCommitted(graphTable, streamId, batchId))
       return Snapshots.committedVersion(graphTable, streamId, batchId)
         .getOrElse(Snapshots.currentVersion(graphTable))
@@ -345,7 +358,8 @@ object Similarity {
     val graph =
       if (Snapshots.currentVersion(graphTable) == 0) buildGraph(all)
       else graphAppendIncremental(all,
-        Snapshots.read(s, graphTable), batch.select("vec_id"))
+        Snapshots.read(s, graphTable), batch.select("vec_id"),
+        bandedIndex = Some(Snapshots.readVersion(s, bandsT, bandsV)))
     Snapshots.commitBatchOverwrite(graph, graphTable, streamId, batchId)
   }
 
