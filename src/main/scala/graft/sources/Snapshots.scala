@@ -256,19 +256,22 @@ object Snapshots {
 
   private def mergeTagged(spark: SparkSession, table: String, source: DataFrame,
       key: String, tags: Seq[String], extraAbort: () => Option[Int]): Option[Int] = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.col
     val cur = currentVersion(table)
     // cur == 0: first batch bootstraps the table — nothing to probe
     val dirs = if (cur == 0) Seq.empty else manifestDirs(table, cur)
+    // join strategy is LEFT TO AQE on purpose: a point-keyed CDC batch
+    // broadcasts (the normal case), but a bulk backfill's key set is
+    // data-sized and must be allowed to shuffle — pinning a broadcast
+    // here would OOM exactly when merge is asked to do the most work
     val srcKeys = source.select(col(key)).distinct().localCheckpoint()
     val touched =
       if (dirs.isEmpty) Seq.empty[String]
-      else probeTouched(spark, dirs,
-        _.join(broadcast(srcKeys), Seq(key), "left_semi"))
+      else probeTouched(spark, dirs, _.join(srcKeys, Seq(key), "left_semi"))
     val staged = touched.map { d =>
       val out = stageDir(table)
       spark.read.parquet(d)
-        .join(broadcast(srcKeys), Seq(key), "left_anti")
+        .join(srcKeys, Seq(key), "left_anti")
         .write.mode(SaveMode.ErrorIfExists).parquet(out)
       out
     }
