@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -29,6 +29,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * (Divide(decimal(28,2), decimal(20,0)) cast to decimal(22,6)), so
   * every shape is answer-invariant bit-for-bit (tested in CboSpec),
   * at the registered keys and at coarser lattice points alike.
+  * KEY-SLICE queries rewrite too: a WHERE over grouping-key columns
+  * commutes with the group-by, so the same predicate re-anchored onto
+  * the view's key columns serves `WHERE key = …` dashboards from the
+  * MV; filters touching any non-key column refuse the rewrite.
   */
 object MvRewrite {
 
@@ -80,28 +84,43 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     else plan.transform {
       case agg @ Aggregate(groupExprs, aggExprs, child, _)
           if scanDirs(child).nonEmpty =>
-        val dirs = scanDirs(child).get
+        val (dirs, slice) = scanDirs(child).get
         // cost-based view selection: among all registered MVs that
         // cover this aggregate, serve from the SMALLEST (fewest rows
         // to scan/re-aggregate) — the coarse rollup wins for a coarse
         // query even though the fine MV also covers it
-        registry.filter(mv => mv.baseDirs == dirs && rewritable(agg, groupExprs, mv))
+        registry.filter(mv => mv.baseDirs == dirs && rewritable(agg, groupExprs, mv) &&
+            sliceable(slice, mv))
           .sortBy(_.rows)
-          .iterator.map(mv => rewrite(agg, mv))
+          .iterator.map(mv => rewrite(agg, mv, slice))
           .collectFirst { case Some(p) => p }
           .getOrElse(agg)
     }
 
-  /** The scan dirs under an Aggregate child that is a bare relation or
-    * a column-pruning projection over one.
+  /** The scan dirs under an Aggregate child that is a bare relation, a
+    * column-pruning projection, or a KEY-SLICE filter over one — a
+    * predicate over grouping-key columns commutes with the group-by,
+    * so `WHERE key = …` queries are still servable from the view (the
+    * same filter applies to the MV's key columns). Returns the dirs
+    * plus the slice predicates found on the way down.
     */
-  private def scanDirs(plan: LogicalPlan): Option[Set[String]] = plan match {
-    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      Some(fs.location.rootPaths.map(p => normalize(p.toString)).toSet)
-    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      scanDirs(child)
-    case _ => None
-  }
+  private def scanDirs(plan: LogicalPlan): Option[(Set[String], Seq[Expression])] =
+    plan match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        Some((fs.location.rootPaths.map(p => normalize(p.toString)).toSet, Nil))
+      case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        scanDirs(child)
+      case Filter(cond, child) =>
+        scanDirs(child).map { case (dirs, fs) => (dirs, cond +: fs) }
+      case _ => None
+    }
+
+  /** A slice predicate is servable iff every column it touches is an
+    * MV grouping key — then filtering the view's key columns is
+    * exactly filtering the base before the group-by.
+    */
+  private def sliceable(slice: Seq[Expression], mv: MvDef): Boolean =
+    slice.forall(_.references.forall(a => mv.keys.contains(a.name)))
 
   /** Rewritable when the query's grouping keys are a SUBSET of the
     * MV's — the rollup lattice: an equal-keys query projects the MV
@@ -119,9 +138,16 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     * point of the lattice; None (no rewrite) if any aggregate falls
     * outside the MV's stored shapes.
     */
-  private def rewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
-    val rel = session.read.parquet(mv.mvDirs: _*).queryExecution.analyzed
-    val byName = rel.output.map(a => a.name -> a).toMap
+  private def rewrite(agg: Aggregate, mv: MvDef,
+      slice: Seq[Expression]): Option[LogicalPlan] = {
+    val mvRel = session.read.parquet(mv.mvDirs: _*).queryExecution.analyzed
+    val byName = mvRel.output.map(a => a.name -> a).toMap
+    // re-anchor the slice predicates onto the MV's key columns
+    val rel: LogicalPlan =
+      if (slice.isEmpty) mvRel
+      else Filter(slice.map(_.transform {
+        case a: AttributeReference => byName(a.name)
+      }).reduce(And), mvRel)
     val exact = agg.groupingExpressions
       .map { case a: AttributeReference => a.name }.toSet == mv.keys
 

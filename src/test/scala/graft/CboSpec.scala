@@ -295,6 +295,32 @@ class CboSpec extends SparkSpec {
         got.getDecimal(2) == wantGlobal.getDecimal(2),
         s"lattice min/max/avg diverged: $got vs $wantGlobal")
 
+      // KEY-SLICE queries serve from the view too: a predicate over
+      // grouping keys commutes with the group-by
+      def slice() = Snapshots.read(spark, base)
+        .where(col("l_returnflag") === "R")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+      val sPlan = physicalPlan(slice())
+      assert(sPlan.contains("/mv/") && !sPlan.contains("/base/"),
+        s"a key-slice must serve from the view:\n$sPlan")
+      // ground truth straight from the source parquet (different dirs,
+      // so the rewrite cannot touch it)
+      val wantR = li.where(col("l_returnflag") === "R")
+      val sliceRow = slice().collect()
+      assert(sliceRow.length == 1 && sliceRow.head.getString(0) == "R")
+      assert(sliceRow.head.getLong(1) == wantR.count())
+      assert(sliceRow.head.getDecimal(2) ==
+        wantR.agg(sum(col("l_quantity").cast("decimal(18,2)"))).head().getDecimal(0))
+      // a filter over a NON-key column must refuse the rewrite
+      val nk = Snapshots.read(spark, base)
+        .where(col("l_quantity") > 10)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"))
+      assert(physicalPlan(nk).contains("/base/"),
+        "a non-key filter cannot be served from the view")
+
       // empty base: the coarser-lattice count rewrite must serve 0,
       // not NULL (sum over a zero-row MV is NULL; coalesce restores
       // the count-over-empty contract)
