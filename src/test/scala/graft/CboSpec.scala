@@ -320,6 +320,15 @@ class CboSpec extends SparkSpec {
         .agg(count(lit(1)).as("cnt"))
       assert(physicalPlan(nk).contains("/base/"),
         "a non-key filter cannot be served from the view")
+      // HAVING (a filter ABOVE the aggregate) rewrites transparently —
+      // the rule fires on the inner Aggregate, the filter stays on top
+      val having = Snapshots.read(spark, base)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 0)
+      assert(physicalPlan(having).contains("/mv/") &&
+        !physicalPlan(having).contains("/base/"),
+        "HAVING above a served aggregate must not block the rewrite")
 
       // empty base: the coarser-lattice count rewrite must serve 0,
       // not NULL (sum over a zero-row MV is NULL; coalesce restores
