@@ -336,6 +336,31 @@ object Snapshots {
         ()
       }
 
+  /** CHANGE DATA FEED between two committed versions — the read half
+    * of the CDC story ([[merge]]/[[mergeBatch]] being the apply half,
+    * the Delta CDF analog): returns (inserted rows, deleted rows; an
+    * update appears as delete-of-old + insert-of-new). Because every
+    * commit carries unchanged dirs BY REFERENCE, the diff touches ONLY
+    * the dirs that entered or left the manifest — at 100 TB a point
+    * merge's feed reads a handful of files, never the table. Within
+    * the changed dirs the row delta is an exact multiset EXCEPT ALL in
+    * both directions (a rewritten dir re-carries its unchanged rows;
+    * the except cancels them).
+    */
+  def changesBetween(spark: SparkSession, table: String,
+      fromV: Int, toV: Int): (DataFrame, DataFrame) = {
+    val from = manifestDirs(table, fromV)
+    val to = manifestDirs(table, toV)
+    val dropped = from.filterNot(to.toSet)
+    val added = to.filterNot(from.toSet)
+    def readOrEmpty(dirs: Seq[String], like: Seq[String]) =
+      if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+      else spark.read.parquet(like: _*).limit(0)
+    val before = readOrEmpty(dropped, from ++ to)
+    val after = readOrEmpty(added, from ++ to)
+    (after.exceptAll(before), before.exceptAll(after))
+  }
+
   /** [[commitOverwrite]] carrying provenance tags in the manifest —
     * e.g. a materialized view's refreshed-through watermark. Tags
     * commit atomically with the version (same mechanism as streaming

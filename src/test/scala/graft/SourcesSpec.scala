@@ -442,6 +442,22 @@ class SourcesSpec extends SparkSpec {
     assert(vb2 == vb, "replayed merge batch must resolve to its own commit")
     assert(Snapshots.currentVersion(table) == vb, "replay must not advance the table")
     assert(Snapshots.read(spark, table).count() == countAfter)
+
+    // CHANGE FEED of the merge batch: inserts are exactly the source
+    // rows, deletes are exactly the replaced old versions — and a
+    // rewritten dir's re-carried unchanged rows cancel out
+    val (ins, del) = Snapshots.changesBetween(spark, table, v.get, vb)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(keyed(ins) == keyed(batch2),
+      "change-feed inserts must be the merge source rows")
+    assert(keyed(del) == keyed(
+      Snapshots.readVersion(spark, table, v.get)
+        .where(col("o_orderkey").between(100, 200))),
+      "change-feed deletes must be the replaced old rows")
+    // version-adjacent no-op: identical manifests yield an empty feed
+    val (ins2, del2) = Snapshots.changesBetween(spark, table, vb, vb)
+    assert(ins2.isEmpty && del2.isEmpty)
   }
 
   test("racing MV refreshes never double-count a delta") {
