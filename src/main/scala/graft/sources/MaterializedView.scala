@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   *    next refresh sees the old watermark and folds the gap),
   *  - the MV is itself versioned and time-travelable like any table.
   * If the base history was REWRITTEN under the watermark (compaction /
-  * overwrite / vacuum), delta folding would double- or miss-count —
-  * detected by a dir-set subset check, which falls back to one full
-  * recompute and a fresh watermark.
+  * overwrite / DML / merge), dir-level delta folding would double- or
+  * miss-count — detected by a dir-set subset check. Count/sum MVs
+  * then fold the row-level CHANGE FEED ([[Snapshots.changesBetween]]:
+  * only the dirs that entered/left the manifest are read; deletes
+  * subtract — the aggregates are abelian); min/max MVs, which are not
+  * deletion-invertible, fall back to one full recompute and a fresh
+  * watermark.
   *
   * At 100 TB this is the nightly-rollup pattern: refresh cost is
   * O(new data) + O(|MV|), not O(base); sums stay exact decimals so a
@@ -29,6 +33,12 @@ import org.apache.spark.sql.functions._
 object MaterializedView {
 
   private val TagPrefix = "mv_through "
+
+  /** How the last [[refresh]] on this JVM brought the MV current —
+    * "bootstrap" | "append-fold" | "cdc-fold" | "recompute"; test
+    * introspection for the cost-path contract.
+    */
+  @volatile private[graft] var lastRefreshMode: String = ""
 
   /** The base version the MV at `mvTable` currently reflects (0 if the
     * MV does not exist yet).
@@ -90,20 +100,41 @@ object MaterializedView {
 
       val newDirs = Snapshots.versionDirs(baseTable, curV)
       val oldDirs = if (lastV == 0) Seq.empty else Snapshots.versionDirs(baseTable, lastV)
+      def merges = sums.map(c => sum(col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c")) ++
+        mins.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
+        maxs.map(c => max(col(s"max_$c")).as(s"max_$c"))
+      def foldInto(delta: DataFrame) =
+        Snapshots.readVersion(spark, mvTable, mvV).unionByName(delta)
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col("cnt")).cast("long").as("cnt"), merges: _*)
       val fresh =
-        if (lastV == 0 || !oldDirs.toSet.subsetOf(newDirs.toSet))
-          // first build, or history rewritten under the watermark
-          // (compaction / overwrite / DML): fold from scratch
+        if (lastV == 0) {
+          lastRefreshMode = "bootstrap"
           aggregate(Snapshots.readVersion(spark, baseTable, curV), keys, sums, mins, maxs)
-        else {
+        } else if (oldDirs.toSet.subsetOf(newDirs.toSet)) {
+          lastRefreshMode = "append-fold"
           val deltaDirs = newDirs.filterNot(oldDirs.toSet)
-          val deltaAgg = aggregate(spark.read.parquet(deltaDirs: _*), keys, sums, mins, maxs)
-          val merges = sums.map(c => sum(col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c")) ++
-            mins.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
-            maxs.map(c => max(col(s"max_$c")).as(s"max_$c"))
-          Snapshots.readVersion(spark, mvTable, mvV).unionByName(deltaAgg)
-            .groupBy(keys.map(col): _*)
-            .agg(sum(col("cnt")).cast("long").as("cnt"), merges: _*)
+          foldInto(aggregate(spark.read.parquet(deltaDirs: _*), keys, sums, mins, maxs))
+        } else if (mins.isEmpty && maxs.isEmpty) {
+          // history REWRITTEN under the watermark (DML / merge /
+          // compaction): counts and exact-decimal sums are ABELIAN, so
+          // fold the row-level change feed — which reads ONLY the dirs
+          // that entered or left the manifest — instead of re-scanning
+          // the base. A fully-deleted group's count reaches 0 and is
+          // dropped. (A pure compaction's feed is empty — the fold
+          // no-ops where the old path re-scanned everything.)
+          lastRefreshMode = "cdc-fold"
+          val (ins, del) = Snapshots.changesBetween(spark, baseTable, lastV, curV)
+          val plus = aggregate(ins, keys, sums, Nil, Nil)
+          val minus = aggregate(del, keys, sums, Nil, Nil)
+            .select(keys.map(col) ++ ((-col("cnt")).as("cnt") +:
+              sums.map(c => (-col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c"))): _*)
+          foldInto(plus.unionByName(minus)).where(col("cnt") > 0)
+        } else {
+          // min/max are not deletion-invertible: a rewritten history
+          // under a min/max MV recomputes from the current snapshot
+          lastRefreshMode = "recompute"
+          aggregate(Snapshots.readVersion(spark, baseTable, curV), keys, sums, mins, maxs)
         }
       Snapshots.commitOverwriteTaggedIf(fresh, mvTable, mvV, Seq(TagPrefix + curV))
         .foreach(v => return v)

@@ -379,12 +379,33 @@ class SourcesSpec extends SparkSpec {
     assert(mvRows() == recompute(li), "incremental fold must equal a full recompute")
     assert(MaterializedView.refreshedThrough(mv) == Snapshots.currentVersion(base))
 
-    // history rewritten under the watermark (overwrite): the subset
-    // check forces a full recompute instead of a wrong delta fold
+    // history rewritten under the watermark (overwrite): a count/sum
+    // MV folds the row-level CHANGE FEED — reading only the dirs that
+    // entered/left the manifest — instead of re-scanning the base
     Snapshots.commitOverwrite(li.where(col("l_orderkey") % 2 === 0), base)
     MaterializedView.refresh(spark, base, mv, keys, sums)
+    assert(MaterializedView.lastRefreshMode == "cdc-fold",
+      MaterializedView.lastRefreshMode)
     assert(mvRows() == recompute(li.where(col("l_orderkey") % 2 === 0)),
-      "rewrite under the watermark must trigger recompute")
+      "rewrite under the watermark must fold to the exact recompute")
+
+    // selective DML under the watermark: same fold, still exact
+    Snapshots.deleteWhereSelective(spark, base, col("l_orderkey") % 100 === 0)
+    MaterializedView.refresh(spark, base, mv, keys, sums)
+    assert(MaterializedView.lastRefreshMode == "cdc-fold")
+    assert(mvRows() == recompute(
+      li.where(col("l_orderkey") % 2 === 0 && col("l_orderkey") % 100 =!= 0)))
+
+    // min/max MVs are not deletion-invertible: a rewritten history
+    // falls back to the full recompute path
+    val mvMm = s"$root/mv_minmax"
+    MaterializedView.refresh(spark, base, mvMm, keys, sums,
+      mins = Seq("l_quantity"), maxs = Nil)
+    Snapshots.commitOverwrite(li.where(col("l_orderkey") % 2 === 1), base)
+    MaterializedView.refresh(spark, base, mvMm, keys, sums,
+      mins = Seq("l_quantity"), maxs = Nil)
+    assert(MaterializedView.lastRefreshMode == "recompute",
+      MaterializedView.lastRefreshMode)
   }
 
   test("keyed merge: touched dirs rewrite, others carry by reference, replays no-op") {
