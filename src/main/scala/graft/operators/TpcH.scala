@@ -748,6 +748,63 @@ object TpcH {
            AND p_name LIKE '%rod%'
          GROUP BY n_name, year(o_orderdate)"""))
 
+  /** TPC-H refresh functions RF1/RF2 — the half of the benchmark the
+    * 22 queries don't cover: RF1 INSERTS a batch of new orders (and
+    * their lineitems, keys shifted so FK alignment holds), RF2 DELETES
+    * a disjoint key slice from both tables. Run here against the
+    * versioned snapshot tables: RF1 is an exactly-once-style append
+    * commit, RF2 is the FILE-LEVEL selective delete (only dirs holding
+    * matched keys rewrite). The validation aggregate joins the
+    * refreshed lineitem to the refreshed orders, so its hash certifies
+    * BOTH tables' post-refresh state; the oracle reconstructs the
+    * refreshed pair relationally. Tables rebuild per run — the refresh
+    * stream IS the operator under test.
+    */
+  val refreshFns: QueryDef = QueryDef(
+    "q_tpch_refresh",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val root = "/root/repo/target/tpch_rf/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+      val (ordersT, lineT) = (s"$root/orders", s"$root/lineitem")
+      val o = Tables.load(s, dir, "orders").select("o_orderkey")
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      Snapshots.commitOverwrite(o, ordersT)
+      Snapshots.commitOverwrite(l, lineT)
+      // RF1: insert new orders + their lineitems (keys shifted by a
+      // multiple of 50, so the inserted slice is disjoint from RF2's)
+      Snapshots.commitAppend(o.where(col("o_orderkey") % 50 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(3000000000L)), ordersT)
+      Snapshots.commitAppend(l.where(col("l_orderkey") % 50 === 7)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(3000000000L)), lineT)
+      // RF2: delete an old-order slice from both tables, file-level
+      Snapshots.deleteWhereSelective(s, ordersT, col("o_orderkey") % 50 === 13)
+      Snapshots.deleteWhereSelective(s, lineT, col("l_orderkey") % 50 === 13)
+      Snapshots.read(s, lineT)
+        .join(Snapshots.read(s, ordersT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          Portable.dsum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    },
+    Some(s"""WITH fo AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 50 <> 13
+               UNION ALL
+               SELECT o_orderkey + 3000000000 FROM orders WHERE o_orderkey % 50 = 7),
+             fl AS (SELECT l_orderkey, l_returnflag, l_quantity
+                    FROM lineitem WHERE l_orderkey % 50 <> 13
+               UNION ALL
+               SELECT l_orderkey + 3000000000, l_returnflag, l_quantity
+                    FROM lineitem WHERE l_orderkey % 50 = 7)
+             SELECT l_returnflag, COUNT(*) AS n_rows,
+                    ${P.dsum("l_quantity")} AS sum_qty,
+                    COUNT(DISTINCT o_orderkey) AS n_orders
+             FROM fl JOIN fo ON l_orderkey = o_orderkey
+             GROUP BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11,
-    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, refreshFns)
 }
