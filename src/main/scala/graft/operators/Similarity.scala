@@ -375,6 +375,42 @@ object Similarity {
         ()
       }
 
+  /** The PERSISTED per-vector band index of an embeddings input —
+    * (vec_id, band, bucket), committed once per input fingerprint like
+    * the graph. Serving queries join their (tiny) query-side band rows
+    * against this scan to seed candidate pools, so query time does NO
+    * corpus banding and no corpus self-join: the one remaining corpus
+    * touch is the exact-rerank vector lookup.
+    */
+  def knnBandsTable(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val table = "/root/repo/target/knnbands/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
+    val ver = Snapshots.ensureIndex(table, fp) { out =>
+      bandedVectors(quantized(Tables.load(s, dir, "embeddings"))
+        .withColumn("buckets", lshBandBuckets(col("q"))))
+        .repartition(col("band"), col("bucket"))
+        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+    }
+    s.read.parquet(Snapshots.versionDirs(table, ver): _*)
+  }
+
+  /** Seed pairs for a query set served from the PERSISTED band index:
+    * band the (tiny) query side in-plan and join it against the index
+    * scan — the same collision set the corpus self-join produces,
+    * without touching the corpus at query time.
+    */
+  private def servedSeeds(s: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
+    val qb = bandedVectors(quantized(queries)
+      .withColumn("buckets", lshBandBuckets(col("q"))))
+    qb.toDF("q_id", "band", "bucket")
+      .join(knnBandsTable(s, dir).toDF("n_id", "band", "bucket"),
+        Seq("band", "bucket"))
+      .where(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id").distinct()
+  }
+
   /** The PERSISTED kNN graph over an embeddings input
     * ([[buildGraph]]), committed once per input fingerprint through
     * [[graft.sources.Snapshots.ensureIndex]] (claim-elected single
@@ -416,10 +452,9 @@ object Similarity {
       val e = Tables.load(s, dir, "embeddings")
       val v = quantized(e).localCheckpoint()
       val graph = knnGraphTable(s, dir)
-      val cand = lshCandidatePairs(e)
-      val sym = cand.unionAll(cand.select(col("b").as("a"), col("a").as("b")))
-      val seeds = sym.where(col("a") < 5)
-        .select(col("a").as("q_id"), col("b").as("n_id"))
+      // seeds from the persisted band index — no corpus banding or
+      // self-join at query time
+      val seeds = servedSeeds(s, dir, e.where(col("vec_id") < 5))
       val hop = seeds.join(graph, col("n_id") === col("g_src"))
         .select(col("q_id"), col("g_dst").as("n_id"))
       val expanded = seeds.unionAll(hop)
@@ -527,11 +562,9 @@ object Similarity {
       // edge scan, keeping the persisted-graph lineage visible in the
       // final plan — asserted in PipelineSpec
       val graph = knnGraphTable(s, dir)
-      val cand = lshCandidatePairs(e)
-      val sym = cand.unionAll(cand.select(col("b").as("a"), col("a").as("b")))
-      val seeds = sym.where(col("a") < 5)
-        .select(col("a").as("q_id"), col("b").as("n_id"))
-        .where(col("n_id") =!= col("q_id")).distinct()
+      // seeds from the persisted band index — no corpus banding or
+      // self-join at query time
+      val seeds = servedSeeds(s, dir, e.where(col("vec_id") < 5))
       val byQ = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
       // every beam-state frame (pool, frontier, visited, new
       // candidates) is ≤ queries × BeamEf(×GraphK) rows, yet each
