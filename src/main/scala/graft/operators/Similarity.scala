@@ -577,9 +577,13 @@ object Similarity {
       // behind the persisted graph/index scans)
       val oldWidth = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      var scored = scorePairs(v, seeds, "q_id", "n_id").localCheckpoint()
-      var expanded = seeds.limit(0).localCheckpoint()
+      var scored: DataFrame = null
+      var expanded: DataFrame = null
       try {
+        // EVERY eager job after the narrow set() runs inside the try —
+        // a failure here must not leave the session narrowed
+        scored = scorePairs(v, seeds, "q_id", "n_id").localCheckpoint()
+        expanded = seeds.limit(0).localCheckpoint()
         for (r <- 1 to BeamRounds) {
           val pool = scored.withColumn("rn", row_number().over(byQ))
             .where(col("rn") <= BeamEf).select("q_id", "n_id")

@@ -765,10 +765,7 @@ object TpcH {
     (s, dir) => {
       import graft.sources.Snapshots
       val root = "/root/repo/target/tpch_rf/" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
-      }
-      rm(new java.io.File(root))
+      Snapshots.deleteRecursively(root)
       val (ordersT, lineT) = (s"$root/orders", s"$root/lineitem")
       val o = Tables.load(s, dir, "orders").select("o_orderkey")
       val l = Tables.load(s, dir, "lineitem")

@@ -115,12 +115,16 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** A slice predicate is servable iff every column it touches is an
-    * MV grouping key — then filtering the view's key columns is
-    * exactly filtering the base before the group-by.
+  /** A slice predicate is servable iff it is DETERMINISTIC and every
+    * column it touches is an MV grouping key — then filtering the
+    * view's key columns is exactly filtering the base before the
+    * group-by. (A non-deterministic filter — rand() sampling — does
+    * NOT commute with the group-by: it must run once per base row,
+    * never once per pre-aggregated view row.)
     */
   private def sliceable(slice: Seq[Expression], mv: MvDef): Boolean =
-    slice.forall(_.references.forall(a => mv.keys.contains(a.name)))
+    slice.forall(p => p.deterministic &&
+      p.references.forall(a => mv.keys.contains(a.name)))
 
   /** Rewritable when the query's grouping keys are a SUBSET of the
     * MV's — the rollup lattice: an equal-keys query projects the MV

@@ -203,15 +203,24 @@ object Snapshots {
     */
   private def probeTouched(spark: SparkSession, dirs: Seq[String],
       probe: DataFrame => DataFrame): Seq[String] = {
-    val touchedAbs = probe(spark.read.parquet(dirs: _*))
-      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
-      .select(org.apache.spark.sql.functions
-        .regexp_replace(org.apache.spark.sql.functions.col("f"), "/[^/]+$", "").as("d"))
-      .distinct().collect()
+    import org.apache.spark.sql.functions.{col, input_file_name, regexp_replace}
+    // input_file_name() is STAGE-LOCAL: it must be projected directly
+    // on the scan, BEFORE the probe can introduce an exchange (a
+    // shuffled semi-join evaluates it post-shuffle, where it returns
+    // "") — so the parent-dir column rides along through the probe
+    val withDir = spark.read.parquet(dirs: _*)
+      .withColumn("_graft_dir",
+        regexp_replace(input_file_name(), "/[^/]+$", ""))
+    val touchedAbs = probe(withDir)
+      .select(col("_graft_dir")).distinct().collect()
       .map(r => Paths.get(java.net.URI.create(r.getString(0))).toString)
-      .toSet
-    dirs.filter(d =>
-      touchedAbs.contains(Paths.get(d).toAbsolutePath.normalize.toString))
+    // match by PREFIX, not equality: files inside a partitioned data
+    // dir (dir/cid=N/part-*.parquet) resolve to the cid= subdir, which
+    // must still map back to its manifest dir
+    dirs.filter { d =>
+      val abs = Paths.get(d).toAbsolutePath.normalize.toString
+      touchedAbs.exists(f => f == abs || f.startsWith(abs + "/"))
+    }
   }
 
   private def rewriteTouched(spark: SparkSession, table: String,
@@ -240,10 +249,15 @@ object Snapshots {
     * key semi-join) finds the dirs holding matched keys; ONLY those
     * are rewritten (anti-join against the source keys), untouched dirs
     * carry by reference, and the source lands as one new dir. The
-    * commit is conflict-checked: a racing writer replacing a touched
-    * dir aborts the merge (None — recompute and retry) instead of
-    * resurrecting replaced rows. `source` must be keyed (≤ 1 row per
-    * key — a multi-row key makes "the" replacement ambiguous).
+    * commit is conflict-checked as a HEAD compare-and-swap: ANY
+    * concurrent commit aborts the merge (None — re-probe and retry) —
+    * dir-presence alone would not do, because a racing appender (or a
+    * racing merge of the same key into a fresh dir) can introduce
+    * matched keys the probe never saw, and blindly appending the
+    * source would then duplicate them. This is the
+    * serializable-conflict semantic Delta/Iceberg MERGE enforces.
+    * `source` must be keyed (≤ 1 row per key — a multi-row key makes
+    * "the" replacement ambiguous).
     *
     * At 100 TB: the probe is one scan whose non-matching files are
     * answered from parquet footers; the rewrite is O(matched dirs) —
@@ -284,10 +298,10 @@ object Snapshots {
       },
       tags = tags,
       abortIf = () => extraAbort().orElse {
-        val now = currentVersion(table)
-        val present = if (now == 0) Set.empty[String]
-          else manifestDirs(table, now).toSet
-        if (touched.forall(present.contains)) None else Some(ConflictSentinel)
+        // head CAS: the probe is only valid against the exact snapshot
+        // it ran on — any commit since (even a pure append) may carry
+        // matched keys it never saw
+        if (currentVersion(table) == cur) None else Some(ConflictSentinel)
       })
     if (v == ConflictSentinel) {
       (staged :+ srcDir).foreach(deleteDataDir); None
@@ -769,8 +783,13 @@ object Snapshots {
       }
   }
 
-  private def deleteDataDir(dir: String): Unit = {
-    val p = Paths.get(dir)
+  private def deleteDataDir(dir: String): Unit = deleteRecursively(dir)
+
+  /** Recursive delete (no-op when absent) — shared by staged-dir
+    * cleanup and by queries that rebuild a snapshot table per run.
+    */
+  def deleteRecursively(path: String): Unit = {
+    val p = Paths.get(path)
     if (Files.exists(p)) {
       val w = Files.walk(p)
       try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)

@@ -239,10 +239,7 @@ object SourceQueries {
     (s, dir) => {
       import graft.sources.Snapshots
       val table = "/root/repo/target/merge/" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
-      }
-      rm(new java.io.File(table))
+      Snapshots.deleteRecursively(table)
       val o = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       Snapshots.commitOverwrite(o, table)

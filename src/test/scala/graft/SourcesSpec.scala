@@ -408,6 +408,28 @@ class SourcesSpec extends SparkSpec {
       MaterializedView.lastRefreshMode)
   }
 
+  test("selective DML probes through PARTITIONED data dirs") {
+    import graft.sources.{Snapshots, Sources}
+    val table = "/root/repo/target/sources-spec/seldml_part"
+    Snapshots.deleteRecursively(table)
+    val o = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey")
+      .withColumn("p", col("o_orderkey") % 4)
+    // a manifest dir with k=v partition subdirs — the layout
+    // ingestBatchStaged/ensureIndex stage for served indexes; the
+    // probe's file→dir mapping must resolve THROUGH the partition
+    // level back to the manifest dir
+    val dir = Snapshots.stageDir(table)
+    Sources.writePartitioned(o, dir, "p")
+    Snapshots.commitTransform(table)(_ => Seq(dir))
+    val before = Snapshots.read(spark, table).count()
+    val v = Snapshots.deleteWhereSelective(spark, table, col("o_orderkey") === 42)
+    assert(v.isDefined && v.get > 1, "the delete must fire, not silently no-op")
+    assert(Snapshots.read(spark, table).where(col("o_orderkey") === 42).count() == 0)
+    assert(Snapshots.read(spark, table).count() ==
+      before - o.where(col("o_orderkey") === 42).count())
+  }
+
   test("keyed merge: touched dirs rewrite, others carry by reference, replays no-op") {
     import graft.sources.Snapshots
     val table = "/root/repo/target/sources-spec/merge_tbl"
