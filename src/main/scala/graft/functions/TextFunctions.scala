@@ -603,8 +603,79 @@ object TextFunctions {
               THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
           FROM p GROUP BY 1, 2"""))
 
+  /** The conjunctive keyword queries served by [[invertedSearch]] —
+    * literal (query, term) rows, identical in the Spark build and the
+    * DuckDB oracle. Terms come from the corpus generator's fixed
+    * vocabulary, so they exist at every scale factor.
+    */
+  private val SearchTerms: Seq[(Int, String)] = Seq(
+    1 -> "scan", 1 -> "merge", 2 -> "stream", 2 -> "value",
+    3 -> "hash", 3 -> "join")
+
+  /** §2.2 — keyword search served from a PERSISTED inverted index:
+    * the IR-side counterpart of the persisted ANN indexes. The index
+    * is the classic postings table (term, doc_id, tf), built ONCE per
+    * corpus fingerprint through the claim-elected
+    * [[graft.sources.Snapshots.ensureIndex]] and laid out partitioned
+    * by a 16-way term-hash bucket; a conjunctive query then reads ONLY
+    * its terms' buckets (PartitionFilters on `b` — the scan is
+    * O(matched postings), not O(corpus), at any scale), broadcasts the
+    * tiny literal query table, keeps docs containing ALL the query's
+    * terms, and ranks by summed term frequency (exact integers;
+    * doc_id tie-break). The DuckDB oracle recomputes the whole thing
+    * from raw text — hash equality proves index serving ≡ full scan.
+    */
+  val invertedSearch: QueryDef = QueryDef(
+    "t_inverted_search",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val postT = "/root/repo/target/invidx/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/postings"
+      val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
+      val v = Snapshots.ensureIndex(postT, fp) { out =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+          .where(col("term") =!= "")
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+          // same 60-bit md5 hash the driver-side bucket filter uses
+          .withColumn("b", pmod(
+            conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"), lit(16)))
+          .write.partitionBy("b")
+          .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+      }
+      // the query's term buckets, computed driver-side from the same
+      // md5-60bit hash — a literal IN filter the scan prunes on
+      val buckets = SearchTerms.map(_._2).map { t =>
+        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        Md5Hash60Util.hash60(b, 0, b.length) % 16
+      }.distinct
+      val post = s.read.parquet(Snapshots.versionDirs(postT, v): _*)
+        .where(col("b").isin(buckets: _*))
+      val q = broadcast(s.createDataFrame(SearchTerms).toDF("query_id", "term"))
+      val hits = post.join(q, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(count(lit(1)).as("nt"), sum(col("tf")).as("score"))
+        .where(col("nt") === 2) // conjunctive: every query has 2 terms
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+      hits.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+        .select("query_id", "doc_id", "score", "rk")
+    },
+    Some(s"""WITH q(query_id, term) AS (VALUES ${
+        SearchTerms.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+         tk AS (SELECT doc_id, unnest(${Portable.textSql.tokensLower}) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         hit AS (SELECT q.query_id, tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS score
+             FROM tf JOIN q ON tf.term = q.term
+             GROUP BY 1, 2 HAVING COUNT(*) = 2)
+         SELECT query_id, doc_id, score, rk FROM (
+           SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+           FROM hit) r WHERE rk <= 10"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
-      collocations, repetition, piiRedact, packSequences, mixtureSample)
+      collocations, repetition, piiRedact, packSequences, mixtureSample,
+      invertedSearch)
 }

@@ -228,6 +228,62 @@ object Dedup {
            md5(COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE rk = 1), '')) AS kept_fp
          FROM k GROUP BY doc_id"""))
 
+  // ---- §2.2 row 21c: duplicated-SPAN detection (substring dedup) ----
+
+  /** Substring-level duplicate detection (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", 2022): slide a
+    * W-word window over every document and find spans that occur in
+    * MORE THAN ONE place in the corpus. Unlike chunk dedup
+    * ([[paragraph]], fixed non-overlapping 20-token chunks), the
+    * rolling window catches duplicated passages at ANY offset — the
+    * boilerplate/licence-header/quoted-reply shape that dominates web
+    * crawls. Per document: total distinct windows, how many of them
+    * are duplicated elsewhere, and the flag a pipeline would gate on
+    * (≥ half the windows duplicated — compared as 2·dup ≥ total in
+    * exact integers, no IEEE division).
+    *
+    * Scale: windows travel as 60-bit hashes (8 bytes), never text.
+    * The duplicate set is found by one count-aggregate on the hash
+    * (map-side partial, so a boilerplate span repeated millions of
+    * times collapses per map task); the membership join back is a
+    * hash-key equi-join — AQE skew-split handles the hot-span keys.
+    * No cross join, no window over a hot key, nothing driver-side.
+    */
+  private val SpanW = 10 // duplicated-span window, in words
+
+  /** Per-document duplicated-window statistics over (doc_id, text) —
+    * the reusable core of [[substring]] (window width [[SpanW]]).
+    */
+  def substringDupStats(docs: DataFrame): DataFrame = {
+    // distinct W-windows per doc (wordNGramHashes distincts + sorts)
+    val ex = docs.select(col("doc_id"),
+      explode(wordShingles(lower(col("text")), SpanW)).as("w"))
+    // spans seen ≥ 2 times corpus-wide (windows are distinct within
+    // a doc, so count(*) ≥ 2 ⟺ present in ≥ 2 documents)
+    val dup = ex.groupBy("w").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("w"), lit(1L).as("is_dup"))
+    ex.join(dup, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("is_dup")).as("n_dup_windows"))
+      .withColumn("flagged",
+        lit(2) * col("n_dup_windows") >= col("n_windows"))
+  }
+
+  val substring: QueryDef = QueryDef(
+    "d_dedup_substring",
+    (s, dir) => substringDupStats(Tables.load(s, dir, "documents")),
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensLowerSql AS tk FROM documents),
+         g AS (SELECT doc_id, ${gramsSql(SpanW)} AS grams FROM tk),
+         ex AS (SELECT doc_id, unnest(grams) AS w FROM g),
+         dup AS (SELECT w FROM ex GROUP BY w HAVING COUNT(*) >= 2)
+         SELECT e.doc_id, COUNT(*) AS n_windows,
+           COUNT(d.w) AS n_dup_windows,
+           2 * COUNT(d.w) >= COUNT(*) AS flagged
+         FROM ex e LEFT JOIN dup d ON e.w = d.w
+         GROUP BY e.doc_id"""))
+
   // ---- §2.2 row 22: MinHash + LSH (full-pipeline SQL oracle) ----
 
   val minhash: QueryDef = QueryDef(
@@ -807,6 +863,6 @@ object Dedup {
          FROM ranked WHERE rk = 1"""))
 
   val defs: Seq[QueryDef] =
-    Seq(exact, paragraph, minhash, editDistance, simhashDef, ngramJaccard,
-      cluster, canonicalByQuality, incremental)
+    Seq(exact, paragraph, substring, minhash, editDistance, simhashDef,
+      ngramJaccard, cluster, canonicalByQuality, incremental)
 }

@@ -767,4 +767,59 @@ class PipelineSpec extends SparkSpec {
     assert(violated == 0, "no later week can exceed the cohort size")
     d.unpersist()
   }
+
+  test("substring dedup: copies fully duplicated, partial overlap found at any offset") {
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ")     // 20 words
+    val tail = (1 to 20).map(i => s"u$i").mkString(" ")       // 20 unique
+    val docs = Seq(
+      (1L, shared),                        // verbatim copy of doc 2
+      (2L, shared),
+      (3L, shared.split(" ").take(10).mkString(" ") + " " + tail),
+      (4L, "entirely disjoint vocabulary with no repeated span at all whatsoever today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDupStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // exact copies: every rolling window duplicated → flagged
+    assert(got(1L) == got(2L))
+    assert(got(1L)._1 == got(1L)._2 && got(1L)._3,
+      s"exact copies must have all windows duplicated: ${got(1L)}")
+    // doc 3 shares only a 10-word PREFIX (one W=10 window) — chunk
+    // dedup's aligned 20-token chunks would miss it, the rolling
+    // window finds it; with 21 windows total it stays unflagged
+    assert(got(3L)._2 == 1L && !got(3L)._3, s"partial overlap: ${got(3L)}")
+    // fully unique doc: nothing duplicated
+    assert(got(4L)._2 == 0L && !got(4L)._3, s"unique doc: ${got(4L)}")
+    // corpus run: dup counts are bounded by window counts everywhere
+    val d = SparkEntry.queries("d_dedup_substring")(spark, sfDir)
+    assert(d.where(col("n_dup_windows") > col("n_windows")).count() == 0)
+  }
+
+  test("inverted search serves from the pruned persisted postings and matches a full scan") {
+    val dir = sfDir
+    val served = SparkEntry.queries("t_inverted_search")(spark, dir)
+    val plan = physicalPlan(served)
+    assert(plan.contains("target/invidx"),
+      s"must scan the persisted postings table:\n$plan")
+    assert("""PartitionFilters: \[b#\d+ IN \(""".r.findFirstIn(plan).isDefined,
+      s"the postings scan must prune to the query terms' buckets:\n$plan")
+    // full-scan reference computed directly from raw text in Spark
+    val tf = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val q = Seq((1, "scan"), (1, "merge"), (2, "stream"), (2, "value"),
+      (3, "hash"), (3, "join")).toDF("query_id", "term")
+    val hits = tf.join(q, "term").groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("nt"), sum("tf").as("score"))
+      .where(col("nt") === 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    val full = hits.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10).select("query_id", "doc_id", "score", "rk")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(rows(served) == rows(full),
+      "serving the persisted index must equal the full-corpus scan")
+  }
 }
