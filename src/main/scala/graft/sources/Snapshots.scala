@@ -122,13 +122,23 @@ object Snapshots {
     * Returning Some(v) abandons the commit and yields v.
     */
   private def commitLoop(table: String, dirsFor: Int => Seq[String],
-      tags: Seq[String] = Nil, abortIf: () => Option[Int] = () => None): Int = {
+      tags: Seq[String] = Nil, abortIf: () => Option[Int] = () => None): Int =
+    commitLoopDyn(table, dirsFor, _ => tags, abortIf)
+
+  /** [[commitLoop]] with per-attempt tags: `tagsFor(prev)` recomputes
+    * provenance/metadata lines against the CURRENT predecessor — the
+    * schema-evolving append derives its merged-schema tag from
+    * whatever schema the winning predecessor committed.
+    */
+  private def commitLoopDyn(table: String, dirsFor: Int => Seq[String],
+      tagsFor: Int => Seq[String],
+      abortIf: () => Option[Int] = () => None): Int = {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       abortIf().foreach(v => return v)
       val prev = currentVersion(table)
       val v = prev + 1
-      if (claimManifest(table, v, dirsFor(prev), tags)) return v
+      if (claimManifest(table, v, dirsFor(prev), tagsFor(prev))) return v
       attempt += 1
     }
     sys.error(s"commit to $table failed after $MaxCommitAttempts attempts")
@@ -417,12 +427,89 @@ object Snapshots {
     * existing data). Concurrent appenders serialize optimistically:
     * the loser of a version race retries on top of the winner's
     * manifest, so both data directories reach the final snapshot.
+    * Assumes `df` matches the table's schema (the common fast path —
+    * no metadata recorded); a batch carrying new columns must go
+    * through [[commitAppendEvolved]], which commits the union schema
+    * atomically with the version.
     */
   def commitAppend(df: DataFrame, table: String): Int = {
     val dir = writeData(df, table)
     commitLoop(table, prev =>
       (if (prev == 0) Seq.empty else manifestDirs(table, prev)) :+ dir)
   }
+
+  // ---- schema evolution (metadata-driven, the Delta/Iceberg way) ----
+
+  private val SchemaTagPrefix = "schema "
+
+  /** The schema a version's manifest committed, if its commit was
+    * schema-aware ([[commitAppendEvolved]]). Resolution is one tiny
+    * manifest read — never a parquet-footer sweep.
+    */
+  def schemaOf(table: String, version: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val p = meta(table).resolve(s"v$version.manifest")
+    if (!Files.exists(p)) return None
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .find(_.startsWith("#" + SchemaTagPrefix))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix("#" + SchemaTagPrefix))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Schema-EVOLVING append: commit `df` on top of the table even when
+    * it carries columns the table has never seen. The union schema
+    * (existing columns first, then `df`'s new ones, all nullable) is
+    * validated — a same-name column changing its type is rejected, the
+    * Delta `mergeSchema` contract — and committed ATOMICALLY with the
+    * version as a manifest metadata line, so readers resolve the
+    * evolved schema from the (tiny) manifest and old data directories
+    * are NEVER rewritten: [[readVersion]] applies the committed schema
+    * and parquet fills the missing columns with null. Metadata-driven
+    * like Delta/Iceberg — at 100 TB the alternative (footer-merging
+    * `mergeSchema=true` reads) would stat every file on every read.
+    * The merged schema is recomputed against the winning predecessor
+    * on every claim attempt, so racing evolving appenders compose.
+    */
+  def commitAppendEvolved(df: DataFrame, table: String): Int = {
+    import org.apache.spark.sql.types.StructType
+    val spark = df.sparkSession
+    val dir = writeData(df, table)
+    def merged(prev: Int): StructType = {
+      val base: Option[StructType] =
+        if (prev == 0) None
+        else schemaOf(table, prev)
+          .orElse(Some(spark.read.parquet(manifestDirs(table, prev): _*).schema))
+      val add = df.schema
+      base match {
+        case None => StructType(add.fields.map(_.copy(nullable = true)))
+        case Some(b) =>
+          val byName = add.fields.map(f => f.name -> f).toMap
+          b.fields.foreach { f =>
+            byName.get(f.name).foreach { g =>
+              require(g.dataType == f.dataType,
+                s"schema evolution cannot change ${f.name}: ${f.dataType} -> ${g.dataType}")
+            }
+          }
+          val existing = b.fieldNames.toSet
+          StructType((b.fields ++ add.fields.filterNot(f => existing(f.name)))
+            .map(_.copy(nullable = true)))
+      }
+    }
+    commitLoopDyn(table,
+      prev => (if (prev == 0) Seq.empty else manifestDirs(table, prev)) :+ dir,
+      prev => Seq(SchemaTagPrefix + merged(prev).json))
+  }
+
+  /** Metadata-ONLY schema commit — the DROP/reorder-COLUMN analog: the
+    * new version carries the predecessor's data directories untouched
+    * and records `schema` as the committed read schema. Readers prune
+    * the dropped columns at scan time; no data is rewritten (Delta's
+    * columnMapping-style drop).
+    */
+  def commitSchema(table: String, schema: org.apache.spark.sql.types.StructType): Int =
+    commitLoopDyn(table,
+      prev => if (prev == 0) Seq.empty else manifestDirs(table, prev),
+      _ => Seq(SchemaTagPrefix + schema.json))
 
   /** Commit a new version whose directory list is an arbitrary
     * transform of the predecessor's (compaction, re-clustering,
@@ -472,9 +559,17 @@ object Snapshots {
   def read(spark: SparkSession, table: String): DataFrame =
     readVersion(spark, table, currentVersion(table))
 
-  /** Time travel: read the exact content of any committed version. */
+  /** Time travel: read the exact content of any committed version.
+    * A schema-aware commit's schema ([[schemaOf]]) is applied to the
+    * scan: files predating an evolved column serve null for it, files
+    * carrying since-dropped columns are pruned to the committed schema
+    * — both without rewriting a byte of data.
+    */
   def readVersion(spark: SparkSession, table: String, version: Int): DataFrame =
-    spark.read.parquet(manifestDirs(table, version): _*)
+    schemaOf(table, version) match {
+      case Some(st) => spark.read.schema(st).parquet(manifestDirs(table, version): _*)
+      case None => spark.read.parquet(manifestDirs(table, version): _*)
+    }
 
   // ---- streaming ingest: exactly-once micro-batch commits ----
 

@@ -772,4 +772,42 @@ class SourcesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS or_b")
     }
   }
+
+  test("schema evolution: add column without rewrite, drop metadata-only, time travel intact") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val t = s"$tmp/schema_evo"
+    Snapshots.deleteRecursively(t)
+    // v1: two columns
+    val v1 = Snapshots.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    // v2: a later batch carries a NEW column — evolved append, no rewrite
+    val v2 = Snapshots.commitAppendEvolved(
+      Seq((3L, "c", 30.0)).toDF("id", "v", "score"), t)
+    val r2 = Snapshots.readVersion(spark, t, v2)
+    assert(r2.schema.fieldNames.toSeq == Seq("id", "v", "score"),
+      "union schema: existing columns first, then the evolved one")
+    val rows = r2.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toList
+    assert(rows == List((1L, "a", None), (2L, "b", None), (3L, "c", Some(30.0))),
+      s"pre-evolution files serve null for the new column: $rows")
+    // time travel: v1 still reads with its original 2-column schema
+    assert(Snapshots.readVersion(spark, t, v1).schema.fieldNames.toSeq == Seq("id", "v"))
+    // a same-name column changing type is rejected (Delta mergeSchema contract)
+    intercept[IllegalArgumentException] {
+      Snapshots.commitAppendEvolved(Seq((4L, 99)).toDF("id", "v"), t)
+    }
+    // v3: DROP COLUMN as a metadata-only commit — same data dirs, narrower schema
+    val dropped = org.apache.spark.sql.types.StructType(
+      r2.schema.fields.filterNot(_.name == "v"))
+    val before = Snapshots.versionDirs(t, v2)
+    val v3 = Snapshots.commitSchema(t, dropped)
+    assert(Snapshots.versionDirs(t, v3) == before, "drop rewrites no data")
+    val r3 = Snapshots.readVersion(spark, t, v3)
+    assert(r3.schema.fieldNames.toSeq == Seq("id", "score"))
+    assert(r3.count() == 3)
+    // and a further plain evolved append on top of the drop still composes
+    val v4 = Snapshots.commitAppendEvolved(Seq((5L, 50.0)).toDF("id", "score"), t)
+    assert(Snapshots.readVersion(spark, t, v4).schema.fieldNames.toSeq == Seq("id", "score"))
+    assert(Snapshots.read(spark, t).count() == 4)
+  }
 }
