@@ -603,6 +603,37 @@ object TextFunctions {
               THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
           FROM p GROUP BY 1, 2"""))
 
+  /** Repetition-capped rebalancing ("epoch upsampling"): the other
+    * half of mixture design next to downsampling ([[mixtureSample]]).
+    * Each language is repeated toward the LARGEST stratum's size —
+    * epochs = ceil(target / n_s), capped (here at 2) so low-resource
+    * strata are never repeated past the point of memorization — the
+    * standard repeat-cap recipe for multilingual / multi-source
+    * training mixes. All arithmetic is exact integers (ceil-div as
+    * (t + n − 1) DIV n, never IEEE), so the expansion is deterministic
+    * and engine-portable. One tiny per-language count (broadcast back),
+    * then a pure map-side `sequence`+`explode` — the corpus is
+    * touched once and never shuffled at any scale.
+    */
+  val upsampleEpochs: QueryDef = QueryDef(
+    "t_upsample_epochs",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("n_s"))
+      val target = counts.agg(max(col("n_s")).as("t"))
+      val epochs = counts.crossJoin(broadcast(target))
+        .select(col("lang"),
+          least(lit(2L), expr("(t + n_s - 1) DIV n_s")).as("epochs"))
+      d.join(broadcast(epochs), "lang")
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0L), col("epochs") - 1)).as("epoch"))
+    },
+    Some("""WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+         t AS (SELECT MAX(n_s) AS t FROM c),
+         e AS (SELECT lang, LEAST(2, (t + n_s - 1) // n_s) AS epochs FROM c, t)
+         SELECT d.doc_id, d.lang, CAST(unnest(range(e.epochs)) AS BIGINT) AS epoch
+         FROM documents d JOIN e ON d.lang = e.lang"""))
+
   /** The conjunctive keyword queries served by [[invertedSearch]] —
     * literal (query, term) rows, identical in the Spark build and the
     * DuckDB oracle. Terms come from the corpus generator's fixed
@@ -677,5 +708,5 @@ object TextFunctions {
     Seq(langId, quality, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,
-      invertedSearch)
+      upsampleEpochs, invertedSearch)
 }

@@ -795,6 +795,26 @@ class PipelineSpec extends SparkSpec {
     assert(d.where(col("n_dup_windows") > col("n_windows")).count() == 0)
   }
 
+  test("epoch upsampling: exact capped ceil-div repetition per stratum") {
+    val counts = Tables.load(spark, sfDir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = counts.values.max
+    val expected = counts.map { case (l, n) =>
+      l -> math.min(2L, (target + n - 1) / n) } // cap = 2
+    val d = SparkEntry.queries("t_upsample_epochs")(spark, sfDir)
+    val got = d.groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        (max(col("epoch")) + 1).as("epochs"), count(lit(1)).as("rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (l, nd, epochs, rows) =>
+      assert(nd == counts(l), s"$l keeps every document")
+      assert(epochs == expected(l), s"$l epochs $epochs != ${expected(l)}")
+      assert(rows == nd * epochs, s"$l repeats each doc exactly $epochs times")
+    }
+    assert(expected(got.maxBy(_._2)._1) == 1L, "the largest stratum is never repeated")
+  }
+
   test("inverted search serves from the pruned persisted postings and matches a full scan") {
     val dir = sfDir
     val served = SparkEntry.queries("t_inverted_search")(spark, dir)
