@@ -794,6 +794,79 @@ object Snapshots {
     }
   }
 
+  // ---- bloom file-skipping index: point lookups without clustering ----
+
+  /** Build (at most once per table version — claim-elected, atomic)
+    * a per-FILE bloom filter index over long-castable `keyCol`, and
+    * return (index table, version to pin). Parquet footer min/max
+    * already answers RANGE pruning on clustered columns; the bloom
+    * answers POINT lookups on high-cardinality keys the layout was
+    * not spent on (Delta's bloom filter index, Iceberg's bloom column
+    * metrics). The build is ONE aggregate job — never a per-file
+    * driver loop — and INCREMENTAL across table versions: data files
+    * are immutable, so a file's bloom never changes; only files not
+    * yet in the previous index version get scanned (O(new files) per
+    * refresh, the steady-state append cost). File-path bookkeeping is
+    * driver-side but metadata-scale — the same order as the manifest
+    * listing itself; a metastore deployment would semi-join instead.
+    */
+  def bloomSkipIndex(spark: SparkSession, table: String, keyCol: String,
+      numBits: Int = 1 << 20, numHashes: Int = 5): (String, Int) = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val vsn = currentVersion(table)
+    val idxT = s"$table/_bloomidx_$keyCol"
+    val v = ensureIndex(idxT, s"v$vsn-$numBits-$numHashes") { out =>
+      val cur = spark.read.parquet(versionDirs(table, vsn): _*)
+      val curFiles = cur.inputFiles.toSet
+      val prevV = currentVersion(idxT)
+      val reusable: Set[String] =
+        if (prevV == 0) Set.empty
+        else readVersion(spark, idxT, prevV).select("file").collect()
+          .map(_.getString(0)).toSet.intersect(curFiles)
+      val newFiles = (curFiles -- reusable).toSeq.sorted
+      val fresh =
+        if (newFiles.isEmpty) None
+        else Some(spark.read.parquet(newFiles: _*)
+          .select(col(keyCol).cast("long").as("k"), input_file_name().as("file"))
+          .groupBy("file")
+          .agg(graft.functions.Bloom.bloomAgg(col("k"), numBits, numHashes)
+            .as("bloom")))
+      val kept =
+        if (reusable.isEmpty) None
+        else Some(readVersion(spark, idxT, prevV)
+          .where(col("file").isin(reusable.toSeq: _*)))
+      val all = (kept, fresh) match {
+        case (Some(a), Some(b)) => a.unionByName(b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => sys.error(s"bloom index over empty table $table")
+      }
+      all.write.mode(SaveMode.ErrorIfExists).parquet(out)
+    }
+    (idxT, v)
+  }
+
+  /** Point lookup `keyCol == value` through [[bloomSkipIndex]]: the
+    * index scan (one row per data file) evaluates the filter
+    * DISTRIBUTED via the codegen'd `graft_bloom_contains`; only
+    * may-contain file paths reach the driver (bounded by true matches
+    * plus the ~0.1% false-positive tail), and only those files are
+    * read — at 100 TB a point lookup touches a handful of files
+    * instead of every footer.
+    */
+  def pointLookup(spark: SparkSession, table: String, keyCol: String,
+      value: Long, numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (idxT, v) = bloomSkipIndex(spark, table, keyCol, numBits, numHashes)
+    val hits = readVersion(spark, idxT, v)
+      .where(graft.functions.Bloom.bloomContains(col("bloom"), lit(value)))
+      .select("file").collect().map(_.getString(0))
+    if (hits.isEmpty)
+      read(spark, table).where(col(keyCol) === value).limit(0)
+    else
+      spark.read.parquet(hits.toIndexedSeq: _*).where(col(keyCol) === value)
+  }
+
   // ---- clustered tables: merge-on-append + delta compaction ----
 
   /** Marker file identifying a data directory whose files are

@@ -274,7 +274,39 @@ object SourceQueries {
                 ${P.dsum("o_totalprice")} AS sum_price
          FROM fin GROUP BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(zorderSecondary, mvIncremental, mergeUpsert)
+  /** Point lookup on an UNCLUSTERED high-cardinality key through the
+    * per-file bloom skipping index ([[Snapshots.bloomSkipIndex]]):
+    * lineitem lands as four appended snapshot batches (multiple data
+    * dirs/files), the index is built once per table version (one
+    * aggregate job, claim-elected), and the lookup reads ONLY the
+    * files whose bloom may contain the key. The oracle runs the same
+    * predicate over the raw table — skipping must never change
+    * semantics. (SourcesSpec asserts the skipping itself: the lookup
+    * scans strictly fewer files than the table holds.)
+    */
+  val bloomPointLookup: QueryDef = QueryDef(
+    "q_bloom_point_lookup",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      // content-keyed table path: regenerated inputs rebuild rather
+      // than serving a stale snapshot (old paths are orphaned dirs)
+      val t = "/root/repo/target/bloomidx/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/lineitem_" +
+        Snapshots.fileFingerprint(s"$dir/lineitem.parquet").take(12)
+      if (Snapshots.currentVersion(t) == 0) {
+        val li = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        (0 to 3).foreach(b =>
+          Snapshots.commitAppend(li.where(pmod(col("l_orderkey"), lit(4)) === b), t))
+      }
+      Snapshots.pointLookup(s, t, "l_orderkey", 1L)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+            FROM lineitem WHERE l_orderkey = 1"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(zorderSecondary, mvIncremental, mergeUpsert, bloomPointLookup)
 }
 
 /** Copy-on-write mutations — the reference's record insert/update/

@@ -773,6 +773,48 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("bloom skipping index: point lookup reads only may-contain files, maintained incrementally") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val t = s"$tmp/bloom_pl"
+    Snapshots.deleteRecursively(t)
+    // four appended batches with disjoint key ranges -> >= 4 files
+    (0 until 4).foreach { b =>
+      Snapshots.commitAppend(
+        spark.range(b * 1000, (b + 1) * 1000).toDF("k")
+          .repartition(2).withColumn("v", col("k") * 2), t)
+    }
+    val total = spark.read.parquet(Snapshots.versionDirs(t, 4): _*).inputFiles.length
+    assert(total >= 4)
+    val hit = Snapshots.pointLookup(spark, t, "k", 2500L)
+    assert(hit.collect().map(r => (r.getLong(0), r.getLong(1))).toList == List((2500L, 5000L)))
+    // the lookup's scan is restricted to may-contain files: with
+    // disjoint ranges and a ~0.1% fp rate that is far fewer than all
+    val scanned = hit.inputFiles.length
+    assert(scanned < total, s"expected skipping: $scanned of $total files")
+    // no false negatives anywhere: every key finds its row
+    Seq(0L, 999L, 1000L, 3999L).foreach { k =>
+      assert(Snapshots.pointLookup(spark, t, "k", k).count() == 1L, s"key $k")
+    }
+    // a missing key returns empty (usually zero files read)
+    assert(Snapshots.pointLookup(spark, t, "k", 99999L).count() == 0L)
+    // incremental maintenance: appending one batch reuses prior file
+    // blooms — the rebuild only scans the new files
+    val idxV1 = Snapshots.currentVersion(s"$t/_bloomidx_k")
+    Snapshots.commitAppend(
+      spark.range(4000, 4100).toDF("k").withColumn("v", col("k") * 2), t)
+    val before = Snapshots.readVersion(spark, s"$t/_bloomidx_k", idxV1)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("bloom").toSeq).toMap
+    assert(Snapshots.pointLookup(spark, t, "k", 4050L).count() == 1L)
+    val after = Snapshots.read(spark, s"$t/_bloomidx_k")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("bloom").toSeq).toMap
+    assert(before.keySet.subsetOf(after.keySet) && after.size > before.size,
+      "new index version keeps prior files and adds the new batch's")
+    before.foreach { case (f, bl) =>
+      assert(after(f) == bl, s"reused bloom for $f must be byte-identical")
+    }
+  }
+
   test("schema evolution: add column without rewrite, drop metadata-only, time travel intact") {
     import spark.implicits._
     import graft.sources.Snapshots
