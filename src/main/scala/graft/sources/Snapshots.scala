@@ -506,10 +506,16 @@ object Snapshots {
     * the dropped columns at scan time; no data is rewritten (Delta's
     * columnMapping-style drop).
     */
-  def commitSchema(table: String, schema: org.apache.spark.sql.types.StructType): Int =
+  def commitSchema(table: String, schema: org.apache.spark.sql.types.StructType): Int = {
+    // committed read schemas are always nullable: files predating an
+    // added column SERVE null for it, so a non-nullable field in the
+    // table schema would be a lie the engine could miscompile on
+    val nullable = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true)))
     commitLoopDyn(table,
       prev => if (prev == 0) Seq.empty else manifestDirs(table, prev),
-      _ => Seq(SchemaTagPrefix + schema.json))
+      _ => Seq(SchemaTagPrefix + nullable.json))
+  }
 
   /** Commit a new version whose directory list is an arbitrary
     * transform of the predecessor's (compaction, re-clustering,

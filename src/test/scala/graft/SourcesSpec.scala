@@ -805,6 +805,13 @@ class SourcesSpec extends SparkSpec {
       spark.range(4000, 4100).toDF("k").withColumn("v", col("k") * 2), t)
     val before = Snapshots.readVersion(spark, s"$t/_bloomidx_k", idxV1)
       .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("bloom").toSeq).toMap
+    // the reuse path keys on file-id string equality between the index
+    // rows (input_file_name) and the table listing (inputFiles): if the
+    // two URI forms ever diverged, "incremental" would silently degrade
+    // to a deterministic full rebuild — pin the format agreement here
+    val listed = spark.read.parquet(Snapshots.versionDirs(t, 4): _*).inputFiles.toSet
+    assert(before.keySet.subsetOf(listed),
+      s"index file ids must match inputFiles form, e.g. ${before.keySet.head} vs ${listed.head}")
     assert(Snapshots.pointLookup(spark, t, "k", 4050L).count() == 1L)
     val after = Snapshots.read(spark, s"$t/_bloomidx_k")
       .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("bloom").toSeq).toMap
