@@ -683,10 +683,16 @@ object TextFunctions {
       val post = s.read.parquet(Snapshots.versionDirs(postT, v): _*)
         .where(col("b").isin(buckets: _*))
       val q = broadcast(s.createDataFrame(SearchTerms).toDF("query_id", "term"))
+      // conjunctive arity derived from SearchTerms itself — a query
+      // with any number of terms keeps all-terms semantics
+      val arity = broadcast(s.createDataFrame(
+        SearchTerms.groupBy(_._1).map { case (id, ts) => (id, ts.size.toLong) }.toSeq)
+        .toDF("query_id", "n_terms"))
       val hits = post.join(q, "term")
         .groupBy("query_id", "doc_id")
         .agg(count(lit(1)).as("nt"), sum(col("tf")).as("score"))
-        .where(col("nt") === 2) // conjunctive: every query has 2 terms
+        .join(arity, "query_id")
+        .where(col("nt") === col("n_terms"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
       hits.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
@@ -694,11 +700,13 @@ object TextFunctions {
     },
     Some(s"""WITH q(query_id, term) AS (VALUES ${
         SearchTerms.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+         qc AS (SELECT query_id, COUNT(*) AS n_terms FROM q GROUP BY 1),
          tk AS (SELECT doc_id, unnest(${Portable.textSql.tokensLower}) AS term FROM documents),
          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
          hit AS (SELECT q.query_id, tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS score
              FROM tf JOIN q ON tf.term = q.term
-             GROUP BY 1, 2 HAVING COUNT(*) = 2)
+             JOIN qc ON qc.query_id = q.query_id
+             GROUP BY 1, 2 HAVING COUNT(*) = MAX(qc.n_terms))
          SELECT query_id, doc_id, score, rk FROM (
            SELECT query_id, doc_id, score,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk

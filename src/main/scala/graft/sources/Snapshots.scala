@@ -122,23 +122,38 @@ object Snapshots {
     * Returning Some(v) abandons the commit and yields v.
     */
   private def commitLoop(table: String, dirsFor: Int => Seq[String],
-      tags: Seq[String] = Nil, abortIf: () => Option[Int] = () => None): Int =
-    commitLoopDyn(table, dirsFor, _ => tags, abortIf)
+      tags: Seq[String] = Nil, abortIf: () => Option[Int] = () => None,
+      inheritSchema: Boolean = true): Int =
+    commitLoopDyn(table, dirsFor, _ => tags, abortIf, inheritSchema)
 
   /** [[commitLoop]] with per-attempt tags: `tagsFor(prev)` recomputes
     * provenance/metadata lines against the CURRENT predecessor — the
     * schema-evolving append derives its merged-schema tag from
     * whatever schema the winning predecessor committed.
+    *
+    * `inheritSchema` (the default): a content-PRESERVING commit
+    * (append, transform/compaction, merge, ingest) that does not carry
+    * its own schema tag re-commits the predecessor's schema metadata,
+    * so a plain append after an evolution cannot silently revert the
+    * table to footer-inferred schema. Content-REPLACING commits
+    * (the overwrite family, index builds, initial clustered writes)
+    * pass false: their own data defines the schema afresh.
     */
   private def commitLoopDyn(table: String, dirsFor: Int => Seq[String],
       tagsFor: Int => Seq[String],
-      abortIf: () => Option[Int] = () => None): Int = {
+      abortIf: () => Option[Int] = () => None,
+      inheritSchema: Boolean = true): Int = {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       abortIf().foreach(v => return v)
       val prev = currentVersion(table)
       val v = prev + 1
-      if (claimManifest(table, v, dirsFor(prev), tagsFor(prev))) return v
+      val tags = tagsFor(prev)
+      val all =
+        if (inheritSchema && prev > 0 && !tags.exists(_.startsWith(SchemaTagPrefix)))
+          tags ++ schemaMetaTags(table, prev)
+        else tags
+      if (claimManifest(table, v, dirsFor(prev), all)) return v
       attempt += 1
     }
     sys.error(s"commit to $table failed after $MaxCommitAttempts attempts")
@@ -147,7 +162,7 @@ object Snapshots {
   /** Commit a new version whose content REPLACES the table. */
   def commitOverwrite(df: DataFrame, table: String): Int = {
     val dir = writeData(df, table)
-    commitLoop(table, _ => Seq(dir))
+    commitLoop(table, _ => Seq(dir), inheritSchema = false)
   }
 
   /** Versioned DML — the reference's updateRecord/deleteRecord
@@ -392,7 +407,7 @@ object Snapshots {
     */
   def commitOverwriteTagged(df: DataFrame, table: String, tags: Seq[String]): Int = {
     val dir = writeData(df, table)
-    commitLoop(table, _ => Seq(dir), tags = tags)
+    commitLoop(table, _ => Seq(dir), tags = tags, inheritSchema = false)
   }
 
   /** Conflict-checked tagged overwrite — compare-and-swap on the table
@@ -411,7 +426,8 @@ object Snapshots {
     val ConflictSentinel = -1
     val v = commitLoop(table, _ => Seq(dir), tags = tags,
       abortIf = () =>
-        if (currentVersion(table) == expectHead) None else Some(ConflictSentinel))
+        if (currentVersion(table) == expectHead) None else Some(ConflictSentinel),
+      inheritSchema = false)
     if (v == ConflictSentinel) { deleteDataDir(dir); None } else Some(v)
   }
 
@@ -441,6 +457,7 @@ object Snapshots {
   // ---- schema evolution (metadata-driven, the Delta/Iceberg way) ----
 
   private val SchemaTagPrefix = "schema "
+  private val DroppedTagPrefix = "schemadropped "
 
   /** The schema a version's manifest committed, if its commit was
     * schema-aware ([[commitAppendEvolved]]). Resolution is one tiny
@@ -454,6 +471,41 @@ object Snapshots {
       .map(l => org.apache.spark.sql.types.DataType
         .fromJson(l.stripPrefix("#" + SchemaTagPrefix))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Column names DROPPED from this table's committed schema at or
+    * before `version` — the tombstone set that keeps a dropped name
+    * from being "re-added" over files that still physically hold the
+    * old values (which would resurrect stale data, or crash the scan
+    * on a type change; Delta's columnMapping exists for this — without
+    * physical-name mapping, forbidding reuse is the safe contract).
+    */
+  def droppedOf(table: String, version: Int): Set[String] = {
+    val p = meta(table).resolve(s"v$version.manifest")
+    if (!Files.exists(p)) return Set.empty
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .find(_.startsWith("#" + DroppedTagPrefix))
+      .map(_.stripPrefix("#" + DroppedTagPrefix).split(",").toSet)
+      .getOrElse(Set.empty)
+  }
+
+  /** A version's schema metadata lines verbatim (schema + tombstones),
+    * for content-preserving commits to re-commit (see commitLoopDyn).
+    */
+  private def schemaMetaTags(table: String, version: Int): Seq[String] = {
+    val p = meta(table).resolve(s"v$version.manifest")
+    if (!Files.exists(p)) return Nil
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(l => l.startsWith("#" + SchemaTagPrefix) ||
+        l.startsWith("#" + DroppedTagPrefix))
+      .map(_.stripPrefix("#"))
+  }
+
+  private def droppedTagFor(dropped: Set[String]): Seq[String] = {
+    dropped.foreach(n => require(!n.contains(","),
+      s"column name '$n' cannot be schema-tracked (contains ',')"))
+    if (dropped.isEmpty) Nil
+    else Seq(DroppedTagPrefix + dropped.toSeq.sorted.mkString(","))
   }
 
   /** Schema-EVOLVING append: commit `df` on top of the table even when
@@ -491,13 +543,18 @@ object Snapshots {
             }
           }
           val existing = b.fieldNames.toSet
-          StructType((b.fields ++ add.fields.filterNot(f => existing(f.name)))
-            .map(_.copy(nullable = true)))
+          val dropped = droppedOf(table, prev)
+          val fresh = add.fields.filterNot(f => existing(f.name))
+          fresh.foreach(f => require(!dropped(f.name),
+            s"column ${f.name} was dropped from $table; old files still hold its " +
+              "bytes, so re-adding the name would resurrect stale values — use a new name"))
+          StructType((b.fields ++ fresh).map(_.copy(nullable = true)))
       }
     }
     commitLoopDyn(table,
       prev => (if (prev == 0) Seq.empty else manifestDirs(table, prev)) :+ dir,
-      prev => Seq(SchemaTagPrefix + merged(prev).json))
+      prev => (SchemaTagPrefix + merged(prev).json) +:
+        droppedTagFor(if (prev == 0) Set.empty else droppedOf(table, prev)))
   }
 
   /** Metadata-ONLY schema commit — the DROP/reorder-COLUMN analog: the
@@ -514,7 +571,20 @@ object Snapshots {
       schema.fields.map(_.copy(nullable = true)))
     commitLoopDyn(table,
       prev => if (prev == 0) Seq.empty else manifestDirs(table, prev),
-      _ => Seq(SchemaTagPrefix + nullable.json))
+      prev => {
+        val names = nullable.fieldNames.toSet
+        val prevDropped = if (prev == 0) Set.empty[String] else droppedOf(table, prev)
+        val resurrected = names.intersect(prevDropped)
+        require(resurrected.isEmpty,
+          s"columns ${resurrected.mkString(", ")} were dropped from $table; " +
+            "re-adding the name would resurrect stale on-disk values — use a new name")
+        // names leaving the committed schema join the tombstone set
+        // (only trackable once the table is schema-tracked)
+        val nowDropped = prevDropped ++ (if (prev == 0) Set.empty[String]
+          else schemaOf(table, prev).map(_.fieldNames.toSet -- names)
+            .getOrElse(Set.empty[String]))
+        (SchemaTagPrefix + nullable.json) +: droppedTagFor(nowDropped)
+      })
   }
 
   /** Commit a new version whose directory list is an arbitrary
@@ -794,7 +864,8 @@ object Snapshots {
     try taggedVersion(table, tag).getOrElse {
       val dir = stageDir(table)
       stage(dir)
-      commitLoop(table, _ => Seq(dir), tags = Seq(indexTag(tag)))
+      commitLoop(table, _ => Seq(dir), tags = Seq(indexTag(tag)),
+        inheritSchema = false)
     } finally {
       if (won) Files.deleteIfExists(claim); ()
     }
@@ -822,7 +893,13 @@ object Snapshots {
     val vsn = currentVersion(table)
     val idxT = s"$table/_bloomidx_$keyCol"
     val v = ensureIndex(idxT, s"v$vsn-$numBits-$numHashes") { out =>
-      val cur = spark.read.parquet(versionDirs(table, vsn): _*)
+      // reads go through the COMMITTED schema (readVersion semantics):
+      // if keyCol was added by an evolution, files predating it lack
+      // the column physically — they key as null, set no bits, and
+      // correctly never match a lookup
+      val reader = schemaOf(table, vsn)
+        .map(st => spark.read.schema(st)).getOrElse(spark.read)
+      val cur = reader.parquet(versionDirs(table, vsn): _*)
       val curFiles = cur.inputFiles.toSet
       val prevV = currentVersion(idxT)
       val reusable: Set[String] =
@@ -832,7 +909,7 @@ object Snapshots {
       val newFiles = (curFiles -- reusable).toSeq.sorted
       val fresh =
         if (newFiles.isEmpty) None
-        else Some(spark.read.parquet(newFiles: _*)
+        else Some(reader.parquet(newFiles: _*)
           .select(col(keyCol).cast("long").as("k"), input_file_name().as("file"))
           .groupBy("file")
           .agg(graft.functions.Bloom.bloomAgg(col("k"), numBits, numHashes)
@@ -863,14 +940,20 @@ object Snapshots {
   def pointLookup(spark: SparkSession, table: String, keyCol: String,
       value: Long, numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    val vsn = currentVersion(table)
     val (idxT, v) = bloomSkipIndex(spark, table, keyCol, numBits, numHashes)
     val hits = readVersion(spark, idxT, v)
       .where(graft.functions.Bloom.bloomContains(col("bloom"), lit(value)))
       .select("file").collect().map(_.getString(0))
+    // the skipped scan must still read through the committed schema —
+    // raw spark.read.parquet would re-expose dropped columns and
+    // sample an arbitrary footer for evolved ones
+    val reader = schemaOf(table, vsn)
+      .map(st => spark.read.schema(st)).getOrElse(spark.read)
     if (hits.isEmpty)
-      read(spark, table).where(col(keyCol) === value).limit(0)
+      readVersion(spark, table, vsn).where(col(keyCol) === value).limit(0)
     else
-      spark.read.parquet(hits.toIndexedSeq: _*).where(col(keyCol) === value)
+      reader.parquet(hits.toIndexedSeq: _*).where(col(keyCol) === value)
   }
 
   // ---- clustered tables: merge-on-append + delta compaction ----
@@ -897,7 +980,7 @@ object Snapshots {
     val dir = stageDir(table)
     Sources.writeZOrderedN(df, dir, zCols, files = files)
     markClustered(dir)
-    commitLoop(table, _ => Seq(dir))
+    commitLoop(table, _ => Seq(dir), inheritSchema = false)
   }
 
   /** Append rows WITHOUT clustering them — cheap ingest; the delta

@@ -288,16 +288,19 @@ object SourceQueries {
     "q_bloom_point_lookup",
     (s, dir) => {
       import graft.sources.Snapshots
-      // content-keyed table path: regenerated inputs rebuild rather
-      // than serving a stale snapshot (old paths are orphaned dirs)
+      // content-keyed + claim-elected build: ONE atomic commit of a
+      // multi-file snapshot (a crashed or racing builder can never
+      // leave a partial table the way check-then-append batches
+      // could), keyed on the input fingerprint so regenerated inputs
+      // rebuild instead of serving stale data
+      val fp = Snapshots.fileFingerprint(s"$dir/lineitem.parquet")
       val t = "/root/repo/target/bloomidx/" +
-        dir.replaceAll("[^A-Za-z0-9]", "_") + "/lineitem_" +
-        Snapshots.fileFingerprint(s"$dir/lineitem.parquet").take(12)
-      if (Snapshots.currentVersion(t) == 0) {
-        val li = Tables.load(s, dir, "lineitem")
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/lineitem"
+      Snapshots.ensureIndex(t, fp) { out =>
+        Tables.load(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
-        (0 to 3).foreach(b =>
-          Snapshots.commitAppend(li.where(pmod(col("l_orderkey"), lit(4)) === b), t))
+          .repartition(4, col("l_orderkey"))
+          .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
       }
       Snapshots.pointLookup(s, t, "l_orderkey", 1L)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")

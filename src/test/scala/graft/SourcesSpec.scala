@@ -858,5 +858,22 @@ class SourcesSpec extends SparkSpec {
     val v4 = Snapshots.commitAppendEvolved(Seq((5L, 50.0)).toDF("id", "score"), t)
     assert(Snapshots.readVersion(spark, t, v4).schema.fieldNames.toSeq == Seq("id", "score"))
     assert(Snapshots.read(spark, t).count() == 4)
+    // a PLAIN (non-evolved) append inherits the committed schema —
+    // no silent reversion to footer-inferred reads on later commits
+    val v5 = Snapshots.commitAppend(Seq((6L, 60.0)).toDF("id", "score"), t)
+    val r5 = Snapshots.readVersion(spark, t, v5)
+    assert(r5.schema.fieldNames.toSeq == Seq("id", "score"),
+      "plain append must carry the committed schema forward")
+    assert(r5.count() == 5)
+    // the dropped name can never be re-added over files that still
+    // physically hold its old bytes (stale-value resurrection)
+    intercept[IllegalArgumentException] {
+      Snapshots.commitAppendEvolved(Seq((7L, "zombie")).toDF("id", "v"), t)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commitSchema(t, org.apache.spark.sql.types.StructType(
+        r5.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "v", org.apache.spark.sql.types.StringType)))
+    }
   }
 }
