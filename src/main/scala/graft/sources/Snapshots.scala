@@ -226,14 +226,24 @@ object Snapshots {
     * (bounded by dir count, tiny) via input_file_name. Job count is
     * O(1) in the number of dirs (asserted in SourcesSpec).
     */
-  private def probeTouched(spark: SparkSession, dirs: Seq[String],
-      probe: DataFrame => DataFrame): Seq[String] = {
+  /** Reads of a committed version for WRITE paths (probe/rewrite):
+    * apply the committed schema when one exists — a raw parquet read
+    * would sample an arbitrary footer on an evolved table (a predicate
+    * on an evolved-in column then fails to resolve, nondeterministic
+    * by listing order) and re-expose dropped columns.
+    */
+  private def committedReader(spark: SparkSession, table: String, version: Int) =
+    schemaOf(table, version)
+      .map(st => spark.read.schema(st)).getOrElse(spark.read)
+
+  private def probeTouched(reader: org.apache.spark.sql.DataFrameReader,
+      dirs: Seq[String], probe: DataFrame => DataFrame): Seq[String] = {
     import org.apache.spark.sql.functions.{col, input_file_name, regexp_replace}
     // input_file_name() is STAGE-LOCAL: it must be projected directly
     // on the scan, BEFORE the probe can introduce an exchange (a
     // shuffled semi-join evaluates it post-shuffle, where it returns
     // "") — so the parent-dir column rides along through the probe
-    val withDir = spark.read.parquet(dirs: _*)
+    val withDir = reader.parquet(dirs: _*)
       .withColumn("_graft_dir",
         regexp_replace(input_file_name(), "/[^/]+$", ""))
     val touchedAbs = probe(withDir)
@@ -254,11 +264,12 @@ object Snapshots {
     val cur = currentVersion(table)
     require(cur > 0, s"no committed version at $table")
     val dirs = manifestDirs(table, cur)
-    val touched = probeTouched(spark, dirs, _.where(cond))
+    val reader = committedReader(spark, table, cur)
+    val touched = probeTouched(reader, dirs, _.where(cond))
     if (touched.isEmpty) return Some(cur)
     val staged = touched.map { d =>
       val out = stageDir(table)
-      rewrite(spark.read.parquet(d)).write
+      rewrite(reader.parquet(d)).write
         .mode(SaveMode.ErrorIfExists).parquet(out)
       out
     }
@@ -304,12 +315,13 @@ object Snapshots {
     // data-sized and must be allowed to shuffle — pinning a broadcast
     // here would OOM exactly when merge is asked to do the most work
     val srcKeys = source.select(col(key)).distinct().localCheckpoint()
+    val reader = committedReader(spark, table, cur)
     val touched =
       if (dirs.isEmpty) Seq.empty[String]
-      else probeTouched(spark, dirs, _.join(srcKeys, Seq(key), "left_semi"))
+      else probeTouched(reader, dirs, _.join(srcKeys, Seq(key), "left_semi"))
     val staged = touched.map { d =>
       val out = stageDir(table)
-      spark.read.parquet(d)
+      reader.parquet(d)
         .join(srcKeys, Seq(key), "left_anti")
         .write.mode(SaveMode.ErrorIfExists).parquet(out)
       out
@@ -897,8 +909,7 @@ object Snapshots {
       // if keyCol was added by an evolution, files predating it lack
       // the column physically — they key as null, set no bits, and
       // correctly never match a lookup
-      val reader = schemaOf(table, vsn)
-        .map(st => spark.read.schema(st)).getOrElse(spark.read)
+      val reader = committedReader(spark, table, vsn)
       val cur = reader.parquet(versionDirs(table, vsn): _*)
       val curFiles = cur.inputFiles.toSet
       val prevV = currentVersion(idxT)
@@ -948,8 +959,7 @@ object Snapshots {
     // the skipped scan must still read through the committed schema —
     // raw spark.read.parquet would re-expose dropped columns and
     // sample an arbitrary footer for evolved ones
-    val reader = schemaOf(table, vsn)
-      .map(st => spark.read.schema(st)).getOrElse(spark.read)
+    val reader = committedReader(spark, table, vsn)
     if (hits.isEmpty)
       readVersion(spark, table, vsn).where(col(keyCol) === value).limit(0)
     else

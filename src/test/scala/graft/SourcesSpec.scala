@@ -875,5 +875,16 @@ class SourcesSpec extends SparkSpec {
         r5.schema.fields :+ org.apache.spark.sql.types.StructField(
           "v", org.apache.spark.sql.types.StringType)))
     }
+    // selective DML predicated on the EVOLVED-IN column: files
+    // predating the evolution lack it physically — the probe and the
+    // per-dir rewrite must resolve it through the committed schema
+    // (raw footer-sampled reads would crash or skip nondeterministically)
+    val v6 = Snapshots.deleteWhereSelective(spark, t, col("score") > 55.0)
+    assert(v6.isDefined)
+    val r6 = Snapshots.read(spark, t)
+    assert(r6.schema.fieldNames.toSeq == Seq("id", "score"),
+      "DML commit keeps the committed schema")
+    assert(r6.count() == 4 && r6.where(col("id") === 6L).count() == 0,
+      "only the evolved-column match is deleted")
   }
 }
