@@ -712,9 +712,74 @@ object TextFunctions {
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
            FROM hit) r WHERE rk <= 10"""))
 
+  /** Phrase queries for [[phraseSearch]] — (id, first word, second
+    * word), from the generator's fixed vocabulary. */
+  private val PhraseTerms: Seq[(Int, String, String)] =
+    Seq((1, "hash", "join"), (2, "sort", "merge"))
+
+  /** Exact PHRASE search over a persisted POSITIONAL inverted index —
+    * the IR capability conjunctive search ([[invertedSearch]]) cannot
+    * express: "hash join" must match only ADJACENT occurrences, so the
+    * postings carry (term, doc_id, pos) and a two-word phrase is a
+    * self-join on doc with pos+1 adjacency (the standard positional-
+    * postings algorithm). Same serving shape as the conjunctive index:
+    * built once per corpus fingerprint (claim-elected), partitioned by
+    * term-hash bucket, the query reads ONLY its words' buckets and the
+    * tiny phrase table broadcasts. Positions are raw-split ordinals in
+    * both engines (empty tokens keep their slot and can never match a
+    * word), so adjacency arithmetic is identical and the DuckDB
+    * full-recompute oracle proves serving ≡ scan by hash equality.
+    */
+  val phraseSearch: QueryDef = QueryDef(
+    "t_phrase_search",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val postT = "/root/repo/target/invidx/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/postings_pos"
+      val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
+      val v = Snapshots.ensureIndex(postT, fp) { out =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
+          .where(col("term") =!= "")
+          .withColumn("b", pmod(
+            conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"), lit(16)))
+          .write.partitionBy("b")
+          .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+      }
+      val words = PhraseTerms.flatMap(p => Seq(p._2, p._3)).distinct
+      val buckets = words.map { t =>
+        val bs = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        Md5Hash60Util.hash60(bs, 0, bs.length) % 16
+      }.distinct
+      val post = s.read.parquet(Snapshots.versionDirs(postT, v): _*)
+        .where(col("b").isin(buckets: _*))
+      val qa = broadcast(s.createDataFrame(PhraseTerms.map(p => (p._1, p._2)))
+        .toDF("phrase_id", "term"))
+      val qb = broadcast(s.createDataFrame(PhraseTerms.map(p => (p._1, p._3)))
+        .toDF("phrase_id", "term"))
+      val a = post.join(qa, "term").select(col("phrase_id"), col("doc_id"), col("pos").as("pa"))
+      val b = post.join(qb, "term").select(col("phrase_id"), col("doc_id"), col("pos").as("pb"))
+      a.join(b, Seq("phrase_id", "doc_id"))
+        .where(col("pb") === col("pa") + 1)
+        .groupBy("phrase_id", "doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+    },
+    Some(s"""WITH ph(phrase_id, t1, t2) AS (VALUES ${
+        PhraseTerms.map { case (i, a, b) => s"($i, '$a', '$b')" }.mkString(", ")}),
+         tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+           FROM documents),
+         a AS (SELECT ph.phrase_id, tk.doc_id, tk.pos FROM tk JOIN ph ON tk.term = ph.t1),
+         b AS (SELECT ph.phrase_id, tk.doc_id, tk.pos FROM tk JOIN ph ON tk.term = ph.t2)
+         SELECT a.phrase_id, a.doc_id, COUNT(*) AS n_hits
+         FROM a JOIN b ON b.phrase_id = a.phrase_id AND b.doc_id = a.doc_id
+           AND b.pos = a.pos + 1
+         GROUP BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,
-      upsampleEpochs, invertedSearch)
+      upsampleEpochs, invertedSearch, phraseSearch)
 }

@@ -815,6 +815,34 @@ class PipelineSpec extends SparkSpec {
     assert(expected(got.maxBy(_._2)._1) == 1L, "the largest stratum is never repeated")
   }
 
+  test("phrase search: pruned positional postings, hits only on true adjacency") {
+    val d = SparkEntry.queries("t_phrase_search")(spark, sfDir)
+    val plan = physicalPlan(d)
+    assert(plan.contains("postings_pos"),
+      s"must scan the persisted positional postings:\n$plan")
+    assert("""PartitionFilters: \[b#\d+ IN \(""".r.findFirstIn(plan).isDefined,
+      s"the postings scan must prune to the phrase words' buckets:\n$plan")
+    // every hit doc must contain the phrase as a literal substring
+    // (raw-split adjacency => exactly one space between the words)
+    val hits = d.collect().map(r => (r.getInt(0), r.getLong(1))).toList
+    assert(hits.nonEmpty)
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase).toMap
+    val phrase = Map(1 -> "hash join", 2 -> "sort merge")
+    hits.foreach { case (pid, doc) =>
+      assert(texts(doc).contains(phrase(pid)),
+        s"doc $doc flagged for '${phrase(pid)}' must contain it verbatim")
+    }
+    // and adjacency is REQUIRED: docs with both words but never the
+    // phrase must not appear
+    val hitDocs = hits.filter(_._1 == 1).map(_._2).toSet
+    val bothWordsNoPhrase = texts.collect { case (id, t)
+      if t.contains(" hash ") && t.contains(" join ") && !t.contains("hash join") => id }
+    bothWordsNoPhrase.foreach(id =>
+      assert(!hitDocs(id), s"doc $id has both words but never adjacent"))
+  }
+
   test("inverted search serves from the pruned persisted postings and matches a full scan") {
     val dir = sfDir
     val served = SparkEntry.queries("t_inverted_search")(spark, dir)
