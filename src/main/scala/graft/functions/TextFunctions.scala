@@ -656,49 +656,55 @@ object TextFunctions {
     * doc_id tie-break). The DuckDB oracle recomputes the whole thing
     * from raw text — hash equality proves index serving ≡ full scan.
     */
-  val invertedSearch: QueryDef = QueryDef(
-    "t_inverted_search",
-    (s, dir) => {
-      import graft.sources.Snapshots
-      val postT = "/root/repo/target/invidx/" +
-        dir.replaceAll("[^A-Za-z0-9]", "_") + "/postings"
-      val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
-      val v = Snapshots.ensureIndex(postT, fp) { out =>
-        Tables.load(s, dir, "documents")
-          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-          .where(col("term") =!= "")
-          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-          // same 60-bit md5 hash the driver-side bucket filter uses
-          .withColumn("b", pmod(
-            conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"), lit(16)))
-          .write.partitionBy("b")
-          .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
-      }
-      // the query's term buckets, computed driver-side from the same
-      // md5-60bit hash — a literal IN filter the scan prunes on
-      val buckets = SearchTerms.map(_._2).map { t =>
-        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        Md5Hash60Util.hash60(b, 0, b.length) % 16
-      }.distinct
-      val post = s.read.parquet(Snapshots.versionDirs(postT, v): _*)
-        .where(col("b").isin(buckets: _*))
-      val q = broadcast(s.createDataFrame(SearchTerms).toDF("query_id", "term"))
-      // conjunctive arity derived from SearchTerms itself — a query
-      // with any number of terms keeps all-terms semantics
-      val arity = broadcast(s.createDataFrame(
-        SearchTerms.groupBy(_._1).map { case (id, ts) => (id, ts.size.toLong) }.toSeq)
-        .toDF("query_id", "n_terms"))
-      val hits = post.join(q, "term")
-        .groupBy("query_id", "doc_id")
-        .agg(count(lit(1)).as("nt"), sum(col("tf")).as("score"))
-        .join(arity, "query_id")
-        .where(col("nt") === col("n_terms"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-      hits.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
-        .select("query_id", "doc_id", "score", "rk")
-    },
-    Some(s"""WITH q(query_id, term) AS (VALUES ${
+  /** Postings (term, doc_id, tf, b) of a (doc_id, text) corpus — the
+    * shared build of both serving layouts (bucket-partitioned and
+    * clustered); `b` is the same 60-bit md5 hash the driver-side
+    * bucket filter uses.
+    */
+  private def postingsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("b", pmod(
+        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"), lit(16)))
+
+  /** The query terms' buckets, computed driver-side from the same
+    * md5-60bit hash — a literal IN filter the postings scan prunes on.
+    */
+  private def searchBuckets: Seq[Long] =
+    SearchTerms.map(_._2).map { t =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      Md5Hash60Util.hash60(b, 0, b.length) % 16
+    }.distinct
+
+  /** Conjunctive all-terms top-10 over a postings frame — shared by
+    * every serving layout. Arity is derived from SearchTerms itself,
+    * so a query with any number of terms keeps all-terms semantics.
+    */
+  private def serveConjunctive(s: org.apache.spark.sql.SparkSession,
+      post: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val q = broadcast(s.createDataFrame(SearchTerms).toDF("query_id", "term"))
+    val arity = broadcast(s.createDataFrame(
+      SearchTerms.groupBy(_._1).map { case (id, ts) => (id, ts.size.toLong) }.toSeq)
+      .toDF("query_id", "n_terms"))
+    val hits = post.join(q, "term")
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("nt"), sum(col("tf")).as("score"))
+      .join(arity, "query_id")
+      .where(col("nt") === col("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    hits.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+      .select("query_id", "doc_id", "score", "rk")
+  }
+
+  /** The full-corpus DuckDB recompute — shared by the build-once query
+    * and its incremental twin: identical output ⟹ hash equality
+    * proves incremental maintenance ≡ one-shot build. (A def, not a
+    * val: QueryDef vals below capture it at object init.)
+    */
+  private def conjunctiveOracleSql: String =
+    s"""WITH q(query_id, term) AS (VALUES ${
         SearchTerms.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
          qc AS (SELECT query_id, COUNT(*) AS n_terms FROM q GROUP BY 1),
          tk AS (SELECT doc_id, unnest(${Portable.textSql.tokensLower}) AS term FROM documents),
@@ -710,7 +716,57 @@ object TextFunctions {
          SELECT query_id, doc_id, score, rk FROM (
            SELECT query_id, doc_id, score,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
-           FROM hit) r WHERE rk <= 10"""))
+           FROM hit) r WHERE rk <= 10"""
+
+  val invertedSearch: QueryDef = QueryDef(
+    "t_inverted_search",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val postT = "/root/repo/target/invidx/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/postings"
+      val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
+      val v = Snapshots.ensureIndex(postT, fp) { out =>
+        postingsOf(Tables.load(s, dir, "documents"))
+          .write.partitionBy("b")
+          .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+      }
+      serveConjunctive(s, s.read.parquet(Snapshots.versionDirs(postT, v): _*)
+        .where(col("b").isin(searchBuckets: _*)))
+    },
+    Some(conjunctiveOracleSql))
+
+  /** INCREMENTAL index maintenance — the steady-state shape at scale:
+    * the postings live in a CLUSTERED snapshot table (range-sorted by
+    * bucket `b`, the same layout path the IVF lists use). A new doc
+    * batch's postings land cheaply as an unclustered delta
+    * ([[graft.sources.Snapshots.appendDelta]]); minor compaction
+    * re-clusters ONLY the delta (O(batch), never O(index)); serving
+    * reads the table with the bucket filter answered by per-file
+    * min/max after compaction. The table is rebuilt per run — the
+    * commits ARE the operator under test (the q_tpch_refresh
+    * convention) — and the oracle is the SAME full-corpus recompute as
+    * `t_inverted_search`, so hash equality proves base + delta +
+    * compact ≡ one-shot build.
+    */
+  val searchIncremental: QueryDef = QueryDef(
+    "t_search_incremental",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val root = "/root/repo/target/invidx/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/postings_clustered"
+      Snapshots.deleteRecursively(root)
+      val d = Tables.load(s, dir, "documents")
+      // bootstrap: 90% of the corpus as the clustered base run
+      Snapshots.commitClustered(
+        postingsOf(d.where(pmod(col("doc_id"), lit(10)) =!= 0)), root, Seq("b"), files = 8)
+      // the new batch appends unclustered, then compacts (delta only)
+      Snapshots.appendDelta(
+        postingsOf(d.where(pmod(col("doc_id"), lit(10)) === 0)), root)
+      Snapshots.compact(s, root, Seq("b"), files = 4)
+      serveConjunctive(s,
+        Snapshots.read(s, root).where(col("b").isin(searchBuckets: _*)))
+    },
+    Some(conjunctiveOracleSql))
 
   /** Phrase queries for [[phraseSearch]] — (id, first word, second
     * word), from the generator's fixed vocabulary. */
@@ -781,5 +837,5 @@ object TextFunctions {
     Seq(langId, quality, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,
-      upsampleEpochs, invertedSearch, phraseSearch)
+      upsampleEpochs, invertedSearch, searchIncremental, phraseSearch)
 }

@@ -815,6 +815,26 @@ class PipelineSpec extends SparkSpec {
     assert(expected(got.maxBy(_._2)._1) == 1L, "the largest stratum is never repeated")
   }
 
+  test("incremental search: delta compacted into a clustered run, serving equals one-shot") {
+    val served = SparkEntry.queries("t_search_incremental")(spark, sfDir)
+    val oneShot = SparkEntry.queries("t_inverted_search")(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val got = rows(served) // runs base + delta + compact, then serves
+    assert(got == rows(oneShot),
+      "incrementally maintained postings must serve identical results")
+    // post-compaction layout: every dir in the head version is a
+    // clustered run (no unclustered delta left to scan unpruned)
+    val root = "/root/repo/target/invidx/" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_") + "/postings_clustered"
+    import graft.sources.Snapshots
+    val dirs = Snapshots.versionDirs(root, Snapshots.currentVersion(root))
+    assert(dirs.size == 2, s"one base run + one compacted delta run: $dirs")
+    dirs.foreach(d => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_GRAFT_CLUSTERED")),
+      s"$d must be a clustered run after compaction"))
+  }
+
   test("phrase search: pruned positional postings, hits only on true adjacency") {
     val d = SparkEntry.queries("t_phrase_search")(spark, sfDir)
     val plan = physicalPlan(d)
