@@ -822,6 +822,30 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("racing evolving appenders compose: both columns land, both rows survive") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val t = s"$tmp/schema_race"
+    Snapshots.deleteRecursively(t)
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "v"), t)
+    // two appenders race, each evolving a DIFFERENT new column: the
+    // claim loser must recompute its merged schema against the
+    // winner's committed one, so the final schema carries BOTH
+    val ts = Seq("x", "y").map { c =>
+      new Thread(() => {
+        Snapshots.commitAppendEvolved(
+          Seq((if (c == "x") 2L else 3L, 9.9)).toDF("id", c), t)
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val r = Snapshots.read(spark, t)
+    assert(r.schema.fieldNames.toSet == Set("id", "v", "x", "y"),
+      s"union of both racers' schemas: ${r.schema.fieldNames.toSeq}")
+    assert(r.count() == 3)
+    assert(r.where(col("x").isNotNull).count() == 1)
+    assert(r.where(col("y").isNotNull).count() == 1)
+  }
+
   test("schema evolution: add column without rewrite, drop metadata-only, time travel intact") {
     import spark.implicits._
     import graft.sources.Snapshots
