@@ -661,7 +661,7 @@ object TextFunctions {
     * clustered); `b` is the same 60-bit md5 hash the driver-side
     * bucket filter uses.
     */
-  private def postingsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def postingsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .where(col("term") =!= "")
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
@@ -717,6 +717,28 @@ object TextFunctions {
            SELECT query_id, doc_id, score,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
            FROM hit) r WHERE rk <= 10"""
+
+  /** EXACTLY-ONCE postings maintenance for a STREAM of documents:
+    * each micro-batch's postings append under the (streamId, batchId)
+    * manifest tag — postings are ADDITIVE across disjoint doc batches,
+    * so no fold or rewrite is ever needed; a replayed batch no-ops.
+    * The streaming half of the search family's incremental story
+    * (the clustered-delta batch path is [[searchIncremental]]).
+    */
+  def postingsIngestBatch(batch: org.apache.spark.sql.DataFrame,
+      postTable: String, streamId: String, batchId: Long): Int =
+    graft.sources.Snapshots.ingestBatch(
+      postingsOf(batch), postTable, streamId, batchId)
+
+  /** Continuous form of [[postingsIngestBatch]]. */
+  def postingsIngestStream(stream: org.apache.spark.sql.DataFrame,
+      postTable: String, streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        postingsIngestBatch(b, postTable, streamId, id)
+        ()
+      }
 
   val invertedSearch: QueryDef = QueryDef(
     "t_inverted_search",

@@ -524,6 +524,41 @@ class StreamingSpec extends SparkSpec {
       "replay must not advance either table")
   }
 
+  test("streaming postings ingest: per-batch exactly-once, equals full recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.Snapshots
+    import graft.functions.TextFunctions
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val postT = "/root/repo/target/streamtest/postings"
+    Snapshots.deleteRecursively(postT)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = TextFunctions.postingsIngestStream(
+      mem.toDF.toDF("doc_id", "text"), postT, "pi_s1").start()
+    try {
+      for (k <- 0 until 3) {
+        mem.addData(docs.filter(_._1 % 3 == k).toSeq: _*)
+        q.processAllAvailable()
+        // after every batch: accumulated postings == one recompute
+        // over everything ingested so far (additive, never a rewrite)
+        val soFar = docs.filter(_._1 % 3 <= k)
+        val want = rows(TextFunctions.postingsOf(
+          soFar.toSeq.toDF("doc_id", "text")))
+        assert(rows(Snapshots.read(spark, postT)) == want,
+          s"batch $k: streamed postings must equal the recompute")
+      }
+    } finally q.stop()
+    // replay no-ops
+    val v = Snapshots.currentVersion(postT)
+    TextFunctions.postingsIngestBatch(
+      docs.filter(_._1 % 3 == 1).toSeq.toDF("doc_id", "text"), postT, "pi_s1", 1L)
+    assert(Snapshots.currentVersion(postT) == v, "replay must not advance the table")
+  }
+
   test("stateful streaming sessionization matches batch q_events_sessionize") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = EventStreams.readEvents(spark, sfDir)
