@@ -661,21 +661,35 @@ object TextFunctions {
     * clustered); `b` is the same 60-bit md5 hash the driver-side
     * bucket filter uses.
     */
+  /** The ONE term→bucket mapping shared by every index layout and
+    * every driver-side filter: 16 buckets of the md5-60bit hash. Both
+    * forms below MUST stay bit-identical — the pruned serving scan is
+    * only correct while the filter hashes exactly like the layout.
+    */
+  private val TermBuckets = 16
+
+  /** Executor-side bucket expression (the `b` column of a postings
+    * build) — first 15 hex chars of md5 as a 60-bit integer, mod 16.
+    */
+  private def bucketExpr(term: Column): Column =
+    pmod(conv(substring(md5(term), 1, 15), 16, 10).cast("long"), lit(TermBuckets))
+
+  /** Driver-side twin of [[bucketExpr]] for literal filter terms. */
+  private def bucketsOf(words: Seq[String]): Seq[Long] =
+    words.map { t =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      Md5Hash60Util.hash60(b, 0, b.length) % TermBuckets
+    }.distinct
+
   private[graft] def postingsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .where(col("term") =!= "")
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .withColumn("b", pmod(
-        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"), lit(16)))
+      .withColumn("b", bucketExpr(col("term")))
 
-  /** The query terms' buckets, computed driver-side from the same
-    * md5-60bit hash — a literal IN filter the postings scan prunes on.
-    */
-  private def searchBuckets: Seq[Long] =
-    SearchTerms.map(_._2).map { t =>
-      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      Md5Hash60Util.hash60(b, 0, b.length) % 16
-    }.distinct
+  /** The query terms' buckets — a literal IN filter the postings scan
+    * prunes on. */
+  private def searchBuckets: Seq[Long] = bucketsOf(SearchTerms.map(_._2))
 
   /** Conjunctive all-terms top-10 over a postings frame — shared by
     * every serving layout. Arity is derived from SearchTerms itself,
@@ -692,6 +706,12 @@ object TextFunctions {
       .agg(count(lit(1)).as("nt"), sum(col("tf")).as("score"))
       .join(arity, "query_id")
       .where(col("nt") === col("n_terms"))
+    // query_id is a HOT key (few distinct queries, many matching
+    // docs), but the rank-window top-10 is safe here: Catalyst
+    // inserts a PARTIAL WindowGroupLimit below the exchange, so each
+    // map task ships only its local top-10 per query — the shuffle
+    // carries O(10 × tasks), never the full match set (plan-asserted
+    // in PipelineSpec)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
     hits.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
@@ -820,16 +840,11 @@ object TextFunctions {
           .select(col("doc_id"),
             posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
           .where(col("term") =!= "")
-          .withColumn("b", pmod(
-            conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"), lit(16)))
+          .withColumn("b", bucketExpr(col("term")))
           .write.partitionBy("b")
           .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
       }
-      val words = PhraseTerms.flatMap(p => Seq(p._2, p._3)).distinct
-      val buckets = words.map { t =>
-        val bs = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        Md5Hash60Util.hash60(bs, 0, bs.length) % 16
-      }.distinct
+      val buckets = bucketsOf(PhraseTerms.flatMap(p => Seq(p._2, p._3)).distinct)
       val post = s.read.parquet(Snapshots.versionDirs(postT, v): _*)
         .where(col("b").isin(buckets: _*))
       val qa = broadcast(s.createDataFrame(PhraseTerms.map(p => (p._1, p._2)))

@@ -903,15 +903,6 @@ object Snapshots {
       numBits: Int = 1 << 20, numHashes: Int = 5): (String, Int) = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val vsn = currentVersion(table)
-    // integral keys only: the agg casts to long, and a cast from an
-    // arbitrary string yields null — every key would set NO bits and
-    // pointLookup would return empty with no error (silent false
-    // negatives). Hash non-integral keys into a materialized long
-    // column (e.g. xxhash64) and index that.
-    val kt = readVersion(spark, table, vsn).schema(keyCol).dataType
-    require(Seq("long", "integer", "short", "byte").contains(kt.typeName),
-      s"bloom index key $keyCol must be integral, got $kt — " +
-        "index a hashed (e.g. xxhash64) long column instead")
     val idxT = s"$table/_bloomidx_$keyCol"
     val v = ensureIndex(idxT, s"v$vsn-$numBits-$numHashes") { out =>
       // reads go through the COMMITTED schema (readVersion semantics):
@@ -920,6 +911,17 @@ object Snapshots {
       // correctly never match a lookup
       val reader = committedReader(spark, table, vsn)
       val cur = reader.parquet(versionDirs(table, vsn): _*)
+      // integral keys only: the agg casts to long, and a cast from an
+      // arbitrary string yields null — every key would set NO bits and
+      // pointLookup would return empty with no error (silent false
+      // negatives). Hash non-integral keys into a materialized long
+      // column (e.g. xxhash64) and index that. Checked here, inside
+      // the once-per-version build, so the serving path pays no
+      // per-lookup schema resolution.
+      val kt = cur.schema(keyCol).dataType
+      require(Seq("long", "integer", "short", "byte").contains(kt.typeName),
+        s"bloom index key $keyCol must be integral, got $kt — " +
+          "index a hashed (e.g. xxhash64) long column instead")
       val curFiles = cur.inputFiles.toSet
       val prevV = currentVersion(idxT)
       val reusable: Set[String] =

@@ -871,6 +871,11 @@ class PipelineSpec extends SparkSpec {
       s"must scan the persisted postings table:\n$plan")
     assert("""PartitionFilters: \[b#\d+ IN \(""".r.findFirstIn(plan).isDefined,
       s"the postings scan must prune to the query terms' buckets:\n$plan")
+    // the top-10 rank window over the hot query_id key must carry a
+    // PARTIAL WindowGroupLimit below the exchange: each map task ships
+    // only its local top-10, never the full match set
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected partial window group limit in:\n$plan")
     // full-scan reference computed directly from raw text in Spark
     val tf = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
