@@ -870,9 +870,60 @@ object TextFunctions {
            AND b.pos = a.pos + 1
          GROUP BY 1, 2"""))
 
+  private val NShards = 8
+
+  /** Deterministic shard export — the LAST step of a training-data
+    * pipeline: assign every document to one of [[NShards]] output
+    * shards by a salted content-independent hash (so reruns and
+    * backfills land rows identically), fix a reproducible total order
+    * WITHIN each shard (hash-shuffled, tie-broken by doc_id — a
+    * deterministic global shuffle, the thing `ORDER BY random()`
+    * cannot give you), and emit each row's byte offset into its shard
+    * via a running n_chars sum — the seek manifest a trainer's data
+    * loader reads.
+    *
+    * Scale shape: the hash spreads rows uniformly, so the per-shard
+    * sort has NO hot key — each shard is one balanced shuffle
+    * partition's worth of work, and shard count is the write-
+    * parallelism knob (raise [[NShards]] with the cluster; the plan is
+    * one hash-partitioned sort, identical at any count). Contrast a
+    * single global ORDER BY, which funnels the corpus through one
+    * task. Both windows share one (shard, h, doc_id) sort.
+    */
+  val shardExport: QueryDef = QueryDef(
+    "t_shard_export",
+    (s, dir) => {
+      val h = conv(substring(md5(
+        concat(lit("shard:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), h.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(NShards)))
+        .withColumn("pos", row_number().over(w))
+        .withColumn("offset", coalesce(
+          sum(col("n_chars")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("shard", "pos", "doc_id", "offset")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, n_chars,
+           ${Portable.textSql.h60("'shard:' || CAST(doc_id AS VARCHAR)")} AS h
+         FROM documents),
+       sh AS (SELECT doc_id, n_chars, h,
+           CAST(h % $NShards AS BIGINT) AS shard FROM d)
+       SELECT shard,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos,
+         doc_id,
+         CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
+       FROM sh"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,
-      upsampleEpochs, invertedSearch, searchIncremental, phraseSearch)
+      upsampleEpochs, invertedSearch, searchIncremental, phraseSearch,
+      shardExport)
 }

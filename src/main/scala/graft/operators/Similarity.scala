@@ -473,8 +473,13 @@ object Similarity {
     * incremental maintenance ≡ full rebuild). A def, not a val: the
     * QueryDefs above and below both capture it at object init.
     */
-  private def graphServeOracle: String =
-    s"""WITH $quantizedSql, $bandedSql,
+  /** The graph-rebuild CTE chain every graph-serving oracle opens
+    * with: quantized corpus → banded candidates → exact-cosine scores
+    * → top-[[GraphK]] adjacency as `graph(g_src, g_dst)`. A def for
+    * the same init-order reason as [[graphServeOracle]].
+    */
+  private def graphSqlCtes: String =
+    s"""$quantizedSql, $bandedSql,
          cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
              FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
              WHERE l.vec_id <> r.vec_id),
@@ -484,7 +489,10 @@ object Similarity {
             FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b),
          graph AS (SELECT a AS g_src, b AS g_dst FROM (
              SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
-             FROM gsc) x WHERE rn <= 3),
+             FROM gsc) x WHERE rn <= $GraphK)"""
+
+  private def graphServeOracle: String =
+    s"""WITH $graphSqlCtes,
          seeds AS (SELECT a AS q_id, b AS n_id FROM cand WHERE a < 5),
          hop AS (SELECT s.q_id, g.g_dst AS n_id
              FROM seeds s JOIN graph g ON s.n_id = g.g_src),
@@ -1475,8 +1483,99 @@ object Similarity {
     },
     Some(pqTrainedOracle))
 
+  // ---- graph centrality over the persisted kNN graph ----
+
+
+  private val PrIters = 4
+  private val PrScale = 1000000000000L // rank mass, integer-scaled 1e12
+
+  /** PageRank over the persisted kNN document graph — centrality-
+    * weighted data selection: documents whose neighborhoods are dense
+    * and well-connected rank high (good canonical/representative
+    * picks for a training mixture), near-orphans sink to the teleport
+    * floor. Runs the standard power iteration, but in INTEGER
+    * arithmetic (ranks scaled by [[PrScale]], every divide an
+    * integral DIV) so all [[PrIters]] rounds are bit-reproducible in
+    * DuckDB — the oracle unrolls the same iterations over the same
+    * rebuilt graph.
+    *
+    * No dangling nodes by construction: [[buildGraph]] symmetrizes
+    * candidate pairs before the top-K cut, so any vector appearing as
+    * a destination also has out-edges of its own — the node set IS
+    * `distinct g_src`, and no rank mass leaks.
+    *
+    * Scale shape: per iteration, ONE equi-join of ranks against the
+    * edge table on its persisted partitioning key (g_src) and ONE
+    * partial-aggregated shuffle on g_dst; state is (vid, rank) pairs —
+    * never vectors, never the corpus. Iterations are a fixed constant;
+    * the final top-k is TakeOrderedAndProject, not a global sort. The
+    * graph is scanned from its pinned snapshot version, shared with
+    * `s_knn_graph`/`s_knn_beam`.
+    */
+  /** The full (vid, rank) vector after [[PrIters]] rounds — the query
+    * below serves its top-20; tests read the whole vector to assert
+    * mass conservation and the teleport floor.
+    */
+  private[graft] def pagerankRanks(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val graph = knnGraphTable(s, dir).select("g_src", "g_dst")
+    val nodes = graph.select(col("g_src").as("vid")).distinct().localCheckpoint()
+    val nN = nodes.count() // bounded driver scalar: the node count
+    val deg = graph.groupBy("g_src").agg(count(lit(1)).as("deg"))
+    val edges = graph.join(deg, "g_src").repartition(col("g_src"))
+    // teleport and the uniform start are Long truncating division —
+    // identical to `//` in the oracle (all operands positive)
+    val teleport = (15L * PrScale) / (100L * nN)
+    var ranks = nodes.withColumn("rank", lit(PrScale / nN))
+    for (i <- 1 to PrIters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("vid", "g_src"), "g_src")
+        .select(col("g_dst").as("vid"), expr("rank DIV deg").as("c"))
+        .groupBy("vid").agg(sum(col("c")).as("cs"))
+      val next = nodes.join(contrib, Seq("vid"), "left")
+        .select(col("vid"),
+          (lit(teleport) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) DIV 100"))
+            .as("rank"))
+      // checkpoint all but the last round: bounds the iterated plan
+      // while keeping the persisted-graph scan visible in the final
+      // plan (asserted in PipelineSpec), the s_knn_beam convention
+      ranks = if (i < PrIters) next.localCheckpoint() else next
+    }
+    ranks
+  }
+
+  val graphPagerank: QueryDef = QueryDef(
+    "s_graph_pagerank",
+    (s, dir) => pagerankRanks(s, dir)
+      .orderBy(col("rank").desc, col("vid")).limit(20)
+      .select(col("vid").as("vec_id"), col("rank")),
+    Some(pagerankOracle))
+
+  /** Oracle twin: rebuild the graph ([[graphSqlCtes]]) and unroll the
+    * same [[PrIters]] integer power iterations; `//` ≡ Spark's DIV on
+    * the all-positive operands.
+    */
+  private def pagerankOracle: String = {
+    def iter(i: Int): String =
+      s"""r$i AS (SELECT nd.vid,
+            CAST((SELECT (15 * $PrScale) // (100 * n) FROM nn)
+              + (85 * COALESCE(c.cs, 0)) // 100 AS BIGINT) AS rank
+          FROM nodes nd LEFT JOIN (
+            SELECT g.g_dst AS vid, SUM(r.rank // d.deg) AS cs
+            FROM graph g JOIN r${i - 1} r ON r.vid = g.g_src
+            JOIN deg d ON d.g_src = g.g_src
+            GROUP BY 1) c ON c.vid = nd.vid)"""
+    s"""WITH $graphSqlCtes,
+       nodes AS (SELECT DISTINCT g_src AS vid FROM graph),
+       nn AS (SELECT COUNT(*) AS n FROM nodes),
+       deg AS (SELECT g_src, COUNT(*) AS deg FROM graph GROUP BY 1),
+       r0 AS (SELECT vid, (SELECT $PrScale // n FROM nn) AS rank FROM nodes),
+       ${(1 to PrIters).map(iter).mkString(",\n")}
+       SELECT vid AS vec_id, rank FROM r$PrIters ORDER BY rank DESC, vid LIMIT 20"""
+  }
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
-      knnBeam)
+      knnBeam, graphPagerank)
 }

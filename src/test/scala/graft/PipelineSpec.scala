@@ -304,6 +304,70 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("shard export: contiguous offsets, balanced shards, one shared sort") {
+    val dir = sfDir
+    val df = SparkEntry.queries("t_shard_export")(spark, dir)
+    // both windows (row_number + running byte offset) must share ONE
+    // (shard, h, doc_id) sort — a second Sort node would mean the
+    // export pays the shuffle twice
+    val plan = physicalPlan(df)
+    assert("(?s)Sort ".r.findAllIn(plan).size == 1,
+      s"the two export windows must share one sort:\n$plan")
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val chars = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // within a shard, each row's offset is the previous row's offset
+    // plus its byte length — the seek manifest is gapless from 0
+    rows.groupBy(_._1).values.foreach { shard =>
+      val ordered = shard.sortBy(_._2)
+      assert(ordered.head._4 == 0L, "first row of a shard starts at byte 0")
+      ordered.sliding(2).foreach {
+        case Array((_, _, d1, o1), (_, _, _, o2)) =>
+          assert(o2 == o1 + chars(d1), s"gap after doc $d1")
+        case _ =>
+      }
+    }
+    // the salted hash spreads docs evenly: no shard more than 2x the
+    // uniform share (a deterministic bound for these corpora)
+    val sizes = rows.groupBy(_._1).values.map(_.length)
+    assert(sizes.max <= 2 * (rows.length / 8),
+      s"shard skew: ${sizes.mkString(",")}")
+  }
+
+  test("pagerank: mass conserved, teleport floor exact, serves the persisted graph") {
+    val dir = sfDir
+    val plan = physicalPlan(SparkEntry.queries("s_graph_pagerank")(spark, dir))
+    assert(plan.contains("target/knngraph"),
+      s"pagerank must scan the persisted graph table:\n$plan")
+    val graph = Similarity.knnGraphTable(spark, dir)
+    val nN = graph.select("g_src").distinct().count()
+    val nE = graph.count()
+    val scale = 1000000000000L
+    val teleport = (15L * scale) / (100L * nN)
+    val ranks = Similarity.pagerankRanks(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ranks.length == nN)
+    // every integral DIV truncates: each of the 4 rounds loses < 1 per
+    // edge (contrib), < 1 per node (damping), < 1 per node (teleport) —
+    // mass stays within that loss band of the invariant total
+    val mass = ranks.map(_._2).sum
+    assert(mass <= scale, s"mass $mass exceeds scale")
+    assert(mass >= scale - 5 * (nE + 2 * nN),
+      s"mass $mass lost more than the truncation bound")
+    // a node nobody links to gets EXACTLY the teleport share, every
+    // round; any in-edge adds a strictly positive damped contribution
+    val inDeg = graph.groupBy("g_dst").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ranks.foreach { case (vid, rank) =>
+      if (inDeg.contains(vid)) assert(rank > teleport,
+        s"node $vid has in-edges but sits at the teleport floor")
+      else assert(rank == teleport,
+        s"orphan $vid should hold exactly the teleport share, got $rank")
+    }
+  }
+
   test("served IVF+PQ equals the in-query trainer, prunes codes, and is faster") {
     val dir = sfDir
     // first call may build the index; the A/B below times the SERVED
