@@ -216,6 +216,34 @@ object Snapshots {
       df.withColumn(column, org.apache.spark.sql.functions
         .when(cond, value).otherwise(df(column))))
 
+  /** Time-travel DIFF between two committed versions, computed from
+    * the MANIFESTS: a data directory shared by both manifests carries
+    * identical rows by construction (dirs are immutable once
+    * committed), so shared dirs cancel EXACTLY and only the symmetric
+    * difference of the two dir sets is ever scanned — an append-mostly
+    * history diffs in O(changed data), never O(table). The multiset
+    * subtraction (exceptAll) then nets out rewrite churn: a selective
+    * DML that rewrote a dir contributes only the rows that actually
+    * changed, not the carried survivors. Rows are expressed in the TO
+    * version's committed schema — the CDC consumer's view: evolved-in
+    * columns read null for old rows, dropped columns are pruned.
+    */
+  def diff(spark: SparkSession, table: String,
+      vFrom: Int, vTo: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val from = manifestDirs(table, vFrom)
+    val to = manifestDirs(table, vTo)
+    val reader = committedReader(spark, table, vTo)
+    val onlyFrom = from.filterNot(to.toSet)
+    val onlyTo = to.filterNot(from.toSet)
+    def side(dirs: Seq[String]): DataFrame =
+      if (dirs.isEmpty) readVersion(spark, table, vTo).where(lit(false))
+      else reader.parquet(dirs: _*)
+    side(onlyTo).exceptAll(side(onlyFrom)).withColumn("chg", lit("insert"))
+      .unionByName(
+        side(onlyFrom).exceptAll(side(onlyTo)).withColumn("chg", lit("delete")))
+  }
+
   /** ONE existence-probe job over candidate dirs — not a serial
     * per-dir isEmpty loop, which at 100 TB (thousands of dirs per
     * manifest) would launch thousands of driver-serialized jobs.

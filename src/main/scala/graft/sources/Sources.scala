@@ -308,8 +308,41 @@ object SourceQueries {
     Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
             FROM lineitem WHERE l_orderkey = 1"""))
 
+  /** Time-travel diff ([[Snapshots.diff]]) as an oracle-checked query:
+    * a snapshot table moves through overwrite → append → selective
+    * delete, and the diff from v1 to the head is computed from the
+    * MANIFESTS — shared dirs cancel without being read, the rewritten
+    * dirs' multiset subtraction nets out carried survivors, and what
+    * remains is exactly the semantic changeset. The DuckDB oracle
+    * derives that changeset relationally from the base table, proving
+    * insert and delete attribution bit-for-bit. The table is rebuilt
+    * per run (the version history IS the operator under test).
+    */
+  val snapshotDiff: QueryDef = QueryDef(
+    "q_snapshot_diff",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val t = "/root/repo/target/diff/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Snapshots.deleteRecursively(t)
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val v1 = Snapshots.commitOverwrite(o.where(col("o_orderkey") % 4 =!= 3), t)
+      Snapshots.commitAppend(o.where(col("o_orderkey") % 4 === 3), t)
+      val head = Snapshots.deleteWhereSelective(s, t, col("o_orderkey") % 5 === 0)
+        .getOrElse(sys.error("selective delete aborted without a concurrent writer"))
+      Snapshots.diff(s, t, v1, head)
+    },
+    Some("""WITH a AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             FROM orders WHERE o_orderkey % 4 <> 3),
+         b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             FROM orders WHERE o_orderkey % 4 = 3)
+         SELECT *, 'insert' AS chg FROM b WHERE o_orderkey % 5 <> 0
+         UNION ALL
+         SELECT *, 'delete' AS chg FROM a WHERE o_orderkey % 5 = 0"""))
+
   val defs: Seq[QueryDef] =
-    Seq(zorderSecondary, mvIncremental, mergeUpsert, bloomPointLookup)
+    Seq(zorderSecondary, mvIncremental, mergeUpsert, bloomPointLookup,
+      snapshotDiff)
 }
 
 /** Copy-on-write mutations — the reference's record insert/update/

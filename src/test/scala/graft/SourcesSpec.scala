@@ -302,6 +302,36 @@ class SourcesSpec extends SparkSpec {
       .where(col("l_orderkey") === 750).count() > 0)
   }
 
+  test("manifest diff scans only changed dirs and nets out rewrite churn") {
+    import graft.sources.Snapshots
+    val t = "/root/repo/target/sources-spec/diff_tbl"
+    Snapshots.deleteRecursively(t)
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val v1 = Snapshots.commitOverwrite(li.where(col("l_orderkey") < 1000), t)
+    val v2 = Snapshots.commitAppend(li.where(col("l_orderkey") >= 1000), t)
+    // append-only step: the diff is exactly the appended rows...
+    val d12 = Snapshots.diff(spark, t, v1, v2)
+    assert(d12.where(col("chg") =!= "insert").count() == 0)
+    assert(d12.count() == li.where(col("l_orderkey") >= 1000).count())
+    // ...and the shared dir cancels WITHOUT being read: after empty-
+    // relation propagation the only parquet scan left is the appended
+    // dir
+    val shared = Snapshots.versionDirs(t, v1).head
+    val plan = physicalPlan(d12)
+    assert(!plan.contains(shared),
+      s"shared dir must cancel without a read:\n$plan")
+    // a rewrite step (selective point delete) nets out the carried
+    // survivors: the diff is exactly the deleted rows
+    val v3 = Snapshots.deleteWhereSelective(spark, t, col("l_orderkey") === 750)
+      .getOrElse(fail("selective delete aborted"))
+    val d23 = Snapshots.diff(spark, t, v2, v3).collect()
+    assert(d23.nonEmpty && d23.forall(_.getString(3) == "delete"))
+    assert(d23.length == li.where(col("l_orderkey") === 750).count())
+    // identity diff is empty
+    assert(Snapshots.diff(spark, t, v3, v3).count() == 0)
+  }
+
   test("selective DML existence probe is one job, not one per dir") {
     import graft.sources.Snapshots
     def rm(f: java.io.File): Unit = {
