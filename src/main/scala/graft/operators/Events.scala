@@ -247,6 +247,56 @@ object Events {
                 SQRT(CAST(n*(n*sxx - sx*sx) AS DOUBLE) / (n - 1))) > 2.0) AS is_anomaly
             FROM hourly JOIN st ON event_type = t"""))
 
+  /** Sequence-pattern detection (the MATCH_RECOGNIZE shape): each
+    * user's event history becomes one ordered letter string (C/E/P/S/V
+    * by ts, event_id tie-break), and regexes count behavioral motifs —
+    * conversions `V[CE]*P` (a view leading to a purchase with only
+    * clicks/errors between) and error bursts `EE+` (non-overlapping
+    * runs of ≥ 2). Both engines' regex engines agree on these
+    * anchored-alphabet patterns (no dialect-divergent syntax), so the
+    * counts are oracle-exact.
+    *
+    * Scale shape: ONE shuffle on user_id; each group's string is
+    * bounded by that user's own activity (the sessionize bound — per-
+    * user history fits an executor; a pathological single-entity
+    * history would shard by (user, day) first). The regex pass is
+    * per-group map work, no second shuffle.
+    */
+  val pattern: QueryDef = QueryDef(
+    "q_events_pattern",
+    (s, dir) => {
+      val le = expr("""CASE event_type WHEN 'click' THEN 'C'
+        WHEN 'error' THEN 'E' WHEN 'purchase' THEN 'P'
+        WHEN 'signup' THEN 'S' ELSE 'V' END""")
+      events(s, dir)
+        .select(col("user_id"),
+          // ts is the raw nanosecond Long (see `events` loader) —
+          // sorting it is exactly the timestamp order DuckDB uses
+          struct(col("ts"), col("event_id"), le.as("l")).as("e"))
+        .groupBy("user_id")
+        .agg(
+          concat_ws("",
+            expr("transform(array_sort(collect_list(e)), x -> x.l)")).as("seq"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          size(expr("regexp_extract_all(seq, 'V[CE]*P', 0)"))
+            .cast("long").as("n_conv"),
+          size(expr("regexp_extract_all(seq, 'EE+', 0)"))
+            .cast("long").as("n_bursts"))
+    },
+    Some("""WITH s AS (SELECT user_id,
+          string_agg(CASE event_type WHEN 'click' THEN 'C'
+              WHEN 'error' THEN 'E' WHEN 'purchase' THEN 'P'
+              WHEN 'signup' THEN 'S' ELSE 'V' END, ''
+            ORDER BY ts, event_id) AS seq,
+          COUNT(*) AS n_events
+        FROM events GROUP BY 1)
+      SELECT user_id, n_events,
+        CAST(len(regexp_extract_all(seq, 'V[CE]*P')) AS BIGINT) AS n_conv,
+        CAST(len(regexp_extract_all(seq, 'EE+')) AS BIGINT) AS n_bursts
+      FROM s"""))
+
   val defs: Seq[QueryDef] =
-    Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention, anomaly)
+    Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
+      anomaly, pattern)
 }

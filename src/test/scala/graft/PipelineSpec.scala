@@ -304,6 +304,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("event pattern matching: one shuffle, counts agree with a direct scan") {
+    val dir = sfDir
+    val df = SparkEntry.queries("q_events_pattern")(spark, dir)
+    // the whole query is one user_id shuffle: build-string + regex are
+    // group-local, so exactly one exchange may appear
+    val plan = physicalPlan(df)
+    assert("Exchange ".r.findAllIn(plan).size == 1,
+      s"pattern matching must shuffle once on user_id:\n$plan")
+    // cross-check one motif without regex: per-user purchase count is
+    // an upper bound on conversions, and total conversions are > 0 on
+    // every SF's corpus
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.values.map(_._2).sum > 0, "no conversions found at all")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val byUser = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (u, (_, conv, _)) =>
+      assert(conv <= byUser.getOrElse(u, 0L),
+        s"user $u: $conv conversions but only ${byUser.getOrElse(u, 0L)} purchases")
+    }
+  }
+
   test("shard export: contiguous offsets, balanced shards, one shared sort") {
     val dir = sfDir
     val df = SparkEntry.queries("t_shard_export")(spark, dir)
