@@ -920,10 +920,170 @@ object TextFunctions {
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
        FROM sh"""))
 
+  /** Token count per document — the BM25 `dl` sidecar build: one
+    * map-only pass, 16 bytes/doc output (at scale, bucket it by
+    * doc_id so the scoring join below is co-located).
+    */
+  private def docLengths(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      size(filter(split(lower(col("text")), " "), t => t =!= ""))
+        .cast("long").as("dl"))
+
+  /** BM25 top-10 per query served from the PERSISTED postings index —
+    * shared by `t_search_bm25` and the hybrid-fusion query.
+    *
+    * Scoring is the BM25 shape (k1 = 1.2, b = 0.75) carried out in
+    * EXACT integer arithmetic so both engines rank identically:
+    * per-term score = (idf · 22·tf·total) DIV
+    * (10·tf·total + 3·total + 9·dl·N), which is the BM25 tf-saturation
+    * term tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with avgdl = total/N
+    * cleared of fractions (×10·total), scaled by a fixed-point idf =
+    * (N·1000) DIV df (a monotone inverse-df surrogate for the log idf
+    * — ln is not bit-portable across engines; ranking quality needs
+    * idf to be monotone decreasing in df, which this is).
+    * Precondition (documented, not silently wrong): 22000·N·tf·total
+    * < 2⁶³ — at larger scales drop the idf scale or widen to decimal.
+    *
+    * Serving shape: postings scan pruned to the query terms' buckets
+    * (PartitionFilters on `b` — O(matched postings) read), broadcast
+    * literal query table, df aggregated from the pruned scan itself,
+    * one shuffle join against the doclen sidecar on doc_id, corpus
+    * scalars (N, total) as a broadcast single-row crossJoin — never a
+    * driver collect.
+    */
+  private def bm25Ranked(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.sources.Snapshots
+    val root = "/root/repo/target/invidx/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val postT = root + "/postings"
+    val dlT = root + "/doclen"
+    val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
+    val v = Snapshots.ensureIndex(postT, fp) { out =>
+      postingsOf(Tables.load(s, dir, "documents"))
+        .write.partitionBy("b")
+        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+    }
+    val vd = Snapshots.ensureIndex(dlT, fp) { out =>
+      docLengths(Tables.load(s, dir, "documents"))
+        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+    }
+    val post = s.read.parquet(Snapshots.versionDirs(postT, v): _*)
+      .where(col("b").isin(searchBuckets: _*))
+    val dl = s.read.parquet(Snapshots.versionDirs(dlT, vd): _*)
+    val q = broadcast(s.createDataFrame(SearchTerms).toDF("query_id", "term"))
+    val tot = broadcast(dl.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("dl")).cast("long").as("total")))
+    val dfs = broadcast(post.join(q.select("term").distinct(), "term")
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df")))
+    val hits = post.join(q, "term").join(dfs, "term").join(dl, "doc_id")
+      .crossJoin(tot)
+      .withColumn("sc", expr(
+        "(((n * 1000) DIV df) * 22 * tf * total) DIV " +
+          "(10*tf*total + 3*total + 9*dl*n)"))
+    val scored = hits.groupBy("query_id", "doc_id")
+      .agg(sum(col("sc")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** The DuckDB full-corpus recompute of [[bm25Ranked]] — hash
+    * equality proves pruned-index serving ≡ full scan, doclen sidecar
+    * included. (A def for the same object-init reason as
+    * [[conjunctiveOracleSql]].)
+    */
+  private def bm25OracleSql: String =
+    s"""WITH q(query_id, term) AS (VALUES ${
+        SearchTerms.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+       dl AS (SELECT doc_id,
+           CAST(len(${Portable.textSql.tokensLower}) AS BIGINT) AS dl
+         FROM documents),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+       tk AS (SELECT doc_id, unnest(${Portable.textSql.tokensLower}) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         FROM tk GROUP BY 1, 2),
+       df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       sc AS (SELECT q.query_id, tf.doc_id,
+           ((((tot.n * 1000) // df.df) * 22 * tf.tf * tot.total) //
+             (10*tf.tf*tot.total + 3*tot.total + 9*dl.dl*tot.n)) AS s
+         FROM tf JOIN q ON tf.term = q.term
+           JOIN df ON df.term = tf.term
+           JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot),
+       agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score
+         FROM sc GROUP BY 1, 2)
+       SELECT query_id, doc_id, score, rk FROM (
+         SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+         FROM agg) r WHERE rk <= 10"""
+
+  /** §2.2 — BM25-ranked keyword search (disjunctive: any query term
+    * contributes) over the persisted inverted index + doclen sidecar;
+    * see [[bm25Ranked]] for the scoring derivation and serving shape.
+    */
+  val searchBm25: QueryDef = QueryDef(
+    "t_search_bm25",
+    (s, dir) => bm25Ranked(s, dir),
+    Some(bm25OracleSql))
+
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  /** RAG-style corpus chunking — split every document into
+    * fixed-width OVERLAPPING token windows ([[ChunkTokens]] tokens,
+    * stride [[ChunkStride]], so consecutive chunks share
+    * ChunkTokens−ChunkStride tokens of context), the unit a retrieval
+    * system embeds and indexes. Output is one row per chunk:
+    * (doc_id, chunk_id, start, n_tokens, chunk_text); the trailing
+    * chunk keeps whatever tokens remain (standard — a short tail is
+    * still retrievable context).
+    *
+    * Scale shape: a pure per-row map (tokenize → generate window
+    * starts → slice) — ZERO exchanges at any corpus size; chunk rows
+    * inherit the scan's partitioning, so the downstream embed/index
+    * stages start from an already-balanced layout. Growth is bounded:
+    * ≤ len/stride + 1 chunks per doc, each materializing ≤
+    * [[ChunkTokens]] tokens, so output bytes ≈ (W/S)× corpus — the
+    * overlap factor a retrieval design chooses explicitly.
+    */
+  val chunkRag: QueryDef = QueryDef(
+    "t_chunk_rag",
+    (s, dir) => {
+      val tk = filter(split(lower(col("text")), " "), t => t =!= "")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tk.as("tk"))
+        .where(size(col("tk")) > 0)
+        .select(col("doc_id"), col("tk"),
+          posexplode(sequence(lit(1), size(col("tk")), lit(ChunkStride))))
+        .toDF("doc_id", "tk", "chunk_id", "start")
+        .select(col("doc_id"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          col("start").cast("long").as("start"),
+          size(slice(col("tk"), col("start"), lit(ChunkTokens)))
+            .cast("long").as("n_tokens"),
+          concat_ws(" ", slice(col("tk"), col("start"), lit(ChunkTokens)))
+            .as("chunk_text"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, ${Portable.textSql.tokensLower} AS tk
+             FROM documents),
+           st AS (SELECT doc_id, tk,
+               unnest(range(1, len(tk)+1, $ChunkStride)) AS start
+             FROM tk WHERE len(tk) > 0)
+           SELECT doc_id,
+             (start - 1) // $ChunkStride AS chunk_id,
+             CAST(start AS BIGINT) AS start,
+             CAST(len(tk[start:start+${ChunkTokens - 1}]) AS BIGINT) AS n_tokens,
+             array_to_string(tk[start:start+${ChunkTokens - 1}], ' ') AS chunk_text
+           FROM st"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,
       upsampleEpochs, invertedSearch, searchIncremental, phraseSearch,
-      shardExport)
+      shardExport, chunkRag)
 }

@@ -1574,8 +1574,58 @@ object Similarity {
        SELECT vid AS vec_id, rank FROM r$PrIters ORDER BY rank DESC, vid LIMIT 20"""
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for
+    * each anchor vector, the top-5 MOST similar vectors carrying a
+    * DIFFERENT label — the "hard" negatives a trainer pairs with each
+    * anchor's positives (random negatives are too easy to teach the
+    * margin; the highest-similarity wrong-label examples are where the
+    * gradient is). Exact cosine on the quantized integers, ranked
+    * (sim DESC, n_id) per anchor.
+    *
+    * Scale shape: identical to [[knnBruteForce]] — broadcast the small
+    * anchor set, stream the corpus once, partial WindowGroupLimit
+    * top-k below the exchange. Mining jobs are offline batch scans, so
+    * the per-shard brute-force pass IS the production shape; to mine
+    * for EVERY corpus vector at once, swap the broadcast for the
+    * banded self-join of [[embeddingNearDup]] and filter labels the
+    * same way.
+    */
+  val hardNegatives: QueryDef = QueryDef(
+    "s_hard_negatives",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val v = e.select(col("vec_id"), quantize(col("embedding")).as("q"),
+          col("label"))
+        .withColumn("nrm", dotL(col("q"), col("q")))
+      val q = broadcast(v.where(col("vec_id") < 5)
+        .toDF("q_id", "q_q", "q_label", "q_nrm"))
+      val scored = q.join(v.toDF("n_id", "n_q", "n_label", "n_nrm"),
+          col("n_label") =!= col("q_label"))
+        .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+          col("sim"), col("rn").cast("long").as("rn"))
+    },
+    Some("""WITH v AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
+               FROM embeddings),
+            n AS (SELECT vec_id, label, q,
+                 CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+            p AS (SELECT a.vec_id AS q_id, a.label AS q_label,
+                 b.vec_id AS n_id, b.label AS n_label,
+                 CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+                 a.nrm AS na, b.nrm AS nb
+               FROM n a JOIN n b ON a.vec_id < 5 AND b.label <> a.label),
+            s AS (SELECT q_id, q_label, n_id, n_label,
+                 CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM p)
+            SELECT q_id, q_label, n_id, n_label, sim, rn FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s)
+            WHERE rn <= 5"""))
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
-      knnBeam, graphPagerank)
+      knnBeam, graphPagerank, hardNegatives)
 }
