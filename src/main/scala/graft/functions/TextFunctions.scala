@@ -1030,6 +1030,114 @@ object TextFunctions {
     (s, dir) => bm25Ranked(s, dir),
     Some(bm25OracleSql))
 
+  /** query_id → seed embedding vec_id: the semantic half of a hybrid
+    * query (the lexical half is that query_id's terms in
+    * [[SearchTerms]]). Deterministic small ids so they exist at every
+    * scale factor.
+    */
+  private val HybridSeeds: Seq[(Int, Long)] = Seq((1, 7L), (2, 14L), (3, 21L))
+
+  /** Hybrid retrieval — BM25 lexical top-10 and embedding-cosine
+    * top-10 fused by Reciprocal Rank Fusion (Cormack et al. 2009):
+    * rrf(d) = Σ_lists 1/(60 + rank_list(d)), computed in fixed point
+    * (10⁹ DIV (60+rank)) so both engines fuse identically; a doc in
+    * both lists accumulates both contributions (n_lists reports how
+    * many). The production "vector store + keyword index" serving
+    * pattern: neither retriever sees the other's scores, so fusion
+    * needs no score calibration — only ranks.
+    *
+    * Scale shape: both inputs are already top-k per query (tiny); the
+    * fusion is a union + groupBy on O(queries × 20) rows. The lexical
+    * side serves from the pruned persisted postings ([[bm25Ranked]]);
+    * the vector side here is the broadcast-seed brute-force scan — at
+    * scale swap it for the IVF-served path (s_knn_ivf) unchanged, as
+    * both produce the same (query_id, rank) contract.
+    */
+  val hybridRrf: QueryDef = QueryDef(
+    "s_hybrid_rrf",
+    (s, dir) => {
+      import graft.operators.Similarity.{cosine, dotL, quantize}
+      val lex = bm25Ranked(s, dir).select(col("query_id"), col("doc_id"),
+        expr("CAST(1000000000 AS BIGINT) DIV (60 + rk)").as("c"))
+      val v = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .withColumn("nrm", dotL(col("q"), col("q")))
+      val seeds = broadcast(
+        s.createDataFrame(HybridSeeds).toDF("query_id", "vec_id")
+          .join(v, "vec_id")
+          .select(col("query_id"), col("vec_id").as("seed_id"),
+            col("q").as("q_q"), col("nrm").as("q_nrm")))
+      val scoredV = seeds
+        .join(v.toDF("n_id", "n_q", "n_nrm"), col("n_id") =!= col("seed_id"))
+        .select(col("query_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("sim").desc, col("n_id"))
+      val vec = scoredV.withColumn("rn", row_number().over(wv))
+        .where(col("rn") <= 10)
+        .select(col("query_id"), col("n_id").as("doc_id"),
+          expr("CAST(1000000000 AS BIGINT) DIV (60 + CAST(rn AS BIGINT))").as("c"))
+      val fused = lex.unionByName(vec).groupBy("query_id", "doc_id")
+        .agg(sum(col("c")).as("rrf"), count(lit(1)).cast("long").as("n_lists"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rk", row_number().over(wf)).where(col("rk") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rrf"), col("n_lists"),
+          col("rk").cast("long").as("rk"))
+    },
+    Some(s"""WITH q(query_id, term) AS (VALUES ${
+        SearchTerms.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
+       dl AS (SELECT doc_id,
+           CAST(len(${Portable.textSql.tokensLower}) AS BIGINT) AS dl
+         FROM documents),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+       tk AS (SELECT doc_id, unnest(${Portable.textSql.tokensLower}) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         FROM tk GROUP BY 1, 2),
+       df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       sc AS (SELECT q.query_id, tf.doc_id,
+           ((((tot.n * 1000) // df.df) * 22 * tf.tf * tot.total) //
+             (10*tf.tf*tot.total + 3*tot.total + 9*dl.dl*tot.n)) AS s
+         FROM tf JOIN q ON tf.term = q.term
+           JOIN df ON df.term = tf.term
+           JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot),
+       agg AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score
+         FROM sc GROUP BY 1, 2),
+       lex AS (SELECT query_id, doc_id,
+           CAST(1000000000 AS BIGINT) // (60 + rk) AS c FROM (
+         SELECT query_id, doc_id, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+           FROM agg) r WHERE rk <= 10),
+       sd(query_id, seed_id) AS (VALUES ${
+        HybridSeeds.map { case (i, v) => s"($i, $v)" }.mkString(", ")}),
+       ve AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+         FROM embeddings),
+       vn AS (SELECT vec_id, qv,
+           CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM ve),
+       vp AS (SELECT sd.query_id, b.vec_id AS n_id,
+           CAST(list_sum(list_transform(list_zip(a.qv, b.qv), s -> s[1]*s[2])) AS BIGINT) AS dot,
+           a.nrm AS na, b.nrm AS nb
+         FROM sd JOIN vn a ON a.vec_id = sd.seed_id
+           JOIN vn b ON b.vec_id <> sd.seed_id),
+       vs AS (SELECT query_id, n_id,
+           CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim
+         FROM vp),
+       vecl AS (SELECT query_id, n_id AS doc_id,
+           CAST(1000000000 AS BIGINT) // (60 + rn) AS c FROM (
+         SELECT query_id, n_id, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, n_id) AS rn
+           FROM vs) r WHERE rn <= 10),
+       u AS (SELECT * FROM lex UNION ALL SELECT * FROM vecl),
+       f AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf,
+           CAST(COUNT(*) AS BIGINT) AS n_lists FROM u GROUP BY 1, 2)
+       SELECT query_id, doc_id, rrf, n_lists, rk FROM (
+         SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
+         FROM f) r WHERE rk <= 10"""))
+
   private val ChunkTokens = 64
   private val ChunkStride = 48
 
@@ -1085,5 +1193,5 @@ object TextFunctions {
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,
       upsampleEpochs, invertedSearch, searchIncremental, phraseSearch,
-      shardExport, chunkRag)
+      shardExport, chunkRag, searchBm25, hybridRrf)
 }

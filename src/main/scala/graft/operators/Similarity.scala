@@ -1624,8 +1624,82 @@ object Similarity {
               SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s)
             WHERE rn <= 5"""))
 
+  private val SemC = 16
+  private val SemTau = 0.95
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): the
+    * third rung of the dedup ladder after exact (byte-identical) and
+    * near (surface-form MinHash/SimHash) — k-means-cluster the
+    * embedding space, then inside each cluster drop every vector that
+    * has a LOWER-id cluster-mate with cosine ≥ [[SemTau]] (the same
+    * min-id keep convention as `d_dedup_embedding`; pairs are only
+    * compared WITHIN a cluster, which is the SemDeDup approximation
+    * that makes corpus-scale semantic dedup tractable). Output is one
+    * row per vector: (vec_id, cid, keep).
+    *
+    * Clustering reuses the exact-integer Lloyd machinery of the IVF
+    * family ([[ivfBuild]] / [[ivfAssign]]) — deterministic seeds, one
+    * update round, undivided (Σ-vector, count) centroids — so the
+    * DuckDB oracle reproduces the whole pipeline bit-for-bit.
+    *
+    * Scale shape: two broadcast-assign passes + one C×dims partial-sum
+    * shuffle (the IVF build), then a self-join SHUFFLED BY cid — pair
+    * work is Σ|cluster|², the knob is C (SemDeDup runs C ≈ √N, keeping
+    * clusters near-constant size; a skewed hot cluster salts or
+    * sub-clusters the same way the minhash bands do). Never an N²
+    * all-pairs.
+    */
+  val dedupSemantic: QueryDef = QueryDef(
+    "d_dedup_semantic",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val (cents, _) = ivfBuild(e, SemC, 1)
+      val a2 = ivfAssign(quantized(e), cents)
+        .select(col("vec_id"), col("q"), col("nrm"), col("cid"))
+        .localCheckpoint()
+      val dup = a2.toDF("a_id", "a_q", "a_nrm", "cid")
+        .join(a2.toDF("b_id", "b_q", "b_nrm", "cid"), Seq("cid"))
+        .where(col("a_id") < col("b_id"))
+        .where(cosine(dotL(col("a_q"), col("b_q")),
+          col("a_nrm"), col("b_nrm")) >= SemTau)
+        .select(col("b_id").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      a2.join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid").cast("long").as("cid"),
+          col("is_dup").isNull.as("keep"))
+    },
+    Some {
+      val sqd = "list_sum(list_transform(list_zip(n.q, c0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"
+      val met = "CAST(list_sum(list_transform(list_zip(n.q, c1.cs), " +
+        "s -> (c1.cn*s[1]-s[2])*(c1.cn*s[1]-s[2]))) AS DOUBLE) / (c1.cn*c1.cn)"
+      s"""WITH $quantizedSql,
+       n AS (SELECT vec_id, q,
+           CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+       c0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < $SemC),
+       a1 AS (SELECT vec_id, q, nrm, cid FROM (
+           SELECT n.vec_id, n.q, n.nrm, c0.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $sqd, c0.cid) AS rn
+           FROM n, c0) x WHERE rn = 1),
+       ex AS (SELECT cid, unnest(q) AS val, unnest(range(0, 64)) AS dim FROM a1),
+       c1 AS (SELECT s.cid, list(s.sv ORDER BY s.dim) AS cs, MAX(c.cn) AS cn
+           FROM (SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS sv FROM ex GROUP BY cid, dim) s
+           JOIN (SELECT cid, COUNT(*) AS cn FROM a1 GROUP BY cid) c USING (cid)
+           GROUP BY s.cid),
+       a2 AS (SELECT vec_id, q, nrm, cid FROM (
+           SELECT n.vec_id, n.q, n.nrm, c1.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $met, c1.cid) AS rn
+           FROM n, c1) x WHERE rn = 1),
+       dup AS (SELECT DISTINCT b.vec_id
+           FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS DOUBLE)
+             / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) >= $SemTau)
+       SELECT a2.vec_id, CAST(a2.cid AS BIGINT) AS cid,
+         a2.vec_id NOT IN (SELECT vec_id FROM dup) AS keep
+       FROM a2"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
-      knnBeam, graphPagerank, hardNegatives)
+      knnBeam, graphPagerank, hardNegatives, dedupSemantic)
 }

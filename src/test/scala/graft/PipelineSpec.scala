@@ -984,4 +984,87 @@ class PipelineSpec extends SparkSpec {
     assert(rows(served) == rows(full),
       "serving the persisted index must equal the full-corpus scan")
   }
+
+  test("RAG chunks tile every document: stride starts, full-width bodies, exact tail") {
+    val dir = sfDir
+    val chunks = SparkEntry.queries("t_chunk_rag")(spark, dir)
+      .select("doc_id", "chunk_id", "start", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val dls = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), " "), t => t =!= "")).cast("long").as("dl"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (doc, cid, start, n) =>
+      val dl = dls(doc)
+      assert(start == 1 + cid * 48, s"doc $doc chunk $cid: start $start off-stride")
+      assert(n == math.min(64L, dl - start + 1),
+        s"doc $doc chunk $cid: n_tokens $n, dl $dl, start $start")
+    }
+    // every doc with tokens is fully covered: its last chunk ends at dl
+    val lastEnd = chunks.groupBy(_._1).map { case (d, cs) =>
+      d -> cs.map(c => c._3 + c._4 - 1).max }
+    dls.filter(_._2 > 0).foreach { case (d, dl) =>
+      assert(lastEnd(d) == dl, s"doc $d: coverage ends at ${lastEnd(d)} of $dl")
+    }
+  }
+
+  test("hard negatives all carry a different label and rank by true cosine order") {
+    val dir = sfDir
+    val got = SparkEntry.queries("s_hard_negatives")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(got.length == 25) // 5 anchors × top-5
+    got.foreach { case (_, ql, _, nl, _, _) => assert(ql != nl) }
+    got.groupBy(_._1).values.foreach { rs =>
+      val byRank = rs.sortBy(_._6).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "similarity must be non-increasing in rank")
+    }
+  }
+
+  test("BM25 ranks only docs containing a query term, scores positive, idf favors rarer terms") {
+    val dir = sfDir
+    val got = SparkEntry.queries("t_search_bm25")(spark, dir)
+    val withTerm = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .join(Seq("scan", "merge", "stream", "value", "hash", "join").toDF("term"), "term")
+      .select("doc_id").distinct()
+    assert(got.join(withTerm, "doc_id").count() == got.count(),
+      "every ranked doc must contain at least one query term")
+    assert(got.where(col("score") <= 0).count() == 0)
+  }
+
+  test("hybrid RRF scores decompose into valid rank contributions") {
+    val dir = sfDir
+    val contrib = (1 to 10).map(r => 1000000000L / (60 + r))
+    val valid = (contrib.map(c => (c, 1L)) ++
+      (for (a <- contrib; b <- contrib) yield (a + b, 2L))).toSet
+    val got = SparkEntry.queries("s_hybrid_rrf")(spark, dir).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (rrf, nl) =>
+      assert(valid.contains((rrf, nl)), s"rrf $rrf with $nl lists is not a sum of rank contributions")
+    }
+  }
+
+  test("semantic dedup: kept set has no within-cluster pair at or above the threshold") {
+    val dir = sfDir
+    val res = SparkEntry.queries("d_dedup_semantic")(spark, dir)
+    val kept = res.where(col("keep")).select("vec_id", "cid")
+    val v = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.operators.Similarity.quantize(col("embedding")).as("q"))
+      .withColumn("nrm", graft.operators.Similarity.dotL(col("q"), col("q")))
+    val pairs = kept.join(v, "vec_id").toDF("a_id", "cid", "a_q", "a_nrm")
+      .join(kept.join(v, "vec_id").toDF("b_id", "cid", "b_q", "b_nrm"), Seq("cid"))
+      .where(col("a_id") < col("b_id"))
+      .where(graft.operators.Similarity.cosine(
+        graft.operators.Similarity.dotL(col("a_q"), col("b_q")),
+        col("a_nrm"), col("b_nrm")) >= 0.95)
+    assert(pairs.count() == 0, "two kept cluster-mates are semantic duplicates")
+    // the min-id member of every cluster is never dominated
+    val minIds = res.groupBy("cid").agg(min("vec_id").as("vec_id"))
+    assert(res.join(minIds, Seq("cid", "vec_id")).where(!col("keep")).count() == 0)
+  }
 }
