@@ -1624,8 +1624,40 @@ object Similarity {
               SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s)
             WHERE rn <= 5"""))
 
-  private val SemC = 16
   private val SemTau = 0.95
+
+  /** Hot-cluster size cap, as a multiple of the average cluster size
+    * ⌈N/C⌉: a cluster larger than SemCapFactor× the average is
+    * sub-split before pairing. With C = ⌈√N⌉ the cap is ≈ 4·√N, so
+    * in-cluster pair work is bounded by N·cap/2 ≈ 2·N^1.5 regardless
+    * of skew (PipelineSpec asserts both the cap and the bound).
+    */
+  private[graft] val SemCapFactor = 4L
+
+  /** Sub-split cluster assignment for [[dedupSemantic]]: one row per
+    * vector — (vec_id, q, nrm, cid, sub) — where `cid` is the Lloyd
+    * cluster (C = ⌈√N⌉ deterministic seeds, one exact-integer update
+    * round, the [[ivfBuild]] machinery) and `sub` salts members of a
+    * HOT cluster (size > SemCapFactor·⌈N/C⌉) into ⌈size/cap⌉ shards by
+    * `vec_id mod nsplit` — the [[Dedup.minhashCandidatesSalted]]
+    * convention applied to the cluster key, keeping every pairing
+    * shard under the cap. Deterministic and integer-exact, so the
+    * DuckDB oracle reproduces the split bit-for-bit.
+    */
+  def semanticClusters(e: DataFrame): DataFrame = {
+    val n = e.count()
+    val c = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    val cap = SemCapFactor * ((n + c - 1) / c)
+    val (cents, _) = ivfBuild(e, c, 1)
+    val a2 = ivfAssign(quantized(e), cents)
+      .select(col("vec_id"), col("q"), col("nrm"), col("cid"))
+    val sizes = a2.groupBy("cid").agg(count(lit(1)).as("csz"))
+    a2.join(broadcast(sizes), "cid")
+      .withColumn("sub",
+        when(col("csz") <= cap, lit(0L))
+          .otherwise(col("vec_id") % expr(s"(csz + ${cap - 1}) div $cap")))
+      .select(col("vec_id"), col("q"), col("nrm"), col("cid"), col("sub"))
+  }
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): the
     * third rung of the dedup ladder after exact (byte-identical) and
@@ -1643,28 +1675,27 @@ object Similarity {
     * DuckDB oracle reproduces the whole pipeline bit-for-bit.
     *
     * Scale shape: two broadcast-assign passes + one C×dims partial-sum
-    * shuffle (the IVF build), then a self-join SHUFFLED BY cid — pair
-    * work is Σ|cluster|², the knob is C (SemDeDup runs C ≈ √N, keeping
-    * clusters near-constant size; a skewed hot cluster salts or
-    * sub-clusters the same way the minhash bands do). Never an N²
-    * all-pairs.
+    * shuffle (the IVF build), then a self-join SHUFFLED BY (cid, sub)
+    * — C scales with the DATA (⌈√N⌉, the published SemDeDup setting,
+    * keeping clusters near-constant ≈√N size) and a skewed hot cluster
+    * is salted into capped shards ([[semanticClusters]]), so pair work
+    * is Σ|shard|² ≤ N·cap ≈ 4·N^1.5 — never an N² all-pairs, under
+    * ANY skew. PipelineSpec's scale law measures in-cluster pairs on
+    * the 10× corpus against exactly this bound.
     */
   val dedupSemantic: QueryDef = QueryDef(
     "d_dedup_semantic",
     (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-      val (cents, _) = ivfBuild(e, SemC, 1)
-      val a2 = ivfAssign(quantized(e), cents)
-        .select(col("vec_id"), col("q"), col("nrm"), col("cid"))
+      val a3 = semanticClusters(Tables.load(s, dir, "embeddings"))
         .localCheckpoint()
-      val dup = a2.toDF("a_id", "a_q", "a_nrm", "cid")
-        .join(a2.toDF("b_id", "b_q", "b_nrm", "cid"), Seq("cid"))
+      val dup = a3.toDF("a_id", "a_q", "a_nrm", "cid", "sub")
+        .join(a3.toDF("b_id", "b_q", "b_nrm", "cid", "sub"), Seq("cid", "sub"))
         .where(col("a_id") < col("b_id"))
         .where(cosine(dotL(col("a_q"), col("b_q")),
           col("a_nrm"), col("b_nrm")) >= SemTau)
         .select(col("b_id").as("vec_id")).distinct()
         .withColumn("is_dup", lit(true))
-      a2.join(dup, Seq("vec_id"), "left")
+      a3.join(dup, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cid").cast("long").as("cid"),
           col("is_dup").isNull.as("keep"))
     },
@@ -1672,10 +1703,14 @@ object Similarity {
       val sqd = "list_sum(list_transform(list_zip(n.q, c0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"
       val met = "CAST(list_sum(list_transform(list_zip(n.q, c1.cs), " +
         "s -> (c1.cn*s[1]-s[2])*(c1.cn*s[1]-s[2]))) AS DOUBLE) / (c1.cn*c1.cn)"
+      val cSql = "CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)"
       s"""WITH $quantizedSql,
        n AS (SELECT vec_id, q,
            CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
-       c0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < $SemC),
+       pc AS (SELECT $cSql AS c,
+           $SemCapFactor * ((COUNT(*) + $cSql - 1) // $cSql) AS cap FROM v),
+       c0 AS (SELECT vec_id AS cid, q AS cq FROM v
+           WHERE vec_id < (SELECT c FROM pc)),
        a1 AS (SELECT vec_id, q, nrm, cid FROM (
            SELECT n.vec_id, n.q, n.nrm, c0.cid,
              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $sqd, c0.cid) AS rn
@@ -1689,13 +1724,20 @@ object Similarity {
            SELECT n.vec_id, n.q, n.nrm, c1.cid,
              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $met, c1.cid) AS rn
            FROM n, c1) x WHERE rn = 1),
+       sz AS (SELECT cid, COUNT(*) AS csz FROM a2 GROUP BY cid),
+       a3 AS (SELECT a2.vec_id, a2.q, a2.nrm, a2.cid,
+           CASE WHEN sz.csz <= (SELECT cap FROM pc) THEN 0
+                ELSE a2.vec_id % ((sz.csz + (SELECT cap FROM pc) - 1)
+                  // (SELECT cap FROM pc))
+           END AS sub
+         FROM a2 JOIN sz USING (cid)),
        dup AS (SELECT DISTINCT b.vec_id
-           FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id < b.vec_id
            WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS DOUBLE)
              / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) >= $SemTau)
-       SELECT a2.vec_id, CAST(a2.cid AS BIGINT) AS cid,
-         a2.vec_id NOT IN (SELECT vec_id FROM dup) AS keep
-       FROM a2"""
+       SELECT a3.vec_id, CAST(a3.cid AS BIGINT) AS cid,
+         a3.vec_id NOT IN (SELECT vec_id FROM dup) AS keep
+       FROM a3"""
     })
 
   val defs: Seq[QueryDef] =

@@ -738,6 +738,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("scale law: semantic-dedup pair work stays under the N·cap ≈ 4·N^1.5 bound") {
+    for (dir <- Seq(sfSmall, sfBig)) {
+      val e = Tables.load(spark, dir, "embeddings")
+      val n = e.count()
+      val c = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      val cap = Similarity.SemCapFactor * ((n + c - 1) / c)
+      val shards = Similarity.semanticClusters(e)
+        .groupBy("cid", "sub").agg(count(lit(1)).as("s"))
+        .agg(max(col("s")).as("mx"),
+          sum((col("s") * (col("s") - 1)) / 2).cast("long").as("pairs"))
+        .head()
+      val (mx, pairs) = (shards.getLong(0), shards.getLong(1))
+      // the salting contract: no pairing shard exceeds the hot cap
+      assert(mx <= cap, s"$dir: hottest shard $mx exceeds cap $cap (N=$n)")
+      // ⇒ in-cluster pair work ≤ N·cap/2 ≈ 2·N^1.5 — the SemDeDup
+      // N²/C shape with C GROWING as ⌈√N⌉; fixed-C would be quadratic
+      assert(pairs <= n * cap / 2, s"$dir: $pairs pairs vs N·cap/2 = ${n * cap / 2}")
+      // and nowhere near the N²/2 all-pairs a fixed cluster count decays to
+      assert(pairs <= n * n / 2 / 10, s"$dir: pair work not ≪ quadratic: $pairs")
+    }
+  }
+
   test("chunk dedup drops later occurrences, keeps first, reassembles in order") {
     val w20 = (1 to 20).map(i => s"w$i").mkString(" ")      // shared chunk
     val u20 = (1 to 20).map(i => s"u$i").mkString(" ")      // doc1-only chunk
