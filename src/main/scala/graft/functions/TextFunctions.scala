@@ -1047,34 +1047,21 @@ object TextFunctions {
     * needs no score calibration — only ranks.
     *
     * Scale shape: both inputs are already top-k per query (tiny); the
-    * fusion is a union + groupBy on O(queries × 20) rows. The lexical
-    * side serves from the pruned persisted postings ([[bm25Ranked]]);
-    * the vector side here is the broadcast-seed brute-force scan — at
-    * scale swap it for the IVF-served path (s_knn_ivf) unchanged, as
-    * both produce the same (query_id, rank) contract.
+    * fusion is a union + groupBy on O(queries × 20) rows. BOTH
+    * retriever sides serve from pinned persisted indexes: the lexical
+    * side from the pruned postings buckets ([[bm25Ranked]]), the
+    * vector side from the partition-pruned IVF inverted lists
+    * ([[graft.operators.Similarity.ivfTopK]] — NProbe cid= directories
+    * per seed, never a corpus scan). The DuckDB oracle reproduces the
+    * IVF-probed candidate set bit-for-bit, so approximation never
+    * shows up as a mismatch.
     */
   val hybridRrf: QueryDef = QueryDef(
     "s_hybrid_rrf",
     (s, dir) => {
-      import graft.operators.Similarity.{cosine, dotL, quantize}
       val lex = bm25Ranked(s, dir).select(col("query_id"), col("doc_id"),
         expr("CAST(1000000000 AS BIGINT) DIV (60 + rk)").as("c"))
-      val v = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), quantize(col("embedding")).as("q"))
-        .withColumn("nrm", dotL(col("q"), col("q")))
-      val seeds = broadcast(
-        s.createDataFrame(HybridSeeds).toDF("query_id", "vec_id")
-          .join(v, "vec_id")
-          .select(col("query_id"), col("vec_id").as("seed_id"),
-            col("q").as("q_q"), col("nrm").as("q_nrm")))
-      val scoredV = seeds
-        .join(v.toDF("n_id", "n_q", "n_nrm"), col("n_id") =!= col("seed_id"))
-        .select(col("query_id"), col("n_id"),
-          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
-      val wv = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("sim").desc, col("n_id"))
-      val vec = scoredV.withColumn("rn", row_number().over(wv))
-        .where(col("rn") <= 10)
+      val vec = graft.operators.Similarity.ivfTopK(s, dir, HybridSeeds, 10)
         .select(col("query_id"), col("n_id").as("doc_id"),
           expr("CAST(1000000000 AS BIGINT) DIV (60 + CAST(rn AS BIGINT))").as("c"))
       val fused = lex.unionByName(vec).groupBy("query_id", "doc_id")
@@ -1112,24 +1099,9 @@ object TextFunctions {
            FROM agg) r WHERE rk <= 10),
        sd(query_id, seed_id) AS (VALUES ${
         HybridSeeds.map { case (i, v) => s"($i, $v)" }.mkString(", ")}),
-       ve AS (SELECT vec_id,
-           list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
-         FROM embeddings),
-       vn AS (SELECT vec_id, qv,
-           CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM ve),
-       vp AS (SELECT sd.query_id, b.vec_id AS n_id,
-           CAST(list_sum(list_transform(list_zip(a.qv, b.qv), s -> s[1]*s[2])) AS BIGINT) AS dot,
-           a.nrm AS na, b.nrm AS nb
-         FROM sd JOIN vn a ON a.vec_id = sd.seed_id
-           JOIN vn b ON b.vec_id <> sd.seed_id),
-       vs AS (SELECT query_id, n_id,
-           CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim
-         FROM vp),
+       ${graft.operators.Similarity.ivfTopKSql(10)},
        vecl AS (SELECT query_id, n_id AS doc_id,
-           CAST(1000000000 AS BIGINT) // (60 + rn) AS c FROM (
-         SELECT query_id, n_id, ROW_NUMBER() OVER (
-             PARTITION BY query_id ORDER BY sim DESC, n_id) AS rn
-           FROM vs) r WHERE rn <= 10),
+           CAST(1000000000 AS BIGINT) // (60 + rn) AS c FROM ivtop),
        u AS (SELECT * FROM lex UNION ALL SELECT * FROM vecl),
        f AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf,
            CAST(COUNT(*) AS BIGINT) AS n_lists FROM u GROUP BY 1, 2)

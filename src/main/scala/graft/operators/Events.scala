@@ -18,15 +18,25 @@ import graft.functions.Portable
   */
 object Events {
 
-  /** The events table stores TIMESTAMP(NANOS) parquet, which Spark
-    * only reads as a raw nanosecond Long (legacy conf) — so load with
-    * that conf and derive whole-second epochs with integer division
-    * (`div`, exact on Long; double division would lose precision at
-    * 1e18 magnitudes). DuckDB side: FLOOR(epoch(ts)). Identical values.
+  /** The events table has shipped with two physical `ts` encodings:
+    * TIMESTAMP(NANOS), which Spark only reads as a raw nanosecond Long
+    * (legacy conf), and plain TIMESTAMP(MICROS)/NTZ. Normalize at load
+    * to the nanosecond-Long form so every downstream epoch derivation
+    * is ONE exact integer division (`ts div 1e9` — exact on Long;
+    * double division would lose precision at 1e18 magnitudes). An NTZ
+    * value is interpreted at the session zone (UTC everywhere in this
+    * project), matching DuckDB's naive `epoch(ts)`. Identical values.
     */
+  def loadEvents(s: SparkSession, dir: String): DataFrame = events(s, dir)
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.load(s, dir, "events")
+    val df = Tables.load(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => // timestamp[us] / timestamp_ntz[us]
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
   }
 
   private val sec = expr("ts div 1000000000")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -738,57 +738,74 @@ object Similarity {
     * grow C with √N, run more Lloyd rounds offline, and persist the
     * inverted lists partitioned by cid so probes prune at the scan.
     */
+  /** Build-or-serve the persisted IVF index over `dir`'s embeddings:
+    * (broadcast centroids, lists table, lists version). The index is
+    * physical design, built AT MOST ONCE per input fingerprint and
+    * SERVED from disk: inverted lists land as parquet partitioned by
+    * centroid id, so a probe reads only its cid= directories
+    * (partition pruning at the scan — the IVF analog of the z-order
+    * secondary path). Builds go through Snapshots.ensureIndex: a
+    * claim-elected single builder, an ATOMIC tagged commit (no torn
+    * index is ever visible), and a content key that rebuilds when the
+    * input data is regenerated. Shared by [[knnIvf]], [[ivfTopK]] (the
+    * hybrid-retrieval vector side), and the IVF+PQ serving path.
+    */
+  private[graft] def ivfIndex(s: SparkSession, dir: String): (DataFrame, String, Int) = {
+    import graft.sources.Snapshots
+    val base = "/root/repo/target/ivf/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (listsT, centsT) = (s"$base/lists", s"$base/centroids")
+    val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
+    val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
+    val centsV = Snapshots.ensureIndex(centsT, fp) { out =>
+      val v = quantized(Tables.load(s, dir, "embeddings")).localCheckpoint()
+      val seeds = broadcast(v.where(col("vec_id") < CCount)
+        .select(col("vec_id").as("cid"), col("q").as("cq")))
+      // assignment 1: nearest seed by exact integer squared L2
+      val a1 = v.crossJoin(seeds)
+        .select(col("vec_id"), col("q"), col("nrm"), col("cid"),
+          graft.functions.Native.sqDistScaled(col("q"), col("cq"), lit(1L))
+            .cast("double").as("m"))
+        .withColumn("rn", row_number().over(byDist)).where(col("rn") === 1)
+        .select("vec_id", "q", "nrm", "cid")
+      // Lloyd update, exact integers: component sums + member count
+      val sums = a1.select(col("cid"), posexplode(col("q"))).toDF("cid", "dim", "v")
+        .groupBy("cid", "dim").agg(sum(col("v")).as("sv"))
+        .groupBy("cid").agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("sv")))),
+          x => x.getField("sv")).as("cs"))
+      sums.join(a1.groupBy("cid").agg(count(lit(1)).as("cn")), "cid")
+        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+    }
+    val cents = broadcast(s.read.parquet(Snapshots.versionDirs(centsT, centsV): _*))
+    val listsV = Snapshots.ensureIndex(listsT, fp) { out =>
+      // assignment 2: inverted lists under the committed centroids
+      val v = quantized(Tables.load(s, dir, "embeddings"))
+      val a2 = v.crossJoin(cents)
+        .select(col("vec_id"), col("q"), col("nrm"), col("cid"),
+          (graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
+            .cast("double") / (col("cn") * col("cn")).cast("double")).as("m"))
+        .withColumn("rn", row_number().over(byDist)).where(col("rn") === 1)
+        .select("vec_id", "q", "nrm", "cid")
+      graft.sources.Sources.writePartitioned(a2, out, "cid")
+    }
+    (cents, listsT, listsV)
+  }
+
+  /** The exact-integer centroid metric both assignment and probing
+    * rank by: Σ(cn·x − cs)² / cn² — numerator exact ≤2^53, IEEE divide
+    * bit-identical in DuckDB.
+    */
+  private def ivfMetric: Column =
+    graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
+      .cast("double") / (col("cn") * col("cn")).cast("double")
+
   val knnIvf: QueryDef = QueryDef(
     "s_knn_ivf",
     (s, dir) => {
-      // The index is physical design, built AT MOST ONCE per input
-      // fingerprint and SERVED from disk: inverted lists land as
-      // parquet partitioned by centroid id, so a probe reads only its
-      // cid= directories (partition pruning at the scan — the IVF
-      // analog of the z-order secondary path). Builds go through
-      // Snapshots.ensureIndex: a claim-elected single builder, an
-      // ATOMIC tagged commit (no torn index is ever visible), and a
-      // content key that rebuilds when the input data is regenerated.
       import graft.sources.Snapshots
-      val base = "/root/repo/target/ivf/" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      val (listsT, centsT) = (s"$base/lists", s"$base/centroids")
-      val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
+      val (cents, listsT, listsV) = ivfIndex(s, dir)
       val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
-      val centsV = Snapshots.ensureIndex(centsT, fp) { out =>
-        val v = quantized(Tables.load(s, dir, "embeddings")).localCheckpoint()
-        val seeds = broadcast(v.where(col("vec_id") < CCount)
-          .select(col("vec_id").as("cid"), col("q").as("cq")))
-        // assignment 1: nearest seed by exact integer squared L2
-        val a1 = v.crossJoin(seeds)
-          .select(col("vec_id"), col("q"), col("nrm"), col("cid"),
-            graft.functions.Native.sqDistScaled(col("q"), col("cq"), lit(1L))
-              .cast("double").as("m"))
-          .withColumn("rn", row_number().over(byDist)).where(col("rn") === 1)
-          .select("vec_id", "q", "nrm", "cid")
-        // Lloyd update, exact integers: component sums + member count
-        val sums = a1.select(col("cid"), posexplode(col("q"))).toDF("cid", "dim", "v")
-          .groupBy("cid", "dim").agg(sum(col("v")).as("sv"))
-          .groupBy("cid").agg(transform(
-            array_sort(collect_list(struct(col("dim"), col("sv")))),
-            x => x.getField("sv")).as("cs"))
-        sums.join(a1.groupBy("cid").agg(count(lit(1)).as("cn")), "cid")
-          .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
-      }
-      val cents = broadcast(s.read.parquet(Snapshots.versionDirs(centsT, centsV): _*))
-      val listsV = Snapshots.ensureIndex(listsT, fp) { out =>
-        // assignment 2: inverted lists under the committed centroids
-        val v = quantized(Tables.load(s, dir, "embeddings"))
-        val a2 = v.crossJoin(cents)
-          .select(col("vec_id"), col("q"), col("nrm"), col("cid"),
-            (graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
-              .cast("double") / (col("cn") * col("cn")).cast("double")).as("m"))
-          .withColumn("rn", row_number().over(byDist)).where(col("rn") === 1)
-          .select("vec_id", "q", "nrm", "cid")
-        graft.sources.Sources.writePartitioned(a2, out, "cid")
-      }
-      def metric: Column =
-        graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
-          .cast("double") / (col("cn") * col("cn")).cast("double")
+      def metric: Column = ivfMetric
       // queries probe the NProbe nearest lists …
       val queries = quantized(Tables.load(s, dir, "embeddings"))
         .where(col("vec_id") < 5)
@@ -848,6 +865,90 @@ object Similarity {
          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
        WHERE rn <= 5"""
     })
+
+  /** IVF-SERVED top-k for ID-addressed seed queries — the vector side
+    * of hybrid retrieval ([[graft.functions.TextFunctions.hybridRrf]]):
+    * each (query_id, seed vec_id) probes the NProbe nearest persisted
+    * inverted lists and reranks by exact cosine, top-k per query.
+    * Returns (query_id, n_id, rn). Identical serving shape to
+    * [[knnIvf]] — pinned index version, literal-cid partition pruning
+    * at the lists scan, broadcast probe frame — so at 100 TB a hybrid
+    * query reads NProbe/C of the corpus on its vector side and O(term
+    * postings) on its lexical side, never a full scan on either.
+    */
+  def ivfTopK(s: SparkSession, dir: String,
+      seeds: Seq[(Int, Long)], k: Int): DataFrame = {
+    import graft.sources.Snapshots
+    val (cents, listsT, listsV) = ivfIndex(s, dir)
+    val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
+    val queries = quantized(Tables.load(s, dir, "embeddings"))
+      .where(col("vec_id").isin(seeds.map(_._2): _*))
+    val sdf = broadcast(s.createDataFrame(seeds).toDF("query_id", "vec_id"))
+    val probes = queries.crossJoin(cents)
+      .select(col("vec_id"), col("q"), col("nrm"), col("cid"), ivfMetric.as("m"))
+      .withColumn("rn", row_number().over(byDist)).where(col("rn") <= NProbe)
+      .join(sdf, "vec_id")
+      .select(col("query_id"), col("vec_id").as("seed_id"),
+        col("q").as("q_q"), col("nrm").as("q_nrm"), col("cid"))
+    val probeCids = probes.select("cid").distinct().collect().map(_.getLong(0))
+    val lists = s.read.parquet(Snapshots.versionDirs(listsT, listsV): _*)
+      .where(col("cid").isin(probeCids: _*))
+      .select(col("vec_id").as("n_id"), col("q").as("n_q"),
+        col("nrm").as("n_nrm"), col("cid").cast("long").as("cid"))
+    val scored = broadcast(probes).join(lists, Seq("cid"))
+      .where(col("n_id") =!= col("seed_id"))
+      .select(col("query_id"), col("n_id"),
+        cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("query_id"), col("n_id"), col("rn"))
+  }
+
+  /** DuckDB CTE block reproducing [[ivfTopK]] bit-for-bit, for oracles
+    * that embed the IVF-served vector side inside a larger query. The
+    * caller must define a `sd(query_id, seed_id)` CTE first; this
+    * block then defines `v` (quantized embeddings) through `ivtop`
+    * (query_id, n_id, rn ≤ k). All intermediate CTEs are iv-prefixed
+    * so they compose next to lexical-retrieval CTEs without clashes.
+    */
+  private[graft] def ivfTopKSql(k: Int): String = {
+    val sqd = "list_sum(list_transform(list_zip(n.q, ivc0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"
+    val met = "CAST(list_sum(list_transform(list_zip(n.q, ivc1.cs), " +
+      "s -> (ivc1.cn*s[1]-s[2])*(ivc1.cn*s[1]-s[2]))) AS DOUBLE) / (ivc1.cn*ivc1.cn)"
+    s"""$quantizedSql,
+     n AS (SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+     ivc0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < $CCount),
+     iva1 AS (SELECT vec_id, q, nrm, cid FROM (
+         SELECT n.vec_id, n.q, n.nrm, ivc0.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $sqd, ivc0.cid) AS rn
+         FROM n, ivc0) x WHERE rn = 1),
+     ivex AS (SELECT cid, unnest(q) AS val, unnest(range(0, 64)) AS dim FROM iva1),
+     ivc1 AS (SELECT s.cid, list(s.sv ORDER BY s.dim) AS cs, MAX(c.cn) AS cn
+         FROM (SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS sv FROM ivex GROUP BY cid, dim) s
+         JOIN (SELECT cid, COUNT(*) AS cn FROM iva1 GROUP BY cid) c USING (cid)
+         GROUP BY s.cid),
+     iva2 AS (SELECT vec_id, q, nrm, cid FROM (
+         SELECT n.vec_id, n.q, n.nrm, ivc1.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $met, ivc1.cid) AS rn
+         FROM n, ivc1) x WHERE rn = 1),
+     ivpr AS (SELECT sd.query_id, x.vec_id AS seed_id, x.q AS q_q,
+           x.nrm AS q_nrm, x.cid
+         FROM (SELECT n.vec_id, n.q, n.nrm, ivc1.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $met, ivc1.cid) AS rn
+           FROM n, ivc1) x
+         JOIN sd ON sd.seed_id = x.vec_id WHERE x.rn <= $NProbe),
+     ivp AS (SELECT ivpr.query_id, iva2.vec_id AS n_id,
+           CAST(list_sum(list_transform(list_zip(ivpr.q_q, iva2.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+           ivpr.q_nrm AS na, iva2.nrm AS nb
+         FROM ivpr JOIN iva2 ON ivpr.cid = iva2.cid AND iva2.vec_id <> ivpr.seed_id),
+     ivsc AS (SELECT query_id, n_id,
+           CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM ivp),
+     ivtop AS (SELECT query_id, n_id, rn FROM (
+         SELECT query_id, n_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, n_id) AS rn
+         FROM ivsc) r WHERE rn <= $k)"""
+  }
 
   // ---- §2.2 row 27e: product-quantization ANN (compressed codes) ----
 

@@ -878,10 +878,17 @@ object Snapshots {
     * writes the index into a fresh staged data dir — partitioned
     * layouts included — and the commit publishes it atomically with
     * the tag. A changed input fingerprint yields a NEW tagged version
-    * (readers pinned to the old one are undisturbed); a crashed
-    * winner's claim is bounded by `timeoutMs`, after which a waiter
-    * builds anyway — the atomic tagged commit keeps that safe (worst
-    * case a duplicate build, never a torn or stale index). Returns the
+    * (readers pinned to the old one are undisturbed). A crashed
+    * winner (claim created, commit never lands, `finally` never runs)
+    * is detected by the claim file's AGE: a live winner holds its
+    * claim only for one build, so a claim older than `timeoutMs` is
+    * orphaned — a waiter deletes it and re-claims IMMEDIATELY instead
+    * of sleeping the window, and (crucially) instead of every future
+    * cold process paying the full wait against the same dead claim.
+    * The takeover re-create is itself create-exclusive, so racing
+    * waiters elect one new winner; the unavoidable delete/create race
+    * can at worst elect two — the atomic tagged commit keeps that safe
+    * (a duplicate build, never a torn or stale index). Returns the
     * version to pin.
     */
   def ensureIndex(table: String, tag: String, timeoutMs: Long = 120000)(
@@ -890,14 +897,30 @@ object Snapshots {
     Files.createDirectories(meta(table))
     val claim = meta(table).resolve(
       ".claim_" + tag.replaceAll("[^A-Za-z0-9._-]", "_"))
-    val won =
+    def claimAgeMs: Long =
+      try System.currentTimeMillis() - Files.getLastModifiedTime(claim).toMillis
+      catch { case _: java.io.IOException => -1 } // claim gone
+    def tryClaim(): Boolean =
       try { Files.createFile(claim); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (claimAgeMs > timeoutMs) {
+            // stale claim: the winner that created it crashed before
+            // its commit — take over now rather than wait it out
+            Files.deleteIfExists(claim)
+            try { Files.createFile(claim); true }
+            catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          } else false
+      }
+    var won = tryClaim()
     if (!won) {
       val deadline = System.currentTimeMillis() + timeoutMs
-      while (System.currentTimeMillis() < deadline) {
+      while (!won && System.currentTimeMillis() < deadline) {
         taggedVersion(table, tag).foreach(v => return v)
-        Thread.sleep(50)
+        // the live winner's claim goes stale mid-wait if it crashes
+        // exactly timeoutMs after claiming — promote instead of timing out
+        won = tryClaim()
+        if (!won) Thread.sleep(50)
       }
       // winner presumed crashed: build after all (safe, not unique)
     }

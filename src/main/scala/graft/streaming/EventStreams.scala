@@ -27,12 +27,27 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over the events table. */
+  /** File-source stream over the events table. The physical `ts`
+    * encoding has shipped both as TIMESTAMP(NANOS)-read-as-Long and as
+    * TIMESTAMP(MICROS)/NTZ — a file stream needs its schema declared
+    * up front, so probe the footer once with a batch read (metadata
+    * only, no data scan) and normalize `ts` to the nanosecond-Long
+    * contract the downstream typed operators ([[Ev]]) are written to.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // file source wants a directory; filter to just the events table
-    spark.readStream.schema(eventsSchema)
+    val physical = spark.read
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .schema("ts").dataType
+    val schema = StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = physical) else f))
+    // file source wants a directory; filter to just the events table
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (physical == LongType) raw
+    else raw.withColumn("ts",
+      org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
   }
 
   /** Attach event time + watermark once; a stream that already

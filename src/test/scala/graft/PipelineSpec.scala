@@ -514,6 +514,37 @@ class PipelineSpec extends SparkSpec {
       fail("fp_a is already committed — must not rebuild")) == vs.head)
   }
 
+  test("stale claim (crashed winner) is taken over immediately, no timeout stall") {
+    import graft.sources.Snapshots
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val table = "/root/repo/target/pipeline-spec/idx_stale"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(table))
+    // plant the artifact a crashed winner leaves behind: a claim file
+    // older than the timeout, with no tagged commit
+    val metaDir = Paths.get(table, "meta")
+    Files.createDirectories(metaDir)
+    val claim = metaDir.resolve(".claim_fp_x")
+    Files.createFile(claim)
+    Files.setLastModifiedTime(claim,
+      FileTime.fromMillis(System.currentTimeMillis() - 600000L))
+    val t0 = System.nanoTime()
+    val v = Snapshots.ensureIndex(table, "fp_x", timeoutMs = 120000) { out =>
+      Seq((7L, 8L)).toDF("g_src", "g_dst").write.parquet(out)
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(spark.read.parquet(Snapshots.versionDirs(table, v): _*)
+      .head().getLong(0) == 7L)
+    // the old behavior slept the full 120 s window; takeover must build
+    // right away (generous slack for a cold parquet write)
+    assert(elapsedMs < 30000,
+      s"stale-claim takeover took ${elapsedMs} ms — looks like a timeout stall")
+    assert(!Files.exists(claim), "takeover winner must clear the claim")
+  }
+
   test("fileFingerprint changes when input is regenerated in place") {
     import graft.sources.Snapshots
     import java.nio.file.{Files, Paths}

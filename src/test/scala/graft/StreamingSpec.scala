@@ -31,7 +31,8 @@ class StreamingSpec extends SparkSpec {
       EventStreams.dedupEvents(doubled).select("event_id"),
       "dedup", OutputMode.Append())
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val expected = Tables.load(spark, sfDir, "events").select("event_id").distinct().count()
+    val expected = graft.operators.Events.loadEvents(spark, sfDir)
+      .select("event_id").distinct().count()
     assert(streamed.count() == expected)
   }
 
@@ -41,7 +42,7 @@ class StreamingSpec extends SparkSpec {
       "ssjoin", OutputMode.Append())
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = Tables.load(spark, sfDir, "events")
+    val e = graft.operators.Events.loadEvents(spark, sfDir)
       .withColumn("us", expr("ts div 1000")) // microseconds, matching the stream
     val p = e.where(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("p_us"))
