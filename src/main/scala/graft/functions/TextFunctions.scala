@@ -719,15 +719,18 @@ object TextFunctions {
   }
 
   /** The full-corpus DuckDB recompute — shared by the build-once query
-    * and its incremental twin: identical output ⟹ hash equality
+    * and its incremental twins: identical output ⟹ hash equality
     * proves incremental maintenance ≡ one-shot build. (A def, not a
     * val: QueryDef vals below capture it at object init.)
+    * `corpusWhere` restricts the corpus (the DML twin's live-docs
+    * predicate); empty means the whole documents table.
     */
-  private def conjunctiveOracleSql: String =
+  private def conjunctiveOracleSql(corpusWhere: String = ""): String =
     s"""WITH q(query_id, term) AS (VALUES ${
         SearchTerms.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
          qc AS (SELECT query_id, COUNT(*) AS n_terms FROM q GROUP BY 1),
-         tk AS (SELECT doc_id, unnest(${Portable.textSql.tokensLower}) AS term FROM documents),
+         tk AS (SELECT doc_id, unnest(${Portable.textSql.tokensLower}) AS term
+           FROM documents $corpusWhere),
          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
          hit AS (SELECT q.query_id, tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS score
              FROM tf JOIN q ON tf.term = q.term
@@ -775,7 +778,7 @@ object TextFunctions {
       serveConjunctive(s, s.read.parquet(Snapshots.versionDirs(postT, v): _*)
         .where(col("b").isin(searchBuckets: _*)))
     },
-    Some(conjunctiveOracleSql))
+    Some(conjunctiveOracleSql()))
 
   /** INCREMENTAL index maintenance — the steady-state shape at scale:
     * the postings live in a CLUSTERED snapshot table (range-sorted by
@@ -808,7 +811,88 @@ object TextFunctions {
       serveConjunctive(s,
         Snapshots.read(s, root).where(col("b").isin(searchBuckets: _*)))
     },
-    Some(conjunctiveOracleSql))
+    Some(conjunctiveOracleSql()))
+
+  private val PostThroughPrefix = "post_through "
+
+  /** DELETE-AWARE incremental maintenance of a postings table over a
+    * VERSIONED documents snapshot table — what happens to the search
+    * index when the base corpus shrinks (deleteWhere / merge), the
+    * case the fingerprint-keyed build-once path answers with a FULL
+    * rebuild. Postings are an ABELIAN structure in `tf`: a departed
+    * doc's postings fold in NEGATED (tombstones), an inserted doc's
+    * add — so one maintenance pass costs O(changed docs): the row
+    * delta comes from [[graft.sources.Snapshots.changesBetween]],
+    * which reads ONLY the data dirs that entered or left the base
+    * manifest (with selective DML that is the touched dirs, not the
+    * table), and the commit APPENDS one tombstone-delta dir under the
+    * maintained-through watermark tag. Serving nets tombstones per
+    * (term, doc) AFTER bucket pruning ([[servePostingsNet]]), so a
+    * deleted doc vanishes without the index ever being rewritten —
+    * the LSM/Delta pattern (reference analog: the B+ tree staying
+    * consistent under Database.deleteRecord, reference index/
+    * BPlusTree.java). Single-maintainer convention (the nightly job);
+    * racing maintainers would need the MV refresh's CAS.
+    */
+  def postingsMaintain(s: org.apache.spark.sql.SparkSession,
+      baseTable: String, postTable: String): Int = {
+    import graft.sources.Snapshots
+    val curV = Snapshots.currentVersion(baseTable)
+    require(curV > 0, s"base table $baseTable has no committed version")
+    val lastV = Snapshots.tagWatermark(postTable, PostThroughPrefix)
+    if (lastV == curV) return Snapshots.currentVersion(postTable)
+    if (lastV == 0)
+      Snapshots.commitOverwriteTagged(
+        postingsOf(Snapshots.readVersion(s, baseTable, curV)),
+        postTable, Seq(PostThroughPrefix + curV))
+    else {
+      val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
+      val delta = postingsOf(ins).unionByName(
+        postingsOf(del).withColumn("tf", -col("tf")))
+      Snapshots.commitAppendTagged(delta, postTable,
+        Seq(PostThroughPrefix + curV))
+    }
+  }
+
+  /** Net view of a tombstone-folded postings frame: tf sums per
+    * (term, doc, bucket); rows netting to ≤ 0 (deleted docs) vanish.
+    * Compose the bucket filter BEFORE this aggregate — the net is then
+    * computed over the pruned buckets only, O(matched postings).
+    */
+  private[graft] def servePostingsNet(post: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    post.groupBy("term", "doc_id", "b")
+      .agg(sum(col("tf")).cast("long").as("tf"))
+      .where(col("tf") > 0)
+
+  /** Catalog twin of the delete-aware path: bootstrap 90% of the
+    * corpus into a snapshot table and build its postings; DELETE the
+    * doc_id % 7 == 0 slice and APPEND the held-out 10% batch; one
+    * maintenance pass folds both as tombstone/insert postings deltas.
+    * The oracle recomputes search over exactly the LIVE corpus —
+    * hash equality proves maintained-index serving ≡ full rebuild
+    * after real DML, the property the build-once fingerprint path
+    * cannot give without rebuilding.
+    */
+  val searchDml: QueryDef = QueryDef(
+    "t_search_dml",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val root = "/root/repo/target/invidx/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/dml"
+      Snapshots.deleteRecursively(root)
+      val (baseT, postT) = (s"$root/docs", s"$root/postings")
+      val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+      Snapshots.commitOverwrite(d.where(pmod(col("doc_id"), lit(10)) =!= 0), baseT)
+      postingsMaintain(s, baseT, postT) // bootstrap build
+      Snapshots.deleteWhere(s, baseT, pmod(col("doc_id"), lit(7)) === 0)
+      Snapshots.commitAppend(d.where(pmod(col("doc_id"), lit(10)) === 0), baseT)
+      postingsMaintain(s, baseT, postT) // folds delete + append, O(changes)
+      serveConjunctive(s, servePostingsNet(
+        Snapshots.read(s, postT).where(col("b").isin(searchBuckets: _*))))
+    },
+    Some(conjunctiveOracleSql(
+      "WHERE (doc_id % 10 <> 0 AND doc_id % 7 <> 0) OR doc_id % 10 = 0")))
 
   /** Phrase queries for [[phraseSearch]] — (id, first word, second
     * word), from the generator's fixed vocabulary. */
@@ -1164,6 +1248,6 @@ object TextFunctions {
     Seq(langId, quality, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,
-      upsampleEpochs, invertedSearch, searchIncremental, phraseSearch,
-      shardExport, chunkRag, searchBm25, hybridRrf)
+      upsampleEpochs, invertedSearch, searchIncremental, searchDml,
+      phraseSearch, shardExport, chunkRag, searchBm25, hybridRrf)
 }

@@ -666,6 +666,52 @@ object Dedup {
   def buildBandIndex(docs: DataFrame, table: String): Int =
     graft.sources.Snapshots.commitOverwrite(bandedSigned(docs), table)
 
+  private val BandThroughPrefix = "band_through "
+
+  /** DELETE-AWARE incremental maintenance of a persisted band index
+    * over a VERSIONED documents snapshot table — the near-dup twin of
+    * [[graft.functions.TextFunctions.postingsMaintain]]: a doc's
+    * signature rows are a set keyed by (doc_id, band, bucket,
+    * shingles), so a departed doc folds in as sgn = −1 tombstone rows
+    * and an inserted one as sgn = +1 — one maintenance pass signs ONLY
+    * the changed docs ([[graft.sources.Snapshots.changesBetween]]
+    * reads just the dirs that entered/left the base manifest) and
+    * APPENDS one delta dir; the index is never rewritten and the
+    * corpus never re-signed. [[serveBandIndex]] nets the tombstones at
+    * read. Single-maintainer convention, as for postings.
+    */
+  def bandIndexMaintain(s: org.apache.spark.sql.SparkSession,
+      baseTable: String, idxTable: String): Int = {
+    import graft.sources.Snapshots
+    val curV = Snapshots.currentVersion(baseTable)
+    require(curV > 0, s"base table $baseTable has no committed version")
+    val lastV = Snapshots.tagWatermark(idxTable, BandThroughPrefix)
+    if (lastV == curV) return Snapshots.currentVersion(idxTable)
+    if (lastV == 0)
+      Snapshots.commitOverwriteTagged(
+        bandedSigned(Snapshots.readVersion(s, baseTable, curV))
+          .withColumn("sgn", lit(1)),
+        idxTable, Seq(BandThroughPrefix + curV))
+    else {
+      val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
+      val delta = bandedSigned(ins).withColumn("sgn", lit(1)).unionByName(
+        bandedSigned(del).withColumn("sgn", lit(-1)))
+      Snapshots.commitAppendTagged(delta, idxTable,
+        Seq(BandThroughPrefix + curV))
+    }
+  }
+
+  /** Net view of a tombstone-folded band index: identical signature
+    * rows cancel by summed sign, so a deleted doc's bands vanish and a
+    * re-inserted doc's reappear; output schema matches
+    * [[bandedSigned]], so it drops into [[batchDedupStats]] unchanged.
+    */
+  def serveBandIndex(s: org.apache.spark.sql.SparkSession, idxTable: String): DataFrame =
+    graft.sources.Snapshots.read(s, idxTable)
+      .groupBy("doc_id", "band", "bucket", "shingles")
+      .agg(sum(col("sgn")).as("net")).where(col("net") > 0)
+      .select("doc_id", "shingles", "band", "bucket")
+
   /** Near-dup stats for a NEW document batch against corpus ∪ batch,
     * with the corpus side served ENTIRELY from the persisted index at
     * `indexVersion` — no signature recompute — and the batch's own

@@ -494,6 +494,31 @@ object Snapshots {
       (if (prev == 0) Seq.empty else manifestDirs(table, prev)) :+ dir)
   }
 
+  /** [[commitAppend]] carrying provenance tags atomically with the
+    * version — e.g. a derived index's maintained-through watermark
+    * (the append-side twin of [[commitOverwriteTagged]]).
+    */
+  def commitAppendTagged(df: DataFrame, table: String, tags: Seq[String]): Int = {
+    val dir = writeData(df, table)
+    commitLoop(table, prev =>
+      (if (prev == 0) Seq.empty else manifestDirs(table, prev)) :+ dir,
+      tags = tags)
+  }
+
+  /** The base version recorded by a `prefix`-tagged watermark at
+    * `table`'s HEAD version (0 when the table is empty or the head
+    * carries no such tag) — the shared convention of every
+    * incrementally-maintained derived structure (MV refresh, delete-
+    * aware postings/band-index maintenance).
+    */
+  def tagWatermark(table: String, prefix: String): Int = {
+    val v = currentVersion(table)
+    if (v == 0) 0
+    else versionTags(table, v).collectFirst {
+      case t if t.startsWith(prefix) => t.drop(prefix.length).toInt
+    }.getOrElse(0)
+  }
+
   // ---- schema evolution (metadata-driven, the Delta/Iceberg way) ----
 
   private val SchemaTagPrefix = "schema "

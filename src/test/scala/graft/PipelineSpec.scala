@@ -545,6 +545,69 @@ class PipelineSpec extends SparkSpec {
     assert(!Files.exists(claim), "takeover winner must clear the claim")
   }
 
+  test("delete-aware postings maintenance: fold ≡ full rebuild, commits stay O(batch)") {
+    import graft.sources.Snapshots
+    import graft.functions.TextFunctions
+    val root = "/root/repo/target/pipeline-spec/postings_dml"
+    Snapshots.deleteRecursively(root)
+    val (baseT, postT) = (s"$root/docs", s"$root/postings")
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    // bootstrap 90% of the corpus as two dirs, so the manifest has
+    // structure to diff; the %10 == 0 slice is the later append batch
+    Snapshots.commitOverwrite(
+      d.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 2 === 0), baseT)
+    Snapshots.commitAppend(
+      d.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 2 === 1), baseT)
+    TextFunctions.postingsMaintain(spark, baseT, postT)
+    val v1 = Snapshots.currentVersion(postT)
+    // idempotent: already-current maintenance commits nothing
+    assert(TextFunctions.postingsMaintain(spark, baseT, postT) == v1)
+    // real DML: delete a slice, append the held-out batch, ONE fold
+    Snapshots.deleteWhere(spark, baseT, col("doc_id") % 7 === 0)
+    Snapshots.commitAppend(d.where(col("doc_id") % 10 === 0), baseT)
+    val v2 = TextFunctions.postingsMaintain(spark, baseT, postT)
+    // the fold APPENDS one tombstone-delta dir — never rewrites the index
+    val (dirs1, dirs2) = (Snapshots.versionDirs(postT, v1).toSet,
+      Snapshots.versionDirs(postT, v2).toSet)
+    assert(dirs1.subsetOf(dirs2) && (dirs2 -- dirs1).size == 1,
+      s"expected one appended delta dir, got ${dirs2 -- dirs1}")
+    // maintained net index ≡ postings of the live corpus, row for row
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("term", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val served = rows(TextFunctions.servePostingsNet(Snapshots.read(spark, postT)))
+    val rebuilt = rows(TextFunctions.postingsOf(Snapshots.read(spark, baseT)))
+    assert(served == rebuilt, "net-served postings must equal a full rebuild")
+    // and the DML really removed something (the equivalence is not
+    // vacuous): the deleted slice of the ORIGINAL base is gone — the
+    // appended batch may legitimately carry its own %7 == 0 docs
+    assert(Snapshots.read(spark, baseT)
+      .where(col("doc_id") % 7 === 0 && col("doc_id") % 10 =!= 0).count() == 0)
+  }
+
+  test("delete-aware band-index maintenance: tombstone fold ≡ re-signed rebuild") {
+    import graft.sources.Snapshots
+    import graft.operators.Dedup
+    val root = "/root/repo/target/pipeline-spec/band_dml"
+    Snapshots.deleteRecursively(root)
+    val (baseT, idxT) = (s"$root/docs", s"$root/bandidx")
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    Snapshots.commitOverwrite(d.where(col("doc_id") % 10 =!= 0), baseT)
+    Dedup.bandIndexMaintain(spark, baseT, idxT)
+    Snapshots.deleteWhere(spark, baseT, col("doc_id") % 7 === 0)
+    Snapshots.commitAppend(d.where(col("doc_id") % 10 === 0), baseT)
+    Dedup.bandIndexMaintain(spark, baseT, idxT)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "band", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val served = rows(Dedup.serveBandIndex(spark, idxT))
+    val rebuilt = rows(Dedup.bandedSigned(Snapshots.read(spark, baseT)))
+    assert(served == rebuilt, "net-served band index must equal re-signing the live corpus")
+    assert(served.nonEmpty)
+  }
+
   test("fileFingerprint changes when input is regenerated in place") {
     import graft.sources.Snapshots
     import java.nio.file.{Files, Paths}
