@@ -1055,13 +1055,24 @@ object TextFunctions {
     val post = s.read.parquet(Snapshots.versionDirs(postT, v): _*)
       .where(col("b").isin(searchBuckets: _*))
     val dl = s.read.parquet(Snapshots.versionDirs(dlT, vd): _*)
+    val tot = dl.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("dl")).cast("long").as("total"))
+    bm25Serve(s, post, dl, tot)
+  }
+
+  /** The BM25 serving tail over any (pruned postings, doclen sidecar,
+    * 1-row corpus scalars) trio — shared by the build-once path
+    * ([[bm25Ranked]]) and the incremental twin, which hands it a
+    * clustered base+delta postings table and SUMMED totals partials.
+    */
+  private def bm25Serve(s: org.apache.spark.sql.SparkSession,
+      post: org.apache.spark.sql.DataFrame, dl: org.apache.spark.sql.DataFrame,
+      tot: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val q = broadcast(s.createDataFrame(SearchTerms).toDF("query_id", "term"))
-    val tot = broadcast(dl.agg(count(lit(1)).cast("long").as("n"),
-      sum(col("dl")).cast("long").as("total")))
     val dfs = broadcast(post.join(q.select("term").distinct(), "term")
       .groupBy("term").agg(count(lit(1)).cast("long").as("df")))
     val hits = post.join(q, "term").join(dfs, "term").join(dl, "doc_id")
-      .crossJoin(tot)
+      .crossJoin(broadcast(tot))
       .withColumn("sc", expr(
         "(((n * 1000) DIV df) * 22 * tf * total) DIV " +
           "(10*tf*total + 3*total + 9*dl*n)"))
@@ -1112,6 +1123,53 @@ object TextFunctions {
   val searchBm25: QueryDef = QueryDef(
     "t_search_bm25",
     (s, dir) => bm25Ranked(s, dir),
+    Some(bm25OracleSql))
+
+  /** INCREMENTAL BM25 — [[searchIncremental]]'s clustered-delta
+    * maintenance extended to everything BM25 scoring needs: a new doc
+    * batch updates (1) the clustered postings table via an unclustered
+    * delta append + delta-only compaction, (2) the doclen sidecar via
+    * a plain append, and (3) the corpus scalars via an appended 1-row
+    * PARTIAL (batch count, batch token total) — every update O(batch),
+    * never a corpus rescan; serving sums the partials (exact integer
+    * addition, so N and total are bit-identical to a full recompute)
+    * and reads postings with the bucket filter answered by per-file
+    * min/max. The table set is rebuilt per run — the commits ARE the
+    * operator (the q_tpch_refresh convention) — and the oracle is the
+    * SAME full-corpus recompute as `t_search_bm25`: hash equality
+    * proves base + delta + compaction serving ≡ one-shot build,
+    * ranking included.
+    */
+  val searchBm25Incremental: QueryDef = QueryDef(
+    "t_search_bm25_incremental",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val root = "/root/repo/target/invidx/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/bm25inc"
+      Snapshots.deleteRecursively(root)
+      val (postT, dlT, totT) = (s"$root/postings", s"$root/doclen", s"$root/totals")
+      val d = Tables.load(s, dir, "documents")
+      val base = d.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batch = d.where(pmod(col("doc_id"), lit(10)) === 0)
+      def totalsPartial(docs: org.apache.spark.sql.DataFrame) =
+        docLengths(docs).agg(count(lit(1)).cast("long").as("np"),
+          sum(col("dl")).cast("long").as("totalp"))
+      // bootstrap: 90% of the corpus as the clustered base run
+      Snapshots.commitClustered(postingsOf(base), postT, Seq("b"), files = 8)
+      Snapshots.commitAppend(docLengths(base), dlT)
+      Snapshots.commitAppend(totalsPartial(base), totT)
+      // the new batch: three O(batch) commits + delta-only compaction
+      Snapshots.appendDelta(postingsOf(batch), postT)
+      Snapshots.compact(s, postT, Seq("b"), files = 4)
+      Snapshots.commitAppend(docLengths(batch), dlT)
+      Snapshots.commitAppend(totalsPartial(batch), totT)
+      val tot = Snapshots.read(s, totT)
+        .agg(sum(col("np")).cast("long").as("n"),
+          sum(col("totalp")).cast("long").as("total"))
+      bm25Serve(s,
+        Snapshots.read(s, postT).where(col("b").isin(searchBuckets: _*)),
+        Snapshots.read(s, dlT), tot)
+    },
     Some(bm25OracleSql))
 
   /** query_id → seed embedding vec_id: the semantic half of a hybrid
@@ -1249,5 +1307,6 @@ object TextFunctions {
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,
       upsampleEpochs, invertedSearch, searchIncremental, searchDml,
-      phraseSearch, shardExport, chunkRag, searchBm25, hybridRrf)
+      phraseSearch, shardExport, chunkRag, searchBm25,
+      searchBm25Incremental, hybridRrf)
 }

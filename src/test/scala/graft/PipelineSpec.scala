@@ -302,6 +302,19 @@ class PipelineSpec extends SparkSpec {
       assert(plan.contains("target/knngraph"),
         s"$q must scan the persisted graph table:\n$plan")
     }
+    // the CONVERGENCE-run variant (production serving; outside the
+    // oracle contract — DuckDB cannot unroll a data-dependent round
+    // count): terminates within its cap by the visited-set argument,
+    // and extra rounds only ever ADD candidates, so recall ≥ the
+    // bounded catalog twin's
+    val convergedDf = graft.operators.Similarity.beamUntilConverged(spark, dir)
+    val w5 = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    val converged = convergedDf.withColumn("r", row_number().over(w5))
+      .where(col("r") <= 5).select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recall(converged) >= recall(beam),
+      s"converged ${recall(converged)} must be >= bounded beam ${recall(beam)}")
   }
 
   test("event pattern matching: one shuffle, counts agree with a direct scan") {
