@@ -55,7 +55,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's captured tail can front-truncate past ~70 queries,
+    // losing the early alphabet's timings — persist the complete map
+    // in-repo so every round's numbers stay auditable (full runs only;
+    // a dev-filtered subset must not clobber the round artifact)
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/TIMINGS_latest.json"), line + "\n")
+      catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

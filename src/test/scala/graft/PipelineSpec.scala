@@ -317,6 +317,19 @@ class PipelineSpec extends SparkSpec {
       s"converged ${recall(converged)} must be >= bounded beam ${recall(beam)}")
   }
 
+  test("hybrid RRF serves BOTH retriever sides from pinned index scans") {
+    // the production contract: lexical side reads the bucket-pruned
+    // postings, vector side reads the cid-pruned IVF lists — neither
+    // side ever scans the corpus (DumpPlans truncates at 60 lines, so
+    // this is the durable evidence for the vector subtree)
+    val plan = physicalPlan(
+      SparkEntry.queries("s_hybrid_rrf")(spark, "/root/testdata/sf0.01"))
+    assert(plan.contains("target/invidx"),
+      "hybrid lexical side must scan the persisted postings index")
+    assert(plan.contains("target/ivf/"),
+      "hybrid vector side must scan the persisted IVF lists")
+  }
+
   test("event pattern matching: one shuffle, counts agree with a direct scan") {
     val dir = sfDir
     val df = SparkEntry.queries("q_events_pattern")(spark, dir)
