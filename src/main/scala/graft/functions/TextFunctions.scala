@@ -854,6 +854,27 @@ object TextFunctions {
     }
   }
 
+  /** Streaming CDC-apply with search-index maintenance in the loop:
+    * each micro-batch of keyed doc upserts lands in the base snapshot
+    * table EXACTLY-ONCE ([[graft.sources.Snapshots.mergeBatch]] —
+    * updates replace same-key rows, new keys insert), then
+    * [[postingsMaintain]] folds the resulting change feed inside the
+    * SAME foreachBatch — so the search index is always ≤ one batch
+    * stale, and a replayed batch no-ops on both tables: the merge's
+    * ingest tag blocks the double-apply and the maintenance watermark
+    * is already at the head ([[graft.sources.MaterializedView
+    * .ingestWithRollup]]'s convention applied to the inverted index).
+    */
+  def mergeWithPostings(stream: org.apache.spark.sql.DataFrame,
+      baseTable: String, postTable: String, key: String, streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.sources.Snapshots.mergeBatch(b, baseTable, key, streamId, id)
+        postingsMaintain(b.sparkSession, baseTable, postTable)
+        ()
+      }
+
   /** Net view of a tombstone-folded postings frame: tf sums per
     * (term, doc, bucket); rows netting to ≤ 0 (deleted docs) vanish.
     * Compose the bucket filter BEFORE this aggregate — the net is then

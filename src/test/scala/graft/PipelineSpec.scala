@@ -612,6 +612,35 @@ class PipelineSpec extends SparkSpec {
       .where(col("doc_id") % 7 === 0 && col("doc_id") % 10 =!= 0).count() == 0)
   }
 
+  test("delete-aware postings maintenance absorbs keyed MERGE updates") {
+    import graft.sources.Snapshots
+    import graft.functions.TextFunctions
+    val root = "/root/repo/target/pipeline-spec/postings_merge"
+    Snapshots.deleteRecursively(root)
+    val (baseT, postT) = (s"$root/docs", s"$root/postings")
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    Snapshots.commitOverwrite(d.where(col("doc_id") < 40), baseT)
+    TextFunctions.postingsMaintain(spark, baseT, postT)
+    // a CDC upsert batch: REPLACE five docs' text (delete-old +
+    // insert-new of the SAME doc_id — the fold path where only exact
+    // tombstone netting keeps the index right) and insert five new docs
+    val changed = d.where(col("doc_id") < 5)
+      .select(col("doc_id"), concat(col("text"), lit(" merged extra tokens")).as("text"))
+    val fresh = d.where(col("doc_id") >= 40 && col("doc_id") < 45)
+    assert(Snapshots.merge(spark, baseT, changed.unionByName(fresh), "doc_id").isDefined)
+    TextFunctions.postingsMaintain(spark, baseT, postT)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("term", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val served = rows(TextFunctions.servePostingsNet(Snapshots.read(spark, postT)))
+    val rebuilt = rows(TextFunctions.postingsOf(Snapshots.read(spark, baseT)))
+    assert(served == rebuilt,
+      "after MERGE, net postings must equal a full rebuild of the merged corpus")
+    // the updated docs really score their NEW tokens
+    assert(served.exists { case (t, id, _) => t == "merged" && id < 5 })
+  }
+
   test("delete-aware band-index maintenance: tombstone fold ≡ re-signed rebuild") {
     import graft.sources.Snapshots
     import graft.operators.Dedup

@@ -560,6 +560,53 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.currentVersion(postT) == v, "replay must not advance the table")
   }
 
+  test("streaming CDC merge keeps the delete-aware postings current, exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.Snapshots
+    import graft.functions.TextFunctions
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = "/root/repo/target/streamtest/merge_postings"
+    Snapshots.deleteRecursively(root)
+    val (baseT, postT) = (s"$root/docs", s"$root/postings")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def netRows = TextFunctions
+      .servePostingsNet(Snapshots.read(spark, postT))
+      .select("term", "doc_id", "tf")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def rebuildRows = TextFunctions
+      .postingsOf(Snapshots.read(spark, baseT))
+      .select("term", "doc_id", "tf")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = TextFunctions.mergeWithPostings(
+      mem.toDF.toDF("doc_id", "text"), baseT, postT, "doc_id", "mp_s1").start()
+    try {
+      // batch 0: bootstrap half the docs
+      mem.addData(docs.filter(_._1 % 2 == 0).toSeq: _*)
+      q.processAllAvailable()
+      assert(netRows == rebuildRows, "after bootstrap batch")
+      // batch 1: UPSERT — rewrite some existing docs' text (the
+      // tombstone-netting path) and insert the other half
+      val updates = docs.filter(t => t._1 % 2 == 0 && t._1 < 10)
+        .map { case (id, t) => (id, t + " cdcupdated") }
+      mem.addData((updates ++ docs.filter(_._1 % 2 == 1)).toSeq: _*)
+      q.processAllAvailable()
+      assert(netRows == rebuildRows, "after upsert batch")
+      assert(netRows.exists { case (t, id, _) => t == "cdcupdated" && id < 10 })
+    } finally q.stop()
+    // replayed merge batch no-ops on BOTH tables: the ingest tag
+    // blocks the double-apply, and the maintenance watermark is
+    // already at the (unchanged) head
+    val (bv, pv) = (Snapshots.currentVersion(baseT), Snapshots.currentVersion(postT))
+    Snapshots.mergeBatch(docs.filter(_._1 % 2 == 0).toSeq.toDF("doc_id", "text"),
+      baseT, "doc_id", "mp_s1", 0L)
+    TextFunctions.postingsMaintain(spark, baseT, postT)
+    assert(Snapshots.currentVersion(baseT) == bv, "merge replay must no-op")
+    assert(Snapshots.currentVersion(postT) == pv, "maintenance replay must no-op")
+  }
+
   test("stateful streaming sessionization matches batch q_events_sessionize") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = EventStreams.readEvents(spark, sfDir)
