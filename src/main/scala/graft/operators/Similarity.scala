@@ -753,11 +753,25 @@ object Similarity {
 
   // ---- §2.2 row 27b: IVF ANN (second scale path next to banded LSH) ----
 
-  private val CCount = 16
+  /** Coarse-quantizer cluster count: C = ⌈√N⌉ of the indexed corpus —
+    * the standard IVF setting (and the same growth law
+    * `d_dedup_semantic` uses): lists stay ≈√N-sized as the corpus
+    * grows, so a probe reads NProbe·√N vectors instead of a fixed
+    * NProbe/16 FRACTION of the corpus (which a constant C decays to).
+    * Deterministic from the data, so the DuckDB oracles compute the
+    * identical C from COUNT(*) (`ivpcSql`).
+    */
+  private[graft] def cCountOf(n: Long): Int =
+    math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+
+  /** DuckDB twin of [[cCountOf]] over the quantized CTE `v`. */
+  private val ivpcSql =
+    "ivpc AS (SELECT CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS c FROM v)"
+
   private val NProbe = 2
 
   /** §2.2 row 27b — IVF ANN: deterministic seed centroids (the first
-    * CCount vectors) + ONE Lloyd step in exact integer arithmetic,
+    * ⌈√N⌉ vectors) + ONE Lloyd step in exact integer arithmetic,
     * corpus partitioned into inverted lists by nearest centroid,
     * queries probe the NProbe nearest lists and rerank by exact
     * cosine.
@@ -791,11 +805,17 @@ object Similarity {
     import graft.sources.Snapshots
     val base = "/root/repo/target/ivf/" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val (listsT, centsT) = (s"$base/lists", s"$base/centroids")
-    val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
+    // the content key carries the cluster count next to the input
+    // fingerprint (the bloomSkipIndex convention): an index built
+    // under a different C — data regenerated at another size, or the
+    // growth law itself revised — can never be served against an
+    // oracle that derives a different C from the same data
+    val c = cCountOf(Tables.load(s, dir, "embeddings").count())
+    val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet") + s"-c$c"
     val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
     val centsV = Snapshots.ensureIndex(centsT, fp) { out =>
       val v = quantized(Tables.load(s, dir, "embeddings")).localCheckpoint()
-      val seeds = broadcast(v.where(col("vec_id") < CCount)
+      val seeds = broadcast(v.where(col("vec_id") < c)
         .select(col("vec_id").as("cid"), col("q").as("cq")))
       // assignment 1: nearest seed by exact integer squared L2
       val a1 = v.crossJoin(seeds)
@@ -874,7 +894,8 @@ object Similarity {
       s"""WITH $quantizedSql,
        n AS (SELECT vec_id, q,
            CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
-       c0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < $CCount),
+       $ivpcSql,
+       c0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < (SELECT c FROM ivpc)),
        a1 AS (SELECT vec_id, q, nrm, cid FROM (
            SELECT n.vec_id, n.q, n.nrm, c0.cid,
              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $sqd, c0.cid) AS rn
@@ -955,7 +976,8 @@ object Similarity {
     s"""$quantizedSql,
      n AS (SELECT vec_id, q,
          CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
-     ivc0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < $CCount),
+     $ivpcSql,
+     ivc0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < (SELECT c FROM ivpc)),
      iva1 AS (SELECT vec_id, q, nrm, cid FROM (
          SELECT n.vec_id, n.q, n.nrm, ivc0.cid,
            ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $sqd, ivc0.cid) AS rn
@@ -1112,7 +1134,7 @@ object Similarity {
       val e = Tables.load(s, dir, "embeddings")
       val v = quantized(e).localCheckpoint()
       // coarse quantizer + inverted lists (seeds -> 1 Lloyd round)
-      val (cents, _) = ivfBuild(e, CCount, 1)
+      val (cents, _) = ivfBuild(e, cCountOf(e.count()), 1)
       val lists = ivfAssign(v, cents)
         .select(col("vec_id").as("n_id"), col("cid")).localCheckpoint()
       // PQ codebooks, corpus codes, query ADC tables (seed codebooks)
@@ -1178,11 +1200,14 @@ object Similarity {
       import graft.sources.Snapshots
       val base = "/root/repo/target/ivfpq/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       val (centsT, cbT, codesT) = (s"$base/cents", s"$base/codebooks", s"$base/codes")
-      val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
       val e = Tables.load(s, dir, "embeddings")
+      // C rides in the content key (see ivfIndex) — cents and the
+      // cid-keyed codes both depend on it
+      val c = cCountOf(e.count())
+      val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet") + s"-c$c"
       // ---- offline: coarse quantizer, PQ codebooks, cid-keyed codes
       val centsV = Snapshots.ensureIndex(centsT, fp) { out =>
-        val (cents, _) = ivfBuild(e, CCount, 1)
+        val (cents, _) = ivfBuild(e, c, 1)
         cents.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
       }
       val cents = broadcast(s.read.parquet(Snapshots.versionDirs(centsT, centsV): _*))
@@ -1240,7 +1265,8 @@ object Similarity {
       s"""WITH $quantizedSql,
        n AS (SELECT vec_id, q,
            CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
-       c0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < $CCount),
+       $ivpcSql,
+       c0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < (SELECT c FROM ivpc)),
        a1 AS (SELECT vec_id, q, nrm, cid FROM (
            SELECT n.vec_id, n.q, n.nrm, c0.cid,
              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $sqd, c0.cid) AS rn
