@@ -116,6 +116,62 @@ object TextFunctions {
           FROM f"""
     })
 
+  /** LM-style quality filtering — the CCNet shape (Wenzek et al.
+    * 2020: score documents under a language model trained on trusted
+    * text; high perplexity ⇒ out-of-domain/noise) re-expressed
+    * integer-exact so both engines score identically: the "model" is
+    * the corpus's own unigram table, a token's SURPRISE is the
+    * fixed-point inverse frequency (T·1000) DIV count — the monotone
+    * core of −log p without the non-bit-portable log — and a doc's
+    * score is its mean token surprise (integral DIV). Docs whose score
+    * exceeds 1.5× the corpus-wide mean surprise are flagged, the
+    * high-perplexity tail a CCNet pipeline buckets away.
+    *
+    * Scale shape: one token explode + one vocabulary-sized count
+    * shuffle (map-side combined), the per-token surprise lookup is a
+    * shuffle-hash join on term (vocabulary never broadcast,
+    * AQE-skew-splittable — stopwords ARE hot keys), one per-doc
+    * partial-aggregated sum, corpus scalars as broadcast 1-row
+    * frames. Integer bounds: surprise ≤ T·1000, Σ over a doc ≤
+    * n·T·1000 ≤ 2^63 at any realistic shard (documented like the BM25
+    * precondition).
+    */
+  val qualityLm: QueryDef = QueryDef(
+    "t_quality_lm",
+    (s, dir) => {
+      val tk = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("term"))
+      val counts = tk.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = broadcast(counts.agg(sum(col("cnt")).cast("long").as("t")))
+      val sur = counts.crossJoin(tot)
+        .select(col("term"), expr("(t * 1000) DIV cnt").as("sur"), col("cnt"), col("t"))
+      val cm = broadcast(sur
+        .agg(sum(col("sur") * col("cnt")).cast("long").as("sc"), max(col("t")).as("mt"))
+        .select(expr("sc DIV mt").as("cm")))
+      val perDoc = tk.join(sur.select("term", "sur"), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum(col("sur")).cast("long").as("ssum"))
+      perDoc.crossJoin(cm)
+        .select(col("doc_id"), col("n_tokens"),
+          expr("ssum DIV n_tokens").as("surprise"),
+          (expr("ssum DIV n_tokens") * 2 > col("cm") * 3).as("is_flagged"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, unnest(${Portable.textSql.tokensLower}) AS term
+           FROM documents),
+         c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM c),
+         sur AS (SELECT term, (tot.t * 1000) // cnt AS sur, cnt FROM c, tot),
+         cm AS (SELECT CAST(SUM(sur * cnt) AS BIGINT) // (SELECT t FROM tot) AS cm
+           FROM sur),
+         per AS (SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(s.sur) AS BIGINT) AS ssum
+           FROM tk JOIN sur s USING (term) GROUP BY 1)
+         SELECT doc_id, n_tokens, ssum // n_tokens AS surprise,
+           (ssum // n_tokens) * 2 > (SELECT cm FROM cm) * 3 AS is_flagged
+         FROM per"""))
+
   /** §2.2 row 30 — token counting: exact whitespace tokens + a
     * chars/4 BPE-ish token estimate.
     */
@@ -1324,7 +1380,7 @@ object TextFunctions {
            FROM st"""))
 
   val defs: Seq[QueryDef] =
-    Seq(langId, quality, tokens, fingerprint, hashSample, stratifiedSample,
+    Seq(langId, quality, qualityLm, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,
       upsampleEpochs, invertedSearch, searchIncremental, searchDml,
