@@ -752,7 +752,13 @@ object TextFunctions {
     * so a query with any number of terms keeps all-terms semantics.
     */
   private def serveConjunctive(s: org.apache.spark.sql.SparkSession,
-      post: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      post0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // the query's terms as a PUSHED literal IN-filter (semantically a
+    // no-op next to the inner join below): bucket pruning narrows the
+    // scan to the terms' partitions, and this narrows it further to
+    // the matched ROW GROUPS — with term-sorted runs ([[termSorted]])
+    // the read approaches O(term postings) instead of O(bucket)
+    val post = post0.where(col("term").isin(SearchTerms.map(_._2).distinct: _*))
     val q = broadcast(s.createDataFrame(SearchTerms).toDF("query_id", "term"))
     val arity = broadcast(s.createDataFrame(
       SearchTerms.groupBy(_._1).map { case (id, ts) => (id, ts.size.toLong) }.toSeq)
@@ -827,7 +833,7 @@ object TextFunctions {
         dir.replaceAll("[^A-Za-z0-9]", "_") + "/postings"
       val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
       val v = Snapshots.ensureIndex(postT, fp) { out =>
-        postingsOf(Tables.load(s, dir, "documents"))
+        termSorted(postingsOf(Tables.load(s, dir, "documents")))
           .write.partitionBy("b")
           .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
       }
@@ -835,6 +841,16 @@ object TextFunctions {
         .where(col("b").isin(searchBuckets: _*)))
     },
     Some(conjunctiveOracleSql()))
+
+  /** One sorted run per bucket: rows clustered by term (then doc) so
+    * parquet row-group min/max answers a pushed `term IN (…)` with a
+    * handful of row groups — the within-bucket half of pruning (the
+    * bucket partition is the between-bucket half). Build-time cost:
+    * one extra shuffle+sort, amortized over every query.
+    */
+  private def termSorted(post: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    post.repartition(col("b")).sortWithinPartitions("term", "doc_id")
 
   /** INCREMENTAL index maintenance — the steady-state shape at scale:
     * the postings live in a CLUSTERED snapshot table (range-sorted by
@@ -1002,12 +1018,15 @@ object TextFunctions {
             posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
           .where(col("term") =!= "")
           .withColumn("b", bucketExpr(col("term")))
+          .repartition(col("b")).sortWithinPartitions("term", "doc_id", "pos")
           .write.partitionBy("b")
           .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
       }
-      val buckets = bucketsOf(PhraseTerms.flatMap(p => Seq(p._2, p._3)).distinct)
+      val words = PhraseTerms.flatMap(p => Seq(p._2, p._3)).distinct
       val post = s.read.parquet(Snapshots.versionDirs(postT, v): _*)
-        .where(col("b").isin(buckets: _*))
+        .where(col("b").isin(bucketsOf(words): _*))
+        // pushed term literals → row-group pruning inside the buckets
+        .where(col("term").isin(words: _*))
       val qa = broadcast(s.createDataFrame(PhraseTerms.map(p => (p._1, p._2)))
         .toDF("phrase_id", "term"))
       val qb = broadcast(s.createDataFrame(PhraseTerms.map(p => (p._1, p._3)))
@@ -1121,7 +1140,7 @@ object TextFunctions {
     val dlT = root + "/doclen"
     val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
     val v = Snapshots.ensureIndex(postT, fp) { out =>
-      postingsOf(Tables.load(s, dir, "documents"))
+      termSorted(postingsOf(Tables.load(s, dir, "documents")))
         .write.partitionBy("b")
         .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
     }
@@ -1143,8 +1162,12 @@ object TextFunctions {
     * clustered base+delta postings table and SUMMED totals partials.
     */
   private def bm25Serve(s: org.apache.spark.sql.SparkSession,
-      post: org.apache.spark.sql.DataFrame, dl: org.apache.spark.sql.DataFrame,
+      post0: org.apache.spark.sql.DataFrame, dl: org.apache.spark.sql.DataFrame,
       tot: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // pushed term literals, as in serveConjunctive (df below is
+    // per-term over exactly these terms, so the filter is a no-op
+    // semantically and a row-group prune physically)
+    val post = post0.where(col("term").isin(SearchTerms.map(_._2).distinct: _*))
     val q = broadcast(s.createDataFrame(SearchTerms).toDF("query_id", "term"))
     val dfs = broadcast(post.join(q.select("term").distinct(), "term")
       .groupBy("term").agg(count(lit(1)).cast("long").as("df")))
