@@ -641,6 +641,39 @@ class PipelineSpec extends SparkSpec {
     assert(served.exists { case (t, id, _) => t == "merged" && id < 5 })
   }
 
+  test("scale law: pruned search serving reads a vanishing fraction of the index") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the serving contract at 100 TB: bucket PartitionFilters + pushed
+    // term literals + term-sorted runs keep the postings READ close to
+    // O(term postings). Measure rows out of the index scans for the
+    // served conjunctive query at two corpus sizes: the scanned
+    // fraction of the index must not grow with the corpus.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (dir <- Seq(sfSmall, sfBig)) {
+        val df = SparkEntry.queries("t_inverted_search")(spark, dir)
+        df.collect()
+        val scanned = df.queryExecution.executedPlan.collect {
+          case sc: FileSourceScanExec
+              if sc.metadata.get("Location").exists(_.contains("invidx")) =>
+            sc.metrics("numOutputRows").value
+        }.sum
+        val post = graft.functions.TextFunctions
+          .postingsOf(Tables.load(spark, dir, "documents"))
+        val matched = post.where(col("term")
+          .isin("scan", "merge", "stream", "value", "hash", "join")).count()
+        val index = post.count()
+        // scan OUTPUT = the matched postings (the pushed IN answers the
+        // rest) — O(term postings), independent of how big the index is.
+        // (On this tiny-vocabulary synthetic corpus the query terms are
+        // the Zipf head — matched/index is large — which is exactly why
+        // the contract is vs MATCHED, not vs a fraction of the index.)
+        assert(scanned <= matched * 11 / 10 + 100,
+          s"$dir: scan must output only matched postings: $scanned vs $matched (index $index)")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("delete-aware band-index maintenance: tombstone fold ≡ re-signed rebuild") {
     import graft.sources.Snapshots
     import graft.operators.Dedup
