@@ -1196,16 +1196,21 @@ object TextFunctions {
     * included. (A def for the same object-init reason as
     * [[conjunctiveOracleSql]].)
     */
-  private def bm25OracleSql: String =
+  private def bm25OracleSql: String = bm25OracleSqlWhere("")
+
+  /** [[bm25OracleSql]] with a live-corpus restriction — the DML twin's
+    * oracle (the `conjunctiveOracleSql(corpusWhere)` convention).
+    */
+  private def bm25OracleSqlWhere(corpusWhere: String): String =
     s"""WITH q(query_id, term) AS (VALUES ${
         SearchTerms.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
        dl AS (SELECT doc_id,
            CAST(len(${Portable.textSql.tokensLower}) AS BIGINT) AS dl
-         FROM documents),
+         FROM documents $corpusWhere),
        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(dl) AS BIGINT) AS total FROM dl),
        tk AS (SELECT doc_id, unnest(${Portable.textSql.tokensLower}) AS term
-         FROM documents),
+         FROM documents $corpusWhere),
        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
          FROM tk GROUP BY 1, 2),
        df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
@@ -1277,6 +1282,83 @@ object TextFunctions {
         Snapshots.read(s, dlT), tot)
     },
     Some(bm25OracleSql))
+
+  /** DELETE-AWARE maintenance of the full BM25 table set — what
+    * [[postingsMaintain]] does for conjunctive serving, extended to
+    * everything BM25 scoring reads: ONE change-feed pass
+    * ([[graft.sources.Snapshots.changesBetween]], reading only the
+    * dirs that entered/left the base manifest) appends tombstone
+    * deltas to all three tables — postings (negated tf), the doclen
+    * sidecar (negated dl), and the corpus scalars (one SIGNED partial
+    * row: inserted − departed counts/tokens) — each O(changed docs).
+    * Serving nets postings and doclens per doc and sums the scalar
+    * partials; exact integer addition keeps N, total, df, and every
+    * score bit-identical to a full rebuild of the live corpus.
+    */
+  def bm25Maintain(s: org.apache.spark.sql.SparkSession, baseTable: String,
+      postT: String, dlT: String, totT: String): Unit = {
+    import graft.sources.Snapshots
+    val curV = Snapshots.currentVersion(baseTable)
+    require(curV > 0, s"base table $baseTable has no committed version")
+    if (Snapshots.tagWatermark(postT, PostThroughPrefix) == curV) return
+    val lastV = Snapshots.tagWatermark(postT, PostThroughPrefix)
+    val tag = Seq(PostThroughPrefix + curV)
+    def signedTotals(ins: org.apache.spark.sql.DataFrame,
+        del: org.apache.spark.sql.DataFrame) =
+      docLengths(ins).withColumn("sgn", lit(1L))
+        .unionByName(docLengths(del).withColumn("sgn", lit(-1L)))
+        .agg(sum(col("sgn")).cast("long").as("np"),
+          sum(col("sgn") * col("dl")).cast("long").as("totalp"))
+    if (lastV == 0) {
+      val base = Snapshots.readVersion(s, baseTable, curV)
+      Snapshots.commitOverwriteTagged(postingsOf(base), postT, tag)
+      Snapshots.commitOverwriteTagged(docLengths(base), dlT, tag)
+      Snapshots.commitOverwriteTagged(
+        signedTotals(base, base.limit(0)), totT, tag)
+    } else {
+      val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
+      Snapshots.commitAppendTagged(postingsOf(ins).unionByName(
+        postingsOf(del).withColumn("tf", -col("tf"))), postT, tag)
+      Snapshots.commitAppendTagged(docLengths(ins).unionByName(
+        docLengths(del).withColumn("dl", -col("dl"))), dlT, tag)
+      Snapshots.commitAppendTagged(signedTotals(ins, del), totT, tag)
+    }
+    ()
+  }
+
+  /** Catalog twin: BM25 over a corpus that suffered real DML — the
+    * [[searchDml]] scenario (bootstrap 90%, delete the doc_id % 7
+    * slice, append the held-out batch) served entirely from the
+    * tombstone-maintained BM25 table set; the oracle recomputes BM25
+    * over exactly the live corpus, so hash equality proves ranking
+    * survives deletes without an index rebuild.
+    */
+  val searchBm25Dml: QueryDef = QueryDef(
+    "t_search_bm25_dml",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val root = "/root/repo/target/invidx/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "/bm25dml"
+      Snapshots.deleteRecursively(root)
+      val (baseT, postT, dlT, totT) =
+        (s"$root/docs", s"$root/postings", s"$root/doclen", s"$root/totals")
+      val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+      Snapshots.commitOverwrite(d.where(pmod(col("doc_id"), lit(10)) =!= 0), baseT)
+      bm25Maintain(s, baseT, postT, dlT, totT)
+      Snapshots.deleteWhere(s, baseT, pmod(col("doc_id"), lit(7)) === 0)
+      Snapshots.commitAppend(d.where(pmod(col("doc_id"), lit(10)) === 0), baseT)
+      bm25Maintain(s, baseT, postT, dlT, totT)
+      val tot = Snapshots.read(s, totT)
+        .agg(sum(col("np")).cast("long").as("n"),
+          sum(col("totalp")).cast("long").as("total"))
+      val dlNet = Snapshots.read(s, dlT).groupBy("doc_id")
+        .agg(sum(col("dl")).cast("long").as("dl")).where(col("dl") > 0)
+      bm25Serve(s, servePostingsNet(
+        Snapshots.read(s, postT).where(col("b").isin(searchBuckets: _*))),
+        dlNet, tot)
+    },
+    Some(bm25OracleSqlWhere(
+      "WHERE (doc_id % 10 <> 0 AND doc_id % 7 <> 0) OR doc_id % 10 = 0")))
 
   /** query_id → seed embedding vec_id: the semantic half of a hybrid
     * query (the lexical half is that query_id's terms in
@@ -1414,5 +1496,5 @@ object TextFunctions {
       collocations, repetition, piiRedact, packSequences, mixtureSample,
       upsampleEpochs, invertedSearch, searchIncremental, searchDml,
       phraseSearch, shardExport, chunkRag, searchBm25,
-      searchBm25Incremental, hybridRrf)
+      searchBm25Incremental, searchBm25Dml, hybridRrf)
 }
