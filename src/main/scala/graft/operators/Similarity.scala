@@ -1009,6 +1009,141 @@ object Similarity {
          FROM ivsc) r WHERE rn <= $k)"""
   }
 
+  private val IvfThroughPrefix = "ivf_through "
+
+  /** DELETE-AWARE maintenance of IVF inverted lists under a FROZEN
+    * coarse quantizer — the ANN-side twin of the search family's
+    * tombstone maintenance: quantizers are frozen artifacts between
+    * offline re-trains (the `s_knn_ivfpq` serving contract), so a
+    * vector's list row (vec_id, q, nrm, cid) is DETERMINED by the
+    * frozen centroids — a departed vector's row folds in as sgn = −1
+    * and cancels its bootstrap row EXACTLY, an inserted one assigns
+    * against the same centroids with sgn = +1. One maintenance pass =
+    * one change-feed read ([[graft.sources.Snapshots.changesBetween]],
+    * only the dirs that entered/left the base manifest) + one O(changed
+    * vectors) append; [[serveIvfLists]] nets at read, so the served
+    * lists equal a fresh assignment of the LIVE corpus under the
+    * frozen quantizer — never a rebuild, never a re-train.
+    */
+  def ivfListsMaintain(s: SparkSession, baseTable: String,
+      centsT: String, listsT: String): Unit = {
+    import graft.sources.Snapshots
+    val curV = Snapshots.currentVersion(baseTable)
+    require(curV > 0, s"base table $baseTable has no committed version")
+    val lastV = Snapshots.tagWatermark(listsT, IvfThroughPrefix)
+    if (lastV == curV) return
+    val tag = Seq(IvfThroughPrefix + curV)
+    if (lastV == 0) {
+      val base = Snapshots.readVersion(s, baseTable, curV)
+      val (cents, _) = ivfBuild(base, cCountOf(base.count()), 1)
+      Snapshots.commitOverwrite(cents, centsT) // the frozen quantizer
+      Snapshots.commitOverwriteTagged(
+        ivfAssign(quantized(base), cents).drop("m").withColumn("sgn", lit(1)),
+        listsT, tag)
+    } else {
+      val cents = Snapshots.read(s, centsT)
+      val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
+      val delta = ivfAssign(quantized(ins), cents).drop("m")
+        .withColumn("sgn", lit(1))
+        .unionByName(ivfAssign(quantized(del), cents).drop("m")
+          .withColumn("sgn", lit(-1)))
+      Snapshots.commitAppendTagged(delta, listsT, tag)
+    }
+    ()
+  }
+
+  /** Net view of tombstone-folded IVF lists: identical assignment rows
+    * cancel by summed sign — the lists equal assigning the live corpus
+    * under the frozen quantizer.
+    */
+  def serveIvfLists(s: SparkSession, listsT: String): DataFrame =
+    graft.sources.Snapshots.read(s, listsT)
+      .groupBy("vec_id", "q", "nrm", "cid")
+      .agg(sum(col("sgn")).as("net")).where(col("net") > 0)
+      .select("vec_id", "q", "nrm", "cid")
+
+  /** Catalog twin: IVF ANN over a corpus that suffered real DML — the
+    * `t_search_dml` scenario on the vector side: bootstrap 90% of the
+    * embeddings into a snapshot table (training the quantizer on it),
+    * DELETE the vec_id % 7 slice, APPEND the held-out 10%, fold both
+    * through [[ivfListsMaintain]], then probe/rerank the netted lists.
+    * The oracle trains the quantizer on the SAME bootstrap slice and
+    * assigns the LIVE corpus under it — hash equality proves
+    * tombstone-maintained lists ≡ fresh assignment after DML.
+    */
+  val knnIvfDml: QueryDef = QueryDef(
+    "s_knn_ivf_dml",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val root = "/root/repo/target/ivfdml/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Snapshots.deleteRecursively(root)
+      val (baseT, centsT, listsT) = (s"$root/vecs", s"$root/cents", s"$root/lists")
+      val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+      Snapshots.commitOverwrite(e.where(pmod(col("vec_id"), lit(10)) =!= 0), baseT)
+      ivfListsMaintain(s, baseT, centsT, listsT)
+      Snapshots.deleteWhere(s, baseT, pmod(col("vec_id"), lit(7)) === 0)
+      Snapshots.commitAppend(e.where(pmod(col("vec_id"), lit(10)) === 0), baseT)
+      ivfListsMaintain(s, baseT, centsT, listsT)
+      val cents = broadcast(Snapshots.read(s, centsT))
+      val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
+      val queries = quantized(Snapshots.read(s, baseT)).where(col("vec_id") < 5)
+      val probes = queries.crossJoin(cents)
+        .select(col("vec_id"), col("q"), col("nrm"), col("cid"), ivfMetric.as("m"))
+        .withColumn("rn", row_number().over(byDist)).where(col("rn") <= NProbe)
+        .select(col("vec_id").as("q_id"), col("q").as("q_q"),
+          col("nrm").as("q_nrm"), col("cid"))
+      val lists = serveIvfLists(s, listsT)
+        .select(col("vec_id").as("n_id"), col("q").as("n_q"),
+          col("nrm").as("n_nrm"), col("cid"))
+      val scored = broadcast(probes).join(lists, Seq("cid"))
+        .where(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("q_id", "n_id", "sim")
+    },
+    Some {
+      val live = "(vec_id % 10 <> 0 AND vec_id % 7 <> 0) OR vec_id % 10 = 0"
+      val sqd = "list_sum(list_transform(list_zip(vb.q, c0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"
+      def met(src: String) =
+        s"CAST(list_sum(list_transform(list_zip($src.q, c1.cs), " +
+          s"s -> (c1.cn*s[1]-s[2])*(c1.cn*s[1]-s[2]))) AS DOUBLE) / (c1.cn*c1.cn)"
+      s"""WITH $quantizedSql,
+       n AS (SELECT vec_id, q,
+           CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+       vb AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+       vl AS (SELECT * FROM n WHERE $live),
+       pc AS (SELECT CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS c FROM vb),
+       c0 AS (SELECT vec_id AS cid, q AS cq FROM vb WHERE vec_id < (SELECT c FROM pc)),
+       a1 AS (SELECT vec_id, q, nrm, cid FROM (
+           SELECT vb.vec_id, vb.q, vb.nrm, c0.cid,
+             ROW_NUMBER() OVER (PARTITION BY vb.vec_id ORDER BY $sqd, c0.cid) AS rn
+           FROM vb, c0) x WHERE rn = 1),
+       ex AS (SELECT cid, unnest(q) AS val, unnest(range(0, 64)) AS dim FROM a1),
+       c1 AS (SELECT s.cid, list(s.sv ORDER BY s.dim) AS cs, MAX(c.cn) AS cn
+           FROM (SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS sv FROM ex GROUP BY cid, dim) s
+           JOIN (SELECT cid, COUNT(*) AS cn FROM a1 GROUP BY cid) c USING (cid)
+           GROUP BY s.cid),
+       a2 AS (SELECT vec_id, q, nrm, cid FROM (
+           SELECT vl.vec_id, vl.q, vl.nrm, c1.cid,
+             ROW_NUMBER() OVER (PARTITION BY vl.vec_id ORDER BY ${met("vl")}, c1.cid) AS rn
+           FROM vl, c1) x WHERE rn = 1),
+       pr AS (SELECT vec_id AS q_id, q AS q_q, nrm AS q_nrm, cid FROM (
+           SELECT vl.vec_id, vl.q, vl.nrm, c1.cid,
+             ROW_NUMBER() OVER (PARTITION BY vl.vec_id ORDER BY ${met("vl")}, c1.cid) AS rn
+           FROM vl, c1 WHERE vl.vec_id < 5) x WHERE rn <= $NProbe),
+       p AS (SELECT pr.q_id, a2.vec_id AS n_id,
+             CAST(list_sum(list_transform(list_zip(pr.q_q, a2.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+             pr.q_nrm AS na, a2.nrm AS nb
+           FROM pr JOIN a2 ON pr.cid = a2.cid AND a2.vec_id <> pr.q_id),
+       sc AS (SELECT q_id, n_id,
+             CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM p)
+       SELECT q_id, n_id, sim FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
+       WHERE rn <= 5"""
+    })
+
   // ---- §2.2 row 27e: product-quantization ANN (compressed codes) ----
 
   private val PqM = 8      // subspaces
@@ -1905,7 +2040,8 @@ object Similarity {
     })
 
   val defs: Seq[QueryDef] =
-    Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf, knnJoin,
+    Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
+      knnIvfDml, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
       knnBeam, graphPagerank, hardNegatives, dedupSemantic)
 }
