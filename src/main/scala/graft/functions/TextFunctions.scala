@@ -952,6 +952,16 @@ object TextFunctions {
         ()
       }
 
+  /** Major compaction of a tombstone-folded postings table
+    * ([[graft.sources.Snapshots.compactNet]] instantiated with the
+    * postings net): nets all tombstones into one clean version,
+    * watermark carried forward — serving is unchanged, the table
+    * shrinks back to live rows. The band index, BM25 sidecars, and
+    * IVF lists compact identically with their own net aggregates.
+    */
+  def postingsCompact(s: org.apache.spark.sql.SparkSession, postT: String): Int =
+    graft.sources.Snapshots.compactNet(s, postT, PostThroughPrefix)(servePostingsNet)
+
   /** Net view of a tombstone-folded postings frame: tf sums per
     * (term, doc, bucket); rows netting to ≤ 0 (deleted docs) vanish.
     * Compose the bucket filter BEFORE this aggregate — the net is then

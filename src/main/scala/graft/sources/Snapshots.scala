@@ -505,6 +505,25 @@ object Snapshots {
       tags = tags)
   }
 
+  /** MAJOR compaction of a tombstone-folded derived table: rewrite the
+    * netted view (`net` — the structure's serving aggregate, e.g.
+    * postings tf-netting) as ONE clean version, carrying the
+    * maintained-through watermark tag forward unchanged. The lifecycle
+    * piece of the tombstone-delta design: minor cost stays O(batch)
+    * per DML fold, and this bounds the accumulated tombstone debt the
+    * way an LSM major compaction bounds its runs — run it when the
+    * delta-dir count or tombstone fraction crosses a threshold.
+    * Readers pinned to pre-compaction versions are undisturbed
+    * (snapshot isolation), and a post-compaction maintenance pass
+    * still no-ops at the same watermark.
+    */
+  def compactNet(spark: SparkSession, table: String, watermarkPrefix: String)(
+      net: DataFrame => DataFrame): Int = {
+    val through = tagWatermark(table, watermarkPrefix)
+    commitOverwriteTagged(net(read(spark, table)), table,
+      Seq(watermarkPrefix + through))
+  }
+
   /** The base version recorded by a `prefix`-tagged watermark at
     * `table`'s HEAD version (0 when the table is empty or the head
     * carries no such tag) — the shared convention of every

@@ -610,6 +610,18 @@ class PipelineSpec extends SparkSpec {
     // appended batch may legitimately carry its own %7 == 0 docs
     assert(Snapshots.read(spark, baseT)
       .where(col("doc_id") % 7 === 0 && col("doc_id") % 10 =!= 0).count() == 0)
+    // MAJOR compaction: tombstone debt nets into one clean version —
+    // serving unchanged, physical rows shrink to the live set, the
+    // watermark carries forward so maintenance still no-ops
+    val physBefore = Snapshots.read(spark, postT).count()
+    TextFunctions.postingsCompact(spark, postT)
+    assert(Snapshots.read(spark, postT).count() < physBefore,
+      "compaction must shed tombstone + cancelled rows")
+    assert(rows(TextFunctions.servePostingsNet(Snapshots.read(spark, postT))) == rebuilt,
+      "serving must be unchanged by compaction")
+    val vHead = Snapshots.currentVersion(postT)
+    assert(TextFunctions.postingsMaintain(spark, baseT, postT) == vHead,
+      "post-compaction maintenance must still no-op at the carried watermark")
   }
 
   test("delete-aware postings maintenance absorbs keyed MERGE updates") {
