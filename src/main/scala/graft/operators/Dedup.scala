@@ -707,10 +707,22 @@ object Dedup {
     * [[bandedSigned]], so it drops into [[batchDedupStats]] unchanged.
     */
   def serveBandIndex(s: org.apache.spark.sql.SparkSession, idxTable: String): DataFrame =
-    graft.sources.Snapshots.read(s, idxTable)
-      .groupBy("doc_id", "band", "bucket", "shingles")
+    bandNet(graft.sources.Snapshots.read(s, idxTable))
+
+  private def bandNet(df: DataFrame): DataFrame =
+    df.groupBy("doc_id", "band", "bucket", "shingles")
       .agg(sum(col("sgn")).as("net")).where(col("net") > 0)
       .select("doc_id", "shingles", "band", "bucket")
+
+  /** Major compaction of the tombstone-folded band index
+    * ([[graft.sources.Snapshots.compactNet]] with the band net; the
+    * [[graft.functions.TextFunctions.postingsCompact]] convention).
+    * The netted rows re-carry sgn = 1 so maintenance keeps appending
+    * deltas against the compacted base.
+    */
+  def bandIndexCompact(s: org.apache.spark.sql.SparkSession, idxTable: String): Int =
+    graft.sources.Snapshots.compactNet(s, idxTable, BandThroughPrefix)(df =>
+      bandNet(df).withColumn("sgn", lit(1)))
 
   /** Near-dup stats for a NEW document batch against corpus ∪ batch,
     * with the corpus side served ENTIRELY from the persisted index at

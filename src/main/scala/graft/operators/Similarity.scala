@@ -1057,10 +1057,22 @@ object Similarity {
     * under the frozen quantizer.
     */
   def serveIvfLists(s: SparkSession, listsT: String): DataFrame =
-    graft.sources.Snapshots.read(s, listsT)
-      .groupBy("vec_id", "q", "nrm", "cid")
-      .agg(sum(col("sgn")).as("net")).where(col("net") > 0)
+    ivfNet(graft.sources.Snapshots.read(s, listsT))
       .select("vec_id", "q", "nrm", "cid")
+
+  private def ivfNet(df: DataFrame): DataFrame =
+    df.groupBy("vec_id", "q", "nrm", "cid")
+      .agg(sum(col("sgn")).as("net")).where(col("net") > 0)
+
+  /** Major compaction of the tombstone-folded IVF lists (the
+    * [[graft.sources.Snapshots.compactNet]] convention): nets
+    * cancelled assignments into one clean version, sgn re-carried so
+    * later DML folds keep appending against the compacted base.
+    */
+  def ivfListsCompact(s: SparkSession, listsT: String): Int =
+    graft.sources.Snapshots.compactNet(s, listsT, IvfThroughPrefix)(df =>
+      ivfNet(df).select(col("vec_id"), col("q"), col("nrm"), col("cid"))
+        .withColumn("sgn", lit(1)))
 
   /** Catalog twin: IVF ANN over a corpus that suffered real DML — the
     * `t_search_dml` scenario on the vector side: bootstrap 90% of the

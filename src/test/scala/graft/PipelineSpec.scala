@@ -706,6 +706,42 @@ class PipelineSpec extends SparkSpec {
     val rebuilt = rows(Dedup.bandedSigned(Snapshots.read(spark, baseT)))
     assert(served == rebuilt, "net-served band index must equal re-signing the live corpus")
     assert(served.nonEmpty)
+    // major compaction: tombstones net away, serving unchanged,
+    // maintenance still no-ops at the carried watermark
+    val physBefore = Snapshots.read(spark, idxT).count()
+    Dedup.bandIndexCompact(spark, idxT)
+    assert(Snapshots.read(spark, idxT).count() < physBefore)
+    assert(rows(Dedup.serveBandIndex(spark, idxT)) == rebuilt)
+    val vHead = Snapshots.currentVersion(idxT)
+    assert(Dedup.bandIndexMaintain(spark, baseT, idxT) == vHead)
+  }
+
+  test("delete-aware IVF lists: compaction is serving-invariant") {
+    import graft.sources.Snapshots
+    import graft.operators.Similarity
+    val root = "/root/repo/target/pipeline-spec/ivf_dml_compact"
+    Snapshots.deleteRecursively(root)
+    val (baseT, centsT, listsT) = (s"$root/vecs", s"$root/cents", s"$root/lists")
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    Snapshots.commitOverwrite(e.where(col("vec_id") % 10 =!= 0), baseT)
+    Similarity.ivfListsMaintain(spark, baseT, centsT, listsT)
+    Snapshots.deleteWhere(spark, baseT, col("vec_id") % 7 === 0)
+    Snapshots.commitAppend(e.where(col("vec_id") % 10 === 0), baseT)
+    Similarity.ivfListsMaintain(spark, baseT, centsT, listsT)
+    def served = Similarity.serveIvfLists(spark, listsT)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = served
+    val physBefore = Snapshots.read(spark, listsT).count()
+    Similarity.ivfListsCompact(spark, listsT)
+    assert(Snapshots.read(spark, listsT).count() < physBefore,
+      "compaction must shed cancelled assignment rows")
+    assert(served == before, "serving must be unchanged by compaction")
+    val vHead = Snapshots.currentVersion(listsT)
+    Similarity.ivfListsMaintain(spark, baseT, listsT = listsT, centsT = centsT)
+    assert(Snapshots.currentVersion(listsT) == vHead,
+      "post-compaction maintenance must no-op at the carried watermark")
   }
 
   test("fileFingerprint changes when input is regenerated in place") {
