@@ -1009,6 +1009,90 @@ object Similarity {
          FROM ivsc) r WHERE rn <= $k)"""
   }
 
+  /** METADATA-FILTERED ANN — the production vector-store feature next
+    * to plain top-k: each seed's neighbors are restricted to
+    * same-label vectors ("similar items in the same category"),
+    * served from the SAME persisted partition-pruned IVF lists as
+    * `s_knn_ivf`. This is the POST-FILTER strategy: probe the NProbe
+    * nearest lists, join the (tiny, pruned) candidate set against the
+    * label sidecar, filter, exact-rerank — right when the filter is
+    * unselective (most candidates survive). A highly-selective filter
+    * instead wants label-partitioned lists (PRE-filter: the label
+    * becomes part of the partition key, the `writePartitioned` layout
+    * machinery unchanged) — the standard pre/post-filter design
+    * choice every vector store exposes; this query pins the post
+    * side's semantics. The DuckDB oracle reproduces the probed,
+    * filtered candidate set bit-for-bit.
+    */
+  val knnFiltered: QueryDef = QueryDef(
+    "s_knn_filtered",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val (cents, listsT, listsV) = ivfIndex(s, dir)
+      val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
+      val lab = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      val queries = quantized(Tables.load(s, dir, "embeddings"))
+        .where(col("vec_id") < 5)
+      val probes = queries.crossJoin(cents)
+        .select(col("vec_id"), col("q"), col("nrm"), col("cid"), ivfMetric.as("m"))
+        .withColumn("rn", row_number().over(byDist)).where(col("rn") <= NProbe)
+        .join(lab, "vec_id") // the seed's label rides with its probe
+        .select(col("vec_id").as("q_id"), col("q").as("q_q"),
+          col("nrm").as("q_nrm"), col("cid"), col("label").as("q_label"))
+      val probeCids = probes.select("cid").distinct().collect().map(_.getLong(0))
+      val lists = s.read.parquet(Snapshots.versionDirs(listsT, listsV): _*)
+        .where(col("cid").isin(probeCids: _*))
+        .select(col("vec_id").as("n_id"), col("q").as("n_q"),
+          col("nrm").as("n_nrm"), col("cid").cast("long").as("cid"))
+        .join(lab.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+      val scored = broadcast(probes).join(lists, Seq("cid"))
+        .where(col("n_id") =!= col("q_id") && col("n_label") === col("q_label"))
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("q_id", "n_id", "sim")
+    },
+    Some {
+      val sqd = "list_sum(list_transform(list_zip(n.q, c0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"
+      val met = "CAST(list_sum(list_transform(list_zip(n.q, c1.cs), " +
+        "s -> (c1.cn*s[1]-s[2])*(c1.cn*s[1]-s[2]))) AS DOUBLE) / (c1.cn*c1.cn)"
+      s"""WITH $quantizedSql,
+       n AS (SELECT vec_id, q,
+           CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+       $ivpcSql,
+       lb AS (SELECT vec_id, label FROM embeddings),
+       c0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < (SELECT c FROM ivpc)),
+       a1 AS (SELECT vec_id, q, nrm, cid FROM (
+           SELECT n.vec_id, n.q, n.nrm, c0.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $sqd, c0.cid) AS rn
+           FROM n, c0) x WHERE rn = 1),
+       ex AS (SELECT cid, unnest(q) AS val, unnest(range(0, 64)) AS dim FROM a1),
+       c1 AS (SELECT s.cid, list(s.sv ORDER BY s.dim) AS cs, MAX(c.cn) AS cn
+           FROM (SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS sv FROM ex GROUP BY cid, dim) s
+           JOIN (SELECT cid, COUNT(*) AS cn FROM a1 GROUP BY cid) c USING (cid)
+           GROUP BY s.cid),
+       a2 AS (SELECT vec_id, q, nrm, cid FROM (
+           SELECT n.vec_id, n.q, n.nrm, c1.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $met, c1.cid) AS rn
+           FROM n, c1) x WHERE rn = 1),
+       pr AS (SELECT vec_id AS q_id, q AS q_q, nrm AS q_nrm, cid FROM (
+           SELECT n.vec_id, n.q, n.nrm, c1.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $met, c1.cid) AS rn
+           FROM n, c1 WHERE n.vec_id < 5) x WHERE rn <= $NProbe),
+       p AS (SELECT pr.q_id, a2.vec_id AS n_id,
+             CAST(list_sum(list_transform(list_zip(pr.q_q, a2.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+             pr.q_nrm AS na, a2.nrm AS nb
+           FROM pr JOIN a2 ON pr.cid = a2.cid AND a2.vec_id <> pr.q_id
+           JOIN lb la ON la.vec_id = pr.q_id
+           JOIN lb ln ON ln.vec_id = a2.vec_id AND ln.label = la.label),
+       sc AS (SELECT q_id, n_id,
+             CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM p)
+       SELECT q_id, n_id, sim FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
+       WHERE rn <= 5"""
+    })
+
   private val IvfThroughPrefix = "ivf_through "
 
   /** DELETE-AWARE maintenance of IVF inverted lists under a FROZEN
@@ -2053,7 +2137,7 @@ object Similarity {
 
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
-      knnIvfDml, knnJoin,
+      knnIvfDml, knnFiltered, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
       knnBeam, graphPagerank, hardNegatives, dedupSemantic)
 }
