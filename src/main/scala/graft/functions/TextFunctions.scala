@@ -136,23 +136,33 @@ object TextFunctions {
     * n·T·1000 ≤ 2^63 at any realistic shard (documented like the BM25
     * precondition).
     */
+  /** (per-doc (doc_id, n_tokens, ssum), broadcast 1-row corpus-mean) —
+    * the shared surprise computation of [[qualityLm]] and
+    * [[qualityBuckets]]. See [[qualityLm]] for the arithmetic.
+    */
+  private def docSurprise(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val tk = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("term"))
+    val counts = tk.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(counts.agg(sum(col("cnt")).cast("long").as("t")))
+    val sur = counts.crossJoin(tot)
+      .select(col("term"), expr("(t * 1000) DIV cnt").as("sur"), col("cnt"), col("t"))
+    val cm = broadcast(sur
+      .agg(sum(col("sur") * col("cnt")).cast("long").as("sc"), max(col("t")).as("mt"))
+      .select(expr("sc DIV mt").as("cm")))
+    val perDoc = tk.join(sur.select("term", "sur"), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("sur")).cast("long").as("ssum"))
+    (perDoc, cm)
+  }
+
   val qualityLm: QueryDef = QueryDef(
     "t_quality_lm",
     (s, dir) => {
-      val tk = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("term"))
-      val counts = tk.groupBy("term").agg(count(lit(1)).as("cnt"))
-      val tot = broadcast(counts.agg(sum(col("cnt")).cast("long").as("t")))
-      val sur = counts.crossJoin(tot)
-        .select(col("term"), expr("(t * 1000) DIV cnt").as("sur"), col("cnt"), col("t"))
-      val cm = broadcast(sur
-        .agg(sum(col("sur") * col("cnt")).cast("long").as("sc"), max(col("t")).as("mt"))
-        .select(expr("sc DIV mt").as("cm")))
-      val perDoc = tk.join(sur.select("term", "sur"), "term")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_tokens"),
-          sum(col("sur")).cast("long").as("ssum"))
+      val (perDoc, cm) = docSurprise(s, dir)
       perDoc.crossJoin(cm)
         .select(col("doc_id"), col("n_tokens"),
           expr("ssum DIV n_tokens").as("surprise"),
@@ -170,6 +180,48 @@ object TextFunctions {
            FROM tk JOIN sur s USING (term) GROUP BY 1)
          SELECT doc_id, n_tokens, ssum // n_tokens AS surprise,
            (ssum // n_tokens) * 2 > (SELECT cm FROM cm) * 3 AS is_flagged
+         FROM per"""))
+
+  /** CCNet's second move after scoring: bucket the corpus into
+    * head / middle / tail by PERPLEXITY QUARTILES (Wenzek et al. 2020
+    * — downstream pipelines then sample per bucket instead of hard
+    * filtering). Boundaries are the exact interpolated Q1/Q3 of the
+    * per-doc surprise (quartile fractions 0.25/0.75 are binary-exact,
+    * and `percentile` ≡ DuckDB `quantile_cont` bit-for-bit — the
+    * `q_percentiles` parity precedent); head = most fluent quarter.
+    * One extra tiny aggregate over [[docSurprise]]'s per-doc frame,
+    * broadcast back — no new corpus pass.
+    */
+  val qualityBuckets: QueryDef = QueryDef(
+    "t_quality_buckets",
+    (s, dir) => {
+      val (perDoc, _) = docSurprise(s, dir)
+      val scored = perDoc
+        .select(col("doc_id"), col("n_tokens"),
+          expr("ssum DIV n_tokens").as("surprise"))
+      val qs = broadcast(scored.agg(
+        expr("percentile(surprise, 0.25D)").as("q1"),
+        expr("percentile(surprise, 0.75D)").as("q3")))
+      scored.crossJoin(qs)
+        .select(col("doc_id"), col("n_tokens"), col("surprise"),
+          when(col("surprise").cast("double") <= col("q1"), "head")
+            .when(col("surprise").cast("double") > col("q3"), "tail")
+            .otherwise("middle").as("bucket"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, unnest(${Portable.textSql.tokensLower}) AS term
+           FROM documents),
+         c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM c),
+         sur AS (SELECT term, (tot.t * 1000) // cnt AS sur FROM c, tot),
+         per AS (SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(s.sur) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS surprise
+           FROM tk JOIN sur s USING (term) GROUP BY 1),
+         qs AS (SELECT quantile_cont(CAST(surprise AS DOUBLE), 0.25) AS q1,
+             quantile_cont(CAST(surprise AS DOUBLE), 0.75) AS q3 FROM per)
+         SELECT doc_id, n_tokens, surprise,
+           CASE WHEN CAST(surprise AS DOUBLE) <= (SELECT q1 FROM qs) THEN 'head'
+                WHEN CAST(surprise AS DOUBLE) > (SELECT q3 FROM qs) THEN 'tail'
+                ELSE 'middle' END AS bucket
          FROM per"""))
 
   /** §2.2 row 30 — token counting: exact whitespace tokens + a
@@ -1501,7 +1553,7 @@ object TextFunctions {
            FROM st"""))
 
   val defs: Seq[QueryDef] =
-    Seq(langId, quality, qualityLm, tokens, fingerprint, hashSample, stratifiedSample,
+    Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,
       upsampleEpochs, invertedSearch, searchIncremental, searchDml,
