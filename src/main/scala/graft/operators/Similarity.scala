@@ -1009,6 +1009,58 @@ object Similarity {
          FROM ivsc) r WHERE rn <= $k)"""
   }
 
+  /** EMBEDDING-QUALITY EVAL — kNN label agreement, the standard quick
+    * diagnostic of an embedding space (neighbors should share labels):
+    * for every vector with at least one LSH-band candidate, take its
+    * top-1 exact-cosine neighbor and score per-label PURITY = the
+    * fraction of vectors whose nearest candidate carries the same
+    * label. A purity collapse after an embedding-model change is the
+    * canary a 100 TB re-embedding pipeline checks BEFORE committing
+    * the corpus. Scale shape = `s_knn_join`'s: banded candidates (one
+    * (band, bucket) shuffle), exact scoring on pairs only, per-vector
+    * top-1 as a WindowGroupLimit, then a label join and a LABEL-sized
+    * aggregate — output rows = |labels|.
+    */
+  val knnPurity: QueryDef = QueryDef(
+    "s_knn_purity",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val v = quantized(e).localCheckpoint()
+      val cand = lshCandidatePairs(e)
+      val sym = cand.unionAll(cand.select(col("b").as("a"), col("a").as("b")))
+      val w = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
+      val top1 = scorePairs(v, sym, "a", "b")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      val lab = e.select(col("vec_id"), col("label"))
+      top1
+        .join(lab.select(col("vec_id").as("a"), col("label").as("la")), Seq("a"))
+        .join(lab.select(col("vec_id").as("b"), col("label").as("lb")), Seq("b"))
+        .groupBy(col("la").as("label"))
+        .agg(count(lit(1)).cast("long").as("n_vectors"),
+          sum(when(col("la") === col("lb"), 1L).otherwise(0L)).cast("long").as("n_same"))
+        .withColumn("purity",
+          col("n_same").cast("double") / col("n_vectors").cast("double"))
+    },
+    Some(s"""WITH $quantizedSql, $bandedSql,
+       cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+           FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
+           WHERE l.vec_id < r.vec_id),
+       sym AS (SELECT a, b FROM cand UNION ALL SELECT b AS a, a AS b FROM cand),
+       sc AS (SELECT s.a, s.b,
+           CAST(list_sum(list_transform(list_zip(x.q, y.q), z -> z[1]*z[2])) AS DOUBLE)
+             / SQRT(CAST(x.nrm AS DOUBLE) * CAST(y.nrm AS DOUBLE)) AS sim
+         FROM sym s JOIN n x ON x.vec_id = s.a JOIN n y ON y.vec_id = s.b),
+       t1 AS (SELECT a, b FROM (
+           SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
+           FROM sc) x WHERE rn = 1),
+       lb AS (SELECT vec_id, label FROM embeddings)
+       SELECT la.label AS label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(CASE WHEN la.label = ln.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+         CAST(SUM(CASE WHEN la.label = ln.label THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS purity
+       FROM t1 JOIN lb la ON la.vec_id = t1.a JOIN lb ln ON ln.vec_id = t1.b
+       GROUP BY 1"""))
+
   /** METADATA-FILTERED ANN — the production vector-store feature next
     * to plain top-k: each seed's neighbors are restricted to
     * same-label vectors ("similar items in the same category"),
@@ -2137,7 +2189,7 @@ object Similarity {
 
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
-      knnIvfDml, knnFiltered, knnJoin,
+      knnIvfDml, knnFiltered, knnPurity, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
       knnBeam, graphPagerank, hardNegatives, dedupSemantic)
 }
