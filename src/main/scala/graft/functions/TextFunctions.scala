@@ -1172,7 +1172,7 @@ object TextFunctions {
     * map-only pass, 16 bytes/doc output (at scale, bucket it by
     * doc_id so the scoring join below is co-located).
     */
-  private def docLengths(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def docLengths(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"),
       size(filter(split(lower(col("text")), " "), t => t =!= ""))
         .cast("long").as("dl"))
@@ -1362,8 +1362,6 @@ object TextFunctions {
     import graft.sources.Snapshots
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
-    if (Snapshots.tagWatermark(postT, PostThroughPrefix) == curV) return
-    val lastV = Snapshots.tagWatermark(postT, PostThroughPrefix)
     val tag = Seq(PostThroughPrefix + curV)
     def signedTotals(ins: org.apache.spark.sql.DataFrame,
         del: org.apache.spark.sql.DataFrame) =
@@ -1371,21 +1369,34 @@ object TextFunctions {
         .unionByName(docLengths(del).withColumn("sgn", lit(-1L)))
         .agg(sum(col("sgn")).cast("long").as("np"),
           sum(col("sgn") * col("dl")).cast("long").as("totalp"))
-    if (lastV == 0) {
-      val base = Snapshots.readVersion(s, baseTable, curV)
-      Snapshots.commitOverwriteTagged(postingsOf(base), postT, tag)
-      Snapshots.commitOverwriteTagged(docLengths(base), dlT, tag)
-      Snapshots.commitOverwriteTagged(
-        signedTotals(base, base.limit(0)), totT, tag)
-    } else {
-      val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
-      Snapshots.commitAppendTagged(postingsOf(ins).unionByName(
-        postingsOf(del).withColumn("tf", -col("tf"))), postT, tag)
-      Snapshots.commitAppendTagged(docLengths(ins).unionByName(
-        docLengths(del).withColumn("dl", -col("dl"))), dlT, tag)
-      Snapshots.commitAppendTagged(signedTotals(ins, del), totT, tag)
+    // each table folds INDEPENDENTLY under its OWN watermark: a crash
+    // between the three commits leaves the set torn only until the
+    // next maintenance pass, which re-folds exactly the tables whose
+    // watermark is behind (from their own lastV — no shared gate, no
+    // double-fold); readers of a torn instant pin versions per table,
+    // the snapshot-isolation contract
+    def fold(table: String,
+        bootstrap: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        delta: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+          org.apache.spark.sql.DataFrame): Unit = {
+      val lastV = Snapshots.tagWatermark(table, PostThroughPrefix)
+      if (lastV == curV) return
+      if (lastV == 0)
+        Snapshots.commitOverwriteTagged(
+          bootstrap(Snapshots.readVersion(s, baseTable, curV)), table, tag)
+      else {
+        val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
+        Snapshots.commitAppendTagged(delta(ins, del), table, tag)
+      }
+      ()
     }
-    ()
+    fold(postT, postingsOf,
+      (ins, del) => postingsOf(ins).unionByName(
+        postingsOf(del).withColumn("tf", -col("tf"))))
+    fold(dlT, docLengths,
+      (ins, del) => docLengths(ins).unionByName(
+        docLengths(del).withColumn("dl", -col("dl"))))
+    fold(totT, base => signedTotals(base, base.limit(0)), signedTotals)
   }
 
   /** Catalog twin: BM25 over a corpus that suffered real DML — the

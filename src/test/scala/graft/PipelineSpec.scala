@@ -716,6 +716,51 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.bandIndexMaintain(spark, baseT, idxT) == vHead)
   }
 
+  test("bm25 maintenance: two DML cycles, per-table watermarks, idempotent") {
+    import graft.sources.Snapshots
+    import graft.functions.TextFunctions
+    val root = "/root/repo/target/pipeline-spec/bm25_cycles"
+    Snapshots.deleteRecursively(root)
+    val (baseT, postT, dlT, totT) =
+      (s"$root/docs", s"$root/postings", s"$root/doclen", s"$root/totals")
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    Snapshots.commitOverwrite(d.where(col("doc_id") < 40), baseT)
+    TextFunctions.bm25Maintain(spark, baseT, postT, dlT, totT)
+    // cycle 1: delete + append, fold
+    Snapshots.deleteWhere(spark, baseT, col("doc_id") % 3 === 0)
+    Snapshots.commitAppend(d.where(col("doc_id") >= 40 && col("doc_id") < 45), baseT)
+    TextFunctions.bm25Maintain(spark, baseT, postT, dlT, totT)
+    // cycle 2: another delete + append, fold again (multi-cycle folds
+    // must compose — each delta lands against the prior watermark)
+    Snapshots.deleteWhere(spark, baseT, col("doc_id") % 5 === 1)
+    Snapshots.commitAppend(d.where(col("doc_id") >= 45 && col("doc_id") < 50), baseT)
+    TextFunctions.bm25Maintain(spark, baseT, postT, dlT, totT)
+    // idempotence: a re-run advances NO table (per-table watermarks)
+    val heads = Seq(postT, dlT, totT).map(Snapshots.currentVersion)
+    TextFunctions.bm25Maintain(spark, baseT, postT, dlT, totT)
+    assert(Seq(postT, dlT, totT).map(Snapshots.currentVersion) == heads)
+    // the maintained state ≡ a rebuild of the live corpus, table by table
+    val live = Snapshots.read(spark, baseT)
+    val dlNet = Snapshots.read(spark, dlT).groupBy("doc_id")
+      .agg(sum(col("dl")).cast("long").as("dl")).where(col("dl") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dlWant = TextFunctions.docLengths(live)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dlNet == dlWant, "netted doclens must equal the live corpus")
+    val tot = Snapshots.read(spark, totT)
+      .agg(sum(col("np")).cast("long"), sum(col("totalp")).cast("long")).head()
+    assert((tot.getLong(0), tot.getLong(1)) ==
+      (dlWant.size.toLong, dlWant.toSeq.map(_._2).sum),
+      "summed scalar partials must equal live corpus count/total")
+    val postNet = TextFunctions.servePostingsNet(Snapshots.read(spark, postT))
+      .select("term", "doc_id", "tf")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val postWant = TextFunctions.postingsOf(live).select("term", "doc_id", "tf")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(postNet == postWant, "netted postings must equal the live corpus")
+  }
+
   test("delete-aware IVF lists: compaction is serving-invariant") {
     import graft.sources.Snapshots
     import graft.operators.Similarity
