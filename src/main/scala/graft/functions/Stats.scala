@@ -67,45 +67,105 @@ object StatsQueries {
     Some("SELECT SUBSTR(c_mktsegment, 1, 1) AS first_letter, COUNT(*) AS n FROM customer GROUP BY 1"))
 
   /** The 100 TB statistics path: HyperLogLog distinct counts and
-    * t-digest-style approximate percentiles — one pass, tiny sketches
-    * shuffled instead of exact state. Rows-only (sketch results are
-    * engine-specific by design; exact twins are rows 15–16).
+    * GK approximate percentiles — one pass, tiny sketches shuffled
+    * instead of exact state. Oracled via bounds-check (round 8): the
+    * output carries the EXACT values (DuckDB-computable) plus boolean
+    * within-bounds flags for each sketch estimate. The flags are
+    * deterministic: HLL registers merge by max (order-independent),
+    * and the GK rank guarantee (rank error ≤ n/accuracy = n/1000)
+    * holds under every merge order, so `p50 between exact p45..p55`
+    * is TRUE regardless of partitioning. The HLL margin is 3·rsd
+    * (rsd 0.05 → 15%). DuckDB asserts the expected flag literals; a
+    * sketch regression flips a flag and fails the hash gate.
     */
   val approxStats: QueryDef = QueryDef(
     "q_approx_stats",
     (s, dir) => Tables.load(s, dir, "lineitem").agg(
       count(lit(1)).as("n_rows"),
-      approx_count_distinct(col("l_orderkey")).as("ad_orderkey"),
-      approx_count_distinct(col("l_partkey")).as("ad_partkey"),
+      countDistinct(col("l_orderkey")).as("d_orderkey"),
+      countDistinct(col("l_partkey")).as("d_partkey"),
+      approx_count_distinct(col("l_orderkey"), 0.05).as("ad_ok"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("ad_pk"),
       expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-        .as("p"))
-      .select(col("n_rows"), col("ad_orderkey"), col("ad_partkey"),
-        element_at(col("p"), 1).as("price_p50"),
-        element_at(col("p"), 2).as("price_p95")),
-    None)
+        .as("p"),
+      expr("percentile(l_extendedprice, array(0.45, 0.55, 0.94, 0.96))")
+        .as("pe"))
+      .select(col("n_rows"), col("d_orderkey"), col("d_partkey"),
+        (abs(col("ad_ok") - col("d_orderkey")) <= col("d_orderkey") * 0.15)
+          .as("hll_ok_orderkey"),
+        (abs(col("ad_pk") - col("d_partkey")) <= col("d_partkey") * 0.15)
+          .as("hll_ok_partkey"),
+        (element_at(col("p"), 1) >= element_at(col("pe"), 1) &&
+          element_at(col("p"), 1) <= element_at(col("pe"), 2)).as("p50_ok"),
+        (element_at(col("p"), 2) >= element_at(col("pe"), 3) &&
+          element_at(col("p"), 2) <= element_at(col("pe"), 4)).as("p95_ok")),
+    Some("""SELECT COUNT(*) AS n_rows,
+            COUNT(DISTINCT l_orderkey) AS d_orderkey,
+            COUNT(DISTINCT l_partkey) AS d_partkey,
+            TRUE AS hll_ok_orderkey, TRUE AS hll_ok_partkey,
+            TRUE AS p50_ok, TRUE AS p95_ok
+            FROM lineitem"""))
 
   /** Grouped quantile estimates from graft's own deterministic
     * mergeable sketch ([[QuantileSketch]] — the TypedImperativeAggregate
     * tier of the native extension surface): per return flag, four
     * price quantiles in ONE pass whose shuffle carries a small
-    * (bucket → count) map per group instead of values. Rows-only like
-    * the other sketch query (the estimates are this sketch's by
-    * design); accuracy (≤ 1/128 relative of the true element) and
-    * partitioning-invariance are proven in SketchSpec.
+    * (bucket → count) map per group instead of values. Oracled via
+    * bounds-check (round 8): the output carries the exact discrete
+    * quantiles (integer cents, identical row_number construction in
+    * both engines) plus boolean flags that each sketch estimate lies
+    * within 1/32 relative of the exact element — 4× the sketch's
+    * proven 1/128 bucket bound (SketchSpec) plus slack for the
+    * off-by-one rank convention. The flags are deterministic: the
+    * sketch is merge-order-invariant (proven in SketchSpec), so the
+    * estimate is a pure function of the data. The exact twin costs a
+    * per-group sort; the sketch IS the 100 TB path — the twin exists
+    * for the oracle (same convention as rows 15–16).
     */
   val sketchQuantiles: QueryDef = QueryDef(
     "q_sketch_quantiles",
-    (s, dir) => Tables.load(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"),
-        Sketches.quantileSketch(col("l_extendedprice"),
-          Seq(0.25, 0.5, 0.75, 0.95)).as("p"))
-      .select(col("l_returnflag"), col("n"),
-        element_at(col("p"), 1).as("price_p25"),
-        element_at(col("p"), 2).as("price_p50"),
-        element_at(col("p"), 3).as("price_p75"),
-        element_at(col("p"), 4).as("price_p95")),
-    None)
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val ranked = li
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("l_returnflag").orderBy("cents")))
+        .withColumn("grp_n",
+          count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      val qs = Seq(0.25 -> "p25", 0.50 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+      val exacts = qs.map { case (q, t) =>
+        min(when(col("rn") === ceil(lit(q) * col("grp_n")), col("cents")))
+          .as(s"${t}_cents")
+      }
+      val sk = Sketches.quantileSketch(col("l_extendedprice"),
+        qs.map(_._1)).as("p")
+      val flags = qs.zipWithIndex.map { case ((_, t), i) =>
+        (abs(element_at(col("p"), i + 1) * 100 - col(s"${t}_cents")) <=
+          col(s"${t}_cents") / 32.0).as(s"${t}_ok")
+      }
+      ranked.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), (sk +: exacts): _*)
+        .select((col("l_returnflag") +: col("n") +:
+          qs.map { case (_, t) => col(s"${t}_cents") }) ++ flags: _*)
+    },
+    Some("""WITH c AS (
+              SELECT l_returnflag,
+                CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem),
+            r AS (
+              SELECT l_returnflag, cents,
+                ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+                COUNT(*) OVER (PARTITION BY l_returnflag) AS grp_n
+              FROM c)
+            SELECT l_returnflag, COUNT(*) AS n,
+              MIN(CASE WHEN rn = CEIL(CAST(0.25 AS DOUBLE) * grp_n) THEN cents END) AS p25_cents,
+              MIN(CASE WHEN rn = CEIL(CAST(0.50 AS DOUBLE) * grp_n) THEN cents END) AS p50_cents,
+              MIN(CASE WHEN rn = CEIL(CAST(0.75 AS DOUBLE) * grp_n) THEN cents END) AS p75_cents,
+              MIN(CASE WHEN rn = CEIL(CAST(0.95 AS DOUBLE) * grp_n) THEN cents END) AS p95_cents,
+              TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p95_ok
+            FROM r GROUP BY l_returnflag"""))
 
   /** Equi-DEPTH histogram (the complement of row 15's equi-width):
     * bucket boundaries are the 8-quantiles of l_quantity, computed as
