@@ -980,6 +980,10 @@ object TextFunctions {
         postingsOf(del).withColumn("tf", -col("tf")))
       Snapshots.commitAppendTagged(delta, postTable,
         Seq(PostThroughPrefix + curV))
+      // size-ratio compaction policy: a long DML sequence must not
+      // accrete unbounded tombstone debt (serving is invariant)
+      Snapshots.maybeCompactNet(s, postTable, PostThroughPrefix)(servePostingsNet)
+      Snapshots.currentVersion(postTable)
     }
   }
 
@@ -1397,6 +1401,17 @@ object TextFunctions {
       (ins, del) => docLengths(ins).unionByName(
         docLengths(del).withColumn("dl", -col("dl"))))
     fold(totT, base => signedTotals(base, base.limit(0)), signedTotals)
+    // size-ratio compaction policy per table (each under its own
+    // watermark, serving invariant — the nets are exactly what the
+    // scorer folds at read time)
+    Snapshots.maybeCompactNet(s, postT, PostThroughPrefix)(servePostingsNet)
+    Snapshots.maybeCompactNet(s, dlT, PostThroughPrefix)(df =>
+      df.groupBy("doc_id").agg(sum(col("dl")).cast("long").as("dl"))
+        .where(col("dl") > 0))
+    Snapshots.maybeCompactNet(s, totT, PostThroughPrefix)(df =>
+      df.agg(sum(col("np")).cast("long").as("np"),
+        sum(col("totalp")).cast("long").as("totalp")))
+    ()
   }
 
   /** Catalog twin: BM25 over a corpus that suffered real DML — the

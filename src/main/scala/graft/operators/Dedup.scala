@@ -698,6 +698,11 @@ object Dedup {
         bandedSigned(del).withColumn("sgn", lit(-1)))
       Snapshots.commitAppendTagged(delta, idxTable,
         Seq(BandThroughPrefix + curV))
+      // size-ratio compaction policy (serving invariant; sgn re-carried
+      // so later folds keep appending against the compacted base)
+      Snapshots.maybeCompactNet(s, idxTable, BandThroughPrefix)(df =>
+        bandNet(df).withColumn("sgn", lit(1)))
+      Snapshots.currentVersion(idxTable)
     }
   }
 

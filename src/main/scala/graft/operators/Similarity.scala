@@ -1184,6 +1184,10 @@ object Similarity {
         .unionByName(ivfAssign(quantized(del), cents).drop("m")
           .withColumn("sgn", lit(-1)))
       Snapshots.commitAppendTagged(delta, listsT, tag)
+      // size-ratio compaction policy (serving invariant; sgn re-carried)
+      Snapshots.maybeCompactNet(s, listsT, IvfThroughPrefix)(df =>
+        ivfNet(df).select(col("vec_id"), col("q"), col("nrm"), col("cid"))
+          .withColumn("sgn", lit(1)))
     }
     ()
   }

@@ -519,9 +519,53 @@ object Snapshots {
     */
   def compactNet(spark: SparkSession, table: String, watermarkPrefix: String)(
       net: DataFrame => DataFrame): Int = {
-    val through = tagWatermark(table, watermarkPrefix)
-    commitOverwriteTagged(net(read(spark, table)), table,
-      Seq(watermarkPrefix + through))
+    // CAS on the head version read at compaction start: a maintenance
+    // append landing between the read and the overwrite would be
+    // dropped from the compacted content (and its newer watermark
+    // regressed) if we blind-published — on conflict, re-read HEAD and
+    // re-fold so the late delta survives
+    var out = -1
+    while (out < 0) {
+      val head = currentVersion(table)
+      val through = tagWatermarkAt(table, watermarkPrefix, head)
+      commitOverwriteTaggedIf(net(readVersion(spark, table, head)), table,
+        head, Seq(watermarkPrefix + through)) match {
+        case Some(v) => out = v
+        case None => ()
+      }
+    }
+    out
+  }
+
+  /** Tombstone/delta debt of a derived table: (rows in the base data
+    * dir, rows across all later delta dirs). Row counts come from
+    * parquet metadata (a zero-column count scan reads footers, not
+    * data pages), so this probe is cheap enough to run after every
+    * maintenance fold. The manifest orders dirs oldest-first, and a
+    * compaction overwrite collapses to ONE dir — so head = base.
+    */
+  def compactionDebt(spark: SparkSession, table: String): (Long, Long) = {
+    val v = currentVersion(table)
+    if (v == 0) return (0L, 0L)
+    val counts = manifestDirs(table, v).map(d => spark.read.parquet(d).count())
+    (counts.head, counts.tail.sum)
+  }
+
+  /** Size-ratio compaction POLICY over [[compactNet]] — the LSM
+    * convention: major-compact when accumulated delta rows exceed
+    * `maxDeltaRatio` of the base, so a long DML sequence cannot
+    * accrete unbounded tombstones no matter how long it runs. Wired
+    * into every maintenance entry point (postings/BM25/band-index/IVF
+    * lists); the post-maintenance invariant is delta ≤ ratio·base.
+    * Returns the compacted version, or None when under threshold.
+    */
+  def maybeCompactNet(spark: SparkSession, table: String,
+      watermarkPrefix: String, maxDeltaRatio: Double = 0.5)(
+      net: DataFrame => DataFrame): Option[Int] = {
+    val (base, delta) = compactionDebt(spark, table)
+    if (delta > maxDeltaRatio * math.max(base, 1L))
+      Some(compactNet(spark, table, watermarkPrefix)(net))
+    else None
   }
 
   /** The base version recorded by a `prefix`-tagged watermark at
@@ -530,8 +574,14 @@ object Snapshots {
     * incrementally-maintained derived structure (MV refresh, delete-
     * aware postings/band-index maintenance).
     */
-  def tagWatermark(table: String, prefix: String): Int = {
-    val v = currentVersion(table)
+  def tagWatermark(table: String, prefix: String): Int =
+    tagWatermarkAt(table, prefix, currentVersion(table))
+
+  /** [[tagWatermark]] pinned to an explicit version — for callers that
+    * must read the watermark of the SAME head they later CAS against
+    * ([[compactNet]]), instead of racing a second head lookup.
+    */
+  def tagWatermarkAt(table: String, prefix: String, v: Int): Int = {
     if (v == 0) 0
     else versionTags(table, v).collectFirst {
       case t if t.startsWith(prefix) => t.drop(prefix.length).toInt

@@ -571,6 +571,48 @@ class PipelineSpec extends SparkSpec {
     assert(!Files.exists(claim), "takeover winner must clear the claim")
   }
 
+  test("size-ratio compaction policy bounds tombstone debt over a long DML sequence") {
+    import graft.sources.Snapshots
+    import graft.functions.TextFunctions
+    val root = "/root/repo/target/pipeline-spec/compact_policy"
+    Snapshots.deleteRecursively(root)
+    val (baseT, postT) = (s"$root/docs", s"$root/postings")
+    val d = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").where(col("doc_id") < 200)
+    Snapshots.commitOverwrite(d, baseT)
+    TextFunctions.postingsMaintain(spark, baseT, postT)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("term", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    var compactions = 0
+    for (i <- 1 to 6) {
+      // churn a 25% slice per cycle: delete + reinsert with new text,
+      // so every fold appends real tombstone + insert postings
+      Snapshots.deleteWhere(spark, baseT, col("doc_id") % 4 === i % 4)
+      Snapshots.commitAppend(
+        d.where(col("doc_id") % 4 === i % 4)
+          .select(col("doc_id"), concat(col("text"), lit(s" rev$i")).as("text")),
+        baseT)
+      TextFunctions.postingsMaintain(spark, baseT, postT)
+      // post-maintenance invariant of the policy: either it fired this
+      // cycle (debt back to zero) or the debt is under threshold — a
+      // long DML sequence can never accrete unbounded tombstones
+      val (base, delta) = Snapshots.compactionDebt(spark, postT)
+      assert(delta <= 0.5 * math.max(base, 1L),
+        s"cycle $i: delta $delta rows exceeds the policy bound (base $base)")
+      if (delta == 0) compactions += 1
+      // serving invariant THROUGHOUT, not just at the end
+      assert(rows(TextFunctions.servePostingsNet(Snapshots.read(spark, postT))) ==
+        rows(TextFunctions.postingsOf(Snapshots.read(spark, baseT))),
+        s"cycle $i: maintained serving diverged from a full rebuild")
+    }
+    assert(compactions >= 1,
+      "25%-churn cycles must trip the 0.5 size-ratio trigger at least once")
+    // post-compaction maintenance still no-ops at the carried watermark
+    val vHead = Snapshots.currentVersion(postT)
+    assert(TextFunctions.postingsMaintain(spark, baseT, postT) == vHead)
+  }
+
   test("delete-aware postings maintenance: fold ≡ full rebuild, commits stay O(batch)") {
     import graft.sources.Snapshots
     import graft.functions.TextFunctions
