@@ -1172,7 +1172,10 @@ object Similarity {
     if (lastV == 0) {
       val base = Snapshots.readVersion(s, baseTable, curV)
       val (cents, _) = ivfBuild(base, cCountOf(base.count()), 1)
-      Snapshots.commitOverwrite(cents, centsT) // the frozen quantizer
+      // the frozen quantizer, carrying its train-time drift baseline
+      // (one extra assign pass) for the ivfRetrainIfDrifted trigger
+      Snapshots.commitOverwriteTagged(cents, centsT,
+        Seq(IvfDriftBasePrefix + driftMean(quantized(base), cents)))
       Snapshots.commitOverwriteTagged(
         ivfAssign(quantized(base), cents).drop("m").withColumn("sgn", lit(1)),
         listsT, tag)
@@ -1190,6 +1193,93 @@ object Similarity {
           .withColumn("sgn", lit(1)))
     }
     ()
+  }
+
+  // ---- drift diagnostic + re-train trigger (round 8) ----
+
+  private val IvfDriftBasePrefix = "ivf_drift0 "
+
+  /** Per-vector INTEGER drift to the assigned centroid under a frozen
+    * quantizer: argmin by the usual [[ivfMetric]] (double ratio, cid
+    * tie-break — identical to [[ivfAssign]]), then the chosen
+    * centroid's exact numerator floor-divided by cn² — so the scalar
+    * is deterministic exact-integer arithmetic end to end (the
+    * `graft_sqdist_scaled` machinery), reproducible in DuckDB with
+    * `//` floor division.
+    */
+  private def driftAssigned(v: DataFrame, cents: DataFrame): DataFrame = {
+    val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("num",
+        graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn")))
+      .withColumn("m",
+        col("num").cast("double") / (col("cn") * col("cn")).cast("double"))
+      .withColumn("rn", row_number().over(byDist)).where(col("rn") === 1)
+      .select(col("vec_id"), expr("num DIV (cn * cn)").as("numi"))
+  }
+
+  /** (n_vecs, drift_sum, drift_mean) of `v` under `cents` — the
+    * trendable drift aggregate, all BIGINT.
+    */
+  private def driftStats(v: DataFrame, cents: DataFrame): DataFrame =
+    driftAssigned(v, cents)
+      .agg(count(lit(1)).as("n_vecs"), sum(col("numi")).as("drift_sum"))
+      .select(col("n_vecs"), col("drift_sum"),
+        expr("drift_sum DIV n_vecs").as("drift_mean"))
+
+  private def driftMean(v: DataFrame, cents: DataFrame): Long =
+    driftStats(v, cents).head().getAs[Long]("drift_mean")
+
+  /** Mean integer drift of `baseTable`'s LIVE corpus to its assigned
+    * centroid under `centsT`'s frozen quantizer — the diagnostic to
+    * trend across maintenance cycles: a rising value means the vector
+    * distribution is walking away from the quantizer and probe reads
+    * are degrading toward scans of overgrown lists.
+    */
+  def ivfDriftOf(s: SparkSession, baseTable: String, centsT: String): Long = {
+    import graft.sources.Snapshots
+    driftMean(quantized(Snapshots.read(s, baseTable)),
+      Snapshots.read(s, centsT))
+  }
+
+  /** Drift-triggered RE-TRAIN — the escape hatch of the frozen-
+    * quantizer contract: [[ivfListsMaintain]] keeps lists exact under
+    * DML but silently lets recall/probe-cost degrade as the
+    * distribution shifts. The trigger compares the live corpus's
+    * [[ivfDriftOf]] against the baseline recorded (as a manifest tag)
+    * when the quantizer was trained; past `ratio` × baseline it
+    * re-trains with [[ivfBuild]] on the live corpus, commits the new
+    * quantizer with ITS baseline drift, and rebuilds the lists as one
+    * clean version at the current base watermark — after which
+    * maintenance folds resume against the new frozen artifact.
+    * Documented threshold: ratio = 1.5 (drift is a squared-distance
+    * mean, so 1.5× ≈ the average vector sitting 22% farther from its
+    * centroid than at train time).
+    */
+  def ivfRetrainIfDrifted(s: SparkSession, baseTable: String,
+      centsT: String, listsT: String, ratio: Double = 1.5,
+      rounds: Int = 1): Boolean = {
+    import graft.sources.Snapshots
+    val curV = Snapshots.currentVersion(baseTable)
+    require(curV > 0, s"base table $baseTable has no committed version")
+    val live = quantized(Snapshots.readVersion(s, baseTable, curV))
+    val drift = driftMean(live, Snapshots.read(s, centsT))
+    val base0 = Snapshots
+      .versionTags(centsT, Snapshots.currentVersion(centsT))
+      .collectFirst { case t if t.startsWith(IvfDriftBasePrefix) =>
+        t.drop(IvfDriftBasePrefix.length).toLong }
+    val fire = base0.exists(b => drift > ratio * b)
+    if (fire) {
+      val baseDf = Snapshots.readVersion(s, baseTable, curV)
+      val (newCents, _) = ivfBuild(baseDf, cCountOf(baseDf.count()), rounds)
+      Snapshots.commitOverwriteTagged(newCents, centsT,
+        Seq(IvfDriftBasePrefix + driftMean(live, newCents)))
+      Snapshots.commitOverwriteTagged(
+        ivfAssign(live, newCents).drop("m").withColumn("sgn", lit(1)),
+        listsT, Seq(IvfThroughPrefix + curV))
+      ()
+    }
+    fire
   }
 
   /** Net view of tombstone-folded IVF lists: identical assignment rows
@@ -1294,6 +1384,74 @@ object Similarity {
        SELECT q_id, n_id, sim FROM (
          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
        WHERE rn <= 5"""
+    })
+
+  /** Catalog twin of the drift DIAGNOSTIC ([[ivfDriftOf]]): the
+    * `s_knn_ivf_dml` scenario (train on the 90% bootstrap, then real
+    * delete + append under the frozen quantizer), reporting the exact-
+    * integer drift aggregate of BOTH phases — the trend a production
+    * maintenance loop would alarm on (and [[ivfRetrainIfDrifted]]
+    * re-trains on past 1.5× baseline). The oracle retrains the same
+    * seed+1-Lloyd quantizer and reproduces every integer: per-vector
+    * floor-divided numerators, their sum, and the floor-divided mean.
+    */
+  val knnIvfDrift: QueryDef = QueryDef(
+    "s_knn_ivf_drift",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val root = "/root/repo/target/ivfdrift/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Snapshots.deleteRecursively(root)
+      val (baseT, centsT, listsT) = (s"$root/vecs", s"$root/cents", s"$root/lists")
+      val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+      Snapshots.commitOverwrite(e.where(pmod(col("vec_id"), lit(10)) =!= 0), baseT)
+      ivfListsMaintain(s, baseT, centsT, listsT)
+      Snapshots.deleteWhere(s, baseT, pmod(col("vec_id"), lit(7)) === 0)
+      Snapshots.commitAppend(e.where(pmod(col("vec_id"), lit(10)) === 0), baseT)
+      ivfListsMaintain(s, baseT, centsT, listsT)
+      val cents = Snapshots.read(s, centsT)
+      val boot = quantized(e.where(pmod(col("vec_id"), lit(10)) =!= 0))
+      val live = quantized(Snapshots.read(s, baseT))
+      driftStats(boot, cents).withColumn("phase", lit("bootstrap"))
+        .unionByName(driftStats(live, cents).withColumn("phase", lit("live")))
+        .select("phase", "n_vecs", "drift_sum", "drift_mean")
+    },
+    Some {
+      val live = "(vec_id % 10 <> 0 AND vec_id % 7 <> 0) OR vec_id % 10 = 0"
+      val sqd = "list_sum(list_transform(list_zip(vb.q, c0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"
+      def met(src: String) =
+        s"CAST(list_sum(list_transform(list_zip($src.q, c1.cs), " +
+          s"s -> (c1.cn*s[1]-s[2])*(c1.cn*s[1]-s[2]))) AS DOUBLE) / (c1.cn*c1.cn)"
+      def numi(src: String) =
+        s"CAST(list_sum(list_transform(list_zip($src.q, c1.cs), " +
+          s"s -> (c1.cn*s[1]-s[2])*(c1.cn*s[1]-s[2]))) AS BIGINT) // (c1.cn*c1.cn)"
+      def driftOf(src: String, phase: String) =
+        s"""SELECT '$phase' AS phase, COUNT(*) AS n_vecs,
+            CAST(SUM(numi) AS BIGINT) AS drift_sum,
+            CAST(SUM(numi) AS BIGINT) // COUNT(*) AS drift_mean
+          FROM (SELECT vec_id, numi FROM (
+            SELECT $src.vec_id, ${numi(src)} AS numi,
+              ROW_NUMBER() OVER (PARTITION BY $src.vec_id
+                ORDER BY ${met(src)}, c1.cid) AS rn
+            FROM $src, c1) x WHERE rn = 1)"""
+      s"""WITH $quantizedSql,
+       n AS (SELECT vec_id, q,
+           CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+       vb AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+       vl AS (SELECT * FROM n WHERE $live),
+       pc AS (SELECT CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS c FROM vb),
+       c0 AS (SELECT vec_id AS cid, q AS cq FROM vb WHERE vec_id < (SELECT c FROM pc)),
+       a1 AS (SELECT vec_id, q, nrm, cid FROM (
+           SELECT vb.vec_id, vb.q, vb.nrm, c0.cid,
+             ROW_NUMBER() OVER (PARTITION BY vb.vec_id ORDER BY $sqd, c0.cid) AS rn
+           FROM vb, c0) x WHERE rn = 1),
+       ex AS (SELECT cid, unnest(q) AS val, unnest(range(0, 64)) AS dim FROM a1),
+       c1 AS (SELECT s.cid, list(s.sv ORDER BY s.dim) AS cs, MAX(c.cn) AS cn
+           FROM (SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS sv FROM ex GROUP BY cid, dim) s
+           JOIN (SELECT cid, COUNT(*) AS cn FROM a1 GROUP BY cid) c USING (cid)
+           GROUP BY s.cid)
+       ${driftOf("vb", "bootstrap")}
+       UNION ALL
+       ${driftOf("vl", "live")}"""
     })
 
   // ---- §2.2 row 27e: product-quantization ANN (compressed codes) ----
@@ -2193,7 +2351,7 @@ object Similarity {
 
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
-      knnIvfDml, knnFiltered, knnPurity, knnJoin,
+      knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
       knnBeam, graphPagerank, hardNegatives, dedupSemantic)
 }

@@ -571,6 +571,90 @@ class PipelineSpec extends SparkSpec {
     assert(!Files.exists(claim), "takeover winner must clear the claim")
   }
 
+  test("IVF drift: shifted batch raises the metric, re-train trigger recovers") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.expressions.Window
+    val root = "/root/repo/target/pipeline-spec/ivf_drift"
+    Snapshots.deleteRecursively(root)
+    val (baseT, centsT, listsT) = (s"$root/vecs", s"$root/cents", s"$root/lists")
+    val e = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    Snapshots.commitOverwrite(e.where(col("vec_id") < 400), baseT)
+    Similarity.ivfListsMaintain(spark, baseT, centsT, listsT)
+    val drift0 = Similarity.ivfDriftOf(spark, baseT, centsT)
+    // in-distribution corpus: the trigger must not fire
+    assert(!Similarity.ivfRetrainIfDrifted(spark, baseT, centsT, listsT),
+      "trigger fired with no distribution shift")
+    // inject a SHIFTED batch: +3.0 on every component puts the cloud
+    // far from every train-time centroid
+    val shifted = e.where(col("vec_id") >= 400 && col("vec_id") < 500)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    Snapshots.commitAppend(shifted, baseT)
+    Similarity.ivfListsMaintain(spark, baseT, centsT, listsT)
+    val driftShifted = Similarity.ivfDriftOf(spark, baseT, centsT)
+    assert(driftShifted > drift0,
+      s"shifted batch must raise the drift metric ($drift0 -> $driftShifted)")
+    // probe-cost proxy: the whole shifted cloud piles into one stale
+    // list — record the max list size before the re-train
+    def maxList(): Long = Similarity.serveIvfLists(spark, listsT)
+      .groupBy("cid").count().agg(max("count")).head().getLong(0)
+    val maxBefore = maxList()
+    // the documented 1.5x threshold fires and re-trains via ivfBuild
+    assert(Similarity.ivfRetrainIfDrifted(spark, baseT, centsT, listsT),
+      "trigger must fire after the shift")
+    val driftAfter = Similarity.ivfDriftOf(spark, baseT, centsT)
+    assert(driftAfter < driftShifted,
+      s"re-train must recover the drift metric ($driftShifted -> $driftAfter)")
+    // re-trained quantizer gives the shifted cloud its own centroids:
+    // the overgrown list shrinks back toward sqrt(N) scale
+    assert(maxList() < maxBefore,
+      s"re-train must break up the overgrown list ($maxBefore -> ${maxList()})")
+    // recall under the probe does not regress: exact top-5 neighbors
+    // of 3 shifted queries vs 2-probe serving, before ≤ after
+    def topk(qids: Seq[Long], probed: Boolean): Map[Long, Set[Long]] = {
+      val base = Snapshots.read(spark, baseT)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val withN = base.withColumn("nrm", Similarity.dotL(col("q"), col("q")))
+      val qs = withN.where(col("vec_id").isin(qids: _*))
+        .toDF("q_id", "q_q", "q_nrm")
+      val cands: org.apache.spark.sql.DataFrame = if (!probed) {
+        broadcast(qs).crossJoin(withN.toDF("n_id", "n_q", "n_nrm"))
+      } else {
+        val cents = broadcast(Snapshots.read(spark, centsT))
+        val byDist = Window.partitionBy("q_id").orderBy(col("m"), col("cid"))
+        val probes = qs.crossJoin(cents)
+          .withColumn("m", graft.functions.Native
+            .sqDistScaled(col("q_q"), col("cs"), col("cn")).cast("double") /
+            (col("cn") * col("cn")).cast("double"))
+          .withColumn("rn", row_number().over(byDist)).where(col("rn") <= 2)
+          .select("q_id", "q_q", "q_nrm", "cid")
+        val lists = Similarity.serveIvfLists(spark, listsT)
+          .select(col("vec_id").as("n_id"), col("q").as("n_q"),
+            col("nrm").as("n_nrm"), col("cid"))
+        broadcast(probes).join(lists, Seq("cid"))
+          .select("q_id", "q_q", "q_nrm", "n_id", "n_q", "n_nrm")
+      }
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      cands.where(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), Similarity.cosine(
+          Similarity.dotL(col("q_q"), col("n_q")),
+          col("q_nrm"), col("n_nrm")).as("sim"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .collect().groupBy(_.getLong(0))
+        .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    }
+    val qids = Seq(100400L, 100410L, 100420L)
+    val exact = topk(qids, probed = false)
+    def recall(got: Map[Long, Set[Long]]): Double =
+      qids.map(q => (got.getOrElse(q, Set.empty) & exact(q)).size).sum /
+        (5.0 * qids.size)
+    val recallAfter = recall(topk(qids, probed = true))
+    assert(recallAfter >= 0.8, s"post-re-train probe recall $recallAfter < 0.8")
+    // and a second trigger check idles at the NEW baseline
+    assert(!Similarity.ivfRetrainIfDrifted(spark, baseT, centsT, listsT),
+      "trigger must re-arm against the re-trained baseline")
+  }
+
   test("size-ratio compaction policy bounds tombstone debt over a long DML sequence") {
     import graft.sources.Snapshots
     import graft.functions.TextFunctions
