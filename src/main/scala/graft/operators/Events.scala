@@ -274,39 +274,102 @@ object Events {
     */
   val pattern: QueryDef = QueryDef(
     "q_events_pattern",
-    (s, dir) => {
-      val le = expr("""CASE event_type WHEN 'click' THEN 'C'
-        WHEN 'error' THEN 'E' WHEN 'purchase' THEN 'P'
-        WHEN 'signup' THEN 'S' ELSE 'V' END""")
-      events(s, dir)
-        .select(col("user_id"),
-          // ts is the raw nanosecond Long (see `events` loader) —
-          // sorting it is exactly the timestamp order DuckDB uses
-          struct(col("ts"), col("event_id"), le.as("l")).as("e"))
-        .groupBy("user_id")
-        .agg(
-          concat_ws("",
-            expr("transform(array_sort(collect_list(e)), x -> x.l)")).as("seq"),
-          count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("n_events"),
-          size(expr("regexp_extract_all(seq, 'V[CE]*P', 0)"))
-            .cast("long").as("n_conv"),
-          size(expr("regexp_extract_all(seq, 'EE+', 0)"))
-            .cast("long").as("n_bursts"))
-    },
-    Some("""WITH s AS (SELECT user_id,
-          string_agg(CASE event_type WHEN 'click' THEN 'C'
-              WHEN 'error' THEN 'E' WHEN 'purchase' THEN 'P'
-              WHEN 'signup' THEN 'S' ELSE 'V' END, ''
-            ORDER BY ts, event_id) AS seq,
-          COUNT(*) AS n_events
-        FROM events GROUP BY 1)
-      SELECT user_id, n_events,
-        CAST(len(regexp_extract_all(seq, 'V[CE]*P')) AS BIGINT) AS n_conv,
-        CAST(len(regexp_extract_all(seq, 'EE+')) AS BIGINT) AS n_bursts
-      FROM s"""))
+    (s, dir) => PatternQueries.matchPattern(events(s, dir),
+      Seq("n_conv" -> "V[CE]*P", "n_bursts" -> "EE+")),
+    Some(PatternQueries.motifOracleSql(
+      Seq("n_conv" -> "V[CE]*P", "n_bursts" -> "EE+"))))
+
+  /** Abandoned-cart motif on the same surface: a view leading into
+    * clicks that never reach a purchase before the history ends
+    * (`VC+[^P]*$` — dialect-safe: no lookahead, which RE2 lacks).
+    */
+  val patternCart: QueryDef = QueryDef(
+    "q_events_pattern_cart",
+    (s, dir) => PatternQueries.matchPattern(events(s, dir),
+      Seq("n_abandon" -> "VC+[^P]*$")),
+    Some(PatternQueries.motifOracleSql(Seq("n_abandon" -> "VC+[^P]*$"))))
+
+  /** Retry-storm motifs: hard storms (≥3 consecutive errors) and
+    * recovered bursts (an error run that ends in a click).
+    */
+  val patternRetry: QueryDef = QueryDef(
+    "q_events_pattern_retry",
+    (s, dir) => PatternQueries.matchPattern(events(s, dir),
+      Seq("n_storms" -> "E{3,}", "n_recovered" -> "EE+C")),
+    Some(PatternQueries.motifOracleSql(
+      Seq("n_storms" -> "E{3,}", "n_recovered" -> "EE+C"))))
 
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
-      anomaly, pattern)
+      anomaly, pattern, patternCart, patternRetry)
+}
+
+/** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from
+  * the two hard-coded `q_events_pattern` motifs): each entity's event
+  * history becomes ONE ordered letter string, and any number of named
+  * regex motifs are counted per entity in the same pass.
+  *
+  * Scale shape (unchanged from the original): ONE shuffle on the
+  * entity key; each group's string is bounded by that entity's own
+  * activity (the sessionize per-entity bound — a pathological single-
+  * entity history would shard by (entity, day) first), and the regex
+  * pass is per-group map work, no second shuffle. Motif regexes must
+  * stay in the dialect-safe subset both Java regex and RE2 agree on:
+  * literal alphabet letters, classes, the plus/star/{n,} quantifiers,
+  * anchors — no lookaround (RE2 has none), no backreferences.
+  */
+object PatternQueries {
+
+  /** The default event alphabet: event_type → one letter. */
+  val Alphabet: Seq[(String, String)] = Seq(
+    "click" -> "C", "error" -> "E", "purchase" -> "P", "signup" -> "S")
+  val AlphabetDefault = "V" // view
+
+  private def letterExpr(alphabet: Seq[(String, String)], default: String) =
+    alphabet.foldRight(lit(default): org.apache.spark.sql.Column) {
+      case ((k, v), acc) => when(col("event_type") === k, lit(v)).otherwise(acc)
+    }
+
+  /** Count non-overlapping matches of each `(name, regex)` motif over
+    * every entity's ordered history string: one row per entity with
+    * (entity, n_events, <one count column per motif>).
+    */
+  def matchPattern(events: DataFrame,
+      motifs: Seq[(String, String)],
+      entityCol: String = "user_id",
+      alphabet: Seq[(String, String)] = Alphabet,
+      default: String = AlphabetDefault): DataFrame = {
+    val counts = motifs.map { case (name, re) =>
+      size(expr(s"regexp_extract_all(seq, '$re', 0)")).cast("long").as(name)
+    }
+    events
+      .select(col(entityCol),
+        // ts is the raw nanosecond Long (see the `events` loader) —
+        // sorting it is exactly the timestamp order DuckDB uses
+        struct(col("ts"), col("event_id"),
+          letterExpr(alphabet, default).as("l")).as("e"))
+      .groupBy(entityCol)
+      .agg(concat_ws("",
+          expr("transform(array_sort(collect_list(e)), x -> x.l)")).as("seq"),
+        count(lit(1)).as("n_events"))
+      .select(col(entityCol) +: col("n_events") +: counts: _*)
+  }
+
+  /** DuckDB twin of [[matchPattern]] over the raw `events` table. */
+  def motifOracleSql(motifs: Seq[(String, String)],
+      entityCol: String = "user_id",
+      alphabet: Seq[(String, String)] = Alphabet,
+      default: String = AlphabetDefault): String = {
+    val cases = alphabet.map { case (k, v) => s"WHEN '$k' THEN '$v'" }
+      .mkString(" ")
+    val counts = motifs.map { case (name, re) =>
+      s"CAST(len(regexp_extract_all(seq, '$re')) AS BIGINT) AS $name"
+    }.mkString(", ")
+    s"""WITH s AS (SELECT $entityCol,
+          string_agg(CASE event_type $cases ELSE '$default' END, ''
+            ORDER BY ts, event_id) AS seq,
+          COUNT(*) AS n_events
+        FROM events GROUP BY 1)
+      SELECT $entityCol, n_events, $counts FROM s"""
+  }
 }
