@@ -254,6 +254,7 @@ object Similarity {
   private val GraphK = 3     // graph out-degree
   private val BeamEf = 10    // beam pool width
   private val BeamRounds = 3 // bounded expansion rounds (oracle-unrolled)
+  private val BeamMaxRounds = 10 // converge-mode cap (oracle-unrolled too)
 
   /** Score (lk, rk) id pairs by exact integer cosine against the
     * quantized corpus `v`.
@@ -571,7 +572,15 @@ object Similarity {
     * termination PipelineSpec contract instead of an oracle).
     */
   private def beamSearch(s: SparkSession, dir: String,
-      fixedRounds: Option[Int], maxRounds: Int = 10): DataFrame = {
+      fixedRounds: Option[Int], maxRounds: Int = 10): DataFrame =
+    beamSearchCounted(s, dir, fixedRounds, maxRounds)._1
+
+  /** [[beamSearch]] also reporting the number of EXPANSION rounds
+    * actually performed — the measured convergence depth that anchors
+    * `s_knn_beam_converged`'s statically-unrolled oracle.
+    */
+  private[graft] def beamSearchCounted(s: SparkSession, dir: String,
+      fixedRounds: Option[Int], maxRounds: Int = 10): (DataFrame, Int) = {
     val e = Tables.load(s, dir, "embeddings")
     val v = quantized(e).localCheckpoint()
     // NOT checkpointed: each round's hop re-reads the (tiny, pruned)
@@ -595,6 +604,7 @@ object Similarity {
     s.conf.set("spark.sql.shuffle.partitions", "4")
     var scored: DataFrame = null
     var expanded: DataFrame = null
+    var expansions = 0
     try {
       // EVERY eager job after the narrow set() runs inside the try —
       // a failure here must not leave the session narrowed
@@ -619,6 +629,7 @@ object Similarity {
         // frontier, one cheap metadata-sized action per round
         if (fixedRounds.isEmpty && frontier.isEmpty) converged = true
         else {
+          expansions += 1
           expanded = expanded.unionAll(frontier)
           val hop = frontier.join(graph, col("n_id") === col("g_src"))
             .select(col("q_id"), col("g_dst").as("n_id"))
@@ -633,8 +644,8 @@ object Similarity {
         }
       }
     } finally s.conf.set("spark.sql.shuffle.partitions", oldWidth)
-    scored.withColumn("rn", row_number().over(byQ)).where(col("rn") <= 5)
-      .select("q_id", "n_id", "sim")
+    (scored.withColumn("rn", row_number().over(byQ)).where(col("rn") <= 5)
+      .select("q_id", "n_id", "sim"), expansions)
   }
 
   /** Convergence-run beam search — what production graph-ANN serving
@@ -643,60 +654,85 @@ object Similarity {
     * operational backstop. Recall is ≥ the bounded catalog twin's
     * (`s_knn_beam`) by pool monotonicity — extra rounds only ever add
     * candidates — and both properties are asserted in PipelineSpec.
-    * Kept OUTSIDE the oracle contract: the catalog twin stays at
-    * [[BeamRounds]] fixed rounds because DuckDB must unroll the
-    * iteration statically to reproduce it bit-for-bit.
+    * ORACLED since round 8 (`s_knn_beam_converged`): the converged
+    * result equals a fixed-[[BeamMaxRounds]] run in EVERY case — if
+    * convergence ends at r < cap, rounds r+1..cap have empty frontiers
+    * and no-op identically in both engines; if it hits the cap, both
+    * engines perform exactly cap expansions — so DuckDB statically
+    * unrolls the cap and the hash matches at any SF (measured depth:
+    * 6/5/3 expansion rounds at sf0.001/0.01/0.1, tools/BeamConvergence).
     */
-  def beamUntilConverged(s: SparkSession, dir: String, maxRounds: Int = 10): DataFrame =
+  def beamUntilConverged(s: SparkSession, dir: String,
+      maxRounds: Int = BeamMaxRounds): DataFrame =
     beamSearch(s, dir, None, maxRounds)
 
   val knnBeam: QueryDef = QueryDef(
     "s_knn_beam",
     (s, dir) => beamSearch(s, dir, Some(BeamRounds)),
-    Some {
+    Some(beamOracleSql(BeamRounds)))
+
+  /** Catalog twin of [[beamUntilConverged]] — the data-dependent
+    * convergence loop under the full hash oracle via the cap-unrolled
+    * equivalence above.
+    */
+  val knnBeamConverged: QueryDef = QueryDef(
+    "s_knn_beam_converged",
+    (s, dir) => beamUntilConverged(s, dir),
+    Some(beamOracleSql(BeamMaxRounds)))
+
+  /** Statically-unrolled DuckDB twin of the beam loop at `rounds`
+    * fixed expansion rounds (shared by `s_knn_beam` at [[BeamRounds]]
+    * and `s_knn_beam_converged` at [[BeamMaxRounds]]).
+    */
+  private def beamOracleSql(rounds: Int): String = {
       def score(pairs: String) =
         s"""SELECT d.q_id, d.n_id,
             CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1]*z[2])) AS DOUBLE)
               / SQRT(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS sim
             FROM $pairs d JOIN n a ON a.vec_id = d.q_id JOIN n b ON b.vec_id = d.n_id"""
+      // every per-round CTE is MATERIALIZED: the f-chain references
+      // f_1..f_{r-1} per round (O(rounds²) references), and DuckDB's
+      // default inlining would re-evaluate those subtrees — at the
+      // 10-round converge unroll that exhausts file handles on the
+      // repeatedly re-opened parquet scan
       def round(r: Int): String = {
         val prev = s"sc${r - 1}"
         val expandedSoFar =
           (1 until r).map(i => s"SELECT q_id, n_id FROM f$i").mkString(" UNION ALL ")
         val fDef =
-          if (r == 1) "f1 AS (SELECT q_id, n_id FROM p0)"
-          else s"f$r AS (SELECT q_id, n_id FROM p${r - 1} EXCEPT ($expandedSoFar))"
-        s"""p${r - 1} AS (SELECT q_id, n_id FROM (
+          if (r == 1) "f1 AS MATERIALIZED (SELECT q_id, n_id FROM p0)"
+          else s"f$r AS MATERIALIZED (SELECT q_id, n_id FROM p${r - 1} EXCEPT ($expandedSoFar))"
+        s"""p${r - 1} AS MATERIALIZED (SELECT q_id, n_id FROM (
               SELECT q_id, n_id,
                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
               FROM $prev) x WHERE rn <= $BeamEf),
             $fDef,
-            nw$r AS (SELECT q_id, n_id FROM (
+            nw$r AS MATERIALIZED (SELECT q_id, n_id FROM (
                 SELECT DISTINCT f.q_id, g.g_dst AS n_id
                 FROM f$r f JOIN graph g ON f.n_id = g.g_src
                 WHERE g.g_dst <> f.q_id) h
               EXCEPT SELECT q_id, n_id FROM $prev),
-            sc$r AS (SELECT * FROM $prev UNION ALL ${score(s"nw$r")})"""
+            sc$r AS MATERIALIZED (SELECT * FROM $prev UNION ALL ${score(s"nw$r")})"""
       }
       s"""WITH $quantizedSql, $bandedSql,
-       cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       cand AS MATERIALIZED (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
            FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
            WHERE l.vec_id <> r.vec_id),
        gsc AS (SELECT c.a, c.b,
             CAST(list_sum(list_transform(list_zip(x.q, y.q), s -> s[1]*s[2])) AS DOUBLE)
               / SQRT(CAST(x.nrm AS DOUBLE) * CAST(y.nrm AS DOUBLE)) AS sim
           FROM cand c JOIN n x ON x.vec_id = c.a JOIN n y ON y.vec_id = c.b),
-       graph AS (SELECT a AS g_src, b AS g_dst FROM (
+       graph AS MATERIALIZED (SELECT a AS g_src, b AS g_dst FROM (
            SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
            FROM gsc) x WHERE rn <= $GraphK),
        seeds AS (SELECT DISTINCT a AS q_id, b AS n_id FROM cand
            WHERE a < 5 AND b <> a),
-       sc0 AS (${score("seeds")}),
-       ${(1 to BeamRounds).map(round).mkString(",\n")}
+       sc0 AS MATERIALIZED (${score("seeds")}),
+       ${(1 to rounds).map(round).mkString(",\n")}
        SELECT q_id, n_id, sim FROM (
          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
-         FROM sc$BeamRounds) WHERE rn <= 5"""
-    })
+         FROM sc$rounds) WHERE rn <= 5"""
+  }
 
   /** §2.2 row 27c — multi-probe LSH ANN: queries probe their own
     * bucket AND every 1-bit-flip neighbor in each band (1 + 8 probes
@@ -2353,5 +2389,5 @@ object Similarity {
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
-      knnBeam, graphPagerank, hardNegatives, dedupSemantic)
+      knnBeam, knnBeamConverged, graphPagerank, hardNegatives, dedupSemantic)
 }
