@@ -31,6 +31,15 @@ object Events {
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→epoch cast below interprets naive timestamps at the
+    // SESSION zone; DuckDB's naive epoch(ts) is zone-free (UTC). The
+    // entrypoints (Bench/Verify/specs) all pin UTC — enforce it here
+    // too so a non-UTC caller fails loudly instead of silently
+    // shifting every derived epoch.
+    val zone = s.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+    require(zone == "UTC",
+      s"graft.Events requires spark.sql.session.timeZone=UTC (got $zone): " +
+        "naive-timestamp epoch derivation is zone-sensitive")
     val df = Tables.load(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df

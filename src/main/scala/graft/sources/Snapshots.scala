@@ -974,16 +974,22 @@ object Snapshots {
     * the tag. A changed input fingerprint yields a NEW tagged version
     * (readers pinned to the old one are undisturbed). A crashed
     * winner (claim created, commit never lands, `finally` never runs)
-    * is detected by the claim file's AGE: a live winner holds its
-    * claim only for one build, so a claim older than `timeoutMs` is
-    * orphaned — a waiter deletes it and re-claims IMMEDIATELY instead
-    * of sleeping the window, and (crucially) instead of every future
-    * cold process paying the full wait against the same dead claim.
-    * The takeover re-create is itself create-exclusive, so racing
-    * waiters elect one new winner; the unavoidable delete/create race
-    * can at worst elect two — the atomic tagged commit keeps that safe
-    * (a duplicate build, never a torn or stale index). Returns the
-    * version to pin.
+    * is detected by the claim file's AGE: a LIVE winner heartbeats its
+    * claim (mtime touch every timeoutMs/4) for as long as its build
+    * runs, so a claim older than `timeoutMs` means the writer is gone
+    * — a waiter takes it over IMMEDIATELY instead of sleeping the
+    * window, and (crucially) instead of every future cold process
+    * paying the full wait against the same dead claim. The heartbeat
+    * means a legitimate build LONGER than timeoutMs keeps its claim (a
+    * pre-heartbeat version lost it at exactly timeoutMs). Takeover is
+    * identity-checked: each claim carries a unique token, the taker
+    * re-reads the token after the age check and deletes only if it
+    * still matches the stale one it observed — a claim just re-created
+    * by a racing taker (fresh token) is never hijacked, so takeovers
+    * cannot cascade. The unavoidable read/delete/create window can at
+    * worst elect two winners — the atomic tagged commit keeps that
+    * safe (a duplicate build, never a torn or stale index). Returns
+    * the version to pin.
     */
   def ensureIndex(table: String, tag: String, timeoutMs: Long = 120000)(
       stage: String => Unit): Int = {
@@ -991,32 +997,71 @@ object Snapshots {
     Files.createDirectories(meta(table))
     val claim = meta(table).resolve(
       ".claim_" + tag.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val token = java.util.UUID.randomUUID().toString
     def claimAgeMs: Long =
       try System.currentTimeMillis() - Files.getLastModifiedTime(claim).toMillis
       catch { case _: java.io.IOException => -1 } // claim gone
+    def claimToken(): Option[String] =
+      try Some(new String(Files.readAllBytes(claim), "UTF-8"))
+      catch { case _: java.io.IOException => None }
+    def createExclusive(): Boolean =
+      try {
+        Files.write(claim, token.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     def tryClaim(): Boolean =
-      try { Files.createFile(claim); true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          if (claimAgeMs > timeoutMs) {
-            // stale claim: the winner that created it crashed before
-            // its commit — take over now rather than wait it out
-            Files.deleteIfExists(claim)
-            try { Files.createFile(claim); true }
-            catch { case _: java.nio.file.FileAlreadyExistsException => false }
-          } else false
+      createExclusive() || {
+        val stale = claimToken()
+        if (claimAgeMs > timeoutMs && stale.nonEmpty &&
+            claimToken() == stale) {
+          // stale claim: no heartbeat for a full window AND the token
+          // is unchanged since we observed it — the winner that wrote
+          // it is gone. Take over now rather than wait it out.
+          Files.deleteIfExists(claim)
+          createExclusive()
+        } else false
       }
     var won = tryClaim()
     if (!won) {
-      val deadline = System.currentTimeMillis() + timeoutMs
-      while (!won && System.currentTimeMillis() < deadline) {
+      // Wait for the winner's commit with a SLIDING deadline: every
+      // observed claim-mtime advance (= a heartbeat) proves the winner
+      // alive and resets the window, so a legitimate build longer than
+      // timeoutMs is waited out, not hijacked. A frozen mtime for a
+      // full window → takeover via tryClaim. Hard cap at 10 windows
+      // guards against a pathological filesystem (then build anyway —
+      // safe, the tagged commit is atomic, just not unique).
+      val hardCap = System.currentTimeMillis() + 10 * timeoutMs
+      var lastSeenMtime = -2L
+      var lastAdvance = System.currentTimeMillis()
+      while (!won && System.currentTimeMillis() < hardCap) {
         taggedVersion(table, tag).foreach(v => return v)
-        // the live winner's claim goes stale mid-wait if it crashes
-        // exactly timeoutMs after claiming — promote instead of timing out
-        won = tryClaim()
+        val mt = try Files.getLastModifiedTime(claim).toMillis
+          catch { case _: java.io.IOException => -1L } // claim gone
+        val now = System.currentTimeMillis()
+        if (mt != lastSeenMtime) { lastSeenMtime = mt; lastAdvance = now }
+        if (mt == -1L || now - lastAdvance > timeoutMs)
+          won = tryClaim() // no live writer: claim gone or heartbeat dead
         if (!won) Thread.sleep(50)
       }
-      // winner presumed crashed: build after all (safe, not unique)
+      // hard cap only: build after all (safe, not unique)
+    }
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val heartbeat: Option[Thread] = if (!won) None else Some {
+      val t = new Thread(() => {
+        try {
+          while (!done.get) {
+            Thread.sleep(math.max(250L, timeoutMs / 4))
+            // touch only OUR claim: a taker may have replaced it
+            if (!done.get && claimToken().contains(token))
+              try Files.setLastModifiedTime(claim,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  System.currentTimeMillis()))
+              catch { case _: java.io.IOException => () }
+          }
+        } catch { case _: InterruptedException => () }
+      }, s"graft-claim-heartbeat-$table")
+      t.setDaemon(true); t.start(); t
     }
     try taggedVersion(table, tag).getOrElse {
       val dir = stageDir(table)
@@ -1024,7 +1069,11 @@ object Snapshots {
       commitLoop(table, _ => Seq(dir), tags = Seq(indexTag(tag)),
         inheritSchema = false)
     } finally {
-      if (won) Files.deleteIfExists(claim); ()
+      done.set(true); heartbeat.foreach(_.interrupt())
+      // release only a claim that is still OURS (token check): after a
+      // takeover the file belongs to the new winner, not to us
+      if (won && claimToken().contains(token)) Files.deleteIfExists(claim)
+      ()
     }
   }
 

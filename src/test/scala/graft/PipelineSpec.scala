@@ -571,6 +571,41 @@ class PipelineSpec extends SparkSpec {
     assert(!Files.exists(claim), "takeover winner must clear the claim")
   }
 
+  test("live winner building LONGER than timeoutMs keeps its claim (heartbeat)") {
+    import graft.sources.Snapshots
+    val table = "/root/repo/target/pipeline-spec/idx_heartbeat"
+    Snapshots.deleteRecursively(table)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // winner's build (sleep + write) runs ~3× the claim timeout; its
+    // heartbeat (timeout/4 touches) must keep the claim live so the
+    // late waiter neither hijacks it at 1× timeout (the pre-heartbeat
+    // failure: age-only staleness) nor falls through at its fixed
+    // deadline (the pre-sliding-wait failure) — exactly ONE build
+    val winner = Future {
+      Snapshots.ensureIndex(table, "fp_slow", timeoutMs = 1000) { out =>
+        builds.incrementAndGet()
+        Thread.sleep(3000)
+        Seq((1L, 2L)).toDF("g_src", "g_dst").write.parquet(out)
+      }
+    }
+    Thread.sleep(300) // let the winner claim first
+    val waiter = Future {
+      Snapshots.ensureIndex(table, "fp_slow", timeoutMs = 1000) { out =>
+        builds.incrementAndGet()
+        Seq((9L, 9L)).toDF("g_src", "g_dst").write.parquet(out)
+      }
+    }
+    val vW = Await.result(winner, 120.seconds)
+    val vL = Await.result(waiter, 120.seconds)
+    assert(builds.get() == 1,
+      s"heartbeat must keep the slow build's claim: ${builds.get()} builds")
+    assert(vW == vL && spark.read.parquet(Snapshots.versionDirs(table, vW): _*)
+      .head().getLong(0) == 1L)
+  }
+
   test("IVF drift: shifted batch raises the metric, re-train trigger recovers") {
     import graft.sources.Snapshots
     import org.apache.spark.sql.expressions.Window
