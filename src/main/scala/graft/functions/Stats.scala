@@ -200,9 +200,38 @@ object StatsQueries {
           FROM lineitem, bounds GROUP BY 1"""
     })
 
+  /** Shuffle-key skew profiler — the pre-flight diagnostic that decides
+    * whether a join/aggregation key needs salting (SkewJoin) or AQE
+    * skew splitting before a 100 TB run: per-key counts reduced to
+    * driver-size skew metrics. `skew_x1000` = max_cnt·n_keys·1000 DIV
+    * n_rows (1000 = perfectly uniform; the hottest key's multiple of
+    * the mean, fixed-point so both engines agree exactly);
+    * `suggested_salt` = ⌈max_cnt / mean⌉ — the salt factor that splits
+    * the hottest key down to the mean partition load, i.e. exactly the
+    * `salt` argument SkewJoin.saltedJoin takes. One map-side-combined
+    * count per key, then a single-row fold; nothing key-cardinality-
+    * sized ever reaches the driver.
+    */
+  val skewProfile: QueryDef = QueryDef(
+    "q_skew_profile",
+    (s, dir) => Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        expr("max_cnt * n_keys * 1000 DIV n_rows").as("skew_x1000"),
+        expr("(max_cnt * n_keys + n_rows - 1) DIV n_rows").as("suggested_salt")),
+    Some("""WITH pk AS (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+            m AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+              MAX(cnt) AS max_cnt FROM pk)
+            SELECT n_keys, n_rows, max_cnt,
+              CAST((max_cnt * n_keys * 1000) // n_rows AS BIGINT) AS skew_x1000,
+              CAST((max_cnt * n_keys + n_rows - 1) // n_rows AS BIGINT) AS suggested_salt
+            FROM m"""))
+
   val defs: Seq[QueryDef] =
     Seq(histogram, tableStats, stringHistogram, approxStats, histogramEquiDepth,
-      sketchQuantiles)
+      sketchQuantiles, skewProfile)
 
   /** Equi-width histogram summary of a numeric column: (lo, hi,
     * bucket counts). One narrow aggregate pass; the B-bucket result is

@@ -134,7 +134,13 @@ object TextFunctions {
     * partial-aggregated sum, corpus scalars as broadcast 1-row
     * frames. Integer bounds: surprise ≤ T·1000, Σ over a doc ≤
     * n·T·1000 ≤ 2^63 at any realistic shard (documented like the BM25
-    * precondition).
+    * precondition). The CORPUS-mean numerator Σ_t(sur_t·cnt_t) has a
+    * weaker, vocab-weighted bound — each term contributes ≤ T·1000
+    * (sur·cnt = ((T·1000) DIV cnt)·cnt ≤ T·1000), so the sum is ≤
+    * V·T·1000 which can exceed 2^63 on shards a per-doc sum survives —
+    * so that one aggregate runs in decimal(38,0), matching DuckDB's
+    * HUGEINT accumulation (≤10^38 covers V·T·1000 for any physical
+    * corpus; `DIV` on decimal is Spark's exact IntegralDivide).
     */
   /** (per-doc (doc_id, n_tokens, ssum), broadcast 1-row corpus-mean) —
     * the shared surprise computation of [[qualityLm]] and
@@ -150,7 +156,8 @@ object TextFunctions {
     val sur = counts.crossJoin(tot)
       .select(col("term"), expr("(t * 1000) DIV cnt").as("sur"), col("cnt"), col("t"))
     val cm = broadcast(sur
-      .agg(sum(col("sur") * col("cnt")).cast("long").as("sc"), max(col("t")).as("mt"))
+      .agg(sum((col("sur") * col("cnt")).cast("decimal(38,0)")).as("sc"),
+        max(col("t")).as("mt"))
       .select(expr("sc DIV mt").as("cm")))
     val perDoc = tk.join(sur.select("term", "sur"), "term")
       .groupBy("doc_id")
@@ -1578,11 +1585,160 @@ object TextFunctions {
              array_to_string(tk[start:start+${ChunkTokens - 1}], ' ') AS chunk_text
            FROM st"""))
 
+  /** Per-domain caps with √-scaling (SURVEY §2.2 row 48): web-corpus
+    * pipelines cap how many documents any single host/domain may
+    * contribute (Common Crawl's per-host dedup caps; Gopher's
+    * source-mixing) so one boilerplate-heavy domain can't dominate the
+    * mixture. The cap is PROPORTIONAL — K(source) = ⌈√n_docs⌉ — so big
+    * domains are damped sublinearly rather than cut to a fixed K that
+    * either starves big domains or never binds on small ones. Within a
+    * domain, the best documents survive: rank by length (stand-in for
+    * a quality score; any deterministic score column drops in), tie-
+    * break doc_id.
+    *
+    * Scale shape: the cap table is one map-side-combined count per
+    * source (tiny — cardinality = #domains); ranking is one shuffle on
+    * source. The rank filter bounds OUTPUT to Σ√n ≤ √(#domains·N),
+    * but sort cost within a hot domain is that domain's size — the
+    * per-partition sort spills, and domains are hash-spread across
+    * partitions so no executor holds more than its hash share. IEEE
+    * sqrt is correctly rounded, hence engine-portable on exact long
+    * inputs.
+    */
+  val sourceCaps: QueryDef = QueryDef(
+    "t_source_caps",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val caps = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"),
+          ceil(sqrt(col("n_docs").cast("double"))).cast("long").as("cap_k"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+      d.withColumn("rk", row_number().over(w).cast("long"))
+        .join(caps, "source")
+        .where(col("rk") <= col("cap_k"))
+        .select("source", "doc_id", "rk", "cap_k")
+    },
+    Some("""WITH caps AS (SELECT source, COUNT(*) AS n_docs,
+                CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS cap_k
+              FROM documents GROUP BY 1),
+            r AS (SELECT source, doc_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+              FROM documents)
+            SELECT r.source, r.doc_id, r.rk, caps.cap_k
+            FROM r JOIN caps USING (source) WHERE rk <= cap_k"""))
+
+  /** Boilerplate-block removal (SURVEY §2.2 row 49) — the jusText /
+    * Trafilatura shape: segment each document into blocks, classify
+    * every block by STOPWORD DENSITY (natural prose is dense in
+    * function words; navigation/boilerplate is not — jusText's core
+    * signal), drop low-density blocks, reassemble the survivors in
+    * order. Blocks here are fixed 10-token segments (the corpus has no
+    * newlines); the classifier gate is integer-exact (10·stop_cnt ≥
+    * n_tok ⇔ density ≥ 10%) with {a, the} as the stopword set (this
+    * corpus's function words). Output per doc: block counts, kept
+    * token count, and the md5 fingerprint of the cleaned text — the
+    * columns a downstream dedup joins on.
+    *
+    * Scale shape: segmentation + classification are pure map work
+    * (text never shuffles as blocks); the one shuffle is the per-doc
+    * reassembly groupBy, whose payload is the kept blocks only.
+    * Ordered reassembly is sort_array over (block_id, text) structs —
+    * no window, no per-doc sort task.
+    */
+  val boilerplate: QueryDef = QueryDef(
+    "t_boilerplate",
+    (s, dir) => {
+      val tk = filter(split(lower(col("text")), " "), t => t =!= "")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tk.as("tk"))
+        .where(size(col("tk")) > 0)
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, size(tk)-1, 10), i -> slice(tk, i+1, 10))")))
+        .toDF("doc_id", "block_id", "blk")
+        .select(col("doc_id"), col("block_id").cast("long").as("block_id"),
+          size(col("blk")).as("n_tok"),
+          size(filter(col("blk"), t => t === "a" || t === "the")).as("stop_cnt"),
+          concat_ws(" ", col("blk")).as("btxt"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_blocks"),
+          sum(when(col("stop_cnt") * 10 >= col("n_tok"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("stop_cnt") * 10 >= col("n_tok"), col("n_tok").cast("long"))
+            .otherwise(0L)).as("n_tokens_kept"),
+          md5(array_join(transform(
+            sort_array(collect_list(when(col("stop_cnt") * 10 >= col("n_tok"),
+              struct(col("block_id"), col("btxt"))))),
+            x => x.getField("btxt")), " ")).as("clean_fp"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, ${Portable.textSql.tokensLower} AS tk
+             FROM documents),
+           blocks AS (SELECT doc_id, CAST(i // 10 AS BIGINT) AS block_id,
+               tk[i+1:i+10] AS blk
+             FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 10)) AS i
+               FROM tk WHERE len(tk) > 0)),
+           cls AS (SELECT doc_id, block_id,
+               CAST(len(blk) AS INT) AS n_tok,
+               CAST(len(list_filter(blk, t -> t IN ('a','the'))) AS INT) AS stop_cnt,
+               array_to_string(blk, ' ') AS btxt
+             FROM blocks)
+           SELECT doc_id, COUNT(*) AS n_blocks,
+             CAST(SUM(CASE WHEN stop_cnt * 10 >= n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN stop_cnt * 10 >= n_tok THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+             md5(COALESCE(string_agg(CASE WHEN stop_cnt * 10 >= n_tok THEN btxt END,
+               ' ' ORDER BY block_id), '')) AS clean_fp
+           FROM cls GROUP BY doc_id"""))
+
+  /** Model-based quality scoring via the hashing trick (SURVEY §2.2
+    * row 50) — the fastText-classifier shape that DCLM/FineWeb-Edu
+    * pipelines run over every document: token → feature-hash into D
+    * buckets → weight lookup → linear score → threshold. The weight
+    * VECTOR here is derived deterministically from the bucket id (a
+    * splitmix-style multiply-mod — stands in for trained weights; a
+    * real model drops its D floats into the same expression), because
+    * the operator under test is the feature-hash + sparse-dot-product
+    * plumbing, which is exactly what dominates at corpus scale.
+    *
+    * Scale shape: ZERO shuffle — the whole classifier is a per-row
+    * `aggregate` over the token array (map-side, codegen'd, no
+    * explode). At 100 TB this is the ideal operator: embarrassingly
+    * parallel, reads text once, emits 4 columns. All arithmetic is
+    * exact-integer (h60 < 2⁶³; bucket < 1024; |weight| ≤ 1001; score
+    * ≤ n_tokens·1001).
+    */
+  val qualityClassifier: QueryDef = {
+    // h60(t) % D buckets, weight(b) = (b·2654435761) % 2003 − 1001
+    val sparkW = "((cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % 1024)" +
+      " * 2654435761L) % 2003 - 1001"
+    val duckW = s"((${Portable.textSql.h60("t")} % 1024) * 2654435761) % 2003 - 1001"
+    QueryDef(
+      "t_quality_classifier",
+      (s, dir) => {
+        val tk = filter(split(lower(col("text")), " "), t => t =!= "")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), tk.as("tk"))
+          .where(size(col("tk")) > 0)
+          .select(col("doc_id"),
+            size(col("tk")).cast("long").as("n_tokens"),
+            expr(s"aggregate(tk, 0L, (acc, t) -> acc + ($sparkW))").as("score"))
+          .withColumn("keep", col("score") > 0)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, ${Portable.textSql.tokensLower} AS tk
+               FROM documents)
+             SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(tk, t -> $duckW)) AS BIGINT) AS score,
+               CAST(list_sum(list_transform(tk, t -> $duckW)) AS BIGINT) > 0 AS keep
+             FROM tk WHERE len(tk) > 0"""))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,
       upsampleEpochs, invertedSearch, searchIncremental, searchDml,
       phraseSearch, shardExport, chunkRag, searchBm25,
-      searchBm25Incremental, searchBm25Dml, hybridRrf)
+      searchBm25Incremental, searchBm25Dml, hybridRrf,
+      sourceCaps, boilerplate, qualityClassifier)
 }

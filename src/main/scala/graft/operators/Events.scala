@@ -308,9 +308,39 @@ object Events {
     Some(PatternQueries.motifOracleSql(
       Seq("n_storms" -> "E{3,}", "n_recovered" -> "EE+C"))))
 
+  /** Windowed top-k (trending items): per hour, the 2 busiest event
+    * types with deterministic tie-break — the dashboard/feed-ranking
+    * shape. Rank runs over the PRE-AGGREGATED hourly counts (windows ×
+    * types rows, map-side combined), never the raw log, so the window
+    * sort input is tiny at any corpus scale; the one full shuffle is
+    * the hourly count itself.
+    */
+  val topkWindow: QueryDef = QueryDef(
+    "q_events_topk",
+    (s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy((floor(sec / 3600.0).cast("long") * 3600).as("window_start_s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("window_start_s")
+        .orderBy(col("n").desc, col("event_type"))
+      hourly.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 2)
+    },
+    Some("""WITH c AS (SELECT
+              CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) * 3600
+                AS window_start_s,
+              event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2)
+            SELECT window_start_s, event_type, n, rk FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY window_start_s
+                ORDER BY n DESC, event_type) AS BIGINT) AS rk FROM c) t
+            WHERE rk <= 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
-      anomaly, pattern, patternCart, patternRetry)
+      anomaly, pattern, patternCart, patternRetry, topkWindow)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

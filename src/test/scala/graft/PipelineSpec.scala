@@ -1525,4 +1525,58 @@ class PipelineSpec extends SparkSpec {
     val minIds = res.groupBy("cid").agg(min("vec_id").as("vec_id"))
     assert(res.join(minIds, Seq("cid", "vec_id")).where(!col("keep")).count() == 0)
   }
+
+  test("hashing-trick classifier is a pure map: zero shuffles in the plan") {
+    val df = SparkEntry.queries("t_quality_classifier")(spark, sfDir)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"classifier must not shuffle — the whole score is per-row:\n$plan")
+    // sanity: scores are the per-token weight sums they claim to be
+    val r = df.orderBy("doc_id").head()
+    assert(r.getLong(1) > 0 && math.abs(r.getLong(2)) <= r.getLong(1) * 1001)
+  }
+
+  test("source caps: per-domain output is bounded by ceil(sqrt(n_docs))") {
+    val kept = SparkEntry.queries("t_source_caps")(spark, sfDir)
+    val perSrc = kept.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), max("cap_k").as("cap_k"))
+    val truth = Tables.load(spark, sfDir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val joined = perSrc.join(truth, "source").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { row =>
+      val (nKept, capK, nDocs) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(capK == math.ceil(math.sqrt(nDocs.toDouble)).toLong)
+      assert(nKept == math.min(nDocs, capK),
+        s"${row.getString(0)}: kept $nKept of $nDocs with cap $capK")
+    }
+    // kept docs are the LONGEST of their domain: every kept rank is
+    // contiguous from 1 (no gaps — the filter is on rank, not score)
+    val ranks = kept.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("rk").as("maxrk")).collect()
+    ranks.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
+
+  test("boilerplate removal: block accounting and all-kept fingerprint invariants") {
+    val res = SparkEntry.queries("t_boilerplate")(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val (nBlocks, nKept, nTokKept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nKept <= nBlocks && nTokKept <= nBlocks * 10)
+      assert(nKept > 0 || r.getString(4) ==
+        java.security.MessageDigest.getInstance("MD5").digest("".getBytes)
+          .map("%02x".format(_)).mkString)
+    }
+    // a doc whose every block survives must fingerprint to its own
+    // normalized text (reassembly preserves order and spacing)
+    val allKept = SparkEntry.queries("t_boilerplate")(spark, sfDir)
+      .where(col("n_kept") === col("n_blocks")).select("doc_id", "clean_fp")
+    val direct = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          filter(split(lower(col("text")), " "), t => t =!= ""))).as("fp"))
+    val mismatch = allKept.join(direct, "doc_id")
+      .where(col("clean_fp") =!= col("fp")).count()
+    assert(mismatch == 0, "all-kept reassembly must equal the normalized text")
+  }
 }
