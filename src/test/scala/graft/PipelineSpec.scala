@@ -1526,6 +1526,61 @@ class PipelineSpec extends SparkSpec {
     assert(res.join(minIds, Seq("cid", "vec_id")).where(!col("keep")).count() == 0)
   }
 
+  test("incremental semantic dedup over two batches ≡ frozen-quantizer one-shot") {
+    import graft.operators.Similarity
+    import graft.sources.Snapshots
+    val root = "/root/repo/target/pipeline-spec/semdedup_multi"
+    Snapshots.deleteRecursively(root)
+    val (centsT, memT) = (s"$root/cents", s"$root/members")
+    // corpus = real embeddings + one EXACT clone planted in batch 2
+    // (vec_id 450 := vector of base id 60) so the dup path is exercised
+    val e0 = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val e = e0.where(col("vec_id") =!= 450)
+      .unionByName(e0.where(col("vec_id") === 60)
+        .select(lit(450L).as("vec_id"), col("embedding")))
+    val base = e.where(col("vec_id") < 300)
+    // bootstrap: frozen quantizer + base members
+    val (cents, _) = Similarity.ivfBuild(base, Similarity.cCountOf(base.count()), 1)
+    Snapshots.commitOverwrite(cents, centsT)
+    Snapshots.commitOverwrite(
+      Similarity.ivfAssign(Similarity.quantizedOf(base), cents).drop("m"), memT)
+    def runBatch(lo: Long, hi: Long, batchId: Long): Map[Long, Boolean] = {
+      val b = e.where(col("vec_id") >= lo && col("vec_id") < hi)
+      val aB = Similarity.ivfAssign(
+        Similarity.quantizedOf(b), Snapshots.read(spark, centsT))
+        .drop("m").localCheckpoint()
+      val priorV = Snapshots.currentVersion(memT)
+      Snapshots.ingestBatch(aB, memT, "spec_semdedup_multi", batchId)
+      val all = Snapshots.readVersion(spark, memT, priorV).unionByName(aB)
+      val dup = aB.toDF("b_id", "b_q", "b_nrm", "cid")
+        .join(all.toDF("a_id", "a_q", "a_nrm", "cid"), Seq("cid"))
+        .where(col("a_id") < col("b_id"))
+        .where(Similarity.cosine(Similarity.dotL(col("a_q"), col("b_q")),
+          col("a_nrm"), col("b_nrm")) >= 0.95)
+        .select(col("b_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      aB.select("vec_id").collect()
+        .map(r => r.getLong(0) -> !dup.contains(r.getLong(0))).toMap
+    }
+    val got = runBatch(300, 400, 1L) ++ runBatch(400, 500, 2L)
+    // frozen-quantizer one-shot over the full 500: same centroids,
+    // dup iff ANY lower-id cluster-mate is cos-similar
+    val aAll = Similarity.ivfAssign(
+      Similarity.quantizedOf(e.where(col("vec_id") < 500)),
+      Snapshots.read(spark, centsT)).drop("m").localCheckpoint()
+    val dupAll = aAll.toDF("b_id", "b_q", "b_nrm", "cid")
+      .join(aAll.toDF("a_id", "a_q", "a_nrm", "cid"), Seq("cid"))
+      .where(col("a_id") < col("b_id"))
+      .where(Similarity.cosine(Similarity.dotL(col("a_q"), col("b_q")),
+        col("a_nrm"), col("b_nrm")) >= 0.95)
+      .select(col("b_id")).distinct().collect().map(_.getLong(0)).toSet
+    val want = aAll.select("vec_id").where(col("vec_id") >= 300).collect()
+      .map(r => r.getLong(0) -> !dupAll.contains(r.getLong(0))).toMap
+    assert(got == want,
+      s"incremental diverged from one-shot on ${got.toSet.diff(want.toSet)}")
+    assert(got.values.exists(!_), "test corpus should contain at least one semantic dup")
+  }
+
   test("hashing-trick classifier is a pure map: zero shuffles in the plan") {
     val df = SparkEntry.queries("t_quality_classifier")(spark, sfDir)
     val plan = physicalPlan(df)
