@@ -173,4 +173,117 @@ object MaterializedView {
           graft.plans.MvRewrite.register(baseTable, mvTable, keys, sums, mins, maxs)
         ()
       }
+
+  // ---- incrementally maintained JOIN views (delta joins) ----
+
+  private val JTagL = "mvj_left_through "
+  private val JTagR = "mvj_right_through "
+
+  /** How the last [[joinRefresh]] on this JVM brought the view current
+    * — "bootstrap" | "delta-join" | "noop"; test introspection.
+    */
+  @volatile private[graft] var lastJoinRefreshMode: String = ""
+
+  /** Incrementally maintained JOIN view V = π(cols)(L ⋈_key R) over
+    * two [[Snapshots]] base tables — the other half of view
+    * maintenance next to [[refresh]]'s aggregates: joins are not
+    * algebraic per group, so the delta is the classic SIGNED
+    * delta-join expansion (V_new − V_old = ΔL⋈R_old + L_old⋈ΔR +
+    * ΔL⋈ΔR, signs multiplying across the product — deletes carry −1),
+    * appended as tombstone-folded rows and netted at read
+    * ([[serveJoin]]). Each refresh reads ONLY the change feed of each
+    * base ([[Snapshots.changesBetween]] — the dirs that entered/left
+    * the manifest) joined against the OTHER side's pinned old version:
+    * O(Δ·matched) per refresh, never a full re-join. Per-base
+    * watermark versions ride as tags on the view's own atomic commits
+    * (crash between base DML and refresh loses nothing — the next
+    * refresh folds the gap); appends follow the single-maintainer
+    * convention of the search-index maintenance, with a size-ratio
+    * compaction trigger ([[joinCompact]]) bounding tombstone debt.
+    *
+    * At 100 TB this is how a wide denormalized serving table follows
+    * its normalized sources: the delta join shuffles only changed keys
+    * plus their matches, and the netted view is itself a snapshot
+    * table — versioned, time-travelable, compactable.
+    */
+  def joinRefresh(spark: SparkSession, leftTable: String, rightTable: String,
+      mvTable: String, key: String): Int = {
+    val lCur = Snapshots.currentVersion(leftTable)
+    val rCur = Snapshots.currentVersion(rightTable)
+    require(lCur > 0 && rCur > 0, "both join-view bases need a committed version")
+    val mvV = Snapshots.currentVersion(mvTable)
+    def tagOf(prefix: String) =
+      if (mvV == 0) 0
+      else Snapshots.versionTags(mvTable, mvV).collectFirst {
+        case t if t.startsWith(prefix) => t.drop(prefix.length).toInt
+      }.getOrElse(0)
+    val (lLast, rLast) = (tagOf(JTagL), tagOf(JTagR))
+    if (lLast == lCur && rLast == rCur) { lastJoinRefreshMode = "noop"; return mvV }
+    val tags = Seq(JTagL + lCur, JTagR + rCur)
+    if (lLast == 0 || rLast == 0) {
+      lastJoinRefreshMode = "bootstrap"
+      val full = Snapshots.readVersion(spark, leftTable, lCur)
+        .join(Snapshots.readVersion(spark, rightTable, rCur), key)
+        .withColumn("sgn", lit(1L))
+      Snapshots.commitOverwriteTagged(full, mvTable, tags)
+    } else {
+      lastJoinRefreshMode = "delta-join"
+      val (lIns, lDel) = Snapshots.changesBetween(spark, leftTable, lLast, lCur)
+      val (rIns, rDel) = Snapshots.changesBetween(spark, rightTable, rLast, rCur)
+      val dL = lIns.withColumn("sl", lit(1L)).unionByName(
+        lDel.withColumn("sl", lit(-1L)))
+      val dR = rIns.withColumn("sr", lit(1L)).unionByName(
+        rDel.withColumn("sr", lit(-1L)))
+      val lOld = Snapshots.readVersion(spark, leftTable, lLast)
+      val rOld = Snapshots.readVersion(spark, rightTable, rLast)
+      val delta =
+        dL.join(rOld, key).withColumn("sgn", col("sl")).drop("sl")
+          .unionByName(
+            lOld.join(dR, key).withColumn("sgn", col("sr")).drop("sr"))
+          .unionByName(
+            dL.join(dR, key).withColumn("sgn", col("sl") * col("sr"))
+              .drop("sl", "sr"))
+      val v = Snapshots.commitAppendTagged(delta, mvTable, tags)
+      joinMaybeCompact(spark, mvTable)
+      v
+    }
+  }
+
+  /** Net view of the signed join rows: multiset multiplicity restored
+    * by expanding each surviving row `net` times (a join view is a
+    * BAG — two identical right rows yield two identical view rows).
+    */
+  def serveJoin(spark: SparkSession, mvTable: String): DataFrame = {
+    val df = Snapshots.read(spark, mvTable)
+    val cols = df.columns.filter(_ != "sgn").toSeq
+    df.groupBy(cols.map(col): _*).agg(sum(col("sgn")).as("net"))
+      .where(col("net") > 0)
+      .withColumn("dup", explode(sequence(lit(1L), col("net"))))
+      .select(cols.map(col): _*)
+  }
+
+  /** Size-ratio-triggered major compaction of the signed join view —
+    * [[Snapshots.maybeCompactNet]]'s policy, but preserving BOTH
+    * per-base watermark tags (which that single-prefix helper cannot
+    * carry): CAS on the head read at fold start, retry on conflict so
+    * a racing maintenance append is never dropped.
+    */
+  private def joinMaybeCompact(spark: SparkSession, mvTable: String,
+      maxDeltaRatio: Double = 0.5): Option[Int] = {
+    val (base, delta) = Snapshots.compactionDebt(spark, mvTable)
+    if (delta <= maxDeltaRatio * math.max(base, 1L)) return None
+    var out = -1
+    while (out < 0) {
+      val head = Snapshots.currentVersion(mvTable)
+      val tags = Snapshots.versionTags(mvTable, head)
+        .filter(t => t.startsWith(JTagL) || t.startsWith(JTagR))
+      val df = Snapshots.readVersion(spark, mvTable, head)
+      val cols = df.columns.filter(_ != "sgn").toSeq
+      val netted = df.groupBy(cols.map(col): _*).agg(sum(col("sgn")).as("sgn"))
+        .where(col("sgn") > 0)
+      Snapshots.commitOverwriteTaggedIf(netted, mvTable, head, tags)
+        .foreach(v => out = v)
+    }
+    Some(out)
+  }
 }

@@ -340,9 +340,60 @@ object SourceQueries {
          UNION ALL
          SELECT *, 'delete' AS chg FROM a WHERE o_orderkey % 5 = 0"""))
 
+  /** Incrementally maintained JOIN view under real DML
+    * ([[MaterializedView.joinRefresh]]): orders ⋈ lineitem bootstraps
+    * from partial slices, then three maintenance cycles fold a
+    * delete-on-left, a double append (both sides in ONE refresh — the
+    * ΔL⋈ΔR cross term is live), and a delete-on-right, each refresh
+    * reading only the change feeds joined against the other side's
+    * pinned old version. The served view aggregates per order; the
+    * DuckDB oracle recomputes the join from the FINAL table states,
+    * proving three rounds of signed delta-joins ≡ one recompute. The
+    * table is rebuilt per run (the DML sequence IS the operator under
+    * test).
+    */
+  val mvJoinIncremental: QueryDef = QueryDef(
+    "q_mv_join_incremental",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val root = "/root/repo/target/mvjoin/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      Snapshots.deleteRecursively(root)
+      val (oT, lT, vT) = (s"$root/orders", s"$root/lineitem", s"$root/view")
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+      Snapshots.commitOverwrite(o.where(col("o_orderkey") % 10 =!= 0), oT)
+      Snapshots.commitOverwrite(l.where(col("o_orderkey") % 7 =!= 0), lT)
+      MaterializedView.joinRefresh(s, oT, lT, vT, "o_orderkey") // bootstrap
+      Snapshots.deleteWhere(s, oT, col("o_orderkey") % 9 === 0)
+      MaterializedView.joinRefresh(s, oT, lT, vT, "o_orderkey") // ΔL side only
+      Snapshots.commitAppend(o.where(col("o_orderkey") % 10 === 0), oT)
+      Snapshots.commitAppend(l.where(col("o_orderkey") % 7 === 0), lT)
+      MaterializedView.joinRefresh(s, oT, lT, vT, "o_orderkey") // both + cross
+      Snapshots.deleteWhere(s, lT, col("l_quantity") < 10)
+      MaterializedView.joinRefresh(s, oT, lT, vT, "o_orderkey") // ΔR side only
+      MaterializedView.serveJoin(s, vT)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(count(lit(1)).as("n_items"),
+          Portable.dsum(col("l_quantity")).as("sum_qty"),
+          max(col("o_totalprice")).as("o_totalprice"))
+    },
+    Some(s"""WITH ofin AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE (o_orderkey % 10 <> 0 AND o_orderkey % 9 <> 0)
+                  OR o_orderkey % 10 = 0),
+           lfin AS (SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity
+               FROM lineitem WHERE l_quantity >= 10)
+           SELECT o.o_orderkey, o.o_custkey, COUNT(*) AS n_items,
+             ${P.dsum("l_quantity")} AS sum_qty,
+             MAX(o.o_totalprice) AS o_totalprice
+           FROM ofin o JOIN lfin l USING (o_orderkey)
+           GROUP BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(zorderSecondary, mvIncremental, mergeUpsert, bloomPointLookup,
-      snapshotDiff)
+      snapshotDiff, mvJoinIncremental)
 }
 
 /** Copy-on-write mutations — the reference's record insert/update/

@@ -941,4 +941,52 @@ class SourcesSpec extends SparkSpec {
     assert(r6.count() == 4 && r6.where(col("id") === 6L).count() == 0,
       "only the evolved-column match is deleted")
   }
+
+  test("join view: delta-join cost path, bag multiplicity, compaction debt bounded") {
+    import graft.sources.{MaterializedView, Snapshots}
+    import spark.implicits._
+    val root = s"$tmp/mvjoin_unit"
+    Snapshots.deleteRecursively(root)
+    val (lT, rT, vT) = (s"$root/l", s"$root/r", s"$root/v")
+    // right side has a DUPLICATE row for k=2 — the view is a bag
+    Snapshots.commitOverwrite(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "lv"), lT)
+    Snapshots.commitOverwrite(Seq((1L, 10L), (2L, 20L), (2L, 20L), (4L, 40L))
+      .toDF("k", "rv"), rT)
+    MaterializedView.joinRefresh(spark, lT, rT, vT, "k")
+    assert(MaterializedView.lastJoinRefreshMode == "bootstrap")
+    def served(): Set[(Long, String, Long, Long)] = {
+      // count multiplicity by an extra aggregation
+      MaterializedView.serveJoin(spark, vT)
+        .groupBy("k", "lv", "rv").agg(count(lit(1)).as("m"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    assert(served() == Set((1L, "a", 10L, 1L), (2L, "b", 20L, 2L)))
+    // already current → noop; no version churn
+    val vBefore = Snapshots.currentVersion(vT)
+    MaterializedView.joinRefresh(spark, lT, rT, vT, "k")
+    assert(MaterializedView.lastJoinRefreshMode == "noop"
+      && Snapshots.currentVersion(vT) == vBefore)
+    // delete one dup copy on the right + insert matches on both sides
+    Snapshots.deleteWhere(spark, rT, col("rv") === 20L) // kills BOTH copies
+    Snapshots.commitAppend(Seq((4L, "d")).toDF("k", "lv"), lT)
+    Snapshots.commitAppend(Seq((3L, 30L)).toDF("k", "rv"), rT)
+    MaterializedView.joinRefresh(spark, lT, rT, vT, "k")
+    assert(MaterializedView.lastJoinRefreshMode == "delta-join",
+      s"expected the delta path, got ${MaterializedView.lastJoinRefreshMode}")
+    assert(served() == Set((1L, "a", 10L, 1L), (3L, "c", 30L, 1L), (4L, "d", 40L, 1L)))
+    // a long DML sequence stays bounded: every cycle deletes and
+    // re-inserts the same right row; the size-ratio trigger must keep
+    // tombstone debt under control
+    for (i <- 1 to 6) {
+      Snapshots.deleteWhere(spark, rT, col("k") === 1L)
+      Snapshots.commitAppend(Seq((1L, 10L)).toDF("k", "rv"), rT)
+      MaterializedView.joinRefresh(spark, lT, rT, vT, "k")
+    }
+    assert(served() == Set((1L, "a", 10L, 1L), (3L, "c", 30L, 1L), (4L, "d", 40L, 1L)),
+      "serving invariant violated across maintenance cycles")
+    val (baseRows, deltaRows) = Snapshots.compactionDebt(spark, vT)
+    assert(deltaRows <= math.max(baseRows, 1L),
+      s"compaction policy left debt unbounded: base=$baseRows delta=$deltaRows")
+  }
 }
