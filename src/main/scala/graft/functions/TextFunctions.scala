@@ -1733,6 +1733,131 @@ object TextFunctions {
              FROM tk WHERE len(tk) > 0"""))
   }
 
+  /** Per-document keyword extraction — top-3 terms by tf·idf, the
+    * classic document-summarization / tag-generation op. idf in the
+    * BM25 fixed-point convention: (N·1000) DIV df — monotone in df,
+    * exact integer, engine-portable (ln is not bit-portable). Top-k
+    * tie-break: score desc, then term asc.
+    *
+    * Scale shape: three shuffles, every one on a bounded key space —
+    * (doc, term) tf pairs (the inverted-index shape, map-side
+    * combined), df per term (vocabulary-sized), and the per-doc top-k
+    * window, which Spark executes as WindowGroupLimit (the rank
+    * filter pushes into the sort, so no doc's full term list survives
+    * the exchange). No corpus self-join, no global sort.
+    */
+  val keywordsTfidf: QueryDef = QueryDef(
+    "t_keywords_tfidf",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tf = docs.select(col("doc_id"),
+          explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"),
+          expr("tf * ((n * 1000) div df)").as("score"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, unnest(${Portable.textSql.tokensLower}) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+                tf.tf * ((n.n * 1000) // df.df) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN n)
+            SELECT doc_id, term, tf, score, rk FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, term) AS BIGINT) AS rk FROM sc) t
+            WHERE rk <= 3"""))
+
+  /** Per-source quality-score calibration — rank-normalize a raw
+    * quality signal WITHIN each source before applying one global
+    * threshold, so a verbose domain can't crowd out a terse one (the
+    * per-domain analog of `t_source_caps`' count damping: caps bound
+    * volume, calibration normalizes QUALITY). Percentile rank in exact
+    * integer fixed point: (rank−1)·10⁶ DIV (n_s−1) — 0 for the best
+    * doc, 10⁶ for the worst, no IEEE percent_rank rounding to drift
+    * between engines. Keeps each source's top 40 %.
+    *
+    * Scale shape: one shuffle on source; the rank window and the
+    * per-source count share that partitioning (one exchange, plan has
+    * a single sort); output ≈ 0.4·N rows. A skew-heavy source set
+    * would pre-shard the window by (source, salt) and merge ranks —
+    * the documented skew path, not needed at the observed fanout.
+    */
+  val qualityCalibrated: QueryDef = QueryDef(
+    "t_quality_calibrated",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+      val ws = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n_s", count(lit(1)).over(ws))
+        .where(col("n_s") > 1)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("((rk - 1) * 1000000) div (n_s - 1)").as("pct_rank"))
+        .where(col("pct_rank") <= 400000)
+    },
+    Some("""WITH r AS (SELECT doc_id, source, n_chars,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk,
+              COUNT(*) OVER (PARTITION BY source) AS n_s
+            FROM documents)
+            SELECT doc_id, source, n_chars,
+              ((rk - 1) * 1000000) // (n_s - 1) AS pct_rank
+            FROM r WHERE n_s > 1
+              AND ((rk - 1) * 1000000) // (n_s - 1) <= 400000"""))
+
+  /** Deterministic mixture interleave — the training-ORDER manifest
+    * that follows mixture design: every language stratum is spread
+    * UNIFORMLY through the epoch instead of concatenated (curriculum
+    * accident) or RNG-shuffled (irreproducible). Doc with within-
+    * stratum rank r of n_s gets position key pos = (r−1)·10⁹ DIV n_s:
+    * stratum s occupies every ⌈10⁹/n_s⌉-th slot, so a training loader
+    * reading in (pos, lang, doc_id) order sees each batch at the
+    * corpus mixture. Within-stratum order is the hash priority of
+    * `t_stratified_sample` (md5 of doc_id — reproducible, unbiased by
+    * doc content).
+    *
+    * Scale shape: one shuffle on lang for the rank window + a
+    * broadcast count table; pos is pure arithmetic. The manifest is
+    * NOT globally row-numbered — the total order is the SORT KEY
+    * (pos, lang, doc_id), which a distributed range-partitioned sort
+    * (or the `t_shard_export` sharder) realizes without any global
+    * window. Hash-compare is order-insensitive, so the oracle checks
+    * the keys, not a materialized global sequence.
+    */
+  val mixtureInterleave: QueryDef = QueryDef(
+    "t_mixture_interleave",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(substring(md5(col("doc_id").cast("string")), 1, 8), col("doc_id"))
+      val ws = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n_s", count(lit(1)).over(ws))
+        .select(col("doc_id"), col("lang"), col("r"), col("n_s"),
+          expr("((r - 1) * 1000000000) div n_s").as("pos"))
+    },
+    Some("""WITH r AS (SELECT doc_id, lang,
+              CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+                AS BIGINT) AS r,
+              COUNT(*) OVER (PARTITION BY lang) AS n_s
+            FROM documents)
+            SELECT doc_id, lang, r, n_s,
+              ((r - 1) * 1000000000) // n_s AS pos
+            FROM r"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
@@ -1740,5 +1865,6 @@ object TextFunctions {
       upsampleEpochs, invertedSearch, searchIncremental, searchDml,
       phraseSearch, shardExport, chunkRag, searchBm25,
       searchBm25Incremental, searchBm25Dml, hybridRrf,
-      sourceCaps, boilerplate, qualityClassifier)
+      sourceCaps, boilerplate, qualityClassifier,
+      keywordsTfidf, qualityCalibrated, mixtureInterleave)
 }

@@ -338,9 +338,100 @@ object Events {
                 ORDER BY n DESC, event_type) AS BIGINT) AS rk FROM c) t
             WHERE rk <= 2"""))
 
+  /** Time-series resample: gap-fill + forward-fill (the feature-store /
+    * monitoring prep step): the hourly per-type series is completed
+    * over the FULL hour spine (every type × every hour between the
+    * corpus min and max), missing hours get n_events = 0, and the
+    * last-known hourly sum is carried forward (`ffill_value` — null
+    * only before a type's first observation, in both engines).
+    *
+    * Scale shape: the log shuffles ONCE into the hourly aggregate; the
+    * spine is (#types × #hours) rows — derived from a broadcast 1-row
+    * bounds frame + a tiny distinct — and every later step (left join,
+    * per-type forward-fill window) runs on that pre-aggregated frame,
+    * never the raw log. A 100 TB log with a year of hours still
+    * resamples over #types × 8760 rows.
+    */
+  val resample: QueryDef = QueryDef(
+    "q_events_resample",
+    (s, dir) => {
+      val e = events(s, dir).select(sec.as("sec"), col("event_type"), col("value"))
+      val hourly = e
+        .groupBy((floor(col("sec") / 3600.0).cast("long") * 3600).as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), Portable.dsum(col("value")).as("sv"))
+      val bounds = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val spine = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+      val ffw = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("h", "event_type"), "left")
+        .select(col("event_type"), col("h").as("window_start_s"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          last(col("sv"), ignoreNulls = true).over(ffw).as("ffill_value"))
+    },
+    Some(s"""WITH e AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_type, value FROM events),
+            hourly AS (SELECT CAST(FLOOR(sec / 3600.0) AS BIGINT) * 3600 AS h,
+                event_type, COUNT(*) AS n, ${Portable.sql.dsum("value")} AS sv
+              FROM e GROUP BY 1, 2),
+            bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+            spine AS (SELECT t.event_type, g.h
+              FROM (SELECT DISTINCT event_type FROM e) t
+              CROSS JOIN (SELECT unnest(generate_series(h0, h1, 3600)) AS h FROM bounds) g)
+            SELECT s.event_type, s.h AS window_start_s,
+              COALESCE(hourly.n, 0) AS n_events,
+              LAST_VALUE(hourly.sv IGNORE NULLS) OVER (PARTITION BY s.event_type
+                ORDER BY s.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS ffill_value
+            FROM spine s LEFT JOIN hourly ON s.h = hourly.h
+              AND s.event_type = hourly.event_type"""))
+
+  /** SCD Type-2 dimension build — the warehouse change-history shape:
+    * each user's tracked attribute (their latest event_type) becomes a
+    * set of validity intervals. Consecutive equal values COLLAPSE (an
+    * SCD2 row records a CHANGE, not an event): keep only rows whose
+    * lag differs, then valid_to = the next change's valid_from (null =
+    * current version, flagged). Downstream point-in-time lookups are
+    * exactly `q_asof_join` against this table.
+    *
+    * Scale shape: one shuffle on user_id; both windows (the lag that
+    * detects changes and the lead that closes intervals) share that
+    * partitioning, so the second window adds a sort but no exchange.
+    * Per-user history is the sessionize per-entity bound.
+    */
+  val scd2: QueryDef = QueryDef(
+    "q_scd2_history",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_type"), sec.as("t"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      val changes = e
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .withColumn("valid_to", lead(col("t"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("attr"),
+          col("t").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id FROM events),
+            ch AS (SELECT * FROM (
+                SELECT user_id, event_type, t, event_id,
+                  LAG(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+                FROM e) x
+              WHERE prev IS NULL OR prev <> event_type)
+            SELECT user_id, event_type AS attr, t AS valid_from,
+              LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to,
+              (LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL)
+                AS is_current
+            FROM ch"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
-      anomaly, pattern, patternCart, patternRetry, topkWindow)
+      anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from
