@@ -2479,10 +2479,127 @@ object Similarity {
        FROM a2 WHERE a2.vec_id % 10 = 0"""
     })
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998) — the
+    * retrieval-serving step after ANY candidate generator (IVF, BM25,
+    * hybrid): from each query's top-20 relevance pool, select 5
+    * results greedily by Maximal Marginal Relevance
+    * score(d) = λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), λ = 0.7 —
+    * relevance traded against redundancy with what's already picked,
+    * so near-duplicate hits can't crowd the result page.
+    *
+    * Oracle-exact by the beam-search playbook: the greedy loop has a
+    * FIXED round count (K = 5), so DuckDB unrolls it as K MATERIALIZED
+    * CTE stages (default inlining would re-evaluate the selection
+    * chain quadratically); every similarity is the usual exact-integer
+    * dot + one IEEE divide, λ-blend is two IEEE multiplies + a
+    * subtract on bit-identical operands, ties break on n_id — both
+    * engines pick identical argmaxes every round.
+    *
+    * Scale shape: the ONLY corpus-sized work is the candidate pool
+    * (here brute-force top-20 — at serving scale swap in the IVF
+    * probe unchanged, the `s_hard_negatives` convention); the greedy
+    * loop runs on localCheckpointed frames of ≤ P rows per query
+    * (P² pairwise sims = 400 rows/query) — driver-free, but bounded
+    * by the query batch, not the corpus.
+    */
+  val mmrRerank: QueryDef = {
+    val K = 5
+    val P = 20
+    val Lam = 0.7
+    QueryDef(
+      "s_mmr_rerank",
+      (s, dir) => {
+        val v = quantized(Tables.load(s, dir, "embeddings"))
+        val q = broadcast(v.where(col("vec_id") < 3).toDF("q_id", "q_q", "q_nrm"))
+        val scored = q.join(v.toDF("n_id", "n_q", "n_nrm"), col("n_id") =!= col("q_id"))
+          .select(col("q_id"), col("n_id"), col("n_q"), col("n_nrm"),
+            cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("rel"))
+        val wp = Window.partitionBy("q_id").orderBy(col("rel").desc, col("n_id"))
+        val pool = scored.withColumn("rn", row_number().over(wp))
+          .where(col("rn") <= P).drop("rn").localCheckpoint()
+        val simmat = pool.select(col("q_id"), col("n_id").as("a_id"),
+            col("n_q").as("a_q"), col("n_nrm").as("a_nrm"))
+          .join(pool.select(col("q_id").as("bq"), col("n_id").as("b_id"),
+            col("n_q").as("b_q"), col("n_nrm").as("b_nrm")),
+            col("q_id") === col("bq") && col("a_id") =!= col("b_id"))
+          .select(col("q_id"), col("a_id"), col("b_id"),
+            cosine(dotL(col("a_q"), col("b_q")), col("a_nrm"), col("b_nrm")).as("ps"))
+          .localCheckpoint()
+        val rel = pool.select("q_id", "n_id", "rel")
+        var sel = rel.withColumn("rn", row_number().over(wp)).where(col("rn") === 1)
+          .select(col("q_id"), col("n_id"), lit(1L).as("round"), col("rel"))
+          .localCheckpoint()
+        for (r <- 2 to K) {
+          val cand = rel.join(sel.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
+          val ms = simmat
+            .join(sel.select(col("q_id").as("sq"), col("n_id").as("s_id")),
+              col("q_id") === col("sq") && col("b_id") === col("s_id"))
+            .groupBy(col("q_id"), col("a_id")).agg(max(col("ps")).as("ms"))
+          val pick = cand
+            .join(ms, cand("q_id") === ms("q_id") && col("n_id") === col("a_id"))
+            .select(cand("q_id"), col("n_id"), col("rel"),
+              (lit(Lam) * col("rel") - lit(1 - Lam) * col("ms")).as("sc"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("q_id").orderBy(col("sc").desc, col("n_id"))))
+            .where(col("rn") === 1)
+            .select(col("q_id"), col("n_id"), lit(r.toLong).as("round"), col("rel"))
+          sel = sel.union(pick).localCheckpoint()
+        }
+        sel
+      },
+      Some {
+        val rounds = (2 to K).map { r =>
+          val prev = if (r == 2) "s1" else s"sel${r - 1}"
+          s"""cand$r AS MATERIALIZED (SELECT rl.* FROM rl
+                WHERE NOT EXISTS (SELECT 1 FROM $prev s
+                  WHERE s.q_id = rl.q_id AND s.n_id = rl.n_id)),
+              ms$r AS MATERIALIZED (SELECT sm.q_id, sm.a_id, MAX(sm.ps) AS ms
+                FROM sm JOIN $prev s ON sm.q_id = s.q_id AND sm.b_id = s.n_id
+                GROUP BY 1, 2),
+              p$r AS MATERIALIZED (SELECT q_id, n_id, CAST($r AS BIGINT) AS round, rel
+                FROM (SELECT c.q_id, c.n_id, c.rel,
+                    $Lam * c.rel - ${1 - Lam} * m.ms AS sc,
+                    ROW_NUMBER() OVER (PARTITION BY c.q_id
+                      ORDER BY $Lam * c.rel - ${1 - Lam} * m.ms DESC, c.n_id) AS rn
+                  FROM cand$r c JOIN ms$r m
+                    ON c.q_id = m.q_id AND c.n_id = m.a_id) t
+                WHERE rn = 1),
+              sel$r AS MATERIALIZED (SELECT * FROM $prev
+                UNION ALL SELECT * FROM p$r)"""
+        }.mkString(",\n")
+        s"""WITH v AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
+              FROM embeddings),
+            n AS (SELECT vec_id, q,
+                CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+            sc0 AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, b.q AS n_q, b.nrm AS n_nrm,
+                CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+                a.nrm AS na
+              FROM n a JOIN n b ON a.vec_id < 3 AND b.vec_id <> a.vec_id),
+            pool AS MATERIALIZED (SELECT q_id, n_id, n_q, n_nrm, rel FROM (
+                SELECT q_id, n_id, n_q, n_nrm,
+                  CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(n_nrm AS DOUBLE)) AS rel,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                    CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(n_nrm AS DOUBLE)) DESC,
+                    n_id) AS rn
+                FROM sc0) t WHERE rn <= $P),
+            sm AS MATERIALIZED (SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+                CAST(list_sum(list_transform(list_zip(a.n_q, b.n_q), s -> s[1]*s[2])) AS DOUBLE)
+                  / SQRT(CAST(a.n_nrm AS DOUBLE) * CAST(b.n_nrm AS DOUBLE)) AS ps
+              FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+            rl AS MATERIALIZED (SELECT q_id, n_id, rel FROM pool),
+            s1 AS MATERIALIZED (SELECT q_id, n_id, CAST(1 AS BIGINT) AS round, rel FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY rel DESC, n_id) AS rn FROM rl) t WHERE rn = 1),
+            $rounds
+            SELECT q_id, n_id, round, rel FROM sel$K"""
+      })
+  }
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
       knnBeam, knnBeamConverged, graphPagerank, hardNegatives, dedupSemantic,
-      dedupSemanticIncremental)
+      dedupSemanticIncremental, mmrRerank)
 }

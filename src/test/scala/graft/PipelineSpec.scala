@@ -1634,4 +1634,54 @@ class PipelineSpec extends SparkSpec {
       .where(col("clean_fp") =!= col("fp")).count()
     assert(mismatch == 0, "all-kept reassembly must equal the normalized text")
   }
+
+  test("MMR rerank: round 1 is the relevance argmax; selection diversifies vs plain top-5") {
+    val sel = SparkEntry.queries("s_mmr_rerank")(spark, sfDir)
+    val rows = sel.collect()
+    assert(rows.length == 15, s"3 queries x 5 rounds, got ${rows.length}")
+    // per query: 5 distinct picks, rounds 1..5
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 3)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).distinct.length == 5)
+      assert(rs.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    }
+    // round-1 pick per query = the global relevance argmax (bruteforce rank 1)
+    val bf = SparkEntry.queries("s_knn_bruteforce")(spark, sfDir)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))))
+      .where(col("rn") === 1 && col("q_id") < 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byQ.foreach { case (q, rs) =>
+      val r1 = rs.find(_.getLong(2) == 1L).get.getLong(1)
+      assert(bf(q) == r1, s"round-1 pick for query $q must be the relevance top-1")
+    }
+    // diversity: the MMR set's mean pairwise cosine must not exceed the
+    // plain top-5 relevance set's (equality possible if top-5 is already
+    // diverse enough that MMR picks the same set)
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val v = Similarity.quantizedOf(e)
+    def meanPairSim(sets: Map[Long, Seq[Long]]): Double = {
+      val pairs = sets.toSeq.flatMap { case (q, ids) =>
+        for (a <- ids; b <- ids if a < b) yield (q, a, b)
+      }.toDF("q", "a", "b")
+      pairs
+        .join(v.toDF("a", "aq", "an"), "a")
+        .join(v.toDF("b", "bq", "bn"), "b")
+        .select(Similarity.cosine(Similarity.dotL(col("aq"), col("bq")),
+          col("an"), col("bn")).as("s"))
+        .agg(avg("s")).head().getDouble(0)
+    }
+    val mmrSets = byQ.map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+    val top5Sets = SparkEntry.queries("s_knn_bruteforce")(spark, sfDir)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))))
+      .where(col("rn") <= 5 && col("q_id") < 3)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+    val (mmrSim, topSim) = (meanPairSim(mmrSets), meanPairSim(top5Sets))
+    assert(mmrSim <= topSim + 1e-12,
+      s"MMR mean pairwise sim $mmrSim must be <= plain top-5's $topSim")
+  }
 }
