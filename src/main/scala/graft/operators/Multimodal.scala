@@ -57,6 +57,69 @@ object Multimodal {
     }
   }
 
+  /** REAL image features, decoded with the JDK's own codec stack
+    * (`javax.imageio` — PNG/JPEG/GIF/BMP, no external libraries).
+    * `mean_luma_x1000` is the ITU-R BT.601 luma (299·R + 587·G +
+    * 114·B) summed EXACTLY over all pixels in integer arithmetic, then
+    * one integer division by the pixel count — deterministic across
+    * JVMs and partitionings.
+    */
+  case class ImageFeatures(width: Long, height: Long, meanLumaX1000: Long)
+
+  /** Decode real image bytes; None when the payload isn't a supported
+    * image (the router to the stub fallback).
+    */
+  def decodeImage(payload: Array[Byte]): Option[ImageFeatures] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var lumaSum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            lumaSum += 299L * ((rgb >> 16) & 0xff) +
+              587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some(ImageFeatures(w.toLong, h.toLong, lumaSum / (w.toLong * h)))
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  case class DecodedImageRecord(doc_id: Long, n_bytes: Long, is_real: Boolean,
+      width: Long, height: Long, mean_luma_x1000: Long, n_frames: Long)
+
+  /** The production decode path: REAL codec decode where the payload
+    * is a decodable image, the deterministic stub otherwise (this
+    * container's synthetic testdata carries utf-8 text payloads, so
+    * the catalog queries exercise the fallback arm; MultimodalSpec
+    * feeds a real in-memory-encoded PNG through the real arm and
+    * asserts exact dimensions + luma). Same `mapPartitions` batch
+    * shape — payloads never shuffle, decode is map-side.
+    */
+  def decodeAllReal(media: Dataset[MediaRecord]): Dataset[DecodedImageRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        decodeImage(r.payload) match {
+          case Some(f) =>
+            DecodedImageRecord(r.doc_id, r.payload.length.toLong, is_real = true,
+              f.width, f.height, f.meanLumaX1000, 1L)
+          case None =>
+            val s = decodeStub(r.payload, r.doc_id)
+            DecodedImageRecord(r.doc_id, r.payload.length.toLong, is_real = false,
+              s.width, s.height, -1L, s.nFrames)
+        }
+      }
+    }
+  }
+
   /** §2.2 row 32 — metadata + stub-decoded features, expressed as pure
     * column arithmetic so DuckDB can oracle-check the plumbing.
     * (Must stay value-identical to [[decodeStub]]; the MultimodalSpec

@@ -1082,6 +1082,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("real image decode: JDK codec path yields exact dims + luma; non-image falls back to stub") {
+    // encode a REAL 40x20 PNG in memory with the same JDK codec stack
+    // (no external libs): pixel (x, y) = rgb(x*6, y*12, (x+y)*4)
+    val (w, h) = (40, 20)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var expectedLumaSum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = (x * 6, y * 12, (x + y) * 4)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      expectedLumaSum += 299L * r + 587L * g + 114L * b
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val media = Seq(
+      Multimodal.MediaRecord(1L, png),
+      Multimodal.MediaRecord(2L, "definitely not an image payload".getBytes("UTF-8")))
+      .toDS()
+    val out = Multimodal.decodeAllReal(media).collect().map(d => d.doc_id -> d).toMap
+    val real = out(1L)
+    assert(real.is_real, "png payload must route to the real decoder")
+    assert(real.width == w && real.height == h, s"dims ${real.width}x${real.height}")
+    assert(real.mean_luma_x1000 == expectedLumaSum / (w.toLong * h),
+      s"luma ${real.mean_luma_x1000} vs expected ${expectedLumaSum / (w.toLong * h)}")
+    val fake = out(2L)
+    assert(!fake.is_real && fake.mean_luma_x1000 == -1L)
+    val stub = Multimodal.decodeStub("definitely not an image payload".getBytes("UTF-8"), 2L)
+    assert(fake.width == stub.width && fake.height == stub.height
+      && fake.n_frames == stub.nFrames, "fallback arm must equal the stub")
+  }
+
   test("as-of join picks latest prior-or-equal right time, null when none") {
     import graft.operators.AsOfJoin
     val l = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"))
