@@ -1858,6 +1858,45 @@ object TextFunctions {
               ((r - 1) * 1000000000) // n_s AS pos
             FROM r"""))
 
+  /** Deterministic train/validation/test split — the assignment step
+    * every training pipeline runs LAST: split by CONTENT-INDEPENDENT
+    * hash of the stable doc key (md5-60bit of doc_id, mod 10 → 8/1/1),
+    * so the split survives re-crawls, text edits, and backfills (a
+    * text-hash split would migrate docs between splits when content
+    * changes — leakage), and membership is reproducible from the key
+    * alone with no stored assignment table. Reported per (lang,
+    * split): doc and token counts — the stratification audit (hash
+    * uniformity keeps per-language proportions ≈ 8/1/1 without
+    * explicit stratified assignment).
+    *
+    * Scale shape: one map-side hash + one (lang, split) aggregate —
+    * ≤ 3·#langs output rows, one tiny shuffle; the assignment itself
+    * is embarrassingly parallel and joins nothing.
+    */
+  val trainTestSplit: QueryDef = QueryDef(
+    "t_train_test_split",
+    (s, dir) => {
+      val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(10L))
+      Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+            .as("split"),
+          size(expr("filter(split(lower(text), ' '), x -> x <> '')"))
+            .cast("long").as("n_tok"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    },
+    Some(s"""WITH d AS (SELECT lang,
+              ${Portable.textSql.h60("CAST(doc_id AS VARCHAR)")} % 10 AS bucket,
+              CAST(len(${Portable.textSql.tokensLower}) AS BIGINT) AS n_tok
+            FROM documents)
+            SELECT lang,
+              CASE WHEN bucket < 8 THEN 'train'
+                   WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+              COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM d GROUP BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
@@ -1866,5 +1905,5 @@ object TextFunctions {
       phraseSearch, shardExport, chunkRag, searchBm25,
       searchBm25Incremental, searchBm25Dml, hybridRrf,
       sourceCaps, boilerplate, qualityClassifier,
-      keywordsTfidf, qualityCalibrated, mixtureInterleave)
+      keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit)
 }

@@ -925,7 +925,48 @@ object Dedup {
          SELECT doc_id, n_chars, CAST(cluster_size - 1 AS BIGINT) AS n_absorbed
          FROM ranked WHERE rk = 1"""))
 
+  /** Per-source dedup audit — the observability rollup a pipeline
+    * operator reads before deciding which crawl sources to keep: for
+    * each source, doc count, distinct RAW fingerprints, distinct
+    * NORMALIZED fingerprints (the `t_normalize` lowercase/strip/
+    * collapse form), and the two duplication rates in exact fixed
+    * point. The (norm − raw) gap isolates case/punct/spacing variants
+    * that raw exact dedup misses — the signal that decides whether a
+    * source needs the normalized pass at all.
+    *
+    * Scale shape: one aggregate over 16-byte fingerprints keyed by
+    * source (two count-distincts share the shuffle via Spark's expand
+    * — still fingerprint-sized rows, never text); output = one row
+    * per source.
+    */
+  val dedupReport: QueryDef = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    QueryDef(
+      "d_dedup_report",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(col("source"), md5(col("text")).as("raw_fp"), md5(norm).as("norm_fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("raw_fp")).as("n_raw_unique"),
+          countDistinct(col("norm_fp")).as("n_norm_unique"))
+        .select(col("source"), col("n_docs"), col("n_raw_unique"), col("n_norm_unique"),
+          expr("((n_docs - n_raw_unique) * 1000) div n_docs").as("raw_dup_x1000"),
+          expr("((n_docs - n_norm_unique) * 1000) div n_docs").as("norm_dup_x1000")),
+      Some("""WITH f AS (SELECT source, md5(text) AS raw_fp,
+              md5(TRIM(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp
+            FROM documents),
+            a AS (SELECT source, COUNT(*) AS n_docs,
+                COUNT(DISTINCT raw_fp) AS n_raw_unique,
+                COUNT(DISTINCT norm_fp) AS n_norm_unique
+              FROM f GROUP BY 1)
+            SELECT source, n_docs, n_raw_unique, n_norm_unique,
+              ((n_docs - n_raw_unique) * 1000) // n_docs AS raw_dup_x1000,
+              ((n_docs - n_norm_unique) * 1000) // n_docs AS norm_dup_x1000
+            FROM a"""))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exact, paragraph, substring, minhash, editDistance, simhashDef,
-      ngramJaccard, cluster, canonicalByQuality, incremental)
+      ngramJaccard, cluster, canonicalByQuality, incremental, dedupReport)
 }

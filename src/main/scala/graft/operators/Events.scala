@@ -429,9 +429,67 @@ object Events {
                 AS is_current
             FROM ch"""))
 
+  /** Winsorization (robust-stats outlier treatment): per event_type,
+    * values are clipped to that type's own exact [p5, p95] — the
+    * data-cleaning step before any mean-based feature. Discrete
+    * percentiles via row_number over exact integer CENTS (the value
+    * column is 2-decimal; interpolated quantiles are engine-divergent,
+    * the k-th order statistic is not): p5 = the cents value at rank
+    * max(1, (n·5) DIV 100), p95 at rank (n·95 + 99) DIV 100. Output
+    * per type: n, clipped-low/high counts, and the winsorized mean
+    * (exact integer sum, one IEEE divide).
+    *
+    * Scale shape: one shuffle on event_type for the rank window (the
+    * per-type sort is the cost — at 100 TB swap the exact rank for
+    * the mergeable `graft_quantile_sketch` bounds, same clip step);
+    * bounds are a tiny per-type frame broadcast back onto the log.
+    */
+  val winsorize: QueryDef = QueryDef(
+    "q_events_winsorize",
+    (s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val w = Window.partitionBy("event_type").orderBy(col("cents"))
+      val ranked = e.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val bounds = ranked
+        .groupBy(col("event_type").as("bt"), col("n"))
+        .agg(
+          max(when(col("rn") === greatest(lit(1L), expr("(n * 5) div 100")),
+            col("cents"))).as("p5"),
+          max(when(col("rn") === expr("(n * 95 + 99) div 100"),
+            col("cents"))).as("p95"))
+      e.join(broadcast(bounds), col("event_type") === col("bt"))
+        .select(col("event_type"), col("cents"), col("p5"), col("p95"),
+          greatest(col("p5"), least(col("p95"), col("cents"))).as("clipped"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents") < col("p5"), 1L).otherwise(0L)).as("n_clip_low"),
+          sum(when(col("cents") > col("p95"), 1L).otherwise(0L)).as("n_clip_high"),
+          max(col("p5")).as("p5_cents"), max(col("p95")).as("p95_cents"),
+          (sum(col("clipped")).cast("double") / count(lit(1))).as("winsorized_mean_cents"))
+    },
+    Some("""WITH e AS (SELECT event_type,
+              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+            r AS (SELECT event_type, cents,
+              CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+            b AS (SELECT event_type AS bt, n,
+                MAX(CASE WHEN rn = GREATEST(1, (n * 5) // 100) THEN cents END) AS p5,
+                MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS p95
+              FROM r GROUP BY 1, 2)
+            SELECT e.event_type, COUNT(*) AS n,
+              CAST(SUM(CASE WHEN cents < p5 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+              CAST(SUM(CASE WHEN cents > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+              MAX(p5) AS p5_cents, MAX(p95) AS p95_cents,
+              CAST(SUM(GREATEST(p5, LEAST(p95, cents))) AS DOUBLE) / COUNT(*)
+                AS winsorized_mean_cents
+            FROM e JOIN b ON e.event_type = b.bt GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
-      anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2)
+      anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
+      winsorize)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from
