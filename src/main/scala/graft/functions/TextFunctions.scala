@@ -1897,6 +1897,48 @@ object TextFunctions {
               COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
             FROM d GROUP BY 1, 2"""))
 
+  /** Tokenizer-coverage audit (OOV rate): per doc, the fraction of
+    * tokens OUTSIDE the corpus's own top-100 vocabulary, in exact
+    * fixed point — the audit run before committing to a vocabulary /
+    * tokenizer (a high-OOV slice is where a fixed vocab bleeds into
+    * <unk>). Vocabulary = frequency heavy hitters with deterministic
+    * ties (count desc, term asc).
+    *
+    * Scale shape: the vocab is the `t_wordcount` aggregate + a
+    * 100-row TakeOrdered, broadcast back; the per-doc pass is one
+    * explode + a left join against the broadcast vocab + one doc-key
+    * aggregate. The corpus shuffles its (doc, term-hit) flags once;
+    * at a fixed vocab (the production case) the first aggregate
+    * disappears entirely.
+    */
+  val oovRate: QueryDef = QueryDef(
+    "t_oov_rate",
+    (s, dir) => {
+      val tk = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("term"))
+      val vocab = broadcast(tk.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(100)
+        .select(col("term"), lit(1L).as("in_vocab")))
+      tk.join(vocab, Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tok"), col("n_oov"),
+          expr("(n_oov * 1000) div n_tok").as("oov_x1000"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, unnest(${Portable.textSql.tokensLower}) AS term
+              FROM documents),
+            vocab AS (SELECT term FROM (
+                SELECT term, COUNT(*) AS cnt FROM tk GROUP BY 1) t
+              ORDER BY cnt DESC, term LIMIT 100),
+            d AS (SELECT tk.doc_id,
+                COUNT(*) AS n_tok,
+                CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+              FROM tk LEFT JOIN vocab v ON tk.term = v.term GROUP BY 1)
+            SELECT doc_id, n_tok, n_oov, (n_oov * 1000) // n_tok AS oov_x1000
+            FROM d"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
@@ -1905,5 +1947,6 @@ object TextFunctions {
       phraseSearch, shardExport, chunkRag, searchBm25,
       searchBm25Incremental, searchBm25Dml, hybridRrf,
       sourceCaps, boilerplate, qualityClassifier,
-      keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit)
+      keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit,
+      oovRate)
 }

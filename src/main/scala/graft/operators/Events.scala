@@ -486,10 +486,37 @@ object Events {
                 AS winsorized_mean_cents
             FROM e JOIN b ON e.event_type = b.bt GROUP BY 1"""))
 
+  /** Hopping (sliding) window aggregate — 1-hour windows advancing
+    * every 30 minutes, so each event lands in exactly TWO windows (the
+    * smoother dashboard twin of the tumbling `q_events_window`; the
+    * streaming equivalent is `window(ts, '1 hour', '30 minutes')`).
+    * Map-side: each event explodes into its two window starts
+    * (floor-to-hop and floor-to-hop minus one hop), then ONE shuffle
+    * into per-(window, type) partials — the expansion is 2×, never a
+    * range join against a window table.
+    */
+  val hopping: QueryDef = QueryDef(
+    "q_events_hopping",
+    (s, dir) => events(s, dir)
+      .select(col("event_type"), col("value"),
+        explode(array(
+          (floor(sec / 1800.0).cast("long") * 1800),
+          (floor(sec / 1800.0).cast("long") * 1800 - 1800))).as("window_start_s"))
+      .groupBy("window_start_s", "event_type")
+      .agg(count(lit(1)).as("n_events"), Portable.dsum(col("value")).as("sum_value")),
+    Some(s"""WITH e AS (SELECT event_type, value,
+              unnest([CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 1800.0) AS BIGINT) * 1800,
+                      CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 1800.0) AS BIGINT) * 1800 - 1800])
+                AS window_start_s
+             FROM events)
+             SELECT window_start_s, event_type, COUNT(*) AS n_events,
+               ${Portable.sql.dsum("value")} AS sum_value
+             FROM e GROUP BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
-      winsorize)
+      winsorize, hopping)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -2596,10 +2596,69 @@ object Similarity {
       })
   }
 
+  /** Nearest-class-mean (Rocchio) classifier eval — the cheap,
+    * training-free embedding-quality baseline next to `s_knn_purity`'s
+    * kNN agreement: one prototype per label (the EXACT integer class
+    * mean, kept un-divided as (Σ-vector, n) — the Lloyd-step
+    * convention), every vector assigned to its nearest prototype by
+    * the ivf metric Σ(n·x − s)²/n² (numerator exact ≤ 2^53 at these
+    * magnitudes, one IEEE divide, label tie-break), reported as the
+    * confusion matrix (true × predicted counts) — the artifact an
+    * embedding-eval dashboard renders directly.
+    *
+    * Scale shape: prototypes are a per-(label, dim) integer-sum
+    * aggregate (≤ labels × 64 rows); classification is corpus ×
+    * broadcast-prototypes — one pass, no corpus shuffle; the argmin
+    * window partitions by vec_id over #labels rows each; output =
+    * labels² rows.
+    */
+  val nearestCentroid: QueryDef = QueryDef(
+    "s_nearest_centroid",
+    (s, dir) => {
+      val v = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          quantize(col("embedding")).as("q"))
+      val sums = v.select(col("label"), posexplode(col("q"))).toDF("label", "dim", "x")
+        .groupBy("label", "dim").agg(sum(col("x")).as("sv"))
+        .groupBy("label").agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("sv")))),
+          x => x.getField("sv")).as("cs"))
+      val protos = broadcast(
+        sums.join(v.groupBy("label").agg(count(lit(1)).as("cn")), "label")
+          .select(col("label").as("plabel"), col("cs"), col("cn")))
+      val w = Window.partitionBy("vec_id").orderBy(col("m"), col("plabel"))
+      v.crossJoin(protos)
+        .select(col("vec_id"), col("label"), col("plabel"),
+          (graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
+            .cast("double") / (col("cn") * col("cn")).cast("double")).as("m"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .groupBy(col("label").as("true_label"), col("plabel").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+              list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
+            FROM embeddings),
+            sums AS (SELECT label, i AS dim, CAST(SUM(q[i]) AS BIGINT) AS sv
+              FROM v CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+            cs AS (SELECT label, list(sv ORDER BY dim) AS cs FROM sums GROUP BY label),
+            proto AS (SELECT cs.label AS plabel, cs.cs, c.cn
+              FROM cs JOIN (SELECT label, COUNT(*) AS cn FROM v GROUP BY label) c
+                ON cs.label = c.label),
+            scored AS (SELECT v.vec_id, v.label, p.plabel,
+                CAST(list_sum(list_transform(list_zip(v.q, p.cs),
+                  z -> (p.cn * z[1] - z[2]) * (p.cn * z[1] - z[2]))) AS DOUBLE)
+                  / CAST(p.cn * p.cn AS DOUBLE) AS m
+              FROM v CROSS JOIN proto p),
+            a AS (SELECT vec_id, label, plabel,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY m, plabel) AS rn
+              FROM scored)
+            SELECT label AS true_label, plabel AS pred_label, COUNT(*) AS n
+            FROM a WHERE rn = 1 GROUP BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
       knnBeam, knnBeamConverged, graphPagerank, hardNegatives, dedupSemantic,
-      dedupSemanticIncremental, mmrRerank)
+      dedupSemanticIncremental, mmrRerank, nearestCentroid)
 }
