@@ -1939,6 +1939,70 @@ object TextFunctions {
             SELECT doc_id, n_tok, n_oov, (n_oov * 1000) // n_tok AS oov_x1000
             FROM d"""))
 
+  /** Corpus drift report — the distribution-shift audit between a
+    * BASELINE slice and a CANDIDATE slice (here the even/odd doc_id
+    * halves standing in for two crawls; production: two snapshot
+    * versions): n_chars bucketed into the BASELINE's own deciles
+    * (discrete order statistics — bound k = the value at rank
+    * (n·k) DIV 10, deterministic under ties), both slices counted per
+    * bucket, and the per-bucket proportion gap |Δ|·1000 reported in
+    * exact fixed point. Σ|Δ|/2 over buckets is total-variation
+    * distance — the ln-free, integer-exact drift score (PSI's ln is
+    * not bit-portable across engines; TVD is the monotone core).
+    *
+    * Scale shape: decile bounds come from ONE rank window over the
+    * baseline (at 100 TB: the mergeable quantile sketch instead, same
+    * bucket step), collected as a 9-element broadcast array; bucketing
+    * is a map-side filter-count against that array; one tiny bucket
+    * aggregate ends the plan. Output = ≤ 10 rows.
+    */
+  val corpusDrift: QueryDef = QueryDef(
+    "t_corpus_drift",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), (col("doc_id") % 2 === 0).as("is_base"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"), col("doc_id"))
+      val base = d.where(col("is_base"))
+      val bounds = broadcast(base
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over())
+        .where((1 to 9).map(k => col("rn") === expr(s"(n * $k) div 10"))
+          .reduce(_ || _))
+        .agg(sort_array(collect_list(col("n_chars"))).as("bs")))
+      val counts = d.crossJoin(bounds)
+        .select(col("is_base"),
+          size(filter(col("bs"), b => col("n_chars") > b)).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+          sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cand"))
+      val tots = broadcast(counts.agg(sum(col("n_base")).as("tb"), sum(col("n_cand")).as("tc")))
+      counts.crossJoin(tots)
+        .select(col("bucket"), col("n_base"), col("n_cand"),
+          expr("(n_base * 1000) div tb").as("p_base_x1000"),
+          expr("(n_cand * 1000) div tc").as("p_cand_x1000"),
+          abs(expr("(n_base * 1000) div tb") - expr("(n_cand * 1000) div tc"))
+            .as("absdiff_x1000"))
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars, doc_id % 2 = 0 AS is_base FROM documents),
+            r AS (SELECT n_chars,
+                CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+                COUNT(*) OVER () AS n
+              FROM d WHERE is_base),
+            bs AS (SELECT list_sort(list(n_chars)) AS bs FROM r
+              WHERE rn IN ((n*1)//10, (n*2)//10, (n*3)//10, (n*4)//10, (n*5)//10,
+                           (n*6)//10, (n*7)//10, (n*8)//10, (n*9)//10)),
+            c AS (SELECT CAST(len(list_filter(bs.bs, b -> d.n_chars > b)) AS BIGINT) AS bucket,
+                CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_cand
+              FROM d CROSS JOIN bs GROUP BY 1),
+            t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+                CAST(SUM(n_cand) AS BIGINT) AS tc FROM c)
+            SELECT bucket, n_base, n_cand,
+              (n_base * 1000) // tb AS p_base_x1000,
+              (n_cand * 1000) // tc AS p_cand_x1000,
+              ABS((n_base * 1000) // tb - (n_cand * 1000) // tc) AS absdiff_x1000
+            FROM c CROSS JOIN t"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
@@ -1948,5 +2012,5 @@ object TextFunctions {
       searchBm25Incremental, searchBm25Dml, hybridRrf,
       sourceCaps, boilerplate, qualityClassifier,
       keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit,
-      oovRate)
+      oovRate, corpusDrift)
 }

@@ -513,10 +513,70 @@ object Events {
                ${Portable.sql.dsum("value")} AS sum_value
              FROM e GROUP BY 1, 2"""))
 
+  /** Per-type activity trend — OLS slope + Pearson r of the hourly
+    * event count against time, from EXACT integer moments (the
+    * `q_events_anomaly` convention): x = hour index CENTERED on each
+    * type's own minimum (keeps n·Σx² ≤ 2^53 — raw epoch-hour indexes
+    * would overflow the exact-double range), y = hourly count;
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) and r likewise are a
+    * handful of IEEE ops on bit-identical integers → portable.
+    * Degenerate series (constant x or constant y) are filtered, not
+    * divided by zero.
+    *
+    * Scale shape: the log shuffles once into hourly counts; moments
+    * are a per-type aggregate over those (tiny); everything after is
+    * per-row arithmetic on #types rows.
+    */
+  val trend: QueryDef = QueryDef(
+    "q_events_trend",
+    (s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(floor(sec / 3600.0).cast("long").as("h"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+      val centered = hourly
+        .withColumn("hmin", min(col("h")).over(
+          Window.partitionBy("event_type")))
+        .select(col("event_type"), (col("h") - col("hmin")).as("x"), col("y"))
+      centered.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .where(col("n") > 1 &&
+          (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("n") * col("syy") - col("sy") * col("sy")) > 0)
+        .select(col("event_type"), col("n").as("n_hours"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope_per_hour"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            .as("pearson_r"))
+    },
+    Some("""WITH hourly AS (SELECT
+              CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT) AS h,
+              event_type, COUNT(*) AS y
+            FROM events GROUP BY 1, 2),
+            c AS (SELECT event_type,
+                h - MIN(h) OVER (PARTITION BY event_type) AS x, y
+              FROM hourly),
+            m AS (SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+                CAST(SUM(y*y) AS BIGINT) AS syy
+              FROM c GROUP BY 1)
+            SELECT event_type, n AS n_hours,
+              CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+                AS slope_per_hour,
+              CAST(n*sxy - sx*sy AS DOUBLE) /
+                SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+                AS pearson_r
+            FROM m WHERE n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
-      winsorize, hopping)
+      winsorize, hopping, trend)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from
