@@ -547,7 +547,32 @@ object Snapshots {
   def compactionDebt(spark: SparkSession, table: String): (Long, Long) = {
     val v = currentVersion(table)
     if (v == 0) return (0L, 0L)
-    val counts = manifestDirs(table, v).map(d => spark.read.parquet(d).count())
+    // exact row counts straight off the parquet FOOTERS, on the
+    // driver — a policy check must not cost one Spark job per
+    // manifest dir (it runs inside every maintenance entry point;
+    // a long-lived table can carry many delta dirs). Footer row
+    // counts are exact (written by the committing job), so the
+    // policy math is unchanged.
+    val conf = spark.sessionState.newHadoopConf()
+    def rowsOf(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0L
+      else
+        fs.listStatus(p).iterator
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              var n = 0L
+              val it = r.getFooter.getBlocks.iterator()
+              while (it.hasNext) n += it.next().getRowCount
+              n
+            } finally r.close()
+          }.sum
+    }
+    val counts = manifestDirs(table, v).map(rowsOf)
     (counts.head, counts.tail.sum)
   }
 
