@@ -72,6 +72,20 @@ object EventStreams {
       .select(unix_timestamp(col("window.start")).as("window_start_s"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming HOPPING window aggregate — 1-hour windows every 30
+    * minutes via Spark's native sliding `window(…, '1 hour',
+    * '30 minutes')`; the streaming twin of the batch
+    * `q_events_hopping` (which realizes the same two-windows-per-event
+    * expansion with an explicit explode).
+    */
+  def windowHopping(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .groupBy(window(col("event_time"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   case class EventRow(event_id: Long, ts: Long, user_id: Long)
   case class SessionState(lastSec: Long, nSessions: Long, nEvents: Long)
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)

@@ -23,6 +23,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming hopping window agg matches batch q_events_hopping") {
+    val streamed = EventStreams.runToMemory(
+      EventStreams.windowHopping(EventStreams.readEvents(spark, sfDir)),
+      "winHop", OutputMode.Complete())
+      .select("window_start_s", "event_type", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val batch = SparkEntry.queries("q_events_hopping")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(streamed == batch)
+  }
+
   test("streaming dedup collapses duplicated events to distinct ids") {
     // double the stream so every event id arrives twice
     val doubled = EventStreams.readEvents(spark, sfDir)
