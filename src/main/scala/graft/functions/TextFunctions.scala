@@ -2003,6 +2003,85 @@ object TextFunctions {
               ABS((n_base * 1000) // tb - (n_cand * 1000) // tc) AS absdiff_x1000
             FROM c CROSS JOIN t"""))
 
+  /** The CURATION capstone — this round's operators fused into the
+    * one plan a data team would actually ship, proving they COMPOSE:
+    * per-source quality calibration (keep each source's top-40 % by
+    * percentile rank — `t_quality_calibrated`'s gate) → per-domain
+    * √-caps on the survivors (`t_source_caps`' damping, re-counted on
+    * the calibrated set) → deterministic 8/1/1 split assignment
+    * (`t_train_test_split`'s content-independent key hash) → the
+    * per-(lang, split) interleave position key
+    * (`t_mixture_interleave`'s manifest). Output: one manifest row
+    * per surviving doc — exactly what a trainer's loader reads.
+    *
+    * Scale shape: Catalyst fuses the calibration and cap stages onto
+    * ONE source-keyed exchange (two in-partition sorts — rank by
+    * quality, then re-rank the survivors), the split hash is
+    * map-side, and the interleave adds one (lang, split)-keyed
+    * exchange: the corpus shuffles twice end to end, both times on
+    * bounded keys, with only tiny count frames broadcast between
+    * stages.
+    */
+  val pipelineCuration: QueryDef = QueryDef(
+    "t_pipeline_curation",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val bySrcQuality = W.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      // stage 1: per-source percentile-rank calibration, top 40 %
+      val calibrated = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(bySrcQuality).cast("long"))
+        .withColumn("n_s", count(lit(1)).over(W.partitionBy("source")))
+        .where(col("n_s") > 1 &&
+          expr("((rk - 1) * 1000000) div (n_s - 1)") <= 400000)
+        .drop("rk", "n_s")
+      // stage 2: sqrt caps re-counted on the calibrated survivors
+      val capped = calibrated
+        .withColumn("rk2", row_number().over(bySrcQuality).cast("long"))
+        .withColumn("n_c", count(lit(1)).over(W.partitionBy("source")))
+        .where(col("rk2") <= ceil(sqrt(col("n_c").cast("double"))).cast("long"))
+        .drop("rk2", "n_c")
+      // stage 3: content-independent split hash
+      val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(10L))
+      val split = capped.withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+      // stage 4: interleave position key within (lang, split)
+      val byPriority = W.partitionBy("lang", "split")
+        .orderBy(substring(md5(col("doc_id").cast("string")), 1, 8), col("doc_id"))
+      split
+        .withColumn("r", row_number().over(byPriority).cast("long"))
+        .withColumn("n_ls", count(lit(1)).over(W.partitionBy("lang", "split")))
+        .select(col("doc_id"), col("lang"), col("source"), col("split"),
+          expr("((r - 1) * 1000000000) div n_ls").as("pos"))
+    },
+    Some(s"""WITH cal AS (SELECT doc_id, lang, source, n_chars FROM (
+                SELECT doc_id, lang, source, n_chars,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk,
+                  COUNT(*) OVER (PARTITION BY source) AS n_s
+                FROM documents) t
+              WHERE n_s > 1 AND ((rk - 1) * 1000000) // (n_s - 1) <= 400000),
+            cap AS (SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk2,
+                  COUNT(*) OVER (PARTITION BY source) AS n_c
+                FROM cal) t
+              WHERE rk2 <= CAST(CEIL(SQRT(n_c)) AS BIGINT)),
+            sp AS (SELECT doc_id, lang, source,
+                CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM (SELECT *, ${Portable.textSql.h60("CAST(doc_id AS VARCHAR)")} % 10 AS b
+                    FROM cap) t)
+            SELECT doc_id, lang, source, split,
+              ((CAST(ROW_NUMBER() OVER (PARTITION BY lang, split
+                  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+                  AS BIGINT) - 1) * 1000000000)
+                // (COUNT(*) OVER (PARTITION BY lang, split)) AS pos
+            FROM sp"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
@@ -2012,5 +2091,5 @@ object TextFunctions {
       searchBm25Incremental, searchBm25Dml, hybridRrf,
       sourceCaps, boilerplate, qualityClassifier,
       keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit,
-      oovRate, corpusDrift)
+      oovRate, corpusDrift, pipelineCuration)
 }
