@@ -1113,6 +1113,38 @@ class PipelineSpec extends SparkSpec {
       && fake.n_frames == stub.nFrames, "fallback arm must equal the stub")
   }
 
+  test("winsorize invariants: clip fractions bounded by the percentile ranks, mean inside [p5, p95]") {
+    val rows = SparkEntry.queries("q_events_winsorize")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (p5, p95, mean) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(p5 <= p95, s"${r.getString(0)}: p5 $p5 > p95 $p95")
+      // strictly-below-p5 rows have rank < max(1,(n*5) div 100) <= 0.05n;
+      // strictly-above-p95 rows number at most n - (n*95+99) div 100 <= 0.05n
+      assert(lo * 100 <= n * 5, s"${r.getString(0)}: clip_low $lo of $n")
+      assert(hi * 100 <= n * 5, s"${r.getString(0)}: clip_high $hi of $n")
+      assert(mean >= p5 && mean <= p95,
+        s"${r.getString(0)}: winsorized mean $mean outside [$p5, $p95]")
+    }
+  }
+
+  test("train/test split: deterministic across runs, per-lang proportions near 8/1/1") {
+    val run1 = SparkEntry.queries("t_train_test_split")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val run2 = SparkEntry.queries("t_train_test_split")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(run1 == run2, "split assignment must be bit-deterministic")
+    val byLang = run1.groupBy(_._1._1)
+    byLang.foreach { case (lang, cells) =>
+      val tot = cells.values.map(_._1).sum.toDouble
+      val train = cells.collectFirst { case ((_, "train"), (n, _)) => n }.getOrElse(0L)
+      // hash uniformity: the 80% arm stays within a wide deterministic band
+      assert(train / tot > 0.6 && train / tot < 0.95,
+        s"$lang train fraction ${train / tot}")
+    }
+  }
+
   test("as-of join picks latest prior-or-equal right time, null when none") {
     import graft.operators.AsOfJoin
     val l = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"))
