@@ -246,9 +246,83 @@ object StatsQueries {
               CAST((max_cnt * n_keys + n_rows - 1) // n_rows AS BIGINT) AS suggested_salt
             FROM m"""))
 
+  /** Data-quality constraint suite (the Deequ / dbt-test shape): a
+    * declarative set of table constraints evaluated in one run, each
+    * reported as (constraint, n_violations, pass) — the CI gate a
+    * data platform runs on every snapshot before publishing. Five
+    * representative constraint FAMILIES over the TPC-H + events
+    * tables: key uniqueness (count vs distinct — never a self-join),
+    * referential integrity (LEFT ANTI count of orphan FKs), not-null,
+    * numeric range, and set membership. A zero-violation row still
+    * ships — the artifact proves the check RAN, not merely that
+    * nothing fired.
+    *
+    * Scale shape: each check is one narrow aggregate or one anti-join
+    * on the key it validates (the FK check broadcasts nothing — the
+    * orphan probe is the standard shuffle anti-join, AQE-planned);
+    * the report is a union of 1-row frames. At 100 TB each family
+    * stays a single pass over the columns it names.
+    */
+  val dataQuality: QueryDef = QueryDef(
+    "q_data_quality",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val events = Tables.load(s, dir, "events")
+      def report(name: String, viol: DataFrame): DataFrame =
+        viol.select(lit(name).as("constraint"),
+          col("n_violations"), (col("n_violations") === 0L).as("pass"))
+      val unique = report("orders_pk_unique",
+        orders.agg((count(lit(1)) -
+          countDistinct(col("o_orderkey"))).as("n_violations")))
+      val fk = report("lineitem_orderkey_fk",
+        lineitem.select(col("l_orderkey"))
+          .join(orders.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations")))
+      val notNull = report("orders_custkey_not_null",
+        orders.agg(sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("n_violations")))
+      val range = report("lineitem_quantity_range_1_50",
+        lineitem.agg(sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("n_violations")))
+      val domain = report("events_type_in_domain",
+        events.agg(sum(when(col("event_type")
+          .isin("click", "view", "purchase", "signup", "error"), 0L)
+          .otherwise(1L)).as("n_violations")))
+      unique.unionByName(fk).unionByName(notNull).unionByName(range)
+        .unionByName(domain)
+    },
+    Some("""SELECT 'orders_pk_unique' AS constraint,
+              COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations,
+              COUNT(*) - COUNT(DISTINCT o_orderkey) = 0 AS pass FROM orders
+            UNION ALL
+            SELECT 'lineitem_orderkey_fk',
+              (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+              (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0
+            UNION ALL
+            SELECT 'orders_custkey_not_null',
+              CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem_quantity_range_1_50',
+              CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'events_type_in_domain',
+              CAST(SUM(CASE WHEN event_type IN ('click','view','purchase','signup','error')
+                THEN 0 ELSE 1 END) AS BIGINT),
+              CAST(SUM(CASE WHEN event_type IN ('click','view','purchase','signup','error')
+                THEN 0 ELSE 1 END) AS BIGINT) = 0
+            FROM events"""))
+
   val defs: Seq[QueryDef] =
     Seq(histogram, tableStats, stringHistogram, approxStats, histogramEquiDepth,
-      sketchQuantiles, skewProfile)
+      sketchQuantiles, skewProfile, dataQuality)
 
   /** Equi-width histogram summary of a numeric column: (lo, hi,
     * bucket counts). One narrow aggregate pass; the B-bucket result is
