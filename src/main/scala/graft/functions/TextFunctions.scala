@@ -2082,6 +2082,48 @@ object TextFunctions {
                 // (COUNT(*) OVER (PARTITION BY lang, split)) AS pos
             FROM sp"""))
 
+  /** Dictionary / label encoding (the StringIndexer shape): each
+    * categorical column gets a dense integer code book ordered by
+    * (frequency desc, value) — the densest codes go to the hottest
+    * values, ties broken lexically so the mapping is deterministic —
+    * and every doc is encoded through a broadcast join. The
+    * feature-encoding step before any model training or dictionary-
+    * compressed export.
+    *
+    * Scale shape: each code book is one map-side-combined count over
+    * the column + a rank over the CARDINALITY-sized frame (languages,
+    * sources — never the corpus; a data-sized cardinality would use
+    * the hash-bucket trick of `t_quality_classifier` instead); the
+    * encode pass is two broadcast joins, zero corpus shuffles.
+    */
+  val labelEncode: QueryDef = QueryDef(
+    "t_label_encode",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      def dict(c: String) = broadcast(
+        d.groupBy(col(c).as("value")).agg(count(lit(1)).as("freq"))
+          .withColumn("code",
+            (row_number().over(W.orderBy(col("freq").desc, col("value"))) - 1)
+              .cast("long"))
+          .select(col("value").as(s"${c}_v"), col("code").as(s"${c}_code")))
+      d.select(col("doc_id"), col("lang"), col("source"))
+        .join(dict("lang"), col("lang") === col("lang_v"))
+        .join(dict("source"), col("source") === col("source_v"))
+        .select(col("doc_id"), col("lang"), col("lang_code"),
+          col("source"), col("source_code"))
+    },
+    Some("""WITH lc AS (SELECT lang AS v,
+              CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lang) - 1 AS BIGINT) AS code
+              FROM documents GROUP BY lang),
+            sc AS (SELECT source AS v,
+              CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, source) - 1 AS BIGINT) AS code
+              FROM documents GROUP BY source)
+            SELECT d.doc_id, d.lang, lc.code AS lang_code,
+              d.source, sc.code AS source_code
+            FROM documents d JOIN lc ON d.lang = lc.v
+              JOIN sc ON d.source = sc.v"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
@@ -2091,5 +2133,5 @@ object TextFunctions {
       searchBm25Incremental, searchBm25Dml, hybridRrf,
       sourceCaps, boilerplate, qualityClassifier,
       keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit,
-      oovRate, corpusDrift, pipelineCuration)
+      oovRate, corpusDrift, pipelineCuration, labelEncode)
 }
