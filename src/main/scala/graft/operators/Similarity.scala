@@ -2655,10 +2655,59 @@ object Similarity {
             SELECT label AS true_label, plabel AS pred_label, COUNT(*) AS n
             FROM a WHERE rn = 1 GROUP BY 1, 2"""))
 
+  /** Triangle count + global clustering coefficient over the
+    * PERSISTED kNN graph — the structural-health diagnostic of a
+    * similarity graph (a healthy kNN graph over clustered data is
+    * triangle-dense; a near-random one is not), next to
+    * `s_graph_pagerank`'s centrality. Standard ordered-vertex
+    * two-join count: undirected distinct edges with a < b, a triangle
+    * is (a,b) ⋈ (b,c) ⋈ (a,c) — each counted exactly once; global
+    * coefficient = 3·T / wedges with wedges = Σ d(v)·(d(v)−1)/2, all
+    * exact integers (the one DIV is fixed-point ×1000).
+    *
+    * Scale shape: the edge table is N·K rows (bounded out-degree K),
+    * so the path join's fanout is ≤ K per vertex — the kNN graph is
+    * exactly the graph class where the naive two-join IS the scalable
+    * plan (a power-law graph would order vertices by degree first);
+    * two shuffles on vertex keys, output is one row.
+    */
+  val graphTriangles: QueryDef = QueryDef(
+    "s_graph_triangles",
+    (s, dir) => {
+      val g = knnGraphTable(s, dir)
+      val e = g.select(least(col("g_src"), col("g_dst")).as("a"),
+          greatest(col("g_src"), col("g_dst")).as("b"))
+        .where(col("a") =!= col("b")).distinct().localCheckpoint()
+      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(sum(expr("(d * (d - 1)) div 2")).as("wedges"),
+        count(lit(1)).as("n_nodes"))
+      val tri = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+        .join(e.toDF("a", "c"), Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(wedges).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("wedges"),
+          expr("(n_triangles * 3000) div greatest(wedges, 1)").as("global_cc_x1000"))
+    },
+    Some(s"""WITH $graphSqlCtes,
+         e AS (SELECT DISTINCT LEAST(g_src, g_dst) AS a, GREATEST(g_src, g_dst) AS b
+             FROM graph WHERE g_src <> g_dst),
+         deg AS (SELECT v, COUNT(*) AS d FROM (
+             SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) u GROUP BY v),
+         w AS (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS wedges,
+             COUNT(*) AS n_nodes FROM deg),
+         t AS (SELECT COUNT(*) AS n_triangles FROM e e1
+             JOIN e e2 ON e1.b = e2.a
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         ne AS (SELECT COUNT(*) AS n_edges FROM e)
+         SELECT n_nodes, n_edges, n_triangles, wedges,
+           (n_triangles * 3000) // GREATEST(wedges, 1) AS global_cc_x1000
+         FROM ne, w, t"""))
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
       knnBeam, knnBeamConverged, graphPagerank, hardNegatives, dedupSemantic,
-      dedupSemanticIncremental, mmrRerank, nearestCentroid)
+      dedupSemanticIncremental, mmrRerank, nearestCentroid, graphTriangles)
 }
