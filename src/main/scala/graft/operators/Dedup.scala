@@ -966,7 +966,62 @@ object Dedup {
             FROM a"""))
   }
 
+  /** Cross-source vocabulary overlap — the MIRROR-DOMAIN detector a
+    * crawl-curation pipeline runs at the SOURCE level (doc-level dedup
+    * can't see that two hosts serve the same site under different
+    * boilerplate): each source is summarized by its top-50 terms
+    * (frequency heavy hitters, deterministic ties), and source pairs
+    * are scored by the Jaccard of those term sets in exact fixed
+    * point. Pairs sharing no top term carry no signal and are
+    * omitted (identically in both engines — a zero row can't rank).
+    *
+    * Scale shape: per-source vocabularies via one (source, term)
+    * count + a per-source top-k window (vocabulary-sized, map-side
+    * combined — documents never pairwise); the pair scores come from
+    * a TERM-keyed self-join of the 50-row summaries — #sources × 50
+    * rows, tiny at any corpus size. This is the point: source-level
+    * similarity reduces an N²-doc problem to an S²-summary one.
+    */
+  val sourceOverlap: QueryDef = QueryDef(
+    "d_source_overlap",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val tf = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      val top = tf.withColumn("rk", row_number().over(
+          W.partitionBy("source").orderBy(col("cnt").desc, col("term"))))
+        .where(col("rk") <= 50).select("source", "term").localCheckpoint()
+      val sizes = broadcast(top.groupBy(col("source").as("sz_s"))
+        .agg(count(lit(1)).as("sz")))
+      val inter = top.toDF("s1", "term")
+        .join(top.toDF("s2", "t2"), col("term") === col("t2") && col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes, col("s1") === col("sz_s")).withColumnRenamed("sz", "n1").drop("sz_s")
+        .join(sizes, col("s2") === col("sz_s")).withColumnRenamed("sz", "n2").drop("sz_s")
+        .select(col("s1"), col("s2"), col("inter"),
+          expr("(inter * 1000) div (n1 + n2 - inter)").as("jaccard_x1000"))
+    },
+    Some("""WITH tk AS (SELECT source,
+              unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+            FROM documents),
+            tf AS (SELECT source, term, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+            top AS (SELECT source, term FROM (
+                SELECT source, term, ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY cnt DESC, term) AS rk FROM tf) t
+              WHERE rk <= 50),
+            sz AS (SELECT source, COUNT(*) AS n FROM top GROUP BY 1),
+            i AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+              FROM top a JOIN top b ON a.term = b.term AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT s1, s2, inter,
+              (inter * 1000) // (x.n + y.n - inter) AS jaccard_x1000
+            FROM i JOIN sz x ON i.s1 = x.source JOIN sz y ON i.s2 = y.source"""))
+
   val defs: Seq[QueryDef] =
     Seq(exact, paragraph, substring, minhash, editDistance, simhashDef,
-      ngramJaccard, cluster, canonicalByQuality, incremental, dedupReport)
+      ngramJaccard, cluster, canonicalByQuality, incremental, dedupReport,
+      sourceOverlap)
 }
