@@ -136,5 +136,18 @@ object GraftExtensions {
           case d: Double => Seq(d)
           case x => throw new IllegalArgumentException(s"quantiles must be a double array, got $x")
         }
-      })))
+      })),
+    (FunctionIdentifier("graft_freq_sketch"),
+      new ExpressionInfo(classOf[graft.functions.FreqSketch].getName, "graft_freq_sketch"),
+      (exprs: Seq[Expression]) => {
+        if (!exprs(1).foldable)
+          throw new IllegalArgumentException(
+            "graft_freq_sketch: k must be a foldable integer literal, " +
+              s"got ${exprs(1).sql}")
+        graft.functions.FreqSketch.of(exprs.head, exprs(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case x => throw new IllegalArgumentException(s"k must be an int, got $x")
+        })
+      }))
 }

@@ -147,6 +147,128 @@ object QuantileSketch {
   }
 }
 
+/** Misra-Gries frequent-items summary — the heavy-hitters aggregate of
+  * the native tier (the mechanism behind every engine's `frequent
+  * items` / topK sketch; Misra & Gries 1982, merge rule from Agarwal
+  * et al., "Mergeable Summaries", PODS 2012).
+  *
+  * The buffer is ≤ k (item → counter) entries. Update: increment a
+  * present item; insert at 1 if there is room; otherwise decrement ALL
+  * counters by one and drop zeros (each such step retires k+1 units of
+  * stream mass, which is where the error bound comes from). Merge:
+  * add counters, then subtract the (k+1)-th largest counter value from
+  * every entry and drop non-positives — at most k survive, and the
+  * subtracted value is exactly the mass the bound charges.
+  *
+  * Guarantees, under ANY merge order / partitioning / retry:
+  *  - UNDERCOUNT ONLY: est(x) ≤ true(x);
+  *  - BOUNDED ERROR:   true(x) − est(x) ≤ N/(k+1);
+  *  - GUARANTEED PRESENCE: every x with true(x) > N/(k+1) is in the
+  *    summary (its estimate is positive by the two bounds above).
+  * The estimates themselves may differ across merge orders (unlike
+  * [[QuantileSketch]] this sketch is not value-deterministic) — so
+  * catalog queries emit the theorem-guaranteed BOOLEAN verdicts next
+  * to exact counts, which are deterministic in every engine, and the
+  * shuffle carries one ≤ k-entry map per group either way.
+  */
+case class FreqSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  require(k >= 1, "k must be positive")
+
+  private val entryType = new org.apache.spark.sql.types.StructType()
+    .add("term", org.apache.spark.sql.types.StringType, nullable = false)
+    .add("est", org.apache.spark.sql.types.LongType, nullable = false)
+  override def dataType: DataType = ArrayType(entryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = "graft_freq_sketch"
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty[String, Long]
+
+  override def update(buf: mutable.HashMap[String, Long], input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.toString
+      buf.get(s) match {
+        case Some(c) => buf.update(s, c + 1L)
+        case None if buf.size < k => buf.update(s, 1L)
+        case None => // Misra-Gries step: charge one unit to everyone
+          val dead = new mutable.ArrayBuffer[String](4)
+          buf.mapValuesInPlace((_, c) => c - 1L)
+          buf.foreach { case (t, c) => if (c <= 0L) dead += t }
+          dead.foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
+    if (a.size > k) {
+      // subtract the (k+1)-th largest counter value; ≤ k survive
+      val vals = a.values.toArray
+      java.util.Arrays.sort(vals)
+      val sub = vals(vals.length - (k + 1))
+      val dead = new mutable.ArrayBuffer[String](a.size - k)
+      a.mapValuesInPlace((_, c) => c - sub)
+      a.foreach { case (t, c) => if (c <= 0L) dead += t }
+      dead.foreach(a.remove)
+    }
+    a
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    // deterministic emission order for a given buffer: est desc, term
+    val rows = buf.toArray.sortBy { case (t, c) => (-c, t) }.map { case (t, c) =>
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(t), c)
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FreqSketch =
+    copy(child = newChildren.head)
+}
+
+object FreqSketch {
+  /** Construct over any child: non-string inputs get an explicit cast
+    * (the [[QuantileSketch.of]] convention — unresolved Column-API
+    * attributes report NullType until analysis, so the cast also
+    * carries the declared type through construction).
+    */
+  def of(child: Expression, k: Int): FreqSketch =
+    FreqSketch(
+      if (child.dataType == org.apache.spark.sql.types.StringType) child
+      else Cast(child, org.apache.spark.sql.types.StringType), k)
+}
+
 /** Column-API entry points for the sketch aggregates. */
 object Sketches {
   /** Quantile estimates at `qs` from one deterministic mergeable
@@ -154,4 +276,10 @@ object Sketches {
     */
   def quantileSketch(c: Column, qs: Seq[Double]): Column =
     B.column(QuantileSketch.of(B.expression(c), qs).toAggregateExpression())
+
+  /** ≤ k frequent-item candidates as array<struct<term, est>> — see
+    * [[FreqSketch]] for the three merge-order-independent guarantees.
+    */
+  def freqSketch(c: Column, k: Int): Column =
+    B.column(FreqSketch.of(B.expression(c), k).toAggregateExpression())
 }

@@ -320,9 +320,87 @@ object StatsQueries {
                 THEN 0 ELSE 1 END) AS BIGINT) = 0
             FROM events"""))
 
+  /** Order-independent CROSS-ENGINE table fingerprints — the
+    * migration/replication validation primitive: every table collapses
+    * to (n_rows, checksum) where checksum = Σ h60(md5(canonical row
+    * serialization)), summed in DECIMAL(38,0) so it is exact and
+    * commutative (any partitioning, any engine, same value — the
+    * property that lets a 1000-executor Spark run and a single-node
+    * DuckDB audit agree on 100 TB without moving rows). The canonical
+    * serialization pins every type to one textual form: integers and
+    * strings verbatim, 2-decimal doubles through DECIMAL(18,2),
+    * timestamps as epoch seconds, free text pre-hashed with md5 —
+    * both engines produce identical bytes, so the oracle here IS the
+    * cross-engine proof, not just a test harness.
+    *
+    * Scale shape: one narrow full scan per table, all-map-side until
+    * a single partial-sum merge (the cheapest possible shape — no
+    * shuffle carries data rows); tables fingerprint independently, so
+    * a incremental variant checksums only changed partitions.
+    */
+  val tableChecksum: QueryDef = {
+    val tables: Seq[(String, String, String)] = Seq(
+      ("region", "concat_ws('|', cast(r_regionkey as string), r_name)",
+        "concat_ws('|', CAST(r_regionkey AS VARCHAR), r_name)"),
+      ("nation", "concat_ws('|', cast(n_nationkey as string), n_name, cast(n_regionkey as string))",
+        "concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR))"),
+      ("customer", "concat_ws('|', cast(c_custkey as string), c_name, cast(c_nationkey as string), cast(cast(c_acctbal as decimal(18,2)) as string), c_mktsegment)",
+        "concat_ws('|', CAST(c_custkey AS VARCHAR), c_name, CAST(c_nationkey AS VARCHAR), CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), c_mktsegment)"),
+      ("supplier", "concat_ws('|', cast(s_suppkey as string), s_name, cast(s_nationkey as string), cast(cast(s_acctbal as decimal(18,2)) as string))",
+        "concat_ws('|', CAST(s_suppkey AS VARCHAR), s_name, CAST(s_nationkey AS VARCHAR), CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR))"),
+      ("part", "concat_ws('|', cast(p_partkey as string), p_name, p_brand, p_type, cast(p_size as string), cast(cast(p_retailprice as decimal(18,2)) as string))",
+        "concat_ws('|', CAST(p_partkey AS VARCHAR), p_name, p_brand, p_type, CAST(p_size AS VARCHAR), CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR))"),
+      ("orders", "concat_ws('|', cast(o_orderkey as string), cast(o_custkey as string), o_orderstatus, cast(cast(o_totalprice as decimal(18,2)) as string), cast(unix_micros(cast(o_orderdate as timestamp)) div 1000000 as string), o_orderpriority)",
+        "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), CAST(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS VARCHAR), o_orderpriority)"),
+      ("lineitem", "concat_ws('|', cast(l_orderkey as string), cast(l_partkey as string), cast(l_suppkey as string), cast(l_linenumber as string), cast(cast(l_quantity as decimal(18,2)) as string), cast(cast(l_extendedprice as decimal(18,2)) as string), cast(cast(l_discount as decimal(18,2)) as string), cast(cast(l_tax as decimal(18,2)) as string), l_returnflag, l_linestatus, cast(unix_micros(cast(l_shipdate as timestamp)) div 1000000 as string))",
+        "concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR), CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR), l_returnflag, l_linestatus, CAST(CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) AS VARCHAR))"),
+      ("documents", "concat_ws('|', cast(doc_id as string), md5(text), lang, source, cast(n_chars as string))",
+        "concat_ws('|', CAST(doc_id AS VARCHAR), md5(text), lang, source, CAST(n_chars AS VARCHAR))"))
+    val sparkH = (ser: String) =>
+      s"cast(conv(substr(md5($ser), 1, 15), 16, 10) as bigint)"
+    QueryDef(
+      "q_table_checksum",
+      (s, dir) => tables.map { case (t, ser, _) =>
+        Tables.load(s, dir, t)
+          .select(expr(sparkH(ser)).cast("decimal(38,0)").as("h"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+          .select(lit(t).as("table_name"), col("n_rows"),
+            col("checksum").cast("decimal(38,0)").as("checksum"))
+      }.reduce(_ unionAll _),
+      Some(tables.map { case (t, _, ser) =>
+        s"""SELECT '$t' AS table_name, COUNT(*) AS n_rows,
+            CAST(SUM(${Portable.textSql.h60(ser)}) AS DECIMAL(38,0)) AS checksum
+            FROM $t""".stripMargin
+      }.mkString(" UNION ALL ")))
+  }
+
+  /** GROUPED sketch statistics — `q_approx_stats`' bounds-oracle
+    * convention applied per group: for every return flag, the exact
+    * distinct order count next to a boolean asserting the HLL++
+    * estimate (rsd 0.05) lands within 3·rsd. At 100 TB the grouped
+    * HLL is the only viable shape (per-group exact distinct shuffles
+    * the full key set; the sketch shuffles one 1.5 KB register array
+    * per group) — the exact twin exists for the oracle. HLL register
+    * merges are max-commutative, so the flag is deterministic under
+    * any partitioning.
+    */
+  val approxStatsGrouped: QueryDef = QueryDef(
+    "q_approx_stats_grouped",
+    (s, dir) => Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("d_orderkey"),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("ad"))
+      .select(col("l_returnflag"), col("n"), col("d_orderkey"),
+        (abs(col("ad") - col("d_orderkey")) <= col("d_orderkey") * 0.15)
+          .as("hll_ok")),
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+            COUNT(DISTINCT l_orderkey) AS d_orderkey, TRUE AS hll_ok
+            FROM lineitem GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(histogram, tableStats, stringHistogram, approxStats, histogramEquiDepth,
-      sketchQuantiles, skewProfile, dataQuality)
+      sketchQuantiles, skewProfile, dataQuality, tableChecksum, approxStatsGrouped)
 
   /** Equi-width histogram summary of a numeric column: (lo, hi,
     * bucket counts). One narrow aggregate pass; the B-bucket result is

@@ -2124,11 +2124,226 @@ object TextFunctions {
             FROM documents d JOIN lc ON d.lang = lc.v
               JOIN sc ON d.source = sc.v"""))
 
+  /** Readability scoring (Flesch reading-ease shape) — the classic
+    * document-difficulty heuristic over surface counts: words
+    * (whitespace tokens), sentences (terminal-punctuation runs, floor
+    * 1), and syllables approximated by VOWEL GROUPS (maximal
+    * `[aeiou]+` runs — the standard dictionary-free estimator). The
+    * score is the Flesch formula in exact fixed point:
+    * `206835 − 1015·(words div sentences·scale) − 84600·(syl div
+    * words·scale)` with integer DIV throughout, so both engines agree
+    * bit-for-bit (the float formula would diverge in rounding). Vowel
+    * groups are counted without a regex-match API shared across
+    * engines: `len(replace groups with 1 char) − len(remove groups)`
+    * — two global regexp_replace passes, identical semantics.
+    *
+    * Scale shape: per-document map work (three regexp passes over the
+    * text, zero shuffles), then ONE per-source aggregate of four
+    * integers. This is the profile a quality gate wants: the corpus
+    * is touched once, the report is #sources rows.
+    */
+  val readability: QueryDef = QueryDef(
+    "t_readability",
+    (s, dir) => {
+      val l = lower(col("text"))
+      val words = size(filter(split(l, " "), t => t =!= "")).cast("long")
+      val sentences = greatest(lit(1L),
+        (length(regexp_replace(l, "[.!?]+", "#")) -
+          length(regexp_replace(l, "[.!?]+", ""))).cast("long"))
+      val syllables = (length(regexp_replace(l, "[aeiou]+", "a")) -
+        length(regexp_replace(l, "[aeiou]+", ""))).cast("long")
+      Tables.load(s, dir, "documents")
+        .select(col("source"), words.as("w"), sentences.as("st"), syllables.as("sy"))
+        .where(col("w") > 0)
+        .withColumn("flesch_x1000",
+          lit(206835L) - expr("1015 * ((w * 1000) div st) div 1000")
+            - expr("84600 * ((sy * 1000) div w) div 1000"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(flesch_x1000) div count(1)").as("avg_flesch_x1000"),
+          min(col("flesch_x1000")).as("min_flesch_x1000"),
+          max(col("flesch_x1000")).as("max_flesch_x1000"))
+    },
+    Some("""WITH d AS (SELECT source, lower(text) AS l FROM documents),
+            c AS (SELECT source,
+                CAST(len(list_filter(string_split(l, ' '), x -> x <> '')) AS BIGINT) AS w,
+                GREATEST(1, CAST(length(regexp_replace(l, '[.!?]+', '#', 'g'))
+                  - length(regexp_replace(l, '[.!?]+', '', 'g')) AS BIGINT)) AS st,
+                CAST(length(regexp_replace(l, '[aeiou]+', 'a', 'g'))
+                  - length(regexp_replace(l, '[aeiou]+', '', 'g')) AS BIGINT) AS sy
+              FROM d),
+            f AS (SELECT source,
+                206835 - 1015 * ((w * 1000) // st) // 1000
+                  - 84600 * ((sy * 1000) // w) // 1000 AS flesch_x1000
+              FROM c WHERE w > 0)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(flesch_x1000) AS BIGINT) // COUNT(*) AS avg_flesch_x1000,
+              MIN(flesch_x1000) AS min_flesch_x1000,
+              MAX(flesch_x1000) AS max_flesch_x1000
+            FROM f GROUP BY 1"""))
+
+  /** Classifier DECILE-LIFT evaluation — the standard triage report
+    * for a ranking model: documents ordered by the hashing-trick
+    * classifier score (`t_quality_classifier`'s exact-integer scorer)
+    * are cut into 10 equal-population deciles (rank arithmetic, not
+    * ntile — `(rank−1)·10 div n + 1` is engine-exact), and each
+    * decile reports its positive rate against the base rate as
+    * lift ×1000 plus its share of all positives as capture ×1000. "Positive" here is
+    * lang='en' — the label the synthetic scorer is being audited
+    * against; any boolean column slots in.
+    *
+    * Scale shape: scoring is per-doc map work; the ONLY global
+    * structure is the rank, one total-order sort (at 100 TB: range-
+    * partitioned sort, same as any global rank); the report collapses
+    * to 10 rows in one aggregate, totals ride a 1-row broadcast.
+    */
+  val classifierLift: QueryDef = {
+    val sparkW = "((cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % 1024)" +
+      " * 2654435761L) % 2003 - 1001"
+    val duckW = s"((${Portable.textSql.h60("t")} % 1024) * 2654435761) % 2003 - 1001"
+    QueryDef(
+      "t_classifier_lift",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val tk = filter(split(lower(col("text")), " "), t => t =!= "")
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), (col("lang") === "en").cast("long").as("pos"), tk.as("tk"))
+          .where(size(col("tk")) > 0)
+          .select(col("doc_id"), col("pos"),
+            expr(s"aggregate(tk, 0L, (acc, t) -> acc + ($sparkW))").as("score"))
+        val ranked = scored
+          .withColumn("rn", row_number().over(
+            W.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(W.partitionBy()))
+          .withColumn("p", sum(col("pos")).over(W.partitionBy()))
+          .withColumn("decile", expr("(rn - 1) * 10 div n + 1"))
+        ranked.groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+            max(col("n")).as("n"), max(col("p")).as("p"))
+          .select(col("decile"), col("n_docs"), col("n_pos"),
+            expr("(n_pos * n * 1000) div (n_docs * p)").as("lift_x1000"),
+            expr("(n_pos * 1000) div p").as("capture_x1000"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id,
+                CAST(lang = 'en' AS BIGINT) AS pos,
+                ${Portable.textSql.tokensLower} AS tk FROM documents),
+              sc AS (SELECT doc_id, pos,
+                  CAST(list_sum(list_transform(tk, t -> $duckW)) AS BIGINT) AS score
+                FROM tk WHERE len(tk) > 0),
+              r AS (SELECT doc_id, pos, score,
+                  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn,
+                  COUNT(*) OVER () AS n, SUM(pos) OVER () AS p FROM sc),
+              d AS (SELECT (rn - 1) * 10 // n + 1 AS decile, pos, n, p FROM r)
+              SELECT decile, COUNT(*) AS n_docs,
+                CAST(SUM(pos) AS BIGINT) AS n_pos,
+                CAST((CAST(SUM(pos) AS BIGINT) * MAX(n) * 1000)
+                  // (COUNT(*) * CAST(MAX(p) AS BIGINT)) AS BIGINT) AS lift_x1000,
+                CAST((CAST(SUM(pos) AS BIGINT) * 1000)
+                  // CAST(MAX(p) AS BIGINT) AS BIGINT) AS capture_x1000
+              FROM d GROUP BY 1"""))
+  }
+
+  /** Heavy hitters via the native Misra-Gries sketch
+    * ([[graft.functions.FreqSketch]]) audited against exact counts —
+    * the one-pass frequent-items path a 100 TB vocabulary scan uses
+    * (the exact groupBy shuffles the whole vocabulary; the sketch
+    * shuffles ≤ k counters per partition). Output = the exact top-20
+    * terms plus three BOOLEAN verdicts that are theorem-guaranteed
+    * under any merge order (present above the N/(k+1) threshold,
+    * undercount-only, error ≤ N div (k+1)) — the
+    * `q_approx_stats` bounds-oracle convention: exacts + flags are
+    * deterministic, the sketch's internal estimates need not be.
+    */
+  val heavyHitters: QueryDef = {
+    val K = 32
+    QueryDef(
+      "t_heavy_hitters",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val terms = Tables.load(s, dir, "documents")
+          .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("term"))
+        val sk = terms.agg(
+          graft.functions.Sketches.freqSketch(col("term"), K).as("sk"),
+          count(lit(1)).as("n_terms"))
+        val exact = terms.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+          .withColumn("rk", row_number().over(
+            W.orderBy(col("exact_cnt").desc, col("term"))).cast("long"))
+          .where(col("rk") <= 20)
+        exact.crossJoin(broadcast(sk))
+          .withColumn("est",
+            expr("coalesce(filter(sk, x -> x.term = term)[0].est, cast(0 as bigint))"))
+          .select(col("rk"), col("term"), col("exact_cnt"),
+            (col("exact_cnt") * (K + 1) <= col("n_terms") || col("est") > 0)
+              .as("present_ok"),
+            (col("est") <= col("exact_cnt")).as("undercount_ok"),
+            (col("exact_cnt") - col("est") <= expr(s"n_terms div ${K + 1}"))
+              .as("bound_ok"))
+      },
+      Some(s"""WITH t AS (SELECT
+                unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+              FROM documents),
+              e AS (SELECT term, COUNT(*) AS exact_cnt FROM t GROUP BY 1),
+              r AS (SELECT term, exact_cnt,
+                  CAST(ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, term) AS BIGINT) AS rk
+                FROM e)
+              SELECT rk, term, exact_cnt, TRUE AS present_ok,
+                TRUE AS undercount_ok, TRUE AS bound_ok
+              FROM r WHERE rk <= 20"""))
+  }
+
+  /** Per-GROUP heavy hitters — `t_heavy_hitters`' audit run per
+    * language: one `graft_freq_sketch` buffer per lang in a single
+    * grouped aggregate (each group's ≤ k-entry map rides the partial
+    * aggregation — the per-slice vocabulary profile at 100 TB, where
+    * per-group exact counts shuffle each slice's whole vocab). Output
+    * = exact per-lang top-5 terms + the three theorem-guaranteed
+    * verdicts against each group's OWN N and threshold.
+    */
+  val heavyHittersGrouped: QueryDef = {
+    val K = 32
+    QueryDef(
+      "t_heavy_hitters_grouped",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val terms = Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("term"))
+        val sk = terms.groupBy("lang").agg(
+          graft.functions.Sketches.freqSketch(col("term"), K).as("sk"),
+          count(lit(1)).as("n_terms"))
+        val exact = terms.groupBy("lang", "term").agg(count(lit(1)).as("exact_cnt"))
+          .withColumn("rk", row_number().over(
+            W.partitionBy("lang").orderBy(col("exact_cnt").desc, col("term"))).cast("long"))
+          .where(col("rk") <= 5)
+        exact.join(sk, "lang")
+          .withColumn("est",
+            expr("coalesce(filter(sk, x -> x.term = term)[0].est, cast(0 as bigint))"))
+          .select(col("lang"), col("rk"), col("term"), col("exact_cnt"),
+            (col("exact_cnt") * (K + 1) <= col("n_terms") || col("est") > 0)
+              .as("present_ok"),
+            (col("est") <= col("exact_cnt")).as("undercount_ok"),
+            (col("exact_cnt") - col("est") <= expr(s"n_terms div ${K + 1}"))
+              .as("bound_ok"))
+      },
+      Some(s"""WITH t AS (SELECT lang,
+                unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+              FROM documents),
+              e AS (SELECT lang, term, COUNT(*) AS exact_cnt FROM t GROUP BY 1, 2),
+              r AS (SELECT lang, term, exact_cnt,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY exact_cnt DESC, term) AS BIGINT) AS rk
+                FROM e)
+              SELECT lang, rk, term, exact_cnt, TRUE AS present_ok,
+                TRUE AS undercount_ok, TRUE AS bound_ok
+              FROM r WHERE rk <= 5"""))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,
-      upsampleEpochs, invertedSearch, searchIncremental, searchDml,
+      upsampleEpochs, readability, classifierLift, heavyHitters,
+      heavyHittersGrouped, invertedSearch, searchIncremental, searchDml,
       phraseSearch, shardExport, chunkRag, searchBm25,
       searchBm25Incremental, searchBm25Dml, hybridRrf,
       sourceCaps, boilerplate, qualityClassifier,

@@ -1020,8 +1020,76 @@ object Dedup {
               (inter * 1000) // (x.n + y.n - inter) AS jaccard_x1000
             FROM i JOIN sz x ON i.s1 = x.source JOIN sz y ON i.s2 = y.source"""))
 
+  /** CONTAINMENT near-dup detection — the asymmetric case symmetric
+    * Jaccard structurally misses: a short document quoted wholesale
+    * inside a longer one has high overlap coefficient
+    * |A∩B| / min(|A|,|B|) but low Jaccard (the union is dominated by
+    * the longer doc). Pairs are ordered (small, big) by (gram count,
+    * doc_id), scored in exact fixed point, kept at ≥ 0.8.
+    *
+    * Candidate generation is the one-sided prefix filter: under the
+    * global (df asc, gram) order, overlap ≥ ⌈t·|A|⌉ forces one of A's
+    * first |A| − ⌈t·|A|⌉ + 1 grams to appear ANYWHERE in B — so only
+    * the smaller side's prefix joins the full inverted index (no
+    * length-band blocking, which would hide exactly the cross-length
+    * pairs this operator exists for). LOSSLESS, so the oracle verifies
+    * by exhaustive within-lang comparison. Scale shape: the prefix is
+    * ~(1−t)·|A| rare-gram entries per doc; candidates key on gram df
+    * like PPJoin (rare grams → small postings); verification is the
+    * sorted-intersect join on O(candidates).
+    */
+  val containment: QueryDef = {
+    val T = 0.8
+    QueryDef(
+      "d_dedup_containment",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val g = d.select(col("doc_id"), col("lang"),
+          graft.functions.Native.wordNGramHashes(col("text"), 2).as("grams"))
+          .withColumn("sz", size(col("grams")).cast("long"))
+          .localCheckpoint()
+        val inv = g.select(col("doc_id"), col("lang"), col("sz"),
+          explode(col("grams")).as("gram"))
+        val dfreq = inv.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
+        val prefix = inv.join(dfreq.hint("shuffle_hash"), Seq("lang", "gram"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= col("sz") - ceil(lit(T) * col("sz")) + 1)
+          .select("doc_id", "lang", "sz", "gram")
+        val cand = prefix.toDF("small", "lang", "sz_s", "gram")
+          .join(inv.select(col("doc_id").as("big"), col("lang"),
+            col("sz").as("sz_b"), col("gram")), Seq("lang", "gram"))
+          .where(col("sz_s") < col("sz_b") ||
+            (col("sz_s") === col("sz_b") && col("small") < col("big")))
+          .select("small", "big").distinct()
+        val inter = graft.functions.Native.sortedIntersectSize(col("g_s"), col("g_b"))
+        cand
+          .join(g.select(col("doc_id").as("small"), col("grams").as("g_s"),
+            col("sz").as("sz_small")), "small")
+          .join(g.select(col("doc_id").as("big"), col("grams").as("g_b"),
+            col("sz").as("sz_big")), "big")
+          .select(col("small"), col("big"), col("sz_small"), col("sz_big"),
+            inter.as("inter"))
+          .withColumn("containment_x1000", expr("(inter * 1000) div sz_small"))
+          .where(col("containment_x1000") >= (T * 1000).toLong)
+          .select("small", "big", "sz_small", "sz_big", "containment_x1000")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, lang, $tokensSql AS tk FROM documents),
+           g AS (SELECT doc_id, lang, ${gramsSql(2)} AS grams FROM tk),
+           p AS (SELECT x.doc_id AS small, y.doc_id AS big,
+               CAST(len(x.grams) AS BIGINT) AS sz_small,
+               CAST(len(y.grams) AS BIGINT) AS sz_big,
+               CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS inter
+             FROM g x JOIN g y ON x.lang = y.lang
+               AND (len(x.grams) < len(y.grams) OR
+                    (len(x.grams) = len(y.grams) AND x.doc_id < y.doc_id)))
+           SELECT small, big, sz_small, sz_big,
+             (inter * 1000) // sz_small AS containment_x1000
+           FROM p WHERE (inter * 1000) // sz_small >= 800"""))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exact, paragraph, substring, minhash, editDistance, simhashDef,
       ngramJaccard, cluster, canonicalByQuality, incremental, dedupReport,
-      sourceOverlap)
+      sourceOverlap, containment)
 }

@@ -573,10 +573,297 @@ object Events {
                 AS pearson_r
             FROM m WHERE n > 1 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0"""))
 
+  /** Marketing-style conversion ATTRIBUTION — for every `purchase`,
+    * the user's first-touch and last-touch marketing event (`click` or
+    * `view`) within a 7-day lookback, rolled up to per-channel
+    * conversion counts and attributed revenue for both models.
+    *
+    * The touch is resolved WITHOUT a range self-join: each candidate
+    * touch packs (t, event_id, channel) into one order-preserving
+    * BIGINT (`t·10⁸ + event_id·10 + ch` — exact to t ≈ 9·10¹⁰), and a
+    * per-user RANGE window over t takes MIN (earliest = first touch)
+    * and MAX (latest = last touch) of that key over the preceding
+    * 7-day frame. min/max are frame-order-insensitive, so equal-`t`
+    * ties resolve identically in both engines through the packed
+    * event_id. Purchases with no touch in the window attribute to
+    * `direct`.
+    *
+    * Scale shape: ONE shuffle on user_id; both window passes and the
+    * final per-(model, channel) rollup reuse it (the rollup output is
+    * #models × #channels rows). The RANGE frame keeps per-user state
+    * bounded by the lookback — exactly the watermark the streaming
+    * twin would use.
+    */
+  val attribution: QueryDef = QueryDef(
+    "q_events_attribution",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        col("value"), sec.as("t"), col("event_id"))
+      val ch = when(col("event_type") === "click", 1L)
+        .when(col("event_type") === "view", 2L)
+      val keyed = e.withColumn("tkey",
+        when(ch.isNotNull, col("t") * 100000000L + col("event_id") * 10L + ch))
+      val rw = Window.partitionBy("user_id").orderBy(col("t"))
+        .rangeBetween(-604800L, -1L)
+      val conv = keyed
+        .withColumn("first_k", min(col("tkey")).over(rw))
+        .withColumn("last_k", max(col("tkey")).over(rw))
+        .where(col("event_type") === "purchase")
+      def channelOf(k: org.apache.spark.sql.Column) =
+        when(k.isNull, "direct").when(k % 10 === 1, "click").otherwise("view")
+      def rollup(model: String, k: org.apache.spark.sql.Column) = conv
+        .groupBy(lit(model).as("model"), channelOf(k).as("channel"))
+        .agg(count(lit(1)).as("n_conversions"),
+          Portable.dsum(col("value")).as("attributed_value"))
+      rollup("first_touch", col("first_k"))
+        .unionAll(rollup("last_touch", col("last_k")))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_type, value,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id FROM events),
+            k AS (SELECT *, CASE
+                WHEN event_type = 'click' THEN t*100000000 + event_id*10 + 1
+                WHEN event_type = 'view'  THEN t*100000000 + event_id*10 + 2
+              END AS tkey FROM e),
+            c AS (SELECT *,
+                MIN(tkey) OVER (PARTITION BY user_id ORDER BY t
+                  RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING) AS first_k,
+                MAX(tkey) OVER (PARTITION BY user_id ORDER BY t
+                  RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING) AS last_k
+              FROM k),
+            p AS (SELECT * FROM c WHERE event_type = 'purchase')
+            SELECT 'first_touch' AS model,
+              CASE WHEN first_k IS NULL THEN 'direct'
+                   WHEN first_k % 10 = 1 THEN 'click' ELSE 'view' END AS channel,
+              COUNT(*) AS n_conversions,
+              ${Portable.sql.dsum("value")} AS attributed_value
+            FROM p GROUP BY 1, 2
+            UNION ALL
+            SELECT 'last_touch',
+              CASE WHEN last_k IS NULL THEN 'direct'
+                   WHEN last_k % 10 = 1 THEN 'click' ELSE 'view' END,
+              COUNT(*), ${Portable.sql.dsum("value")}
+            FROM p GROUP BY 1, 2"""))
+
+  /** First-order Markov transition matrix of per-user event
+    * sequences — the behavioral-model summary (what follows what): for
+    * every adjacent pair in each user's time-ordered stream, counts
+    * per (from, to) and the row-conditional probability in exact fixed
+    * point (`n·1000 div Σ_row n`).
+    *
+    * Scale shape: one shuffle on user_id for the lead() pass (per-user
+    * sort, the sessionize bound), then one tiny shuffle into the
+    * #types² transition cells; the row-normalizing window runs over
+    * that cell frame, not the log.
+    */
+  val markov: QueryDef = QueryDef(
+    "q_events_markov",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        sec.as("t"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      val cells = e.withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      cells.withColumn("p_x1000",
+        expr("n * 1000 div sum(n) over (partition by from_type)"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id FROM events),
+            s AS (SELECT event_type AS from_type,
+                LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                  AS to_type FROM e),
+            c AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+              WHERE to_type IS NOT NULL GROUP BY 1, 2)
+            SELECT from_type, to_type, n,
+              CAST(n * 1000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                AS p_x1000
+            FROM c"""))
+
+  /** Robust outlier detection via median/MAD — the heavy-tail-safe
+    * alternative to `q_events_anomaly`'s mean/stddev z-score: per
+    * event_type, the exact discrete median of integer cents, the
+    * median absolute deviation around it, and how many points sit
+    * beyond the 3·MAD fence. Lower-median convention at ranks
+    * `(n+1) div 2` (interpolated medians are engine-divergent; the
+    * k-th order statistic is not), same discipline as
+    * `q_events_winsorize`.
+    *
+    * Scale shape: two rank windows over the SAME event_type
+    * partitioning (median of values, then median of deviations — the
+    * second window re-sorts but does not re-shuffle); the per-type
+    * medians travel as a broadcast frame. At 100 TB swap the exact
+    * ranks for `graft_quantile_sketch` bounds, fence step unchanged.
+    */
+  val madOutliers: QueryDef = QueryDef(
+    "q_events_mad",
+    (s, dir) => {
+      val e = events(s, dir).select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val w = Window.partitionBy("event_type").orderBy(col("cents"))
+      val med = e.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy(col("event_type").as("mt"))
+        .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("med"))
+      val dev = e.join(broadcast(med), col("event_type") === col("mt"))
+        .select(col("event_type"), col("cents"), col("med"),
+          abs(col("cents") - col("med")).as("dev"))
+      val wd = Window.partitionBy("event_type").orderBy(col("dev"))
+      val mad = dev.withColumn("rn", row_number().over(wd).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy(col("event_type").as("dt"))
+        .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("dev"))).as("mad"))
+      dev.join(broadcast(mad), col("event_type") === col("dt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max(col("med")).as("median_cents"),
+          max(col("mad")).as("mad_cents"),
+          sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+    },
+    Some("""WITH e AS (SELECT event_type,
+              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+            r AS (SELECT event_type, cents,
+                CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+            med AS (SELECT event_type AS mt,
+                MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med
+              FROM r GROUP BY 1),
+            dev AS (SELECT e.event_type, cents, med, ABS(cents - med) AS dev
+              FROM e JOIN med ON e.event_type = med.mt),
+            rd AS (SELECT event_type, dev,
+                CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS BIGINT) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n FROM dev),
+            mad AS (SELECT event_type AS dt,
+                MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+              FROM rd GROUP BY 1)
+            SELECT dev.event_type, COUNT(*) AS n, MAX(med) AS median_cents,
+              MAX(mad) AS mad_cents,
+              CAST(SUM(CASE WHEN dev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_outliers
+            FROM dev JOIN mad ON dev.event_type = mad.dt GROUP BY 1"""))
+
+  /** Conversion-latency distribution — the time-to-convert complement
+    * of `q_events_funnel`'s step counts: per user, the gap from FIRST
+    * `view` to the first `purchase` at-or-after it, summarized as
+    * exact discrete percentiles (lower-order-statistic ranks
+    * `greatest(1, n·q div 100)` — the winsorize convention) over the
+    * converted population, plus the population counts.
+    *
+    * Scale shape: one shuffle on user_id folds each user to a single
+    * (first_view, first_conversion) row via conditional min aggregates
+    * — no per-user sort, no window over the log; the percentile rank
+    * runs over the #converted-users frame, and the final report is ONE
+    * row.
+    */
+  val conversionLag: QueryDef = QueryDef(
+    "q_events_conversion_lag",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"), sec.as("t"))
+      val perUser = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("t"))).as("t_view"))
+      val conv = e.where(col("event_type") === "purchase")
+        .join(perUser.where(col("t_view").isNotNull), "user_id")
+        .where(col("t") >= col("t_view"))
+        .groupBy("user_id").agg(
+          (min(col("t")) - max(col("t_view"))).as("lag_s"))
+      val w = Window.orderBy(col("lag_s"), col("user_id"))
+      val ranked = conv.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      def pct(q: Int) =
+        max(when(col("rn") === greatest(lit(1L), expr(s"(n * $q) div 100")),
+          col("lag_s"))).as(s"p${q}_lag_s")
+      ranked.agg(max(col("n")).as("n_converted"), pct(25), pct(50), pct(75), pct(90))
+        .crossJoin(e.select(countDistinct(col("user_id")).as("n_users")))
+        .select(col("n_users"), col("n_converted"),
+          col("p25_lag_s"), col("p50_lag_s"), col("p75_lag_s"), col("p90_lag_s"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
+            fv AS (SELECT user_id,
+                MIN(CASE WHEN event_type = 'view' THEN t END) AS t_view
+              FROM e GROUP BY 1),
+            conv AS (SELECT e.user_id, MIN(e.t) - MAX(fv.t_view) AS lag_s
+              FROM e JOIN fv ON e.user_id = fv.user_id
+              WHERE e.event_type = 'purchase' AND fv.t_view IS NOT NULL
+                AND e.t >= fv.t_view
+              GROUP BY 1),
+            r AS (SELECT lag_s,
+                CAST(ROW_NUMBER() OVER (ORDER BY lag_s, user_id) AS BIGINT) AS rn,
+                COUNT(*) OVER () AS n FROM conv)
+            SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+              MAX(n) AS n_converted,
+              MAX(CASE WHEN rn = GREATEST(1, (n * 25) // 100) THEN lag_s END) AS p25_lag_s,
+              MAX(CASE WHEN rn = GREATEST(1, (n * 50) // 100) THEN lag_s END) AS p50_lag_s,
+              MAX(CASE WHEN rn = GREATEST(1, (n * 75) // 100) THEN lag_s END) AS p75_lag_s,
+              MAX(CASE WHEN rn = GREATEST(1, (n * 90) // 100) THEN lag_s END) AS p90_lag_s
+            FROM r"""))
+
+  /** RFM segmentation — the classic customer-value grid: per
+    * purchasing user, Recency (days since last purchase, against the
+    * log's max time), Frequency (purchase count) and Monetary (exact
+    * cents), each scored into quintiles 1–5 by rank arithmetic
+    * ((rn−1)·5 div n + 1 over (metric, user_id) — deterministic under
+    * ties where ntile is not; recency ranks DESC so 5 = most recent),
+    * reported as the populated segment grid with per-segment counts
+    * and monetary totals (≤ 125 rows).
+    *
+    * Scale shape: one shuffle on user_id folds the log to one row per
+    * purchaser; the three quintile ranks are windows over that
+    * user-sized frame (at 100 TB: range-partitioned sorts, or the
+    * quantile sketch for bound-based scoring); the grid aggregate is
+    * trivial.
+    */
+  val rfm: QueryDef = QueryDef(
+    "q_events_rfm",
+    (s, dir) => {
+      val e = events(s, dir)
+      val tmax = e.agg(max(sec).as("tmax"))
+      val users = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), sec.as("t"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy("user_id")
+        .agg(max(col("t")).as("t_last"), count(lit(1)).as("freq"),
+          sum(col("cents")).as("monetary"))
+        .crossJoin(broadcast(tmax))
+        .withColumn("recency_days", expr("(tmax - t_last) div 86400"))
+      val ranked = users
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("r_rn", row_number().over(
+          Window.orderBy(col("recency_days").desc, col("user_id"))).cast("long"))
+        .withColumn("f_rn", row_number().over(
+          Window.orderBy(col("freq"), col("user_id"))).cast("long"))
+        .withColumn("m_rn", row_number().over(
+          Window.orderBy(col("monetary"), col("user_id"))).cast("long"))
+        .withColumn("r_score", expr("(r_rn - 1) * 5 div n + 1"))
+        .withColumn("f_score", expr("(f_rn - 1) * 5 div n + 1"))
+        .withColumn("m_score", expr("(m_rn - 1) * 5 div n + 1"))
+      ranked.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"), sum(col("monetary")).as("sum_cents"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+            tm AS (SELECT MAX(t) AS tmax FROM e),
+            u AS (SELECT user_id, MAX(t) AS t_last, COUNT(*) AS freq,
+                CAST(SUM(cents) AS BIGINT) AS monetary
+              FROM e WHERE event_type = 'purchase' GROUP BY 1),
+            r AS (SELECT user_id, freq, monetary,
+                (tmax - t_last) // 86400 AS recency_days,
+                COUNT(*) OVER () AS n,
+                CAST(ROW_NUMBER() OVER (ORDER BY (tmax - t_last) // 86400 DESC, user_id) AS BIGINT) AS r_rn,
+                CAST(ROW_NUMBER() OVER (ORDER BY freq, user_id) AS BIGINT) AS f_rn,
+                CAST(ROW_NUMBER() OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_rn
+              FROM u, tm)
+            SELECT (r_rn - 1) * 5 // n + 1 AS r_score,
+              (f_rn - 1) * 5 // n + 1 AS f_score,
+              (m_rn - 1) * 5 // n + 1 AS m_score,
+              COUNT(*) AS n_users, CAST(SUM(monetary) AS BIGINT) AS sum_cents
+            FROM r GROUP BY 1, 2, 3"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
-      winsorize, hopping, trend)
+      winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
+      rfm)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

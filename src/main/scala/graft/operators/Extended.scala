@@ -467,8 +467,59 @@ object Extended {
               WHERE o.o_custkey = c.c_custkey
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t"""))
 
+  /** Market-basket pair mining (frequent itemsets at the pair level):
+    * co-occurring part pairs within orders, scored by support and
+    * LIFT ×1000 (support·N div (cnt₁·cnt₂) in exact fixed point — the
+    * independence-baseline ratio), top-20 by (support desc, pair).
+    *
+    * Scale shape: the pair expansion is per-order local work bounded
+    * by C(basket, 2) — baskets are small and bounded in practice (a
+    * pathological mega-basket would cap or sample items first); ONE
+    * shuffle into (p1, p2) cells, item counts ride a broadcast. No
+    * order×order or item×item join ever forms.
+    */
+  val basketPairs: QueryDef = QueryDef(
+    "q_basket_pairs",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+      val nOrders = li.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
+      val itemCnt = li.groupBy("part").agg(count(lit(1)).as("cnt"))
+      val pairs = li.toDF("okey", "p1")
+        .join(li.toDF("okey", "p2"), "okey")
+        .where(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+      val w = Window.orderBy(col("support").desc, col("p1"), col("p2"))
+      pairs
+        .join(broadcast(itemCnt.toDF("p1", "cnt1")), "p1")
+        .join(broadcast(itemCnt.toDF("p2", "cnt2")), "p2")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("lift_x1000",
+          expr("(support * n_orders * 1000) div (cnt1 * cnt2)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 20)
+        .select("rk", "p1", "p2", "support", "lift_x1000")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+              FROM lineitem),
+            no AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM li),
+            ic AS (SELECT part, COUNT(*) AS cnt FROM li GROUP BY 1),
+            p AS (SELECT a.part AS p1, b.part AS p2, COUNT(*) AS support
+              FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+              GROUP BY 1, 2),
+            s AS (SELECT p.p1, p.p2, p.support,
+                CAST((p.support * no.n_orders * 1000) // (x.cnt * y.cnt) AS BIGINT)
+                  AS lift_x1000,
+                CAST(ROW_NUMBER() OVER (ORDER BY p.support DESC, p.p1, p.p2) AS BIGINT)
+                  AS rk
+              FROM p JOIN ic x ON p.p1 = x.part
+                JOIN ic y ON p.p2 = y.part CROSS JOIN no)
+            SELECT rk, p1, p2, support, lift_x1000 FROM s WHERE rk <= 20"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
     subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll,
-    subquerySelect, lateralTopPerKey, recursiveCte, joinFullOuter, unpivot)
+    subquerySelect, lateralTopPerKey, recursiveCte, joinFullOuter, unpivot,
+    basketPairs)
 }

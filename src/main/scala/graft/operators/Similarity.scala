@@ -171,6 +171,80 @@ object Similarity {
            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM s)
          WHERE rn <= 5"""))
 
+  /** ANN RECALL evaluation — recall@5 of the banded-LSH serving path
+    * against the exact brute-force ground truth, per query: the
+    * standard accuracy audit run before trusting any approximate
+    * index (purity and the confusion matrix grade the EMBEDDINGS;
+    * this grades the INDEX). Both sides are deterministic (exact
+    * integer cosine, tie-broken top-k), so the recall fractions are
+    * oracle-exact — no sampling noise to wave at.
+    *
+    * Scale shape: ground truth is the brute pass over a bounded QUERY
+    * SAMPLE (the broadcast shape of `s_knn_bruteforce` — an eval never
+    * needs truth for the whole corpus); the LSH side is the serving
+    * path under test; the comparison joins two ≤ sample×5 frames.
+    */
+  val annRecall: QueryDef = QueryDef(
+    "s_knn_recall",
+    (s, dir) => {
+      val v = quantized(Tables.load(s, dir, "embeddings"))
+        .withColumn("buckets", lshBandBuckets(col("q")))
+        .localCheckpoint()
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      def top5(cand: DataFrame) = cand
+        .join(v.select(col("vec_id").as("q_id"), col("q").as("q_q"),
+          col("nrm").as("q_nrm")), Seq("q_id"))
+        .join(v.select(col("vec_id").as("n_id"), col("q").as("n_q"),
+          col("nrm").as("n_nrm")), Seq("n_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("q_id", "n_id")
+      val bruteCand = v.where(col("vec_id") < 5).select(col("vec_id").as("q_id"))
+        .crossJoin(v.select(col("vec_id").as("n_id")))
+        .where(col("q_id") =!= col("n_id"))
+      val bv = bandedVectors(v)
+      val lshCand = bv.toDF("q_id", "band", "bucket").where(col("q_id") < 5)
+        .join(bv.toDF("n_id", "band", "bucket"), Seq("band", "bucket"))
+        .where(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id").distinct()
+      top5(bruteCand)
+        .join(top5(lshCand).withColumn("hit", lit(1L)),
+          Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_x1000", expr("(n_hit * 1000) div n_true"))
+    },
+    Some(s"""WITH $quantizedSql, $bandedSql,
+         bfp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+             a.nrm AS na, b.nrm AS nb
+           FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         bfs AS (SELECT q_id, n_id,
+             CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM bfp),
+         bft AS (SELECT q_id, n_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+             FROM bfs) x WHERE rn <= 5),
+         lc AS (SELECT DISTINCT qb.vec_id AS q_id, nb.vec_id AS n_id
+             FROM bb qb JOIN bb nb ON qb.band = nb.band AND qb.bucket = nb.bucket
+             WHERE qb.vec_id < 5 AND nb.vec_id <> qb.vec_id),
+         lp AS (SELECT c.q_id, c.n_id,
+             CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+             a.nrm AS na, b.nrm AS nb
+           FROM lc c JOIN n a ON a.vec_id = c.q_id JOIN n b ON b.vec_id = c.n_id),
+         ls AS (SELECT q_id, n_id,
+             CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM lp),
+         lst AS (SELECT q_id, n_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+             FROM ls) x WHERE rn <= 5),
+         j AS (SELECT b.q_id, COUNT(*) AS n_true,
+             CAST(SUM(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           FROM bft b LEFT JOIN lst l ON b.q_id = l.q_id AND b.n_id = l.n_id
+           GROUP BY 1)
+         SELECT q_id, n_true, n_hit,
+           CAST((n_hit * 1000) // n_true AS BIGINT) AS recall_x1000 FROM j"""))
+
   /** §2.2 row 25 — embedding-cosine near-duplicate detection: banded
     * LSH buckets → within-bucket pairs (any band) → top-20 most
     * similar pairs. Oracle shares the band arithmetic with the ANN
@@ -2199,6 +2273,62 @@ object Similarity {
       .select(col("vid").as("vec_id"), col("rank")),
     Some(pagerankOracle))
 
+  /** PERSONALIZED PageRank — seed-set expansion over the kNN graph,
+    * the curation move behind "select corpus documents similar to a
+    * trusted seed set" (quality-seed bootstrapping): identical integer
+    * power iteration to [[pagerankRanks]], except ALL teleport mass
+    * returns to the seeds (vec_id < 5), so rank measures proximity to
+    * the seed neighborhood instead of global centrality. Same
+    * bit-reproducible fixed-point arithmetic, same per-round one
+    * shuffle on the edge partitioning key; the output is the top-20
+    * expansion candidates a curator would pull in next.
+    */
+  val graphPprSeeded: QueryDef = QueryDef(
+    "s_graph_ppr",
+    (s, dir) => {
+      val graph = knnGraphTable(s, dir).select("g_src", "g_dst")
+      val nodes = graph.select(col("g_src").as("vid")).distinct().localCheckpoint()
+      val nS = nodes.where(col("vid") < 5).count() // seed count, driver scalar
+      val deg = graph.groupBy("g_src").agg(count(lit(1)).as("deg"))
+      val edges = graph.join(deg, "g_src").repartition(col("g_src"))
+      val teleport = (15L * PrScale) / (100L * nS)
+      var ranks = nodes.withColumn("rank",
+        when(col("vid") < 5, lit(PrScale / nS)).otherwise(lit(0L)))
+      for (i <- 1 to PrIters) {
+        val contrib = edges
+          .join(ranks.withColumnRenamed("vid", "g_src"), "g_src")
+          .select(col("g_dst").as("vid"), expr("rank DIV deg").as("c"))
+          .groupBy("vid").agg(sum(col("c")).as("cs"))
+        val next = nodes.join(contrib, Seq("vid"), "left")
+          .select(col("vid"),
+            (when(col("vid") < 5, lit(teleport)).otherwise(lit(0L)) +
+              expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
+        ranks = if (i < PrIters) next.localCheckpoint() else next
+      }
+      ranks.orderBy(col("rank").desc, col("vid")).limit(20)
+        .select(col("vid").as("vec_id"), col("rank"))
+    },
+    Some {
+      def iter(i: Int): String =
+        s"""p$i AS (SELECT nd.vid,
+              CAST(CASE WHEN nd.vid < 5
+                THEN (SELECT (15 * $PrScale) // (100 * ns) FROM sn) ELSE 0 END
+                + (85 * COALESCE(c.cs, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes nd LEFT JOIN (
+              SELECT g.g_dst AS vid, SUM(r.rank // d.deg) AS cs
+              FROM graph g JOIN p${i - 1} r ON r.vid = g.g_src
+              JOIN deg d ON d.g_src = g.g_src
+              GROUP BY 1) c ON c.vid = nd.vid)"""
+      s"""WITH $graphSqlCtes,
+         nodes AS (SELECT DISTINCT g_src AS vid FROM graph),
+         sn AS (SELECT COUNT(*) AS ns FROM nodes WHERE vid < 5),
+         deg AS (SELECT g_src, COUNT(*) AS deg FROM graph GROUP BY 1),
+         p0 AS (SELECT vid, CASE WHEN vid < 5
+             THEN (SELECT $PrScale // ns FROM sn) ELSE 0 END AS rank FROM nodes),
+         ${(1 to PrIters).map(iter).mkString(",\n")}
+         SELECT vid AS vec_id, rank FROM p$PrIters ORDER BY rank DESC, vid LIMIT 20"""
+    })
+
   /** Oracle twin: rebuild the graph ([[graphSqlCtes]]) and unroll the
     * same [[PrIters]] integer power iterations; `//` ≡ Spark's DIV on
     * the all-positive operands.
@@ -2704,10 +2834,97 @@ object Similarity {
            (n_triangles * 3000) // GREATEST(wedges, 1) AS global_cc_x1000
          FROM ne, w, t"""))
 
+  /** Mutual-kNN clustering — the standard density-aware grouping of an
+    * embedding corpus WITHOUT choosing a cluster count: keep only
+    * edges where BOTH endpoints rank each other in their top-K (a
+    * mutual edge needs bilateral agreement, which strips the hub
+    * vertices that make raw kNN graphs into one giant blob), then take
+    * connected components of the surviving graph. Vertices with no
+    * mutual edge are singletons. Output is the cluster-size histogram
+    * — the corpus-structure fingerprint a curation run records.
+    *
+    * Scale shape: the mutuality filter is ONE self-join of the
+    * persisted N·K edge table on its own partitioning key; components
+    * run on the surviving subgraph via the size-adaptive
+    * [[graft.operators.Dedup.connectedComponents]] (min-label rounds,
+    * one shuffle each, at scale); the histogram is two tiny
+    * aggregates. Nothing touches raw vectors.
+    */
+  val mutualComponents: QueryDef = QueryDef(
+    "s_knn_mutual_components",
+    (s, dir) => {
+      val g = knnGraphTable(s, dir)
+      val mutual = g.select(col("g_src"), col("g_dst"))
+        .join(g.select(col("g_dst").as("g_src"), col("g_src").as("g_dst")),
+          Seq("g_src", "g_dst"))
+        .where(col("g_src") =!= col("g_dst"))
+        .select(col("g_src").as("src"), col("g_dst").as("dst"))
+        .localCheckpoint()
+      val touched = mutual.select(col("src").as("v")).distinct()
+      val labels = graft.operators.Dedup.connectedComponents(touched, mutual)
+      val all = Tables.load(s, dir, "embeddings").select(col("vec_id"))
+      val singletons = all.join(touched.toDF("vec_id"), Seq("vec_id"), "left_anti")
+        .select(col("vec_id").as("v"), col("vec_id").as("label"))
+      labels.unionAll(singletons)
+        .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    },
+    Some(s"""WITH RECURSIVE $graphSqlCtes,
+         m AS (SELECT g.g_src AS src, g.g_dst AS dst FROM graph g
+             JOIN graph r ON g.g_src = r.g_dst AND g.g_dst = r.g_src
+             WHERE g.g_src <> g.g_dst),
+         reach(src, node) AS (
+           SELECT vec_id AS src, vec_id AS node FROM embeddings
+           UNION
+           SELECT r.src, m.dst FROM reach r JOIN m ON r.node = m.src),
+         canon AS (SELECT src AS v, MIN(node) AS label FROM reach GROUP BY src),
+         sz AS (SELECT label, COUNT(*) AS cluster_size FROM canon GROUP BY label)
+         SELECT cluster_size, COUNT(*) AS n_clusters FROM sz GROUP BY 1"""))
+
+  /** Embedding-table quality audit — the pre-flight QC every vector
+    * corpus runs before building ANN structures: per label, vector
+    * count, degenerate (all-zero) vectors, and the distribution of
+    * quantized squared norms (sum/min/max — a collapsed or exploding
+    * norm band is the classic symptom of a broken encoder or a
+    * mis-scaled ingest). All exact integers on the shared ×1000
+    * quantization grid, so both engines agree bit-for-bit.
+    *
+    * Scale shape: one narrow map pass computing per-vector norms, one
+    * #labels-row aggregate; no joins, no corpus shuffle beyond the
+    * label key.
+    */
+  val embeddingAudit: QueryDef = QueryDef(
+    "s_embedding_audit",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      e.select(col("label").cast("long").as("label"),
+          quantize(col("embedding")).as("q"))
+        .withColumn("nrm", dotL(col("q"), col("q")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("nrm") === 0, 1L).otherwise(0L)).as("n_zero_vecs"),
+          sum(col("nrm")).as("sum_nrm"),
+          min(col("nrm")).as("min_nrm"), max(col("nrm")).as("max_nrm"))
+        .withColumn("mean_nrm", expr("sum_nrm div n_vecs"))
+    },
+    Some("""WITH v AS (SELECT CAST(label AS BIGINT) AS label,
+              CAST(list_sum(list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)
+                     * CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))) AS BIGINT)
+                AS nrm
+            FROM embeddings)
+            SELECT label, COUNT(*) AS n_vecs,
+              CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+              CAST(SUM(nrm) AS BIGINT) AS sum_nrm,
+              MIN(nrm) AS min_nrm, MAX(nrm) AS max_nrm,
+              CAST(SUM(nrm) AS BIGINT) // COUNT(*) AS mean_nrm
+            FROM v GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
       knnBeam, knnBeamConverged, graphPagerank, hardNegatives, dedupSemantic,
-      dedupSemanticIncremental, mmrRerank, nearestCentroid, graphTriangles)
+      dedupSemanticIncremental, mmrRerank, nearestCentroid, graphTriangles,
+      mutualComponents, embeddingAudit, graphPprSeeded, annRecall)
 }

@@ -113,6 +113,36 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  case class TypedEvent(event_id: Long, ts: Long, user_id: Long, event_type: String)
+  case class LastSeen(ts: Long, eventId: Long, tpe: String)
+  case class Transition(from_type: String, to_type: String)
+
+  /** Streaming twin of batch `q_events_markov`: per-user first-order
+    * transitions emitted as events arrive. State per user is ONE
+    * record — the last event seen — so the store is bounded by active
+    * users regardless of stream length; each micro-batch sorts its own
+    * rows per key (the [[sessionize]] convention), so a single batch
+    * over static input reproduces the batch lead() pass exactly, and
+    * across batches the carried `LastSeen` stitches the boundary pair.
+    */
+  def markovTransitions(events: Dataset[TypedEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, it: Iterator[TypedEvent],
+        state: GroupState[LastSeen]): Iterator[Transition] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+      var last = state.getOption
+      sorted.foreach { e =>
+        last.foreach(p => out += Transition(p.tpe, e.event_type))
+        last = Some(LastSeen(e.ts, e.event_id, e.event_type))
+      }
+      last.foreach(state.update)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   case class TimedEventRow(event_id: Long, ts: Long, user_id: Long,
     event_time: java.sql.Timestamp)
 

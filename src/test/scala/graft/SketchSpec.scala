@@ -67,4 +67,58 @@ class SketchSpec extends SparkSpec {
       .head().getSeq[Double](0)
     assert(withNulls.head <= 1.0 && withNulls.last >= 2.9, s"nulls must be skipped: $withNulls")
   }
+
+  // ---- FreqSketch (Misra-Gries heavy hitters) ----
+
+  private def freqMap(df: org.apache.spark.sql.DataFrame, k: Int): Map[String, Long] =
+    df.agg(Sketches.freqSketch(col("t"), k).as("sk"))
+      .selectExpr("explode(sk) AS e").select("e.term", "e.est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("freq sketch: exact recovery when k >= distinct items") {
+    val df = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(5)("c")).toDF("t")
+    val got = freqMap(df.repartition(5), 8)
+    assert(got == Map("a" -> 40L, "b" -> 25L, "c" -> 5L), got.toString)
+  }
+
+  test("freq sketch guarantees hold under every partitioning, k < distinct") {
+    // skewed stream: 2 true heavy hitters + a tail of 50 rare items
+    val data = Seq.fill(300)("hot1") ++ Seq.fill(200)("hot2") ++
+      (1 to 50).flatMap(i => Seq.fill(3)(s"tail$i"))
+    val n = data.size.toLong
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val k = 8
+    for (reps <- Seq(1, 3, 17)) {
+      val got = freqMap(data.toDF("t").repartition(reps), k)
+      got.foreach { case (t, est) =>
+        assert(est <= exact(t), s"overcounted $t: $est > ${exact(t)}")
+        assert(exact(t) - est <= n / (k + 1), s"error bound broken for $t")
+      }
+      exact.foreach { case (t, c) =>
+        if (c > n / (k + 1))
+          assert(got.contains(t), s"guaranteed heavy hitter $t missing at reps=$reps")
+      }
+      assert(got.size <= k, s"summary exceeded k: ${got.size}")
+    }
+  }
+
+  test("freq sketch registered for SQL; nulls skipped; empty input is empty array") {
+    Tables.load(spark, sfDir, "documents").createOrReplaceTempView("docs_fs")
+    // lang is skewed: 'en' holds ~39% of docs > N/(k+1), so the
+    // theorem forces its presence (a UNIFORM column can legitimately
+    // yield an empty MG summary — every insert cancels a decrement)
+    val viaSql = spark.sql(
+      "SELECT graft_freq_sketch(lang, 4) AS sk FROM docs_fs")
+      .selectExpr("transform(sk, x -> x.term) AS terms").head().getSeq[String](0)
+    assert(viaSql.contains("en") && viaSql.size <= 4, viaSql.toString)
+    val withNulls = Seq(Some("x"), None, Some("x"), Some("y"), None).toDF("t")
+      .agg(Sketches.freqSketch(col("t"), 4).as("sk"))
+      .selectExpr("explode(sk) AS e").select("e.term", "e.est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(withNulls == Map("x" -> 2L, "y" -> 1L), withNulls.toString)
+    val empty = spark.sql(
+      "SELECT graft_freq_sketch(lang, 4) FROM docs_fs WHERE lang = 'nope'")
+      .head().getSeq[Any](0)
+    assert(empty.isEmpty, "empty input must yield an empty summary")
+  }
 }

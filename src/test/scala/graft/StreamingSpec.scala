@@ -36,6 +36,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming markov transitions match batch q_events_markov cells") {
+    import spark.implicits._
+    val typed = EventStreams.readEvents(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type")
+      .as[EventStreams.TypedEvent]
+    val streamed = EventStreams.runToMemory(
+      EventStreams.markovTransitions(typed).toDF(),
+      "markovT", OutputMode.Append())
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = SparkEntry.queries("q_events_markov")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming dedup collapses duplicated events to distinct ids") {
     // double the stream so every event id arrives twice
     val doubled = EventStreams.readEvents(spark, sfDir)
