@@ -143,6 +143,55 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  case class ValuedEvent(event_id: Long, ts: Long, user_id: Long,
+    event_type: String, value: Double)
+  case class TouchState(touches: List[(Long, Long, String)]) // (sec, event_id, channel)
+  case class Attribution(user_id: Long, purchase_id: Long, value: Double,
+    first_channel: String, last_channel: String)
+
+  /** Streaming twin of batch `q_events_attribution`: per purchase, the
+    * user's first and last `click`/`view` touch inside the 7-day
+    * lookback, resolved from keyed state. State per user is the touch
+    * list TRIMMED to the lookback horizon on every batch — exactly
+    * the bound the batch RANGE frame expresses — so the store holds
+    * O(touches within 7 days) per active user regardless of stream
+    * length. Micro-batch rows are sorted per key; purchases consume
+    * touches already seen (strictly earlier seconds), matching the
+    * batch frame's `1 PRECEDING` upper bound.
+    */
+  def attributionStream(events: Dataset[ValuedEvent]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    val Lookback = 604800L
+    def update(userId: Long, it: Iterator[ValuedEvent],
+        state: GroupState[TouchState]): Iterator[Attribution] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+      var touches = state.getOption.map(_.touches).getOrElse(Nil)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+      sorted.foreach { e =>
+        val sec = e.ts / 1000000000L
+        e.event_type match {
+          case "click" | "view" =>
+            touches = (sec, e.event_id, e.event_type) :: touches
+          case "purchase" =>
+            val window = touches.filter(t => t._1 >= sec - Lookback && t._1 <= sec - 1)
+            val first = window.sortBy(t => (t._1, t._2)).headOption
+            val last = window.sortBy(t => (t._1, t._2)).lastOption
+            out += Attribution(userId, e.event_id, e.value,
+              first.map(_._3).getOrElse("direct"),
+              last.map(_._3).getOrElse("direct"))
+          case _ => ()
+        }
+        // trim state to the horizon: anything older than Lookback
+        // behind the newest event can never be attributed again
+        touches = touches.filter(_._1 >= sec - Lookback)
+      }
+      state.update(TouchState(touches))
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   case class TimedEventRow(event_id: Long, ts: Long, user_id: Long,
     event_time: java.sql.Timestamp)
 

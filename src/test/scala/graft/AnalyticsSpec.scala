@@ -65,6 +65,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(sum(d) == sum(d.repartition(7)) && sum(d) == sum(d.orderBy(col("text"))))
   }
 
+  test("table checksum is additive: whole == sum of disjoint slices (incremental audit)") {
+    // the property that lets a 100 TB validation checksum only CHANGED
+    // partitions: checksum(T) = Σ checksum(slice_i) for any disjoint cover
+    val h = "cast(conv(substr(md5(concat_ws('|', cast(doc_id as string), md5(text)," +
+      " lang, source, cast(n_chars as string))), 1, 15), 16, 10) as bigint)"
+    val d = Tables.load(spark, sfDir, "documents")
+    def sum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.select(expr(h).cast("decimal(38,0)").as("h"))
+        .agg(org.apache.spark.sql.functions.sum("h")).head().getDecimal(0)
+    val whole = sum(d)
+    val slices = Seq(
+      d.where(col("doc_id") % 3 === 0), d.where(col("doc_id") % 3 === 1),
+      d.where(col("doc_id") % 3 === 2))
+    val parts = slices.map(sum).reduce(_ add _)
+    assert(whole.compareTo(parts) == 0, s"$whole != $parts")
+  }
+
   test("mutual components partition the corpus; mutual edges are symmetric subgraph") {
     val hist = Similarity.mutualComponents.fn(spark, sfDir).collect()
     val n = Tables.load(spark, sfDir, "embeddings").count()

@@ -51,6 +51,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming attribution matches batch q_events_attribution rollups") {
+    import spark.implicits._
+    val typed = EventStreams.readEvents(spark, sfDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.ValuedEvent]
+    val attributed = EventStreams.runToMemory(
+      EventStreams.attributionStream(typed).toDF(),
+      "attrT", OutputMode.Append())
+    def rollup(chCol: String, model: String) = attributed
+      .groupBy(lit(model).as("model"), col(chCol).as("channel"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Portable.dsum(col("value")).as("v"))
+    val streamed = rollup("first_channel", "first_touch")
+      .unionAll(rollup("last_channel", "last_touch"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val batch = SparkEntry.queries("q_events_attribution")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(streamed == batch)
+  }
+
   test("streaming dedup collapses duplicated events to distinct ids") {
     // double the stream so every event id arrives twice
     val doubled = EventStreams.readEvents(spark, sfDir)
