@@ -2338,12 +2338,73 @@ object TextFunctions {
               FROM r WHERE rk <= 5"""))
   }
 
+  /** Quality-ENSEMBLE gate — the single keep/drop decision a filtering
+    * pipeline actually ships, with per-reason flags (observability:
+    * "how many docs died, and why" — a pipeline that only emits `keep`
+    * can't be tuned): too-short/too-long token counts, low stopword
+    * density, implausible average token length, and exact-duplicate
+    * non-canonical copies (the md5-fingerprint group's min doc_id
+    * survives). Every flag is integer arithmetic (ratio thresholds
+    * cross-multiplied — `n_stop·100 < n_tokens·5` instead of a float
+    * divide), so the verdict is bit-identical in both engines.
+    *
+    * Scale shape: flags are per-doc map work off one projection; the
+    * only shuffle is the fingerprint window for dup detection (16-byte
+    * keys, the `d_dedup_exact` shape). Reason rollups are a trivial
+    * downstream aggregate of the booleans.
+    */
+  val qualityEnsemble: QueryDef = QueryDef(
+    "t_quality_ensemble",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+      val nChars = length(col("text")).cast("long")
+      val nTokens = ((nChars - length(replace(col("text"), lit(" "), lit("")))) + 1)
+      val nStop = score(col("text"), Seq("the", "a", "and", "of")).cast("long")
+      val fpw = W.partitionBy("fp")
+      d.select(col("doc_id"), md5(col("text")).as("fp"),
+          nChars.as("nc"), nTokens.cast("long").as("nt"), nStop.as("ns"))
+        .withColumn("n_copies", count(lit(1)).over(fpw))
+        .withColumn("keeper", min(col("doc_id")).over(fpw))
+        .select(col("doc_id"),
+          (col("nt") < 10).as("too_short"),
+          (col("nt") > 5000).as("too_long"),
+          (col("ns") * 100 < col("nt") * 5).as("low_stopword"),
+          ((col("nc") - (col("nt") - 1)) < col("nt") * 2 ||
+            (col("nc") - (col("nt") - 1)) > col("nt") * 10).as("bad_token_len"),
+          (col("n_copies") > 1 && col("doc_id") =!= col("keeper")).as("dup_nonkeep"))
+        .withColumn("keep",
+          !(col("too_short") || col("too_long") || col("low_stopword") ||
+            col("bad_token_len") || col("dup_nonkeep")))
+    },
+    Some {
+      val p = "(' ' || lower(text) || ' ')"
+      val stop = sqlScore(p, Seq("the", "a", "and", "of"))
+      s"""WITH b AS (SELECT doc_id, md5(text) AS fp,
+            CAST(LENGTH(text) AS BIGINT) AS nc,
+            CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS nt,
+            CAST($stop AS BIGINT) AS ns
+          FROM documents),
+          w AS (SELECT *, COUNT(*) OVER (PARTITION BY fp) AS n_copies,
+            MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM b),
+          f AS (SELECT doc_id,
+            nt < 10 AS too_short, nt > 5000 AS too_long,
+            ns * 100 < nt * 5 AS low_stopword,
+            ((nc - (nt - 1)) < nt * 2 OR (nc - (nt - 1)) > nt * 10) AS bad_token_len,
+            (n_copies > 1 AND doc_id <> keeper) AS dup_nonkeep
+          FROM w)
+          SELECT *, NOT (too_short OR too_long OR low_stopword OR bad_token_len
+            OR dup_nonkeep) AS keep
+          FROM f"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,
       upsampleEpochs, readability, classifierLift, heavyHitters,
-      heavyHittersGrouped, invertedSearch, searchIncremental, searchDml,
+      heavyHittersGrouped, qualityEnsemble,
+      invertedSearch, searchIncremental, searchDml,
       phraseSearch, shardExport, chunkRag, searchBm25,
       searchBm25Incremental, searchBm25Dml, hybridRrf,
       sourceCaps, boilerplate, qualityClassifier,

@@ -859,11 +859,75 @@ object Events {
               COUNT(*) AS n_users, CAST(SUM(monetary) AS BIGINT) AS sum_cents
             FROM r GROUP BY 1, 2, 3"""))
 
+  /** A/B experiment readout with an EXACT-ARITHMETIC significance
+    * verdict: users split into arms by id parity (the deterministic
+    * stand-in for an assignment column), metric = purchase conversion;
+    * the report carries per-arm counts, fixed-point conversion rates,
+    * and the two-proportion z-test decision at 95% — WITHOUT floating
+    * point: z² ≥ 1.96² rearranges to
+    * `625·D²·N ≥ 2401·n₁·n₂·X·(N−X)` with D = x₁n₂−x₂n₁, X = x₁+x₂,
+    * N = n₁+n₂ (1.96 = 49/25 exactly), evaluated in DECIMAL(38,0) /
+    * HUGEINT so both engines compare identical integers. The p-value
+    * never materializes; the DECISION does, bit-exact. The D ≠ 0
+    * guard handles the degenerate all-or-none corpus (pooled variance
+    * zero ⇒ z undefined ⇒ NOT significant, where the raw inequality
+    * would read 0 ≥ 0 as significant).
+    *
+    * Scale shape: one shuffle folds the log to per-user conversion
+    * flags, one tiny per-arm aggregate; the verdict is driver-scale
+    * arithmetic on four integers.
+    */
+  val abTest: QueryDef = QueryDef(
+    "q_events_abtest",
+    (s, dir) => {
+      val u = events(s, dir)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("arm", col("user_id") % 2)
+      val a = u.where(col("arm") === 0)
+        .agg(count(lit(1)).as("n_a"), sum(col("conv")).as("x_a"))
+      val b = u.where(col("arm") === 1)
+        .agg(count(lit(1)).as("n_b"), sum(col("conv")).as("x_b"))
+      a.crossJoin(b)
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          expr("(x_a * 1000) div n_a").as("rate_a_x1000"),
+          expr("(x_b * 1000) div n_b").as("rate_b_x1000"),
+          expr("""
+            (cast(x_a as decimal(38,0)) * n_b - cast(x_b as decimal(38,0)) * n_a) <> 0
+            AND
+            cast(625 as decimal(38,0)) *
+              (cast(x_a as decimal(38,0)) * n_b - cast(x_b as decimal(38,0)) * n_a) *
+              (cast(x_a as decimal(38,0)) * n_b - cast(x_b as decimal(38,0)) * n_a) *
+              (n_a + n_b)
+            >= cast(2401 as decimal(38,0)) * n_a * n_b * (x_a + x_b) *
+              (cast(n_a as decimal(38,0)) + n_b - x_a - x_b)
+          """).as("significant_95"))
+    },
+    Some("""WITH u AS (SELECT user_id,
+              MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY 1),
+            a AS (SELECT COUNT(*) AS n_a, CAST(SUM(conv) AS BIGINT) AS x_a
+              FROM u WHERE user_id % 2 = 0),
+            b AS (SELECT COUNT(*) AS n_b, CAST(SUM(conv) AS BIGINT) AS x_b
+              FROM u WHERE user_id % 2 = 1)
+            SELECT n_a, x_a, n_b, x_b,
+              (x_a * 1000) // n_a AS rate_a_x1000,
+              (x_b * 1000) // n_b AS rate_b_x1000,
+              (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a) <> 0
+              AND
+              CAST(625 AS HUGEINT) *
+                (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a) *
+                (CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a) *
+                (n_a + n_b)
+              >= CAST(2401 AS HUGEINT) * n_a * n_b * (x_a + x_b) *
+                (CAST(n_a AS HUGEINT) + n_b - x_a - x_b) AS significant_95
+            FROM a, b"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
-      rfm)
+      rfm, abTest)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -1037,6 +1037,127 @@ object Similarity {
        WHERE rn <= 5"""
     })
 
+  /** IVF nprobe TUNING SWEEP — the recall/cost curve an operator reads
+    * before fixing the serving nprobe: for nprobe ∈ {1, 2, 4}, each
+    * query's candidate count (cost: how much of the corpus the probe
+    * actually scanned) and recall@5 against exact brute-force truth.
+    * This is the artifact that justifies the production NProbe choice
+    * with data instead of folklore; every number is deterministic
+    * (exact integer metrics, tie-broken ranks), so the whole curve is
+    * oracle-checked.
+    *
+    * Scale shape: ONE probe ranking at the max nprobe, reused by every
+    * sweep point (filter on rank, not re-rank); lists are read once
+    * with literal-cid partition pruning; truth is the bounded
+    * query-sample brute pass; everything downstream joins ≤ sample×5
+    * frames. The sweep costs one probe pass + |sweep| cheap rerank
+    * passes over the SAME pruned candidate frame.
+    */
+  val ivfSweep: QueryDef = QueryDef(
+    "s_knn_ivf_sweep",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val (cents, listsT, listsV) = ivfIndex(s, dir)
+      val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
+      val v = quantized(Tables.load(s, dir, "embeddings")).localCheckpoint()
+      val queries = v.where(col("vec_id") < 5)
+      val probes = queries.crossJoin(cents)
+        .select(col("vec_id"), col("q"), col("nrm"), col("cid"), ivfMetric.as("m"))
+        .withColumn("rn", row_number().over(byDist)).where(col("rn") <= 4)
+        .select(col("vec_id").as("q_id"), col("q").as("q_q"),
+          col("nrm").as("q_nrm"), col("cid"), col("rn").cast("long").as("prn"))
+        .localCheckpoint()
+      val probeCids = probes.select("cid").distinct().collect().map(_.getLong(0))
+      val lists = s.read.parquet(Snapshots.versionDirs(listsT, listsV): _*)
+        .where(col("cid").isin(probeCids: _*))
+        .select(col("vec_id").as("n_id"), col("q").as("n_q"),
+          col("nrm").as("n_nrm"), col("cid").cast("long").as("cid"))
+      val w5 = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      val truth = queries.select(col("vec_id").as("q_id"), col("q").as("q_q"),
+          col("nrm").as("q_nrm"))
+        .crossJoin(v.select(col("vec_id").as("n_id"), col("q").as("n_q"),
+          col("nrm").as("n_nrm")))
+        .where(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+        .withColumn("rn", row_number().over(w5)).where(col("rn") <= 5)
+        .select("q_id", "n_id").localCheckpoint()
+      Seq(1L, 2L, 4L).map { np =>
+        val cand = broadcast(probes.where(col("prn") <= np))
+          .join(lists, Seq("cid"))
+          .where(col("n_id") =!= col("q_id"))
+        val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+        val top = cand.select(col("q_id"), col("n_id"),
+            cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+          .withColumn("rn", row_number().over(w5)).where(col("rn") <= 5)
+          .select("q_id", "n_id")
+        truth.join(top.withColumn("hit", lit(1L)), Seq("q_id", "n_id"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_true"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .join(nCand, Seq("q_id"), "left")
+          .select(lit(np).as("nprobe"), col("q_id"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("n_hit"),
+            expr("(n_hit * 1000) div n_true").as("recall_x1000"))
+      }.reduce(_ unionAll _)
+    },
+    Some {
+      val sqd = "list_sum(list_transform(list_zip(n.q, c0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"
+      val met = "CAST(list_sum(list_transform(list_zip(n.q, c1.cs), " +
+        "s -> (c1.cn*s[1]-s[2])*(c1.cn*s[1]-s[2]))) AS DOUBLE) / (c1.cn*c1.cn)"
+      def block(np: Int): String =
+        s"""cand$np AS (SELECT pr.q_id, a2.vec_id AS n_id, pr.q_q, pr.q_nrm,
+               a2.q AS n_q, a2.nrm AS n_nrm
+             FROM pra pr JOIN a2 ON pr.cid = a2.cid AND a2.vec_id <> pr.q_id
+             WHERE pr.prn <= $np),
+           nc$np AS (SELECT q_id, COUNT(*) AS n_cand FROM cand$np GROUP BY 1),
+           top$np AS (SELECT q_id, n_id FROM (
+               SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                 CAST(list_sum(list_transform(list_zip(q_q, n_q), s -> s[1]*s[2])) AS DOUBLE)
+                   / SQRT(CAST(q_nrm AS DOUBLE) * CAST(n_nrm AS DOUBLE)) DESC, n_id) AS rn
+               FROM cand$np) x WHERE rn <= 5),
+           j$np AS (SELECT b.q_id, COUNT(*) AS n_true,
+               CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+             FROM bft b LEFT JOIN top$np t ON b.q_id = t.q_id AND b.n_id = t.n_id
+             GROUP BY 1),
+           r$np AS (SELECT CAST($np AS BIGINT) AS nprobe, j.q_id,
+               CAST(COALESCE(nc.n_cand, 0) AS BIGINT) AS n_cand, j.n_hit,
+               CAST((j.n_hit * 1000) // j.n_true AS BIGINT) AS recall_x1000
+             FROM j$np j LEFT JOIN nc$np nc ON j.q_id = nc.q_id)"""
+      s"""WITH $quantizedSql,
+       n AS (SELECT vec_id, q,
+           CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+       $ivpcSql,
+       c0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < (SELECT c FROM ivpc)),
+       a1 AS (SELECT vec_id, q, nrm, cid FROM (
+           SELECT n.vec_id, n.q, n.nrm, c0.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $sqd, c0.cid) AS rn
+           FROM n, c0) x WHERE rn = 1),
+       ex AS (SELECT cid, unnest(q) AS val, unnest(range(0, 64)) AS dim FROM a1),
+       c1 AS (SELECT s.cid, list(s.sv ORDER BY s.dim) AS cs, MAX(c.cn) AS cn
+           FROM (SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS sv FROM ex GROUP BY cid, dim) s
+           JOIN (SELECT cid, COUNT(*) AS cn FROM a1 GROUP BY cid) c USING (cid)
+           GROUP BY s.cid),
+       a2 AS (SELECT vec_id, q, nrm, cid FROM (
+           SELECT n.vec_id, n.q, n.nrm, c1.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $met, c1.cid) AS rn
+           FROM n, c1) x WHERE rn = 1),
+       pra AS (SELECT vec_id AS q_id, q AS q_q, nrm AS q_nrm, cid,
+           CAST(rn AS BIGINT) AS prn FROM (
+           SELECT n.vec_id, n.q, n.nrm, c1.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $met, c1.cid) AS rn
+           FROM n, c1 WHERE n.vec_id < 5) x WHERE rn <= 4),
+       bfp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+           a.nrm AS na, b.nrm AS nb
+         FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+       bft AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+             CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) DESC, n_id) AS rn
+           FROM bfp) x WHERE rn <= 5),
+       ${Seq(1, 2, 4).map(block).mkString(",\n")}
+       SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r4"""
+    })
+
   /** IVF-SERVED top-k for ID-addressed seed queries — the vector side
     * of hybrid retrieval ([[graft.functions.TextFunctions.hybridRrf]]):
     * each (query_id, seed vec_id) probes the NProbe nearest persisted
@@ -2926,5 +3047,5 @@ object Similarity {
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
       knnBeam, knnBeamConverged, graphPagerank, hardNegatives, dedupSemantic,
       dedupSemanticIncremental, mmrRerank, nearestCentroid, graphTriangles,
-      mutualComponents, embeddingAudit, graphPprSeeded, annRecall)
+      mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep)
 }

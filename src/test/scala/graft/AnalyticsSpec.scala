@@ -104,6 +104,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(capture > 1000 - rows.length && capture <= 1000, capture.toString)
   }
 
+  test("quality ensemble: dropped docs carry a reason; dup groups keep exactly the min id") {
+    val rows = TextFunctions.qualityEnsemble.fn(spark, sfDir).collect()
+    rows.foreach { r =>
+      val flags = (1 to 5).map(r.getBoolean)
+      assert(r.getBoolean(6) == !flags.exists(identity),
+        s"keep must be the negation of any-reason: $r")
+    }
+    // every md5-duplicate group marks all but its min doc_id dup_nonkeep
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val dupFlag = rows.map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    d.groupBy(_._2).values.filter(_.length > 1).foreach { grp =>
+      val ids = grp.map(_._1).sorted
+      assert(!dupFlag(ids.head) && ids.tail.forall(dupFlag), s"group $ids")
+    }
+  }
+
+  test("A/B verdict agrees with the floating-point z-test on the same counts") {
+    val r = Events.abTest.fn(spark, sfDir).head()
+    val (na, xa, nb, xb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (p1, p2) = (xa.toDouble / na, xb.toDouble / nb)
+    val p = (xa + xb).toDouble / (na + nb)
+    // degenerate all-or-none corpus: zero pooled variance, z undefined
+    val expected = p > 0 && p < 1 && {
+      val z2 = math.pow(p1 - p2, 2) / (p * (1 - p) * (1.0 / na + 1.0 / nb))
+      z2 >= 3.8416
+    }
+    assert(r.getBoolean(6) == expected,
+      s"exact verdict ${r.getBoolean(6)} vs float expectation $expected")
+  }
+
   test("readability orders sources sanely and stays within per-doc bounds") {
     val rows = StatsQueries.defs // touch object init orders
     val got = TextFunctions.readability.fn(spark, sfDir).collect()
