@@ -2398,6 +2398,105 @@ object TextFunctions {
           FROM f"""
     })
 
+  /** Exact ROC AUC of the hashing-trick classifier score against the
+    * lang='en' label — the threshold-free summary next to
+    * [[classifierLift]]'s decile report, computed as the tie-aware
+    * rank statistic (Mann-Whitney U with average ranks) in EXACT
+    * integer arithmetic: per distinct score, positives contribute
+    * `p_at·(2·cnt_less + n_at + 1)` to twice-the-rank-sum R2, and
+    * `AUC = (R2 − p(p+1)) / (2·p·n_neg)` ships ×1000 by integer
+    * division (plus the equivalent Gini = 2·AUC − 1). No float ever
+    * forms, so both engines agree bit-for-bit even under heavy score
+    * ties.
+    *
+    * Scale shape: scoring is per-doc map work; ranks come from ONE
+    * groupBy on score plus an ordered prefix-sum window over the
+    * DISTINCT scores (≤ score-cardinality rows — the corpus itself is
+    * never globally sorted, unlike the decile report); output is one
+    * row.
+    */
+  val evalAuc: QueryDef = {
+    val sparkW = "((cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % 1024)" +
+      " * 2654435761L) % 2003 - 1001"
+    val duckW = s"((${Portable.textSql.h60("t")} % 1024) * 2654435761) % 2003 - 1001"
+    QueryDef(
+      "t_eval_auc",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val tk = filter(split(lower(col("text")), " "), t => t =!= "")
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), (col("lang") === "en").cast("long").as("pos"), tk.as("tk"))
+          .where(size(col("tk")) > 0)
+          .select(col("pos"),
+            expr(s"aggregate(tk, 0L, (acc, t) -> acc + ($sparkW))").as("score"))
+        val byScore = scored.groupBy("score")
+          .agg(count(lit(1)).as("n_at"), sum(col("pos")).as("p_at"))
+        byScore
+          .withColumn("cum", sum(col("n_at")).over(W.orderBy(col("score"))))
+          .select(col("n_at"), col("p_at"),
+            (col("p_at") * (lit(2) * (col("cum") - col("n_at")) + col("n_at") + 1))
+              .as("r2c"))
+          .agg(sum(col("n_at")).as("n_docs"), sum(col("p_at")).as("n_pos"),
+            sum(col("r2c")).as("r2"))
+          .select(col("n_docs"), col("n_pos"), (col("n_docs") - col("n_pos")).as("n_neg"),
+            expr("((r2 - n_pos * (n_pos + 1)) * 500) div (n_pos * (n_docs - n_pos))")
+              .as("auc_x1000"),
+            expr("((r2 - n_pos * (n_pos + 1)) * 1000) div (n_pos * (n_docs - n_pos)) - 1000")
+              .as("gini_x1000"))
+      },
+      Some(s"""WITH tk AS (SELECT CAST(lang = 'en' AS BIGINT) AS pos,
+                ${Portable.textSql.tokensLower} AS tk FROM documents),
+              sc AS (SELECT pos,
+                  CAST(list_sum(list_transform(tk, t -> $duckW)) AS BIGINT) AS score
+                FROM tk WHERE len(tk) > 0),
+              g AS (SELECT score, COUNT(*) AS n_at, CAST(SUM(pos) AS BIGINT) AS p_at
+                FROM sc GROUP BY 1),
+              c AS (SELECT n_at, p_at,
+                  p_at * (2 * (CAST(SUM(n_at) OVER (ORDER BY score) AS BIGINT) - n_at)
+                    + n_at + 1) AS r2c
+                FROM g),
+              m AS (SELECT CAST(SUM(n_at) AS BIGINT) AS n_docs,
+                  CAST(SUM(p_at) AS BIGINT) AS n_pos,
+                  CAST(SUM(r2c) AS BIGINT) AS r2 FROM c)
+              SELECT n_docs, n_pos, n_docs - n_pos AS n_neg,
+                ((r2 - n_pos * (n_pos + 1)) * 500) // (n_pos * (n_docs - n_pos))
+                  AS auc_x1000,
+                ((r2 - n_pos * (n_pos + 1)) * 1000) // (n_pos * (n_docs - n_pos)) - 1000
+                  AS gini_x1000
+              FROM m"""))
+  }
+
+  /** K-ANONYMITY audit over quasi-identifiers — the privacy-risk
+    * report a release gate runs before publishing a corpus: rows
+    * grouped by the QI tuple (lang, source, length bucket), and the
+    * resulting group-size distribution histogrammed (how many groups /
+    * rows sit at each anonymity level k, flagged below the
+    * conventional k < 5 threshold). A row in a size-1 group is unique
+    * on its quasi-identifiers — directly re-identifiable.
+    *
+    * Scale shape: ONE shuffle into QI cells, then a tiny aggregate of
+    * the group sizes (≤ distinct-k rows). The same two-aggregate
+    * cascade at any corpus size; nothing driver-side.
+    */
+  val kAnonymity: QueryDef = QueryDef(
+    "t_k_anonymity",
+    (s, dir) => {
+      val groups = Tables.load(s, dir, "documents")
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 500").as("len_bucket"))
+        .agg(count(lit(1)).as("k"))
+      groups.groupBy("k")
+        .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+        .select(col("k"), col("n_groups"), col("n_rows"),
+          (col("k") < 5).as("at_risk"))
+    },
+    Some("""WITH g AS (SELECT lang, source, n_chars // 500 AS len_bucket,
+              COUNT(*) AS k
+            FROM documents GROUP BY 1, 2, 3)
+            SELECT k, COUNT(*) AS n_groups, CAST(SUM(k) AS BIGINT) AS n_rows,
+              k < 5 AS at_risk
+            FROM g GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
@@ -2409,5 +2508,6 @@ object TextFunctions {
       searchBm25Incremental, searchBm25Dml, hybridRrf,
       sourceCaps, boilerplate, qualityClassifier,
       keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit,
-      oovRate, corpusDrift, pipelineCuration, labelEncode)
+      oovRate, corpusDrift, pipelineCuration, labelEncode,
+      evalAuc, kAnonymity)
 }

@@ -923,11 +923,121 @@ object Events {
                 (CAST(n_a AS HUGEINT) + n_b - x_a - x_b) AS significant_95
             FROM a, b"""))
 
+  /** CHANGEPOINT detection (binary-segmentation step) on the daily
+    * event-count series — for each event type, the split day that
+    * maximizes the before/after mean shift. The standard first
+    * iteration of binary segmentation / CUSUM-style monitoring, in
+    * exact fixed point: candidate split after observed day index i
+    * scores `|post_sum·1000 div post_n − pre_sum·1000 div pre_n|`
+    * from prefix sums; argmax with deterministic ties (smaller day).
+    * A volume regime change (deploy, outage, bot wave) lands on its
+    * start day.
+    *
+    * Scale shape: the log collapses to daily counts in ONE shuffle
+    * (≤ types × days rows); prefix sums and the argmax are windows
+    * over that tiny series per type; output = #types rows. At 100 TB
+    * the daily rollup is the only corpus-sized pass.
+    */
+  val changepoint: QueryDef = QueryDef(
+    "q_events_changepoint",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+      val wOrd = Window.partitionBy("event_type").orderBy(col("day"))
+      val wAll = Window.partitionBy("event_type")
+      val scored = daily
+        .withColumn("i", row_number().over(wOrd).cast("long"))
+        .withColumn("cum", sum(col("y")).over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tot", sum(col("y")).over(wAll))
+        .where(col("i") < col("n"))
+        .withColumn("pre_mean_x1000", expr("(cum * 1000) div i"))
+        .withColumn("post_mean_x1000", expr("((tot - cum) * 1000) div (n - i)"))
+        .withColumn("shift_x1000", abs(col("post_mean_x1000") - col("pre_mean_x1000")))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("shift_x1000").desc, col("day"))))
+        .where(col("rk") === 1)
+        .select(col("event_type"), col("day").as("split_day"),
+          col("i").as("n_days_pre"), (col("n") - col("i")).as("n_days_post"),
+          col("pre_mean_x1000"), col("post_mean_x1000"), col("shift_x1000"))
+    },
+    Some("""WITH daily AS (SELECT
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+              event_type, COUNT(*) AS y
+            FROM events GROUP BY 1, 2),
+            p AS (SELECT event_type, day, y,
+                CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+                CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum,
+                COUNT(*) OVER (PARTITION BY event_type) AS n,
+                CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+              FROM daily),
+            sc AS (SELECT event_type, day, i, n,
+                (cum * 1000) // i AS pre_mean_x1000,
+                ((tot - cum) * 1000) // (n - i) AS post_mean_x1000
+              FROM p WHERE i < n),
+            r AS (SELECT *, ABS(post_mean_x1000 - pre_mean_x1000) AS shift_x1000,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY ABS(post_mean_x1000 - pre_mean_x1000) DESC, day) AS rk
+              FROM sc)
+            SELECT event_type, day AS split_day, i AS n_days_pre,
+              n - i AS n_days_post, pre_mean_x1000, post_mean_x1000, shift_x1000
+            FROM r WHERE rk = 1"""))
+
+  /** SEQUENTIAL-pattern support mining (2-step, any gap) — for every
+    * ordered type pair `a → b`, how many users have at least one `a`
+    * event strictly before a `b` event. The level-2 PrefixSpan /
+    * SPAM building block, and the support-based complement of
+    * [[markov]]'s adjacent-transition probabilities (here gaps are
+    * allowed and each user counts once). Existence of an ordered
+    * occurrence reduces to `min_key(a) < max_key(b)` per user with
+    * the total-order key `t·10⁸ + event_id` (ties through unique
+    * event ids, exact to t ≈ 9·10¹⁰), so no per-user pair scan ever
+    * runs. `a = b` rows read "the type recurs".
+    *
+    * Scale shape: ONE shuffle into (user, type) min/max keys
+    * (≤ users × |alphabet| rows), a per-user pair expansion bounded
+    * by |alphabet|², and a tiny (a, b) count aggregate; user totals
+    * ride a 1-row broadcast.
+    */
+  val seqPatterns: QueryDef = QueryDef(
+    "q_events_bigrams",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        (expr("ts div 1000000000") * 100000000L + col("event_id")).as("k"))
+      val spans = e.groupBy("user_id", "event_type")
+        .agg(min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      val nUsers = e.select("user_id").distinct().agg(count(lit(1)).as("n_users"))
+      spans.toDF("user_id", "a", "a_min", "a_max")
+        .join(spans.toDF("user_id", "b", "b_min", "b_max"), "user_id")
+        .where(col("a_min") < col("b_max"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("a"), col("b"), col("support"),
+          expr("(support * 1000) div n_users").as("support_x1000"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000000 + event_id AS k
+            FROM events),
+            sp AS (SELECT user_id, event_type,
+                MIN(k) AS k_min, MAX(k) AS k_max
+              FROM e GROUP BY 1, 2),
+            nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM e)
+            SELECT a.event_type AS a, b.event_type AS b,
+              COUNT(*) AS support,
+              CAST((COUNT(*) * 1000) // MAX(nu.n_users) AS BIGINT) AS support_x1000
+            FROM sp a JOIN sp b ON a.user_id = b.user_id
+              AND a.k_min < b.k_max
+            CROSS JOIN nu
+            GROUP BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
-      rfm, abTest)
+      rfm, abTest, changepoint, seqPatterns)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

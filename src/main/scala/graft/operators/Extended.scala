@@ -517,9 +517,69 @@ object Extended {
                 JOIN ic y ON p.p2 = y.part CROSS JOIN no)
             SELECT rk, p1, p2, support, lift_x1000 FROM s WHERE rk <= 20"""))
 
+  /** Association RULES on top of the pair supports — the directional
+    * step after [[basketPairs]]: each frequent pair emits both
+    * `antecedent → consequent` rules, scored by CONFIDENCE ×1000
+    * (support·1000 div cnt(antecedent) — P(cons|ante) in exact fixed
+    * point) and the symmetric lift; top-20 by (confidence desc,
+    * support desc, rule). This is the classic Agrawal mining output a
+    * recommender or basket-analysis consumer reads directly.
+    *
+    * Scale shape: identical to [[basketPairs]] (ONE shuffle into pair
+    * cells, item counts ride a broadcast); the direction expansion is
+    * a 2× local union of the pair aggregate, and the final top-20 is
+    * a TakeOrdered. No new shuffle beyond the pair count.
+    */
+  val assocRules: QueryDef = QueryDef(
+    "q_assoc_rules",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+      val nOrders = li.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
+      val itemCnt = li.groupBy("part").agg(count(lit(1)).as("cnt"))
+      val pairs = li.toDF("okey", "p1")
+        .join(li.toDF("okey", "p2"), "okey")
+        .where(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+      val rules = pairs.select(col("p1").as("ante"), col("p2").as("cons"), col("support"))
+        .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"), col("support")))
+      val w = Window.orderBy(col("conf_x1000").desc, col("support").desc,
+        col("ante"), col("cons"))
+      rules
+        .join(broadcast(itemCnt.toDF("ante", "cnt_a")), "ante")
+        .join(broadcast(itemCnt.toDF("cons", "cnt_c")), "cons")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("conf_x1000", expr("(support * 1000) div cnt_a"))
+        .withColumn("lift_x1000",
+          expr("(support * n_orders * 1000) div (cnt_a * cnt_c)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 20)
+        .select("rk", "ante", "cons", "support", "conf_x1000", "lift_x1000")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+              FROM lineitem),
+            no AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM li),
+            ic AS (SELECT part, COUNT(*) AS cnt FROM li GROUP BY 1),
+            p AS (SELECT a.part AS p1, b.part AS p2, COUNT(*) AS support
+              FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+              GROUP BY 1, 2),
+            r AS (SELECT p1 AS ante, p2 AS cons, support FROM p
+              UNION ALL SELECT p2, p1, support FROM p),
+            s AS (SELECT r.ante, r.cons, r.support,
+                CAST((r.support * 1000) // x.cnt AS BIGINT) AS conf_x1000,
+                CAST((r.support * no.n_orders * 1000) // (x.cnt * y.cnt) AS BIGINT)
+                  AS lift_x1000
+              FROM r JOIN ic x ON r.ante = x.part
+                JOIN ic y ON r.cons = y.part CROSS JOIN no),
+            k AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY conf_x1000 DESC,
+                support DESC, ante, cons) AS BIGINT) AS rk FROM s)
+            SELECT rk, ante, cons, support, conf_x1000, lift_x1000
+            FROM k WHERE rk <= 20"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
     subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll,
     subquerySelect, lateralTopPerKey, recursiveCte, joinFullOuter, unpivot,
-    basketPairs)
+    basketPairs, assocRules)
 }

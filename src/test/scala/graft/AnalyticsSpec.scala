@@ -136,6 +136,95 @@ class AnalyticsSpec extends SparkSpec {
       s"exact verdict ${r.getBoolean(6)} vs float expectation $expected")
   }
 
+  test("exact AUC equals the brute-force pairwise concordance count") {
+    val r = TextFunctions.evalAuc.fn(spark, sfDir).head()
+    val (n, p, auc) = (r.getLong(0), r.getLong(1), r.getLong(3))
+    // recompute from the same scorer: AUC = (conc + ties/2) / (p*neg)
+    val sparkW = "((cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % 1024)" +
+      " * 2654435761L) % 2003 - 1001"
+    val scored = Tables.load(spark, sfDir, "documents")
+      .select((col("lang") === "en").cast("long").as("pos"),
+        expr(s"aggregate(filter(split(lower(text), ' '), x -> x != ''), 0L," +
+          s" (acc, t) -> acc + ($sparkW))").as("score"))
+      .where(expr("size(filter(split(lower(text), ' '), x -> x != '')) > 0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pos = scored.filter(_._1 == 1L).map(_._2)
+    val neg = scored.filter(_._1 == 0L).map(_._2)
+    assert(n == scored.length && p == pos.length)
+    val conc = (for (a <- pos; b <- neg) yield if (a > b) 2L else if (a == b) 1L else 0L).sum
+    assert(auc == conc * 500L / (pos.length.toLong * neg.length), s"auc $auc")
+  }
+
+  test("changepoint split maximizes the mean shift over all candidate splits") {
+    val got = Events.changepoint.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(6))).toMap
+    val daily = Events.loadEvents(spark, sfDir)
+      .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y")).collect()
+      .groupBy(_.getString(1)).view
+      .mapValues(_.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)).toMap
+    for ((t, series) <- daily) {
+      val best = (1 until series.length).map { i =>
+        val (pre, post) = series.splitAt(i)
+        val shift = math.abs(post.map(_._2).sum * 1000 / post.length -
+          pre.map(_._2).sum * 1000 / pre.length)
+        (shift, series(i - 1)._1)
+      }.maxBy { case (s, d) => (s, -d) }
+      assert(got(t) == ((best._2, best._1)), s"$t: ${got(t)} vs $best")
+    }
+  }
+
+  test("sequential bigram support equals brute-force per-user occurrence check") {
+    val got = Events.seqPatterns.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val byUser = Events.loadEvents(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        (expr("ts div 1000000000") * 100000000L + col("event_id")).as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val types = byUser.values.flatten.map(_._2).toSet.toSeq.sorted
+    for (a <- types; b <- types) {
+      val support = byUser.values.count { evs =>
+        val as = evs.filter(_._2 == a).map(_._3)
+        val bs = evs.filter(_._2 == b).map(_._3)
+        as.nonEmpty && bs.nonEmpty && as.min < bs.max
+      }
+      assert(got.getOrElse((a, b), 0L) == support.toLong, s"$a->$b")
+    }
+  }
+
+  test("association rules: confidence consistent with antecedent counts, both directions present") {
+    val rules = graft.operators.Extended.assocRules.fn(spark, sfDir).collect()
+    assert(rules.length == 20)
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cnt = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairSupport = li.groupBy(_._1).values
+      .flatMap { o =>
+        val parts = o.map(_._2).toSeq
+        for (a <- parts; b <- parts if a < b) yield (a, b)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rules.foreach { r =>
+      val (ante, cons, sup, conf) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val key = (math.min(ante, cons), math.max(ante, cons))
+      assert(pairSupport(key) == sup, s"support of $key")
+      assert(conf == sup * 1000 / cnt(ante), s"conf of $ante->$cons")
+      assert(conf > 0 && conf <= 1000)
+    }
+  }
+
+  test("k-anonymity histogram accounts for every document exactly once") {
+    val rows = TextFunctions.kAnonymity.fn(spark, sfDir).collect()
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(0) * r.getLong(1) == r.getLong(2), r.toString)
+      assert(r.getBoolean(3) == (r.getLong(0) < 5))
+    }
+  }
+
   test("readability orders sources sanely and stays within per-doc bounds") {
     val rows = StatsQueries.defs // touch object init orders
     val got = TextFunctions.readability.fn(spark, sfDir).collect()
