@@ -1088,8 +1088,124 @@ object Dedup {
            FROM p WHERE (inter * 1000) // sz_small >= 800"""))
   }
 
+  /** LEAKAGE-SAFE train/val/test split — the dedup-aware upgrade of
+    * the plain key-hash split (`t_train_test_split`): near-duplicate
+    * documents hashed independently can land the SAME content in both
+    * train and test (the classic eval-contamination bug), so here the
+    * split key is the NEAR-DUP CLUSTER's canonical id (the
+    * `d_dedup_cluster` component label) — every member of a duplicate
+    * cluster rides the same 8/1/1 bucket. Reported per split (docs,
+    * clusters, carried dup-cluster rows) next to the COUNTERFACTUAL:
+    * how many multi-doc clusters the naive per-doc hash would have
+    * torn across splits (`naive_leak_groups` — the leakage this
+    * operator removes; the cluster-keyed assignment tears zero by
+    * construction, emitted as the computed `safe_leak_groups` check,
+    * not a constant).
+    *
+    * Scale shape: the clustering is `d_dedup_cluster`'s (LSH-bounded
+    * pair generation + O(diameter) label propagation); on top of it
+    * the split adds one map-side hash and two tiny aggregates.
+    */
+  val splitLeakage: QueryDef = QueryDef(
+    "d_split_leakage",
+    (s, dir) => {
+      val bucket = expr(
+        "pmod(cast(conv(substr(md5(cast(canonical_id as string)), 1, 15), 16, 10) as bigint), 10)")
+      val naiveBucket = expr(
+        "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint), 10)")
+      val assigned = cluster.fn(s, dir)
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+        .withColumn("naive_split",
+          when(naiveBucket < 8, "train").when(naiveBucket === 8, "val").otherwise("test"))
+        .localCheckpoint()
+      val perSplit = assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canonical_id")).as("n_clusters"),
+          sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      def leaks(splitCol: String, out: String) = assigned
+        .where(col("cluster_size") > 1)
+        .groupBy("canonical_id").agg(countDistinct(col(splitCol)).as("ns"))
+        .agg(coalesce(sum(when(col("ns") > 1, 1L).otherwise(0L)), lit(0L)).as(out))
+      perSplit.crossJoin(broadcast(leaks("naive_split", "naive_leak_groups")))
+        .crossJoin(broadcast(leaks("split", "safe_leak_groups")))
+        .select(col("split"), col("n_docs"), col("n_clusters"), col("n_dup_docs"),
+          col("naive_leak_groups"), col("safe_leak_groups"))
+    },
+    Some(s"""WITH RECURSIVE $ngramPairsSql,
+            edges AS (SELECT a AS src, b AS dst FROM pairs
+                      UNION ALL SELECT b, a FROM pairs),
+            reach(src, node) AS (
+              SELECT doc_id AS src, doc_id AS node FROM documents
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+            canon AS (SELECT src AS doc_id, MIN(node) AS canonical_id
+                      FROM reach GROUP BY src),
+            sz AS (SELECT canonical_id, COUNT(*) AS cluster_size
+                   FROM canon GROUP BY canonical_id),
+            a AS (SELECT c.doc_id, c.canonical_id, sz.cluster_size,
+                CASE WHEN ${graft.functions.Portable.textSql.h60("CAST(c.canonical_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+                     WHEN ${graft.functions.Portable.textSql.h60("CAST(c.canonical_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+                     ELSE 'test' END AS split,
+                CASE WHEN ${graft.functions.Portable.textSql.h60("CAST(c.doc_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+                     WHEN ${graft.functions.Portable.textSql.h60("CAST(c.doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+                     ELSE 'test' END AS naive_split
+              FROM canon c JOIN sz USING (canonical_id)),
+            ps AS (SELECT split, COUNT(*) AS n_docs,
+                COUNT(DISTINCT canonical_id) AS n_clusters,
+                CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+              FROM a GROUP BY 1),
+            nl AS (SELECT COALESCE(CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT), 0)
+                AS naive_leak_groups
+              FROM (SELECT canonical_id, COUNT(DISTINCT naive_split) AS ns
+                FROM a WHERE cluster_size > 1 GROUP BY 1) t),
+            sl AS (SELECT COALESCE(CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT), 0)
+                AS safe_leak_groups
+              FROM (SELECT canonical_id, COUNT(DISTINCT split) AS ns
+                FROM a WHERE cluster_size > 1 GROUP BY 1) t)
+            SELECT ps.split, ps.n_docs, ps.n_clusters, ps.n_dup_docs,
+              nl.naive_leak_groups, sl.safe_leak_groups
+            FROM ps, nl, sl"""))
+
+  /** Corpus source-DIVERSITY audit (Gini–Simpson) — per language: how
+    * concentrated the corpus is across sources, as the exact-rational
+    * Gini–Simpson index `1 − Σp_s²` ×10⁶ (`(n² − Σn_s²)·10⁶ div n²`)
+    * plus the inverse-Simpson EFFECTIVE source count ×1000
+    * (`n²·1000 div Σn_s²` — "this slice behaves like ~N.n equally
+    * sized sources"). The mixing-health dashboard row a curation
+    * pipeline watches: a diversity collapse after aggressive
+    * filtering means one domain took over. Entropy needs ln (not
+    * bit-portable); Simpson is the exact-integer diversity index.
+    *
+    * Scale shape: ONE (lang, source) count aggregate (map-side
+    * combined), folded per lang — output = #langs rows.
+    */
+  val corpusDiversity: QueryDef = QueryDef(
+    "d_corpus_diversity",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("ns"))
+        .groupBy("lang")
+        .agg(sum(col("ns")).as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          sum(col("ns") * col("ns")).as("ss"))
+        .select(col("lang"), col("n_docs"), col("n_sources"),
+          expr("((n_docs * n_docs - ss) * 1000000) div (n_docs * n_docs)")
+            .as("simpson_x1e6"),
+          expr("(n_docs * n_docs * 1000) div ss").as("eff_sources_x1000"))
+    },
+    Some("""WITH c AS (SELECT lang, source, COUNT(*) AS ns
+              FROM documents GROUP BY 1, 2),
+            l AS (SELECT lang, CAST(SUM(ns) AS BIGINT) AS n_docs,
+                COUNT(*) AS n_sources, CAST(SUM(ns * ns) AS BIGINT) AS ss
+              FROM c GROUP BY 1)
+            SELECT lang, n_docs, n_sources,
+              ((n_docs * n_docs - ss) * 1000000) // (n_docs * n_docs) AS simpson_x1e6,
+              (n_docs * n_docs * 1000) // ss AS eff_sources_x1000
+            FROM l"""))
+
   val defs: Seq[QueryDef] =
     Seq(exact, paragraph, substring, minhash, editDistance, simhashDef,
       ngramJaccard, cluster, canonicalByQuality, incremental, dedupReport,
-      sourceOverlap, containment)
+      sourceOverlap, containment, splitLeakage, corpusDiversity)
 }

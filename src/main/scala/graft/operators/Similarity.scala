@@ -3041,11 +3041,164 @@ object Similarity {
               CAST(SUM(nrm) AS BIGINT) // COUNT(*) AS mean_nrm
             FROM v GROUP BY 1"""))
 
+  /** Cohen's KAPPA over the nearest-class-mean predictions — the
+    * chance-corrected agreement summary of [[nearestCentroid]]'s
+    * confusion matrix (accuracy alone rewards majority-class
+    * collapse; kappa subtracts the agreement the marginals produce by
+    * chance). Everything stays exact integers: with diag = Σ
+    * correct, chance = Σ_l row_l·col_l, kappa = (diag·n − chance) /
+    * (n² − chance) ships ×1000 by integer DIV, accuracy alongside.
+    *
+    * Scale shape: identical to [[nearestCentroid]] (prototype
+    * aggregate + corpus × broadcast-prototypes pass); the kappa fold
+    * is labels² rows → one row.
+    */
+  val labelKappa: QueryDef = QueryDef(
+    "s_label_kappa",
+    (s, dir) => {
+      val v = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          quantize(col("embedding")).as("q"))
+      val sums = v.select(col("label"), posexplode(col("q"))).toDF("label", "dim", "x")
+        .groupBy("label", "dim").agg(sum(col("x")).as("sv"))
+        .groupBy("label").agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("sv")))),
+          x => x.getField("sv")).as("cs"))
+      val protos = broadcast(
+        sums.join(v.groupBy("label").agg(count(lit(1)).as("cn")), "label")
+          .select(col("label").as("plabel"), col("cs"), col("cn")))
+      val w = Window.partitionBy("vec_id").orderBy(col("m"), col("plabel"))
+      val pred = v.crossJoin(protos)
+        .select(col("vec_id"), col("label"), col("plabel"),
+          (graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
+            .cast("double") / (col("cn") * col("cn")).cast("double")).as("m"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      val conf = pred.groupBy("label", "plabel").agg(count(lit(1)).as("c"))
+      val marg = conf.groupBy("label").agg(sum(col("c")).as("row_n"))
+        .join(conf.groupBy("plabel").agg(sum(col("c")).as("col_n"))
+          .withColumnRenamed("plabel", "label"), Seq("label"), "full")
+        .select(coalesce(col("row_n"), lit(0L)).as("row_n"),
+          coalesce(col("col_n"), lit(0L)).as("col_n"))
+        .agg(sum(col("row_n") * col("col_n")).as("chance"),
+          sum(col("row_n")).as("n"))
+      conf.agg(sum(when(col("label") === col("plabel"), col("c")).otherwise(0L))
+          .as("diag"), sum(col("c")).as("n2"))
+        .crossJoin(marg)
+        .select(col("n"), col("diag").as("n_agree"),
+          expr("(n_agree * 1000) div n").as("accuracy_x1000"),
+          expr("((n_agree * n - chance) * 1000) div (n * n - chance)")
+            .as("kappa_x1000"))
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+              list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
+            FROM embeddings),
+            sums AS (SELECT label, i AS dim, CAST(SUM(q[i]) AS BIGINT) AS sv
+              FROM v CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+            cs AS (SELECT label, list(sv ORDER BY dim) AS cs FROM sums GROUP BY label),
+            proto AS (SELECT cs.label AS plabel, cs.cs, c.cn
+              FROM cs JOIN (SELECT label, COUNT(*) AS cn FROM v GROUP BY label) c
+                ON cs.label = c.label),
+            scored AS (SELECT v.vec_id, v.label, p.plabel,
+                CAST(list_sum(list_transform(list_zip(v.q, p.cs),
+                  z -> (p.cn * z[1] - z[2]) * (p.cn * z[1] - z[2]))) AS DOUBLE)
+                  / CAST(p.cn * p.cn AS DOUBLE) AS m
+              FROM v CROSS JOIN proto p),
+            a AS (SELECT vec_id, label, plabel,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY m, plabel) AS rn
+              FROM scored),
+            conf AS (SELECT label, plabel, COUNT(*) AS c FROM a WHERE rn = 1
+              GROUP BY 1, 2),
+            rm AS (SELECT label, CAST(SUM(c) AS BIGINT) AS row_n FROM conf GROUP BY 1),
+            cm AS (SELECT plabel AS label, CAST(SUM(c) AS BIGINT) AS col_n
+              FROM conf GROUP BY 1),
+            mg AS (SELECT CAST(SUM(COALESCE(row_n, 0) * COALESCE(col_n, 0)) AS BIGINT)
+                AS chance, CAST(SUM(COALESCE(row_n, 0)) AS BIGINT) AS n
+              FROM rm FULL JOIN cm USING (label)),
+            dg AS (SELECT CAST(SUM(CASE WHEN label = plabel THEN c ELSE 0 END) AS BIGINT)
+                AS n_agree FROM conf)
+            SELECT mg.n, dg.n_agree,
+              (dg.n_agree * 1000) // mg.n AS accuracy_x1000,
+              ((dg.n_agree * mg.n - mg.chance) * 1000) // (mg.n * mg.n - mg.chance)
+                AS kappa_x1000
+            FROM dg, mg"""))
+
+  /** Ranked-RETRIEVAL evaluation (P@5, MRR, hit@10) of the
+    * brute-force cosine ranking against label relevance — the
+    * standard IR report card next to [[annRecall]]'s
+    * approximate-vs-exact recall (there the exact ranking is the
+    * ground truth; here the exact ranking is the SYSTEM under eval
+    * and labels are the truth). Per query vector (vec_id < 10): the
+    * corpus ranked by (cosine desc, id), relevance = same label;
+    * precision@5 and the reciprocal rank of the first relevant hit
+    * within the top-10 cutoff ship ×1000 as exact integers (1000 div
+    * rank — engine-identical).
+    *
+    * Scale shape: query-set broadcast × corpus scan (the bruteforce
+    * baseline's shape), one per-query top-10 window
+    * (WindowGroupLimit), metrics fold 10 rows per query → 10 rows
+    * total.
+    */
+  val evalRetrieval: QueryDef = QueryDef(
+    "s_eval_retrieval",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          quantize(col("embedding")).as("q"))
+        .withColumn("nrm", dotL(col("q"), col("q")))
+      val qs = broadcast(e.where(col("vec_id") < 10)
+        .toDF("q_id", "q_label", "q_q", "q_nrm"))
+      val scored = qs.join(e.toDF("n_id", "n_label", "n_q", "n_nrm"),
+          col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("n_label"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"),
+          col("n_id"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 10)
+        .withColumn("rel", (col("n_label") === col("q_label")).cast("long"))
+        .groupBy("q_id")
+        .agg(sum(when(col("rn") <= 5, col("rel")).otherwise(0L)).as("n_rel_at5"),
+          sum(col("rel")).as("n_rel_at10"),
+          min(when(col("rel") === 1L, col("rn"))).as("first_rel"))
+        .select(col("q_id"), col("n_rel_at5"),
+          expr("(n_rel_at5 * 1000) div 5").as("p_at5_x1000"),
+          (col("n_rel_at10") > 0).as("hit_at10"),
+          coalesce(expr("1000 div first_rel"), lit(0L)).as("rr_x1000"))
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+              list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
+            FROM embeddings),
+            n AS (SELECT vec_id, label, q,
+              CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+            p AS (SELECT a.vec_id AS q_id, a.label AS q_label,
+                b.label AS n_label, b.vec_id AS n_id,
+                CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+                a.nrm AS na, b.nrm AS nb
+              FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+            sc AS (SELECT q_id, q_label, n_label, n_id,
+                CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim
+              FROM p),
+            r AS (SELECT q_id, q_label, n_label,
+                CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rn
+              FROM sc),
+            t AS (SELECT q_id, rn, CAST(n_label = q_label AS BIGINT) AS rel
+              FROM r WHERE rn <= 10),
+            m AS (SELECT q_id,
+                CAST(SUM(CASE WHEN rn <= 5 THEN rel ELSE 0 END) AS BIGINT) AS n_rel_at5,
+                CAST(SUM(rel) AS BIGINT) AS n_rel_at10,
+                MIN(CASE WHEN rel = 1 THEN rn END) AS first_rel
+              FROM t GROUP BY 1)
+            SELECT q_id, n_rel_at5, (n_rel_at5 * 1000) // 5 AS p_at5_x1000,
+              n_rel_at10 > 0 AS hit_at10,
+              COALESCE(1000 // first_rel, 0) AS rr_x1000
+            FROM m"""))
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
       knnBeam, knnBeamConverged, graphPagerank, hardNegatives, dedupSemantic,
       dedupSemanticIncremental, mmrRerank, nearestCentroid, graphTriangles,
-      mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep)
+      mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep,
+      labelKappa, evalRetrieval)
 }

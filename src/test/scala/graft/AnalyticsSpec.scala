@@ -225,6 +225,81 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("kappa is consistent with the nearest-centroid confusion matrix") {
+    val conf = Similarity.nearestCentroid.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val n = conf.values.sum
+    val diag = conf.collect { case ((t, p), c) if t == p => c }.sum
+    val rows = conf.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cols = conf.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val chance = (rows.keySet ++ cols.keySet).toSeq
+      .map(l => rows.getOrElse(l, 0L) * cols.getOrElse(l, 0L)).sum
+    val r = Similarity.labelKappa.fn(spark, sfDir).head()
+    assert(r.getLong(0) == n && r.getLong(1) == diag)
+    assert(r.getLong(2) == diag * 1000 / n)
+    assert(r.getLong(3) == (diag * n - chance) * 1000 / (n * n - chance))
+    // kappa must not exceed accuracy (chance correction only shrinks)
+    assert(r.getLong(3) <= r.getLong(2))
+  }
+
+  test("retrieval eval agrees with a brute-force ranking recheck") {
+    val got = Similarity.evalRetrieval.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+      .toMap
+    val vecs = Tables.load(spark, sfDir, "embeddings").collect().map { r =>
+      val emb = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)
+      (r.getLong(0), emb, r.getInt(2).toLong)
+    }
+    for ((qid, qv, qlab) <- vecs.filter(_._1 < 10)) {
+      val ranked = vecs.filter(_._1 != qid).map { case (id, v, lab) =>
+        val dot = qv.zip(v).map { case (a, b) => a * b }.sum
+        val sim = dot.toDouble / math.sqrt(
+          qv.map(x => x * x).sum.toDouble * v.map(x => x * x).sum.toDouble)
+        (id, sim, lab)
+      }.sortBy { case (id, sim, _) => (-sim, id) }.take(10)
+      val rel = ranked.map(_._3 == qlab)
+      val p5 = rel.take(5).count(identity).toLong
+      val firstRel = rel.indexWhere(identity)
+      val rr = if (firstRel < 0) 0L else 1000L / (firstRel + 1)
+      assert(got(qid) == ((p5, p5 * 1000 / 5, firstRel >= 0, rr)), s"q $qid: ${got(qid)}")
+    }
+  }
+
+  test("leakage-safe split: clusters never span splits, counts conserve the corpus") {
+    val rows = graft.operators.Dedup.splitLeakage.fn(spark, sfDir).collect()
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(5) == 0L, "cluster-keyed split must never tear a cluster")
+    }
+    // the naive counterfactual is identical on every row (global value)
+    assert(rows.map(_.getLong(4)).distinct.length == 1)
+    // cluster assignment really groups: members of one cluster share a split
+    val clusters = graft.operators.Dedup.cluster.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val splitOf = clusters.map { case (doc, canon) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.toString.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
+      doc -> java.lang.Long.parseLong(h.take(15), 16) % 10
+    }.toMap
+    clusters.groupBy(_._2).values.foreach { grp =>
+      assert(grp.map(g => splitOf(g._1)).distinct.length == 1)
+    }
+  }
+
+  test("source diversity: Simpson bounded by theory, effective sources <= actual") {
+    val rows = graft.operators.Dedup.corpusDiversity.fn(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (n, s, simpson, eff) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(simpson >= 0 && simpson < 1000000)
+      // max Gini-Simpson for s categories is 1 - 1/s
+      assert(simpson <= 1000000 - 1000000 / s, s"${r.getString(0)}")
+      assert(eff >= 1000 && eff <= s * 1000, s"eff $eff vs $s sources")
+      assert(n >= s)
+    }
+  }
+
   test("readability orders sources sanely and stays within per-doc bounds") {
     val rows = StatsQueries.defs // touch object init orders
     val got = TextFunctions.readability.fn(spark, sfDir).collect()
