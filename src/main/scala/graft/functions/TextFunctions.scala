@@ -2497,6 +2497,78 @@ object TextFunctions {
               k < 5 AS at_risk
             FROM g GROUP BY 1"""))
 
+  /** BIGRAM-LM quality filter — the second-order upgrade of
+    * [[qualityLm]]'s unigram surprise: per-bigram add-one-smoothed
+    * inverse probability `((c1(w1)+V)·1000) DIV (c2(w1,w2)+1)` (c1 =
+    * corpus unigram count, c2 = bigram count, V = vocabulary size —
+    * the −log-free integer surprise core), a doc scored by its mean
+    * bigram surprise, flagged above 1.5× the corpus mean. Catches
+    * word-salad text whose unigrams are individually common (the
+    * failure mode a unigram LM filter structurally misses).
+    *
+    * Scale shape: one bigram explode + TWO vocabulary-sized count
+    * shuffles (unigram + bigram, both map-side combined), surprise
+    * lookup is a shuffle-hash join on the bigram key, one per-doc
+    * aggregate; V and the corpus mean ride 1-row broadcasts (the
+    * corpus-mean numerator aggregates in decimal(38,0) — the
+    * [[docSurprise]] overflow convention).
+    */
+  val qualityLmBigram: QueryDef = QueryDef(
+    "t_quality_lm_bigram",
+    (s, dir) => {
+      val tk = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
+      val uni = tk.select(col("doc_id"), explode(col("tk")).as("w"))
+      val c1 = uni.groupBy("w").agg(count(lit(1)).as("c1"))
+      val vocab = broadcast(c1.agg(count(lit(1)).as("v")))
+      val bi = tk.where(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+             (a, b) -> named_struct('w1', a, 'w2', b))""")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val sur = c2.join(c1.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(vocab)
+        .select(col("w1"), col("w2"),
+          expr("((c1 + v) * 1000) div (c2 + 1)").as("sur"))
+      val perDoc = bi.join(sur, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("sur")).as("ssum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("ssum div n_bigrams").as("sur_x1000"), col("ssum"))
+      val cm = broadcast(perDoc
+        .agg(sum(col("ssum").cast("decimal(38,0)")).as("sc"),
+          sum(col("n_bigrams")).as("nb"))
+        .select(expr("sc DIV nb").as("cm")))
+      perDoc.crossJoin(cm)
+        .select(col("doc_id"), col("n_bigrams"), col("sur_x1000"),
+          (col("sur_x1000") * 2 > col("cm") * 3).as("high_perplexity"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, ${Portable.textSql.tokensLower} AS tk
+              FROM documents),
+            uni AS (SELECT doc_id, unnest(tk) AS w FROM tk),
+            c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY 1),
+            vv AS (SELECT COUNT(*) AS v FROM c1),
+            bi AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(tk)), i -> tk[CAST(i AS INT)])) AS w1,
+                unnest(list_transform(range(1, len(tk)), i -> tk[CAST(i + 1 AS INT)])) AS w2
+              FROM tk WHERE len(tk) >= 2),
+            c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+            sur AS (SELECT c2.w1, c2.w2,
+                ((c1.c1 + vv.v) * 1000) // (c2.c2 + 1) AS sur
+              FROM c2 JOIN c1 ON c2.w1 = c1.w FULL JOIN vv ON TRUE),
+            pd AS (SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+                CAST(SUM(s.sur) AS BIGINT) AS ssum
+              FROM bi JOIN sur s ON bi.w1 = s.w1 AND bi.w2 = s.w2
+              GROUP BY 1),
+            cm AS (SELECT CAST(SUM(CAST(ssum AS HUGEINT)) // SUM(n_bigrams) AS BIGINT)
+                AS cm FROM pd)
+            SELECT pd.doc_id, pd.n_bigrams,
+              pd.ssum // pd.n_bigrams AS sur_x1000,
+              (pd.ssum // pd.n_bigrams) * 2 > cm.cm * 3 AS high_perplexity
+            FROM pd, cm"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
@@ -2509,5 +2581,5 @@ object TextFunctions {
       sourceCaps, boilerplate, qualityClassifier,
       keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit,
       oovRate, corpusDrift, pipelineCuration, labelEncode,
-      evalAuc, kAnonymity)
+      evalAuc, kAnonymity, qualityLmBigram)
 }

@@ -1204,8 +1204,74 @@ object Dedup {
               (n_docs * n_docs * 1000) // ss AS eff_sources_x1000
             FROM l"""))
 
+  /** MinHash ESTIMATOR-ACCURACY audit — per band-collision candidate
+    * pair, the signature-agreement Jaccard estimate (matching rows /
+    * K ×1000) next to the exact shingle Jaccard ×1000, their absolute
+    * error, and two verdicts: `within_2se` (error ≤ 300 ≈ 2 standard
+    * errors at K=32 — the Chernoff-style band the estimator is
+    * supposed to hold) and `decision_agree` (estimate and truth land
+    * on the same side of the 0.5 dedup threshold — the error that
+    * actually matters operationally). This is the sketch-audit
+    * convention (`q_approx_stats`, `t_heavy_hitters`) applied to the
+    * workhorse dedup estimator: at 100 TB the verify stage MAY be
+    * dropped and decisions made from signatures alone — this query
+    * measures exactly what that would cost.
+    *
+    * Scale shape: identical to [[minhash]] (banded candidates, never
+    * all-pairs); the signature comparison is a per-pair 32-element
+    * zip — cheaper than the exact-intersect verify it audits.
+    */
+  val minhashAccuracy: QueryDef = QueryDef(
+    "d_minhash_accuracy",
+    (s, dir) => {
+      val sg = signed(Tables.load(s, dir, "documents"))
+      val pairs = minhashCandidates(sg)
+      val sa = sg.select(col("doc_id").as("a"), col("shingles").as("sh_a"),
+        col("sig").as("sig_a"))
+      val sb = sg.select(col("doc_id").as("b"), col("shingles").as("sh_b"),
+        col("sig").as("sig_b"))
+      val inter = graft.functions.Native.sortedIntersectSize(col("sh_a"), col("sh_b"))
+      pairs.join(sa, "a").join(sb, "b")
+        .select(col("a"), col("b"), inter.as("inter"),
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("zsum"),
+          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)")
+            .as("matches"))
+        .select(col("a"), col("b"),
+          expr("(inter * 1000) div (zsum - inter)").as("exact_x1000"),
+          expr(s"(matches * 1000) div $K").as("est_x1000"))
+        .select(col("a"), col("b"), col("exact_x1000"), col("est_x1000"),
+          abs(col("est_x1000") - col("exact_x1000")).as("abs_err"),
+          (abs(col("est_x1000") - col("exact_x1000")) <= 300).as("within_2se"),
+          ((col("est_x1000") >= 500) === (col("exact_x1000") >= 500))
+            .as("decision_agree"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         sh AS (SELECT doc_id, ${gramsSql(3)} AS shingles FROM tk),
+         sg AS (SELECT doc_id, shingles, list_transform(range(0, $K), k ->
+             list_min(list_transform(shingles, h ->
+               ((2*k+1)*(h % $HashP) + ((k*2654435761) % $HashP)) % $HashP))) AS sig
+           FROM sh),
+         bx AS (SELECT doc_id, unnest(range(0, $Bands)) AS band, sig FROM sg),
+         bb AS (SELECT doc_id, band, ${bandBucketSql("band")} AS bucket FROM bx),
+         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bb l JOIN bb r
+             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         pj AS (SELECT c.a, c.b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+               CAST(len(sa.shingles) + len(sb.shingles) AS BIGINT) AS zsum,
+               CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS BIGINT)
+                 AS matches
+             FROM cand c JOIN sg sa ON sa.doc_id = c.a JOIN sg sb ON sb.doc_id = c.b),
+         m AS (SELECT a, b, (inter * 1000) // (zsum - inter) AS exact_x1000,
+               (matches * 1000) // $K AS est_x1000 FROM pj)
+         SELECT a, b, exact_x1000, est_x1000,
+           ABS(est_x1000 - exact_x1000) AS abs_err,
+           ABS(est_x1000 - exact_x1000) <= 300 AS within_2se,
+           (est_x1000 >= 500) = (exact_x1000 >= 500) AS decision_agree
+         FROM m"""))
+
   val defs: Seq[QueryDef] =
     Seq(exact, paragraph, substring, minhash, editDistance, simhashDef,
       ngramJaccard, cluster, canonicalByQuality, incremental, dedupReport,
-      sourceOverlap, containment, splitLeakage, corpusDiversity)
+      sourceOverlap, containment, splitLeakage, corpusDiversity,
+      minhashAccuracy)
 }

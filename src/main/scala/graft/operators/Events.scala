@@ -1033,11 +1033,78 @@ object Events {
             CROSS JOIN nu
             GROUP BY 1, 2"""))
 
+  /** Holt LINEAR-TREND forecast of the daily event-count series — the
+    * level+trend exponential smoother (α = β = 1/2) run per event
+    * type, forecasting 1–3 days ahead, in EXACT integer arithmetic:
+    * state ×1000, every smoothing step an integral DIV (truncation
+    * toward zero is identical in Spark `div` and DuckDB `//`,
+    * including on negative trends). Complements [[trend]]'s OLS fit
+    * (a global line) with the recency-weighted recursive smoother a
+    * monitoring forecast actually uses.
+    *
+    * The recursion is inherently sequential per series, so it runs as
+    * an `aggregate` HOF fold over the per-type ordered day array —
+    * per-SERIES local work after ONE daily-count shuffle (series
+    * length = days observed, never corpus-sized); the DuckDB twin is
+    * a recursive CTE over the same indexed series. At 100 TB the
+    * daily rollup is the only corpus pass; thousands of series fold
+    * in parallel, one task each.
+    */
+  val forecast: QueryDef = QueryDef(
+    "q_events_forecast",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy("event_type")
+        .agg(transform(array_sort(collect_list(struct(col("day"), col("y")))),
+          x => x.getField("y")).as("ys"))
+        .where(size(col("ys")) >= 2)
+        .withColumn("st", expr(
+          """aggregate(slice(ys, 3, size(ys) - 2),
+             named_struct('l', ys[0] * 1000L, 't', (ys[1] - ys[0]) * 1000L),
+             (acc, y) -> named_struct(
+               'l', (y * 1000L + acc.l + acc.t) div 2L,
+               't', (((y * 1000L + acc.l + acc.t) div 2L - acc.l) + acc.t) div 2L))"""))
+        .select(col("event_type"), size(col("ys")).cast("long").as("n_days"),
+          col("st.l").as("level_x1000"), col("st.t").as("trend_x1000"),
+          (col("st.l") + col("st.t")).as("fc1_x1000"),
+          (col("st.l") + lit(2) * col("st.t")).as("fc2_x1000"),
+          (col("st.l") + lit(3) * col("st.t")).as("fc3_x1000"))
+    },
+    Some("""WITH RECURSIVE daily AS (SELECT
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+              event_type, COUNT(*) AS y
+            FROM events GROUP BY 1, 2),
+            idx AS (SELECT event_type, y,
+                CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM daily),
+            ft AS (SELECT event_type,
+                CAST(MAX(CASE WHEN i = 1 THEN y END) AS BIGINT) AS y1,
+                CAST(MAX(CASE WHEN i = 2 THEN y END) AS BIGINT) AS y2,
+                MAX(n) AS n
+              FROM idx GROUP BY 1 HAVING MAX(n) >= 2),
+            rec AS (
+              SELECT event_type, CAST(2 AS BIGINT) AS i,
+                y1 * 1000 AS l, (y2 - y1) * 1000 AS t FROM ft
+              UNION ALL
+              SELECT r.event_type, r.i + 1,
+                (ix.y * 1000 + r.l + r.t) // 2,
+                ((((ix.y * 1000 + r.l + r.t) // 2) - r.l) + r.t) // 2
+              FROM rec r JOIN idx ix
+                ON ix.event_type = r.event_type AND ix.i = r.i + 1)
+            SELECT r.event_type, ft.n AS n_days,
+              r.l AS level_x1000, r.t AS trend_x1000,
+              r.l + r.t AS fc1_x1000, r.l + 2 * r.t AS fc2_x1000,
+              r.l + 3 * r.t AS fc3_x1000
+            FROM rec r JOIN ft ON r.event_type = ft.event_type AND r.i = ft.n"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
-      rfm, abTest, changepoint, seqPatterns)
+      rfm, abTest, changepoint, seqPatterns, forecast)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -3193,6 +3193,70 @@ object Similarity {
               COALESCE(1000 // first_rel, 0) AS rr_x1000
             FROM m"""))
 
+  /** COMMUNITY detection via synchronous label propagation (3 rounds)
+    * over the persisted kNN graph — the community tier of the graph
+    * family (components = connectivity, triangles = local density,
+    * PageRank = centrality; LPA = mesoscale groups INSIDE a
+    * component). Deterministic throughout: labels init to vec_id,
+    * each round every node adopts its neighbors' most frequent label
+    * with (count desc, label asc) ties, rounds fixed at 3 so the
+    * DuckDB oracle unrolls them exactly (the `s_knn_beam` convention).
+    * Output = the top-20 communities by size.
+    *
+    * Scale shape: per round ONE equi-join of the symmetrized edge
+    * list against the (node, label) frame + one (node, label) count
+    * shuffle — the PageRank iteration profile with labels instead of
+    * ranks; state is one label per node, lineage cut per round.
+    */
+  val graphCommunities: QueryDef = QueryDef(
+    "s_graph_communities",
+    (s, dir) => {
+      val g = knnGraphTable(s, dir)
+      val e = g.select(col("g_src").as("src"), col("g_dst").as("dst"))
+        .unionAll(g.select(col("g_dst").as("src"), col("g_src").as("dst")))
+        .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+      var labels = e.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("lbl"))
+      for (_ <- 1 to 3) {
+        val w = Window.partitionBy("src").orderBy(col("cnt").desc, col("lbl"))
+        labels = e.join(labels.withColumnRenamed("v", "dst"), "dst")
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("src").as("v"), col("lbl"))
+          .localCheckpoint()
+      }
+      val wTop = Window.orderBy(col("n_members").desc, col("community"))
+      labels.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .withColumn("rk", row_number().over(wTop).cast("long"))
+        .where(col("rk") <= 20)
+        .select("rk", "community", "n_members")
+    },
+    Some(s"""WITH $graphSqlCtes,
+         e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT g_src AS src, g_dst AS dst FROM graph
+             UNION ALL SELECT g_dst, g_src FROM graph) u WHERE src <> dst),
+         l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM e),
+         c1 AS (SELECT e.src, l.lbl, COUNT(*) AS cnt FROM e
+             JOIN l0 l ON e.dst = l.v GROUP BY 1, 2),
+         l1 AS MATERIALIZED (SELECT src AS v, lbl FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cnt DESC, lbl) AS rn
+           FROM c1) t WHERE rn = 1),
+         c2 AS (SELECT e.src, l.lbl, COUNT(*) AS cnt FROM e
+             JOIN l1 l ON e.dst = l.v GROUP BY 1, 2),
+         l2 AS MATERIALIZED (SELECT src AS v, lbl FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cnt DESC, lbl) AS rn
+           FROM c2) t WHERE rn = 1),
+         c3 AS (SELECT e.src, l.lbl, COUNT(*) AS cnt FROM e
+             JOIN l2 l ON e.dst = l.v GROUP BY 1, 2),
+         l3 AS MATERIALIZED (SELECT src AS v, lbl FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cnt DESC, lbl) AS rn
+           FROM c3) t WHERE rn = 1),
+         f AS (SELECT lbl AS community, COUNT(*) AS n_members FROM l3 GROUP BY 1)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_members DESC, community) AS BIGINT)
+             AS rk, community, n_members
+         FROM f QUALIFY rk <= 20"""))
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
@@ -3200,5 +3264,5 @@ object Similarity {
       knnBeam, knnBeamConverged, graphPagerank, hardNegatives, dedupSemantic,
       dedupSemanticIncremental, mmrRerank, nearestCentroid, graphTriangles,
       mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep,
-      labelKappa, evalRetrieval)
+      labelKappa, evalRetrieval, graphCommunities)
 }

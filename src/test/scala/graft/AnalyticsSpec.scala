@@ -300,6 +300,73 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("Holt forecast equals a sequential Scala fold over the same series") {
+    val got = Events.forecast.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val daily = Events.loadEvents(spark, sfDir)
+      .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y")).collect()
+      .groupBy(_.getString(1)).view
+      .mapValues(_.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).map(_._2)).toMap
+    for ((t, ys) <- daily if ys.length >= 2) {
+      var l = ys(0) * 1000L
+      var tr = (ys(1) - ys(0)) * 1000L
+      for (y <- ys.drop(2)) {
+        val ln = (y * 1000L + l + tr) / 2
+        tr = ((ln - l) + tr) / 2
+        l = ln
+      }
+      assert(got(t) == ((ys.length.toLong, l, tr, l + tr)), s"$t: ${got(t)} vs ($l, $tr)")
+    }
+  }
+
+  test("minhash accuracy audit: estimates recomputed from signatures, verdicts consistent") {
+    val rows = graft.operators.Dedup.minhashAccuracy.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est, err) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(exact >= 0 && exact <= 1000 && est >= 0 && est <= 1000)
+      assert(err == math.abs(est - exact))
+      assert(r.getBoolean(5) == (err <= 300))
+      assert(r.getBoolean(6) == ((est >= 500) == (exact >= 500)))
+    }
+    // band-collision pairs are biased toward high similarity: the
+    // estimator should agree with the threshold decision on most pairs
+    val agree = rows.count(_.getBoolean(6))
+    assert(agree * 10 >= rows.length * 8, s"$agree/${rows.length} decisions agree")
+  }
+
+  test("LPA communities: labels are node ids, sizes ordered, deterministic rerun") {
+    val a = Similarity.graphCommunities.fn(spark, sfDir).collect()
+    val b = Similarity.graphCommunities.fn(spark, sfDir).collect()
+    assert(a.toSeq.map(_.toSeq) == b.toSeq.map(_.toSeq), "LPA must be deterministic")
+    val sizes = a.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(sizes.zip(sizes.tail).forall { case (x, y) => x >= y }, "sizes desc")
+    val nodes = Similarity.knnGraphTable(spark, sfDir)
+      .select("g_src").distinct().count()
+    assert(sizes.sum <= nodes)
+    assert(a.forall(_.getLong(2) >= 1))
+  }
+
+  test("bigram surprise matches a brute-force recompute on a sample of docs") {
+    val got = TextFunctions.qualityLmBigram.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), expr("filter(split(lower(text), ' '), x -> x <> '')"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val c1 = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val v = c1.size.toLong
+    val c2 = docs.flatMap { case (_, tk) => tk.zip(tk.drop(1)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    for ((id, tk) <- docs.take(50) if tk.length >= 2) {
+      val surs = tk.zip(tk.drop(1)).map { bg =>
+        ((c1(bg._1) + v) * 1000L) / (c2(bg) + 1L)
+      }
+      assert(got(id) == ((surs.length.toLong, surs.sum / surs.length)), s"doc $id")
+    }
+  }
+
   test("readability orders sources sanely and stays within per-doc bounds") {
     val rows = StatsQueries.defs // touch object init orders
     val got = TextFunctions.readability.fn(spark, sfDir).collect()
