@@ -2569,6 +2569,56 @@ object TextFunctions {
               (pd.ssum // pd.n_bigrams) * 2 > cm.cm * 3 AS high_perplexity
             FROM pd, cm"""))
 
+  /** SPAN-CORRUPTION manifest (T5-style denoising pretraining) — per
+    * doc, a DETERMINISTIC 15% token mask (token i masked iff
+    * md5-60bit(doc_id:i) mod 100 < 15 — reproducible across re-runs
+    * and engines, no RNG state to ship), adjacent masked tokens
+    * coalescing into spans (a span starts where a masked position
+    * follows an unmasked one). Reports per doc: tokens, masked count,
+    * span count, mask rate ×1000 — the manifest a denoising trainer's
+    * loader consumes, and the audit that the global mask rate actually
+    * lands near the target.
+    *
+    * Scale shape: pure per-doc array arithmetic (one hash per token,
+    * two array folds) — ZERO shuffles; the ideal 100 TB profile.
+    *
+    * Oracle gotcha: any outer lambda variable wrapping
+    * [[Portable.textSql.h60]] must not be named `i` — the fragment's
+    * inner list_transform rebinds `i` and silently shadows it.
+    */
+  val maskSpans: QueryDef = QueryDef(
+    "t_mask_spans",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
+        .where(size(col("tk")) > 0)
+        .withColumn("mask", expr(
+          """transform(sequence(1, size(tk)), i ->
+             pmod(cast(conv(substr(md5(concat(cast(doc_id as string), ':',
+               cast(i as string))), 1, 15), 16, 10) as bigint), 100) < 15)"""))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+          expr("cast(size(filter(mask, m -> m)) as bigint)").as("n_masked"),
+          expr("""cast(size(filter(sequence(1, size(tk)), i ->
+            mask[i - 1] AND (i = 1 OR NOT mask[i - 2]))) as bigint)""").as("n_spans"))
+        .withColumn("mask_rate_x1000", expr("(n_masked * 1000) div n_tok"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, ${Portable.textSql.tokensLower} AS tk
+              FROM documents),
+            m AS (SELECT doc_id, len(tk) AS n_tok,
+                list_transform(range(1, len(tk) + 1), p ->
+                  ${Portable.textSql.h60("concat(CAST(doc_id AS VARCHAR), ':', CAST(p AS VARCHAR))")} % 100 < 15)
+                  AS mask
+              FROM tk WHERE len(tk) > 0)
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+              CAST(len(list_filter(mask, x -> x)) AS BIGINT) AS n_masked,
+              CAST(len(list_filter(range(1, n_tok + 1), i ->
+                mask[CAST(i AS INT)] AND (i = 1 OR NOT mask[CAST(i - 1 AS INT)])))
+                AS BIGINT) AS n_spans,
+              (CAST(len(list_filter(mask, x -> x)) AS BIGINT) * 1000)
+                // CAST(n_tok AS BIGINT) AS mask_rate_x1000
+            FROM m"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
@@ -2581,5 +2631,5 @@ object TextFunctions {
       sourceCaps, boilerplate, qualityClassifier,
       keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit,
       oovRate, corpusDrift, pipelineCuration, labelEncode,
-      evalAuc, kAnonymity, qualityLmBigram)
+      evalAuc, kAnonymity, qualityLmBigram, maskSpans)
 }

@@ -367,6 +367,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("span-corruption mask matches a local md5 recompute; global rate near 15%") {
+    val got = TextFunctions.maskSpans.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def h60mod100(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(15), 16) % 100
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), expr("filter(split(lower(text), ' '), x -> x <> '')"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    for ((id, tk) <- docs.take(50) if tk.nonEmpty) {
+      val mask = (1 to tk.length).map(i => h60mod100(s"$id:$i") < 15)
+      val spans = mask.zipWithIndex.count { case (m, i) => m && (i == 0 || !mask(i - 1)) }
+      assert(got(id) == ((tk.length.toLong, mask.count(identity).toLong, spans.toLong)),
+        s"doc $id")
+    }
+    val (masked, toks) = (got.values.map(_._2).sum, got.values.map(_._1).sum)
+    assert(masked * 1000 / toks > 100 && masked * 1000 / toks < 200,
+      s"global mask rate ${masked * 1000 / toks}")
+    got.values.foreach { case (_, m, sp) => assert(sp <= m) }
+  }
+
   test("readability orders sources sanely and stays within per-doc bounds") {
     val rows = StatsQueries.defs // touch object init orders
     val got = TextFunctions.readability.fn(spark, sfDir).collect()
