@@ -2415,6 +2415,29 @@ object TextFunctions {
     * never globally sorted, unlike the decile report); output is one
     * row.
     */
+  /** Exact tie-aware ROC AUC of a (pos, score) frame — the reusable
+    * core of [[evalAuc]] (property-tested against brute-force pair
+    * concordance in RandomizedSpec). Columns in: `pos` (0/1 long),
+    * `score` (long). Out: one row (n, n_pos, n_neg, auc_x1000,
+    * gini_x1000). Requires at least one positive AND one negative.
+    */
+  def aucOf(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    scored.groupBy("score")
+      .agg(count(lit(1)).as("n_at"), sum(col("pos")).as("p_at"))
+      .withColumn("cum", sum(col("n_at")).over(W.orderBy(col("score"))))
+      .select(col("n_at"), col("p_at"),
+        (col("p_at") * (lit(2) * (col("cum") - col("n_at")) + col("n_at") + 1))
+          .as("r2c"))
+      .agg(sum(col("n_at")).as("n_docs"), sum(col("p_at")).as("n_pos"),
+        sum(col("r2c")).as("r2"))
+      .select(col("n_docs"), col("n_pos"), (col("n_docs") - col("n_pos")).as("n_neg"),
+        expr("((r2 - n_pos * (n_pos + 1)) * 500) div (n_pos * (n_docs - n_pos))")
+          .as("auc_x1000"),
+        expr("((r2 - n_pos * (n_pos + 1)) * 1000) div (n_pos * (n_docs - n_pos)) - 1000")
+          .as("gini_x1000"))
+  }
+
   val evalAuc: QueryDef = {
     val sparkW = "((cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % 1024)" +
       " * 2654435761L) % 2003 - 1001"
@@ -2422,27 +2445,12 @@ object TextFunctions {
     QueryDef(
       "t_eval_auc",
       (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
         val tk = filter(split(lower(col("text")), " "), t => t =!= "")
-        val scored = Tables.load(s, dir, "documents")
+        aucOf(Tables.load(s, dir, "documents")
           .select(col("doc_id"), (col("lang") === "en").cast("long").as("pos"), tk.as("tk"))
           .where(size(col("tk")) > 0)
           .select(col("pos"),
-            expr(s"aggregate(tk, 0L, (acc, t) -> acc + ($sparkW))").as("score"))
-        val byScore = scored.groupBy("score")
-          .agg(count(lit(1)).as("n_at"), sum(col("pos")).as("p_at"))
-        byScore
-          .withColumn("cum", sum(col("n_at")).over(W.orderBy(col("score"))))
-          .select(col("n_at"), col("p_at"),
-            (col("p_at") * (lit(2) * (col("cum") - col("n_at")) + col("n_at") + 1))
-              .as("r2c"))
-          .agg(sum(col("n_at")).as("n_docs"), sum(col("p_at")).as("n_pos"),
-            sum(col("r2c")).as("r2"))
-          .select(col("n_docs"), col("n_pos"), (col("n_docs") - col("n_pos")).as("n_neg"),
-            expr("((r2 - n_pos * (n_pos + 1)) * 500) div (n_pos * (n_docs - n_pos))")
-              .as("auc_x1000"),
-            expr("((r2 - n_pos * (n_pos + 1)) * 1000) div (n_pos * (n_docs - n_pos)) - 1000")
-              .as("gini_x1000"))
+            expr(s"aggregate(tk, 0L, (acc, t) -> acc + ($sparkW))").as("score")))
       },
       Some(s"""WITH tk AS (SELECT CAST(lang = 'en' AS BIGINT) AS pos,
                 ${Portable.textSql.tokensLower} AS tk FROM documents),

@@ -151,6 +151,31 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("exact AUC equals brute-force pair concordance on random tied data") {
+    import graft.functions.TextFunctions
+    val rnd = new Random(77)
+    for (round <- 1 to 8) {
+      // few distinct scores => heavy ties, the case rank formulas get wrong
+      val nScores = 1 + rnd.nextInt(6)
+      val rows = Seq.fill(20 + rnd.nextInt(60))(
+        (rnd.nextInt(2).toLong, (rnd.nextInt(nScores) - nScores / 2).toLong))
+      val (pos, neg) = (rows.filter(_._1 == 1L), rows.filter(_._1 == 0L))
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val r = TextFunctions.aucOf(rows.toDF("pos", "score")).head()
+        val conc = (for (a <- pos; b <- neg)
+          yield if (a._2 > b._2) 2L else if (a._2 == b._2) 1L else 0L).sum
+        val expected = conc * 500L / (pos.length.toLong * neg.length)
+        assert(r.getLong(3) == expected, s"round $round: ${r.getLong(3)} vs $expected")
+        assert(r.getLong(4) == conc * 1000L / (pos.length.toLong * neg.length) - 1000L)
+      }
+    }
+    // perfect separation scores 1000; perfect inversion scores 0
+    val perfect = Seq((1L, 10L), (1L, 9L), (0L, 2L), (0L, 1L))
+    assert(TextFunctions.aucOf(perfect.toDF("pos", "score")).head().getLong(3) == 1000L)
+    val inverted = perfect.map { case (p, s) => (1L - p, s) }
+    assert(TextFunctions.aucOf(inverted.toDF("pos", "score")).head().getLong(3) == 0L)
+  }
+
   test("exact-decimal sums are partitioning-invariant on random money values") {
     import graft.functions.Portable
     val rnd = new Random(31)

@@ -668,4 +668,47 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(streamed == batch)
   }
+
+  test("streaming Misra-Gries sketch keeps its guarantees across micro-batches") {
+    // complete-mode global aggregate: Spark maintains the
+    // TypedImperativeAggregate's serialized state in the state store,
+    // merging each micro-batch's partial in — exactly the 100 TB
+    // "sketch the firehose" deployment. The Misra-Gries theorems
+    // (undercount-only; error <= N/(k+1); everything above the
+    // threshold present) must hold after EVERY batch w.r.t. the data
+    // seen so far, no matter how batches sliced the stream.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val K = 4
+    val mem = MemoryStream[String]
+    val agg = mem.toDF.toDF("term")
+      .agg(graft.functions.Sketches.freqSketch(col("term"), K).as("sk"),
+        count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("mg_stream").start()
+    val batches = Seq(
+      Seq.fill(30)("a") ++ Seq.fill(10)("b") ++ Seq("x", "y"),
+      Seq.fill(25)("b") ++ Seq.fill(5)("c") ++ Seq("z", "x"),
+      Seq.fill(40)("a") ++ Seq.fill(8)("d") ++ Seq("y", "w"))
+    val seen = scala.collection.mutable.Map.empty[String, Long]
+    try {
+      for (b <- batches) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        b.foreach(t => seen(t) = seen.getOrElse(t, 0L) + 1)
+        val row = spark.table("mg_stream").head()
+        val n = row.getLong(1)
+        assert(n == seen.values.sum, "stream count drifted")
+        val est = row.getSeq[org.apache.spark.sql.Row](0)
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        for ((t, exact) <- seen) {
+          val e = est.getOrElse(t, 0L)
+          assert(e <= exact, s"$t overcounted: $e > $exact")
+          assert(exact - e <= n / (K + 1), s"$t error bound: $exact - $e > ${n / (K + 1)}")
+          if (exact > n / (K + 1))
+            assert(est.contains(t), s"heavy hitter $t missing from sketch")
+        }
+      }
+    } finally q.stop()
+  }
 }
