@@ -1100,11 +1100,53 @@ object Events {
               r.l + 3 * r.t AS fc3_x1000
             FROM rec r JOIN ft ON r.event_type = ft.event_type AND r.i = ft.n"""))
 
+  /** ROLLING 7-day trailing aggregates over the daily series — the
+    * moving-average smoother every operational dashboard draws (raw
+    * daily counts are too noisy to threshold; the trailing window is
+    * the standard denoiser): per (event type, day), the trailing
+    * 7-day event count, its exact mean ×1000, and the day count
+    * actually inside the window (ramp-up days carry fewer — reported,
+    * not hidden). A RANGE frame over the day value (not ROWS —
+    * missing days must shrink the window, not stretch it).
+    *
+    * Scale shape: ONE shuffle into daily counts (≤ types × days
+    * rows); the window runs per type over that tiny series. The
+    * corpus-sized pass is the rollup only — the same profile as
+    * [[trend]]/[[changepoint]].
+    */
+  val rolling: QueryDef = QueryDef(
+    "q_events_rolling",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.partitionBy("event_type").orderBy(col("day"))
+        .rangeBetween(-6L, 0L)
+      daily
+        .withColumn("roll_n", sum(col("y")).over(w))
+        .withColumn("days_in_window", count(lit(1)).over(w))
+        .select(col("event_type"), col("day"), col("y"), col("roll_n"),
+          col("days_in_window"),
+          expr("(roll_n * 1000) div days_in_window").as("roll_mean_x1000"))
+    },
+    Some("""WITH daily AS (SELECT
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+              event_type, COUNT(*) AS y
+            FROM events GROUP BY 1, 2)
+            SELECT event_type, day, y,
+              CAST(SUM(y) OVER w AS BIGINT) AS roll_n,
+              COUNT(*) OVER w AS days_in_window,
+              (CAST(SUM(y) OVER w AS BIGINT) * 1000) // COUNT(*) OVER w
+                AS roll_mean_x1000
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
-      rfm, abTest, changepoint, seqPatterns, forecast)
+      rfm, abTest, changepoint, seqPatterns, forecast, rolling)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

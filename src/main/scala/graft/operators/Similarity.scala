@@ -1000,11 +1000,21 @@ object Similarity {
       scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
         .select("q_id", "n_id", "sim")
     },
-    Some {
-      val sqd = "list_sum(list_transform(list_zip(n.q, c0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"
-      val met = "CAST(list_sum(list_transform(list_zip(n.q, c1.cs), " +
-        "s -> (c1.cn*s[1]-s[2])*(c1.cn*s[1]-s[2]))) AS DOUBLE) / (c1.cn*c1.cn)"
-      s"""WITH $quantizedSql,
+    Some(s"""WITH $ivfServeCtes
+       SELECT q_id, n_id, sim FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
+       WHERE rn <= 5"""))
+
+  /** The full IVF-serving CTE chain (quantize → seed/Lloyd centroids →
+    * inverted lists → probe → score as `sc(q_id, n_id, sim)`) — shared
+    * by the `s_knn_ivf` oracle and the routed `s_knn_routed` oracle's
+    * large-corpus branch. A def for init-order.
+    */
+  private def ivfServeCtes: String = {
+    val sqd = "list_sum(list_transform(list_zip(n.q, c0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"
+    val met = "CAST(list_sum(list_transform(list_zip(n.q, c1.cs), " +
+      "s -> (c1.cn*s[1]-s[2])*(c1.cn*s[1]-s[2]))) AS DOUBLE) / (c1.cn*c1.cn)"
+    s"""$quantizedSql,
        n AS (SELECT vec_id, q,
            CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
        $ivpcSql,
@@ -1031,11 +1041,8 @@ object Similarity {
              pr.q_nrm AS na, a2.nrm AS nb
            FROM pr JOIN a2 ON pr.cid = a2.cid AND a2.vec_id <> pr.q_id),
        sc AS (SELECT q_id, n_id,
-             CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM p)
-       SELECT q_id, n_id, sim FROM (
-         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn FROM sc)
-       WHERE rn <= 5"""
-    })
+             CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM p)"""
+  }
 
   /** IVF nprobe TUNING SWEEP — the recall/cost curve an operator reads
     * before fixing the serving nprobe: for nprobe ∈ {1, 2, 4}, each
@@ -3257,6 +3264,70 @@ object Similarity {
              AS rk, community, n_members
          FROM f QUALIFY rk <= 20"""))
 
+  /** COST-ROUTED ANN serving — the System R idea applied to the
+    * similarity path: the engine picks the physical ANN strategy from
+    * a cost model instead of making the caller choose. Per query set,
+    * exact brute force costs ~N comparisons per query with zero index
+    * cost; the IVF probe reads ~NProbe·N/C ≈ NProbe·√N but carries
+    * the index build/serve machinery. Below `RouteThreshold` corpus
+    * rows the scan is cheaper than the machinery — route brute force
+    * (and skip even touching the index); above it, serve from the
+    * persisted partition-pruned lists. The routing predicate is ONE
+    * driver-side metadata count (parquet footers), deterministic per
+    * dataset, and ships in the output (`path`) so the plan choice is
+    * itself oracle-audited: the DuckDB twin derives the same
+    * predicate from COUNT(*) and gates two full CTE branches with
+    * complementary WHEREs — at sf0.001/0.01 the hash proves the brute
+    * branch fired, at sf0.1 the IVF branch.
+    *
+    * Scale shape: whichever branch fires has its own audited scale
+    * shape (`s_knn_bruteforce` / `s_knn_ivf`); the router adds one
+    * footer count. This is the serving entry a 100 TB deployment
+    * would actually expose — callers ask for neighbors, not for
+    * index implementations.
+    */
+  val knnRouted: QueryDef = {
+    val RouteThreshold = 1000L
+    QueryDef(
+      "s_knn_routed",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val n = e.count() // parquet footer metadata count — driver-cheap
+        if (n <= RouteThreshold) {
+          val v = quantized(e)
+          val q = broadcast(v.where(col("vec_id") < 5).toDF("q_id", "q_q", "q_nrm"))
+          val scored = q.join(v.toDF("n_id", "n_q", "n_nrm"), col("n_id") =!= col("q_id"))
+            .select(col("q_id"), col("n_id"),
+              cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+          val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+          scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+            .select(lit("brute").as("path"), col("q_id"), col("n_id"), col("sim"))
+        } else {
+          knnIvf.fn(s, dir).select(lit("ivf").as("path"), col("q_id"),
+            col("n_id"), col("sim"))
+        }
+      },
+      Some(s"""WITH $ivfServeCtes,
+         cnt AS (SELECT COUNT(*) AS nn FROM embeddings),
+         bp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+               CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+               a.nrm AS na, b.nrm AS nb
+             FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         bs AS (SELECT q_id, n_id,
+               CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM bp),
+         bt AS (SELECT q_id, n_id, sim FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+             FROM bs) x WHERE rn <= 5),
+         it AS (SELECT q_id, n_id, sim FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+             FROM sc) x WHERE rn <= 5)
+         SELECT 'brute' AS path, q_id, n_id, sim FROM bt
+           WHERE (SELECT nn FROM cnt) <= $RouteThreshold
+         UNION ALL
+         SELECT 'ivf' AS path, q_id, n_id, sim FROM it
+           WHERE (SELECT nn FROM cnt) > $RouteThreshold"""))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
@@ -3264,5 +3335,5 @@ object Similarity {
       knnBeam, knnBeamConverged, graphPagerank, hardNegatives, dedupSemantic,
       dedupSemanticIncremental, mmrRerank, nearestCentroid, graphTriangles,
       mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep,
-      labelKappa, evalRetrieval, graphCommunities)
+      labelKappa, evalRetrieval, graphCommunities, knnRouted)
 }

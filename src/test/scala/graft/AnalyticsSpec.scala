@@ -390,6 +390,35 @@ class AnalyticsSpec extends SparkSpec {
     got.values.foreach { case (_, m, sp) => assert(sp <= m) }
   }
 
+  test("rolling 7-day window equals a brute-force trailing scan") {
+    val got = Events.rolling.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val daily = Events.loadEvents(spark, sfDir)
+      .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    for ((t, d, _) <- daily) {
+      val win = daily.filter { case (t2, d2, _) => t2 == t && d2 >= d - 6 && d2 <= d }
+      val (n, c) = (win.map(_._3).sum, win.length.toLong)
+      assert(got((t, d)) == ((n, c, n * 1000 / c)), s"($t, $d)")
+    }
+  }
+
+  test("cost-routed ANN picks brute force on the small corpus and matches it exactly") {
+    val rows = Similarity.knnRouted.fn(spark, sfDir).collect()
+    assert(rows.forall(_.getString(0) == "brute"),
+      "sf0.01 corpus (500 rows) must route below the 1000-row threshold")
+    val routed = rows.map(r => (r.getLong(1), r.getLong(2))).toSet
+    // recompute top-5 from the top-10 brute baseline's own ordering
+    val top5 = Similarity.knnBruteForce.fn(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(5).map(_.getLong(1)).toSet)
+      .toMap
+    for ((q, ns) <- routed.groupBy(_._1).view.mapValues(_.map(_._2)).toMap)
+      assert(ns == top5(q), s"query $q: $ns vs ${top5(q)}")
+  }
+
   test("readability orders sources sanely and stays within per-doc bounds") {
     val rows = StatsQueries.defs // touch object init orders
     val got = TextFunctions.readability.fn(spark, sfDir).collect()
