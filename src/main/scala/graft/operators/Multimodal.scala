@@ -198,5 +198,60 @@ object Multimodal {
             LEAST(px * 64 + 64, w) AS x1, LEAST(py * 64 + 64, h) AS y1
           FROM pp WHERE (px + py) % 5 = 0"""))
 
-  val defs: Seq[QueryDef] = Seq(metaQuery, frameSample, patchGrid)
+  /** REAL-codec decode, ORACLE-CHECKED — closes the "catalog only
+    * exercises the stub arm" caveat on row 32: the query synthesizes
+    * a deterministic generative image set (pixel (x,y) of image i is
+    * the EXACT rgb ((7x+3i)%256, (11y+5i)%256, (x+y+i)%256)), encodes
+    * each to REAL PNG bytes, decodes them through the production
+    * `javax.imageio` path ([[decodeAllReal]] — the same mapPartitions
+    * batch shape a 100 TB media scan uses), and emits decode-derived
+    * dims + exact BT.601 luma. The DuckDB oracle never sees a byte of
+    * PNG: it recomputes ground truth from the GENERATIVE FORMULA — if
+    * the decoder mangles any pixel, the luma hash fails. (PNG is
+    * lossless and sRGB-profile-free for TYPE_INT_RGB, so the
+    * roundtrip is bit-exact; encoded LENGTH is encoder-dependent and
+    * deliberately excluded from the output.)
+    *
+    * Scale shape: synthesis is a tiny driver-built frame; decode is
+    * per-row map work with payloads never shuffled — the exact
+    * profile of a real media scan, minus the petabytes.
+    */
+  val imageDecodeReal: QueryDef = QueryDef(
+    "m_image_decode_real",
+    (s, dir) => {
+      import s.implicits._
+      val _ = dir // same synthetic set at every SF — the codec is the subject
+      val images = (0 until 8).map { i =>
+        val (w, h) = (16 + i, 8 + i)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = (((7 * x + 3 * i) % 256) << 16) |
+            (((11 * y + 5 * i) % 256) << 8) | ((x + y + i) % 256)
+          img.setRGB(x, y, rgb)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(i.toLong, bos.toByteArray)
+      }
+      decodeAllReal(s.createDataset(images))
+        .toDF()
+        .select(col("doc_id").as("img_id"), col("is_real"),
+          col("width"), col("height"), col("mean_luma_x1000"))
+    },
+    Some("""WITH ids AS (SELECT unnest(range(0, 8)) AS i),
+          dims AS (SELECT i, 16 + i AS w, 8 + i AS h FROM ids),
+          xs AS (SELECT d.i, d.w, d.h, rx.x FROM dims d, LATERAL (
+              SELECT unnest(range(0, d.w)) AS x) rx),
+          px AS (SELECT i, w, h, x, unnest(range(0, h)) AS y FROM xs),
+          lum AS (SELECT i, w, h,
+              299 * ((7 * x + 3 * i) % 256) + 587 * ((11 * y + 5 * i) % 256)
+                + 114 * ((x + y + i) % 256) AS l
+            FROM px)
+          SELECT i AS img_id, TRUE AS is_real, CAST(w AS BIGINT) AS width,
+            CAST(h AS BIGINT) AS height,
+            CAST(SUM(l) AS BIGINT) // (w * h) AS mean_luma_x1000
+          FROM lum GROUP BY i, w, h"""))
+
+  val defs: Seq[QueryDef] = Seq(metaQuery, frameSample, patchGrid, imageDecodeReal)
 }

@@ -419,6 +419,21 @@ class AnalyticsSpec extends SparkSpec {
       assert(ns == top5(q), s"query $q: $ns vs ${top5(q)}")
   }
 
+  test("real PNG decode recovers the generative pixel formula exactly") {
+    val rows = graft.operators.Multimodal.imageDecodeReal.fn(spark, sfDir).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getBoolean(1), s"image $i must decode through the REAL codec path")
+      val (w, h) = (16 + i, 8 + i)
+      assert(r.getLong(2) == w && r.getLong(3) == h)
+      val luma = (for (y <- 0L until h; x <- 0L until w) yield
+        299 * ((7 * x + 3 * i) % 256) + 587 * ((11 * y + 5 * i) % 256) +
+          114 * ((x + y + i) % 256)).sum
+      assert(r.getLong(4) == luma / (w * h), s"image $i luma")
+    }
+  }
+
   test("readability orders sources sanely and stays within per-doc bounds") {
     val rows = StatsQueries.defs // touch object init orders
     val got = TextFunctions.readability.fn(spark, sfDir).collect()
