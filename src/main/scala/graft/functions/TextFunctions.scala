@@ -2627,6 +2627,87 @@ object TextFunctions {
                 // CAST(n_tok AS BIGINT) AS mask_rate_x1000
             FROM m"""))
 
+  /** BPE merge-rule LEARNING (Sennrich et al. 2016) — the tokenizer-
+    * training step of an LLM data pipeline, run the way the original
+    * does: on the WORD-FREQUENCY DICTIONARY (top-100 vocab words with
+    * counts), not the raw corpus, so each round's pair statistics
+    * weigh every word by its corpus frequency while touching ≤ vocab
+    * rows. Three unrolled rounds (the `s_knn_beam` convention): each
+    * round counts adjacent-symbol pairs weighted by word count, picks
+    * the argmax with deterministic ties (count desc, pair asc), and
+    * applies the merge to every word. Merge application is THREE
+    * nested space-anchored `replace` passes — replace() scans
+    * left-to-right identically in both engines, and the extra passes
+    * catch the alternating leftovers a single pass skips in runs
+    * (documented bounded-pass variant; identical in both engines by
+    * construction). Output = the 3 learned merge rules with their
+    * weighted support.
+    *
+    * Scale shape: ONE corpus pass builds the dictionary (the
+    * `t_wordcount` aggregate + top-100 TakeOrdered); every round
+    * after that is an explode + aggregate over ≤ 100 dictionary rows
+    * — exactly why dictionary-BPE scales where corpus-BPE cannot.
+    */
+  val bpeMerges: QueryDef = QueryDef(
+    "t_bpe_merges",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      var vocab = Tables.load(s, dir, "documents")
+        .select(explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(100)
+        .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("cnt"))
+      var merges = Seq.empty[org.apache.spark.sql.DataFrame]
+      for (round <- 1 to 3) {
+        val pairs = vocab
+          .select(col("cnt"), expr(
+            """zip_with(slice(split(sym, ' '), 1, size(split(sym, ' ')) - 1),
+               slice(split(sym, ' '), 2, size(split(sym, ' ')) - 1),
+               (a, b) -> named_struct('l', a, 'r', b))""").as("ps"))
+          .select(col("cnt"), explode(col("ps")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("wc"))
+        val best = pairs
+          .withColumn("rn", row_number().over(
+            W.orderBy(col("wc").desc, col("l"), col("r"))))
+          .where(col("rn") === 1)
+          .select(lit(round.toLong).as("round"), col("l"), col("r"), col("wc"))
+        merges = merges :+ best
+        val b = broadcast(best.select(col("l").as("ml"), col("r").as("mr")))
+        vocab = vocab.crossJoin(b)
+          .withColumn("pat", concat(lit(" "), col("ml"), lit(" "), col("mr"), lit(" ")))
+          .withColumn("rep", concat(lit(" "), col("ml"), col("mr"), lit(" ")))
+          .select(trim(expr(
+            """replace(replace(replace(concat(' ', sym, ' '), pat, rep),
+               pat, rep), pat, rep)""")).as("sym"), col("cnt"))
+          .localCheckpoint()
+      }
+      merges.reduce(_ unionAll _)
+    },
+    Some {
+      def roundSql(r: Int): String =
+        s"""p$r AS (SELECT s.l, s.r, CAST(SUM(cnt) AS BIGINT) AS wc FROM (
+              SELECT cnt, unnest(list_transform(range(1, len(string_split(sym, ' '))),
+                  k -> struct_pack(l := string_split(sym, ' ')[CAST(k AS INT)],
+                    r := string_split(sym, ' ')[CAST(k + 1 AS INT)]))) AS s
+              FROM v${r - 1}) t GROUP BY 1, 2),
+            b$r AS (SELECT CAST($r AS BIGINT) AS round, l, r, wc FROM (
+              SELECT *, ROW_NUMBER() OVER (ORDER BY wc DESC, l, r) AS rn FROM p$r) x
+              WHERE rn = 1),
+            v$r AS (SELECT trim(replace(replace(replace(concat(' ', sym, ' '),
+                  pat, rep), pat, rep), pat, rep)) AS sym, cnt
+              FROM v${r - 1}, (SELECT concat(' ', l, ' ', r, ' ') AS pat,
+                  concat(' ', l, r, ' ') AS rep FROM b$r) m)"""
+      s"""WITH tk AS (SELECT unnest(${Portable.textSql.tokensLower}) AS w FROM documents),
+          wc AS (SELECT w, COUNT(*) AS cnt FROM tk GROUP BY 1),
+          top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 100),
+          v0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, cnt FROM top),
+          ${roundSql(1)}, ${roundSql(2)}, ${roundSql(3)}
+          SELECT round, l, r, wc FROM b1
+          UNION ALL SELECT round, l, r, wc FROM b2
+          UNION ALL SELECT round, l, r, wc FROM b3"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
@@ -2639,5 +2720,5 @@ object TextFunctions {
       sourceCaps, boilerplate, qualityClassifier,
       keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit,
       oovRate, corpusDrift, pipelineCuration, labelEncode,
-      evalAuc, kAnonymity, qualityLmBigram, maskSpans)
+      evalAuc, kAnonymity, qualityLmBigram, maskSpans, bpeMerges)
 }

@@ -434,6 +434,41 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("BPE merges match an independent greedy dictionary-BPE in Scala") {
+    val got = TextFunctions.bpeMerges.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.length == 3)
+    // independent implementation: greedy left-to-right merge on the
+    // top-100 weighted dictionary (true BPE application; the operator's
+    // bounded 3-pass replace must produce the same chosen PAIRS even
+    // though long runs could in principle differ in symbol sequences)
+    val dict0 = Tables.load(spark, sfDir, "documents")
+      .select(explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("w"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(100)
+    var dict = dict0.map { case (w, c) => (w.split("").toList, c) }
+    for ((round, l, r, wc) <- got) {
+      val pairCounts = dict.flatMap { case (syms, c) =>
+        syms.zip(syms.drop(1)).map(p => p -> c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      assert((l, r) == best._1, s"round $round: ($l,$r) vs ${best._1}")
+      assert(wc == best._2, s"round $round support")
+      dict = dict.map { case (syms, c) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toList, c)
+      }
+    }
+  }
+
   test("readability orders sources sanely and stays within per-doc bounds") {
     val rows = StatsQueries.defs // touch object init orders
     val got = TextFunctions.readability.fn(spark, sfDir).collect()
