@@ -2708,6 +2708,93 @@ object TextFunctions {
           UNION ALL SELECT round, l, r, wc FROM b3"""
     })
 
+  /** BPE ENCODE + compression report — the apply half of
+    * [[bpeMerges]]'s train half, fused into one query (train →
+    * broadcast rules → encode the corpus → report), proving the
+    * tokenizer pipeline composes end to end. Every document is
+    * symbolized and the 3 learned merges applied IN LEARNED ORDER
+    * (same bounded replace passes as training); reported per source:
+    * docs, original character-symbol count, post-merge symbol count,
+    * and the compression ratio ×1000 — the number a tokenizer bakeoff
+    * actually compares.
+    *
+    * Scale shape: training touches ≤ 100 dictionary rows (see
+    * [[bpeMerges]]); the encode is a per-doc map pass with the 3
+    * rules as a broadcast 1-row frame; the report is one (source)
+    * aggregate. The corpus is read twice (dictionary + encode) —
+    * same profile as any train/apply pair.
+    */
+  val bpeEncode: QueryDef = QueryDef(
+    "t_bpe_encode",
+    (s, dir) => {
+      val rules = bpeMerges.fn(s, dir)
+        .select(col("round"), concat(lit(" "), col("l"), lit(" "), col("r"), lit(" ")).as("pat"),
+          concat(lit(" "), col("l"), col("r"), lit(" ")).as("rep"))
+      val r1 = broadcast(rules.groupBy()
+        .pivot("round", Seq(1L, 2L, 3L))
+        .agg(first(col("pat")).as("pat"), first(col("rep")).as("rep")))
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("source"), expr(
+          """transform(filter(split(lower(text), ' '), x -> x <> ''),
+             w -> concat(' ', trim(regexp_replace(w, '(.)', '$1 ')), ' '))""").as("ws"))
+      def apply3(sym: String, pat: String, rep: String): String =
+        s"replace(replace(replace($sym, $pat, $rep), $pat, $rep), $pat, $rep)"
+      docs.crossJoin(r1)
+        .select(col("source"),
+          size(col("ws")).cast("long").as("n_words"),
+          expr("""aggregate(ws, 0L, (acc, w) ->
+            acc + size(split(trim(w), ' ')))""").as("sym_before"),
+          expr(s"""aggregate(transform(ws, w ->
+            ${apply3(apply3(apply3("w", "`1_pat`", "`1_rep`"), "`2_pat`", "`2_rep`"), "`3_pat`", "`3_rep`")}),
+            0L, (acc, w) -> acc + size(split(trim(w), ' ')))""").as("sym_after"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(col("sym_before")).as("sym_before"), sum(col("sym_after")).as("sym_after"))
+        .withColumn("compression_x1000", expr("(sym_after * 1000) div sym_before"))
+    },
+    Some {
+      def roundSql(r: Int): String =
+        s"""p$r AS (SELECT s.l, s.r, CAST(SUM(cnt) AS BIGINT) AS wc FROM (
+              SELECT cnt, unnest(list_transform(range(1, len(string_split(sym, ' '))),
+                  k -> struct_pack(l := string_split(sym, ' ')[CAST(k AS INT)],
+                    r := string_split(sym, ' ')[CAST(k + 1 AS INT)]))) AS s
+              FROM v${r - 1}) t GROUP BY 1, 2),
+            b$r AS (SELECT l, r FROM (
+              SELECT *, ROW_NUMBER() OVER (ORDER BY wc DESC, l, r) AS rn FROM p$r) x
+              WHERE rn = 1),
+            v$r AS (SELECT trim(replace(replace(replace(concat(' ', sym, ' '),
+                  pat, rep), pat, rep), pat, rep)) AS sym, cnt
+              FROM v${r - 1}, (SELECT concat(' ', l, ' ', r, ' ') AS pat,
+                  concat(' ', l, r, ' ') AS rep FROM b$r) m)"""
+      def enc(w: String, r: Int): String =
+        if (r == 0) w
+        else s"replace(replace(replace(${enc(w, r - 1)}, m$r.pat, m$r.rep), m$r.pat, m$r.rep), m$r.pat, m$r.rep)"
+      s"""WITH tk0 AS (SELECT unnest(${Portable.textSql.tokensLower}) AS w FROM documents),
+          wc AS (SELECT w, COUNT(*) AS cnt FROM tk0 GROUP BY 1),
+          top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 100),
+          v0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, cnt FROM top),
+          ${roundSql(1)}, ${roundSql(2)}, ${roundSql(3)},
+          m1 AS (SELECT concat(' ', l, ' ', r, ' ') AS pat, concat(' ', l, r, ' ') AS rep FROM b1),
+          m2 AS (SELECT concat(' ', l, ' ', r, ' ') AS pat, concat(' ', l, r, ' ') AS rep FROM b2),
+          m3 AS (SELECT concat(' ', l, ' ', r, ' ') AS pat, concat(' ', l, r, ' ') AS rep FROM b3),
+          dw AS (SELECT source,
+              list_transform(${Portable.textSql.tokensLower},
+                w -> concat(' ', trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' ')) AS ws
+            FROM documents),
+          pd AS (SELECT source, CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(list_sum(list_transform(ws,
+                w -> len(string_split(trim(w), ' ')))) AS BIGINT) AS sym_before,
+              CAST(list_sum(list_transform(ws,
+                w -> len(string_split(trim(${enc("w", 3)}), ' ')))) AS BIGINT) AS sym_after
+            FROM dw, m1, m2, m3)
+          SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_words,
+            CAST(SUM(sym_before) AS BIGINT) AS sym_before,
+            CAST(SUM(sym_after) AS BIGINT) AS sym_after,
+            (CAST(SUM(sym_after) AS BIGINT) * 1000) // CAST(SUM(sym_before) AS BIGINT)
+              AS compression_x1000
+          FROM pd GROUP BY 1"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
@@ -2720,5 +2807,5 @@ object TextFunctions {
       sourceCaps, boilerplate, qualityClassifier,
       keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit,
       oovRate, corpusDrift, pipelineCuration, labelEncode,
-      evalAuc, kAnonymity, qualityLmBigram, maskSpans, bpeMerges)
+      evalAuc, kAnonymity, qualityLmBigram, maskSpans, bpeMerges, bpeEncode)
 }

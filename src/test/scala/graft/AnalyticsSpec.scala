@@ -469,6 +469,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("BPE encode: symbol accounting exact, compression strict and bounded") {
+    val rows = TextFunctions.bpeEncode.fn(spark, sfDir).collect()
+    val charTotals = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), expr(
+        "aggregate(filter(split(lower(text), ' '), x -> x <> ''), 0L, (a, w) -> a + length(w))")
+        .as("chars"))
+      .groupBy("source").agg(sum(col("chars")).as("chars")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, before, after, comp) =
+        (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5))
+      // before-merge symbols are exactly the token characters
+      assert(before == charTotals(src), s"$src symbol accounting")
+      assert(after < before, s"$src: 3 merges must compress a natural corpus")
+      assert(comp == after * 1000 / before && comp > 0 && comp < 1000)
+    }
+  }
+
   test("readability orders sources sanely and stays within per-doc bounds") {
     val rows = StatsQueries.defs // touch object init orders
     val got = TextFunctions.readability.fn(spark, sfDir).collect()
