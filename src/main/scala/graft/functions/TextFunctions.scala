@@ -75,6 +75,67 @@ object TextFunctions {
       })
   }
 
+  /** Language-ID EVALUATION — per-class precision / recall / F1 of
+    * the heuristic detector against the gold `lang` column, plus the
+    * class confusion counts: the eval-tier row for `t_langid` (the
+    * pattern every classifier in the engine gets: an operator AND its
+    * scorecard). All ratios ×1000 in exact integers; F1 folds to
+    * `2·tp·1000 div (2·tp + fp + fn)` so no intermediate ratio is
+    * ever a float.
+    *
+    * Scale shape: the detector is per-doc map work; the eval is one
+    * (gold, pred) count aggregate (≤ langs² cells) folded per class.
+    */
+  val langIdEval: QueryDef = QueryDef(
+    "t_langid_eval",
+    (s, dir) => {
+      val conf = langId.fn(s, dir)
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tp = conf.where(col("lang") === col("pred_lang"))
+        .select(col("lang"), col("c").as("tp"))
+      val gold = conf.groupBy("lang").agg(sum(col("c")).as("n_gold"))
+      val pred = conf.groupBy("pred_lang").agg(sum(col("c")).as("n_pred"))
+        .withColumnRenamed("pred_lang", "lang")
+      gold.join(pred, Seq("lang"), "left").join(tp, Seq("lang"), "left")
+        .select(col("lang"), col("n_gold"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .withColumn("precision_x1000",
+          expr("case when n_pred > 0 then (tp * 1000) div n_pred else 0 end"))
+        .withColumn("recall_x1000", expr("(tp * 1000) div n_gold"))
+        .withColumn("f1_x1000",
+          expr("case when n_pred + n_gold > 0 then (2 * tp * 1000) div (n_pred + n_gold) else 0 end"))
+    },
+    Some {
+      val p = "(' ' || lower(text) || ' ')"
+      val langs = markers.map(_._1)
+      val scores = markers
+        .map { case (l, ws) => s"${sqlScore(p, ws)} AS s_$l" }
+        .mkString(", ")
+      val caseExpr = markers.init.map { case (l, _) =>
+        val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""WITH scored AS (SELECT doc_id, lang, $scores FROM documents),
+          pr AS (SELECT lang, CASE $caseExpr ELSE '${markers.last._1}' END AS pred_lang
+            FROM scored),
+          conf AS (SELECT lang, pred_lang, COUNT(*) AS c FROM pr GROUP BY 1, 2),
+          tp AS (SELECT lang, CAST(c AS BIGINT) AS tp FROM conf WHERE lang = pred_lang),
+          g AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_gold FROM conf GROUP BY 1),
+          pd AS (SELECT pred_lang AS lang, CAST(SUM(c) AS BIGINT) AS n_pred
+            FROM conf GROUP BY 1),
+          j AS (SELECT g.lang, g.n_gold, COALESCE(pd.n_pred, 0) AS n_pred,
+              COALESCE(tp.tp, 0) AS tp
+            FROM g LEFT JOIN pd USING (lang) LEFT JOIN tp USING (lang))
+          SELECT lang, n_gold, n_pred, tp,
+            CASE WHEN n_pred > 0 THEN (tp * 1000) // n_pred ELSE 0 END AS precision_x1000,
+            (tp * 1000) // n_gold AS recall_x1000,
+            CASE WHEN n_pred + n_gold > 0 THEN (2 * tp * 1000) // (n_pred + n_gold)
+              ELSE 0 END AS f1_x1000
+          FROM j"""
+    })
+
   /** §2.2 row 29 — quality scoring: length, punctuation density,
     * stopword ratio, mean token length → linear score. All-IEEE
     * arithmetic on exact integers, hence engine-portable.
@@ -2807,5 +2868,6 @@ object TextFunctions {
       sourceCaps, boilerplate, qualityClassifier,
       keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit,
       oovRate, corpusDrift, pipelineCuration, labelEncode,
-      evalAuc, kAnonymity, qualityLmBigram, maskSpans, bpeMerges, bpeEncode)
+      evalAuc, kAnonymity, qualityLmBigram, maskSpans, bpeMerges, bpeEncode,
+      langIdEval)
 }

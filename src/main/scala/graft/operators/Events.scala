@@ -1142,11 +1142,53 @@ object Events {
             WINDOW w AS (PARTITION BY event_type ORDER BY day
               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"""))
 
+
+  /** Day-of-week × hour SEASONALITY heatmap — the load-profile grid
+    * capacity planning and anomaly baselining read (an anomaly
+    * threshold that ignores the weekly cycle pages on every Monday
+    * morning): per (dow, hour) cell, event count, distinct active
+    * users, and the cell's share of all events ×1000. Dow derives
+    * from the epoch day ((day + 3) mod 7 — epoch day 0 was a
+    * Thursday, so +3 lands Monday on 0), hour from the epoch second — pure integer
+    * arithmetic, no calendar library on either engine.
+    *
+    * Scale shape: ONE shuffle into ≤ 168 cells (the distinct-user
+    * count shares it via expand); the share join is a 1-row
+    * broadcast.
+    */
+  val heatmap: QueryDef = QueryDef(
+    "q_events_heatmap",
+    (s, dir) => {
+      val cells = events(s, dir)
+        .select(expr("pmod(ts div 1000000000 div 86400 + 3, 7)").as("dow"),
+          expr("(ts div 1000000000 div 3600) % 24").as("hour"),
+          col("user_id"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+      val tot = cells.agg(sum(col("n_events")).as("total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hour"), col("n_events"), col("n_users"),
+          expr("(n_events * 1000) div total").as("share_x1000"))
+    },
+    Some("""WITH c AS (SELECT
+              (CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 + 3) % 7 AS dow,
+              (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+              user_id
+            FROM events),
+            g AS (SELECT dow, hour, COUNT(*) AS n_events,
+                COUNT(DISTINCT user_id) AS n_users
+              FROM c GROUP BY 1, 2),
+            t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM g)
+            SELECT dow, hour, n_events, n_users,
+              (n_events * 1000) // t.total AS share_x1000
+            FROM g, t"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
-      rfm, abTest, changepoint, seqPatterns, forecast, rolling)
+      rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -488,6 +488,38 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("langid eval: micro counts conserve, F1 between precision and recall bounds") {
+    val rows = TextFunctions.langIdEval.fn(spark, sfDir).collect()
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total, "gold counts must cover the corpus")
+    assert(rows.map(_.getLong(2)).sum == total, "pred counts must cover the corpus")
+    val perDoc = TextFunctions.langId.fn(spark, sfDir).collect()
+    val correct = perDoc.count(_.getBoolean(7)).toLong
+    assert(rows.map(_.getLong(3)).sum == correct, "tp total == correct docs")
+    rows.foreach { r =>
+      val (g, p, tp, pr, rc, f1) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(tp <= math.min(g, p))
+      assert(pr == (if (p > 0) tp * 1000 / p else 0L) && rc == tp * 1000 / g)
+      assert(f1 == (if (p + g > 0) 2 * tp * 1000 / (p + g) else 0L))
+      // harmonic mean lies between the two rates (floor-div tolerance 1)
+      assert(f1 <= math.max(pr, rc) + 1 && f1 + 1 >= math.min(pr, rc))
+    }
+  }
+
+  test("seasonality heatmap conserves events; dow/hour in range") {
+    val rows = Events.heatmap.fn(spark, sfDir).collect()
+    val total = Events.loadEvents(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 7)
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 24)
+      assert(r.getLong(3) <= r.getLong(2), "distinct users cannot exceed events")
+    }
+    // 2024-01-01 (epoch day 19723) was a Monday: (19723 + 3) % 7 == 0
+    assert((19723L + 3) % 7 == 0L)
+  }
+
   test("readability orders sources sanely and stays within per-doc bounds") {
     val rows = StatsQueries.defs // touch object init orders
     val got = TextFunctions.readability.fn(spark, sfDir).collect()
