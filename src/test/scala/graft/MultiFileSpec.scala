@@ -29,7 +29,10 @@ class MultiFileSpec extends SparkSpec {
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(liFiles > 1, s"expected a multi-file lineitem copy, got $liFiles file(s)")
 
-    for (q <- Seq("q_tpch_q3", "d_dedup_minhash", "t_inverted_search")) {
+    // one per family: TPC-H multi-join, shuffle-heavy dedup,
+    // persisted-index serve, windowed analytics, eval-tier rank stat
+    for (q <- Seq("q_tpch_q3", "d_dedup_minhash", "t_inverted_search",
+        "q_events_changepoint", "t_eval_auc")) {
       val fn = SparkEntry.queries(q)
       def rows(dir: String): Seq[String] =
         fn(spark, dir).collect().map(_.toString).sorted.toSeq
