@@ -1050,28 +1050,35 @@ object Events {
     * daily rollup is the only corpus pass; thousands of series fold
     * in parallel, one task each.
     */
+  /** Holt smoother over a (key, day, y) frame — the reusable core of
+    * [[forecast]] (property-tested on random series, including
+    * NEGATIVE trends, in RandomizedSpec — the catalog corpus does not
+    * guarantee a falling series exercises the negative-DIV path).
+    */
+  def holtOf(daily: DataFrame, key: String): DataFrame =
+    daily.groupBy(key)
+      .agg(transform(array_sort(collect_list(struct(col("day"), col("y")))),
+        x => x.getField("y")).as("ys"))
+      .where(size(col("ys")) >= 2)
+      .withColumn("st", expr(
+        """aggregate(slice(ys, 3, size(ys) - 2),
+           named_struct('l', ys[0] * 1000L, 't', (ys[1] - ys[0]) * 1000L),
+           (acc, y) -> named_struct(
+             'l', (y * 1000L + acc.l + acc.t) div 2L,
+             't', (((y * 1000L + acc.l + acc.t) div 2L - acc.l) + acc.t) div 2L))"""))
+      .select(col(key), size(col("ys")).cast("long").as("n_days"),
+        col("st.l").as("level_x1000"), col("st.t").as("trend_x1000"),
+        (col("st.l") + col("st.t")).as("fc1_x1000"),
+        (col("st.l") + lit(2) * col("st.t")).as("fc2_x1000"),
+        (col("st.l") + lit(3) * col("st.t")).as("fc3_x1000"))
+
   val forecast: QueryDef = QueryDef(
     "q_events_forecast",
-    (s, dir) => {
-      val daily = events(s, dir)
+    (s, dir) => holtOf(
+      events(s, dir)
         .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
-        .agg(count(lit(1)).as("y"))
-      daily.groupBy("event_type")
-        .agg(transform(array_sort(collect_list(struct(col("day"), col("y")))),
-          x => x.getField("y")).as("ys"))
-        .where(size(col("ys")) >= 2)
-        .withColumn("st", expr(
-          """aggregate(slice(ys, 3, size(ys) - 2),
-             named_struct('l', ys[0] * 1000L, 't', (ys[1] - ys[0]) * 1000L),
-             (acc, y) -> named_struct(
-               'l', (y * 1000L + acc.l + acc.t) div 2L,
-               't', (((y * 1000L + acc.l + acc.t) div 2L - acc.l) + acc.t) div 2L))"""))
-        .select(col("event_type"), size(col("ys")).cast("long").as("n_days"),
-          col("st.l").as("level_x1000"), col("st.t").as("trend_x1000"),
-          (col("st.l") + col("st.t")).as("fc1_x1000"),
-          (col("st.l") + lit(2) * col("st.t")).as("fc2_x1000"),
-          (col("st.l") + lit(3) * col("st.t")).as("fc3_x1000"))
-    },
+        .agg(count(lit(1)).as("y")),
+      "event_type"),
     Some("""WITH RECURSIVE daily AS (SELECT
               CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
               event_type, COUNT(*) AS y

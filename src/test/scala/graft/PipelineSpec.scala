@@ -1747,4 +1747,29 @@ class PipelineSpec extends SparkSpec {
     assert(mmrSim <= topSim + 1e-12,
       s"MMR mean pairwise sim $mmrSim must be <= plain top-5's $topSim")
   }
+
+  test("scale law: LPA community rounds move bounded-degree label frames, linear in N") {
+    // the per-round shuffle of s_graph_communities is the symmetrized
+    // kNN edge list joined to one (node, label) row each — with
+    // bounded out-degree K the edge frame is <= 2*N*K rows, so a 10x
+    // corpus must show ~10x per-round work, never a quadratic blowup
+    def edges(dir: String): (Double, Double) = {
+      val g = Similarity.knnGraphTable(spark, dir)
+      val n = Tables.load(spark, dir, "embeddings").count().toDouble
+      val e = g.select(org.apache.spark.sql.functions.col("g_src").as("src"),
+          org.apache.spark.sql.functions.col("g_dst").as("dst"))
+        .unionAll(g.select(org.apache.spark.sql.functions.col("g_dst").as("src"),
+          org.apache.spark.sql.functions.col("g_src").as("dst")))
+        .where(org.apache.spark.sql.functions.col("src") =!=
+          org.apache.spark.sql.functions.col("dst"))
+        .distinct().count().toDouble
+      (n, e)
+    }
+    val ((n1, e1), (n2, e2)) = (edges(sfSmall), edges(sfBig))
+    val k = 10.0 // GraphK bound
+    assert(e1 <= 2 * n1 * k && e2 <= 2 * n2 * k,
+      s"edge frames exceed the 2NK bound: $e1 of ${2 * n1 * k}, $e2 of ${2 * n2 * k}")
+    assert(e2 <= 2.0 * (n2 / n1) * e1,
+      s"per-round LPA work superlinear: N $n1->$n2, edges $e1->$e2")
+  }
 }

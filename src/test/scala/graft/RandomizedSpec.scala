@@ -176,6 +176,35 @@ class RandomizedSpec extends SparkSpec {
     assert(TextFunctions.aucOf(inverted.toDF("pos", "score")).head().getLong(3) == 0L)
   }
 
+  test("Holt smoother matches a sequential fold on random series incl. falling trends") {
+    import graft.operators.Events
+    val rnd = new Random(55)
+    for (round <- 1 to 8) {
+      // half the rounds force a strongly DECREASING series so the
+      // negative-trend integral-DIV path is exercised (Spark `div`
+      // truncates toward zero; DuckDB `//` verified identical)
+      val falling = round % 2 == 0
+      val n = 3 + rnd.nextInt(20)
+      val series = (0 until n).map { i =>
+        val base = if (falling) 2000L - 90L * i else 50L + rnd.nextInt(100)
+        (i.toLong, math.max(1L, base + rnd.nextInt(21) - 10))
+      }
+      val df = series.toDF("day", "y").withColumn("key", lit("k"))
+      val r = Events.holtOf(df, "key").head()
+      val ys = series.map(_._2)
+      var l = ys(0) * 1000L
+      var t = (ys(1) - ys(0)) * 1000L
+      for (y <- ys.drop(2)) {
+        val ln = (y * 1000L + l + t) / 2
+        t = ((ln - l) + t) / 2
+        l = ln
+      }
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((n.toLong, l, t, l + t)), s"round $round falling=$falling")
+      if (falling) assert(r.getLong(3) < 0, "falling series must yield a negative trend")
+    }
+  }
+
   test("exact-decimal sums are partitioning-invariant on random money values") {
     import graft.functions.Portable
     val rnd = new Random(31)
