@@ -118,7 +118,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => graft.functions.RepetitionStats(exprs.head)),
     (FunctionIdentifier("graft_quantile_sketch"),
       new ExpressionInfo(classOf[graft.functions.QuantileSketch].getName, "graft_quantile_sketch"),
-      (exprs: Seq[Expression]) => graft.functions.QuantileSketch.of(exprs.head, {
+      (exprs: Seq[Expression]) => graft.functions.QuantileSketch.of({
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_quantile_sketch(col, quantiles) takes 2 arguments, got ${exprs.length}")
+        exprs.head
+      }, {
         // SQL literals like array(0.5) arrive as decimal arrays — cast
         // to array<double> before folding
         import org.apache.spark.sql.catalyst.expressions.Cast
@@ -140,6 +145,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_freq_sketch"),
       new ExpressionInfo(classOf[graft.functions.FreqSketch].getName, "graft_freq_sketch"),
       (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_freq_sketch(col, k) takes 2 arguments, got ${exprs.length}")
         if (!exprs(1).foldable)
           throw new IllegalArgumentException(
             "graft_freq_sketch: k must be a foldable integer literal, " +

@@ -231,11 +231,18 @@ case class FreqSketch(
     new GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
 
+  // length-prefixed raw UTF-8, NOT writeUTF: modified-UTF-8 caps a
+  // string at 65535 encoded bytes and throws past it — a single
+  // unbroken >64 KB token (base64 blob, crawler URL) must not crash
+  // the aggregation that exists to summarize exactly such data
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     bos.toByteArray
   }
 
@@ -244,7 +251,12 @@ case class FreqSketch(
     val n = in.readInt()
     val m = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      m.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     m
   }
 

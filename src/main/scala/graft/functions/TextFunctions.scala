@@ -1769,11 +1769,21 @@ object TextFunctions {
     * exact-integer (h60 < 2⁶³; bucket < 1024; |weight| ≤ 1001; score
     * ≤ n_tokens·1001).
     */
-  val qualityClassifier: QueryDef = {
-    // h60(t) % D buckets, weight(b) = (b·2654435761) % 2003 − 1001
-    val sparkW = "((cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % 1024)" +
+  /** The hashing-trick classifier weight of a token `t` —
+    * h60(t) % 1024 buckets, weight(b) = (b·2654435761) % 2003 − 1001.
+    * ONE copy (Spark + DuckDB rendering) shared by the classifier and
+    * BOTH its evals (decile lift, AUC): editing the bucket count or
+    * modulus anywhere else would make the evals silently score a
+    * different model than `t_quality_classifier` ships.
+    */
+  private val classifierSparkW: String =
+    "((cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % 1024)" +
       " * 2654435761L) % 2003 - 1001"
-    val duckW = s"((${Portable.textSql.h60("t")} % 1024) * 2654435761) % 2003 - 1001"
+  private val classifierDuckW: String =
+    s"((${Portable.textSql.h60("t")} % 1024) * 2654435761) % 2003 - 1001"
+
+  val qualityClassifier: QueryDef = {
+    val (sparkW, duckW) = (classifierSparkW, classifierDuckW)
     QueryDef(
       "t_quality_classifier",
       (s, dir) => {
@@ -2259,9 +2269,7 @@ object TextFunctions {
     * to 10 rows in one aggregate, totals ride a 1-row broadcast.
     */
   val classifierLift: QueryDef = {
-    val sparkW = "((cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % 1024)" +
-      " * 2654435761L) % 2003 - 1001"
-    val duckW = s"((${Portable.textSql.h60("t")} % 1024) * 2654435761) % 2003 - 1001"
+    val (sparkW, duckW) = (classifierSparkW, classifierDuckW)
     QueryDef(
       "t_classifier_lift",
       (s, dir) => {
@@ -2500,9 +2508,7 @@ object TextFunctions {
   }
 
   val evalAuc: QueryDef = {
-    val sparkW = "((cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % 1024)" +
-      " * 2654435761L) % 2003 - 1001"
-    val duckW = s"((${Portable.textSql.h60("t")} % 1024) * 2654435761) % 2003 - 1001"
+    val (sparkW, duckW) = (classifierSparkW, classifierDuckW)
     QueryDef(
       "t_eval_auc",
       (s, dir) => {
@@ -2709,6 +2715,30 @@ object TextFunctions {
     * after that is an explode + aggregate over ≤ 100 dictionary rows
     * — exactly why dictionary-BPE scales where corpus-BPE cannot.
     */
+  /** One unrolled BPE round in DuckDB SQL: pair counts `p{r}` over
+    * `v{r-1}`, argmax `b{r}` (with or without a round label), merged
+    * dictionary `v{r}` — the ONE copy both [[bpeMerges]] and
+    * [[bpeEncode]] oracles compose (a drifted duplicate would let the
+    * encode apply different rules than the trainer reports).
+    */
+  private def bpeRoundSql(r: Int, withRound: Boolean): String = {
+    val bSelect =
+      if (withRound) s"SELECT CAST($r AS BIGINT) AS round, l, r, wc FROM ("
+      else "SELECT l, r FROM ("
+    s"""p$r AS (SELECT s.l, s.r, CAST(SUM(cnt) AS BIGINT) AS wc FROM (
+              SELECT cnt, unnest(list_transform(range(1, len(string_split(sym, ' '))),
+                  k -> struct_pack(l := string_split(sym, ' ')[CAST(k AS INT)],
+                    r := string_split(sym, ' ')[CAST(k + 1 AS INT)]))) AS s
+              FROM v${r - 1}) t GROUP BY 1, 2),
+            b$r AS ($bSelect
+              SELECT *, ROW_NUMBER() OVER (ORDER BY wc DESC, l, r) AS rn FROM p$r) x
+              WHERE rn = 1),
+            v$r AS (SELECT trim(replace(replace(replace(concat(' ', sym, ' '),
+                  pat, rep), pat, rep), pat, rep)) AS sym, cnt
+              FROM v${r - 1}, (SELECT concat(' ', l, ' ', r, ' ') AS pat,
+                  concat(' ', l, r, ' ') AS rep FROM b$r) m)"""
+  }
+
   val bpeMerges: QueryDef = QueryDef(
     "t_bpe_merges",
     (s, dir) => {
@@ -2746,19 +2776,7 @@ object TextFunctions {
       merges.reduce(_ unionAll _)
     },
     Some {
-      def roundSql(r: Int): String =
-        s"""p$r AS (SELECT s.l, s.r, CAST(SUM(cnt) AS BIGINT) AS wc FROM (
-              SELECT cnt, unnest(list_transform(range(1, len(string_split(sym, ' '))),
-                  k -> struct_pack(l := string_split(sym, ' ')[CAST(k AS INT)],
-                    r := string_split(sym, ' ')[CAST(k + 1 AS INT)]))) AS s
-              FROM v${r - 1}) t GROUP BY 1, 2),
-            b$r AS (SELECT CAST($r AS BIGINT) AS round, l, r, wc FROM (
-              SELECT *, ROW_NUMBER() OVER (ORDER BY wc DESC, l, r) AS rn FROM p$r) x
-              WHERE rn = 1),
-            v$r AS (SELECT trim(replace(replace(replace(concat(' ', sym, ' '),
-                  pat, rep), pat, rep), pat, rep)) AS sym, cnt
-              FROM v${r - 1}, (SELECT concat(' ', l, ' ', r, ' ') AS pat,
-                  concat(' ', l, r, ' ') AS rep FROM b$r) m)"""
+      def roundSql(r: Int): String = bpeRoundSql(r, withRound = true)
       s"""WITH tk AS (SELECT unnest(${Portable.textSql.tokensLower}) AS w FROM documents),
           wc AS (SELECT w, COUNT(*) AS cnt FROM tk GROUP BY 1),
           top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 100),
@@ -2814,19 +2832,7 @@ object TextFunctions {
         .withColumn("compression_x1000", expr("(sym_after * 1000) div sym_before"))
     },
     Some {
-      def roundSql(r: Int): String =
-        s"""p$r AS (SELECT s.l, s.r, CAST(SUM(cnt) AS BIGINT) AS wc FROM (
-              SELECT cnt, unnest(list_transform(range(1, len(string_split(sym, ' '))),
-                  k -> struct_pack(l := string_split(sym, ' ')[CAST(k AS INT)],
-                    r := string_split(sym, ' ')[CAST(k + 1 AS INT)]))) AS s
-              FROM v${r - 1}) t GROUP BY 1, 2),
-            b$r AS (SELECT l, r FROM (
-              SELECT *, ROW_NUMBER() OVER (ORDER BY wc DESC, l, r) AS rn FROM p$r) x
-              WHERE rn = 1),
-            v$r AS (SELECT trim(replace(replace(replace(concat(' ', sym, ' '),
-                  pat, rep), pat, rep), pat, rep)) AS sym, cnt
-              FROM v${r - 1}, (SELECT concat(' ', l, ' ', r, ' ') AS pat,
-                  concat(' ', l, r, ' ') AS rep FROM b$r) m)"""
+      def roundSql(r: Int): String = bpeRoundSql(r, withRound = false)
       def enc(w: String, r: Int): String =
         if (r == 0) w
         else s"replace(replace(replace(${enc(w, r - 1)}, m$r.pat, m$r.rep), m$r.pat, m$r.rep), m$r.pat, m$r.rep)"

@@ -580,7 +580,12 @@ object Events {
     *
     * The touch is resolved WITHOUT a range self-join: each candidate
     * touch packs (t, event_id, channel) into one order-preserving
-    * BIGINT (`t·10⁸ + event_id·10 + ch` — exact to t ≈ 9·10¹⁰), and a
+    * BIGINT (`t·10⁹ + event_id·10 + ch` — exact while t < 9.2·10⁹
+    * (~year 2261) AND event_id < 10⁸; beyond 10⁸ events the id digits
+    * would bleed into the seconds digits and silently corrupt the
+    * first/last ordering, so the bound is a DOCUMENTED PRECONDITION:
+    * at larger scales pack a per-user-day sequence number, not the
+    * global id), and a
     * per-user RANGE window over t takes MIN (earliest = first touch)
     * and MAX (latest = last touch) of that key over the preceding
     * 7-day frame. min/max are frame-order-insensitive, so equal-`t`
@@ -602,7 +607,7 @@ object Events {
       val ch = when(col("event_type") === "click", 1L)
         .when(col("event_type") === "view", 2L)
       val keyed = e.withColumn("tkey",
-        when(ch.isNotNull, col("t") * 100000000L + col("event_id") * 10L + ch))
+        when(ch.isNotNull, col("t") * 1000000000L + col("event_id") * 10L + ch))
       val rw = Window.partitionBy("user_id").orderBy(col("t"))
         .rangeBetween(-604800L, -1L)
       val conv = keyed
@@ -621,8 +626,8 @@ object Events {
     Some(s"""WITH e AS (SELECT user_id, event_type, value,
               CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id FROM events),
             k AS (SELECT *, CASE
-                WHEN event_type = 'click' THEN t*100000000 + event_id*10 + 1
-                WHEN event_type = 'view'  THEN t*100000000 + event_id*10 + 2
+                WHEN event_type = 'click' THEN t*1000000000 + event_id*10 + 1
+                WHEN event_type = 'view'  THEN t*1000000000 + event_id*10 + 2
               END AS tkey FROM e),
             c AS (SELECT *,
                 MIN(tkey) OVER (PARTITION BY user_id ORDER BY t
@@ -993,8 +998,10 @@ object Events {
     * [[markov]]'s adjacent-transition probabilities (here gaps are
     * allowed and each user counts once). Existence of an ordered
     * occurrence reduces to `min_key(a) < max_key(b)` per user with
-    * the total-order key `t·10⁸ + event_id` (ties through unique
-    * event ids, exact to t ≈ 9·10¹⁰), so no per-user pair scan ever
+    * the total-order key `t·10⁹ + event_id` (ties through unique
+    * event ids; exact while t < 9.2·10⁹ and event_id < 10⁹ — a
+    * documented precondition, same convention as the attribution
+    * key), so no per-user pair scan ever
     * runs. `a = b` rows read "the type recurs".
     *
     * Scale shape: ONE shuffle into (user, type) min/max keys
@@ -1006,7 +1013,7 @@ object Events {
     "q_events_bigrams",
     (s, dir) => {
       val e = events(s, dir).select(col("user_id"), col("event_type"),
-        (expr("ts div 1000000000") * 100000000L + col("event_id")).as("k"))
+        (expr("ts div 1000000000") * 1000000000L + col("event_id")).as("k"))
       val spans = e.groupBy("user_id", "event_type")
         .agg(min(col("k")).as("k_min"), max(col("k")).as("k_max"))
       val nUsers = e.select("user_id").distinct().agg(count(lit(1)).as("n_users"))
@@ -1019,7 +1026,7 @@ object Events {
           expr("(support * 1000) div n_users").as("support_x1000"))
     },
     Some("""WITH e AS (SELECT user_id, event_type,
-              CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000000 + event_id AS k
+              CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 + event_id AS k
             FROM events),
             sp AS (SELECT user_id, event_type,
                 MIN(k) AS k_min, MAX(k) AS k_max

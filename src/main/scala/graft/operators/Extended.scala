@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -478,18 +479,40 @@ object Extended {
     * shuffle into (p1, p2) cells, item counts ride a broadcast. No
     * order×order or item×item join ever forms.
     */
+  /** (distinct order-part baskets, order count 1-row frame, per-item
+    * counts, pair supports) — the shared mining base of
+    * [[basketPairs]] and [[assocRules]]: ONE copy so a future basket
+    * definition change (e.g. a mega-basket cap) cannot desynchronize
+    * the two reports.
+    */
+  private def pairSupports(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val nOrders = li.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
+    val itemCnt = li.groupBy("part").agg(count(lit(1)).as("cnt"))
+    val pairs = li.toDF("okey", "p1")
+      .join(li.toDF("okey", "p2"), "okey")
+      .where(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+    (nOrders, itemCnt, pairs)
+  }
+
+  /** The oracle CTE prefix of [[pairSupports]]: li / no / ic / p. */
+  private val pairSupportsSql: String =
+    """li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+              FROM lineitem),
+            no AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM li),
+            ic AS (SELECT part, COUNT(*) AS cnt FROM li GROUP BY 1),
+            p AS (SELECT a.part AS p1, b.part AS p2, COUNT(*) AS support
+              FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+              GROUP BY 1, 2)"""
+
   val basketPairs: QueryDef = QueryDef(
     "q_basket_pairs",
     (s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-        .distinct()
-      val nOrders = li.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
-      val itemCnt = li.groupBy("part").agg(count(lit(1)).as("cnt"))
-      val pairs = li.toDF("okey", "p1")
-        .join(li.toDF("okey", "p2"), "okey")
-        .where(col("p1") < col("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+      val (nOrders, itemCnt, pairs) = pairSupports(s, dir)
       val w = Window.orderBy(col("support").desc, col("p1"), col("p2"))
       pairs
         .join(broadcast(itemCnt.toDF("p1", "cnt1")), "p1")
@@ -501,13 +524,7 @@ object Extended {
         .where(col("rk") <= 20)
         .select("rk", "p1", "p2", "support", "lift_x1000")
     },
-    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
-              FROM lineitem),
-            no AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM li),
-            ic AS (SELECT part, COUNT(*) AS cnt FROM li GROUP BY 1),
-            p AS (SELECT a.part AS p1, b.part AS p2, COUNT(*) AS support
-              FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
-              GROUP BY 1, 2),
+    Some(s"""WITH $pairSupportsSql,
             s AS (SELECT p.p1, p.p2, p.support,
                 CAST((p.support * no.n_orders * 1000) // (x.cnt * y.cnt) AS BIGINT)
                   AS lift_x1000,
@@ -533,15 +550,7 @@ object Extended {
   val assocRules: QueryDef = QueryDef(
     "q_assoc_rules",
     (s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-        .distinct()
-      val nOrders = li.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
-      val itemCnt = li.groupBy("part").agg(count(lit(1)).as("cnt"))
-      val pairs = li.toDF("okey", "p1")
-        .join(li.toDF("okey", "p2"), "okey")
-        .where(col("p1") < col("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+      val (nOrders, itemCnt, pairs) = pairSupports(s, dir)
       val rules = pairs.select(col("p1").as("ante"), col("p2").as("cons"), col("support"))
         .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"), col("support")))
       val w = Window.orderBy(col("conf_x1000").desc, col("support").desc,
@@ -557,13 +566,7 @@ object Extended {
         .where(col("rk") <= 20)
         .select("rk", "ante", "cons", "support", "conf_x1000", "lift_x1000")
     },
-    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
-              FROM lineitem),
-            no AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM li),
-            ic AS (SELECT part, COUNT(*) AS cnt FROM li GROUP BY 1),
-            p AS (SELECT a.part AS p1, b.part AS p2, COUNT(*) AS support
-              FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
-              GROUP BY 1, 2),
+    Some(s"""WITH $pairSupportsSql,
             r AS (SELECT p1 AS ante, p2 AS cons, support FROM p
               UNION ALL SELECT p2, p1, support FROM p),
             s AS (SELECT r.ante, r.cons, r.support,

@@ -89,7 +89,13 @@ object Multimodal {
         }
         Some(ImageFeatures(w.toLong, h.toLong, lumaSum / (w.toLong * h)))
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // imageio throws RuntimeExceptions (IllegalArgument, IndexOOB,
+      // NegativeArraySize…) on payloads with a valid magic number but
+      // a corrupt body — the router must fall back to the stub, not
+      // crash the media scan
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   case class DecodedImageRecord(doc_id: Long, n_bytes: Long, is_real: Boolean,

@@ -2870,30 +2870,39 @@ object Similarity {
     * window partitions by vec_id over #labels rows each; output =
     * labels² rows.
     */
-  val nearestCentroid: QueryDef = QueryDef(
-    "s_nearest_centroid",
-    (s, dir) => {
-      val v = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          quantize(col("embedding")).as("q"))
-      val sums = v.select(col("label"), posexplode(col("q"))).toDF("label", "dim", "x")
-        .groupBy("label", "dim").agg(sum(col("x")).as("sv"))
-        .groupBy("label").agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("sv")))),
-          x => x.getField("sv")).as("cs"))
-      val protos = broadcast(
-        sums.join(v.groupBy("label").agg(count(lit(1)).as("cn")), "label")
-          .select(col("label").as("plabel"), col("cs"), col("cn")))
-      val w = Window.partitionBy("vec_id").orderBy(col("m"), col("plabel"))
-      v.crossJoin(protos)
-        .select(col("vec_id"), col("label"), col("plabel"),
-          (graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
-            .cast("double") / (col("cn") * col("cn")).cast("double")).as("m"))
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .groupBy(col("label").as("true_label"), col("plabel").as("pred_label"))
-        .agg(count(lit(1)).as("n"))
-    },
-    Some("""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+  /** Per-vector nearest-class-mean predictions (vec_id, label,
+    * plabel) — the shared classifier core of [[nearestCentroid]] and
+    * [[labelKappa]]: prototype = exact integer class mean kept
+    * un-divided as (Σ-vector, n), assignment by the ivf metric with
+    * label tie-break. ONE copy so the kappa report can never
+    * desynchronize from the confusion matrix it summarizes.
+    */
+  private def centroidPredictions(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        quantize(col("embedding")).as("q"))
+    val sums = v.select(col("label"), posexplode(col("q"))).toDF("label", "dim", "x")
+      .groupBy("label", "dim").agg(sum(col("x")).as("sv"))
+      .groupBy("label").agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("sv")))),
+        x => x.getField("sv")).as("cs"))
+    val protos = broadcast(
+      sums.join(v.groupBy("label").agg(count(lit(1)).as("cn")), "label")
+        .select(col("label").as("plabel"), col("cs"), col("cn")))
+    val w = Window.partitionBy("vec_id").orderBy(col("m"), col("plabel"))
+    v.crossJoin(protos)
+      .select(col("vec_id"), col("label"), col("plabel"),
+        (graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
+          .cast("double") / (col("cn") * col("cn")).cast("double")).as("m"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("vec_id", "label", "plabel")
+  }
+
+  /** The oracle CTE chain of [[centroidPredictions]], ending in
+    * `pred(vec_id, label, plabel)` — shared by both consumers' SQL.
+    */
+  private def centroidPredSqlCtes: String =
+    """v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
               list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
             FROM embeddings),
             sums AS (SELECT label, i AS dim, CAST(SUM(q[i]) AS BIGINT) AS sv
@@ -2907,11 +2916,19 @@ object Similarity {
                   z -> (p.cn * z[1] - z[2]) * (p.cn * z[1] - z[2]))) AS DOUBLE)
                   / CAST(p.cn * p.cn AS DOUBLE) AS m
               FROM v CROSS JOIN proto p),
-            a AS (SELECT vec_id, label, plabel,
-                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY m, plabel) AS rn
-              FROM scored)
+            pred AS (SELECT vec_id, label, plabel FROM (
+                SELECT vec_id, label, plabel,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY m, plabel) AS rn
+                FROM scored) a WHERE rn = 1)"""
+
+  val nearestCentroid: QueryDef = QueryDef(
+    "s_nearest_centroid",
+    (s, dir) => centroidPredictions(s, dir)
+      .groupBy(col("label").as("true_label"), col("plabel").as("pred_label"))
+      .agg(count(lit(1)).as("n")),
+    Some(s"""WITH $centroidPredSqlCtes
             SELECT label AS true_label, plabel AS pred_label, COUNT(*) AS n
-            FROM a WHERE rn = 1 GROUP BY 1, 2"""))
+            FROM pred GROUP BY 1, 2"""))
 
   /** Triangle count + global clustering coefficient over the
     * PERSISTED kNN graph — the structural-health diagnostic of a
@@ -3063,24 +3080,8 @@ object Similarity {
   val labelKappa: QueryDef = QueryDef(
     "s_label_kappa",
     (s, dir) => {
-      val v = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          quantize(col("embedding")).as("q"))
-      val sums = v.select(col("label"), posexplode(col("q"))).toDF("label", "dim", "x")
-        .groupBy("label", "dim").agg(sum(col("x")).as("sv"))
-        .groupBy("label").agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("sv")))),
-          x => x.getField("sv")).as("cs"))
-      val protos = broadcast(
-        sums.join(v.groupBy("label").agg(count(lit(1)).as("cn")), "label")
-          .select(col("label").as("plabel"), col("cs"), col("cn")))
-      val w = Window.partitionBy("vec_id").orderBy(col("m"), col("plabel"))
-      val pred = v.crossJoin(protos)
-        .select(col("vec_id"), col("label"), col("plabel"),
-          (graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
-            .cast("double") / (col("cn") * col("cn")).cast("double")).as("m"))
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      val conf = pred.groupBy("label", "plabel").agg(count(lit(1)).as("c"))
+      val conf = centroidPredictions(s, dir)
+        .groupBy("label", "plabel").agg(count(lit(1)).as("c"))
       val marg = conf.groupBy("label").agg(sum(col("c")).as("row_n"))
         .join(conf.groupBy("plabel").agg(sum(col("c")).as("col_n"))
           .withColumnRenamed("plabel", "label"), Seq("label"), "full")
@@ -3096,24 +3097,8 @@ object Similarity {
           expr("((n_agree * n - chance) * 1000) div (n * n - chance)")
             .as("kappa_x1000"))
     },
-    Some("""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-              list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
-            FROM embeddings),
-            sums AS (SELECT label, i AS dim, CAST(SUM(q[i]) AS BIGINT) AS sv
-              FROM v CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
-            cs AS (SELECT label, list(sv ORDER BY dim) AS cs FROM sums GROUP BY label),
-            proto AS (SELECT cs.label AS plabel, cs.cs, c.cn
-              FROM cs JOIN (SELECT label, COUNT(*) AS cn FROM v GROUP BY label) c
-                ON cs.label = c.label),
-            scored AS (SELECT v.vec_id, v.label, p.plabel,
-                CAST(list_sum(list_transform(list_zip(v.q, p.cs),
-                  z -> (p.cn * z[1] - z[2]) * (p.cn * z[1] - z[2]))) AS DOUBLE)
-                  / CAST(p.cn * p.cn AS DOUBLE) AS m
-              FROM v CROSS JOIN proto p),
-            a AS (SELECT vec_id, label, plabel,
-                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY m, plabel) AS rn
-              FROM scored),
-            conf AS (SELECT label, plabel, COUNT(*) AS c FROM a WHERE rn = 1
+    Some(s"""WITH $centroidPredSqlCtes,
+            conf AS (SELECT label, plabel, COUNT(*) AS c FROM pred
               GROUP BY 1, 2),
             rm AS (SELECT label, CAST(SUM(c) AS BIGINT) AS row_n FROM conf GROUP BY 1),
             cm AS (SELECT plabel AS label, CAST(SUM(c) AS BIGINT) AS col_n

@@ -179,7 +179,7 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val byUser = Events.loadEvents(spark, sfDir)
       .select(col("user_id"), col("event_type"),
-        (expr("ts div 1000000000") * 100000000L + col("event_id")).as("k"))
+        (expr("ts div 1000000000") * 1000000000L + col("event_id")).as("k"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .groupBy(_._1)
     val types = byUser.values.flatten.map(_._2).toSet.toSeq.sorted

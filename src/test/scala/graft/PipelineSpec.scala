@@ -1111,6 +1111,13 @@ class PipelineSpec extends SparkSpec {
     val stub = Multimodal.decodeStub("definitely not an image payload".getBytes("UTF-8"), 2L)
     assert(fake.width == stub.width && fake.height == stub.height
       && fake.n_frames == stub.nFrames, "fallback arm must equal the stub")
+    // a payload with a valid image MAGIC but corrupt body makes
+    // imageio throw RuntimeExceptions, not IOException — the router
+    // must still fall back to the stub instead of crashing the scan
+    val corrupt = png.take(40) ++ Array.fill[Byte](30)(0x7f)
+    val c = Multimodal.decodeAllReal(
+      Seq(Multimodal.MediaRecord(3L, corrupt)).toDS()).collect().head
+    assert(!c.is_real, "corrupt-body image must route to the stub, not crash")
   }
 
   test("winsorize invariants: clip fractions bounded by the percentile ranks, mean inside [p5, p95]") {

@@ -121,4 +121,28 @@ class SketchSpec extends SparkSpec {
       .head().getSeq[Any](0)
     assert(empty.isEmpty, "empty input must yield an empty summary")
   }
+
+  test("freq sketch survives terms past writeUTF's 64 KB modified-UTF-8 cap") {
+    // a single unbroken >64 KB token (base64 blob, crawler URL) used
+    // to crash buffer serialization with UTFDataFormatException; the
+    // format is now length-prefixed raw UTF-8
+    val giant = "x" * 70000
+    val terms = (Seq.fill(5)(giant) ++ Seq.fill(3)("small")).toDF("t")
+      .repartition(4) // force partial-buffer serialize + merge
+      .agg(Sketches.freqSketch(col("t"), 4).as("sk"))
+      .selectExpr("explode(sk) AS e").select("e.term", "e.est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(terms.keySet.contains(giant), "giant term must survive the shuffle")
+    assert(terms(giant) <= 5L && terms(giant) >= 5L - 8 / (4 + 1))
+  }
+
+  test("sketch SQL registrations reject wrong arity with a usable error") {
+    Tables.load(spark, sfDir, "documents").createOrReplaceTempView("docs_ar")
+    val e1 = intercept[Exception](
+      spark.sql("SELECT graft_freq_sketch(lang) FROM docs_ar").head())
+    assert(e1.getMessage.contains("2 arguments"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_quantile_sketch(n_chars) FROM docs_ar").head())
+    assert(e2.getMessage.contains("2 arguments"), e2.getMessage)
+  }
 }
