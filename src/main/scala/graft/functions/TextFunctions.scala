@@ -2501,9 +2501,13 @@ object TextFunctions {
       .agg(sum(col("n_at")).as("n_docs"), sum(col("p_at")).as("n_pos"),
         sum(col("r2c")).as("r2"))
       .select(col("n_docs"), col("n_pos"), (col("n_docs") - col("n_pos")).as("n_neg"),
-        expr("((r2 - n_pos * (n_pos + 1)) * 500) div (n_pos * (n_docs - n_pos))")
+        // AUC is undefined without at least one positive AND one
+        // negative (one-class corpus) — NULL, not a crash
+        expr("""case when n_pos > 0 and n_docs > n_pos
+          then ((r2 - n_pos * (n_pos + 1)) * 500) div (n_pos * (n_docs - n_pos)) end""")
           .as("auc_x1000"),
-        expr("((r2 - n_pos * (n_pos + 1)) * 1000) div (n_pos * (n_docs - n_pos)) - 1000")
+        expr("""case when n_pos > 0 and n_docs > n_pos
+          then ((r2 - n_pos * (n_pos + 1)) * 1000) div (n_pos * (n_docs - n_pos)) - 1000 end""")
           .as("gini_x1000"))
   }
 
@@ -2534,10 +2538,12 @@ object TextFunctions {
                   CAST(SUM(p_at) AS BIGINT) AS n_pos,
                   CAST(SUM(r2c) AS BIGINT) AS r2 FROM c)
               SELECT n_docs, n_pos, n_docs - n_pos AS n_neg,
-                ((r2 - n_pos * (n_pos + 1)) * 500) // (n_pos * (n_docs - n_pos))
-                  AS auc_x1000,
-                ((r2 - n_pos * (n_pos + 1)) * 1000) // (n_pos * (n_docs - n_pos)) - 1000
-                  AS gini_x1000
+                CASE WHEN n_pos > 0 AND n_docs > n_pos THEN
+                  ((r2 - n_pos * (n_pos + 1)) * 500) // (n_pos * (n_docs - n_pos))
+                END AS auc_x1000,
+                CASE WHEN n_pos > 0 AND n_docs > n_pos THEN
+                  ((r2 - n_pos * (n_pos + 1)) * 1000) // (n_pos * (n_docs - n_pos)) - 1000
+                END AS gini_x1000
               FROM m"""))
   }
 

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input robustness: representative catalog queries must
+  * not THROW on an empty corpus or a single-row corpus — the shapes a
+  * production pipeline hits on day one (no data yet), after an
+  * aggressive filter (one survivor), or on an empty partition of a
+  * date-partitioned run. Returning zero rows (or an all-null summary
+  * row from a global aggregate) is fine; an exception is not. The
+  * persisted-index families are deliberately excluded — building an
+  * index over an empty corpus is out of contract (C = ⌈√0⌉).
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  private val queriesUnderTest = Seq(
+    "q_agg_global", "q_groupby_agg", "q_where_predicates", "q_topk",
+    "q_events_window", "q_events_changepoint", "q_events_forecast",
+    "q_events_rolling", "q_events_heatmap", "q_events_bigrams",
+    "t_quality", "t_eval_auc", "t_k_anonymity", "t_mask_spans",
+    "t_langid_eval", "t_bpe_merges",
+    "d_dedup_exact", "d_corpus_diversity",
+    "q_basket_pairs", "q_assoc_rules")
+
+  private def writeScaled(dst: String, limit: Int): Unit = {
+    graft.sources.Snapshots.deleteRecursively(dst)
+    Tables.names.foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(limit)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+  }
+
+  test("catalog queries do not throw on an EMPTY corpus") {
+    val dst = "/root/repo/target/edgecase/empty"
+    writeScaled(dst, 0)
+    for (q <- queriesUnderTest) {
+      val rows =
+        try SparkEntry.queries(q)(spark, dst).collect()
+        catch { case e: Throwable =>
+          fail(s"$q threw on the empty corpus: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      // a global aggregate may emit one all-null summary row; grouped
+      // shapes must emit nothing — either way, no exception
+      assert(rows.length <= 1 || rows.forall(_ != null), q)
+    }
+  }
+
+  test("catalog queries do not throw on a SINGLE-ROW corpus") {
+    val dst = "/root/repo/target/edgecase/one"
+    writeScaled(dst, 1)
+    for (q <- queriesUnderTest) {
+      try SparkEntry.queries(q)(spark, dst).collect()
+      catch { case e: Throwable =>
+        fail(s"$q threw on the single-row corpus: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+  }
+}
