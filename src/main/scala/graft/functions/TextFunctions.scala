@@ -2290,8 +2290,11 @@ object TextFunctions {
           .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
             max(col("n")).as("n"), max(col("p")).as("p"))
           .select(col("decile"), col("n_docs"), col("n_pos"),
-            expr("(n_pos * n * 1000) div (n_docs * p)").as("lift_x1000"),
-            expr("(n_pos * 1000) div p").as("capture_x1000"))
+            // zero-positive corpus: lift/capture undefined -> NULL
+            expr("case when p > 0 then (n_pos * n * 1000) div (n_docs * p) end")
+              .as("lift_x1000"),
+            expr("case when p > 0 then (n_pos * 1000) div p end")
+              .as("capture_x1000"))
       },
       Some(s"""WITH tk AS (SELECT doc_id,
                 CAST(lang = 'en' AS BIGINT) AS pos,
@@ -2305,10 +2308,10 @@ object TextFunctions {
               d AS (SELECT (rn - 1) * 10 // n + 1 AS decile, pos, n, p FROM r)
               SELECT decile, COUNT(*) AS n_docs,
                 CAST(SUM(pos) AS BIGINT) AS n_pos,
-                CAST((CAST(SUM(pos) AS BIGINT) * MAX(n) * 1000)
-                  // (COUNT(*) * CAST(MAX(p) AS BIGINT)) AS BIGINT) AS lift_x1000,
-                CAST((CAST(SUM(pos) AS BIGINT) * 1000)
-                  // CAST(MAX(p) AS BIGINT) AS BIGINT) AS capture_x1000
+                CASE WHEN MAX(p) > 0 THEN CAST((CAST(SUM(pos) AS BIGINT) * MAX(n) * 1000)
+                  // (COUNT(*) * CAST(MAX(p) AS BIGINT)) AS BIGINT) END AS lift_x1000,
+                CASE WHEN MAX(p) > 0 THEN CAST((CAST(SUM(pos) AS BIGINT) * 1000)
+                  // CAST(MAX(p) AS BIGINT) AS BIGINT) END AS capture_x1000
               FROM d GROUP BY 1"""))
   }
 

@@ -3094,7 +3094,10 @@ object Similarity {
         .crossJoin(marg)
         .select(col("n"), col("diag").as("n_agree"),
           expr("(n_agree * 1000) div n").as("accuracy_x1000"),
-          expr("((n_agree * n - chance) * 1000) div (n * n - chance)")
+          // chance == n*n (single predicted+true class): kappa is 0/0
+          // undefined -> NULL, not a crash
+          expr("""case when n * n > chance
+            then ((n_agree * n - chance) * 1000) div (n * n - chance) end""")
             .as("kappa_x1000"))
     },
     Some(s"""WITH $centroidPredSqlCtes,
@@ -3110,8 +3113,9 @@ object Similarity {
                 AS n_agree FROM conf)
             SELECT mg.n, dg.n_agree,
               (dg.n_agree * 1000) // mg.n AS accuracy_x1000,
-              ((dg.n_agree * mg.n - mg.chance) * 1000) // (mg.n * mg.n - mg.chance)
-                AS kappa_x1000
+              CASE WHEN mg.n * mg.n > mg.chance THEN
+                ((dg.n_agree * mg.n - mg.chance) * 1000) // (mg.n * mg.n - mg.chance)
+              END AS kappa_x1000
             FROM dg, mg"""))
 
   /** Ranked-RETRIEVAL evaluation (P@5, MRR, hit@10) of the

@@ -20,7 +20,26 @@ class EdgeCaseSpec extends SparkSpec {
     "t_quality", "t_eval_auc", "t_k_anonymity", "t_mask_spans",
     "t_langid_eval", "t_bpe_merges",
     "d_dedup_exact", "d_corpus_diversity",
-    "q_basket_pairs", "q_assoc_rules")
+    "q_basket_pairs", "q_assoc_rules",
+    // second tier: the rest of the non-index-building surface
+    "q_distinct", "q_semi_anti", "q_join_outer", "q_set_ops", "q_pivot",
+    "q_unpivot", "q_window_funcs", "q_percentiles", "q_rollup", "q_cube",
+    "q_json_extract", "q_events_sessionize", "q_events_funnel",
+    "q_events_retention", "q_events_markov", "q_events_rfm",
+    "q_events_mad", "q_events_trend", "q_events_attribution",
+    "q_events_conversion_lag", "q_events_winsorize", "q_events_resample",
+    "q_events_hopping", "q_events_topk", "q_events_pattern",
+    "q_events_abtest", "t_readability", "t_classifier_lift", "t_oov_rate",
+    "t_quality_lm", "t_quality_lm_bigram", "t_quality_classifier",
+    "t_wordcount", "t_collocations", "t_repetition", "t_pii_redact",
+    "t_tokens", "t_fingerprint", "t_normalize", "t_contamination",
+    "t_pack_sequences", "t_mixture_sample", "t_upsample_epochs",
+    "t_chunk_rag", "t_train_test_split", "t_label_encode", "t_langid",
+    "t_hash_sample", "t_stratified_sample", "t_weighted_sample",
+    "t_heavy_hitters", "d_dedup_paragraph", "d_dedup_simhash",
+    "d_dedup_minhash", "s_nearest_centroid", "s_label_kappa",
+    "s_eval_retrieval", "m_multimodal_meta", "m_frame_sample",
+    "m_patch_grid")
 
   private def writeScaled(dst: String, limit: Int): Unit = {
     graft.sources.Snapshots.deleteRecursively(dst)
