@@ -98,8 +98,13 @@ object MaterializedView {
         }.getOrElse(0)
       if (lastV == curV) return mvV
 
+      // a vacuumed watermark version (retention passed under the MV)
+      // must degrade to a full recompute, not fail every refresh
+      // forever on an unresolvable manifest
+      val watermarkGone = lastV > 0 && !Snapshots.versionAvailable(baseTable, lastV)
       val newDirs = Snapshots.versionDirs(baseTable, curV)
-      val oldDirs = if (lastV == 0) Seq.empty else Snapshots.versionDirs(baseTable, lastV)
+      val oldDirs = if (lastV == 0 || watermarkGone) Seq.empty
+        else Snapshots.versionDirs(baseTable, lastV)
       def merges = sums.map(c => sum(col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c")) ++
         mins.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
         maxs.map(c => max(col(s"max_$c")).as(s"max_$c"))
@@ -110,6 +115,9 @@ object MaterializedView {
       val fresh =
         if (lastV == 0) {
           lastRefreshMode = "bootstrap"
+          aggregate(Snapshots.readVersion(spark, baseTable, curV), keys, sums, mins, maxs)
+        } else if (watermarkGone) {
+          lastRefreshMode = "recompute-vacuumed"
           aggregate(Snapshots.readVersion(spark, baseTable, curV), keys, sums, mins, maxs)
         } else if (oldDirs.toSet.subsetOf(newDirs.toSet)) {
           lastRefreshMode = "append-fold"
@@ -220,7 +228,12 @@ object MaterializedView {
     val (lLast, rLast) = (tagOf(JTagL), tagOf(JTagR))
     if (lLast == lCur && rLast == rCur) { lastJoinRefreshMode = "noop"; return mvV }
     val tags = Seq(JTagL + lCur, JTagR + rCur)
-    if (lLast == 0 || rLast == 0) {
+    // vacuumed watermark on either base → full bootstrap recompute
+    // (the aggregate-MV convention), never a permanently failing
+    // delta read against a retired manifest
+    if (lLast == 0 || rLast == 0 ||
+        !Snapshots.versionAvailable(leftTable, lLast) ||
+        !Snapshots.versionAvailable(rightTable, rLast)) {
       lastJoinRefreshMode = "bootstrap"
       val full = Snapshots.readVersion(spark, leftTable, lCur)
         .join(Snapshots.readVersion(spark, rightTable, rCur), key)

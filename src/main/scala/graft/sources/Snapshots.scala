@@ -74,6 +74,15 @@ object Snapshots {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
+  /** Whether version `v`'s manifest is still resolvable (vacuum
+    * retires manifests below the retention window) — the check a
+    * watermark consumer runs before asking for a possibly-vacuumed
+    * version, so it can degrade to a full recompute instead of
+    * crashing on every refresh forever.
+    */
+  def versionAvailable(table: String, version: Int): Boolean =
+    version > 0 && Files.exists(meta(table).resolve(s"v$version.manifest"))
+
   private def manifestDirs(table: String, version: Int): Seq[String] = {
     val p = meta(table).resolve(s"v$version.manifest")
     require(Files.exists(p), s"no snapshot v$version at $table")
@@ -177,7 +186,11 @@ object Snapshots {
     */
   def deleteWhere(spark: SparkSession, table: String,
       cond: org.apache.spark.sql.Column): Int =
-    commitOverwrite(read(spark, table).where(!cond), table)
+    // SQL DELETE semantics: rows where cond is NULL are KEPT (a bare
+    // where(!cond) would drop them — NOT NULL is NULL, filtered out)
+    commitOverwrite(read(spark, table)
+      .where(!org.apache.spark.sql.functions.coalesce(
+        cond, org.apache.spark.sql.functions.lit(false))), table)
 
   /** See [[deleteWhere]]: conditional column replacement as a new
     * version. */
@@ -205,7 +218,13 @@ object Snapshots {
     */
   def deleteWhereSelective(spark: SparkSession, table: String,
       cond: org.apache.spark.sql.Column): Option[Int] =
-    rewriteTouched(spark, table, cond, df => df.where(!cond))
+    // same NULL-keeping DELETE semantics as [[deleteWhere]] — and the
+    // probe only marks TRUE-matching dirs, so without the coalesce a
+    // NULL-cond row's fate would depend on which dir it shares with a
+    // real match (physical layout leaking into delete semantics)
+    rewriteTouched(spark, table, cond, df =>
+      df.where(!org.apache.spark.sql.functions.coalesce(
+        cond, org.apache.spark.sql.functions.lit(false))))
 
   /** See [[deleteWhereSelective]]: conditional column replacement that
     * rewrites only the dirs the predicate can touch. */
@@ -301,8 +320,12 @@ object Snapshots {
         .mode(SaveMode.ErrorIfExists).parquet(out)
       out
     }
-    commitTransformIf(table, requires = touched)(prev =>
+    val out = commitTransformIf(table, requires = touched)(prev =>
       prev.filterNot(touched.toSet) ++ staged)
+    // conflict abort: clean the staged rewrites (the mergeTagged /
+    // compact convention) so retry loops don't accrete orphan dirs
+    if (out.isEmpty) staged.foreach(deleteDataDir)
+    out
   }
 
   /** Keyed MERGE (upsert) — the CDC-apply / dimension-maintenance
@@ -432,9 +455,17 @@ object Snapshots {
     val to = manifestDirs(table, toV)
     val dropped = from.filterNot(to.toSet)
     val added = to.filterNot(from.toSet)
+    // BOTH sides read in the TO version's committed schema (the
+    // [[diff]] convention): a raw read over a schema-evolved history
+    // would resolve different column sets for the two sides (old dirs
+    // lack evolved-in columns) and exceptAll would throw or
+    // footer-sample nondeterministically; with the committed schema,
+    // evolved-in columns read null for old rows and the subtraction
+    // is well-defined
+    val reader = committedReader(spark, table, toV)
     def readOrEmpty(dirs: Seq[String], like: Seq[String]) =
-      if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
-      else spark.read.parquet(like: _*).limit(0)
+      if (dirs.nonEmpty) reader.parquet(dirs: _*)
+      else reader.parquet(like: _*).limit(0)
     val before = readOrEmpty(dropped, from ++ to)
     val after = readOrEmpty(added, from ++ to)
     (after.exceptAll(before), before.exceptAll(after))
@@ -528,8 +559,13 @@ object Snapshots {
     while (out < 0) {
       val head = currentVersion(table)
       val through = tagWatermarkAt(table, watermarkPrefix, head)
+      // content-PRESERVING commit: re-carry the head's committed
+      // schema tags explicitly (commitOverwriteTaggedIf is a
+      // content-replacing primitive and never inherits them — a bare
+      // call would silently revert a schema-tracked table to
+      // footer-inferred reads, re-exposing dropped columns)
       commitOverwriteTaggedIf(net(readVersion(spark, table, head)), table,
-        head, Seq(watermarkPrefix + through)) match {
+        head, Seq(watermarkPrefix + through) ++ schemaMetaTags(table, head)) match {
         case Some(v) => out = v
         case None => ()
       }
@@ -921,13 +957,18 @@ object Snapshots {
       return committedVersion(table, streamId, batchId)
         .getOrElse(currentVersion(table))
     val dir = writeData(df, table)
+    // content-REPLACING commit: the batch's own data defines the
+    // schema afresh — inheriting the predecessor's schema tags (the
+    // append-family default) would serve the OLD schema over the new
+    // content (evolved-in columns invisible, dropped ones resurrected)
     commitLoop(table, _ => Seq(dir),
       tags = Seq(ingestTag(streamId, batchId)),
       abortIf = () =>
         if (batchCommitted(table, streamId, batchId))
           Some(committedVersion(table, streamId, batchId)
             .getOrElse(currentVersion(table)))
-        else None)
+        else None,
+      inheritSchema = false)
   }
 
   /** Continuous ingestion: run a streaming DataFrame into the
@@ -1307,7 +1348,7 @@ object Snapshots {
     * first, so exactly-once holds even for replays older than the
     * retention window.
     */
-  def vacuum(table: String, retain: Int = 1): Int = {
+  def vacuum(table: String, retain: Int = 1, graceMs: Long = 3600000L): Int = {
     val cur = currentVersion(table)
     val keep = ((cur - retain + 1) to cur).filter(_ >= 1)
       .flatMap(v => manifestDirs(table, v)).toSet
@@ -1332,7 +1373,19 @@ object Snapshots {
     (1 to cur - retain).foreach { v =>
       Files.deleteIfExists(meta(table).resolve(s"v$v.manifest"))
     }
+    // a data dir outside every retained manifest is EITHER garbage OR
+    // a concurrent commit's staged-but-not-yet-published directory —
+    // deleting the latter would let the in-flight commit publish a
+    // manifest referencing missing files (its conflict check only
+    // covers the dirs it read, not its own staging). A grace window
+    // on the dir's mtime disambiguates: anything actively being
+    // staged is recent; true garbage has aged past any commit's
+    // lifetime (the Iceberg remove-orphan-files convention).
+    val cutoff = System.currentTimeMillis() - graceMs
     val doomed = listDir(dataRoot).filterNot(p => keep.contains(p.toString))
+      .filter(p =>
+        try Files.getLastModifiedTime(p).toMillis < cutoff
+        catch { case _: java.io.IOException => false })
     doomed.foreach(p => deleteDataDir(p.toString))
     doomed.size
   }

@@ -82,13 +82,17 @@ object Sources {
     val aggs = Seq(colA, colB).flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    // empty input / all-null column: min/max are NULL — cluster by a
+    // constant instead of NPEing (the write still succeeds; there is
+    // nothing to cluster)
+    def bound(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
     // Column./ on longs yields double — cast back for the native Long input
     def norm(c: Column, lo: Long, hi: Long): Column =
-      ((c.cast("long") - lo) * ((1L << bits) - 1) / math.max(hi - lo, 1L))
-        .cast("long")
+      coalesce(((c.cast("long") - lo) * ((1L << bits) - 1) / math.max(hi - lo, 1L))
+        .cast("long"), lit(0L))
     val h = graft.functions.Native.hilbertIndex(
-      norm(col(colA), r.getLong(0), r.getLong(1)),
-      norm(col(colB), r.getLong(2), r.getLong(3)), bits)
+      norm(col(colA), bound(0), bound(1)),
+      norm(col(colB), bound(2), bound(3)), bits)
     df.withColumn("__h", h)
       .repartitionByRange(files, col("__h"))
       .sortWithinPartitions("__h")
@@ -128,10 +132,16 @@ object Sources {
     val aggs = zCols.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    def bound(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    // the division yields double — cast back before bit interleaving
+    // (shiftright on a double only ever worked through non-ANSI
+    // implicit narrowing; the Hilbert twin always cast), and null
+    // cells cluster as 0 instead of NPEing on empty/all-null input
     def norm(c: Column, lo: Long, hi: Long): Column =
-      (c.cast("long") - lo) * ((1L << bits) - 1) / math.max(hi - lo, 1L)
+      coalesce(((c.cast("long") - lo) * ((1L << bits) - 1) / math.max(hi - lo, 1L))
+        .cast("long"), lit(0L))
     val z = zValueN(zCols.zipWithIndex.map { case (c, k) =>
-      norm(col(c), r.getLong(2 * k), r.getLong(2 * k + 1)) }, bits)
+      norm(col(c), bound(2 * k), bound(2 * k + 1)) }, bits)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
@@ -155,17 +165,18 @@ object SourceQueries {
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      import graft.sources.Snapshots
+      // physical design is write-once / read-many — content-keyed +
+      // claim-elected like every other persisted index (the old
+      // presence-marker scheme served a STALE clustered copy when the
+      // input was regenerated in place, and two racing builders could
+      // interleave Overwrite writes into one path)
+      val fp = Snapshots.fileFingerprint(s"$dir/lineitem.parquet")
       val path = "/root/repo/target/zorder/" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      // physical design is write-once / read-many: the clustered copy
-      // is rebuilt only when absent or its layout version changes
-      // (bump the marker name when writeZOrdered's layout semantics
-      // change)
-      val marker = java.nio.file.Paths.get(path, "_GRAFT_ZORDER_V1")
-      if (!java.nio.file.Files.exists(marker)) {
-        Sources.writeZOrdered(li, path, "l_partkey", "l_suppkey")
-        java.nio.file.Files.write(marker, Array.emptyByteArray)
+      val ver = Snapshots.ensureIndex(path, fp) { out =>
+        Sources.writeZOrdered(li, out, "l_partkey", "l_suppkey")
       }
-      s.read.parquet(path)
+      s.read.parquet(Snapshots.versionDirs(path, ver): _*)
         .where(col("l_suppkey").between(2, 5))
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n"), Portable.dsum(col("l_extendedprice")).as("sum_price"))
@@ -410,9 +421,11 @@ object Mutations {
   def insertInto(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
-  /** Delete = rewrite without matching rows; returns rows remaining. */
+  /** Delete = rewrite without matching rows; returns rows remaining.
+    * SQL DELETE semantics: NULL-cond rows are kept. */
   def deleteWhere(spark: SparkSession, path: String, cond: Column, outPath: String): Long = {
-    val remaining = spark.read.parquet(path).where(!cond)
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val remaining = spark.read.parquet(path).where(!coalesce(cond, lit(false)))
     remaining.write.mode(SaveMode.Overwrite).parquet(outPath)
     spark.read.parquet(outPath).count()
   }

@@ -183,7 +183,7 @@ class SourcesSpec extends SparkSpec {
       nation.where(col("n_regionkey") === 2).count())
 
     // vacuum drops v1/v2 data but the head version stays intact
-    val deleted = Snapshots.vacuum(table, retain = 1)
+    val deleted = Snapshots.vacuum(table, retain = 1, graceMs = 0L)
     assert(deleted == 2, s"expected 2 retired data dirs, got $deleted")
     assert(Snapshots.read(spark, table).count() ==
       nation.where(col("n_regionkey") === 2).count())
@@ -204,7 +204,7 @@ class SourcesSpec extends SparkSpec {
 
     // resolve v3 BEFORE vacuuming with retain = 2 (keeps v3, v4)
     val v3 = Snapshots.readVersion(spark, table, 3)
-    Snapshots.vacuum(table, retain = 2)
+    Snapshots.vacuum(table, retain = 2, graceMs = 0L)
     // the retained version reads intact — both the pre-resolved frame
     // and a fresh resolution
     val exp3 = nation.where(col("n_regionkey").isin(0, 1, 2)).count()
@@ -223,7 +223,7 @@ class SourcesSpec extends SparkSpec {
     Snapshots.ingestBatch(batch, table, "s9", 7L)
     (0 to 2).foreach(k =>
       Snapshots.commitAppend(nation.where(col("n_regionkey") === k), table))
-    Snapshots.vacuum(table, retain = 1) // the tagged manifest is retired
+    Snapshots.vacuum(table, retain = 1, graceMs = 0L) // the tagged manifest is retired
     val head = Snapshots.currentVersion(table)
     val rows = Snapshots.read(spark, table).count()
     assert(Snapshots.ingestBatch(batch, table, "s9", 7L) == head,
@@ -988,5 +988,96 @@ class SourcesSpec extends SparkSpec {
     val (baseRows, deltaRows) = Snapshots.compactionDebt(spark, vT)
     assert(deltaRows <= math.max(baseRows, 1L),
       s"compaction policy left debt unbounded: base=$baseRows delta=$deltaRows")
+  }
+
+  test("vacuum grace window spares in-flight staged dirs; zero grace reclaims them") {
+    import graft.sources.Snapshots
+    val table = s"$tmp/snap_grace"
+    Snapshots.deleteRecursively(table)
+    val nation = Tables.load(spark, sfDir, "nation")
+    Snapshots.commitOverwrite(nation.where(col("n_regionkey") === 0), table)
+    Snapshots.commitAppend(nation.where(col("n_regionkey") === 1), table)
+    // simulate a CONCURRENT commit's staged-but-unpublished data dir:
+    // present under data/, referenced by no manifest, freshly written
+    val staged = new java.io.File(s"$table/data/inflight-stage-test")
+    staged.mkdirs()
+    java.nio.file.Files.write(staged.toPath.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    // default grace: the fresh dir must SURVIVE (deleting it would let
+    // the in-flight commit publish a manifest over missing files)
+    Snapshots.vacuum(table, retain = 1)
+    assert(staged.exists(), "fresh unreferenced dir must survive the grace window")
+    // aged past the grace window it is garbage and goes
+    java.nio.file.Files.setLastModifiedTime(staged.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+    Snapshots.vacuum(table, retain = 1)
+    assert(!staged.exists(), "aged orphan dir must be reclaimed")
+    assert(Snapshots.read(spark, table).count() ==
+      nation.where(col("n_regionkey").isin(0, 1)).count())
+  }
+
+  test("DELETE keeps NULL-predicate rows (SQL semantics), both whole-table and selective") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    for ((name, selective) <- Seq(("del_null_w", false), ("del_null_s", true))) {
+      val table = s"$tmp/$name"
+      Snapshots.deleteRecursively(table)
+      val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(3L)), (4L, None))
+        .toDF("k", "x")
+      Snapshots.commitOverwrite(df, table)
+      if (selective)
+        Snapshots.deleteWhereSelective(spark, table, col("x") > 5L)
+          .getOrElse(fail("selective delete aborted"))
+      else Snapshots.deleteWhere(spark, table, col("x") > 5L)
+      val kept = Snapshots.read(spark, table).select("k").collect()
+        .map(_.getLong(0)).toSet
+      // row 1 (x=10) deleted; rows 2 and 4 (x IS NULL) KEPT — the SQL
+      // DELETE contract; a bare where(!cond) would drop them too
+      assert(kept == Set(2L, 3L, 4L), s"$name kept $kept")
+    }
+  }
+
+  test("changesBetween on a schema-evolved history reads both sides in the committed schema") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val table = s"$tmp/cdc_evolved"
+    Snapshots.deleteRecursively(table)
+    Snapshots.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), table)
+    // evolve: add a column (commits schema tags), then DML-rewrite an
+    // OLD dir so changesBetween must read old-schema and new-schema
+    // dirs in one subtraction
+    Snapshots.commitAppendEvolved(
+      Seq((3L, "c", 7L)).toDF("k", "v", "extra"), table)
+    val v2 = Snapshots.currentVersion(table)
+    Snapshots.deleteWhere(spark, table, col("k") === 1L)
+    val v3 = Snapshots.currentVersion(table)
+    val (ins, del) = Snapshots.changesBetween(spark, table, v2, v3)
+    // the delete rewrote history: row k=1 left; evolved-in column
+    // reads null for old rows instead of throwing a schema mismatch
+    assert(del.select("k").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(del.columns.toSet == Set("k", "v", "extra"))
+    assert(ins.count() == 0)
+  }
+
+  test("MV refresh degrades to full recompute when the watermark version is vacuumed") {
+    import graft.sources.{MaterializedView, Snapshots}
+    val base = s"$tmp/mv_vac_base"
+    val mv = s"$tmp/mv_vac_view"
+    Seq(base, mv).foreach(Snapshots.deleteRecursively)
+    val o = Tables.load(spark, sfDir, "orders")
+      .select("o_custkey", "o_totalprice")
+    Snapshots.commitOverwrite(o.where(col("o_custkey") % 2 === 0), base)
+    MaterializedView.refresh(spark, base, mv, Seq("o_custkey"), Seq("o_totalprice"))
+    // several more commits, then vacuum BELOW the MV's watermark
+    Snapshots.commitAppend(o.where(col("o_custkey") % 2 === 1), base)
+    Snapshots.commitAppend(o.limit(0), base)
+    Snapshots.vacuum(base, retain = 1, graceMs = 0L)
+    MaterializedView.refresh(spark, base, mv, Seq("o_custkey"), Seq("o_totalprice"))
+    assert(MaterializedView.lastRefreshMode == "recompute-vacuumed",
+      s"got ${MaterializedView.lastRefreshMode}")
+    // and the recomputed view is CORRECT against a direct aggregate
+    val got = Snapshots.read(spark, mv)
+      .agg(sum(col("cnt"))).head().getLong(0)
+    assert(got == o.count(), s"recomputed view covers $got of ${o.count()} rows")
   }
 }
