@@ -241,7 +241,7 @@ object TextFunctions {
          c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
          tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM c),
          sur AS (SELECT term, (tot.t * 1000) // cnt AS sur, cnt FROM c, tot),
-         cm AS (SELECT CAST(SUM(sur * cnt) AS BIGINT) // (SELECT t FROM tot) AS cm
+         cm AS (SELECT CAST(SUM(sur * cnt) // (SELECT t FROM tot) AS BIGINT) AS cm
            FROM sur),
          per AS (SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
              CAST(SUM(s.sur) AS BIGINT) AS ssum
@@ -678,10 +678,12 @@ object TextFunctions {
     QueryDef(
       "t_pii_redact",
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val scrubbed = regexp_replace(regexp_replace(regexp_replace(
           col("props"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), numRe, "<NUM>")
-        Tables.load(s, dir, "events")
+        // the events loader owns the ts-encoding conf contract — a
+        // bare conf.set here was a session-global side effect whose
+        // presence depended on query ordering
+        graft.operators.Events.loadEvents(s, dir)
           .select(col("event_id"), scrubbed.as("scrubbed"))
           .withColumn("n_email", Portable.occurrences(col("scrubbed"), "<EMAIL>"))
           .withColumn("n_phone", Portable.occurrences(col("scrubbed"), "<PHONE>"))
@@ -1872,20 +1874,24 @@ object TextFunctions {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .withColumn("n_s", count(lit(1)).over(ws))
-        .where(col("n_s") > 1)
         .select(col("doc_id"), col("source"), col("n_chars"),
-          expr("((rk - 1) * 1000000) div (n_s - 1)").as("pct_rank"))
+          // a singleton source's only doc IS its top doc: pct_rank 0
+          // (the old n_s > 1 filter silently deleted whole long-tail
+          // sources from the calibrated output)
+          expr("case when n_s > 1 then ((rk - 1) * 1000000) div (n_s - 1) else 0 end")
+            .as("pct_rank"))
         .where(col("pct_rank") <= 400000)
     },
     Some("""WITH r AS (SELECT doc_id, source, n_chars,
               CAST(ROW_NUMBER() OVER (PARTITION BY source
                 ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk,
               COUNT(*) OVER (PARTITION BY source) AS n_s
-            FROM documents)
-            SELECT doc_id, source, n_chars,
-              ((rk - 1) * 1000000) // (n_s - 1) AS pct_rank
-            FROM r WHERE n_s > 1
-              AND ((rk - 1) * 1000000) // (n_s - 1) <= 400000"""))
+            FROM documents),
+            p AS (SELECT doc_id, source, n_chars,
+              CASE WHEN n_s > 1 THEN ((rk - 1) * 1000000) // (n_s - 1)
+                ELSE CAST(0 AS BIGINT) END AS pct_rank FROM r)
+            SELECT doc_id, source, n_chars, pct_rank
+            FROM p WHERE pct_rank <= 400000"""))
 
   /** Deterministic mixture interleave — the training-ORDER manifest
     * that follows mixture design: every language stratum is spread
@@ -2104,8 +2110,9 @@ object TextFunctions {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .withColumn("rk", row_number().over(bySrcQuality).cast("long"))
         .withColumn("n_s", count(lit(1)).over(W.partitionBy("source")))
-        .where(col("n_s") > 1 &&
-          expr("((rk - 1) * 1000000) div (n_s - 1)") <= 400000)
+        .where(expr(
+          "case when n_s > 1 then ((rk - 1) * 1000000) div (n_s - 1) else 0 end")
+          <= 400000)
         .drop("rk", "n_s")
       // stage 2: sqrt caps re-counted on the calibrated survivors
       val capped = calibrated
@@ -2133,7 +2140,8 @@ object TextFunctions {
                     ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk,
                   COUNT(*) OVER (PARTITION BY source) AS n_s
                 FROM documents) t
-              WHERE n_s > 1 AND ((rk - 1) * 1000000) // (n_s - 1) <= 400000),
+              WHERE CASE WHEN n_s > 1 THEN ((rk - 1) * 1000000) // (n_s - 1)
+                ELSE 0 END <= 400000),
             cap AS (SELECT doc_id, lang, source FROM (
                 SELECT doc_id, lang, source,
                   CAST(ROW_NUMBER() OVER (PARTITION BY source

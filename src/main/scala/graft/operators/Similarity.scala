@@ -41,7 +41,17 @@ object Similarity {
   def dotL(a: Column, b: Column): Column =
     graft.functions.Native.dotLong(a, b)
 
-  /** Cosine from integer dot/norms — one IEEE divide, portable. */
+  /** Cosine from integer dot/norms — one IEEE divide, portable.
+    *
+    * CONTRACT: a zero-norm vector (all |x_i| < 0.0005 quantize to 0)
+    * yields 0/0 = NaN, and NaN orders ABOVE every real similarity in
+    * both engines — so an un-filtered zero vector would become the
+    * rank-1 neighbor of every query. Production corpora filter such
+    * vectors out with the `s_embedding_audit` zero-vector count
+    * BEFORE indexing (the audit exists for exactly this); the
+    * testdata invariant (no zero-norm vectors at any SF) is asserted
+    * in AnalyticsSpec so no green hash ever exercised the NaN path.
+    */
   def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
 
@@ -265,9 +275,9 @@ object Similarity {
   val embeddingNearDup: QueryDef = QueryDef(
     "d_dedup_embedding",
     (s, dir) => {
-      val v = quantized(Tables.load(s, dir, "embeddings"))
-        .withColumn("buckets", lshBandBuckets(col("q")))
-      val cand = lshCandidatePairs(Tables.load(s, dir, "embeddings"))
+      val e = Tables.load(s, dir, "embeddings")
+      val v = quantized(e)
+      val cand = lshCandidatePairs(e)
       cand
         .join(v.select(col("vec_id").as("a"), col("q").as("q_a"), col("nrm").as("n_a")), Seq("a"))
         .join(v.select(col("vec_id").as("b"), col("q").as("q_b"), col("nrm").as("n_b")), Seq("b"))
@@ -300,8 +310,9 @@ object Similarity {
   val knnJoin: QueryDef = QueryDef(
     "s_knn_join",
     (s, dir) => {
-      val v = quantized(Tables.load(s, dir, "embeddings"))
-      val cand = lshCandidatePairs(Tables.load(s, dir, "embeddings"))
+      val e = Tables.load(s, dir, "embeddings")
+      val v = quantized(e)
+      val cand = lshCandidatePairs(e)
       val sym = cand.unionAll(cand.select(col("b").as("a"), col("a").as("b")))
       val scored = sym
         .join(v.select(col("vec_id").as("a"), col("q").as("q_a"), col("nrm").as("n_a")), Seq("a"))
@@ -2371,6 +2382,9 @@ object Similarity {
     val graph = knnGraphTable(s, dir).select("g_src", "g_dst")
     val nodes = graph.select(col("g_src").as("vid")).distinct().localCheckpoint()
     val nN = nodes.count() // bounded driver scalar: the node count
+    // empty graph (tiny/sparse corpus with zero band collisions):
+    // there is nothing to rank — empty result, not a divide-by-zero
+    if (nN == 0) return nodes.withColumn("rank", lit(0L))
     val deg = graph.groupBy("g_src").agg(count(lit(1)).as("deg"))
     val edges = graph.join(deg, "g_src").repartition(col("g_src"))
     // teleport and the uniform start are Long truncating division —
@@ -2417,24 +2431,31 @@ object Similarity {
       val graph = knnGraphTable(s, dir).select("g_src", "g_dst")
       val nodes = graph.select(col("g_src").as("vid")).distinct().localCheckpoint()
       val nS = nodes.where(col("vid") < 5).count() // seed count, driver scalar
-      val deg = graph.groupBy("g_src").agg(count(lit(1)).as("deg"))
-      val edges = graph.join(deg, "g_src").repartition(col("g_src"))
-      val teleport = (15L * PrScale) / (100L * nS)
-      var ranks = nodes.withColumn("rank",
-        when(col("vid") < 5, lit(PrScale / nS)).otherwise(lit(0L)))
-      for (i <- 1 to PrIters) {
-        val contrib = edges
-          .join(ranks.withColumnRenamed("vid", "g_src"), "g_src")
-          .select(col("g_dst").as("vid"), expr("rank DIV deg").as("c"))
-          .groupBy("vid").agg(sum(col("c")).as("cs"))
-        val next = nodes.join(contrib, Seq("vid"), "left")
-          .select(col("vid"),
-            (when(col("vid") < 5, lit(teleport)).otherwise(lit(0L)) +
-              expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
-        ranks = if (i < PrIters) next.localCheckpoint() else next
+      // no seed has any edge: the personalized walk has no mass
+      // sources — empty expansion, not a divide-by-zero
+      if (nS == 0)
+        nodes.where(lit(false))
+          .select(col("vid").as("vec_id"), lit(0L).as("rank"))
+      else {
+        val deg = graph.groupBy("g_src").agg(count(lit(1)).as("deg"))
+        val edges = graph.join(deg, "g_src").repartition(col("g_src"))
+        val teleport = (15L * PrScale) / (100L * nS)
+        var ranks = nodes.withColumn("rank",
+          when(col("vid") < 5, lit(PrScale / nS)).otherwise(lit(0L)))
+        for (i <- 1 to PrIters) {
+          val contrib = edges
+            .join(ranks.withColumnRenamed("vid", "g_src"), "g_src")
+            .select(col("g_dst").as("vid"), expr("rank DIV deg").as("c"))
+            .groupBy("vid").agg(sum(col("c")).as("cs"))
+          val next = nodes.join(contrib, Seq("vid"), "left")
+            .select(col("vid"),
+              (when(col("vid") < 5, lit(teleport)).otherwise(lit(0L)) +
+                expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
+          ranks = if (i < PrIters) next.localCheckpoint() else next
+        }
+        ranks.orderBy(col("rank").desc, col("vid")).limit(20)
+          .select(col("vid").as("vec_id"), col("rank"))
       }
-      ranks.orderBy(col("rank").desc, col("vid")).limit(20)
-        .select(col("vid").as("vec_id"), col("rank"))
     },
     Some {
       def iter(i: Int): String =
@@ -2677,7 +2698,15 @@ object Similarity {
       val e = Tables.load(s, dir, "embeddings")
       val base = e.where(col("vec_id") % 10 =!= 0)
       val batch = e.where(col("vec_id") % 10 === 0)
-      val root = "/root/repo/target/semdedup/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // CONTENT-keyed root (the ensureIndex convention applied to this
+      // two-table structure): regenerated input data lands in a fresh
+      // root and retrains — a path-only key would keep serving a
+      // quantizer trained on the OLD corpus while the oracle retrains
+      // on the new one
+      val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
+        .replaceAll("[^A-Za-z0-9]", "").take(16)
+      val root = "/root/repo/target/semdedup/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp
       val (centsT, memT) = (s"$root/cents", s"$root/members")
       if (Snapshots.currentVersion(centsT) == 0) {
         val (cents, _) = ivfBuild(base, cCountOf(base.count()), 1)

@@ -520,6 +520,18 @@ class AnalyticsSpec extends SparkSpec {
     assert((19723L + 3) % 7 == 0L)
   }
 
+  test("no zero-norm vector exists at any SF (the cosine NaN path is never live)") {
+    // cosine() returns NaN for a zero-norm vector and NaN outranks
+    // every real similarity — the audit-then-filter contract assumes
+    // production filters them; this pins that the testdata corpus
+    // never exercises that path in any hash-verified query
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val zero = Similarity.quantizedOf(Tables.load(spark, sf, "embeddings"))
+        .where(col("nrm") === 0L).count()
+      assert(zero == 0L, s"$sf carries $zero zero-norm vectors")
+    }
+  }
+
   test("readability orders sources sanely and stays within per-doc bounds") {
     val rows = StatsQueries.defs // touch object init orders
     val got = TextFunctions.readability.fn(spark, sfDir).collect()
