@@ -1198,11 +1198,83 @@ object Events {
               (n_events * 1000) // t.total AS share_x1000
             FROM g, t"""))
 
+  /** One-sided upper CUSUM monitor over the daily series — the
+    * SEQUENTIAL complement of [[changepoint]]'s retrospective split:
+    * S_i = max(0, S_{i−1} + (y_i·1000 − mean·1000 − slack)) with
+    * slack = 10% of the per-type mean, all exact integers; reported
+    * per type as the peak statistic, the day it peaked (first
+    * strictly-new peak — deterministic), and the alarm verdict
+    * (peak > 5× mean — the page a monitor raises). Like the Holt
+    * smoother the recursion is inherently sequential per series, so
+    * it folds an `aggregate` HOF over the per-type ordered day array
+    * with a recursive-CTE DuckDB twin; the `max(0, …)` clamp is what
+    * a window prefix-sum cannot express.
+    *
+    * Scale shape: ONE daily-count shuffle; per-series local fold;
+    * output = #types rows.
+    */
+  val cusum: QueryDef = QueryDef(
+    "q_events_cusum",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy("event_type")
+        .agg(transform(array_sort(collect_list(struct(col("day"), col("y")))),
+          x => x).as("ds"),
+          sum(col("y")).as("tot"), count(lit(1)).as("n"))
+        .withColumn("mean_x1000", expr("(tot * 1000) div n"))
+        .withColumn("slack", expr("mean_x1000 div 10"))
+        .withColumn("st", expr(
+          """aggregate(ds,
+             named_struct('s', 0L, 'peak', 0L, 'pday', -1L),
+             (acc, d) -> named_struct(
+               's', greatest(0L, acc.s + d.y * 1000L - mean_x1000 - slack),
+               'peak', if(greatest(0L, acc.s + d.y * 1000L - mean_x1000 - slack) > acc.peak,
+                 greatest(0L, acc.s + d.y * 1000L - mean_x1000 - slack), acc.peak),
+               'pday', if(greatest(0L, acc.s + d.y * 1000L - mean_x1000 - slack) > acc.peak,
+                 d.day, acc.pday)))"""))
+        .select(col("event_type"), col("n").as("n_days"), col("mean_x1000"),
+          col("st.peak").as("peak_x1000"), col("st.pday").as("peak_day"),
+          (col("st.peak") > col("mean_x1000") * 5).as("alarm"))
+    },
+    Some("""WITH RECURSIVE daily AS (SELECT
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+              event_type, COUNT(*) AS y
+            FROM events GROUP BY 1, 2),
+            idx AS (SELECT event_type, day, y,
+                CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+              FROM daily),
+            m AS (SELECT event_type, COUNT(*) AS n,
+                (CAST(SUM(y) AS BIGINT) * 1000) // COUNT(*) AS mean_x1000
+              FROM daily GROUP BY 1),
+            ms AS (SELECT event_type, n, mean_x1000,
+                mean_x1000 // 10 AS slack FROM m),
+            rec AS (
+              SELECT event_type, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS s,
+                CAST(0 AS BIGINT) AS peak, CAST(-1 AS BIGINT) AS pday
+              FROM ms
+              UNION ALL
+              SELECT r.event_type, r.i + 1,
+                GREATEST(0, r.s + ix.y * 1000 - ms.mean_x1000 - ms.slack),
+                CASE WHEN GREATEST(0, r.s + ix.y * 1000 - ms.mean_x1000 - ms.slack) > r.peak
+                  THEN GREATEST(0, r.s + ix.y * 1000 - ms.mean_x1000 - ms.slack)
+                  ELSE r.peak END,
+                CASE WHEN GREATEST(0, r.s + ix.y * 1000 - ms.mean_x1000 - ms.slack) > r.peak
+                  THEN ix.day ELSE r.pday END
+              FROM rec r
+              JOIN idx ix ON ix.event_type = r.event_type AND ix.i = r.i + 1
+              JOIN ms ON ms.event_type = r.event_type)
+            SELECT r.event_type, ms.n AS n_days, ms.mean_x1000,
+              r.peak AS peak_x1000, r.pday AS peak_day,
+              r.peak > ms.mean_x1000 * 5 AS alarm
+            FROM rec r JOIN ms ON r.event_type = ms.event_type AND r.i = ms.n"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
-      rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap)
+      rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -187,10 +187,15 @@ object Snapshots {
   def deleteWhere(spark: SparkSession, table: String,
       cond: org.apache.spark.sql.Column): Int =
     // SQL DELETE semantics: rows where cond is NULL are KEPT (a bare
-    // where(!cond) would drop them — NOT NULL is NULL, filtered out)
-    commitOverwrite(read(spark, table)
+    // where(!cond) would drop them — NOT NULL is NULL, filtered out).
+    // Schema-PRESERVING commit: a DML rewrite keeps the table's
+    // committed schema, so re-carry the head's schema tags — routing
+    // through plain commitOverwrite would silently drop them and
+    // downstream CDC reads would fall back to raw footer sampling
+    commitOverwriteTagged(read(spark, table)
       .where(!org.apache.spark.sql.functions.coalesce(
-        cond, org.apache.spark.sql.functions.lit(false))), table)
+        cond, org.apache.spark.sql.functions.lit(false))), table,
+      schemaMetaTags(table, currentVersion(table)))
 
   /** See [[deleteWhere]]: conditional column replacement as a new
     * version. */
@@ -198,9 +203,11 @@ object Snapshots {
       cond: org.apache.spark.sql.Column, column: String,
       value: org.apache.spark.sql.Column): Int = {
     val df = read(spark, table)
-    commitOverwrite(
+    // schema-preserving like [[deleteWhere]]
+    commitOverwriteTagged(
       df.withColumn(column, org.apache.spark.sql.functions
-        .when(cond, value).otherwise(df(column))), table)
+        .when(cond, value).otherwise(df(column))), table,
+      schemaMetaTags(table, currentVersion(table)))
   }
 
   /** FILE-LEVEL selective DML: rewrite ONLY the data directories that

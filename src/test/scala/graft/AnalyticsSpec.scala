@@ -532,6 +532,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("CUSUM monitor equals a sequential Scala fold; clamp and peak invariants hold") {
+    val got = Events.cusum.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    val daily = Events.loadEvents(spark, sfDir)
+      .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y")).collect()
+      .groupBy(_.getString(1)).view
+      .mapValues(_.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)).toMap
+    for ((tpe, series) <- daily) {
+      val n = series.length.toLong
+      val mean = series.map(_._2).sum * 1000L / n
+      val slack = mean / 10
+      var s = 0L; var peak = 0L; var pday = -1L
+      for ((day, y) <- series) {
+        s = math.max(0L, s + y * 1000L - mean - slack)
+        if (s > peak) { peak = s; pday = day }
+      }
+      assert(got(tpe) == ((n, mean, peak, pday, peak > mean * 5)), s"$tpe: ${got(tpe)}")
+    }
+  }
+
   test("readability orders sources sanely and stays within per-doc bounds") {
     val rows = StatsQueries.defs // touch object init orders
     val got = TextFunctions.readability.fn(spark, sfDir).collect()
