@@ -322,22 +322,48 @@ object StatsQueries {
 
   /** Order-independent CROSS-ENGINE table fingerprints — the
     * migration/replication validation primitive: every table collapses
-    * to (n_rows, checksum) where checksum = Σ h60(md5(canonical row
-    * serialization)), summed in DECIMAL(38,0) so it is exact and
-    * commutative (any partitioning, any engine, same value — the
-    * property that lets a 1000-executor Spark run and a single-node
-    * DuckDB audit agree on 100 TB without moving rows). The canonical
-    * serialization pins every type to one textual form: integers and
-    * strings verbatim, 2-decimal doubles through DECIMAL(18,2),
-    * timestamps as epoch seconds, free text pre-hashed with md5 —
-    * both engines produce identical bytes, so the oracle here IS the
-    * cross-engine proof, not just a test harness.
+    * to (n_rows, checksum) where checksum = (Σ h60(md5(canonical row
+    * serialization))) mod (2^61−1). The sum runs in DECIMAL(38,0) so
+    * it is exact and commutative (any partitioning, any engine, same
+    * value — the property that lets a 1000-executor Spark run and a
+    * single-node DuckDB audit agree on 100 TB without moving rows);
+    * the final mod folds it back into int64 so the EMITTED value stays
+    * inside the catalog's proven-portable value domain (round-8 lesson:
+    * a DECIMAL(38,0) near 2^83 is canonicalized differently by
+    * different compare harnesses — rows/schema matched, hash didn't).
+    * Mod distributes over the sum, so the fold loses no
+    * order-independence and both engines compute it identically on the
+    * non-negative sum. The canonical serialization pins every type to
+    * one textual form: integers and strings verbatim, 2-decimal
+    * doubles through DECIMAL(18,2), dates as unix_date·86400 (a pure
+    * day count — NO timestamp cast, so no session-timezone
+    * dependence), free text pre-hashed with md5 — both engines
+    * produce identical bytes, so the oracle here IS the cross-engine
+    * proof, not just a test harness.
     *
     * Scale shape: one narrow full scan per table, all-map-side until
     * a single partial-sum merge (the cheapest possible shape — no
-    * shuffle carries data rows); tables fingerprint independently, so
-    * a incremental variant checksums only changed partitions.
+    * shuffle carries data rows); tables fingerprint independently and
+    * per-partition sums are additive pre-mod, so the incremental
+    * variant ([[tableChecksumIncremental]]) checksums only changed
+    * partitions.
     */
+  /** Wall-clock epoch seconds of a NAIVE timestamp column — identical
+    * in both engines with no session-timezone dependence (day count ×
+    * 86400 + time-of-day; Spark's cast(ntz AS date)/hour/minute/second
+    * and DuckDB's epoch(naive ts) both read the wall clock as-is).
+    */
+  private def sparkEpochNaive(c: String): String =
+    s"(cast(unix_date(cast($c as date)) as bigint) * 86400 + hour($c) * 3600 + minute($c) * 60 + second($c))"
+  private def duckEpochNaive(c: String): String =
+    s"CAST(FLOOR(epoch($c)) AS BIGINT)"
+
+  /** 2^61−1 (Mersenne prime): the checksum modulus. Chosen so the fold
+    * target is provably inside int64 while keeping collision odds
+    * negligible, and because both engines' `%` agree on non-negatives.
+    */
+  val ChecksumMod = 2305843009213693951L
+
   val tableChecksum: QueryDef = {
     val tables: Seq[(String, String, String)] = Seq(
       ("region", "concat_ws('|', cast(r_regionkey as string), r_name)",
@@ -350,10 +376,17 @@ object StatsQueries {
         "concat_ws('|', CAST(s_suppkey AS VARCHAR), s_name, CAST(s_nationkey AS VARCHAR), CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR))"),
       ("part", "concat_ws('|', cast(p_partkey as string), p_name, p_brand, p_type, cast(p_size as string), cast(cast(p_retailprice as decimal(18,2)) as string))",
         "concat_ws('|', CAST(p_partkey AS VARCHAR), p_name, p_brand, p_type, CAST(p_size AS VARCHAR), CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR))"),
-      ("orders", "concat_ws('|', cast(o_orderkey as string), cast(o_custkey as string), o_orderstatus, cast(cast(o_totalprice as decimal(18,2)) as string), cast(unix_micros(cast(o_orderdate as timestamp)) div 1000000 as string), o_orderpriority)",
-        "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), CAST(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS VARCHAR), o_orderpriority)"),
-      ("lineitem", "concat_ws('|', cast(l_orderkey as string), cast(l_partkey as string), cast(l_suppkey as string), cast(l_linenumber as string), cast(cast(l_quantity as decimal(18,2)) as string), cast(cast(l_extendedprice as decimal(18,2)) as string), cast(cast(l_discount as decimal(18,2)) as string), cast(cast(l_tax as decimal(18,2)) as string), l_returnflag, l_linestatus, cast(unix_micros(cast(l_shipdate as timestamp)) div 1000000 as string))",
-        "concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR), CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR), l_returnflag, l_linestatus, CAST(CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) AS VARCHAR))"),
+      // Timestamp serialization is tz-FREE by construction: the parquet
+      // columns are naive timestamps (isAdjustedToUTC=false → Spark
+      // TIMESTAMP_NTZ, DuckDB naive TIMESTAMP), so wall-clock day count
+      // + time-of-day seconds is identical in both engines regardless
+      // of any session timezone — unlike the former
+      // unix_micros(cast(.. as timestamp)) route, which re-interpreted
+      // the wall clock in the session zone.
+      ("orders", s"concat_ws('|', cast(o_orderkey as string), cast(o_custkey as string), o_orderstatus, cast(cast(o_totalprice as decimal(18,2)) as string), cast(${sparkEpochNaive("o_orderdate")} as string), o_orderpriority)",
+        s"concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), CAST(${duckEpochNaive("o_orderdate")} AS VARCHAR), o_orderpriority)"),
+      ("lineitem", s"concat_ws('|', cast(l_orderkey as string), cast(l_partkey as string), cast(l_suppkey as string), cast(l_linenumber as string), cast(cast(l_quantity as decimal(18,2)) as string), cast(cast(l_extendedprice as decimal(18,2)) as string), cast(cast(l_discount as decimal(18,2)) as string), cast(cast(l_tax as decimal(18,2)) as string), l_returnflag, l_linestatus, cast(${sparkEpochNaive("l_shipdate")} as string))",
+        s"concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR), CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR), l_returnflag, l_linestatus, CAST(${duckEpochNaive("l_shipdate")} AS VARCHAR))"),
       ("documents", "concat_ws('|', cast(doc_id as string), md5(text), lang, source, cast(n_chars as string))",
         "concat_ws('|', CAST(doc_id AS VARCHAR), md5(text), lang, source, CAST(n_chars AS VARCHAR))"))
     val sparkH = (ser: String) =>
@@ -363,13 +396,13 @@ object StatsQueries {
       (s, dir) => tables.map { case (t, ser, _) =>
         Tables.load(s, dir, t)
           .select(expr(sparkH(ser)).cast("decimal(38,0)").as("h"))
-          .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("chk"))
           .select(lit(t).as("table_name"), col("n_rows"),
-            col("checksum").cast("decimal(38,0)").as("checksum"))
+            (col("chk") % lit(ChecksumMod)).cast("long").as("checksum"))
       }.reduce(_ unionAll _),
       Some(tables.map { case (t, _, ser) =>
         s"""SELECT '$t' AS table_name, COUNT(*) AS n_rows,
-            CAST(SUM(${Portable.textSql.h60(ser)}) AS DECIMAL(38,0)) AS checksum
+            CAST(CAST(SUM(${Portable.textSql.h60(ser)}) AS DECIMAL(38,0)) % $ChecksumMod AS BIGINT) AS checksum
             FROM $t""".stripMargin
       }.mkString(" UNION ALL ")))
   }
