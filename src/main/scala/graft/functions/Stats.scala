@@ -364,8 +364,11 @@ object StatsQueries {
     */
   val ChecksumMod = 2305843009213693951L
 
-  val tableChecksum: QueryDef = {
-    val tables: Seq[(String, String, String)] = Seq(
+  /** (table, Spark canonical-row serializer, DuckDB serializer) for
+    * every fingerprinted table — shared by [[tableChecksum]] and
+    * [[tableChecksumIncremental]].
+    */
+  private val checksumTables: Seq[(String, String, String)] = Seq(
       ("region", "concat_ws('|', cast(r_regionkey as string), r_name)",
         "concat_ws('|', CAST(r_regionkey AS VARCHAR), r_name)"),
       ("nation", "concat_ws('|', cast(n_nationkey as string), n_name, cast(n_regionkey as string))",
@@ -389,22 +392,72 @@ object StatsQueries {
         s"concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR), CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR), l_returnflag, l_linestatus, CAST(${duckEpochNaive("l_shipdate")} AS VARCHAR))"),
       ("documents", "concat_ws('|', cast(doc_id as string), md5(text), lang, source, cast(n_chars as string))",
         "concat_ws('|', CAST(doc_id AS VARCHAR), md5(text), lang, source, CAST(n_chars AS VARCHAR))"))
-    val sparkH = (ser: String) =>
-      s"cast(conv(substr(md5($ser), 1, 15), 16, 10) as bigint)"
+
+  /** First 15 hex chars of md5(ser) as a 60-bit int (Spark SQL text). */
+  private def sparkH(ser: String): String =
+    s"cast(conv(substr(md5($ser), 1, 15), 16, 10) as bigint)"
+
+  val tableChecksum: QueryDef =
     QueryDef(
       "q_table_checksum",
-      (s, dir) => tables.map { case (t, ser, _) =>
+      (s, dir) => checksumTables.map { case (t, ser, _) =>
         Tables.load(s, dir, t)
           .select(expr(sparkH(ser)).cast("decimal(38,0)").as("h"))
           .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("chk"))
           .select(lit(t).as("table_name"), col("n_rows"),
             (col("chk") % lit(ChecksumMod)).cast("long").as("checksum"))
       }.reduce(_ unionAll _),
-      Some(tables.map { case (t, _, ser) =>
+      Some(checksumTables.map { case (t, _, ser) =>
         s"""SELECT '$t' AS table_name, COUNT(*) AS n_rows,
             CAST(CAST(SUM(${Portable.textSql.h60(ser)}) AS DECIMAL(38,0)) % $ChecksumMod AS BIGINT) AS checksum
             FROM $t""".stripMargin
       }.mkString(" UNION ALL ")))
+
+  /** INCREMENTAL table fingerprints — validate a mutated 100 TB table
+    * by touching only the delta. Per-partition (part_id, n_rows,
+    * checksum) stats for the base corpus are a persisted content-keyed
+    * snapshot ([[graft.sources.Snapshots.ensureIndex]]); a new batch
+    * folds in as new_chk(p) = (base_chk(p) + chk(delta rows in p)) mod
+    * (2^61−1) — pure O(Δ) arithmetic, NO base rescan (a delete would
+    * enter the same fold as M − h, the signed-delta convention of the
+    * MV family). The DuckDB oracle recomputes the FULL table per
+    * partition, proving stored-base + delta ≡ full recompute — the
+    * additivity AnalyticsSpec proves, promoted to the hard gate.
+    *
+    * Base = lineitem rows with l_orderkey % 10 != 0 (bootstrapped into
+    * the snapshot on first run); delta = the % 10 == 0 slice.
+    */
+  val tableChecksumIncremental: QueryDef = {
+    val (_, sparkSer, duckSer) =
+      checksumTables.find(_._1 == "lineitem").get
+    QueryDef(
+      "q_table_checksum_incremental",
+      (s, dir) => {
+        import graft.sources.Snapshots
+        val statsT = "/root/repo/target/checksum_parts/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        val fp = Snapshots.fileFingerprint(s"$dir/lineitem.parquet")
+        def partStats(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(pmod(col("l_orderkey"), lit(8L)).as("part_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(expr(sparkH(sparkSer)).cast("decimal(38,0)"))
+              % lit(ChecksumMod)).cast("long").as("chk"))
+        val v = Snapshots.ensureIndex(statsT, fp) { out =>
+          partStats(Tables.load(s, dir, "lineitem")
+              .where(pmod(col("l_orderkey"), lit(10L)) =!= 0))
+            .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+        }
+        val base = s.read.parquet(Snapshots.versionDirs(statsT, v): _*)
+        val delta = partStats(Tables.load(s, dir, "lineitem")
+          .where(pmod(col("l_orderkey"), lit(10L)) === 0))
+        base.unionAll(delta).groupBy("part_id")
+          .agg(sum(col("n_rows")).as("n_rows"),
+            // two mod-folded summands: their sum < 2·2^61 fits int64
+            (sum(col("chk")) % lit(ChecksumMod)).as("checksum"))
+      },
+      Some(s"""SELECT l_orderkey % 8 AS part_id, COUNT(*) AS n_rows,
+          CAST(CAST(SUM(${Portable.textSql.h60(duckSer)}) AS DECIMAL(38,0)) % $ChecksumMod AS BIGINT) AS checksum
+          FROM lineitem GROUP BY 1"""))
   }
 
   /** GROUPED sketch statistics — `q_approx_stats`' bounds-oracle
@@ -433,7 +486,8 @@ object StatsQueries {
 
   val defs: Seq[QueryDef] =
     Seq(histogram, tableStats, stringHistogram, approxStats, histogramEquiDepth,
-      sketchQuantiles, skewProfile, dataQuality, tableChecksum, approxStatsGrouped)
+      sketchQuantiles, skewProfile, dataQuality, tableChecksum,
+      tableChecksumIncremental, approxStatsGrouped)
 
   /** Equi-width histogram summary of a numeric column: (lo, hi,
     * bucket counts). One narrow aggregate pass; the B-bucket result is

@@ -82,6 +82,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(whole.compareTo(parts) == 0, s"$whole != $parts")
   }
 
+  test("incremental checksum ≡ full per-partition recompute, and folds stay in int64") {
+    // the catalog query combines a persisted base snapshot with an O(Δ)
+    // delta fold; this is its brute-force twin computed in one pass
+    val got = StatsQueries.tableChecksumIncremental.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ser = "concat_ws('|', cast(l_orderkey as string), cast(l_partkey as string)," +
+      " cast(l_suppkey as string), cast(l_linenumber as string)," +
+      " cast(cast(l_quantity as decimal(18,2)) as string)," +
+      " cast(cast(l_extendedprice as decimal(18,2)) as string)," +
+      " cast(cast(l_discount as decimal(18,2)) as string)," +
+      " cast(cast(l_tax as decimal(18,2)) as string), l_returnflag, l_linestatus," +
+      " cast(cast(unix_date(cast(l_shipdate as date)) as bigint) * 86400" +
+      " + hour(l_shipdate) * 3600 + minute(l_shipdate) * 60 + second(l_shipdate) as string))"
+    val h = expr(s"cast(conv(substr(md5($ser), 1, 15), 16, 10) as bigint)")
+    val full = li.groupBy((col("l_orderkey") % 8).as("p"))
+      .agg(count(lit(1)).as("n"),
+        (sum(h.cast("decimal(38,0)")) % lit(StatsQueries.ChecksumMod))
+          .cast("long").as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == full, s"incremental != full: $got vs $full")
+    assert(got.values.forall { case (_, c) => c >= 0 && c < StatsQueries.ChecksumMod })
+  }
+
   test("mutual components partition the corpus; mutual edges are symmetric subgraph") {
     val hist = Similarity.mutualComponents.fn(spark, sfDir).collect()
     val n = Tables.load(spark, sfDir, "embeddings").count()
