@@ -888,6 +888,20 @@ object Similarity {
   private[graft] def cCountOf(n: Long): Int =
     math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
 
+  /** Corpus row count keyed by the embeddings FILE FINGERPRINT — the
+    * count feeds C into the IVF/IVF+PQ content keys on EVERY serve, so
+    * uncached it costs one Spark job per serve (round-9 IvfAb: 0.15 s
+    * of the ~1.0 s warm s_knn_ivf, the round-8 serve regression).
+    * Keying the cache by fingerprint keeps it regeneration-safe: new
+    * data → new fingerprint → recount; a stale count can never key an
+    * index the oracle would derive a different C for.
+    */
+  private val corpusCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embeddingsCountCached(s: SparkSession, dir: String, fp: String): Long =
+    corpusCountCache.computeIfAbsent(fp,
+      _ => Tables.load(s, dir, "embeddings").count())
+
   /** DuckDB twin of [[cCountOf]] over the quantized CTE `v`. */
   private val ivpcSql =
     "ivpc AS (SELECT CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS c FROM v)"
@@ -934,8 +948,9 @@ object Similarity {
     // under a different C — data regenerated at another size, or the
     // growth law itself revised — can never be served against an
     // oracle that derives a different C from the same data
-    val c = cCountOf(Tables.load(s, dir, "embeddings").count())
-    val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet") + s"-c$c"
+    val fpBase = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
+    val c = cCountOf(embeddingsCountCached(s, dir, fpBase))
+    val fp = fpBase + s"-c$c"
     val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
     val centsV = Snapshots.ensureIndex(centsT, fp) { out =>
       val v = quantized(Tables.load(s, dir, "embeddings")).localCheckpoint()
@@ -1900,8 +1915,9 @@ object Similarity {
       val e = Tables.load(s, dir, "embeddings")
       // C rides in the content key (see ivfIndex) — cents and the
       // cid-keyed codes both depend on it
-      val c = cCountOf(e.count())
-      val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet") + s"-c$c"
+      val fpBase = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
+      val c = cCountOf(embeddingsCountCached(s, dir, fpBase))
+      val fp = fpBase + s"-c$c"
       // ---- offline: coarse quantizer, PQ codebooks, cid-keyed codes
       val centsV = Snapshots.ensureIndex(centsT, fp) { out =>
         val (cents, _) = ivfBuild(e, c, 1)
