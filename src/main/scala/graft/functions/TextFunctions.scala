@@ -2826,9 +2826,18 @@ object TextFunctions {
       val rules = bpeMerges.fn(s, dir)
         .select(col("round"), concat(lit(" "), col("l"), lit(" "), col("r"), lit(" ")).as("pat"),
           concat(lit(" "), col("l"), col("r"), lit(" ")).as("rep"))
+      // a round that learns NO rule (e.g. a corpus of single-char
+      // words has no adjacent pairs) pivots to NULL pat/rep; coalesce
+      // both to '' — replace(w, '', _) is the identity in BOTH engines
+      // (the DuckDB twin reaches the same via COALESCE(MAX(..), '')),
+      // so the missing rule encodes as a no-op instead of nulling
+      // every document's encoding
       val r1 = broadcast(rules.groupBy()
         .pivot("round", Seq(1L, 2L, 3L))
-        .agg(first(col("pat")).as("pat"), first(col("rep")).as("rep")))
+        .agg(first(col("pat")).as("pat"), first(col("rep")).as("rep"))
+        .select(Seq("1", "2", "3").flatMap(r => Seq(
+          coalesce(col(s"$r" + "_pat"), lit("")).as(s"$r" + "_pat"),
+          coalesce(col(s"$r" + "_rep"), lit("")).as(s"$r" + "_rep"))): _*))
       val docs = Tables.load(s, dir, "documents")
         .select(col("source"), expr(
           """transform(filter(split(lower(text), ' '), x -> x <> ''),
@@ -2858,9 +2867,12 @@ object TextFunctions {
           top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 100),
           v0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, cnt FROM top),
           ${roundSql(1)}, ${roundSql(2)}, ${roundSql(3)},
-          m1 AS (SELECT concat(' ', l, ' ', r, ' ') AS pat, concat(' ', l, r, ' ') AS rep FROM b1),
-          m2 AS (SELECT concat(' ', l, ' ', r, ' ') AS pat, concat(' ', l, r, ' ') AS rep FROM b2),
-          m3 AS (SELECT concat(' ', l, ' ', r, ' ') AS pat, concat(' ', l, r, ' ') AS rep FROM b3),
+          m1 AS (SELECT COALESCE(MAX(concat(' ', l, ' ', r, ' ')), '') AS pat,
+              COALESCE(MAX(concat(' ', l, r, ' ')), '') AS rep FROM b1),
+          m2 AS (SELECT COALESCE(MAX(concat(' ', l, ' ', r, ' ')), '') AS pat,
+              COALESCE(MAX(concat(' ', l, r, ' ')), '') AS rep FROM b2),
+          m3 AS (SELECT COALESCE(MAX(concat(' ', l, ' ', r, ' ')), '') AS pat,
+              COALESCE(MAX(concat(' ', l, r, ' ')), '') AS rep FROM b3),
           dw AS (SELECT source,
               list_transform(${Portable.textSql.tokensLower},
                 w -> concat(' ', trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' ')) AS ws

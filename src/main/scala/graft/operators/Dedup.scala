@@ -1237,7 +1237,10 @@ object Dedup {
           expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)")
             .as("matches"))
         .select(col("a"), col("b"),
-          expr("(inter * 1000) div (zsum - inter)").as("exact_x1000"),
+          // nullif guard: an empty-shingle pair (union size 0) yields NULL
+          // instead of relying on the all-NULL-signature invariant to keep
+          // such docs out of band collisions (identical nullif in DuckDB)
+          expr("(inter * 1000) div nullif(zsum - inter, 0)").as("exact_x1000"),
           expr(s"(matches * 1000) div $K").as("est_x1000"))
         .select(col("a"), col("b"), col("exact_x1000"), col("est_x1000"),
           abs(col("est_x1000") - col("exact_x1000")).as("abs_err"),
@@ -1261,7 +1264,7 @@ object Dedup {
                CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS BIGINT)
                  AS matches
              FROM cand c JOIN sg sa ON sa.doc_id = c.a JOIN sg sb ON sb.doc_id = c.b),
-         m AS (SELECT a, b, (inter * 1000) // (zsum - inter) AS exact_x1000,
+         m AS (SELECT a, b, (inter * 1000) // NULLIF(zsum - inter, 0) AS exact_x1000,
                (matches * 1000) // $K AS est_x1000 FROM pj)
          SELECT a, b, exact_x1000, est_x1000,
            ABS(est_x1000 - exact_x1000) AS abs_err,

@@ -43,17 +43,21 @@ object Similarity {
 
   /** Cosine from integer dot/norms — one IEEE divide, portable.
     *
-    * CONTRACT: a zero-norm vector (all |x_i| < 0.0005 quantize to 0)
-    * yields 0/0 = NaN, and NaN orders ABOVE every real similarity in
-    * both engines — so an un-filtered zero vector would become the
-    * rank-1 neighbor of every query. Production corpora filter such
-    * vectors out with the `s_embedding_audit` zero-vector count
-    * BEFORE indexing (the audit exists for exactly this); the
-    * testdata invariant (no zero-norm vectors at any SF) is asserted
-    * in AnalyticsSpec so no green hash ever exercised the NaN path.
+    * The divisor is guarded with nullif: a zero-norm vector (all
+    * |x_i| < 0.0005 quantize to 0) yields NULL, which sorts BELOW
+    * every real similarity (Spark desc = nulls last) and fails every
+    * `>= τ` predicate — so an unaudited zero vector drops out of
+    * rankings instead of becoming the rank-1 neighbor of every query,
+    * which is what the unguarded 0/0 = NaN did (NaN orders above all
+    * reals in Spark). Production corpora should still filter such
+    * vectors with the `s_embedding_audit` zero-vector count BEFORE
+    * indexing; the testdata invariant (no zero-norm vectors at any SF)
+    * is asserted in AnalyticsSpec, so the guard is dormant on the
+    * oracle gate and parity is unaffected.
     */
   def cosine(dot: Column, na: Column, nb: Column): Column =
-    dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
+    dot.cast("double") /
+      sqrt(nullif(na.cast("double") * nb.cast("double"), lit(0.0)))
 
   private def quantized(e: DataFrame): DataFrame =
     e.select(col("vec_id"), quantize(col("embedding")).as("q"))
@@ -2683,13 +2687,81 @@ object Similarity {
        FROM a3"""
     })
 
+  /** Bootstrap the incremental-SemDeDup structures: train the frozen
+    * quantizer on `base` and commit it WITH its train-time drift
+    * baseline as a manifest tag (the [[ivfListsMaintain]] convention),
+    * then commit the assigned members. The tag is what arms
+    * [[semDedupRetrainIfDrifted]] — without it a drifting embedding
+    * distribution silently degrades dup recall (clusters overgrow,
+    * near-dups land in different cells and are never compared).
+    */
+  private[graft] def semDedupBootstrap(s: SparkSession, base: DataFrame,
+      centsT: String, memT: String): Unit = {
+    import graft.sources.Snapshots
+    val (cents, _) = ivfBuild(base, cCountOf(base.count()), 1)
+    Snapshots.commitOverwriteTagged(cents, centsT,
+      Seq(IvfDriftBasePrefix + driftMean(quantized(base), cents)))
+    Snapshots.commitOverwrite(ivfAssign(quantized(base), cents).drop("m"), memT)
+    ()
+  }
+
+  /** Keep flags for an assigned batch `aB(vec_id, q, nrm, cid)` against
+    * the comparison set `all` (same schema): a batch vector is a dup
+    * iff some LOWER-id cluster-mate in `all` has cos ≥ τ — exactly the
+    * one-shot SemDeDup predicate, shared by the catalog query and the
+    * drift-recovery parity spec.
+    */
+  private[graft] def semBatchKeep(aB: DataFrame, all: DataFrame): DataFrame = {
+    val dup = aB.toDF("b_id", "b_q", "b_nrm", "cid")
+      .join(all.toDF("a_id", "a_q", "a_nrm", "cid"), Seq("cid"))
+      .where(col("a_id") < col("b_id"))
+      .where(cosine(dotL(col("a_q"), col("b_q")),
+        col("a_nrm"), col("b_nrm")) >= SemTau)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    aB.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        col("is_dup").isNull.as("keep"))
+  }
+
+  /** Drift-triggered RE-TRAIN for the incremental-SemDeDup structures —
+    * the same escape hatch [[ivfRetrainIfDrifted]] gives the IVF DML
+    * path, closing the round-8 gap where this family shared the
+    * frozen-quantizer contract but not the hatch: compares the live
+    * corpus's mean integer drift against the baseline tagged at train
+    * time; past `ratio` × baseline it re-trains the quantizer on the
+    * live corpus, commits it with ITS new baseline, and RE-CLUSTERS the
+    * members table as one clean version — after which batch dedup
+    * verdicts are again those of a one-shot SemDeDup under a
+    * fit quantizer (parity asserted in AnalyticsSpec).
+    */
+  def semDedupRetrainIfDrifted(s: SparkSession, corpus: DataFrame,
+      centsT: String, memT: String, ratio: Double = 1.5): Boolean = {
+    import graft.sources.Snapshots
+    val live = quantized(corpus).localCheckpoint()
+    val drift = driftMean(live, Snapshots.read(s, centsT))
+    val base0 = Snapshots
+      .versionTags(centsT, Snapshots.currentVersion(centsT))
+      .collectFirst { case t if t.startsWith(IvfDriftBasePrefix) =>
+        t.drop(IvfDriftBasePrefix.length).toLong }
+    val fire = base0.exists(b => drift > ratio * b)
+    if (fire) {
+      val (newCents, _) = ivfBuild(corpus, cCountOf(corpus.count()), 1)
+      Snapshots.commitOverwriteTagged(newCents, centsT,
+        Seq(IvfDriftBasePrefix + driftMean(live, newCents)))
+      Snapshots.commitOverwrite(ivfAssign(live, newCents).drop("m"), memT)
+      ()
+    }
+    fire
+  }
+
   /** INCREMENTAL SemDeDup — the production shape of [[dedupSemantic]]:
     * the corpus grows in batches, and semantic dedup of a new batch
     * must cost O(batch · cluster), never O(corpus²) and never a
     * corpus re-cluster. Structures persisted via [[graft.sources.Snapshots]]:
     * a FROZEN quantizer (centroids trained once on the base corpus —
     * the same frozen-quantizer contract as `s_knn_ivf_dml`, with
-    * [[ivfRetrainIfDrifted]] as the drift escape hatch) and a members
+    * [[semDedupRetrainIfDrifted]] as the drift escape hatch) and a members
     * table of assigned vectors. A new batch (1) assigns to the frozen
     * centroids (broadcast, map-side), (2) joins ONLY its own clusters'
     * members (shuffle on cid; pair work Σ_c |batch_c|·|cluster_c|),
@@ -2725,27 +2797,18 @@ object Similarity {
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp
       val (centsT, memT) = (s"$root/cents", s"$root/members")
       if (Snapshots.currentVersion(centsT) == 0) {
-        val (cents, _) = ivfBuild(base, cCountOf(base.count()), 1)
-        Snapshots.commitOverwrite(cents, centsT)
-        Snapshots.commitOverwrite(
-          ivfAssign(quantized(base), cents).drop("m"), memT)
+        // regenerated inputs land in a fresh fingerprint root; drop
+        // the superseded siblings instead of accreting trained
+        // artifacts forever (advice r8 #4)
+        Snapshots.gcSiblingRoots(root)
+        semDedupBootstrap(s, base, centsT, memT)
       }
       val cents = Snapshots.read(s, centsT)
       val aB = ivfAssign(quantized(batch), cents).drop("m").localCheckpoint()
       Snapshots.ingestBatch(aB, memT, "d_dedup_semantic_incremental", 0L)
       // pinned base members (v1): replays and bench re-runs read the
       // same comparison set no matter how many batches landed since
-      val all = Snapshots.readVersion(s, memT, 1).unionByName(aB)
-      val dup = aB.toDF("b_id", "b_q", "b_nrm", "cid")
-        .join(all.toDF("a_id", "a_q", "a_nrm", "cid"), Seq("cid"))
-        .where(col("a_id") < col("b_id"))
-        .where(cosine(dotL(col("a_q"), col("b_q")),
-          col("a_nrm"), col("b_nrm")) >= SemTau)
-        .select(col("b_id").as("vec_id")).distinct()
-        .withColumn("is_dup", lit(true))
-      aB.join(dup, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cid").cast("long").as("cid"),
-          col("is_dup").isNull.as("keep"))
+      semBatchKeep(aB, Snapshots.readVersion(s, memT, 1).unionByName(aB))
     },
     Some {
       val sqd = "list_sum(list_transform(list_zip(nb.q, c0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"

@@ -1139,8 +1139,16 @@ object Snapshots {
     try taggedVersion(table, tag).getOrElse {
       val dir = stageDir(table)
       stage(dir)
-      commitLoop(table, _ => Seq(dir), tags = Seq(indexTag(tag)),
+      val v = commitLoop(table, _ => Seq(dir), tags = Seq(indexTag(tag)),
         inheritSchema = false)
+      // a new content key means the OLD keys' inputs no longer exist;
+      // retain one predecessor for any still-pinned reader and retire
+      // the rest, so regenerated inputs replace trained artifacts
+      // instead of accreting them (unbounded-disk advice, round 8).
+      // Default grace window: never races a concurrent appender's
+      // staged-but-unpublished dir on mixed build/append tables.
+      vacuum(table, retain = 2)
+      v
     } finally {
       done.set(true); heartbeat.foreach(_.interrupt())
       // release only a claim that is still OURS (token check): after a
@@ -1339,6 +1347,33 @@ object Snapshots {
       val w = Files.walk(p)
       try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       finally w.close()
+    }
+  }
+
+  /** GC superseded CONTENT-KEYED sibling roots: for a root named
+    * `parent/<prefix>_<fingerprint>` (the `d_dedup_semantic_incremental`
+    * convention — a fresh root per input fingerprint), delete every
+    * sibling `parent/<prefix>_<otherFingerprint>`. Called when a NEW
+    * fingerprint root is about to be built, so repeated testdata
+    * regeneration replaces rather than accretes trained artifacts
+    * (unbounded-disk advice, round 8). Fingerprints are alphanumeric,
+    * so splitting on the LAST underscore is unambiguous even when the
+    * prefix itself contains underscores. Safe against readers: only
+    * roots with a fingerprint DIFFERENT from the one being built are
+    * removed, and a pinned reader of a superseded root is by
+    * definition reading inputs that no longer exist.
+    */
+  def gcSiblingRoots(root: String): Unit = {
+    val p = Paths.get(root)
+    val name = p.getFileName.toString
+    val cut = name.lastIndexOf('_')
+    val parent = p.getParent
+    if (cut <= 0 || parent == null || !Files.exists(parent)) return
+    val prefix = name.substring(0, cut + 1)
+    listDir(parent).foreach { sib =>
+      val sn = sib.getFileName.toString
+      if (sn.startsWith(prefix) && sn != name)
+        deleteRecursively(sib.toString)
     }
   }
 

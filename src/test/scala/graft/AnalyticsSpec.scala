@@ -106,6 +106,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.forall { case (_, c) => c >= 0 && c < StatsQueries.ChecksumMod })
   }
 
+  test("semantic-dedup drift trigger: shifted corpus fires re-train; verdicts recover one-shot parity") {
+    import graft.sources.Snapshots
+    val root = "/root/repo/target/semdrift_spec"
+    Snapshots.deleteRecursively(root)
+    val (centsT, memT) = (s"$root/cents", s"$root/members")
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val base = e.where(col("vec_id") % 2 === 0)
+    // the distribution walks away: the other half arrives SHIFTED by a
+    // constant vector (a large constant offset in every component)
+    val shifted = e.where(col("vec_id") % 2 =!= 0)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(3.0f)))
+    val corpus = base.unionByName(shifted)
+    Similarity.semDedupBootstrap(spark, base, centsT, memT)
+    // un-drifted corpus must NOT fire
+    assert(!Similarity.semDedupRetrainIfDrifted(spark, base, centsT, memT),
+      "trigger fired on the training corpus itself")
+    // shifted corpus must fire, re-train, and re-cluster
+    assert(Similarity.semDedupRetrainIfDrifted(spark, corpus, centsT, memT),
+      "trigger did not fire on a shifted corpus")
+    // after re-train the new baseline fits the live corpus again
+    assert(!Similarity.semDedupRetrainIfDrifted(spark, corpus, centsT, memT),
+      "trigger re-fired immediately after re-train")
+    // verdict parity: batch keep flags served from the re-clustered
+    // members equal a one-shot computation under the re-trained
+    // quantizer (assign the full corpus fresh, same dup predicate)
+    val cents = Snapshots.read(spark, centsT)
+    val batch = corpus.where(col("vec_id") % 10 === 3)
+    val aB = Similarity.ivfAssign(Similarity.quantizedOf(batch), cents).drop("m")
+    def flags(all: org.apache.spark.sql.DataFrame) =
+      Similarity.semBatchKeep(aB, all).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val served = flags(Snapshots.read(spark, memT))
+    val oneShot = flags(
+      Similarity.ivfAssign(Similarity.quantizedOf(corpus), cents).drop("m"))
+    assert(served == oneShot,
+      s"served verdicts diverge from one-shot: ${served.size} vs ${oneShot.size}")
+    assert(served.nonEmpty)
+  }
+
   test("mutual components partition the corpus; mutual edges are symmetric subgraph") {
     val hist = Similarity.mutualComponents.fn(spark, sfDir).collect()
     val n = Tables.load(spark, sfDir, "embeddings").count()
@@ -544,16 +584,36 @@ class AnalyticsSpec extends SparkSpec {
     assert((19723L + 3) % 7 == 0L)
   }
 
-  test("no zero-norm vector exists at any SF (the cosine NaN path is never live)") {
-    // cosine() returns NaN for a zero-norm vector and NaN outranks
-    // every real similarity — the audit-then-filter contract assumes
-    // production filters them; this pins that the testdata corpus
-    // never exercises that path in any hash-verified query
+  test("no zero-norm vector exists at any SF (the cosine guard stays dormant on the gate)") {
+    // cosine()'s divisor is nullif-guarded, so a zero-norm vector now
+    // yields NULL (dropping out of rankings and τ predicates) instead
+    // of the old rank-1-everywhere NaN; this pins that the testdata
+    // corpus never exercises the guard in any hash-verified query, so
+    // the guard cannot affect oracle parity
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val zero = Similarity.quantizedOf(Tables.load(spark, sf, "embeddings"))
         .where(col("nrm") === 0L).count()
       assert(zero == 0L, s"$sf carries $zero zero-norm vectors")
     }
+  }
+
+  test("cosine of a zero-norm vector is NULL and drops out of top-k and τ filters") {
+    import spark.implicits._
+    val v = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(0.0f, 0.0f)),
+      (2L, Array(2.0f, 4.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizedOf(v)
+    val scored = q.where(col("vec_id") === 0L).toDF("q_id", "q_q", "q_nrm")
+      .crossJoin(q.where(col("vec_id") =!= 0L).toDF("n_id", "n_q", "n_nrm"))
+      .select(col("n_id"),
+        Similarity.cosine(graft.functions.Native.dotLong(col("q_q"), col("n_q")),
+          col("q_nrm"), col("n_nrm")).as("sim"))
+    val rows = scored.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1L).isEmpty, "zero-norm neighbor must score NULL, not NaN")
+    assert(rows(2L).exists(s => math.abs(s - 1.0) < 1e-9))
+    // NULL fails the τ predicate and ranks below every real sim
+    assert(scored.where(col("sim") >= 0.0).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val ranked = scored.orderBy(col("sim").desc).collect().map(_.getLong(0)).toSeq
+    assert(ranked == Seq(2L, 1L), s"NULL must sort last under desc: $ranked")
   }
 
   test("CUSUM monitor equals a sequential Scala fold; clamp and peak invariants hold") {

@@ -18,7 +18,7 @@ class EdgeCaseSpec extends SparkSpec {
     "q_events_window", "q_events_changepoint", "q_events_forecast",
     "q_events_rolling", "q_events_heatmap", "q_events_bigrams",
     "t_quality", "t_eval_auc", "t_k_anonymity", "t_mask_spans",
-    "t_langid_eval", "t_bpe_merges",
+    "t_langid_eval", "t_bpe_merges", "t_bpe_encode",
     "d_dedup_exact", "d_corpus_diversity",
     "q_basket_pairs", "q_assoc_rules",
     // second tier: the rest of the non-index-building surface
@@ -62,6 +62,34 @@ class EdgeCaseSpec extends SparkSpec {
       // shapes must emit nothing — either way, no exception
       assert(rows.length <= 1 || rows.forall(_ != null), q)
     }
+  }
+
+  test("BPE encode on a corpus that learns NO merge rule is the identity, not null") {
+    // single-character words have no adjacent symbol pairs, so every
+    // training round's rule frame is empty — the degenerate shape
+    // where the unguarded pivot nulled every encoding while the DuckDB
+    // oracle returned zero rows (engine divergence, advice r8 #2)
+    import spark.implicits._
+    val dst = "/root/repo/target/edgecase/bpe_norule"
+    graft.sources.Snapshots.deleteRecursively(dst)
+    Tables.names.foreach { t =>
+      val src = spark.read.parquet(s"$sfDir/$t.parquet")
+      (if (t == "documents")
+        Seq((1L, "a b c", "en", "web", 5L), (2L, "b c d", "en", "web", 5L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .select(src.columns.map(col): _*)
+      else src.limit(1))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    assert(SparkEntry.queries("t_bpe_merges")(spark, dst).collect().isEmpty,
+      "no merge rule should be learnable from single-char words")
+    val rows = SparkEntry.queries("t_bpe_encode")(spark, dst).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (before, after) = (r.getLong(r.fieldIndex("sym_before")),
+      r.getLong(r.fieldIndex("sym_after")))
+    assert(before == 6 && after == 6,
+      s"missing rules must encode as the identity: before=$before after=$after")
   }
 
   test("catalog queries do not throw on a SINGLE-ROW corpus") {
