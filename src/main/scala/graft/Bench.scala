@@ -107,7 +107,19 @@ object Bench {
     val errJson = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = if (audited.nonEmpty) audited.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"sf":"$sfDir"}"""
+    // environment fingerprint (round 9): enough to diagnose a future
+    // replica/driver divergence from the artifacts alone — the JVM
+    // default zone a harness would inherit, the Spark version, and a
+    // content fingerprint of the benched testdata
+    val envJson = {
+      val tz = java.util.TimeZone.getDefault.getID
+      val fp = try graft.sources.Snapshots.fileFingerprint(sfDir)
+        catch { case _: Throwable => "unavailable" }
+      s"""{"spark":${jsonStr(spark.version)},"jvm_tz":${jsonStr(tz)},""" +
+        s""""java":${jsonStr(System.getProperty("java.version", "?"))},""" +
+        s""""testdata_fp":${jsonStr(fp)}}"""
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"env":$envJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured tail can front-truncate past ~70 queries,
     // losing the early alphabet's timings — persist the complete map

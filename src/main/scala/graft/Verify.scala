@@ -42,6 +42,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // environment fingerprint companion (round 9): makes a future
+    // replica/driver divergence diagnosable from artifacts alone
+    val fp = try graft.sources.Snapshots.fileFingerprint(sfDir)
+      catch { case _: Throwable => "unavailable" }
+    Files.writeString(Paths.get(s"$outDir/env.json"),
+      s"""{"spark": ${q(spark.version)}, "jvm_tz": ${q(java.util.TimeZone.getDefault.getID)}, """ +
+        s""""session_tz": ${q(spark.conf.get("spark.sql.session.timeZone"))}, """ +
+        s""""java": ${q(System.getProperty("java.version", "?"))}, "testdata_fp": ${q(fp)}}""")
     spark.stop()
   }
 }
