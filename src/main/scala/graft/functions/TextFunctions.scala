@@ -408,6 +408,88 @@ object TextFunctions {
          FROM ex e JOIN bench b ON e.gram = b.gram
          WHERE e.doc_id >= 10 GROUP BY e.doc_id"""))
 
+  /** BLOOM-accelerated decontamination — `t_contamination` re-shaped
+    * for 100 TB: the benchmark's distinct 5-gram hashes fold into ONE
+    * broadcast bloom filter ([[graft.functions.BloomAgg]], 2^17 bits —
+    * kilobytes regardless of corpus size), every corpus gram probes it
+    * map-side, and only might-contain survivors reach the exact
+    * verify join. The bloom has NO false negatives and the exact join
+    * removes its false positives, so the output is IDENTICAL to the
+    * unfiltered exact pipeline — which is exactly what the oracle
+    * asserts (it runs the plain exact SQL). At scale this turns a
+    * corpus×benchmark shuffle into a broadcast probe + a
+    * survivors-only join, the standard bloom semi-join reduction.
+    */
+  val contaminationBloom: QueryDef = QueryDef(
+    "t_contamination_bloom",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          explode(graft.functions.Native.wordNGramHashes(col("text"), 5)).as("gram"))
+      val bench = grams(d.where(col("doc_id") < 10)).select("gram").distinct()
+      val bloom = broadcast(bench.agg(
+        graft.functions.Bloom.bloomAgg(col("gram"), 1 << 17, 5).as("bf")))
+      grams(d.where(col("doc_id") >= 10))
+        .crossJoin(bloom)
+        .where(graft.functions.Bloom.bloomContains(col("bf"), col("gram")))
+        .select("doc_id", "gram")
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_shared_grams"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, ${Portable.textSql.tokens} AS tk FROM documents),
+         g AS (SELECT doc_id, ${Portable.textSql.grams(5)} AS grams FROM tk),
+         ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         bench AS (SELECT DISTINCT gram FROM ex WHERE doc_id < 10)
+         SELECT e.doc_id, COUNT(DISTINCT e.gram) AS n_shared_grams
+         FROM ex e JOIN bench b ON e.gram = b.gram
+         WHERE e.doc_id >= 10 GROUP BY e.doc_id"""))
+
+  /** N-GRAM NOVELTY / memorization audit — the graded form of
+    * decontamination: for every held-out document (doc_id % 10 == 0),
+    * the fraction of its distinct 3-gram hashes NOT present anywhere
+    * in the training split (% 10 != 0), ×1000. Decontamination asks
+    * "does test leak into train" pair-by-benchmark; novelty asks "how
+    * much of this document is literally reconstructible from the
+    * training corpus" — the memorization-risk metric evaluated before
+    * trusting held-out loss (a low-novelty validation set measures
+    * recall, not generalization).
+    *
+    * Scale shape: one distinct-gram shuffle per split keyed on the
+    * gram hash (bucketable), one left join on the same key, one
+    * per-doc aggregate. Never a doc×doc comparison; the train side
+    * can swap in the `t_contamination_bloom` broadcast-bloom probe
+    * unchanged when the training gram set outgrows a shuffle.
+    */
+  val noveltyNgram: QueryDef = QueryDef(
+    "t_novelty",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      def grams(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          explode(graft.functions.Native.wordNGramHashes(col("text"), 3)).as("gram"))
+      val train = grams(d.where(col("doc_id") % 10 =!= 0))
+        .select("gram").distinct().withColumn("seen", lit(1L))
+      grams(d.where(col("doc_id") % 10 === 0))
+        .join(train, Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_x1000", expr("(n_novel * 1000) div n_grams"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, ${Portable.textSql.tokens} AS tk FROM documents),
+         g AS (SELECT doc_id, ${Portable.textSql.grams(3)} AS grams FROM tk),
+         ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         train AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 10 <> 0),
+         test AS (SELECT doc_id, gram FROM ex WHERE doc_id % 10 = 0)
+         SELECT t.doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN tr.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           (CAST(SUM(CASE WHEN tr.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+             // COUNT(*) AS novelty_x1000
+         FROM test t LEFT JOIN train tr ON t.gram = tr.gram
+         GROUP BY 1"""))
+
   /** Deterministic WEIGHTED Bernoulli sampling: P(keep) ∝ n_chars —
     * the importance-sampling primitive (upweight long documents, or
     * any per-row weight) with hash-derived "randomness", so the sample
@@ -2323,6 +2405,70 @@ object TextFunctions {
               FROM d GROUP BY 1"""))
   }
 
+  /** Classifier CALIBRATION curve + Brier decomposition — the
+    * companion readout to `t_classifier_lift` (ranking quality) and
+    * `t_eval_auc` (discrimination): whether the classifier's scores
+    * can be TRUSTED as probabilities. Scores map to rank-based
+    * probabilities p̂ = ((n − rank)·1000 + 500) div n (the midpoint
+    * quantile transform — monotone, exact-integer, engine-portable,
+    * the only calibration-free probability a raw margin score admits),
+    * then per score-decile: mean predicted ×1000 vs observed positive
+    * rate ×1000, their gap (the reliability-diagram deviation), and
+    * the decile's Brier error sum Σ(p̂ − 1000·y)² — exact integers, so
+    * the full reliability diagram is hash-oracled.
+    *
+    * Scale shape: identical to `t_classifier_lift` — one score pass,
+    * one global rank (at 100 TB: rank via sampled range boundaries +
+    * per-partition offsets, the SQL-window-to-distributed-rank
+    * rewrite), one 10-group aggregate.
+    */
+  val calibrationCurve: QueryDef = {
+    val (sparkW, duckW) = (classifierSparkW, classifierDuckW)
+    QueryDef(
+      "t_calibration_curve",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val tk = filter(split(lower(col("text")), " "), t => t =!= "")
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), (col("lang") === "en").cast("long").as("pos"), tk.as("tk"))
+          .where(size(col("tk")) > 0)
+          .select(col("doc_id"), col("pos"),
+            expr(s"aggregate(tk, 0L, (acc, t) -> acc + ($sparkW))").as("score"))
+        scored
+          .withColumn("rn", row_number().over(
+            W.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(W.partitionBy()))
+          .withColumn("phat", expr("((n - rn) * 1000 + 500) div n"))
+          .withColumn("decile", expr("(rn - 1) * 10 div n + 1"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+            sum(col("phat")).as("sp"),
+            sum(expr("(phat - 1000 * pos) * (phat - 1000 * pos)")).as("brier_sum_x1e6"))
+          .select(col("decile"), col("n_docs"), col("n_pos"),
+            expr("sp div n_docs").as("pred_x1000"),
+            expr("(n_pos * 1000) div n_docs").as("obs_x1000"),
+            expr("abs(sp div n_docs - (n_pos * 1000) div n_docs)").as("gap_x1000"),
+            col("brier_sum_x1e6"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS pos,
+              ${Portable.textSql.tokensLower} AS tk FROM documents),
+            sc AS (SELECT doc_id, pos,
+                CAST(list_sum(list_transform(tk, t -> $duckW)) AS BIGINT) AS score
+              FROM tk WHERE len(tk) > 0),
+            r AS (SELECT doc_id, pos, score,
+                CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn,
+                COUNT(*) OVER () AS n FROM sc),
+            d AS (SELECT (rn - 1) * 10 // n + 1 AS decile, pos,
+                ((n - rn) * 1000 + 500) // n AS phat FROM r)
+            SELECT decile, COUNT(*) AS n_docs, CAST(SUM(pos) AS BIGINT) AS n_pos,
+              CAST(SUM(phat) AS BIGINT) // COUNT(*) AS pred_x1000,
+              (CAST(SUM(pos) AS BIGINT) * 1000) // COUNT(*) AS obs_x1000,
+              ABS(CAST(SUM(phat) AS BIGINT) // COUNT(*)
+                - (CAST(SUM(pos) AS BIGINT) * 1000) // COUNT(*)) AS gap_x1000,
+              CAST(SUM((phat - 1000 * pos) * (phat - 1000 * pos)) AS BIGINT) AS brier_sum_x1e6
+            FROM d GROUP BY 1"""))
+  }
+
   /** Heavy hitters via the native Misra-Gries sketch
     * ([[graft.functions.FreqSketch]]) audited against exact counts —
     * the one-pass frequent-items path a 100 TB vocabulary scan uses
@@ -2904,5 +3050,5 @@ object TextFunctions {
       keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit,
       oovRate, corpusDrift, pipelineCuration, labelEncode,
       evalAuc, kAnonymity, qualityLmBigram, maskSpans, bpeMerges, bpeEncode,
-      langIdEval)
+      langIdEval, contaminationBloom, noveltyNgram, calibrationCurve)
 }

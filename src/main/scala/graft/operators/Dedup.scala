@@ -1272,9 +1272,82 @@ object Dedup {
            (est_x1000 >= 500) = (exact_x1000 >= 500) AS decision_agree
          FROM m"""))
 
+  /** LSH BAND PLANNER — the artifact that justifies (bands, rows)
+    * with data instead of folklore: for each similarity level s (10
+    * bins of 0.1), the theoretical band-collision detection
+    * probability 1 − (1 − s^r)^b of the configured scheme (r = 4,
+    * b = 8) next to the MEASURED candidate-pair count at that
+    * similarity — the S-curve an operator reads before re-tuning the
+    * scheme for a new corpus (raise b to catch more 0.4-similarity
+    * pairs, raise r to starve the sub-threshold bins). The probability
+    * chain is pure left-associative double multiplication, written
+    * with the IDENTICAL text in both engines, so the whole curve is
+    * hash-exact.
+    *
+    * Scale shape: same banded candidate generation as [[minhash]]
+    * (never all-pairs); the curve itself is 10 rows of arithmetic.
+    */
+  val lshPlanner: QueryDef = {
+    // p_detect = 1 − (1 − s^Rows)^Bands, as chained multiplication —
+    // the same character sequence parses in Spark and DuckDB, making
+    // the IEEE evaluation order identical by construction
+    val sTxt = "(CAST(s_x1000 AS DOUBLE)/1000.0)"
+    val s4 = s"($sTxt*$sTxt*$sTxt*$sTxt)"
+    val q1 = s"(1.0 - $s4)"
+    val q8 = s"($q1*$q1*$q1*$q1*$q1*$q1*$q1*$q1)"
+    val pTxt = s"(1.0 - $q8)"
+    QueryDef(
+      "d_lsh_planner",
+      (s, dir) => {
+        val sg = signed(Tables.load(s, dir, "documents"))
+        val pairs = minhashCandidates(sg)
+        val sa = sg.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
+        val sb = sg.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
+        val inter = graft.functions.Native.sortedIntersectSize(col("sh_a"), col("sh_b"))
+        val binned = pairs.join(sa, "a").join(sb, "b")
+          .select(inter.as("inter"),
+            (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("zsum"))
+          .where(col("zsum") - col("inter") > 0)
+          .select(expr("least((inter * 1000) div (zsum - inter), 999) div 100").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("n"))
+        s.range(0, 10).select(col("id").as("bin"))
+          .join(binned, Seq("bin"), "left")
+          .select((col("bin") * 100 + 50).as("s_x1000"),
+            coalesce(col("n"), lit(0L)).as("n_candidate_pairs"))
+          .select(col("s_x1000"), col("n_candidate_pairs"),
+            expr(pTxt).as("p_detect"),
+            expr(s"cast(floor(CAST(n_candidate_pairs AS DOUBLE) * $pTxt * 1000.0) as long)")
+              .as("expected_detected_x1000"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+           sh AS (SELECT doc_id, ${gramsSql(3)} AS shingles FROM tk),
+           sg AS (SELECT doc_id, shingles, list_transform(range(0, $K), k ->
+               list_min(list_transform(shingles, h ->
+                 ((2*k+1)*(h % $HashP) + ((k*2654435761) % $HashP)) % $HashP))) AS sig
+             FROM sh),
+           bx AS (SELECT doc_id, unnest(range(0, $Bands)) AS band, sig FROM sg),
+           bb AS (SELECT doc_id, band, ${bandBucketSql("band")} AS bucket FROM bx),
+           cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bb l JOIN bb r
+               ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+           pj AS (SELECT CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+                 CAST(len(sa.shingles) + len(sb.shingles) AS BIGINT) AS zsum
+               FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+           bins AS (SELECT LEAST((inter * 1000) // (zsum - inter), 999) // 100 AS bin
+               FROM pj WHERE zsum - inter > 0),
+           cnt AS (SELECT bin, COUNT(*) AS n FROM bins GROUP BY 1),
+           grid AS (SELECT unnest(range(0, 10)) AS bin),
+           g2 AS (SELECT bin * 100 + 50 AS s_x1000,
+               COALESCE(n, 0) AS n_candidate_pairs
+             FROM grid LEFT JOIN cnt USING (bin))
+           SELECT s_x1000, n_candidate_pairs, $pTxt AS p_detect,
+             CAST(FLOOR(CAST(n_candidate_pairs AS DOUBLE) * $pTxt * 1000.0) AS BIGINT)
+               AS expected_detected_x1000
+           FROM g2"""))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exact, paragraph, substring, minhash, editDistance, simhashDef,
       ngramJaccard, cluster, canonicalByQuality, incremental, dedupReport,
       sourceOverlap, containment, splitLeakage, corpusDiversity,
-      minhashAccuracy)
+      minhashAccuracy, lshPlanner)
 }

@@ -259,6 +259,76 @@ object Similarity {
          SELECT q_id, n_true, n_hit,
            CAST((n_hit * 1000) // n_true AS BIGINT) AS recall_x1000 FROM j"""))
 
+  /** MATRYOSHKA truncated-dimension eval — the storage-tiering
+    * decision artifact for MRL-style embeddings (Kusupati et al. 2022):
+    * serve ANN from the first 16 of 64 dimensions (4× less vector I/O,
+    * 4× more vectors per broadcast/cache byte) and measure what it
+    * costs: per query, recall@5 of truncated-cosine top-5 against
+    * full-dimension truth. The same eval harness as `s_knn_recall`
+    * with the candidate generator swapped for a dimension-sliced exact
+    * scorer — so the recall number isolates the TRUNCATION loss, not
+    * bucketing loss.
+    *
+    * Scale shape: both sides are bounded-query-sample brute passes
+    * (broadcast of ≤5 query rows, one corpus scan each); the compare
+    * joins two ≤ sample×5 frames. At 100 TB the truncated side is the
+    * point: a 16-dim serving tier reads 1/4 the bytes of every list.
+    */
+  val truncatedRecall: QueryDef = QueryDef(
+    "s_knn_truncated_recall",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val vf = quantized(e)
+      val vt = e.select(col("vec_id"),
+          quantize(slice(col("embedding"), 1, 16)).as("q"))
+        .withColumn("nrm", dotL(col("q"), col("q")))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      def top5(v: DataFrame): DataFrame = {
+        val q = broadcast(v.where(col("vec_id") < 5).toDF("q_id", "q_q", "q_nrm"))
+        q.join(v.toDF("n_id", "n_q", "n_nrm"), col("n_id") =!= col("q_id"))
+          .select(col("q_id"), col("n_id"),
+            cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+          .select("q_id", "n_id")
+      }
+      top5(vf)
+        .join(top5(vt).withColumn("hit", lit(1L)), Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_x1000", expr("(n_hit * 1000) div n_true"))
+    },
+    Some(s"""WITH $quantizedSql,
+         n AS (SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+         vt AS (SELECT vec_id,
+             list_transform(embedding[1:16], x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
+           FROM embeddings),
+         nt AS (SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM vt),
+         fp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+             a.nrm AS na, b.nrm AS nb
+           FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         ft AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+               CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) DESC, n_id) AS rn
+             FROM fp) x WHERE rn <= 5),
+         tp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+             a.nrm AS na, b.nrm AS nb
+           FROM nt a JOIN nt b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         tt AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+               CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) DESC, n_id) AS rn
+             FROM tp) x WHERE rn <= 5)
+         SELECT f.q_id, COUNT(*) AS n_true,
+           CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST((CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+             // COUNT(*) AS BIGINT) AS recall_x1000
+         FROM ft f LEFT JOIN tt t ON f.q_id = t.q_id AND f.n_id = t.n_id
+         GROUP BY 1"""))
+
   /** §2.2 row 25 — embedding-cosine near-duplicate detection: banded
     * LSH buckets → within-bucket pairs (any band) → top-20 most
     * similar pairs. Oracle shares the band arithmetic with the ANN
@@ -3432,5 +3502,5 @@ object Similarity {
       knnBeam, knnBeamConverged, graphPagerank, hardNegatives, dedupSemantic,
       dedupSemanticIncremental, mmrRerank, nearestCentroid, graphTriangles,
       mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep,
-      labelKappa, evalRetrieval, graphCommunities, knnRouted)
+      labelKappa, evalRetrieval, graphCommunities, knnRouted, truncatedRecall)
 }

@@ -146,6 +146,70 @@ class AnalyticsSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("truncated-recall eval: 5 queries, full truth size 5, recall in range") {
+    val rows = Similarity.truncatedRecall.fn(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (0L to 4L))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 5L, s"n_true must be 5: $r")
+      val rec = r.getLong(3)
+      assert(rec >= 0 && rec <= 1000 && rec == r.getLong(2) * 1000 / 5, s"$r")
+    }
+  }
+
+  test("LSH planner: S-curve is monotone, counts cover all verified candidates") {
+    val rows = graft.operators.Dedup.lshPlanner.fn(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (0 to 9).map(_ * 100L + 50))
+    val ps = rows.map(_.getDouble(2))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b }, "p_detect must be monotone in s")
+    assert(ps.head < 0.01 && ps.last > 0.99, s"curve endpoints: ${ps.head}, ${ps.last}")
+    // bin counts partition the candidate set
+    val total = graft.operators.Dedup.minhashCandidates(
+      graft.operators.Dedup.signed(Tables.load(spark, sfDir, "documents"))).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+
+  test("bloom-prefiltered decontamination is EXACTLY the unfiltered exact pipeline") {
+    def rows(q: graft.QueryDef) = q.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = rows(TextFunctions.contamination)
+    val bloomed = rows(TextFunctions.contaminationBloom)
+    assert(exact == bloomed, s"${exact.size} vs ${bloomed.size} contaminated docs")
+    assert(exact.nonEmpty)
+  }
+
+  test("n-gram novelty matches a brute-force set computation per test doc") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val g = d.select(col("doc_id"),
+      graft.functions.Native.wordNGramHashes(col("text"), 3).as("gs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val train = g.collect { case (id, gs) if id % 10 != 0 => gs }
+      .foldLeft(Set.empty[Long])(_ ++ _)
+    val got = TextFunctions.noveltyNgram.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val expected = g.collect { case (id, gs) if id % 10 == 0 && gs.nonEmpty =>
+      val novel = gs.count(!train.contains(_)).toLong
+      id -> ((gs.size.toLong, novel, novel * 1000 / gs.size))
+    }
+    assert(got == expected.toMap)
+  }
+
+  test("calibration curve: deciles partition, predicted is monotone, Brier nonnegative") {
+    val rows = TextFunctions.calibrationCurve.fn(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val scoredDocs = Tables.load(spark, sfDir, "documents")
+      .where(size(filter(split(lower(col("text")), " "), t => t =!= "")) > 0).count()
+    assert(rows.map(_.getLong(1)).sum == scoredDocs)
+    val preds = rows.map(_.getLong(3))
+    assert(preds.zip(preds.tail).forall { case (a, b) => a >= b },
+      s"rank-based p-hat must fall across deciles: ${preds.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(6) >= 0 && r.getLong(5) >= 0)
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000) // observed rate
+    }
+  }
+
   test("mutual components partition the corpus; mutual edges are symmetric subgraph") {
     val hist = Similarity.mutualComponents.fn(spark, sfDir).collect()
     val n = Tables.load(spark, sfDir, "embeddings").count()
