@@ -580,9 +580,54 @@ object Extended {
             SELECT rk, ante, cons, support, conf_x1000, lift_x1000
             FROM k WHERE rk <= 20"""))
 
+  /** SKYLINE (Pareto-frontier) query — Börzsönyi et al. 2001: the
+    * parts no other part dominates on (price, size), both minimized —
+    * the multi-objective shortlist a "cheapest AND smallest" shopper
+    * reads. q dominates p iff q.price ≤ p.price ∧ q.size ≤ p.size,
+    * strict in at least one. Naive dominance is an O(n²) self-join;
+    * this is the sort-based 2-D form: group to per-price minima, one
+    * running STRICT-predecessor min over the (tiny) distinct-price
+    * sequence, then p survives iff p.size equals its own price
+    * group's min (no same-price dominator) and beats every cheaper
+    * group's min (no cheaper dominator). Prices compare as exact
+    * cents (DECIMAL(18,2)·100), so grouping and ties are
+    * engine-identical.
+    *
+    * Scale shape: one groupBy on price (bounded by distinct prices —
+    * at 100 TB still ≪ rows), one window over that GROUPED frame
+    * (never the raw table), one semi-join back. The self-join form
+    * this replaces is the scale-killer.
+    */
+  val skyline: QueryDef = QueryDef(
+    "q_skyline",
+    (s, dir) => {
+      val w = Window.orderBy(col("price_c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey"),
+          (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"),
+          col("p_size").cast("long").as("p_size"))
+      val groupMin = p.groupBy("price_c").agg(min(col("p_size")).as("gmin"))
+        .withColumn("prevmin", min(col("gmin")).over(w))
+      p.join(groupMin, Seq("price_c"))
+        .where(col("p_size") === col("gmin") &&
+          (col("prevmin").isNull || col("p_size") < col("prevmin")))
+        .select("p_partkey", "price_c", "p_size")
+    },
+    Some("""WITH p AS (SELECT p_partkey,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+           CAST(p_size AS BIGINT) AS p_size FROM part),
+         g AS (SELECT price_c, MIN(p_size) AS gmin FROM p GROUP BY 1),
+         g2 AS (SELECT price_c, gmin, MIN(gmin) OVER (ORDER BY price_c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmin FROM g)
+         SELECT p.p_partkey, p.price_c, p.p_size
+         FROM p JOIN g2 USING (price_c)
+         WHERE p.p_size = g2.gmin
+           AND (g2.prevmin IS NULL OR p.p_size < g2.prevmin)"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
     subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll,
     subquerySelect, lateralTopPerKey, recursiveCte, joinFullOuter, unpivot,
-    basketPairs, assocRules)
+    basketPairs, assocRules, skyline)
 }

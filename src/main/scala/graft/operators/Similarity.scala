@@ -3495,6 +3495,132 @@ object Similarity {
            WHERE (SELECT nn FROM cnt) > $RouteThreshold"""))
   }
 
+  /** Simplified SILHOUETTE — clustering-quality eval of the IVF
+    * quantizer (purity grades labels, drift trends the fit over time;
+    * this grades the GEOMETRY at a point in time): per vector,
+    * a = metric to its own centroid, b = metric to the second-nearest,
+    * s = (b − a) / max(a, b) ∈ [0, 1] (simplified silhouette — the
+    * classic centroid-based surrogate for the O(n²) full form), then
+    * the per-cluster mean. A cluster whose mean is near 0 earns no
+    * probe pruning: its vectors sit as close to a neighbor centroid as
+    * their own, exactly where IVF recall leaks.
+    *
+    * Portability: both metrics are the exact-integer [[ivfMetric]]
+    * numerators over one IEEE divide; s is two IEEE ops on identical
+    * operands, floored to ×10⁶ fixed point BEFORE summation so the
+    * per-cluster mean is an exact integer in both engines.
+    *
+    * Scale shape: one corpus × broadcast-centroids pass (the
+    * assignment shape — rn ≤ 2 instead of rn = 1), one C-group
+    * aggregate. Nothing new beyond what every IVF build already pays.
+    */
+  val silhouette: QueryDef = QueryDef(
+    "s_silhouette",
+    (s, dir) => {
+      val (cents, _, _) = ivfIndex(s, dir)
+      val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
+      val ranked = quantized(Tables.load(s, dir, "embeddings"))
+        .crossJoin(cents)
+        .select(col("vec_id"), col("cid"), ivfMetric.as("m"))
+        .withColumn("rn", row_number().over(byDist)).where(col("rn") <= 2)
+      val a = ranked.where(col("rn") === 1).select(col("vec_id"), col("cid"), col("m").as("a"))
+      val b = ranked.where(col("rn") === 2).select(col("vec_id"), col("m").as("b"))
+      a.join(b, Seq("vec_id"))
+        .select(col("cid"),
+          // nullif guard: a = b = 0 (duplicate centroids) yields NULL
+          // and drops from the mean identically in both engines
+          expr("cast(floor(((b - a) / nullif(greatest(a, b), 0.0d)) * 1000000.0) as long)").as("sil"))
+        .groupBy("cid").agg(count(lit(1)).as("n_vecs"),
+          expr("sum(sil) div count(1)").as("mean_sil_x1e6"))
+        .select(col("cid").cast("long").as("cid"), col("n_vecs"), col("mean_sil_x1e6"))
+    },
+    Some {
+      val sqd = "list_sum(list_transform(list_zip(n.q, c0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"
+      val met = "CAST(list_sum(list_transform(list_zip(n.q, c1.cs), " +
+        "s -> (c1.cn*s[1]-s[2])*(c1.cn*s[1]-s[2]))) AS DOUBLE) / (c1.cn*c1.cn)"
+      s"""WITH $quantizedSql,
+       n AS (SELECT vec_id, q,
+           CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+       $ivpcSql,
+       c0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < (SELECT c FROM ivpc)),
+       a1 AS (SELECT vec_id, q, nrm, cid FROM (
+           SELECT n.vec_id, n.q, n.nrm, c0.cid,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $sqd, c0.cid) AS rn
+           FROM n, c0) x WHERE rn = 1),
+       ex AS (SELECT cid, unnest(q) AS val, unnest(range(0, 64)) AS dim FROM a1),
+       c1 AS (SELECT s.cid, list(s.sv ORDER BY s.dim) AS cs, MAX(c.cn) AS cn
+           FROM (SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS sv FROM ex GROUP BY cid, dim) s
+           JOIN (SELECT cid, COUNT(*) AS cn FROM a1 GROUP BY cid) c USING (cid)
+           GROUP BY s.cid),
+       rk AS (SELECT vec_id, cid, m, rn FROM (
+           SELECT n.vec_id, c1.cid, $met AS m,
+             ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY $met, c1.cid) AS rn
+           FROM n, c1) x WHERE rn <= 2),
+       ab AS (SELECT a.cid,
+             CAST(FLOOR(((b.m - a.m) / NULLIF(GREATEST(a.m, b.m), 0.0)) * 1000000.0) AS BIGINT) AS sil
+           FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2)
+       SELECT CAST(cid AS BIGINT) AS cid, COUNT(*) AS n_vecs,
+         CAST(SUM(sil) AS BIGINT) // COUNT(*) AS mean_sil_x1e6
+       FROM ab GROUP BY 1"""
+    })
+
+  /** LABEL-CENTROID STABILITY audit — does each class mean hold up
+    * across independent halves of the corpus? Per label, the cosine
+    * between the SUM vectors of even- and odd-id members (a mean
+    * direction is scale-invariant, so the never-divided integer sums
+    * compare exactly: int dot + one IEEE sqrt/divide). Low stability
+    * for a label means its embedding region is noise or the label is
+    * incoherent — the class-conditional twin of `s_knn_ivf_drift`
+    * (which trends the unconditional distribution against a frozen
+    * quantizer).
+    *
+    * Scale shape: one explode → (label, half, dim) partial-sum shuffle
+    * (≤ labels × 2 × dims cells — KB at any corpus size), then
+    * per-label arithmetic on the 10-row result. Nothing corpus-sized
+    * survives the first aggregate.
+    */
+  val labelCentroidDrift: QueryDef = QueryDef(
+    "s_label_centroid_drift",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val parts = quantized(e)
+        .join(e.select(col("vec_id"), col("label").cast("long").as("label")), Seq("vec_id"))
+        .select(col("label"), (col("vec_id") % 2 === 0).as("even"),
+          posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy("label", "even", "dim").agg(sum(col("x")).as("sv"))
+        .groupBy("label", "even")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("sv")))),
+          x => x.getField("sv")).as("sum_q"), count(lit(1)).as("n_dims"))
+      val ev = parts.where(col("even")).select(col("label"), col("sum_q").as("qe"))
+      val od = parts.where(!col("even")).select(col("label"), col("sum_q").as("qo"))
+      val cnt = e.groupBy(col("label").cast("long").as("label"))
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_even"),
+          sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_odd"))
+      ev.join(od, Seq("label")).join(cnt, Seq("label"))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          cosine(dotL(col("qe"), col("qo")),
+            dotL(col("qe"), col("qe")), dotL(col("qo"), col("qo"))).as("stability"))
+    },
+    Some(s"""WITH $quantizedSql,
+         vl AS (SELECT v.vec_id, v.q, e.label, v.vec_id % 2 = 0 AS even
+             FROM v JOIN embeddings e ON e.vec_id = v.vec_id),
+         ex AS (SELECT label, even, unnest(q) AS x, unnest(range(0, 64)) AS dim FROM vl),
+         sv AS (SELECT label, even, dim, CAST(SUM(x) AS BIGINT) AS sv
+             FROM ex GROUP BY 1, 2, 3),
+         sq AS (SELECT label, even, list(sv ORDER BY dim) AS sum_q
+             FROM sv GROUP BY 1, 2),
+         cnt AS (SELECT CAST(label AS BIGINT) AS label,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+             CAST(SUM(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+           FROM embeddings GROUP BY 1),
+         j AS (SELECT e.label, e.sum_q AS qe, o.sum_q AS qo
+             FROM sq e JOIN sq o ON e.label = o.label AND e.even AND NOT o.even)
+         SELECT CAST(j.label AS BIGINT) AS label, cnt.n_even, cnt.n_odd,
+           CAST(list_sum(list_transform(list_zip(qe, qo), s -> s[1]*s[2])) AS DOUBLE)
+             / SQRT(CAST(list_sum(list_transform(qe, x -> x*x)) AS DOUBLE)
+               * CAST(list_sum(list_transform(qo, x -> x*x)) AS DOUBLE)) AS stability
+         FROM j JOIN cnt ON cnt.label = CAST(j.label AS BIGINT)"""))
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
@@ -3502,5 +3628,6 @@ object Similarity {
       knnBeam, knnBeamConverged, graphPagerank, hardNegatives, dedupSemantic,
       dedupSemanticIncremental, mmrRerank, nearestCentroid, graphTriangles,
       mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep,
-      labelKappa, evalRetrieval, graphCommunities, knnRouted, truncatedRecall)
+      labelKappa, evalRetrieval, graphCommunities, knnRouted, truncatedRecall,
+      silhouette, labelCentroidDrift)
 }

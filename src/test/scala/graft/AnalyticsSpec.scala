@@ -210,6 +210,57 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("skyline equals a brute-force O(n^2) dominance check") {
+    val parts = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long"),
+        col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = parts.filter { case (_, pp, ps) =>
+      !parts.exists { case (_, qp, qs) =>
+        qp <= pp && qs <= ps && (qp < pp || qs < ps) }
+    }.map(_._1).toSet
+    val got = graft.operators.Extended.skyline.fn(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == brute, s"${got.size} vs ${brute.size} frontier parts")
+    assert(got.nonEmpty)
+  }
+
+  test("silhouette: clusters cover the corpus, means in [0, 1e6]") {
+    val rows = Similarity.silhouette.fn(spark, sfDir).collect()
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == n, "every vector gets a silhouette")
+    rows.foreach { r =>
+      val m = r.getLong(2)
+      assert(m >= 0 && m <= 1000000, s"mean silhouette out of range: $r")
+    }
+    assert(rows.length > 1)
+  }
+
+  test("label-centroid stability matches a brute-force recompute per label") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val vq = Similarity.quantizedOf(e)
+      .join(e.select(col("vec_id"), col("label").cast("long").as("label")), Seq("vec_id"))
+      .select("vec_id", "label", "q").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val got = Similarity.labelCentroidDrift.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == (0L to 9L).toSet)
+    for ((label, (ne, no, stab)) <- got) {
+      val members = vq.filter(_._2 == label)
+      val (ev, od) = members.partition(_._1 % 2 == 0)
+      assert((ev.length.toLong, od.length.toLong) == ((ne, no)))
+      def sumVec(xs: Array[(Long, Long, Array[Long])]) =
+        xs.map(_._3).transpose.map(_.sum)
+      val (se, so) = (sumVec(ev), sumVec(od))
+      val dot = se.zip(so).map { case (a, b) => a * b }.sum
+      val expect = dot.toDouble /
+        math.sqrt(se.map(x => x * x).sum.toDouble * so.map(x => x * x).sum.toDouble)
+      assert(stab == expect, s"label $label: $stab != $expect")
+      assert(stab >= -1.0 && stab <= 1.0)
+    }
+  }
+
   test("mutual components partition the corpus; mutual edges are symmetric subgraph") {
     val hist = Similarity.mutualComponents.fn(spark, sfDir).collect()
     val n = Tables.load(spark, sfDir, "embeddings").count()

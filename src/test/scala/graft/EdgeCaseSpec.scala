@@ -39,7 +39,11 @@ class EdgeCaseSpec extends SparkSpec {
     "t_heavy_hitters", "d_dedup_paragraph", "d_dedup_simhash",
     "d_dedup_minhash", "s_nearest_centroid", "s_label_kappa",
     "s_eval_retrieval", "m_multimodal_meta", "m_frame_sample",
-    "m_patch_grid")
+    "m_patch_grid",
+    // round 9 additions (non-index-building)
+    "q_skyline", "d_lsh_planner", "t_contamination_bloom", "t_novelty",
+    "t_calibration_curve", "s_knn_truncated_recall",
+    "s_label_centroid_drift")
 
   private def writeScaled(dst: String, limit: Int): Unit = {
     graft.sources.Snapshots.deleteRecursively(dst)
