@@ -1270,11 +1270,116 @@ object Events {
               r.peak > ms.mean_x1000 * 5 AS alarm
             FROM rec r JOIN ms ON r.event_type = ms.event_type AND r.i = ms.n"""))
 
+  /** TIME-WEIGHTED average — the metering/billing primitive the
+    * arithmetic mean gets wrong on irregular samples (a value held for
+    * 10 hours must weigh 600× one held for a minute): per event type,
+    * each value is held until the type's next event, TWA = Σ v·Δt / Σ
+    * Δt over the observed span. Fixed-point exact: values in cents,
+    * gaps in whole seconds, one ×10 rescale lands the result in ×1000
+    * — every product ≤ cents·span_s ≪ 2^63, so both engines do pure
+    * int64 arithmetic around a single lead() window.
+    *
+    * Scale shape: ONE shuffle partitioned by event_type for the lead
+    * window, then a per-type aggregate. No self-join against time.
+    */
+  val twa: QueryDef = QueryDef(
+    "q_events_twa",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("sec"), col("event_id"))
+      events(s, dir)
+        .select(col("event_type"), col("event_id"), sec.as("sec"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        .withColumn("nxt", lead(col("sec"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("nxt") - col("sec")).as("span_s"),
+          sum((col("nxt") - col("sec")) * col("vc")).as("wsum"))
+        .select(col("event_type"), col("n_segments"), col("span_s"),
+          expr("(wsum * 10) div nullif(span_s, 0)").as("twa_x1000"))
+    },
+    Some("""WITH e AS (SELECT event_type, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+           l AS (SELECT event_type, sec, vc,
+             LEAD(sec) OVER (PARTITION BY event_type ORDER BY sec, event_id) AS nxt
+             FROM e)
+           SELECT event_type, COUNT(*) AS n_segments,
+             CAST(SUM(nxt - sec) AS BIGINT) AS span_s,
+             (CAST(SUM((nxt - sec) * vc) AS BIGINT) * 10)
+               // NULLIF(CAST(SUM(nxt - sec) AS BIGINT), 0) AS twa_x1000
+           FROM l WHERE nxt IS NOT NULL GROUP BY 1"""))
+
+  /** PEAK CONCURRENCY — the capacity question sessionization alone
+    * cannot answer: how many 30-minute-gap sessions were ever active
+    * at once, and when first? The classic sweep-line: every session
+    * emits (+1 at start, −1 one second past its last event), the
+    * running delta sum is instantaneous concurrency, the answer is its
+    * max and the earliest second attaining it. Equal-timestamp ties
+    * order ends before starts (delta asc), and within equal (t, delta)
+    * groups the prefix-sum MULTISET is order-independent (equal
+    * increments commute), so peak and first-peak are deterministic in
+    * both engines even though the global sort has ties.
+    *
+    * Scale shape: the sweep runs over 2 rows per SESSION (not per
+    * event) — the single-partition running sum is over a frame already
+    * reduced by the per-user session aggregate; at higher volume,
+    * pre-aggregate deltas per second first (same answer, ≤ span rows).
+    */
+  val concurrency: QueryDef = QueryDef(
+    "q_events_concurrency",
+    (s, dir) => {
+      val wu = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      val sess = events(s, dir)
+        .select(col("user_id"), col("event_id"), sec.as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(wu))
+        .withColumn("new_s",
+          when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min(col("sec")).as("start_s"), max(col("sec")).as("end_s"))
+      val points = sess.select(col("start_s").as("t"), lit(1L).as("delta"))
+        .unionAll(sess.select((col("end_s") + 1).as("t"), lit(-1L).as("delta")))
+      val sweep = Window.orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = points.withColumn("running", sum(col("delta")).over(sweep))
+      val peak = run.agg(max(col("running")).as("peak_concurrent"))
+      run.crossJoin(broadcast(peak))
+        .where(col("running") === col("peak_concurrent"))
+        .groupBy("peak_concurrent")
+        .agg(min(col("t")).as("first_peak_s"))
+        .crossJoin(broadcast(sess.agg(count(lit(1)).as("n_sessions"))))
+        .select("peak_concurrent", "first_peak_s", "n_sessions")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+           g AS (SELECT user_id, sec, CASE WHEN sec - LAG(sec) OVER
+               (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+               OR sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+               THEN 1 ELSE 0 END AS new_s,
+             event_id FROM e),
+           sid AS (SELECT user_id, sec,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+           sess AS (SELECT user_id, sid, MIN(sec) AS start_s, MAX(sec) AS end_s
+             FROM sid GROUP BY 1, 2),
+           pts AS (SELECT start_s AS t, CAST(1 AS BIGINT) AS delta FROM sess
+             UNION ALL SELECT end_s + 1, CAST(-1 AS BIGINT) FROM sess),
+           run AS (SELECT t, CAST(SUM(delta) OVER (ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running FROM pts),
+           pk AS (SELECT CAST(MAX(running) AS BIGINT) AS peak_concurrent FROM run)
+           SELECT pk.peak_concurrent,
+             (SELECT MIN(t) FROM run WHERE running = pk.peak_concurrent) AS first_peak_s,
+             (SELECT COUNT(*) FROM sess) AS n_sessions
+           FROM pk"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
-      rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum)
+      rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
+      twa, concurrency)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

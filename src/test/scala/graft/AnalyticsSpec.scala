@@ -261,6 +261,57 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("time-weighted average equals a sequential per-type fold") {
+    val got = Events.twa.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val evs = Events.loadEvents(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        expr("ts div 1000000000").as("sec"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .collect().groupBy(_.getString(0))
+    for ((t, rows) <- evs) {
+      val seq = rows.map(r => (r.getLong(2), r.getLong(1), r.getLong(3)))
+        .sortBy(x => (x._1, x._2))
+      val segs = seq.zip(seq.tail).map { case ((s1, _, v), (s2, _, _)) => (s2 - s1, v) }
+      if (segs.nonEmpty) {
+        val span = segs.map(_._1).sum
+        val wsum = segs.map { case (d, v) => d * v }.sum
+        val expect = (segs.length.toLong, span,
+          if (span == 0) 0L else wsum * 10 / span)
+        assert(got(t)._1 == expect._1 && got(t)._2 == expect._2, s"$t: ${got(t)} vs $expect")
+        if (span > 0) assert(got(t)._3 == expect._3, s"$t twa: ${got(t)._3} vs ${expect._3}")
+      }
+    }
+  }
+
+  test("peak concurrency equals a brute-force sweep over sessions") {
+    val r = Events.concurrency.fn(spark, sfDir).collect().head
+    val (peak, firstPeak, nSess) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // rebuild sessions sequentially
+    val evs = Events.loadEvents(spark, sfDir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000000").as("sec"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .groupBy(_._1)
+    val sessions = evs.values.flatMap { rows =>
+      val seq = rows.map(x => (x._3, x._2)).sortBy(identity).map(_._1)
+      val bounds = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      var (start, last) = (seq.head, seq.head)
+      for (t <- seq.tail) {
+        if (t - last > 1800) { bounds += ((start, last)); start = t }
+        last = t
+      }
+      bounds += ((start, last))
+      bounds
+    }.toSeq
+    assert(sessions.size.toLong == nSess)
+    val deltas = sessions.flatMap { case (a, b) => Seq((a, 1L), (b + 1, -1L)) }
+      .sortBy(identity)
+    val running = deltas.scanLeft((0L, 0L)) { case ((_, acc), (t, d)) => (t, acc + d) }.tail
+    val bPeak = running.map(_._2).max
+    assert(peak == bPeak, s"peak $peak vs brute $bPeak")
+    assert(firstPeak == running.filter(_._2 == bPeak).map(_._1).min)
+  }
+
   test("mutual components partition the corpus; mutual edges are symmetric subgraph") {
     val hist = Similarity.mutualComponents.fn(spark, sfDir).collect()
     val n = Tables.load(spark, sfDir, "embeddings").count()

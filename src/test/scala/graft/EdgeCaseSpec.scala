@@ -42,6 +42,7 @@ class EdgeCaseSpec extends SparkSpec {
     "m_patch_grid",
     // round 9 additions (non-index-building)
     "q_skyline", "d_lsh_planner", "t_contamination_bloom", "t_novelty",
+    "q_events_twa", "q_events_concurrency",
     "t_calibration_curve", "s_knn_truncated_recall",
     "s_label_centroid_drift")
 
