@@ -490,6 +490,47 @@ object TextFunctions {
          FROM test t LEFT JOIN train tr ON t.gram = tr.gram
          GROUP BY 1"""))
 
+  /** EXACT-SUBSTRING decontamination audit — the verbatim complement
+    * of the gram-based checks (rows 43/43b catch shared n-grams; this
+    * catches benchmark passages copied character-for-character,
+    * whitespace and all — the strictest leak signal): each benchmark
+    * doc (doc_id < 10) contributes one 50-char probe snippet, and the
+    * audit counts corpus docs (doc_id ≥ 10) containing it verbatim.
+    * Snippets shorter than 50 chars are dropped in BOTH engines so the
+    * empty-string-matches-everything degenerate can't fire.
+    *
+    * Scale shape: B snippets ride ONE broadcast; the corpus is scanned
+    * once with all B `contains` probes fused in the same codegen stage
+    * (at larger B, swap in an Aho–Corasick native expression — same
+    * plan shape). Never a corpus shuffle.
+    */
+  val substringDecontamination: QueryDef = QueryDef(
+    "t_decontamination_substring",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val snippets = broadcast(d.where(col("doc_id") < 10)
+        .select(col("doc_id").as("bench_id"),
+          substring(col("text"), 20, 50).as("snippet"))
+        .where(length(col("snippet")) === 50))
+      val matched = d.where(col("doc_id") >= 10).select(col("text"))
+        .crossJoin(snippets)
+        .where(col("text").contains(col("snippet")))
+        .groupBy("bench_id")
+        .agg(count(lit(1)).as("n"))
+      // zero-match snippets still ship (the q_data_quality convention:
+      // the artifact proves the check RAN for every probe)
+      snippets.select("bench_id").join(matched, Seq("bench_id"), "left")
+        .select(col("bench_id"),
+          coalesce(col("n"), lit(0L)).as("n_matching_docs"))
+    },
+    Some("""WITH sn AS (SELECT doc_id AS bench_id, substr(text, 20, 50) AS snippet
+           FROM documents WHERE doc_id < 10 AND length(substr(text, 20, 50)) = 50),
+         m AS (SELECT sn.bench_id, COUNT(*) AS n
+           FROM documents d JOIN sn ON position(sn.snippet IN d.text) > 0
+           WHERE d.doc_id >= 10 GROUP BY 1)
+         SELECT sn.bench_id, COALESCE(m.n, 0) AS n_matching_docs
+         FROM sn LEFT JOIN m USING (bench_id)"""))
+
   /** Deterministic WEIGHTED Bernoulli sampling: P(keep) ∝ n_chars —
     * the importance-sampling primitive (upweight long documents, or
     * any per-row weight) with hash-derived "randomness", so the sample
@@ -3050,5 +3091,6 @@ object TextFunctions {
       keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit,
       oovRate, corpusDrift, pipelineCuration, labelEncode,
       evalAuc, kAnonymity, qualityLmBigram, maskSpans, bpeMerges, bpeEncode,
-      langIdEval, contaminationBloom, noveltyNgram, calibrationCurve)
+      langIdEval, contaminationBloom, noveltyNgram, calibrationCurve,
+      substringDecontamination)
 }

@@ -1345,9 +1345,49 @@ object Dedup {
            FROM g2"""))
   }
 
+  /** LSH BUCKET-OCCUPANCY stats — the operational observability of the
+    * banded join (the skew early-warning `q_skew_profile` gives shuffle
+    * keys, applied to the dedup index itself): per band, bucket count,
+    * singleton count (buckets generating NO candidates — dead weight),
+    * the largest bucket (one viral boilerplate text = one hot bucket =
+    * one straggler task), and the implied candidate-pair total
+    * Σ sz·(sz−1)/2 — the EXACT work the verify stage will pay, read
+    * BEFORE running it. sz·(sz−1) is always even so the /2 is exact.
+    *
+    * Scale shape: one (band, bucket) count aggregate (map-side
+    * combined) + one per-band rollup of ≤ bucket-count rows. Strictly
+    * cheaper than the candidate join it predicts.
+    */
+  val bucketStats: QueryDef = QueryDef(
+    "d_lsh_bucket_stats",
+    (s, dir) => {
+      val sizes = bandedSigned(Tables.load(s, dir, "documents"))
+        .groupBy(col("band").cast("long").as("band"), col("bucket"))
+        .agg(count(lit(1)).as("sz"))
+      sizes.groupBy("band")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"),
+          max(col("sz")).as("max_bucket"),
+          expr("sum(sz * (sz - 1)) div 2").as("candidate_pairs"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         sh AS (SELECT doc_id, ${gramsSql(3)} AS shingles FROM tk),
+         sg AS (SELECT doc_id, shingles, list_transform(range(0, $K), k ->
+             list_min(list_transform(shingles, h ->
+               ((2*k+1)*(h % $HashP) + ((k*2654435761) % $HashP)) % $HashP))) AS sig
+           FROM sh),
+         bx AS (SELECT doc_id, unnest(range(0, $Bands)) AS band, sig FROM sg),
+         bb AS (SELECT doc_id, band, ${bandBucketSql("band")} AS bucket FROM bx),
+         sz AS (SELECT band, bucket, COUNT(*) AS sz FROM bb GROUP BY 1, 2)
+         SELECT band, COUNT(*) AS n_buckets,
+           CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+           MAX(sz) AS max_bucket,
+           CAST(SUM(sz * (sz - 1)) AS BIGINT) // 2 AS candidate_pairs
+         FROM sz GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(exact, paragraph, substring, minhash, editDistance, simhashDef,
       ngramJaccard, cluster, canonicalByQuality, incremental, dedupReport,
       sourceOverlap, containment, splitLeakage, corpusDiversity,
-      minhashAccuracy, lshPlanner)
+      minhashAccuracy, lshPlanner, bucketStats)
 }

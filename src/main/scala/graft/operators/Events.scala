@@ -1374,12 +1374,53 @@ object Events {
              (SELECT COUNT(*) FROM sess) AS n_sessions
            FROM pk"""))
 
+  /** DAU/MAU STICKINESS — the engagement ratio product analytics
+    * trends (retention answers "do they come back", stickiness answers
+    * "how much of the month are they here"): per 30-day window, the
+    * monthly-active count, the mean daily-active count over days WITH
+    * activity, and their ratio ×1000. Pure epoch-day arithmetic (day =
+    * sec div 86400, window = day div 30) — no calendar library on
+    * either engine, so the bucketing is bit-identical.
+    *
+    * Scale shape: two distinct-user aggregates keyed on bounded keys
+    * ((window, day) and (window)) — the day frame is ≤ 30 rows per
+    * window regardless of event volume; distinct-user shuffles carry
+    * user ids once per (window, day), the same cost class as the
+    * retention cohort query.
+    */
+  val stickiness: QueryDef = QueryDef(
+    "q_events_stickiness",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), expr("(ts div 1000000000) div 86400").as("day"))
+        .withColumn("w", expr("day div 30"))
+      val dau = e.groupBy("w", "day").agg(countDistinct("user_id").as("dau"))
+      val mau = e.groupBy("w").agg(countDistinct("user_id").as("mau"))
+      dau.groupBy("w")
+        .agg(count(lit(1)).as("n_active_days"), sum(col("dau")).as("dau_sum"))
+        .join(mau, Seq("w"))
+        .select(col("w").as("window_30d"), col("n_active_days"), col("mau"),
+          expr("dau_sum div n_active_days").as("mean_dau"),
+          expr("(dau_sum * 1000) div (n_active_days * mau)").as("stickiness_x1000"))
+    },
+    Some("""WITH e AS (SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+           e2 AS (SELECT user_id, day, day // 30 AS w FROM e),
+           dau AS (SELECT w, day, COUNT(DISTINCT user_id) AS dau FROM e2 GROUP BY 1, 2),
+           mau AS (SELECT w, COUNT(DISTINCT user_id) AS mau FROM e2 GROUP BY 1),
+           dd AS (SELECT w, COUNT(*) AS n_active_days,
+               CAST(SUM(dau) AS BIGINT) AS dau_sum FROM dau GROUP BY 1)
+           SELECT dd.w AS window_30d, dd.n_active_days, mau.mau,
+             dd.dau_sum // dd.n_active_days AS mean_dau,
+             (dd.dau_sum * 1000) // (dd.n_active_days * mau.mau) AS stickiness_x1000
+           FROM dd JOIN mau USING (w)"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
-      twa, concurrency)
+      twa, concurrency, stickiness)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -312,6 +312,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(firstPeak == running.filter(_._2 == bPeak).map(_._1).min)
   }
 
+  test("substring decontamination equals a brute-force contains sweep; zero-rows ship") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val snippets = docs.filter(_._1 < 10)
+      .map { case (id, t) => id -> t.slice(19, 69) } // substr(text,20,50), 1-based
+      .filter(_._2.length == 50)
+    val expected = snippets.map { case (id, sn) =>
+      id -> docs.count { case (d, t) => d >= 10 && t.contains(sn) }.toLong
+    }
+    val got = TextFunctions.substringDecontamination.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected.toMap)
+    assert(got.size == snippets.size, "every probe snippet must emit a row")
+  }
+
+  test("stickiness: mean DAU <= MAU, ratio in (0, 1000], windows partition active days") {
+    val rows = Events.stickiness.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (days, mau, meanDau, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(days >= 1 && days <= 30, s"window has $days active days")
+      assert(meanDau <= mau, s"mean DAU $meanDau > MAU $mau")
+      assert(ratio > 0 && ratio <= 1000, s"stickiness $ratio out of range")
+    }
+    // total active days across windows == distinct (day) count
+    val allDays = Events.loadEvents(spark, sfDir)
+      .select(expr("(ts div 1000000000) div 86400").as("d")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == allDays)
+  }
+
+  test("LSH bucket stats: implied candidate pairs bound the actual distinct pair count") {
+    val stats = graft.operators.Dedup.bucketStats.fn(spark, sfDir).collect()
+    assert(stats.map(_.getLong(0)).sorted.toSeq == (0L to 7L))
+    val implied = stats.map(_.getLong(4)).sum
+    val actual = graft.operators.Dedup.minhashCandidates(
+      graft.operators.Dedup.signed(Tables.load(spark, sfDir, "documents"))).count()
+    // per-band pair totals double-count pairs colliding in >1 band, so
+    // the implied total upper-bounds the distinct candidate set
+    assert(actual <= implied, s"actual $actual > implied $implied")
+    assert(implied > 0)
+    stats.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "singletons <= buckets")
+      assert(r.getLong(3) >= 1)
+    }
+  }
+
   test("mutual components partition the corpus; mutual edges are symmetric subgraph") {
     val hist = Similarity.mutualComponents.fn(spark, sfDir).collect()
     val n = Tables.load(spark, sfDir, "embeddings").count()

@@ -42,9 +42,10 @@ class EdgeCaseSpec extends SparkSpec {
     "m_patch_grid",
     // round 9 additions (non-index-building)
     "q_skyline", "d_lsh_planner", "t_contamination_bloom", "t_novelty",
-    "q_events_twa", "q_events_concurrency",
+    "q_events_twa", "q_events_concurrency", "q_events_stickiness",
     "t_calibration_curve", "s_knn_truncated_recall",
-    "s_label_centroid_drift")
+    "s_label_centroid_drift", "t_decontamination_substring",
+    "d_lsh_bucket_stats")
 
   private def writeScaled(dst: String, limit: Int): Unit = {
     graft.sources.Snapshots.deleteRecursively(dst)
