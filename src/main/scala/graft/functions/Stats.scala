@@ -217,6 +217,56 @@ object StatsQueries {
           FROM lineitem, bounds GROUP BY 1"""
     })
 
+  /** DESCRIBE-style numeric TABLE PROFILE — the one-glance data-audit
+    * frame (pandas `describe` / dbt-profiler shape) for every numeric
+    * lineitem measure: count, nulls, distincts, min/max, exact mean
+    * ×10⁴ and exact quartiles. Values profile in CENTS (×100 integers)
+    * so the quartile interpolation at ¼ fractions is an exact dyadic
+    * rational — bit-identical in both engines regardless of whether
+    * the interpolator computes a+(b−a)·f or a(1−f)+b·f.
+    *
+    * Scale shape: one aggregate pass per column over its pruned
+    * single-column scan (the `q_approx_stats` branch convention —
+    * independent 1-row aggregates, never one wide Expand), unioned
+    * into the 4-row report. At 100 TB swap the exact percentile for
+    * the GK sketch (row 35) column-by-column; the frame is unchanged.
+    */
+  val tableProfile: QueryDef = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    QueryDef(
+      "q_table_profile",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        cols.map { c =>
+          val cents = s"cast(cast($c as decimal(18,2)) * 100 as bigint)"
+          li.select(expr(cents).as("v"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+              countDistinct(col("v")).as("n_distinct"),
+              min(col("v")).as("min_c"), max(col("v")).as("max_c"),
+              expr("sum(v) * 100 div count(v)").as("mean_x10000"),
+              expr("percentile(v, 0.25)").as("p25_c"),
+              expr("percentile(v, 0.5)").as("p50_c"),
+              expr("percentile(v, 0.75)").as("p75_c"))
+            .select(lit(c).as("column_name") +:
+              Seq("n_rows", "n_null", "n_distinct", "min_c", "max_c",
+                "mean_x10000", "p25_c", "p50_c", "p75_c").map(col): _*)
+        }.reduce(_ unionAll _)
+      },
+      Some(cols.map { c =>
+        val cents = s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+            CAST(SUM(CASE WHEN $cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            COUNT(DISTINCT $cents) AS n_distinct,
+            MIN($cents) AS min_c, MAX($cents) AS max_c,
+            (CAST(SUM($cents) AS BIGINT) * 100) // COUNT($cents) AS mean_x10000,
+            quantile_cont($cents, 0.25) AS p25_c,
+            quantile_cont($cents, 0.5) AS p50_c,
+            quantile_cont($cents, 0.75) AS p75_c
+            FROM lineitem"""
+      }.mkString(" UNION ALL ")))
+  }
+
   /** Shuffle-key skew profiler — the pre-flight diagnostic that decides
     * whether a join/aggregation key needs salting (SkewJoin) or AQE
     * skew splitting before a 100 TB run: per-key counts reduced to
@@ -487,7 +537,7 @@ object StatsQueries {
   val defs: Seq[QueryDef] =
     Seq(histogram, tableStats, stringHistogram, approxStats, histogramEquiDepth,
       sketchQuantiles, skewProfile, dataQuality, tableChecksum,
-      tableChecksumIncremental, approxStatsGrouped)
+      tableChecksumIncremental, approxStatsGrouped, tableProfile)
 
   /** Equi-width histogram summary of a numeric column: (lo, hi,
     * bucket counts). One narrow aggregate pass; the B-bucket result is

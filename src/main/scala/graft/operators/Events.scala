@@ -1415,12 +1415,57 @@ object Events {
              (dd.dau_sum * 1000) // (dd.n_active_days * mau.mau) AS stickiness_x1000
            FROM dd JOIN mau USING (w)"""))
 
+  /** CADENCE / GAP audit — the pipeline-liveness question the windowed
+    * aggregates assume away: per event type, the largest silent gap,
+    * and how many gaps ran past 10× the type's mean cadence (mean =
+    * span/(n−1); the comparison is cross-multiplied so it stays pure
+    * integer: gap·(n−1) > 10·span). The artifact an on-call reads to
+    * distinguish "source was quiet" from "ingestion silently died for
+    * six hours" — data-quality row 16b checks values, this checks
+    * TIME.
+    *
+    * Scale shape: the same one lead() window shuffle as `q_events_twa`
+    * plus a per-type aggregate carrying three longs.
+    */
+  val gapAudit: QueryDef = QueryDef(
+    "q_events_gaps",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("sec"), col("event_id"))
+      val base = events(s, dir)
+        .select(col("event_type"), col("event_id"), sec.as("sec"))
+        .withColumn("gap", lead(col("sec"), 1).over(w) - col("sec"))
+        .localCheckpoint()
+      val totals = base.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("gap")).as("span_s"),
+          max(col("gap")).as("max_gap_s"))
+      val viol = base.join(broadcast(totals), Seq("event_type"))
+        .where(col("gap").isNotNull &&
+          col("gap") * (col("n_events") - 1) > lit(10) * col("span_s"))
+        .groupBy("event_type").agg(count(lit(1)).as("v"))
+      totals.join(viol, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_events"), col("span_s"),
+          col("max_gap_s"), coalesce(col("v"), lit(0L)).as("n_gap_violations"))
+    },
+    Some("""WITH e AS (SELECT event_type, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+           l AS (SELECT event_type,
+             LEAD(sec) OVER (PARTITION BY event_type ORDER BY sec, event_id) - sec AS gap
+             FROM e),
+           t AS (SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(gap) AS BIGINT) AS span_s,
+               MAX(gap) AS max_gap_s FROM l GROUP BY 1)
+           SELECT t.event_type, t.n_events, t.span_s, t.max_gap_s,
+             CAST((SELECT COUNT(*) FROM l WHERE l.event_type = t.event_type
+               AND l.gap * (t.n_events - 1) > 10 * t.span_s) AS BIGINT)
+               AS n_gap_violations
+           FROM t"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
-      twa, concurrency, stickiness)
+      twa, concurrency, stickiness, gapAudit)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -360,6 +360,44 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("table profile matches a brute-force per-column recompute") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val got = StatsQueries.tableProfile.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")) {
+      val cents = li.select(
+        expr(s"cast(cast($c as decimal(18,2)) * 100 as bigint)").as("v"))
+        .collect().map(_.getLong(0)).sorted
+      val r = got(c)
+      assert(r.getLong(1) == cents.length && r.getLong(2) == 0)
+      assert(r.getLong(3) == cents.distinct.length)
+      assert(r.getLong(4) == cents.head && r.getLong(5) == cents.last)
+      assert(r.getLong(6) == cents.sum * 100 / cents.length)
+      def q(f: Double): Double = {
+        val pos = f * (cents.length - 1)
+        val (lo, hi) = (cents(pos.toInt), cents(math.ceil(pos).toInt))
+        lo + (hi - lo) * (pos - math.floor(pos))
+      }
+      assert(r.getDouble(7) == q(0.25) && r.getDouble(8) == q(0.5) &&
+        r.getDouble(9) == q(0.75), s"$c quartiles: $r")
+    }
+  }
+
+  test("gap audit: violations recomputed sequentially per type") {
+    val got = Events.gapAudit.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val evs = Events.loadEvents(spark, sfDir)
+      .select(col("event_type"), col("event_id"), expr("ts div 1000000000").as("sec"))
+      .collect().groupBy(_.getString(0))
+    for ((t, rows) <- evs) {
+      val secs = rows.map(r => (r.getLong(2), r.getLong(1))).sorted.map(_._1)
+      val gaps = secs.zip(secs.tail).map { case (a, b) => b - a }
+      val span = gaps.sum
+      val viol = gaps.count(g => g * (secs.length - 1) > 10 * span).toLong
+      assert(got(t) == ((secs.length.toLong, span, gaps.max, viol)), s"$t: ${got(t)}")
+    }
+  }
+
   test("mutual components partition the corpus; mutual edges are symmetric subgraph") {
     val hist = Similarity.mutualComponents.fn(spark, sfDir).collect()
     val n = Tables.load(spark, sfDir, "embeddings").count()
