@@ -1385,9 +1385,117 @@ object Dedup {
            CAST(SUM(sz * (sz - 1)) AS BIGINT) // 2 AS candidate_pairs
          FROM sz GROUP BY 1"""))
 
+  /** INCREMENTAL EXACT dedup — the most common production dedup shape,
+    * completing the incremental ladder (minhash 22b / semantic 24d /
+    * BM25 / IVF / checksum all have `_incremental` forms; exact did
+    * not): the base corpus's (md5 fingerprint → canonical doc_id)
+    * index is a persisted content-keyed snapshot; a new batch appends
+    * its own per-fingerprint minima EXACTLY-ONCE (ingestBatch replay
+    * no-ops) and dedups against pinned base ∪ batch. min() over both
+    * sides equals the full-corpus minimum for every fingerprint a
+    * batch doc belongs to — which is exactly what the full-recompute
+    * oracle asserts.
+    *
+    * Scale shape: O(batch) per cycle — one batch-side groupBy on the
+    * 16-byte fingerprint, one equi-join against the index on the same
+    * key (bucketable); the base is never rescanned.
+    */
+  val exactIncremental: QueryDef = QueryDef(
+    "d_dedup_exact_incremental",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val d = Tables.load(s, dir, "documents")
+      val fpKey = Snapshots.fileFingerprint(s"$dir/documents.parquet")
+        .replaceAll("[^A-Za-z0-9]", "").take(16)
+      val root = "/root/repo/target/exactdedup/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fpKey
+      if (Snapshots.currentVersion(root) == 0) {
+        Snapshots.gcSiblingRoots(root)
+        Snapshots.commitOverwrite(
+          d.where(col("doc_id") % 10 =!= 0)
+            .groupBy(md5(col("text")).as("fp"))
+            .agg(min(col("doc_id")).as("canonical_id")),
+          root)
+      }
+      val batch = d.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), md5(col("text")).as("fp")).localCheckpoint()
+      val batchIdx = batch.groupBy("fp").agg(min(col("doc_id")).as("canonical_id"))
+      Snapshots.ingestBatch(batchIdx, root, "d_dedup_exact_incremental", 0L)
+      // pinned base (v1): replays read the same comparison set
+      val combined = Snapshots.readVersion(s, root, 1).unionByName(batchIdx)
+        .groupBy("fp").agg(min(col("canonical_id")).as("canonical_id"))
+      batch.join(combined, Seq("fp"))
+        .select(col("doc_id"), col("canonical_id"),
+          (col("canonical_id") =!= col("doc_id")).as("is_dup"))
+    },
+    Some("""WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM fps GROUP BY 1)
+         SELECT f.doc_id, c.canonical_id, c.canonical_id <> f.doc_id AS is_dup
+         FROM fps f JOIN canon c USING (fp) WHERE f.doc_id % 10 = 0"""))
+
+  /** MEASURED threshold sweep — the empirical counterpart of
+    * [[lshPlanner]]'s theoretical S-curve: for τ ∈ {0.3, 0.5, 0.7},
+    * how many verified candidate pairs clear it and how much of the
+    * corpus the "drop the higher-id member of every ≥τ pair" policy
+    * would remove. ONE banded-candidate + verify pass, reused by every
+    * sweep point (filter on the already-computed Jaccard, never a
+    * re-verify) — the number an operator reads before committing to a
+    * dedup threshold.
+    */
+  val thresholdSweep: QueryDef = QueryDef(
+    "d_dedup_threshold_sweep",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val sg = signed(d)
+      val sa = sg.select(col("doc_id").as("a"), col("shingles").as("sh_a"))
+      val sb = sg.select(col("doc_id").as("b"), col("shingles").as("sh_b"))
+      val inter = graft.functions.Native.sortedIntersectSize(col("sh_a"), col("sh_b"))
+      val scored = minhashCandidates(sg).join(sa, "a").join(sb, "b")
+        .select(col("b"), inter.as("inter"),
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("zsum"))
+        .where(col("zsum") - col("inter") > 0)
+        .select(col("b"),
+          expr("(inter * 1000) div (zsum - inter)").as("j1000"))
+        .localCheckpoint()
+      val nDocs = broadcast(d.agg(count(lit(1)).as("n_docs")))
+      Seq(300L, 500L, 700L).map { tau =>
+        scored.where(col("j1000") >= tau)
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("b")).as("n_docs_dropped"))
+          .crossJoin(nDocs)
+          .select(lit(tau).as("tau_x1000"), col("n_pairs"), col("n_docs_dropped"),
+            expr("(n_docs_dropped * 1000) div n_docs").as("drop_rate_x1000"))
+      }.reduce(_ unionAll _)
+    },
+    Some {
+      val sweep = Seq(300, 500, 700).map { tau =>
+        s"""SELECT CAST($tau AS BIGINT) AS tau_x1000, COUNT(*) AS n_pairs,
+            COUNT(DISTINCT b) AS n_docs_dropped,
+            (COUNT(DISTINCT b) * 1000) // (SELECT COUNT(*) FROM documents) AS drop_rate_x1000
+            FROM sc WHERE j1000 >= $tau"""
+      }.mkString(" UNION ALL ")
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         sh AS (SELECT doc_id, ${gramsSql(3)} AS shingles FROM tk),
+         sg AS (SELECT doc_id, shingles, list_transform(range(0, $K), k ->
+             list_min(list_transform(shingles, h ->
+               ((2*k+1)*(h % $HashP) + ((k*2654435761) % $HashP)) % $HashP))) AS sig
+           FROM sh),
+         bx AS (SELECT doc_id, unnest(range(0, $Bands)) AS band, sig FROM sg),
+         bb AS (SELECT doc_id, band, ${bandBucketSql("band")} AS bucket FROM bx),
+         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bb l JOIN bb r
+             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         pj AS (SELECT c.b, CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+               CAST(len(sa.shingles) + len(sb.shingles) AS BIGINT) AS zsum
+             FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+         sc AS (SELECT b, (inter * 1000) // (zsum - inter) AS j1000
+             FROM pj WHERE zsum - inter > 0)
+         $sweep"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(exact, paragraph, substring, minhash, editDistance, simhashDef,
       ngramJaccard, cluster, canonicalByQuality, incremental, dedupReport,
       sourceOverlap, containment, splitLeakage, corpusDiversity,
-      minhashAccuracy, lshPlanner, bucketStats)
+      minhashAccuracy, lshPlanner, bucketStats, exactIncremental,
+      thresholdSweep)
 }

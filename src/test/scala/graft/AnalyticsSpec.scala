@@ -398,6 +398,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("incremental exact dedup ≡ full-corpus canonical assignment for batch docs") {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val canon = d.groupBy(_._2).map { case (fp, xs) => fp -> xs.map(_._1).min }
+    val expected = d.collect { case (id, fp) if id % 10 == 0 =>
+      id -> ((canon(fp), canon(fp) != id))
+    }.toMap
+    val got = graft.operators.Dedup.exactIncremental.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // replay is idempotent: a second run returns the identical frame
+    val again = graft.operators.Dedup.exactIncremental.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(again == got)
+  }
+
+  test("threshold sweep is monotone: higher tau never drops more") {
+    val rows = graft.operators.Dedup.thresholdSweep.fn(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(300L, 500L, 700L))
+    val pairs = rows.map(_.getLong(1))
+    val dropped = rows.map(_.getLong(2))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b })
+    assert(dropped.zip(dropped.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000))
+  }
+
   test("mutual components partition the corpus; mutual edges are symmetric subgraph") {
     val hist = Similarity.mutualComponents.fn(spark, sfDir).collect()
     val n = Tables.load(spark, sfDir, "embeddings").count()

@@ -43,7 +43,7 @@ class EdgeCaseSpec extends SparkSpec {
     // round 9 additions (non-index-building)
     "q_skyline", "d_lsh_planner", "t_contamination_bloom", "t_novelty",
     "q_events_twa", "q_events_concurrency", "q_events_stickiness",
-    "q_table_profile", "q_events_gaps",
+    "q_table_profile", "q_events_gaps", "d_dedup_threshold_sweep",
     "t_calibration_curve", "s_knn_truncated_recall",
     "s_label_centroid_drift", "t_decontamination_substring",
     "d_lsh_bucket_stats")
