@@ -1464,14 +1464,14 @@ object Dedup {
             countDistinct(col("b")).as("n_docs_dropped"))
           .crossJoin(nDocs)
           .select(lit(tau).as("tau_x1000"), col("n_pairs"), col("n_docs_dropped"),
-            expr("(n_docs_dropped * 1000) div n_docs").as("drop_rate_x1000"))
+            expr("(n_docs_dropped * 1000) div nullif(n_docs, 0)").as("drop_rate_x1000"))
       }.reduce(_ unionAll _)
     },
     Some {
       val sweep = Seq(300, 500, 700).map { tau =>
         s"""SELECT CAST($tau AS BIGINT) AS tau_x1000, COUNT(*) AS n_pairs,
             COUNT(DISTINCT b) AS n_docs_dropped,
-            (COUNT(DISTINCT b) * 1000) // (SELECT COUNT(*) FROM documents) AS drop_rate_x1000
+            (COUNT(DISTINCT b) * 1000) // NULLIF((SELECT COUNT(*) FROM documents), 0) AS drop_rate_x1000
             FROM sc WHERE j1000 >= $tau"""
       }.mkString(" UNION ALL ")
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
