@@ -373,13 +373,20 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getLong(3) == cents.distinct.length)
       assert(r.getLong(4) == cents.head && r.getLong(5) == cents.last)
       assert(r.getLong(6) == cents.sum * 100 / cents.length)
-      def q(f: Double): Double = {
-        val pos = f * (cents.length - 1)
-        val (lo, hi) = (cents(pos.toInt), cents(math.ceil(pos).toInt))
-        lo + (hi - lo) * (pos - math.floor(pos))
+      // flags must hold, and the sketch guarantee they encode must hold
+      // against a brute-force exact quantile: e <= x <= e*(1+1/128)
+      assert(r.getBoolean(7) && r.getBoolean(8) && r.getBoolean(9),
+        s"$c quartile flags: $r")
+      val est = graft.functions.Sketches.quantileSketch(
+        col("v").cast("double"), Seq(0.25, 0.5, 0.75))
+      val es = li.select(
+        expr(s"cast(cast($c as decimal(18,2)) * 100 as bigint)").as("v"))
+        .agg(est.as("e")).collect().head.getSeq[Double](0)
+      for ((q, i) <- Seq(0.25, 0.5, 0.75).zipWithIndex) {
+        val x = cents(math.floor(q * (cents.length - 1)).toInt).toDouble
+        assert(es(i) <= x && x <= es(i) * (1 + 1.0 / 128),
+          s"$c q=$q est=${es(i)} exact=$x")
       }
-      assert(r.getDouble(7) == q(0.25) && r.getDouble(8) == q(0.5) &&
-        r.getDouble(9) == q(0.75), s"$c quartiles: $r")
     }
   }
 
