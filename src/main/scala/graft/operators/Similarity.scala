@@ -312,7 +312,7 @@ object Similarity {
            FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
          ft AS (SELECT q_id, n_id FROM (
              SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
-               CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) DESC, n_id) AS rn
+               CAST(dot AS DOUBLE) / SQRT(NULLIF(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE), 0)) DESC NULLS LAST, n_id) AS rn
              FROM fp) x WHERE rn <= 5),
          tp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
              CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
@@ -320,7 +320,7 @@ object Similarity {
            FROM nt a JOIN nt b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
          tt AS (SELECT q_id, n_id FROM (
              SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
-               CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) DESC, n_id) AS rn
+               CAST(dot AS DOUBLE) / SQRT(NULLIF(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE), 0)) DESC NULLS LAST, n_id) AS rn
              FROM tp) x WHERE rn <= 5)
          SELECT f.q_id, COUNT(*) AS n_true,
            CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
@@ -2873,7 +2873,12 @@ object Similarity {
         Snapshots.gcSiblingRoots(root)
         semDedupBootstrap(s, base, centsT, memT)
       }
-      val cents = Snapshots.read(s, centsT)
+      // cents pinned to v1 to match the pinned members base below: a
+      // drift re-train (semDedupRetrainIfDrifted) overwrites BOTH
+      // tables with a new cid space, and a latest-cents read would
+      // then assign batches under NEW cids while comparing against v1
+      // members clustered under OLD cids (round-9 advice)
+      val cents = Snapshots.readVersion(s, centsT, 1)
       val aB = ivfAssign(quantized(batch), cents).drop("m").localCheckpoint()
       Snapshots.ingestBatch(aB, memT, "d_dedup_semantic_incremental", 0L)
       // pinned base members (v1): replays and bench re-runs read the

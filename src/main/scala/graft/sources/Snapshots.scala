@@ -1362,6 +1362,13 @@ object Snapshots {
     * roots with a fingerprint DIFFERENT from the one being built are
     * removed, and a pinned reader of a superseded root is by
     * definition reading inputs that no longer exist.
+    *
+    * A sibling counts ONLY if its suffix after the prefix is exactly
+    * one fingerprint segment (no further underscores): a root for a
+    * DIFFERENT input dir whose sanitized name happens to extend this
+    * one (`<dir>_x` sanitizes to `<dir>_x_<fp>`, which starts with
+    * `<dir>_`) must not be swept as a superseded fingerprint of this
+    * input (round-9 advice).
     */
   def gcSiblingRoots(root: String): Unit = {
     val p = Paths.get(root)
@@ -1372,7 +1379,8 @@ object Snapshots {
     val prefix = name.substring(0, cut + 1)
     listDir(parent).foreach { sib =>
       val sn = sib.getFileName.toString
-      if (sn.startsWith(prefix) && sn != name)
+      if (sn.startsWith(prefix) && sn != name &&
+          !sn.substring(prefix.length).contains('_'))
         deleteRecursively(sib.toString)
     }
   }

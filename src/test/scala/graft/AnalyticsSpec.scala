@@ -882,6 +882,14 @@ class AnalyticsSpec extends SparkSpec {
       val zero = Similarity.quantizedOf(Tables.load(spark, sf, "embeddings"))
         .where(col("nrm") === 0L).count()
       assert(zero == 0L, s"$sf carries $zero zero-norm vectors")
+      // the 16-dim truncated slice (s_knn_truncated_recall) has its own
+      // norms — a vector whose FIRST 16 dims quantize to zero would
+      // diverge cross-engine without the oracle's NULLIF guard; pin
+      // that the corpus never exercises that path either
+      val zeroT = Tables.load(spark, sf, "embeddings")
+        .select(Similarity.quantize(slice(col("embedding"), 1, 16)).as("q"))
+        .where(graft.functions.Native.dotLong(col("q"), col("q")) === 0L).count()
+      assert(zeroT == 0L, s"$sf carries $zeroT zero-norm 16-dim slices")
     }
   }
 

@@ -1080,4 +1080,25 @@ class SourcesSpec extends SparkSpec {
       .agg(sum(col("cnt"))).head().getLong(0)
     assert(got == o.count(), s"recomputed view covers $got of ${o.count()} rows")
   }
+
+  test("gcSiblingRoots sweeps only one-segment fingerprint siblings, not extending roots") {
+    import graft.sources.Snapshots
+    import java.nio.file.{Files, Paths}
+    val parent = s"$tmp/gc_roots"
+    Snapshots.deleteRecursively(parent)
+    // same input dir, superseded fingerprint -> swept; a DIFFERENT
+    // input dir whose sanitized name extends this one ('data_x'
+    // sanitizes to 'data_x_<fp>', which startsWith 'data_') -> kept
+    val stale = s"$parent/data_oldfp11"
+    val other = s"$parent/data_x_fp22"
+    val fresh = s"$parent/data_newfp33"
+    Seq(stale, other).foreach { d =>
+      Files.createDirectories(Paths.get(d))
+      Files.writeString(Paths.get(d, "marker"), "x")
+    }
+    Snapshots.gcSiblingRoots(fresh)
+    assert(!Files.exists(Paths.get(stale)), "superseded fingerprint root must be swept")
+    assert(Files.exists(Paths.get(other, "marker")),
+      "a root for a different input dir must survive the sweep")
+  }
 }
