@@ -47,13 +47,13 @@ object StatsQueries {
       countDistinct(col("l_suppkey")).as("d_suppkey"),
       countDistinct(col("l_returnflag")).as("d_returnflag"))
       .withColumn("avg_lines_per_order",
-        col("n_rows").cast("double") / col("d_orderkey")),
+        col("n_rows").cast("double") / nullif(col("d_orderkey"), lit(0L))),
     Some("""SELECT COUNT(*) AS n_rows,
             COUNT(DISTINCT l_orderkey) AS d_orderkey,
             COUNT(DISTINCT l_partkey) AS d_partkey,
             COUNT(DISTINCT l_suppkey) AS d_suppkey,
             COUNT(DISTINCT l_returnflag) AS d_returnflag,
-            CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT l_orderkey) AS avg_lines_per_order
+            CAST(COUNT(*) AS DOUBLE) / NULLIF(COUNT(DISTINCT l_orderkey), 0) AS avg_lines_per_order
             FROM lineitem"""))
 
   /** §2.1 row 17 — string histogram by leading character (reference:

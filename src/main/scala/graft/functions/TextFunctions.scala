@@ -1078,9 +1078,8 @@ object TextFunctions {
         dir.replaceAll("[^A-Za-z0-9]", "_") + "/postings"
       val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
       val v = Snapshots.ensureIndex(postT, fp) { out =>
-        termSorted(postingsOf(Tables.load(s, dir, "documents")))
-          .write.partitionBy("b")
-          .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+        Snapshots.writeStaged(
+          termSorted(postingsOf(Tables.load(s, dir, "documents"))), out, "b")
       }
       serveConjunctive(s, s.read.parquet(Snapshots.versionDirs(postT, v): _*)
         .where(col("b").isin(searchBuckets: _*)))
@@ -1277,15 +1276,13 @@ object TextFunctions {
         dir.replaceAll("[^A-Za-z0-9]", "_") + "/postings_pos"
       val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
       val v = Snapshots.ensureIndex(postT, fp) { out =>
-        Tables.load(s, dir, "documents")
+        Snapshots.writeStaged(Tables.load(s, dir, "documents")
           .select(col("doc_id"),
             posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
           .where(col("term") =!= "")
           .withColumn("b", bucketExpr(col("term")))
           .repartitionByRange(64, col("b"), col("term"))
-          .sortWithinPartitions("b", "term", "doc_id", "pos")
-          .write.partitionBy("b")
-          .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+          .sortWithinPartitions("b", "term", "doc_id", "pos"), out, "b")
       }
       val words = PhraseTerms.flatMap(p => Seq(p._2, p._3)).distinct
       val post = s.read.parquet(Snapshots.versionDirs(postT, v): _*)
@@ -1405,13 +1402,11 @@ object TextFunctions {
     val dlT = root + "/doclen"
     val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
     val v = Snapshots.ensureIndex(postT, fp) { out =>
-      termSorted(postingsOf(Tables.load(s, dir, "documents")))
-        .write.partitionBy("b")
-        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+      Snapshots.writeStaged(
+        termSorted(postingsOf(Tables.load(s, dir, "documents"))), out, "b")
     }
     val vd = Snapshots.ensureIndex(dlT, fp) { out =>
-      docLengths(Tables.load(s, dir, "documents"))
-        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+      Snapshots.writeStaged(docLengths(Tables.load(s, dir, "documents")), out)
     }
     val post = s.read.parquet(Snapshots.versionDirs(postT, v): _*)
       .where(col("b").isin(searchBuckets: _*))
@@ -2178,9 +2173,10 @@ object TextFunctions {
       val tots = broadcast(counts.agg(sum(col("n_base")).as("tb"), sum(col("n_cand")).as("tc")))
       counts.crossJoin(tots)
         .select(col("bucket"), col("n_base"), col("n_cand"),
-          expr("(n_base * 1000) div tb").as("p_base_x1000"),
-          expr("(n_cand * 1000) div tc").as("p_cand_x1000"),
-          abs(expr("(n_base * 1000) div tb") - expr("(n_cand * 1000) div tc"))
+          expr("(n_base * 1000) div nullif(tb, 0)").as("p_base_x1000"),
+          expr("(n_cand * 1000) div nullif(tc, 0)").as("p_cand_x1000"),
+          abs(expr("(n_base * 1000) div nullif(tb, 0)") -
+            expr("(n_cand * 1000) div nullif(tc, 0)"))
             .as("absdiff_x1000"))
     },
     Some("""WITH d AS (SELECT doc_id, n_chars, doc_id % 2 = 0 AS is_base FROM documents),
@@ -2198,9 +2194,9 @@ object TextFunctions {
             t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
                 CAST(SUM(n_cand) AS BIGINT) AS tc FROM c)
             SELECT bucket, n_base, n_cand,
-              (n_base * 1000) // tb AS p_base_x1000,
-              (n_cand * 1000) // tc AS p_cand_x1000,
-              ABS((n_base * 1000) // tb - (n_cand * 1000) // tc) AS absdiff_x1000
+              (n_base * 1000) // NULLIF(tb, 0) AS p_base_x1000,
+              (n_cand * 1000) // NULLIF(tc, 0) AS p_cand_x1000,
+              ABS((n_base * 1000) // NULLIF(tb, 0) - (n_cand * 1000) // NULLIF(tc, 0)) AS absdiff_x1000
             FROM c CROSS JOIN t"""))
 
   /** The CURATION capstone — this round's operators fused into the

@@ -550,10 +550,10 @@ object Similarity {
     val table = "/root/repo/target/knnbands/" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
     val ver = Snapshots.ensureIndex(table, fp) { out =>
-      bandedVectors(quantized(Tables.load(s, dir, "embeddings"))
-        .withColumn("buckets", lshBandBuckets(col("q"))))
-        .repartition(col("band"), col("bucket"))
-        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+      Snapshots.writeStaged(
+        bandedVectors(quantized(Tables.load(s, dir, "embeddings"))
+          .withColumn("buckets", lshBandBuckets(col("q"))))
+          .repartition(col("band"), col("bucket")), out)
     }
     s.read.parquet(Snapshots.versionDirs(table, ver): _*)
   }
@@ -589,9 +589,8 @@ object Similarity {
     val table = "/root/repo/target/knngraph/" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
     val ver = Snapshots.ensureIndex(table, fp) { out =>
-      buildGraph(Tables.load(s, dir, "embeddings"))
-        .repartition(col("g_src"))
-        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+      Snapshots.writeStaged(buildGraph(Tables.load(s, dir, "embeddings"))
+        .repartition(col("g_src")), out)
     }
     s.read.parquet(Snapshots.versionDirs(table, ver): _*)
   }
@@ -1043,8 +1042,8 @@ object Similarity {
         .groupBy("cid").agg(transform(
           array_sort(collect_list(struct(col("dim"), col("sv")))),
           x => x.getField("sv")).as("cs"))
-      sums.join(a1.groupBy("cid").agg(count(lit(1)).as("cn")), "cid")
-        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+      Snapshots.writeStaged(
+        sums.join(a1.groupBy("cid").agg(count(lit(1)).as("cn")), "cid"), out)
     }
     val cents = broadcast(s.read.parquet(Snapshots.versionDirs(centsT, centsV): _*))
     val listsV = Snapshots.ensureIndex(listsT, fp) { out =>
@@ -1564,9 +1563,11 @@ object Similarity {
     */
   private def driftStats(v: DataFrame, cents: DataFrame): DataFrame =
     driftAssigned(v, cents)
-      .agg(count(lit(1)).as("n_vecs"), sum(col("numi")).as("drift_sum"))
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(col("numi")), lit(0L)).as("drift_sum"))
       .select(col("n_vecs"), col("drift_sum"),
-        expr("drift_sum DIV n_vecs").as("drift_mean"))
+        coalesce(expr("drift_sum DIV nullif(n_vecs, 0)"), lit(0L))
+          .as("drift_mean"))
 
   private def driftMean(v: DataFrame, cents: DataFrame): Long =
     driftStats(v, cents).head().getAs[Long]("drift_mean")
@@ -1995,13 +1996,13 @@ object Similarity {
       // ---- offline: coarse quantizer, PQ codebooks, cid-keyed codes
       val centsV = Snapshots.ensureIndex(centsT, fp) { out =>
         val (cents, _) = ivfBuild(e, c, 1)
-        cents.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+        Snapshots.writeStaged(cents, out)
       }
       val cents = broadcast(s.read.parquet(Snapshots.versionDirs(centsT, centsV): _*))
       val cbV = Snapshots.ensureIndex(cbT, fp) { out =>
-        subVectors(quantized(e)).where(col("vec_id") < PqK)
-          .select(col("m").as("cb_m"), col("vec_id").as("k"), col("sq").as("cq"))
-          .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+        Snapshots.writeStaged(subVectors(quantized(e)).where(col("vec_id") < PqK)
+          .select(col("m").as("cb_m"), col("vec_id").as("k"), col("sq").as("cq")),
+          out)
       }
       val cb = broadcast(s.read.parquet(Snapshots.versionDirs(cbT, cbV): _*))
       val codesV = Snapshots.ensureIndex(codesT, fp) { out =>
@@ -2139,7 +2140,7 @@ object Similarity {
     val objectives = Seq.newBuilder[Double]
     for (_ <- 1 to rounds) {
       val a = assign().localCheckpoint()
-      objectives += a.agg(sum(col("pd"))).head().getDouble(0)
+      objectives += a.agg(coalesce(sum(col("pd")), lit(0.0))).head().getDouble(0)
       val sums = a.select(col("m"), col("k"), posexplode(col("sq"))).toDF("m", "k", "dim", "v")
         .groupBy("m", "k", "dim").agg(sum(col("v")).as("sv"))
         .groupBy("m", "k").agg(transform(
@@ -2148,7 +2149,8 @@ object Similarity {
       cents = sums.join(a.groupBy("m", "k").agg(count(lit(1)).as("cn")), Seq("m", "k"))
         .localCheckpoint()
     }
-    objectives += assign().agg(sum(col("pd"))).head().getDouble(0)
+    objectives += assign().agg(coalesce(sum(col("pd")), lit(0.0)))
+      .head().getDouble(0)
     (cents, objectives.result())
   }
 
@@ -2293,11 +2295,14 @@ object Similarity {
     val objectives = Seq.newBuilder[Double]
     for (_ <- 1 to rounds) {
       val assigned = ivfAssign(v, centroids).localCheckpoint()
-      objectives += assigned.agg(sum(col("m"))).head().getDouble(0)
+      // coalesce: an EMPTY corpus sums to NULL, and the objective of
+      // nothing is 0, not a getDouble crash (day-one empty pipeline)
+      objectives += assigned.agg(coalesce(sum(col("m")), lit(0.0)))
+        .head().getDouble(0)
       centroids = ivfUpdate(assigned).localCheckpoint()
     }
     objectives += ivfAssign(v, centroids)
-      .agg(sum(col("m"))).head().getDouble(0)
+      .agg(coalesce(sum(col("m")), lit(0.0))).head().getDouble(0)
     (centroids, objectives.result())
   }
 
@@ -2395,18 +2400,18 @@ object Similarity {
       val e = Tables.load(s, dir, "embeddings")
       val cbV = Snapshots.ensureIndex(cbT, fp) { out =>
         val (cents, _) = pqBuild(e, rounds = 1)
-        cents.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+        Snapshots.writeStaged(cents, out)
       }
       val cb = broadcast(s.read.parquet(Snapshots.versionDirs(cbT, cbV): _*))
       val codesV = Snapshots.ensureIndex(codesT, fp) { out =>
         val v = quantized(e).localCheckpoint()
         val byD = Window.partitionBy("vec_id", "m").orderBy(col("pd"), col("k"))
-        subVectors(v).join(cb, Seq("m"))
+        Snapshots.writeStaged(subVectors(v).join(cb, Seq("m"))
           .select(col("vec_id"), col("m"), col("k"),
             floor(pqMetric * lit(1L << 20)).cast("long").as("pd"))
           .withColumn("rn", row_number().over(byD)).where(col("rn") === 1)
-          .select(col("vec_id").as("n_id"), col("m").as("c_m"), col("k").as("code"))
-          .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists).parquet(out)
+          .select(col("vec_id").as("n_id"), col("m").as("c_m"), col("k").as("code")),
+          out)
       }
       val codes = s.read.parquet(Snapshots.versionDirs(codesT, codesV): _*)
       val v = quantized(e).localCheckpoint()

@@ -114,7 +114,44 @@ object Snapshots {
   private def writeData(df: DataFrame, table: String): String = {
     val dir = Paths.get(table, "data", java.util.UUID.randomUUID.toString)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    ensureParquetFooter(df, dir.toString)
     dir.toString
+  }
+
+  /** Footer guard for persisted writes: an EMPTY frame whose optimized
+    * plan collapses to zero output partitions (empty-relation
+    * propagation) writes no parquet part at all — only _SUCCESS — and
+    * every later read of the dir dies with UNABLE_TO_INFER_SCHEMA.
+    * That is the day-one shape of a production pipeline (no data yet),
+    * so when no part file landed, write one empty part from a 1-slice
+    * RDD (which empty-relation pruning cannot elide): the schema —
+    * including partition columns, landing as regular columns of the
+    * empty part — is then always recoverable by readers.
+    */
+  def ensureParquetFooter(df: DataFrame, path: String): Unit = {
+    def hasPart(dir: Path): Boolean = listDir(dir).exists { f =>
+      if (Files.isDirectory(f)) hasPart(f)
+      else f.getFileName.toString.endsWith(".parquet")
+    }
+    val p = Paths.get(path)
+    if (!Files.exists(p) || !hasPart(p)) {
+      val s = df.sparkSession
+      s.createDataFrame(
+        s.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+        df.schema)
+        .write.mode(SaveMode.Append).parquet(path)
+    }
+  }
+
+  /** ErrorIfExists staging write + [[ensureParquetFooter]] — the form
+    * every `ensureIndex` staging callback should use so an empty
+    * corpus stages a readable (schema-bearing) empty index.
+    */
+  def writeStaged(df: DataFrame, out: String, partitionCols: String*): Unit = {
+    val w = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(out)
+    ensureParquetFooter(df, out)
   }
 
   private val MaxCommitAttempts = 100

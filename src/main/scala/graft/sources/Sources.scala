@@ -46,8 +46,10 @@ object Sources {
   /** Hive-style partitioned parquet layout; queries filtering on the
     * partition columns scan only matching directories.
     */
-  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit = {
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    Snapshots.ensureParquetFooter(df, path)
+  }
 
   /** Bucketed + sorted managed table: co-locates rows by join key at
     * write time (one shuffle, amortized over every future query).

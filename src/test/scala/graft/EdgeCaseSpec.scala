@@ -2,51 +2,21 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Degenerate-input robustness: representative catalog queries must
-  * not THROW on an empty corpus or a single-row corpus — the shapes a
-  * production pipeline hits on day one (no data yet), after an
-  * aggressive filter (one survivor), or on an empty partition of a
-  * date-partitioned run. Returning zero rows (or an all-null summary
-  * row from a global aggregate) is fine; an exception is not. The
-  * persisted-index families are deliberately excluded — building an
-  * index over an empty corpus is out of contract (C = ⌈√0⌉).
+/** Degenerate-input robustness: EVERY catalog query must not THROW on
+  * an empty corpus or a single-row corpus — the shapes a production
+  * pipeline hits on day one (no data yet), after an aggressive filter
+  * (one survivor), or on an empty partition of a date-partitioned run.
+  * Returning zero rows (or an all-null summary row from a global
+  * aggregate) is fine; an exception is not. Full-catalog since round
+  * 10 (the MultiFileSpec precedent): the persisted-index families are
+  * IN contract too — an index built over an empty corpus commits an
+  * empty-but-readable table (Snapshots.ensureParquetFooter) and serves
+  * zero hits.
   */
 class EdgeCaseSpec extends SparkSpec {
 
-  private val queriesUnderTest = Seq(
-    "q_agg_global", "q_groupby_agg", "q_where_predicates", "q_topk",
-    "q_events_window", "q_events_changepoint", "q_events_forecast",
-    "q_events_rolling", "q_events_heatmap", "q_events_bigrams",
-    "t_quality", "t_eval_auc", "t_k_anonymity", "t_mask_spans",
-    "t_langid_eval", "t_bpe_merges", "t_bpe_encode",
-    "d_dedup_exact", "d_corpus_diversity",
-    "q_basket_pairs", "q_assoc_rules",
-    // second tier: the rest of the non-index-building surface
-    "q_distinct", "q_semi_anti", "q_join_outer", "q_set_ops", "q_pivot",
-    "q_unpivot", "q_window_funcs", "q_percentiles", "q_rollup", "q_cube",
-    "q_json_extract", "q_events_sessionize", "q_events_funnel",
-    "q_events_retention", "q_events_markov", "q_events_rfm",
-    "q_events_mad", "q_events_trend", "q_events_attribution",
-    "q_events_conversion_lag", "q_events_winsorize", "q_events_resample",
-    "q_events_hopping", "q_events_topk", "q_events_pattern",
-    "q_events_abtest", "t_readability", "t_classifier_lift", "t_oov_rate",
-    "t_quality_lm", "t_quality_lm_bigram", "t_quality_classifier",
-    "t_wordcount", "t_collocations", "t_repetition", "t_pii_redact",
-    "t_tokens", "t_fingerprint", "t_normalize", "t_contamination",
-    "t_pack_sequences", "t_mixture_sample", "t_upsample_epochs",
-    "t_chunk_rag", "t_train_test_split", "t_label_encode", "t_langid",
-    "t_hash_sample", "t_stratified_sample", "t_weighted_sample",
-    "t_heavy_hitters", "d_dedup_paragraph", "d_dedup_simhash",
-    "d_dedup_minhash", "s_nearest_centroid", "s_label_kappa",
-    "s_eval_retrieval", "m_multimodal_meta", "m_frame_sample",
-    "m_patch_grid",
-    // round 9 additions (non-index-building)
-    "q_skyline", "d_lsh_planner", "t_contamination_bloom", "t_novelty",
-    "q_events_twa", "q_events_concurrency", "q_events_stickiness",
-    "q_table_profile", "q_events_gaps", "d_dedup_threshold_sweep",
-    "t_calibration_curve", "s_knn_truncated_recall",
-    "s_label_centroid_drift", "t_decontamination_substring",
-    "d_lsh_bucket_stats")
+  private val queriesUnderTest: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted
 
   private def writeScaled(dst: String, limit: Int): Unit = {
     graft.sources.Snapshots.deleteRecursively(dst)
