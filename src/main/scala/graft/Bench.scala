@@ -119,7 +119,30 @@ object Bench {
         s""""java":${jsonStr(System.getProperty("java.version", "?"))},""" +
         s""""testdata_fp":${jsonStr(fp)}}"""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"env":$envJson,"sf":"$sfDir"}"""
+    // persisted-root disk audit (round-10): per-family byte totals of
+    // every index/snapshot root the catalog accretes under target/ —
+    // the round-over-round line that proves content-keyed GC
+    // (ensureIndex vacuum + gcSiblingRoots) is holding, i.e. testdata
+    // regenerations REPLACE trained artifacts instead of stacking them
+    val rootsJson = {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      def du(p: java.nio.file.Path): Long =
+        if (!Files.exists(p)) 0L
+        else {
+          val w = Files.walk(p)
+          try w.iterator().asScala.filter(Files.isRegularFile(_)).map(f =>
+              try Files.size(f) catch { case _: java.io.IOException => 0L })
+            .sum
+          finally w.close()
+        }
+      val fams = Seq("bloomidx", "checksum_parts", "exactdedup", "invidx",
+        "ivf", "ivfpq", "knnbands", "knngraph", "minhash_index", "mv",
+        "neardup", "pqtrained", "semdedup", "zorder")
+      fams.map(f => jsonStr(f) + ":" + du(Paths.get("/root/repo/target", f)))
+        .mkString("{", ",", "}")
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"env":$envJson,"index_roots_bytes":$rootsJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured tail can front-truncate past ~70 queries,
     // losing the early alphabet's timings — persist the complete map

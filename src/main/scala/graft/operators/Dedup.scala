@@ -609,20 +609,22 @@ object Dedup {
     * production pipeline pair generation runs once per corpus snapshot
     * and every downstream consumer (clustering, canonical selection,
     * dedup analytics) reads the persisted table instead of re-running
-    * the shingle→prefix→verify pipeline. Built behind a marker (the
-    * same write-once/serve pattern as the z-order layout and the IVF
-    * inverted lists); `d_dedup_ngram_jaccard` still executes the full
-    * inline pipeline, so the build cost itself stays benchmarked.
+    * the shingle→prefix→verify pipeline. Content-keyed + claim-elected
+    * through [[graft.sources.Snapshots.ensureIndex]] (round-10 GC
+    * audit: the old presence-marker scheme was path-only keyed, so a
+    * regenerated input dir kept serving the STALE pair table — the
+    * exact staleness class the z-order layout fixed in round 7);
+    * `d_dedup_ngram_jaccard` still executes the full inline pipeline,
+    * so the build cost itself stays benchmarked.
     */
   def nearDupPairsTable(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
     val base = "/root/repo/target/neardup/" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    val marker = java.nio.file.Paths.get(base, "_GRAFT_PAIRS_V1")
-    if (!java.nio.file.Files.exists(marker)) {
-      ngramNearDupPairs(s, dir).write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/pairs")
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
+    val ver = Snapshots.ensureIndex(base, fp) { out =>
+      Snapshots.writeStaged(ngramNearDupPairs(s, dir), out)
     }
-    s.read.parquet(s"$base/pairs")
+    s.read.parquet(Snapshots.versionDirs(base, ver): _*)
   }
 
   /** Incrementally maintain a component labeling as new near-dup
@@ -796,6 +798,33 @@ object Dedup {
     batchDedupStats(newBand, idx)
   }
 
+  /** One micro-batch of EXACT (fingerprint) dedup against the
+    * persisted fingerprint→canonical index — the streaming unit behind
+    * [[graft.streaming.EventStreams.exactDedupStream]], mirroring
+    * [[dedupBatchIncremental]]'s exactly-once contract: the batch's
+    * (fp → min doc_id) rows commit under (streamId, batchId), so a
+    * replayed batch no-ops the commit and recomputes its verdicts
+    * against its own v-1 — the same comparison set it saw the first
+    * time. O(batch) per cycle: one groupBy on the 16-byte fingerprint
+    * plus one equi-join against the index on that key.
+    */
+  def exactDedupBatchIncremental(newDocs: DataFrame, table: String,
+      streamId: String, batchId: Long): DataFrame = {
+    val spark = newDocs.sparkSession
+    val fps = newDocs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .localCheckpoint()
+    val batchIdx = fps.groupBy("fp").agg(min(col("doc_id")).as("canonical_id"))
+    val v = graft.sources.Snapshots.ingestBatch(batchIdx, table, streamId, batchId)
+    val idx =
+      if (v <= 1) batchIdx.where(lit(false)) // first commit: empty corpus
+      else graft.sources.Snapshots.readVersion(spark, table, v - 1)
+    val combined = idx.unionByName(batchIdx)
+      .groupBy("fp").agg(min(col("canonical_id")).as("canonical_id"))
+    fps.join(combined, Seq("fp"))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("canonical_id") =!= col("doc_id")).as("is_dup"))
+  }
+
   /** Catalog entry: corpus = 90% of documents (bootstrapped into the
     * persisted index on first run), batch = the doc_id % 10 == 0 slice
     * deduped incrementally against it. The oracle recomputes the FULL
@@ -806,10 +835,17 @@ object Dedup {
     "d_dedup_incremental",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
+      // CONTENT-keyed root (round-10 GC audit): path-only keying kept
+      // serving a band index signed over the OLD corpus after a
+      // testdata regeneration while the oracle re-signed the new one
+      val fp = graft.sources.Snapshots.fileFingerprint(s"$dir/documents.parquet")
+        .replaceAll("[^A-Za-z0-9]", "").take(16)
       val table = "/root/repo/target/minhash_index/v1_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
-      if (graft.sources.Snapshots.currentVersion(table) == 0)
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp
+      if (graft.sources.Snapshots.currentVersion(table) == 0) {
+        graft.sources.Snapshots.gcSiblingRoots(table)
         buildBandIndex(d.where(col("doc_id") % 10 =!= 0), table)
+      }
       dedupAgainstIndex(d.where(col("doc_id") % 10 === 0), table,
         indexVersion = 1, streamId = "d_dedup_incremental", batchId = 0L)
     },

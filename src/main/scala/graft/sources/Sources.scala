@@ -197,7 +197,15 @@ object SourceQueries {
   val mvIncremental: QueryDef = QueryDef(
     "q_mv_incremental",
     (s, dir) => {
-      val root = "/root/repo/target/mv/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // CONTENT-keyed root (round-10 GC audit): a path-only key kept
+      // serving the MV bootstrapped from the OLD corpus after a
+      // testdata regeneration — the exactly-once batch tags no-op'd,
+      // so the view never saw the new data while the oracle recomputed
+      // on it. Fresh fingerprint → fresh root; superseded siblings GC'd.
+      val fp = graft.sources.Snapshots.fileFingerprint(s"$dir/lineitem.parquet")
+        .replaceAll("[^A-Za-z0-9]", "").take(16)
+      val root = "/root/repo/target/mv/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp
       val base = s"$root/base"
       val mv = s"$root/mv"
       val keys = Seq("l_returnflag", "l_linestatus")
@@ -207,6 +215,7 @@ object SourceQueries {
           "l_quantity", "l_extendedprice")
       val (mins, maxs) = (Seq("l_quantity"), Seq("l_extendedprice"))
       if (graft.sources.Snapshots.currentVersion(base) == 0) {
+        graft.sources.Snapshots.gcSiblingRoots(root)
         graft.sources.Snapshots.commitOverwrite(
           li.where(col("l_orderkey") % 10 =!= 0), base) // v1
         MaterializedView.refresh(s, base, mv, keys, sums, mins, maxs) // through v1

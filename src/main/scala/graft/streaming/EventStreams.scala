@@ -507,4 +507,22 @@ object EventStreams {
         graft.sources.Snapshots.ingestBatch(stats, resultsTable, streamId, batchId)
         ()
       }
+
+  /** Streaming twin of the EXACT fingerprint dedup index (§2.2 row
+    * 21g): each micro-batch folds its (fp → min doc_id) rows into the
+    * persisted index and appends its dup verdicts, both exactly-once
+    * under (streamId, batchId) — the [[incrementalDedupStream]]
+    * convention applied to [[graft.operators.Dedup.exactDedupBatchIncremental]].
+    */
+  def exactDedupStream(docs: DataFrame, indexTable: String,
+      resultsTable: String, streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val verdicts = graft.operators.Dedup.exactDedupBatchIncremental(
+          batch, indexTable, streamId, batchId)
+        graft.sources.Snapshots.ingestBatch(
+          verdicts, resultsTable, streamId, batchId)
+        ()
+      }
 }

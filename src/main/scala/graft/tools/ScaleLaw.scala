@@ -1,0 +1,122 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, Tables}
+
+/** Measured scaling exponent for the most expensive catalog queries
+  * (round-9 verdict #5): the 100 TB narrative should rest on a
+  * MEASURED time-vs-rows curve, not only on plan shape. The tool
+  * synthesizes a `factor`× corpus from the sf0.1 tables (fact tables
+  * replicated with key shifts; dimension tables untouched, as TPC-H
+  * scaling does), times each query at both scales, and reports the
+  * per-query ratio and the implied exponent log(ratio)/log(factor):
+  * ~1.0 = linear, >1.3 = super-linear worth explaining.
+  *
+  * Replication is designed NOT to manufacture pathologies the base
+  * data lacks:
+  *  - documents: each replica permutes the word order (identity /
+  *    reverse / sort asc / sort desc), so a replica pair is NOT a
+  *    near-duplicate and MinHash/SimHash pair counts stay ~linear
+  *    (replicating verbatim would grow candidate pairs quadratically
+  *    in the factor — a property of the synthesis, not the operator);
+  *  - embeddings: a small deterministic per-replica, per-dimension
+  *    offset moves sign-LSH band buckets so bucket sizes stay ~flat;
+  *  - events/orders/lineitem: ids shift by a stride per replica
+  *    (users/orders grow in count, per-key series keep their size).
+  */
+object ScaleLaw {
+  private val Stride = 100000000L
+
+  private def scaledDir(s: SparkSession, base: String, factor: Int): String = {
+    val out = s"/root/repo/target/scalelaw/x$factor"
+    graft.sources.Snapshots.deleteRecursively(out)
+    val dims = Seq("region", "nation", "customer", "supplier", "part")
+    dims.foreach { t =>
+      s.read.parquet(s"$base/$t.parquet").write.parquet(s"$out/$t.parquet")
+    }
+    def reps(t: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val src = s.read.parquet(s"$base/$t.parquet")
+      (0 until factor).map(i => f(src, i)).reduce(_ unionByName _)
+        .write.parquet(s"$out/$t.parquet")
+    }
+    // custkey shifts too: TPC-H scaling grows the CUSTOMER population,
+    // not orders-per-customer — keeping custkey fixed quadruples the
+    // recursive-chain depth and manufactures a super-linear
+    // q_recursive_cte that real scaling does not have
+    reps("orders", (d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * Stride))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * Stride)))
+    reps("lineitem", (d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * Stride)))
+    reps("events", (d, i) => d
+      .withColumn("event_id", col("event_id") + lit(i * Stride))
+      .withColumn("user_id", col("user_id") + lit(i * Stride)))
+    reps("documents", (d, i) => {
+      val words = split(col("text"), " ")
+      val t = i % 4 match {
+        case 0 => col("text")
+        case 1 => concat_ws(" ", reverse(words))
+        case 2 => concat_ws(" ", array_sort(words))
+        case 3 => concat_ws(" ", reverse(array_sort(words)))
+      }
+      d.withColumn("doc_id", col("doc_id") + lit(i * Stride))
+        .withColumn("text", t)
+        .withColumn("n_chars", length(t).cast("long"))
+    })
+    reps("embeddings", (d, i) => d
+      .withColumn("vec_id", col("vec_id") + lit(i * Stride))
+      .withColumn("embedding",
+        if (i == 0) col("embedding")
+        else expr(s"transform(embedding, (x, j) -> cast(x + 0.013 * $i * ((j * 7) % 13 - 6) as float))")))
+    out
+  }
+
+  private def materialize(df: DataFrame): Unit = {
+    df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(expr("bit_xor(h)")).head()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 4
+    val topN = if (args.length > 2) args(2).toInt else 15
+    val spark = graft.GraftSession.create("local[32]", 32)
+    spark.sparkContext.setLogLevel("WARN")
+    val big = scaledDir(spark, base, factor)
+    // slowest-N from the committed round timings
+    val prior: Seq[(String, Double)] = {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/root/repo/TIMINGS_latest.json"))
+      val m = """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r
+      val qsPart = txt.drop(math.max(0, txt.indexOf("\"queries\"")))
+      m.findAllMatchIn(qsPart).map(x => x.group(1) -> x.group(2).toDouble)
+        .filter { case (k, _) => SparkEntry.queries.contains(k) }.toSeq
+        .sortBy(-_._2).take(topN)
+    }
+    def timed(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      materialize(SparkEntry.queries(name)(spark, dir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = prior.map { case (name, _) =>
+      timed(name, base) // warmup (JIT + index build at base)
+      val tBase = (1 to 2).map(_ => timed(name, base)).min
+      timed(name, big) // warmup (index build at scaled dir)
+      val tBig = (1 to 2).map(_ => timed(name, big)).min
+      val ratio = tBig / math.max(tBase, 1e-9)
+      val expo = math.log(ratio) / math.log(factor.toDouble)
+      println(f"$name%-28s base=$tBase%6.2f s  x$factor=$tBig%6.2f s  ratio=$ratio%5.2f  exponent=$expo%5.2f")
+      (name, tBase, tBig, ratio, expo)
+    }
+    val json = rows.map { case (n, a, b, r, e) =>
+      f"""  {"query":"$n","base_s":$a%.3f,"x${factor}_s":$b%.3f,"ratio":$r%.3f,"exponent":$e%.3f}"""
+    }.mkString("[\n", ",\n", "\n]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/tools/scalelaw_r10.json"),
+      s"""{"base":"$base","factor":$factor,"rows":$json}\n""")
+    println("wrote tools/scalelaw_r10.json")
+    spark.stop()
+  }
+}

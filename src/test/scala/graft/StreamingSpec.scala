@@ -429,6 +429,72 @@ class StreamingSpec extends SparkSpec {
     assert(replay == batch1Expected, "replay must recompute against its own v-1")
   }
 
+  test("streaming exact dedup: index-served batches equal a recompute, replays no-op") {
+    import graft.operators.Dedup
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idxT = "/root/repo/target/streaming-spec/exact_idx"
+    val resT = "/root/repo/target/streaming-spec/exact_res"
+    Seq(idxT, resT).foreach(Snapshots.deleteRecursively)
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    // bootstrap = version 1: the corpus's fingerprint → canonical index
+    Snapshots.commitOverwrite(
+      corpus.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("canonical_id")), idxT)
+    val batches = docs.where(col("doc_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1 % 3) // 3 deterministic micro-batches
+
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.exactDedupStream(
+      mem.toDF.toDF("doc_id", "text"), idxT, resT, "exact_s1").start()
+    try {
+      for (k <- 0L to 2L) {
+        mem.addData(batches(k).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // reference: pure recompute — batch k's verdicts over
+    // corpus ∪ batches ≤ k, no stored index anywhere
+    import spark.implicits._
+    var seen = corpus
+    var expect = Set.empty[(Long, Long, Boolean)]
+    for (k <- 0L to 2L) {
+      val b = batches(k).toSeq.toDF("doc_id", "text")
+      val all = seen.unionAll(b)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"))
+      expect ++= key(b.select(col("doc_id"), md5(col("text")).as("fp"))
+        .join(all, "fp")
+        .select(col("doc_id"), col("canonical_id"),
+          (col("canonical_id") =!= col("doc_id")).as("is_dup")))
+      seen = seen.unionAll(b)
+    }
+    val got = key(Snapshots.read(spark, resT))
+    assert(got == expect, s"index-served stream diverged: ${got.size} vs ${expect.size}")
+
+    // replay batch 1 after batch 2 committed: same verdicts, no new version
+    val vBefore = Snapshots.currentVersion(idxT)
+    val replay = key(Dedup.exactDedupBatchIncremental(
+      batches(1L).toSeq.toDF("doc_id", "text"), idxT, "exact_s1", 1L))
+    assert(Snapshots.currentVersion(idxT) == vBefore, "replay must not commit")
+    val b1 = batches(1L).toSeq.toDF("doc_id", "text")
+    val all1 = corpus.unionAll(batches(0L).toSeq.toDF("doc_id", "text")).unionAll(b1)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+    val batch1Expected = key(b1.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(all1, "fp")
+      .select(col("doc_id"), col("canonical_id"),
+        (col("canonical_id") =!= col("doc_id")).as("is_dup")))
+    assert(replay == batch1Expected, "replay must recompute against its own v-1")
+  }
+
   test("streaming ingest with rollup keeps the MV current and exactly-once") {
     import graft.sources.{MaterializedView, Snapshots}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
