@@ -3631,6 +3631,81 @@ object Similarity {
                * CAST(list_sum(list_transform(qo, x -> x*x)) AS DOUBLE)) AS stability
          FROM j JOIN cnt ON cnt.label = CAST(j.label AS BIGINT)"""))
 
+  /** §2.2 row 27w — top PRINCIPAL COMPONENT of the embedding table by
+    * fixed-point POWER ITERATION: the dimensionality-reduction /
+    * whitening pre-read (which directions carry the corpus variance —
+    * the decision input for Matryoshka truncation next to row 27s and
+    * for PCA'd PQ codebooks). All arithmetic is EXACT integers so both
+    * engines agree bit-for-bit: the 64×64 centered scatter matrix is
+    * M = n·Σxxᵀ − SSᵀ over the ×1000-quantized vectors (one map-side
+    * aggregate — the only corpus-sized pass), then 3 power-iteration
+    * rounds v ← ⌊(M·v)·1000 / max|M·v|⌋ from the all-ones start run
+    * entirely on 64-row / 4096-row frames. Magnitude audit at test
+    * SFs: |M| ≤ n²·q²_max ≈ 6.4·10¹³, |M·v| ≤ 64·|M|·1000 ≈ 4·10¹⁸ <
+    * 2⁶³; at 100 TB corpus sizes the scatter aggregate switches to
+    * decimal(38,0) (the checksum convention) — the iteration frames
+    * stay 64-row regardless.
+    *
+    * Scale shape: ONE self-join-free pass over the corpus builds the
+    * scatter (posexplode → 64² per-row products → map-side-combined
+    * hash aggregate; only 4096 partial cells shuffle per partition);
+    * every subsequent step is O(64²) — never a second corpus pass,
+    * never a driver-side matrix from collect.
+    */
+  val embeddingPca: QueryDef = QueryDef(
+    "s_embedding_pca",
+    (s, dir) => {
+      val v = quantized(Tables.load(s, dir, "embeddings"))
+      val ex = v.select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "x")))
+        .localCheckpoint()
+      val g = ex.toDF("vec_id", "j", "xa")
+        .join(ex.toDF("vec_id", "k", "xb"), "vec_id")
+        .groupBy("j", "k").agg(sum(col("xa") * col("xb")).as("gg"))
+      val sv = ex.groupBy(col("dim")).agg(sum(col("x")).as("sv"))
+      val n = v.agg(count(lit(1)).as("n"))
+      val m = g.join(sv.toDF("j", "sj"), "j").join(sv.toDF("k", "sk"), "k")
+        .crossJoin(broadcast(n))
+        .select(col("j"), col("k"),
+          (col("n") * col("gg") - col("sj") * col("sk")).as("m"))
+        .localCheckpoint()
+      var vv = s.range(0, 64).select(col("id").as("k"), lit(1000L).as("vv"))
+      for (_ <- 1 to 3) {
+        val w = m.join(vv, "k").groupBy(col("j"))
+          .agg(sum(col("m") * col("vv")).as("w"))
+        val mx = w.agg(max(abs(col("w"))).as("mx"))
+        vv = w.crossJoin(broadcast(mx))
+          .select(col("j").as("k"),
+            expr("(w * 1000) div nullif(mx, 0)").as("vv"))
+          .localCheckpoint()
+      }
+      vv.select(col("k").cast("long").as("dim"), col("vv").as("v_x1000"))
+    },
+    Some {
+      def round(i: Int, prev: String) =
+        s"""w$i AS MATERIALIZED (SELECT j, CAST(SUM(m * vv) AS BIGINT) AS w
+             FROM mm JOIN $prev ON $prev.k = mm.k GROUP BY 1),
+           x$i AS (SELECT MAX(ABS(w)) AS mx FROM w$i),
+           v$i AS MATERIALIZED (SELECT j AS k, (w * 1000) // NULLIF(mx, 0) AS vv
+             FROM w$i CROSS JOIN x$i)"""
+      s"""WITH $quantizedSql,
+         ex AS MATERIALIZED (SELECT vec_id, unnest(q) AS x,
+             unnest(range(0, 64)) AS dim FROM v),
+         g AS MATERIALIZED (SELECT a.dim AS j, b.dim AS k,
+             CAST(SUM(a.x * b.x) AS BIGINT) AS gg
+           FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+         sv AS (SELECT dim, CAST(SUM(x) AS BIGINT) AS sv FROM ex GROUP BY 1),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+         mm AS MATERIALIZED (SELECT j, g.k AS k, n * gg - sa.sv * sb.sv AS m
+           FROM g JOIN sv sa ON sa.dim = g.j JOIN sv sb ON sb.dim = g.k
+           CROSS JOIN nn),
+         v0 AS (SELECT CAST(range AS BIGINT) AS k, CAST(1000 AS BIGINT) AS vv
+             FROM range(0, 64)),
+         ${round(1, "v0")},
+         ${round(2, "v1")},
+         ${round(3, "v2")}
+         SELECT k AS dim, vv AS v_x1000 FROM v3"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
@@ -3639,5 +3714,5 @@ object Similarity {
       dedupSemanticIncremental, mmrRerank, nearestCentroid, graphTriangles,
       mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep,
       labelKappa, evalRetrieval, graphCommunities, knnRouted, truncatedRecall,
-      silhouette, labelCentroidDrift)
+      silhouette, labelCentroidDrift, embeddingPca)
 }

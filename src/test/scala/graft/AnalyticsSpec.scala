@@ -946,4 +946,30 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(rows.nonEmpty)
   }
+
+  test("embedding PCA power iteration matches a driver-side exact recompute") {
+    val got = Similarity.embeddingPca.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = Similarity.quantizedOf(Tables.load(spark, sfDir, "embeddings"))
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+    val n = q.length.toLong
+    val d = 64
+    val sv = Array.tabulate(d)(j => q.map(_(j)).sum)
+    val m = Array.tabulate(d, d) { (j, k) =>
+      n * q.map(v => v(j) * v(k)).sum - sv(j) * sv(k)
+    }
+    var v = Array.fill(d)(1000L)
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(d)(j => (0 until d).map(k => m(j)(k) * v(k)).sum)
+      val mx = w.map(math.abs).max
+      assert(mx > 0, "degenerate scatter: all-zero M*v")
+      // Spark `div` and Scala Long `/` both truncate toward zero
+      v = w.map(x => x * 1000 / mx)
+    }
+    assert(got.keySet == (0L until d).map(_.toLong).toSet)
+    for (j <- 0 until d)
+      assert(got(j.toLong) == v(j), s"dim $j: ${got(j.toLong)} != ${v(j)}")
+    // the normalization pins the dominant component to ±1000
+    assert(v.map(math.abs).max == 1000L)
+  }
 }
