@@ -1460,12 +1460,91 @@ object Events {
                AS n_gap_violations
            FROM t"""))
 
+  /** AUTOCORRELATION function of the daily event-count series at lags
+    * 1/2/3/7 days — the seasonality detector that tells a capacity
+    * planner whether load repeats daily (lag-1 high) or weekly (lag-7
+    * high), and tells the changepoint/forecast operators how much
+    * history is informative. Per (event type, lag): Pearson r between
+    * the DENSE daily series and its lag-shifted self. Dense means
+    * missing days count as 0 — computing ACF over only the observed
+    * days would silently splice gaps together and overstate
+    * correlation. All moments are exact integers (the [[trend]]
+    * convention); the final r is one IEEE divide/sqrt on identical
+    * integer inputs, so both engines emit the same double bit
+    * pattern.
+    *
+    * Scale shape: the ONLY corpus-sized pass is the daily rollup; the
+    * gap-filled grid, the 4-lag explode, and the self-join all run on
+    * the ≤ types × days frame (time-bounded, corpus-size-independent).
+    * The lag join is equi on (type, day+lag) — no range scan.
+    */
+  val acf: QueryDef = QueryDef(
+    "q_events_acf",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+      val dense = daily.groupBy("event_type")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val left = dense.select(col("event_type"), col("day"), col("y").as("x"),
+          explode(array(lit(1L), lit(2L), lit(3L), lit(7L))).as("lag_d"))
+        .withColumn("day2", col("day") + col("lag_d"))
+      val m = left
+        .join(dense.select(col("event_type"), col("day").as("day2"),
+          col("y").as("yy")), Seq("event_type", "day2"))
+        .groupBy("event_type", "lag_d")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("yy")).as("sy"), sum(col("x") * col("yy")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("yy") * col("yy")).as("syy"))
+      m.where(col("n") > 1 &&
+          (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("n") * col("syy") - col("sy") * col("sy")) > 0)
+        .select(col("event_type"), col("lag_d"), col("n").as("n_pairs"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            .as("acf_r"))
+    },
+    Some("""WITH daily AS (SELECT
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+              event_type, COUNT(*) AS y
+            FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+              FROM daily GROUP BY 1),
+            grid AS (SELECT event_type, UNNEST(range(d0, d1 + 1)) AS day FROM b),
+            dense AS (SELECT g.event_type, g.day,
+                CAST(COALESCE(d.y, 0) AS BIGINT) AS y
+              FROM grid g LEFT JOIN daily d
+                ON d.event_type = g.event_type AND d.day = g.day),
+            lags AS (SELECT CAST(UNNEST([1, 2, 3, 7]) AS BIGINT) AS lag_d),
+            p AS (SELECT a.event_type, l.lag_d, a.y AS x, b2.y AS yy
+              FROM dense a CROSS JOIN lags l
+              JOIN dense b2 ON b2.event_type = a.event_type
+                AND b2.day = a.day + l.lag_d),
+            m AS (SELECT event_type, lag_d, COUNT(*) AS n,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yy) AS BIGINT) AS sy,
+                CAST(SUM(x * yy) AS BIGINT) AS sxy,
+                CAST(SUM(x * x) AS BIGINT) AS sxx,
+                CAST(SUM(yy * yy) AS BIGINT) AS syy
+              FROM p GROUP BY 1, 2)
+            SELECT event_type, lag_d, n AS n_pairs,
+              CAST(n * sxy - sx * sy AS DOUBLE) /
+                SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+                  CAST(n * syy - sy * sy AS DOUBLE)) AS acf_r
+            FROM m WHERE n > 1 AND n * sxx - sx * sx > 0
+              AND n * syy - sy * sy > 0"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
-      twa, concurrency, stickiness, gapAudit)
+      twa, concurrency, stickiness, gapAudit, acf)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -972,4 +972,40 @@ class AnalyticsSpec extends SparkSpec {
     // the normalization pins the dominant component to ±1000
     assert(v.map(math.abs).max == 1000L)
   }
+
+  test("daily ACF matches a driver-side dense-series Pearson recompute; |r| <= 1") {
+    val got = Events.acf.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val daily = Events.loadEvents(spark, sfDir)
+      .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y")).collect()
+      .groupBy(_.getString(1))
+      .view.mapValues(_.map(r => r.getLong(0) -> r.getLong(2)).toMap).toMap
+    var expected = 0
+    for ((t, byDay) <- daily; lag <- Seq(1L, 2L, 3L, 7L)) {
+      val d0 = byDay.keys.min
+      val d1 = byDay.keys.max
+      val series = (d0 to d1).map(d => byDay.getOrElse(d, 0L)).toArray
+      val xs = series.dropRight(lag.toInt.min(series.length))
+      val ys = series.drop(lag.toInt)
+      val n = math.min(xs.length, ys.length).toLong
+      if (n > 1) {
+        val sx = xs.sum; val sy = ys.sum
+        val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+        val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+        val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+        if (vx > 0 && vy > 0) {
+          expected += 1
+          val r = (n * sxy - sx * sy).toDouble / math.sqrt(vx.toDouble * vy.toDouble)
+          val (gn, gr) = got.getOrElse((t, lag),
+            fail(s"missing ($t, lag $lag) in ACF output"))
+          assert(gn == n, s"($t,$lag) pair count $gn != $n")
+          assert(gr == r, s"($t,$lag) acf $gr != $r")
+          assert(math.abs(gr) <= 1.0 + 1e-12, s"($t,$lag) |r| > 1: $gr")
+        }
+      }
+    }
+    assert(got.size == expected, s"${got.size} rows vs $expected recomputed")
+  }
 }
