@@ -1539,12 +1539,103 @@ object Events {
             FROM m WHERE n > 1 AND n * sxx - sx * sx > 0
               AND n * syy - sy * sy > 0"""))
 
+  /** KAPLAN-MEIER survival curve over user tenure — the churn read
+    * row 41's retention grid cannot give: retention asks "how many
+    * came back in week k", this asks "what fraction of users SURVIVE
+    * past tenure t, correcting for users we simply haven't observed
+    * long enough" (the censoring correction — naive churn-rate curves
+    * systematically overstate churn for recent cohorts). Tenure =
+    * last−first active day; users last seen within 7 days of corpus
+    * end are CENSORED (still alive at observation end), everyone else
+    * died at their tenure. Discrete KM: S(t) = Π_{u≤t}(n_u−d_u)/n_u
+    * folded in ×10⁹ fixed point — `S ← (S·(n−d)) div n` — so both
+    * engines agree exactly (aggregate-HOF fold / recursive-CTE
+    * oracle, the [[forecast]] convention). Overflow bound: S ≤ 10⁹
+    * and n ≤ users, so the product needs users < 9.2·10⁹ — a
+    * documented precondition (beyond that, fold in decimal(38,0), the
+    * checksum convention).
+    *
+    * Scale shape: ONE corpus-sized shuffle (per-user first/last day);
+    * everything after runs on the ≤ max-tenure-days frame (the
+    * at-risk suffix-cumsum window and the fold are over that bounded
+    * series, not the corpus).
+    */
+  val survival: QueryDef = QueryDef(
+    "q_events_survival",
+    (s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+        .groupBy("user_id").agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      val tmax = ud.agg(max(col("l")).as("tmax"))
+      val u = ud.crossJoin(broadcast(tmax))
+        .select((col("l") - col("f")).as("ten"),
+          when(col("l") >= col("tmax") - 7, 1L).otherwise(0L).as("cen"))
+      val counts = u.groupBy("ten").agg(
+        sum(when(col("cen") === 0, 1L).otherwise(0L)).as("d"),
+        sum(col("cen")).as("c"))
+      val grid = u.agg(max(col("ten")).as("mt"))
+        .where(col("mt").isNotNull)
+        .select(explode(sequence(lit(0L), col("mt"))).as("t"))
+      val dense = grid.join(counts, grid("t") === counts("ten"), "left")
+        .select(col("t"), coalesce(col("d"), lit(0L)).as("d"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val w = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dense.withColumn("n", sum(col("d") + col("c")).over(w))
+        .agg(array_sort(collect_list(
+          struct(col("t"), col("n"), col("d"), col("c")))).as("arr"))
+        .select(explode(expr(
+          """aggregate(arr,
+               named_struct('s', 1000000000L,
+                 'out', cast(array() as array<struct<t:bigint,n:bigint,d:bigint,c:bigint,surv:bigint>>)),
+               (acc, x) -> named_struct(
+                 's', (acc.s * (x.n - x.d)) div x.n,
+                 'out', array_append(acc.out, named_struct(
+                   't', x.t, 'n', x.n, 'd', x.d, 'c', x.c,
+                   'surv', (acc.s * (x.n - x.d)) div x.n))),
+               acc -> acc.out)""")).as("r"))
+        .select(col("r.t").as("tenure_days"), col("r.n").as("n_risk"),
+          col("r.d").as("churned"), col("r.c").as("censored"),
+          col("r.surv").as("survival_x1e9"))
+    },
+    Some("""WITH RECURSIVE
+            e AS (SELECT user_id,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+            ud AS (SELECT user_id, MIN(day) AS f, MAX(day) AS l
+              FROM e GROUP BY 1),
+            tt AS (SELECT MAX(l) AS tmax FROM ud),
+            u AS (SELECT l - f AS ten,
+                CASE WHEN l >= tmax - 7 THEN 1 ELSE 0 END AS cen
+              FROM ud CROSS JOIN tt),
+            cts AS (SELECT ten,
+                CAST(SUM(CASE WHEN cen = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                CAST(SUM(cen) AS BIGINT) AS c
+              FROM u GROUP BY 1),
+            mg AS (SELECT CAST(MAX(ten) AS BIGINT) AS mt FROM u),
+            grid AS (SELECT CAST(UNNEST(range(0, mt + 1)) AS BIGINT) AS t
+              FROM mg WHERE mt IS NOT NULL),
+            dense AS (SELECT g.t, COALESCE(cts.d, 0) AS d,
+                COALESCE(cts.c, 0) AS c
+              FROM grid g LEFT JOIN cts ON cts.ten = g.t),
+            withn AS (SELECT t, d, c,
+                CAST(SUM(d + c) OVER (ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+              FROM dense),
+            rec AS (
+              SELECT t, n, d, c, (1000000000 * (n - d)) // n AS s
+                FROM withn WHERE t = 0
+              UNION ALL
+              SELECT w.t, w.n, w.d, w.c, (r.s * (w.n - w.d)) // w.n
+                FROM rec r JOIN withn w ON w.t = r.t + 1)
+            SELECT t AS tenure_days, n AS n_risk, d AS churned,
+              c AS censored, s AS survival_x1e9 FROM rec"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
-      twa, concurrency, stickiness, gapAudit, acf)
+      twa, concurrency, stickiness, gapAudit, acf, survival)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

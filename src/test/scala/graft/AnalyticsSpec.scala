@@ -1008,4 +1008,35 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(got.size == expected, s"${got.size} rows vs $expected recomputed")
   }
+
+  test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
+    val rows = Events.survival.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val ud = Events.loadEvents(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .groupBy("user_id").agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val tmax = ud.map(_._2).max
+    val users = ud.map { case (f, l) => (l - f, l >= tmax - 7) }
+    val mt = users.map(_._1).max
+    var s = 1000000000L
+    val expect = (0L to mt).map { t =>
+      val d = users.count(u => u._1 == t && !u._2).toLong
+      val c = users.count(u => u._1 == t && u._2).toLong
+      val n = users.count(_._1 >= t).toLong
+      s = s * (n - d) / n
+      (t, n, d, c, s)
+    }
+    assert(rows.toSeq == expect, s"first diff: ${
+      rows.toSeq.zipAll(expect, null, null).find { case (a, b) => a != b }}")
+    // survival is monotone non-increasing from <= 1e9; at-risk telescopes
+    assert(rows.head._5 <= 1000000000L)
+    rows.sliding(2).foreach {
+      case Array((_, n0, d0, c0, s0), (_, n1, _, _, s1)) =>
+        assert(s1 <= s0, s"survival rose: $s0 -> $s1")
+        assert(n0 == n1 + d0 + c0, s"risk set must telescope: $n0 != $n1+$d0+$c0")
+      case _ =>
+    }
+  }
 }
