@@ -3706,6 +3706,72 @@ object Similarity {
          SELECT k AS dim, vv AS v_x1000 FROM v3"""
     })
 
+  /** LINK PREDICTION over the persisted kNN graph — the "which edges
+    * are MISSING" read next to `s_graph_triangles`' "how dense is what
+    * exists": for every non-adjacent pair with ≥ 2 common neighbors,
+    * the common-neighbor count and Jaccard overlap of the two
+    * neighborhoods (×1000 exact integers), top-50 by score. On a
+    * similarity graph a high-Jaccard non-edge is a near-duplicate or
+    * same-cluster pair the banding missed — the recall-repair
+    * candidate list an ANN-graph maintainer would re-score next
+    * (exactly the wedge structure `s_knn_beam`'s hop exploits at
+    * serve time, here inverted into an audit).
+    *
+    * Scale shape: undirected edges are ≤ 2·N·K rows; the wedge
+    * enumeration joins the symmetric adjacency with itself on the
+    * middle vertex, so fanout per vertex is its undirected degree —
+    * out-degree is K by construction and in-degree is
+    * similarity-bounded on a kNN graph (the [[graphTriangles]]
+    * argument; a power-law graph would cap or degree-order the middle
+    * vertex first). The final top-50 is orderBy+limit
+    * (TakeOrderedAndProject — per-partition heaps, no global sort or
+    * single-partition window over the candidate frame).
+    */
+  val graphLinkPredict: QueryDef = QueryDef(
+    "s_graph_link_predict",
+    (s, dir) => {
+      val g = knnGraphTable(s, dir)
+      val und = g.select(least(col("g_src"), col("g_dst")).as("a"),
+          greatest(col("g_src"), col("g_dst")).as("b"))
+        .where(col("a") =!= col("b")).distinct().localCheckpoint()
+      val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      val deg = sym.groupBy("a").agg(count(lit(1)).as("dg"))
+      val cn = sym.toDF("w", "u").join(sym.toDF("w", "v"), "w")
+        .where(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+        .where(col("cn") >= 2)
+      val nonEdge = cn.join(und,
+        cn("u") === und("a") && cn("v") === und("b"), "left_anti")
+      val top = nonEdge
+        .join(deg.toDF("u", "du"), "u").join(deg.toDF("v", "dv"), "v")
+        .select(col("u"), col("v"), col("cn"),
+          expr("(1000 * cn) div (du + dv - cn)").as("jaccard_x1000"))
+        .orderBy(col("jaccard_x1000").desc, col("cn").desc, col("u"), col("v"))
+        .limit(50)
+      top.withColumn("rnk", row_number().over(Window.orderBy(
+          col("jaccard_x1000").desc, col("cn").desc, col("u"), col("v")))
+        .cast("long"))
+    },
+    Some(s"""WITH $graphSqlCtes,
+         und AS (SELECT DISTINCT LEAST(g_src, g_dst) AS a, GREATEST(g_src, g_dst) AS b
+             FROM graph WHERE g_src <> g_dst),
+         sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+         deg AS (SELECT a, COUNT(*) AS dg FROM sym GROUP BY 1),
+         cn AS (SELECT x.b AS u, y.b AS v, COUNT(*) AS cn
+             FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         ne AS (SELECT cn.u, cn.v, cn.cn FROM cn
+             LEFT JOIN und ON und.a = cn.u AND und.b = cn.v
+             WHERE und.a IS NULL),
+         sc AS (SELECT ne.u, ne.v, ne.cn,
+             (1000 * ne.cn) // (du.dg + dv.dg - ne.cn) AS jaccard_x1000
+           FROM ne JOIN deg du ON du.a = ne.u JOIN deg dv ON dv.a = ne.v)
+         SELECT u, v, cn, jaccard_x1000,
+           CAST(ROW_NUMBER() OVER (ORDER BY jaccard_x1000 DESC, cn DESC, u, v)
+             AS BIGINT) AS rnk
+         FROM sc
+         ORDER BY jaccard_x1000 DESC, cn DESC, u, v LIMIT 50"""))
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
@@ -3714,5 +3780,5 @@ object Similarity {
       dedupSemanticIncremental, mmrRerank, nearestCentroid, graphTriangles,
       mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep,
       labelKappa, evalRetrieval, graphCommunities, knnRouted, truncatedRecall,
-      silhouette, labelCentroidDrift, embeddingPca)
+      silhouette, labelCentroidDrift, embeddingPca, graphLinkPredict)
 }

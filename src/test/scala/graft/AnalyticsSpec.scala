@@ -1009,6 +1009,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.size == expected, s"${got.size} rows vs $expected recomputed")
   }
 
+  test("link prediction matches a driver-side wedge recompute; predicted pairs are non-edges") {
+    val got = Similarity.graphLinkPredict.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val edges = Similarity.knnGraphTable(spark, sfDir)
+      .select("g_src", "g_dst").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .filter(p => p._1 != p._2).toSet
+    val adj = edges.toSeq.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cand = adj.values.toSeq.flatMap { ns =>
+      val sorted = ns.toSeq.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter { case (p, cn) => cn >= 2 && !edges.contains(p) }
+    val scored = cand.toSeq.map { case ((u, v), cn) =>
+      (u, v, cn, 1000 * cn / (adj(u).size + adj(v).size - cn))
+    }.sortBy { case (u, v, cn, j) => (-j, -cn, u, v) }.take(50)
+    assert(got.length == math.min(50, scored.length))
+    got.zip(scored).zipWithIndex.foreach { case (((gu, gv, gcn, gj, rnk), (u, v, cn, j)), i) =>
+      assert((gu, gv, gcn, gj) == ((u, v, cn, j)), s"rank ${i + 1}: got ${(gu, gv, gcn, gj)} want ${(u, v, cn, j)}")
+      assert(rnk == i + 1)
+      assert(!edges.contains((gu, gv)), s"predicted pair $gu-$gv is already an edge")
+      assert(gcn <= math.min(adj(gu).size, adj(gv).size), "cn exceeds a neighborhood")
+    }
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
