@@ -3074,6 +3074,54 @@ object TextFunctions {
           FROM pd GROUP BY 1"""
     })
 
+  /** TOKEN MASS COVERAGE curve — the vocabulary-sizing read a
+    * tokenizer designer makes before `t_bpe_merges` runs: what share
+    * of all token occurrences do the top-10 / top-100 / top-1000 types
+    * cover? (Zipfian corpora concentrate mass fast; a flat curve means
+    * noisy/fragmented text and a bigger vocab budget.) Per k: the
+    * types actually used (min(k, vocab)), their summed occurrence
+    * mass, and the coverage share ×10⁶ — all exact integers.
+    *
+    * Scale shape: one corpus-sized token rollup (map-side combined);
+    * the ranking is TakeOrdered top-1000 (per-partition heaps), and
+    * the window/joins after it run on ≤ 1000 rows. The vocab-sized
+    * frame is never globally sorted.
+    */
+  val tokenCoverage: QueryDef = QueryDef(
+    "t_token_coverage",
+    (s, dir) => {
+      val cnt = Tables.load(s, dir, "documents")
+        .select(explode(expr(
+          "filter(split(lower(text), ' '), x -> x <> '')")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val total = cnt.agg(sum(col("n")).cast("long").as("total"))
+      val ranked = cnt.orderBy(col("n").desc, col("w")).limit(1000)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("w"))).cast("long"))
+      val ks = s.range(1).select(
+        explode(array(lit(10L), lit(100L), lit(1000L))).as("k"))
+      ks.join(ranked, col("rn") <= col("k"))
+        .crossJoin(broadcast(total))
+        .groupBy("k")
+        .agg(count(lit(1)).as("tokens_used"), sum(col("n")).as("mass"),
+          max(col("total")).as("total_tokens"))
+        .select(col("k"), col("tokens_used"), col("mass"), col("total_tokens"),
+          expr("(mass * 1000000) div total_tokens").as("coverage_x1e6"))
+    },
+    Some("""WITH tok AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) AS w FROM documents),
+            cnt AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
+            rk AS (SELECT w, n,
+                CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) AS rn
+              FROM cnt QUALIFY rn <= 1000),
+            ks AS (SELECT CAST(UNNEST([10, 100, 1000]) AS BIGINT) AS k)
+            SELECT k, COUNT(*) AS tokens_used, CAST(SUM(rk.n) AS BIGINT) AS mass,
+              MAX(total) AS total_tokens,
+              (CAST(SUM(rk.n) AS BIGINT) * 1000000) // MAX(total) AS coverage_x1e6
+            FROM ks JOIN rk ON rk.rn <= ks.k CROSS JOIN tot GROUP BY k"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
@@ -3088,5 +3136,5 @@ object TextFunctions {
       oovRate, corpusDrift, pipelineCuration, labelEncode,
       evalAuc, kAnonymity, qualityLmBigram, maskSpans, bpeMerges, bpeEncode,
       langIdEval, contaminationBloom, noveltyNgram, calibrationCurve,
-      substringDecontamination)
+      substringDecontamination, tokenCoverage)
 }

@@ -1036,6 +1036,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("token coverage matches a driver-side Zipf recompute; monotone in k, bounded by 1e6") {
+    val got = TextFunctions.tokenCoverage.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val counts = Tables.load(spark, sfDir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(_.toLowerCase.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (w, n) => (-n, w) }
+    val total = counts.map(_._2).sum
+    for (k <- Seq(10L, 100L, 1000L)) {
+      val used = counts.take(k.toInt)
+      val mass = used.map(_._2).sum
+      assert(got(k) == ((used.length.toLong, mass, total, mass * 1000000 / total)),
+        s"k=$k: ${got(k)}")
+    }
+    assert(got(10L)._4 <= got(100L)._4 && got(100L)._4 <= got(1000L)._4,
+      "coverage must be monotone in k")
+    assert(got(1000L)._4 <= 1000000L)
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
