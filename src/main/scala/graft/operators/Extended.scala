@@ -625,9 +625,58 @@ object Extended {
          WHERE p.p_size = g2.gmin
            AND (g2.prevmin IS NULL OR p.p_size < g2.prevmin)"""))
 
+  /** INTERVAL-OVERLAP (range) join, bucket-decomposed — the WIP
+    * inventory question an equi-join cannot ask: each order is OPEN
+    * over [orderdate, last shipment of its items]; per calendar week,
+    * how many orders were open and what value was in flight? The
+    * naive range join (`intervals ⋈ weeks ON overlap`) is an O(n·m)
+    * theta join; the scale form DECOMPOSES each interval into the
+    * grid buckets it overlaps (`sequence(w0, w1)` explode — fanout
+    * bounded by interval length / bucket width, here fulfillment
+    * weeks, never corpus-sized) and the overlap becomes an equi
+    * groupBy on the bucket. The same decomposition handles
+    * interval×interval joins at scale: bucket both sides, equi-join
+    * on the bucket, refine exact overlap — this row fixes the
+    * pattern, `q_join_theta` keeps the general-theta fallback.
+    *
+    * Scale shape: one equi-join orders⋈lineitem (shuffle on the order
+    * key), one bounded explode, one week rollup — zero
+    * BroadcastNestedLoop, zero theta scans. Money stays in exact
+    * cents.
+    */
+  val intervalJoin: QueryDef = QueryDef(
+    "q_interval_join",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      val oi = o.join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("d0"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+        .agg(max(expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")).as("d1"))
+      oi.select(col("cents"),
+          explode(sequence(expr("d0 div 7"),
+            expr("greatest(d0, d1) div 7"))).as("week"))
+        .groupBy("week")
+        .agg(count(lit(1)).as("open_orders"),
+          sum(col("cents")).as("open_value_cents"))
+    },
+    Some("""WITH oi AS (SELECT o.o_orderkey,
+              CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS d0,
+              CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+              MAX(CAST(FLOOR(epoch(l.l_shipdate)) AS BIGINT) // 86400) AS d1
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2, 3),
+            wk AS (SELECT cents,
+              UNNEST(range(d0 // 7, GREATEST(d0, d1) // 7 + 1)) AS week
+            FROM oi)
+            SELECT CAST(week AS BIGINT) AS week, COUNT(*) AS open_orders,
+              CAST(SUM(cents) AS BIGINT) AS open_value_cents
+            FROM wk GROUP BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
     subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll,
     subquerySelect, lateralTopPerKey, recursiveCte, joinFullOuter, unpivot,
-    basketPairs, assocRules, skyline)
+    basketPairs, assocRules, skyline, intervalJoin)
 }

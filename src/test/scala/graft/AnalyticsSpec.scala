@@ -1057,6 +1057,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(1000L)._4 <= 1000000L)
   }
 
+  test("interval join equals a brute-force per-order week expansion; mass conserves") {
+    val got = graft.operators.Extended.intervalJoin.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("d0"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lastShip = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(max(expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")).as("d1"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    var expandedRows = 0L
+    for ((ok, d0, cents) <- orders; d1 <- lastShip.get(ok)) {
+      for (w <- (d0 / 7) to (math.max(d0, d1) / 7)) {
+        val (n, v) = expect.getOrElse(w, (0L, 0L))
+        expect(w) = (n + 1, v + cents)
+        expandedRows += 1
+      }
+    }
+    assert(got == expect.toMap, s"weeks differ: got ${got.size} want ${expect.size}")
+    // conservation: summed open-order-weeks equals the expanded row count
+    assert(got.values.map(_._1).sum == expandedRows)
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
