@@ -674,9 +674,96 @@ object Extended {
               CAST(SUM(cents) AS BIGINT) AS open_value_cents
             FROM wk GROUP BY 1"""))
 
+  /** Distributed GLOBAL prefix sum over a total order — the scalable
+    * form of `SUM(...) OVER (ORDER BY ...)` that [[windowFuncs]]'s
+    * scale note describes but Spark's WindowExec cannot give (an
+    * un-partitioned window funnels the whole frame through ONE task's
+    * sort): range-repartition on the order keys, prefix-sum WITHIN
+    * each partition, then add each partition's broadcast offset (the
+    * sum of all earlier partitions' totals). The result is
+    * partition-boundary-independent — the total order is unique, so
+    * `local prefix + offset` equals the global prefix no matter where
+    * the sampled range boundaries land — which is what makes it
+    * hash-oracle-able against the single-task window form.
+    *
+    * Returns the frame with a `cum` column. Order is (sortCol desc,
+    * tieCol asc), both required for a total order.
+    */
+  private[graft] def globalPrefixSum(df: DataFrame, sortCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val ordered = df
+      .repartitionByRange(col(sortCol).desc, col(tieCol))
+      .sortWithinPartitions(col(sortCol).desc, col(tieCol))
+      .withColumn("pid", spark_partition_id())
+    val wp = Window.partitionBy("pid")
+      .orderBy(col(sortCol).desc, col(tieCol))
+    val local = ordered.withColumn("local_cum", sum(col(valueCol)).over(wp))
+    // per-partition totals: a #partitions-sized frame (driver-size);
+    // the exclusive prefix over it is the offset each partition adds
+    val offs = local.groupBy("pid")
+      .agg(sum(col(valueCol)).as("ptotal"))
+      .withColumn("offset", coalesce(
+        sum(col("ptotal")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offs), "pid")
+      .withColumn("cum", col("local_cum") + col("offset"))
+      .drop("pid", "local_cum")
+  }
+
+  /** ABC / PARETO revenue classification — the inventory-policy
+    * rollup ("20% of parts carry 80% of revenue"): parts ranked by
+    * revenue, class A while the running share ≤ 80%, B ≤ 95%, C
+    * after, reported per class. The running share is a GLOBAL prefix
+    * sum over the parts frame — corpus-sized cardinality, exactly the
+    * shape WindowExec cannot scale — computed with
+    * [[globalPrefixSum]]; class thresholds compare cross-multiplied
+    * exact integers (cum·100 ≤ 80·total), money in exact cents.
+    *
+    * Scale shape: one lineitem shuffle into per-part revenue, one
+    * range repartition of the parts frame, per-partition prefix
+    * sums, a #partitions-row offset frame broadcast back — no
+    * single-task sort of the parts frame anywhere in the plan.
+    */
+  val abcPareto: QueryDef = QueryDef(
+    "q_abc_pareto",
+    (s, dir) => {
+      val rev = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+          .as("cents"))
+      val total = rev.agg(sum(col("cents")).as("total"))
+      globalPrefixSum(rev, "cents", "l_partkey", "cents")
+        .crossJoin(broadcast(total))
+        .withColumn("abc_class",
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("revenue_cents"),
+          expr("(sum(cents) * 1000000) div max(total)").as("share_x1e6"))
+    },
+    Some("""WITH rev AS (SELECT l_partkey,
+              CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+            FROM lineitem GROUP BY 1),
+            tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+            c AS (SELECT cents, total,
+                CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey)
+                  AS BIGINT) AS cum
+              FROM rev CROSS JOIN tot),
+            cls AS (SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS abc_class,
+                cents, total
+              FROM c)
+            SELECT abc_class, COUNT(*) AS n_parts,
+              CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+              (CAST(SUM(cents) AS BIGINT) * 1000000) // MAX(total) AS share_x1e6
+            FROM cls GROUP BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
     subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll,
     subquerySelect, lateralTopPerKey, recursiveCte, joinFullOuter, unpivot,
-    basketPairs, assocRules, skyline, intervalJoin)
+    basketPairs, assocRules, skyline, intervalJoin, abcPareto)
 }

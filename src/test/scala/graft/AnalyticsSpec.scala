@@ -1083,6 +1083,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == expandedRows)
   }
 
+  test("distributed global prefix sum equals the single-task WindowExec form per part") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rev = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")).as("cents"))
+      .localCheckpoint()
+    val scalable = graft.operators.Extended
+      .globalPrefixSum(rev, "cents", "l_partkey", "cents")
+      .select("l_partkey", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = rev.withColumn("cum",
+        sum(col("cents")).over(W.orderBy(col("cents").desc, col("l_partkey"))))
+      .select("l_partkey", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scalable == naive,
+      s"prefix sums diverge on ${scalable.count { case (k, v) => naive.get(k) != Some(v) }} parts")
+    // and the rolled-up ABC classes conserve parts and revenue mass
+    val cls = graft.operators.Extended.abcPareto.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(cls.keySet.subsetOf(Set("A", "B", "C")))
+    assert(cls.values.map(_._1).sum == rev.count())
+    val totalCents = rev.agg(sum("cents")).collect()(0).getLong(0)
+    assert(cls.values.map(_._2).sum == totalCents)
+    val shareSum = cls.values.map(_._3).sum
+    assert(shareSum > 1000000L - cls.size && shareSum <= 1000000L, s"shares sum to $shareSum")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
