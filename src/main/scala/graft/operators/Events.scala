@@ -1630,12 +1630,56 @@ object Events {
             SELECT t AS tenure_days, n AS n_risk, d AS churned,
               c AS censored, s AS survival_x1e9 FROM rec"""))
 
+  /** ROLLING 7-day DISTINCT active users (WAU) per day — the
+    * windowed-distinct aggregate a RANGE frame cannot express
+    * (COUNT(DISTINCT) OVER is unsupported in both engines, and
+    * approximating with a sum of dailies double-counts returning
+    * users). Exact via CONTRIBUTION EXPLODE: each distinct (user,
+    * active-day) row contributes to the 7 window-end days it falls
+    * in; de-duplicating (user, window-end) and counting gives the
+    * exact distinct count per window. Reported next to the day's own
+    * DAU and the DAU/WAU ratio ×1000 (the 7-day twin of
+    * [[stickiness]]' 30-day MAU ratio, via a different mechanism —
+    * this one generalizes to any windowed COUNT DISTINCT).
+    *
+    * Scale shape: two shuffles — the (user, day) distinct and the
+    * (user, window-end) distinct+count; the explode fanout is exactly
+    * the window width (×7), never data-dependent. At 100 TB both
+    * shuffles are map-side-combinable hash aggregates; no per-user
+    * state beyond the window width exists anywhere.
+    */
+  val rollingDau: QueryDef = QueryDef(
+    "q_events_rolling_dau",
+    (s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+        .distinct()
+      val daily = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("d"))
+        .distinct()
+        .groupBy(col("d").as("day")).agg(count(lit(1)).as("wau7"))
+      daily.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau7"),
+          expr("(dau * 1000) div wau7").as("dau_wau_x1000"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+            daily AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+            contrib AS (SELECT DISTINCT user_id, d FROM (
+              SELECT user_id, UNNEST(range(day, day + 7)) AS d FROM ud) x),
+            wau AS (SELECT CAST(d AS BIGINT) AS day, COUNT(*) AS wau7
+              FROM contrib GROUP BY 1)
+            SELECT daily.day, daily.dau, wau.wau7,
+              (daily.dau * 1000) // wau.wau7 AS dau_wau_x1000
+            FROM daily JOIN wau ON wau.day = daily.day"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
-      twa, concurrency, stickiness, gapAudit, acf, survival)
+      twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -1110,6 +1110,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(shareSum > 1000000L - cls.size && shareSum <= 1000000L, s"shares sum to $shareSum")
   }
 
+  test("rolling 7-day distinct users equals a brute-force window scan; WAU >= DAU") {
+    val got = Events.rollingDau.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ud = Events.loadEvents(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(got.keySet == byDay.keySet)
+    for ((d, users) <- byDay) {
+      val wau = ((d - 6) to d).flatMap(byDay.get).flatten.toSet.size.toLong
+      val dau = users.size.toLong
+      assert(got(d) == ((dau, wau, dau * 1000 / wau)), s"day $d: ${got(d)}")
+      assert(wau >= dau)
+    }
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
