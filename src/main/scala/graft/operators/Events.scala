@@ -1674,12 +1674,84 @@ object Events {
               (daily.dau * 1000) // wau.wau7 AS dau_wau_x1000
             FROM daily JOIN wau ON wau.day = daily.day"""))
 
+  /** Additive SEASONAL DECOMPOSITION of the daily series (STL-lite) —
+    * the structural split the raw series hides: y = trend + weekly
+    * seasonal + residual, where trend is the centered 7-day moving
+    * average (RANGE ±3 days over the dense gap-filled grid), the
+    * seasonal term is the per-day-of-week mean of the detrended
+    * series, and the residual is what remains — the series an anomaly
+    * detector should actually threshold ([[heatmap]] shows the weekly
+    * cycle; this REMOVES it). All arithmetic is exact ×1000 fixed
+    * point (sums and counts stay integers; the two divisions are
+    * integral div), so both engines agree bit-for-bit. Edge days use
+    * the partial centered window (window size reported via the dense
+    * grid, identical in both engines).
+    *
+    * Scale shape: the corpus-sized pass is the daily rollup; the
+    * dense grid, both window passes, and the dow-mean join all run on
+    * the ≤ types × days frame. One shuffle + tiny-frame windows — the
+    * [[acf]] profile.
+    */
+  val seasonalDecompose: QueryDef = QueryDef(
+    "q_events_seasonal",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+      val dense = daily.groupBy("event_type")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val detr = dense
+        .withColumn("trend_x1000", expr("(1000 * " +
+          "sum(y) over (partition by event_type order by day range between 3 preceding and 3 following)) div " +
+          "count(1) over (partition by event_type order by day range between 3 preceding and 3 following)"))
+        .withColumn("detr", col("y") * 1000 - col("trend_x1000"))
+      val seas = detr.groupBy(col("event_type"),
+          ((col("day") + 3) % 7).as("dow"))
+        .agg(expr("sum(detr) div count(1)").as("seasonal_x1000"))
+      detr.withColumn("dow", (col("day") + 3) % 7)
+        .join(seas, Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("y"), col("trend_x1000"),
+          col("seasonal_x1000"),
+          (col("detr") - col("seasonal_x1000")).as("resid_x1000"))
+    },
+    Some("""WITH daily AS (SELECT
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+              event_type, COUNT(*) AS y
+            FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+              FROM daily GROUP BY 1),
+            grid AS (SELECT event_type, UNNEST(range(d0, d1 + 1)) AS day FROM b),
+            dense AS (SELECT g.event_type, g.day,
+                CAST(COALESCE(d.y, 0) AS BIGINT) AS y
+              FROM grid g LEFT JOIN daily d
+                ON d.event_type = g.event_type AND d.day = g.day),
+            tr AS (SELECT event_type, day, y,
+                (1000 * CAST(SUM(y) OVER w AS BIGINT)) // (COUNT(*) OVER w)
+                  AS trend_x1000
+              FROM dense
+              WINDOW w AS (PARTITION BY event_type ORDER BY day
+                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            dt AS (SELECT *, y * 1000 - trend_x1000 AS detr,
+                (day + 3) % 7 AS dow FROM tr),
+            seas AS (SELECT event_type, dow,
+                CAST(SUM(detr) AS BIGINT) // COUNT(*) AS seasonal_x1000
+              FROM dt GROUP BY 1, 2)
+            SELECT dt.event_type, dt.day, dt.y, dt.trend_x1000,
+              seas.seasonal_x1000, dt.detr - seas.seasonal_x1000 AS resid_x1000
+            FROM dt JOIN seas
+              ON seas.event_type = dt.event_type AND seas.dow = dt.dow"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
-      twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau)
+      twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
+      seasonalDecompose)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -1126,6 +1126,38 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("seasonal decomposition reconstructs: y*1000 == trend + seasonal + residual; recompute matches") {
+    val rows = Events.seasonalDecompose.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, d, y, tr, se, re) =>
+      assert(y * 1000 == tr + se + re, s"($t,$d) does not reconstruct")
+    }
+    // driver-side recompute of trend and dow means on the dense grid
+    val daily = Events.loadEvents(spark, sfDir)
+      .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y")).collect()
+      .groupBy(_.getString(1))
+      .view.mapValues(_.map(r => r.getLong(0) -> r.getLong(2)).toMap).toMap
+    val got = rows.map(r => (r._1, r._2) -> (r._4, r._5)).toMap
+    for ((t, byDay) <- daily) {
+      val d0 = byDay.keys.min; val d1 = byDay.keys.max
+      val dense = (d0 to d1).map(d => d -> byDay.getOrElse(d, 0L)).toMap
+      val trend = dense.keys.map { d =>
+        val win = ((d - 3) to (d + 3)).filter(dense.contains)
+        d -> 1000 * win.map(dense).sum / win.length
+      }.toMap
+      val detr = dense.map { case (d, y) => d -> (y * 1000 - trend(d)) }
+      val seas = detr.groupBy { case (d, _) => (d + 3) % 7 }
+        .view.mapValues(v => v.values.sum / v.size).toMap
+      for (d <- dense.keys) {
+        val e = (trend(d), seas((d + 3) % 7))
+        assert(got((t, d)) == e, s"($t,$d): ${got((t, d))} != $e")
+      }
+    }
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
