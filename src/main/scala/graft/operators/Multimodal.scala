@@ -259,5 +259,160 @@ object Multimodal {
             CAST(SUM(l) AS BIGINT) // (w * h) AS mean_luma_x1000
           FROM lum GROUP BY i, w, h"""))
 
-  val defs: Seq[QueryDef] = Seq(metaQuery, frameSample, patchGrid, imageDecodeReal)
+  case class DHashRecord(img_id: Long, h0: Long, h1: Long)
+
+  /** Difference-hash (dHash) of a decoded image: block-mean resize to
+    * a 9×8 luma grid (exact integer sums, integral div), then one bit
+    * per horizontal gradient sign — 64 bits packed as two NON-NEGATIVE
+    * 32-bit halves (a single BIGINT would put bit 63 in the sign).
+    * Uniform brightness shifts cancel in the gradient, which is the
+    * whole point of hashing gradients instead of pixels.
+    */
+  def dhash(img: java.awt.image.BufferedImage): DHashRecord = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sum = Array.ofDim[Long](8, 9)
+    val cnt = Array.ofDim[Long](8, 9)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val l = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+        114L * (rgb & 0xff)
+      val cx = x * 9 / w; val cy = y * 8 / h
+      sum(cy)(cx) += l; cnt(cy)(cx) += 1
+    }
+    var h0 = 0L; var h1 = 0L
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val m0 = sum(cy)(cx) / cnt(cy)(cx)
+      val m1 = sum(cy)(cx + 1) / cnt(cy)(cx + 1)
+      if (m1 > m0) {
+        val pos = cy * 8 + cx
+        if (pos < 32) h0 |= 1L << pos else h1 |= 1L << (pos - 32)
+      }
+    }
+    DHashRecord(-1L, h0, h1)
+  }
+
+  /** The generative near-dup image set the dHash query runs on: 8
+    * base images (wrapping-gradient pattern, so the hash has varied
+    * bits), 8 brightness-shifted VARIANTS of the bases (+5 per
+    * channel, no clamp by construction — dHash-invariant, the planted
+    * near-dups), 8 UNRELATED images (different wrap frequencies).
+    * Same driver-built-synthesis shape as [[imageDecodeReal]]; the
+    * oracle recomputes everything from this formula and never sees a
+    * PNG byte.
+    */
+  def dhashImageSet(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val images = (0 until 24).map { i =>
+      val c = i / 8; val j = i % 8
+      val (w, h) = (16 + j, 8 + j)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = c match {
+          case 0 => (((37 + 11 * j) * x + 3 * j) % 250,
+            ((23 + 7 * j) * y + 5 * j) % 250,
+            ((29 + 5 * j) * x + 17 * y + j) % 250)
+          case 1 => (((37 + 11 * j) * x + 3 * j) % 250 + 5,
+            ((23 + 7 * j) * y + 5 * j) % 250 + 5,
+            ((29 + 5 * j) * x + 17 * y + j) % 250 + 5)
+          case _ => ((7 * x * y + 13 * j) % 250,
+            ((x + 2 * y) * (x + 1) + j) % 250,
+            (x * x + 3 * y * y + 11 * j) % 250)
+        }
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRecord(i.toLong, bos.toByteArray)
+    }
+    s.createDataset(images).mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        dhash(img).copy(img_id = r.doc_id)
+      }
+    }.toDF()
+  }
+
+  /** §2.2 row 32b — PERCEPTUAL near-dup detection over the REAL
+    * decode path: dHash each image through the production
+    * `javax.imageio` arm, band the 64-bit hash into 4×16-bit Hamming
+    * LSH buckets (the MinHash-band pattern on bits — any shared band
+    * seeds a candidate), verify candidates by exact Hamming distance
+    * ≤ 6. The brightness-shifted variants land at Hamming 0 (gradient
+    * hashing's invariance, proven by the planted pairs); unrelated
+    * images must exceed the band gate or the verify threshold.
+    *
+    * Scale shape: hashing is map-side per image (payloads never
+    * shuffle); the band join is the same bounded-bucket equi-join the
+    * text near-dup stack uses — never an all-pairs compare; verify
+    * touches only banded candidates.
+    */
+  val phashNearDup: QueryDef = QueryDef(
+    "m_phash_neardup",
+    (s, dir) => {
+      val _ = dir // same synthetic set at every SF — the codec is the subject
+      val hashes = dhashImageSet(s).localCheckpoint()
+      val bands = hashes.select(col("img_id"), col("h0"), col("h1"))
+        .select(col("img_id"), explode(expr(
+          """arrays_zip(array(0L, 1L, 2L, 3L), array(
+               h0 % 65536, (h0 div 65536) % 65536,
+               h1 % 65536, (h1 div 65536) % 65536))""")).as("z"))
+        .select(col("img_id"), col("z.0").as("bi"), col("z.1").as("bv"))
+      val cand = bands.toDF("a", "bi", "bv")
+        .join(bands.toDF("b", "bi", "bv"), Seq("bi", "bv"))
+        .where(col("a") < col("b")).select("a", "b").distinct()
+      cand
+        .join(hashes.toDF("a", "h0a", "h1a"), "a")
+        .join(hashes.toDF("b", "h0b", "h1b"), "b")
+        .select(col("a").as("img_a"), col("b").as("img_b"),
+          expr("cast(bit_count(h0a ^ h0b) + bit_count(h1a ^ h1b) as bigint)")
+            .as("hamming"))
+        .where(col("hamming") <= 6)
+    },
+    Some("""WITH ids AS (SELECT unnest(range(0, 24)) AS i),
+          m AS (SELECT i, i // 8 AS c, i % 8 AS j,
+              16 + (i % 8) AS w, 8 + (i % 8) AS h FROM ids),
+          xs AS (SELECT m.*, rx.x FROM m, LATERAL (
+              SELECT unnest(range(0, m.w)) AS x) rx),
+          px AS (SELECT *, unnest(range(0, h)) AS y FROM xs),
+          lum AS (SELECT i, w, h, x, y,
+            CASE WHEN c = 0 THEN 299 * (((37 + 11*j)*x + 3*j) % 250)
+                + 587 * (((23 + 7*j)*y + 5*j) % 250)
+                + 114 * (((29 + 5*j)*x + 17*y + j) % 250)
+              WHEN c = 1 THEN 299 * (((37 + 11*j)*x + 3*j) % 250 + 5)
+                + 587 * (((23 + 7*j)*y + 5*j) % 250 + 5)
+                + 114 * (((29 + 5*j)*x + 17*y + j) % 250 + 5)
+              ELSE 299 * ((7*x*y + 13*j) % 250)
+                + 587 * (((x + 2*y) * (x + 1) + j) % 250)
+                + 114 * ((x*x + 3*y*y + 11*j) % 250) END AS l
+            FROM px),
+          cells AS (SELECT i, (x * 9) // w AS cx, (y * 8) // h AS cy,
+              CAST(SUM(l) AS BIGINT) // COUNT(*) AS mn
+            FROM lum GROUP BY 1, 2, 3),
+          bits AS (SELECT a.i, a.cy * 8 + a.cx AS pos,
+              CASE WHEN b.mn > a.mn THEN 1 ELSE 0 END AS bit
+            FROM cells a JOIN cells b
+              ON b.i = a.i AND b.cy = a.cy AND b.cx = a.cx + 1
+            WHERE a.cx < 8),
+          hsh AS (SELECT i,
+              CAST(SUM(CASE WHEN pos < 32
+                THEN bit * (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS BIGINT) AS h0,
+              CAST(SUM(CASE WHEN pos >= 32
+                THEN bit * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END) AS BIGINT) AS h1
+            FROM bits GROUP BY 1),
+          bands AS (SELECT i, bb.bi,
+              CASE bb.bi WHEN 0 THEN h0 % 65536 WHEN 1 THEN (h0 // 65536) % 65536
+                WHEN 2 THEN h1 % 65536 ELSE (h1 // 65536) % 65536 END AS bv
+            FROM hsh, (SELECT unnest(range(0, 4)) AS bi) bb),
+          cand AS (SELECT DISTINCT x.i AS a, y.i AS b FROM bands x
+            JOIN bands y ON x.bi = y.bi AND x.bv = y.bv AND x.i < y.i)
+          SELECT c.a AS img_a, c.b AS img_b,
+            CAST(bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))
+              AS BIGINT) AS hamming
+          FROM cand c JOIN hsh ha ON ha.i = c.a JOIN hsh hb ON hb.i = c.b
+          WHERE bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1)) <= 6"""))
+
+  val defs: Seq[QueryDef] = Seq(metaQuery, frameSample, patchGrid,
+    imageDecodeReal, phashNearDup)
 }

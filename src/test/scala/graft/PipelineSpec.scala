@@ -1120,6 +1120,30 @@ class PipelineSpec extends SparkSpec {
     assert(!c.is_real, "corrupt-body image must route to the stub, not crash")
   }
 
+  test("phash near-dup finds exactly the brightness variants at hamming 0; dhash is shift-invariant") {
+    val got = Multimodal.phashNearDup.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // the planted pairs: each base i pairs with its +5-brightness
+    // variant i+8 and nothing else survives the hamming gate
+    assert(got.toSeq == (0L until 8L).map(i => (i, i + 8, 0L)),
+      s"pairs: ${got.mkString(", ")}")
+    // direct unit proof of the invariance the query relies on: a
+    // uniform brightness shift leaves every gradient sign unchanged
+    def mk(shift: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(20, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 20) {
+        val (r, g, b) = ((53 * x + 9 * y) % 240 + shift,
+          (31 * y) % 240 + shift, (17 * x * y) % 240 + shift)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      img
+    }
+    val (a, b) = (Multimodal.dhash(mk(0)), Multimodal.dhash(mk(9)))
+    assert(a.h0 == b.h0 && a.h1 == b.h1, "dhash must ignore uniform brightness")
+    assert(a.h0 >= 0 && a.h1 >= 0, "packed halves must stay non-negative")
+  }
+
   test("winsorize invariants: clip fractions bounded by the percentile ranks, mean inside [p5, p95]") {
     val rows = SparkEntry.queries("q_events_winsorize")(spark, sfDir).collect()
     assert(rows.nonEmpty)
