@@ -413,6 +413,104 @@ object Multimodal {
           FROM cand c JOIN hsh ha ON ha.i = c.a JOIN hsh hb ON hb.i = c.b
           WHERE bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1)) <= 6"""))
 
+  /** Encode 16-bit signed PCM mono samples as real WAV bytes through
+    * the JDK's own audio stack (`javax.sound.sampled` — zero external
+    * deps, the audio twin of the imageio path). Little-endian PCM is
+    * lossless, so the roundtrip is bit-exact.
+    */
+  def encodeWav(samples: Array[Short], rate: Float): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode real WAV bytes to 16-bit samples; None when the payload
+    * isn't decodable audio (the router to a stub arm, mirroring
+    * [[decodeImage]]).
+    */
+  def decodeWav(payload: Array[Byte]): Option[Array[Short]] = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+      else {
+        val raw = ais.readAllBytes()
+        val out = new Array[Short](raw.length / 2)
+        var i = 0
+        while (i < out.length) {
+          val lo = raw(2 * i) & 0xff; val hi = raw(2 * i + 1) & 0xff
+          val v = if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo
+          out(i) = v.toShort
+          i += 1
+        }
+        Some(out)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** §2.2 row 32c — REAL audio decode, ORACLE-CHECKED (the audio twin
+    * of [[imageDecodeReal]]): deterministic generative PCM clips
+    * (sample t of clip i is EXACTLY ((t·(7+2i)+13i) mod 2001) − 1000)
+    * are encoded to real WAV bytes and decoded back through the
+    * production `javax.sound.sampled` path; per 200-sample frame the
+    * query emits the exact integer |amplitude| sum and energy Σv² —
+    * the VAD/silence-trim features an audio-training pipeline cuts
+    * on. The DuckDB oracle recomputes ground truth from the formula
+    * and never sees a WAV byte: any decoder sample error fails the
+    * hash (PCM16 is lossless, so the roundtrip is bit-exact).
+    *
+    * Scale shape: decode + framing is per-row map work in the same
+    * mapPartitions batch shape as every media scan — payloads never
+    * shuffle; the frame rollup keys are (clip, frame), corpus-sized
+    * cardinality with map-side combine.
+    */
+  val audioDecodeReal: QueryDef = QueryDef(
+    "m_audio_decode_real",
+    (s, dir) => {
+      import s.implicits._
+      val _ = dir // same synthetic set at every SF — the codec is the subject
+      val clips = (0 until 8).map { i =>
+        val n = 800 + 100 * i
+        val samples = Array.tabulate(n)(t =>
+          (((t.toLong * (7 + 2 * i) + 13 * i) % 2001) - 1000).toShort)
+        MediaRecord(i.toLong, encodeWav(samples, 8000f))
+      }
+      s.createDataset(clips).mapPartitions { it =>
+        it.flatMap { r =>
+          val samples = decodeWav(r.payload).getOrElse(
+            sys.error(s"clip ${r.doc_id}: WAV decode failed"))
+          samples.iterator.zipWithIndex.map { case (v, t) =>
+            (r.doc_id, t.toLong / 200, math.abs(v.toLong), v.toLong * v)
+          }
+        }
+      }.toDF("clip_id", "frame", "av", "e")
+        .groupBy("clip_id", "frame")
+        .agg(count(lit(1)).as("n_samples"), sum(col("av")).as("sum_abs"),
+          sum(col("e")).as("energy"))
+    },
+    Some("""WITH ids AS (SELECT unnest(range(0, 8)) AS i),
+            t AS (SELECT i, unnest(range(0, 800 + 100 * i)) AS t FROM ids),
+            a AS (SELECT i, t,
+                ((t * (7 + 2 * i) + 13 * i) % 2001) - 1000 AS v FROM t)
+            SELECT CAST(i AS BIGINT) AS clip_id, CAST(t // 200 AS BIGINT) AS frame,
+              COUNT(*) AS n_samples, CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+              CAST(SUM(v * v) AS BIGINT) AS energy
+            FROM a GROUP BY 1, 2"""))
+
   val defs: Seq[QueryDef] = Seq(metaQuery, frameSample, patchGrid,
-    imageDecodeReal, phashNearDup)
+    imageDecodeReal, phashNearDup, audioDecodeReal)
 }

@@ -1144,6 +1144,26 @@ class PipelineSpec extends SparkSpec {
     assert(a.h0 >= 0 && a.h1 >= 0, "packed halves must stay non-negative")
   }
 
+  test("WAV roundtrip is bit-exact; audio frames conserve samples; corrupt bytes route to None") {
+    val samples = Array.tabulate(1234)(t => ((t * 31 % 4001) - 2000).toShort)
+    val wav = Multimodal.encodeWav(samples, 16000f)
+    val back = Multimodal.decodeWav(wav)
+    assert(back.isDefined && back.get.sameElements(samples),
+      "PCM16 WAV roundtrip must recover every sample exactly")
+    assert(Multimodal.decodeWav("not audio at all".getBytes("UTF-8")).isEmpty)
+    // corrupt-body payload must not throw (None or salvaged prefix both fine)
+    Multimodal.decodeWav(wav.take(30) ++ Array.fill[Byte](20)(0x55))
+    val rows = Multimodal.audioDecodeReal.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val perClip = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    for (i <- 0L until 8L)
+      assert(perClip(i) == 800 + 100 * i, s"clip $i sample count ${perClip(i)}")
+    // energy bound per frame: n * 1000^2 max amplitude
+    rows.foreach { case (c, f, n, sa, e) =>
+      assert(sa <= n * 1000 && e <= n * 1000000, s"clip $c frame $f out of bounds")
+    }
+  }
+
   test("winsorize invariants: clip fractions bounded by the percentile ranks, mean inside [p5, p95]") {
     val rows = SparkEntry.queries("q_events_winsorize")(spark, sfDir).collect()
     assert(rows.nonEmpty)
