@@ -3652,59 +3652,125 @@ object Similarity {
     * every subsequent step is O(64²) — never a second corpus pass,
     * never a driver-side matrix from collect.
     */
+  /** The 64×64 centered scatter matrix M = n·Σxxᵀ − SSᵀ over the
+    * ×1000-quantized embedding table — ONE map-side-combined corpus
+    * pass, shared by [[embeddingPca]] and [[embeddingVariance]].
+    */
+  private def scatterFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val v = quantized(Tables.load(s, dir, "embeddings"))
+    val ex = v.select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "x")))
+      .localCheckpoint()
+    val g = ex.toDF("vec_id", "j", "xa")
+      .join(ex.toDF("vec_id", "k", "xb"), "vec_id")
+      .groupBy("j", "k").agg(sum(col("xa") * col("xb")).as("gg"))
+    val sv = ex.groupBy(col("dim")).agg(sum(col("x")).as("sv"))
+    val n = v.agg(count(lit(1)).as("n"))
+    g.join(sv.toDF("j", "sj"), "j").join(sv.toDF("k", "sk"), "k")
+      .crossJoin(broadcast(n))
+      .select(col("j"), col("k"),
+        (col("n") * col("gg") - col("sj") * col("sk")).as("m"))
+      .localCheckpoint()
+  }
+
+  /** 3 fixed-point power-iteration rounds over a scatter frame —
+    * 64-row frames only; returns (k, vv) with vv the ×1000 dominant
+    * eigenvector estimate.
+    */
+  private def powerIterate(s: org.apache.spark.sql.SparkSession,
+      m: DataFrame): DataFrame = {
+    var vv = s.range(0, 64).select(col("id").as("k"), lit(1000L).as("vv"))
+    for (_ <- 1 to 3) {
+      val w = m.join(vv, "k").groupBy(col("j"))
+        .agg(sum(col("m") * col("vv")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      vv = w.crossJoin(broadcast(mx))
+        .select(col("j").as("k"),
+          expr("(w * 1000) div nullif(mx, 0)").as("vv"))
+        .localCheckpoint()
+    }
+    vv
+  }
+
+  /** Shared oracle CTE chain: scatter build (`mm`) + 3 unrolled power
+    * rounds ending in `v3(k, vv)`.
+    */
+  private def scatterPowerSqlCtes: String = {
+    def round(i: Int, prev: String) =
+      s"""w$i AS MATERIALIZED (SELECT j, CAST(SUM(m * vv) AS BIGINT) AS w
+           FROM mm JOIN $prev ON $prev.k = mm.k GROUP BY 1),
+         x$i AS (SELECT MAX(ABS(w)) AS mx FROM w$i),
+         v$i AS MATERIALIZED (SELECT j AS k, (w * 1000) // NULLIF(mx, 0) AS vv
+           FROM w$i CROSS JOIN x$i)"""
+    s"""$quantizedSql,
+       ex AS MATERIALIZED (SELECT vec_id, unnest(q) AS x,
+           unnest(range(0, 64)) AS dim FROM v),
+       g AS MATERIALIZED (SELECT a.dim AS j, b.dim AS k,
+           CAST(SUM(a.x * b.x) AS BIGINT) AS gg
+         FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+       sv AS (SELECT dim, CAST(SUM(x) AS BIGINT) AS sv FROM ex GROUP BY 1),
+       nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+       mm AS MATERIALIZED (SELECT j, g.k AS k, n * gg - sa.sv * sb.sv AS m
+         FROM g JOIN sv sa ON sa.dim = g.j JOIN sv sb ON sb.dim = g.k
+         CROSS JOIN nn),
+       v0 AS (SELECT CAST(range AS BIGINT) AS k, CAST(1000 AS BIGINT) AS vv
+           FROM range(0, 64)),
+       ${round(1, "v0")},
+       ${round(2, "v1")},
+       ${round(3, "v2")}"""
+  }
+
   val embeddingPca: QueryDef = QueryDef(
     "s_embedding_pca",
+    (s, dir) => powerIterate(s, scatterFrame(s, dir))
+      .select(col("k").cast("long").as("dim"), col("vv").as("v_x1000")),
+    Some(s"""WITH $scatterPowerSqlCtes
+         SELECT k AS dim, vv AS v_x1000 FROM v3"""))
+
+  /** EXPLAINED-VARIANCE ratio of the top principal component — the
+    * actionable number next to [[embeddingPca]]'s direction: what
+    * fraction of total corpus variance does PC1 carry? (High → the
+    * embedding space is anisotropic and Matryoshka truncation /
+    * PCA'd PQ codebooks are cheap; low → dimensions pull equal
+    * weight.) Rayleigh quotient over the shared scatter:
+    * ratio = vᵀMv / (vᵀv · tr M) in ×10⁶ fixed point. The products
+    * overflow int64 (|vᵀMv| ≤ 64²·|M|·10⁶), so both engines fold in
+    * 38-digit decimals — Spark decimal(38,0), DuckDB HUGEINT — the
+    * `q_table_checksum` convention; the final ratio fits a BIGINT.
+    * M is positive semidefinite, so the ratio lands in [0, 10⁶]
+    * (spec-asserted).
+    *
+    * Scale shape: the one corpus-sized pass is the shared scatter
+    * build; the Rayleigh contraction and trace run on the 4096-cell
+    * frame.
+    */
+  val embeddingVariance: QueryDef = QueryDef(
+    "s_embedding_variance",
     (s, dir) => {
-      val v = quantized(Tables.load(s, dir, "embeddings"))
-      val ex = v.select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "x")))
-        .localCheckpoint()
-      val g = ex.toDF("vec_id", "j", "xa")
-        .join(ex.toDF("vec_id", "k", "xb"), "vec_id")
-        .groupBy("j", "k").agg(sum(col("xa") * col("xb")).as("gg"))
-      val sv = ex.groupBy(col("dim")).agg(sum(col("x")).as("sv"))
-      val n = v.agg(count(lit(1)).as("n"))
-      val m = g.join(sv.toDF("j", "sj"), "j").join(sv.toDF("k", "sk"), "k")
-        .crossJoin(broadcast(n))
-        .select(col("j"), col("k"),
-          (col("n") * col("gg") - col("sj") * col("sk")).as("m"))
-        .localCheckpoint()
-      var vv = s.range(0, 64).select(col("id").as("k"), lit(1000L).as("vv"))
-      for (_ <- 1 to 3) {
-        val w = m.join(vv, "k").groupBy(col("j"))
-          .agg(sum(col("m") * col("vv")).as("w"))
-        val mx = w.agg(max(abs(col("w"))).as("mx"))
-        vv = w.crossJoin(broadcast(mx))
-          .select(col("j").as("k"),
-            expr("(w * 1000) div nullif(mx, 0)").as("vv"))
-          .localCheckpoint()
-      }
-      vv.select(col("k").cast("long").as("dim"), col("vv").as("v_x1000"))
+      val m = scatterFrame(s, dir)
+      val v = powerIterate(s, m)
+      val vMv = m.join(v.toDF("j", "vj"), "j").join(v.toDF("k", "vk"), "k")
+        .agg(sum(expr("cast(m as decimal(38,0)) * vj * vk")).as("vmv"))
+      val tr = m.where(col("j") === col("k"))
+        .agg(sum(col("m")).as("trace"))
+      val vtv = v.agg(sum(col("vv") * col("vv")).as("vtv"))
+      vMv.crossJoin(broadcast(tr)).crossJoin(broadcast(vtv))
+        .where(col("trace") > 0 && col("vtv") > 0)
+        .select(col("trace"), col("vtv").cast("long").as("vtv"),
+          expr("""cast((vmv * 1000000) div
+               (cast(trace as decimal(38,0)) * vtv) as bigint)""")
+            .as("explained_x1e6"))
     },
-    Some {
-      def round(i: Int, prev: String) =
-        s"""w$i AS MATERIALIZED (SELECT j, CAST(SUM(m * vv) AS BIGINT) AS w
-             FROM mm JOIN $prev ON $prev.k = mm.k GROUP BY 1),
-           x$i AS (SELECT MAX(ABS(w)) AS mx FROM w$i),
-           v$i AS MATERIALIZED (SELECT j AS k, (w * 1000) // NULLIF(mx, 0) AS vv
-             FROM w$i CROSS JOIN x$i)"""
-      s"""WITH $quantizedSql,
-         ex AS MATERIALIZED (SELECT vec_id, unnest(q) AS x,
-             unnest(range(0, 64)) AS dim FROM v),
-         g AS MATERIALIZED (SELECT a.dim AS j, b.dim AS k,
-             CAST(SUM(a.x * b.x) AS BIGINT) AS gg
-           FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
-         sv AS (SELECT dim, CAST(SUM(x) AS BIGINT) AS sv FROM ex GROUP BY 1),
-         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
-         mm AS MATERIALIZED (SELECT j, g.k AS k, n * gg - sa.sv * sb.sv AS m
-           FROM g JOIN sv sa ON sa.dim = g.j JOIN sv sb ON sb.dim = g.k
-           CROSS JOIN nn),
-         v0 AS (SELECT CAST(range AS BIGINT) AS k, CAST(1000 AS BIGINT) AS vv
-             FROM range(0, 64)),
-         ${round(1, "v0")},
-         ${round(2, "v1")},
-         ${round(3, "v2")}
-         SELECT k AS dim, vv AS v_x1000 FROM v3"""
-    })
+    Some(s"""WITH $scatterPowerSqlCtes,
+         vmv AS (SELECT SUM(CAST(mm.m AS HUGEINT) * a.vv * b.vv) AS vmv
+           FROM mm JOIN v3 a ON a.k = mm.j JOIN v3 b ON b.k = mm.k),
+         tr AS (SELECT CAST(SUM(m) AS BIGINT) AS trace FROM mm WHERE j = k),
+         vtv AS (SELECT CAST(SUM(vv * vv) AS BIGINT) AS vtv FROM v3)
+         SELECT trace, vtv,
+           CAST((vmv * 1000000) // (CAST(trace AS HUGEINT) * vtv) AS BIGINT)
+             AS explained_x1e6
+         FROM vmv CROSS JOIN tr CROSS JOIN vtv
+         WHERE trace > 0 AND vtv > 0"""))
 
   /** LINK PREDICTION over the persisted kNN graph — the "which edges
     * are MISSING" read next to `s_graph_triangles`' "how dense is what
@@ -3780,5 +3846,6 @@ object Similarity {
       dedupSemanticIncremental, mmrRerank, nearestCentroid, graphTriangles,
       mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep,
       labelKappa, evalRetrieval, graphCommunities, knnRouted, truncatedRecall,
-      silhouette, labelCentroidDrift, embeddingPca, graphLinkPredict)
+      silhouette, labelCentroidDrift, embeddingPca, graphLinkPredict,
+      embeddingVariance)
 }

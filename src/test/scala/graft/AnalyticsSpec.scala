@@ -1158,6 +1158,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("explained variance matches a BigInt Rayleigh recompute and lands in [0, 1e6]") {
+    val row = Similarity.embeddingVariance.fn(spark, sfDir).collect()
+    assert(row.length == 1)
+    val (trace, vtv, ratio) = (row(0).getLong(0), row(0).getLong(1), row(0).getLong(2))
+    assert(ratio >= 0 && ratio <= 1000000L, s"PSD scatter must give ratio in [0,1e6]: $ratio")
+    // recompute with BigInt from the raw embeddings + the served PC
+    val q = Similarity.quantizedOf(Tables.load(spark, sfDir, "embeddings"))
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+    val d = 64; val n = q.length.toLong
+    val sv = Array.tabulate(d)(j => q.map(_(j)).sum)
+    val m = Array.tabulate(d, d) { (j, k) =>
+      BigInt(n) * q.map(v => v(j) * v(k)).sum - BigInt(sv(j)) * sv(k)
+    }
+    val pc = Similarity.embeddingPca.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val v = Array.tabulate(d)(pc(_))
+    val vmv = (for (j <- 0 until d; k <- 0 until d)
+      yield m(j)(k) * v(j) * v(k)).sum
+    val tr = (0 until d).map(j => m(j)(j)).sum
+    val vtv2 = v.map(x => BigInt(x) * x).sum
+    assert(BigInt(trace) == tr && BigInt(vtv) == vtv2)
+    assert(BigInt(ratio) == (vmv * 1000000) / (tr * vtv2),
+      s"ratio $ratio != ${(vmv * 1000000) / (tr * vtv2)}")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
