@@ -3838,6 +3838,44 @@ object Similarity {
          FROM sc
          ORDER BY jaccard_x1000 DESC, cn DESC, u, v LIMIT 50"""))
 
+  /** ISOLATION audit over the persisted kNN graph — the data-cleaning
+    * read `s_graph_link_predict` inverts once more: which vectors have
+    * the WEAKEST best neighbor? A point whose top-1 retained edge is
+    * low-cosine sits alone in the space — noise, mislabels, or
+    * distribution tails a curation pass should inspect (the kNN-
+    * distance outlier family, served from the graph instead of a
+    * fresh scan). Bottom-20 sources by (best-edge sim asc), with the
+    * edge count and the weakest retained edge beside it; max/min are
+    * order-independent aggregates, so no float-sum nondeterminism.
+    * Vectors with NO banded candidate at all never entered the graph
+    * — this audits retained adjacency; the banding-miss set is row
+    * 27v's recall job.
+    *
+    * Scale shape: one groupBy over the O(N·k) edge table, then
+    * orderBy+limit per-partition heaps. No corpus scan, no window
+    * over the full frame.
+    */
+  val embeddingIsolation: QueryDef = QueryDef(
+    "s_embedding_isolation",
+    (s, dir) => {
+      val per = knnGraphTable(s, dir).groupBy(col("g_src"))
+        .agg(count(lit(1)).as("k_edges"), max(col("g_sim")).as("best_sim"),
+          min(col("g_sim")).as("worst_sim"))
+      per.orderBy(col("best_sim").asc, col("g_src")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("best_sim").asc, col("g_src"))).cast("long"))
+        .select(col("g_src").as("vec_id"), col("k_edges"), col("best_sim"),
+          col("worst_sim"), col("rnk"))
+    },
+    Some(s"""WITH $graphSqlCtes,
+         ge AS (SELECT g.g_src, s.sim FROM graph g
+             JOIN gsc s ON s.a = g.g_src AND s.b = g.g_dst),
+         per AS (SELECT g_src, COUNT(*) AS k_edges, MAX(sim) AS best_sim,
+             MIN(sim) AS worst_sim FROM ge GROUP BY 1)
+         SELECT g_src AS vec_id, k_edges, best_sim, worst_sim,
+           CAST(ROW_NUMBER() OVER (ORDER BY best_sim ASC, g_src) AS BIGINT) AS rnk
+         FROM per ORDER BY best_sim ASC, g_src LIMIT 20"""))
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
@@ -3847,5 +3885,5 @@ object Similarity {
       mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep,
       labelKappa, evalRetrieval, graphCommunities, knnRouted, truncatedRecall,
       silhouette, labelCentroidDrift, embeddingPca, graphLinkPredict,
-      embeddingVariance)
+      embeddingVariance, embeddingIsolation)
 }

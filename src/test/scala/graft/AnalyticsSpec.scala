@@ -1183,6 +1183,23 @@ class AnalyticsSpec extends SparkSpec {
       s"ratio $ratio != ${(vmv * 1000000) / (tr * vtv2)}")
   }
 
+  test("isolation audit equals a driver-side recompute over the served graph") {
+    val got = Similarity.embeddingIsolation.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    val per = Similarity.knnGraphTable(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expect = per.toSeq.map { case (src, sims) =>
+      (src, sims.size.toLong, sims.max, sims.min)
+    }.sortBy { case (src, _, best, _) => (best, src) }.take(20)
+    assert(got.length == expect.length)
+    got.zip(expect).zipWithIndex.foreach { case (((gv, gk, gb, gw, rnk), e), i) =>
+      assert((gv, gk, gb, gw) == e, s"rank ${i + 1}: got ${(gv, gk, gb, gw)} want $e")
+      assert(rnk == i + 1)
+      assert(gw <= gb, "worst edge cannot beat best edge")
+    }
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
