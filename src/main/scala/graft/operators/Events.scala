@@ -1745,13 +1745,67 @@ object Events {
             FROM dt JOIN seas
               ON seas.event_type = dt.event_type AND seas.dow = dt.dow"""))
 
+  /** THEIL-SEN robust trend — the median of all pairwise day-slopes,
+    * the estimator [[trend]]'s OLS is not: a single corrupted day
+    * (outage, backfill spike) drags the least-squares slope
+    * arbitrarily but moves the slope MEDIAN by at most one rank
+    * (29% breakdown point). Slopes are one IEEE division of exact
+    * integer deltas each (identical bits both engines); the median is
+    * the LOWER median under the total order (slope, day₁, day₂), so
+    * ties resolve identically. Works on the OBSERVED days directly —
+    * pairwise slopes use true day distance, no gap-fill needed.
+    *
+    * Scale shape: the corpus-sized pass is the daily rollup; the
+    * pair self-join and per-type rank run on the ≤ types × days²
+    * frame — days are TIME-bounded (a year is 365 rows per type no
+    * matter the corpus), so the quadratic is in a constant, not the
+    * data. The [[acf]] profile with a squared-but-bounded small side.
+    */
+  val theilSen: QueryDef = QueryDef(
+    "q_events_theilsen",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+      val pairs = daily.toDF("d1", "event_type", "y1")
+        .join(daily.toDF("d2", "event_type", "y2"), "event_type")
+        .where(col("d2") > col("d1"))
+        .select(col("event_type"), col("d1"), col("d2"),
+          ((col("y2") - col("y1")).cast("double") /
+            (col("d2") - col("d1")).cast("double")).as("slope"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("slope"), col("d1"), col("d2"))
+      pairs
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("np", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+        .where(col("rn") === expr("(np + 1) div 2"))
+        .select(col("event_type"), col("np").as("n_pairs"),
+          col("slope").as("slope_per_day"))
+    },
+    Some("""WITH daily AS (SELECT
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+              event_type, COUNT(*) AS y
+            FROM events GROUP BY 1, 2),
+            p AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
+                CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+              FROM daily a JOIN daily b
+                ON b.event_type = a.event_type AND b.day > a.day),
+            r AS (SELECT event_type, slope,
+                CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY slope, d1, d2) AS BIGINT) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS np
+              FROM p)
+            SELECT event_type, np AS n_pairs, slope AS slope_per_day
+            FROM r WHERE rn = (np + 1) // 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
-      seasonalDecompose)
+      seasonalDecompose, theilSen)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

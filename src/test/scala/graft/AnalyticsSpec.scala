@@ -1200,6 +1200,42 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("Theil-Sen slope equals a brute-force pairwise median; robust to a planted spike") {
+    val got = Events.theilSen.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val daily = Events.loadEvents(spark, sfDir)
+      .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y")).collect()
+      .groupBy(_.getString(1))
+      .view.mapValues(_.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)).toMap
+    def median(series: Seq[(Long, Long)]): (Long, Double) = {
+      val slopes = for {
+        i <- series.indices; j <- (i + 1) until series.length
+      } yield ((series(j)._2 - series(i)._2).toDouble /
+        (series(j)._1 - series(i)._1).toDouble, series(i)._1, series(j)._1)
+      val sorted = slopes.sortBy { case (sl, d1, d2) => (sl, d1, d2) }
+      (slopes.length.toLong, sorted((slopes.length + 1) / 2 - 1)._1)
+    }
+    for ((t, series) <- daily if series.length > 1)
+      assert(got(t) == median(series), s"$t: ${got(t)} vs ${median(series)}")
+    // robustness: a 100x spike on one day moves the median slope far
+    // less than the OLS slope on the same corrupted series
+    val base = daily.values.maxBy(_.length)
+    val spiked = base.updated(base.length / 2,
+      (base(base.length / 2)._1, base(base.length / 2)._2 * 100))
+    def ols(series: Seq[(Long, Long)]): Double = {
+      val n = series.length.toDouble
+      val (sx, sy) = (series.map(_._1.toDouble).sum, series.map(_._2.toDouble).sum)
+      val sxy = series.map(p => p._1.toDouble * p._2).sum
+      val sxx = series.map(p => p._1.toDouble * p._1).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    val tsShift = math.abs(median(spiked)._2 - median(base)._2)
+    val olsShift = math.abs(ols(spiked) - ols(base))
+    assert(tsShift < olsShift / 10,
+      s"Theil-Sen moved $tsShift vs OLS $olsShift under the spike")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
