@@ -569,10 +569,57 @@ object StatsQueries {
             COUNT(DISTINCT l_orderkey) AS d_orderkey, TRUE AS hll_ok
             FROM lineitem GROUP BY 1"""))
 
+  /** BENFORD first-digit audit of order values — the fraud /
+    * fabricated-data screen accountants run and a data-quality suite
+    * should too (organically-grown monetary amounts follow
+    * log₁₀(1+1/d); synthetic, capped, or hand-entered values don't):
+    * per leading digit of the exact cents amount, the observed count,
+    * observed share ×10⁶, the Benford expectation (the standard
+    * rounded ×10⁶ constants, which sum to exactly 10⁶), and the
+    * deviation. No chi-square scalar — the per-digit deviation table
+    * IS the audit, and it stays in exact integers (a χ² would need
+    * float sums whose addition order differs across engines).
+    *
+    * Scale shape: one map-side-combined 9-group aggregate + a 1-row
+    * broadcast total. Nothing else.
+    */
+  val benford: QueryDef = QueryDef(
+    "q_benford",
+    (s, dir) => {
+      val exp = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+        57992L, 51153L, 45757L)
+      val expDf = broadcast(s.createDataFrame(
+        exp.zipWithIndex.map { case (e, i) => (i + 1L, e) })
+        .toDF("digit", "benford_x1e6"))
+      val d = Tables.load(s, dir, "orders")
+        .select(expr("cast(substring(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint) as string), 1, 1) as bigint)")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val total = d.agg(sum(col("n_obs")).as("total"))
+      d.crossJoin(broadcast(total)).join(expDf, "digit")
+        .select(col("digit"), col("n_obs"),
+          expr("(n_obs * 1000000) div total").as("obs_share_x1e6"),
+          col("benford_x1e6"),
+          expr("(n_obs * 1000000) div total - benford_x1e6").as("dev_x1e6"))
+    },
+    Some("""WITH d AS (SELECT CAST(LEFT(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+              AS BIGINT) AS VARCHAR), 1) AS BIGINT) AS digit
+            FROM orders),
+            c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+            t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM c),
+            e AS (SELECT CAST(UNNEST(range(1, 10)) AS BIGINT) AS digit,
+              UNNEST([301030, 176091, 124939, 96910, 79181, 66947,
+                57992, 51153, 45757]) AS benford_x1e6)
+            SELECT c.digit, c.n_obs,
+              (c.n_obs * 1000000) // t.total AS obs_share_x1e6,
+              CAST(e.benford_x1e6 AS BIGINT) AS benford_x1e6,
+              (c.n_obs * 1000000) // t.total - e.benford_x1e6 AS dev_x1e6
+            FROM c CROSS JOIN t JOIN e ON e.digit = c.digit"""))
+
   val defs: Seq[QueryDef] =
     Seq(histogram, tableStats, stringHistogram, approxStats, histogramEquiDepth,
       sketchQuantiles, skewProfile, dataQuality, tableChecksum,
-      tableChecksumIncremental, approxStatsGrouped, tableProfile)
+      tableChecksumIncremental, approxStatsGrouped, tableProfile, benford)
 
   /** Equi-width histogram summary of a numeric column: (lo, hi,
     * bucket counts). One narrow aggregate pass; the B-bucket result is

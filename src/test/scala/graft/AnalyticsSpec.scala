@@ -1236,6 +1236,24 @@ class AnalyticsSpec extends SparkSpec {
       s"Theil-Sen moved $tsShift vs OLS $olsShift under the spike")
   }
 
+  test("Benford audit conserves counts; constants sum to exactly 1e6; digits recompute") {
+    val rows = StatsQueries.benford.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._4).sum == 1000000L, "Benford constants must sum to exactly 1e6")
+    val cents = Tables.load(spark, sfDir, "orders")
+      .select(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).collect()
+      .map(_.getLong(0))
+    assert(rows.map(_._2).sum == cents.length.toLong, "every order counted once")
+    val byDigit = cents.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (d, n, share, exp, dev) =>
+      assert(d >= 1 && d <= 9)
+      assert(n == byDigit(d), s"digit $d: $n != ${byDigit(d)}")
+      assert(share == n * 1000000 / cents.length)
+      assert(dev == share - exp)
+    }
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
