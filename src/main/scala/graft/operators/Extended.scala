@@ -761,9 +761,70 @@ object Extended {
               (CAST(SUM(cents) AS BIGINT) * 1000000) // MAX(total) AS share_x1e6
             FROM cls GROUP BY 1"""))
 
+  /** COHORT LIFETIME-VALUE curves — the revenue-weighted sibling of
+    * the events retention grid: customers cohort by their FIRST order
+    * month, and each (cohort, month-offset) cell reports the active
+    * customers, the period revenue, the cohort's cumulative revenue,
+    * and cumulative revenue per cohort member — the curve a
+    * unit-economics read compares across acquisition cohorts. Months
+    * are calendar (year·12 + month−1, exact in both engines under
+    * UTC); money is exact cents; the running total is a window over
+    * the ≤ months² cohort grid, never the orders table.
+    *
+    * Scale shape: one shuffle for per-customer first month, one for
+    * the cohort-cell rollup (both on customer/cohort keys with
+    * map-side combine); the cumsum and the per-member division run on
+    * the tiny grid.
+    */
+  val cohortLtv: QueryDef = QueryDef(
+    "q_cohort_ltv",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("m"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      val cohort = o.groupBy("o_custkey").agg(min(col("m")).as("c0"))
+      val sizes = cohort.groupBy(col("c0")).agg(count(lit(1)).as("cohort_n"))
+      val cells = o.join(cohort, "o_custkey")
+        .groupBy(col("c0"), (col("m") - col("c0")).as("month_offset"))
+        .agg(countDistinct(col("o_custkey")).as("n_active"),
+          sum(col("cents")).as("revenue_cents"))
+      val w = Window.partitionBy("c0").orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.join(broadcast(sizes), "c0")
+        .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
+        .select(col("c0").as("cohort_month"), col("month_offset"),
+          col("n_active"), col("cohort_n"), col("revenue_cents"),
+          col("cum_revenue_cents"),
+          expr("cum_revenue_cents div cohort_n").as("ltv_cents_per_member"))
+    },
+    Some("""WITH o AS (SELECT o_custkey,
+              CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT) AS m,
+              CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders),
+            ch AS (SELECT o_custkey, MIN(m) AS c0 FROM o GROUP BY 1),
+            sz AS (SELECT c0, COUNT(*) AS cohort_n FROM ch GROUP BY 1),
+            cells AS (SELECT ch.c0, o.m - ch.c0 AS month_offset,
+                COUNT(DISTINCT o.o_custkey) AS n_active,
+                CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+              FROM o JOIN ch ON ch.o_custkey = o.o_custkey
+              GROUP BY 1, 2)
+            SELECT cells.c0 AS cohort_month, month_offset, n_active,
+              sz.cohort_n, revenue_cents,
+              CAST(SUM(revenue_cents) OVER (PARTITION BY cells.c0
+                ORDER BY month_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_revenue_cents,
+              CAST(SUM(revenue_cents) OVER (PARTITION BY cells.c0
+                ORDER BY month_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                // sz.cohort_n AS ltv_cents_per_member
+            FROM cells JOIN sz ON sz.c0 = cells.c0"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
     subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll,
     subquerySelect, lateralTopPerKey, recursiveCte, joinFullOuter, unpivot,
-    basketPairs, assocRules, skyline, intervalJoin, abcPareto)
+    basketPairs, assocRules, skyline, intervalJoin, abcPareto, cohortLtv)
 }

@@ -1254,6 +1254,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cohort LTV conserves revenue; cumulative curves monotone; offset-0 full attendance") {
+    val rows = graft.operators.Extended.cohortLtv.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val totalCents = Tables.load(spark, sfDir, "orders")
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._5).sum == totalCents, "period revenue must conserve the corpus total")
+    val byCohort = rows.groupBy(_._1)
+    for ((c, cells) <- byCohort) {
+      val ordered = cells.sortBy(_._2)
+      // every cohort member orders in their own first month
+      assert(ordered.head._2 == 0 && ordered.head._3 == ordered.head._4,
+        s"cohort $c offset 0 must include all ${ordered.head._4} members")
+      // cumulative curve is the running sum of period revenue, and per-member is its div
+      var cum = 0L
+      ordered.foreach { case (_, off, nAct, n0, rev, cumRev, ltv) =>
+        cum += rev
+        assert(cumRev == cum, s"cohort $c offset $off cum $cumRev != $cum")
+        assert(ltv == cum / n0)
+        assert(nAct <= n0)
+      }
+    }
+    val customers = Tables.load(spark, sfDir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(byCohort.toSeq.map { case (_, cells) => cells.head._4 }.sum == customers,
+      "cohort sizes must partition the customer set")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
