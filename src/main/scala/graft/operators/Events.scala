@@ -112,6 +112,52 @@ object Events {
             SELECT l.event_id, l.user_id, l.sec, r.sec AS signup_sec
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.sec >= r.sec"""))
 
+  /** AS-OF join with a STALENESS budget — the feature-freshness SLA
+    * audit on top of [[asofJoin]]'s mechanism: each purchase joins the
+    * user's latest prior `view` (the "feature state" a training
+    * pipeline would backfill), and the report buckets the staleness
+    * gap (≤60 s / ≤10 min / ≤1 h / stale / missing) with min/max gap
+    * per bucket — the table that tells a feature-store owner whether
+    * point-in-time-correct training data is actually FRESH enough to
+    * serve. Same one-shuffle union-window as-of shape; the rollup is
+    * 5 rows.
+    */
+  val asofTolerance: QueryDef = QueryDef(
+    "q_asof_tolerance",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), sec.as("sec"))
+      val purchases = e.where(col("event_type") === "purchase").drop("event_type")
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("sec"))
+      AsOfJoin.asOf(purchases, views, "user_id", "sec")
+        .withColumn("gap_s", col("sec") - col("asof_sec"))
+        .withColumn("bucket",
+          when(col("gap_s") <= 60, "le_60s")
+            .when(col("gap_s") <= 600, "le_10m")
+            .when(col("gap_s") <= 3600, "le_1h")
+            .when(col("gap_s").isNotNull, "stale")
+            .otherwise("missing"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min(col("gap_s")).as("min_gap_s"),
+          max(col("gap_s")).as("max_gap_s"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+            l AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, sec FROM e WHERE event_type = 'view'),
+            j AS (SELECT l.event_id, l.sec - r.sec AS gap_s
+              FROM l ASOF LEFT JOIN r
+                ON l.user_id = r.user_id AND l.sec >= r.sec),
+            b AS (SELECT CASE WHEN gap_s <= 60 THEN 'le_60s'
+                WHEN gap_s <= 600 THEN 'le_10m'
+                WHEN gap_s <= 3600 THEN 'le_1h'
+                WHEN gap_s IS NOT NULL THEN 'stale'
+                ELSE 'missing' END AS bucket, gap_s FROM j)
+            SELECT bucket, COUNT(*) AS n, MIN(gap_s) AS min_gap_s,
+              MAX(gap_s) AS max_gap_s
+            FROM b GROUP BY 1"""))
+
   /** Semi-structured columns: JSON property extraction from the events
     * `props` payload — map-side `get_json_object`, aggregated by the
     * extracted key. (At scale: parse once into a struct column with
@@ -1805,7 +1851,7 @@ object Events {
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
-      seasonalDecompose, theilSen)
+      seasonalDecompose, theilSen, asofTolerance)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

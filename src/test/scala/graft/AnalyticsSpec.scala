@@ -1283,6 +1283,40 @@ class AnalyticsSpec extends SparkSpec {
       "cohort sizes must partition the customer set")
   }
 
+  test("asof staleness buckets partition purchases and match a brute-force backward scan") {
+    val got = Events.asofTolerance.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val e = Events.loadEvents(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000000000").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val viewsByUser = e.filter(_._2 == "view").groupBy(_._1)
+      .view.mapValues(_.map(_._3).sorted).toMap
+    val gaps = e.filter(_._2 == "purchase").map { case (u, _, t) =>
+      viewsByUser.get(u).flatMap { vs =>
+        val prior = vs.takeWhile(_ <= t)
+        prior.lastOption.map(t - _)
+      }
+    }
+    def bucket(g: Option[Long]): String = g match {
+      case Some(x) if x <= 60 => "le_60s"
+      case Some(x) if x <= 600 => "le_10m"
+      case Some(x) if x <= 3600 => "le_1h"
+      case Some(_) => "stale"
+      case None => "missing"
+    }
+    val expect = gaps.groupBy(bucket).map { case (b, gs) =>
+      val defined = gs.flatten
+      b -> (gs.length.toLong,
+        if (defined.isEmpty) None else Some(defined.min),
+        if (defined.isEmpty) None else Some(defined.max))
+    }
+    assert(got == expect, s"got $got\nwant $expect")
+    assert(got.values.map(_._1).sum == gaps.length.toLong,
+      "buckets must partition the purchase set")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
