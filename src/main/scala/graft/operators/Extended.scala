@@ -822,9 +822,72 @@ object Extended {
                 // sz.cohort_n AS ltv_cents_per_member
             FROM cells JOIN sz ON sz.c0 = cells.c0"""))
 
+  /** GINI COEFFICIENT + revenue-concentration audit — the scalar
+    * inequality summary next to [[abcPareto]]'s class table: over
+    * per-customer lifetime spend, the Gini index (×10⁶) plus the
+    * minimal top-customer prefix carrying 50% and 90% of revenue —
+    * the "how concentrated is the business" readout (Gini 0 = every
+    * customer equal, →1 = one whale). Uses the identity
+    * Σᵢ i·x⁽ᵃˢᶜ⁾ᵢ = Σ cum⁽ᵈᵉˢᶜ⁾, so the whole statistic reads off
+    * [[globalPrefixSum]]'s descending cumulative — no rank column,
+    * no second sort. G = (2·Σcum − (n+1)·S) / (n·S); the ×10⁶
+    * product overflows int64, so the final ratio folds in
+    * decimal(38,0) / HUGEINT (the `q_table_checksum` convention);
+    * money in exact cents throughout.
+    *
+    * Scale shape: one orders shuffle into per-customer cents, one
+    * range repartition for the prefix sum (never a single-task
+    * window), then 1-row aggregates.
+    */
+  val gini: QueryDef = QueryDef(
+    "q_gini",
+    (s, dir) => {
+      val spend = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+          .as("cents"))
+      val cum = globalPrefixSum(spend, "cents", "o_custkey", "cents")
+      val tot = cum.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"),
+        sum(col("cum")).as("sumcum"))
+      cum.crossJoin(broadcast(tot))
+        .where(col("total") > 0)
+        .agg(max(col("n")).as("n_customers"),
+          max(col("total")).as("total_cents"),
+          sum(when((col("cum") - col("cents")) * 2 < col("total"), 1L)
+            .otherwise(0L)).as("n_half_revenue"),
+          sum(when((col("cum") - col("cents")) * 10 < col("total") * 9, 1L)
+            .otherwise(0L)).as("n_90pct_revenue"),
+          expr("""cast(cast(2 * max(sumcum) - (max(n) + 1) * max(total)
+                 as decimal(38,0)) * 1000000
+               div (cast(max(n) as decimal(38,0)) * max(total)) as bigint)""")
+            .as("gini_x1e6"))
+    },
+    Some("""WITH spend AS (SELECT o_custkey,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+            FROM orders GROUP BY 1),
+            c AS (SELECT o_custkey, cents,
+                CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey)
+                  AS BIGINT) AS cum
+              FROM spend),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(cents) AS BIGINT) AS total,
+                CAST(SUM(cum) AS BIGINT) AS sumcum
+              FROM c)
+            SELECT MAX(n) AS n_customers, MAX(total) AS total_cents,
+              CAST(SUM(CASE WHEN (cum - cents) * 2 < total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_half_revenue,
+              CAST(SUM(CASE WHEN (cum - cents) * 10 < total * 9 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_90pct_revenue,
+              CAST(CAST(2 * MAX(sumcum) - (MAX(n) + 1) * MAX(total) AS HUGEINT)
+                  * 1000000
+                // (CAST(MAX(n) AS HUGEINT) * MAX(total)) AS BIGINT)
+                AS gini_x1e6
+            FROM c CROSS JOIN t WHERE total > 0"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
     subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll,
     subquerySelect, lateralTopPerKey, recursiveCte, joinFullOuter, unpivot,
-    basketPairs, assocRules, skyline, intervalJoin, abcPareto, cohortLtv)
+    basketPairs, assocRules, skyline, intervalJoin, abcPareto, cohortLtv, gini)
 }

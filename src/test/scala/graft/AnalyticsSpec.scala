@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Events, Similarity}
+import graft.operators.{Events, Extended, Similarity}
 import graft.functions.{StatsQueries, TextFunctions}
 
 /** Invariant checks for the round-8 analytics/eval operators:
@@ -1315,6 +1315,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expect, s"got $got\nwant $expect")
     assert(got.values.map(_._1).sum == gaps.length.toLong,
       "buckets must partition the purchase set")
+  }
+
+  test("gini matches a BigInt brute-force over per-customer spend; concentration counts consistent") {
+    val row = Extended.gini.fn(spark, sfDir).collect().head
+    val spend = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val desc = spend.sortBy { case (k, c) => (-c, k) }.map(_._2)
+    val n = BigInt(desc.length)
+    val s = desc.map(BigInt(_)).sum
+    val cum = desc.scanLeft(BigInt(0))(_ + _).tail
+    val gini = (BigInt(2) * cum.sum - (n + 1) * s) * 1000000 / (n * s)
+    assert(row.getAs[Long]("gini_x1e6") == gini.toLong)
+    assert(row.getAs[Long]("n_customers") == n.toLong)
+    assert(row.getAs[Long]("total_cents") == s.toLong)
+    val nHalf = cum.zip(desc.map(BigInt(_))).count { case (c, x) => (c - x) * 2 < s }
+    val n90 = cum.zip(desc.map(BigInt(_))).count { case (c, x) => (c - x) * 10 < s * 9 }
+    assert(row.getAs[Long]("n_half_revenue") == nHalf.toLong)
+    assert(row.getAs[Long]("n_90pct_revenue") == n90.toLong)
+    val g = row.getAs[Long]("gini_x1e6")
+    assert(g >= 0 && g < 1000000, s"gini out of [0,1): $g")
+    assert(row.getAs[Long]("n_half_revenue") <= row.getAs[Long]("n_90pct_revenue"))
   }
 
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
