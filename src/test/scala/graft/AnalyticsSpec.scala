@@ -1340,6 +1340,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_half_revenue") <= row.getAs[Long]("n_90pct_revenue"))
   }
 
+  test("bloom-pruned join is exact vs the unpruned join; passes bound matches from above and corpus from below") {
+    val got = graft.operators.Relational.joinBloomPrune.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val p = Tables.load(spark, sfDir, "part").where(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_brand"))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val plain = li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.Portable.revenueTerm(
+          col("l_extendedprice"), col("l_discount"))).cast("double").as("rev"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == plain, "bloom-pruned result must equal the plain join")
+    val bloom = p.agg(
+      graft.functions.Bloom.bloomAgg(col("p_partkey"), 1 << 17, 5).as("bf"))
+    val passed = li.crossJoin(broadcast(bloom))
+      .where(graft.functions.Bloom.bloomContains(col("bf"), col("l_partkey")))
+      .count()
+    val matches = li.join(p, col("l_partkey") === col("p_partkey")).count()
+    assert(passed >= matches, "bloom must have no false negatives")
+    assert(passed < li.count(), "bloom must prune on a selective dim")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
