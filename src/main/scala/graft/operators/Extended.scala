@@ -885,9 +885,50 @@ object Extended {
                 AS gini_x1e6
             FROM c CROSS JOIN t WHERE total > 0"""))
 
+  /** YEAR-OVER-YEAR growth — the calendar-comparison read every BI
+    * surface serves: monthly revenue joined against the SAME month one
+    * year earlier, growth in ×10⁶ fixed point. The prior-year row
+    * comes from a self-join on month − 12, NOT `lag(12)` — a lag
+    * counts ROWS, so one missing month silently compares against the
+    * wrong year forever after; the calendar join is gap-safe (absent
+    * prior year → NULL growth, divisor NULLIF-guarded in both
+    * engines). Months are UTC-exact year·12+month−1; money exact
+    * cents.
+    *
+    * Scale shape: one orders shuffle into the months grid; the
+    * self-join and growth arithmetic run on the tiny grid.
+    */
+  val yoyGrowth: QueryDef = QueryDef(
+    "q_orders_yoy",
+    (s, dir) => {
+      val rev = Tables.load(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"))
+        .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+          .as("revenue_cents"))
+      rev.join(rev.select(col("m").as("pm"),
+          col("revenue_cents").as("prev_year_cents")),
+          col("m") - 12 === col("pm"), "left")
+        .select(col("m").as("month_idx"), col("revenue_cents"),
+          col("prev_year_cents"),
+          expr("""((revenue_cents - prev_year_cents) * 1000000)
+                 div nullif(prev_year_cents, 0)""").as("yoy_x1e6"))
+    },
+    Some("""WITH rev AS (SELECT
+              CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT) AS m,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+            FROM orders GROUP BY 1)
+            SELECT c.m AS month_idx, c.revenue_cents,
+              p.revenue_cents AS prev_year_cents,
+              ((c.revenue_cents - p.revenue_cents) * 1000000)
+                // NULLIF(p.revenue_cents, 0) AS yoy_x1e6
+            FROM rev c LEFT JOIN rev p ON c.m - 12 = p.m"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
     subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll,
     subquerySelect, lateralTopPerKey, recursiveCte, joinFullOuter, unpivot,
-    basketPairs, assocRules, skyline, intervalJoin, abcPareto, cohortLtv, gini)
+    basketPairs, assocRules, skyline, intervalJoin, abcPareto, cohortLtv, gini,
+    yoyGrowth)
 }

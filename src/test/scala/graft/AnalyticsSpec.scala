@@ -1363,6 +1363,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(passed < li.count(), "bloom must prune on a selective dim")
   }
 
+  test("yoy growth matches a brute-force calendar self-join; gap-safe on missing prior year") {
+    val got = Extended.yoyGrowth.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val monthly = Tables.load(spark, sfDir, "orders")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("m"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expect = monthly.map { case (m, rev) =>
+      val prev = monthly.get(m - 12)
+      def trunc(a: BigInt, b: BigInt): Long = (a / b).toLong // BigInt / truncates toward zero
+      m -> (rev, prev, prev.filter(_ != 0L)
+        .map(p => trunc(BigInt(rev - p) * 1000000, BigInt(p))))
+    }
+    assert(got == expect, s"yoy mismatch")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
