@@ -511,6 +511,84 @@ object Multimodal {
               CAST(SUM(v * v) AS BIGINT) AS energy
             FROM a GROUP BY 1, 2"""))
 
+  /** VOICE-ACTIVITY / silence segmentation through the REAL WAV decode
+    * arm — the trim pass a speech pipeline runs before paying ASR:
+    * per clip, silent-frame count, first/last ACTIVE frame (the trim
+    * boundaries), and the longest silent run (gaps-and-islands over
+    * the frame grid). The generative clips PLANT silence — frame f is
+    * zeroed when f² mod 7 < 2, giving head-runs of 2 and interior
+    * runs of 3 — so the audit is non-trivial and the DuckDB oracle
+    * recomputes it from the formula without seeing a WAV byte: a
+    * single decoder sample error flips a frame's energy off zero and
+    * fails the hash (PCM16 roundtrip is bit-exact).
+    *
+    * Scale shape: decode + framing is the same map-side
+    * mapPartitions batch as every media scan (payloads never
+    * shuffle); frame energies aggregate on (clip, frame) with
+    * map-side combine, and the islands window runs on the frames
+    * grid — 200× smaller than the sample stream.
+    */
+  val audioVad: QueryDef = QueryDef(
+    "m_audio_vad",
+    (s, dir) => {
+      import s.implicits._
+      val _ = dir // same synthetic set at every SF — the codec is the subject
+      val clips = (0 until 8).map { i =>
+        val n = 800 + 200 * i
+        val samples = Array.tabulate(n) { t =>
+          val f = t / 200
+          if ((f.toLong * f) % 7 < 2) 0.toShort
+          else (((t.toLong * (7 + 2 * i) + 13 * i) % 2001) - 1000).toShort
+        }
+        MediaRecord(i.toLong, encodeWav(samples, 8000f))
+      }
+      val frames = s.createDataset(clips).mapPartitions { it =>
+        it.flatMap { r =>
+          val samples = decodeWav(r.payload).getOrElse(
+            sys.error(s"clip ${r.doc_id}: WAV decode failed"))
+          samples.iterator.zipWithIndex.map { case (v, t) =>
+            (r.doc_id, t.toLong / 200, v.toLong * v)
+          }
+        }
+      }.toDF("clip_id", "frame", "e")
+        .groupBy("clip_id", "frame").agg(sum(col("e")).as("energy"))
+        .withColumn("silent", when(col("energy") === 0, 1L).otherwise(0L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("clip_id").orderBy("frame")
+      val runs = frames.where(col("silent") === 1)
+        .withColumn("grp", col("frame") - row_number().over(w))
+        .groupBy("clip_id", "grp").agg(count(lit(1)).as("run"))
+        .groupBy("clip_id").agg(max(col("run")).as("run_max"))
+      frames.groupBy("clip_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("silent")).as("n_silent"),
+          min(when(col("silent") === 0, col("frame"))).as("first_active"),
+          max(when(col("silent") === 0, col("frame"))).as("last_active"))
+        .join(runs, Seq("clip_id"), "left")
+        .withColumn("longest_silent_run", coalesce(col("run_max"), lit(0L)))
+        .drop("run_max")
+    },
+    Some("""WITH ids AS (SELECT unnest(range(0, 8)) AS i),
+            t AS (SELECT i, unnest(range(0, 800 + 200 * i)) AS t FROM ids),
+            a AS (SELECT i, t // 200 AS frame,
+                CASE WHEN ((t // 200) * (t // 200)) % 7 < 2 THEN 0
+                  ELSE ((t * (7 + 2 * i) + 13 * i) % 2001) - 1000 END AS v
+              FROM t),
+            f AS (SELECT i, frame, SUM(v * v) AS energy FROM a GROUP BY 1, 2),
+            ff AS (SELECT i, frame,
+                CASE WHEN energy = 0 THEN 1 ELSE 0 END AS silent FROM f),
+            isl AS (SELECT i, grp, COUNT(*) AS run FROM
+                (SELECT i, frame - ROW_NUMBER() OVER
+                   (PARTITION BY i ORDER BY frame) AS grp
+                 FROM ff WHERE silent = 1) GROUP BY 1, 2),
+            lr AS (SELECT i, MAX(run) AS run_max FROM isl GROUP BY 1)
+            SELECT CAST(ff.i AS BIGINT) AS clip_id, COUNT(*) AS n_frames,
+              CAST(SUM(silent) AS BIGINT) AS n_silent,
+              MIN(CASE WHEN silent = 0 THEN frame END) AS first_active,
+              MAX(CASE WHEN silent = 0 THEN frame END) AS last_active,
+              CAST(COALESCE(MAX(lr.run_max), 0) AS BIGINT) AS longest_silent_run
+            FROM ff LEFT JOIN lr ON lr.i = ff.i GROUP BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(metaQuery, frameSample, patchGrid,
-    imageDecodeReal, phashNearDup, audioDecodeReal)
+    imageDecodeReal, phashNearDup, audioDecodeReal, audioVad)
 }

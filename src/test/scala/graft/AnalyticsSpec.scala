@@ -1383,6 +1383,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expect, s"yoy mismatch")
   }
 
+  test("audio VAD through the real decode arm matches the generative-formula ground truth") {
+    val got = graft.operators.Multimodal.audioVad.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val expect = (0 until 8).map { i =>
+      val n = 800 + 200 * i
+      val frames = (0 until n).map { t =>
+        val f = t / 200
+        val v: Long = if ((f.toLong * f) % 7 < 2) 0L
+          else ((t.toLong * (7 + 2 * i) + 13 * i) % 2001) - 1000
+        (f.toLong, v * v)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val silent = frames.filter(_._2 == 0L).keys.toSeq.sorted
+      val active = frames.filter(_._2 != 0L).keys
+      val runs = silent.foldLeft(List.empty[(Long, Long)]) {
+        case ((st, len) :: rest, f) if f == st + len => (st, len + 1) :: rest
+        case (acc, f) => (f, 1L) :: acc
+      }
+      i.toLong -> (frames.size.toLong, silent.length.toLong,
+        active.min, active.max,
+        if (runs.isEmpty) 0L else runs.map(_._2).max)
+    }.toMap
+    assert(got == expect, s"got $got\nwant $expect")
+    assert(got.values.exists(_._5 >= 3), "interior silent runs of 3 must appear")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
