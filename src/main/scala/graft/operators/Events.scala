@@ -1845,13 +1845,133 @@ object Events {
             SELECT event_type, np AS n_pairs, slope AS slope_per_day
             FROM r WHERE rn = (np + 1) // 2"""))
 
+  /** HOLT-WINTERS additive SEASONAL forecast — the weekly-cycle-aware
+    * sibling of [[forecast]] (plain Holt forecasts every Monday-shaped
+    * series wrong; the seasonal component absorbs the cycle): per
+    * event type, triple exponential smoothing with α=β=γ=1/2 in exact
+    * ×1000 fixed point and a 7-slot day-of-week seasonal state.
+    * Init over the first 7 observations: level = their mean, trend 0,
+    * s_dow = y − level (last-write-wins on a duplicate dow, 0 for an
+    * unseen one); each later observation updates
+    * l' = ((y − s_j) + l + t) div 2, t' = ((l' − l) + t) div 2,
+    * s_j' = ((y − l') + s_j) div 2 with j = (day+3) mod 7 — the
+    * CALENDAR dow, so a missing day skips cleanly instead of
+    * shifting the season. Forecasts h=1..3 add the matching seasonal
+    * slot: l + h·t + s_{(last_day+h+3) mod 7}. Spark folds each
+    * series with one `aggregate` HOF (the [[holtOf]] precedent,
+    * state = struct + 7-long array); the DuckDB twin threads the
+    * identical state through a recursive CTE with s0..s6 columns.
+    *
+    * Scale shape: ONE corpus shuffle into ≤ types×days daily rows;
+    * the fold runs per type over its own ≤ days-long array —
+    * per-series state is 9 longs regardless of corpus size.
+    */
+  val holtWinters: QueryDef = QueryDef(
+    "q_events_holt_winters",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("es"))
+        .where(size(col("es")) >= 7)
+        .withColumn("l0", expr(
+          "(aggregate(slice(es, 1, 7), 0L, (a, e) -> a + e.y) * 1000L) div 7L"))
+        .withColumn("sInit", expr(
+          """aggregate(slice(es, 1, 7), array_repeat(0L, 7),
+             (arr, e) -> transform(arr, (v, k) ->
+               if(k = cast(pmod(e.day + 3, 7) as int), e.y * 1000L - l0, v)))"""))
+        .withColumn("st", expr(
+          """aggregate(slice(es, 8, size(es) - 7),
+             named_struct('l', l0, 't', 0L, 's', sInit),
+             (acc, e) -> named_struct(
+               'l', ((e.y * 1000L - acc.s[cast(pmod(e.day + 3, 7) as int)])
+                     + acc.l + acc.t) div 2L,
+               't', ((((e.y * 1000L - acc.s[cast(pmod(e.day + 3, 7) as int)])
+                       + acc.l + acc.t) div 2L - acc.l) + acc.t) div 2L,
+               's', transform(acc.s, (v, k) ->
+                 if(k = cast(pmod(e.day + 3, 7) as int),
+                   ((e.y * 1000L
+                     - ((e.y * 1000L - acc.s[cast(pmod(e.day + 3, 7) as int)])
+                        + acc.l + acc.t) div 2L) + v) div 2L,
+                   v))))"""))
+        .withColumn("last_day", expr("es[size(es) - 1].day"))
+        .select(col("event_type"), size(col("es")).cast("long").as("n_days"),
+          col("st.l").as("level_x1000"), col("st.t").as("trend_x1000"),
+          expr("st.l + 1L * st.t + st.s[cast(pmod(last_day + 4, 7) as int)]")
+            .as("fc1_x1000"),
+          expr("st.l + 2L * st.t + st.s[cast(pmod(last_day + 5, 7) as int)]")
+            .as("fc2_x1000"),
+          expr("st.l + 3L * st.t + st.s[cast(pmod(last_day + 6, 7) as int)]")
+            .as("fc3_x1000"))
+    },
+    Some {
+      def sj(day: String): String =
+        s"CASE ($day + 3) % 7 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 " +
+          "WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END"
+      def supd(k: Int): String =
+        s"CASE WHEN j = $k THEN ((ynew - lp) + s$k) // 2 ELSE s$k END AS s$k"
+      s"""WITH RECURSIVE daily AS (SELECT
+            CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+            event_type, COUNT(*) AS y
+          FROM events GROUP BY 1, 2),
+          idx AS (SELECT event_type, day, y,
+              CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                AS BIGINT) AS i,
+              COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM daily),
+          init AS (SELECT event_type, MAX(n) AS n,
+              CAST((SUM(y) FILTER (WHERE i <= 7) * 1000) // 7 AS BIGINT) AS l0,
+              MAX(day) AS last_day
+            FROM idx GROUP BY 1 HAVING MAX(n) >= 7),
+          firstw AS (SELECT event_type, (day + 3) % 7 AS k, y,
+              ROW_NUMBER() OVER (PARTITION BY event_type, (day + 3) % 7
+                ORDER BY i DESC) AS rnk
+            FROM idx WHERE i <= 7),
+          grid AS (SELECT event_type, l0, unnest(range(0, 7)) AS k FROM init),
+          sv AS (SELECT g.event_type, g.k,
+              COALESCE(MAX(f.y * 1000 - g.l0), 0) AS sv
+            FROM grid g LEFT JOIN firstw f
+              ON f.event_type = g.event_type AND f.k = g.k AND f.rnk = 1
+            GROUP BY 1, 2),
+          sp AS (SELECT event_type,
+              CAST(MAX(CASE WHEN k = 0 THEN sv END) AS BIGINT) AS s0,
+              CAST(MAX(CASE WHEN k = 1 THEN sv END) AS BIGINT) AS s1,
+              CAST(MAX(CASE WHEN k = 2 THEN sv END) AS BIGINT) AS s2,
+              CAST(MAX(CASE WHEN k = 3 THEN sv END) AS BIGINT) AS s3,
+              CAST(MAX(CASE WHEN k = 4 THEN sv END) AS BIGINT) AS s4,
+              CAST(MAX(CASE WHEN k = 5 THEN sv END) AS BIGINT) AS s5,
+              CAST(MAX(CASE WHEN k = 6 THEN sv END) AS BIGINT) AS s6
+            FROM sv GROUP BY 1),
+          rec AS (
+            SELECT init.event_type, CAST(7 AS BIGINT) AS i, l0 AS l,
+              CAST(0 AS BIGINT) AS t, s0, s1, s2, s3, s4, s5, s6
+            FROM init JOIN sp USING (event_type)
+            UNION ALL
+            SELECT event_type, i, lp AS l, ((lp - t0l) + t0t) // 2 AS t,
+              ${(0 to 6).map(supd).mkString(", ")}
+            FROM (SELECT r.event_type, r.i + 1 AS i, r.l AS t0l, r.t AS t0t,
+                r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6,
+                ix.y * 1000 AS ynew, (ix.day + 3) % 7 AS j,
+                ((ix.y * 1000 - (${sj("ix.day")})) + r.l + r.t) // 2 AS lp
+              FROM rec r JOIN idx ix
+                ON ix.event_type = r.event_type AND ix.i = r.i + 1))
+          SELECT r.event_type, init.n AS n_days, r.l AS level_x1000,
+            r.t AS trend_x1000,
+            r.l + 1 * r.t + (${sj("init.last_day + 1")}) AS fc1_x1000,
+            r.l + 2 * r.t + (${sj("init.last_day + 2")}) AS fc2_x1000,
+            r.l + 3 * r.t + (${sj("init.last_day + 3")}) AS fc3_x1000
+          FROM rec r JOIN init ON init.event_type = r.event_type
+            AND r.i = init.n"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
-      seasonalDecompose, theilSen, asofTolerance)
+      seasonalDecompose, theilSen, asofTolerance, holtWinters)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

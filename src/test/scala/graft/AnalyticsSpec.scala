@@ -1409,6 +1409,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.exists(_._5 >= 3), "interior silent runs of 3 must appear")
   }
 
+  test("Holt-Winters matches a sequential Scala fold with calendar-dow seasonal state") {
+    val got = Events.holtWinters.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val daily = Events.loadEvents(spark, sfDir)
+      .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    def div2(x: Long): Long = x / 2 // Long / truncates toward zero
+    val expect = daily.groupBy(_._1).collect { case (et, rows) if rows.length >= 7 =>
+      val es = rows.map(t => (t._2, t._3)).sortBy(_._1)
+      val init = es.take(7)
+      val l0 = init.map(_._2).sum * 1000 / 7
+      val s = Array.fill(7)(0L)
+      init.foreach { case (d, y) => s(((d + 3) % 7).toInt) = y * 1000 - l0 }
+      var l = l0; var t = 0L
+      es.drop(7).foreach { case (d, y) =>
+        val j = ((d + 3) % 7).toInt
+        val lp = div2((y * 1000 - s(j)) + l + t)
+        val tp = div2((lp - l) + t)
+        s(j) = div2((y * 1000 - lp) + s(j))
+        l = lp; t = tp
+      }
+      val lastDay = es.last._1
+      def fc(h: Int): Long = l + h * t + s(((lastDay + h + 3) % 7).toInt)
+      et -> (es.length.toLong, l, t, fc(1), fc(2), fc(3))
+    }
+    assert(got == expect, s"got $got\nwant $expect")
+    assert(got.nonEmpty && got.values.forall(_._1 == 30L))
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
