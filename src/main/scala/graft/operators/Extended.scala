@@ -925,10 +925,59 @@ object Extended {
                 // NULLIF(p.revenue_cents, 0) AS yoy_x1e6
             FROM rev c LEFT JOIN rev p ON c.m - 12 = p.m"""))
 
+  /** ORDER AGING buckets — the receivables/backlog report every
+    * operations surface serves: orders bucketed by age relative to
+    * the newest order date (0–30 d / 31–90 d / 91–365 d / >1 y), per
+    * status: count, value in exact cents, and the oldest age — where
+    * is old open value stuck. Ages are exact UTC epoch-day integers
+    * (the session pins UTC, so `cast(ts as long)` and DuckDB's
+    * `epoch()` agree); the reference day is a 1-row broadcast, so no
+    * second corpus pass.
+    *
+    * Scale shape: one max-day aggregate + one ≤ statuses×4-group
+    * rollup with map-side combine; zero joins beyond the broadcast.
+    */
+  val orderAging: QueryDef = QueryDef(
+    "q_orders_aging",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          expr("cast(unix_date(cast(o_orderdate as date)) as bigint)").as("day"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      val ref = o.agg(max(col("day")).as("ref_day"))
+      o.crossJoin(broadcast(ref))
+        .withColumn("age_days", col("ref_day") - col("day"))
+        .withColumn("bucket",
+          when(col("age_days") <= 30, "0_30d")
+            .when(col("age_days") <= 90, "31_90d")
+            .when(col("age_days") <= 365, "91_365d")
+            .otherwise("over_1y"))
+        .groupBy("o_orderstatus", "bucket")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("value_cents"),
+          max(col("age_days")).as("oldest_age_days"))
+    },
+    Some("""WITH o AS (SELECT o_orderstatus,
+              CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+              CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders),
+            r AS (SELECT MAX(day) AS ref_day FROM o),
+            b AS (SELECT o_orderstatus, ref_day - day AS age_days, cents
+              FROM o CROSS JOIN r),
+            c AS (SELECT o_orderstatus,
+                CASE WHEN age_days <= 30 THEN '0_30d'
+                  WHEN age_days <= 90 THEN '31_90d'
+                  WHEN age_days <= 365 THEN '91_365d'
+                  ELSE 'over_1y' END AS bucket, age_days, cents
+              FROM b)
+            SELECT o_orderstatus, bucket, COUNT(*) AS n_orders,
+              CAST(SUM(cents) AS BIGINT) AS value_cents,
+              MAX(age_days) AS oldest_age_days
+            FROM c GROUP BY 1, 2"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
     subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll,
     subquerySelect, lateralTopPerKey, recursiveCte, joinFullOuter, unpivot,
     basketPairs, assocRules, skyline, intervalJoin, abcPareto, cohortLtv, gini,
-    yoyGrowth)
+    yoyGrowth, orderAging)
 }

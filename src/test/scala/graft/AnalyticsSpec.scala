@@ -1440,6 +1440,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty && got.values.forall(_._1 == 30L))
   }
 
+  test("order aging buckets partition the orders table and respect boundaries") {
+    val rows = Extended.orderAging.fn(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+    val total = Tables.load(spark, sfDir, "orders").count()
+    assert(rows.map(_._2._1).sum == total, "buckets must partition all orders")
+    val bounds = Map("0_30d" -> (0L, 30L), "31_90d" -> (31L, 90L),
+      "91_365d" -> (91L, 365L), "over_1y" -> (366L, Long.MaxValue))
+    rows.foreach { case ((_, b), (_, _, oldest)) =>
+      val (lo, hi) = bounds(b)
+      assert(oldest >= lo && oldest <= hi, s"bucket $b oldest $oldest out of [$lo,$hi]")
+    }
+    val brute = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderstatus"), expr("cast(unix_date(cast(o_orderdate as date)) as bigint)").as("day"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val refDay = brute.map(_._2).max
+    def bucket(a: Long) = if (a <= 30) "0_30d" else if (a <= 90) "31_90d"
+      else if (a <= 365) "91_365d" else "over_1y"
+    val expect = brute.groupBy(t => (t._1, bucket(refDay - t._2))).map { case (k, g) =>
+      k -> (g.length.toLong, g.map(_._3).sum, g.map(refDay - _._2).max)
+    }
+    assert(rows.toMap == expect, "aging rollup must match brute force")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
