@@ -1738,9 +1738,12 @@ object Events {
     * the ≤ types × days frame. One shuffle + tiny-frame windows — the
     * [[acf]] profile.
     */
-  val seasonalDecompose: QueryDef = QueryDef(
-    "q_events_seasonal",
-    (s, dir) => {
+  /** The STL-lite frame shared by [[seasonalDecompose]] and
+    * [[anomalySeasonal]]: per (type, gap-filled day) the observed
+    * count, centered 7-day trend, dow seasonal mean, and residual —
+    * all exact ×1000 integers.
+    */
+  private def stlFrame(s: SparkSession, dir: String): DataFrame = {
       val daily = events(s, dir)
         .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
         .agg(count(lit(1)).as("y"))
@@ -1763,7 +1766,11 @@ object Events {
         .select(col("event_type"), col("day"), col("y"), col("trend_x1000"),
           col("seasonal_x1000"),
           (col("detr") - col("seasonal_x1000")).as("resid_x1000"))
-    },
+  }
+
+  val seasonalDecompose: QueryDef = QueryDef(
+    "q_events_seasonal",
+    (s, dir) => stlFrame(s, dir),
     Some("""WITH daily AS (SELECT
               CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
               event_type, COUNT(*) AS y
@@ -1844,6 +1851,92 @@ object Events {
               FROM p)
             SELECT event_type, np AS n_pairs, slope AS slope_per_day
             FROM r WHERE rn = (np + 1) // 2"""))
+
+  /** SEASONALLY-ADJUSTED anomaly detection — [[anomaly]]/[[madOutliers]]
+    * made cycle-aware (a raw-count threshold pages every Monday
+    * morning; the weekly rhythm must be subtracted BEFORE asking
+    * "is this day weird"): the MAD rule applied to [[stlFrame]]'s
+    * residuals. Per type, med = lower median of residuals, MAD =
+    * lower median of |resid − med| (both under the total order
+    * (value, day) — rank arithmetic, never ntile), and a day flags
+    * when |resid − med| · 10⁴ > 3 · 14826 · MAD — the classic
+    * 3×1.4826·MAD cut as one cross-multiplied exact-integer
+    * comparison. Every day ships with its flag (not just the
+    * anomalies), so the output is the full audit trail.
+    *
+    * Scale shape: [[stlFrame]]'s one corpus shuffle, then windows
+    * and joins over the ≤ types × days grid.
+    */
+  val anomalySeasonal: QueryDef = QueryDef(
+    "q_events_anomaly_seasonal",
+    (s, dir) => {
+      val r = stlFrame(s, dir)
+        .select(col("event_type"), col("day"), col("y"), col("resid_x1000"))
+      val wn = Window.partitionBy("event_type")
+      val medW = Window.partitionBy("event_type")
+        .orderBy(col("resid_x1000"), col("day"))
+      val med = r.withColumn("rn", row_number().over(medW))
+        .withColumn("n", count(lit(1)).over(wn))
+        .where(expr("rn = (n + 1) div 2"))
+        .select(col("event_type"), col("resid_x1000").as("med_x1000"))
+      val ad = r.join(med, "event_type")
+        .withColumn("adev", abs(col("resid_x1000") - col("med_x1000")))
+      val madW = Window.partitionBy("event_type").orderBy(col("adev"), col("day"))
+      val mad = ad.withColumn("rn", row_number().over(madW))
+        .withColumn("n", count(lit(1)).over(wn))
+        .where(expr("rn = (n + 1) div 2"))
+        .select(col("event_type"), col("adev").as("mad_x1000"))
+      ad.join(mad, "event_type")
+        .select(col("event_type"), col("day"), col("y"), col("resid_x1000"),
+          col("med_x1000"), col("mad_x1000"),
+          (col("adev") * 10000 > lit(3L) * 14826 * col("mad_x1000"))
+            .as("is_anomaly"))
+    },
+    Some("""WITH daily AS (SELECT
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+              event_type, COUNT(*) AS y
+            FROM events GROUP BY 1, 2),
+            b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+              FROM daily GROUP BY 1),
+            grid AS (SELECT event_type, UNNEST(range(d0, d1 + 1)) AS day FROM b),
+            dense AS (SELECT g.event_type, g.day,
+                CAST(COALESCE(d.y, 0) AS BIGINT) AS y
+              FROM grid g LEFT JOIN daily d
+                ON d.event_type = g.event_type AND d.day = g.day),
+            tr AS (SELECT event_type, day, y,
+                (1000 * CAST(SUM(y) OVER w AS BIGINT)) // (COUNT(*) OVER w)
+                  AS trend_x1000
+              FROM dense
+              WINDOW w AS (PARTITION BY event_type ORDER BY day
+                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            dt AS (SELECT *, y * 1000 - trend_x1000 AS detr,
+                (day + 3) % 7 AS dow FROM tr),
+            seas AS (SELECT event_type, dow,
+                CAST(SUM(detr) AS BIGINT) // COUNT(*) AS seasonal_x1000
+              FROM dt GROUP BY 1, 2),
+            r AS (SELECT dt.event_type, dt.day, dt.y,
+                dt.detr - seas.seasonal_x1000 AS resid
+              FROM dt JOIN seas
+                ON seas.event_type = dt.event_type AND seas.dow = dt.dow),
+            med AS (SELECT event_type, resid AS med FROM (
+                SELECT event_type, resid,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY resid, day) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM r) WHERE rn = (n + 1) // 2),
+            ad AS (SELECT r.event_type, r.day, r.y, r.resid, m.med,
+                ABS(r.resid - m.med) AS adev
+              FROM r JOIN med m ON m.event_type = r.event_type),
+            mad AS (SELECT event_type, adev AS mad FROM (
+                SELECT event_type, adev,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY adev, day) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM ad) WHERE rn = (n + 1) // 2)
+            SELECT ad.event_type, ad.day, ad.y, ad.resid AS resid_x1000,
+              ad.med AS med_x1000, d.mad AS mad_x1000,
+              ad.adev * 10000 > 3 * 14826 * d.mad AS is_anomaly
+            FROM ad JOIN mad d ON d.event_type = ad.event_type"""))
 
   /** HOLT-WINTERS additive SEASONAL forecast — the weekly-cycle-aware
     * sibling of [[forecast]] (plain Holt forecasts every Monday-shaped
@@ -1971,7 +2064,7 @@ object Events {
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
-      seasonalDecompose, theilSen, asofTolerance, holtWinters)
+      seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -1464,6 +1464,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.toMap == expect, "aging rollup must match brute force")
   }
 
+  test("seasonal anomaly flags match a med/MAD recompute over the decomposition residuals") {
+    val got = Events.anomalySeasonal.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    val resid = Events.seasonalDecompose.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    def lowerMedian(vs: Seq[(Long, Long)]): Long = { // (value, day) total order
+      val sorted = vs.sortBy(identity)
+      sorted((sorted.length + 1) / 2 - 1)._1
+    }
+    val expect = resid.groupBy(_._1).flatMap { case (et, rows) =>
+      val med = lowerMedian(rows.map(t => (t._4, t._2)).toSeq)
+      val mad = lowerMedian(rows.map(t => (math.abs(t._4 - med), t._2)).toSeq)
+      rows.toSeq.map { case (_, day, y, rv) =>
+        (et, day) -> ((y, rv, med, mad,
+          math.abs(rv - med) * 10000 > 3L * 14826 * mad))
+      }
+    }.toMap
+    assert(got == expect)
+    assert(got.nonEmpty && got.values.exists(!_._5), "non-anomalous days must exist")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
