@@ -1528,10 +1528,88 @@ object Dedup {
          $sweep"""
     })
 
+  /** CONTENT-DEFINED CHUNKING dedup — the rsync/LBFS rung of the
+    * ladder: chunk boundaries come from the CONTENT (a cut after any
+    * word 3-gram whose 60-bit hash ≡ 0 mod 8 → ~8-word expected
+    * chunks), so an insertion early in a document shifts only the one
+    * chunk it lands in — where fixed-size blocks would mis-align
+    * every block after the edit. Chunks shared across ≥ 2 documents
+    * are the verbatim-reuse report (boilerplate, templated spans,
+    * quotation) at sub-paragraph granularity that row 21b's
+    * delimiter-split chunks cannot see. Boundary and chunk hashing is
+    * the portable md5-60bit (`conv(substr(md5(g),1,15),16,10)` ≡
+    * DuckDB h60 digit fold), all positional HOF arithmetic — no UDF.
+    *
+    * Scale shape: chunking is map-side per document; only (chunk
+    * hash, doc) pairs shuffle — corpus-linear, never pairwise; the
+    * rollup groups on the hash with map-side combine. The
+    * cross-document filter is HAVING over that single aggregation.
+    */
+  val cdcChunks: QueryDef = QueryDef(
+    "d_dedup_cdc",
+    (s, dir) => {
+      val h60 = (g: String) =>
+        s"cast(conv(substr(md5($g), 1, 15), 16, 10) as bigint)"
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
+        .withColumn("g", expr(
+          s"""if(size(tk) >= 3,
+              transform(sequence(1, size(tk) - 2),
+                gp -> ${h60("array_join(slice(tk, gp, 3), ' ')")}),
+              cast(array() as array<bigint>))"""))
+        .withColumn("cuts", expr(
+          """filter(transform(g, (gh, gi) ->
+              if(gh % 8 = 0 and gi + 3 < size(tk), gi + 3,
+                 cast(null as int))), x -> x is not null)"""))
+        .withColumn("bounds", expr("concat(array(0), cuts, array(size(tk)))"))
+        .withColumn("chunk", explode(expr(
+          s"""transform(sequence(1, size(bounds) - 1), bi ->
+              named_struct(
+                'h', ${h60("array_join(slice(tk, bounds[bi - 1] + 1, bounds[bi] - bounds[bi - 1]), ' ')")},
+                'w', bounds[bi] - bounds[bi - 1]))""")))
+        .groupBy(col("chunk.h").as("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          max(col("chunk.w")).cast("long").as("n_words"))
+        .where(col("n_docs") >= 2)
+    },
+    Some {
+      val h60 = (g: String) => graft.functions.Portable.textSql.h60(g)
+      s"""WITH tk AS (SELECT doc_id,
+            ${graft.functions.Portable.textSql.tokensLower} AS tk
+          FROM documents),
+          g AS (SELECT doc_id, tk,
+              CASE WHEN len(tk) >= 3 THEN
+                list_transform(range(1, len(tk) - 1),
+                  gp -> CAST(${h60("array_to_string(tk[gp:gp+2], ' ')")} AS BIGINT))
+              ELSE CAST([] AS BIGINT[]) END AS g
+            FROM tk),
+          c AS (SELECT doc_id, tk,
+              list_concat(list_concat([CAST(0 AS BIGINT)],
+                list_filter(list_transform(range(1, len(g) + 1),
+                  gp -> CASE WHEN g[CAST(gp AS INT)] % 8 = 0
+                      AND gp + 2 < len(tk) THEN gp + 2 END),
+                  x -> x IS NOT NULL)),
+                [CAST(len(tk) AS BIGINT)]) AS bounds
+            FROM g),
+          ch AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(bounds)), bi ->
+                struct_pack(h := CAST(${h60("array_to_string(tk[CAST(bounds[CAST(bi AS INT)] + 1 AS INT):CAST(bounds[CAST(bi AS INT) + 1] AS INT)], ' ')")} AS BIGINT),
+                  w := bounds[CAST(bi AS INT) + 1] - bounds[CAST(bi AS INT)])))
+                AS chunk
+            FROM c)
+          SELECT chunk.h AS chunk_hash,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            COUNT(*) AS n_occurrences,
+            CAST(MAX(chunk.w) AS BIGINT) AS n_words
+          FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(exact, paragraph, substring, minhash, editDistance, simhashDef,
       ngramJaccard, cluster, canonicalByQuality, incremental, dedupReport,
       sourceOverlap, containment, splitLeakage, corpusDiversity,
       minhashAccuracy, lshPlanner, bucketStats, exactIncremental,
-      thresholdSweep)
+      thresholdSweep, cdcChunks)
 }

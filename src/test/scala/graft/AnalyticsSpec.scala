@@ -1486,6 +1486,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty && got.values.exists(!_._5), "non-anomalous days must exist")
   }
 
+  test("CDC chunk dedup matches a Scala chunker recompute; boundaries re-sync after a front edit") {
+    def h60(x: String): Long = {
+      val b = x.getBytes("UTF-8")
+      graft.functions.Md5Hash60Util.hash60(b, 0, b.length)
+    }
+    def chunks(text: String): Seq[(Long, Long)] = {
+      val tk = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      val t = tk.length
+      val g = if (t >= 3) (0 to t - 3).map(gp => h60(tk.slice(gp, gp + 3).mkString(" ")))
+        else Seq.empty
+      val cuts = g.zipWithIndex.collect { case (gh, gi) if gh % 8 == 0 && gi + 3 < t => gi + 3 }
+      val bounds = 0 +: cuts :+ t
+      bounds.sliding(2).map { case Seq(a, b) =>
+        (h60(tk.slice(a, b).mkString(" ")), (b - a).toLong)
+      }.toSeq
+    }
+    val got = graft.operators.Dedup.cdcChunks.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val allChunks = docs.flatMap { case (id, txt) => chunks(txt).map(c => (id, c)) }
+    val expect = allChunks.groupBy(_._2._1).collect {
+      case (h, occ) if occ.map(_._1).distinct.length >= 2 =>
+        h -> (occ.map(_._1).distinct.length.toLong, occ.length.toLong, occ.map(_._2._2).max)
+    }
+    assert(got == expect, "cross-doc chunk rollup must match the Scala chunker")
+    assert(got.nonEmpty, "the corpus must contain cross-document chunks")
+    val longest = docs.maxBy(_._2.length)._2
+    val o = chunks(longest); val e = chunks("zzzedit " + longest)
+    val resync = o.reverse.zip(e.reverse).takeWhile { case (a, b) => a == b }.size
+    assert(resync >= o.size - 2, s"CDC must re-sync after a front edit: $resync of ${o.size}")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
