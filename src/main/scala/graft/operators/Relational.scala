@@ -335,9 +335,42 @@ object Relational {
              FROM lineitem JOIN part ON l_partkey = p_partkey
              WHERE p_size <= 5 GROUP BY p_brand"""))
 
+  /** SALTED equi-join — §2.1 row 29's skew mitigation served as a
+    * catalog query (previously spec-only): the dim side replicates
+    * into `saltFactor` salt copies and every fact row picks ONE salt
+    * deterministically, so a hot key's rows spread over `saltFactor`
+    * shuffle partitions instead of one straggler task. The output is
+    * IDENTICAL to the plain join — each fact row still meets exactly
+    * one dim copy — which is what the oracle runs. (AQE's skew split
+    * handles the same problem reactively; salting is the
+    * plan-deterministic form that also covers aggregate-after-join
+    * skew AQE cannot re-split.)
+    *
+    * Scale shape: dim scans once and explodes ×8 (still dim-sized),
+    * fact shuffles once on (key, salt); the hint pins the
+    * shuffle-hash path so the salt actually reaches the exchange
+    * instead of being folded into a broadcast.
+    */
+  val joinSalted: QueryDef = QueryDef(
+    "q_join_salted",
+    (s, dir) => SkewJoin.saltedEquiJoin(
+        t(s, dir, "orders"), "o_custkey", "o_orderkey",
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+          .hint("shuffle_hash"),
+        "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+          .as("value_cents")),
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+              AS value_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(
     scanProject, wherePredicates, indexRangeScan, pointLookup, aggGlobal,
     groupByAgg, joinBroadcast, joinShuffleHash, joinSortMerge, joinTheta,
     multijoinOptimal, pipelineFull, semiAnti, distinctRows, topK,
-    joinBloomPrune)
+    joinBloomPrune, joinSalted)
 }

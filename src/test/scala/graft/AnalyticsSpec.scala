@@ -1519,6 +1519,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(resync >= o.size - 2, s"CDC must re-sync after a front edit: $resync of ${o.size}")
   }
 
+  test("salted join result equals the plain join and the salt reaches the shuffle keys") {
+    val got = graft.operators.Relational.joinSalted.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == plain, "salting must not change the join result")
+    val joined = graft.operators.SkewJoin.saltedEquiJoin(
+      Tables.load(spark, sfDir, "orders"), "o_custkey", "o_orderkey",
+      Tables.load(spark, sfDir, "customer").hint("shuffle_hash"), "c_custkey")
+    assert(joined.queryExecution.optimizedPlan.toString.contains("_salt"),
+      "the salt column must participate in the join keys")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
