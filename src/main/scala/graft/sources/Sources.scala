@@ -413,9 +413,45 @@ object SourceQueries {
            FROM ofin o JOIN lfin l USING (o_orderkey)
            GROUP BY 1, 2"""))
 
+  /** CSV SINK + SOURCE round-trip — §2.1 row 25's format surface
+    * served as a catalog query (previously spec-only): the nation
+    * table is written to a CSV sink (quoted headers, the content-keyed
+    * claim-elected `ensureIndex` lifecycle every persisted artifact
+    * uses), read back through the CSV source with an explicit schema,
+    * and joined/aggregated against the parquet region table. The
+    * oracle computes the same rollup from parquet alone — any
+    * fidelity loss in the round-trip (quoting, typing, header
+    * handling) breaks the hash.
+    *
+    * Scale shape: the roundtrip table is dimension-sized by choice;
+    * the read is schema-pinned (no inference pass over the data —
+    * at 100 TB inference alone is a full extra scan).
+    */
+  val csvRoundtrip: QueryDef = QueryDef(
+    "q_csv_roundtrip",
+    (s, dir) => {
+      val n = graft.Tables.load(s, dir, "nation")
+      val fp = Snapshots.fileFingerprint(s"$dir/nation.parquet")
+      val path = "/root/repo/target/csvsink/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ver = Snapshots.ensureIndex(path, fp) { out =>
+        n.write.option("header", "true").csv(out)
+      }
+      s.read.option("header", "true").schema(n.schema)
+        .csv(Snapshots.versionDirs(path, ver): _*)
+        .join(graft.Tables.load(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("n_nationkey").cast("long")).as("key_sum"))
+    },
+    Some("""SELECT r_name, COUNT(*) AS n_nations,
+            CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(zorderSecondary, mvIncremental, mergeUpsert, bloomPointLookup,
-      snapshotDiff, mvJoinIncremental)
+      snapshotDiff, mvJoinIncremental, csvRoundtrip)
 }
 
 /** Copy-on-write mutations — the reference's record insert/update/

@@ -1536,6 +1536,27 @@ class AnalyticsSpec extends SparkSpec {
       "the salt column must participate in the join keys")
   }
 
+  test("csv roundtrip preserves every nation row bit-for-bit and the rollup matches parquet") {
+    val got = graft.sources.SourceQueries.csvRoundtrip.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = Tables.load(spark, sfDir, "nation")
+      .join(Tables.load(spark, sfDir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n"), sum(col("n_nationkey").cast("long")).as("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == plain)
+    val n = Tables.load(spark, sfDir, "nation")
+    val fp = graft.sources.Snapshots.fileFingerprint(s"$sfDir/nation.parquet")
+    val path = "/root/repo/target/csvsink/" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val ver = graft.sources.Snapshots.ensureIndex(path, fp) { out =>
+      n.write.option("header", "true").csv(out)
+    }
+    val back = spark.read.option("header", "true").schema(n.schema)
+      .csv(graft.sources.Snapshots.versionDirs(path, ver): _*)
+      .collect().map(_.toSeq).toSet
+    assert(back == n.collect().map(_.toSeq).toSet, "row fidelity through the CSV sink")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
