@@ -1938,6 +1938,45 @@ object Events {
               ad.adev * 10000 > 3 * 14826 * d.mad AS is_anomaly
             FROM ad JOIN mad d ON d.event_type = ad.event_type"""))
 
+  /** USER-ACTIVITY POWER-LAW profile — the freq-of-freq histogram
+    * behind every "whales vs long tail" read: users bucketed by
+    * ⌊log₂(events)⌋ (bucket k holds users with 2ᵏ ≤ n < 2ᵏ⁺¹ —
+    * spec-proven bounds), per bucket the user count, event mass, and
+    * both shares ×10⁶. A heavy top bucket is the same signal
+    * `q_skew_profile` reads pre-shuffle, here served as the
+    * analytics-facing distribution table ([[rfm]] tells you WHO, this
+    * tells you the SHAPE). log₂ via `length(bin(n)) − 1` — minimal
+    * binary strings in BOTH engines, exact integers end to end.
+    *
+    * Scale shape: one per-user count shuffle (map-side combined),
+    * then a ≤ 64-bucket rollup and a 1-row broadcast of the totals.
+    */
+  val powerLaw: QueryDef = QueryDef(
+    "q_events_power_law",
+    (s, dir) => {
+      val per = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("n"))
+      val total = per.agg(count(lit(1)).as("n_users_total"),
+        sum(col("n")).as("n_events_total"))
+      per.withColumn("k", (length(bin(col("n"))) - 1).cast("long"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+          min(col("n")).as("min_events"), max(col("n")).as("max_events"))
+        .crossJoin(broadcast(total))
+        .select(col("k"), col("n_users"), col("n_events"),
+          col("min_events"), col("max_events"),
+          expr("(n_users * 1000000) div n_users_total").as("user_share_x1e6"),
+          expr("(n_events * 1000000) div n_events_total").as("event_share_x1e6"))
+    },
+    Some("""WITH per AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                CAST(SUM(n) AS BIGINT) AS ne FROM per),
+            b AS (SELECT CAST(LENGTH(bin(n)) - 1 AS BIGINT) AS k, n FROM per)
+            SELECT k, COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS n_events,
+              MIN(n) AS min_events, MAX(n) AS max_events,
+              (COUNT(*) * 1000000) // t.nu AS user_share_x1e6,
+              (CAST(SUM(n) AS BIGINT) * 1000000) // t.ne AS event_share_x1e6
+            FROM b CROSS JOIN t GROUP BY k, t.nu, t.ne"""))
+
   /** HOLT-WINTERS additive SEASONAL forecast — the weekly-cycle-aware
     * sibling of [[forecast]] (plain Holt forecasts every Monday-shaped
     * series wrong; the seasonal component absorbs the cycle): per
@@ -2064,7 +2103,8 @@ object Events {
       winsorize, hopping, trend, attribution, markov, madOutliers, conversionLag,
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
-      seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal)
+      seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal,
+      powerLaw)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -1557,6 +1557,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(back == n.collect().map(_.toSeq).toSet, "row fidelity through the CSV sink")
   }
 
+  test("power-law buckets match a brute-force log2 histogram; bucket bounds hold") {
+    val got = Events.powerLaw.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val per = Events.loadEvents(spark, sfDir).groupBy("user_id")
+      .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
+    val nu = per.length.toLong; val ne = per.sum
+    val expect = per.groupBy(n => 63L - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (k, g) =>
+        k -> (g.length.toLong, g.sum, g.min, g.max,
+          g.length.toLong * 1000000 / nu, g.sum * 1000000 / ne)
+      }
+    assert(got == expect)
+    got.foreach { case (k, (_, _, mn, mx, _, _)) =>
+      assert(mn >= (1L << k) && mx < (1L << (k + 1)),
+        s"bucket $k bounds violated: [$mn,$mx]")
+    }
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
