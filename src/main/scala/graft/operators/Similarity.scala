@@ -3876,6 +3876,55 @@ object Similarity {
            CAST(ROW_NUMBER() OVER (ORDER BY best_sim ASC, g_src) AS BIGINT) AS rnk
          FROM per ORDER BY best_sim ASC, g_src LIMIT 20"""))
 
+  /** PER-DIMENSION embedding audit — the dead-dimension read next to
+    * [[embeddingPca]]'s global direction: per dim, the quantized
+    * min/max and the exact variance numerator n·Σx² − (Σx)², plus
+    * each dim's share of total variance ×10⁶ and a zero-variance
+    * `is_dead` flag. A dim carrying ~0 variance is wasted storage in
+    * every IVF list / PQ codebook / cache line — the audit that
+    * justifies Matryoshka truncation (row 27s) dimension by
+    * dimension. The share folds in decimal(38,0)/HUGEINT (the 16c
+    * convention — n·Σx² overflows int64 at corpus scale).
+    *
+    * Scale shape: one map-side posexplode pass (64 rows per vector,
+    * no payload shuffle — aggregation keys are the 64 dims with
+    * map-side combine), a 64-row rollup, a 1-row broadcast total.
+    */
+  val embeddingDimAudit: QueryDef = QueryDef(
+    "s_embedding_dim_audit",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(posexplode(quantize(col("embedding")))).toDF("dim", "x")
+      val d = e.groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("x")).as("sq"),
+          sum(col("x") * col("x")).as("ssq"),
+          min(col("x")).as("min_q"), max(col("x")).as("max_q"))
+        .withColumn("varnum",
+          expr("cast(n_vecs as decimal(38,0)) * ssq - cast(sq as decimal(38,0)) * sq"))
+      val t = d.agg(sum(col("varnum")).as("tot"))
+      d.crossJoin(broadcast(t))
+        .select(col("dim"), col("n_vecs"), col("min_q"), col("max_q"),
+          expr("cast(varnum * 1000000 div nullif(tot, 0) as bigint)")
+            .as("var_share_x1e6"),
+          (col("varnum") === 0).as("is_dead"))
+    },
+    Some("""WITH v AS (SELECT list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+            FROM embeddings),
+            ex AS (SELECT unnest(q) AS x, unnest(range(0, 64)) AS dim FROM v),
+            d AS (SELECT dim, COUNT(*) AS n_vecs,
+                CAST(SUM(x) AS BIGINT) AS sq, CAST(SUM(x * x) AS BIGINT) AS ssq,
+                MIN(x) AS min_q, MAX(x) AS max_q
+              FROM ex GROUP BY 1),
+            v2 AS (SELECT *, CAST(n_vecs AS HUGEINT) * ssq
+                - CAST(sq AS HUGEINT) * sq AS varnum FROM d),
+            t AS (SELECT SUM(varnum) AS tot FROM v2)
+            SELECT CAST(dim AS BIGINT) AS dim, n_vecs, min_q, max_q,
+              CAST((varnum * 1000000) // NULLIF(t.tot, 0) AS BIGINT)
+                AS var_share_x1e6,
+              varnum = 0 AS is_dead
+            FROM v2 CROSS JOIN t"""))
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
@@ -3885,5 +3934,5 @@ object Similarity {
       mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep,
       labelKappa, evalRetrieval, graphCommunities, knnRouted, truncatedRecall,
       silhouette, labelCentroidDrift, embeddingPca, graphLinkPredict,
-      embeddingVariance, embeddingIsolation)
+      embeddingVariance, embeddingIsolation, embeddingDimAudit)
 }

@@ -1576,6 +1576,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("per-dimension embedding audit matches a BigInt variance recompute; shares bounded") {
+    val got = Similarity.embeddingDimAudit.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong))
+    val dims = vecs.head.length
+    val varnums = (0 until dims).map { d =>
+      val xs = vecs.map(_(d))
+      val n = BigInt(xs.length); val s = xs.map(BigInt(_)).sum
+      val ss = xs.map(x => BigInt(x) * x).sum
+      d.toLong -> (n * ss - s * s, xs.min, xs.max, xs.length.toLong)
+    }.toMap
+    val tot = varnums.values.map(_._1).sum
+    val expect = varnums.map { case (d, (v, mn, mx, n)) =>
+      d -> (n, mn, mx, (v * 1000000 / tot).toLong, v == 0)
+    }
+    assert(got == expect)
+    assert(got.values.map(_._4).sum <= 1000000L, "truncated shares cannot exceed 1e6")
+    assert(got.size == dims)
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
