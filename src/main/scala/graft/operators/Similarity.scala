@@ -3876,6 +3876,52 @@ object Similarity {
            CAST(ROW_NUMBER() OVER (ORDER BY best_sim ASC, g_src) AS BIGINT) AS rnk
          FROM per ORDER BY best_sim ASC, g_src LIMIT 20"""))
 
+  /** IVF LIST-OCCUPANCY balance audit — `d_lsh_bucket_stats` applied
+    * to the ANN serving index: per ⌊log₂ size⌋ bucket the list count,
+    * vector mass, and size bounds, plus the straggler factor
+    * max·n_lists/n_vecs ×1000 (the `q_skew_profile` statistic — an
+    * imbalanced quantizer makes every probe of the hot list a
+    * straggler task and starves recall on the rest). Read BEFORE
+    * serving traffic or deciding a re-train: this is the pre-flight
+    * the IVF drift trigger (row 27b's `ivfRetrainIfDrifted`) acts on.
+    * The oracle re-derives the full seed→Lloyd assignment chain and
+    * must land on identical occupancy — a quantizer-determinism check
+    * for free.
+    *
+    * Scale shape: one pass over the persisted lists table (an
+    * index-maintenance read — cid-keyed, map-side combined into
+    * C ≈ √N sizes), then ≤ 64-bucket rollup + 1-row broadcast.
+    */
+  val ivfBalance: QueryDef = QueryDef(
+    "s_ivf_balance",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val (_, listsT, listsV) = ivfIndex(s, dir)
+      val sizes = s.read.parquet(Snapshots.versionDirs(listsT, listsV): _*)
+        .groupBy(col("cid").cast("long").as("cid"))
+        .agg(count(lit(1)).as("sz"))
+      val tot = sizes.agg(count(lit(1)).as("n_lists_total"),
+        sum(col("sz")).as("n_vecs_total"), max(col("sz")).as("max_sz"))
+      sizes.withColumn("k", (length(bin(col("sz"))) - 1).cast("long"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_lists"), sum(col("sz")).as("n_vecs"),
+          min(col("sz")).as("min_size"), max(col("sz")).as("max_size"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_lists"), col("n_vecs"),
+          col("min_size"), col("max_size"),
+          expr("(max_sz * n_lists_total * 1000) div n_vecs_total")
+            .as("skew_x1000"))
+    },
+    Some(s"""WITH $ivfServeCtes,
+         sz AS (SELECT cid, COUNT(*) AS sz FROM a2 GROUP BY 1),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl,
+             CAST(SUM(sz) AS BIGINT) AS nv, MAX(sz) AS mx FROM sz)
+         SELECT CAST(LENGTH(bin(sz)) - 1 AS BIGINT) AS k,
+           COUNT(*) AS n_lists, CAST(SUM(sz) AS BIGINT) AS n_vecs,
+           MIN(sz) AS min_size, MAX(sz) AS max_size,
+           (t.mx * t.nl * 1000) // t.nv AS skew_x1000
+         FROM sz CROSS JOIN t GROUP BY 1, t.mx, t.nl, t.nv"""))
+
   /** PER-DIMENSION embedding audit — the dead-dimension read next to
     * [[embeddingPca]]'s global direction: per dim, the quantized
     * min/max and the exact variance numerator n·Σx² − (Σx)², plus
@@ -3934,5 +3980,5 @@ object Similarity {
       mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep,
       labelKappa, evalRetrieval, graphCommunities, knnRouted, truncatedRecall,
       silhouette, labelCentroidDrift, embeddingPca, graphLinkPredict,
-      embeddingVariance, embeddingIsolation, embeddingDimAudit)
+      embeddingVariance, embeddingIsolation, embeddingDimAudit, ivfBalance)
 }

@@ -1599,6 +1599,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.size == dims)
   }
 
+  test("IVF balance audit matches a brute-force rollup of the persisted lists") {
+    val got = Similarity.ivfBalance.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val (_, listsT, listsV) = Similarity.ivfIndex(spark, sfDir)
+    val sizes = spark.read
+      .parquet(graft.sources.Snapshots.versionDirs(listsT, listsV): _*)
+      .groupBy("cid").agg(count(lit(1)).as("sz"))
+      .collect().map(_.getLong(1))
+    val nl = sizes.length.toLong; val nv = sizes.sum; val mx = sizes.max
+    val skew = mx * nl * 1000 / nv
+    val expect = sizes.groupBy(sz => 63L - java.lang.Long.numberOfLeadingZeros(sz))
+      .map { case (k, g) =>
+        k -> (g.length.toLong, g.sum, g.min, g.max, skew)
+      }
+    assert(got == expect)
+    assert(got.values.map(_._2).sum == nv, "bucket vector mass must cover the corpus")
+    assert(skew >= 1000L, "max/mean is at least 1")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
