@@ -1720,24 +1720,6 @@ object Events {
               (daily.dau * 1000) // wau.wau7 AS dau_wau_x1000
             FROM daily JOIN wau ON wau.day = daily.day"""))
 
-  /** Additive SEASONAL DECOMPOSITION of the daily series (STL-lite) —
-    * the structural split the raw series hides: y = trend + weekly
-    * seasonal + residual, where trend is the centered 7-day moving
-    * average (RANGE ±3 days over the dense gap-filled grid), the
-    * seasonal term is the per-day-of-week mean of the detrended
-    * series, and the residual is what remains — the series an anomaly
-    * detector should actually threshold ([[heatmap]] shows the weekly
-    * cycle; this REMOVES it). All arithmetic is exact ×1000 fixed
-    * point (sums and counts stay integers; the two divisions are
-    * integral div), so both engines agree bit-for-bit. Edge days use
-    * the partial centered window (window size reported via the dense
-    * grid, identical in both engines).
-    *
-    * Scale shape: the corpus-sized pass is the daily rollup; the
-    * dense grid, both window passes, and the dow-mean join all run on
-    * the ≤ types × days frame. One shuffle + tiny-frame windows — the
-    * [[acf]] profile.
-    */
   /** The STL-lite frame shared by [[seasonalDecompose]] and
     * [[anomalySeasonal]]: per (type, gap-filled day) the observed
     * count, centered 7-day trend, dow seasonal mean, and residual —
@@ -1768,6 +1750,24 @@ object Events {
           (col("detr") - col("seasonal_x1000")).as("resid_x1000"))
   }
 
+  /** Additive SEASONAL DECOMPOSITION of the daily series (STL-lite) —
+    * the structural split the raw series hides: y = trend + weekly
+    * seasonal + residual, where trend is the centered 7-day moving
+    * average (RANGE ±3 days over the dense gap-filled grid), the
+    * seasonal term is the per-day-of-week mean of the detrended
+    * series, and the residual is what remains — the series an anomaly
+    * detector should actually threshold ([[heatmap]] shows the weekly
+    * cycle; this REMOVES it). All arithmetic is exact ×1000 fixed
+    * point (sums and counts stay integers; the two divisions are
+    * integral div), so both engines agree bit-for-bit. Edge days use
+    * the partial centered window (window size reported via the dense
+    * grid, identical in both engines).
+    *
+    * Scale shape: the corpus-sized pass is the daily rollup; the
+    * dense grid, both window passes, and the dow-mean join all run on
+    * the ≤ types × days frame. One shuffle + tiny-frame windows — the
+    * [[acf]] profile.
+    */
   val seasonalDecompose: QueryDef = QueryDef(
     "q_events_seasonal",
     (s, dir) => stlFrame(s, dir),
@@ -1938,6 +1938,51 @@ object Events {
               ad.adev * 10000 > 3 * 14826 * d.mad AS is_anomaly
             FROM ad JOIN mad d ON d.event_type = ad.event_type"""))
 
+  /** ROLLING distinct users from MERGEABLE HLL SKETCHES — the 100 TB
+    * serving path beside [[rollingDau]]'s exact contribution-explode:
+    * the exact form shuffles user×7 rows (corpus-sized), this one
+    * reduces each day to ONE ~kB Datasketches HLL (map-side partial
+    * merge), unions 7 sketches per output day, and estimates — the
+    * shuffle carries sketches, never users, and the daily sketches
+    * are exactly the state a dashboard persists and re-unions for any
+    * window without touching raw events again. Served under the
+    * bounds-oracle convention (row 35): the exact count rides along
+    * and the output carries a deterministic within-15% flag (lgK=12
+    * ⇒ ~1.6% expected error), so the DuckDB twin checks the exact
+    * values and `TRUE` flags.
+    *
+    * Scale shape: one user-day distinct pass feeds BOTH forms; the
+    * sketch path's rolling union groups ≤ 7·days sketch rows.
+    */
+  val rollingDauHll: QueryDef = QueryDef(
+    "q_events_rolling_dau_hll",
+    (s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      val daily = ud.groupBy("day")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val rolled = daily
+        .select(explode(sequence(col("day"), col("day") + 6)).as("d"), col("sk"))
+        .groupBy(col("d").as("day"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = ud.distinct()
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("d"))
+        .distinct()
+        .groupBy(col("d").as("day")).agg(count(lit(1)).as("wau7_exact"))
+      rolled.join(exact, "day")
+        .join(ud.select("day").distinct(), Seq("day"))
+        .select(col("day"), col("wau7_exact"),
+          (abs(col("est") - col("wau7_exact")) * 100 <= col("wau7_exact") * 15)
+            .as("hll_ok"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+            contrib AS (SELECT DISTINCT user_id, d FROM (
+              SELECT user_id, UNNEST(range(day, day + 7)) AS d FROM ud) x)
+            SELECT CAST(d AS BIGINT) AS day, COUNT(*) AS wau7_exact,
+              TRUE AS hll_ok
+            FROM contrib WHERE d IN (SELECT day FROM ud) GROUP BY 1"""))
+
   /** USER-ACTIVITY POWER-LAW profile — the freq-of-freq histogram
     * behind every "whales vs long tail" read: users bucketed by
     * ⌊log₂(events)⌋ (bucket k holds users with 2ᵏ ≤ n < 2ᵏ⁺¹ —
@@ -2104,7 +2149,7 @@ object Events {
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
       seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal,
-      powerLaw)
+      powerLaw, rollingDauHll)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

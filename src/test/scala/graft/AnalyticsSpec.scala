@@ -1619,6 +1619,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(skew >= 1000L, "max/mean is at least 1")
   }
 
+  test("HLL rolling distinct: flags all true, exact side matches the exact query, sketches stay small") {
+    val rows = Events.rollingDauHll.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty && rows.forall(_._3), "every estimate must be within 15%")
+    val exact = Events.rollingDau.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows.map(t => t._1 -> t._2).toMap == exact,
+      "the exact companion must equal q_events_rolling_dau's wau7")
+    val skBytes = Events.loadEvents(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .groupBy("day").agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .select(max(octet_length(col("sk")))).head().getInt(0)
+    assert(skBytes < 16384, s"daily sketch must stay kB-scale, got $skBytes bytes")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
