@@ -1983,6 +1983,63 @@ object Events {
               TRUE AS hll_ok
             FROM contrib WHERE d IN (SELECT day FROM ud) GROUP BY 1"""))
 
+  /** POINT-IN-TIME dimension LOOKUP against the SCD2 table — the read
+    * side of [[scd2]] (building a versioned dimension is only half
+    * the warehouse pattern; training-data and BI correctness both
+    * hinge on joining facts to the version VALID AT the fact's time,
+    * never the current one): each purchase looks up the user's state
+    * interval covering second t−1 — the state the user was in when
+    * they entered the purchase — and the report is the
+    * conversion-source distribution. The half-open contiguous
+    * intervals make the match provably unique (two changes in one
+    * second leave an empty [x, x) interval that can cover nothing),
+    * so no as-of tie-break is needed; a purchase that is the user's
+    * first event has no prior state → 'none'.
+    *
+    * Scale shape: one user-keyed equi-join carrying the interval
+    * predicate (per-user intervals are few — run-length compressed
+    * by construction), then a ≤ states-sized rollup. The SCD2 build
+    * itself is [[scd2]]'s one window pass.
+    */
+  val scd2Lookup: QueryDef = QueryDef(
+    "q_scd2_lookup",
+    (s, dir) => {
+      val dim = scd2.fn(s, dir).select(col("user_id").as("u"),
+        col("attr"), col("valid_from"), col("valid_to"))
+      val purchases = events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), sec.as("t"), col("event_id"))
+      purchases.join(dim,
+          col("user_id") === col("u") &&
+            col("valid_from") <= col("t") - 1 &&
+            (col("valid_to").isNull || col("t") - 1 < col("valid_to")),
+          "left")
+        .groupBy(coalesce(col("attr"), lit("none")).as("state_before"))
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id FROM events),
+            ch AS (SELECT * FROM (
+                SELECT user_id, event_type, t, event_id,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                    ORDER BY t, event_id) AS prev
+                FROM e) x
+              WHERE prev IS NULL OR prev <> event_type),
+            dim AS (SELECT user_id AS u, event_type AS attr,
+                t AS valid_from,
+                LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                  AS valid_to
+              FROM ch),
+            p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase')
+            SELECT COALESCE(dim.attr, 'none') AS state_before,
+              COUNT(*) AS n_purchases,
+              CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+            FROM p LEFT JOIN dim ON p.user_id = dim.u
+              AND dim.valid_from <= p.t - 1
+              AND (dim.valid_to IS NULL OR p.t - 1 < dim.valid_to)
+            GROUP BY 1"""))
+
   /** USER-ACTIVITY POWER-LAW profile — the freq-of-freq histogram
     * behind every "whales vs long tail" read: users bucketed by
     * ⌊log₂(events)⌋ (bucket k holds users with 2ᵏ ≤ n < 2ᵏ⁺¹ —
@@ -2149,7 +2206,7 @@ object Events {
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
       seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal,
-      powerLaw, rollingDauHll)
+      powerLaw, rollingDauHll, scd2Lookup)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -1634,6 +1634,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(skBytes < 16384, s"daily sketch must stay kB-scale, got $skBytes bytes")
   }
 
+  test("SCD2 point-in-time lookup matches a per-user state-machine replay") {
+    val got = Events.scd2Lookup.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e = Events.loadEvents(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000000000").as("t"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byUser = e.groupBy(_._1)
+    val lookups = e.filter(_._2 == "purchase").map { case (u, _, t, _) =>
+      val runs = byUser(u).sortBy(ev => (ev._3, ev._4))
+        .foldLeft(List.empty[(String, Long)]) { (acc, ev) =>
+          if (acc.headOption.exists(_._1 == ev._2)) acc else (ev._2, ev._3) :: acc
+        }.reverse
+      val intervals = runs.zip(runs.drop(1).map(r => Some(r._2)) :+ None)
+      val state = intervals.collectFirst {
+        case ((a, from), to) if from <= t - 1 && to.forall(t - 1 < _) => a
+      }
+      (u, state.getOrElse("none"))
+    }
+    val expect = lookups.groupBy(_._2).map { case (st, g) =>
+      st -> (g.length.toLong, g.map(_._1).distinct.length.toLong)
+    }
+    assert(got == expect, s"got $got\nwant $expect")
+    assert(got.values.map(_._1).sum == lookups.length.toLong,
+      "every purchase resolves exactly one state")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
