@@ -1606,10 +1606,87 @@ object Dedup {
           FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2"""
     })
 
+  /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm) — the guaranteed-detection rung of the ladder: over
+    * the positional 3-gram hashes, every window of w=4 consecutive
+    * hashes selects its minimum (rightmost on ties — the canonical
+    * rule, so both engines pick the identical position), selected
+    * positions dedupe per document, and fingerprints shared by ≥ 2
+    * docs are reported. The winnowing guarantee: any verbatim match
+    * of ≥ w+k−1 = 6 tokens shares at least one selected fingerprint —
+    * unlike row 22's probabilistic MinHash, detection is certain,
+    * at ~1/w the index size of indexing every gram (row 21c).
+    *
+    * Scale shape: grams and window expansion are map-side (each gram
+    * joins ≤ w windows — corpus-linear ×4); the per-window argmin is
+    * one window function partitioned by (doc, window) — keys grow
+    * with the corpus, never a global sort; the rollup groups on the
+    * fingerprint hash. Never pairwise.
+    */
+  val winnow: QueryDef = QueryDef(
+    "d_dedup_winnow",
+    (s, dir) => {
+      val W = 4
+      val h60 = (g: String) =>
+        s"cast(conv(substr(md5($g), 1, 15), 16, 10) as bigint)"
+      val grams = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
+        .withColumn("g", expr(
+          s"""if(size(tk) >= 3,
+              transform(sequence(1, size(tk) - 2),
+                gp -> ${h60("array_join(slice(tk, gp, 3), ' ')")}),
+              cast(array() as array<bigint>))"""))
+        .select(col("doc_id"), size(col("g")).as("ng"),
+          posexplode(col("g")).as(Seq("pos", "h")))
+      val inWindows = grams
+        .withColumn("j", explode(expr(
+          s"""if(greatest(0, pos - $W + 1) <= least(pos, ng - $W),
+              sequence(greatest(0, pos - $W + 1), least(pos, ng - $W)),
+              cast(array() as array<int>))""")))
+      val w = Window.partitionBy("doc_id", "j")
+        .orderBy(col("h"), col("pos").desc)
+      inWindows.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), col("pos"), col("h")).distinct()
+        .groupBy(col("h").as("fingerprint"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .where(col("n_docs") >= 2)
+    },
+    Some {
+      val h60 = (g: String) => graft.functions.Portable.textSql.h60(g)
+      s"""WITH tk AS (SELECT doc_id,
+            ${graft.functions.Portable.textSql.tokensLower} AS tk
+          FROM documents),
+          g AS (SELECT doc_id,
+              CASE WHEN len(tk) >= 3 THEN
+                list_transform(range(1, len(tk) - 1),
+                  gp -> CAST(${h60("array_to_string(tk[gp:gp+2], ' ')")} AS BIGINT))
+              ELSE CAST([] AS BIGINT[]) END AS g
+            FROM tk),
+          pg AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS ng,
+              unnest(range(1, len(g) + 1)) AS p1, unnest(g) AS h
+            FROM g),
+          iw AS (SELECT doc_id, p1 - 1 AS pos, h,
+              unnest(range(greatest(0, p1 - 1 - 4 + 1),
+                least(p1 - 1, ng - 4) + 1)) AS j
+            FROM pg),
+          win AS (SELECT doc_id, pos, h FROM (
+              SELECT doc_id, pos, h,
+                ROW_NUMBER() OVER (PARTITION BY doc_id, j
+                  ORDER BY h, pos DESC) AS rn
+              FROM iw) x WHERE rn = 1),
+          sel AS (SELECT DISTINCT doc_id, pos, h FROM win)
+          SELECT h AS fingerprint,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            COUNT(*) AS n_occurrences
+          FROM sel GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(exact, paragraph, substring, minhash, editDistance, simhashDef,
       ngramJaccard, cluster, canonicalByQuality, incremental, dedupReport,
       sourceOverlap, containment, splitLeakage, corpusDiversity,
       minhashAccuracy, lshPlanner, bucketStats, exactIncremental,
-      thresholdSweep, cdcChunks)
+      thresholdSweep, cdcChunks, winnow)
 }

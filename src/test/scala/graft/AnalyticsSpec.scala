@@ -1661,6 +1661,40 @@ class AnalyticsSpec extends SparkSpec {
       "every purchase resolves exactly one state")
   }
 
+  test("winnowing matches a Scala recompute; a 6+-token verbatim overlap always shares a fingerprint") {
+    def h60(x: String): Long = {
+      val b = x.getBytes("UTF-8")
+      graft.functions.Md5Hash60Util.hash60(b, 0, b.length)
+    }
+    def winners(text: String): Set[(Int, Long)] = {
+      val tk = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      val g = if (tk.length >= 3)
+        (0 to tk.length - 3).map(i => h60(tk.slice(i, i + 3).mkString(" ")))
+      else Seq.empty
+      (0 to g.length - 4).map { j =>
+        (j until j + 4).map(p => (g(p), p)).minBy { case (h, p) => (h, -p) }
+      }.map { case (h, p) => (p, h) }.toSet
+    }
+    val got = graft.operators.Dedup.winnow.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val sel = docs.flatMap { case (id, t) =>
+      winners(t).toSeq.map { case (pos, h) => (id, pos, h) }
+    }
+    val expect = sel.groupBy(_._3).collect {
+      case (h, occ) if occ.map(_._1).distinct.length >= 2 =>
+        h -> (occ.map(_._1).distinct.length.toLong, occ.length.toLong)
+    }
+    assert(got == expect, "cross-doc fingerprint rollup must match the Scala winnower")
+    assert(got.nonEmpty, "the near-dup corpus must share fingerprints")
+    val span = docs.maxBy(_._2.length)._2.split(" ").filter(_.nonEmpty).slice(10, 18).mkString(" ")
+    val a = winners("totally different leading words here " + span)
+    val b = winners(span + " and then some other trailing content")
+    assert(a.map(_._2).intersect(b.map(_._2)).nonEmpty,
+      "winnowing guarantee: >= w+k-1 token overlap must share a fingerprint")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
