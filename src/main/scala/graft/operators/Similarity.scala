@@ -1896,6 +1896,66 @@ object Similarity {
            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
            FROM sc) WHERE rn <= 5"""))
 
+  /** PQ CODEBOOK-UTILIZATION audit — [[ivfBalance]]'s sibling for the
+    * memory tier: per subspace, how many of the K codes the corpus
+    * actually uses (dead codes = wasted codebook capacity and a
+    * too-large K), the min/max code mass, and the max/mean straggler
+    * factor ×1000 over USED codes. A subspace where one code absorbs
+    * most vectors quantizes poorly (high ADC distortion there) — the
+    * read that decides re-training a subspace codebook before recall
+    * quietly degrades. The oracle re-derives the full encode chain
+    * (seed codebooks → partial distances → argmin codes) and must
+    * land on identical usage — encode determinism checked for free.
+    *
+    * Scale shape: encoding is the one corpus-sized pass (M broadcast
+    * codebook joins); usage groups on (m, code) ≤ M·K = 64 cells
+    * map-side; the report is M = 8 rows.
+    */
+  val pqCodeBalance: QueryDef = QueryDef(
+    "s_pq_code_balance",
+    (s, dir) => {
+      val v = quantized(Tables.load(s, dir, "embeddings"))
+      val sv = v.select(col("vec_id"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("q"))
+        .withColumn("sq", expr(s"slice(q, m * $PqSub + 1, $PqSub)")).drop("q")
+      val cb = broadcast(sv.where(col("vec_id") < PqK)
+        .select(col("vec_id").as("k"), col("m").as("cb_m"), col("sq").as("cq")))
+      val pdist = sv.join(cb, col("m") === col("cb_m"))
+        .select(col("vec_id"), col("m"), col("k"),
+          graft.functions.Native.sqDistScaled(col("sq"), col("cq"), lit(1L)).as("pd"))
+      val byD = Window.partitionBy("vec_id", "m").orderBy(col("pd"), col("k"))
+      val usage = pdist.withColumn("rn", row_number().over(byD))
+        .where(col("rn") === 1)
+        .groupBy("m", "k").agg(count(lit(1)).as("n"))
+      usage.groupBy(col("m").cast("long").as("subspace"))
+        .agg(count(lit(1)).as("codes_used"), sum(col("n")).as("n_vecs"),
+          min(col("n")).as("min_code_mass"), max(col("n")).as("max_code_mass"))
+        .select(col("subspace"), col("codes_used"),
+          (lit(PqK.toLong) - col("codes_used")).as("codes_dead"),
+          col("n_vecs"), col("min_code_mass"), col("max_code_mass"),
+          expr("(max_code_mass * codes_used * 1000) div n_vecs")
+            .as("skew_x1000"))
+    },
+    Some(s"""WITH $quantizedSql,
+         sv AS (SELECT vec_id, m,
+             q[CAST(m*$PqSub+1 AS BIGINT) : CAST(m*$PqSub+$PqSub AS BIGINT)] AS sq
+           FROM (SELECT vec_id, q, unnest(range(0, $PqM)) AS m FROM v) t),
+         cb AS (SELECT vec_id AS k, m, sq AS cq FROM sv WHERE vec_id < $PqK),
+         pdist AS (SELECT sv.vec_id, sv.m, cb.k,
+             CAST(list_sum(list_transform(list_zip(sv.sq, cb.cq),
+               z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS pd
+           FROM sv JOIN cb ON sv.m = cb.m),
+         codes AS (SELECT vec_id, m, k FROM (
+             SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY pd, k) AS rn
+             FROM pdist) x WHERE rn = 1),
+         usage AS (SELECT m, k, COUNT(*) AS n FROM codes GROUP BY 1, 2)
+         SELECT CAST(m AS BIGINT) AS subspace, COUNT(*) AS codes_used,
+           $PqK - COUNT(*) AS codes_dead, CAST(SUM(n) AS BIGINT) AS n_vecs,
+           MIN(n) AS min_code_mass, MAX(n) AS max_code_mass,
+           (MAX(n) * COUNT(*) * 1000) // CAST(SUM(n) AS BIGINT) AS skew_x1000
+         FROM usage GROUP BY 1"""))
+
   // ---- §2.2 row 27f: IVF+PQ combined serving ----
 
   /** §2.2 row 27f — IVF+PQ, the index shape production vector stores
@@ -3980,5 +4040,6 @@ object Similarity {
       mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep,
       labelKappa, evalRetrieval, graphCommunities, knnRouted, truncatedRecall,
       silhouette, labelCentroidDrift, embeddingPca, graphLinkPredict,
-      embeddingVariance, embeddingIsolation, embeddingDimAudit, ivfBalance)
+      embeddingVariance, embeddingIsolation, embeddingDimAudit, ivfBalance,
+      pqCodeBalance)
 }

@@ -1695,6 +1695,38 @@ class AnalyticsSpec extends SparkSpec {
       "winnowing guarantee: >= w+k-1 token overlap must share a fingerprint")
   }
 
+  test("PQ code balance matches a Scala encode recompute; masses cover the corpus") {
+    val got = Similarity.pqCodeBalance.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)))
+    val M = 8; val sub = 8; val K = 8
+    val cb = vecs.filter(_._1 < K).sortBy(_._1)
+      .map { case (id, q) => id -> (0 until M).map(m => q.slice(m * sub, m * sub + sub)) }
+    val usage = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    vecs.foreach { case (_, q) =>
+      (0 until M).foreach { m =>
+        val sq = q.slice(m * sub, m * sub + sub)
+        val best = cb.map { case (k, s) =>
+          val d = sq.zip(s(m)).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, k)
+        }.min
+        usage((m, best._2)) = usage.getOrElse((m, best._2), 0L) + 1
+      }
+    }
+    val expect = usage.groupBy(_._1._1).map { case (m, g) =>
+      val ns = g.values.toSeq
+      m.toLong -> (ns.length.toLong, (K - ns.length).toLong, ns.sum,
+        ns.min, ns.max, ns.max * ns.length * 1000 / ns.sum)
+    }
+    assert(got == expect)
+    assert(got.values.forall(_._3 == vecs.length.toLong),
+      "each subspace encodes every vector exactly once")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
