@@ -589,6 +589,77 @@ object Multimodal {
               CAST(COALESCE(MAX(lr.run_max), 0) AS BIGINT) AS longest_silent_run
             FROM ff LEFT JOIN lr ON lr.i = ff.i GROUP BY 1"""))
 
+  /** SHOT-BOUNDARY detection through the REAL image decode arm — the
+    * video-curation pass that segments footage before sampling
+    * training frames (one frame per shot beats N per second of the
+    * same still scene): two generative "videos" (24 PNG frames each,
+    * per-shot base brightness planted at different cadences — shots
+    * of 6 frames in video 0, 7 in video 1) decode through
+    * `javax.imageio`, and a frame is a boundary when its mean-luma
+    * delta vs the previous frame exceeds the threshold (planted jump
+    * ≈ 40 000 ×1000-luma vs ≤ ~1 000 in-shot wobble — spec-asserted
+    * separation). The DuckDB oracle recomputes luma from the pixel
+    * formula without seeing a PNG byte: any decoder error moves a
+    * mean and fails the hash (PNG is lossless).
+    *
+    * Scale shape: decode + luma is per-frame map work (payloads never
+    * shuffle); the boundary test is one lag window per video over the
+    * frames-per-video grid.
+    */
+  val videoShots: QueryDef = QueryDef(
+    "m_video_shots",
+    (s, dir) => {
+      import s.implicits._
+      val _ = dir // same synthetic set at every SF — the codec is the subject
+      val frames = (0 until 2).flatMap { v =>
+        val L = 6 + v
+        (0 until 24).map { f =>
+          val base = 40 * ((f / L) % 5)
+          val img = new java.awt.image.BufferedImage(16, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 8; x <- 0 until 16) {
+            val r = base + (3 * x + v) % 16
+            val g = base + (5 * y) % 16
+            val b = base + (x + y + f) % 16
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(v * 1000L + f, bos.toByteArray)
+        }
+      }
+      val luma = decodeAllReal(s.createDataset(frames)).toDF()
+        .select(expr("doc_id div 1000").as("video_id"),
+          (col("doc_id") % 1000).as("frame"), col("mean_luma_x1000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("video_id").orderBy("frame")
+      luma.withColumn("prev_luma_x1000",
+          lag(col("mean_luma_x1000"), 1).over(w))
+        .where(col("prev_luma_x1000").isNotNull &&
+          abs(col("mean_luma_x1000") - col("prev_luma_x1000")) > 15000)
+        .select(col("video_id"), col("frame"), col("prev_luma_x1000"),
+          col("mean_luma_x1000").as("luma_x1000"),
+          (col("mean_luma_x1000") - col("prev_luma_x1000")).as("jump_x1000"))
+    },
+    Some("""WITH vids AS (SELECT unnest(range(0, 2)) AS v),
+            fr AS (SELECT v, unnest(range(0, 24)) AS f FROM vids),
+            xs AS (SELECT v, f, unnest(range(0, 16)) AS x FROM fr),
+            px AS (SELECT v, f, x, unnest(range(0, 8)) AS y FROM xs),
+            lum AS (SELECT v, f,
+                299 * (40 * ((f // (6 + v)) % 5) + (3 * x + v) % 16)
+              + 587 * (40 * ((f // (6 + v)) % 5) + (5 * y) % 16)
+              + 114 * (40 * ((f // (6 + v)) % 5) + (x + y + f) % 16) AS l
+              FROM px),
+            ml AS (SELECT v, f, CAST(SUM(l) AS BIGINT) // 128 AS luma
+              FROM lum GROUP BY 1, 2),
+            lg AS (SELECT v, f, luma,
+                LAG(luma) OVER (PARTITION BY v ORDER BY f) AS prev
+              FROM ml)
+            SELECT CAST(v AS BIGINT) AS video_id, CAST(f AS BIGINT) AS frame,
+              prev AS prev_luma_x1000, luma AS luma_x1000,
+              luma - prev AS jump_x1000
+            FROM lg WHERE prev IS NOT NULL AND ABS(luma - prev) > 15000"""))
+
   val defs: Seq[QueryDef] = Seq(metaQuery, frameSample, patchGrid,
-    imageDecodeReal, phashNearDup, audioDecodeReal, audioVad)
+    imageDecodeReal, phashNearDup, audioDecodeReal, audioVad, videoShots)
 }

@@ -1727,6 +1727,19 @@ class AnalyticsSpec extends SparkSpec {
       "each subspace encodes every vector exactly once")
   }
 
+  test("video shot detection finds exactly the planted boundaries with wide separation") {
+    val rows = graft.operators.Multimodal.videoShots.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val boundaries = rows.map(t => (t._1, t._2)).toSet
+    val planted = (for {
+      v <- 0 until 2; f <- 1 until 24
+      if (f / (6 + v)) % 5 != ((f - 1) / (6 + v)) % 5
+    } yield (v.toLong, f.toLong)).toSet
+    assert(boundaries == planted, s"got $boundaries want $planted")
+    assert(rows.forall(t => math.abs(t._3) >= 30000),
+      "planted jumps must be far above the 15000 threshold")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
