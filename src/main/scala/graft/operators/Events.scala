@@ -2040,6 +2040,58 @@ object Events {
               AND (dim.valid_to IS NULL OR p.t - 1 < dim.valid_to)
             GROUP BY 1"""))
 
+  /** BOT / automation cadence audit — the abuse-detection read next to
+    * [[gapAudit]]'s pipeline liveness: humans arrive with bursty,
+    * high-variance inter-event gaps; schedulers and scripts tick with
+    * near-constant cadence. Per user with ≥ 10 events, the squared
+    * coefficient of variation of inter-event gaps in ×10⁶ fixed point
+    * — rv = (ng·Σg² − (Σg)²)·10⁶ / (Σg)², exactly 10⁶·(σ/μ)² — and
+    * the top-20 MOST regular users (lowest rv, total order (rv,
+    * user)) are the review queue. The ×10⁶ product overflows int64,
+    * so the ratio folds in decimal(38,0)/HUGEINT (16c convention);
+    * a zero-span user (all events same second) NULLIFs rather than
+    * divides by zero.
+    *
+    * Scale shape: one user-keyed window for the gaps (key cardinality
+    * grows with the corpus — no hot partition), one per-user
+    * aggregate, then TakeOrdered 20 (per-partition heaps, no global
+    * sort).
+    */
+  val botCadence: QueryDef = QueryDef(
+    "q_events_bot_cadence",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      val gaps = events(s, dir)
+        .select(col("user_id"), col("event_id"), sec.as("sec"))
+        .withColumn("gap", lead(col("sec"), 1).over(w) - col("sec"))
+        .where(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("span_s"),
+          sum(col("gap") * col("gap")).as("ssq"))
+        .where(col("n_gaps") >= 9)
+      gaps.select(col("user_id"), (col("n_gaps") + 1).as("n_events"),
+          col("span_s"),
+          expr("""cast(cast(n_gaps * ssq - span_s * span_s as decimal(38,0))
+                 * 1000000 div nullif(cast(span_s as decimal(38,0)) * span_s, 0)
+                 as bigint)""").as("rv_x1e6"))
+        .orderBy(col("rv_x1e6").asc_nulls_last, col("user_id")).limit(20)
+    },
+    Some("""WITH e AS (SELECT user_id, event_id,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+            g AS (SELECT user_id,
+                LEAD(sec) OVER (PARTITION BY user_id
+                  ORDER BY sec, event_id) - sec AS gap
+              FROM e),
+            a AS (SELECT user_id, COUNT(*) AS n_gaps,
+                CAST(SUM(gap) AS BIGINT) AS span_s,
+                CAST(SUM(gap * gap) AS BIGINT) AS ssq
+              FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 9)
+            SELECT user_id, n_gaps + 1 AS n_events, span_s,
+              CAST(CAST(n_gaps * ssq - span_s * span_s AS HUGEINT) * 1000000
+                // NULLIF(CAST(span_s AS HUGEINT) * span_s, 0) AS BIGINT)
+                AS rv_x1e6
+            FROM a ORDER BY rv_x1e6 NULLS LAST, user_id LIMIT 20"""))
+
   /** USER-ACTIVITY POWER-LAW profile — the freq-of-freq histogram
     * behind every "whales vs long tail" read: users bucketed by
     * ⌊log₂(events)⌋ (bucket k holds users with 2ᵏ ≤ n < 2ᵏ⁺¹ —
@@ -2206,7 +2258,7 @@ object Events {
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
       seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal,
-      powerLaw, rollingDauHll, scd2Lookup)
+      powerLaw, rollingDauHll, scd2Lookup, botCadence)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

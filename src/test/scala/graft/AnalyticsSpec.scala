@@ -1740,6 +1740,29 @@ class AnalyticsSpec extends SparkSpec {
       "planted jumps must be far above the 15000 threshold")
   }
 
+  test("bot cadence matches a BigInt CV^2 recompute over per-user gaps") {
+    val got = Events.botCadence.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toList
+    val e = Events.loadEvents(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000000000").as("sec"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = e.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+      val secs = evs.sortBy(t => (t._2, t._3)).map(_._2)
+      val gaps = secs.zip(secs.drop(1)).map { case (a, b) => b - a }
+      if (gaps.length < 9) None
+      else {
+        val ng = BigInt(gaps.length); val sp = gaps.map(BigInt(_)).sum
+        val ssq = gaps.map(g => BigInt(g) * g).sum
+        val rv = if (sp == 0) None
+          else Some(((ng * ssq - sp * sp) * 1000000 / (sp * sp)).toLong)
+        Some((u, gaps.length.toLong + 1, sp.toLong, rv))
+      }
+    }.sortBy(t => (t._4.isEmpty, t._4.getOrElse(0L), t._1)).take(20)
+    assert(got == expect, s"got $got\nwant $expect")
+    assert(got.nonEmpty)
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
