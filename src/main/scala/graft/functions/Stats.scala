@@ -616,10 +616,69 @@ object StatsQueries {
               (c.n_obs * 1000000) // t.total - e.benford_x1e6 AS dev_x1e6
             FROM c CROSS JOIN t JOIN e ON e.digit = c.digit"""))
 
+  /** COLUMN-CORRELATION profile — the feature-engineering read beside
+    * the table profile (row 16e): exact Pearson r for the named
+    * numeric column pairs of lineitem, computed from exact-integer
+    * moment sums (values quantized to cents/units; Σx, Σx², Σxy fold
+    * in decimal(38,0) — n·Σx² overflows int64 at corpus scale) with
+    * ONE IEEE division and two IEEE sqrt at the very end. Casting the
+    * same exact decimal to double rounds identically in both engines,
+    * and /, ·, sqrt on identical doubles are IEEE-exact — so even the
+    * floating result hash-matches. Near-duplicate columns (|r| → 1)
+    * are dropped-feature candidates; r ≈ 0 pairs justify independent
+    * histograms in the optimizer's selectivity model.
+    *
+    * Scale shape: ONE narrow scan computing all pairs' moments in a
+    * single aggregate (map-side partial); output = 3 rows.
+    */
+  val columnCorr: QueryDef = QueryDef(
+    "q_column_corr",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select(
+        expr("cast(l_quantity as bigint)").as("q"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("p"),
+        expr("cast(floor(l_discount * 100 + 0.5) as bigint)").as("d"))
+      def corr(x: String, y: String, label: String) = {
+        val m = li.agg(count(lit(1)).as("n"),
+          sum(expr(s"cast($x as decimal(38,0))")).as("sx"),
+          sum(expr(s"cast($y as decimal(38,0))")).as("sy"),
+          sum(expr(s"cast($x as decimal(38,0)) * $x")).as("sxx"),
+          sum(expr(s"cast($y as decimal(38,0)) * $y")).as("syy"),
+          sum(expr(s"cast($x as decimal(38,0)) * $y")).as("sxy"))
+        m.select(lit(label).as("pair"), col("n"),
+          expr("""cast(cast(n as decimal(38,0)) * sxy - sx * sy as double)
+                 / (sqrt(cast(cast(n as decimal(38,0)) * sxx - sx * sx as double))
+                    * sqrt(cast(cast(n as decimal(38,0)) * syy - sy * sy as double)))""")
+            .as("pearson_r"))
+      }
+      corr("q", "p", "qty_price")
+        .unionAll(corr("p", "d", "price_discount"))
+        .unionAll(corr("q", "d", "qty_discount"))
+    },
+    Some {
+      def corrSql(x: String, y: String, label: String) =
+        s"""SELECT '$label' AS pair, COUNT(*) AS n,
+            CAST(CAST(COUNT(*) AS HUGEINT) * SUM($x * $y)
+                 - SUM($x) * SUM($y) AS DOUBLE)
+            / (SQRT(CAST(CAST(COUNT(*) AS HUGEINT) * SUM($x * $x)
+                    - SUM($x) * SUM($x) AS DOUBLE))
+               * SQRT(CAST(CAST(COUNT(*) AS HUGEINT) * SUM($y * $y)
+                      - SUM($y) * SUM($y) AS DOUBLE))) AS pearson_r
+            FROM v"""
+      s"""WITH v AS (SELECT CAST(l_quantity AS HUGEINT) AS q,
+            CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT) AS p,
+            CAST(FLOOR(l_discount * 100 + 0.5) AS HUGEINT) AS d
+          FROM lineitem)
+          ${corrSql("q", "p", "qty_price")}
+          UNION ALL ${corrSql("p", "d", "price_discount")}
+          UNION ALL ${corrSql("q", "d", "qty_discount")}"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(histogram, tableStats, stringHistogram, approxStats, histogramEquiDepth,
       sketchQuantiles, skewProfile, dataQuality, tableChecksum,
-      tableChecksumIncremental, approxStatsGrouped, tableProfile, benford)
+      tableChecksumIncremental, approxStatsGrouped, tableProfile, benford,
+      columnCorr)
 
   /** Equi-width histogram summary of a numeric column: (lo, hi,
     * bucket counts). One narrow aggregate pass; the B-bucket result is

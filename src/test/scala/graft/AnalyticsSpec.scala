@@ -1763,6 +1763,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("column correlations equal a BigInt moment recompute bit-for-bit; |r| <= 1") {
+    val got = StatsQueries.columnCorr.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val rows = Tables.load(spark, sfDir, "lineitem").select(
+      expr("cast(l_quantity as bigint)"),
+      expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"),
+      expr("cast(floor(l_discount * 100 + 0.5) as bigint)"))
+      .collect().map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+    def pearson(xs: Seq[BigInt], ys: Seq[BigInt]): Double = {
+      val n = BigInt(xs.length)
+      val sx = xs.sum; val sy = ys.sum
+      val sxx = xs.map(v => v * v).sum; val syy = ys.map(v => v * v).sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble))
+    }
+    val expect = Map(
+      "qty_price" -> pearson(rows.map(_._1), rows.map(_._2)),
+      "price_discount" -> pearson(rows.map(_._2), rows.map(_._3)),
+      "qty_discount" -> pearson(rows.map(_._1), rows.map(_._3)))
+    expect.foreach { case (k, r) =>
+      assert(got(k)._1 == rows.length.toLong)
+      assert(got(k)._2 == r, s"$k: ${got(k)._2} != $r")
+      assert(math.abs(r) <= 1.0)
+    }
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
