@@ -368,9 +368,50 @@ object Relational {
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1"""))
 
+  /** BUCKETED co-located join — the zero-shuffle join tier (§2.1 row
+    * 25's bucketed-tables claim served as a catalog query): both
+    * sides are written as 8-bucket sorted tables on the join key, so
+    * the sort-merge join consumes the bucket layout directly — NO
+    * exchange on either side at any scale (the spec asserts the
+    * joined plan contains no Exchange). This is the physical design
+    * that amortizes one write-time shuffle across every future join
+    * on that key — the fact/fact answer when neither side broadcasts
+    * and per-query shuffles are the dominant cost at 100 TB.
+    * Table names carry the input fingerprint (the content-key
+    * lesson), so a regenerated corpus can never serve stale buckets.
+    */
+  val joinBucketed: QueryDef = QueryDef(
+    "q_join_bucketed",
+    (s, dir) => {
+      val fp = graft.sources.Snapshots.fileFingerprint(s"$dir/lineitem.parquet")
+      val suffix = (dir + "_" + fp).replaceAll("[^A-Za-z0-9]", "_")
+      def ensure(name: String, df: DataFrame, key: String): DataFrame = {
+        if (!s.catalog.tableExists(name))
+          df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
+            .saveAsTable(name)
+        s.table(name)
+      }
+      val lb = ensure(s"li_bkt_$suffix",
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents")),
+        "l_orderkey")
+      val ob = ensure(s"ord_bkt_$suffix",
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderkey")
+      lb.hint("merge")
+        .join(ob, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("revenue_cents"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+            CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(
     scanProject, wherePredicates, indexRangeScan, pointLookup, aggGlobal,
     groupByAgg, joinBroadcast, joinShuffleHash, joinSortMerge, joinTheta,
     multijoinOptimal, pipelineFull, semiAnti, distinctRows, topK,
-    joinBloomPrune, joinSalted)
+    joinBloomPrune, joinSalted, joinBucketed)
 }

@@ -1790,6 +1790,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("bucketed join runs with ZERO exchanges and matches the plain join") {
+    val got = graft.operators.Relational.joinBucketed.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = Tables.load(spark, sfDir, "lineitem")
+      .join(Tables.load(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == plain)
+    val fp = graft.sources.Snapshots.fileFingerprint(s"$sfDir/lineitem.parquet")
+    val suffix = (sfDir + "_" + fp).replaceAll("[^A-Za-z0-9]", "_")
+    val joined = spark.table(s"li_bkt_$suffix").hint("merge")
+      .join(spark.table(s"ord_bkt_$suffix"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
