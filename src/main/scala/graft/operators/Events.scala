@@ -2092,6 +2092,49 @@ object Events {
                 AS rv_x1e6
             FROM a ORDER BY rv_x1e6 NULLS LAST, user_id LIMIT 20"""))
 
+  /** SAMPLE-RATIO-MISMATCH guardrail — the pre-check [[abTest]]'s
+    * readout is invalid without (SRM is the single most common A/B
+    * bug: a broken assignment path silently starves one arm, and any
+    * lift computed afterwards is fiction): per FIRST-SEEN day, the
+    * arm counts of newly assigned users, the χ²₁ statistic
+    * (n_a−n_b)²/(n_a+n_b) in ×1000 fixed point, and the 95% flag via
+    * one cross-multiplied integer comparison ((n_a−n_b)²·100 >
+    * 384·(n_a+n_b)). The DAILY series matters: a mid-experiment
+    * assignment break shows as flags from one day onward, which the
+    * experiment-total ratio dilutes.
+    *
+    * Scale shape: one per-user min-day aggregate (map-side combined),
+    * one ≤ days-sized rollup; pure integers end to end.
+    */
+  val srm: QueryDef = QueryDef(
+    "q_events_srm",
+    (s, dir) => {
+      val firstSeen = events(s, dir)
+        .groupBy("user_id")
+        .agg(min(expr("ts div 1000000000 div 86400")).as("day"))
+        .withColumn("arm", col("user_id") % 2)
+      firstSeen.groupBy("day")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+        .select(col("day"), col("n_a"), col("n_b"),
+          expr("((n_a - n_b) * (n_a - n_b) * 1000) div nullif(n_a + n_b, 0)")
+            .as("z2_x1000"),
+          expr("((n_a - n_b) * (n_a - n_b) * 100) > 384 * (n_a + n_b)")
+            .as("srm_flag"))
+    },
+    Some("""WITH fs AS (SELECT user_id,
+              MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS day
+            FROM events GROUP BY 1),
+            d AS (SELECT day,
+                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+              FROM fs GROUP BY 1)
+            SELECT day, n_a, n_b,
+              ((n_a - n_b) * (n_a - n_b) * 1000) // NULLIF(n_a + n_b, 0)
+                AS z2_x1000,
+              ((n_a - n_b) * (n_a - n_b) * 100) > 384 * (n_a + n_b) AS srm_flag
+            FROM d"""))
+
   /** USER-ACTIVITY POWER-LAW profile — the freq-of-freq histogram
     * behind every "whales vs long tail" read: users bucketed by
     * ⌊log₂(events)⌋ (bucket k holds users with 2ᵏ ≤ n < 2ᵏ⁺¹ —
@@ -2258,7 +2301,7 @@ object Events {
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
       seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal,
-      powerLaw, rollingDauHll, scd2Lookup, botCadence)
+      powerLaw, rollingDauHll, scd2Lookup, botCadence, srm)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -1809,6 +1809,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
   }
 
+  test("SRM guardrail matches a brute-force recompute and flags a planted imbalance") {
+    val got = Events.srm.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val fs = Events.loadEvents(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expect = fs.toSeq.groupBy(_._2).map { case (day, us) =>
+      val na = us.count(_._1 % 2 == 0).toLong; val nb = us.size - na
+      day -> (na, nb, (na - nb) * (na - nb) * 1000 / (na + nb),
+        (na - nb) * (na - nb) * 100 > 384 * (na + nb))
+    }
+    assert(got == expect)
+    def flag(na: Long, nb: Long): Boolean = (na - nb) * (na - nb) * 100 > 384 * (na + nb)
+    assert(flag(600, 400) && !flag(510, 490),
+      "the chi-square cut must fire on a real imbalance and stay quiet near parity")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
