@@ -2092,6 +2092,124 @@ object Events {
                 AS rv_x1e6
             FROM a ORDER BY rv_x1e6 NULLS LAST, user_id LIMIT 20"""))
 
+  /** HOLT-WINTERS walk-forward BACKTEST — the eval that justifies
+    * shipping [[holtWinters]] at all: at every step after the 7-day
+    * init, the model's one-step-ahead forecast error |l+t+s_j − y| is
+    * accumulated BEFORE the state updates on y (true out-of-sample),
+    * alongside the naive |y_i − y_{i−1}| baseline, and the verdict is
+    * MASE ×1000 = Σ|e_fc| / Σ|e_naive| — below 1000 the model beats
+    * persistence, above it the seasonality machinery is not earning
+    * its keep on this series. Same exact ×1000 integer fold with two
+    * error accumulators and the previous observation threaded through
+    * the state; the DuckDB twin threads identical columns through the
+    * recursive CTE.
+    *
+    * Scale shape: identical to [[holtWinters]] — one daily-rollup
+    * shuffle, per-series fold, state now 12 longs.
+    */
+  val hwBacktest: QueryDef = QueryDef(
+    "q_events_hw_backtest",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("es"))
+        .where(size(col("es")) >= 8)
+        .withColumn("l0", expr(
+          "(aggregate(slice(es, 1, 7), 0L, (a, e) -> a + e.y) * 1000L) div 7L"))
+        .withColumn("sInit", expr(
+          """aggregate(slice(es, 1, 7), array_repeat(0L, 7),
+             (arr, e) -> transform(arr, (v, k) ->
+               if(k = cast(pmod(e.day + 3, 7) as int), e.y * 1000L - l0, v)))"""))
+        .withColumn("st", expr(
+          """aggregate(slice(es, 8, size(es) - 7),
+             named_struct('l', l0, 't', 0L, 's', sInit,
+               'efc', 0L, 'en', 0L, 'pv', es[6].y * 1000L),
+             (acc, e) -> named_struct(
+               'l', ((e.y * 1000L - acc.s[cast(pmod(e.day + 3, 7) as int)])
+                     + acc.l + acc.t) div 2L,
+               't', ((((e.y * 1000L - acc.s[cast(pmod(e.day + 3, 7) as int)])
+                       + acc.l + acc.t) div 2L - acc.l) + acc.t) div 2L,
+               's', transform(acc.s, (v, k) ->
+                 if(k = cast(pmod(e.day + 3, 7) as int),
+                   ((e.y * 1000L
+                     - ((e.y * 1000L - acc.s[cast(pmod(e.day + 3, 7) as int)])
+                        + acc.l + acc.t) div 2L) + v) div 2L,
+                   v)),
+               'efc', acc.efc + abs(acc.l + acc.t
+                 + acc.s[cast(pmod(e.day + 3, 7) as int)] - e.y * 1000L),
+               'en', acc.en + abs(e.y * 1000L - acc.pv),
+               'pv', e.y * 1000L))"""))
+        .select(col("event_type"),
+          (size(col("es")) - 7).cast("long").as("n_eval"),
+          col("st.efc").as("fc_abs_err_x1000"),
+          col("st.en").as("naive_abs_err_x1000"),
+          expr("(st.efc * 1000) div nullif(st.en, 0)").as("mase_x1000"))
+    },
+    Some {
+      def sj(day: String): String =
+        s"CASE ($day + 3) % 7 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 " +
+          "WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END"
+      def supd(k: Int): String =
+        s"CASE WHEN j = $k THEN ((ynew - lp) + s$k) // 2 ELSE s$k END AS s$k"
+      s"""WITH RECURSIVE daily AS (SELECT
+            CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+            event_type, COUNT(*) AS y
+          FROM events GROUP BY 1, 2),
+          idx AS (SELECT event_type, day, y,
+              CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                AS BIGINT) AS i,
+              COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM daily),
+          init AS (SELECT event_type, MAX(n) AS n,
+              CAST((SUM(y) FILTER (WHERE i <= 7) * 1000) // 7 AS BIGINT) AS l0,
+              CAST(MAX(CASE WHEN i = 7 THEN y END) * 1000 AS BIGINT) AS pv0
+            FROM idx GROUP BY 1 HAVING MAX(n) >= 8),
+          firstw AS (SELECT event_type, (day + 3) % 7 AS k, y,
+              ROW_NUMBER() OVER (PARTITION BY event_type, (day + 3) % 7
+                ORDER BY i DESC) AS rnk
+            FROM idx WHERE i <= 7),
+          grid AS (SELECT event_type, l0, unnest(range(0, 7)) AS k FROM init),
+          sv AS (SELECT g.event_type, g.k,
+              COALESCE(MAX(f.y * 1000 - g.l0), 0) AS sv
+            FROM grid g LEFT JOIN firstw f
+              ON f.event_type = g.event_type AND f.k = g.k AND f.rnk = 1
+            GROUP BY 1, 2),
+          sp AS (SELECT event_type,
+              CAST(MAX(CASE WHEN k = 0 THEN sv END) AS BIGINT) AS s0,
+              CAST(MAX(CASE WHEN k = 1 THEN sv END) AS BIGINT) AS s1,
+              CAST(MAX(CASE WHEN k = 2 THEN sv END) AS BIGINT) AS s2,
+              CAST(MAX(CASE WHEN k = 3 THEN sv END) AS BIGINT) AS s3,
+              CAST(MAX(CASE WHEN k = 4 THEN sv END) AS BIGINT) AS s4,
+              CAST(MAX(CASE WHEN k = 5 THEN sv END) AS BIGINT) AS s5,
+              CAST(MAX(CASE WHEN k = 6 THEN sv END) AS BIGINT) AS s6
+            FROM sv GROUP BY 1),
+          rec AS (
+            SELECT init.event_type, CAST(7 AS BIGINT) AS i, l0 AS l,
+              CAST(0 AS BIGINT) AS t, s0, s1, s2, s3, s4, s5, s6,
+              CAST(0 AS BIGINT) AS efc, CAST(0 AS BIGINT) AS en, pv0 AS pv
+            FROM init JOIN sp USING (event_type)
+            UNION ALL
+            SELECT event_type, i, lp AS l, ((lp - t0l) + t0t) // 2 AS t,
+              ${(0 to 6).map(supd).mkString(", ")},
+              efc + ABS(t0l + t0t + sjv - ynew) AS efc,
+              en + ABS(ynew - pv) AS en, ynew AS pv
+            FROM (SELECT r.event_type, r.i + 1 AS i, r.l AS t0l, r.t AS t0t,
+                r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6,
+                r.efc, r.en, r.pv,
+                ix.y * 1000 AS ynew, (ix.day + 3) % 7 AS j,
+                (${sj("ix.day")}) AS sjv,
+                ((ix.y * 1000 - (${sj("ix.day")})) + r.l + r.t) // 2 AS lp
+              FROM rec r JOIN idx ix
+                ON ix.event_type = r.event_type AND ix.i = r.i + 1))
+          SELECT r.event_type, init.n - 7 AS n_eval,
+            r.efc AS fc_abs_err_x1000, r.en AS naive_abs_err_x1000,
+            (r.efc * 1000) // NULLIF(r.en, 0) AS mase_x1000
+          FROM rec r JOIN init ON init.event_type = r.event_type
+            AND r.i = init.n"""
+    })
+
   /** SAMPLE-RATIO-MISMATCH guardrail — the pre-check [[abTest]]'s
     * readout is invalid without (SRM is the single most common A/B
     * bug: a broken assignment path silently starves one arm, and any
@@ -2301,7 +2419,7 @@ object Events {
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
       seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal,
-      powerLaw, rollingDauHll, scd2Lookup, botCadence, srm)
+      powerLaw, rollingDauHll, scd2Lookup, botCadence, srm, hwBacktest)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

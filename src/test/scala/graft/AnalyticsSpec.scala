@@ -1827,6 +1827,39 @@ class AnalyticsSpec extends SparkSpec {
       "the chi-square cut must fire on a real imbalance and stay quiet near parity")
   }
 
+  test("HW backtest matches a sequential fold with out-of-sample error accounting") {
+    val got = Events.hwBacktest.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    val daily = Events.loadEvents(spark, sfDir)
+      .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    def div2(x: Long): Long = x / 2
+    val expect = daily.groupBy(_._1).collect { case (et, rows) if rows.length >= 8 =>
+      val es = rows.map(t => (t._2, t._3)).sortBy(_._1)
+      val init = es.take(7)
+      val l0 = init.map(_._2).sum * 1000 / 7
+      val sArr = Array.fill(7)(0L)
+      init.foreach { case (d, y) => sArr(((d + 3) % 7).toInt) = y * 1000 - l0 }
+      var l = l0; var t = 0L; var efc = 0L; var en = 0L
+      var pv = init.last._2 * 1000
+      es.drop(7).foreach { case (d, y) =>
+        val j = ((d + 3) % 7).toInt
+        efc += math.abs(l + t + sArr(j) - y * 1000)
+        en += math.abs(y * 1000 - pv)
+        val lp = div2((y * 1000 - sArr(j)) + l + t)
+        val tp = div2((lp - l) + t)
+        sArr(j) = div2((y * 1000 - lp) + sArr(j))
+        l = lp; t = tp; pv = y * 1000
+      }
+      et -> ((es.length - 7).toLong, efc, en,
+        if (en == 0) None else Some(efc * 1000 / en))
+    }
+    assert(got == expect, s"got $got\nwant $expect")
+    assert(got.nonEmpty)
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
