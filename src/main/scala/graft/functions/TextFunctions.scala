@@ -3122,8 +3122,67 @@ object TextFunctions {
               (CAST(SUM(rk.n) AS BIGINT) * 1000000) // MAX(total) AS coverage_x1e6
             FROM ks JOIN rk ON rk.rn <= ks.k CROSS JOIN tot GROUP BY k"""))
 
+  /** DATASET CARD — the per-source datasheet row a corpus release
+    * ships (Gebru et al.'s "Datasheets for Datasets", the summary a
+    * curator reads FIRST): per source, document and size totals,
+    * whitespace-token mass, mean doc length, the language mix as
+    * inverse-Simpson effective languages ×1000 (the row 69 statistic
+    * transposed to languages within a source), and the within-source
+    * exact-duplicate count and rate ×10⁶ (docs minus distinct md5
+    * texts — the row 21 signal as a per-source scalar). One table,
+    * every first-order health signal.
+    *
+    * Scale shape: one scan folds counts/chars/tokens map-side; the
+    * lang mix groups (source, lang) then sources; the dup count is a
+    * distinct-texts aggregate on the md5 key — three source-keyed
+    * shuffles over driver-tiny frames joined at the end.
+    */
+  val datasetCard: QueryDef = QueryDef(
+    "t_dataset_card",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val base = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long"))
+          .as("total_tokens"))
+      val langs = d.groupBy("source", "lang").agg(count(lit(1)).as("nl"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_langs"),
+          expr("(sum(nl) * sum(nl) * 1000) div sum(nl * nl)")
+            .as("eff_langs_x1000"))
+      val dups = d.groupBy("source")
+        .agg((count(lit(1)) - countDistinct(md5(col("text")))).as("exact_dup_docs"))
+      base.join(langs, "source").join(dups, "source")
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("total_tokens"),
+          expr("total_chars div n_docs").as("mean_chars"),
+          col("n_langs"), col("eff_langs_x1000"), col("exact_dup_docs"),
+          expr("(exact_dup_docs * 1000000) div n_docs").as("dup_rate_x1e6"))
+    },
+    Some("""WITH base AS (SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                AS BIGINT) AS total_tokens
+            FROM documents GROUP BY 1),
+            lm AS (SELECT source, lang, COUNT(*) AS nl
+              FROM documents GROUP BY 1, 2),
+            langs AS (SELECT source, COUNT(*) AS n_langs,
+                (CAST(SUM(nl) AS BIGINT) * CAST(SUM(nl) AS BIGINT) * 1000)
+                  // CAST(SUM(nl * nl) AS BIGINT) AS eff_langs_x1000
+              FROM lm GROUP BY 1),
+            dups AS (SELECT source,
+                COUNT(*) - COUNT(DISTINCT md5(text)) AS exact_dup_docs
+              FROM documents GROUP BY 1)
+            SELECT base.source, n_docs, total_chars, total_tokens,
+              total_chars // n_docs AS mean_chars,
+              n_langs, eff_langs_x1000, exact_dup_docs,
+              (exact_dup_docs * 1000000) // n_docs AS dup_rate_x1e6
+            FROM base JOIN langs ON langs.source = base.source
+            JOIN dups ON dups.source = base.source"""))
+
   val defs: Seq[QueryDef] =
-    Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample,
+    Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample, datasetCard,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,
       upsampleEpochs, readability, classifierLift, heavyHitters,

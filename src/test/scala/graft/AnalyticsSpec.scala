@@ -1860,6 +1860,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("dataset card matches a brute-force per-source recompute") {
+    val got = TextFunctions.datasetCard.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("source", "lang", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val expect = docs.groupBy(_._1).map { case (src, g) =>
+      val n = g.length.toLong
+      val chars = g.map(_._4).sum
+      val toks = g.map(_._3.split(" ").count(_.nonEmpty).toLong).sum
+      val byLang = g.groupBy(_._2).values.map(_.length.toLong).toSeq
+      val eff = byLang.sum * byLang.sum * 1000 / byLang.map(x => x * x).sum
+      val dups = n - g.map(_._3).distinct.length
+      src -> (n, chars, toks, chars / n, byLang.length.toLong, eff, dups,
+        dups * 1000000 / n)
+    }
+    assert(got == expect, s"got $got\nwant $expect")
+    assert(got.nonEmpty && got.values.forall(v => v._6 >= 1000),
+      "effective languages is at least 1")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
