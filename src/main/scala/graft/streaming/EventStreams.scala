@@ -525,4 +525,52 @@ object EventStreams {
           verdicts, resultsTable, streamId, batchId)
         ()
       }
+
+  // ---- streaming rolling-distinct sketch state (row 35e, streaming twin) ----
+
+  /** One micro-batch of the DAILY-HLL sketch state behind
+    * `q_events_rolling_dau_hll`: the batch's (user_id, ts-nanos) rows
+    * fold into one ~kB Datasketches HLL per day (lgK 12 — matching
+    * the batch query) and append EXACTLY-ONCE under (streamId,
+    * batchId). The table is merge-on-read: partial sketches per
+    * (day, batch) accumulate and [[hllRollingServe]] unions at read
+    * time — HLL union is a register max, so merge order can never
+    * change the stored state, and a replayed batch is a no-op append.
+    */
+  def hllDailyBatch(batch: DataFrame, table: String,
+      streamId: String, batchId: Long): Unit = {
+    val daily = batch
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .groupBy("day").agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    graft.sources.Snapshots.ingestBatch(daily, table, streamId, batchId)
+  }
+
+  /** Serve the rolling 7-day distinct-user estimate from the persisted
+    * daily-sketch table — the dashboard read that never touches raw
+    * events: union each day's partial sketches, roll each day into the
+    * 7 output days it covers, estimate. Output days are restricted to
+    * observed days (the batch query's convention).
+    */
+  def hllRollingServe(s: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val daily = graft.sources.Snapshots.read(s, table)
+      .groupBy("day").agg(expr("hll_union_agg(sk)").as("sk"))
+    val days = daily.select(col("day").as("d"))
+    daily.select(explode(sequence(col("day"), col("day") + 6)).as("d"), col("sk"))
+      .join(days, Seq("d"))
+      .groupBy(col("d").as("day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("wau7_est"))
+  }
+
+  /** Streaming twin of row 35e's sketch state: each micro-batch of
+    * (user_id, ts) appends its per-day partial sketches exactly-once;
+    * serving unions on read ([[hllRollingServe]]).
+    */
+  def hllDailyStream(events: DataFrame, table: String, streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        hllDailyBatch(batch, table, streamId, batchId)
+        ()
+      }
 }

@@ -777,4 +777,55 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming HLL daily sketches: within-bound rolling estimates, replays no-op") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val skT = "/root/repo/target/streaming-spec/hll_daily"
+    Snapshots.deleteRecursively(skT)
+
+    val ev = graft.operators.Events.loadEvents(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batches = ev.groupBy(t => t._1 % 3)
+
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStreams.hllDailyStream(
+      mem.toDF.toDF("user_id", "ts"), skT, "hll_s1").start()
+    try {
+      for (k <- 0L to 2L) {
+        mem.addData(batches(k).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = EventStreams.hllRollingServe(spark, skT).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact rolling distinct as the bound reference
+    import spark.implicits._
+    val ud = ev.toSeq.toDF("user_id", "ts")
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .distinct()
+    val exact = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("d"))
+      .distinct().groupBy("d").agg(count(lit(1)).as("n"))
+      .join(ud.select(col("day").as("d")).distinct(), Seq("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet, "serve must cover exactly the observed days")
+    got.foreach { case (day, est) =>
+      val ex = exact(day)
+      assert(math.abs(est - ex) * 100 <= ex * 15,
+        s"day $day estimate $est outside 15% of exact $ex")
+    }
+
+    // replay batch 1: no new version, serve unchanged
+    val vBefore = Snapshots.currentVersion(skT)
+    EventStreams.hllDailyBatch(
+      batches(1L).toSeq.toDF("user_id", "ts"), skT, "hll_s1", 1L)
+    assert(Snapshots.currentVersion(skT) == vBefore, "replay must not commit")
+    val again = EventStreams.hllRollingServe(spark, skT).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got, "replay must not change the served estimates")
+  }
 }
