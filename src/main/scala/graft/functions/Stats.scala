@@ -674,11 +674,127 @@ object StatsQueries {
           UNION ALL ${corrSql("q", "d", "qty_discount")}"""
     })
 
+  /** SELECTIVITY-ESTIMATION evaluation — §2.1 row 39's System R
+    * reduction factors served as a catalog query (previously
+    * spec-only): a 16-bucket equi-width histogram over exact cents is
+    * built in-query, three predicates (<, >, =) are estimated from it
+    * under the uniform-within-bucket assumption, and each estimate is
+    * reported NEXT TO the true selectivity — the estimator-quality
+    * audit a CBO owner reads before trusting cost-based join orders.
+    * The whole estimator is reformulated in EXACT integers: the
+    * within-bucket fraction (v−bucketLo)/width scales to
+    * 16·(v−lo) − b·(hi−lo) against a full-bucket mass of (hi−lo), so
+    * the estimate is ONE integer sum and ONE integral division —
+    * no float accumulation anywhere (a 16-term double sum would be
+    * association-order-dependent across engines). Folds in
+    * decimal(38,0)/HUGEINT (Σ·10⁶ overflows int64 at corpus scale).
+    *
+    * Scale shape: one narrow scan for bounds, one for bucket counts
+    * (16-cell map-side combine), one for the three actual counts; the
+    * estimate arithmetic runs on the 16-row frame.
+    */
+  val selectivityEval: QueryDef = QueryDef(
+    "q_selectivity_eval",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("v"))
+      val bounds = li.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n")).where(col("hi") > col("lo"))
+      val hist = li.crossJoin(broadcast(bounds))
+        .groupBy(expr("least(15L, (16 * (v - lo)) div (hi - lo))").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val preds = Seq(("lt_20000_00", "lt", 2000000L),
+        ("gt_50000_00", "gt", 5000000L), ("eq_30000_00", "eq", 3000000L))
+      val rows = preds.map { case (label, op, pv) =>
+        val est = op match {
+          case "lt" => s"""cast(sum(cast(cnt as decimal(38,0)) *
+              least(hi - lo, greatest(0L, 16 * ($pv - lo) - b * (hi - lo))))
+              * 1000000 div (cast(n as decimal(38,0)) * (hi - lo)) as bigint)"""
+          case "gt" => s"""cast(sum(cast(cnt as decimal(38,0)) *
+              least(hi - lo, greatest(0L, (b + 1) * (hi - lo) - 16 * ($pv - lo))))
+              * 1000000 div (cast(n as decimal(38,0)) * (hi - lo)) as bigint)"""
+          case _ => s"""cast(least(cast(1000000 as decimal(38,0)),
+              case when $pv < lo or $pv > hi then cast(0 as decimal(38,0))
+              when hi - lo >= 16 then
+                cast(coalesce(sum(case when b =
+                  least(15L, (16 * ($pv - lo)) div (hi - lo))
+                  then cnt end), 0) as decimal(38,0)) * 16000000
+                  div (cast(n as decimal(38,0)) * (hi - lo))
+              else cast(coalesce(sum(case when b =
+                  least(15L, (16 * ($pv - lo)) div (hi - lo))
+                  then cnt end), 0) as decimal(38,0)) * 1000000 div n
+              end) as bigint)"""
+        }
+        val actualCond = op match {
+          case "lt" => s"v < $pv"; case "gt" => s"v > $pv"; case _ => s"v = $pv"
+        }
+        val actual = li.crossJoin(broadcast(bounds))
+          .agg(expr(s"(sum(case when $actualCond then 1L else 0L end) * 1000000)"
+            + " div max(n)").as("actual_sel_x1e6"), max(col("n")).as("n_rows"))
+        val estRow =
+          hist.crossJoin(broadcast(bounds))
+            .groupBy("n", "lo", "hi")
+            .agg(expr(est).as("est_sel_x1e6"))
+            .select("est_sel_x1e6")
+        estRow.crossJoin(actual)
+          .select(lit(label).as("predicate"), col("n_rows"),
+            col("est_sel_x1e6"), col("actual_sel_x1e6"),
+            (col("est_sel_x1e6") - col("actual_sel_x1e6")).as("err_x1e6"))
+      }
+      rows.reduce(_ unionAll _)
+    },
+    Some {
+      def estSql(op: String, pv: Long): String = op match {
+        case "lt" => s"""CAST(SUM(CAST(cnt AS HUGEINT) *
+            LEAST(hi - lo, GREATEST(0, 16 * ($pv - lo) - b * (hi - lo))))
+            * 1000000 // (CAST(n AS HUGEINT) * (hi - lo)) AS BIGINT)"""
+        case "gt" => s"""CAST(SUM(CAST(cnt AS HUGEINT) *
+            LEAST(hi - lo, GREATEST(0, (b + 1) * (hi - lo) - 16 * ($pv - lo))))
+            * 1000000 // (CAST(n AS HUGEINT) * (hi - lo)) AS BIGINT)"""
+        case _ => s"""CAST(LEAST(CAST(1000000 AS HUGEINT),
+            CASE WHEN $pv < lo OR $pv > hi THEN CAST(0 AS HUGEINT)
+            WHEN hi - lo >= 16 THEN
+              CAST(COALESCE(SUM(CASE WHEN b =
+                LEAST(15, (16 * ($pv - lo)) // (hi - lo))
+                THEN cnt END), 0) AS HUGEINT) * 16000000
+                // (CAST(n AS HUGEINT) * (hi - lo))
+            ELSE CAST(COALESCE(SUM(CASE WHEN b =
+                LEAST(15, (16 * ($pv - lo)) // (hi - lo))
+                THEN cnt END), 0) AS HUGEINT) * 1000000 // n
+            END) AS BIGINT)"""
+      }
+      def one(label: String, op: String, pv: Long): String = {
+        val cond = op match {
+          case "lt" => s"v < $pv"; case "gt" => s"v > $pv"; case _ => s"v = $pv"
+        }
+        s"""SELECT '$label' AS predicate,
+            (SELECT n FROM bo) AS n_rows,
+            (SELECT ${estSql(op, pv)} FROM hist CROSS JOIN bo GROUP BY n, lo, hi) AS est_sel_x1e6,
+            (SELECT CAST((SUM(CASE WHEN $cond THEN 1 ELSE 0 END) * 1000000)
+               // MAX(bo.n) AS BIGINT) FROM li CROSS JOIN bo) AS actual_sel_x1e6,
+            (SELECT ${estSql(op, pv)} FROM hist CROSS JOIN bo GROUP BY n, lo, hi)
+              - (SELECT CAST((SUM(CASE WHEN $cond THEN 1 ELSE 0 END) * 1000000)
+                 // MAX(bo.n) AS BIGINT) FROM li CROSS JOIN bo) AS err_x1e6
+            FROM bo"""
+      }
+      s"""WITH li AS (SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+            AS v FROM lineitem),
+          bo AS (SELECT MIN(v) AS lo, MAX(v) AS hi,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM li HAVING MAX(v) > MIN(v)),
+          hist AS (SELECT LEAST(15, (16 * (v - lo)) // (hi - lo)) AS b,
+              COUNT(*) AS cnt
+            FROM li CROSS JOIN bo GROUP BY 1)
+          ${one("lt_20000_00", "lt", 2000000L)}
+          UNION ALL ${one("gt_50000_00", "gt", 5000000L)}
+          UNION ALL ${one("eq_30000_00", "eq", 3000000L)}"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(histogram, tableStats, stringHistogram, approxStats, histogramEquiDepth,
       sketchQuantiles, skewProfile, dataQuality, tableChecksum,
       tableChecksumIncremental, approxStatsGrouped, tableProfile, benford,
-      columnCorr)
+      columnCorr, selectivityEval)
 
   /** Equi-width histogram summary of a numeric column: (lo, hi,
     * bucket counts). One narrow aggregate pass; the B-bucket result is

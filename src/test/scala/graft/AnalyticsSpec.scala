@@ -1882,6 +1882,43 @@ class AnalyticsSpec extends SparkSpec {
       "effective languages is at least 1")
   }
 
+  test("selectivity estimates match a BigInt histogram recompute; range errors stay small") {
+    val got = StatsQueries.selectivityEval.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val vs = Tables.load(spark, sfDir, "lineitem")
+      .select(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+      .collect().map(_.getLong(0))
+    val lo = vs.min; val hi = vs.max; val n = vs.length.toLong
+    val cnt = vs.groupBy(v => math.min(15L, 16 * (v - lo) / (hi - lo)))
+      .view.mapValues(_.length.toLong).toMap
+    def estLt(pv: Long) = (cnt.map { case (b, c) =>
+      BigInt(c) * (BigInt(hi - lo).min(BigInt(0).max(BigInt(16) * (pv - lo) - b * (hi - lo))))
+    }.sum * 1000000 / (BigInt(n) * (hi - lo))).toLong
+    def estGt(pv: Long) = (cnt.map { case (b, c) =>
+      BigInt(c) * (BigInt(hi - lo).min(BigInt(0).max(BigInt(b + 1) * (hi - lo) - BigInt(16) * (pv - lo))))
+    }.sum * 1000000 / (BigInt(n) * (hi - lo))).toLong
+    def estEq(pv: Long) = {
+      if (pv < lo || pv > hi) 0L
+      else {
+        val c = BigInt(cnt.getOrElse(math.min(15L, 16 * (pv - lo) / (hi - lo)), 0L))
+        val r = if (hi - lo >= 16) c * 16000000 / (BigInt(n) * (hi - lo))
+          else c * 1000000 / n
+        r.min(BigInt(1000000)).toLong
+      }
+    }
+    def actual(cond: Long => Boolean) = vs.count(cond).toLong * 1000000 / n
+    val expect = Map(
+      "lt_20000_00" -> (n, estLt(2000000), actual(_ < 2000000)),
+      "gt_50000_00" -> (n, estGt(5000000), actual(_ > 5000000)),
+      "eq_30000_00" -> (n, estEq(3000000), actual(_ == 3000000)))
+    expect.foreach { case (k, (en, est, act)) =>
+      assert(got(k) == ((en, est, act, est - act)), s"$k: ${got(k)} != ($en,$est,$act)")
+    }
+    assert(math.abs(got("lt_20000_00")._4) <= 100000 &&
+      math.abs(got("gt_50000_00")._4) <= 100000,
+      "range-predicate estimates must land within 10% absolute selectivity")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
