@@ -2772,6 +2772,38 @@ object TextFunctions {
               k < 5 AS at_risk
             FROM g GROUP BY 1"""))
 
+  /** L-DIVERSITY audit — the sibling of `t_k_anonymity` that k alone
+    * misses: a group can be large (k-anonymous) yet UNIFORM in its
+    * sensitive attribute, so membership still leaks the secret.
+    * Quasi-identifiers here are (source, length bucket); the
+    * sensitive attribute is the language: l = distinct languages per
+    * group, and a group with l = 1 tells an adversary who knows only
+    * source+length the document's language with certainty. Rollup per
+    * l: group count, doc count, at-risk flag (l < 2) — the privacy
+    * release gate read next to row 63's k histogram.
+    *
+    * Scale shape: one grouped distinct-count shuffle on the
+    * quasi-identifier key (map-side partial distinct), one ≤ langs-
+    * sized rollup.
+    */
+  val lDiversity: QueryDef = QueryDef(
+    "t_l_diversity",
+    (s, dir) => {
+      val groups = Tables.load(s, dir, "documents")
+        .groupBy(col("source"), expr("n_chars div 500").as("len_bucket"))
+        .agg(countDistinct(col("lang")).as("l"), count(lit(1)).as("n"))
+      groups.groupBy("l")
+        .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_docs"))
+        .select(col("l"), col("n_groups"), col("n_docs"),
+          (col("l") < 2).as("at_risk"))
+    },
+    Some("""WITH g AS (SELECT source, n_chars // 500 AS len_bucket,
+              CAST(COUNT(DISTINCT lang) AS BIGINT) AS l, COUNT(*) AS n
+            FROM documents GROUP BY 1, 2)
+            SELECT l, COUNT(*) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_docs,
+              l < 2 AS at_risk
+            FROM g GROUP BY 1"""))
+
   /** BIGRAM-LM quality filter — the second-order upgrade of
     * [[qualityLm]]'s unigram surprise: per-bigram add-one-smoothed
     * inverse probability `((c1(w1)+V)·1000) DIV (c2(w1,w2)+1)` (c1 =
@@ -3193,7 +3225,7 @@ object TextFunctions {
       sourceCaps, boilerplate, qualityClassifier,
       keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit,
       oovRate, corpusDrift, pipelineCuration, labelEncode,
-      evalAuc, kAnonymity, qualityLmBigram, maskSpans, bpeMerges, bpeEncode,
+      evalAuc, kAnonymity, lDiversity, qualityLmBigram, maskSpans, bpeMerges, bpeEncode,
       langIdEval, contaminationBloom, noveltyNgram, calibrationCurve,
       substringDecontamination, tokenCoverage)
 }

@@ -1919,6 +1919,22 @@ class AnalyticsSpec extends SparkSpec {
       "range-predicate estimates must land within 10% absolute selectivity")
   }
 
+  test("l-diversity rollup matches brute force and groups partition the corpus") {
+    val got = TextFunctions.lDiversity.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("source", "n_chars", "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 500, r.getString(2)))
+    val expect = docs.groupBy(t => (t._1, t._2)).values
+      .map(g => (g.map(_._3).distinct.length.toLong, g.length.toLong)).toSeq
+      .groupBy(_._1).map { case (l, gs) =>
+        l -> (gs.length.toLong, gs.map(_._2).sum, l < 2)
+      }
+    assert(got == expect)
+    assert(got.values.map(_._2).sum == docs.length.toLong,
+      "groups must partition the corpus")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
