@@ -2210,6 +2210,71 @@ object Events {
             AND r.i = init.n"""
     })
 
+  /** WINDOWED multi-step FUNNEL — the standard product-analytics form
+    * [[funnel]]'s open-ended signup→purchase pair is not: three
+    * ordered steps (view → click → purchase), each required within
+    * 24 h OF THE PREVIOUS step, anchored at the user's FIRST view and
+    * advancing greedily to the first qualifying event (deterministic:
+    * every step is a min). The per-step user counts and conversion
+    * ×10⁶ vs step 1 are the funnel chart; the time bound is what
+    * separates "converted because of the flow" from "converted weeks
+    * later anyway".
+    *
+    * Scale shape: two user-keyed left joins (per-user candidate
+    * events are few; the time predicate rides the join), one 1-row
+    * count aggregate, 3-row output.
+    */
+  val funnelWindowed: QueryDef = QueryDef(
+    "q_events_funnel_windowed",
+    (s, dir) => {
+      val W = 86400L
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_type"), sec.as("t"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("t")).as("t1"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("t").as("ct"))
+      val s2 = v.join(c, col("user_id") === col("cu") &&
+          col("ct") > col("t1") && col("ct") <= col("t1") + W, "left")
+        .groupBy("user_id", "t1").agg(min(col("ct")).as("t2"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("t").as("pt"))
+      val s3 = s2.join(p, col("user_id") === col("pu") &&
+          col("pt") > col("t2") && col("pt") <= col("t2") + W, "left")
+        .groupBy("user_id", "t1", "t2").agg(min(col("pt")).as("t3"))
+      val agg = s3.agg(count(lit(1)).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      agg.select(lit("1_view").as("step"), col("n1").as("n_users"),
+          lit(1000000L).as("conv_x1e6"))
+        .unionAll(agg.select(lit("2_click_24h").as("step"), col("n2"),
+          expr("(n2 * 1000000) div nullif(n1, 0)")))
+        .unionAll(agg.select(lit("3_purchase_24h").as("step"), col("n3"),
+          expr("(n3 * 1000000) div nullif(n1, 0)")))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
+            v AS (SELECT user_id, MIN(t) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT v.user_id, v.t1, MIN(c.t) AS t2
+              FROM v LEFT JOIN e c ON c.user_id = v.user_id
+                AND c.event_type = 'click'
+                AND c.t > v.t1 AND c.t <= v.t1 + 86400
+              GROUP BY 1, 2),
+            s3 AS (SELECT s2.user_id, s2.t1, s2.t2, MIN(p.t) AS t3
+              FROM s2 LEFT JOIN e p ON p.user_id = s2.user_id
+                AND p.event_type = 'purchase'
+                AND p.t > s2.t2 AND p.t <= s2.t2 + 86400
+              GROUP BY 1, 2, 3),
+            a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+                CAST(COUNT(t2) AS BIGINT) AS n2,
+                CAST(COUNT(t3) AS BIGINT) AS n3 FROM s3)
+            SELECT '1_view' AS step, n1 AS n_users,
+              CAST(1000000 AS BIGINT) AS conv_x1e6 FROM a
+            UNION ALL SELECT '2_click_24h', n2,
+              (n2 * 1000000) // NULLIF(n1, 0) FROM a
+            UNION ALL SELECT '3_purchase_24h', n3,
+              (n3 * 1000000) // NULLIF(n1, 0) FROM a"""))
+
   /** SAMPLE-RATIO-MISMATCH guardrail — the pre-check [[abTest]]'s
     * readout is invalid without (SRM is the single most common A/B
     * bug: a broken assignment path silently starves one arm, and any
@@ -2419,7 +2484,8 @@ object Events {
       rfm, abTest, changepoint, seqPatterns, forecast, rolling, heatmap, cusum,
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
       seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal,
-      powerLaw, rollingDauHll, scd2Lookup, botCadence, srm, hwBacktest)
+      powerLaw, rollingDauHll, scd2Lookup, botCadence, srm, hwBacktest,
+      funnelWindowed)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -1935,6 +1935,36 @@ class AnalyticsSpec extends SparkSpec {
       "groups must partition the corpus")
   }
 
+  test("windowed funnel matches a per-user greedy replay; counts are monotone") {
+    val got = Events.funnelWindowed.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e = Events.loadEvents(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000000000").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = e.groupBy(_._1)
+    val W = 86400L
+    val steps = byUser.toSeq.flatMap { case (_, evs) =>
+      val views = evs.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val t1 = views.min
+        val t2 = evs.filter(ev => ev._2 == "click" && ev._3 > t1 && ev._3 <= t1 + W)
+          .map(_._3).sorted.headOption
+        val t3 = t2.flatMap(t => evs
+          .filter(ev => ev._2 == "purchase" && ev._3 > t && ev._3 <= t + W)
+          .map(_._3).sorted.headOption)
+        Some((1, t2.isDefined, t3.isDefined))
+      }
+    }
+    val n1 = steps.length.toLong
+    val n2 = steps.count(_._2).toLong
+    val n3 = steps.count(_._3).toLong
+    assert(got("1_view") == ((n1, 1000000L)))
+    assert(got("2_click_24h") == ((n2, n2 * 1000000 / n1)))
+    assert(got("3_purchase_24h") == ((n3, n3 * 1000000 / n1)))
+    assert(n1 >= n2 && n2 >= n3 && n2 > 0, "funnel must be monotone and non-trivial")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
