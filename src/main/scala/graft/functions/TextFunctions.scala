@@ -2772,6 +2772,67 @@ object TextFunctions {
               k < 5 AS at_risk
             FROM g GROUP BY 1"""))
 
+  /** VOCABULARY-GROWTH curve (Heaps' law) — the tokenizer-budget read
+    * `t_token_coverage`'s mass curve cannot give: how fast does the
+    * DISTINCT vocabulary grow as the corpus grows? Documents are
+    * split into ten ingest-order deciles (rank arithmetic, never
+    * ntile), every word maps to the decile of its FIRST occurrence,
+    * and the output is the cumulative vocabulary after each decile
+    * plus the new-word count that decile contributed. A curve still
+    * rising steeply at 100% means the corpus has not saturated its
+    * domain and the vocab budget is underestimated. Exact integers
+    * end to end.
+    *
+    * Scale shape: the docs ranking is one window over the doc-id
+    * order (range-repartition + [[graft.operators.Extended]]'s
+    * globalPrefixSum form at corpus scale); words reduce to (word,
+    * min doc) with map-side combine; the decile rollup and cumsum
+    * run on 10 rows.
+    */
+  val vocabGrowth: QueryDef = QueryDef(
+    "t_vocab_growth",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val ranked = d.select(col("doc_id"), col("text"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("doc_id")).cast("long"))
+        .crossJoin(broadcast(n))
+        .withColumn("dec", expr("((rn - 1) * 10) div n_docs"))
+      val firstSeen = ranked
+        .select(col("dec"), explode(expr(
+          "filter(split(lower(text), ' '), x -> x <> '')")).as("w"))
+        .groupBy("w").agg(min(col("dec")).as("fdec"))
+      val perDec = firstSeen.groupBy(col("fdec").as("decile"))
+        .agg(count(lit(1)).as("new_words"))
+      val docsPerDec = ranked.groupBy(col("dec").as("decile"))
+        .agg(count(lit(1)).as("n_docs_dec"))
+      val w10 = org.apache.spark.sql.expressions.Window.orderBy("decile")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      docsPerDec.join(perDec, Seq("decile"), "left")
+        .withColumn("new_words", coalesce(col("new_words"), lit(0L)))
+        .withColumn("n_docs_cum", sum(col("n_docs_dec")).over(w10))
+        .withColumn("vocab_cum", sum(col("new_words")).over(w10))
+        .select("decile", "n_docs_cum", "new_words", "vocab_cum")
+    },
+    Some(s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         r AS (SELECT doc_id, ${Portable.textSql.tokensLower} AS tk,
+             CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+           FROM documents),
+         dd AS (SELECT doc_id, tk, ((rn - 1) * 10) // n_docs AS dec
+           FROM r CROSS JOIN n),
+         fs AS (SELECT w, MIN(dec) AS fdec FROM (
+             SELECT dec, unnest(tk) AS w FROM dd) x GROUP BY 1),
+         pd AS (SELECT fdec AS decile, COUNT(*) AS new_words FROM fs GROUP BY 1),
+         dpd AS (SELECT dec AS decile, COUNT(*) AS n_docs_dec FROM dd GROUP BY 1)
+         SELECT dpd.decile,
+           CAST(SUM(dpd.n_docs_dec) OVER (ORDER BY dpd.decile) AS BIGINT)
+             AS n_docs_cum,
+           CAST(COALESCE(pd.new_words, 0) AS BIGINT) AS new_words,
+           CAST(SUM(COALESCE(pd.new_words, 0)) OVER (ORDER BY dpd.decile)
+             AS BIGINT) AS vocab_cum
+         FROM dpd LEFT JOIN pd ON pd.decile = dpd.decile"""))
+
   /** L-DIVERSITY audit — the sibling of `t_k_anonymity` that k alone
     * misses: a group can be large (k-anonymous) yet UNIFORM in its
     * sensitive attribute, so membership still leaks the secret.
@@ -3225,7 +3286,7 @@ object TextFunctions {
       sourceCaps, boilerplate, qualityClassifier,
       keywordsTfidf, qualityCalibrated, mixtureInterleave, trainTestSplit,
       oovRate, corpusDrift, pipelineCuration, labelEncode,
-      evalAuc, kAnonymity, lDiversity, qualityLmBigram, maskSpans, bpeMerges, bpeEncode,
+      evalAuc, kAnonymity, lDiversity, vocabGrowth, qualityLmBigram, maskSpans, bpeMerges, bpeEncode,
       langIdEval, contaminationBloom, noveltyNgram, calibrationCurve,
       substringDecontamination, tokenCoverage)
 }

@@ -1965,6 +1965,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(n1 >= n2 && n2 >= n3 && n2 > 0, "funnel must be monotone and non-trivial")
   }
 
+  test("vocab growth matches brute force; curve is monotone and ends at the full vocabulary") {
+    val got = TextFunctions.vocabGrowth.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val n = docs.length
+    val decOf = docs.zipWithIndex.map { case ((id, t), i) =>
+      (i.toLong * 10 / n, t.toLowerCase.split(" ").filter(_.nonEmpty).toSet)
+    }
+    val firstSeen = scala.collection.mutable.Map.empty[String, Long]
+    decOf.foreach { case (dec, ws) =>
+      ws.foreach(w => if (!firstSeen.contains(w)) firstSeen(w) = dec
+        else if (firstSeen(w) > dec) firstSeen(w) = dec)
+    }
+    val newWords = firstSeen.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val docsPerDec = decOf.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var dc = 0L; var vc = 0L
+    val expect = docsPerDec.keys.toSeq.sorted.map { dec =>
+      dc += docsPerDec(dec); vc += newWords.getOrElse(dec, 0L)
+      dec -> (dc, newWords.getOrElse(dec, 0L), vc)
+    }
+    assert(got == expect, s"got $got\nwant $expect")
+    assert(got.last._2._3 == firstSeen.size.toLong,
+      "final cumulative vocab must equal the full vocabulary")
+    assert(got.map(_._2._3) == got.map(_._2._3).sorted, "curve must be monotone")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
