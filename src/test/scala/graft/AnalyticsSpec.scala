@@ -1967,8 +1967,8 @@ class AnalyticsSpec extends SparkSpec {
 
   test("vocab growth matches brute force; curve is monotone and ends at the full vocabulary") {
     val got = TextFunctions.vocabGrowth.fn(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(_._1)
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .sortBy(_._1).toList
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
@@ -1984,7 +1984,7 @@ class AnalyticsSpec extends SparkSpec {
     val newWords = firstSeen.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val docsPerDec = decOf.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     var dc = 0L; var vc = 0L
-    val expect = docsPerDec.keys.toSeq.sorted.map { dec =>
+    val expect = docsPerDec.keys.toList.sorted.map { dec =>
       dc += docsPerDec(dec); vc += newWords.getOrElse(dec, 0L)
       dec -> (dc, newWords.getOrElse(dec, 0L), vc)
     }
