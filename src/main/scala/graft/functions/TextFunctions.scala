@@ -2793,12 +2793,16 @@ object TextFunctions {
     "t_vocab_growth",
     (s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      val n = d.agg(count(lit(1)).as("n_docs"))
+      val n = d.agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("lo_id"),
+        max(col("doc_id")).as("hi_id"))
+      // decile by ID RANGE, not row_number: a global row_number is a
+      // single-task window (the exact shape q_abc_pareto exists to
+      // avoid); the id-range decile is map-side against a 1-row
+      // broadcast and equally faithful to ingest order
       val ranked = d.select(col("doc_id"), col("text"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("doc_id")).cast("long"))
         .crossJoin(broadcast(n))
-        .withColumn("dec", expr("((rn - 1) * 10) div n_docs"))
+        .withColumn("dec",
+          expr("((doc_id - lo_id) * 10) div (hi_id - lo_id + 1)"))
       val firstSeen = ranked
         .select(col("dec"), explode(expr(
           "filter(split(lower(text), ' '), x -> x <> '')")).as("w"))
@@ -2815,11 +2819,12 @@ object TextFunctions {
         .withColumn("vocab_cum", sum(col("new_words")).over(w10))
         .select("decile", "n_docs_cum", "new_words", "vocab_cum")
     },
-    Some(s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
-         r AS (SELECT doc_id, ${Portable.textSql.tokensLower} AS tk,
-             CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+    Some(s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS lo_id, MAX(doc_id) AS hi_id FROM documents),
+         r AS (SELECT doc_id, ${Portable.textSql.tokensLower} AS tk
            FROM documents),
-         dd AS (SELECT doc_id, tk, ((rn - 1) * 10) // n_docs AS dec
+         dd AS (SELECT doc_id, tk,
+             ((doc_id - lo_id) * 10) // (hi_id - lo_id + 1) AS dec
            FROM r CROSS JOIN n),
          fs AS (SELECT w, MIN(dec) AS fdec FROM (
              SELECT dec, unnest(tk) AS w FROM dd) x GROUP BY 1),

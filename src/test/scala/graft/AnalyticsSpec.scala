@@ -1972,9 +1972,10 @@ class AnalyticsSpec extends SparkSpec {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    val n = docs.length
-    val decOf = docs.zipWithIndex.map { case ((id, t), i) =>
-      (i.toLong * 10 / n, t.toLowerCase.split(" ").filter(_.nonEmpty).toSet)
+    val loId = docs.map(_._1).min; val hiId = docs.map(_._1).max
+    val decOf = docs.map { case (id, t) =>
+      ((id - loId) * 10 / (hiId - loId + 1),
+        t.toLowerCase.split(" ").filter(_.nonEmpty).toSet)
     }
     val firstSeen = scala.collection.mutable.Map.empty[String, Long]
     decOf.foreach { case (dec, ws) =>
