@@ -2210,6 +2210,66 @@ object Events {
             AND r.i = init.n"""
     })
 
+  /** GROWTH ACCOUNTING — the daily new/retained/resurrected/churned
+    * ledger (the Social-Capital accounting identity every growth team
+    * reports): per day, NEW = first-ever-seen users, RETAINED =
+    * active today AND yesterday, RESURRECTED = active today, seen
+    * before, but not yesterday, CHURNED = active yesterday, not
+    * today (booked on today). The identity DAU_d = new + retained +
+    * resurrected and DAU_d − DAU_{d−1} = new + resurrected − churned
+    * is spec-asserted — the cross-check that catches any
+    * double-counting. All flags derive from one lag over each user's
+    * distinct active days.
+    *
+    * Scale shape: one user-day distinct pass, one user-keyed lag
+    * window (corpus-growing key), one ≤ days-sized rollup; churn
+    * books via a second pass over the same lagged frame (lead), no
+    * extra corpus scan.
+    */
+  val growthAccounting: QueryDef = QueryDef(
+    "q_events_growth_accounting",
+    (s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val lagged = ud
+        .withColumn("prev", lag(col("day"), 1).over(w))
+        .withColumn("nxt", lead(col("day"), 1).over(w))
+      val active = lagged.groupBy("day")
+        .agg(sum(when(col("prev").isNull, 1L).otherwise(0L)).as("new_users"),
+          sum(when(col("prev") === col("day") - 1, 1L).otherwise(0L))
+            .as("retained"),
+          sum(when(col("prev").isNotNull && col("prev") < col("day") - 1, 1L)
+            .otherwise(0L)).as("resurrected"))
+      val churn = lagged
+        .where(col("nxt").isNull || col("nxt") > col("day") + 1)
+        .groupBy((col("day") + 1).as("day"))
+        .agg(count(lit(1)).as("churned"))
+      active.join(churn, Seq("day"), "left")
+        .select(col("day"), col("new_users"), col("retained"),
+          col("resurrected"), coalesce(col("churned"), lit(0L)).as("churned"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+            lg AS (SELECT user_id, day,
+                LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+                LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+              FROM ud),
+            act AS (SELECT day,
+                CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS new_users,
+                CAST(SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS retained,
+                CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < day - 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+              FROM lg GROUP BY 1),
+            ch AS (SELECT day + 1 AS day, COUNT(*) AS churned
+              FROM lg WHERE nxt IS NULL OR nxt > day + 1 GROUP BY 1)
+            SELECT act.day, act.new_users, act.retained, act.resurrected,
+              CAST(COALESCE(ch.churned, 0) AS BIGINT) AS churned
+            FROM act LEFT JOIN ch ON ch.day = act.day"""))
+
   /** WINDOWED multi-step FUNNEL — the standard product-analytics form
     * [[funnel]]'s open-ended signup→purchase pair is not: three
     * ordered steps (view → click → purchase), each required within
@@ -2485,7 +2545,7 @@ object Events {
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
       seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal,
       powerLaw, rollingDauHll, scd2Lookup, botCadence, srm, hwBacktest,
-      funnelWindowed)
+      funnelWindowed, growthAccounting)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

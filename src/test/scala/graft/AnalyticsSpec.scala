@@ -1995,6 +1995,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._2._3) == got.map(_._2._3).sorted, "curve must be monotone")
   }
 
+  test("growth accounting satisfies the DAU identity and matches a per-user replay") {
+    val rows = Events.growthAccounting.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ud = Events.loadEvents(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = ud.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expect = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+      .withDefaultValue((0L, 0L, 0L, 0L))
+    byUser.values.foreach { days =>
+      days.zipWithIndex.foreach { case (d, i) =>
+        val (nw, rt, rs, ch) = expect(d)
+        if (i == 0) expect(d) = (nw + 1, rt, rs, ch)
+        else if (days(i - 1) == d - 1) expect(d) = (nw, rt + 1, rs, ch)
+        else expect(d) = (nw, rt, rs + 1, ch)
+        if (i == days.length - 1 || days(i + 1) > d + 1) {
+          val (nw2, rt2, rs2, ch2) = expect(d + 1)
+          expect(d + 1) = (nw2, rt2, rs2, ch2 + 1)
+        }
+      }
+    }
+    val expectActive = expect.toMap.filter(t => rows.contains(t._1))
+    assert(rows == expectActive, s"diff: ${rows.toSet.diff(expectActive.toSet)}")
+    // DAU identity: dau_d = new + retained + resurrected, and
+    // dau_d - dau_{d-1} = new + resurrected - churned on dense days
+    val dau = ud.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (d, (nw, rt, rs, ch)) =>
+      assert(dau(d) == nw + rt + rs, s"day $d DAU identity broken")
+      dau.get(d - 1).foreach { prev =>
+        assert(dau(d) - prev == nw + rs - ch, s"day $d delta identity broken")
+      }
+    }
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
