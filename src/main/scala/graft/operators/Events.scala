@@ -2210,6 +2210,54 @@ object Events {
             AND r.i = init.n"""
     })
 
+  /** SLO ERROR-BUDGET BURN RATE — the multiwindow alerting rule from
+    * the Google SRE workbook, over the event log's `error` type
+    * against a 99% SLO (budget = 1% errors): per hour, the 1 h burn
+    * (error_rate / budget, ×1000) and the trailing-6 h burn (RANGE
+    * window over hour VALUES — missing hours shrink the window, not
+    * stretch it), and a page fires only when BOTH exceed their
+    * thresholds (14.4× fast AND 6× slow — fast-only pages on blips,
+    * slow-only pages late; the conjunction is the point). Pure
+    * integer arithmetic: burn ×1000 = errors·100 000 div events.
+    *
+    * Scale shape: one corpus shuffle into the hourly grid; the
+    * trailing window and flags run on ≤ hours rows.
+    */
+  val sloBurn: QueryDef = QueryDef(
+    "q_events_slo_burn",
+    (s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(expr("ts div 1000000000 div 3600").as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors"))
+      val w6 = Window.orderBy(col("hour")).rangeBetween(-5L, 0L)
+      hourly
+        .withColumn("ev6", sum(col("n_events")).over(w6))
+        .withColumn("er6", sum(col("n_errors")).over(w6))
+        .select(col("hour"), col("n_events"), col("n_errors"),
+          expr("(n_errors * 100000) div n_events").as("burn_1h_x1000"),
+          expr("(er6 * 100000) div ev6").as("burn_6h_x1000"),
+          (expr("(n_errors * 100000) div n_events") > 14400 &&
+            expr("(er6 * 100000) div ev6") > 6000).as("page"))
+    },
+    Some("""WITH h AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour,
+              COUNT(*) AS n_events,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
+            FROM events GROUP BY 1),
+            r AS (SELECT hour, n_events, n_errors,
+                CAST(SUM(n_events) OVER w AS BIGINT) AS ev6,
+                CAST(SUM(n_errors) OVER w AS BIGINT) AS er6
+              FROM h WINDOW w AS (ORDER BY hour
+                RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+            SELECT hour, n_events, n_errors,
+              (n_errors * 100000) // n_events AS burn_1h_x1000,
+              (er6 * 100000) // ev6 AS burn_6h_x1000,
+              (n_errors * 100000) // n_events > 14400
+                AND (er6 * 100000) // ev6 > 6000 AS page
+            FROM r"""))
+
   /** GROWTH ACCOUNTING — the daily new/retained/resurrected/churned
     * ledger (the Social-Capital accounting identity every growth team
     * reports): per day, NEW = first-ever-seen users, RETAINED =
@@ -2545,7 +2593,7 @@ object Events {
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
       seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal,
       powerLaw, rollingDauHll, scd2Lookup, botCadence, srm, hwBacktest,
-      funnelWindowed, growthAccounting)
+      funnelWindowed, growthAccounting, sloBurn)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

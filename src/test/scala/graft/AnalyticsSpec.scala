@@ -2029,6 +2029,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("SLO burn matches a brute-force hourly recompute; page is the conjunction") {
+    val got = Events.sloBurn.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    val ev = Events.loadEvents(spark, sfDir)
+      .select(expr("ts div 1000000000 div 3600").as("h"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val hourly = ev.groupBy(_._1).map { case (h, g) =>
+      h -> (g.length.toLong, g.count(_._2 == "error").toLong)
+    }
+    val expect = hourly.map { case (h, (n, e)) =>
+      val win = hourly.filter(t => t._1 >= h - 5 && t._1 <= h)
+      val ev6 = win.values.map(_._1).sum; val er6 = win.values.map(_._2).sum
+      val b1 = e * 100000 / n; val b6 = er6 * 100000 / ev6
+      h -> (n, e, b1, b6, b1 > 14400 && b6 > 6000)
+    }
+    assert(got == expect)
+    assert(got.nonEmpty && got.values.forall(v => v._3 >= 0))
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
