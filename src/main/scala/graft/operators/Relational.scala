@@ -23,6 +23,8 @@ import graft.functions.Portable.{sql => P}
   */
 object Relational {
 
+  private[operators] val bucketedLock = new Object
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
@@ -385,12 +387,24 @@ object Relational {
     (s, dir) => {
       val fp = graft.sources.Snapshots.fileFingerprint(s"$dir/lineitem.parquet")
       val suffix = (dir + "_" + fp).replaceAll("[^A-Za-z0-9]", "_")
-      def ensure(name: String, df: DataFrame, key: String): DataFrame = {
-        if (!s.catalog.tableExists(name))
-          df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
-            .saveAsTable(name)
-        s.table(name)
-      }
+      // bucket METADATA lives in the session catalog, not the files: a
+      // fresh session cannot adopt a previous JVM's warehouse dir (an
+      // external re-register would silently lose the bucket spec and
+      // with it the zero-exchange property), so a stale location is
+      // deleted and rebuilt — content is fingerprint-keyed, so the
+      // rebuild is always correct. The lock serializes two suites in
+      // one JVM racing the same create.
+      def ensure(name: String, df: DataFrame, key: String): DataFrame =
+        Relational.bucketedLock.synchronized {
+          if (!s.catalog.tableExists(name)) {
+            val wh = s.conf.get("spark.sql.warehouse.dir")
+              .stripPrefix("file:")
+            graft.sources.Snapshots.deleteRecursively(s"$wh/$name")
+            df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
+              .saveAsTable(name)
+          }
+          s.table(name)
+        }
       val lb = ensure(s"li_bkt_$suffix",
         t(s, dir, "lineitem").select(col("l_orderkey"),
           expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents")),
