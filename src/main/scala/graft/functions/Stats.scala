@@ -647,8 +647,9 @@ object StatsQueries {
           sum(expr(s"cast($x as decimal(38,0)) * $y")).as("sxy"))
         m.select(lit(label).as("pair"), col("n"),
           expr("""cast(cast(n as decimal(38,0)) * sxy - sx * sy as double)
-                 / (sqrt(cast(cast(n as decimal(38,0)) * sxx - sx * sx as double))
-                    * sqrt(cast(cast(n as decimal(38,0)) * syy - sy * sy as double)))""")
+                 / nullif(sqrt(cast(cast(n as decimal(38,0)) * sxx - sx * sx as double))
+                    * sqrt(cast(cast(n as decimal(38,0)) * syy - sy * sy as double)),
+                    cast(0 as double))""")
             .as("pearson_r"))
       }
       corr("q", "p", "qty_price")
@@ -660,10 +661,11 @@ object StatsQueries {
         s"""SELECT '$label' AS pair, COUNT(*) AS n,
             CAST(CAST(COUNT(*) AS HUGEINT) * SUM($x * $y)
                  - SUM($x) * SUM($y) AS DOUBLE)
-            / (SQRT(CAST(CAST(COUNT(*) AS HUGEINT) * SUM($x * $x)
+            / NULLIF(SQRT(CAST(CAST(COUNT(*) AS HUGEINT) * SUM($x * $x)
                     - SUM($x) * SUM($x) AS DOUBLE))
                * SQRT(CAST(CAST(COUNT(*) AS HUGEINT) * SUM($y * $y)
-                      - SUM($y) * SUM($y) AS DOUBLE))) AS pearson_r
+                      - SUM($y) * SUM($y) AS DOUBLE)), CAST(0 AS DOUBLE))
+              AS pearson_r
             FROM v"""
       s"""WITH v AS (SELECT CAST(l_quantity AS HUGEINT) AS q,
             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT) AS p,
