@@ -2210,6 +2210,65 @@ object Events {
             AND r.i = init.n"""
     })
 
+  /** Dn RETENTION scalars — the headline D1/D7/D14 numbers a growth
+    * dashboard leads with ([[retention]]'s weekly cohort grid is the
+    * diagnostic behind them; these are the KPI): for each user,
+    * day 0 is the first active day, and Dn retention is the fraction
+    * of eligible users active EXACTLY on day n (classic "day-N"
+    * definition, not "within N"). A user is eligible for Dn only if
+    * day0 + n lies inside the observed data span — otherwise the
+    * metric silently counts not-yet-possible returns as churn (the
+    * standard right-censoring bug).
+    *
+    * Scale shape: one user-day distinct pass, one per-user day-0
+    * aggregate, one semi-join per horizon against the user-day frame
+    * (user-keyed), 3-row output; the span bound is a 1-row broadcast.
+    */
+  val retentionDn: QueryDef = QueryDef(
+    "q_events_retention_dn",
+    (s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+        .distinct()
+      val maxDay = ud.agg(max(col("day")).as("max_day"))
+      val d0 = ud.groupBy("user_id").agg(min(col("day")).as("d0"))
+        .crossJoin(broadcast(maxDay))
+      val horizons = Seq(1, 7, 14)
+      horizons.map { n =>
+        val eligible = d0.where(col("d0") + n <= col("max_day"))
+        val retained = eligible.join(ud.select(col("user_id"),
+            col("day").as("rd")),
+            Seq("user_id"))
+          .where(col("rd") === col("d0") + n)
+          .select("user_id").distinct()
+        eligible.agg(count(lit(1)).as("n_eligible"))
+          .crossJoin(retained.agg(count(lit(1)).as("n_retained")))
+          .select(lit(s"d$n").as("horizon"), col("n_eligible"),
+            col("n_retained"),
+            expr("(n_retained * 1000000) div nullif(n_eligible, 0)")
+              .as("retention_x1e6"))
+      }.reduce(_ unionAll _)
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+            mx AS (SELECT MAX(day) AS max_day FROM ud),
+            d0 AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY 1),
+            h AS (SELECT CAST(UNNEST([1, 7, 14]) AS BIGINT) AS n),
+            elig AS (SELECT h.n, d0.user_id, d0.d0
+              FROM d0 CROSS JOIN mx CROSS JOIN h
+              WHERE d0.d0 + h.n <= mx.max_day),
+            ret AS (SELECT e.n, COUNT(DISTINCT e.user_id) AS n_retained
+              FROM elig e JOIN ud ON ud.user_id = e.user_id
+                AND ud.day = e.d0 + e.n
+              GROUP BY 1)
+            SELECT 'd' || CAST(e.n AS VARCHAR) AS horizon,
+              CAST(COUNT(*) AS BIGINT) AS n_eligible,
+              CAST(COALESCE(MAX(ret.n_retained), 0) AS BIGINT) AS n_retained,
+              (CAST(COALESCE(MAX(ret.n_retained), 0) AS BIGINT) * 1000000)
+                // NULLIF(COUNT(*), 0) AS retention_x1e6
+            FROM elig e LEFT JOIN ret ON ret.n = e.n
+            GROUP BY e.n"""))
+
   /** SLO ERROR-BUDGET BURN RATE — the multiwindow alerting rule from
     * the Google SRE workbook, over the event log's `error` type
     * against a 99% SLO (budget = 1% errors): per hour, the 1 h burn
@@ -2593,7 +2652,7 @@ object Events {
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
       seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal,
       powerLaw, rollingDauHll, scd2Lookup, botCadence, srm, hwBacktest,
-      funnelWindowed, growthAccounting, sloBurn)
+      funnelWindowed, growthAccounting, sloBurn, retentionDn)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

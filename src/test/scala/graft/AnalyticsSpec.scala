@@ -2049,6 +2049,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty && got.values.forall(v => v._3 >= 0))
   }
 
+  test("Dn retention matches a per-user replay with censoring-aware eligibility") {
+    val got = Events.retentionDn.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ud = Events.loadEvents(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxDay = ud.map(_._2).max
+    val byUser = ud.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    Seq(1, 7, 14).foreach { n =>
+      val elig = byUser.filter { case (_, days) => days.min + n <= maxDay }
+      val ret = elig.count { case (_, days) => days.contains(days.min + n) }
+      val exp = (elig.size.toLong, ret.toLong, ret.toLong * 1000000 / elig.size)
+      assert(got(s"d$n") == exp, s"d$n: ${got(s"d$n")} != $exp")
+    }
+    assert(got("d1")._1 >= got("d7")._1 && got("d7")._1 >= got("d14")._1,
+      "eligibility shrinks with the horizon")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
