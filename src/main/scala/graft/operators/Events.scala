@@ -2210,6 +2210,79 @@ object Events {
             AND r.i = init.n"""
     })
 
+  /** DAY-OF-WEEK EFFECT SIZE — the "is the weekly cycle real" number
+    * behind [[heatmap]]/[[seasonalDecompose]]: a one-way variance
+    * decomposition of the daily counts by dow, reported as η² ×10⁶
+    * (SSB/SST — the fraction of daily variance the weekday explains)
+    * and the F ratio ×1000 (MSB/MSW). Exact rational arithmetic via
+    * the pivot trick: with the 7 per-dow (n_k, S_k) pairs pivoted to
+    * columns, P = Πn_k makes every term integer —
+    * SSB·N·P = N·Σ S_k²·(P/n_k) − S²·P and SST·N·P = N·P·Σy² − S²·P —
+    * so η² is ONE integral division (decimal(38,0)/HUGEINT fold;
+    * ·10⁶ overflows int64). η² ≈ 0 says the heatmap's cells are
+    * noise; large F says threshold per weekday or pay Monday pages.
+    *
+    * Scale shape: one corpus shuffle to the daily grid, a 7-column
+    * pivot per type, pure scalar arithmetic after.
+    */
+  val dowEffect: QueryDef = QueryDef(
+    "q_events_dow_effect",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("dow", expr("pmod(day + 3, 7)"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nn"), sum(col("y")).as("ss"),
+          sum(col("y") * col("y")).as("ssq"),
+          countDistinct(col("dow")).as("k"))
+      val piv = daily.groupBy("event_type")
+        .pivot("dow", (0 to 6).map(_.toString))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      val nCols = (0 to 6).map(d => s"coalesce(`${d}_n`, 1L)")
+      val pExpr = nCols.mkString(" * ")
+      val aExpr = (0 to 6).map(d =>
+        s"coalesce(`${d}_s` * `${d}_s` * (($pExpr) div coalesce(`${d}_n`, 1L)), 0L)")
+        .mkString(" + ")
+      tot.join(piv, "event_type")
+        .withColumn("p", expr(pExpr))
+        .withColumn("a", expr(aExpr))
+        .select(col("event_type"), col("nn").as("n_days"), col("k").as("n_dows"),
+          expr("""cast((cast(nn as decimal(38,0)) * a - cast(ss as decimal(38,0)) * ss * p) * 1000000
+                 div nullif(cast(nn as decimal(38,0)) * p * ssq - cast(ss as decimal(38,0)) * ss * p, 0)
+                 as bigint)""").as("eta2_x1e6"),
+          expr("""cast((cast(nn as decimal(38,0)) * a - cast(ss as decimal(38,0)) * ss * p) * (nn - k) * 1000
+                 div nullif(cast(nn as decimal(38,0)) * p * ssq - cast(nn as decimal(38,0)) * a, 0)
+                 div nullif(k - 1, 0) as bigint)""").as("f_x1000"))
+    },
+    Some {
+      val nCols = (0 to 6).map(d => s"COALESCE(n$d, 1)")
+      val pExpr = nCols.mkString(" * ")
+      val aExpr = (0 to 6).map(d =>
+        s"COALESCE(s$d * s$d * (($pExpr) // COALESCE(n$d, 1)), 0)").mkString(" + ")
+      s"""WITH daily AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+            event_type, COUNT(*) AS y
+          FROM events GROUP BY 1, 2),
+          dd AS (SELECT event_type, y, (day + 3) % 7 AS dow FROM daily),
+          tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nn,
+              CAST(SUM(y) AS BIGINT) AS ss, CAST(SUM(y * y) AS BIGINT) AS ssq,
+              CAST(COUNT(DISTINCT dow) AS BIGINT) AS k
+            FROM dd GROUP BY 1),
+          piv AS (SELECT event_type,
+              ${(0 to 6).map(d => s"CAST(SUM(CASE WHEN dow = $d THEN 1 END) AS BIGINT) AS n$d, CAST(SUM(CASE WHEN dow = $d THEN y END) AS BIGINT) AS s$d").mkString(", ")}
+            FROM dd GROUP BY 1),
+          j AS (SELECT tot.*, ($pExpr) AS p, ($aExpr) AS a
+            FROM tot JOIN piv ON piv.event_type = tot.event_type)
+          SELECT event_type, nn AS n_days, k AS n_dows,
+            CAST((CAST(nn AS HUGEINT) * a - CAST(ss AS HUGEINT) * ss * p) * 1000000
+              // NULLIF(CAST(nn AS HUGEINT) * p * ssq - CAST(ss AS HUGEINT) * ss * p, 0)
+              AS BIGINT) AS eta2_x1e6,
+            CAST((CAST(nn AS HUGEINT) * a - CAST(ss AS HUGEINT) * ss * p) * (nn - k) * 1000
+              // NULLIF(CAST(nn AS HUGEINT) * p * ssq - CAST(nn AS HUGEINT) * a, 0)
+              // NULLIF(k - 1, 0) AS BIGINT) AS f_x1000
+          FROM j"""
+    })
+
   /** Dn RETENTION scalars — the headline D1/D7/D14 numbers a growth
     * dashboard leads with ([[retention]]'s weekly cohort grid is the
     * diagnostic behind them; these are the KPI): for each user,
@@ -2652,7 +2725,7 @@ object Events {
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
       seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal,
       powerLaw, rollingDauHll, scd2Lookup, botCadence, srm, hwBacktest,
-      funnelWindowed, growthAccounting, sloBurn, retentionDn)
+      funnelWindowed, growthAccounting, sloBurn, retentionDn, dowEffect)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -2067,6 +2067,35 @@ class AnalyticsSpec extends SparkSpec {
       "eligibility shrinks with the horizon")
   }
 
+  test("dow effect size matches a BigInt ANOVA recompute; eta2 in [0, 1e6]") {
+    val got = Events.dowEffect.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val daily = Events.loadEvents(spark, sfDir)
+      .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(1), (r.getLong(0) + 3) % 7, r.getLong(2)))
+    val expect = daily.groupBy(_._1).map { case (et, rows) =>
+      val nn = BigInt(rows.length)
+      val ss = rows.map(t => BigInt(t._3)).sum
+      val ssq = rows.map(t => BigInt(t._3) * t._3).sum
+      val groups = rows.groupBy(_._2).values
+        .map(g => (BigInt(g.length), g.map(t => BigInt(t._3)).sum)).toSeq
+      val k = BigInt(groups.length)
+      val p = groups.map(_._1).product
+      val a = groups.map { case (n, sg) => sg * sg * (p / n) }.sum
+      val num = nn * a - ss * ss * p
+      val denT = nn * p * ssq - ss * ss * p
+      val denW = nn * p * ssq - nn * a
+      val eta = (num * 1000000 / denT).toLong
+      val f = (num * (nn - k) * 1000 / denW / (k - 1)).toLong
+      et -> (nn.toLong, k.toLong, eta, f)
+    }
+    assert(got == expect, s"got $got\nwant $expect")
+    got.values.foreach { case (_, _, eta, _) =>
+      assert(eta >= 0 && eta <= 1000000, s"eta2 out of range: $eta")
+    }
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
