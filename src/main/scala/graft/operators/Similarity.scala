@@ -3982,6 +3982,66 @@ object Similarity {
            (t.mx * t.nl * 1000) // t.nv AS skew_x1000
          FROM sz CROSS JOIN t GROUP BY 1, t.mx, t.nl, t.nv"""))
 
+  /** kNN-GRAPH IN-DEGREE profile — the HUB audit on the persisted
+    * graph: out-degree is K by construction, but IN-degree is free to
+    * concentrate, and a hub vertex distorts everything downstream —
+    * beam search funnels through it ([[knnBeam]]), PageRank mass
+    * pools on it, and its removal disconnects neighborhoods. Vertices
+    * bucket by ⌊log₂(in-degree)⌋ (the [[graft.operators.Events]]
+    * power-law convention) plus the zero-in-degree orphan count —
+    * vertices NO ONE points at, unreachable by any graph walk and
+    * served only by brute force. The skew scalar max·n/edges ×1000
+    * is the straggler read for in-neighbor joins.
+    *
+    * Scale shape: one groupBy over the O(N·K) edge table on the dst
+    * key (map-side combined), an anti-join against the corpus for
+    * orphans, a ≤ 64-bucket rollup.
+    */
+  val graphDegree: QueryDef = QueryDef(
+    "s_graph_degree",
+    (s, dir) => {
+      val g = knnGraphTable(s, dir)
+      val indeg = g.groupBy(col("g_dst").as("v")).agg(count(lit(1)).as("d"))
+      val orphans = quantized(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id").as("v"))
+        .join(indeg, Seq("v"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit(-1L).as("k"), col("n").as("n_vertices"),
+          lit(0L).as("n_edges"), lit(0L).as("min_indeg"), lit(0L).as("max_indeg"))
+      val tot = indeg.agg(count(lit(1)).as("nv"), sum(col("d")).as("ne"),
+        max(col("d")).as("mx"))
+      val buckets = indeg
+        .withColumn("k", (length(bin(col("d"))) - 1).cast("long"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_vertices"), sum(col("d")).as("n_edges"),
+          min(col("d")).as("min_indeg"), max(col("d")).as("max_indeg"))
+      buckets.unionAll(orphans)
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_vertices"), col("n_edges"),
+          col("min_indeg"), col("max_indeg"),
+          expr("(mx * nv * 1000) div ne").as("skew_x1000"))
+    },
+    Some {
+      s"""WITH $graphSqlCtes,
+         indeg AS (SELECT g_dst AS v, COUNT(*) AS d FROM graph GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+             CAST(SUM(d) AS BIGINT) AS ne, MAX(d) AS mx FROM indeg),
+         orph AS (SELECT CAST(-1 AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_vertices,
+             CAST(0 AS BIGINT) AS n_edges, CAST(0 AS BIGINT) AS min_indeg,
+             CAST(0 AS BIGINT) AS max_indeg
+           FROM v WHERE vec_id NOT IN (SELECT v FROM indeg)),
+         b AS (SELECT CAST(LENGTH(bin(d)) - 1 AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_vertices,
+             CAST(SUM(d) AS BIGINT) AS n_edges,
+             MIN(d) AS min_indeg, MAX(d) AS max_indeg
+           FROM indeg GROUP BY 1)
+         SELECT u.k, u.n_vertices, u.n_edges, u.min_indeg, u.max_indeg,
+           (tot.mx * tot.nv * 1000) // tot.ne AS skew_x1000
+         FROM (SELECT * FROM b UNION ALL SELECT * FROM orph) u
+         CROSS JOIN tot"""
+    })
+
   /** PER-DIMENSION embedding audit — the dead-dimension read next to
     * [[embeddingPca]]'s global direction: per dim, the quantized
     * min/max and the exact variance numerator n·Σx² − (Σx)², plus
@@ -4041,5 +4101,5 @@ object Similarity {
       labelKappa, evalRetrieval, graphCommunities, knnRouted, truncatedRecall,
       silhouette, labelCentroidDrift, embeddingPca, graphLinkPredict,
       embeddingVariance, embeddingIsolation, embeddingDimAudit, ivfBalance,
-      pqCodeBalance)
+      pqCodeBalance, graphDegree)
 }

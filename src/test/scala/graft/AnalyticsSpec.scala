@@ -2096,6 +2096,24 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("graph in-degree profile matches a brute-force rollup of the persisted edges") {
+    val rows = Similarity.graphDegree.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val edges = Similarity.knnGraphTable(spark, sfDir)
+      .select("g_dst").collect().map(_.getLong(0))
+    val nVecs = Tables.load(spark, sfDir, "embeddings").count()
+    val indeg = edges.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nv = indeg.size.toLong; val ne = edges.length.toLong
+    val skew = indeg.values.max * nv * 1000 / ne
+    val expect = indeg.values.groupBy(d => 63L - java.lang.Long.numberOfLeadingZeros(d))
+      .map { case (k, g) =>
+        k -> (g.size.toLong, g.sum, g.min, g.max, skew)
+      } ++ Map(-1L -> (nVecs - nv, 0L, 0L, 0L, skew))
+    assert(rows == expect, s"got $rows\nwant $expect")
+    assert(rows.map(_._2._1).sum == nVecs, "buckets + orphans must cover every vertex")
+  }
+
   test("Kaplan-Meier survival equals a sequential Scala fold; curve monotone, risk telescopes") {
     val rows = Events.survival.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
