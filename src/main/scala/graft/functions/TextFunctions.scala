@@ -1609,6 +1609,24 @@ object TextFunctions {
     * over exactly the live corpus, so hash equality proves ranking
     * survives deletes without an index rebuild.
     */
+  /** Serve step of [[searchBm25Dml]], shared with the phase profiler
+    * (graft.tools.Bm25DmlAb): fold the tombstone-maintained table set
+    * (net postings in the probed buckets, net doclens, summed scalar
+    * partials) and rank.
+    */
+  private[graft] def bm25ServeNet(s: org.apache.spark.sql.SparkSession,
+      postT: String, dlT: String, totT: String): org.apache.spark.sql.DataFrame = {
+    import graft.sources.Snapshots
+    val tot = Snapshots.read(s, totT)
+      .agg(sum(col("np")).cast("long").as("n"),
+        sum(col("totalp")).cast("long").as("total"))
+    val dlNet = Snapshots.read(s, dlT).groupBy("doc_id")
+      .agg(sum(col("dl")).cast("long").as("dl")).where(col("dl") > 0)
+    bm25Serve(s, servePostingsNet(
+      Snapshots.read(s, postT).where(col("b").isin(searchBuckets: _*))),
+      dlNet, tot)
+  }
+
   val searchBm25Dml: QueryDef = QueryDef(
     "t_search_bm25_dml",
     (s, dir) => {
@@ -1624,14 +1642,7 @@ object TextFunctions {
       Snapshots.deleteWhere(s, baseT, pmod(col("doc_id"), lit(7)) === 0)
       Snapshots.commitAppend(d.where(pmod(col("doc_id"), lit(10)) === 0), baseT)
       bm25Maintain(s, baseT, postT, dlT, totT)
-      val tot = Snapshots.read(s, totT)
-        .agg(sum(col("np")).cast("long").as("n"),
-          sum(col("totalp")).cast("long").as("total"))
-      val dlNet = Snapshots.read(s, dlT).groupBy("doc_id")
-        .agg(sum(col("dl")).cast("long").as("dl")).where(col("dl") > 0)
-      bm25Serve(s, servePostingsNet(
-        Snapshots.read(s, postT).where(col("b").isin(searchBuckets: _*))),
-        dlNet, tot)
+      bm25ServeNet(s, postT, dlT, totT)
     },
     Some(bm25OracleSqlWhere(
       "WHERE (doc_id % 10 <> 0 AND doc_id % 7 <> 0) OR doc_id % 10 = 0")))
@@ -2145,24 +2156,37 @@ object TextFunctions {
     * distance — the ln-free, integer-exact drift score (PSI's ln is
     * not bit-portable across engines; TVD is the monotone core).
     *
-    * Scale shape: decile bounds come from ONE rank window over the
-    * baseline (at 100 TB: the mergeable quantile sketch instead, same
-    * bucket step), collected as a 9-element broadcast array; bucketing
-    * is a map-side filter-count against that array; one tiny bucket
-    * aggregate ends the plan. Output = ≤ 10 rows.
+    * Scale shape: decile bounds come from GROUPED-VALUE rank
+    * arithmetic — the baseline collapses to (n_chars, count) cells
+    * with map-side combine, the cumulative runs over the
+    * DISTINCT-value frame only (never a row-per-doc single-task
+    * sort), and each of the ≤ 9 distinct target ranks reads its value
+    * off the cell whose cumulative span covers it — collected as a
+    * ≤ 9-element broadcast array; bucketing is a map-side
+    * filter-count against that array; one tiny bucket aggregate ends
+    * the plan. Output = ≤ 10 rows.
     */
   val corpusDrift: QueryDef = QueryDef(
     "t_corpus_drift",
     (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"), (col("doc_id") % 2 === 0).as("is_base"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"), col("doc_id"))
       val base = d.where(col("is_base"))
-      val bounds = broadcast(base
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over())
-        .where((1 to 9).map(k => col("rn") === expr(s"(n * $k) div 10"))
-          .reduce(_ || _))
+      // (value, count) cells + inclusive cumulative over distinct values;
+      // the doc_id tie-break of the rank form cannot change WHICH value
+      // sits at a global rank, so rank → value reads off the spans.
+      // One element per DISTINCT target rank (two deciles landing on
+      // the same rank contribute one row, as the rn-IN-set form did).
+      val cells = base.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(W.orderBy(col("n_chars"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      val ranks = base.agg(count(lit(1)).as("n"))
+        .select(explode(array_distinct(
+          array((1 to 9).map(k => expr(s"(n * $k) div 10")): _*))).as("r"))
+        .where(col("r") >= 1)
+      val bounds = broadcast(cells.join(broadcast(ranks),
+          col("cum") - col("cnt") < col("r") && col("r") <= col("cum"))
         .agg(sort_array(collect_list(col("n_chars"))).as("bs")))
       val counts = d.crossJoin(bounds)
         .select(col("is_base"),
@@ -2380,6 +2404,34 @@ object TextFunctions {
               MAX(flesch_x1000) AS max_flesch_x1000
             FROM f GROUP BY 1"""))
 
+  /** Exact global 1-based rank over (score DESC, doc_id ASC) with NO
+    * single-task sort: docs collapse to (score, count) cells with
+    * map-side combine, the cumulative-before offset is a window over
+    * the DISTINCT-score frame only, and each doc's rank = offset +
+    * its row_number WITHIN its score partition (a window distributed
+    * across score groups). Input must carry (doc_id, pos, score);
+    * output adds `rn` (global rank), `n` (total rows), `p` (total
+    * positives) — the exact values the single-task
+    * `row_number() OVER (ORDER BY score DESC, doc_id)` form yields,
+    * at any corpus size.
+    */
+  private def rankByScoreDesc(
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = scored.groupBy("score").agg(count(lit(1)).as("s_cnt"))
+      .withColumn("cum_before",
+        coalesce(sum(col("s_cnt")).over(W.orderBy(col("score").desc)
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("score"), col("cum_before"))
+    val tot = broadcast(scored.agg(count(lit(1)).as("n"), sum(col("pos")).as("p")))
+    scored
+      .withColumn("rk_in", row_number().over(
+        W.partitionBy("score").orderBy("doc_id")).cast("long"))
+      .join(cells, "score")
+      .withColumn("rn", col("cum_before") + col("rk_in"))
+      .crossJoin(tot)
+  }
+
   /** Classifier DECILE-LIFT evaluation — the standard triage report
     * for a ranking model: documents ordered by the hashing-trick
     * classifier score (`t_quality_classifier`'s exact-integer scorer)
@@ -2390,10 +2442,15 @@ object TextFunctions {
     * lang='en' — the label the synthetic scorer is being audited
     * against; any boolean column slots in.
     *
-    * Scale shape: scoring is per-doc map work; the ONLY global
-    * structure is the rank, one total-order sort (at 100 TB: range-
-    * partitioned sort, same as any global rank); the report collapses
-    * to 10 rows in one aggregate, totals ride a 1-row broadcast.
+    * Scale shape: scoring is per-doc map work; the global rank is
+    * decomposed into GROUPED-SCORE rank arithmetic (the `t_eval_auc`
+    * shape): docs collapse to (score, count) cells with map-side
+    * combine, the cumulative-before offset runs over the
+    * DISTINCT-score frame, and each doc's exact rank = offset +
+    * row_number within its score PARTITION (distributed across score
+    * groups — no single-task sort of the corpus anywhere in the
+    * plan); the report collapses to 10 rows in one aggregate, totals
+    * ride a 1-row broadcast.
     */
   val classifierLift: QueryDef = {
     val (sparkW, duckW) = (classifierSparkW, classifierDuckW)
@@ -2407,11 +2464,7 @@ object TextFunctions {
           .where(size(col("tk")) > 0)
           .select(col("doc_id"), col("pos"),
             expr(s"aggregate(tk, 0L, (acc, t) -> acc + ($sparkW))").as("score"))
-        val ranked = scored
-          .withColumn("rn", row_number().over(
-            W.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-          .withColumn("n", count(lit(1)).over(W.partitionBy()))
-          .withColumn("p", sum(col("pos")).over(W.partitionBy()))
+        val ranked = rankByScoreDesc(scored)
           .withColumn("decile", expr("(rn - 1) * 10 div n + 1"))
         ranked.groupBy("decile")
           .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
@@ -2455,26 +2508,23 @@ object TextFunctions {
     * the full reliability diagram is hash-oracled.
     *
     * Scale shape: identical to `t_classifier_lift` — one score pass,
-    * one global rank (at 100 TB: rank via sampled range boundaries +
-    * per-partition offsets, the SQL-window-to-distributed-rank
-    * rewrite), one 10-group aggregate.
+    * then GROUPED-SCORE rank arithmetic ([[rankByScoreDesc]]:
+    * distinct-score cumulative offsets + per-score-partition
+    * row_numbers, no single-task corpus sort), one 10-group
+    * aggregate.
     */
   val calibrationCurve: QueryDef = {
     val (sparkW, duckW) = (classifierSparkW, classifierDuckW)
     QueryDef(
       "t_calibration_curve",
       (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
         val tk = filter(split(lower(col("text")), " "), t => t =!= "")
         val scored = Tables.load(s, dir, "documents")
           .select(col("doc_id"), (col("lang") === "en").cast("long").as("pos"), tk.as("tk"))
           .where(size(col("tk")) > 0)
           .select(col("doc_id"), col("pos"),
             expr(s"aggregate(tk, 0L, (acc, t) -> acc + ($sparkW))").as("score"))
-        scored
-          .withColumn("rn", row_number().over(
-            W.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-          .withColumn("n", count(lit(1)).over(W.partitionBy()))
+        rankByScoreDesc(scored)
           .withColumn("phat", expr("((n - rn) * 1000 + 500) div n"))
           .withColumn("decile", expr("(rn - 1) * 10 div n + 1"))
           .groupBy("decile")

@@ -801,9 +801,13 @@ object Events {
     *
     * Scale shape: one shuffle on user_id folds each user to a single
     * (first_view, first_conversion) row via conditional min aggregates
-    * — no per-user sort, no window over the log; the percentile rank
-    * runs over the #converted-users frame, and the final report is ONE
-    * row.
+    * — no per-user sort, no window over the log; the percentile read
+    * is GROUPED-VALUE rank arithmetic (the `t_eval_auc` shape): lags
+    * collapse to (lag_s, count) cells with map-side combine, the
+    * cumulative runs over the DISTINCT-lag frame — never a
+    * row-per-user single-task sort — and the target rank's value is
+    * the cell whose cumulative span covers it. The final report is
+    * ONE row.
     */
   val conversionLag: QueryDef = QueryDef(
     "q_events_conversion_lag",
@@ -816,13 +820,21 @@ object Events {
         .where(col("t") >= col("t_view"))
         .groupBy("user_id").agg(
           (min(col("t")) - max(col("t_view"))).as("lag_s"))
-      val w = Window.orderBy(col("lag_s"), col("user_id"))
-      val ranked = conv.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      def pct(q: Int) =
-        max(when(col("rn") === greatest(lit(1L), expr(s"(n * $q) div 100")),
+      // grouped-value ranks: the user_id tie-break in the original
+      // ORDER BY (lag_s, user_id) cannot change WHICH lag value sits
+      // at a global rank, so the percentile reads off the distinct-lag
+      // cumulative spans directly
+      val cells = conv.groupBy("lag_s").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("lag_s"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = broadcast(conv.agg(count(lit(1)).as("n")))
+      def pct(q: Int) = {
+        val rq = greatest(lit(1L), expr(s"(n * $q) div 100"))
+        max(when(col("cum") - col("cnt") < rq && rq <= col("cum"),
           col("lag_s"))).as(s"p${q}_lag_s")
-      ranked.agg(max(col("n")).as("n_converted"), pct(25), pct(50), pct(75), pct(90))
+      }
+      cells.crossJoin(tot)
+        .agg(max(col("n")).as("n_converted"), pct(25), pct(50), pct(75), pct(90))
         .crossJoin(e.select(countDistinct(col("user_id")).as("n_users")))
         .select(col("n_users"), col("n_converted"),
           col("p25_lag_s"), col("p50_lag_s"), col("p75_lag_s"), col("p90_lag_s"))
@@ -858,10 +870,11 @@ object Events {
     * and monetary totals (≤ 125 rows).
     *
     * Scale shape: one shuffle on user_id folds the log to one row per
-    * purchaser; the three quintile ranks are windows over that
-    * user-sized frame (at 100 TB: range-partitioned sorts, or the
-    * quantile sketch for bound-based scoring); the grid aggregate is
-    * trivial.
+    * purchaser; the three quintile ranks are DISTRIBUTED global ranks
+    * ([[graft.operators.Extended.globalRank]]: range-repartition +
+    * per-partition row counts + broadcast partition offsets — no
+    * single-task sort of the purchaser frame anywhere in the plan);
+    * the grid aggregate is trivial.
     */
   val rfm: QueryDef = QueryDef(
     "q_events_rfm",
@@ -876,14 +889,15 @@ object Events {
           sum(col("cents")).as("monetary"))
         .crossJoin(broadcast(tmax))
         .withColumn("recency_days", expr("(tmax - t_last) div 86400"))
-      val ranked = users
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .withColumn("r_rn", row_number().over(
-          Window.orderBy(col("recency_days").desc, col("user_id"))).cast("long"))
-        .withColumn("f_rn", row_number().over(
-          Window.orderBy(col("freq"), col("user_id"))).cast("long"))
-        .withColumn("m_rn", row_number().over(
-          Window.orderBy(col("monetary"), col("user_id"))).cast("long"))
+        // globalRank orders (sortCol DESC, tie ASC): recency ranks
+        // DESC natively; freq/monetary rank ASC via negation
+        .withColumn("neg_freq", -col("freq"))
+        .withColumn("neg_mon", -col("monetary"))
+      val ranked0 = Extended.globalRank(users, "recency_days", "user_id", "r_rn")
+      val ranked1 = Extended.globalRank(ranked0, "neg_freq", "user_id", "f_rn")
+      val ranked2 = Extended.globalRank(ranked1, "neg_mon", "user_id", "m_rn")
+      val n1 = broadcast(users.agg(count(lit(1)).as("n")))
+      val ranked = ranked2.crossJoin(n1)
         .withColumn("r_score", expr("(r_rn - 1) * 5 div n + 1"))
         .withColumn("f_score", expr("(f_rn - 1) * 5 div n + 1"))
         .withColumn("m_score", expr("(m_rn - 1) * 5 div n + 1"))
@@ -1368,9 +1382,11 @@ object Events {
     * both engines even though the global sort has ties.
     *
     * Scale shape: the sweep runs over 2 rows per SESSION (not per
-    * event) — the single-partition running sum is over a frame already
-    * reduced by the per-user session aggregate; at higher volume,
-    * pre-aggregate deltas per second first (same answer, ≤ span rows).
+    * event), and the running sum is the DISTRIBUTED prefix sum
+    * ([[graft.operators.Extended.globalPrefixSum]]: range-repartition
+    * on (t, delta), per-partition running sums, broadcast partition
+    * offsets) — no single-task sort of the boundary frame anywhere in
+    * the plan, so the sweep survives any session count.
     */
   val concurrency: QueryDef = QueryDef(
     "q_events_concurrency",
@@ -1387,9 +1403,11 @@ object Events {
         .agg(min(col("sec")).as("start_s"), max(col("sec")).as("end_s"))
       val points = sess.select(col("start_s").as("t"), lit(1L).as("delta"))
         .unionAll(sess.select((col("end_s") + 1).as("t"), lit(-1L).as("delta")))
-      val sweep = Window.orderBy(col("t"), col("delta"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val run = points.withColumn("running", sum(col("delta")).over(sweep))
+        // globalPrefixSum orders (sortCol DESC, tie ASC): negate t to
+        // sweep time ascending with ends (-1) before starts (+1)
+        .withColumn("neg_t", -col("t"))
+      val run = Extended.globalPrefixSum(points, "neg_t", "delta", "delta")
+        .withColumnRenamed("cum", "running")
       val peak = run.agg(max(col("running")).as("peak_concurrent"))
       run.crossJoin(broadcast(peak))
         .where(col("running") === col("peak_concurrent"))
@@ -2333,14 +2351,16 @@ object Events {
             ret AS (SELECT e.n, COUNT(DISTINCT e.user_id) AS n_retained
               FROM elig e JOIN ud ON ud.user_id = e.user_id
                 AND ud.day = e.d0 + e.n
-              GROUP BY 1)
-            SELECT 'd' || CAST(e.n AS VARCHAR) AS horizon,
-              CAST(COUNT(*) AS BIGINT) AS n_eligible,
-              CAST(COALESCE(MAX(ret.n_retained), 0) AS BIGINT) AS n_retained,
-              (CAST(COALESCE(MAX(ret.n_retained), 0) AS BIGINT) * 1000000)
-                // NULLIF(COUNT(*), 0) AS retention_x1e6
-            FROM elig e LEFT JOIN ret ON ret.n = e.n
-            GROUP BY e.n"""))
+              GROUP BY 1),
+            eg AS (SELECT n, COUNT(*) AS n_eligible FROM elig GROUP BY 1)
+            SELECT 'd' || CAST(h.n AS VARCHAR) AS horizon,
+              CAST(COALESCE(eg.n_eligible, 0) AS BIGINT) AS n_eligible,
+              CAST(COALESCE(ret.n_retained, 0) AS BIGINT) AS n_retained,
+              (CAST(COALESCE(ret.n_retained, 0) AS BIGINT) * 1000000)
+                // NULLIF(CAST(COALESCE(eg.n_eligible, 0) AS BIGINT), 0)
+                AS retention_x1e6
+            FROM h LEFT JOIN eg ON eg.n = h.n
+            LEFT JOIN ret ON ret.n = h.n"""))
 
   /** SLO ERROR-BUDGET BURN RATE — the multiwindow alerting rule from
     * the Google SRE workbook, over the event log's `error` type

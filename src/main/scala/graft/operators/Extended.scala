@@ -514,14 +514,17 @@ object Extended {
     (s, dir) => {
       val (nOrders, itemCnt, pairs) = pairSupports(s, dir)
       val w = Window.orderBy(col("support").desc, col("p1"), col("p2"))
+      // top-20 via orderBy+limit (TakeOrderedAndProject: per-partition
+      // heaps, never a global sort of the pair frame); the rank window
+      // then runs over 20 rows (the s_graph_link_predict shape)
       pairs
         .join(broadcast(itemCnt.toDF("p1", "cnt1")), "p1")
         .join(broadcast(itemCnt.toDF("p2", "cnt2")), "p2")
         .crossJoin(broadcast(nOrders))
         .withColumn("lift_x1000",
           expr("(support * n_orders * 1000) div (cnt1 * cnt2)"))
+        .orderBy(col("support").desc, col("p1"), col("p2")).limit(20)
         .withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 20)
         .select("rk", "p1", "p2", "support", "lift_x1000")
     },
     Some(s"""WITH $pairSupportsSql,
@@ -688,6 +691,15 @@ object Extended {
     *
     * Returns the frame with a `cum` column. Order is (sortCol desc,
     * tieCol asc), both required for a total order.
+    *
+    * The range-repartitioned subtree feeds TWO plan branches (the
+    * offsets aggregate and the final pid-keyed join), and pid
+    * alignment requires both branches to see the SAME partition
+    * boundaries. RangePartitioner samples with a seed derived from
+    * the RDD lineage, so correctness must not rest on Spark's
+    * ReuseExchange happening to deduplicate the exchange — the
+    * frame is localCheckpointed once so both branches read one
+    * materialized partitioning (the Similarity.scala convention).
     */
   private[graft] def globalPrefixSum(df: DataFrame, sortCol: String,
       tieCol: String, valueCol: String): DataFrame = {
@@ -695,6 +707,7 @@ object Extended {
       .repartitionByRange(col(sortCol).desc, col(tieCol))
       .sortWithinPartitions(col(sortCol).desc, col(tieCol))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val wp = Window.partitionBy("pid")
       .orderBy(col(sortCol).desc, col(tieCol))
     val local = ordered.withColumn("local_cum", sum(col(valueCol)).over(wp))
@@ -708,8 +721,21 @@ object Extended {
       .select("pid", "offset")
     local.join(broadcast(offs), "pid")
       .withColumn("cum", col("local_cum") + col("offset"))
-      .drop("pid", "local_cum")
+      .drop("pid", "local_cum", "offset")
   }
+
+  /** Distributed GLOBAL 1-based rank over the total order (sortCol
+    * desc, tieCol asc) — [[globalPrefixSum]] with a constant-1 value
+    * column (`rank = prefix row count`). tieCol must be unique so
+    * the order (hence the rank) is total. Ascending-order ranks are
+    * obtained by passing a negated sort column. This is the scalable
+    * replacement for an un-partitioned `row_number()` window (which
+    * funnels the whole frame through one task's sort).
+    */
+  private[graft] def globalRank(df: DataFrame, sortCol: String,
+      tieCol: String, rankName: String): DataFrame =
+    globalPrefixSum(df.withColumn("gr_one", lit(1L)), sortCol, tieCol, "gr_one")
+      .withColumnRenamed("cum", rankName).drop("gr_one")
 
   /** ABC / PARETO revenue classification — the inventory-policy
     * rollup ("20% of parts carry 80% of revenue"): parts ranked by
