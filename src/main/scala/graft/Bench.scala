@@ -136,9 +136,10 @@ object Bench {
             .sum
           finally w.close()
         }
-      val fams = Seq("bloomidx", "checksum_parts", "exactdedup", "invidx",
-        "ivf", "ivfpq", "knnbands", "knngraph", "minhash_index", "mv",
-        "neardup", "pqtrained", "semdedup", "zorder")
+      val fams = Seq("bloomidx", "checksum_parts", "csvsink", "exactdedup",
+        "invidx", "ivf", "ivfpq", "knnbands", "knngraph", "minhash_index",
+        "mv", "neardup", "pqtrained", "semdedup", "spark-warehouse",
+        "zorder")
       fams.map(f => jsonStr(f) + ":" + du(Paths.get("/root/repo/target", f)))
         .mkString("{", ",", "}")
     }

@@ -399,6 +399,20 @@ object Relational {
           if (!s.catalog.tableExists(name)) {
             val wh = s.conf.get("spark.sql.warehouse.dir")
               .stripPrefix("file:")
+            // GC superseded fingerprints of THIS input dir first: drop
+            // the stale catalog entries and sweep their warehouse dirs
+            // (gcSiblingRoots' one-fingerprint-segment rule), so a
+            // testdata regeneration REPLACES bucketed tables instead of
+            // accreting one pair per fingerprint forever
+            val cut = name.lastIndexOf('_')
+            if (cut > 0) {
+              val prefix = name.substring(0, cut + 1)
+              s.catalog.listTables().collect().map(_.name)
+                .filter(tn => tn.startsWith(prefix) && tn != name &&
+                  !tn.substring(prefix.length).contains('_'))
+                .foreach(tn => s.sql(s"DROP TABLE IF EXISTS `$tn`"))
+            }
+            graft.sources.Snapshots.gcSiblingRoots(s"$wh/$name")
             graft.sources.Snapshots.deleteRecursively(s"$wh/$name")
             df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
               .saveAsTable(name)

@@ -3706,27 +3706,42 @@ object Similarity {
     * decimal(38,0) (the checksum convention) — the iteration frames
     * stay 64-row regardless.
     *
-    * Scale shape: ONE self-join-free pass over the corpus builds the
-    * scatter (posexplode → 64² per-row products → map-side-combined
-    * hash aggregate; only 4096 partial cells shuffle per partition);
-    * every subsequent step is O(64²) — never a second corpus pass,
-    * never a driver-side matrix from collect.
+    * Scale shape: the 64² products are computed MAP-SIDE from the
+    * intact array column (each row inlines its 4096 (j, k, x_j·x_k)
+    * cells in the scan stage; partial hash aggregation collapses them
+    * to ≤ 4096 cells per task before the only exchange) — no corpus
+    * self-join, no corpus-sized shuffle anywhere; the first moments +
+    * count ride one more bounded-output aggregate pass, and every
+    * subsequent step is O(64²) — never a driver-side matrix from
+    * collect.
     */
   /** The 64×64 centered scatter matrix M = n·Σxxᵀ − SSᵀ over the
-    * ×1000-quantized embedding table — ONE map-side-combined corpus
-    * pass, shared by [[embeddingPca]] and [[embeddingVariance]].
+    * ×1000-quantized embedding table — map-side per-row 64² product
+    * cells + one moments aggregate (two corpus SCANS, zero corpus
+    * shuffles), shared by [[embeddingPca]] and [[embeddingVariance]].
     */
   private def scatterFrame(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val v = quantized(Tables.load(s, dir, "embeddings"))
-    val ex = v.select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "x")))
+    // 4096 (j, k, x_j·x_k) cells inlined per ROW: the products never
+    // leave the map side — partial aggregation folds each task to
+    // ≤ 4096 cells, so the exchange carries partial states only
+    val g = v.select(expr(
+        "inline(flatten(transform(q, (xa, dj) -> " +
+        "transform(q, (xb, dk) -> named_struct(" +
+        "'j', dj, 'k', dk, 'p', xa * xb)))))"))
+      .groupBy("j", "k").agg(sum(col("p")).as("gg"))
+    // first moments S and the count in ONE bounded-output pass
+    val mom = v.agg(count(lit(1)).as("n"),
+        (0 until 64).map(d =>
+          sum(element_at(col("q"), d + 1)).as(s"s$d")): _*)
       .localCheckpoint()
-    val g = ex.toDF("vec_id", "j", "xa")
-      .join(ex.toDF("vec_id", "k", "xb"), "vec_id")
-      .groupBy("j", "k").agg(sum(col("xa") * col("xb")).as("gg"))
-    val sv = ex.groupBy(col("dim")).agg(sum(col("x")).as("sv"))
-    val n = v.agg(count(lit(1)).as("n"))
-    g.join(sv.toDF("j", "sj"), "j").join(sv.toDF("k", "sk"), "k")
+    val sv = mom.select(explode(array((0 until 64).map(d =>
+        struct(lit(d).as("dim"), col(s"s$d").as("sv"))): _*)).as("e"))
+      .select(col("e.dim").as("dim"), col("e.sv").as("sv"))
+    val n = mom.select(col("n"))
+    g.join(broadcast(sv.toDF("j", "sj")), "j")
+      .join(broadcast(sv.toDF("k", "sk")), "k")
       .crossJoin(broadcast(n))
       .select(col("j"), col("k"),
         (col("n") * col("gg") - col("sj") * col("sk")).as("m"))
@@ -3735,18 +3750,21 @@ object Similarity {
 
   /** 3 fixed-point power-iteration rounds over a scatter frame —
     * 64-row frames only; returns (k, vv) with vv the ×1000 dominant
-    * eigenvector estimate.
+    * eigenvector estimate. The mat-vec folds in decimal(38,0)
+    * (DuckDB: HUGEINT) so |M·v| ≤ 64·|M|·1000 has no int64 headroom
+    * cliff at larger corpora/quantized magnitudes; the normalized
+    * component |vv| ≤ 1000 always fits a BIGINT.
     */
   private def powerIterate(s: org.apache.spark.sql.SparkSession,
       m: DataFrame): DataFrame = {
     var vv = s.range(0, 64).select(col("id").as("k"), lit(1000L).as("vv"))
     for (_ <- 1 to 3) {
       val w = m.join(vv, "k").groupBy(col("j"))
-        .agg(sum(col("m") * col("vv")).as("w"))
+        .agg(sum(col("m").cast("decimal(38,0)") * col("vv")).as("w"))
       val mx = w.agg(max(abs(col("w"))).as("mx"))
       vv = w.crossJoin(broadcast(mx))
         .select(col("j").as("k"),
-          expr("(w * 1000) div nullif(mx, 0)").as("vv"))
+          expr("CAST((w * 1000) div nullif(mx, 0) AS LONG)").as("vv"))
         .localCheckpoint()
     }
     vv
@@ -3757,10 +3775,11 @@ object Similarity {
     */
   private def scatterPowerSqlCtes: String = {
     def round(i: Int, prev: String) =
-      s"""w$i AS MATERIALIZED (SELECT j, CAST(SUM(m * vv) AS BIGINT) AS w
+      s"""w$i AS MATERIALIZED (SELECT j, CAST(SUM(m * vv) AS HUGEINT) AS w
            FROM mm JOIN $prev ON $prev.k = mm.k GROUP BY 1),
          x$i AS (SELECT MAX(ABS(w)) AS mx FROM w$i),
-         v$i AS MATERIALIZED (SELECT j AS k, (w * 1000) // NULLIF(mx, 0) AS vv
+         v$i AS MATERIALIZED (SELECT j AS k,
+             CAST((w * 1000) // NULLIF(mx, 0) AS BIGINT) AS vv
            FROM w$i CROSS JOIN x$i)"""
     s"""$quantizedSql,
        ex AS MATERIALIZED (SELECT vec_id, unnest(q) AS x,
