@@ -526,6 +526,35 @@ object EventStreams {
         ()
       }
 
+  /** Streaming twin of the BM25 maintenance path (§2.2 row 45d's
+    * index set under streaming ingest — the family convention next to
+    * [[exactDedupStream]]): each micro-batch of (doc_id, text) rows
+    *  1. appends to the versioned base corpus EXACTLY-ONCE under
+    *     (streamId, batchId) ([[graft.sources.Snapshots.ingestBatch]]),
+    *  2. folds every base version the batch advanced past into the
+    *     full BM25 table set via
+    *     [[graft.functions.TextFunctions.bm25Maintain]]'s PER-TABLE
+    *     watermarks — postings (signed tf), doclen sidecar, corpus
+    *     scalars, each O(changed docs).
+    * A replayed micro-batch is a no-op at BOTH layers: the ingest tag
+    * dedups the base append, and an unchanged base version leaves
+    * every maintenance watermark where it was. Out-of-band DML on the
+    * base table between batches (deleteWhere, compaction) is folded by
+    * the NEXT batch's maintenance pass — changesBetween reads the
+    * manifest diff, so deletes arrive as tombstone deltas exactly as
+    * in the batch DML path (`t_search_bm25_dml`).
+    */
+  def bm25MaintainStream(docs: DataFrame, baseTable: String,
+      postT: String, dlT: String, totT: String, streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Snapshots.ingestBatch(batch, baseTable, streamId, batchId)
+        graft.functions.TextFunctions.bm25Maintain(
+          batch.sparkSession, baseTable, postT, dlT, totT)
+        ()
+      }
+
   // ---- streaming rolling-distinct sketch state (row 35e, streaming twin) ----
 
   /** One micro-batch of the DAILY-HLL sketch state behind

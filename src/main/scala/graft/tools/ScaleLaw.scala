@@ -113,10 +113,12 @@ object ScaleLaw {
     val json = rows.map { case (n, a, b, r, e) =>
       f"""  {"query":"$n","base_s":$a%.3f,"x${factor}_s":$b%.3f,"ratio":$r%.3f,"exponent":$e%.3f}"""
     }.mkString("[\n", ",\n", "\n]")
+    val outPath = if (args.length > 3) args(3)
+      else s"/root/repo/tools/scalelaw_x$factor.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/tools/scalelaw_r10.json"),
+      java.nio.file.Paths.get(outPath),
       s"""{"base":"$base","factor":$factor,"rows":$json}\n""")
-    println("wrote tools/scalelaw_r10.json")
+    println(s"wrote $outPath")
     spark.stop()
   }
 }

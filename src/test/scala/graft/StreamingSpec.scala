@@ -828,4 +828,64 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == got, "replay must not change the served estimates")
   }
+
+  test("streaming BM25 maintenance equals bootstrap rebuild, folds out-of-band DML, replays no-op") {
+    import graft.sources.Snapshots
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = "/root/repo/target/streaming-spec/bm25"
+    Snapshots.deleteRecursively(root)
+    val (baseT, postT, dlT, totT) =
+      (s"$root/docs", s"$root/postings", s"$root/doclen", s"$root/totals")
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val batches = rows.groupBy(_._1 % 3) // 3 deterministic micro-batches
+
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.bm25MaintainStream(
+      mem.toDF.toDF("doc_id", "text"), baseT, postT, dlT, totT, "bm25_s1").start()
+    try {
+      for (k <- 0L to 2L) {
+        mem.addData(batches(k).toSeq: _*)
+        q.processAllAvailable()
+        // out-of-band DML between batches: the NEXT batch's
+        // maintenance pass must fold the delete as tombstone deltas
+        if (k == 0L)
+          Snapshots.deleteWhere(spark, baseT, pmod(col("doc_id"), lit(7)) === 0)
+      }
+    } finally q.stop()
+
+    def served(pT: String, dT: String, tT: String) =
+      TextFunctions.bm25ServeNet(spark, pT, dT, tT).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = served(postT, dlT, totT)
+
+    // reference: one bootstrap fold over the final LIVE corpus — all
+    // docs except the batch-0 slice the deleteWhere removed
+    val live = docs.where(!(pmod(col("doc_id"), lit(3)) === 0 &&
+      pmod(col("doc_id"), lit(7)) === 0))
+    val refRoot = s"$root/ref"
+    val (rBase, rPost, rDl, rTot) =
+      (s"$refRoot/docs", s"$refRoot/postings", s"$refRoot/doclen", s"$refRoot/totals")
+    Snapshots.commitOverwrite(live, rBase)
+    TextFunctions.bm25Maintain(spark, rBase, rPost, rDl, rTot)
+    val expect = served(rPost, rDl, rTot)
+    assert(got == expect,
+      s"stream-maintained BM25 diverged from rebuild: ${got.size} vs ${expect.size}")
+
+    // replay batch 1 after batch 2 committed: no new versions anywhere,
+    // serve unchanged (ingest tag dedups the append; unchanged base
+    // version leaves every maintenance watermark in place)
+    import spark.implicits._
+    val vBase = Snapshots.currentVersion(baseT)
+    val vPost = Snapshots.currentVersion(postT)
+    Snapshots.ingestBatch(
+      batches(1L).toSeq.toDF("doc_id", "text"), baseT, "bm25_s1", 1L)
+    TextFunctions.bm25Maintain(spark, baseT, postT, dlT, totT)
+    assert(Snapshots.currentVersion(baseT) == vBase, "replay must not commit base")
+    assert(Snapshots.currentVersion(postT) == vPost, "replay must not re-fold")
+    assert(served(postT, dlT, totT) == got, "replay must not change serving")
+  }
 }
