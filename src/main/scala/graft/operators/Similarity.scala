@@ -4110,6 +4110,253 @@ object Similarity {
               varnum = 0 AS is_dead
             FROM v2 CROSS JOIN t"""))
 
+  /** Per-dimension (min, range) of the quantized corpus as two
+    * broadcastable 64-element arrays — the SQ8 codebook (range is
+    * clamped ≥ 1 so a constant dimension codes to 0 instead of
+    * dividing by zero). One 64-group aggregate; output is 1 row.
+    */
+  private def sqStats(v: DataFrame): DataFrame =
+    v.select(posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(min(col("x")).as("mn"),
+        greatest(max(col("x")) - min(col("x")), lit(1L)).as("rng"))
+      .agg(
+        expr("transform(sort_array(collect_list(struct(dim, mn))), s -> s.mn)")
+          .as("mns"),
+        expr("transform(sort_array(collect_list(struct(dim, rng))), s -> s.rng)")
+          .as("rngs"))
+
+  /** (vec_id, code) — each vector SCALAR-QUANTIZED to 64 int codes in
+    * [0, 255]: code_d = ((q_d − min_d) · 255) div range_d. Map-side
+    * given the broadcast stats row.
+    */
+  private def sqCoded(v: DataFrame): DataFrame =
+    v.crossJoin(broadcast(sqStats(v)))
+      .select(col("vec_id"), expr(
+        "transform(q, (x, d) -> ((x - element_at(mns, d+1)) * 255)" +
+        " div element_at(rngs, d+1))").as("code"))
+
+  /** Shared oracle CTEs for the SQ8 codebook + codes: `v` (quantized)
+    * → `sqst` (per-dim min/range as ordered lists) → `sqc`
+    * (vec_id, code).
+    */
+  private def sqCodedSql: String =
+    s"""$quantizedSql,
+       sqex AS (SELECT unnest(q) AS x, unnest(range(0, 64)) AS dim FROM v),
+       sqst AS (SELECT list(mn ORDER BY dim) AS mns,
+           list(rng ORDER BY dim) AS rngs
+         FROM (SELECT dim, MIN(x) AS mn, GREATEST(MAX(x) - MIN(x), 1) AS rng
+           FROM sqex GROUP BY 1)),
+       sqc AS (SELECT vec_id,
+           list_transform(list_zip(q, mns, rngs),
+             s -> ((s[1] - s[2]) * 255) // s[3]) AS code
+         FROM v CROSS JOIN sqst)"""
+
+  /** §2.2 row 27aa — SCALAR-QUANTIZED (SQ8) ANN serving: the corpus is
+    * compressed 8× (64 × int8 codes vs 64 × float + derived int64
+    * work vectors) by per-dimension affine quantization, and top-k
+    * runs entirely in code space — squared-L2 over the int codes via
+    * the codegen'd native [[graft.functions.Native.sqDistScaled]]
+    * (scale = 1). The memory-compression tier every production vector
+    * store offers below full-precision serving (reference analog:
+    * the same vec_id < 5 query set as `s_knn_bruteforce`).
+    *
+    * Scale shape: the codebook is ONE 64-group aggregate broadcast as
+    * a 1-row frame; encoding is map-side; scoring joins the 5-row
+    * broadcast query side against the corpus (the bounded-query-side
+    * brute-force convention — at 100 TB SQ composes with IVF probe
+    * pruning exactly as `s_knn_ivfpq` does for PQ; this query is the
+    * compression tier in isolation). The top-10 window is partitioned
+    * by q_id.
+    */
+  val knnSq: QueryDef = QueryDef(
+    "s_knn_sq",
+    (s, dir) => {
+      val v = quantized(Tables.load(s, dir, "embeddings"))
+      val c = sqCoded(v)
+      val q = broadcast(c.where(col("vec_id") < 5).toDF("q_id", "q_code"))
+      val scored = q.join(c.toDF("n_id", "n_code"), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          graft.functions.Native.sqDistScaled(
+            col("q_code"), col("n_code"), lit(1L)).as("sqdist"))
+      val w = Window.partitionBy("q_id").orderBy(col("sqdist"), col("n_id"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 10)
+        .select("q_id", "n_id", "sqdist", "rn")
+    },
+    Some(s"""WITH $sqCodedSql,
+         p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_sum(list_transform(list_zip(a.code, b.code),
+               s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT) AS sqdist
+           FROM sqc a JOIN sqc b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+         SELECT q_id, n_id, sqdist, CAST(rn AS BIGINT) AS rn FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY sqdist, n_id) AS rn FROM p)
+         WHERE rn <= 10"""))
+
+  /** §2.2 row 27aa2 — SQ8 recall@10: the eval next to [[knnSq]]'s
+    * serving tier (the `s_knn_truncated_recall` convention) — what
+    * fraction of the exact cosine top-10 survives 8× compression?
+    * The actionable read before turning SQ on for a corpus.
+    */
+  val knnSqRecall: QueryDef = QueryDef(
+    "s_knn_sq_recall",
+    (s, dir) => {
+      val v = quantized(Tables.load(s, dir, "embeddings"))
+      // exact cosine top-10 (the brute-force baseline)
+      val qf = broadcast(v.where(col("vec_id") < 5).toDF("q_id", "q_q", "q_nrm"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      val exact = qf.join(v.toDF("n_id", "n_q", "n_nrm"), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        .select("q_id", "n_id")
+      // SQ top-10 in code space
+      val c = sqCoded(v)
+      val qc = broadcast(c.where(col("vec_id") < 5).toDF("q_id", "q_code"))
+      val ws = Window.partitionBy("q_id").orderBy(col("sqdist"), col("n_id"))
+      val approx = qc.join(c.toDF("n_id", "n_code"), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          graft.functions.Native.sqDistScaled(
+            col("q_code"), col("n_code"), lit(1L)).as("sqdist"))
+        .withColumn("rn", row_number().over(ws)).where(col("rn") <= 10)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_x1000", expr("(n_hit * 1000) div n_true"))
+    },
+    Some(s"""WITH $sqCodedSql,
+         n AS (SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+         fp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+             a.nrm AS na, b.nrm AS nb
+           FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         ft AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+               CAST(dot AS DOUBLE) / SQRT(NULLIF(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE), 0)) DESC NULLS LAST, n_id) AS rn
+             FROM fp) x WHERE rn <= 10),
+         sp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_sum(list_transform(list_zip(a.code, b.code),
+               s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT) AS sqdist
+           FROM sqc a JOIN sqc b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         st AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sqdist, n_id) AS rn FROM sp) x WHERE rn <= 10)
+         SELECT f.q_id, COUNT(*) AS n_true,
+           CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST((CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+             // COUNT(*) AS BIGINT) AS recall_x1000
+         FROM ft f LEFT JOIN st t ON f.q_id = t.q_id AND f.n_id = t.n_id
+         GROUP BY 1"""))
+
+  /** (vec_id, lo, hi) — each vector BINARY-QUANTIZED to 64 sign bits
+    * against the per-dimension corpus mean, packed as two 32-bit
+    * masks. The threshold test is the exact integer comparison
+    * q_d · n > Σq_d (no mean division), so both engines agree
+    * bit-for-bit.
+    */
+  private def bqMasked(v: DataFrame): DataFrame = {
+    val sums = broadcast(
+      v.select(posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(sum(col("x")).as("sv"))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(dim, sv))), t -> t.sv)")
+          .as("sums"))
+        .crossJoin(v.agg(count(lit(1)).as("n"))))
+    v.crossJoin(sums).select(col("vec_id"),
+      expr("aggregate(transform(slice(q, 1, 32), (x, d) -> " +
+        "IF(x * n > element_at(sums, d+1), shiftleft(1L, d), 0L)), " +
+        "0L, (acc, y) -> acc + y)").as("lo"),
+      expr("aggregate(transform(slice(q, 33, 32), (x, d) -> " +
+        "IF(x * n > element_at(sums, d+33), shiftleft(1L, d), 0L)), " +
+        "0L, (acc, y) -> acc + y)").as("hi"))
+  }
+
+  /** Shared oracle CTEs for the BQ masks: `v` → `bqm`
+    * (vec_id, lo, hi).
+    */
+  private def bqMaskedSql: String =
+    s"""$quantizedSql,
+       bqex AS (SELECT unnest(q) AS x, unnest(range(0, 64)) AS dim FROM v),
+       bqsv AS (SELECT list(sv ORDER BY dim) AS sums,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n
+         FROM (SELECT dim, CAST(SUM(x) AS BIGINT) AS sv
+           FROM bqex GROUP BY 1)),
+       bqm AS (SELECT vec_id,
+           CAST(list_sum(list_transform(list_zip(q[1:32], range(0, 32), sums[1:32]),
+             s -> CASE WHEN s[1] * n > s[3]
+               THEN (CAST(1 AS BIGINT) << CAST(s[2] AS INTEGER)) ELSE 0 END))
+             AS BIGINT) AS lo,
+           CAST(list_sum(list_transform(list_zip(q[33:64], range(0, 32), sums[33:64]),
+             s -> CASE WHEN s[1] * n > s[3]
+               THEN (CAST(1 AS BIGINT) << CAST(s[2] AS INTEGER)) ELSE 0 END))
+             AS BIGINT) AS hi
+         FROM v CROSS JOIN bqsv)"""
+
+  /** §2.2 row 27ab — BINARY-QUANTIZED ANN with exact re-ranking: the
+    * 512× compression + rescoring pattern (each vector is 64 sign
+    * bits against the per-dim corpus mean; candidates are the
+    * Hamming-nearest 200 per query (20× oversampling of k — the
+    * tuning knob that buys recall back when 64 bits over 64 dims
+    * tie heavily; production BQ over 1024-dim embeddings needs far
+    * less); the final top-10 re-ranks ONLY those 200 with the exact
+    * integer dot product). This is the
+    * production BQ serving shape — cheap popcount scan to shortlist,
+    * full-precision rescoring on the shortlist — distinct from
+    * `s_knn_lsh` (bucketed bands, no rescoring stage).
+    *
+    * Scale shape: masks are map-side given a broadcast 1-row stats
+    * frame; the Hamming scan carries TWO LONGS per corpus row (not
+    * the 64-long work vector), so the shortlist stage reads 32× less
+    * than brute force; the exact rerank touches 5 × 200 rows. Windows
+    * are partitioned by q_id.
+    */
+  val knnBq: QueryDef = QueryDef(
+    "s_knn_bq",
+    (s, dir) => {
+      val v = quantized(Tables.load(s, dir, "embeddings"))
+      val m = bqMasked(v)
+      val qm = broadcast(m.where(col("vec_id") < 5).toDF("q_id", "q_lo", "q_hi"))
+      val ham = qm.join(m.toDF("n_id", "n_lo", "n_hi"), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          (expr("bit_count(q_lo ^ n_lo)") + expr("bit_count(q_hi ^ n_hi)"))
+            .cast("long").as("ham"))
+      val wh = Window.partitionBy("q_id").orderBy(col("ham"), col("n_id"))
+      val cand = ham.withColumn("hrn", row_number().over(wh))
+        .where(col("hrn") <= 200).select("q_id", "n_id", "ham")
+      // exact rescoring of the 5 × 200 shortlist only
+      val qv = broadcast(v.where(col("vec_id") < 5).toDF("q_id", "q_q", "q_nrm"))
+      val wr = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      cand.join(v.toDF("n_id", "n_q", "n_nrm"), "n_id").join(qv, "q_id")
+        .select(col("q_id"), col("n_id"), col("ham"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .where(col("rn") <= 10)
+        .select("q_id", "n_id", "ham", "sim", "rn")
+    },
+    Some(s"""WITH $bqMaskedSql,
+         n AS (SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+         hp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+               AS BIGINT) AS ham
+           FROM bqm a JOIN bqm b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         cand AS (SELECT q_id, n_id, ham FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY ham, n_id) AS hrn FROM hp) x WHERE hrn <= 200),
+         rr AS (SELECT c.q_id, c.n_id, c.ham,
+             CAST(list_sum(list_transform(list_zip(qa.q, nb.q), s -> s[1]*s[2])) AS DOUBLE)
+               / SQRT(NULLIF(CAST(qa.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE), 0)) AS sim
+           FROM cand c JOIN n qa ON qa.vec_id = c.q_id
+             JOIN n nb ON nb.vec_id = c.n_id)
+         SELECT q_id, n_id, ham, sim, CAST(rn AS BIGINT) AS rn FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY sim DESC NULLS LAST, n_id) AS rn FROM rr)
+         WHERE rn <= 10"""))
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
@@ -4120,5 +4367,5 @@ object Similarity {
       labelKappa, evalRetrieval, graphCommunities, knnRouted, truncatedRecall,
       silhouette, labelCentroidDrift, embeddingPca, graphLinkPredict,
       embeddingVariance, embeddingIsolation, embeddingDimAudit, ivfBalance,
-      pqCodeBalance, graphDegree)
+      pqCodeBalance, graphDegree, knnSq, knnSqRecall, knnBq)
 }

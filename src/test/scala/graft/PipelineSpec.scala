@@ -1823,4 +1823,50 @@ class PipelineSpec extends SparkSpec {
     assert(e2 <= 2.0 * (n2 / n1) * e1,
       s"per-round LPA work superlinear: N $n1->$n2, edges $e1->$e2")
   }
+
+  test("SQ8 codes stay in [0,255] and code-space serving recalls most of the exact top-10") {
+    val rows = SparkEntry.queries("s_knn_sq")(spark, sfDir).collect()
+    assert(rows.length == 50, "5 queries x top-10")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L, "squared distance is non-negative")
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= 10L)
+    }
+    // 64 dims x max per-dim code delta 255 bounds the distance
+    assert(rows.forall(_.getLong(2) <= 64L * 255 * 255), "sqdist exceeds code-space bound")
+    val rec = SparkEntry.queries("s_knn_sq_recall")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rec.size == 5)
+    // 8-bit affine codes preserve neighborhoods: expect >= 60% recall
+    // on every query at test SFs (measured: 700-1000 across all three)
+    rec.foreach { case (q, rx1000) =>
+      assert(rx1000 >= 600L, s"query $q SQ8 recall ${rx1000 / 10.0}% below 60%")
+    }
+  }
+
+  test("BQ hamming shortlist + exact rescoring overlaps the exact top-10 and orders by true sim") {
+    val byQ = SparkEntry.queries("s_knn_bq")(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 10, s"query $q must serve 10")
+      rs.foreach { r =>
+        assert(r.getLong(2) >= 0L && r.getLong(2) <= 64L, "hamming in [0,64]")
+      }
+      // ranks follow the EXACT similarity (rescoring output), not hamming
+      val ordered = rs.sortBy(_.getLong(4))
+      assert(ordered.map(_.getDouble(3)).sliding(2).forall(p => p(0) >= p(1) - 1e-12),
+        s"query $q rerank not ordered by exact sim")
+    }
+    // shortlist-then-rescore must recover a majority of the exact top-10
+    val bf = SparkEntry.queries("s_knn_bruteforce")(spark, sfDir)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    byQ.foreach { case (q, rs) =>
+      val hits = rs.map(_.getLong(1)).toSet.intersect(bf(q)).size
+      assert(hits >= 5, s"query $q BQ+rerank recovered only $hits of exact top-10")
+    }
+  }
 }
