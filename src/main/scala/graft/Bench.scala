@@ -137,7 +137,7 @@ object Bench {
           finally w.close()
         }
       val fams = Seq("bloomidx", "checksum_parts", "csvsink", "exactdedup",
-        "invidx", "ivf", "ivfpq", "knnbands", "knngraph", "minhash_index",
+        "invidx", "ivf", "jsonsink", "ivfpq", "knnbands", "knngraph", "minhash_index",
         "mv", "neardup", "pqtrained", "semdedup", "spark-warehouse",
         "zorder")
       fams.map(f => jsonStr(f) + ":" + du(Paths.get("/root/repo/target", f)))

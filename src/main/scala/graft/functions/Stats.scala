@@ -792,11 +792,64 @@ object StatsQueries {
           UNION ALL ${one("eq_30000_00", "eq", 3000000L)}"""
     })
 
+  /** EXACT per-group quantiles (lower median + p90 of document length
+    * per language) via GROUPED-VALUE rank arithmetic — the partitioned
+    * twin of the scale-safe rank pattern (`t_eval_auc` /
+    * `q_events_conversion_lag`): rows collapse to (lang, value, count)
+    * cells with map-side combine, the cumulative runs over each
+    * group's DISTINCT-value frame (a window PARTITIONED by lang —
+    * never a single-task sort), and each target rank reads the value
+    * whose cumulative span covers it. Complements `q_percentiles`
+    * (global exact) and `q_approx_stats_grouped` (grouped sketch):
+    * this is grouped AND exact, the per-stratum length profile a
+    * mixture rebalance reads before resampling.
+    *
+    * Scale shape: one (lang, n_chars) aggregate (map-side partial),
+    * windows over ≤ langs × distinct-lengths cells partitioned by
+    * lang, ≤ langs output rows.
+    */
+  val groupwiseQuantiles: QueryDef = QueryDef(
+    "q_groupwise_quantiles",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d = graft.Tables.load(s, dir, "documents").select("lang", "n_chars")
+      val cells = d.groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          W.partitionBy("lang").orderBy("n_chars")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      val tot = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      cells.join(tot, "lang")
+        .withColumn("r_med", expr("(n + 1) div 2"))
+        .withColumn("r_p90", greatest(lit(1L), expr("(n * 9) div 10")))
+        .groupBy("lang")
+        .agg(max(col("n")).as("n_docs"),
+          max(when(col("cum") - col("cnt") < col("r_med") &&
+            col("r_med") <= col("cum"), col("n_chars"))).as("median_n_chars"),
+          max(when(col("cum") - col("cnt") < col("r_p90") &&
+            col("r_p90") <= col("cum"), col("n_chars"))).as("p90_n_chars"))
+    },
+    Some("""WITH cells AS (SELECT lang, n_chars, COUNT(*) AS cnt
+            FROM documents GROUP BY 1, 2),
+          cc AS (SELECT lang, n_chars, cnt,
+              CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM cells),
+          tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1)
+          SELECT cc.lang, MAX(n) AS n_docs,
+            MAX(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+              THEN n_chars END) AS median_n_chars,
+            MAX(CASE WHEN cum - cnt < GREATEST(1, (n * 9) // 10)
+              AND GREATEST(1, (n * 9) // 10) <= cum
+              THEN n_chars END) AS p90_n_chars
+          FROM cc JOIN tot ON tot.lang = cc.lang
+          GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(histogram, tableStats, stringHistogram, approxStats, histogramEquiDepth,
       sketchQuantiles, skewProfile, dataQuality, tableChecksum,
       tableChecksumIncremental, approxStatsGrouped, tableProfile, benford,
-      columnCorr, selectivityEval)
+      columnCorr, selectivityEval, groupwiseQuantiles)
 
   /** Equi-width histogram summary of a numeric column: (lo, hi,
     * bucket counts). One narrow aggregate pass; the B-bucket result is

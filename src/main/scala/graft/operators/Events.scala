@@ -1388,33 +1388,61 @@ object Events {
     * offsets) — no single-task sort of the boundary frame anywhere in
     * the plan, so the sweep survives any session count.
     */
+  /** (user_id, t, kind) BOUNDARY POINTS of the 30-min-gap sessions of
+    * an events frame carrying (user_id, event_id, sec): kind = +1 at
+    * start_s, −1 at end_s + 1 — the sweep-line input shared by the
+    * batch query and the incrementally maintained MV
+    * ([[concurrencyRefresh]]).
+    */
+  private[graft] def sessionPoints(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val sess = e
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(wu))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("sec")).as("start_s"), max(col("sec")).as("end_s"))
+    sess.select(col("user_id"), col("start_s").as("t"), lit(1L).as("kind"))
+      .unionAll(sess.select(col("user_id"),
+        (col("end_s") + 1).as("t"), lit(-1L).as("kind")))
+  }
+
+  /** Peak-concurrency report from a (t, kind, cnt) netted boundary
+    * frame: distributed prefix sum over (t asc, ends-before-starts),
+    * peak + first attainment + session count. cnt is the
+    * live-boundary multiplicity at (t, kind) — collapsing identical
+    * points cannot move the max (a +1 group attains its max at its
+    * collapsed value; a −1 row is strictly below its predecessor), so
+    * the report equals the row-per-boundary sweep's.
+    */
+  private[graft] def concurrencyReport(pts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val points = pts.withColumn("delta", col("kind") * col("cnt"))
+      // globalPrefixSum orders (sortCol DESC, tie ASC): negate t to
+      // sweep time ascending with ends (-1) before starts (+1)
+      .withColumn("neg_t", -col("t"))
+    val run = Extended.globalPrefixSum(points, "neg_t", "kind", "delta")
+      .withColumnRenamed("cum", "running")
+    val peak = run.agg(max(col("running")).as("peak_concurrent"))
+    run.crossJoin(broadcast(peak))
+      .where(col("running") === col("peak_concurrent"))
+      .groupBy("peak_concurrent")
+      .agg(min(col("t")).as("first_peak_s"))
+      .crossJoin(broadcast(pts.where(col("kind") === 1L)
+        .agg(sum(col("cnt")).cast("long").as("n_sessions"))))
+      .select("peak_concurrent", "first_peak_s", "n_sessions")
+  }
+
   val concurrency: QueryDef = QueryDef(
     "q_events_concurrency",
     (s, dir) => {
-      val wu = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
-      val sess = events(s, dir)
-        .select(col("user_id"), col("event_id"), sec.as("sec"))
-        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(wu))
-        .withColumn("new_s",
-          when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
-        .withColumn("sid", sum(col("new_s")).over(
-          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "sid")
-        .agg(min(col("sec")).as("start_s"), max(col("sec")).as("end_s"))
-      val points = sess.select(col("start_s").as("t"), lit(1L).as("delta"))
-        .unionAll(sess.select((col("end_s") + 1).as("t"), lit(-1L).as("delta")))
-        // globalPrefixSum orders (sortCol DESC, tie ASC): negate t to
-        // sweep time ascending with ends (-1) before starts (+1)
-        .withColumn("neg_t", -col("t"))
-      val run = Extended.globalPrefixSum(points, "neg_t", "delta", "delta")
-        .withColumnRenamed("cum", "running")
-      val peak = run.agg(max(col("running")).as("peak_concurrent"))
-      run.crossJoin(broadcast(peak))
-        .where(col("running") === col("peak_concurrent"))
-        .groupBy("peak_concurrent")
-        .agg(min(col("t")).as("first_peak_s"))
-        .crossJoin(broadcast(sess.agg(count(lit(1)).as("n_sessions"))))
-        .select("peak_concurrent", "first_peak_s", "n_sessions")
+      val pts = sessionPoints(events(s, dir)
+          .select(col("user_id"), col("event_id"), sec.as("sec")))
+        .groupBy("t", "kind").agg(count(lit(1)).as("cnt"))
+      concurrencyReport(pts)
     },
     Some("""WITH e AS (SELECT user_id, event_id,
              CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
@@ -1437,6 +1465,65 @@ object Events {
              (SELECT MIN(t) FROM run WHERE running = pk.peak_concurrent) AS first_peak_s,
              (SELECT COUNT(*) FROM sess) AS n_sessions
            FROM pk"""))
+
+  private val ConcThroughPrefix = "conc_through_"
+
+  /** INCREMENTALLY maintained session-boundary MV behind the
+    * peak-concurrency report — the prefix-sum rewrite served from the
+    * MV layer (the mv_join signed-row convention applied to the
+    * sweep-line): the MV stores (user_id, t, kind, sgn) boundary rows;
+    * a refresh reads ONLY the base versions' change feed
+    * ([[graft.sources.Snapshots.changesBetween]]), re-sessionizes ONLY
+    * the affected users (an append can merge two of a user's sessions,
+    * so the user's boundary set is replaced wholesale: old rows
+    * re-derived from the PREVIOUS version appended with sgn = −1, new
+    * rows with sgn = +1 — O(affected users' events), never a corpus
+    * pass), and commits exactly-once under the base-version watermark
+    * tag. Serving nets multiplicities per (t, kind) and runs the same
+    * distributed sweep as the batch query.
+    *
+    * Base table schema: (user_id, event_id, sec).
+    */
+  def concurrencyRefresh(s: SparkSession, baseTable: String,
+      mvTable: String): Unit = {
+    import graft.sources.Snapshots
+    val curV = Snapshots.currentVersion(baseTable)
+    require(curV > 0, s"base table $baseTable has no committed version")
+    val lastV = Snapshots.tagWatermark(mvTable, ConcThroughPrefix)
+    if (lastV == curV) return
+    val tag = Seq(ConcThroughPrefix + curV)
+    if (lastV == 0) {
+      Snapshots.commitOverwriteTagged(
+        sessionPoints(Snapshots.readVersion(s, baseTable, curV))
+          .withColumn("sgn", lit(1L)), mvTable, tag)
+    } else {
+      val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
+      // pinned: the affected-user set feeds BOTH version re-reads, and
+      // the change feed's exceptAll must not re-evaluate per branch
+      val users = ins.select("user_id").unionAll(del.select("user_id"))
+        .distinct().localCheckpoint()
+      def bounds(v: Int) = sessionPoints(
+        Snapshots.readVersion(s, baseTable, v).join(users, Seq("user_id"), "leftsemi"))
+      Snapshots.commitAppendTagged(
+        bounds(curV).withColumn("sgn", lit(1L))
+          .unionByName(bounds(lastV).withColumn("sgn", lit(-1L))),
+        mvTable, tag)
+    }
+    ()
+  }
+
+  /** Peak-concurrency report served from the boundary MV — nets the
+    * signed multiplicities per (t, kind) (a replaced user's old
+    * boundaries cancel exactly), drops dead points, and runs the
+    * SAME distributed sweep as the batch query.
+    */
+  def concurrencyServe(s: SparkSession, mvTable: String)
+      : org.apache.spark.sql.DataFrame = {
+    val pts = graft.sources.Snapshots.read(s, mvTable)
+      .groupBy("t", "kind").agg(sum(col("sgn")).cast("long").as("cnt"))
+      .where(col("cnt") =!= 0L)
+    concurrencyReport(pts)
+  }
 
   /** DAU/MAU STICKINESS — the engagement ratio product analytics
     * trends (retention answers "do they come back", stickiness answers

@@ -449,9 +449,43 @@ object SourceQueries {
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1"""))
 
+  /** JSONL (newline-delimited JSON) sink + schema-pinned read-back —
+    * row 25's second interchange format next to [[csvRoundtrip]]: the
+    * format every ingestion pipeline meets first (API exports, log
+    * shippers, LLM training-data interchange). Content-keyed like the
+    * CSV sink (a regenerated corpus re-writes; a re-run serves the
+    * existing version), and the read pins the schema — JSON inference
+    * is a full extra scan at 100 TB, and worse, it TYPE-DRIFTS (an
+    * all-null column infers string), so pinning is correctness, not
+    * just speed.
+    */
+  val jsonlRoundtrip: QueryDef = QueryDef(
+    "q_jsonl_roundtrip",
+    (s, dir) => {
+      val n = graft.Tables.load(s, dir, "nation")
+      val fp = Snapshots.fileFingerprint(s"$dir/nation.parquet")
+      val path = "/root/repo/target/jsonsink/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ver = Snapshots.ensureIndex(path, fp) { out =>
+        n.write.json(out)
+      }
+      s.read.schema(n.schema)
+        .json(Snapshots.versionDirs(path, ver): _*)
+        .join(graft.Tables.load(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("n_nationkey").cast("long")).as("key_sum"),
+          max(length(col("n_name"))).cast("long").as("max_name_len"))
+    },
+    Some("""SELECT r_name, COUNT(*) AS n_nations,
+            CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+            CAST(MAX(LENGTH(n_name)) AS BIGINT) AS max_name_len
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(zorderSecondary, mvIncremental, mergeUpsert, bloomPointLookup,
-      snapshotDiff, mvJoinIncremental, csvRoundtrip)
+      snapshotDiff, mvJoinIncremental, csvRoundtrip, jsonlRoundtrip)
 }
 
 /** Copy-on-write mutations — the reference's record insert/update/

@@ -84,6 +84,14 @@ object ScaleLaw {
     val topN = if (args.length > 2) args(2).toInt else 15
     val spark = graft.GraftSession.create("local[32]", 32)
     spark.sparkContext.setLogLevel("WARN")
+    // q_recursive_cte's UnionLoop output grows with the corpus; the
+    // 1M-row safety valve (not a plan pathology) trips at ~16× sf0.1.
+    // Raise it so the MEASURED exponent is reported — the same knob a
+    // production deployment sizes to its expected closure, exactly
+    // like shuffle partitions.
+    spark.conf.set(
+      org.apache.spark.sql.internal.SQLConf.CTE_RECURSION_ROW_LIMIT.key,
+      "100000000")
     val big = scaledDir(spark, base, factor)
     // slowest-N from the committed round timings
     val prior: Seq[(String, Double)] = {

@@ -2144,4 +2144,20 @@ class AnalyticsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("groupwise quantiles equal a brute-force per-group sort") {
+    val got = SparkEntry.queries("q_groupwise_quantiles")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val byLang = Tables.load(spark, sfDir, "documents").select("lang", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (lang, xs) =>
+      val v = xs.map(_._2).sorted
+      val n = v.length.toLong
+      val med = v(((n + 1) / 2 - 1).toInt)
+      val p90 = v((math.max(1L, n * 9 / 10) - 1).toInt)
+      assert(got(lang) == ((n, med, p90)),
+        s"$lang: got ${got(lang)}, brute ($n, $med, $p90)")
+    }
+  }
 }

@@ -1101,4 +1101,54 @@ class SourcesSpec extends SparkSpec {
     assert(Files.exists(Paths.get(other, "marker")),
       "a root for a different input dir must survive the sweep")
   }
+
+  test("concurrency MV: signed-boundary refresh equals the batch report and a rebuild") {
+    import graft.sources.Snapshots
+    import graft.operators.Events
+    val root = s"$tmp/concmv"
+    Snapshots.deleteRecursively(root)
+    val (baseT, mvT, refMv) = (s"$root/base", s"$root/mv", s"$root/refmv")
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("sec"))
+    def rep(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    Snapshots.commitOverwrite(ev.where(pmod(col("user_id"), lit(10)) =!= 0), baseT)
+    Events.concurrencyRefresh(spark, baseT, mvT)
+    Snapshots.commitAppend(ev.where(pmod(col("user_id"), lit(10)) === 0), baseT)
+    Events.concurrencyRefresh(spark, baseT, mvT)
+    // base == the full corpus here: MV serving must equal the batch query
+    assert(rep(Events.concurrencyServe(spark, mvT)) ==
+      rep(SparkEntry.queries("q_events_concurrency")(spark, sfDir)),
+      "MV-served report diverged from the batch sweep")
+
+    // DML: drop a user slice; the refresh folds signed boundary deltas
+    Snapshots.deleteWhere(spark, baseT, pmod(col("user_id"), lit(7)) === 0)
+    Events.concurrencyRefresh(spark, baseT, mvT)
+    Events.concurrencyRefresh(spark, baseT, refMv) // fresh bootstrap over live base
+    assert(rep(Events.concurrencyServe(spark, mvT)) ==
+      rep(Events.concurrencyServe(spark, refMv)),
+      "incrementally maintained MV diverged from a rebuild")
+
+    // replay: unchanged base version leaves the watermark (no commit)
+    val v = Snapshots.currentVersion(mvT)
+    Events.concurrencyRefresh(spark, baseT, mvT)
+    assert(Snapshots.currentVersion(mvT) == v, "replay must not commit")
+  }
+
+  test("q_jsonl_roundtrip serves the parquet rollup through the JSON sink") {
+    val got = SparkEntry.queries("q_jsonl_roundtrip")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val exp = Tables.load(spark, sfDir, "nation")
+      .join(Tables.load(spark, sfDir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n"), sum(col("n_nationkey").cast("long")).as("k"),
+        max(length(col("n_name"))).cast("long").as("m"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == exp, "JSONL-sink rollup diverged from the parquet rollup")
+  }
 }
