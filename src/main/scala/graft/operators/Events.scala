@@ -2824,6 +2824,87 @@ object Events {
             AND r.i = init.n"""
     })
 
+  /** AUDIENCE OVERLAP between event types — the cross-feature usage
+    * matrix a product team reads before bundling or gating features
+    * (and the audience-intersection primitive of ad-measurement
+    * pipelines): for each observed type pair (a < b), the distinct
+    * users doing BOTH, each side's audience size, and the Jaccard
+    * overlap ×10⁶. Exact integers end-to-end.
+    *
+    * Scale shape: one (type, user) distinct pass shuffles on user; the
+    * self-join is co-partitioned on user with ≤ types(=5) rows per
+    * side, so per-user fanout is bounded by types²; the pair rollup is
+    * ≤ types² rows and side counts ride a broadcast. Only OBSERVED
+    * pairs emit (both engines inner-join), so empty corpora degrade
+    * identically.
+    */
+  val audienceOverlap: QueryDef = QueryDef(
+    "q_events_audience_overlap",
+    (s, dir) => {
+      val tu = events(s, dir)
+        .select(col("event_type").as("et"), col("user_id").as("u")).distinct()
+      val cnt = broadcast(tu.groupBy("et").agg(count(lit(1)).as("n")))
+      tu.toDF("a", "u").join(tu.toDF("b", "u"), "u")
+        .where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_both"))
+        .join(cnt.toDF("a", "n_a"), "a")
+        .join(cnt.toDF("b", "n_b"), "b")
+        .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_both"),
+          expr("(n_both * 1000000) div (n_a + n_b - n_both)").as("jaccard_x1e6"))
+    },
+    Some("""WITH tu AS (SELECT DISTINCT event_type AS et, user_id AS u FROM events),
+          cnt AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+          ib AS (SELECT a.et AS a, b.et AS b, CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM tu a JOIN tu b ON a.u = b.u AND a.et < b.et GROUP BY 1, 2)
+          SELECT ib.a, ib.b, ca.n AS n_a, cb.n AS n_b, ib.n_both,
+            CAST((ib.n_both * 1000000) // (ca.n + cb.n - ib.n_both) AS BIGINT)
+              AS jaccard_x1e6
+          FROM ib JOIN cnt ca ON ca.et = ib.a JOIN cnt cb ON cb.et = ib.b"""))
+
+  /** BEHAVIORAL-DIVERSITY segmentation — per user, the Gini–Simpson
+    * index of their event-type mix, D = 1 − Σ(cᵢ/n)², computed exactly
+    * as (n² − Σcᵢ²)·10⁶ div n² (no logs — entropy's ln is not
+    * bit-portable; Gini–Simpson is the standard log-free diversity),
+    * rolled up to an (activity tier × diversity decile) grid with user
+    * counts and the exact mean diversity per cell. Single-type users
+    * (D = 0) in the high-activity tier are the classic automation
+    * smell next to `q_events_bot_cadence`'s timing signal.
+    *
+    * Scale shape: one (user, type) count shuffle + one per-user fold
+    * (both keyed aggregates, map-side partial); the grid is ≤ 3 × 10
+    * rows. Int64 audit: (n² − Σcᵢ²)·10⁶ ≤ n²·10⁶ — fine to ~3M events
+    * per user; beyond that the fold switches to decimal(38,0) (the
+    * checksum convention).
+    */
+  val userDiversity: QueryDef = QueryDef(
+    "q_events_user_diversity",
+    (s, dir) => {
+      val per = events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id").agg(sum(col("c")).as("n"),
+          sum(col("c") * col("c")).as("ss"))
+        .withColumn("d", expr("((n * n - ss) * 1000000) div (n * n)"))
+        .withColumn("tier", when(col("n") === 1, "single")
+          .when(col("n") < 10, "low").otherwise("high"))
+        .withColumn("bucket", expr("d div 100000"))
+      per.groupBy("tier", "bucket")
+        .agg(count(lit(1)).as("n_users"),
+          expr("sum(d) div count(1)").as("avg_div_x1e6"))
+    },
+    Some("""WITH pc AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+          pu AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+              CAST(SUM(c * c) AS BIGINT) AS ss FROM pc GROUP BY 1),
+          d AS (SELECT user_id,
+              CAST(((n * n - ss) * 1000000) // (n * n) AS BIGINT) AS d,
+              CASE WHEN n = 1 THEN 'single' WHEN n < 10 THEN 'low'
+                ELSE 'high' END AS tier
+            FROM pu)
+          SELECT tier, CAST(d // 100000 AS BIGINT) AS bucket,
+            CAST(COUNT(*) AS BIGINT) AS n_users,
+            CAST(CAST(SUM(d) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_div_x1e6
+          FROM d GROUP BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
@@ -2832,7 +2913,8 @@ object Events {
       twa, concurrency, stickiness, gapAudit, acf, survival, rollingDau,
       seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal,
       powerLaw, rollingDauHll, scd2Lookup, botCadence, srm, hwBacktest,
-      funnelWindowed, growthAccounting, sloBurn, retentionDn, dowEffect)
+      funnelWindowed, growthAccounting, sloBurn, retentionDn, dowEffect,
+      audienceOverlap, userDiversity)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

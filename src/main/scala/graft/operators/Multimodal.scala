@@ -660,6 +660,91 @@ object Multimodal {
               luma - prev AS jump_x1000
             FROM lg WHERE prev IS NOT NULL AND ABS(luma - prev) > 15000"""))
 
+  case class ExposureRecord(img_id: Long, n_px: Long, n_under: Long,
+    n_over: Long, min_luma_x1000: Long, max_luma_x1000: Long,
+    under_share_x1000: Long, over_share_x1000: Long)
+
+  /** §2.2 row 32f — image EXPOSURE audit through the REAL decode arm:
+    * per image, the share of under-exposed (< 50/255 luma) and
+    * over-exposed (> 200/255) pixels plus the luma extremes — the
+    * standard quality gate a vision-pretraining pipeline applies
+    * before spending tokens on a frame (all-black thumbnails,
+    * blown-out scans). Same deterministic generative PNG set as
+    * `m_image_decode_real`, decoded by the production `javax.imageio`
+    * path; the DuckDB oracle recomputes every pixel from the
+    * GENERATIVE FORMULA — a single mangled pixel near either
+    * threshold fails the hash, so this also deepens the codec check
+    * from mean luma to the full histogram tails.
+    *
+    * Scale shape: decode + histogram is per-row map work (payloads
+    * never shuffle); output is one row per image.
+    */
+  val imageExposure: QueryDef = QueryDef(
+    "m_image_exposure",
+    (s, dir) => {
+      import s.implicits._
+      val _ = dir // same synthetic set at every SF — the codec is the subject
+      val images = (0 until 8).map { i =>
+        val (w, h) = (16 + i, 8 + i)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = (((7 * x + 3 * i) % 256) << 16) |
+            (((11 * y + 5 * i) % 256) << 8) | ((x + y + i) % 256)
+          img.setRGB(x, y, rgb)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(i.toLong, bos.toByteArray)
+      }
+      s.createDataset(images).mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          var n = 0L; var under = 0L; var over = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val l = 299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+              n += 1
+              if (l < 50000L) under += 1
+              if (l > 200000L) over += 1
+              if (l < mn) mn = l
+              if (l > mx) mx = l
+              x += 1
+            }
+            y += 1
+          }
+          ExposureRecord(r.doc_id, n, under, over, mn, mx,
+            under * 1000 / n, over * 1000 / n)
+        }
+      }.toDF()
+    },
+    Some("""WITH ids AS (SELECT unnest(range(0, 8)) AS i),
+          dims AS (SELECT i, 16 + i AS w, 8 + i AS h FROM ids),
+          xs AS (SELECT d.i, d.w, d.h, rx.x FROM dims d, LATERAL (
+              SELECT unnest(range(0, d.w)) AS x) rx),
+          px AS (SELECT i, w, h, x, unnest(range(0, h)) AS y FROM xs),
+          lum AS (SELECT i, w, h,
+              299 * ((7 * x + 3 * i) % 256) + 587 * ((11 * y + 5 * i) % 256)
+                + 114 * ((x + y + i) % 256) AS l
+            FROM px)
+          SELECT i AS img_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+            CAST(SUM(CASE WHEN l < 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+            CAST(SUM(CASE WHEN l > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+            CAST(MIN(l) AS BIGINT) AS min_luma_x1000,
+            CAST(MAX(l) AS BIGINT) AS max_luma_x1000,
+            CAST(SUM(CASE WHEN l < 50000 THEN 1 ELSE 0 END) * 1000
+              // COUNT(*) AS BIGINT) AS under_share_x1000,
+            CAST(SUM(CASE WHEN l > 200000 THEN 1 ELSE 0 END) * 1000
+              // COUNT(*) AS BIGINT) AS over_share_x1000
+          FROM lum GROUP BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(metaQuery, frameSample, patchGrid,
-    imageDecodeReal, phashNearDup, audioDecodeReal, audioVad, videoShots)
+    imageDecodeReal, phashNearDup, audioDecodeReal, audioVad, videoShots,
+    imageExposure)
 }

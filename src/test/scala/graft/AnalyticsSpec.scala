@@ -2160,4 +2160,44 @@ class AnalyticsSpec extends SparkSpec {
         s"$lang: got ${got(lang)}, brute ($n, $med, $p90)")
     }
   }
+
+  test("audience overlap equals brute-force set intersections") {
+    val got = SparkEntry.queries("q_events_audience_overlap")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val sets = Tables.load(spark, sfDir, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).distinct
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val types = sets.keys.toSeq.sorted
+    for (a <- types; b <- types if a < b) {
+      val both = (sets(a) intersect sets(b)).size.toLong
+      if (both > 0) {
+        val (na, nb) = (sets(a).size.toLong, sets(b).size.toLong)
+        val j = both * 1000000L / (na + nb - both)
+        assert(got((a, b)) == ((na, nb, both, j)), s"pair ($a,$b)")
+      } else assert(!got.contains((a, b)), s"pair ($a,$b) must not emit")
+    }
+  }
+
+  test("user diversity grid equals a brute-force Gini-Simpson fold") {
+    val got = SparkEntry.queries("q_events_user_diversity")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val byUser = Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._1)
+    val cells = byUser.toSeq.map { case (_, xs) =>
+      val n = xs.length.toLong
+      val ss = xs.groupBy(_._2).values.map(g => g.length.toLong * g.length).sum
+      val d = (n * n - ss) * 1000000L / (n * n)
+      val tier = if (n == 1) "single" else if (n < 10) "low" else "high"
+      ((tier, d / 100000L), d)
+    }.groupBy(_._1)
+    assert(got.keySet == cells.keySet)
+    cells.foreach { case (k, xs) =>
+      val ds = xs.map(_._2)
+      assert(got(k) == ((ds.size.toLong, ds.sum / ds.size)), s"cell $k")
+    }
+  }
 }
