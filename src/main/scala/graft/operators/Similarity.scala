@@ -4140,9 +4140,13 @@ object Similarity {
     * → `sqst` (per-dim min/range as ordered lists) → `sqc`
     * (vec_id, code).
     */
-  private def sqCodedSql: String =
-    s"""$quantizedSql,
-       sqex AS (SELECT unnest(q) AS x, unnest(range(0, 64)) AS dim FROM v),
+  private def sqCodedSql: String = s"$quantizedSql,\n       $sqCodesOnVSql"
+
+  /** [[sqCodedSql]] without the leading `v` CTE — for oracles that
+    * already define the quantized corpus (the IVF+SQ chain).
+    */
+  private def sqCodesOnVSql: String =
+    s"""sqex AS (SELECT unnest(q) AS x, unnest(range(0, 64)) AS dim FROM v),
        sqst AS (SELECT list(mn ORDER BY dim) AS mns,
            list(rng ORDER BY dim) AS rngs
          FROM (SELECT dim, MIN(x) AS mn, GREATEST(MAX(x) - MIN(x), 1) AS rng
@@ -4357,6 +4361,82 @@ object Similarity {
              ORDER BY sim DESC NULLS LAST, n_id) AS rn FROM rr)
          WHERE rn <= 10"""))
 
+  /** §2.2 row 27ac — IVF + SQ8 combined serving: the composition the
+    * SQ tier's scale story promises, made real (the IVF+PQ pattern
+    * with the quantizer swapped): probes prune the persisted inverted
+    * lists to NProbe cid= directories, candidates are scored in SQ
+    * CODE space (8× smaller reads than the work vectors), the
+    * 40-per-query shortlist alone fetches exact vectors for the
+    * cosine rerank. Codebook = the corpus per-dim (min, range) stats,
+    * one broadcast row.
+    *
+    * Scale shape: index build amortized (ensureIndex, content-keyed);
+    * serving reads ONLY probed partitions; the exact-vector fetch
+    * joins a ≤ 5 × 40-row frame against the corpus (broadcast the
+    * short side); windows partitioned by q_id.
+    */
+  val knnIvfSq: QueryDef = QueryDef(
+    "s_knn_ivf_sq",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val (cents, listsT, listsV) = ivfIndex(s, dir)
+      val v = quantized(Tables.load(s, dir, "embeddings"))
+      val stats = broadcast(sqStats(v))
+      val enc = "transform(q, (x, d) -> ((x - element_at(mns, d+1)) * 255)" +
+        " div element_at(rngs, d+1))"
+      val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
+      val queries = v.where(col("vec_id") < 5)
+      val probes = queries.crossJoin(cents)
+        .select(col("vec_id"), col("q"), col("cid"), ivfMetric.as("m"))
+        .withColumn("rn", row_number().over(byDist)).where(col("rn") <= NProbe)
+        .crossJoin(stats)
+        .select(col("vec_id").as("q_id"), expr(enc).as("q_code"), col("cid"))
+      val probeCids = probes.select("cid").distinct().collect().map(_.getLong(0))
+      val lists = s.read.parquet(Snapshots.versionDirs(listsT, listsV): _*)
+        .where(col("cid").isin(probeCids: _*))
+        .crossJoin(stats)
+        .select(col("vec_id").as("n_id"), expr(enc).as("n_code"),
+          col("cid").cast("long").as("cid"))
+      val approx = broadcast(probes).join(lists, Seq("cid"))
+        .where(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          graft.functions.Native.sqDistScaled(
+            col("q_code"), col("n_code"), lit(1L)).as("sqdist"))
+      val ws = Window.partitionBy("q_id").orderBy(col("sqdist"), col("n_id"))
+      val short = approx.withColumn("srn", row_number().over(ws))
+        .where(col("srn") <= 40).select("q_id", "n_id")
+      // exact vectors fetched for the shortlist ONLY
+      val qv = broadcast(queries
+        .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("nrm").as("q_nrm")))
+      val nv = v.select(col("vec_id").as("n_id"), col("q").as("n_q"), col("nrm").as("n_nrm"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      short.join(qv, "q_id").join(nv, "n_id")
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("q_id", "n_id", "sim")
+    },
+    Some(s"""WITH $ivfServeCtes,
+         $sqCodesOnVSql,
+         cand AS (SELECT pr.q_id, a2.vec_id AS n_id
+           FROM pr JOIN a2 ON pr.cid = a2.cid AND a2.vec_id <> pr.q_id),
+         sqs AS (SELECT c.q_id, c.n_id,
+             CAST(list_sum(list_transform(list_zip(qa.code, nb.code),
+               s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT) AS sqdist
+           FROM cand c JOIN sqc qa ON qa.vec_id = c.q_id
+             JOIN sqc nb ON nb.vec_id = c.n_id),
+         sh AS (SELECT q_id, n_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sqdist, n_id) AS rn FROM sqs) x WHERE rn <= 40),
+         rr AS (SELECT sh.q_id, sh.n_id,
+             CAST(list_sum(list_transform(list_zip(qa.q, nb.q), s -> s[1]*s[2])) AS DOUBLE)
+               / SQRT(NULLIF(CAST(qa.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE), 0)) AS sim
+           FROM sh JOIN n qa ON qa.vec_id = sh.q_id JOIN n nb ON nb.vec_id = sh.n_id)
+         SELECT q_id, n_id, sim FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY sim DESC NULLS LAST, n_id) AS rn FROM rr) x
+         WHERE rn <= 5"""))
+
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
@@ -4367,5 +4447,5 @@ object Similarity {
       labelKappa, evalRetrieval, graphCommunities, knnRouted, truncatedRecall,
       silhouette, labelCentroidDrift, embeddingPca, graphLinkPredict,
       embeddingVariance, embeddingIsolation, embeddingDimAudit, ivfBalance,
-      pqCodeBalance, graphDegree, knnSq, knnSqRecall, knnBq)
+      pqCodeBalance, graphDegree, knnSq, knnSqRecall, knnBq, knnIvfSq)
 }

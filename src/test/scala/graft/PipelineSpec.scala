@@ -1869,4 +1869,18 @@ class PipelineSpec extends SparkSpec {
       assert(hits >= 5, s"query $q BQ+rerank recovered only $hits of exact top-10")
     }
   }
+
+  test("IVF+SQ serving recovers the plain-IVF top-5 through the code-space shortlist") {
+    val sq = SparkEntry.queries("s_knn_ivf_sq")(spark, sfDir)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val ivf = SparkEntry.queries("s_knn_ivf")(spark, sfDir)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(sq.keySet == ivf.keySet)
+    // same probed candidate set; the SQ shortlist (40 >> 5) should
+    // recover most of the exact-rerank top-5 (measured: >= 4 of 5)
+    sq.foreach { case (q, ids) =>
+      val hits = ids.intersect(ivf(q)).size
+      assert(hits >= 3, s"query $q IVF+SQ recovered only $hits of the IVF top-5")
+    }
+  }
 }
