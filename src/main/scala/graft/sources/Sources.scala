@@ -483,9 +483,47 @@ object SourceQueries {
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1"""))
 
+  /** PARTITION-PRUNED layout served as a catalog query — row 25's
+    * "partitioned layout" claim driver-gated (the z-order row prunes
+    * row groups; THIS prunes whole directories, the coarsest and
+    * cheapest skip tier a 100 TB table leans on first): orders land
+    * partitioned by order YEAR (content-keyed ensureIndex lifecycle),
+    * the serving read filters to the latest year fetched as a LITERAL
+    * (a 1-value driver fetch, the probe-cids convention) so the scan
+    * reads exactly one yr= directory — PartitionFilters at the scan,
+    * spec-asserted. The oracle computes the same rollup from the flat
+    * parquet, so pruning can never change answers.
+    */
+  val partitionPrune: QueryDef = QueryDef(
+    "q_partition_prune",
+    (s, dir) => {
+      val o = graft.Tables.load(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")).cast("int"))
+      val fp = Snapshots.fileFingerprint(s"$dir/orders.parquet")
+      val path = "/root/repo/target/partsink/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ver = Snapshots.ensureIndex(path, fp) { out =>
+        Sources.writePartitioned(o, out, "yr")
+      }
+      val maxYr = o.agg(max(col("yr"))).head().getInt(0)
+      graft.operators.Similarity.readPartitionedDirs(s, path, ver)
+        .where(col("yr") === maxYr)
+        .groupBy("yr", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+            .as("revenue_cents"))
+    },
+    Some("""WITH o AS (SELECT *, CAST(year(o_orderdate) AS INTEGER) AS yr
+            FROM orders),
+          mx AS (SELECT MAX(yr) AS m FROM o)
+          SELECT yr, o_orderpriority, COUNT(*) AS n_orders,
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+              AS revenue_cents
+          FROM o, mx WHERE yr = mx.m GROUP BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(zorderSecondary, mvIncremental, mergeUpsert, bloomPointLookup,
-      snapshotDiff, mvJoinIncremental, csvRoundtrip, jsonlRoundtrip)
+      snapshotDiff, mvJoinIncremental, csvRoundtrip, jsonlRoundtrip,
+      partitionPrune)
 }
 
 /** Copy-on-write mutations — the reference's record insert/update/

@@ -1137,6 +1137,26 @@ class SourcesSpec extends SparkSpec {
     assert(Snapshots.currentVersion(mvT) == v, "replay must not commit")
   }
 
+  test("q_partition_prune reads exactly one yr= directory") {
+    val df = SparkEntry.queries("q_partition_prune")(spark, sfDir)
+    val plan = physicalPlan(df)
+    assert("""PartitionFilters: \[isnotnull\(yr#\d+\), \(yr#\d+ = \d+\)\]""".r
+      .findFirstIn(plan).isDefined, s"expected a literal yr partition filter in:\n$plan")
+    // one partition value at the scan ⇒ answers still match the flat table
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val o = Tables.load(spark, sfDir, "orders")
+      .withColumn("yr", year(col("o_orderdate")).cast("int"))
+    val maxYr = o.agg(max(col("yr"))).head().getInt(0)
+    val exp = o.where(col("yr") === maxYr)
+      .groupBy("yr", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("c"))
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == exp, "partition-pruned rollup diverged from the flat-table rollup")
+  }
+
   test("q_jsonl_roundtrip serves the parquet rollup through the JSON sink") {
     val got = SparkEntry.queries("q_jsonl_roundtrip")(spark, sfDir)
       .collect()
