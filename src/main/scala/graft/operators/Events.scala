@@ -2824,6 +2824,61 @@ object Events {
             AND r.i = init.n"""
     })
 
+  /** LINEAR multi-touch attribution — the equal-credit model next to
+    * [[attribution]]'s first/last-touch: every click/view in the 7
+    * days STRICTLY before a purchase shares that purchase's value
+    * equally (credit = cents·1000 div k, exact integers — the div
+    * remainder is deliberately truncated per credit and both engines
+    * truncate identically); a purchase with no prior touch credits
+    * 'direct' in full. The standard marketing-mix triangulation next
+    * to single-touch models (each over/under-counts differently).
+    *
+    * Scale shape: the touch-window join is keyed on user_id (range
+    * predicate inside the user's partition — per-user activity
+    * bounds the fanout); the per-purchase touch count is a window
+    * partitioned by purchase id (bounded frames); 3-row rollup.
+    */
+  val attributionLinear: QueryDef = QueryDef(
+    "q_events_attribution_linear",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        col("value"), sec.as("t"), col("event_id"))
+      val touches = e.where(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("channel"), col("t").as("tt"))
+      val purch = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_eid"),
+          expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"),
+          col("t").as("tp"))
+      val j = purch.join(touches,
+        purch("user_id") === touches("user_id") &&
+          col("tt") >= col("tp") - 604800L && col("tt") < col("tp"), "left")
+      val wk = Window.partitionBy("p_eid")
+      j.withColumn("k", count(col("channel")).over(wk))
+        .select(coalesce(col("channel"), lit("direct")).as("channel"),
+          when(col("k") === 0L, col("cents") * 1000L)
+            .otherwise(expr("(cents * 1000) div k")).as("credit"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_credits"),
+          sum(col("credit")).cast("long").as("attributed_millicents"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, value,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id FROM events),
+          tt AS (SELECT user_id, event_type AS channel, t FROM e
+            WHERE event_type IN ('click', 'view')),
+          p AS (SELECT user_id, event_id AS p_eid,
+              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, t AS tp
+            FROM e WHERE event_type = 'purchase'),
+          j AS (SELECT p.p_eid, p.cents, tt.channel
+            FROM p LEFT JOIN tt ON tt.user_id = p.user_id
+              AND tt.t >= p.tp - 604800 AND tt.t < p.tp),
+          k AS (SELECT *, COUNT(channel) OVER (PARTITION BY p_eid) AS k FROM j),
+          c AS (SELECT COALESCE(channel, 'direct') AS channel,
+              CASE WHEN k = 0 THEN cents * 1000
+                ELSE (cents * 1000) // k END AS credit FROM k)
+          SELECT channel, COUNT(*) AS n_credits,
+            CAST(SUM(credit) AS BIGINT) AS attributed_millicents
+          FROM c GROUP BY 1"""))
+
   /** AUDIENCE OVERLAP between event types — the cross-feature usage
     * matrix a product team reads before bundling or gating features
     * (and the audience-intersection primitive of ad-measurement
@@ -2914,7 +2969,7 @@ object Events {
       seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal,
       powerLaw, rollingDauHll, scd2Lookup, botCadence, srm, hwBacktest,
       funnelWindowed, growthAccounting, sloBurn, retentionDn, dowEffect,
-      audienceOverlap, userDiversity)
+      audienceOverlap, userDiversity, attributionLinear)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

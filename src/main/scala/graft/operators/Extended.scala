@@ -1000,10 +1000,43 @@ object Extended {
               MAX(age_days) AS oldest_age_days
             FROM c GROUP BY 1, 2"""))
 
+  /** RANK-FAMILY window functions — the remaining analytic-SQL rank
+    * surface next to `q_window_funcs`' row_number/running-sum and
+    * `q_window_frames`' frame variety: dense_rank, percent_rank and
+    * cume_dist per customer over exact order cents. The fractional
+    * ranks divide EXACT integers ((rank−1)/(n−1), peers/n), so the
+    * doubles are IEEE-identical across engines — the q_column_corr
+    * bit-exact-float convention; ties (equal cents) are exercised,
+    * which is the whole point of the rank family.
+    *
+    * Scale shape: windows partition by o_custkey — frames bounded by
+    * orders-per-customer at any corpus size.
+    */
+  val windowRankFuncs: QueryDef = QueryDef(
+    "q_window_rank_funcs",
+    (s, dir) => {
+      val byC = Window.partitionBy("o_custkey").orderBy(col("cents"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          dense_rank().over(byC).cast("long").as("drk"),
+          percent_rank().over(byC).as("pct_rk"),
+          cume_dist().over(byC).as("cume"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+              CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders)
+          SELECT o_orderkey, o_custkey, cents,
+            CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+            PERCENT_RANK() OVER w AS pct_rk,
+            CUME_DIST() OVER w AS cume
+          FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY cents)"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
     subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll,
     subquerySelect, lateralTopPerKey, recursiveCte, joinFullOuter, unpivot,
     basketPairs, assocRules, skyline, intervalJoin, abcPareto, cohortLtv, gini,
-    yoyGrowth, orderAging)
+    yoyGrowth, orderAging, windowRankFuncs)
 }

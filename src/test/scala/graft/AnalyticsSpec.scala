@@ -2200,4 +2200,30 @@ class AnalyticsSpec extends SparkSpec {
       assert(got(k) == ((ds.size.toLong, ds.sum / ds.size)), s"cell $k")
     }
   }
+
+  test("linear attribution equals a brute-force credit split") {
+    val got = SparkEntry.queries("q_events_attribution_linear")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val credits = scala.collection.mutable.Map[String, (Long, Long)]()
+    byUser.values.foreach { xs =>
+      val touches = xs.filter(x => x._2 == "click" || x._2 == "view")
+      xs.filter(_._2 == "purchase").foreach { p =>
+        val cents = math.floor(p._3 * 100 + 0.5).toLong
+        val w = touches.filter(x => x._4 >= p._4 - 604800L && x._4 < p._4)
+        if (w.isEmpty) {
+          val (c, v) = credits.getOrElse("direct", (0L, 0L))
+          credits("direct") = (c + 1, v + cents * 1000)
+        } else w.foreach { x =>
+          val (c, v) = credits.getOrElse(x._2, (0L, 0L))
+          credits(x._2) = (c + 1, v + cents * 1000 / w.length)
+        }
+      }
+    }
+    assert(got == credits.toMap, s"got $got, brute ${credits.toMap}")
+  }
 }
