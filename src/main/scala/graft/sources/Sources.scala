@@ -504,7 +504,10 @@ object SourceQueries {
       val ver = Snapshots.ensureIndex(path, fp) { out =>
         Sources.writePartitioned(o, out, "yr")
       }
-      val maxYr = o.agg(max(col("yr"))).head().getInt(0)
+      // empty corpus: max(yr) is NULL → filter to a year that cannot
+      // exist, yielding the same zero rows the oracle's NULL-compare does
+      val maxYrRow = o.agg(max(col("yr"))).head()
+      val maxYr = if (maxYrRow.isNullAt(0)) -1 else maxYrRow.getInt(0)
       graft.operators.Similarity.readPartitionedDirs(s, path, ver)
         .where(col("yr") === maxYr)
         .groupBy("yr", "o_orderpriority")
