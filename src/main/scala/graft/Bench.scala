@@ -138,7 +138,7 @@ object Bench {
         }
       val fams = Seq("bloomidx", "checksum_parts", "csvsink", "exactdedup",
         "invidx", "ivf", "jsonsink", "ivfpq", "knnbands", "knngraph", "minhash_index",
-        "mv", "neardup", "partsink", "pqtrained", "semdedup", "spark-warehouse",
+        "mv", "neardup", "partsink", "simhash_index", "pqtrained", "semdedup", "spark-warehouse",
         "zorder")
       fams.map(f => jsonStr(f) + ":" + du(Paths.get("/root/repo/target", f)))
         .mkString("{", ",", "}")

@@ -428,6 +428,75 @@ object Dedup {
            COALESCE(per.min_hamming, 99) AS min_hamming
          FROM sh LEFT JOIN per ON sh.doc_id = per.doc_id"""))
 
+  /** §2.2 row 23b — INCREMENTAL SimHash dedup: the batch-vs-index
+    * serving shape of [[simhashDef]] (the family convention — exact,
+    * MinHash and semantic dedup all have incremental twins; this
+    * closes SimHash's): the 90% corpus signs ONCE into a persisted
+    * content-keyed (block, blockval) index; a new batch computes its
+    * own signatures and probes ONLY its bucket-mates (pigeonhole: a
+    * pair within Hamming 3 shares ≥ 1 of the 4 15-bit blocks), exact
+    * Hamming verify, is_dup at the classic ≤ 3 threshold. O(batch ×
+    * bucket-mates) per batch — the 100 TB steady-state shape.
+    */
+  val simhashIncremental: QueryDef = QueryDef(
+    "d_dedup_simhash_incremental",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val d = Tables.load(s, dir, "documents")
+      val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
+        .replaceAll("[^A-Za-z0-9]", "").take(16)
+      val table = "/root/repo/target/simhash_index/v1_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp
+      def blocksOf(docs: DataFrame): DataFrame =
+        docs.select(col("doc_id"),
+            graft.functions.Native.simhash60(col("text")).as("simhash"))
+          .select(col("doc_id"), col("simhash"),
+            posexplode(array((0 until 4).map(j =>
+              shiftrightunsigned(col("simhash"), 15 * j)
+                .bitwiseAND(lit(32767L))): _*)))
+          .toDF("doc_id", "simhash", "block", "blockval")
+      if (Snapshots.currentVersion(table) == 0) {
+        Snapshots.gcSiblingRoots(table)
+        Snapshots.commitOverwrite(blocksOf(d.where(col("doc_id") % 10 =!= 0)), table)
+      }
+      val idx = Snapshots.read(s, table)
+      val batch = blocksOf(d.where(col("doc_id") % 10 === 0))
+      val cand = batch
+        .join(idx.toDF("i_id", "i_sh", "block", "blockval"), Seq("block", "blockval"))
+        .select(col("doc_id"), col("simhash"), col("i_id"), col("i_sh")).distinct()
+        .withColumn("hamming", expr("bit_count(simhash ^ i_sh)").cast("long"))
+      val per = cand.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_candidates"), min(col("hamming")).as("min_hamming"))
+      batch.select("doc_id", "simhash").distinct()
+        .join(per, Seq("doc_id"), "left")
+        .na.fill(Map("n_candidates" -> 0L, "min_hamming" -> 99L))
+        .withColumn("is_dup", col("min_hamming") <= 3L)
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         th AS (SELECT doc_id, list_transform(tk, t -> ${h60("t")}) AS hs FROM tk),
+         sh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
+                 CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END)), 0) >= 0
+               THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+           FROM th),
+         bx AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS block FROM sh),
+         bb AS (SELECT doc_id, simhash, block,
+             (simhash >> CAST(block*15 AS INT)) & 32767 AS blockval FROM bx),
+         cand AS (SELECT DISTINCT n.doc_id, n.simhash, i.doc_id AS i_id,
+               i.simhash AS i_sh
+             FROM bb n JOIN bb i ON n.block = i.block AND n.blockval = i.blockval
+               AND n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0),
+         hm AS (SELECT doc_id, CAST(bit_count(xor(simhash, i_sh)) AS BIGINT)
+               AS hamming FROM cand),
+         per AS (SELECT doc_id, COUNT(*) AS n_candidates,
+               MIN(hamming) AS min_hamming FROM hm GROUP BY 1)
+         SELECT sh.doc_id, sh.simhash,
+           COALESCE(per.n_candidates, 0) AS n_candidates,
+           COALESCE(per.min_hamming, 99) AS min_hamming,
+           COALESCE(per.min_hamming, 99) <= 3 AS is_dup
+         FROM sh LEFT JOIN per ON sh.doc_id = per.doc_id
+         WHERE sh.doc_id % 10 = 0"""))
+
   // ---- §2.2 row 24: n-gram Jaccard with PPJoin prefix filtering ----
 
   /** All near-duplicate pairs (a < b, J ≥ SimT) under the PPJoin
@@ -1688,5 +1757,5 @@ object Dedup {
       ngramJaccard, cluster, canonicalByQuality, incremental, dedupReport,
       sourceOverlap, containment, splitLeakage, corpusDiversity,
       minhashAccuracy, lshPlanner, bucketStats, exactIncremental,
-      thresholdSweep, cdcChunks, winnow)
+      thresholdSweep, cdcChunks, winnow, simhashIncremental)
 }
