@@ -3329,8 +3329,62 @@ object TextFunctions {
             FROM base JOIN langs ON langs.source = base.source
             JOIN dups ON dups.source = base.source"""))
 
+  /** PER-SOURCE DISTINCTIVE VOCABULARY — "what makes src7 different":
+    * for each source, the top-3 terms by usage-rate ratio vs the REST
+    * of the corpus, ratio ×1000 = (tf_s · (T − T_s) · 1000) div
+    * (T_s · (tf_rest + 1)) — exact integers, +1 smoothing so a term
+    * absent elsewhere scores finite and deterministic in both engines;
+    * min support tf_s ≥ 5. The curation read before weighting or
+    * capping a source: rate ratios are the log-free core of
+    * log-odds/PMI keyness (the monotone ranking is what matters).
+    *
+    * Scale shape: one (source, term) count shuffle (map-side combine,
+    * vocabulary×sources state), per-term totals vocabulary-keyed,
+    * per-source totals broadcast; the top-3 window partitions by
+    * source over vocab-sized frames. Int64 audit: tf·1000·T ≈ 10¹⁷ at
+    * sf0.1-scale token counts; decimal(38,0) beyond (the checksum
+    * convention).
+    */
+  val sourceDistinctTerms: QueryDef = QueryDef(
+    "t_source_distinct_terms",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val st = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("tf"))
+      val ts = st.groupBy("source").agg(sum(col("tf")).as("ts"))
+      val tw = st.groupBy("w").agg(sum(col("tf")).as("tw"))
+      val tot = broadcast(ts.agg(sum(col("ts")).cast("long").as("tot")))
+      val w = W.partitionBy("source").orderBy(col("ratio_x1000").desc, col("w"))
+      st.join(broadcast(ts), "source").join(tw, "w").crossJoin(tot)
+        .where(col("tf") >= 5)
+        .withColumn("ratio_x1000",
+          expr("(tf * 1000 * (tot - ts)) div (ts * (tw - tf + 1))"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select("source", "w", "tf", "ratio_x1000", "rk")
+    },
+    Some(s"""WITH tk AS (SELECT source, unnest(${Portable.textSql.tokensLower}) AS w
+              FROM documents),
+            st AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tk GROUP BY 1, 2),
+            ts AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS ts FROM st GROUP BY 1),
+            tw AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS tw FROM st GROUP BY 1),
+            tot AS (SELECT CAST(SUM(ts) AS BIGINT) AS tot FROM ts),
+            sc AS (SELECT st.source, st.w, st.tf,
+                CAST((st.tf * 1000 * (tot.tot - ts.ts))
+                  // (ts.ts * (tw.tw - st.tf + 1)) AS BIGINT) AS ratio_x1000
+              FROM st JOIN ts USING (source) JOIN tw USING (w) CROSS JOIN tot
+              WHERE st.tf >= 5)
+            SELECT source, w, tf, ratio_x1000, rk FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY ratio_x1000 DESC, w) AS BIGINT) AS rk FROM sc) t
+            WHERE rk <= 3"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample, datasetCard,
+      sourceDistinctTerms,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,
       upsampleEpochs, readability, classifierLift, heavyHitters,

@@ -555,6 +555,25 @@ object EventStreams {
         ()
       }
 
+  /** Streaming twin of the peak-concurrency boundary MV
+    * ([[graft.operators.Events.concurrencyRefresh]]) — each
+    * micro-batch of (user_id, event_id, sec) rows appends to the
+    * versioned base exactly-once, then folds the advanced base
+    * versions into the signed-boundary MV (affected users only,
+    * O(their events)). Replays no-op at both layers, the
+    * [[bm25MaintainStream]] convention.
+    */
+  def concurrencyMaintainStream(events: DataFrame, baseTable: String,
+      mvTable: String, streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Snapshots.ingestBatch(batch, baseTable, streamId, batchId)
+        graft.operators.Events.concurrencyRefresh(
+          batch.sparkSession, baseTable, mvTable)
+        ()
+      }
+
   // ---- streaming rolling-distinct sketch state (row 35e, streaming twin) ----
 
   /** One micro-batch of the DAILY-HLL sketch state behind

@@ -829,6 +829,48 @@ class StreamingSpec extends SparkSpec {
     assert(again == got, "replay must not change the served estimates")
   }
 
+  test("streaming concurrency MV equals the batch sweep after N batches, replays no-op") {
+    import graft.sources.Snapshots
+    import graft.operators.Events
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = "/root/repo/target/streaming-spec/concmv"
+    Snapshots.deleteRecursively(root)
+    val (baseT, mvT) = (s"$root/base", s"$root/mv")
+    val rows = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batches = rows.groupBy(_._2 % 3)
+
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = EventStreams.concurrencyMaintainStream(
+      mem.toDF.toDF("user_id", "event_id", "sec"), baseT, mvT, "conc_s1").start()
+    try {
+      for (k <- 0L to 2L) {
+        mem.addData(batches(k).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def rep(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rep(Events.concurrencyServe(spark, mvT)) ==
+      rep(SparkEntry.queries("q_events_concurrency")(spark, sfDir)),
+      "stream-maintained MV diverged from the batch sweep")
+
+    // replay batch 1: no commits anywhere, serve unchanged
+    import spark.implicits._
+    val (vb, vm) = (Snapshots.currentVersion(baseT), Snapshots.currentVersion(mvT))
+    val before = rep(Events.concurrencyServe(spark, mvT))
+    Snapshots.ingestBatch(
+      batches(1L).toSeq.toDF("user_id", "event_id", "sec"), baseT, "conc_s1", 1L)
+    Events.concurrencyRefresh(spark, baseT, mvT)
+    assert(Snapshots.currentVersion(baseT) == vb && Snapshots.currentVersion(mvT) == vm,
+      "replay must not commit")
+    assert(rep(Events.concurrencyServe(spark, mvT)) == before)
+  }
+
   test("streaming BM25 maintenance equals bootstrap rebuild, folds out-of-band DML, replays no-op") {
     import graft.sources.Snapshots
     import graft.functions.TextFunctions
