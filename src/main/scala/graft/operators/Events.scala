@@ -112,6 +112,53 @@ object Events {
             SELECT l.event_id, l.user_id, l.sec, r.sec AS signup_sec
             FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.sec >= r.sec"""))
 
+  /** NEAREST-direction as-of join (pandas `merge_asof
+    * direction='nearest'`) — the sensor-alignment primitive backward
+    * as-of cannot express (a reading logged just AFTER the example
+    * can be the honest nearest state): each purchase joins the view
+    * second minimizing |Δt| for the user, ties to the earlier side,
+    * with the signed gap and which side won. Same one-shuffle
+    * union-window shape as [[asofJoin]] with one backward and one
+    * forward window ([[AsOfJoin.asOfNearest]]).
+    */
+  val asofNearest: QueryDef = QueryDef(
+    "q_asof_nearest",
+    (s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), sec.as("sec"))
+      val purchases = e.where(col("event_type") === "purchase").drop("event_type")
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("sec"))
+      AsOfJoin.asOfNearest(purchases, views, "user_id", "sec")
+        .withColumnRenamed("asof_sec", "nearest_view_sec")
+        .withColumn("gap_s", col("nearest_view_sec") - col("sec"))
+        .withColumn("side",
+          when(col("nearest_view_sec").isNull, "none")
+            .when(col("gap_s") === 0L, "exact")
+            .when(col("gap_s") < 0L, "before").otherwise("after"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+            l AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, sec FROM e WHERE event_type = 'view'),
+            p AS (SELECT l.event_id, l.user_id, l.sec,
+                MAX(r.sec) FILTER (r.sec <= l.sec) AS prev,
+                MIN(r.sec) FILTER (r.sec >= l.sec) AS nxt
+              FROM l LEFT JOIN r ON r.user_id = l.user_id
+              GROUP BY 1, 2, 3),
+            n AS (SELECT event_id, user_id, sec,
+                CASE WHEN prev IS NULL THEN nxt WHEN nxt IS NULL THEN prev
+                  WHEN sec - prev <= nxt - sec THEN prev ELSE nxt END
+                  AS nearest_view_sec
+              FROM p)
+            SELECT event_id, user_id, sec, nearest_view_sec,
+              nearest_view_sec - sec AS gap_s,
+              CASE WHEN nearest_view_sec IS NULL THEN 'none'
+                WHEN nearest_view_sec = sec THEN 'exact'
+                WHEN nearest_view_sec < sec THEN 'before'
+                ELSE 'after' END AS side
+            FROM n"""))
+
   /** AS-OF join with a STALENESS budget — the feature-freshness SLA
     * audit on top of [[asofJoin]]'s mechanism: each purchase joins the
     * user's latest prior `view` (the "feature state" a training
@@ -2969,7 +3016,7 @@ object Events {
       seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal,
       powerLaw, rollingDauHll, scd2Lookup, botCadence, srm, hwBacktest,
       funnelWindowed, growthAccounting, sloBurn, retentionDn, dowEffect,
-      audienceOverlap, userDiversity, attributionLinear)
+      audienceOverlap, userDiversity, attributionLinear, asofNearest)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

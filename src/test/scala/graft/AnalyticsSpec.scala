@@ -2226,4 +2226,22 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(got == credits.toMap, s"got $got, brute ${credits.toMap}")
   }
+
+  test("nearest as-of equals a brute-force nearest-view scan") {
+    val got = SparkEntry.queries("q_asof_nearest")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val viewsBy = ev.filter(_._3 == "view").groupBy(_._2)
+    ev.filter(_._3 == "purchase").foreach { p =>
+      val vs = viewsBy.getOrElse(p._2, Array.empty).map(_._4)
+      val expect = if (vs.isEmpty) None else {
+        val best = vs.map(v => (math.abs(v - p._4), v)).min // min |gap|, then earlier v
+        Some(best._2)
+      }
+      assert(got(p._1) == expect, s"purchase ${p._1}")
+    }
+  }
 }
