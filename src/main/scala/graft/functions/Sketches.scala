@@ -281,6 +281,93 @@ object FreqSketch {
       else Cast(child, org.apache.spark.sql.types.StringType), k)
 }
 
+/** Second-moment aggregate over fixed-dimension integer vectors: ONE
+  * compiled pass accumulates the dim×dim product matrix Σxxᵀ, the
+  * per-dim sums Σx and the row count into a single flat buffer —
+  * the state behind the PCA scatter M = n·Σxxᵀ − SSᵀ.
+  *
+  * Why native: the HOF form (inline/flatten/transform building dim²
+  * structs per row) is interpreted and allocates dim² boxed structs
+  * per row — measured 2.7× slower at sf0.1 than the self-join it
+  * replaced; this loop is allocation-free. Mergeable (elementwise
+  * add) → partial aggregation; the exchange carries ONE
+  * (dim²+dim+1)-long buffer per partition — no corpus shuffle, the
+  * map-side promise kept. Deterministic: integer adds commute.
+  *
+  * Output layout: array<long> of length dim²+dim+1 —
+  * [g(0,0)…g(dim-1,dim-1) row-major, s(0)…s(dim-1), n].
+  */
+case class VectorScatterAgg(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(dim >= 1 && dim <= 256, s"unreasonable dim $dim")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = "graft_vector_scatter"
+
+  private val len = dim * dim + dim + 1
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](len)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = math.min(dim, a.numElements())
+      var j = 0
+      while (j < n) {
+        val xj = a.getLong(j)
+        val base = j * dim
+        var k = 0
+        while (k < n) {
+          buf(base + k) += xj * a.getLong(k)
+          k += 1
+        }
+        buf(dim * dim + j) += xj
+        j += 1
+      }
+      buf(len - 1) += 1L
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < len) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * len)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](len)
+    var i = 0
+    while (i < len) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorScatterAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorScatterAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VectorScatterAgg =
+    copy(child = newChildren.head)
+}
+
 /** Column-API entry points for the sketch aggregates. */
 object Sketches {
   /** Quantile estimates at `qs` from one deterministic mergeable
@@ -294,4 +381,11 @@ object Sketches {
     */
   def freqSketch(c: Column, k: Int): Column =
     B.column(FreqSketch.of(B.expression(c), k).toAggregateExpression())
+
+  /** Flat [Σxxᵀ row-major, Σx, n] scatter buffer over a fixed-dim
+    * long-array column in one compiled mergeable pass — see
+    * [[VectorScatterAgg]].
+    */
+  def vectorScatter(c: Column, dim: Int): Column =
+    B.column(VectorScatterAgg(B.expression(c), dim).toAggregateExpression())
 }

@@ -3706,45 +3706,34 @@ object Similarity {
     * decimal(38,0) (the checksum convention) — the iteration frames
     * stay 64-row regardless.
     *
-    * Scale shape: the 64² products are computed MAP-SIDE from the
-    * intact array column (each row inlines its 4096 (j, k, x_j·x_k)
-    * cells in the scan stage; partial hash aggregation collapses them
-    * to ≤ 4096 cells per task before the only exchange) — no corpus
-    * self-join, no corpus-sized shuffle anywhere; the first moments +
-    * count ride one more bounded-output aggregate pass, and every
-    * subsequent step is O(64²) — never a driver-side matrix from
-    * collect.
+    * Scale shape: ONE compiled aggregate pass over the corpus
+    * accumulates Σxxᵀ, Σx and n into a single flat buffer
+    * ([[graft.functions.VectorScatterAgg]] — mergeable, so the only
+    * exchange carries ONE 4161-long partial state per task; the HOF
+    * form that inlined 4096 structs per row was interpreted and
+    * 2.7× slower, and the round-10 self-join shuffled the corpus);
+    * every subsequent step expands the 1-row buffer to the 4096-cell
+    * frame — never a second corpus pass, never a driver-side matrix
+    * from collect.
     */
   /** The 64×64 centered scatter matrix M = n·Σxxᵀ − SSᵀ over the
-    * ×1000-quantized embedding table — map-side per-row 64² product
-    * cells + one moments aggregate (two corpus SCANS, zero corpus
-    * shuffles), shared by [[embeddingPca]] and [[embeddingVariance]].
+    * ×1000-quantized embedding table — ONE compiled mergeable
+    * aggregate pass (zero corpus shuffles), shared by [[embeddingPca]]
+    * and [[embeddingVariance]].
     */
   private def scatterFrame(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val v = quantized(Tables.load(s, dir, "embeddings"))
-    // 4096 (j, k, x_j·x_k) cells inlined per ROW: the products never
-    // leave the map side — partial aggregation folds each task to
-    // ≤ 4096 cells, so the exchange carries partial states only
-    val g = v.select(expr(
-        "inline(flatten(transform(q, (xa, dj) -> " +
-        "transform(q, (xb, dk) -> named_struct(" +
-        "'j', dj, 'k', dk, 'p', xa * xb)))))"))
-      .groupBy("j", "k").agg(sum(col("p")).as("gg"))
-    // first moments S and the count in ONE bounded-output pass
-    val mom = v.agg(count(lit(1)).as("n"),
-        (0 until 64).map(d =>
-          sum(element_at(col("q"), d + 1)).as(s"s$d")): _*)
+    // flat [g row-major (4096), s (64), n] buffer from one pass
+    val mom = v.agg(graft.functions.Sketches.vectorScatter(col("q"), 64).as("sc"))
       .localCheckpoint()
-    val sv = mom.select(explode(array((0 until 64).map(d =>
-        struct(lit(d).as("dim"), col(s"s$d").as("sv"))): _*)).as("e"))
-      .select(col("e.dim").as("dim"), col("e.sv").as("sv"))
-    val n = mom.select(col("n"))
-    g.join(broadcast(sv.toDF("j", "sj")), "j")
-      .join(broadcast(sv.toDF("k", "sk")), "k")
-      .crossJoin(broadcast(n))
-      .select(col("j"), col("k"),
-        (col("n") * col("gg") - col("sj") * col("sk")).as("m"))
+    mom.select(posexplode(expr("slice(sc, 1, 4096)")).as(Seq("idx", "gg")),
+        col("sc"))
+      .select(expr("cast(idx div 64 as int)").as("j"),
+        expr("cast(idx % 64 as int)").as("k"),
+        (expr("element_at(sc, 4161)") * col("gg") -
+          expr("element_at(sc, cast(4097 + idx div 64 as int))") *
+          expr("element_at(sc, cast(4097 + idx % 64 as int))")).as("m"))
       .localCheckpoint()
   }
 

@@ -145,4 +145,26 @@ class SketchSpec extends SparkSpec {
       spark.sql("SELECT graft_quantile_sketch(n_chars) FROM docs_ar").head())
     assert(e2.getMessage.contains("2 arguments"), e2.getMessage)
   }
+
+  test("vector scatter aggregate equals brute force and is partitioning-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = 4
+    val vecs = Seq(
+      Array(1L, -2L, 3L, 0L), Array(5L, 5L, -1L, 2L),
+      Array(0L, 0L, 0L, 0L), Array(-7L, 4L, 2L, 9L), Array(3L, 3L, 3L, 3L))
+    def run(parts: Int): Array[Long] =
+      vecs.toDF("q").repartition(parts)
+        .agg(graft.functions.Sketches.vectorScatter(col("q"), dim).as("sc"))
+        .head().getSeq[Long](0).toArray
+    val a = run(1)
+    assert(a.toSeq == run(8).toSeq, "merge order must not matter")
+    // brute force: g row-major, sums, count
+    val g = Array.ofDim[Long](dim * dim); val sums = new Array[Long](dim)
+    vecs.foreach { v =>
+      for (j <- 0 until dim; k <- 0 until dim) g(j * dim + k) += v(j) * v(k)
+      for (j <- 0 until dim) sums(j) += v(j)
+    }
+    assert(a.toSeq == (g ++ sums ++ Array(vecs.length.toLong)).toSeq)
+  }
 }
