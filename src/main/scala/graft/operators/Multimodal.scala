@@ -744,7 +744,66 @@ object Multimodal {
               // COUNT(*) AS BIGINT) AS over_share_x1000
           FROM lum GROUP BY 1"""))
 
+  /** §2.2 row 32g — audio LOUDNESS / CLIPPING audit through the REAL
+    * PCM16 decode arm: per clip, the full-scale-clipped sample count
+    * and share ×10⁶, peak |sample| and the integral level Σ|v| — the
+    * gate a speech pipeline applies before paying ASR on blown-out or
+    * near-silent recordings (the audio twin of `m_image_exposure`).
+    * The generative clips PLANT clipping: the raw waveform ranges
+    * ±35000 and is clamped to the int16 rails, so a deterministic
+    * share of samples sits at exactly ±32767; the DuckDB oracle
+    * recomputes every sample from the formula without seeing a WAV
+    * byte — one decoder sample error moves a count off the rail and
+    * fails the hash (PCM16 roundtrip is bit-exact).
+    *
+    * Scale shape: decode + histogram is per-row map work (payloads
+    * never shuffle); output is one row per clip.
+    */
+  val audioLoudness: QueryDef = QueryDef(
+    "m_audio_loudness",
+    (s, dir) => {
+      import s.implicits._
+      val _ = dir // same synthetic set at every SF — the codec is the subject
+      val clips = (0 until 8).map { i =>
+        val n = 800 + 100 * i
+        val samples = Array.tabulate(n) { t =>
+          val raw = ((t.toLong * (11 + 2 * i) + 17 * i) % 70001) - 35000
+          math.max(-32767L, math.min(32767L, raw)).toShort
+        }
+        MediaRecord(i.toLong, encodeWav(samples, 8000f))
+      }
+      s.createDataset(clips).mapPartitions { it =>
+        it.map { r =>
+          val samples = decodeWav(r.payload).getOrElse(
+            sys.error(s"clip ${r.doc_id}: WAV decode failed"))
+          var clipped = 0L; var peak = 0L; var sumAbs = 0L
+          samples.foreach { v =>
+            val a = math.abs(v.toLong)
+            if (a == 32767L) clipped += 1
+            if (a > peak) peak = a
+            sumAbs += a
+          }
+          (r.doc_id, samples.length.toLong, clipped,
+            clipped * 1000000L / samples.length, peak, sumAbs)
+        }
+      }.toDF("clip_id", "n_samples", "n_clipped", "clipped_x1e6",
+        "peak_abs", "sum_abs")
+    },
+    Some("""WITH ids AS (SELECT unnest(range(0, 8)) AS i),
+            t AS (SELECT i, unnest(range(0, 800 + 100 * i)) AS t FROM ids),
+            a AS (SELECT i, t, GREATEST(-32767, LEAST(32767,
+                ((t * (11 + 2 * i) + 17 * i) % 70001) - 35000)) AS v FROM t)
+            SELECT CAST(i AS BIGINT) AS clip_id,
+              COUNT(*) AS n_samples,
+              CAST(SUM(CASE WHEN ABS(v) = 32767 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clipped,
+              CAST(SUM(CASE WHEN ABS(v) = 32767 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS clipped_x1e6,
+              CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+              CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+            FROM a GROUP BY 1"""))
+
   val defs: Seq[QueryDef] = Seq(metaQuery, frameSample, patchGrid,
     imageDecodeReal, phashNearDup, audioDecodeReal, audioVad, videoShots,
-    imageExposure)
+    imageExposure, audioLoudness)
 }

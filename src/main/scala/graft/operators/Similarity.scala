@@ -4350,6 +4350,65 @@ object Similarity {
              ORDER BY sim DESC NULLS LAST, n_id) AS rn FROM rr)
          WHERE rn <= 10"""))
 
+  /** §2.2 row 27ab2 — BQ recall@10: what fraction of the exact cosine
+    * top-10 survives 512× compression + the 200-candidate Hamming
+    * shortlist + exact rescoring ([[knnBq]])? The decision artifact
+    * before turning BQ on — read NEXT TO `s_knn_sq_recall`: the two
+    * curves are the compression-ladder tradeoff (8× vs 512×) measured
+    * on the same queries.
+    */
+  val knnBqRecall: QueryDef = QueryDef(
+    "s_knn_bq_recall",
+    (s, dir) => {
+      val v = quantized(Tables.load(s, dir, "embeddings"))
+      val qf = broadcast(v.where(col("vec_id") < 5).toDF("q_id", "q_q", "q_nrm"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      val exact = qf.join(v.toDF("n_id", "n_q", "n_nrm"), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        .select("q_id", "n_id")
+      val bq = knnBq.fn(s, dir)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      exact.join(bq, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_x1000", expr("(n_hit * 1000) div n_true"))
+    },
+    Some(s"""WITH $bqMaskedSql,
+         n AS (SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+         hp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+               AS BIGINT) AS ham
+           FROM bqm a JOIN bqm b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         cand AS (SELECT q_id, n_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY ham, n_id) AS hrn FROM hp) x WHERE hrn <= 200),
+         rr AS (SELECT c.q_id, c.n_id,
+             CAST(list_sum(list_transform(list_zip(qa.q, nb.q), s -> s[1]*s[2])) AS DOUBLE)
+               / SQRT(NULLIF(CAST(qa.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE), 0)) AS sim
+           FROM cand c JOIN n qa ON qa.vec_id = c.q_id
+             JOIN n nb ON nb.vec_id = c.n_id),
+         bqt AS (SELECT q_id, n_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sim DESC NULLS LAST, n_id) AS rn FROM rr) x WHERE rn <= 10),
+         fp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+             a.nrm AS na, b.nrm AS nb
+           FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         ft AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+               CAST(dot AS DOUBLE) / SQRT(NULLIF(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE), 0)) DESC NULLS LAST, n_id) AS rn
+             FROM fp) x WHERE rn <= 10)
+         SELECT f.q_id, COUNT(*) AS n_true,
+           CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST((CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+             // COUNT(*) AS BIGINT) AS recall_x1000
+         FROM ft f LEFT JOIN bqt t ON f.q_id = t.q_id AND f.n_id = t.n_id
+         GROUP BY 1"""))
+
   /** §2.2 row 27ac — IVF + SQ8 combined serving: the composition the
     * SQ tier's scale story promises, made real (the IVF+PQ pattern
     * with the quantizer swapped): probes prune the persisted inverted
@@ -4436,5 +4495,5 @@ object Similarity {
       labelKappa, evalRetrieval, graphCommunities, knnRouted, truncatedRecall,
       silhouette, labelCentroidDrift, embeddingPca, graphLinkPredict,
       embeddingVariance, embeddingIsolation, embeddingDimAudit, ivfBalance,
-      pqCodeBalance, graphDegree, knnSq, knnSqRecall, knnBq, knnIvfSq)
+      pqCodeBalance, graphDegree, knnSq, knnSqRecall, knnBq, knnBqRecall, knnIvfSq)
 }
