@@ -438,6 +438,58 @@ object Dedup {
     * Hamming verify, is_dup at the classic ≤ 3 threshold. O(batch ×
     * bucket-mates) per batch — the 100 TB steady-state shape.
     */
+  /** (doc_id, simhash, block, blockval) — one row per 15-bit block of
+    * each doc's SimHash, the pigeonhole index rows shared by the
+    * batch-incremental, streaming and catalog forms.
+    */
+  private[graft] def simhashBlocksOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.Native.simhash60(col("text")).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(j =>
+          shiftrightunsigned(col("simhash"), 15 * j)
+            .bitwiseAND(lit(32767L))): _*)))
+      .toDF("doc_id", "simhash", "block", "blockval")
+
+  /** Per-doc SimHash verdicts of a block frame probed against an index
+    * block frame: bucket-mate candidates, exact Hamming verify, is_dup
+    * at the classic ≤ 3 threshold.
+    */
+  private def simhashVerdicts(batch: DataFrame, idx: DataFrame): DataFrame = {
+    val cand = batch
+      .join(idx.toDF("i_id", "i_sh", "block", "blockval"), Seq("block", "blockval"))
+      .where(col("i_id") =!= col("doc_id"))
+      .select(col("doc_id"), col("simhash"), col("i_id"), col("i_sh")).distinct()
+      .withColumn("hamming", expr("bit_count(simhash ^ i_sh)").cast("long"))
+    val per = cand.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_candidates"), min(col("hamming")).as("min_hamming"))
+    batch.select("doc_id", "simhash").distinct()
+      .join(per, Seq("doc_id"), "left")
+      .na.fill(Map("n_candidates" -> 0L, "min_hamming" -> 99L))
+      .withColumn("is_dup", col("min_hamming") <= 3L)
+  }
+
+  /** One micro-batch of INCREMENTAL SimHash dedup — the
+    * [[exactDedupBatchIncremental]] convention applied to the block
+    * index: the batch's block rows append EXACTLY-ONCE under
+    * (streamId, batchId), and the verdicts are computed against the
+    * PREVIOUS committed version (docs that arrived before this batch
+    * — the batch-vs-index shape of `d_dedup_simhash_incremental`).
+    * A replayed batch is a no-op append and recomputes bit-identical
+    * verdicts against its own v−1, even if later batches committed
+    * meanwhile.
+    */
+  def simhashBatchIncremental(newDocs: DataFrame, table: String,
+      streamId: String, batchId: Long): DataFrame = {
+    val spark = newDocs.sparkSession
+    val blocks = simhashBlocksOf(newDocs).localCheckpoint()
+    val v = graft.sources.Snapshots.ingestBatch(blocks, table, streamId, batchId)
+    val idx =
+      if (v <= 1) blocks.where(lit(false)) // first commit: empty corpus
+      else graft.sources.Snapshots.readVersion(spark, table, v - 1)
+    simhashVerdicts(blocks, idx)
+  }
+
   val simhashIncremental: QueryDef = QueryDef(
     "d_dedup_simhash_incremental",
     (s, dir) => {
@@ -447,30 +499,14 @@ object Dedup {
         .replaceAll("[^A-Za-z0-9]", "").take(16)
       val table = "/root/repo/target/simhash_index/v1_" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp
-      def blocksOf(docs: DataFrame): DataFrame =
-        docs.select(col("doc_id"),
-            graft.functions.Native.simhash60(col("text")).as("simhash"))
-          .select(col("doc_id"), col("simhash"),
-            posexplode(array((0 until 4).map(j =>
-              shiftrightunsigned(col("simhash"), 15 * j)
-                .bitwiseAND(lit(32767L))): _*)))
-          .toDF("doc_id", "simhash", "block", "blockval")
       if (Snapshots.currentVersion(table) == 0) {
         Snapshots.gcSiblingRoots(table)
-        Snapshots.commitOverwrite(blocksOf(d.where(col("doc_id") % 10 =!= 0)), table)
+        Snapshots.commitOverwrite(
+          simhashBlocksOf(d.where(col("doc_id") % 10 =!= 0)), table)
       }
       val idx = Snapshots.read(s, table)
-      val batch = blocksOf(d.where(col("doc_id") % 10 === 0))
-      val cand = batch
-        .join(idx.toDF("i_id", "i_sh", "block", "blockval"), Seq("block", "blockval"))
-        .select(col("doc_id"), col("simhash"), col("i_id"), col("i_sh")).distinct()
-        .withColumn("hamming", expr("bit_count(simhash ^ i_sh)").cast("long"))
-      val per = cand.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_candidates"), min(col("hamming")).as("min_hamming"))
-      batch.select("doc_id", "simhash").distinct()
-        .join(per, Seq("doc_id"), "left")
-        .na.fill(Map("n_candidates" -> 0L, "min_hamming" -> 99L))
-        .withColumn("is_dup", col("min_hamming") <= 3L)
+      val batch = simhashBlocksOf(d.where(col("doc_id") % 10 === 0))
+      simhashVerdicts(batch, idx)
     },
     Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
          th AS (SELECT doc_id, list_transform(tk, t -> ${h60("t")}) AS hs FROM tk),

@@ -526,6 +526,26 @@ object EventStreams {
         ()
       }
 
+  /** Streaming twin of the INCREMENTAL SimHash dedup index (§2.2 row
+    * 23b — completes the family symmetry: exact, MinHash and BM25 all
+    * carry streaming twins): each micro-batch folds its block rows
+    * into the persisted pigeonhole index and appends its near-dup
+    * verdicts, both exactly-once under (streamId, batchId) — the
+    * [[exactDedupStream]] convention applied to
+    * [[graft.operators.Dedup.simhashBatchIncremental]].
+    */
+  def simhashDedupStream(docs: DataFrame, indexTable: String,
+      resultsTable: String, streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val verdicts = graft.operators.Dedup.simhashBatchIncremental(
+          batch, indexTable, streamId, batchId)
+        graft.sources.Snapshots.ingestBatch(
+          verdicts, resultsTable, streamId, batchId)
+        ()
+      }
+
   /** Streaming twin of the BM25 maintenance path (§2.2 row 45d's
     * index set under streaming ingest — the family convention next to
     * [[exactDedupStream]]): each micro-batch of (doc_id, text) rows

@@ -829,6 +829,70 @@ class StreamingSpec extends SparkSpec {
     assert(again == got, "replay must not change the served estimates")
   }
 
+  test("streaming SimHash dedup equals sequential batch-vs-prior recompute, replays no-op") {
+    import graft.sources.Snapshots
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = "/root/repo/target/streaming-spec/simhash"
+    Snapshots.deleteRecursively(root)
+    val (idxT, resT) = (s"$root/idx", s"$root/res")
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    // bootstrap = version 1: the corpus's block rows
+    Snapshots.commitOverwrite(Dedup.simhashBlocksOf(corpus), idxT)
+    val batches = docs.where(col("doc_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1 % 3)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.simhashDedupStream(
+      mem.toDF.toDF("doc_id", "text"), idxT, resT, "sh_s1").start()
+    try {
+      for (k <- 0L to 2L) {
+        mem.addData(batches(k).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "simhash", "n_candidates", "min_hamming", "is_dup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    // reference: batch k's verdicts vs corpus ∪ batches < k, recomputed
+    // with no stored index anywhere
+    import spark.implicits._
+    var seen = corpus
+    var expect = Set.empty[(Long, Long, Long, Long, Boolean)]
+    for (k <- 0L to 2L) {
+      val b = batches(k).toSeq.toDF("doc_id", "text")
+      expect ++= key(Dedup.simhashBlocksOf(b)
+        .join(Dedup.simhashBlocksOf(seen)
+          .toDF("i_id", "i_sh", "block", "blockval"), Seq("block", "blockval"))
+        .where(col("i_id") =!= col("doc_id"))
+        .select(col("doc_id"), col("simhash"), col("i_id"), col("i_sh")).distinct()
+        .withColumn("hamming", expr("bit_count(simhash ^ i_sh)").cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_candidates"), min(col("hamming")).as("min_hamming"))
+        .join(Dedup.simhashBlocksOf(b).select("doc_id", "simhash").distinct(),
+          Seq("doc_id"), "right")
+        .na.fill(Map("n_candidates" -> 0L, "min_hamming" -> 99L))
+        .withColumn("is_dup", col("min_hamming") <= 3L))
+      seen = seen.unionAll(b)
+    }
+    val got = key(Snapshots.read(spark, resT))
+    assert(got == expect, s"index-served stream diverged: ${got.size} vs ${expect.size}")
+
+    // replay batch 1 after batch 2 committed: same verdicts, no new version
+    val vBefore = Snapshots.currentVersion(idxT)
+    val replay = key(Dedup.simhashBatchIncremental(
+      batches(1L).toSeq.toDF("doc_id", "text"), idxT, "sh_s1", 1L))
+    assert(Snapshots.currentVersion(idxT) == vBefore, "replay must not commit")
+    val b1Expected = expect.filter(t => batches(1L).exists(_._1 == t._1))
+    assert(replay == b1Expected, "replay must recompute against its own v-1")
+  }
+
   test("streaming concurrency MV equals the batch sweep after N batches, replays no-op") {
     import graft.sources.Snapshots
     import graft.operators.Events
