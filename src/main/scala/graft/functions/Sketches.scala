@@ -319,13 +319,21 @@ case class VectorScatterAgg(
     val v = child.eval(input)
     if (v != null) {
       val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val n = math.min(dim, a.numElements())
+      // a malformed embedding must FAIL the job, not skew the scatter
+      // silently: a short/long vector would zero-pad/truncate, and a
+      // null element reads undefined bytes through getLong
+      if (a.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"graft_vector_scatter: expected $dim-dim vector, got ${a.numElements()}")
       var j = 0
-      while (j < n) {
+      while (j < dim) {
+        if (a.isNullAt(j))
+          throw new IllegalArgumentException(
+            s"graft_vector_scatter: null element at dim $j")
         val xj = a.getLong(j)
         val base = j * dim
         var k = 0
-        while (k < n) {
+        while (k < dim) {
           buf(base + k) += xj * a.getLong(k)
           k += 1
         }

@@ -1536,27 +1536,37 @@ object Events {
     import graft.sources.Snapshots
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
-    val lastV = Snapshots.tagWatermark(mvTable, ConcThroughPrefix)
-    if (lastV == curV) return
-    val tag = Seq(ConcThroughPrefix + curV)
-    if (lastV == 0) {
-      Snapshots.commitOverwriteTagged(
-        sessionPoints(Snapshots.readVersion(s, baseTable, curV))
-          .withColumn("sgn", lit(1L)), mvTable, tag)
-    } else {
-      val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
-      // pinned: the affected-user set feeds BOTH version re-reads, and
-      // the change feed's exceptAll must not re-evaluate per branch
-      val users = ins.select("user_id").unionAll(del.select("user_id"))
-        .distinct().localCheckpoint()
-      def bounds(v: Int) = sessionPoints(
-        Snapshots.readVersion(s, baseTable, v).join(users, Seq("user_id"), "leftsemi"))
-      Snapshots.commitAppendTagged(
-        bounds(curV).withColumn("sgn", lit(1L))
-          .unionByName(bounds(lastV).withColumn("sgn", lit(-1L))),
-        mvTable, tag)
+    // CAS retry loop: the delta is derived from the watermark read at a
+    // specific MV head, so the commit must be conditional on that SAME
+    // head — two racing refreshers over the same lastV→curV span would
+    // otherwise both append and double-count boundaries (sgn netting
+    // cannot cancel duplicates). The loser re-reads the watermark; if
+    // the winner already folded the span it no-ops.
+    var committed = false
+    while (!committed) {
+      val mvHead = Snapshots.currentVersion(mvTable)
+      val lastV = Snapshots.tagWatermarkAt(mvTable, ConcThroughPrefix, mvHead)
+      if (lastV >= curV) return
+      val tag = Seq(ConcThroughPrefix + curV)
+      committed =
+        if (lastV == 0)
+          Snapshots.commitOverwriteTaggedIf(
+            sessionPoints(Snapshots.readVersion(s, baseTable, curV))
+              .withColumn("sgn", lit(1L)), mvTable, mvHead, tag).nonEmpty
+        else {
+          val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
+          // pinned: the affected-user set feeds BOTH version re-reads, and
+          // the change feed's exceptAll must not re-evaluate per branch
+          val users = ins.select("user_id").unionAll(del.select("user_id"))
+            .distinct().localCheckpoint()
+          def bounds(v: Int) = sessionPoints(
+            Snapshots.readVersion(s, baseTable, v).join(users, Seq("user_id"), "leftsemi"))
+          Snapshots.commitAppendTaggedIf(
+            bounds(curV).withColumn("sgn", lit(1L))
+              .unionByName(bounds(lastV).withColumn("sgn", lit(-1L))),
+            mvTable, mvHead, tag).nonEmpty
+        }
     }
-    ()
   }
 
   /** Peak-concurrency report served from the boundary MV — nets the
@@ -2900,10 +2910,15 @@ object Events {
         purch("user_id") === touches("user_id") &&
           col("tt") >= col("tp") - 604800L && col("tt") < col("tp"), "left")
       val wk = Window.partitionBy("p_eid")
+      // value clamped at 0 IN BOTH ENGINES: credits divide with integral
+      // truncation, and a negative amount (a refund row, should the
+      // generator ever emit one) would expose any engine divergence on
+      // negative division — the clamp pins the non-negative invariant
+      // instead of assuming it
       j.withColumn("k", count(col("channel")).over(wk))
         .select(coalesce(col("channel"), lit("direct")).as("channel"),
-          when(col("k") === 0L, col("cents") * 1000L)
-            .otherwise(expr("(cents * 1000) div k")).as("credit"))
+          when(col("k") === 0L, greatest(col("cents"), lit(0L)) * 1000L)
+            .otherwise(expr("(greatest(cents, 0) * 1000) div k")).as("credit"))
         .groupBy("channel")
         .agg(count(lit(1)).as("n_credits"),
           sum(col("credit")).cast("long").as("attributed_millicents"))
@@ -2920,8 +2935,8 @@ object Events {
               AND tt.t >= p.tp - 604800 AND tt.t < p.tp),
           k AS (SELECT *, COUNT(channel) OVER (PARTITION BY p_eid) AS k FROM j),
           c AS (SELECT COALESCE(channel, 'direct') AS channel,
-              CASE WHEN k = 0 THEN cents * 1000
-                ELSE (cents * 1000) // k END AS credit FROM k)
+              CASE WHEN k = 0 THEN GREATEST(cents, 0) * 1000
+                ELSE (GREATEST(cents, 0) * 1000) // k END AS credit FROM k)
           SELECT channel, COUNT(*) AS n_credits,
             CAST(SUM(credit) AS BIGINT) AS attributed_millicents
           FROM c GROUP BY 1"""))

@@ -407,9 +407,17 @@ object Relational {
             val cut = name.lastIndexOf('_')
             if (cut > 0) {
               val prefix = name.substring(0, cut + 1)
-              s.catalog.listTables().collect().map(_.name)
+              // the sweep must only ever hit superseded FINGERPRINT
+              // siblings: require the suffix to be exactly the 32-hex
+              // md5 shape fileFingerprint produces, and skip temp views
+              // (listTables returns them too) — a user temp view whose
+              // name happens to share the prefix is not ours to drop
+              val fpShape = "[a-f0-9]{32}".r
+              s.catalog.listTables().collect()
+                .filter(t => t.tableType != "TEMPORARY")
+                .map(_.name)
                 .filter(tn => tn.startsWith(prefix) && tn != name &&
-                  !tn.substring(prefix.length).contains('_'))
+                  fpShape.matches(tn.substring(prefix.length)))
                 .foreach(tn => s.sql(s"DROP TABLE IF EXISTS `$tn`"))
             }
             graft.sources.Snapshots.gcSiblingRoots(s"$wh/$name")

@@ -3727,6 +3727,12 @@ object Similarity {
     // flat [g row-major (4096), s (64), n] buffer from one pass
     val mom = v.agg(graft.functions.Sketches.vectorScatter(col("q"), 64).as("sc"))
       .localCheckpoint()
+      // a global TypedImperativeAggregate always emits ONE buffer row —
+      // on an EMPTY corpus that row is all zeros (n = 0) and would
+      // materialize 4096 zero-valued cells where the oracle's CTEs (and
+      // the pre-aggregate Spark path) produce zero rows. Engine parity
+      // on degenerate inputs: no vectors → no scatter cells.
+      .where(expr("element_at(sc, 4161)") > 0)
     mom.select(posexplode(expr("slice(sc, 1, 4096)")).as(Seq("idx", "gg")),
         col("sc"))
       .select(expr("cast(idx div 64 as int)").as("j"),

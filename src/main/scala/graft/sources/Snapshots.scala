@@ -580,6 +580,28 @@ object Snapshots {
       tags = tags)
   }
 
+  /** Conflict-checked tagged APPEND — the append-side twin of
+    * [[commitOverwriteTaggedIf]]: commits `df` on top of the table iff
+    * the head is still `expectHead` at claim time, otherwise aborts
+    * (None) and removes the staged data. The primitive a
+    * read-fold-APPEND maintenance cycle needs (e.g. a signed-delta MV
+    * refresh): the caller derives its delta from the watermark it read
+    * at `expectHead`; if a racing refresher committed the same span
+    * first, blindly appending would double-fold the delta — sign
+    * netting cannot cancel duplicates.
+    */
+  def commitAppendTaggedIf(df: DataFrame, table: String, expectHead: Int,
+      tags: Seq[String]): Option[Int] = {
+    val dir = writeData(df, table)
+    val ConflictSentinel = -1
+    val v = commitLoop(table, prev =>
+      (if (prev == 0) Seq.empty else manifestDirs(table, prev)) :+ dir,
+      tags = tags,
+      abortIf = () =>
+        if (currentVersion(table) == expectHead) None else Some(ConflictSentinel))
+    if (v == ConflictSentinel) { deleteDataDir(dir); None } else Some(v)
+  }
+
   /** MAJOR compaction of a tombstone-folded derived table: rewrite the
     * netted view (`net` — the structure's serving aggregate, e.g.
     * postings tf-netting) as ONE clean version, carrying the
