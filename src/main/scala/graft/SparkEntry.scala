@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Events, Extended, Multimodal, Relational, Similarity, TpcH}
+import graft.operators.{Dedup, Events, Extended, Forget, Multimodal, Relational, Similarity, TpcH}
 import graft.functions.{StatsQueries, TextFunctions}
 import graft.sources.SourceQueries
 
@@ -16,7 +16,8 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Extended.defs ++ StatsQueries.defs ++
       TextFunctions.defs ++ Events.defs ++ Dedup.defs ++
-      Similarity.defs ++ Multimodal.defs ++ SourceQueries.defs ++ TpcH.defs
+      Similarity.defs ++ Multimodal.defs ++ SourceQueries.defs ++
+      TpcH.defs ++ Forget.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The end-to-end preprocessing pipeline (normalize →

@@ -969,6 +969,10 @@ object TextFunctions {
     */
   private val TermBuckets = 16
 
+  /** [[TermBuckets]] for oracle builders outside this object (the
+    * forget capstone re-derives the postings bucket column in SQL). */
+  private[graft] def termBucketCount: Int = TermBuckets
+
   /** Executor-side bucket expression (the `b` column of a postings
     * build) — first 15 hex chars of md5 as a 60-bit integer, mod 16.
     */

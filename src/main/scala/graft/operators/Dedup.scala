@@ -836,6 +836,133 @@ object Dedup {
     graft.sources.Snapshots.compactNet(s, idxTable, BandThroughPrefix)(df =>
       bandNet(df).withColumn("sgn", lit(1)))
 
+  private val SimhashThroughPrefix = "simhash_through "
+
+  /** DELETE-AWARE maintenance of the SimHash block index — the
+    * [[bandIndexMaintain]] convention on the pigeonhole rows: a doc's
+    * (doc_id, simhash, block, blockval) set is determined by its text,
+    * so departed docs fold as sgn = −1 tombstones and inserted ones as
+    * +1, one O(changed docs) append per base version.
+    * [[serveSimhashIndex]] nets at read; hash-proven against a
+    * live-corpus recompute by `q_forget_capstone`.
+    */
+  def simhashIndexMaintain(s: org.apache.spark.sql.SparkSession,
+      baseTable: String, idxTable: String): Int = {
+    import graft.sources.Snapshots
+    val curV = Snapshots.currentVersion(baseTable)
+    require(curV > 0, s"base table $baseTable has no committed version")
+    val lastV = Snapshots.tagWatermark(idxTable, SimhashThroughPrefix)
+    if (lastV == curV) return Snapshots.currentVersion(idxTable)
+    if (lastV == 0)
+      Snapshots.commitOverwriteTagged(
+        simhashBlocksOf(Snapshots.readVersion(s, baseTable, curV))
+          .withColumn("sgn", lit(1)),
+        idxTable, Seq(SimhashThroughPrefix + curV))
+    else {
+      val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
+      val delta = simhashBlocksOf(ins).withColumn("sgn", lit(1)).unionByName(
+        simhashBlocksOf(del).withColumn("sgn", lit(-1)))
+      Snapshots.commitAppendTagged(delta, idxTable,
+        Seq(SimhashThroughPrefix + curV))
+      Snapshots.maybeCompactNet(s, idxTable, SimhashThroughPrefix)(df =>
+        simhashNet(df).withColumn("sgn", lit(1)))
+      Snapshots.currentVersion(idxTable)
+    }
+  }
+
+  /** Net view of the tombstone-folded SimHash block index — the live
+    * corpus's pigeonhole rows, schema-compatible with
+    * [[simhashVerdicts]]'s index side.
+    */
+  def serveSimhashIndex(s: org.apache.spark.sql.SparkSession,
+      idxTable: String): DataFrame =
+    simhashNet(graft.sources.Snapshots.read(s, idxTable))
+
+  private def simhashNet(df: DataFrame): DataFrame =
+    df.groupBy("doc_id", "simhash", "block", "blockval")
+      .agg(sum(col("sgn")).as("net")).where(col("net") > 0)
+      .select("doc_id", "simhash", "block", "blockval")
+
+  private val FpThroughPrefix = "fp_through "
+
+  /** DELETE-AWARE maintenance of the exact-dedup fingerprint index:
+    * signed (doc_id, fp) rows — NOT the folded fp→min(canonical) map,
+    * which is not abelian under deletes (removing the canonical doc
+    * must PROMOTE the next-smallest id, information a min-folded row
+    * no longer carries). Serving ([[serveFingerprintIndex]]) nets the
+    * membership rows and takes min(doc_id) per fp over the LIVE set,
+    * so canonical promotion falls out of the aggregate.
+    */
+  def fingerprintIndexMaintain(s: org.apache.spark.sql.SparkSession,
+      baseTable: String, idxTable: String): Int = {
+    import graft.sources.Snapshots
+    def fpsOf(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val curV = Snapshots.currentVersion(baseTable)
+    require(curV > 0, s"base table $baseTable has no committed version")
+    val lastV = Snapshots.tagWatermark(idxTable, FpThroughPrefix)
+    if (lastV == curV) return Snapshots.currentVersion(idxTable)
+    if (lastV == 0)
+      Snapshots.commitOverwriteTagged(
+        fpsOf(Snapshots.readVersion(s, baseTable, curV)).withColumn("sgn", lit(1)),
+        idxTable, Seq(FpThroughPrefix + curV))
+    else {
+      val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
+      val delta = fpsOf(ins).withColumn("sgn", lit(1)).unionByName(
+        fpsOf(del).withColumn("sgn", lit(-1)))
+      Snapshots.commitAppendTagged(delta, idxTable, Seq(FpThroughPrefix + curV))
+      Snapshots.maybeCompactNet(s, idxTable, FpThroughPrefix)(df =>
+        fpNet(df).withColumn("sgn", lit(1)))
+      Snapshots.currentVersion(idxTable)
+    }
+  }
+
+  /** fp → canonical (min live doc_id) from the tombstone-folded
+    * fingerprint index — equals `d_dedup_exact`'s canonical map over
+    * the live corpus.
+    */
+  def serveFingerprintIndex(s: org.apache.spark.sql.SparkSession,
+      idxTable: String): DataFrame =
+    fpNet(graft.sources.Snapshots.read(s, idxTable))
+      .groupBy("fp").agg(min(col("doc_id")).as("canonical_id"))
+
+  private def fpNet(df: DataFrame): DataFrame =
+    df.groupBy("doc_id", "fp")
+      .agg(sum(col("sgn")).as("net")).where(col("net") > 0)
+      .select("doc_id", "fp")
+
+  /** DuckDB CTE chain re-deriving the minhash BAND-INDEX rows
+    * (doc_id, band, bucket) from a restricted documents corpus — the
+    * live-corpus oracle of [[bandIndexMaintain]] under the forget
+    * capstone. CTE names prefixed `mb`; emits `mbands`.
+    */
+  private[graft] def bandIndexSqlCtes(corpusWhere: String): String =
+    s"""mbtk AS (SELECT doc_id, $tokensSql AS tk FROM documents $corpusWhere),
+       mbsh AS (SELECT doc_id, ${gramsSql(3)} AS shingles FROM mbtk),
+       mbsg AS (SELECT doc_id, list_transform(range(0, $K), k ->
+           list_min(list_transform(shingles, h ->
+             ((2*k+1)*(h % $HashP) + ((k*2654435761) % $HashP)) % $HashP))) AS sig
+         FROM mbsh),
+       mbbx AS (SELECT doc_id, unnest(range(0, $Bands)) AS band, sig FROM mbsg),
+       mbands AS (SELECT doc_id, band, ${bandBucketSql("band")} AS bucket FROM mbbx)"""
+
+  /** DuckDB CTE chain re-deriving the SimHash BLOCK rows
+    * (doc_id, simhash, block, blockval) from a restricted documents
+    * corpus — [[simhashIndexMaintain]]'s live-corpus oracle. CTE names
+    * prefixed `sx`; emits `sxblocks`.
+    */
+  private[graft] def simhashIndexSqlCtes(corpusWhere: String): String =
+    s"""sxtk AS (SELECT doc_id, $tokensSql AS tk FROM documents $corpusWhere),
+       sxth AS (SELECT doc_id, list_transform(tk, t -> ${h60("t")}) AS hs FROM sxtk),
+       sxsh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+           CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
+               CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END)), 0) >= 0
+             THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+         FROM sxth),
+       sxbx AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS block FROM sxsh),
+       sxblocks AS (SELECT doc_id, simhash, block,
+           (simhash >> CAST(block*15 AS INT)) & 32767 AS blockval FROM sxbx)"""
+
   /** Near-dup stats for a NEW document batch against corpus ∪ batch,
     * with the corpus side served ENTIRELY from the persisted index at
     * `indexVersion` — no signature recompute — and the batch's own

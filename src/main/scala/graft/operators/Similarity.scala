@@ -538,6 +538,183 @@ object Similarity {
         ()
       }
 
+  private val GraphThroughPrefix = "graph_through "
+
+  private def graphBandsOf(vecs: DataFrame): DataFrame =
+    bandedVectors(quantized(vecs).withColumn("buckets", lshBandBuckets(col("q"))))
+
+  private def graphBandsNet(df: DataFrame): DataFrame =
+    df.groupBy("vec_id", "band", "bucket")
+      .agg(sum(col("sgn")).as("net")).where(col("net") > 0)
+      .select("vec_id", "band", "bucket")
+
+  private def graphNet(df: DataFrame): DataFrame =
+    df.groupBy("g_src", "g_dst", "g_sim")
+      .agg(sum(col("sgn")).as("net")).where(col("net") > 0)
+      .select("g_src", "g_dst", "g_sim")
+
+  /** DELETE-AWARE maintenance of the persisted kNN graph (and its
+    * banded-vector sidecar) over a VERSIONED base table — the missing
+    * direction next to [[graphAppendIncremental]]: a deleted vector
+    * invalidates every adjacency list it appears in, and the
+    * replacement edge (the old rank-K+1 candidate) is NOT in the
+    * stored top-K — so affected sources are re-ranked from their LIVE
+    * band-collision candidate set, which is exactly what a full
+    * rebuild computes for them. One pass per base version:
+    *
+    *  1. the band sidecar folds signed per-vector rows (departed −1,
+    *     inserted +1) — O(changed vectors);
+    *  2. the recompute set = sources with an edge to a deleted vector
+    *     ∪ sources colliding with an inserted vector ∪ the inserted
+    *     vectors themselves, intersected with the live corpus —
+    *     bounded by the change set's collision fan-out;
+    *  3. those sources' CURRENT net adjacency (and every deleted
+    *     source's) appends negated; their freshly re-ranked top-K
+    *     (exact cosine over live band candidates) appends positive.
+    *
+    * Serving ([[serveKnnGraph]]) nets by (src, dst, sim) — sims are
+    * exact-integer-derived, so an unchanged edge recomputed later is
+    * bit-identical and nets correctly. Equivalence to a rebuild on the
+    * live corpus: an untouched source has no inserted collider (its
+    * candidate set only SHRANK by non-top-K members) and no deleted
+    * top-K edge, so its stored adjacency already equals the rebuild's;
+    * everything else is recomputed outright. Hash-proven by
+    * `q_forget_capstone`, whose oracle builds the graph from the live
+    * corpus. The one corpus-sized touch is the vector fetch for
+    * scoring (a pruned point-join at scale); candidate generation and
+    * adjacency rewrites stay O(changes).
+    */
+  def knnGraphMaintain(s: SparkSession, baseTable: String,
+      bandsT: String, graphT: String,
+      project: DataFrame => DataFrame = identity): Unit = {
+    import graft.sources.Snapshots
+    val curV = Snapshots.currentVersion(baseTable)
+    require(curV > 0, s"base table $baseTable has no committed version")
+    val lastV = Snapshots.tagWatermark(graphT, GraphThroughPrefix)
+    if (lastV == curV) return
+    val tag = Seq(GraphThroughPrefix + curV)
+    if (lastV == 0) {
+      val base = project(Snapshots.readVersion(s, baseTable, curV))
+      Snapshots.commitOverwriteTagged(
+        graphBandsOf(base).withColumn("sgn", lit(1L)), bandsT, tag)
+      Snapshots.commitOverwriteTagged(
+        buildGraph(base).withColumn("sgn", lit(1L)), graphT, tag)
+    } else {
+      val (ins0, del0) = Snapshots.changesBetween(s, baseTable, lastV, curV)
+      val ins = project(ins0).localCheckpoint()
+      val del = project(del0).localCheckpoint()
+      val insBands = graphBandsOf(ins).localCheckpoint()
+      Snapshots.commitAppendTagged(
+        insBands.withColumn("sgn", lit(1L))
+          .unionByName(graphBandsOf(del).withColumn("sgn", lit(-1L))),
+        bandsT, tag)
+      val liveBands = graphBandsNet(Snapshots.read(s, bandsT)).localCheckpoint()
+      val deleted = del.select("vec_id").distinct()
+      val inserted = ins.select("vec_id").distinct()
+      val oldGraph = graphNet(Snapshots.read(s, graphT)).localCheckpoint()
+      val affectedByDel = oldGraph
+        .join(deleted, oldGraph("g_dst") === deleted("vec_id"), "left_semi")
+        .select(col("g_src").as("vec_id"))
+      val collideWithIns = liveBands.toDF("vec_id", "band", "bucket")
+        .join(insBands.toDF("i_id", "band", "bucket"), Seq("band", "bucket"))
+        .where(col("vec_id") =!= col("i_id")).select("vec_id")
+      val liveIds = liveBands.select("vec_id").distinct()
+      val recompute = affectedByDel.unionByName(collideWithIns)
+        .unionByName(inserted).distinct()
+        .join(liveIds, Seq("vec_id"), "left_semi")
+        .localCheckpoint()
+      // fresh top-K for the recompute set from LIVE band candidates
+      val rb = liveBands.join(recompute, Seq("vec_id"), "left_semi")
+      val cand = rb.toDF("a", "band", "bucket")
+        .join(liveBands.toDF("b", "band", "bucket"), Seq("band", "bucket"))
+        .where(col("a") =!= col("b")).select("a", "b").distinct()
+      val vLive = quantized(project(Snapshots.readVersion(s, baseTable, curV)))
+        .localCheckpoint()
+      val wG = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
+      val freshAdj = scorePairs(vLive, cand, "a", "b")
+        .withColumn("rn", row_number().over(wG)).where(col("rn") <= GraphK)
+        .select(col("a").as("g_src"), col("b").as("g_dst"), col("sim").as("g_sim"))
+      val dropSrcs = recompute.unionByName(deleted).distinct()
+      val negRows = oldGraph
+        .join(dropSrcs, oldGraph("g_src") === dropSrcs("vec_id"), "left_semi")
+        .withColumn("sgn", lit(-1L))
+      Snapshots.commitAppendTagged(
+        negRows.unionByName(freshAdj.withColumn("sgn", lit(1L))), graphT, tag)
+      // size-ratio compaction policy (serving invariant; sgn re-carried)
+      Snapshots.maybeCompactNet(s, bandsT, GraphThroughPrefix)(df =>
+        graphBandsNet(df).withColumn("sgn", lit(1L)))
+      Snapshots.maybeCompactNet(s, graphT, GraphThroughPrefix)(df =>
+        graphNet(df).withColumn("sgn", lit(1L)))
+    }
+    ()
+  }
+
+  /** Net view of the tombstone-maintained kNN graph: the adjacency of
+    * the live corpus under [[knnGraphMaintain]]'s fold — equals
+    * [[buildGraph]] of the live base.
+    */
+  def serveKnnGraph(s: SparkSession, graphT: String): DataFrame =
+    graphNet(graft.sources.Snapshots.read(s, graphT))
+
+  /** DuckDB CTE chain rebuilding the kNN-graph adjacency from a
+    * restricted embeddings corpus — the live-corpus oracle of
+    * [[knnGraphMaintain]] (CTE names prefixed `g` so the chain composes
+    * with the IVF chain in one statement). `corpusWhere` filters the
+    * embeddings rows (e.g. the erased ids); emits
+    * `ggraph(g_src, g_dst)`.
+    */
+  private[graft] def graphLiveSqlCtes(corpusWhere: String): String =
+    s"""gv AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
+         FROM embeddings $corpusWhere),
+       gn AS (SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM gv),
+       gbb AS (SELECT vec_id, unnest(range(0, $BandsV)) AS band,
+         unnest(${allBandsSql("q")}) AS bucket FROM gn),
+       gcand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+           FROM gbb l JOIN gbb r ON l.band = r.band AND l.bucket = r.bucket
+           WHERE l.vec_id <> r.vec_id),
+       ggsc AS (SELECT c.a, c.b,
+            CAST(list_sum(list_transform(list_zip(x.q, y.q), s -> s[1]*s[2])) AS DOUBLE)
+              / SQRT(CAST(x.nrm AS DOUBLE) * CAST(y.nrm AS DOUBLE)) AS sim
+          FROM gcand c JOIN gn x ON x.vec_id = c.a JOIN gn y ON y.vec_id = c.b),
+       ggraph AS (SELECT a AS g_src, b AS g_dst FROM (
+           SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
+           FROM ggsc) x WHERE rn <= $GraphK)"""
+
+  /** DuckDB CTE chain re-deriving the FROZEN-quantizer IVF lists the
+    * way [[ivfListsMaintain]] serves them after DML: the quantizer
+    * (seed + one Lloyd round) trains on the FULL corpus as of the
+    * bootstrap fold; the lists assign only the LIVE rows under it.
+    * Emits `ia2(vec_id, nrm, cid)`. CTE names prefixed `i`.
+    */
+  private[graft] def ivfLiveListsSqlCtes(liveWhere: String): String = {
+    val sqd = "list_sum(list_transform(list_zip(iv2.q, ic0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"
+    val met = "CAST(list_sum(list_transform(list_zip(inl.q, ic1.cs), " +
+      "s -> (ic1.cn*s[1]-s[2])*(ic1.cn*s[1]-s[2]))) AS DOUBLE) / (ic1.cn*ic1.cn)"
+    s"""iv AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+       iv2 AS (SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM iv),
+       ivpc AS (SELECT CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS c FROM iv),
+       ic0 AS (SELECT vec_id AS cid, q AS cq FROM iv WHERE vec_id < (SELECT c FROM ivpc)),
+       ia1 AS (SELECT vec_id, q, cid FROM (
+           SELECT iv2.vec_id, iv2.q, ic0.cid,
+             ROW_NUMBER() OVER (PARTITION BY iv2.vec_id ORDER BY $sqd, ic0.cid) AS rn
+           FROM iv2, ic0) x WHERE rn = 1),
+       iex AS (SELECT cid, unnest(q) AS val, unnest(range(0, 64)) AS dim FROM ia1),
+       ic1 AS (SELECT s.cid, list(s.sv ORDER BY s.dim) AS cs, MAX(c.cn) AS cn
+           FROM (SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS sv FROM iex GROUP BY cid, dim) s
+           JOIN (SELECT cid, COUNT(*) AS cn FROM ia1 GROUP BY cid) c USING (cid)
+           GROUP BY s.cid),
+       inl AS (SELECT vec_id, q, nrm FROM iv2 WHERE $liveWhere),
+       ia2 AS (SELECT vec_id, nrm, cid FROM (
+           SELECT inl.vec_id, inl.nrm, ic1.cid,
+             ROW_NUMBER() OVER (PARTITION BY inl.vec_id ORDER BY $met, ic1.cid) AS rn
+           FROM inl, ic1) x WHERE rn = 1)"""
+  }
+
   /** The PERSISTED per-vector band index of an embeddings input —
     * (vec_id, band, bucket), committed once per input fingerprint like
     * the graph. Serving queries join their (tiny) query-side band rows
@@ -1502,7 +1679,12 @@ object Similarity {
     * frozen quantizer — never a rebuild, never a re-train.
     */
   def ivfListsMaintain(s: SparkSession, baseTable: String,
-      centsT: String, listsT: String): Unit = {
+      centsT: String, listsT: String,
+      project: DataFrame => DataFrame = identity): Unit = {
+    // `project` adapts a WIDER base table (e.g. a documents table
+    // carrying a nullable embedding column — the registry/forget
+    // composition) to the (vec_id, embedding) shape this maintenance
+    // consumes; the default is the plain embeddings-table identity
     import graft.sources.Snapshots
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
@@ -1510,7 +1692,7 @@ object Similarity {
     if (lastV == curV) return
     val tag = Seq(IvfThroughPrefix + curV)
     if (lastV == 0) {
-      val base = Snapshots.readVersion(s, baseTable, curV)
+      val base = project(Snapshots.readVersion(s, baseTable, curV))
       val (cents, _) = ivfBuild(base, cCountOf(base.count()), 1)
       // the frozen quantizer, carrying its train-time drift baseline
       // (one extra assign pass) for the ivfRetrainIfDrifted trigger
@@ -1521,7 +1703,8 @@ object Similarity {
         listsT, tag)
     } else {
       val cents = Snapshots.read(s, centsT)
-      val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
+      val (ins0, del0) = Snapshots.changesBetween(s, baseTable, lastV, curV)
+      val (ins, del) = (project(ins0), project(del0))
       val delta = ivfAssign(quantized(ins), cents).drop("m")
         .withColumn("sgn", lit(1))
         .unionByName(ivfAssign(quantized(del), cents).drop("m")

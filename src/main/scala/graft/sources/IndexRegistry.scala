@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+
+/** Dependent-index catalog: which derived structures hang off a
+  * versioned base table, and how to fold a base-table change into each
+  * of them. Two halves:
+  *
+  *  - **Maintainers** (code): a family name → maintenance function
+  *    `(spark, baseTable, roots) => Unit` registered once per process
+  *    (e.g. "bm25" → [[graft.functions.TextFunctions.bm25Maintain]]).
+  *    Every maintainer follows the watermark convention — it reads the
+  *    base change feed from its own maintained-through tag and no-ops
+  *    when already current — so walking the registry is idempotent.
+  *  - **Attachments** (persisted): per base table, the list of
+  *    (family, index roots) that depend on it, stored as a tiny
+  *    `meta/dependents.list` next to the snapshot manifests. New index
+  *    families must attach here to be reached by [[maintainAll]]; a
+  *    family that skips the registry silently misses DML coverage —
+  *    exactly the failure the catalog exists to prevent.
+  *
+  * The flagship composition is [[forgetWhere]]: ONE erasure predicate
+  * (the GDPR right-to-be-forgotten request) deletes from the base
+  * snapshot and folds the change feed through EVERY attached family in
+  * a single pass. Each family's fold is O(changed rows) by its own
+  * contract (tombstone-delta appends, never index rewrites), so the
+  * erasure costs O(erased data × families), never O(corpus).
+  *
+  * Reference analog: Database.deleteRecord propagating a record
+  * mutation into every access path (table heap + every B+ tree index);
+  * here the "indexes" are the engine's persisted serving structures —
+  * BM25 postings/doclen/totals, MinHash bands, SimHash blocks,
+  * exact-dedup fingerprints, IVF lists, the kNN graph.
+  *
+  * Concurrency: attachments follow the single-driver maintenance
+  * convention of the index families themselves (the nightly job);
+  * racing attach calls would need the manifest claim. Maintenance
+  * folds inherit whatever guarantees each maintainer provides.
+  */
+object IndexRegistry {
+
+  /** (spark, baseTable, indexRoots) => fold the base's pending change
+    * feed into the family's index tables. Must be watermark-idempotent.
+    */
+  type Maintainer = (SparkSession, String, Seq[String]) => Unit
+
+  private val maintainers =
+    new java.util.concurrent.ConcurrentHashMap[String, Maintainer]()
+
+  /** Register (or replace) the maintenance function for a family. */
+  def registerMaintainer(family: String)(fn: Maintainer): Unit = {
+    require(!family.contains("\t") && !family.contains("\n"),
+      s"family name '$family' must not contain tabs/newlines")
+    maintainers.put(family, fn)
+    ()
+  }
+
+  /** Registered family names (for specs / diagnostics). */
+  def registeredFamilies: Set[String] = maintainers.keySet().asScala.toSet
+
+  private def depsFile(baseTable: String) =
+    Paths.get(baseTable, "meta", "dependents.list")
+
+  /** Attach a family's index roots to a base table (idempotent; the
+    * persisted half of the catalog). Requires the maintainer to be
+    * registered first, so an attachment can never name a family the
+    * process cannot fold.
+    */
+  def attach(baseTable: String, family: String, roots: Seq[String]): Unit = {
+    require(maintainers.containsKey(family),
+      s"no maintainer registered for index family '$family'")
+    roots.foreach(r => require(!r.contains("\t") && !r.contains("\n"),
+      s"index root '$r' must not contain tabs/newlines"))
+    val line = (family +: roots).mkString("\t")
+    val existing = dependents(baseTable)
+    existing.find(_._1 == family) match {
+      case Some((_, prev)) =>
+        require(prev == roots,
+          s"family '$family' already attached to $baseTable with different roots " +
+            s"(${prev.mkString(", ")} vs ${roots.mkString(", ")})")
+      case None =>
+        Files.createDirectories(depsFile(baseTable).getParent)
+        Files.write(depsFile(baseTable), (line + "\n").getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+    }
+    ()
+  }
+
+  /** The (family, roots) attachments of a base table, in attach order. */
+  def dependents(baseTable: String): Seq[(String, Seq[String])] = {
+    val p = depsFile(baseTable)
+    if (!Files.exists(p)) return Seq.empty
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map { l =>
+        val parts = l.split("\t", -1).toSeq
+        (parts.head, parts.tail)
+      }
+  }
+
+  /** Fold the base table's pending changes through EVERY attached
+    * family (one registry walk = one maintenance pass). Returns the
+    * family names folded, in order. Fails loudly if an attachment
+    * names an unregistered family — a torn registry must not silently
+    * skip an index.
+    */
+  def maintainAll(s: SparkSession, baseTable: String): Seq[String] = {
+    val deps = dependents(baseTable)
+    deps.map { case (family, roots) =>
+      val fn = Option(maintainers.get(family)).getOrElse(
+        sys.error(s"attachment names unregistered index family '$family' " +
+          s"at $baseTable — registerMaintainer before maintainAll"))
+      fn(s, baseTable, roots)
+      family
+    }
+  }
+
+  /** The GDPR composition: delete `cond` rows from the base snapshot
+    * (one new version; NULL-cond rows kept, SQL DELETE semantics) and
+    * fold the resulting change feed through every attached index
+    * family in a single registry walk. Returns (new base version,
+    * families folded).
+    */
+  def forgetWhere(s: SparkSession, baseTable: String,
+      cond: org.apache.spark.sql.Column): (Int, Seq[String]) = {
+    // file-selective DML first (rewrites only dirs with matches — the
+    // 100 TB shape); a conflict abort (racing writer replaced a touched
+    // dir) falls back to the whole-snapshot semantic contract
+    val v = Snapshots.deleteWhereSelective(s, baseTable, cond)
+      .getOrElse(Snapshots.deleteWhere(s, baseTable, cond))
+    (v, maintainAll(s, baseTable))
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Forget, Similarity}
+import graft.sources.{IndexRegistry, Snapshots}
+
+/** The dependent-index registry + GDPR erasure capstone contracts:
+  * attachment semantics, the exactly-once shape of one maintenance
+  * pass, registry extensibility (a new family attached = a new family
+  * folded), and the delete-aware kNN-graph fold's equivalence to a
+  * live-corpus rebuild.
+  */
+class ForgetSpec extends SparkSpec {
+
+  private val tmp = "/root/repo/target/forget-spec"
+
+  test("attach is idempotent and rejects divergent roots") {
+    Forget.registerBuiltins()
+    val base = s"$tmp/attach/base"
+    Snapshots.deleteRecursively(s"$tmp/attach")
+    IndexRegistry.attach(base, "fingerprints", Seq(s"$tmp/attach/fps"))
+    IndexRegistry.attach(base, "fingerprints", Seq(s"$tmp/attach/fps")) // no-op
+    assert(IndexRegistry.dependents(base) ==
+      Seq(("fingerprints", Seq(s"$tmp/attach/fps"))))
+    intercept[IllegalArgumentException] {
+      IndexRegistry.attach(base, "fingerprints", Seq(s"$tmp/attach/other"))
+    }
+    intercept[IllegalArgumentException] {
+      IndexRegistry.attach(base, "no_such_family", Seq(s"$tmp/attach/x"))
+    }
+  }
+
+  test("a newly registered toy family is folded by forgetWhere, not skipped") {
+    Forget.registerBuiltins()
+    val root = s"$tmp/toy"
+    Snapshots.deleteRecursively(root)
+    val baseT = s"$root/base"
+    // toy index: lang → live doc count, maintained by full recompute
+    // under the standard watermark convention (what a third-party
+    // family plugs in)
+    val ToyPrefix = "toy_through "
+    IndexRegistry.registerMaintainer("toy_lang_counts") { (s, base, roots) =>
+      val curV = Snapshots.currentVersion(base)
+      if (Snapshots.tagWatermark(roots.head, ToyPrefix) != curV) {
+        Snapshots.commitOverwriteTagged(
+          Snapshots.readVersion(s, base, curV)
+            .groupBy("lang").agg(count(lit(1)).as("n")),
+          roots.head, Seq(ToyPrefix + curV))
+        ()
+      }
+    }
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text", "lang")
+    Snapshots.commitOverwrite(docs, baseT)
+    IndexRegistry.attach(baseT, "toy_lang_counts", Seq(s"$root/langcounts"))
+    assert(IndexRegistry.maintainAll(spark, baseT) == Seq("toy_lang_counts"))
+    val before = Snapshots.read(spark, s"$root/langcounts")
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(before == docs.count())
+    // the erasure folds the toy family through the SAME registry walk
+    val (v, folded) = IndexRegistry.forgetWhere(spark, baseT,
+      pmod(col("doc_id"), lit(3)) === 0)
+    assert(v == 2 && folded == Seq("toy_lang_counts"))
+    val after = Snapshots.read(spark, s"$root/langcounts")
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(after == docs.where(pmod(col("doc_id"), lit(3)) =!= 0).count())
+  }
+
+  test("erasure pass touches every index root exactly once and is idempotent") {
+    val (baseT, root) = Forget.bootstrap(spark, sfDir)
+    val allRoots = Forget.familyRoots(root).flatMap(_._2)
+    val v0 = allRoots.map(r => r -> Snapshots.currentVersion(r)).toMap
+    assert(v0.values.forall(_ >= 1), s"bootstrap left unbuilt roots: $v0")
+    IndexRegistry.forgetWhere(spark, baseT, pmod(col("doc_id"), lit(7)) === 0)
+    val v1 = allRoots.map(r => r -> Snapshots.currentVersion(r)).toMap
+    // every MAINTAINED root advanced on the erasure pass — no family
+    // was skipped. (A root may advance by 2 when the size-ratio policy
+    // compacts its tombstones in the same pass; "exactly once" is the
+    // idempotence assert below, not a version-delta of 1.) The one
+    // deliberate exception: the IVF coarse quantizer is a FROZEN
+    // artifact between offline re-trains — an erasure must NOT retrain
+    // it, so its version must stay put.
+    val frozen = Set(s"$root/ivf_cents")
+    allRoots.filterNot(frozen).foreach(r => assert(v1(r) > v0(r),
+      s"root $r did not fold on the erasure pass ($v0 -> $v1)"))
+    frozen.foreach(r => assert(v1(r) == v0(r),
+      s"frozen quantizer $r must not change on an erasure ($v0 -> $v1)"))
+    // a second registry walk is a NO-OP: every family's watermark is
+    // already at the base head, so nothing recommits (the exactly-once
+    // property of the watermark convention)
+    IndexRegistry.maintainAll(spark, baseT)
+    val v2 = allRoots.map(r => r -> Snapshots.currentVersion(r)).toMap
+    assert(v2 == v1, s"second maintainAll was not a no-op: $v1 -> $v2")
+  }
+
+  test("delete-aware kNN graph maintenance equals a live-corpus rebuild") {
+    val root = s"$tmp/graph"
+    Snapshots.deleteRecursively(root)
+    val baseT = s"$root/vecs"
+    val e = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    // bootstrap on 90%, then a delete AND an append in one fold
+    Snapshots.commitOverwrite(e.where(pmod(col("vec_id"), lit(10)) =!= 0), baseT)
+    Similarity.knnGraphMaintain(spark, baseT, s"$root/bands", s"$root/graph")
+    Snapshots.deleteWhere(spark, baseT, pmod(col("vec_id"), lit(7)) === 0)
+    Snapshots.commitAppend(e.where(pmod(col("vec_id"), lit(10)) === 0), baseT)
+    Similarity.knnGraphMaintain(spark, baseT, s"$root/bands", s"$root/graph")
+    val served = Similarity.serveKnnGraph(spark, s"$root/graph")
+    val live = e.where(
+      (pmod(col("vec_id"), lit(10)) =!= 0 && pmod(col("vec_id"), lit(7)) =!= 0) ||
+        pmod(col("vec_id"), lit(10)) === 0)
+    val rebuilt = Similarity.buildGraph(live)
+    def rows(df: DataFrame) =
+      df.select("g_src", "g_dst", "g_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (sv, rb) = (rows(served), rows(rebuilt))
+    assert(sv == rb,
+      s"served ≠ rebuilt: only-served=${(sv -- rb).take(5)} only-rebuilt=${(rb -- sv).take(5)}")
+  }
+
+  test("delete-aware SimHash and fingerprint maintenance equal live recomputes") {
+    val root = s"$tmp/textidx"
+    Snapshots.deleteRecursively(root)
+    val baseT = s"$root/docs"
+    val d = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    Snapshots.commitOverwrite(d.where(pmod(col("doc_id"), lit(10)) =!= 0), baseT)
+    Dedup.simhashIndexMaintain(spark, baseT, s"$root/simhash")
+    Dedup.fingerprintIndexMaintain(spark, baseT, s"$root/fps")
+    Snapshots.deleteWhere(spark, baseT, pmod(col("doc_id"), lit(7)) === 0)
+    Snapshots.commitAppend(d.where(pmod(col("doc_id"), lit(10)) === 0), baseT)
+    Dedup.simhashIndexMaintain(spark, baseT, s"$root/simhash")
+    Dedup.fingerprintIndexMaintain(spark, baseT, s"$root/fps")
+    val live = d.where(
+      (pmod(col("doc_id"), lit(10)) =!= 0 && pmod(col("doc_id"), lit(7)) =!= 0) ||
+        pmod(col("doc_id"), lit(10)) === 0)
+    // SimHash blocks ≡ re-signing the live corpus
+    val servedBlocks = Dedup.serveSimhashIndex(spark, s"$root/simhash")
+    val freshBlocks = Dedup.simhashBlocksOf(live)
+    assert(servedBlocks.exceptAll(freshBlocks).isEmpty &&
+      freshBlocks.exceptAll(servedBlocks).isEmpty,
+      "simhash block index diverged from live recompute")
+    // fingerprint canonicals ≡ exact dedup over the live corpus —
+    // including canonical PROMOTION when the old min doc was erased
+    val servedFps = Dedup.serveFingerprintIndex(spark, s"$root/fps")
+    val freshFps = live.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+    assert(servedFps.exceptAll(freshFps).isEmpty &&
+      freshFps.exceptAll(servedFps).isEmpty,
+      "fingerprint index diverged from live recompute")
+  }
+}
