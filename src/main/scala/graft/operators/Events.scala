@@ -2941,6 +2941,75 @@ object Events {
             CAST(SUM(credit) AS BIGINT) AS attributed_millicents
           FROM c GROUP BY 1"""))
 
+  /** U-SHAPED (position-based, 40/20/40) multi-touch attribution —
+    * the third standard model next to first/last ([[attribution]]) and
+    * linear ([[attributionLinear]]): the FIRST and LAST touch in the
+    * 7-day pre-purchase window each take 40% of the purchase value,
+    * the middle touches share the remaining 20% equally. The edge
+    * cases that break naive 40/20/40 splits are pinned explicitly:
+    * ONE touch takes 100% (not 40), TWO touches take 50% each (not
+    * 40+40 with 20 orphaned), zero touches credit 'direct' in full.
+    * Exact integers throughout (millicents, integral div per credit,
+    * value clamped at 0 in both engines — the [[attributionLinear]]
+    * conventions); touch order is total via (time, event_id).
+    *
+    * Scale shape: identical to the linear model — the touch-window
+    * join is keyed on user_id, the per-purchase rank/count windows
+    * run over bounded frames (one purchase's touches), 3-row rollup.
+    */
+  val attributionUshaped: QueryDef = QueryDef(
+    "q_events_attribution_ushaped",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        col("value"), sec.as("t"), col("event_id"))
+      val touches = e.where(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("t").as("tt"), col("event_id").as("t_eid"))
+      val purch = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_eid"),
+          expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"),
+          col("t").as("tp"))
+      val j = purch.join(touches,
+        purch("user_id") === touches("user_id") &&
+          col("tt") >= col("tp") - 604800L && col("tt") < col("tp"), "left")
+      val wk = Window.partitionBy("p_eid")
+      val wo = Window.partitionBy("p_eid").orderBy(col("tt"), col("t_eid"))
+      j.withColumn("k", count(col("channel")).over(wk))
+        .withColumn("rn", row_number().over(wo))
+        .select(coalesce(col("channel"), lit("direct")).as("channel"),
+          when(col("k") <= 1L, greatest(col("cents"), lit(0L)) * 1000L)
+            .when(col("k") === 2L, expr("(greatest(cents, 0) * 1000) div 2"))
+            .when(col("rn") === 1L || col("rn") === col("k"),
+              expr("(greatest(cents, 0) * 1000 * 40) div 100"))
+            .otherwise(expr("(greatest(cents, 0) * 1000 * 20) div (100 * (k - 2))"))
+            .as("credit"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_credits"),
+          sum(col("credit")).cast("long").as("attributed_millicents"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, value,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id FROM events),
+          tt AS (SELECT user_id, event_type AS channel, t, event_id FROM e
+            WHERE event_type IN ('click', 'view')),
+          p AS (SELECT user_id, event_id AS p_eid,
+              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, t AS tp
+            FROM e WHERE event_type = 'purchase'),
+          j AS (SELECT p.p_eid, p.cents, tt.channel, tt.t, tt.event_id
+            FROM p LEFT JOIN tt ON tt.user_id = p.user_id
+              AND tt.t >= p.tp - 604800 AND tt.t < p.tp),
+          k AS (SELECT *, COUNT(channel) OVER (PARTITION BY p_eid) AS k,
+              ROW_NUMBER() OVER (PARTITION BY p_eid ORDER BY t, event_id) AS rn
+            FROM j),
+          c AS (SELECT COALESCE(channel, 'direct') AS channel,
+              CASE WHEN k <= 1 THEN GREATEST(cents, 0) * 1000
+                WHEN k = 2 THEN (GREATEST(cents, 0) * 1000) // 2
+                WHEN rn = 1 OR rn = k THEN (GREATEST(cents, 0) * 1000 * 40) // 100
+                ELSE (GREATEST(cents, 0) * 1000 * 20) // (100 * (k - 2)) END AS credit
+            FROM k)
+          SELECT channel, COUNT(*) AS n_credits,
+            CAST(SUM(credit) AS BIGINT) AS attributed_millicents
+          FROM c GROUP BY 1"""))
+
   /** AUDIENCE OVERLAP between event types — the cross-feature usage
     * matrix a product team reads before bundling or gating features
     * (and the audience-intersection primitive of ad-measurement
@@ -3031,7 +3100,8 @@ object Events {
       seasonalDecompose, theilSen, asofTolerance, holtWinters, anomalySeasonal,
       powerLaw, rollingDauHll, scd2Lookup, botCadence, srm, hwBacktest,
       funnelWindowed, growthAccounting, sloBurn, retentionDn, dowEffect,
-      audienceOverlap, userDiversity, attributionLinear, asofNearest)
+      audienceOverlap, userDiversity, attributionLinear,
+      attributionUshaped, asofNearest)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -41,6 +41,50 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("U-shaped attribution: 0/1/2/3-touch paths split 100 / 100 / 50-50 / 40-20-40") {
+    // the edge cases that break naive 40/20/40 splits: one touch must
+    // take 100% (not 40%, orphaning 60), two touches 50/50 (not 40+40
+    // with the middle 20 unassignable), zero touches credit 'direct'.
+    // Synthetic corpus: four users, each purchasing 1.00 (= 100,000
+    // millicents) with 0, 1, 2 and 3 prior touches respectively; the
+    // 3-touch user's middle touch is a 'view' between two 'click's.
+    import spark.implicits._
+    val dst = "/root/repo/target/edgecase/ushape"
+    graft.sources.Snapshots.deleteRecursively(dst)
+    val base = java.sql.Timestamp.valueOf("2024-01-10 12:00:00")
+    def at(offsetSec: Long) = new java.sql.Timestamp(base.getTime + offsetSec * 1000)
+    val ev = Seq(
+      // user 1: zero touches
+      (101L, at(0), 1L, "purchase", 1.0, "{}"),
+      // user 2: one click → 100%
+      (201L, at(-100), 2L, "click", 0.0, "{}"),
+      (202L, at(0), 2L, "purchase", 1.0, "{}"),
+      // user 3: click, view → 50/50
+      (301L, at(-200), 3L, "click", 0.0, "{}"),
+      (302L, at(-100), 3L, "view", 0.0, "{}"),
+      (303L, at(0), 3L, "purchase", 1.0, "{}"),
+      // user 4: click, view, click → 40/20/40
+      (401L, at(-300), 4L, "click", 0.0, "{}"),
+      (402L, at(-200), 4L, "view", 0.0, "{}"),
+      (403L, at(-100), 4L, "click", 0.0, "{}"),
+      (404L, at(0), 4L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    Tables.names.foreach { t =>
+      val src = spark.read.parquet(s"$sfDir/$t.parquet")
+      (if (t == "events") ev.select(src.columns.map(col): _*) else src.limit(1))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    val got = SparkEntry.queries("q_events_attribution_ushaped")(spark, dst)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // direct: 1 credit of 100,000 (user 1)
+    // click: u2 full 100,000 + u3 first 50,000 + u4 first/last 40,000×2
+    // view:  u3 last 50,000 + u4 middle 20,000
+    assert(got == Set(
+      ("direct", 1L, 100000L),
+      ("click", 4L, 230000L),
+      ("view", 2L, 70000L)), s"got $got")
+  }
+
   test("BPE encode on a corpus that learns NO merge rule is the identity, not null") {
     // single-character words have no adjacent symbol pairs, so every
     // training round's rule frame is empty — the degenerate shape
