@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Memory-pressure gate (round-12 verdict #3): the catalog's heaviest
+  * families must SPILL under a constrained session, not OOM — proven
+  * by running them at sf0.1 in a CHILD JVM with a quarter of the test
+  * heap and spill-forcing thresholds (graft.tools.SpillProbe), then
+  * asserting (a) clean exit, (b) result hashes identical to this
+  * suite's unconstrained session, (c) task metrics recorded actual
+  * spilled bytes. Everything before this ran only on the 8 GiB
+  * local[32] profile; this is the axis a production executor under
+  * memory pressure exercises on day one.
+  */
+class SpillSpec extends SparkSpec {
+
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  test("heavy families spill (not OOM) under a 2 GiB session, hashes unchanged") {
+    // the four heaviest shapes: the in-window explode (winnow), the
+    // versioned join-MV DML cycle, the tombstone-netted BM25 DML serve,
+    // and the TypedImperativeAggregate scatter (forced to its
+    // sort-based fallback by the probe's threshold)
+    val queries = Seq("d_dedup_winnow", "q_mv_join_incremental",
+      "t_search_bm25_dml", "s_embedding_pca")
+    val sf = "/root/testdata/sf0.1"
+    def hash(df: DataFrame): String = {
+      val h = df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(expr("bit_xor(h)")).head()
+      if (h.isNullAt(0)) "null" else h.getLong(0).toString
+    }
+    // reference from THIS (unconstrained) session, computed first so
+    // the persisted DML roots are freshly rebuilt either way
+    val ref = queries.map(q => q -> hash(SparkEntry.queries(q)(spark, sf))).toMap
+    val cmd = Seq("java", "-Xmx2g") ++ jdk17AddOpens ++ Seq(
+      "-cp", "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*",
+      "graft.tools.SpillProbe", sf, queries.mkString(","))
+    val buf = new StringBuilder
+    val proc = new ProcessBuilder(cmd: _*)
+      .directory(new java.io.File("/root/repo"))
+      .redirectErrorStream(true).start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    var line = out.readLine()
+    while (line != null) { buf.append(line).append('\n'); line = out.readLine() }
+    val exit = proc.waitFor()
+    val text = buf.toString
+    assert(exit == 0,
+      s"spill probe died (exit $exit) — an operator OOMed instead of spilling:\n" +
+        text.linesIterator.toSeq.takeRight(30).mkString("\n"))
+    val probed = text.linesIterator.collect {
+      case l if l.startsWith("SPILLPROBE ") =>
+        val p = l.split(" "); p(1) -> p(2)
+    }.toMap
+    queries.foreach { q =>
+      assert(probed.get(q).contains(ref(q)),
+        s"$q hash diverged under memory pressure: constrained=${probed.get(q)} " +
+          s"unconstrained=${ref(q)}")
+    }
+    val spilledBytes = text.linesIterator
+      .collectFirst { case l if l.startsWith("SPILLPROBE_SPILLED_BYTES ") =>
+        l.split(" ")(1).toLong }
+      .getOrElse(fail("probe printed no spill metric"))
+    assert(spilledBytes > 0L,
+      "the constrained session recorded ZERO spilled bytes — the " +
+        "thresholds are not forcing the spill paths this gate exists to test")
+  }
+}
