@@ -91,6 +91,61 @@ object Events {
                    CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM l GROUP BY user_id"""))
 
+  /** SESSION PATH analysis — the clickstream navigation report next to
+    * [[sessionize]]'s counts: per 30-minute-gap session, the ordered
+    * sequence of its first 5 event types joined as a path string
+    * ("view>click>view…"), rolled up to the top-10 most common paths.
+    * The product question ("how do sessions actually start?") that
+    * funnels (fixed steps) and Markov chains (memoryless pairs) both
+    * miss — full ordered prefixes, exact counts.
+    *
+    * Scale shape: sessionization runs in per-user windows (the
+    * [[sessionize]] shape); per-session aggregation collects ≤
+    * session-length structs inside each group and truncates to 5; the
+    * path rollup keys on a bounded vocabulary (≤ |event types|⁵
+    * prefixes) and the top-10 plans as TakeOrdered — no global sort of
+    * the session frame. Path order is total via (sec, event_id), so
+    * both engines assemble identical strings.
+    */
+  val sessionPaths: QueryDef = QueryDef(
+    "q_events_paths",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), sec.as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .withColumn("new_s",
+          when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(wRun))
+        .groupBy("user_id", "sid")
+        .agg(slice(transform(
+          array_sort(collect_list(struct(col("sec"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), 1, 5).as("types"))
+        .select(concat_ws(">", col("types")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(10)
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events),
+          g AS (SELECT user_id, event_id, event_type, sec,
+              CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                  IS NULL
+                OR sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+                  > 1800 THEN 1 ELSE 0 END AS new_s
+            FROM e),
+          sid AS (SELECT user_id, event_id, event_type, sec,
+              SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM g),
+          p AS (SELECT user_id, sid,
+              list(event_type ORDER BY sec, event_id)[1:5] AS types
+            FROM sid GROUP BY 1, 2),
+          pp AS (SELECT array_to_string(types, '>') AS path FROM p)
+          SELECT path, COUNT(*) AS n_sessions FROM pp GROUP BY 1
+          ORDER BY n_sessions DESC, path LIMIT 10"""))
+
   /** §2.2 — as-of join: each purchase event matched to the user's
     * latest signup event at or before it (point-in-time feature
     * lookup). Oracle: DuckDB's native ASOF LEFT JOIN.
@@ -3101,7 +3156,7 @@ object Events {
       powerLaw, rollingDauHll, scd2Lookup, botCadence, srm, hwBacktest,
       funnelWindowed, growthAccounting, sloBurn, retentionDn, dowEffect,
       audienceOverlap, userDiversity, attributionLinear,
-      attributionUshaped, asofNearest)
+      attributionUshaped, sessionPaths, asofNearest)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

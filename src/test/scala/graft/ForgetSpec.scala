@@ -93,6 +93,31 @@ class ForgetSpec extends SparkSpec {
     assert(v2 == v1, s"second maintainAll was not a no-op: $v1 -> $v2")
   }
 
+  test("after the erasure pass, NO served structure references an erased id") {
+    // the compliance audit a real right-to-be-forgotten pipeline emits:
+    // beyond the checksum proof (serve ≡ live rebuild), assert directly
+    // that every id-bearing column of every served structure is clean
+    // of the erased ids — including the kNN graph's DESTINATION side,
+    // where a stale edge would leak a forgotten doc as someone else's
+    // neighbor
+    val (baseT, root) = Forget.bootstrap(spark, sfDir)
+    IndexRegistry.forgetWhere(spark, baseT, pmod(col("doc_id"), lit(7)) === 0)
+    def erased(df: DataFrame, idCol: String): Long =
+      df.where(pmod(col(idCol), lit(7)) === 0).count()
+    assert(erased(Snapshots.read(spark, baseT), "doc_id") == 0, "base")
+    assert(erased(graft.functions.TextFunctions.servePostingsNet(
+      Snapshots.read(spark, s"$root/postings")), "doc_id") == 0, "postings")
+    assert(erased(Snapshots.read(spark, s"$root/doclen").groupBy("doc_id")
+      .agg(sum(col("dl")).as("dl")).where(col("dl") > 0), "doc_id") == 0, "doclen")
+    assert(erased(Dedup.serveBandIndex(spark, s"$root/bands"), "doc_id") == 0, "bands")
+    assert(erased(Dedup.serveSimhashIndex(spark, s"$root/simhash"), "doc_id") == 0, "simhash")
+    assert(erased(Dedup.serveFingerprintIndex(spark, s"$root/fps"),
+      "canonical_id") == 0, "fingerprints")
+    assert(erased(Similarity.serveIvfLists(spark, s"$root/ivf_lists"), "vec_id") == 0, "ivf")
+    val graph = Similarity.serveKnnGraph(spark, s"$root/knn_graph")
+    assert(erased(graph, "g_src") == 0 && erased(graph, "g_dst") == 0, "graph")
+  }
+
   test("delete-aware kNN graph maintenance equals a live-corpus rebuild") {
     val root = s"$tmp/graph"
     Snapshots.deleteRecursively(root)
