@@ -994,13 +994,13 @@ object TextFunctions {
 
   /** The query terms' buckets — a literal IN filter the postings scan
     * prunes on. */
-  private def searchBuckets: Seq[Long] = bucketsOf(SearchTerms.map(_._2))
+  private[graft] def searchBuckets: Seq[Long] = bucketsOf(SearchTerms.map(_._2))
 
   /** Conjunctive all-terms top-10 over a postings frame — shared by
     * every serving layout. Arity is derived from SearchTerms itself,
     * so a query with any number of terms keeps all-terms semantics.
     */
-  private def serveConjunctive(s: org.apache.spark.sql.SparkSession,
+  private[graft] def serveConjunctive(s: org.apache.spark.sql.SparkSession,
       post0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // the query's terms as a PUSHED literal IN-filter (semantically a
     // no-op next to the inner join below): bucket pruning narrows the
@@ -1036,7 +1036,7 @@ object TextFunctions {
     * `corpusWhere` restricts the corpus (the DML twin's live-docs
     * predicate); empty means the whole documents table.
     */
-  private def conjunctiveOracleSql(corpusWhere: String = ""): String =
+  private[graft] def conjunctiveOracleSql(corpusWhere: String = ""): String =
     s"""WITH q(query_id, term) AS (VALUES ${
         SearchTerms.map { case (i, t) => s"($i, '$t')" }.mkString(", ")}),
          qc AS (SELECT query_id, COUNT(*) AS n_terms FROM q GROUP BY 1),

@@ -225,5 +225,41 @@ object Forget {
     },
     Some(capstoneOracle))
 
-  val defs: Seq[QueryDef] = Seq(forgetCapstone)
+  /** STREAMED erasure requests, exactly-once — the capstone's
+    * continuous form: two erasure micro-batches fold through the
+    * registry via [[graft.sources.IndexRegistry.forgetBatch]]
+    * (tagged delete + one registry walk each), then batch 0 REPLAYS —
+    * the foreachBatch-retry case — and must no-op end to end (the
+    * ingest tag blocks the re-delete; unchanged base versions leave
+    * every maintenance watermark in place). Serving runs conjunctive
+    * search over the maintained postings; the oracle recomputes over
+    * exactly the twice-erased live corpus, so hash equality proves the
+    * replayed erasure stream ≡ one-shot erasure of the union.
+    */
+  val forgetStreamSearch: QueryDef = QueryDef(
+    "t_search_forget_stream",
+    (s, dir) => {
+      registerBuiltins()
+      val root = "/root/repo/target/forget/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_stream"
+      Snapshots.deleteRecursively(root)
+      val baseT = s"$root/docs"
+      val (postT, dlT, totT) = (s"$root/postings", s"$root/doclen", s"$root/totals")
+      Snapshots.commitOverwrite(
+        Tables.load(s, dir, "documents").select("doc_id", "text"), baseT)
+      IndexRegistry.attach(baseT, "bm25", Seq(postT, dlT, totT))
+      IndexRegistry.maintainAll(s, baseT)
+      val sid = "t_search_forget_stream"
+      IndexRegistry.forgetBatch(s, baseT, pmod(col("doc_id"), lit(5)) === 0, sid, 0L)
+      IndexRegistry.forgetBatch(s, baseT, pmod(col("doc_id"), lit(11)) === 0, sid, 1L)
+      // replayed batch 0 (the foreachBatch retry): must no-op
+      IndexRegistry.forgetBatch(s, baseT, pmod(col("doc_id"), lit(5)) === 0, sid, 0L)
+      TextFunctions.serveConjunctive(s, TextFunctions.servePostingsNet(
+        Snapshots.read(s, postT)
+          .where(col("b").isin(TextFunctions.searchBuckets: _*))))
+    },
+    Some(TextFunctions.conjunctiveOracleSql(
+      "WHERE doc_id % 5 <> 0 AND doc_id % 11 <> 0")))
+
+  val defs: Seq[QueryDef] = Seq(forgetCapstone, forgetStreamSearch)
 }

@@ -134,4 +134,42 @@ object IndexRegistry {
       .getOrElse(Snapshots.deleteWhere(s, baseTable, cond))
     (v, maintainAll(s, baseTable))
   }
+
+  /** One micro-batch of STREAMED erasure requests, exactly-once: the
+    * delete commits tagged (streamId, batchId)
+    * ([[Snapshots.deleteBatch]] — a replay no-ops instead of
+    * resurrecting content), then ONE registry walk folds the change
+    * feed through every attached family. A replayed batch no-ops end
+    * to end: the tag blocks the re-delete, and an unchanged base
+    * version leaves every family's watermark where it was.
+    */
+  def forgetBatch(s: SparkSession, baseTable: String,
+      cond: org.apache.spark.sql.Column, streamId: String,
+      batchId: Long): (Int, Seq[String]) = {
+    val v = Snapshots.deleteBatch(s, baseTable, cond, streamId, batchId)
+    (v, maintainAll(s, baseTable))
+  }
+
+  /** Continuous right-to-be-forgotten: run a stream of erasure-request
+    * ids (column `idCol`, long) against the base table, every attached
+    * index family maintained inside the same micro-batch. Erasure
+    * requests are human-scale (a bounded trickle per micro-batch —
+    * they arrive from a compliance queue, not a firehose), so the
+    * batch's id set is a legitimate driver fetch feeding a pushed IN
+    * predicate; a firehose-scale delete belongs in [[forgetWhere]]
+    * with a join-expressible predicate.
+    */
+  def forgetStream(requests: org.apache.spark.sql.DataFrame,
+      baseTable: String, idCol: String, streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val ids = batch.select(idCol).distinct().collect().map(_.getLong(0)).toSeq
+        if (ids.nonEmpty) {
+          forgetBatch(batch.sparkSession, baseTable,
+            org.apache.spark.sql.functions.col(idCol).isin(ids: _*),
+            streamId, batchId)
+          ()
+        }
+      }
 }

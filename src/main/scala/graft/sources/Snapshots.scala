@@ -1010,6 +1010,39 @@ object Snapshots {
         else None)
   }
 
+  /** EXACTLY-ONCE batched DELETE — the erasure-request stream's commit
+    * unit (the DML twin of [[ingestBatch]]): rewrite the snapshot with
+    * `cond` rows removed (NULL-cond rows kept, [[deleteWhere]]'s SQL
+    * DELETE semantics) and commit it tagged (streamId, batchId), CAS'd
+    * on the head version the content was derived from. A replayed
+    * batch sees its tag and no-ops — critical for deletes, where a
+    * blind replay would OVERWRITE with content missing every batch
+    * that committed since. A head-race loser re-reads and re-filters
+    * against the winner's snapshot.
+    */
+  def deleteBatch(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column, streamId: String,
+      batchId: Long): Int = {
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      if (batchCommitted(table, streamId, batchId))
+        return committedVersion(table, streamId, batchId)
+          .getOrElse(currentVersion(table))
+      val head = currentVersion(table)
+      val live = readVersion(spark, table, head)
+        .where(!org.apache.spark.sql.functions.coalesce(
+          cond, org.apache.spark.sql.functions.lit(false)))
+      // schema-preserving like [[deleteWhere]]
+      commitOverwriteTaggedIf(live, table, head,
+        Seq(ingestTag(streamId, batchId)) ++ schemaMetaTags(table, head)) match {
+        case Some(v) => return v
+        case None => () // lost a head race — re-read, re-filter, retry
+      }
+    }
+    sys.error(s"deleteBatch to $table lost $attempt head races")
+  }
+
   /** [[ingestBatch]]'s OVERWRITE flavor — exactly-once per
     * (streamId, batchId), but the batch's content REPLACES the table
     * instead of appending: the commit shape of a derived artifact

@@ -994,4 +994,62 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.currentVersion(postT) == vPost, "replay must not re-fold")
     assert(served(postT, dlT, totT) == got, "replay must not change serving")
   }
+
+  test("streamed erasure requests fold through the registry exactly-once; serve equals live rebuild") {
+    import graft.sources.{IndexRegistry, Snapshots}
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.operators.Forget.registerBuiltins()
+    val root = "/root/repo/target/streaming-spec/forget"
+    Snapshots.deleteRecursively(root)
+    val baseT = s"$root/docs"
+    val (postT, dlT, totT) =
+      (s"$root/postings", s"$root/doclen", s"$root/totals")
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    Snapshots.commitOverwrite(docs, baseT)
+    IndexRegistry.attach(baseT, "bm25", Seq(postT, dlT, totT))
+    IndexRegistry.maintainAll(spark, baseT)
+
+    // two erasure micro-batches through the STREAM wrapper
+    val b0 = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b1 = docs.where(pmod(col("doc_id"), lit(11)) === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val mem = MemoryStream[Long]
+    val q = IndexRegistry.forgetStream(
+      mem.toDF.toDF("doc_id"), baseT, "doc_id", "forget_s1").start()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def served(pT: String, dT: String, tT: String) =
+      TextFunctions.bm25ServeNet(spark, pT, dT, tT).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = served(postT, dlT, totT)
+
+    // reference: one bootstrap fold over the twice-erased live corpus
+    val live = docs.where(pmod(col("doc_id"), lit(5)) =!= 0 &&
+      pmod(col("doc_id"), lit(11)) =!= 0)
+    val refRoot = s"$root/ref"
+    Snapshots.commitOverwrite(live, s"$refRoot/docs")
+    TextFunctions.bm25Maintain(spark, s"$refRoot/docs",
+      s"$refRoot/postings", s"$refRoot/doclen", s"$refRoot/totals")
+    val expect = served(s"$refRoot/postings", s"$refRoot/doclen", s"$refRoot/totals")
+    assert(got == expect,
+      s"stream-erased BM25 diverged from live rebuild: ${got.size} vs ${expect.size}")
+
+    // replay batch 0 after batch 1 committed (the foreachBatch retry):
+    // the tagged delete no-ops, no watermark moves, serve unchanged —
+    // a BLIND replay would have resurrected batch 1's erased docs by
+    // overwriting with stale content
+    val vBase = Snapshots.currentVersion(baseT)
+    val vPost = Snapshots.currentVersion(postT)
+    IndexRegistry.forgetBatch(spark, baseT,
+      col("doc_id").isin(b0: _*), "forget_s1", 0L)
+    assert(Snapshots.currentVersion(baseT) == vBase, "replay must not re-delete")
+    assert(Snapshots.currentVersion(postT) == vPost, "replay must not re-fold")
+    assert(served(postT, dlT, totT) == got, "replay must not change serving")
+  }
 }
