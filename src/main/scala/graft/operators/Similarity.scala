@@ -2565,12 +2565,16 @@ object Similarity {
     * exact-integer arithmetic, so serving the committed artifacts is
     * bit-identical to training in the query.
     */
-  private val pqTrainedOracle: String = {
+  /** The trained-PQ CTE chain through `sc(q_id, n_id, sim)` — shared
+    * by [[pqTrainedOracle]] (top-5 serve) and the recall eval
+    * (`s_knn_pq_recall`, top-10 vs brute truth).
+    */
+  private val pqTrainedCtes: String = {
       val sqd0 = "list_sum(list_transform(list_zip(sv.sq, cb0.cs), " +
         "z -> (z[1]-z[2])*(z[1]-z[2])))"
       val met1 = "CAST(list_sum(list_transform(list_zip(sv.sq, c.cs), " +
         "z -> (c.cn*z[1]-z[2])*(c.cn*z[1]-z[2]))) AS DOUBLE) / (c.cn*c.cn)"
-      s"""WITH $quantizedSql,
+      s"""$quantizedSql,
        n AS (SELECT vec_id, q,
            CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
        sv AS (SELECT vec_id, m,
@@ -2607,11 +2611,65 @@ object Similarity {
            CAST(list_sum(list_transform(list_zip(qn.q, nn.q), z -> z[1]*z[2])) AS DOUBLE)
              / SQRT(CAST(qn.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS sim
          FROM short s JOIN n qn ON qn.vec_id = s.q_id
-                      JOIN n nn ON nn.vec_id = s.n_id)
+                      JOIN n nn ON nn.vec_id = s.n_id)"""
+  }
+
+  private val pqTrainedOracle: String =
+    s"""WITH $pqTrainedCtes
        SELECT q_id, n_id, sim FROM (
          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
          FROM sc) WHERE rn <= 5"""
-  }
+
+  /** PQ recall@10 eval — the missing rung of the compression ladder
+    * (SQ8 and BQ already ship theirs): recall of the trained-PQ ADC
+    * shortlist + exact rescore top-10 against brute-force truth, per
+    * query. Deterministic end to end (2^20-grid ADC, exact rescore,
+    * tie-broken ranks), so the whole curve is oracle-checked.
+    *
+    * Scale shape: PQ side is the `s_knn_pq_trained` pipeline (codes
+    * scan + tiny ADC broadcast); truth is the bounded-query brute
+    * pass; the compare joins two ≤ 5×10 frames.
+    */
+  val knnPqRecall: QueryDef = QueryDef(
+    "s_knn_pq_recall",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val (cents, _) = pqBuild(e, rounds = 1)
+      val pq10 = pqSearch(e, cents, nQueries = 5, shortlist = PqShort, k = 10)
+        .select("q_id", "n_id")
+      val v = quantized(e)
+      val q = broadcast(v.where(col("vec_id") < 5).toDF("q_id", "q_q", "q_nrm"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      val truth = q.join(v.toDF("n_id", "n_q", "n_nrm"), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        .select("q_id", "n_id")
+      truth.join(pq10.withColumn("hit", lit(1L)), Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_x1000", expr("(n_hit * 1000) div n_true"))
+    },
+    Some(s"""WITH $pqTrainedCtes,
+       pt AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id, ROW_NUMBER() OVER (
+             PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+           FROM sc) x WHERE rn <= 10),
+       bfp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1]*z[2])) AS BIGINT) AS dot,
+           a.nrm AS na, b.nrm AS nb
+         FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+       bft AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+             CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) DESC, n_id) AS rn
+           FROM bfp) x WHERE rn <= 10)
+       SELECT b.q_id, COUNT(*) AS n_true,
+         CAST(SUM(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         CAST((CAST(SUM(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+           // COUNT(*) AS BIGINT) AS recall_x1000
+       FROM bft b LEFT JOIN pt p ON b.q_id = p.q_id AND b.n_id = p.n_id
+       GROUP BY 1"""))
 
   val knnPqTrained: QueryDef = QueryDef(
     "s_knn_pq_trained",
@@ -4677,7 +4735,8 @@ object Similarity {
   val defs: Seq[QueryDef] =
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
-      knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnGraph, knnGraphIncremental,
+      knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnPqRecall,
+      knnGraph, knnGraphIncremental,
       knnBeam, knnBeamConverged, graphPagerank, hardNegatives, dedupSemantic,
       dedupSemanticIncremental, mmrRerank, nearestCentroid, graphTriangles,
       mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep,
