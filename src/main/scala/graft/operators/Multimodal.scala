@@ -302,6 +302,21 @@ object Multimodal {
     */
   def dhashImageSet(s: SparkSession): DataFrame = {
     import s.implicits._
+    imageSet24(s).mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        dhash(img).copy(img_id = r.doc_id)
+      }
+    }.toDF()
+  }
+
+  /** The 24 generative PNGs behind the perceptual-near-dup AND the
+    * visual-embedding queries — real encoded bytes, formula-derivable
+    * pixels (see [[dhashImageSet]]'s doc for the three groups).
+    */
+  def imageSet24(s: SparkSession): Dataset[MediaRecord] = {
+    import s.implicits._
     val images = (0 until 24).map { i =>
       val c = i / 8; val j = i % 8
       val (w, h) = (16 + j, 8 + j)
@@ -325,13 +340,7 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", bos)
       MediaRecord(i.toLong, bos.toByteArray)
     }
-    s.createDataset(images).mapPartitions { it =>
-      it.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.payload))
-        dhash(img).copy(img_id = r.doc_id)
-      }
-    }.toDF()
+    s.createDataset(images)
   }
 
   /** §2.2 row 32b — PERCEPTUAL near-dup detection over the REAL
@@ -803,7 +812,111 @@ object Multimodal {
               CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
             FROM a GROUP BY 1"""))
 
+  case class PatchVec(vec_id: Long, q: Seq[Long])
+
+  /** 64-dim visual embedding of a decoded image: block-mean luma over
+    * an 8×8 patch grid, row-major — exact integer sums and integral
+    * division, so both engines derive identical vectors.
+    */
+  def patchMeanVector(img: java.awt.image.BufferedImage): Array[Long] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sum = Array.ofDim[Long](8, 8)
+    val cnt = Array.ofDim[Long](8, 8)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val l = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+        114L * (rgb & 0xff)
+      val cx = x * 8 / w; val cy = y * 8 / h
+      sum(cy)(cx) += l; cnt(cy)(cx) += 1
+    }
+    (for (cy <- 0 until 8; cx <- 0 until 8)
+      yield sum(cy)(cx) / cnt(cy)(cx)).toArray
+  }
+
+  /** §2.2 row 32h — IMAGE EMBEDDING + kNN through the REAL decode: the
+    * end-to-end multimodal retrieval composition (decode → visual
+    * embedding → cosine top-k) a media pipeline runs before any model
+    * exists. Each image of the generative near-dup set
+    * ([[dhashImageSet]]'s formula — 8 bases, 8 brightness-shifted
+    * variants, 8 unrelated) decodes through the production
+    * `javax.imageio` arm and embeds as its 8×8 block-mean luma vector
+    * ([[patchMeanVector]] — the classic pre-neural GIST-style visual
+    * descriptor); every image's top-3 cosine neighbors follow. The
+    * DuckDB oracle never sees a PNG byte: it re-derives every patch
+    * mean from the generative pixel formula, so any decoder or
+    * pooling error fails the hash. The planted brightness variants
+    * surface as their bases' top neighbors — embedding retrieval
+    * recovering the near-dups dHash finds by gradient invariance.
+    *
+    * Scale shape: decode + pooling are map-side per image (payloads
+    * never shuffle); the kNN is the bounded brute pass of
+    * `s_knn_bruteforce` (at corpus scale the vectors feed the IVF/PQ
+    * serving tiers — this query fixes the embedding contract).
+    */
+  val imageEmbedKnn: QueryDef = QueryDef(
+    "m_image_embed_knn",
+    (s, dir) => {
+      import s.implicits._
+      val _ = dir // same synthetic set at every SF — the codec is the subject
+      val vecs = imageSet24(s).mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          PatchVec(r.doc_id, patchMeanVector(img).toSeq)
+        }
+      }.toDF()
+      val v = vecs.withColumn("nrm", Similarity.dotL(col("q"), col("q")))
+        .localCheckpoint()
+      val q = broadcast(v.toDF("q_id", "q_q", "q_nrm"))
+      val scored = q.join(v.toDF("n_id", "n_q", "n_nrm"),
+          col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          Similarity.cosine(Similarity.dotL(col("q_q"), col("n_q")),
+            col("q_nrm"), col("n_nrm")).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select("q_id", "n_id", "sim")
+    },
+    Some("""WITH ids AS (SELECT unnest(range(0, 24)) AS i),
+          dims AS (SELECT i, i // 8 AS c, i % 8 AS j,
+              16 + (i % 8) AS w, 8 + (i % 8) AS h FROM ids),
+          xs AS (SELECT d.i, d.c, d.j, d.w, d.h, rx.x FROM dims d, LATERAL (
+              SELECT unnest(range(0, d.w)) AS x) rx),
+          px AS (SELECT i, c, j, w, h, x, unnest(range(0, h)) AS y FROM xs),
+          lum AS (SELECT i,
+              CASE WHEN c = 0 THEN
+                  299*(((37 + 11*j)*x + 3*j) % 250)
+                + 587*(((23 + 7*j)*y + 5*j) % 250)
+                + 114*(((29 + 5*j)*x + 17*y + j) % 250)
+              WHEN c = 1 THEN
+                  299*((((37 + 11*j)*x + 3*j) % 250) + 5)
+                + 587*((((23 + 7*j)*y + 5*j) % 250) + 5)
+                + 114*((((29 + 5*j)*x + 17*y + j) % 250) + 5)
+              ELSE
+                  299*((7*x*y + 13*j) % 250)
+                + 587*(((x + 2*y)*(x + 1) + j) % 250)
+                + 114*((x*x + 3*y*y + 11*j) % 250) END AS l,
+              (y * 8) // h AS cy, (x * 8) // w AS cx
+            FROM px),
+          cell AS (SELECT i, cy, cx,
+              CAST(SUM(l) AS BIGINT) // COUNT(*) AS m
+            FROM lum GROUP BY 1, 2, 3),
+          vec AS (SELECT i AS vec_id, list(m ORDER BY cy, cx) AS q
+            FROM cell GROUP BY 1),
+          n AS (SELECT vec_id, q,
+              CAST(list_sum(list_transform(q, z -> z*z)) AS BIGINT) AS nrm FROM vec),
+          p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+              CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1]*z[2])) AS BIGINT) AS dot,
+              a.nrm AS na, b.nrm AS nb
+            FROM n a JOIN n b ON b.vec_id <> a.vec_id),
+          sc AS (SELECT q_id, n_id,
+              CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM p)
+          SELECT q_id, n_id, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+            FROM sc) x WHERE rn <= 3"""))
+
   val defs: Seq[QueryDef] = Seq(metaQuery, frameSample, patchGrid,
     imageDecodeReal, phashNearDup, audioDecodeReal, audioVad, videoShots,
-    imageExposure, audioLoudness)
+    imageExposure, audioLoudness, imageEmbedKnn)
 }
