@@ -934,10 +934,12 @@ object Dedup {
   /** DuckDB CTE chain re-deriving the minhash BAND-INDEX rows
     * (doc_id, band, bucket) from a restricted documents corpus — the
     * live-corpus oracle of [[bandIndexMaintain]] under the forget
-    * capstone. CTE names prefixed `mb`; emits `mbands`.
+    * capstone. `fromCorpus` is the FROM clause supplying
+    * (doc_id, text) — a filtered `documents` read, or a CTE carrying
+    * updated text. CTE names prefixed `mb`; emits `mbands`.
     */
-  private[graft] def bandIndexSqlCtes(corpusWhere: String): String =
-    s"""mbtk AS (SELECT doc_id, $tokensSql AS tk FROM documents $corpusWhere),
+  private[graft] def bandIndexSqlCtes(fromCorpus: String): String =
+    s"""mbtk AS (SELECT doc_id, $tokensSql AS tk $fromCorpus),
        mbsh AS (SELECT doc_id, ${gramsSql(3)} AS shingles FROM mbtk),
        mbsg AS (SELECT doc_id, list_transform(range(0, $K), k ->
            list_min(list_transform(shingles, h ->
@@ -948,11 +950,12 @@ object Dedup {
 
   /** DuckDB CTE chain re-deriving the SimHash BLOCK rows
     * (doc_id, simhash, block, blockval) from a restricted documents
-    * corpus — [[simhashIndexMaintain]]'s live-corpus oracle. CTE names
-    * prefixed `sx`; emits `sxblocks`.
+    * corpus — [[simhashIndexMaintain]]'s live-corpus oracle.
+    * `fromCorpus` as in [[bandIndexSqlCtes]]. CTE names prefixed `sx`;
+    * emits `sxblocks`.
     */
-  private[graft] def simhashIndexSqlCtes(corpusWhere: String): String =
-    s"""sxtk AS (SELECT doc_id, $tokensSql AS tk FROM documents $corpusWhere),
+  private[graft] def simhashIndexSqlCtes(fromCorpus: String): String =
+    s"""sxtk AS (SELECT doc_id, $tokensSql AS tk $fromCorpus),
        sxth AS (SELECT doc_id, list_transform(tk, t -> ${h60("t")}) AS hs FROM sxtk),
        sxsh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
            CASE WHEN COALESCE(list_sum(list_transform(hs, h ->

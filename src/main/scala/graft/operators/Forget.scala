@@ -113,9 +113,10 @@ object Forget {
     * the catalog query and ForgetSpec (which asserts the exactly-once
     * properties around the same flow).
     */
-  def bootstrap(s: SparkSession, dir: String): (String, String) = {
+  def bootstrap(s: SparkSession, dir: String, tag: String = ""): (String, String) = {
     registerBuiltins()
-    val root = "/root/repo/target/forget/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = "/root/repo/target/forget/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + tag
     Snapshots.deleteRecursively(root)
     val baseT = s"$root/base"
     val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
@@ -173,30 +174,32 @@ object Forget {
        FROM $from"""
 
   /** The live-corpus full-rebuild oracle: every structure recomputed
-    * from scratch over exactly the post-erasure corpus (the IVF
-    * quantizer trains on the FULL pre-erasure corpus — the frozen-
-    * quantizer contract — and assigns only live vectors).
+    * from scratch over exactly the post-DML corpus (the IVF quantizer
+    * trains on the FULL pre-DML corpus — the frozen-quantizer contract
+    * — and assigns only live vectors). `prefixCtes` (may be empty)
+    * lets a variant define the live doc corpus as a CTE (e.g. with
+    * updated text); `docsFrom` is the FROM clause supplying the live
+    * (doc_id, text) rows to every text family.
     */
-  private def capstoneOracle: String = {
-    val liveDocs = "WHERE doc_id % 7 <> 0"
-    val liveVecs = "WHERE vec_id % 7 <> 0"
+  private def checksumOracle(prefixCtes: String, docsFrom: String,
+      vecsLiveWhere: String): String = {
     val tok = Portable.textSql.tokensLower
     val bTerm = s"(${Portable.textSql.h60("term")}) % ${TextFunctions.termBucketCount}"
-    s"""WITH
-       pltk AS (SELECT doc_id, unnest($tok) AS term FROM documents $liveDocs),
+    s"""WITH $prefixCtes
+       pltk AS (SELECT doc_id, unnest($tok) AS term $docsFrom),
        plpost AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
          FROM pltk GROUP BY 1, 2),
        plpb AS (SELECT term, doc_id, tf, CAST($bTerm AS BIGINT) AS b FROM plpost),
        pldl AS (SELECT doc_id, CAST(len($tok) AS BIGINT) AS dl
-         FROM documents $liveDocs),
+         $docsFrom),
        pltot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS total FROM pldl),
        plfp AS (SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id
-         FROM documents $liveDocs GROUP BY 1),
-       ${Dedup.bandIndexSqlCtes(liveDocs)},
-       ${Dedup.simhashIndexSqlCtes(liveDocs)},
-       ${Similarity.ivfLiveListsSqlCtes("vec_id % 7 <> 0")},
-       ${Similarity.graphLiveSqlCtes(liveVecs)}
+         $docsFrom GROUP BY 1),
+       ${Dedup.bandIndexSqlCtes(docsFrom)},
+       ${Dedup.simhashIndexSqlCtes(docsFrom)},
+       ${Similarity.ivfLiveListsSqlCtes(vecsLiveWhere)},
+       ${Similarity.graphLiveSqlCtes("WHERE " + vecsLiveWhere)}
        ${duckChk("bm25_postings", "plpb",
          "concat_ws('|', term, CAST(doc_id AS VARCHAR), CAST(tf AS VARCHAR), CAST(b AS VARCHAR))")}
        UNION ALL ${duckChk("bm25_doclen", "pldl",
@@ -223,7 +226,40 @@ object Forget {
       IndexRegistry.forgetWhere(s, baseT, pmod(col("doc_id"), lit(7)) === 0)
       serveChecksums(s, root)
     },
-    Some(capstoneOracle))
+    Some(checksumOracle("",
+      "FROM documents WHERE doc_id % 7 <> 0", "vec_id % 7 <> 0")))
+
+  /** The UPDATE path through the registry — the round-13 gap
+    * pre-closed: [[forgetCapstone]] proves deletes; a real pipeline's
+    * other mutation is the in-place EDIT (a takedown-redacted or
+    * re-crawled document). One `updateWhere` rewrites the doc_id % 9
+    * slice's text (appended marker token), folded through the SAME
+    * registry walk — updates arrive in every family's change feed as
+    * delete-of-old + insert-of-new, so the text families re-sign
+    * exactly the edited docs (O(edited)) and the vector families' rows
+    * cancel to a no-op (the embedding did not change — sgn netting
+    * proves stability instead of assuming it). An erasure follows on
+    * top, so the serve is update ∘ delete. The oracle rebuilds all
+    * six structures over the edited-then-erased corpus via a
+    * corpus-transform CTE — hash equality proves one update pass +
+    * one erasure pass ≡ a full rebuild of the final state.
+    */
+  val forgetUpdate: QueryDef = QueryDef(
+    "q_forget_update",
+    (s, dir) => {
+      val (baseT, root) = bootstrap(s, dir, tag = "_upd")
+      // the EDIT: one updateWhere, one registry walk
+      IndexRegistry.updateWhere(s, baseT, pmod(col("doc_id"), lit(9)) === 0,
+        "text", concat(col("text"), lit(" zzupdated")))
+      // then the erasure on top
+      IndexRegistry.forgetWhere(s, baseT, pmod(col("doc_id"), lit(7)) === 0)
+      serveChecksums(s, root)
+    },
+    Some(checksumOracle(
+      """udocs AS (SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN text || ' zzupdated' ELSE text END AS text
+         FROM documents WHERE doc_id % 7 <> 0),""",
+      "FROM udocs", "vec_id % 7 <> 0")))
 
   /** STREAMED erasure requests, exactly-once — the capstone's
     * continuous form: two erasure micro-batches fold through the
@@ -261,5 +297,5 @@ object Forget {
     Some(TextFunctions.conjunctiveOracleSql(
       "WHERE doc_id % 5 <> 0 AND doc_id % 11 <> 0")))
 
-  val defs: Seq[QueryDef] = Seq(forgetCapstone, forgetStreamSearch)
+  val defs: Seq[QueryDef] = Seq(forgetCapstone, forgetUpdate, forgetStreamSearch)
 }

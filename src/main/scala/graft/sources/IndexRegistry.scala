@@ -135,6 +135,20 @@ object IndexRegistry {
     (v, maintainAll(s, baseTable))
   }
 
+  /** The UPDATE composition — [[forgetWhere]]'s edit twin: rewrite
+    * `column` to `value` where `cond` holds (one new base version;
+    * file-selective first) and fold the change feed — which carries an
+    * update as delete-of-old + insert-of-new — through every attached
+    * family in one registry walk.
+    */
+  def updateWhere(s: SparkSession, baseTable: String,
+      cond: org.apache.spark.sql.Column, column: String,
+      value: org.apache.spark.sql.Column): (Int, Seq[String]) = {
+    val v = Snapshots.updateWhereSelective(s, baseTable, cond, column, value)
+      .getOrElse(Snapshots.updateWhere(s, baseTable, cond, column, value))
+    (v, maintainAll(s, baseTable))
+  }
+
   /** One micro-batch of STREAMED erasure requests, exactly-once: the
     * delete commits tagged (streamId, batchId)
     * ([[Snapshots.deleteBatch]] — a replay no-ops instead of

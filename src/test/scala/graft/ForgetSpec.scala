@@ -69,8 +69,22 @@ class ForgetSpec extends SparkSpec {
   test("erasure pass touches every index root exactly once and is idempotent") {
     val (baseT, root) = Forget.bootstrap(spark, sfDir)
     val allRoots = Forget.familyRoots(root).flatMap(_._2)
+    val v0x = allRoots.map(r => r -> Snapshots.currentVersion(r)).toMap
+    assert(v0x.values.forall(_ >= 1), s"bootstrap left unbuilt roots: $v0x")
+    // a TEXT-ONLY update folds through every family; the vector
+    // families' delete-of-old + insert-of-new rows carry identical
+    // assignments, so their SERVED state is provably unchanged (sgn
+    // netting), while their versions still advance (the fold ran)
+    def ivfRows() = Similarity.serveIvfLists(spark, s"$root/ivf_lists")
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfBefore = ivfRows()
+    IndexRegistry.updateWhere(spark, baseT, pmod(col("doc_id"), lit(9)) === 0,
+      "text", concat(col("text"), lit(" zzupdated")))
+    assert(Snapshots.currentVersion(s"$root/ivf_lists") > v0x(s"$root/ivf_lists"),
+      "the update pass must fold the vector family (even to a net no-op)")
+    assert(ivfRows() == ivfBefore,
+      "a text-only update must not change the served IVF assignments")
     val v0 = allRoots.map(r => r -> Snapshots.currentVersion(r)).toMap
-    assert(v0.values.forall(_ >= 1), s"bootstrap left unbuilt roots: $v0")
     IndexRegistry.forgetWhere(spark, baseT, pmod(col("doc_id"), lit(7)) === 0)
     val v1 = allRoots.map(r => r -> Snapshots.currentVersion(r)).toMap
     // every MAINTAINED root advanced on the erasure pass — no family
