@@ -59,6 +59,39 @@ object Bench {
         m.findAllMatchIn(qsPart).map(x => x.group(1) -> x.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
 
+    // per-query SHUFFLE BYTES (round-12, the scale tripwire wall-clock
+    // cannot give): task-metric read/write totals captured around each
+    // query's LAST measured run. A byte delta is deterministic where a
+    // second is noisy — a shuffle regression (lost broadcast, dropped
+    // partial agg, new exchange) shows here at ANY host load, before
+    // it shows in seconds. The listener bus is async, so the capture
+    // brackets settle until the counters stop moving (bounded poll,
+    // OUTSIDE the timed window — wall-clock only, never the timings).
+    val shufRead = new java.util.concurrent.atomic.AtomicLong()
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      }
+    })
+    def settleBytes(): (Long, Long) = {
+      var prev = (shufRead.get, shufWrite.get)
+      var stable = 0
+      var iters = 0
+      while (stable < 2 && iters < 10) {
+        Thread.sleep(20); iters += 1
+        val cur = (shufRead.get, shufWrite.get)
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
+    }
+    val shuffleBytes = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+
     // optional dev-only filter (the driver never sets this)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -75,7 +108,17 @@ object Bench {
     // best-of-3: single-shot timings swing ±30% under container
     // contention; the minimum is the stable estimate of true cost
     val results = queries.map { case (name, fn) =>
-      name -> (1 to 3).map(_ => timed(name, fn)).min
+      val t = (1 to 3).map { i =>
+        if (i < 3) timed(name, fn)
+        else {
+          val (r0, w0) = settleBytes()
+          val tt = timed(name, fn)
+          val (r1, w1) = settleBytes()
+          shuffleBytes(name) = (r1 - r0, w1 - w0)
+          tt
+        }
+      }.min
+      name -> t
     }
     // tripwire: re-run >3x-vs-prior outliers once; keep the faster
     // number, record both so the artifact explains the discrepancy
@@ -197,7 +240,10 @@ object Bench {
     }
     val annJson = annotations.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"annotations":$annJson,"env":$envJson,"index_roots_bytes":$rootsJson,"sf":"$sfDir"}"""
+    val shufJson = shuffleBytes.map { case (k, (r, w)) =>
+      jsonStr(k) + s""":{"read":$r,"write":$w}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"annotations":$annJson,"env":$envJson,"index_roots_bytes":$rootsJson,"shuffle_bytes":$shufJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured tail can front-truncate past ~70 queries,
     // losing the early alphabet's timings — persist the complete map
