@@ -2224,9 +2224,10 @@ object Similarity {
     * ([[ivfPqInQuery]], equality-tested) and the full-pipeline DuckDB
     * oracle still covers it.
     */
-  val knnIvfPq: QueryDef = QueryDef(
-    "s_knn_ivfpq",
-    (s, dir) => {
+  /** The persisted-artifact IVF+PQ serving path of `s_knn_ivfpq`,
+    * top-`k` — shared with the recall eval (`s_knn_ivfpq_recall`).
+    */
+  private def ivfPqServe(s: SparkSession, dir: String, k: Int): DataFrame = {
       import graft.sources.Snapshots
       val base = "/root/repo/target/ivfpq/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       val (centsT, cbT, codesT) = (s"$base/cents", s"$base/codebooks", s"$base/codes")
@@ -2286,14 +2287,18 @@ object Similarity {
         .select(col("q_id"), col("n_id"),
           cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
       val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
         .select("q_id", "n_id", "sim")
-    },
-    Some {
+  }
+
+  /** The IVF+PQ pipeline CTE chain through `sc(q_id, n_id, sim)` —
+    * shared by the `s_knn_ivfpq` serve oracle and its recall eval.
+    */
+  private def ivfPqCtes: String = {
       val sqd = "list_sum(list_transform(list_zip(n.q, c0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"
       val met = "CAST(list_sum(list_transform(list_zip(n.q, c1.cs), " +
         "s -> (c1.cn*s[1]-s[2])*(c1.cn*s[1]-s[2]))) AS DOUBLE) / (c1.cn*c1.cn)"
-      s"""WITH $quantizedSql,
+      s"""$quantizedSql,
        n AS (SELECT vec_id, q,
            CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
        $ivpcSql,
@@ -2343,11 +2348,62 @@ object Similarity {
            CAST(list_sum(list_transform(list_zip(qn.q, nn.q), z -> z[1]*z[2])) AS DOUBLE)
              / SQRT(CAST(qn.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS sim
          FROM short s JOIN n qn ON qn.vec_id = s.q_id
-                      JOIN n nn ON nn.vec_id = s.n_id)
+                      JOIN n nn ON nn.vec_id = s.n_id)"""
+  }
+
+  val knnIvfPq: QueryDef = QueryDef(
+    "s_knn_ivfpq",
+    (s, dir) => ivfPqServe(s, dir, 5),
+    Some(s"""WITH $ivfPqCtes
        SELECT q_id, n_id, sim FROM (
          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
-         FROM sc) WHERE rn <= 5"""
-    })
+         FROM sc) WHERE rn <= 5"""))
+
+  /** IVF+PQ recall@10 eval — the last unmeasured ladder tier: recall
+    * of the probe-pruned + ADC-shortlisted + exact-rescored top-10
+    * against brute truth. Unlike the flat PQ rung, this tier ALSO
+    * pays probe loss (candidates outside the NProbe lists are
+    * unreachable), so its recall reads against both s_knn_pq_recall
+    * (same codes, no probe gate) and the ivf_sweep curve (same probe
+    * gate, exact scoring). Deterministic end to end; row-27q harness.
+    */
+  val knnIvfPqRecall: QueryDef = QueryDef(
+    "s_knn_ivfpq_recall",
+    (s, dir) => {
+      val pq10 = ivfPqServe(s, dir, 10).select("q_id", "n_id")
+      val v = quantized(Tables.load(s, dir, "embeddings"))
+      val q = broadcast(v.where(col("vec_id") < 5).toDF("q_id", "q_q", "q_nrm"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      val truth = q.join(v.toDF("n_id", "n_q", "n_nrm"), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        .select("q_id", "n_id")
+      truth.join(pq10.withColumn("hit", lit(1L)), Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_x1000", expr("(n_hit * 1000) div n_true"))
+    },
+    Some(s"""WITH $ivfPqCtes,
+       pt AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id, ROW_NUMBER() OVER (
+             PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+           FROM sc) x WHERE rn <= 10),
+       bfp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1]*z[2])) AS BIGINT) AS dot,
+           a.nrm AS na, b.nrm AS nb
+         FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+       bft AS (SELECT q_id, n_id FROM (
+           SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+             CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) DESC, n_id) AS rn
+           FROM bfp) x WHERE rn <= 10)
+       SELECT b.q_id, COUNT(*) AS n_true,
+         CAST(SUM(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         CAST((CAST(SUM(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+           // COUNT(*) AS BIGINT) AS recall_x1000
+       FROM bft b LEFT JOIN pt p ON b.q_id = p.q_id AND b.n_id = p.n_id
+       GROUP BY 1"""))
 
   // ---- offline PQ codebook training (Lloyd per subspace) ----
 
@@ -4736,7 +4792,7 @@ object Similarity {
     Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnPqRecall,
-      knnGraph, knnGraphIncremental,
+      knnIvfPqRecall, knnGraph, knnGraphIncremental,
       knnBeam, knnBeamConverged, graphPagerank, hardNegatives, dedupSemantic,
       dedupSemanticIncremental, mmrRerank, nearestCentroid, graphTriangles,
       mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep,
