@@ -243,7 +243,25 @@ object Bench {
     val shufJson = shuffleBytes.map { case (k, (r, w)) =>
       jsonStr(k) + s""":{"read":$r,"write":$w}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"annotations":$annJson,"env":$envJson,"index_roots_bytes":$rootsJson,"shuffle_bytes":$shufJson,"sf":"$sfDir"}"""
+    // shuffle-byte REGRESSION tripwire: bytes are plan-deterministic
+    // (same plan + same fingerprinted data ⟹ same bytes), so a >1.2x
+    // write-byte jump on a meaningfully-shuffling query (>1 MB prior)
+    // is a PLAN change — a lost broadcast, a dropped partial agg, a
+    // new exchange — regardless of host load. Flagged unconditionally:
+    // unlike a timing, this cannot be drift.
+    val priorShuffle: Map[String, Long] =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(timingsPath))
+        val part = txt.drop(math.max(0, txt.indexOf("\"shuffle_bytes\"")))
+        val m = """"([A-Za-z0-9_]+)":\{"read":(\d+),"write":(\d+)\}""".r
+        m.findAllMatchIn(part).map(x => x.group(1) -> x.group(3).toLong).toMap
+      } catch { case _: Throwable => Map.empty }
+    val shufRegJson = shuffleBytes.collect {
+      case (k, (_, w)) if priorShuffle.get(k).exists(pw =>
+          pw > 1000000L && w > 1.2 * pw) =>
+        jsonStr(k) + s""":{"prior_write":${priorShuffle(k)},"write":$w}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"annotations":$annJson,"env":$envJson,"index_roots_bytes":$rootsJson,"shuffle_bytes":$shufJson,"shuffle_regressions":$shufRegJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured tail can front-truncate past ~70 queries,
     // losing the early alphabet's timings — persist the complete map

@@ -182,7 +182,7 @@ object Forget {
     * (doc_id, text) rows to every text family.
     */
   private def checksumOracle(prefixCtes: String, docsFrom: String,
-      vecsLiveWhere: String): String = {
+      vecsFrom: String): String = {
     val tok = Portable.textSql.tokensLower
     val bTerm = s"(${Portable.textSql.h60("term")}) % ${TextFunctions.termBucketCount}"
     s"""WITH $prefixCtes
@@ -198,8 +198,8 @@ object Forget {
          $docsFrom GROUP BY 1),
        ${Dedup.bandIndexSqlCtes(docsFrom)},
        ${Dedup.simhashIndexSqlCtes(docsFrom)},
-       ${Similarity.ivfLiveListsSqlCtes(vecsLiveWhere)},
-       ${Similarity.graphLiveSqlCtes("WHERE " + vecsLiveWhere)}
+       ${Similarity.ivfLiveListsSqlCtes(vecsFrom)},
+       ${Similarity.graphLiveSqlCtes(vecsFrom)}
        ${duckChk("bm25_postings", "plpb",
          "concat_ws('|', term, CAST(doc_id AS VARCHAR), CAST(tf AS VARCHAR), CAST(b AS VARCHAR))")}
        UNION ALL ${duckChk("bm25_doclen", "pldl",
@@ -227,30 +227,40 @@ object Forget {
       serveChecksums(s, root)
     },
     Some(checksumOracle("",
-      "FROM documents WHERE doc_id % 7 <> 0", "vec_id % 7 <> 0")))
+      "FROM documents WHERE doc_id % 7 <> 0",
+      "FROM embeddings WHERE vec_id % 7 <> 0")))
 
   /** The UPDATE path through the registry — the round-13 gap
     * pre-closed: [[forgetCapstone]] proves deletes; a real pipeline's
-    * other mutation is the in-place EDIT (a takedown-redacted or
-    * re-crawled document). One `updateWhere` rewrites the doc_id % 9
-    * slice's text (appended marker token), folded through the SAME
-    * registry walk — updates arrive in every family's change feed as
-    * delete-of-old + insert-of-new, so the text families re-sign
-    * exactly the edited docs (O(edited)) and the vector families' rows
-    * cancel to a no-op (the embedding did not change — sgn netting
-    * proves stability instead of assuming it). An erasure follows on
-    * top, so the serve is update ∘ delete. The oracle rebuilds all
-    * six structures over the edited-then-erased corpus via a
-    * corpus-transform CTE — hash equality proves one update pass +
-    * one erasure pass ≡ a full rebuild of the final state.
+    * other mutation is the in-place EDIT. TWO edits fold through the
+    * SAME registry walk as erasure: a TEXT rewrite (doc_id % 9 slice,
+    * appended marker — re-crawled/redacted content) and an EMBEDDING
+    * rewrite (doc_id % 8 == 1 slice, dimension-reversed — a
+    * re-embedded document under a refreshed encoder). Updates arrive
+    * in every family's change feed as delete-of-old + insert-of-new:
+    * the text families re-sign exactly the edited docs (O(edited));
+    * the vector families fold the embedding change for real — old
+    * assignments/adjacency cancel by sgn, the new vector re-assigns
+    * under the FROZEN quantizer and its graph neighborhood re-ranks
+    * from live band candidates (while a text-only edit nets their
+    * serve to a no-op, asserted in ForgetSpec). An erasure follows on
+    * top, so the serve is text-edit ∘ re-embed ∘ delete. The oracle
+    * rebuilds all six structures over the transformed-then-erased
+    * corpus via corpus-transform CTEs — hash equality proves the
+    * update passes + erasure pass ≡ a full rebuild of the final
+    * state, quantizer still trained on the ORIGINAL bootstrap corpus.
     */
   val forgetUpdate: QueryDef = QueryDef(
     "q_forget_update",
     (s, dir) => {
       val (baseT, root) = bootstrap(s, dir, tag = "_upd")
-      // the EDIT: one updateWhere, one registry walk
+      // EDIT 1: text rewrite, one registry walk
       IndexRegistry.updateWhere(s, baseT, pmod(col("doc_id"), lit(9)) === 0,
         "text", concat(col("text"), lit(" zzupdated")))
+      // EDIT 2: re-embedding, one registry walk (vec_id = doc_id where
+      // an embedding exists; rows without one keep their null)
+      IndexRegistry.updateWhere(s, baseT, pmod(col("doc_id"), lit(8)) === 1,
+        "embedding", reverse(col("embedding")))
       // then the erasure on top
       IndexRegistry.forgetWhere(s, baseT, pmod(col("doc_id"), lit(7)) === 0)
       serveChecksums(s, root)
@@ -258,8 +268,11 @@ object Forget {
     Some(checksumOracle(
       """udocs AS (SELECT doc_id,
          CASE WHEN doc_id % 9 = 0 THEN text || ' zzupdated' ELSE text END AS text
-         FROM documents WHERE doc_id % 7 <> 0),""",
-      "FROM udocs", "vec_id % 7 <> 0")))
+         FROM documents WHERE doc_id % 7 <> 0),
+       uvecs AS (SELECT vec_id,
+         CASE WHEN vec_id % 8 = 1 THEN list_reverse(embedding) ELSE embedding END AS embedding
+         FROM embeddings WHERE vec_id % 7 <> 0),""",
+      "FROM udocs", "FROM uvecs")))
 
   /** STREAMED erasure requests, exactly-once — the capstone's
     * continuous form: two erasure micro-batches fold through the

@@ -659,14 +659,15 @@ object Similarity {
   /** DuckDB CTE chain rebuilding the kNN-graph adjacency from a
     * restricted embeddings corpus — the live-corpus oracle of
     * [[knnGraphMaintain]] (CTE names prefixed `g` so the chain composes
-    * with the IVF chain in one statement). `corpusWhere` filters the
-    * embeddings rows (e.g. the erased ids); emits
+    * with the IVF chain in one statement). `fromLiveVecs` is the FROM
+    * clause supplying the live (vec_id, embedding) rows — a filtered
+    * `embeddings` read, or a CTE carrying updated vectors; emits
     * `ggraph(g_src, g_dst)`.
     */
-  private[graft] def graphLiveSqlCtes(corpusWhere: String): String =
+  private[graft] def graphLiveSqlCtes(fromLiveVecs: String): String =
     s"""gv AS (SELECT vec_id,
          list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
-         FROM embeddings $corpusWhere),
+         $fromLiveVecs),
        gn AS (SELECT vec_id, q,
          CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM gv),
        gbb AS (SELECT vec_id, unnest(range(0, $BandsV)) AS band,
@@ -684,11 +685,14 @@ object Similarity {
 
   /** DuckDB CTE chain re-deriving the FROZEN-quantizer IVF lists the
     * way [[ivfListsMaintain]] serves them after DML: the quantizer
-    * (seed + one Lloyd round) trains on the FULL corpus as of the
-    * bootstrap fold; the lists assign only the LIVE rows under it.
-    * Emits `ia2(vec_id, nrm, cid)`. CTE names prefixed `i`.
+    * (seed + one Lloyd round) trains on the FULL ORIGINAL corpus as of
+    * the bootstrap fold; the lists assign only the LIVE rows under it.
+    * `fromLiveVecs` is the FROM clause supplying the live
+    * (vec_id, embedding) rows — a filtered `embeddings` read, or a CTE
+    * carrying updated vectors. Emits `ia2(vec_id, nrm, cid)`. CTE
+    * names prefixed `i`.
     */
-  private[graft] def ivfLiveListsSqlCtes(liveWhere: String): String = {
+  private[graft] def ivfLiveListsSqlCtes(fromLiveVecs: String): String = {
     val sqd = "list_sum(list_transform(list_zip(iv2.q, ic0.cq), s -> (s[1]-s[2])*(s[1]-s[2])))"
     val met = "CAST(list_sum(list_transform(list_zip(inl.q, ic1.cs), " +
       "s -> (ic1.cn*s[1]-s[2])*(ic1.cn*s[1]-s[2]))) AS DOUBLE) / (ic1.cn*ic1.cn)"
@@ -708,7 +712,11 @@ object Similarity {
            FROM (SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS sv FROM iex GROUP BY cid, dim) s
            JOIN (SELECT cid, COUNT(*) AS cn FROM ia1 GROUP BY cid) c USING (cid)
            GROUP BY s.cid),
-       inl AS (SELECT vec_id, q, nrm FROM iv2 WHERE $liveWhere),
+       ilv AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
+         $fromLiveVecs),
+       inl AS (SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM ilv),
        ia2 AS (SELECT vec_id, nrm, cid FROM (
            SELECT inl.vec_id, inl.nrm, ic1.cid,
              ROW_NUMBER() OVER (PARTITION BY inl.vec_id ORDER BY $met, ic1.cid) AS rn
