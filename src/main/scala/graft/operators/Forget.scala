@@ -130,27 +130,35 @@ object Forget {
     (baseT, root)
   }
 
-  /** One (family, n_rows, checksum) row per served structure under
-    * `root` — the post-erasure serve the oracle recomputes live.
+  /** (family, n_rows, checksum) over the three bm25 serving structures
+    * under `root` — the text-family slice of [[serveChecksums]], shared
+    * with the stream twins that attach only bm25.
     */
-  def serveChecksums(s: SparkSession, root: String): DataFrame = {
+  private[graft] def bm25ServeChecksums(s: SparkSession, root: String): DataFrame = {
     val post = TextFunctions.servePostingsNet(Snapshots.read(s, s"$root/postings"))
     val dl = Snapshots.read(s, s"$root/doclen").groupBy("doc_id")
       .agg(sum(col("dl")).cast("long").as("dl")).where(col("dl") > 0)
     val tot = Snapshots.read(s, s"$root/totals")
       .agg(coalesce(sum(col("np")), lit(0L)).cast("long").as("n"),
         coalesce(sum(col("totalp")), lit(0L)).cast("long").as("total"))
-    val bands = Dedup.serveBandIndex(s, s"$root/bands")
-    val blocks = Dedup.serveSimhashIndex(s, s"$root/simhash")
-    val fps = Dedup.serveFingerprintIndex(s, s"$root/fps")
-    val lists = Similarity.serveIvfLists(s, s"$root/ivf_lists")
-    val graph = Similarity.serveKnnGraph(s, s"$root/knn_graph")
     familyChk("bm25_postings", post,
         concat_ws("|", col("term"), str(col("doc_id")), str(col("tf")), str(col("b"))))
       .unionAll(familyChk("bm25_doclen", dl,
         concat_ws("|", str(col("doc_id")), str(col("dl")))))
       .unionAll(familyChk("bm25_totals", tot,
         concat_ws("|", str(col("n")), str(col("total")))))
+  }
+
+  /** One (family, n_rows, checksum) row per served structure under
+    * `root` — the post-erasure serve the oracle recomputes live.
+    */
+  def serveChecksums(s: SparkSession, root: String): DataFrame = {
+    val bands = Dedup.serveBandIndex(s, s"$root/bands")
+    val blocks = Dedup.serveSimhashIndex(s, s"$root/simhash")
+    val fps = Dedup.serveFingerprintIndex(s, s"$root/fps")
+    val lists = Similarity.serveIvfLists(s, s"$root/ivf_lists")
+    val graph = Similarity.serveKnnGraph(s, s"$root/knn_graph")
+    bm25ServeChecksums(s, root)
       .unionAll(familyChk("minhash_bands", bands,
         concat_ws("|", str(col("doc_id")), str(col("band")), str(col("bucket")))))
       .unionAll(familyChk("simhash_blocks", blocks,
@@ -181,31 +189,43 @@ object Forget {
     * updated text); `docsFrom` is the FROM clause supplying the live
     * (doc_id, text) rows to every text family.
     */
-  private def checksumOracle(prefixCtes: String, docsFrom: String,
-      vecsFrom: String): String = {
+  /** The pltk→pltot CTE chain rebuilding the three bm25 structures
+    * from the live (doc_id, text) rows of `docsFrom` — shared by
+    * [[checksumOracle]] and the bm25-only stream-twin oracles.
+    */
+  private def bm25SqlCtes(docsFrom: String): String = {
     val tok = Portable.textSql.tokensLower
     val bTerm = s"(${Portable.textSql.h60("term")}) % ${TextFunctions.termBucketCount}"
-    s"""WITH $prefixCtes
-       pltk AS (SELECT doc_id, unnest($tok) AS term $docsFrom),
+    s"""pltk AS (SELECT doc_id, unnest($tok) AS term $docsFrom),
        plpost AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
          FROM pltk GROUP BY 1, 2),
        plpb AS (SELECT term, doc_id, tf, CAST($bTerm AS BIGINT) AS b FROM plpost),
        pldl AS (SELECT doc_id, CAST(len($tok) AS BIGINT) AS dl
          $docsFrom),
        pltot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS total FROM pldl),
+         CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS total FROM pldl)"""
+  }
+
+  /** The three bm25 UNION arms over [[bm25SqlCtes]]'s CTEs. */
+  private def bm25ChkArms: String =
+    s"""${duckChk("bm25_postings", "plpb",
+         "concat_ws('|', term, CAST(doc_id AS VARCHAR), CAST(tf AS VARCHAR), CAST(b AS VARCHAR))")}
+       UNION ALL ${duckChk("bm25_doclen", "pldl",
+         "concat_ws('|', CAST(doc_id AS VARCHAR), CAST(dl AS VARCHAR))")}
+       UNION ALL ${duckChk("bm25_totals", "pltot",
+         "concat_ws('|', CAST(n AS VARCHAR), CAST(total AS VARCHAR))")}"""
+
+  private def checksumOracle(prefixCtes: String, docsFrom: String,
+      vecsFrom: String): String = {
+    s"""WITH $prefixCtes
+       ${bm25SqlCtes(docsFrom)},
        plfp AS (SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id
          $docsFrom GROUP BY 1),
        ${Dedup.bandIndexSqlCtes(docsFrom)},
        ${Dedup.simhashIndexSqlCtes(docsFrom)},
        ${Similarity.ivfLiveListsSqlCtes(vecsFrom)},
        ${Similarity.graphLiveSqlCtes(vecsFrom)}
-       ${duckChk("bm25_postings", "plpb",
-         "concat_ws('|', term, CAST(doc_id AS VARCHAR), CAST(tf AS VARCHAR), CAST(b AS VARCHAR))")}
-       UNION ALL ${duckChk("bm25_doclen", "pldl",
-         "concat_ws('|', CAST(doc_id AS VARCHAR), CAST(dl AS VARCHAR))")}
-       UNION ALL ${duckChk("bm25_totals", "pltot",
-         "concat_ws('|', CAST(n AS VARCHAR), CAST(total AS VARCHAR))")}
+       $bm25ChkArms
        UNION ALL ${duckChk("minhash_bands", "mbands",
          "concat_ws('|', CAST(doc_id AS VARCHAR), CAST(band AS VARCHAR), CAST(bucket AS VARCHAR))")}
        UNION ALL ${duckChk("simhash_blocks", "sxblocks",
@@ -310,5 +330,198 @@ object Forget {
     Some(TextFunctions.conjunctiveOracleSql(
       "WHERE doc_id % 5 <> 0 AND doc_id % 11 <> 0")))
 
-  val defs: Seq[QueryDef] = Seq(forgetCapstone, forgetUpdate, forgetStreamSearch)
+  /** STREAMED re-crawl (upsert) requests, exactly-once — the UPDATE
+    * twin of [[forgetStreamSearch]] and the last cell of the streaming
+    * DML matrix (insert/delete twins exist; this is update): each
+    * micro-batch of (doc_id, new_text) content rewrites — plus newly
+    * discovered docs, merge being an upsert — lands via
+    * [[graft.sources.IndexRegistry.recrawlBatch]] (tagged
+    * [[graft.sources.Snapshots.mergeBatch]] + ONE registry walk), then
+    * batch 0 REPLAYS (the foreachBatch retry): it must no-op end to
+    * end — a blind re-merge would clobber batch 1's rewrites of the
+    * doc_id % 55 overlap with batch-0 text, and the checksums would
+    * diverge from the oracle's batch-order corpus. The serve emits the
+    * three bm25 structure checksums; the oracle rebuilds them from
+    * scratch over the transformed corpus (batch-1-wins CASE + the
+    * freshly discovered rows), so hash equality proves the replayed
+    * re-crawl stream ≡ one-shot application of the batches in order.
+    */
+  val recrawlStreamSearch: QueryDef = QueryDef(
+    "t_search_recrawl_stream",
+    (s, dir) => {
+      registerBuiltins()
+      val root = "/root/repo/target/forget/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_recrawl"
+      Snapshots.deleteRecursively(root)
+      val baseT = s"$root/docs"
+      Snapshots.commitOverwrite(
+        Tables.load(s, dir, "documents").select("doc_id", "text"), baseT)
+      IndexRegistry.attach(baseT, "bm25",
+        Seq(s"$root/postings", s"$root/doclen", s"$root/totals"))
+      IndexRegistry.maintainAll(s, baseT)
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val sid = "t_search_recrawl_stream"
+      def edited(m: Int, mark: String) =
+        docs.where(pmod(col("doc_id"), lit(m)) === 0)
+          .select(col("doc_id"), concat(col("text"), lit(mark)).as("text"))
+      IndexRegistry.recrawlBatch(edited(5, " zzrecrawla"), baseT, "doc_id", sid, 0L)
+      IndexRegistry.recrawlBatch(
+        edited(11, " zzrecrawlb").unionByName(
+          docs.where(pmod(col("doc_id"), lit(13)) === 0)
+            .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+              concat(lit("fresh "), col("text")).as("text"))),
+        baseT, "doc_id", sid, 1L)
+      // replayed batch 0 (the foreachBatch retry): must no-op
+      IndexRegistry.recrawlBatch(edited(5, " zzrecrawla"), baseT, "doc_id", sid, 0L)
+      bm25ServeChecksums(s, root)
+    },
+    Some(s"""WITH rdocs AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN text || ' zzrecrawlb'
+                WHEN doc_id % 5 = 0 THEN text || ' zzrecrawla'
+                ELSE text END AS text
+         FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, 'fresh ' || text AS text
+         FROM documents WHERE doc_id % 13 = 0),
+       ${bm25SqlCtes("FROM rdocs")}
+       $bm25ChkArms"""))
+
+  // ---- relational base tables: access paths through the registry ----
+
+  /** Register the RELATIONAL access-path maintainers — the index
+    * families a TPC-H-shaped base table carries, each an existing
+    * incremental structure now reachable by the registry walk:
+    *
+    *  | family          | structure                         | maintenance |
+    *  |-----------------|-----------------------------------|-------------|
+    *  | orders_rollup   | grouped count/sum aggregate MV    | [[graft.sources.MaterializedView.refresh]] (cdc-fold on DML) |
+    *  | orders_bloom    | per-FILE bloom skip index         | [[graft.sources.Snapshots.bloomSkipIndex]] (O(new files)) |
+    *  | orders_custjoin | signed denormalized join view     | [[graft.sources.MaterializedView.joinRefresh]] (delta join) |
+    *
+    * Roots carry each family's config: the MV path; the bloom KEY
+    * COLUMN (its index table lives at the derived
+    * `base/_bloomidx_<key>` path); the join-view path + right-side
+    * snapshot table.
+    */
+  def registerRelationalBuiltins(): Unit = {
+    IndexRegistry.registerMaintainer("orders_rollup")((s, base, r) => {
+      graft.sources.MaterializedView.refresh(s, base, r(0),
+        Seq("o_orderstatus", "o_orderpriority"), Seq("o_price")); ()
+    })
+    IndexRegistry.registerMaintainer("orders_bloom")((s, base, r) => {
+      Snapshots.bloomSkipIndex(s, base, r(0)); ()
+    })
+    IndexRegistry.registerMaintainer("orders_custjoin")((s, base, r) => {
+      graft.sources.MaterializedView.joinRefresh(s, base, r(1), r(0), "custkey"); ()
+    })
+  }
+
+  /** Bootstrap the relational capstone: a custkey-CLUSTERED orders
+    * snapshot (so a per-customer erasure is file-selective — only the
+    * files whose custkey range covers the erased keys rewrite), a
+    * customer dimension snapshot, and the three access-path families
+    * attached + bootstrapped through one registry walk. Shared with
+    * ForgetSpec.
+    */
+  def relationalBootstrap(s: SparkSession, dir: String, tag: String = ""): (String, String) = {
+    registerRelationalBuiltins()
+    val root = "/root/repo/target/forget/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_rel" + tag
+    Snapshots.deleteRecursively(root)
+    val baseT = s"$root/orders"
+    val custT = s"$root/customer"
+    Snapshots.commitClustered(
+      Tables.load(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("custkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_price")),
+      baseT, Seq("custkey"), files = 8)
+    Snapshots.commitOverwrite(
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment")), custT)
+    IndexRegistry.attach(baseT, "orders_rollup", Seq(s"$root/rollup"))
+    IndexRegistry.attach(baseT, "orders_bloom", Seq("o_orderkey"))
+    IndexRegistry.attach(baseT, "orders_custjoin", Seq(s"$root/custjoin", custT))
+    IndexRegistry.maintainAll(s, baseT)
+    (baseT, root)
+  }
+
+  /** (family, n_rows, checksum) over the three relational access
+    * paths: the rollup MV's served groups, three bloom-skip point
+    * lookups (orderkeys 0–2 — an erased customer's order must be
+    * GONE from the lookup result, not just the heap), and the netted
+    * denormalized join view.
+    */
+  def relationalServe(s: SparkSession, root: String): DataFrame = {
+    val baseT = s"$root/orders"
+    val mv = Snapshots.read(s, s"$root/rollup")
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("cnt"),
+        (col("sum_o_price") * 100).cast("long").as("cents"))
+    val looks = Seq(0L, 1L, 2L)
+      .map(k => Snapshots.pointLookup(s, baseT, "o_orderkey", k))
+      .reduce(_ unionAll _)
+      .select(col("o_orderkey"), col("custkey"), col("o_orderstatus"),
+        (col("o_price") * 100).cast("long").as("cents"))
+    val cj = graft.sources.MaterializedView.serveJoin(s, s"$root/custjoin")
+      .select(col("custkey"), col("o_orderkey"), col("c_mktsegment"),
+        (col("o_price") * 100).cast("long").as("cents"))
+    familyChk("orders_rollup", mv,
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority"),
+          str(col("cnt")), str(col("cents"))))
+      .unionAll(familyChk("orders_lookups", looks,
+        concat_ws("|", str(col("o_orderkey")), str(col("custkey")),
+          col("o_orderstatus"), str(col("cents")))))
+      .unionAll(familyChk("orders_custjoin", cj,
+        concat_ws("|", str(col("custkey")), str(col("o_orderkey")),
+          col("c_mktsegment"), str(col("cents")))))
+  }
+
+  /** The registry capstone on a RELATIONAL base (round-13 candidate #3
+    * pre-closed): [[forgetCapstone]] proves the document corpus's six
+    * index families; a warehouse's OTHER base tables carry access
+    * paths too — here ONE forgetWhere (erase every order of the
+    * custkey % 97 = 3 customers: the GDPR request arriving at the
+    * fact table) folds through the aggregate-rollup MV (cdc-fold —
+    * counts/sums subtract the change feed), the per-file bloom skip
+    * index (O(rewritten files) — immutable surviving files keep their
+    * blooms), and the signed denormalized join view (delta join of
+    * the change feed against the pinned dimension), all in one
+    * registry walk. The oracle rebuilds all three from the live
+    * orders rows, so hash equality proves maintenance ≡ rebuild on
+    * the relational side exactly as on the document side.
+    *
+    * Reference analog: Database.deleteRecord walking every B+ tree
+    * access path of a TABLE (reference: Database.java,
+    * index/BPlusTree.java) — the fact-table twin of the corpus
+    * capstone.
+    */
+  val forgetRelational: QueryDef = QueryDef(
+    "q_forget_relational",
+    (s, dir) => {
+      val (baseT, root) = relationalBootstrap(s, dir)
+      IndexRegistry.forgetWhere(s, baseT, pmod(col("custkey"), lit(97)) === 3)
+      relationalServe(s, root)
+    },
+    Some(s"""WITH live AS (SELECT o_orderkey, o_custkey AS custkey, o_orderstatus,
+         o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS o_price
+         FROM orders WHERE o_custkey % 97 <> 3),
+       roll AS (SELECT o_orderstatus, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(o_price) * 100 AS BIGINT) AS cents FROM live GROUP BY 1, 2),
+       looks AS (SELECT o_orderkey, custkey, o_orderstatus,
+         CAST(o_price * 100 AS BIGINT) AS cents FROM live
+         WHERE o_orderkey IN (0, 1, 2)),
+       cj AS (SELECT l.custkey, l.o_orderkey, c.c_mktsegment,
+         CAST(l.o_price * 100 AS BIGINT) AS cents
+         FROM live l JOIN customer c ON l.custkey = c.c_custkey)
+       ${duckChk("orders_rollup", "roll",
+         "concat_ws('|', o_orderstatus, o_orderpriority, CAST(cnt AS VARCHAR), CAST(cents AS VARCHAR))")}
+       UNION ALL ${duckChk("orders_lookups", "looks",
+         "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(custkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))")}
+       UNION ALL ${duckChk("orders_custjoin", "cj",
+         "concat_ws('|', CAST(custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR), c_mktsegment, CAST(cents AS VARCHAR))")}"""))
+
+  val defs: Seq[QueryDef] = Seq(forgetCapstone, forgetUpdate, forgetStreamSearch,
+    recrawlStreamSearch, forgetRelational)
 }

@@ -108,14 +108,26 @@ object IndexRegistry {
     * names an unregistered family — a torn registry must not silently
     * skip an index.
     */
-  def maintainAll(s: SparkSession, baseTable: String): Seq[String] = {
+  def maintainAll(s: SparkSession, baseTable: String): Seq[String] =
+    maintainAllTimed(s, baseTable).map(_._1)
+
+  /** [[maintainAll]] with a per-family wall-clock budget: returns
+    * (family, fold millis) in walk order — the measured line behind
+    * the O(erased docs) claim (each fold's cost is the family's
+    * change-feed work plus its ~constant manifest-commit floor, so the
+    * budget separates the two: vary the erased set and the variable
+    * part moves while the floor stands; see
+    * [[graft.tools.ForgetBudget]] for the committed artifact).
+    */
+  def maintainAllTimed(s: SparkSession, baseTable: String): Seq[(String, Long)] = {
     val deps = dependents(baseTable)
     deps.map { case (family, roots) =>
       val fn = Option(maintainers.get(family)).getOrElse(
         sys.error(s"attachment names unregistered index family '$family' " +
           s"at $baseTable — registerMaintainer before maintainAll"))
+      val t0 = System.nanoTime()
       fn(s, baseTable, roots)
-      family
+      (family, (System.nanoTime() - t0) / 1000000L)
     }
   }
 
@@ -163,6 +175,41 @@ object IndexRegistry {
     val v = Snapshots.deleteBatch(s, baseTable, cond, streamId, batchId)
     (v, maintainAll(s, baseTable))
   }
+
+  /** One micro-batch of STREAMED re-crawl/upsert content, exactly-once
+    * — the UPDATE twin of [[forgetBatch]] and the last cell of the
+    * streaming DML matrix (insert: ingestBatch+walk, delete:
+    * forgetBatch, update/upsert: THIS): the keyed batch of
+    * (key, new content) rows merges via [[Snapshots.mergeBatch]]
+    * (tagged — a foreachBatch replay no-ops instead of clobbering
+    * LATER batches' rewrites of the same keys), then ONE registry walk
+    * folds the change feed — each upsert arriving as delete-of-old +
+    * insert-of-new — through every attached family. A replayed batch
+    * no-ops end to end: the ingest tag blocks the re-merge and an
+    * unchanged base version leaves every maintenance watermark in
+    * place.
+    */
+  def recrawlBatch(batch: org.apache.spark.sql.DataFrame, baseTable: String,
+      key: String, streamId: String, batchId: Long): (Int, Seq[String]) = {
+    val v = Snapshots.mergeBatch(batch, baseTable, key, streamId, batchId)
+    (v, maintainAll(batch.sparkSession, baseTable))
+  }
+
+  /** Continuous re-crawl: run a stream of keyed content rewrites (and
+    * newly discovered rows — merge is an upsert) against the base
+    * table, every attached index family maintained inside the same
+    * micro-batch. The crawler-refresh loop of a production corpus:
+    * content changes land exactly-once and search/dedup/ANN serve the
+    * new text one registry walk later.
+    */
+  def recrawlStream(stream: org.apache.spark.sql.DataFrame, baseTable: String,
+      key: String, streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        recrawlBatch(batch, baseTable, key, streamId, batchId)
+        ()
+      }
 
   /** Continuous right-to-be-forgotten: run a stream of erasure-request
     * ids (column `idCol`, long) against the base table, every attached

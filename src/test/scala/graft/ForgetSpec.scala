@@ -186,4 +186,50 @@ class ForgetSpec extends SparkSpec {
       freshFps.exceptAll(servedFps).isEmpty,
       "fingerprint index diverged from live recompute")
   }
+
+  test("relational registry walk: incremental paths taken, idempotent, erased customer unreachable") {
+    import graft.sources.MaterializedView
+    val (baseT, root) = Forget.relationalBootstrap(spark, sfDir, tag = "_spec")
+    // an order of the victim customer, read BEFORE erasure
+    val victimOrder = Snapshots.read(spark, baseT)
+      .where(col("custkey") === 3).agg(min(col("o_orderkey"))).head().getLong(0)
+    assert(Snapshots.pointLookup(spark, baseT, "o_orderkey", victimOrder).count() == 1)
+
+    // THE erasure: one customer, one registry walk
+    IndexRegistry.forgetWhere(spark, baseT, col("custkey") === 3)
+
+    // each family took its INCREMENTAL path, not a recompute: the MV
+    // folded the change feed, the join view delta-joined
+    assert(MaterializedView.lastRefreshMode == "cdc-fold",
+      s"rollup MV took '${MaterializedView.lastRefreshMode}', expected cdc-fold")
+    assert(MaterializedView.lastJoinRefreshMode == "delta-join",
+      s"join view took '${MaterializedView.lastJoinRefreshMode}', expected delta-join")
+
+    // compliance: the erased customer is unreachable through EVERY
+    // access path — heap point lookup, denormalized view, and rollup
+    // totals equal to a live recompute
+    assert(Snapshots.pointLookup(spark, baseT, "o_orderkey", victimOrder).count() == 0,
+      "bloom-skip point lookup still reaches an erased customer's order")
+    assert(MaterializedView.serveJoin(spark, s"$root/custjoin")
+      .where(col("custkey") === 3).count() == 0,
+      "denormalized join view still carries the erased customer")
+    def rollupRows(df: DataFrame) = df
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("cnt").cast("long"),
+        (col("sum_o_price") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val fresh = Snapshots.read(spark, baseT)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_price")).cast("decimal(38,6)").as("sum_o_price"))
+    assert(rollupRows(Snapshots.read(spark, s"$root/rollup")) == rollupRows(fresh),
+      "rollup MV diverged from a live recompute after the cdc fold")
+
+    // a second walk is a strict no-op: no structure re-commits
+    val heads = Seq(s"$root/rollup", s"$root/custjoin")
+      .map(t => t -> Snapshots.currentVersion(t)).toMap
+    IndexRegistry.maintainAll(spark, baseT)
+    heads.foreach { case (t, v) =>
+      assert(Snapshots.currentVersion(t) == v, s"idempotent walk re-committed $t")
+    }
+  }
 }

@@ -1052,4 +1052,65 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.currentVersion(postT) == vPost, "replay must not re-fold")
     assert(served(postT, dlT, totT) == got, "replay must not change serving")
   }
+
+  test("streamed re-crawl (upsert) folds through the registry; serve equals rebuild, replay no-ops") {
+    import graft.sources.{IndexRegistry, Snapshots}
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.operators.Forget.registerBuiltins()
+    val root = "/root/repo/target/streaming-spec/recrawl"
+    Snapshots.deleteRecursively(root)
+    val baseT = s"$root/docs"
+    val (postT, dlT, totT) = (s"$root/postings", s"$root/doclen", s"$root/totals")
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    Snapshots.commitOverwrite(docs, baseT)
+    IndexRegistry.attach(baseT, "bm25", Seq(postT, dlT, totT))
+    IndexRegistry.maintainAll(spark, baseT)
+
+    // a REAL stream of keyed content rewrites: batch 0 re-crawls the
+    // %4 slice, batch 1 re-crawls the %6 slice (overlap %12 —
+    // batch-1-wins) and discovers brand-new docs (%9 clones)
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val b0 = rows.filter(_._1 % 4 == 0).map { case (id, t) => (id, t + " ra") }.toSeq
+    val b1 = (rows.filter(_._1 % 6 == 0).map { case (id, t) => (id, t + " rb") } ++
+      rows.filter(_._1 % 9 == 0).map { case (id, t) => (id + 500000L, "fresh " + t) }).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexRegistry.recrawlStream(
+      mem.toDF.toDF("doc_id", "text"), baseT, "doc_id", "recrawl_s1").start()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def served(pT: String, dT: String, tT: String) =
+      TextFunctions.bm25ServeNet(spark, pT, dT, tT).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = served(postT, dlT, totT)
+
+    // reference: bootstrap fold over the batch-order-merged corpus
+    import spark.implicits._
+    val merged = rows.map { case (id, t) =>
+      if (id % 6 == 0) (id, t + " rb")
+      else if (id % 4 == 0) (id, t + " ra")
+      else (id, t)
+    }.toSeq ++ rows.filter(_._1 % 9 == 0).map { case (id, t) => (id + 500000L, "fresh " + t) }
+    val refRoot = s"$root/ref"
+    Snapshots.commitOverwrite(merged.toDF("doc_id", "text"), s"$refRoot/docs")
+    TextFunctions.bm25Maintain(spark, s"$refRoot/docs",
+      s"$refRoot/postings", s"$refRoot/doclen", s"$refRoot/totals")
+    val expect = served(s"$refRoot/postings", s"$refRoot/doclen", s"$refRoot/totals")
+    assert(got == expect,
+      s"stream-recrawled BM25 diverged from rebuild: ${got.size} vs ${expect.size}")
+
+    // replay batch 0 after batch 1 committed: the tagged merge no-ops
+    // — a BLIND re-merge would clobber batch 1's %12-overlap rewrites
+    // with stale batch-0 text — and no maintenance watermark moves
+    val vBase = Snapshots.currentVersion(baseT)
+    val vPost = Snapshots.currentVersion(postT)
+    IndexRegistry.recrawlBatch(b0.toDF("doc_id", "text"), baseT, "doc_id", "recrawl_s1", 0L)
+    assert(Snapshots.currentVersion(baseT) == vBase, "replay must not re-merge")
+    assert(Snapshots.currentVersion(postT) == vPost, "replay must not re-fold")
+    assert(served(postT, dlT, totT) == got, "replay must not change serving")
+  }
 }
