@@ -29,7 +29,7 @@ object Events {
     */
   def loadEvents(s: SparkSession, dir: String): DataFrame = events(s, dir)
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The NTZ→epoch cast below interprets naive timestamps at the
     // SESSION zone; DuckDB's naive epoch(ts) is zone-free (UTC). The

@@ -182,6 +182,100 @@ object MaterializedView {
         ()
       }
 
+  // ---- incrementally maintained SKETCH views (mergeable state) ----
+
+  private val SkTagPrefix = "mvsk_through "
+
+  /** How the last [[sketchRefresh]] on this JVM brought the view
+    * current — "bootstrap" | "append-fold" | "recompute*"; test
+    * introspection for the cost-path contract.
+    */
+  @volatile private[graft] var lastSketchRefreshMode: String = ""
+
+  /** Incrementally maintained MERGEABLE-SKETCH view — the sketch cell
+    * of the MV matrix next to count/sum (abelian fold), min/max
+    * (recompute on DML) and join views (signed deltas): per-key HLL
+    * sketches of `idCol` (approximate distinct) brought current by
+    * UNION-MERGING only the data directories appended since the last
+    * refresh. HLL registers merge by max, so an append fold is exact —
+    * the merged view's REGISTERS (hence estimates) equal a one-shot
+    * recompute's, not merely within error (asserted in SourcesSpec).
+    * Deletes are NOT invertible (a register has no memory of who set
+    * it): a rewritten history degrades to one full recompute and a
+    * fresh watermark, the min/max convention. Same CAS head discipline
+    * as [[refresh]].
+    *
+    * At 100 TB this is the streaming-distinct pattern: per-(day,
+    * dimension) user sketches maintained at O(new data) per refresh
+    * with |MV| ≈ keys × 2^lgK bytes, served with union-across-keys
+    * rollups — the exact distinct would need a users×keys shuffle per
+    * question.
+    */
+  def sketchRefresh(spark: SparkSession, baseTable: String, mvTable: String,
+      keys: Seq[String], idCol: String, lgK: Int = 12): Int = {
+    val curV = Snapshots.currentVersion(baseTable)
+    require(curV > 0, s"base table $baseTable has no committed version")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 20, s"sketch-MV refresh of $mvTable lost $attempt head races")
+      val mvV = Snapshots.currentVersion(mvTable)
+      val lastV =
+        if (mvV == 0) 0
+        else Snapshots.versionTags(mvTable, mvV).collectFirst {
+          case t if t.startsWith(SkTagPrefix) => t.drop(SkTagPrefix.length).toInt
+        }.getOrElse(0)
+      if (lastV == curV) return mvV
+      def agg(df: DataFrame) = df.groupBy(keys.map(col): _*)
+        .agg(expr(s"hll_sketch_agg($idCol, $lgK)").as("sk"))
+      val watermarkGone = lastV > 0 && !Snapshots.versionAvailable(baseTable, lastV)
+      val newDirs = Snapshots.versionDirs(baseTable, curV)
+      val oldDirs = if (lastV == 0 || watermarkGone) Seq.empty
+        else Snapshots.versionDirs(baseTable, lastV)
+      val fresh =
+        if (lastV == 0) {
+          lastSketchRefreshMode = "bootstrap"
+          agg(Snapshots.readVersion(spark, baseTable, curV))
+        } else if (watermarkGone) {
+          lastSketchRefreshMode = "recompute-vacuumed"
+          agg(Snapshots.readVersion(spark, baseTable, curV))
+        } else if (oldDirs.toSet.subsetOf(newDirs.toSet)) {
+          lastSketchRefreshMode = "append-fold"
+          val deltaDirs = newDirs.filterNot(oldDirs.toSet)
+          Snapshots.readVersion(spark, mvTable, mvV)
+            .unionByName(agg(spark.read.parquet(deltaDirs: _*)))
+            .groupBy(keys.map(col): _*)
+            .agg(expr("hll_union_agg(sk)").as("sk"))
+        } else {
+          // history rewritten under the watermark: registers are not
+          // deletion-invertible — recompute from the current snapshot
+          lastSketchRefreshMode = "recompute"
+          agg(Snapshots.readVersion(spark, baseTable, curV))
+        }
+      Snapshots.commitOverwriteTaggedIf(fresh, mvTable, mvV, Seq(SkTagPrefix + curV))
+        .foreach(v => return v)
+    }
+    -1 // unreachable
+  }
+
+  /** Continuously maintained sketch rollup — [[ingestWithRollup]]'s
+    * mergeable-state twin: each micro-batch lands in the base
+    * exactly-once and the sketch view union-merges the batch's
+    * registers in the same foreachBatch (an append fold by
+    * construction — streaming ingest never rewrites history). A
+    * replayed batch no-ops on both sides.
+    */
+  def ingestWithSketchRollup(stream: DataFrame, baseTable: String,
+      mvTable: String, streamId: String, keys: Seq[String], idCol: String,
+      lgK: Int = 12)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Snapshots.ingestBatch(batch, baseTable, streamId, batchId)
+        sketchRefresh(batch.sparkSession, baseTable, mvTable, keys, idCol, lgK)
+        ()
+      }
+
   // ---- incrementally maintained JOIN views (delta joins) ----
 
   private val JTagL = "mvj_left_through "

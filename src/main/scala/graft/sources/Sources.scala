@@ -523,10 +523,69 @@ object SourceQueries {
               AS revenue_cents
           FROM o, mx WHERE yr = mx.m GROUP BY 1, 2"""))
 
+  /** Incrementally maintained SKETCH view
+    * ([[MaterializedView.sketchRefresh]]) — the MERGEABLE-STATE cell
+    * of the MV matrix (count/sum MVs fold abelian deltas, join views
+    * fold signed deltas; sketches fold by REGISTER MAX): per-day HLL
+    * user sketches bootstrap from 90% of events, two exactly-once
+    * batches append the rest, and each refresh union-merges ONLY the
+    * appended directories' sketches into the stored view — O(new
+    * data) per refresh, |MV| ≈ days × 2^12 bytes, never a re-scan.
+    * Because registers max-merge, the folded view's estimates equal a
+    * one-shot recompute EXACTLY (SourcesSpec asserts register-level
+    * equality, plus the recompute downgrade on DML — registers are
+    * not deletion-invertible). The served report is (day, exact DAU,
+    * within-15%% flag); the oracle recomputes exact DAU, so the
+    * catalog proves the maintained sketch tracks truth while the spec
+    * proves merged ≡ recompute.
+    *
+    * At 100 TB this is the streaming-distinct pattern: the exact
+    * distinct needs a users × days shuffle per question; the sketch
+    * view answers from kilobytes per key and unions across keys for
+    * rollups.
+    */
+  val mvSketchIncremental: QueryDef = QueryDef(
+    "q_mv_sketch_incremental",
+    (s, dir) => {
+      val fp = Snapshots.fileFingerprint(s"$dir/events.parquet")
+        .replaceAll("[^A-Za-z0-9]", "").take(16)
+      val root = "/root/repo/target/mv/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_sk_" + fp
+      val base = s"$root/base"
+      val mv = s"$root/mv"
+      val ev = graft.operators.Events.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000000 div 86400").as("day"))
+      if (Snapshots.currentVersion(base) == 0) {
+        Snapshots.gcSiblingRoots(root)
+        Snapshots.commitOverwrite(ev.where(col("event_id") % 10 =!= 0), base)
+        MaterializedView.sketchRefresh(s, base, mv, Seq("day"), "user_id")
+      }
+      Snapshots.ingestBatch(
+        ev.where(col("event_id") % 10 === 0 && col("event_id") % 20 === 0),
+        base, "mvsk", 0L)
+      Snapshots.ingestBatch(
+        ev.where(col("event_id") % 10 === 0 && col("event_id") % 20 =!= 0),
+        base, "mvsk", 1L)
+      MaterializedView.sketchRefresh(s, base, mv, Seq("day"), "user_id")
+      val exact = ev.select("user_id", "day").distinct()
+        .groupBy("day").agg(count(lit(1)).as("dau_exact"))
+      Snapshots.read(s, mv)
+        .select(col("day"), expr("hll_sketch_estimate(sk)").as("est"))
+        .join(exact, "day")
+        .select(col("day"), col("dau_exact"),
+          (abs(col("est") - col("dau_exact")) * 100 <= col("dau_exact") * 15)
+            .as("hll_ok"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events)
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau_exact, TRUE AS hll_ok
+        FROM ud GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(zorderSecondary, mvIncremental, mergeUpsert, bloomPointLookup,
       snapshotDiff, mvJoinIncremental, csvRoundtrip, jsonlRoundtrip,
-      partitionPrune)
+      partitionPrune, mvSketchIncremental)
 }
 
 /** Copy-on-write mutations — the reference's record insert/update/

@@ -1171,4 +1171,48 @@ class SourcesSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got == exp, "JSONL-sink rollup diverged from the parquet rollup")
   }
+
+  test("sketch MV: append fold merges registers exactly; DML downgrades to recompute") {
+    import graft.sources.{MaterializedView, Snapshots}
+    import org.apache.spark.sql.DataFrame
+    val root = s"$tmp/sketchmv"
+    Snapshots.deleteRecursively(root)
+    val (base, mv) = (s"$root/base", s"$root/mv")
+    val ev = graft.operators.Events.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000 div 86400").as("day"))
+    def est(df: DataFrame) =
+      df.select(col("day"), expr("hll_sketch_estimate(sk)").as("e"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def oneShot(df: DataFrame) =
+      est(df.groupBy("day").agg(expr("hll_sketch_agg(user_id, 12)").as("sk")))
+
+    Snapshots.commitOverwrite(ev.where(col("event_id") % 3 =!= 0), base)
+    MaterializedView.sketchRefresh(spark, base, mv, Seq("day"), "user_id")
+    assert(MaterializedView.lastSketchRefreshMode == "bootstrap")
+
+    Snapshots.commitAppend(ev.where(col("event_id") % 3 === 0), base)
+    MaterializedView.sketchRefresh(spark, base, mv, Seq("day"), "user_id")
+    assert(MaterializedView.lastSketchRefreshMode == "append-fold",
+      s"append must fold, got '${MaterializedView.lastSketchRefreshMode}'")
+    // register max-merge makes the fold EXACT: estimates equal a
+    // one-shot aggregate over the full base, not merely within error
+    assert(est(Snapshots.read(spark, mv)) == oneShot(ev),
+      "folded sketch view diverged from one-shot recompute")
+
+    // already-current refresh is a no-op
+    val v = Snapshots.currentVersion(mv)
+    MaterializedView.sketchRefresh(spark, base, mv, Seq("day"), "user_id")
+    assert(Snapshots.currentVersion(mv) == v, "idempotent refresh re-committed")
+
+    // DML under the watermark: registers are not deletion-invertible —
+    // the refresh must recompute, and land on the live corpus's sketches
+    Snapshots.deleteWhere(spark, base, col("user_id") % 5 === 0)
+    MaterializedView.sketchRefresh(spark, base, mv, Seq("day"), "user_id")
+    assert(MaterializedView.lastSketchRefreshMode == "recompute",
+      s"DML must downgrade to recompute, got '${MaterializedView.lastSketchRefreshMode}'")
+    assert(est(Snapshots.read(spark, mv)) ==
+      oneShot(ev.where(col("user_id") % 5 =!= 0)),
+      "post-DML recompute diverged from the live corpus")
+  }
 }

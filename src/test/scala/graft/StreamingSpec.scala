@@ -1113,4 +1113,39 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.currentVersion(postT) == vPost, "replay must not re-fold")
     assert(served(postT, dlT, totT) == got, "replay must not change serving")
   }
+
+  test("streamed sketch rollup: register folds equal one-shot recompute, replay no-ops") {
+    import graft.sources.{MaterializedView, Snapshots}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = "/root/repo/target/streaming-spec/sketchmv"
+    Snapshots.deleteRecursively(root)
+    val (baseT, mvT) = (s"$root/base", s"$root/mv")
+    val ev = graft.operators.Events.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+    val rows = ev.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batches = rows.groupBy { case (u, _) => u % 3 }
+
+    val mem = MemoryStream[(Long, Long)]
+    val q = MaterializedView.ingestWithSketchRollup(
+      mem.toDF.toDF("user_id", "day"), baseT, mvT, "sk_s1", Seq("day"), "user_id").start()
+    try {
+      for (k <- 0L to 2L) { mem.addData(batches(k).toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    def est(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("day"), expr("hll_sketch_estimate(sk)").as("e"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(est(Snapshots.read(spark, mvT)) ==
+      est(ev.groupBy("day").agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))),
+      "stream-folded sketch view diverged from one-shot recompute")
+
+    // replay batch 1: no commits anywhere, serve unchanged
+    import spark.implicits._
+    val (vb, vm) = (Snapshots.currentVersion(baseT), Snapshots.currentVersion(mvT))
+    Snapshots.ingestBatch(batches(1L).toSeq.toDF("user_id", "day"), baseT, "sk_s1", 1L)
+    MaterializedView.sketchRefresh(spark, baseT, mvT, Seq("day"), "user_id")
+    assert(Snapshots.currentVersion(baseT) == vb && Snapshots.currentVersion(mvT) == vm,
+      "replay must not commit")
+  }
 }
