@@ -55,7 +55,9 @@ object ForgetBudget {
         val v = Snapshots.deleteWhereSelective(spark, baseT, cond)
           .getOrElse(Snapshots.deleteWhere(spark, baseT, cond))
         val deleteMs = (System.nanoTime() - t0) / 1000000L
-        val folds = IndexRegistry.maintainAllTimed(spark, baseT)
+        // sequential walk: isolated per-family timings (the artifact's point);
+        // production erasures use the default PARALLEL walk
+        val folds = IndexRegistry.maintainAllTimed(spark, baseT, parallel = false)
         val famJson = folds.map { case (f, ms) => s""""$f":$ms""" }.mkString(",")
         val line =
           s"""{"sf_dir":"$dir","round":"$label","corpus_docs":$corpus,""" +
