@@ -522,6 +522,68 @@ object Forget {
        UNION ALL ${duckChk("orders_custjoin", "cj",
          "concat_ws('|', CAST(custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR), c_mktsegment, CAST(cents AS VARCHAR))")}"""))
 
+  /** CASCADING erasure (referential integrity): the GDPR request
+    * names a CUSTOMER, but compliance means erasing the customer ROW,
+    * every ORDER keyed to them (the FK children), and every access
+    * path of BOTH tables. [[graft.sources.IndexRegistry.forgetCascade]]
+    * collects the parent's matching keys, forgets the parent (its
+    * rollup MV folds), then forgets each child on `fk IN keys` (the
+    * orders rollup MV cdc-folds, the bloom skip index re-covers only
+    * rewritten files, and the denormalized join view delta-joins BOTH
+    * sides' change feeds — the dimension delete and the fact delete
+    * net in one signed expansion). The oracle rebuilds all four
+    * structures over the live rows of both tables; hash equality
+    * proves cascade-then-maintain ≡ rebuild of the fully-erased state.
+    *
+    * Reference analog: FK-driven cascading delete walking every table
+    * and every B+ tree of each (reference: Database.java deleteRecord
+    * per access path, composed over the schema's FK edges).
+    */
+  val forgetCascadeQ: QueryDef = QueryDef(
+    "q_forget_cascade",
+    (s, dir) => {
+      IndexRegistry.registerMaintainer("cust_rollup")((s2, base, r) => {
+        graft.sources.MaterializedView.refresh(s2, base, r(0),
+          Seq("c_mktsegment"), Nil); ()
+      })
+      val (ordersT, root) = relationalBootstrap(s, dir, tag = "_cas")
+      val custT = s"$root/customer"
+      IndexRegistry.attach(custT, "cust_rollup", Seq(s"$root/custroll"))
+      IndexRegistry.maintainAll(s, custT)
+      // THE cascade: one request, both tables, every access path
+      IndexRegistry.forgetCascade(s, custT,
+        pmod(col("custkey"), lit(53)) === 7, "custkey",
+        Seq(ordersT -> "custkey"))
+      val cr = Snapshots.read(s, s"$root/custroll")
+      relationalServe(s, root)
+        .unionAll(familyChk("cust_rollup", cr,
+          concat_ws("|", col("c_mktsegment"), str(col("cnt")))))
+    },
+    Some(s"""WITH live AS (SELECT o_orderkey, o_custkey AS custkey, o_orderstatus,
+         o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS o_price
+         FROM orders WHERE o_custkey % 53 <> 7),
+       lcust AS (SELECT c_custkey AS custkey, c_mktsegment FROM customer
+         WHERE c_custkey % 53 <> 7),
+       roll AS (SELECT o_orderstatus, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(o_price) * 100 AS BIGINT) AS cents FROM live GROUP BY 1, 2),
+       looks AS (SELECT o_orderkey, custkey, o_orderstatus,
+         CAST(o_price * 100 AS BIGINT) AS cents FROM live
+         WHERE o_orderkey IN (0, 1, 2)),
+       cj AS (SELECT l.custkey, l.o_orderkey, c.c_mktsegment,
+         CAST(l.o_price * 100 AS BIGINT) AS cents
+         FROM live l JOIN lcust c ON l.custkey = c.custkey),
+       custroll AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM customer WHERE c_custkey % 53 <> 7 GROUP BY 1)
+       ${duckChk("orders_rollup", "roll",
+         "concat_ws('|', o_orderstatus, o_orderpriority, CAST(cnt AS VARCHAR), CAST(cents AS VARCHAR))")}
+       UNION ALL ${duckChk("orders_lookups", "looks",
+         "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(custkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))")}
+       UNION ALL ${duckChk("orders_custjoin", "cj",
+         "concat_ws('|', CAST(custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR), c_mktsegment, CAST(cents AS VARCHAR))")}
+       UNION ALL ${duckChk("cust_rollup", "custroll",
+         "concat_ws('|', c_mktsegment, CAST(cnt AS VARCHAR))")}"""))
+
   val defs: Seq[QueryDef] = Seq(forgetCapstone, forgetUpdate, forgetStreamSearch,
-    recrawlStreamSearch, forgetRelational)
+    recrawlStreamSearch, forgetRelational, forgetCascadeQ)
 }

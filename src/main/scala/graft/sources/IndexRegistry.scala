@@ -202,6 +202,35 @@ object IndexRegistry {
     (v, maintainAll(s, baseTable))
   }
 
+  /** CASCADING erasure — the referential-integrity composition over
+    * [[forgetWhere]]: a GDPR request names a PARENT entity (the
+    * customer), but compliance requires erasing the entity row AND
+    * every child fact keyed to it AND every access path of every
+    * table touched. The cascade: collect the parent's matching keys
+    * (BEFORE the parent delete — compliance requests are human-scale,
+    * the [[forgetStream]] contract, so the key set is a bounded
+    * driver fetch feeding pushed IN predicates), forgetWhere the
+    * parent (its families fold), then forgetWhere each child on
+    * `fk IN keys` (their families fold). Returns (table, new version)
+    * in deletion order. A firehose-scale cascade would replace the
+    * key fetch with a join-expressible child predicate and call
+    * [[forgetWhere]] per table directly.
+    */
+  def forgetCascade(s: SparkSession, parentTable: String,
+      parentCond: org.apache.spark.sql.Column, keyCol: String,
+      children: Seq[(String, String)]): Seq[(String, Int)] = {
+    import org.apache.spark.sql.functions.col
+    val keys = Snapshots.read(s, parentTable).where(parentCond)
+      .select(keyCol).distinct().collect().map(_.getLong(0)).toSeq
+    val pv = forgetWhere(s, parentTable, parentCond)._1
+    val childVs =
+      if (keys.isEmpty) children.map { case (t, _) => t -> Snapshots.currentVersion(t) }
+      else children.map { case (t, fk) =>
+        t -> forgetWhere(s, t, col(fk).isin(keys: _*))._1
+      }
+    (parentTable -> pv) +: childVs
+  }
+
   /** One micro-batch of STREAMED re-crawl/upsert content, exactly-once
     * — the UPDATE twin of [[forgetBatch]] and the last cell of the
     * streaming DML matrix (insert: ingestBatch+walk, delete:

@@ -187,6 +187,84 @@ class ForgetSpec extends SparkSpec {
       "fingerprint index diverged from live recompute")
   }
 
+  test("serving survives an aggressive vacuum of every capstone root") {
+    // retention sweep: after the erasure pass every structure serves
+    // from NETTING across its delta history — but netting only needs
+    // the dirs the HEAD manifest carries (deltas are carried forward
+    // by reference, never re-read from old versions). vacuum(retain=1)
+    // on every root must therefore leave the serve bit-identical while
+    // genuinely retiring pre-head history. This is the 100 TB storage
+    // bound: version debt is reclaimable without a serve outage.
+    val (baseT, root) = Forget.bootstrap(spark, sfDir, tag = "_vac")
+    IndexRegistry.forgetWhere(spark, baseT, pmod(col("doc_id"), lit(7)) === 0)
+    def chk() = Forget.serveChecksums(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val before = chk()
+    val allRoots = baseT +: Forget.familyRoots(root).flatMap(_._2)
+    allRoots.foreach { t =>
+      val head = Snapshots.currentVersion(t)
+      if (head > 1) {
+        Snapshots.vacuum(t, retain = 1, graceMs = 0L)
+        // pre-head versions are genuinely retired, not just ignored
+        intercept[Exception] { Snapshots.readVersion(spark, t, 1).collect() }
+        ()
+      }
+    }
+    assert(chk() == before, "serve changed after vacuuming every root")
+    // and a post-vacuum registry walk is still a clean no-op
+    val heads = allRoots.map(t => t -> Snapshots.currentVersion(t)).toMap
+    IndexRegistry.maintainAll(spark, baseT)
+    heads.foreach { case (t, v) =>
+      assert(Snapshots.currentVersion(t) == v, s"post-vacuum walk re-committed $t")
+    }
+  }
+
+  test("cascading erasure: parent row, child facts, every access path — and a replay no-ops") {
+    import graft.sources.MaterializedView
+    IndexRegistry.registerMaintainer("cust_rollup")((s2, base, r) => {
+      MaterializedView.refresh(s2, base, r(0), Seq("c_mktsegment"), Nil); ()
+    })
+    val (ordersT, root) = Forget.relationalBootstrap(spark, sfDir, tag = "_casspec")
+    val custT = s"$root/customer"
+    IndexRegistry.attach(custT, "cust_rollup", Seq(s"$root/custroll"))
+    IndexRegistry.maintainAll(spark, custT)
+    val victim = 7L
+    val vOrder = Snapshots.read(spark, ordersT).where(col("custkey") === victim)
+      .agg(min(col("o_orderkey"))).head().getLong(0)
+
+    val res = IndexRegistry.forgetCascade(spark, custT,
+      col("custkey") === victim, "custkey", Seq(ordersT -> "custkey"))
+    assert(res.map(_._1) == Seq(custT, ordersT), "cascade order: parent then children")
+
+    // the victim is unreachable through EVERY path of BOTH tables
+    assert(Snapshots.read(spark, custT).where(col("custkey") === victim).count() == 0,
+      "customer row survived the cascade")
+    assert(Snapshots.read(spark, ordersT).where(col("custkey") === victim).count() == 0,
+      "child orders survived the cascade")
+    assert(Snapshots.pointLookup(spark, ordersT, "o_orderkey", vOrder).count() == 0,
+      "bloom point lookup still reaches the victim's order")
+    assert(MaterializedView.serveJoin(spark, s"$root/custjoin")
+      .where(col("custkey") === victim).count() == 0,
+      "denormalized join view still carries the victim")
+    // the customer rollup equals a live recompute
+    def crRows(df: DataFrame) = df.select(col("c_mktsegment"), col("cnt").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(crRows(Snapshots.read(spark, s"$root/custroll")) ==
+      crRows(Snapshots.read(spark, custT).groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))),
+      "customer rollup diverged from live recompute")
+
+    // replayed cascade (the victim's keys no longer match): zero new
+    // versions anywhere — a zero-match delete must not commit
+    val tables = Seq(custT, ordersT, s"$root/custroll", s"$root/rollup", s"$root/custjoin")
+    val heads = tables.map(t => t -> Snapshots.currentVersion(t)).toMap
+    IndexRegistry.forgetCascade(spark, custT,
+      col("custkey") === victim, "custkey", Seq(ordersT -> "custkey"))
+    heads.foreach { case (t, v) =>
+      assert(Snapshots.currentVersion(t) == v, s"replayed cascade re-committed $t")
+    }
+  }
+
   test("relational registry walk: incremental paths taken, idempotent, erased customer unreachable") {
     import graft.sources.MaterializedView
     val (baseT, root) = Forget.relationalBootstrap(spark, sfDir, tag = "_spec")
