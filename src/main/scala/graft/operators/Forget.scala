@@ -550,6 +550,14 @@ object Forget {
       val custT = s"$root/customer"
       IndexRegistry.attach(custT, "cust_rollup", Seq(s"$root/custroll"))
       IndexRegistry.maintainAll(s, custT)
+      // a DIMENSION UPDATE first (the re-crawled attribute): one
+      // updateWhere on the customer table; its own rollup folds via
+      // the customer walk, and the orders walk folds the ΔR through
+      // the denormalized join view (update = delete-of-old +
+      // insert-of-new on the dimension side of the signed expansion)
+      IndexRegistry.updateWhere(s, custT, pmod(col("custkey"), lit(41)) === 5,
+        "c_mktsegment", lit("RESEGMENTED"))
+      IndexRegistry.maintainAll(s, ordersT)
       // THE cascade: one request, both tables, every access path
       IndexRegistry.forgetCascade(s, custT,
         pmod(col("custkey"), lit(53)) === 7, "custkey",
@@ -562,7 +570,9 @@ object Forget {
     Some(s"""WITH live AS (SELECT o_orderkey, o_custkey AS custkey, o_orderstatus,
          o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS o_price
          FROM orders WHERE o_custkey % 53 <> 7),
-       lcust AS (SELECT c_custkey AS custkey, c_mktsegment FROM customer
+       lcust AS (SELECT c_custkey AS custkey,
+         CASE WHEN c_custkey % 41 = 5 THEN 'RESEGMENTED'
+              ELSE c_mktsegment END AS c_mktsegment FROM customer
          WHERE c_custkey % 53 <> 7),
        roll AS (SELECT o_orderstatus, o_orderpriority,
          CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -574,7 +584,7 @@ object Forget {
          CAST(l.o_price * 100 AS BIGINT) AS cents
          FROM live l JOIN lcust c ON l.custkey = c.custkey),
        custroll AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
-         FROM customer WHERE c_custkey % 53 <> 7 GROUP BY 1)
+         FROM lcust GROUP BY 1)
        ${duckChk("orders_rollup", "roll",
          "concat_ws('|', o_orderstatus, o_orderpriority, CAST(cnt AS VARCHAR), CAST(cents AS VARCHAR))")}
        UNION ALL ${duckChk("orders_lookups", "looks",
@@ -584,6 +594,65 @@ object Forget {
        UNION ALL ${duckChk("cust_rollup", "custroll",
          "concat_ws('|', c_mktsegment, CAST(cnt AS VARCHAR))")}"""))
 
+  /** The COMPLIANCE AUDIT as a first-class query — what a privacy
+    * officer actually runs after an erasure: scan EVERY served
+    * structure for ANY reference to an erased id and report the count
+    * per structure (all zero, or the erasure failed). The Spark side
+    * does real scans of the seven id-bearing serving structures (the
+    * kNN graph audited on BOTH endpoints — a dangling destination is
+    * as much a leak as a source); the DuckDB oracle computes the same
+    * counts from first principles by rebuilding each structure over
+    * the live corpus and counting erased-id references — zero by
+    * construction, but COMPUTED, so a Spark-side leak (a fold that
+    * missed a tombstone) hash-mismatches instead of vacuously passing.
+    * Promotes ForgetSpec's audit assertion to a driver-gated query.
+    */
+  val forgetAudit: QueryDef = QueryDef(
+    "q_forget_audit",
+    (s, dir) => {
+      val (baseT, root) = bootstrap(s, dir, tag = "_aud")
+      IndexRegistry.forgetWhere(s, baseT, pmod(col("doc_id"), lit(7)) === 0)
+      def gone(c: Column): Column = pmod(c, lit(7)) === 0
+      def cnt(name: String, df: DataFrame, cond: Column) =
+        df.where(cond).agg(count(lit(1)).as("refs"))
+          .select(lit(name).as("family"), col("refs"))
+      val post = TextFunctions.servePostingsNet(Snapshots.read(s, s"$root/postings"))
+      val dl = Snapshots.read(s, s"$root/doclen").groupBy("doc_id")
+        .agg(sum(col("dl")).cast("long").as("dl")).where(col("dl") > 0)
+      val bands = Dedup.serveBandIndex(s, s"$root/bands")
+      val blocks = Dedup.serveSimhashIndex(s, s"$root/simhash")
+      val fps = Dedup.serveFingerprintIndex(s, s"$root/fps")
+      val lists = Similarity.serveIvfLists(s, s"$root/ivf_lists")
+      val graph = Similarity.serveKnnGraph(s, s"$root/knn_graph")
+      cnt("bm25_postings", post, gone(col("doc_id")))
+        .unionAll(cnt("bm25_doclen", dl, gone(col("doc_id"))))
+        .unionAll(cnt("minhash_bands", bands, gone(col("doc_id"))))
+        .unionAll(cnt("simhash_blocks", blocks, gone(col("doc_id"))))
+        .unionAll(cnt("fingerprints", fps, gone(col("canonical_id"))))
+        .unionAll(cnt("ivf_lists", lists, gone(col("vec_id"))))
+        .unionAll(cnt("knn_graph", graph,
+          gone(col("g_src")) || gone(col("g_dst"))))
+    },
+    Some {
+      def arm(family: String, from: String, cond: String) =
+        s"""SELECT '$family' AS family, CAST(COUNT(*) AS BIGINT) AS refs
+           FROM $from WHERE $cond"""
+      s"""WITH ${bm25SqlCtes("FROM documents WHERE doc_id % 7 <> 0")},
+         plfp AS (SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id
+           FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1),
+         ${Dedup.bandIndexSqlCtes("FROM documents WHERE doc_id % 7 <> 0")},
+         ${Dedup.simhashIndexSqlCtes("FROM documents WHERE doc_id % 7 <> 0")},
+         ${Similarity.ivfLiveListsSqlCtes("FROM embeddings WHERE vec_id % 7 <> 0")},
+         ${Similarity.graphLiveSqlCtes("FROM embeddings WHERE vec_id % 7 <> 0")}
+         ${arm("bm25_postings", "plpb", "doc_id % 7 = 0")}
+         UNION ALL ${arm("bm25_doclen", "pldl", "doc_id % 7 = 0")}
+         UNION ALL ${arm("minhash_bands", "mbands", "doc_id % 7 = 0")}
+         UNION ALL ${arm("simhash_blocks", "sxblocks", "doc_id % 7 = 0")}
+         UNION ALL ${arm("fingerprints", "plfp", "canonical_id % 7 = 0")}
+         UNION ALL ${arm("ivf_lists", "ia2", "vec_id % 7 = 0")}
+         UNION ALL ${arm("knn_graph", "ggraph", "g_src % 7 = 0 OR g_dst % 7 = 0")}"""
+    })
+
   val defs: Seq[QueryDef] = Seq(forgetCapstone, forgetUpdate, forgetStreamSearch,
-    recrawlStreamSearch, forgetRelational, forgetCascadeQ)
+    recrawlStreamSearch, forgetRelational, forgetCascadeQ, forgetAudit)
 }

@@ -544,30 +544,42 @@ object SourceQueries {
     * view answers from kilobytes per key and unions across keys for
     * rollups.
     */
+  /** Ensure the per-day HLL sketch MV is built and current under its
+    * content-keyed root (bootstrap from 90%% of events + two
+    * exactly-once appended batches, idempotent across runs); returns
+    * (mv table, the (user_id, event_id, day) event frame). Shared by
+    * the incremental-maintenance query and the lattice rollup.
+    */
+  private def sketchMvEnsure(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, org.apache.spark.sql.DataFrame) = {
+    val fp = Snapshots.fileFingerprint(s"$dir/events.parquet")
+      .replaceAll("[^A-Za-z0-9]", "").take(16)
+    val root = "/root/repo/target/mv/" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_sk_" + fp
+    val base = s"$root/base"
+    val mv = s"$root/mv"
+    val ev = graft.operators.Events.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000 div 86400").as("day"))
+    if (Snapshots.currentVersion(base) == 0) {
+      Snapshots.gcSiblingRoots(root)
+      Snapshots.commitOverwrite(ev.where(col("event_id") % 10 =!= 0), base)
+      MaterializedView.sketchRefresh(s, base, mv, Seq("day"), "user_id")
+    }
+    Snapshots.ingestBatch(
+      ev.where(col("event_id") % 10 === 0 && col("event_id") % 20 === 0),
+      base, "mvsk", 0L)
+    Snapshots.ingestBatch(
+      ev.where(col("event_id") % 10 === 0 && col("event_id") % 20 =!= 0),
+      base, "mvsk", 1L)
+    MaterializedView.sketchRefresh(s, base, mv, Seq("day"), "user_id")
+    (mv, ev)
+  }
+
   val mvSketchIncremental: QueryDef = QueryDef(
     "q_mv_sketch_incremental",
     (s, dir) => {
-      val fp = Snapshots.fileFingerprint(s"$dir/events.parquet")
-        .replaceAll("[^A-Za-z0-9]", "").take(16)
-      val root = "/root/repo/target/mv/" +
-        dir.replaceAll("[^A-Za-z0-9]", "_") + "_sk_" + fp
-      val base = s"$root/base"
-      val mv = s"$root/mv"
-      val ev = graft.operators.Events.events(s, dir)
-        .select(col("user_id"), col("event_id"),
-          expr("ts div 1000000000 div 86400").as("day"))
-      if (Snapshots.currentVersion(base) == 0) {
-        Snapshots.gcSiblingRoots(root)
-        Snapshots.commitOverwrite(ev.where(col("event_id") % 10 =!= 0), base)
-        MaterializedView.sketchRefresh(s, base, mv, Seq("day"), "user_id")
-      }
-      Snapshots.ingestBatch(
-        ev.where(col("event_id") % 10 === 0 && col("event_id") % 20 === 0),
-        base, "mvsk", 0L)
-      Snapshots.ingestBatch(
-        ev.where(col("event_id") % 10 === 0 && col("event_id") % 20 =!= 0),
-        base, "mvsk", 1L)
-      MaterializedView.sketchRefresh(s, base, mv, Seq("day"), "user_id")
+      val (mv, ev) = sketchMvEnsure(s, dir)
       val exact = ev.select("user_id", "day").distinct()
         .groupBy("day").agg(count(lit(1)).as("dau_exact"))
       Snapshots.read(s, mv)
@@ -582,10 +594,46 @@ object SourceQueries {
         SELECT day, CAST(COUNT(*) AS BIGINT) AS dau_exact, TRUE AS hll_ok
         FROM ud GROUP BY 1"""))
 
+  /** LATTICE serving from the stored sketches — why a sketch MV beats
+    * a count MV for distinct questions: counts cannot roll up across
+    * keys (a user active on two days is one weekly-active user, not
+    * two), but REGISTERS union losslessly — so the 7-day rolling
+    * weekly-active report (`q_events_rolling_dau_hll`'s shape) is
+    * served ENTIRELY from the maintained per-day sketches via
+    * `hll_union_agg`, zero event re-scan (|MV| bytes in, ≤ days rows
+    * out). The oracle recomputes exact WAU7 from the raw events; the
+    * within-15%% flag pins the estimates to truth.
+    */
+  val mvSketchRollup: QueryDef = QueryDef(
+    "q_mv_sketch_rollup",
+    (s, dir) => {
+      val (mv, ev) = sketchMvEnsure(s, dir)
+      val rolled = Snapshots.read(s, mv)
+        .select(explode(sequence(col("day"), col("day") + 6)).as("d"), col("sk"))
+        .groupBy(col("d").as("day"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = ev.select("user_id", "day").distinct()
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("d"))
+        .distinct()
+        .groupBy(col("d").as("day")).agg(count(lit(1)).as("wau7_exact"))
+      rolled.join(exact, "day")
+        .join(ev.select("day").distinct(), Seq("day"))
+        .select(col("day"), col("wau7_exact"),
+          (abs(col("est") - col("wau7_exact")) * 100 <= col("wau7_exact") * 15)
+            .as("hll_ok"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        contrib AS (SELECT DISTINCT user_id, d FROM (
+          SELECT user_id, UNNEST(range(day, day + 7)) AS d FROM ud) x)
+        SELECT CAST(d AS BIGINT) AS day, COUNT(*) AS wau7_exact,
+          TRUE AS hll_ok
+        FROM contrib WHERE d IN (SELECT day FROM ud) GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(zorderSecondary, mvIncremental, mergeUpsert, bloomPointLookup,
       snapshotDiff, mvJoinIncremental, csvRoundtrip, jsonlRoundtrip,
-      partitionPrune, mvSketchIncremental)
+      partitionPrune, mvSketchIncremental, mvSketchRollup)
 }
 
 /** Copy-on-write mutations — the reference's record insert/update/
