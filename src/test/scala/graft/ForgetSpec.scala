@@ -187,6 +187,47 @@ class ForgetSpec extends SparkSpec {
       "fingerprint index diverged from live recompute")
   }
 
+  test("two racing erasure deletes serialize; one walk then serves the intersection") {
+    // the composed DML race the snapshot layer guarantees TODAY: two
+    // concurrent file-selective deletes on the same base — each probes
+    // its own touched dirs and commits via the conflict-checked
+    // transform; disjoint-dir racers both land, a same-dir loser
+    // aborts and falls back to the whole-snapshot delete against the
+    // winner's head. Either interleaving must converge to BOTH
+    // predicates applied. (Racing the REGISTRY WALKS concurrently is
+    // round-13 work — the per-family folds follow the single-driver
+    // maintenance convention and are not yet CAS'd; the walk here runs
+    // once, after both deletes.)
+    val (baseT, root) = Forget.bootstrap(spark, sfDir, tag = "_race")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    def del(m: Int) = Future {
+      Snapshots.deleteWhereSelective(spark, baseT, pmod(col("doc_id"), lit(m)) === 0)
+        .getOrElse(Snapshots.deleteWhere(spark, baseT, pmod(col("doc_id"), lit(m)) === 0))
+    }
+    val (f7, f11) = (del(7), del(11))
+    Await.result(f7, Duration.Inf); Await.result(f11, Duration.Inf)
+    // the base converged to the intersection — neither delete was lost
+    assert(Snapshots.read(spark, baseT)
+      .where(pmod(col("doc_id"), lit(7)) === 0 || pmod(col("doc_id"), lit(11)) === 0)
+      .count() == 0, "a racing delete was lost")
+    // ONE registry walk folds the combined gap; serve ≡ live rebuild
+    IndexRegistry.maintainAll(spark, baseT)
+    def chk(r: String) = Forget.serveChecksums(spark, r).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    val got = chk(root)
+    // reference: a fresh bootstrap over exactly the live corpus —
+    // build under a SEPARATE root via the same shared flow
+    val (refBase, refRoot) = Forget.bootstrap(spark, sfDir, tag = "_raceref")
+    Snapshots.deleteWhere(spark, refBase,
+      pmod(col("doc_id"), lit(7)) === 0 || pmod(col("doc_id"), lit(11)) === 0)
+    IndexRegistry.maintainAll(spark, refBase)
+    assert(got == chk(refRoot),
+      "post-race serve diverged from a clean sequential erasure")
+  }
+
   test("serving survives an aggressive vacuum of every capstone root") {
     // retention sweep: after the erasure pass every structure serves
     // from NETTING across its delta history — but netting only needs
