@@ -1156,31 +1156,26 @@ object TextFunctions {
     * deleted doc vanishes without the index ever being rewritten —
     * the LSM/Delta pattern (reference analog: the B+ tree staying
     * consistent under Database.deleteRecord, reference index/
-    * BPlusTree.java). Single-maintainer convention (the nightly job);
-    * racing maintainers would need the MV refresh's CAS.
+    * BPlusTree.java). CONCURRENT maintainers converge: the fold is a
+    * head-CAS cycle ([[graft.sources.Snapshots.foldThrough]]) — a
+    * racing walk that folded the same span first makes this one a
+    * no-op, never a double-append.
     */
   def postingsMaintain(s: org.apache.spark.sql.SparkSession,
       baseTable: String, postTable: String): Int = {
     import graft.sources.Snapshots
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
-    val lastV = Snapshots.tagWatermark(postTable, PostThroughPrefix)
-    if (lastV == curV) return Snapshots.currentVersion(postTable)
-    if (lastV == 0)
-      Snapshots.commitOverwriteTagged(
-        postingsOf(Snapshots.readVersion(s, baseTable, curV)),
-        postTable, Seq(PostThroughPrefix + curV))
-    else {
+    Snapshots.foldThrough(postTable, PostThroughPrefix, curV)(
+      postingsOf(Snapshots.readVersion(s, baseTable, curV))) { lastV =>
       val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
-      val delta = postingsOf(ins).unionByName(
+      postingsOf(ins).unionByName(
         postingsOf(del).withColumn("tf", -col("tf")))
-      Snapshots.commitAppendTagged(delta, postTable,
-        Seq(PostThroughPrefix + curV))
-      // size-ratio compaction policy: a long DML sequence must not
-      // accrete unbounded tombstone debt (serving is invariant)
-      Snapshots.maybeCompactNet(s, postTable, PostThroughPrefix)(servePostingsNet)
-      Snapshots.currentVersion(postTable)
     }
+    // size-ratio compaction policy: a long DML sequence must not
+    // accrete unbounded tombstone debt (serving is invariant)
+    Snapshots.maybeCompactNet(s, postTable, PostThroughPrefix)(servePostingsNet)
+    Snapshots.currentVersion(postTable)
   }
 
   /** Streaming CDC-apply with search-index maintenance in the loop:
@@ -1558,7 +1553,6 @@ object TextFunctions {
     import graft.sources.Snapshots
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
-    val tag = Seq(PostThroughPrefix + curV)
     def signedTotals(ins: org.apache.spark.sql.DataFrame,
         del: org.apache.spark.sql.DataFrame) =
       docLengths(ins).withColumn("sgn", lit(1L))
@@ -1570,19 +1564,17 @@ object TextFunctions {
     // next maintenance pass, which re-folds exactly the tables whose
     // watermark is behind (from their own lastV — no shared gate, no
     // double-fold); readers of a torn instant pin versions per table,
-    // the snapshot-isolation contract
+    // the snapshot-isolation contract. Each per-table fold is a
+    // head-CAS cycle (Snapshots.foldThrough), so two concurrent
+    // registry walks cannot double-append the same span's delta.
     def fold(table: String,
         bootstrap: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
         delta: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
           org.apache.spark.sql.DataFrame): Unit = {
-      val lastV = Snapshots.tagWatermark(table, PostThroughPrefix)
-      if (lastV == curV) return
-      if (lastV == 0)
-        Snapshots.commitOverwriteTagged(
-          bootstrap(Snapshots.readVersion(s, baseTable, curV)), table, tag)
-      else {
+      Snapshots.foldThrough(table, PostThroughPrefix, curV)(
+        bootstrap(Snapshots.readVersion(s, baseTable, curV))) { lastV =>
         val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
-        Snapshots.commitAppendTagged(delta(ins, del), table, tag)
+        delta(ins, del)
       }
       ()
     }

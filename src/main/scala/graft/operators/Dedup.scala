@@ -785,32 +785,28 @@ object Dedup {
     * reads just the dirs that entered/left the base manifest) and
     * APPENDS one delta dir; the index is never rewritten and the
     * corpus never re-signed. [[serveBandIndex]] nets the tombstones at
-    * read. Single-maintainer convention, as for postings.
+    * read. CONCURRENT maintainers converge: the fold is a head-CAS
+    * cycle ([[graft.sources.Snapshots.foldThrough]]) — a racing walk
+    * that folded the same span first makes this one a no-op, never a
+    * double-append.
     */
   def bandIndexMaintain(s: org.apache.spark.sql.SparkSession,
       baseTable: String, idxTable: String): Int = {
     import graft.sources.Snapshots
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
-    val lastV = Snapshots.tagWatermark(idxTable, BandThroughPrefix)
-    if (lastV == curV) return Snapshots.currentVersion(idxTable)
-    if (lastV == 0)
-      Snapshots.commitOverwriteTagged(
-        bandedSigned(Snapshots.readVersion(s, baseTable, curV))
-          .withColumn("sgn", lit(1)),
-        idxTable, Seq(BandThroughPrefix + curV))
-    else {
+    Snapshots.foldThrough(idxTable, BandThroughPrefix, curV)(
+      bandedSigned(Snapshots.readVersion(s, baseTable, curV))
+        .withColumn("sgn", lit(1))) { lastV =>
       val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
-      val delta = bandedSigned(ins).withColumn("sgn", lit(1)).unionByName(
+      bandedSigned(ins).withColumn("sgn", lit(1)).unionByName(
         bandedSigned(del).withColumn("sgn", lit(-1)))
-      Snapshots.commitAppendTagged(delta, idxTable,
-        Seq(BandThroughPrefix + curV))
-      // size-ratio compaction policy (serving invariant; sgn re-carried
-      // so later folds keep appending against the compacted base)
-      Snapshots.maybeCompactNet(s, idxTable, BandThroughPrefix)(df =>
-        bandNet(df).withColumn("sgn", lit(1)))
-      Snapshots.currentVersion(idxTable)
     }
+    // size-ratio compaction policy (serving invariant; sgn re-carried
+    // so later folds keep appending against the compacted base)
+    Snapshots.maybeCompactNet(s, idxTable, BandThroughPrefix)(df =>
+      bandNet(df).withColumn("sgn", lit(1)))
+    Snapshots.currentVersion(idxTable)
   }
 
   /** Net view of a tombstone-folded band index: identical signature
@@ -851,23 +847,16 @@ object Dedup {
     import graft.sources.Snapshots
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
-    val lastV = Snapshots.tagWatermark(idxTable, SimhashThroughPrefix)
-    if (lastV == curV) return Snapshots.currentVersion(idxTable)
-    if (lastV == 0)
-      Snapshots.commitOverwriteTagged(
-        simhashBlocksOf(Snapshots.readVersion(s, baseTable, curV))
-          .withColumn("sgn", lit(1)),
-        idxTable, Seq(SimhashThroughPrefix + curV))
-    else {
+    Snapshots.foldThrough(idxTable, SimhashThroughPrefix, curV)(
+      simhashBlocksOf(Snapshots.readVersion(s, baseTable, curV))
+        .withColumn("sgn", lit(1))) { lastV =>
       val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
-      val delta = simhashBlocksOf(ins).withColumn("sgn", lit(1)).unionByName(
+      simhashBlocksOf(ins).withColumn("sgn", lit(1)).unionByName(
         simhashBlocksOf(del).withColumn("sgn", lit(-1)))
-      Snapshots.commitAppendTagged(delta, idxTable,
-        Seq(SimhashThroughPrefix + curV))
-      Snapshots.maybeCompactNet(s, idxTable, SimhashThroughPrefix)(df =>
-        simhashNet(df).withColumn("sgn", lit(1)))
-      Snapshots.currentVersion(idxTable)
     }
+    Snapshots.maybeCompactNet(s, idxTable, SimhashThroughPrefix)(df =>
+      simhashNet(df).withColumn("sgn", lit(1)))
+    Snapshots.currentVersion(idxTable)
   }
 
   /** Net view of the tombstone-folded SimHash block index — the live
@@ -900,21 +889,16 @@ object Dedup {
       docs.select(col("doc_id"), md5(col("text")).as("fp"))
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
-    val lastV = Snapshots.tagWatermark(idxTable, FpThroughPrefix)
-    if (lastV == curV) return Snapshots.currentVersion(idxTable)
-    if (lastV == 0)
-      Snapshots.commitOverwriteTagged(
-        fpsOf(Snapshots.readVersion(s, baseTable, curV)).withColumn("sgn", lit(1)),
-        idxTable, Seq(FpThroughPrefix + curV))
-    else {
+    Snapshots.foldThrough(idxTable, FpThroughPrefix, curV)(
+      fpsOf(Snapshots.readVersion(s, baseTable, curV))
+        .withColumn("sgn", lit(1))) { lastV =>
       val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
-      val delta = fpsOf(ins).withColumn("sgn", lit(1)).unionByName(
+      fpsOf(ins).withColumn("sgn", lit(1)).unionByName(
         fpsOf(del).withColumn("sgn", lit(-1)))
-      Snapshots.commitAppendTagged(delta, idxTable, Seq(FpThroughPrefix + curV))
-      Snapshots.maybeCompactNet(s, idxTable, FpThroughPrefix)(df =>
-        fpNet(df).withColumn("sgn", lit(1)))
-      Snapshots.currentVersion(idxTable)
     }
+    Snapshots.maybeCompactNet(s, idxTable, FpThroughPrefix)(df =>
+      fpNet(df).withColumn("sgn", lit(1)))
+    Snapshots.currentVersion(idxTable)
   }
 
   /** fp → canonical (min live doc_id) from the tombstone-folded

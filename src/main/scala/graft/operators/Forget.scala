@@ -415,6 +415,12 @@ object Forget {
     IndexRegistry.registerMaintainer("orders_custjoin")((s, base, r) => {
       graft.sources.MaterializedView.joinRefresh(s, base, r(1), r(0), "custkey"); ()
     })
+    // the clustered-layout family (round-13): physical design IS an
+    // access path — the Z-ordered replica folds the same change feed
+    // as the MVs and blooms, keeping its pruning tight post-erasure
+    IndexRegistry.registerMaintainer("orders_zorder")((s, base, r) => {
+      Snapshots.clusteredMaintain(s, base, r(0), r(1), r(2).split(",").toSeq); ()
+    })
   }
 
   /** Bootstrap the relational capstone: a custkey-CLUSTERED orders
@@ -443,15 +449,22 @@ object Forget {
     IndexRegistry.attach(baseT, "orders_rollup", Seq(s"$root/rollup"))
     IndexRegistry.attach(baseT, "orders_bloom", Seq("o_orderkey"))
     IndexRegistry.attach(baseT, "orders_custjoin", Seq(s"$root/custjoin", custT))
+    // Z-ordered replica on (o_orderkey, custkey): deletes fold as a
+    // keyed anti-join rewrite of only the touched runs, inserts as a
+    // freshly clustered delta run — pruned scans stay tight post-DML
+    IndexRegistry.attach(baseT, "orders_zorder",
+      Seq(s"$root/zreplica", "o_orderkey", "o_orderkey,custkey"))
     IndexRegistry.maintainAll(s, baseT)
     (baseT, root)
   }
 
-  /** (family, n_rows, checksum) over the three relational access
+  /** (family, n_rows, checksum) over the four relational access
     * paths: the rollup MV's served groups, three bloom-skip point
     * lookups (orderkeys 0–2 — an erased customer's order must be
-    * GONE from the lookup result, not just the heap), and the netted
-    * denormalized join view.
+    * GONE from the lookup result, not just the heap), the netted
+    * denormalized join view, and a key-RANGE scan off the Z-ordered
+    * replica (the clustered layout serving its pruned access path
+    * post-erasure; ForgetSpec plan-asserts the pruning).
     */
   def relationalServe(s: SparkSession, root: String): DataFrame = {
     val baseT = s"$root/orders"
@@ -466,6 +479,10 @@ object Forget {
     val cj = graft.sources.MaterializedView.serveJoin(s, s"$root/custjoin")
       .select(col("custkey"), col("o_orderkey"), col("c_mktsegment"),
         (col("o_price") * 100).cast("long").as("cents"))
+    val zr = Snapshots.read(s, s"$root/zreplica")
+      .where(col("o_orderkey").between(1000, 3000))
+      .select(col("o_orderkey"), col("custkey"), col("o_orderstatus"),
+        (col("o_price") * 100).cast("long").as("cents"))
     familyChk("orders_rollup", mv,
         concat_ws("|", col("o_orderstatus"), col("o_orderpriority"),
           str(col("cnt")), str(col("cents"))))
@@ -475,6 +492,9 @@ object Forget {
       .unionAll(familyChk("orders_custjoin", cj,
         concat_ws("|", str(col("custkey")), str(col("o_orderkey")),
           col("c_mktsegment"), str(col("cents")))))
+      .unionAll(familyChk("orders_zrange", zr,
+        concat_ws("|", str(col("o_orderkey")), str(col("custkey")),
+          col("o_orderstatus"), str(col("cents")))))
   }
 
   /** The registry capstone on a RELATIONAL base (round-13 candidate #3
@@ -520,7 +540,10 @@ object Forget {
        UNION ALL ${duckChk("orders_lookups", "looks",
          "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(custkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))")}
        UNION ALL ${duckChk("orders_custjoin", "cj",
-         "concat_ws('|', CAST(custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR), c_mktsegment, CAST(cents AS VARCHAR))")}"""))
+         "concat_ws('|', CAST(custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR), c_mktsegment, CAST(cents AS VARCHAR))")}
+       UNION ALL ${duckChk("orders_zrange",
+         "(SELECT o_orderkey, custkey, o_orderstatus, CAST(o_price * 100 AS BIGINT) AS cents FROM live WHERE o_orderkey BETWEEN 1000 AND 3000) zr",
+         "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(custkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))")}"""))
 
   /** CASCADING erasure (referential integrity): the GDPR request
     * names a CUSTOMER, but compliance means erasing the customer ROW,
@@ -591,6 +614,87 @@ object Forget {
          "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(custkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))")}
        UNION ALL ${duckChk("orders_custjoin", "cj",
          "concat_ws('|', CAST(custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR), c_mktsegment, CAST(cents AS VARCHAR))")}
+       UNION ALL ${duckChk("orders_zrange",
+         "(SELECT o_orderkey, custkey, o_orderstatus, CAST(o_price * 100 AS BIGINT) AS cents FROM live WHERE o_orderkey BETWEEN 1000 AND 3000) zr",
+         "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(custkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))")}
+       UNION ALL ${duckChk("cust_rollup", "custroll",
+         "concat_ws('|', c_mktsegment, CAST(cnt AS VARCHAR))")}"""))
+
+  /** STREAMED CASCADING erasure, exactly-once — the last cell of the
+    * streaming GDPR matrix ([[forgetStreamSearch]] erases flat ids,
+    * [[recrawlStreamSearch]] upserts; THIS cascades a parent-entity
+    * stream through the FK fan-out): two micro-batches of customer
+    * erasure keys cascade through the customer dimension AND the
+    * orders fact table via
+    * [[graft.sources.IndexRegistry.forgetCascadeBatch]] — each table's
+    * delete tagged (streamId, batchId), each table's access-path
+    * families folded in its own registry walk, the child predicate
+    * derived from the BATCH's keys (never a pre-delete parent lookup,
+    * so a crash between the parent and child deletes replays to
+    * completion instead of losing the fan-out). Batch 0 then REPLAYS
+    * (the foreachBatch retry) and must no-op end to end at BOTH
+    * tables. The serve emits all four access-path checksums; the
+    * oracle rebuilds them over the twice-cascaded live rows, so hash
+    * equality proves the replayed cascade stream ≡ one-shot cascade of
+    * the union.
+    */
+  val forgetCascadeStreamQ: QueryDef = QueryDef(
+    "t_forget_cascade_stream",
+    (s, dir) => {
+      IndexRegistry.registerMaintainer("cust_rollup")((s2, base, r) => {
+        graft.sources.MaterializedView.refresh(s2, base, r(0),
+          Seq("c_mktsegment"), Nil); ()
+      })
+      val (ordersT, root) = relationalBootstrap(s, dir, tag = "_casstream")
+      val custT = s"$root/customer"
+      IndexRegistry.attach(custT, "cust_rollup", Seq(s"$root/custroll"))
+      IndexRegistry.maintainAll(s, custT)
+      // the erasure-request stream carries PARENT keys; each batch's
+      // ids come from the compliance queue (resolved here from the
+      // ORIGINAL dimension — requests reference subjects, not the
+      // table's current state)
+      def ids(m: Int, r: Int): Seq[Long] =
+        Tables.load(s, dir, "customer")
+          .where(pmod(col("c_custkey"), lit(m)) === r)
+          .select("c_custkey").collect().map(_.getAs[Number](0).longValue).toSeq
+      val sid = "t_forget_cascade_stream"
+      val children = Seq(ordersT -> "custkey")
+      IndexRegistry.forgetCascadeBatch(s, custT, "custkey", ids(47, 3), children, sid, 0L)
+      IndexRegistry.forgetCascadeBatch(s, custT, "custkey", ids(59, 11), children, sid, 1L)
+      // replayed batch 0 (the foreachBatch retry): must no-op at BOTH
+      // tables — the per-table tags block the re-deletes and unchanged
+      // base versions leave every family watermark in place
+      IndexRegistry.forgetCascadeBatch(s, custT, "custkey", ids(47, 3), children, sid, 0L)
+      val cr = Snapshots.read(s, s"$root/custroll")
+      relationalServe(s, root)
+        .unionAll(familyChk("cust_rollup", cr,
+          concat_ws("|", col("c_mktsegment"), str(col("cnt")))))
+    },
+    Some(s"""WITH live AS (SELECT o_orderkey, o_custkey AS custkey, o_orderstatus,
+         o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS o_price
+         FROM orders WHERE o_custkey % 47 <> 3 AND o_custkey % 59 <> 11),
+       lcust AS (SELECT c_custkey AS custkey, c_mktsegment FROM customer
+         WHERE c_custkey % 47 <> 3 AND c_custkey % 59 <> 11),
+       roll AS (SELECT o_orderstatus, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(o_price) * 100 AS BIGINT) AS cents FROM live GROUP BY 1, 2),
+       looks AS (SELECT o_orderkey, custkey, o_orderstatus,
+         CAST(o_price * 100 AS BIGINT) AS cents FROM live
+         WHERE o_orderkey IN (0, 1, 2)),
+       cj AS (SELECT l.custkey, l.o_orderkey, c.c_mktsegment,
+         CAST(l.o_price * 100 AS BIGINT) AS cents
+         FROM live l JOIN lcust c ON l.custkey = c.custkey),
+       custroll AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM lcust GROUP BY 1)
+       ${duckChk("orders_rollup", "roll",
+         "concat_ws('|', o_orderstatus, o_orderpriority, CAST(cnt AS VARCHAR), CAST(cents AS VARCHAR))")}
+       UNION ALL ${duckChk("orders_lookups", "looks",
+         "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(custkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))")}
+       UNION ALL ${duckChk("orders_custjoin", "cj",
+         "concat_ws('|', CAST(custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR), c_mktsegment, CAST(cents AS VARCHAR))")}
+       UNION ALL ${duckChk("orders_zrange",
+         "(SELECT o_orderkey, custkey, o_orderstatus, CAST(o_price * 100 AS BIGINT) AS cents FROM live WHERE o_orderkey BETWEEN 1000 AND 3000) zr",
+         "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(custkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))")}
        UNION ALL ${duckChk("cust_rollup", "custroll",
          "concat_ws('|', c_mktsegment, CAST(cnt AS VARCHAR))")}"""))
 
@@ -654,5 +758,6 @@ object Forget {
     })
 
   val defs: Seq[QueryDef] = Seq(forgetCapstone, forgetUpdate, forgetStreamSearch,
-    recrawlStreamSearch, forgetRelational, forgetCascadeQ, forgetAudit)
+    recrawlStreamSearch, forgetRelational, forgetCascadeQ, forgetCascadeStreamQ,
+    forgetAudit)
 }

@@ -590,24 +590,31 @@ object Similarity {
     import graft.sources.Snapshots
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
-    val lastV = Snapshots.tagWatermark(graphT, GraphThroughPrefix)
-    if (lastV == curV) return
-    val tag = Seq(GraphThroughPrefix + curV)
-    if (lastV == 0) {
-      val base = project(Snapshots.readVersion(s, baseTable, curV))
-      Snapshots.commitOverwriteTagged(
-        graphBandsOf(base).withColumn("sgn", lit(1L)), bandsT, tag)
-      Snapshots.commitOverwriteTagged(
-        buildGraph(base).withColumn("sgn", lit(1L)), graphT, tag)
-    } else {
+    // TWO head-CAS folds (Snapshots.foldThrough), each table under its
+    // own watermark: the band sidecar first, then the adjacency — the
+    // graph delta reads the NET bands, which the completed first fold
+    // (ours or a racing winner's) guarantees reflect ≥ curV. A racing
+    // walk at a NEWER base version can advance the bands past curV
+    // between the two folds; the adjacency still converges, because
+    // any source whose candidate set differs between the two band
+    // states collides with (or lost an edge to) that newer span's
+    // change set, and the newer walk's own graph fold recomputes
+    // exactly those sources from truly-live bands (asserted by the
+    // composed-race specs in ForgetSpec).
+    Snapshots.foldThrough(bandsT, GraphThroughPrefix, curV)(
+      graphBandsOf(project(Snapshots.readVersion(s, baseTable, curV)))
+        .withColumn("sgn", lit(1L))) { lastV =>
+      val (ins0, del0) = Snapshots.changesBetween(s, baseTable, lastV, curV)
+      graphBandsOf(project(ins0)).withColumn("sgn", lit(1L))
+        .unionByName(graphBandsOf(project(del0)).withColumn("sgn", lit(-1L)))
+    }
+    Snapshots.foldThrough(graphT, GraphThroughPrefix, curV)(
+      buildGraph(project(Snapshots.readVersion(s, baseTable, curV)))
+        .withColumn("sgn", lit(1L))) { lastV =>
       val (ins0, del0) = Snapshots.changesBetween(s, baseTable, lastV, curV)
       val ins = project(ins0).localCheckpoint()
       val del = project(del0).localCheckpoint()
       val insBands = graphBandsOf(ins).localCheckpoint()
-      Snapshots.commitAppendTagged(
-        insBands.withColumn("sgn", lit(1L))
-          .unionByName(graphBandsOf(del).withColumn("sgn", lit(-1L))),
-        bandsT, tag)
       val liveBands = graphBandsNet(Snapshots.read(s, bandsT)).localCheckpoint()
       val deleted = del.select("vec_id").distinct()
       val inserted = ins.select("vec_id").distinct()
@@ -638,14 +645,13 @@ object Similarity {
       val negRows = oldGraph
         .join(dropSrcs, oldGraph("g_src") === dropSrcs("vec_id"), "left_semi")
         .withColumn("sgn", lit(-1L))
-      Snapshots.commitAppendTagged(
-        negRows.unionByName(freshAdj.withColumn("sgn", lit(1L))), graphT, tag)
-      // size-ratio compaction policy (serving invariant; sgn re-carried)
-      Snapshots.maybeCompactNet(s, bandsT, GraphThroughPrefix)(df =>
-        graphBandsNet(df).withColumn("sgn", lit(1L)))
-      Snapshots.maybeCompactNet(s, graphT, GraphThroughPrefix)(df =>
-        graphNet(df).withColumn("sgn", lit(1L)))
+      negRows.unionByName(freshAdj.withColumn("sgn", lit(1L)))
     }
+    // size-ratio compaction policy (serving invariant; sgn re-carried)
+    Snapshots.maybeCompactNet(s, bandsT, GraphThroughPrefix)(df =>
+      graphBandsNet(df).withColumn("sgn", lit(1L)))
+    Snapshots.maybeCompactNet(s, graphT, GraphThroughPrefix)(df =>
+      graphNet(df).withColumn("sgn", lit(1L)))
     ()
   }
 
@@ -1696,33 +1702,32 @@ object Similarity {
     import graft.sources.Snapshots
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
-    val lastV = Snapshots.tagWatermark(listsT, IvfThroughPrefix)
-    if (lastV == curV) return
-    val tag = Seq(IvfThroughPrefix + curV)
-    if (lastV == 0) {
+    // head-CAS fold (Snapshots.foldThrough): two concurrent registry
+    // walks cannot double-append the same span's assignments. The
+    // quantizer train runs INSIDE the bootstrap thunk, so a fold that
+    // loses its bootstrap race (the winner already trained + assigned)
+    // never re-trains on retry — the watermark re-read no-ops it.
+    Snapshots.foldThrough(listsT, IvfThroughPrefix, curV)({
       val base = project(Snapshots.readVersion(s, baseTable, curV))
       val (cents, _) = ivfBuild(base, cCountOf(base.count()), 1)
       // the frozen quantizer, carrying its train-time drift baseline
       // (one extra assign pass) for the ivfRetrainIfDrifted trigger
       Snapshots.commitOverwriteTagged(cents, centsT,
         Seq(IvfDriftBasePrefix + driftMean(quantized(base), cents)))
-      Snapshots.commitOverwriteTagged(
-        ivfAssign(quantized(base), cents).drop("m").withColumn("sgn", lit(1)),
-        listsT, tag)
-    } else {
+      ivfAssign(quantized(base), cents).drop("m").withColumn("sgn", lit(1))
+    }) { lastV =>
       val cents = Snapshots.read(s, centsT)
       val (ins0, del0) = Snapshots.changesBetween(s, baseTable, lastV, curV)
       val (ins, del) = (project(ins0), project(del0))
-      val delta = ivfAssign(quantized(ins), cents).drop("m")
+      ivfAssign(quantized(ins), cents).drop("m")
         .withColumn("sgn", lit(1))
         .unionByName(ivfAssign(quantized(del), cents).drop("m")
           .withColumn("sgn", lit(-1)))
-      Snapshots.commitAppendTagged(delta, listsT, tag)
-      // size-ratio compaction policy (serving invariant; sgn re-carried)
-      Snapshots.maybeCompactNet(s, listsT, IvfThroughPrefix)(df =>
-        ivfNet(df).select(col("vec_id"), col("q"), col("nrm"), col("cid"))
-          .withColumn("sgn", lit(1)))
     }
+    // size-ratio compaction policy (serving invariant; sgn re-carried)
+    Snapshots.maybeCompactNet(s, listsT, IvfThroughPrefix)(df =>
+      ivfNet(df).select(col("vec_id"), col("q"), col("nrm"), col("cid"))
+        .withColumn("sgn", lit(1)))
     ()
   }
 

@@ -69,7 +69,35 @@ object MvRewrite {
       mins.toSet, maxs.toSet) +: registry.filterNot(_.mvTable == mvTable)
   }
 
-  def clear(): Unit = registry = Nil
+  /** One registered SKETCH view ([[graft.sources.MaterializedView
+    * .sketchRefresh]]): per-`keys` HLL sketches of `idCol` at `lgK`,
+    * stored in column `sk`. Same structural freshness contract as
+    * [[MvDef]] — the rewrite fires only when the query's scan reads
+    * exactly the base dirs the sketch watermark version reflects.
+    */
+  final case class SketchMvDef(mvTable: String, baseDirs: Set[String],
+    mvDirs: Seq[String], keys: Set[String], idCol: String, lgK: Int)
+
+  @volatile private[graft] var sketchRegistry: Seq[SketchMvDef] = Nil
+
+  /** Register a sketch view for rewriting, pinning the base version
+    * its sketch watermark reflects — [[register]]'s mergeable-state
+    * twin. Re-registration replaces the table's previous pin.
+    */
+  def registerSketch(baseTable: String, mvTable: String,
+      keys: Seq[String], idCol: String, lgK: Int = 12): Unit = {
+    import graft.sources.{MaterializedView, Snapshots}
+    val through = MaterializedView.sketchRefreshedThrough(mvTable)
+    require(through > 0, s"$mvTable has no sketch-refreshed version")
+    val mvDirs = Snapshots.versionDirs(mvTable, Snapshots.currentVersion(mvTable))
+    sketchRegistry = SketchMvDef(
+      mvTable,
+      Snapshots.versionDirs(baseTable, through).map(normalize).toSet,
+      mvDirs, keys.toSet, idCol, lgK) +:
+      sketchRegistry.filterNot(_.mvTable == mvTable)
+  }
+
+  def clear(): Unit = { registry = Nil; sketchRegistry = Nil }
 
   /** Path normalization: relation rootPaths carry a scheme. */
   private[plans] def normalize(p: String): String =
@@ -80,7 +108,7 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   import MvRewrite._
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (registry.isEmpty) plan
+    if (registry.isEmpty && sketchRegistry.isEmpty) plan
     else plan.transform {
       case agg @ Aggregate(groupExprs, aggExprs, child, _)
           if scanDirs(child).nonEmpty =>
@@ -94,8 +122,22 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           .sortBy(_.rows)
           .iterator.map(mv => rewrite(agg, mv, slice))
           .collectFirst { case Some(p) => p }
+          .orElse(
+            // sketch-view lattice: an hll_sketch_agg aggregate over
+            // the pinned base routes through the STORED registers
+            sketchRegistry.filter(mv => mv.baseDirs == dirs &&
+                rewritable(agg, groupExprs, SketchKeysAdapter(mv)) &&
+                sliceable(slice, SketchKeysAdapter(mv)))
+              .iterator.map(mv => sketchRewrite(agg, mv, slice))
+              .collectFirst { case Some(p) => p })
           .getOrElse(agg)
     }
+
+  /** Adapts a [[SketchMvDef]]'s keys to the shared key-subset /
+    * key-slice checks (which only read `keys`).
+    */
+  private def SketchKeysAdapter(mv: SketchMvDef): MvDef =
+    MvDef(mv.mvTable, mv.baseDirs, mv.mvDirs, mv.keys, Set.empty, 0L)
 
   /** The scan dirs under an Aggregate child that is a bare relation, a
     * column-pruning projection, or a KEY-SLICE filter over one — a
@@ -136,6 +178,71 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => mv.keys.contains(a.name)
       case _ => false
     }
+
+  /** Sketch-view lattice rewrite — the mergeable-state twin of
+    * [[rewrite]]: an `hll_sketch_estimate(hll_sketch_agg(id, lgK))`
+    * (or a bare `hll_sketch_agg`) whose grouping keys are a SUBSET of
+    * the view's is served from the STORED registers — projected (and
+    * estimated) directly at the exact keys, union-merged one lattice
+    * level further (`hll_union_agg`) at a coarser point. This is
+    * ANSWER-INVARIANT, not merely close: registers merge by max, so
+    * the union of per-key sketches carries bit-identical registers to
+    * a one-shot sketch over the coarser group (the sketchRefresh
+    * append-fold guarantee, asserted in SourcesSpec) — which is also
+    * why the rule matches the sketch-native aggregate and NOT
+    * `approx_count_distinct` (a different HLL++ implementation whose
+    * estimates the stored registers cannot reproduce).
+    */
+  private def sketchRewrite(agg: Aggregate, mv: SketchMvDef,
+      slice: Seq[Expression]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.HllSketchEstimate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{HllSketchAgg, HllUnionAgg}
+    val mvRel = session.read.parquet(mv.mvDirs: _*).queryExecution.analyzed
+    val byName = mvRel.output.map(a => a.name -> a).toMap
+    val skCol = byName.get("sk").getOrElse(return None)
+    val rel: LogicalPlan =
+      if (slice.isEmpty) mvRel
+      else Filter(slice.map(_.transform {
+        case a: AttributeReference => byName(a.name)
+      }).reduce(And), mvRel)
+    val exact = agg.groupingExpressions
+      .map { case a: AttributeReference => a.name }.toSet == mv.keys
+
+    // the stored (or one-level-further-merged) registers for a group
+    def mergedSk: Expression =
+      if (exact) skCol
+      else new HllUnionAgg(skCol, false).toAggregateExpression()
+    def matches(hsa: HllSketchAgg): Boolean = hsa.left match {
+      case a: AttributeReference => a.name == mv.idCol && hsa.lgConfigK == mv.lgK
+      case _ => false
+    }
+    val mapped = agg.aggregateExpressions.map {
+      case key: AttributeReference if mv.keys.contains(key.name) =>
+        byName.get(key.name).map(c => Alias(c, key.name)(exprId = key.exprId))
+      case al @ Alias(child, name) =>
+        val replacement: Option[Expression] = child match {
+          case key: AttributeReference if mv.keys.contains(key.name) =>
+            byName.get(key.name)
+          case HllSketchEstimate(AggregateExpression(hsa: HllSketchAgg, _, false, None, _))
+              if matches(hsa) =>
+            Some(HllSketchEstimate(mergedSk))
+          case AggregateExpression(hsa: HllSketchAgg, _, false, None, _)
+              if matches(hsa) =>
+            Some(mergedSk)
+          case _ => None
+        }
+        replacement.map(r => Alias(r, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) None
+    else if (exact) Some(Project(mapped.map(_.get), rel))
+    else {
+      val groupCols = agg.groupingExpressions.map {
+        case a: AttributeReference => byName(a.name)
+      }
+      Some(Aggregate(groupCols, mapped.map(_.get), rel))
+    }
+  }
 
   /** Map each output expression onto an MV column — projected when the
     * keys match exactly, re-aggregated when the query is a coarser

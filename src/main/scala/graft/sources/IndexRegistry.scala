@@ -35,10 +35,15 @@ import org.apache.spark.sql.SparkSession
   * BM25 postings/doclen/totals, MinHash bands, SimHash blocks,
   * exact-dedup fingerprints, IVF lists, the kNN graph.
   *
-  * Concurrency: attachments follow the single-driver maintenance
-  * convention of the index families themselves (the nightly job);
-  * racing attach calls would need the manifest claim. Maintenance
-  * folds inherit whatever guarantees each maintainer provides.
+  * Concurrency: every built-in family's fold is a head-CAS cycle
+  * ([[Snapshots.foldThrough]] / the MV refresh discipline), so
+  * CONCURRENT registry walks on one base — an erasure stream racing a
+  * re-crawl stream racing an ad-hoc maintainAll — converge to the
+  * sequential serve: a walk that loses a fold race re-reads the
+  * winner's watermark and either no-ops or folds the remaining gap
+  * (race-tested in ForgetSpec). Attachments still follow the
+  * single-driver convention (racing attach calls would need the
+  * manifest claim); they are written once at bootstrap.
   */
 object IndexRegistry {
 
@@ -143,18 +148,52 @@ object IndexRegistry {
     def fold(family: String, roots: Seq[String], fn: Maintainer): (String, Long) = {
       val t0 = System.nanoTime()
       fn(s, baseTable, roots)
-      (family, (System.nanoTime() - t0) / 1000000L)
+      val ms = (System.nanoTime() - t0) / 1000000L
+      walkLog.add((baseTable, family, ms))
+      (family, ms)
     }
     if (!parallel || resolved.size <= 1)
       resolved.map { case (f, r, fn) => fold(f, r, fn) }
     else {
       import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.duration._
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
       val futures = resolved.map { case (f, r, fn) => Future(fold(f, r, fn)) }
-      futures.map(Await.result(_, Duration.Inf))
+      // settle EVERY fold before surfacing any failure — an exception
+      // must not leave sibling folds committing in the background
+      // while the caller already unwound (it would observe a
+      // partially-folded walk with work still in flight); failures
+      // aggregate as suppressed exceptions. The per-fold budget is
+      // finite and generous: a hung family fails the walk loudly
+      // instead of blocking the DML caller forever.
+      val settled = futures.map(f =>
+        scala.util.Try(Await.result(f, 30.minutes)))
+      val failures = settled.collect { case scala.util.Failure(e) => e }
+      if (failures.nonEmpty) {
+        failures.tail.foreach(failures.head.addSuppressed)
+        throw failures.head
+      }
+      settled.map(_.get)
     }
+  }
+
+  /** Per-fold walk log — (baseTable, family, fold millis) appended by
+    * every [[maintainAllTimed]] on this JVM. The bench harness drains
+    * it around each query to attach registry-maintenance latency
+    * (`walk_ms`) to the queries that triggered walks, so a
+    * maintenance-latency regression trips deterministically instead
+    * of hiding inside a composite query's wall-clock.
+    */
+  private val walkLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
+
+  /** Remove and return everything accumulated in the walk log. */
+  def drainWalkLog(): Seq[(String, String, Long)] = {
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var e = walkLog.poll()
+    while (e != null) { buf += e; e = walkLog.poll() }
+    buf.toSeq
   }
 
   /** The GDPR composition: delete `cond` rows from the base snapshot
@@ -206,30 +245,111 @@ object IndexRegistry {
     * [[forgetWhere]]: a GDPR request names a PARENT entity (the
     * customer), but compliance requires erasing the entity row AND
     * every child fact keyed to it AND every access path of every
-    * table touched. The cascade: collect the parent's matching keys
-    * (BEFORE the parent delete — compliance requests are human-scale,
-    * the [[forgetStream]] contract, so the key set is a bounded
-    * driver fetch feeding pushed IN predicates), forgetWhere the
-    * parent (its families fold), then forgetWhere each child on
-    * `fk IN keys` (their families fold). Returns (table, new version)
-    * in deletion order. A firehose-scale cascade would replace the
-    * key fetch with a join-expressible child predicate and call
-    * [[forgetWhere]] per table directly.
+    * table touched. The cascade resolves the parent's matched keys
+    * BEFORE the parent delete (pinned with a localCheckpoint so the
+    * child predicates survive the parent rewrite), then forgetWhere's
+    * the parent (its families fold), then deletes each child on the
+    * matched keys (their families fold). Returns (table, new version)
+    * in deletion order.
+    *
+    * TWO child-predicate forms, chosen by matched-key count:
+    *  - ≤ `maxInlineKeys` (a compliance queue's human-scale request):
+    *    a driver-collected key list feeding a pushed `fk IN (…)`
+    *    predicate through [[forgetWhere]] — file-selective, footer-
+    *    answered, the point-delete fast path.
+    *  - above it (the firehose case — a court order covering millions
+    *    of subjects): the keys never leave the cluster; each child
+    *    deletes via [[Snapshots.deleteMatching]] — a key SEMI-JOIN
+    *    existence probe + ANTI-JOIN rewrite of only the touched dirs
+    *    — and its families fold through the same registry walk. Both
+    *    forms are proven equal in ForgetSpec.
     */
   def forgetCascade(s: SparkSession, parentTable: String,
       parentCond: org.apache.spark.sql.Column, keyCol: String,
-      children: Seq[(String, String)]): Seq[(String, Int)] = {
+      children: Seq[(String, String)],
+      maxInlineKeys: Int = 1000): Seq[(String, Int)] = {
     import org.apache.spark.sql.functions.col
-    val keys = Snapshots.read(s, parentTable).where(parentCond)
-      .select(keyCol).distinct().collect().map(_.getLong(0)).toSeq
+    val matched = Snapshots.read(s, parentTable).where(parentCond)
+      .select(keyCol).distinct().localCheckpoint()
+    // bounded fetch: read at most maxInlineKeys+1 rows to CLASSIFY the
+    // request — never the full firehose key set
+    val head = matched.limit(maxInlineKeys + 1).collect()
+    val inline: Option[Seq[Long]] =
+      if (head.length > maxInlineKeys) None
+      // getAs[Number]: the key column may be INT or BIGINT depending
+      // on the loader — a raw getLong would ClassCastException on int
+      else Some(head.map(_.getAs[Number](0).longValue).toSeq)
     val pv = forgetWhere(s, parentTable, parentCond)._1
-    val childVs =
-      if (keys.isEmpty) children.map { case (t, _) => t -> Snapshots.currentVersion(t) }
-      else children.map { case (t, fk) =>
-        t -> forgetWhere(s, t, col(fk).isin(keys: _*))._1
-      }
+    val childVs = inline match {
+      case Some(keys) if keys.isEmpty =>
+        children.map { case (t, _) => t -> Snapshots.currentVersion(t) }
+      case Some(keys) =>
+        children.map { case (t, fk) =>
+          t -> forgetWhere(s, t, col(fk).isin(keys: _*))._1
+        }
+      case None =>
+        children.map { case (t, fk) =>
+          val v = Snapshots.deleteMatching(s, t, fk,
+            matched.withColumnRenamed(keyCol, fk))
+          maintainAll(s, t)
+          t -> v
+        }
+    }
     (parentTable -> pv) +: childVs
   }
+
+  /** One micro-batch of STREAMED CASCADING erasure, exactly-once —
+    * [[forgetBatch]] composed over the FK fan-out: the batch carries
+    * PARENT entity keys, and every child predicate derives from those
+    * keys INSIDE the batch (never from a pre-delete parent lookup —
+    * a crash between the parent delete and a child delete would
+    * otherwise leave the replay unable to resolve the fan-out, since
+    * the parent rows are already gone). Each table's delete commits
+    * under its OWN (streamId, batchId) tag, so a partial crash
+    * resumes exactly the tables that missed and a full replay no-ops
+    * end to end; each table's attached families fold in its own
+    * registry walk. Returns (table, version) in deletion order.
+    */
+  def forgetCascadeBatch(s: SparkSession, parentTable: String,
+      keyCol: String, ids: Seq[Long], children: Seq[(String, String)],
+      streamId: String, batchId: Long): Seq[(String, Int)] = {
+    import org.apache.spark.sql.functions.col
+    val pv = Snapshots.deleteBatch(s, parentTable,
+      col(keyCol).isin(ids: _*), streamId, batchId)
+    maintainAll(s, parentTable)
+    val childVs = children.map { case (t, fk) =>
+      val v = Snapshots.deleteBatch(s, t, col(fk).isin(ids: _*),
+        streamId, batchId)
+      maintainAll(s, t)
+      t -> v
+    }
+    (parentTable -> pv) +: childVs
+  }
+
+  /** Continuous CASCADING right-to-be-forgotten — [[forgetStream]]'s
+    * referential-integrity twin: a stream of parent-entity erasure
+    * keys (column `idCol`) cascades through the parent table AND
+    * every FK child per micro-batch, every attached family of every
+    * table maintained inside the same batch, exactly-once at each
+    * table ([[forgetCascadeBatch]]). Erasure requests are human-scale
+    * (the compliance-queue contract), so the batch's key set is a
+    * bounded driver fetch; a firehose-scale cascade belongs in
+    * [[forgetCascade]]'s semi-join form.
+    */
+  def forgetCascadeStream(requests: org.apache.spark.sql.DataFrame,
+      parentTable: String, keyCol: String, idCol: String,
+      children: Seq[(String, String)], streamId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val ids = batch.select(idCol).distinct().collect()
+          .map(_.getAs[Number](0).longValue).toSeq
+        if (ids.nonEmpty) {
+          forgetCascadeBatch(batch.sparkSession, parentTable, keyCol, ids,
+            children, streamId, batchId)
+          ()
+        }
+      }
 
   /** One micro-batch of STREAMED re-crawl/upsert content, exactly-once
     * — the UPDATE twin of [[forgetBatch]] and the last cell of the
@@ -280,7 +400,8 @@ object IndexRegistry {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     requests.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val ids = batch.select(idCol).distinct().collect().map(_.getLong(0)).toSeq
+        val ids = batch.select(idCol).distinct().collect()
+          .map(_.getAs[Number](0).longValue).toSeq
         if (ids.nonEmpty) {
           forgetBatch(batch.sparkSession, baseTable,
             org.apache.spark.sql.functions.col(idCol).isin(ids: _*),

@@ -34,11 +34,27 @@ object MaterializedView {
 
   private val TagPrefix = "mv_through "
 
-  /** How the last [[refresh]] on this JVM brought the MV current —
-    * "bootstrap" | "append-fold" | "cdc-fold" | "recompute"; test
-    * introspection for the cost-path contract.
+  /** How the last refresh of EACH view on this JVM brought it current
+    * — keyed by mvTable because maintainers now run CONCURRENTLY by
+    * default under the parallel registry walk (a process-wide mutable
+    * field would race two same-kind views and make the cost-path
+    * assertions flaky). Values: "bootstrap" | "append-fold" |
+    * "cdc-fold" | "recompute*" (aggregate views), "append-fold" |
+    * "recompute*" (sketch views), "bootstrap" | "delta-join" | "noop"
+    * (join views). Test introspection only.
     */
-  @volatile private[graft] var lastRefreshMode: String = ""
+  private val refreshModes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The cost path the last refresh of `mvTable` took on this JVM
+    * ("" if never refreshed here).
+    */
+  def lastRefreshModeOf(mvTable: String): String =
+    Option(refreshModes.get(mvTable)).getOrElse("")
+
+  private def setMode(mvTable: String, mode: String): Unit = {
+    refreshModes.put(mvTable, mode); ()
+  }
 
   /** The base version the MV at `mvTable` currently reflects (0 if the
     * MV does not exist yet).
@@ -96,7 +112,8 @@ object MaterializedView {
         else Snapshots.versionTags(mvTable, mvV).collectFirst {
           case t if t.startsWith(TagPrefix) => t.drop(TagPrefix.length).toInt
         }.getOrElse(0)
-      if (lastV == curV) return mvV
+      // >=: a racing refresher may have folded a NEWER base version first
+      if (lastV >= curV) return mvV
 
       // a vacuumed watermark version (retention passed under the MV)
       // must degrade to a full recompute, not fail every refresh
@@ -114,15 +131,18 @@ object MaterializedView {
           .agg(sum(col("cnt")).cast("long").as("cnt"), merges: _*)
       val fresh =
         if (lastV == 0) {
-          lastRefreshMode = "bootstrap"
+          setMode(mvTable, "bootstrap")
           aggregate(Snapshots.readVersion(spark, baseTable, curV), keys, sums, mins, maxs)
         } else if (watermarkGone) {
-          lastRefreshMode = "recompute-vacuumed"
+          setMode(mvTable, "recompute-vacuumed")
           aggregate(Snapshots.readVersion(spark, baseTable, curV), keys, sums, mins, maxs)
         } else if (oldDirs.toSet.subsetOf(newDirs.toSet)) {
-          lastRefreshMode = "append-fold"
+          setMode(mvTable, "append-fold")
           val deltaDirs = newDirs.filterNot(oldDirs.toSet)
-          foldInto(aggregate(spark.read.parquet(deltaDirs: _*), keys, sums, mins, maxs))
+          // a tag-only base bump (new version, zero new data dirs)
+          // must advance the watermark, not crash an empty-path read
+          if (deltaDirs.isEmpty) Snapshots.readVersion(spark, mvTable, mvV)
+          else foldInto(aggregate(spark.read.parquet(deltaDirs: _*), keys, sums, mins, maxs))
         } else if (mins.isEmpty && maxs.isEmpty) {
           // history REWRITTEN under the watermark (DML / merge /
           // compaction): counts and exact-decimal sums are ABELIAN, so
@@ -131,7 +151,7 @@ object MaterializedView {
           // the base. A fully-deleted group's count reaches 0 and is
           // dropped. (A pure compaction's feed is empty — the fold
           // no-ops where the old path re-scanned everything.)
-          lastRefreshMode = "cdc-fold"
+          setMode(mvTable, "cdc-fold")
           val (ins, del) = Snapshots.changesBetween(spark, baseTable, lastV, curV)
           val plus = aggregate(ins, keys, sums, Nil, Nil)
           val minus = aggregate(del, keys, sums, Nil, Nil)
@@ -141,7 +161,7 @@ object MaterializedView {
         } else {
           // min/max are not deletion-invertible: a rewritten history
           // under a min/max MV recomputes from the current snapshot
-          lastRefreshMode = "recompute"
+          setMode(mvTable, "recompute")
           aggregate(Snapshots.readVersion(spark, baseTable, curV), keys, sums, mins, maxs)
         }
       Snapshots.commitOverwriteTaggedIf(fresh, mvTable, mvV, Seq(TagPrefix + curV))
@@ -186,11 +206,18 @@ object MaterializedView {
 
   private val SkTagPrefix = "mvsk_through "
 
-  /** How the last [[sketchRefresh]] on this JVM brought the view
-    * current — "bootstrap" | "append-fold" | "recompute*"; test
-    * introspection for the cost-path contract.
+  /** The base version the SKETCH view at `mvTable` currently reflects
+    * (0 if the view does not exist yet) — [[refreshedThrough]]'s twin
+    * under the sketch watermark, read by the optimizer-rule pin
+    * ([[graft.plans.MvRewrite.registerSketch]]).
     */
-  @volatile private[graft] var lastSketchRefreshMode: String = ""
+  def sketchRefreshedThrough(mvTable: String): Int = {
+    val v = Snapshots.currentVersion(mvTable)
+    if (v == 0) 0
+    else Snapshots.versionTags(mvTable, v).collectFirst {
+      case t if t.startsWith(SkTagPrefix) => t.drop(SkTagPrefix.length).toInt
+    }.getOrElse(0)
+  }
 
   /** Incrementally maintained MERGEABLE-SKETCH view — the sketch cell
     * of the MV matrix next to count/sum (abelian fold), min/max
@@ -225,7 +252,8 @@ object MaterializedView {
         else Snapshots.versionTags(mvTable, mvV).collectFirst {
           case t if t.startsWith(SkTagPrefix) => t.drop(SkTagPrefix.length).toInt
         }.getOrElse(0)
-      if (lastV == curV) return mvV
+      // >=: a racing refresher may have folded a NEWER base version first
+      if (lastV >= curV) return mvV
       def agg(df: DataFrame) = df.groupBy(keys.map(col): _*)
         .agg(expr(s"hll_sketch_agg($idCol, $lgK)").as("sk"))
       val watermarkGone = lastV > 0 && !Snapshots.versionAvailable(baseTable, lastV)
@@ -234,22 +262,25 @@ object MaterializedView {
         else Snapshots.versionDirs(baseTable, lastV)
       val fresh =
         if (lastV == 0) {
-          lastSketchRefreshMode = "bootstrap"
+          setMode(mvTable, "bootstrap")
           agg(Snapshots.readVersion(spark, baseTable, curV))
         } else if (watermarkGone) {
-          lastSketchRefreshMode = "recompute-vacuumed"
+          setMode(mvTable, "recompute-vacuumed")
           agg(Snapshots.readVersion(spark, baseTable, curV))
         } else if (oldDirs.toSet.subsetOf(newDirs.toSet)) {
-          lastSketchRefreshMode = "append-fold"
+          setMode(mvTable, "append-fold")
           val deltaDirs = newDirs.filterNot(oldDirs.toSet)
-          Snapshots.readVersion(spark, mvTable, mvV)
+          // a tag-only base bump (new version, zero new data dirs)
+          // must advance the watermark, not crash an empty-path read
+          if (deltaDirs.isEmpty) Snapshots.readVersion(spark, mvTable, mvV)
+          else Snapshots.readVersion(spark, mvTable, mvV)
             .unionByName(agg(spark.read.parquet(deltaDirs: _*)))
             .groupBy(keys.map(col): _*)
             .agg(expr("hll_union_agg(sk)").as("sk"))
         } else {
           // history rewritten under the watermark: registers are not
           // deletion-invertible — recompute from the current snapshot
-          lastSketchRefreshMode = "recompute"
+          setMode(mvTable, "recompute")
           agg(Snapshots.readVersion(spark, baseTable, curV))
         }
       Snapshots.commitOverwriteTaggedIf(fresh, mvTable, mvV, Seq(SkTagPrefix + curV))
@@ -281,11 +312,6 @@ object MaterializedView {
   private val JTagL = "mvj_left_through "
   private val JTagR = "mvj_right_through "
 
-  /** How the last [[joinRefresh]] on this JVM brought the view current
-    * — "bootstrap" | "delta-join" | "noop"; test introspection.
-    */
-  @volatile private[graft] var lastJoinRefreshMode: String = ""
-
   /** Incrementally maintained JOIN view V = π(cols)(L ⋈_key R) over
     * two [[Snapshots]] base tables — the other half of view
     * maintenance next to [[refresh]]'s aggregates: joins are not
@@ -299,9 +325,11 @@ object MaterializedView {
     * O(Δ·matched) per refresh, never a full re-join. Per-base
     * watermark versions ride as tags on the view's own atomic commits
     * (crash between base DML and refresh loses nothing — the next
-    * refresh folds the gap); appends follow the single-maintainer
-    * convention of the search-index maintenance, with a size-ratio
-    * compaction trigger ([[joinCompact]]) bounding tombstone debt.
+    * refresh folds the gap); appends are HEAD-CAS-checked against the
+    * pinned view version (the [[refresh]]/foldThrough discipline), so
+    * two concurrent refreshers cannot double-fold one span's signed
+    * delta, with a size-ratio compaction trigger ([[joinCompact]])
+    * bounding tombstone debt.
     *
     * At 100 TB this is how a wide denormalized serving table follows
     * its normalized sources: the delta join shuffles only changed keys
@@ -313,47 +341,64 @@ object MaterializedView {
     val lCur = Snapshots.currentVersion(leftTable)
     val rCur = Snapshots.currentVersion(rightTable)
     require(lCur > 0 && rCur > 0, "both join-view bases need a committed version")
-    val mvV = Snapshots.currentVersion(mvTable)
-    def tagOf(prefix: String) =
-      if (mvV == 0) 0
-      else Snapshots.versionTags(mvTable, mvV).collectFirst {
-        case t if t.startsWith(prefix) => t.drop(prefix.length).toInt
-      }.getOrElse(0)
-    val (lLast, rLast) = (tagOf(JTagL), tagOf(JTagR))
-    if (lLast == lCur && rLast == rCur) { lastJoinRefreshMode = "noop"; return mvV }
-    val tags = Seq(JTagL + lCur, JTagR + rCur)
-    // vacuumed watermark on either base → full bootstrap recompute
-    // (the aggregate-MV convention), never a permanently failing
-    // delta read against a retired manifest
-    if (lLast == 0 || rLast == 0 ||
-        !Snapshots.versionAvailable(leftTable, lLast) ||
-        !Snapshots.versionAvailable(rightTable, rLast)) {
-      lastJoinRefreshMode = "bootstrap"
-      val full = Snapshots.readVersion(spark, leftTable, lCur)
-        .join(Snapshots.readVersion(spark, rightTable, rCur), key)
-        .withColumn("sgn", lit(1L))
-      Snapshots.commitOverwriteTagged(full, mvTable, tags)
-    } else {
-      lastJoinRefreshMode = "delta-join"
-      val (lIns, lDel) = Snapshots.changesBetween(spark, leftTable, lLast, lCur)
-      val (rIns, rDel) = Snapshots.changesBetween(spark, rightTable, rLast, rCur)
-      val dL = lIns.withColumn("sl", lit(1L)).unionByName(
-        lDel.withColumn("sl", lit(-1L)))
-      val dR = rIns.withColumn("sr", lit(1L)).unionByName(
-        rDel.withColumn("sr", lit(-1L)))
-      val lOld = Snapshots.readVersion(spark, leftTable, lLast)
-      val rOld = Snapshots.readVersion(spark, rightTable, rLast)
-      val delta =
-        dL.join(rOld, key).withColumn("sgn", col("sl")).drop("sl")
-          .unionByName(
-            lOld.join(dR, key).withColumn("sgn", col("sr")).drop("sr"))
-          .unionByName(
-            dL.join(dR, key).withColumn("sgn", col("sl") * col("sr"))
-              .drop("sl", "sr"))
-      val v = Snapshots.commitAppendTagged(delta, mvTable, tags)
-      joinMaybeCompact(spark, mvTable)
-      v
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 20, s"join-view refresh of $mvTable lost $attempt head races")
+      // pin ONE view head: both watermark tags and the CAS below
+      // resolve from mvV — a racing refresher that committed first
+      // aborts ours, and the retry re-derives the remaining delta from
+      // the winner's tags (the foldThrough discipline; a blind append
+      // would double-fold the signed expansion, which netting cannot
+      // cancel)
+      val mvV = Snapshots.currentVersion(mvTable)
+      def tagOf(prefix: String) =
+        if (mvV == 0) 0
+        else Snapshots.versionTags(mvTable, mvV).collectFirst {
+          case t if t.startsWith(prefix) => t.drop(prefix.length).toInt
+        }.getOrElse(0)
+      val (lLast, rLast) = (tagOf(JTagL), tagOf(JTagR))
+      if (lLast >= lCur && rLast >= rCur) { setMode(mvTable, "noop"); return mvV }
+      val tags = Seq(JTagL + math.max(lCur, lLast), JTagR + math.max(rCur, rLast))
+      // vacuumed watermark on either base → full bootstrap recompute
+      // (the aggregate-MV convention), never a permanently failing
+      // delta read against a retired manifest
+      val committed =
+        if (lLast == 0 || rLast == 0 ||
+            !Snapshots.versionAvailable(leftTable, lLast) ||
+            !Snapshots.versionAvailable(rightTable, rLast)) {
+          setMode(mvTable, "bootstrap")
+          val full = Snapshots.readVersion(spark, leftTable, math.max(lCur, lLast))
+            .join(Snapshots.readVersion(spark, rightTable, math.max(rCur, rLast)), key)
+            .withColumn("sgn", lit(1L))
+          Snapshots.commitOverwriteTaggedIf(full, mvTable, mvV, tags)
+        } else {
+          setMode(mvTable, "delta-join")
+          val lTo = math.max(lCur, lLast)
+          val rTo = math.max(rCur, rLast)
+          val (lIns, lDel) = Snapshots.changesBetween(spark, leftTable, lLast, lTo)
+          val (rIns, rDel) = Snapshots.changesBetween(spark, rightTable, rLast, rTo)
+          val dL = lIns.withColumn("sl", lit(1L)).unionByName(
+            lDel.withColumn("sl", lit(-1L)))
+          val dR = rIns.withColumn("sr", lit(1L)).unionByName(
+            rDel.withColumn("sr", lit(-1L)))
+          val lOld = Snapshots.readVersion(spark, leftTable, lLast)
+          val rOld = Snapshots.readVersion(spark, rightTable, rLast)
+          val delta =
+            dL.join(rOld, key).withColumn("sgn", col("sl")).drop("sl")
+              .unionByName(
+                lOld.join(dR, key).withColumn("sgn", col("sr")).drop("sr"))
+              .unionByName(
+                dL.join(dR, key).withColumn("sgn", col("sl") * col("sr"))
+                  .drop("sl", "sr"))
+          Snapshots.commitAppendTaggedIf(delta, mvTable, mvV, tags)
+        }
+      committed.foreach { v =>
+        joinMaybeCompact(spark, mvTable)
+        return v
+      }
     }
+    -1 // unreachable
   }
 
   /** Net view of the signed join rows: multiset multiplicity restored

@@ -399,6 +399,54 @@ object Snapshots {
       key: String): Option[Int] =
     mergeTagged(spark, table, source, key, Nil, () => None)
 
+  /** Keyed DELETE driven by a KEYS DATAFRAME — the join-expressible
+    * (firehose) form of a cascading child erasure: every row whose
+    * `key` appears in `keys` is deleted, the match expressed as a
+    * pushed key SEMI-JOIN (existence probe) + ANTI-JOIN (rewrite of
+    * only the touched dirs) instead of a driver-collected IN list —
+    * so the matched-key set can be DATA-SIZED (a court order covering
+    * millions of subjects) without ever leaving the cluster. Join
+    * strategy is left to AQE, the [[merge]] convention: a human-scale
+    * key set broadcasts, a firehose one shuffles. The commit is a
+    * head CAS like merge's (any concurrent commit aborts the rewrite
+    * — even a pure append can carry newly-matched keys the probe
+    * never saw) with a bounded retry loop, so racing DML serializes.
+    * Returns the version serving the delete (unchanged when no row
+    * matches). `keys` must be stable across retries — pass a
+    * localCheckpoint()ed frame, not a live query over the table being
+    * deleted from.
+    */
+  def deleteMatching(spark: SparkSession, table: String, key: String,
+      keys: DataFrame): Int = {
+    import org.apache.spark.sql.functions.col
+    val srcKeys = keys.select(col(key)).distinct().localCheckpoint()
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val cur = currentVersion(table)
+      require(cur > 0, s"no committed version at $table")
+      val dirs = manifestDirs(table, cur)
+      val reader = committedReader(spark, table, cur)
+      val touched = probeTouched(reader, dirs, _.join(srcKeys, Seq(key), "left_semi"))
+      if (touched.isEmpty) return cur
+      val staged = touched.map { d =>
+        val out = stageDir(table)
+        reader.parquet(d)
+          .join(srcKeys, Seq(key), "left_anti")
+          .write.mode(SaveMode.ErrorIfExists).parquet(out)
+        out
+      }
+      val ConflictSentinel = -1
+      val v = commitLoop(table,
+        prev => manifestDirs(table, prev).filterNot(touched.toSet) ++ staged,
+        abortIf = () =>
+          if (currentVersion(table) == cur) None else Some(ConflictSentinel))
+      if (v == ConflictSentinel) staged.foreach(deleteDataDir)
+      else return v
+    }
+    sys.error(s"deleteMatching on $table lost $attempt head races")
+  }
+
   private def mergeTagged(spark: SparkSession, table: String, source: DataFrame,
       key: String, tags: Seq[String], extraAbort: () => Option[Int]): Option[Int] = {
     import org.apache.spark.sql.functions.col
@@ -600,6 +648,47 @@ object Snapshots {
       abortIf = () =>
         if (currentVersion(table) == expectHead) None else Some(ConflictSentinel))
     if (v == ConflictSentinel) { deleteDataDir(dir); None } else Some(v)
+  }
+
+  /** Conflict-checked WATERMARK FOLD — the maintenance-cycle primitive
+    * that promotes every derived structure's per-version fold from
+    * single-maintainer-by-convention to head-CAS-checked (the round-13
+    * concurrency promotion; [[graft.sources.MaterializedView.refresh]]
+    * pioneered the discipline): pin the derived table's head, read the
+    * maintained-through watermark AT that head, and publish the
+    * bootstrap (watermark 0) or the delta (derived STRICTLY from the
+    * pinned watermark — a changesBetween span) iff the head is still
+    * the pinned version at claim time. Two concurrent registry walks
+    * that both observe watermark X therefore cannot BOTH append the
+    * X→Y delta: the loser's claim aborts, it re-reads the winner's
+    * head, finds the watermark already at Y, and no-ops — sign-netting
+    * alone cannot cancel a double-folded delta, so the CAS is the
+    * correctness line, not an optimization. A watermark AHEAD of
+    * `curV` (a racing walk folded a newer base version first) also
+    * no-ops: watermarks only move forward, and the newer fold already
+    * covers this one's span. `delta(lastV)` is re-invoked per retry
+    * with the fresh watermark, so a lost race re-derives the remaining
+    * gap instead of replaying a stale delta. Returns the version
+    * serving the fold (the winner's, when this fold no-oped).
+    */
+  def foldThrough(table: String, prefix: String, curV: Int)(
+      bootstrap: => DataFrame)(delta: Int => DataFrame): Int = {
+    var attempt = 0
+    while (attempt < 40) {
+      attempt += 1
+      val head = currentVersion(table)
+      val lastV = tagWatermarkAt(table, prefix, head)
+      if (lastV >= curV) return head
+      val tags = Seq(prefix + curV)
+      val out =
+        if (lastV == 0) commitOverwriteTaggedIf(bootstrap, table, head, tags)
+        else commitAppendTaggedIf(delta(lastV), table, head, tags)
+      out match {
+        case Some(v) => return v
+        case None => () // lost the head race: re-pin and re-derive
+      }
+    }
+    sys.error(s"maintenance fold of $table lost $attempt head races")
   }
 
   /** MAJOR compaction of a tombstone-folded derived table: rewrite the
@@ -1405,6 +1494,103 @@ object Snapshots {
       deleteDataDir(dir)
       compact(spark, table, zCols, files)
     }
+  }
+
+  private val ZlThroughPrefix = "zl_through "
+
+  /** Delete-aware maintenance of a Z-ORDER-CLUSTERED REPLICA of a
+    * versioned base table — the clustered-layout family's registry
+    * maintainer (round-13 verdict item #4): physical design is an
+    * access path like any other, so an erasure on the base must reach
+    * the clustered copy through the same walk that folds the MVs and
+    * bloom indexes, keeping its pruning TIGHT post-DML instead of
+    * relying on the base delete alone. One fold per base version,
+    * committed ATOMICALLY as one conflict-checked manifest transform
+    * (a crash can never leave the replica half-folded under a new
+    * watermark):
+    *
+    *  - departed rows leave via a `key` SEMI-JOIN existence probe +
+    *    ANTI-JOIN rewrite of ONLY the touched runs; a touched
+    *    clustered run RE-CLUSTERS its survivors (the delta
+    *    re-cluster path — O(touched run), never O(table)), so every
+    *    file's min/max stays a tight pruning bound post-DML;
+    *  - inserted rows land as ONE freshly Z-ordered delta run (the
+    *    LSM shape [[compact]] maintains: each run is independently
+    *    sorted, parquet min/max prunes within every run).
+    *
+    * Head-CAS with retry (the foldThrough discipline): concurrent
+    * walks cannot double-fold, and a racing appender aborts the
+    * rewrite rather than losing rows. `key` must identify rows
+    * (the table's primary key), independent of whatever predicate
+    * drove the base DML.
+    */
+  def clusteredMaintain(spark: SparkSession, baseTable: String, table: String,
+      key: String, zCols: Seq[String], files: Int = 8): Int = {
+    import org.apache.spark.sql.functions.col
+    val curV = currentVersion(baseTable)
+    require(curV > 0, s"base table $baseTable has no committed version")
+    val ConflictSentinel = -1
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val head = currentVersion(table)
+      val lastV = tagWatermarkAt(table, ZlThroughPrefix, head)
+      if (lastV >= curV) return head
+      val tags = Seq(ZlThroughPrefix + curV)
+      if (lastV == 0) {
+        val dir = stageDir(table)
+        Sources.writeZOrderedN(
+          readVersion(spark, baseTable, curV), dir, zCols, files = files)
+        markClustered(dir)
+        val v = commitLoop(table, _ => Seq(dir), tags = tags,
+          abortIf = () =>
+            if (currentVersion(table) == head) None else Some(ConflictSentinel),
+          inheritSchema = false)
+        if (v == ConflictSentinel) deleteDataDir(dir) else return v
+      } else {
+        val (ins0, del0) = changesBetween(spark, baseTable, lastV, curV)
+        val ins = ins0.localCheckpoint()
+        val delKeys = del0.select(col(key)).distinct().localCheckpoint()
+        val dirs = manifestDirs(table, head)
+        val reader = committedReader(spark, table, head)
+        val touched =
+          if (delKeys.isEmpty) Seq.empty[String]
+          else probeTouched(reader, dirs, _.join(delKeys, Seq(key), "left_semi"))
+        val staged = touched.map { d =>
+          val out = stageDir(table)
+          val survivors = reader.parquet(d).join(delKeys, Seq(key), "left_anti")
+          // a touched CLUSTERED run RE-CLUSTERS its survivors (the
+          // delta re-cluster path): a plain rewrite would let the join
+          // repartition scatter rows across files and blunt every
+          // file's min/max to the full key range — O(touched run),
+          // never O(table)
+          if (isClustered(d)) {
+            Sources.writeZOrderedN(survivors, out, zCols, files = files)
+            markClustered(out)
+          } else
+            survivors.write.mode(SaveMode.ErrorIfExists).parquet(out)
+          out
+        }
+        val insDir: Option[String] =
+          if (ins.isEmpty) None
+          else {
+            val out = stageDir(table)
+            Sources.writeZOrderedN(ins, out, zCols,
+              files = math.max(1, files / 4))
+            markClustered(out)
+            Some(out)
+          }
+        val v = commitLoop(table,
+          prev => manifestDirs(table, prev).filterNot(touched.toSet) ++
+            staged ++ insDir.toSeq,
+          tags = tags,
+          abortIf = () =>
+            if (currentVersion(table) == head) None else Some(ConflictSentinel))
+        if (v == ConflictSentinel) (staged ++ insDir.toSeq).foreach(deleteDataDir)
+        else return v
+      }
+    }
+    sys.error(s"clustered maintenance of $table lost $attempt head races")
   }
 
   /** MAJOR compaction: merge EVERY current dir — clustered runs and

@@ -547,11 +547,12 @@ object SourceQueries {
   /** Ensure the per-day HLL sketch MV is built and current under its
     * content-keyed root (bootstrap from 90%% of events + two
     * exactly-once appended batches, idempotent across runs); returns
-    * (mv table, the (user_id, event_id, day) event frame). Shared by
-    * the incremental-maintenance query and the lattice rollup.
+    * (base table, mv table, the (user_id, event_id, day) event
+    * frame). Shared by the incremental-maintenance query, the lattice
+    * rollup, and the optimizer-routed rewrite twin.
     */
   private def sketchMvEnsure(s: org.apache.spark.sql.SparkSession,
-      dir: String): (String, org.apache.spark.sql.DataFrame) = {
+      dir: String): (String, String, org.apache.spark.sql.DataFrame) = {
     val fp = Snapshots.fileFingerprint(s"$dir/events.parquet")
       .replaceAll("[^A-Za-z0-9]", "").take(16)
     val root = "/root/repo/target/mv/" +
@@ -573,13 +574,13 @@ object SourceQueries {
       ev.where(col("event_id") % 10 === 0 && col("event_id") % 20 =!= 0),
       base, "mvsk", 1L)
     MaterializedView.sketchRefresh(s, base, mv, Seq("day"), "user_id")
-    (mv, ev)
+    (base, mv, ev)
   }
 
   val mvSketchIncremental: QueryDef = QueryDef(
     "q_mv_sketch_incremental",
     (s, dir) => {
-      val (mv, ev) = sketchMvEnsure(s, dir)
+      val (_, mv, ev) = sketchMvEnsure(s, dir)
       val exact = ev.select("user_id", "day").distinct()
         .groupBy("day").agg(count(lit(1)).as("dau_exact"))
       Snapshots.read(s, mv)
@@ -607,7 +608,7 @@ object SourceQueries {
   val mvSketchRollup: QueryDef = QueryDef(
     "q_mv_sketch_rollup",
     (s, dir) => {
-      val (mv, ev) = sketchMvEnsure(s, dir)
+      val (_, mv, ev) = sketchMvEnsure(s, dir)
       val rolled = Snapshots.read(s, mv)
         .select(explode(sequence(col("day"), col("day") + 6)).as("d"), col("sk"))
         .groupBy(col("d").as("day"))
@@ -630,10 +631,62 @@ object SourceQueries {
           TRUE AS hll_ok
         FROM contrib WHERE d IN (SELECT day FROM ud) GROUP BY 1"""))
 
+  /** OPTIMIZER-ROUTED sketch serving — the lattice rollup's rewrite
+    * twin (round-13 verdict item #2): the query is written as plain
+    * `hll_sketch_estimate(hll_sketch_agg(user_id, 12))` aggregates
+    * over the BASE SCAN — per-day AND the coarser all-days point —
+    * and [[graft.plans.MvRewrite.registerSketch]]'s pin lets the
+    * optimizer route both through the STORED registers (project +
+    * estimate at the exact keys, `hll_union_agg` one lattice level
+    * further for the global row) instead of re-scanning events. The
+    * rewrite is answer-invariant because registers max-merge: the
+    * union of per-day sketches carries bit-identical registers to a
+    * one-shot sketch over all rows. CboSpec plan-asserts that the
+    * served scan reads the MV dirs (and that a stale pin refuses);
+    * this catalog query pins the ANSWER to truth — exact distincts
+    * from the raw events, with the within-15%% flag.
+    */
+  val mvSketchRewrite: QueryDef = QueryDef(
+    "q_mv_sketch_rewrite",
+    (s, dir) => {
+      val (base, mv, ev) = sketchMvEnsure(s, dir)
+      // the pin stays registered (no clear): the returned frame is
+      // LAZY — the rule must still be live when the caller
+      // materializes it. Only an hll_sketch_agg(user_id, 12) aggregate
+      // over exactly this base version's dirs can match the pin, so it
+      // cannot leak into unrelated queries, and each run re-registers.
+      graft.plans.MvRewrite.registerSketch(base, mv, Seq("day"), "user_id", 12)
+      locally {
+        val scan = Snapshots.read(s, base)
+        val daily = scan.groupBy("day")
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+        val global = scan.groupBy()
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+          .select(lit(-1L).as("day"), col("est"))
+        val exactDay = ev.select("user_id", "day").distinct()
+          .groupBy("day").agg(count(lit(1)).as("n_exact"))
+        val exactAll = ev.select("user_id").distinct()
+          .agg(count(lit(1)).as("n_exact")).select(lit(-1L).as("day"), col("n_exact"))
+        daily.unionByName(global)
+          .join(exactDay.unionByName(exactAll), "day")
+          .select(col("day"), col("n_exact"),
+            (abs(col("est") - col("n_exact")) * 100 <= col("n_exact") * 15)
+              .as("hll_ok"))
+      }
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events)
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS hll_ok
+        FROM ud GROUP BY 1
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS day,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, TRUE AS hll_ok
+        FROM ud"""))
+
   val defs: Seq[QueryDef] =
     Seq(zorderSecondary, mvIncremental, mergeUpsert, bloomPointLookup,
       snapshotDiff, mvJoinIncremental, csvRoundtrip, jsonlRoundtrip,
-      partitionPrune, mvSketchIncremental, mvSketchRollup)
+      partitionPrune, mvSketchIncremental, mvSketchRollup, mvSketchRewrite)
 }
 
 /** Copy-on-write mutations — the reference's record insert/update/

@@ -367,4 +367,72 @@ class CboSpec extends SparkSpec {
     assert("abs\\(".r.findAllIn(
       manual.queryExecution.optimizedPlan.toString.toLowerCase).size == 1)
   }
+
+  test("SKETCH-MV lattice rewrite: optimizer routing, answer-invariance, staleness refusal") {
+    import graft.plans.MvRewrite
+    import graft.sources.{MaterializedView, Snapshots}
+    val root = "/root/repo/target/cbo-spec/mv_sketch"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val base = s"$root/base"; val mv = s"$root/mv"
+    val ev = graft.operators.Events.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000 div 86400").as("day"))
+    Snapshots.commitOverwrite(ev, base)
+    MaterializedView.sketchRefresh(spark, base, mv, Seq("day"), "user_id")
+    try {
+      def daily() = Snapshots.read(spark, base).groupBy("day")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      def globalEst() = Snapshots.read(spark, base).groupBy()
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // truth BEFORE the pin: the real base-scan aggregates
+      val dayTruth = rows(daily())
+      val globalTruth = globalEst().head().getLong(0)
+
+      MvRewrite.registerSketch(base, mv, Seq("day"), "user_id", 12)
+      // EXACT lattice point: project + estimate straight off the view
+      val served = daily()
+      val plan = physicalPlan(served)
+      assert(plan.contains("/mv/") && !plan.contains("/base/"),
+        s"expected the sketch view to replace the base aggregate:\n$plan")
+      assert(rows(served) == dayTruth,
+        "sketch rewrite must be answer-invariant (register max-merge)")
+      // COARSER lattice point: hll_union_agg one level further
+      val g = globalEst()
+      val gPlan = physicalPlan(g)
+      assert(gPlan.contains("/mv/") && !gPlan.contains("/base/"), gPlan)
+      assert(g.head().getLong(0) == globalTruth,
+        "union-merged registers must reproduce the one-shot estimate")
+      // a DIFFERENT lgK must refuse (different registers, different answer)
+      val other = Snapshots.read(spark, base).groupBy("day")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 11))").as("est"))
+      assert(physicalPlan(other).contains("/base/"),
+        "an lgK the view does not store must keep its base scan")
+      // approx_count_distinct is a DIFFERENT HLL — must refuse too
+      val acd = Snapshots.read(spark, base).groupBy("day")
+        .agg(expr("approx_count_distinct(user_id)").as("est"))
+      assert(physicalPlan(acd).contains("/base/"),
+        "approx_count_distinct must not be served from DataSketches registers")
+
+      // STALENESS refusal: base moves past the sketch watermark — the
+      // pinned dirs no longer match, the query keeps its scan
+      Snapshots.commitAppend(
+        ev.where(col("event_id") % 97 === 0)
+          .withColumn("user_id", col("user_id") + 1000000L), base)
+      val stale = daily()
+      assert(physicalPlan(stale).contains("/base/"),
+        "a scan the sketch view has not folded must keep its aggregate")
+      // refresh + re-register: serving resumes, fresh rows included
+      MaterializedView.sketchRefresh(spark, base, mv, Seq("day"), "user_id")
+      MvRewrite.registerSketch(base, mv, Seq("day"), "user_id", 12)
+      val fresh = daily()
+      assert(physicalPlan(fresh).contains("/mv/"), physicalPlan(fresh))
+      assert(rows(fresh) == rows(stale),
+        "post-refresh serving must equal the base recompute")
+    } finally MvRewrite.clear()
+  }
 }

@@ -194,10 +194,10 @@ class ForgetSpec extends SparkSpec {
     // transform; disjoint-dir racers both land, a same-dir loser
     // aborts and falls back to the whole-snapshot delete against the
     // winner's head. Either interleaving must converge to BOTH
-    // predicates applied. (Racing the REGISTRY WALKS concurrently is
-    // round-13 work — the per-family folds follow the single-driver
-    // maintenance convention and are not yet CAS'd; the walk here runs
-    // once, after both deletes.)
+    // predicates applied. (The composed-race tests BELOW drive the
+    // registry walks themselves concurrently — the per-family folds
+    // are head-CAS cycles since round 13; this test keeps the
+    // base-layer race isolated, walking once after both deletes.)
     val (baseT, root) = Forget.bootstrap(spark, sfDir, tag = "_race")
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -319,10 +319,10 @@ class ForgetSpec extends SparkSpec {
 
     // each family took its INCREMENTAL path, not a recompute: the MV
     // folded the change feed, the join view delta-joined
-    assert(MaterializedView.lastRefreshMode == "cdc-fold",
-      s"rollup MV took '${MaterializedView.lastRefreshMode}', expected cdc-fold")
-    assert(MaterializedView.lastJoinRefreshMode == "delta-join",
-      s"join view took '${MaterializedView.lastJoinRefreshMode}', expected delta-join")
+    assert(MaterializedView.lastRefreshModeOf(s"$root/rollup") == "cdc-fold",
+      s"rollup MV took '${MaterializedView.lastRefreshModeOf(s"$root/rollup")}', expected cdc-fold")
+    assert(MaterializedView.lastRefreshModeOf(s"$root/custjoin") == "delta-join",
+      s"join view took '${MaterializedView.lastRefreshModeOf(s"$root/custjoin")}', expected delta-join")
 
     // compliance: the erased customer is unreachable through EVERY
     // access path — heap point lookup, denormalized view, and rollup
@@ -349,6 +349,188 @@ class ForgetSpec extends SparkSpec {
     IndexRegistry.maintainAll(spark, baseT)
     heads.foreach { case (t, v) =>
       assert(Snapshots.currentVersion(t) == v, s"idempotent walk re-committed $t")
+    }
+  }
+
+  test("clustered-layout family: erasure folds the Z-ordered replica, pruning stays tight") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val (baseT, root) = Forget.relationalBootstrap(spark, sfDir, tag = "_zl")
+    val replica = s"$root/zreplica"
+    def contentEq(): Unit = {
+      val b = Snapshots.read(spark, baseT)
+      val r = Snapshots.read(spark, replica)
+      assert(b.exceptAll(r).isEmpty && r.exceptAll(b).isEmpty,
+        "clustered replica diverged from its base")
+    }
+    contentEq()
+    val v1 = Snapshots.currentVersion(replica)
+    // THE erasure: the registry walk must fold the replica too — a
+    // keyed anti-join rewrite of only the touched runs, never a
+    // re-cluster of the table
+    IndexRegistry.forgetWhere(spark, baseT, pmod(col("custkey"), lit(11)) === 2)
+    assert(Snapshots.currentVersion(replica) > v1,
+      "erasure did not reach the clustered replica")
+    contentEq()
+    assert(Snapshots.read(spark, replica)
+      .where(pmod(col("custkey"), lit(11)) === 2).count() == 0,
+      "erased rows survive in the clustered replica")
+    // pruning stays TIGHT post-erasure: a narrow key-range scan reads
+    // a fraction of the replica (file min/max bounds survive the
+    // anti-join rewrite because survivors are a subset of each run)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def rowsScanned(df: DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s.metrics("numOutputRows").value
+        }.sum
+      }
+      val served = Snapshots.read(spark, replica)
+      val total = served.count()
+      val kMax = served.agg(max(col("o_orderkey"))).head().getLong(0)
+      val a = rowsScanned(served.where(col("o_orderkey") <= kMax / 8))
+      assert(a < total * 2 / 3,
+        s"post-erasure replica scan not pruned: $a of $total rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // idempotent: a second walk re-commits nothing
+    val v2 = Snapshots.currentVersion(replica)
+    IndexRegistry.maintainAll(spark, baseT)
+    assert(Snapshots.currentVersion(replica) == v2,
+      "idempotent walk re-committed the clustered replica")
+  }
+
+  // ---- composed registry-walk races (round 13): the per-family folds
+  // are head-CAS cycles (Snapshots.foldThrough), so concurrent walks —
+  // the steady state of a production pipeline, erasure stream racing
+  // re-crawl stream racing an ad-hoc maintainAll — must converge to
+  // the sequential serve instead of double-folding deltas ----
+
+  private def settleAll[A](fs: Seq[scala.concurrent.Future[A]]): Seq[scala.util.Try[A]] = {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    // settle EVERYTHING before asserting, so a failed racer cannot
+    // leave siblings mutating state under the assertions
+    val settled = fs.map(f => scala.util.Try(Await.result(f, 10.minutes)))
+    settled.collect { case scala.util.Failure(e) => throw e }
+    settled
+  }
+
+  test("concurrent registry WALKS converge: erasure batch racing a re-crawl racing maintainAll") {
+    import scala.concurrent.Future
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val (baseT, root) = Forget.bootstrap(spark, sfDir, tag = "_walkrace")
+    // a re-crawl batch carrying the base's FULL row shape (text edit,
+    // embedding kept), keys DISJOINT from the erased set so the two
+    // DML ops commute and the sequential reference is order-free
+    val orig = Snapshots.readVersion(spark, baseT, 1).localCheckpoint()
+    val edited = orig.where(pmod(col("doc_id"), lit(10)) === 3)
+      .withColumn("text", concat(col("text"), lit(" zzwalkrace")))
+      .localCheckpoint()
+    val racers = Seq(
+      Future(IndexRegistry.forgetBatch(spark, baseT,
+        pmod(col("doc_id"), lit(10)) === 0, "walkrace_del", 0L)._1),
+      Future(IndexRegistry.recrawlBatch(edited, baseT, "doc_id",
+        "walkrace_mrg", 0L)._1),
+      Future { IndexRegistry.maintainAll(spark, baseT); 0 })
+    settleAll(racers)
+    // fold any trailing gap (a walk that pinned an older head may have
+    // finished before the last DML landed), then serve
+    IndexRegistry.maintainAll(spark, baseT)
+    def chk(r: String) = Forget.serveChecksums(spark, r).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    val got = chk(root)
+    // sequential reference: same two DML ops, one walk each, no races
+    val (refBase, refRoot) = Forget.bootstrap(spark, sfDir, tag = "_walkraceref")
+    IndexRegistry.forgetWhere(spark, refBase, pmod(col("doc_id"), lit(10)) === 0)
+    IndexRegistry.recrawlBatch(
+      edited, refBase, "doc_id", "walkraceref_mrg", 0L)
+    assert(got == chk(refRoot),
+      "racing registry walks diverged from the sequential serve")
+  }
+
+  test("forgetWhere racing index-root COMPACTORS converges to the sequential serve") {
+    import scala.concurrent.Future
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val (baseT, root) = Forget.bootstrap(spark, sfDir, tag = "_cmprace")
+    // compactors hammer two attached index roots while the erasure's
+    // registry walk folds deltas into the SAME tables: compactNet is a
+    // head CAS and the folds are foldThrough CAS cycles, so every
+    // interleaving must keep each table's netted content — a lost fold
+    // (compactor overwrote a freshly-appended delta) or a lost
+    // compaction (fold head moved mid-rewrite) would both surface as a
+    // checksum divergence from the clean sequential run
+    val racers = Seq(
+      Future {
+        (1 to 3).foreach { _ =>
+          graft.operators.Dedup.bandIndexCompact(spark, s"$root/bands")
+          graft.functions.TextFunctions.postingsCompact(spark, s"$root/postings")
+        }
+        0
+      },
+      Future(IndexRegistry.forgetWhere(spark, baseT,
+        pmod(col("doc_id"), lit(6)) === 0)._1))
+    settleAll(racers)
+    IndexRegistry.maintainAll(spark, baseT)
+    def chk(r: String) = Forget.serveChecksums(spark, r).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    val (refBase, refRoot) = Forget.bootstrap(spark, sfDir, tag = "_cmpraceref")
+    IndexRegistry.forgetWhere(spark, refBase, pmod(col("doc_id"), lit(6)) === 0)
+    assert(chk(root) == chk(refRoot),
+      "erasure racing compactors diverged from the sequential serve")
+  }
+
+  test("cascade firehose (semi-join) form equals the inline-IN form") {
+    val cond = pmod(col("custkey"), lit(31)) === 4
+    val (ordersA, rootA) = Forget.relationalBootstrap(spark, sfDir, tag = "_casIn")
+    IndexRegistry.forgetCascade(spark, s"$rootA/customer", cond, "custkey",
+      Seq(ordersA -> "custkey"))
+    val (ordersB, rootB) = Forget.relationalBootstrap(spark, sfDir, tag = "_casSj")
+    // maxInlineKeys = 0 forces the firehose path: child deletes run as
+    // a key semi-join probe + anti-join rewrite (Snapshots
+    // .deleteMatching) — the keys never reach the driver
+    IndexRegistry.forgetCascade(spark, s"$rootB/customer", cond, "custkey",
+      Seq(ordersB -> "custkey"), maxInlineKeys = 0)
+    def rows(r: String) = Forget.relationalServe(spark, r).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(rows(rootA) == rows(rootB),
+      "semi-join cascade diverged from the inline-IN cascade")
+    Seq(ordersA, ordersB).foreach { t =>
+      assert(Snapshots.read(spark, t).where(cond).count() == 0,
+        s"cascade left matching child rows in $t")
+    }
+  }
+
+  test("streamed cascade: full replay no-ops; a crash between parent and child resumes") {
+    val (ordersT, root) = Forget.relationalBootstrap(spark, sfDir, tag = "_casres")
+    val custT = s"$root/customer"
+    val ids = Snapshots.read(spark, custT)
+      .where(pmod(col("custkey"), lit(37)) === 5)
+      .select("custkey").collect().map(_.getAs[Number](0).longValue).toSeq
+    assert(ids.nonEmpty)
+    val sid = "casres"
+    // simulate the CRASH: the parent delete of batch 0 committed, the
+    // child delete and both walks never ran
+    Snapshots.deleteBatch(spark, custT, col("custkey").isin(ids: _*), sid, 0L)
+    assert(Snapshots.read(spark, ordersT).where(col("custkey").isin(ids: _*))
+      .count() > 0, "precondition: child rows still present post-crash")
+    // the stream RETRIES the batch: the parent no-ops on its tag, the
+    // child delete and every walk still run to completion — possible
+    // only because the fan-out derives from the BATCH's ids, not from
+    // a lookup against the (already erased) parent
+    IndexRegistry.forgetCascadeBatch(spark, custT, "custkey", ids,
+      Seq(ordersT -> "custkey"), sid, 0L)
+    assert(Snapshots.read(spark, custT).where(col("custkey").isin(ids: _*))
+      .count() == 0, "parent rows survived the cascade")
+    assert(Snapshots.read(spark, ordersT).where(col("custkey").isin(ids: _*))
+      .count() == 0, "child rows survived the resumed cascade")
+    // full REPLAY: every table's version is unchanged end to end
+    val heads = Seq(custT, ordersT).map(t => t -> Snapshots.currentVersion(t))
+    IndexRegistry.forgetCascadeBatch(spark, custT, "custkey", ids,
+      Seq(ordersT -> "custkey"), sid, 0L)
+    heads.foreach { case (t, v) =>
+      assert(Snapshots.currentVersion(t) == v, s"replayed cascade re-committed $t")
     }
   }
 }

@@ -414,15 +414,15 @@ class SourcesSpec extends SparkSpec {
     // entered/left the manifest — instead of re-scanning the base
     Snapshots.commitOverwrite(li.where(col("l_orderkey") % 2 === 0), base)
     MaterializedView.refresh(spark, base, mv, keys, sums)
-    assert(MaterializedView.lastRefreshMode == "cdc-fold",
-      MaterializedView.lastRefreshMode)
+    assert(MaterializedView.lastRefreshModeOf(mv) == "cdc-fold",
+      MaterializedView.lastRefreshModeOf(mv))
     assert(mvRows() == recompute(li.where(col("l_orderkey") % 2 === 0)),
       "rewrite under the watermark must fold to the exact recompute")
 
     // selective DML under the watermark: same fold, still exact
     Snapshots.deleteWhereSelective(spark, base, col("l_orderkey") % 100 === 0)
     MaterializedView.refresh(spark, base, mv, keys, sums)
-    assert(MaterializedView.lastRefreshMode == "cdc-fold")
+    assert(MaterializedView.lastRefreshModeOf(mv) == "cdc-fold")
     assert(mvRows() == recompute(
       li.where(col("l_orderkey") % 2 === 0 && col("l_orderkey") % 100 =!= 0)))
 
@@ -434,8 +434,8 @@ class SourcesSpec extends SparkSpec {
     Snapshots.commitOverwrite(li.where(col("l_orderkey") % 2 === 1), base)
     MaterializedView.refresh(spark, base, mvMm, keys, sums,
       mins = Seq("l_quantity"), maxs = Nil)
-    assert(MaterializedView.lastRefreshMode == "recompute",
-      MaterializedView.lastRefreshMode)
+    assert(MaterializedView.lastRefreshModeOf(mvMm) == "recompute",
+      MaterializedView.lastRefreshModeOf(mvMm))
   }
 
   test("selective DML probes through PARTITIONED data dirs") {
@@ -954,7 +954,7 @@ class SourcesSpec extends SparkSpec {
     Snapshots.commitOverwrite(Seq((1L, 10L), (2L, 20L), (2L, 20L), (4L, 40L))
       .toDF("k", "rv"), rT)
     MaterializedView.joinRefresh(spark, lT, rT, vT, "k")
-    assert(MaterializedView.lastJoinRefreshMode == "bootstrap")
+    assert(MaterializedView.lastRefreshModeOf(vT) == "bootstrap")
     def served(): Set[(Long, String, Long, Long)] = {
       // count multiplicity by an extra aggregation
       MaterializedView.serveJoin(spark, vT)
@@ -965,15 +965,15 @@ class SourcesSpec extends SparkSpec {
     // already current → noop; no version churn
     val vBefore = Snapshots.currentVersion(vT)
     MaterializedView.joinRefresh(spark, lT, rT, vT, "k")
-    assert(MaterializedView.lastJoinRefreshMode == "noop"
+    assert(MaterializedView.lastRefreshModeOf(vT) == "noop"
       && Snapshots.currentVersion(vT) == vBefore)
     // delete one dup copy on the right + insert matches on both sides
     Snapshots.deleteWhere(spark, rT, col("rv") === 20L) // kills BOTH copies
     Snapshots.commitAppend(Seq((4L, "d")).toDF("k", "lv"), lT)
     Snapshots.commitAppend(Seq((3L, 30L)).toDF("k", "rv"), rT)
     MaterializedView.joinRefresh(spark, lT, rT, vT, "k")
-    assert(MaterializedView.lastJoinRefreshMode == "delta-join",
-      s"expected the delta path, got ${MaterializedView.lastJoinRefreshMode}")
+    assert(MaterializedView.lastRefreshModeOf(vT) == "delta-join",
+      s"expected the delta path, got ${MaterializedView.lastRefreshModeOf(vT)}")
     assert(served() == Set((1L, "a", 10L, 1L), (3L, "c", 30L, 1L), (4L, "d", 40L, 1L)))
     // a long DML sequence stays bounded: every cycle deletes and
     // re-inserts the same right row; the size-ratio trigger must keep
@@ -1073,8 +1073,8 @@ class SourcesSpec extends SparkSpec {
     Snapshots.commitAppend(o.limit(0), base)
     Snapshots.vacuum(base, retain = 1, graceMs = 0L)
     MaterializedView.refresh(spark, base, mv, Seq("o_custkey"), Seq("o_totalprice"))
-    assert(MaterializedView.lastRefreshMode == "recompute-vacuumed",
-      s"got ${MaterializedView.lastRefreshMode}")
+    assert(MaterializedView.lastRefreshModeOf(mv) == "recompute-vacuumed",
+      s"got ${MaterializedView.lastRefreshModeOf(mv)}")
     // and the recomputed view is CORRECT against a direct aggregate
     val got = Snapshots.read(spark, mv)
       .agg(sum(col("cnt"))).head().getLong(0)
@@ -1189,12 +1189,12 @@ class SourcesSpec extends SparkSpec {
 
     Snapshots.commitOverwrite(ev.where(col("event_id") % 3 =!= 0), base)
     MaterializedView.sketchRefresh(spark, base, mv, Seq("day"), "user_id")
-    assert(MaterializedView.lastSketchRefreshMode == "bootstrap")
+    assert(MaterializedView.lastRefreshModeOf(mv) == "bootstrap")
 
     Snapshots.commitAppend(ev.where(col("event_id") % 3 === 0), base)
     MaterializedView.sketchRefresh(spark, base, mv, Seq("day"), "user_id")
-    assert(MaterializedView.lastSketchRefreshMode == "append-fold",
-      s"append must fold, got '${MaterializedView.lastSketchRefreshMode}'")
+    assert(MaterializedView.lastRefreshModeOf(mv) == "append-fold",
+      s"append must fold, got '${MaterializedView.lastRefreshModeOf(mv)}'")
     // register max-merge makes the fold EXACT: estimates equal a
     // one-shot aggregate over the full base, not merely within error
     assert(est(Snapshots.read(spark, mv)) == oneShot(ev),
@@ -1209,8 +1209,8 @@ class SourcesSpec extends SparkSpec {
     // the refresh must recompute, and land on the live corpus's sketches
     Snapshots.deleteWhere(spark, base, col("user_id") % 5 === 0)
     MaterializedView.sketchRefresh(spark, base, mv, Seq("day"), "user_id")
-    assert(MaterializedView.lastSketchRefreshMode == "recompute",
-      s"DML must downgrade to recompute, got '${MaterializedView.lastSketchRefreshMode}'")
+    assert(MaterializedView.lastRefreshModeOf(mv) == "recompute",
+      s"DML must downgrade to recompute, got '${MaterializedView.lastRefreshModeOf(mv)}'")
     assert(est(Snapshots.read(spark, mv)) ==
       oneShot(ev.where(col("user_id") % 5 =!= 0)),
       "post-DML recompute diverged from the live corpus")
