@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * Self-auditing (round 8): container contention can inflate a single
   * query's best-of-3 by >10x (q_tpch_q6 in round 6, q_agg_global in
   * round 7 — both plan-optimal, both ~0.2-0.5 s on a clean re-run).
-  * After the measured pass, any query whose timing exceeds 3x its value
-  * in the previous round's TIMINGS map is re-run once more and the
-  * faster number kept; both numbers ship in an "outliers" field so the
-  * audit trail explains itself. Exceptions during measurement are no
+  * After the measured pass, any query whose timing exceeds 1.5x its
+  * value in the previous round's TIMINGS map (by >0.2 s absolute) is
+  * re-run up to twice more and the fastest number kept; the first/retry
+  * pair ships in an "outliers" field so the audit trail explains
+  * itself. Exceptions during measurement are no
   * longer swallowed silently — they ship in an "errors" field (the
   * timing for a failed query is still recorded, as time-to-failure).
   */
@@ -105,6 +106,13 @@ object Bench {
     }
     queries.foreach { case (name, fn) => timed(name, fn) } // warmup
     errors.clear() // only measured-pass errors ship
+    // registry-walk latency per query (round-13): the forget/DML
+    // composites spend most of their time in registry maintenance
+    // walks — surfacing each query's summed per-family fold millis
+    // (drained from IndexRegistry's walk log around its LAST measured
+    // run) makes a maintenance-latency regression trip on its own
+    // line instead of hiding inside composite wall-clock
+    val walkMs = scala.collection.mutable.LinkedHashMap[String, Long]()
     // best-of-3: single-shot timings swing ±30% under container
     // contention; the minimum is the stable estimate of true cost
     val results = queries.map { case (name, fn) =>
@@ -112,22 +120,33 @@ object Bench {
         if (i < 3) timed(name, fn)
         else {
           val (r0, w0) = settleBytes()
+          graft.sources.IndexRegistry.drainWalkLog()
           val tt = timed(name, fn)
           val (r1, w1) = settleBytes()
           shuffleBytes(name) = (r1 - r0, w1 - w0)
+          val walks = graft.sources.IndexRegistry.drainWalkLog()
+          if (walks.nonEmpty) walkMs(name) = walks.map(_._3).sum
           tt
         }
       }.min
       name -> t
     }
-    // tripwire: re-run >3x-vs-prior outliers once; keep the faster
-    // number, record both so the artifact explains the discrepancy
+    // tripwire (tightened round-13 from 3x to the 1.5x annotation
+    // threshold — a noisy round-12 host produced 21 untouched-file
+    // drift annotations that extra samples would have collapsed):
+    // re-run >1.5x-vs-prior outliers up to twice; keep the fastest
+    // number, record the pair so the artifact explains itself
     val byName = queries.toMap
     val outliers = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val audited = results.map { case (name, t) =>
       prior.get(name) match {
-        case Some(p) if p > 0 && t > 3 * p && !errors.contains(name) =>
-          val retry = timed(name, byName(name))
+        case Some(p) if p > 0 && t > 1.5 * p && t - p > 0.2 && !errors.contains(name) =>
+          val retry = {
+            val r1 = timed(name, byName(name))
+            if (r1 > 1.5 * p && !errors.contains(name))
+              math.min(r1, timed(name, byName(name)))
+            else r1
+          }
           if (errors.contains(name)) {
             // the RETRY failed after clean measured runs: its
             // time-to-failure is not a timing — discard it and the
@@ -243,6 +262,8 @@ object Bench {
     val shufJson = shuffleBytes.map { case (k, (r, w)) =>
       jsonStr(k) + s""":{"read":$r,"write":$w}"""
     }.mkString("{", ",", "}")
+    val walkJson = walkMs.map { case (k, ms) => jsonStr(k) + ":" + ms }
+      .mkString("{", ",", "}")
     // shuffle-byte REGRESSION tripwire: bytes are plan-deterministic
     // (same plan + same fingerprinted data ⟹ same bytes), so a >1.2x
     // write-byte jump on a meaningfully-shuffling query (>1 MB prior)
@@ -261,7 +282,7 @@ object Bench {
           pw > 1000000L && w > 1.2 * pw) =>
         jsonStr(k) + s""":{"prior_write":${priorShuffle(k)},"write":$w}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"annotations":$annJson,"env":$envJson,"index_roots_bytes":$rootsJson,"shuffle_bytes":$shufJson,"shuffle_regressions":$shufRegJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"annotations":$annJson,"env":$envJson,"index_roots_bytes":$rootsJson,"shuffle_bytes":$shufJson,"shuffle_regressions":$shufRegJson,"walk_ms":$walkJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured tail can front-truncate past ~70 queries,
     // losing the early alphabet's timings — persist the complete map
