@@ -1166,7 +1166,8 @@ object TextFunctions {
     import graft.sources.Snapshots
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
-    Snapshots.foldThrough(postTable, PostThroughPrefix, curV)(
+    Snapshots.foldThrough(postTable, PostThroughPrefix, curV,
+      recomputeWhen = lastV => !Snapshots.versionAvailable(baseTable, lastV))(
       postingsOf(Snapshots.readVersion(s, baseTable, curV))) { lastV =>
       val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
       postingsOf(ins).unionByName(
@@ -1571,7 +1572,8 @@ object TextFunctions {
         bootstrap: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
         delta: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
           org.apache.spark.sql.DataFrame): Unit = {
-      Snapshots.foldThrough(table, PostThroughPrefix, curV)(
+      Snapshots.foldThrough(table, PostThroughPrefix, curV,
+          recomputeWhen = lastV => !Snapshots.versionAvailable(baseTable, lastV))(
         bootstrap(Snapshots.readVersion(s, baseTable, curV))) { lastV =>
         val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
         delta(ins, del)

@@ -795,7 +795,8 @@ object Dedup {
     import graft.sources.Snapshots
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
-    Snapshots.foldThrough(idxTable, BandThroughPrefix, curV)(
+    Snapshots.foldThrough(idxTable, BandThroughPrefix, curV,
+      recomputeWhen = lastV => !Snapshots.versionAvailable(baseTable, lastV))(
       bandedSigned(Snapshots.readVersion(s, baseTable, curV))
         .withColumn("sgn", lit(1))) { lastV =>
       val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
@@ -847,7 +848,8 @@ object Dedup {
     import graft.sources.Snapshots
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
-    Snapshots.foldThrough(idxTable, SimhashThroughPrefix, curV)(
+    Snapshots.foldThrough(idxTable, SimhashThroughPrefix, curV,
+      recomputeWhen = lastV => !Snapshots.versionAvailable(baseTable, lastV))(
       simhashBlocksOf(Snapshots.readVersion(s, baseTable, curV))
         .withColumn("sgn", lit(1))) { lastV =>
       val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)
@@ -889,7 +891,8 @@ object Dedup {
       docs.select(col("doc_id"), md5(col("text")).as("fp"))
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
-    Snapshots.foldThrough(idxTable, FpThroughPrefix, curV)(
+    Snapshots.foldThrough(idxTable, FpThroughPrefix, curV,
+      recomputeWhen = lastV => !Snapshots.versionAvailable(baseTable, lastV))(
       fpsOf(Snapshots.readVersion(s, baseTable, curV))
         .withColumn("sgn", lit(1))) { lastV =>
       val (ins, del) = Snapshots.changesBetween(s, baseTable, lastV, curV)

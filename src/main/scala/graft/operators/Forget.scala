@@ -545,6 +545,50 @@ object Forget {
          "(SELECT o_orderkey, custkey, o_orderstatus, CAST(o_price * 100 AS BIGINT) AS cents FROM live WHERE o_orderkey BETWEEN 1000 AND 3000) zr",
          "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(custkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))")}"""))
 
+  /** The FIREHOSE cascade as a driver-gated query — the semi-join form
+    * of [[graft.sources.IndexRegistry.forgetCascade]] exercised end to
+    * end: `maxInlineKeys = 0` forces every child delete through
+    * [[graft.sources.Snapshots.deleteMatching]] (key SEMI-JOIN
+    * existence probe + ANTI-JOIN rewrite of only the touched dirs —
+    * the matched keys never reach the driver), the shape a court order
+    * covering millions of subjects requires. All four orders access
+    * paths fold through the same registry walk afterwards; the oracle
+    * rebuilds them over the live rows, so hash equality proves the
+    * join-driven delete ≡ the predicate form. ForgetSpec separately
+    * proves firehose ≡ inline-IN on one cascade.
+    */
+  val forgetFirehose: QueryDef = QueryDef(
+    "q_forget_firehose",
+    (s, dir) => {
+      val (ordersT, root) = relationalBootstrap(s, dir, tag = "_fire")
+      IndexRegistry.forgetCascade(s, s"$root/customer",
+        pmod(col("custkey"), lit(43)) === 9, "custkey",
+        Seq(ordersT -> "custkey"), maxInlineKeys = 0)
+      relationalServe(s, root)
+    },
+    Some(s"""WITH live AS (SELECT o_orderkey, o_custkey AS custkey, o_orderstatus,
+         o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS o_price
+         FROM orders WHERE o_custkey % 43 <> 9),
+       roll AS (SELECT o_orderstatus, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(o_price) * 100 AS BIGINT) AS cents FROM live GROUP BY 1, 2),
+       looks AS (SELECT o_orderkey, custkey, o_orderstatus,
+         CAST(o_price * 100 AS BIGINT) AS cents FROM live
+         WHERE o_orderkey IN (0, 1, 2)),
+       cj AS (SELECT l.custkey, l.o_orderkey, c.c_mktsegment,
+         CAST(l.o_price * 100 AS BIGINT) AS cents
+         FROM live l JOIN customer c ON l.custkey = c.c_custkey
+         WHERE c.c_custkey % 43 <> 9)
+       ${duckChk("orders_rollup", "roll",
+         "concat_ws('|', o_orderstatus, o_orderpriority, CAST(cnt AS VARCHAR), CAST(cents AS VARCHAR))")}
+       UNION ALL ${duckChk("orders_lookups", "looks",
+         "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(custkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))")}
+       UNION ALL ${duckChk("orders_custjoin", "cj",
+         "concat_ws('|', CAST(custkey AS VARCHAR), CAST(o_orderkey AS VARCHAR), c_mktsegment, CAST(cents AS VARCHAR))")}
+       UNION ALL ${duckChk("orders_zrange",
+         "(SELECT o_orderkey, custkey, o_orderstatus, CAST(o_price * 100 AS BIGINT) AS cents FROM live WHERE o_orderkey BETWEEN 1000 AND 3000) zr",
+         "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(custkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))")}"""))
+
   /** CASCADING erasure (referential integrity): the GDPR request
     * names a CUSTOMER, but compliance means erasing the customer ROW,
     * every ORDER keyed to them (the FK children), and every access
@@ -758,6 +802,6 @@ object Forget {
     })
 
   val defs: Seq[QueryDef] = Seq(forgetCapstone, forgetUpdate, forgetStreamSearch,
-    recrawlStreamSearch, forgetRelational, forgetCascadeQ, forgetCascadeStreamQ,
-    forgetAudit)
+    recrawlStreamSearch, forgetRelational, forgetFirehose, forgetCascadeQ,
+    forgetCascadeStreamQ, forgetAudit)
 }

@@ -601,14 +601,16 @@ object Similarity {
     // change set, and the newer walk's own graph fold recomputes
     // exactly those sources from truly-live bands (asserted by the
     // composed-race specs in ForgetSpec).
-    Snapshots.foldThrough(bandsT, GraphThroughPrefix, curV)(
+    Snapshots.foldThrough(bandsT, GraphThroughPrefix, curV,
+        recomputeWhen = lastV => !Snapshots.versionAvailable(baseTable, lastV))(
       graphBandsOf(project(Snapshots.readVersion(s, baseTable, curV)))
         .withColumn("sgn", lit(1L))) { lastV =>
       val (ins0, del0) = Snapshots.changesBetween(s, baseTable, lastV, curV)
       graphBandsOf(project(ins0)).withColumn("sgn", lit(1L))
         .unionByName(graphBandsOf(project(del0)).withColumn("sgn", lit(-1L)))
     }
-    Snapshots.foldThrough(graphT, GraphThroughPrefix, curV)(
+    Snapshots.foldThrough(graphT, GraphThroughPrefix, curV,
+        recomputeWhen = lastV => !Snapshots.versionAvailable(baseTable, lastV))(
       buildGraph(project(Snapshots.readVersion(s, baseTable, curV)))
         .withColumn("sgn", lit(1L))) { lastV =>
       val (ins0, del0) = Snapshots.changesBetween(s, baseTable, lastV, curV)
@@ -1707,13 +1709,23 @@ object Similarity {
     // quantizer train runs INSIDE the bootstrap thunk, so a fold that
     // loses its bootstrap race (the winner already trained + assigned)
     // never re-trains on retry — the watermark re-read no-ops it.
-    Snapshots.foldThrough(listsT, IvfThroughPrefix, curV)({
+    Snapshots.foldThrough(listsT, IvfThroughPrefix, curV,
+        recomputeWhen = lastV => !Snapshots.versionAvailable(baseTable, lastV))({
       val base = project(Snapshots.readVersion(s, baseTable, curV))
-      val (cents, _) = ivfBuild(base, cCountOf(base.count()), 1)
-      // the frozen quantizer, carrying its train-time drift baseline
-      // (one extra assign pass) for the ivfRetrainIfDrifted trigger
-      Snapshots.commitOverwriteTagged(cents, centsT,
-        Seq(IvfDriftBasePrefix + driftMean(quantized(base), cents)))
+      // train ONLY if no quantizer exists yet: a vacuum-triggered
+      // recompute (and a lost bootstrap race) re-ASSIGNS the live
+      // corpus under the existing FROZEN artifact — re-training here
+      // would silently break the frozen-quantizer serving contract
+      val cents =
+        if (Snapshots.currentVersion(centsT) > 0) Snapshots.read(s, centsT)
+        else {
+          val (c, _) = ivfBuild(base, cCountOf(base.count()), 1)
+          // the frozen quantizer, carrying its train-time drift baseline
+          // (one extra assign pass) for the ivfRetrainIfDrifted trigger
+          Snapshots.commitOverwriteTagged(c, centsT,
+            Seq(IvfDriftBasePrefix + driftMean(quantized(base), c)))
+          c
+        }
       ivfAssign(quantized(base), cents).drop("m").withColumn("sgn", lit(1))
     }) { lastV =>
       val cents = Snapshots.read(s, centsT)

@@ -95,7 +95,13 @@ object IndexRegistry {
     ()
   }
 
-  /** The (family, roots) attachments of a base table, in attach order. */
+  /** The (family, roots) attachments of a base table, in attach order.
+    * Deduplicated by family: two RACING attaches of the same family
+    * (both observing it absent, both appending the identical line —
+    * divergent roots are rejected by [[attach]]'s check on whichever
+    * lands second) must not make the walk fold that family twice; the
+    * first line wins, which is also the earlier attach order.
+    */
   def dependents(baseTable: String): Seq[(String, Seq[String])] = {
     val p = depsFile(baseTable)
     if (!Files.exists(p)) return Seq.empty
@@ -105,6 +111,7 @@ object IndexRegistry {
         val parts = l.split("\t", -1).toSeq
         (parts.head, parts.tail)
       }
+      .distinctBy(_._1)
   }
 
   /** Fold the base table's pending changes through EVERY attached

@@ -294,16 +294,24 @@ object MaterializedView {
     * exactly-once and the sketch view union-merges the batch's
     * registers in the same foreachBatch (an append fold by
     * construction — streaming ingest never rewrites history). A
-    * replayed batch no-ops on both sides.
+    * replayed batch no-ops on both sides. With `autoRegister` the
+    * sketch-rewrite pin ([[graft.plans.MvRewrite.registerSketch]])
+    * moves forward inside the same foreachBatch — a matching
+    * `hll_sketch_agg` aggregate issued between micro-batches is
+    * optimizer-served from the stored registers, and the structural
+    * freshness check falls back to the base scan in the
+    * refresh-to-register instant, never to a stale answer.
     */
   def ingestWithSketchRollup(stream: DataFrame, baseTable: String,
       mvTable: String, streamId: String, keys: Seq[String], idCol: String,
-      lgK: Int = 12)
+      lgK: Int = 12, autoRegister: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Snapshots.ingestBatch(batch, baseTable, streamId, batchId)
         sketchRefresh(batch.sparkSession, baseTable, mvTable, keys, idCol, lgK)
+        if (autoRegister)
+          graft.plans.MvRewrite.registerSketch(baseTable, mvTable, keys, idCol, lgK)
         ()
       }
 

@@ -671,7 +671,8 @@ object Snapshots {
     * gap instead of replaying a stale delta. Returns the version
     * serving the fold (the winner's, when this fold no-oped).
     */
-  def foldThrough(table: String, prefix: String, curV: Int)(
+  def foldThrough(table: String, prefix: String, curV: Int,
+      recomputeWhen: Int => Boolean = _ => false)(
       bootstrap: => DataFrame)(delta: Int => DataFrame): Int = {
     var attempt = 0
     while (attempt < 40) {
@@ -680,8 +681,13 @@ object Snapshots {
       val lastV = tagWatermarkAt(table, prefix, head)
       if (lastV >= curV) return head
       val tags = Seq(prefix + curV)
+      // recomputeWhen: the watermark version is unusable for a delta
+      // read (e.g. the base manifest was VACUUMED under the index) —
+      // degrade to one full recompute + a fresh watermark, the MV
+      // refresh convention, instead of failing every fold forever
       val out =
-        if (lastV == 0) commitOverwriteTaggedIf(bootstrap, table, head, tags)
+        if (lastV == 0 || recomputeWhen(lastV))
+          commitOverwriteTaggedIf(bootstrap, table, head, tags)
         else commitAppendTaggedIf(delta(lastV), table, head, tags)
       out match {
         case Some(v) => return v
@@ -1537,7 +1543,9 @@ object Snapshots {
       val lastV = tagWatermarkAt(table, ZlThroughPrefix, head)
       if (lastV >= curV) return head
       val tags = Seq(ZlThroughPrefix + curV)
-      if (lastV == 0) {
+      // a vacuumed watermark degrades to one full re-cluster (the MV
+      // refresh convention), never a permanently failing delta read
+      if (lastV == 0 || !versionAvailable(baseTable, lastV)) {
         val dir = stageDir(table)
         Sources.writeZOrderedN(
           readVersion(spark, baseTable, curV), dir, zCols, files = files)

@@ -31,6 +31,23 @@ class ForgetSpec extends SparkSpec {
     }
   }
 
+  test("racing same-family attaches collapse to one walk entry") {
+    import scala.concurrent.Future
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    Forget.registerBuiltins()
+    val base = s"$tmp/attachrace/base"
+    Snapshots.deleteRecursively(s"$tmp/attachrace")
+    // both racers may observe the family absent and append the same
+    // line; dependents() must still walk it ONCE (first line wins)
+    settleAll(Seq(
+      Future(IndexRegistry.attach(base, "fingerprints", Seq(s"$tmp/attachrace/fps"))),
+      Future(IndexRegistry.attach(base, "fingerprints", Seq(s"$tmp/attachrace/fps")))))
+    assert(IndexRegistry.dependents(base) ==
+      Seq(("fingerprints", Seq(s"$tmp/attachrace/fps"))),
+      s"racing attaches tore the catalog: ${IndexRegistry.dependents(base)}")
+  }
+
   test("a newly registered toy family is folded by forgetWhere, not skipped") {
     Forget.registerBuiltins()
     val root = s"$tmp/toy"
@@ -350,6 +367,30 @@ class ForgetSpec extends SparkSpec {
     heads.foreach { case (t, v) =>
       assert(Snapshots.currentVersion(t) == v, s"idempotent walk re-committed $t")
     }
+  }
+
+  test("a BASE vacuumed under the index watermarks degrades folds to recompute, not failure") {
+    val (baseT, root) = Forget.bootstrap(spark, sfDir, tag = "_vacbase")
+    // one walked erasure, then a second base DML WITHOUT a walk, then
+    // vacuum the base down to its head: every family's watermark now
+    // names a retired manifest — a delta read would fail forever; the
+    // fold must degrade to one recompute + fresh watermark instead
+    // (IVF re-ASSIGNS under the existing frozen quantizer, never
+    // re-trains)
+    IndexRegistry.forgetWhere(spark, baseT, pmod(col("doc_id"), lit(13)) === 1)
+    Snapshots.deleteWhere(spark, baseT, pmod(col("doc_id"), lit(17)) === 2)
+    Snapshots.vacuum(baseT, retain = 1, graceMs = 0L)
+    IndexRegistry.maintainAll(spark, baseT)
+    def chk(r: String) = Forget.serveChecksums(spark, r).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    // reference: same two erasures on a fresh capstone, no vacuum —
+    // its quantizer also trained on the full bootstrap corpus, so the
+    // frozen-artifact assignments are comparable
+    val (refBase, refRoot) = Forget.bootstrap(spark, sfDir, tag = "_vacbaseref")
+    IndexRegistry.forgetWhere(spark, refBase, pmod(col("doc_id"), lit(13)) === 1)
+    IndexRegistry.forgetWhere(spark, refBase, pmod(col("doc_id"), lit(17)) === 2)
+    assert(chk(root) == chk(refRoot),
+      "vacuum-degraded recompute diverged from the incremental serve")
   }
 
   test("clustered-layout family: erasure folds the Z-ordered replica, pruning stays tight") {

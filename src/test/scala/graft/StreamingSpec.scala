@@ -923,6 +923,17 @@ class StreamingSpec extends SparkSpec {
       rep(SparkEntry.queries("q_events_concurrency")(spark, sfDir)),
       "stream-maintained MV diverged from the batch sweep")
 
+    // the auto-registered sketch pin serves a BETWEEN-BATCHES query
+    // from the stored registers, optimizer-routed off the base scan
+    try {
+      val daily = Snapshots.read(spark, baseT).groupBy("day")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("e"))
+      daily.collect()
+      val plan = daily.queryExecution.executedPlan.toString
+      assert(plan.contains("/mv/") && !plan.contains("/base/"),
+        s"between-batches aggregate not served from the sketch view:\n$plan")
+    } finally graft.plans.MvRewrite.clear()
+
     // replay batch 1: no commits anywhere, serve unchanged
     import spark.implicits._
     val (vb, vm) = (Snapshots.currentVersion(baseT), Snapshots.currentVersion(mvT))
@@ -1053,6 +1064,44 @@ class StreamingSpec extends SparkSpec {
     assert(served(postT, dlT, totT) == got, "replay must not change serving")
   }
 
+  test("streamed CASCADING erasure through a real stream: fan-out per batch, serve equals one-shot cascade") {
+    import graft.operators.Forget
+    import graft.sources.{IndexRegistry, Snapshots}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (ordersT, root) = Forget.relationalBootstrap(spark, sfDir, tag = "_casmem")
+    val custT = s"$root/customer"
+    def keysOf(m: Int, r: Int) = Snapshots.read(spark, custT)
+      .where(pmod(col("custkey"), lit(m)) === r)
+      .select("custkey").collect().map(_.getAs[Number](0).longValue).toSeq
+    val (b0, b1) = (keysOf(23, 4), keysOf(29, 6))
+    val mem = MemoryStream[Long]
+    val q = IndexRegistry.forgetCascadeStream(
+      mem.toDF.toDF("custkey"), custT, "custkey", "custkey",
+      Seq(ordersT -> "custkey"), "casmem_s1").start()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(r: String) = Forget.relationalServe(spark, r).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    val got = rows(root)
+    // reference: ONE cascade of the union on a fresh bootstrap
+    val (refOrders, refRoot) = Forget.relationalBootstrap(spark, sfDir, tag = "_casmemref")
+    IndexRegistry.forgetCascade(spark, s"$refRoot/customer",
+      col("custkey").isin((b0 ++ b1): _*), "custkey",
+      Seq(refOrders -> "custkey"))
+    assert(got == rows(refRoot),
+      "streamed cascade diverged from the one-shot cascade of the union")
+    // replay batch 0 (the foreachBatch retry): no table re-commits
+    val heads = Seq(custT, ordersT).map(t => t -> Snapshots.currentVersion(t))
+    IndexRegistry.forgetCascadeBatch(spark, custT, "custkey", b0,
+      Seq(ordersT -> "custkey"), "casmem_s1", 0L)
+    heads.foreach { case (t, v) =>
+      assert(Snapshots.currentVersion(t) == v, s"replayed cascade re-committed $t")
+    }
+  }
+
   test("streamed re-crawl (upsert) folds through the registry; serve equals rebuild, replay no-ops") {
     import graft.sources.{IndexRegistry, Snapshots}
     import graft.functions.TextFunctions
@@ -1128,7 +1177,8 @@ class StreamingSpec extends SparkSpec {
 
     val mem = MemoryStream[(Long, Long)]
     val q = MaterializedView.ingestWithSketchRollup(
-      mem.toDF.toDF("user_id", "day"), baseT, mvT, "sk_s1", Seq("day"), "user_id").start()
+      mem.toDF.toDF("user_id", "day"), baseT, mvT, "sk_s1", Seq("day"), "user_id",
+      autoRegister = true).start()
     try {
       for (k <- 0L to 2L) { mem.addData(batches(k).toSeq: _*); q.processAllAvailable() }
     } finally q.stop()
@@ -1139,6 +1189,17 @@ class StreamingSpec extends SparkSpec {
     assert(est(Snapshots.read(spark, mvT)) ==
       est(ev.groupBy("day").agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))),
       "stream-folded sketch view diverged from one-shot recompute")
+
+    // the auto-registered sketch pin serves a BETWEEN-BATCHES query
+    // from the stored registers, optimizer-routed off the base scan
+    try {
+      val daily = Snapshots.read(spark, baseT).groupBy("day")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("e"))
+      daily.collect()
+      val plan = daily.queryExecution.executedPlan.toString
+      assert(plan.contains("/mv/") && !plan.contains("/base/"),
+        s"between-batches aggregate not served from the sketch view:\n$plan")
+    } finally graft.plans.MvRewrite.clear()
 
     // replay batch 1: no commits anywhere, serve unchanged
     import spark.implicits._
