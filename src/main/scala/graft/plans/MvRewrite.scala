@@ -97,7 +97,35 @@ object MvRewrite {
       sketchRegistry.filterNot(_.mvTable == mvTable)
   }
 
-  def clear(): Unit = { registry = Nil; sketchRegistry = Nil }
+  /** One registered JOIN view ([[graft.sources.MaterializedView
+    * .joinRefresh]]): the signed denormalized L ⋈_key R, pinned at the
+    * base dirs each side's watermark version reflects.
+    */
+  final case class JoinMvDef(mvTable: String, leftDirs: Set[String],
+    rightDirs: Set[String], mvDirs: Seq[String], key: String)
+
+  @volatile private[graft] var joinRegistry: Seq[JoinMvDef] = Nil
+
+  /** Register a join view for rewriting, pinning BOTH bases at the
+    * versions the view's watermarks reflect — [[register]]'s
+    * denormalized-view sibling. Re-registration replaces the table's
+    * previous pin.
+    */
+  def registerJoin(leftTable: String, rightTable: String,
+      mvTable: String, key: String): Unit = {
+    import graft.sources.{MaterializedView, Snapshots}
+    val (lThrough, rThrough) = MaterializedView.joinRefreshedThrough(mvTable)
+    require(lThrough > 0 && rThrough > 0,
+      s"$mvTable has no join-refreshed version")
+    joinRegistry = JoinMvDef(
+      mvTable,
+      Snapshots.versionDirs(leftTable, lThrough).map(normalize).toSet,
+      Snapshots.versionDirs(rightTable, rThrough).map(normalize).toSet,
+      Snapshots.versionDirs(mvTable, Snapshots.currentVersion(mvTable)),
+      key) +: joinRegistry.filterNot(_.mvTable == mvTable)
+  }
+
+  def clear(): Unit = { registry = Nil; sketchRegistry = Nil; joinRegistry = Nil }
 
   /** Path normalization: relation rootPaths carry a scheme. */
   private[plans] def normalize(p: String): String =
@@ -108,8 +136,25 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   import MvRewrite._
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (registry.isEmpty && sketchRegistry.isEmpty) plan
+    if (registry.isEmpty && sketchRegistry.isEmpty && joinRegistry.isEmpty) plan
     else plan.transform {
+      // denormalized-view routing: an INNER equi-join on a registered
+      // view's key, over scans of exactly the dirs both watermarks
+      // pinned, reads the netted signed view instead of re-joining —
+      // a base commit either side of the pin refuses (structural
+      // freshness, as for the aggregate arm)
+      case j @ org.apache.spark.sql.catalyst.plans.logical.Join(lc, rc,
+          org.apache.spark.sql.catalyst.plans.Inner,
+          Some(EqualTo(lk: AttributeReference, rk: AttributeReference)), _)
+          if joinRegistry.nonEmpty &&
+            scanDirs(lc).exists(_._2.isEmpty) && scanDirs(rc).exists(_._2.isEmpty) =>
+        val lDirs = scanDirs(lc).get._1
+        val rDirs = scanDirs(rc).get._1
+        joinRegistry.filter(mv => mv.leftDirs == lDirs && mv.rightDirs == rDirs &&
+            lk.name == mv.key && rk.name == mv.key)
+          .iterator.map(mv => joinRewrite(j, mv))
+          .collectFirst { case Some(p) => p }
+          .getOrElse(j)
       case agg @ Aggregate(groupExprs, aggExprs, child, _)
           if scanDirs(child).nonEmpty =>
         val (dirs, slice) = scanDirs(child).get
@@ -178,6 +223,34 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference => mv.keys.contains(a.name)
       case _ => false
     }
+
+  /** Join-view rewrite: replace the L ⋈_key R node with the NETTED
+    * serve of the signed view (group by every stored column, sum(sgn)
+    * > 0, bag multiplicity restored by sequence-explode — exactly
+    * [[graft.sources.MaterializedView.serveJoin]], built over the
+    * PINNED view dirs), its output re-aliased onto the join's
+    * attribute ids (both key attributes map to the view's single key
+    * column) so every parent expression resolves unchanged. Refuses
+    * when any join output column is missing from the view.
+    */
+  private def joinRewrite(
+      j: org.apache.spark.sql.catalyst.plans.logical.Join,
+      mv: JoinMvDef): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions.{col, explode, lit, sequence, sum}
+    val df = session.read.parquet(mv.mvDirs: _*)
+    val cols = df.columns.filter(_ != "sgn").toSeq
+    val served = df.groupBy(cols.map(col): _*).agg(sum(col("sgn")).as("net"))
+      .where(col("net") > 0)
+      .withColumn("dup", explode(sequence(lit(1L), col("net"))))
+      .select(cols.map(col): _*)
+    val rel = served.queryExecution.analyzed
+    val byName = rel.output.map(a => a.name -> a).toMap
+    val mapped = j.output.map { a =>
+      byName.get(a.name).map(c => Alias(c, a.name)(exprId = a.exprId))
+    }
+    if (mapped.exists(_.isEmpty)) None
+    else Some(Project(mapped.map(_.get), rel))
+  }
 
   /** Sketch-view lattice rewrite — the mergeable-state twin of
     * [[rewrite]]: an `hll_sketch_estimate(hll_sketch_agg(id, lgK))`

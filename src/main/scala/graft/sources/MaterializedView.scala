@@ -320,6 +320,19 @@ object MaterializedView {
   private val JTagL = "mvj_left_through "
   private val JTagR = "mvj_right_through "
 
+  /** The (left base, right base) versions the JOIN view at `mvTable`
+    * currently reflects ((0, 0) if the view does not exist) — read by
+    * the optimizer-rule pin ([[graft.plans.MvRewrite.registerJoin]]).
+    */
+  def joinRefreshedThrough(mvTable: String): (Int, Int) = {
+    val v = Snapshots.currentVersion(mvTable)
+    if (v == 0) return (0, 0)
+    def tagOf(prefix: String) = Snapshots.versionTags(mvTable, v).collectFirst {
+      case t if t.startsWith(prefix) => t.drop(prefix.length).toInt
+    }.getOrElse(0)
+    (tagOf(JTagL), tagOf(JTagR))
+  }
+
   /** Incrementally maintained JOIN view V = π(cols)(L ⋈_key R) over
     * two [[Snapshots]] base tables — the other half of view
     * maintenance next to [[refresh]]'s aggregates: joins are not

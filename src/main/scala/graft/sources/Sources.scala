@@ -413,6 +413,61 @@ object SourceQueries {
            FROM ofin o JOIN lfin l USING (o_orderkey)
            GROUP BY 1, 2"""))
 
+  /** OPTIMIZER-ROUTED denormalized serving — the join view's rewrite
+    * twin (the sketch rewrite's sibling): the query is written as the
+    * plain INNER JOIN over both base scans, and
+    * [[graft.plans.MvRewrite.registerJoin]]'s pin lets the optimizer
+    * replace the join node with the NETTED signed view (group-by +
+    * sum(sgn) > 0 + bag-multiplicity explode over the pinned view
+    * dirs) — the wide serving table answering instead of a re-join,
+    * with the same structural freshness contract as every other
+    * rewrite arm: a commit past EITHER side's watermark refuses.
+    * The view here has absorbed real DML (a left delete + a right
+    * append through one signed delta-join refresh), so the routed
+    * answer exercises tombstone netting, not just a fresh bootstrap;
+    * the oracle recomputes the join from the final table states.
+    * CboSpec plan-asserts the routing and the two-sided staleness
+    * refusal.
+    */
+  val mvJoinRewrite: QueryDef = QueryDef(
+    "q_mv_join_rewrite",
+    (s, dir) => {
+      import graft.sources.Snapshots
+      val root = "/root/repo/target/mvjoin/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_") + "_rw"
+      Snapshots.deleteRecursively(root)
+      val (oT, lT, vT) = (s"$root/orders", s"$root/lineitem", s"$root/view")
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+      Snapshots.commitOverwrite(o, oT)
+      Snapshots.commitOverwrite(l.where(col("o_orderkey") % 7 =!= 0), lT)
+      MaterializedView.joinRefresh(s, oT, lT, vT, "o_orderkey") // bootstrap
+      Snapshots.deleteWhere(s, oT, col("o_orderkey") % 9 === 0)
+      Snapshots.commitAppend(l.where(col("o_orderkey") % 7 === 0), lT)
+      MaterializedView.joinRefresh(s, oT, lT, vT, "o_orderkey") // signed deltas
+      // the pin stays registered (lazy frame — the rule must be live
+      // at materialization); only a join of exactly these two pinned
+      // scans on this key can match it
+      graft.plans.MvRewrite.registerJoin(oT, lT, vT, "o_orderkey")
+      Snapshots.read(s, oT).join(Snapshots.read(s, lT), Seq("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(count(lit(1)).as("n_items"),
+          Portable.dsum(col("l_quantity")).as("sum_qty"),
+          max(col("o_totalprice")).as("o_totalprice"))
+    },
+    Some(s"""WITH ofin AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE o_orderkey % 9 <> 0),
+           lfin AS (SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity
+               FROM lineitem)
+           SELECT o.o_orderkey, o.o_custkey, COUNT(*) AS n_items,
+             ${P.dsum("l_quantity")} AS sum_qty,
+             MAX(o.o_totalprice) AS o_totalprice
+           FROM ofin o JOIN lfin l USING (o_orderkey)
+           GROUP BY 1, 2"""))
+
   /** CSV SINK + SOURCE round-trip — §2.1 row 25's format surface
     * served as a catalog query (previously spec-only): the nation
     * table is written to a CSV sink (quoted headers, the content-keyed
@@ -686,7 +741,8 @@ object SourceQueries {
   val defs: Seq[QueryDef] =
     Seq(zorderSecondary, mvIncremental, mergeUpsert, bloomPointLookup,
       snapshotDiff, mvJoinIncremental, csvRoundtrip, jsonlRoundtrip,
-      partitionPrune, mvSketchIncremental, mvSketchRollup, mvSketchRewrite)
+      partitionPrune, mvSketchIncremental, mvSketchRollup, mvSketchRewrite,
+      mvJoinRewrite)
 }
 
 /** Copy-on-write mutations — the reference's record insert/update/

@@ -435,4 +435,63 @@ class CboSpec extends SparkSpec {
         "post-refresh serving must equal the base recompute")
     } finally MvRewrite.clear()
   }
+
+  test("JOIN-view rewrite: optimizer routing, bag answer-invariance, two-sided staleness refusal") {
+    import graft.plans.MvRewrite
+    import graft.sources.{MaterializedView, Snapshots}
+    val root = "/root/repo/target/cbo-spec/mv_join"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    val (oT, lT, vT) = (s"$root/orders", s"$root/lineitem", s"$root/view")
+    val o = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"), col("l_quantity"))
+    Snapshots.commitOverwrite(o, oT)
+    Snapshots.commitOverwrite(l, lT)
+    MaterializedView.joinRefresh(spark, oT, lT, vT, "o_orderkey")
+    // absorb real DML so the routed serve nets tombstones
+    Snapshots.deleteWhere(spark, oT, col("o_orderkey") % 13 === 0)
+    MaterializedView.joinRefresh(spark, oT, lT, vT, "o_orderkey")
+    try {
+      def joined() = Snapshots.read(spark, oT)
+        .join(Snapshots.read(spark, lT), Seq("o_orderkey"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"),
+          graft.functions.Portable.dsum(col("l_quantity")).as("s"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val truth = rows(joined()) // before the pin: the real join
+
+      MvRewrite.registerJoin(oT, lT, vT, "o_orderkey")
+      val served = joined()
+      val plan = physicalPlan(served)
+      assert(plan.contains("/view/") && !plan.contains("/orders/") &&
+        !plan.contains("/lineitem/"),
+        s"expected the netted join view to replace the join:\n$plan")
+      assert(rows(served) == truth,
+        "join-view rewrite must be answer-invariant (bag semantics included)")
+
+      // staleness, LEFT side: a base commit past the watermark refuses
+      Snapshots.commitAppend(o.where(col("o_orderkey") % 13 === 0).limit(5), oT)
+      assert(physicalPlan(joined()).contains("/orders/"),
+        "a left-base commit past the pin must keep the real join")
+      MaterializedView.joinRefresh(spark, oT, lT, vT, "o_orderkey")
+      MvRewrite.registerJoin(oT, lT, vT, "o_orderkey")
+      assert(physicalPlan(joined()).contains("/view/"))
+      // staleness, RIGHT side
+      Snapshots.commitAppend(l.limit(3), lT)
+      assert(physicalPlan(joined()).contains("/lineitem/"),
+        "a right-base commit past the pin must keep the real join")
+      MaterializedView.joinRefresh(spark, oT, lT, vT, "o_orderkey")
+      MvRewrite.registerJoin(oT, lT, vT, "o_orderkey")
+      val fresh = joined()
+      assert(physicalPlan(fresh).contains("/view/"), physicalPlan(fresh))
+      // and the post-refresh serve equals the real join over the moved bases
+      MvRewrite.clear()
+      assert(rows(fresh) == rows(joined()),
+        "post-refresh routed serve diverged from the real join")
+    } finally MvRewrite.clear()
+  }
 }

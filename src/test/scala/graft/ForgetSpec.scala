@@ -490,6 +490,52 @@ class ForgetSpec extends SparkSpec {
       "racing registry walks diverged from the sequential serve")
   }
 
+  test("CROSS-PROCESS walk race: two driver JVMs racing an erasure, a re-crawl, and a walk converge") {
+    // the in-JVM races above share one process; the production claim
+    // is stronger — the manifest claim is a create-exclusive
+    // FILESYSTEM operation, so folds CAS correctly across DRIVERS.
+    // Three child JVMs (the SpillProbe pattern) race the same base:
+    // a tagged erasure batch, a tagged re-crawl merge, a bare walk.
+    val (baseT, root) = Forget.bootstrap(spark, sfDir, tag = "_xproc")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def launch(mode: String): Process =
+      new ProcessBuilder((Seq("java", "-Xmx3g") ++ addOpens ++ Seq(
+        "-cp", "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*",
+        "graft.tools.WalkRaceProbe", mode, baseT)): _*)
+        .directory(new java.io.File("/root/repo"))
+        .redirectErrorStream(true).start()
+    val procs = Seq("forget", "recrawl", "walk").map(m => m -> launch(m))
+    val results = procs.map { case (m, p) =>
+      val text = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      (m, p.waitFor(), text)
+    }
+    results.foreach { case (m, exit, text) =>
+      assert(exit == 0 && text.contains(s"WALKRACE_OK $m"),
+        s"cross-process racer '$m' failed (exit $exit):\n" +
+          text.linesIterator.toSeq.takeRight(25).mkString("\n"))
+    }
+    // fold any trailing gap in THIS driver, then compare serves
+    IndexRegistry.maintainAll(spark, baseT)
+    def chk(r: String) = Forget.serveChecksums(spark, r).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    val (refBase, refRoot) = Forget.bootstrap(spark, sfDir, tag = "_xprocref")
+    IndexRegistry.forgetWhere(spark, refBase, pmod(col("doc_id"), lit(10)) === 0)
+    val edited = Snapshots.readVersion(spark, refBase, 1)
+      .where(pmod(col("doc_id"), lit(10)) === 3)
+      .withColumn("text", concat(col("text"), lit(" zzxprocrace")))
+    IndexRegistry.recrawlBatch(edited, refBase, "doc_id", "xprocref_mrg", 0L)
+    assert(chk(root) == chk(refRoot),
+      "cross-process racing walks diverged from the sequential serve")
+  }
+
   test("forgetWhere racing index-root COMPACTORS converges to the sequential serve") {
     import scala.concurrent.Future
     implicit val ec: scala.concurrent.ExecutionContext =
