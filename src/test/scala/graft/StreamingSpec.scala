@@ -923,17 +923,6 @@ class StreamingSpec extends SparkSpec {
       rep(SparkEntry.queries("q_events_concurrency")(spark, sfDir)),
       "stream-maintained MV diverged from the batch sweep")
 
-    // the auto-registered sketch pin serves a BETWEEN-BATCHES query
-    // from the stored registers, optimizer-routed off the base scan
-    try {
-      val daily = Snapshots.read(spark, baseT).groupBy("day")
-        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("e"))
-      daily.collect()
-      val plan = daily.queryExecution.executedPlan.toString
-      assert(plan.contains("/mv/") && !plan.contains("/base/"),
-        s"between-batches aggregate not served from the sketch view:\n$plan")
-    } finally graft.plans.MvRewrite.clear()
-
     // replay batch 1: no commits anywhere, serve unchanged
     import spark.implicits._
     val (vb, vm) = (Snapshots.currentVersion(baseT), Snapshots.currentVersion(mvT))
