@@ -1595,10 +1595,49 @@ object Snapshots {
           abortIf = () =>
             if (currentVersion(table) == head) None else Some(ConflictSentinel))
         if (v == ConflictSentinel) (staged ++ insDir.toSeq).foreach(deleteDataDir)
-        else return v
+        else {
+          // run-count compaction policy (the LSM size-ratio convention
+          // applied to runs): fold churn accretes one clustered insert
+          // run + rewritten survivor runs per DML cycle — past the
+          // bound, major-re-cluster into ONE run so pruned reads never
+          // degrade into a many-run footer sweep
+          clusteredMaybeCompact(spark, table, zCols, files)
+          return v
+        }
       }
     }
     sys.error(s"clustered maintenance of $table lost $attempt head races")
+  }
+
+  /** Bounded MAJOR re-cluster of a [[clusteredMaintain]] replica: when
+    * more than `maxRuns` runs have accreted, rewrite the whole replica
+    * into ONE Z-ordered dir, carrying the maintained-through watermark
+    * forward ([[compactNet]]'s contract with a clustered writer —
+    * plain [[compactFull]] would DROP the watermark tag and force the
+    * next walk into a full re-bootstrap). Head-CAS with retry: a
+    * racing maintenance fold is never overwritten.
+    */
+  private def clusteredMaybeCompact(spark: SparkSession, table: String,
+      zCols: Seq[String], files: Int, maxRuns: Int = 8): Unit = {
+    val ConflictSentinel = -1
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val head = currentVersion(table)
+      if (head == 0 || manifestDirs(table, head).size <= maxRuns) return
+      val through = tagWatermarkAt(table, ZlThroughPrefix, head)
+      val dir = stageDir(table)
+      Sources.writeZOrderedN(readVersion(spark, table, head), dir, zCols,
+        files = files)
+      markClustered(dir)
+      val v = commitLoop(table, _ => Seq(dir),
+        tags = Seq(ZlThroughPrefix + through) ++ schemaMetaTags(table, head),
+        abortIf = () =>
+          if (currentVersion(table) == head) None else Some(ConflictSentinel),
+        inheritSchema = false)
+      if (v == ConflictSentinel) deleteDataDir(dir) else return
+    }
+    sys.error(s"clustered compaction of $table lost $attempt head races")
   }
 
   /** MAJOR compaction: merge EVERY current dir — clustered runs and

@@ -413,6 +413,39 @@ object SourceQueries {
            FROM ofin o JOIN lfin l USING (o_orderkey)
            GROUP BY 1, 2"""))
 
+  /** KEY-SLICE serving through the sketch rewrite — the dashboard
+    * shape (`WHERE day < …` over the base scan + a distinct estimate):
+    * a deterministic filter over grouping-key columns commutes with
+    * the group-by, so the rewrite re-anchors it onto the view's key
+    * column and serves the sliced days from the STORED registers —
+    * |slice| rows read, zero event re-scan. Same answer-invariance as
+    * [[mvSketchRewrite]] (register max-merge); the oracle recomputes
+    * exact distincts for the sliced window from raw events.
+    */
+  val mvSketchSlice: QueryDef = QueryDef(
+    "q_mv_sketch_slice",
+    (s, dir) => {
+      val (base, mv, ev) = sketchMvEnsure(s, dir)
+      graft.plans.MvRewrite.registerSketch(base, mv, Seq("day"), "user_id", 12)
+      val d0 = ev.agg(min(col("day"))).head().getLong(0)
+      val est = Snapshots.read(s, base)
+        .where(col("day") < lit(d0 + 4))
+        .groupBy("day")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      val exact = ev.where(col("day") < lit(d0 + 4))
+        .select("user_id", "day").distinct()
+        .groupBy("day").agg(count(lit(1)).as("n_exact"))
+      est.join(exact, "day")
+        .select(col("day"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) * 100 <= col("n_exact") * 15)
+            .as("hll_ok"))
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        mn AS (SELECT MIN(day) AS d0 FROM ud)
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS hll_ok
+        FROM ud, mn WHERE day < d0 + 4 GROUP BY 1"""))
+
   /** OPTIMIZER-ROUTED denormalized serving — the join view's rewrite
     * twin (the sketch rewrite's sibling): the query is written as the
     * plain INNER JOIN over both base scans, and
@@ -742,7 +775,7 @@ object SourceQueries {
     Seq(zorderSecondary, mvIncremental, mergeUpsert, bloomPointLookup,
       snapshotDiff, mvJoinIncremental, csvRoundtrip, jsonlRoundtrip,
       partitionPrune, mvSketchIncremental, mvSketchRollup, mvSketchRewrite,
-      mvJoinRewrite)
+      mvSketchSlice, mvJoinRewrite)
 }
 
 /** Copy-on-write mutations — the reference's record insert/update/

@@ -407,6 +407,16 @@ class CboSpec extends SparkSpec {
       assert(gPlan.contains("/mv/") && !gPlan.contains("/base/"), gPlan)
       assert(g.head().getLong(0) == globalTruth,
         "union-merged registers must reproduce the one-shot estimate")
+      // KEY-SLICE: a deterministic filter on the grouping key commutes
+      // with the group-by and re-anchors onto the view's key column
+      val d0 = ev.agg(min(col("day"))).head().getLong(0)
+      val sliced = Snapshots.read(spark, base)
+        .where(col("day") < lit(d0 + 3)).groupBy("day")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      val sPlan = physicalPlan(sliced)
+      assert(sPlan.contains("/mv/") && !sPlan.contains("/base/"), sPlan)
+      assert(rows(sliced) == dayTruth.filter(_._1 < d0 + 3),
+        "sliced sketch rewrite must equal the filtered truth")
       // a DIFFERENT lgK must refuse (different registers, different answer)
       val other = Snapshots.read(spark, base).groupBy("day")
         .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 11))").as("est"))

@@ -440,6 +440,30 @@ class ForgetSpec extends SparkSpec {
       "idempotent walk re-committed the clustered replica")
   }
 
+  test("clustered replica: a long DML sequence keeps run count bounded, watermark intact") {
+    val (baseT, root) = Forget.relationalBootstrap(spark, sfDir, tag = "_zlcmp")
+    val replica = s"$root/zreplica"
+    // 6 erasure cycles: each fold rewrites touched runs + may add an
+    // insert run; the run-count policy must major-re-cluster past the
+    // bound instead of letting pruned reads degrade into a footer sweep
+    (0 until 6).foreach { i =>
+      IndexRegistry.forgetWhere(spark, baseT,
+        pmod(col("o_orderkey"), lit(101 + i)) === i)
+    }
+    val dirs = Snapshots.versionDirs(replica, Snapshots.currentVersion(replica))
+    assert(dirs.size <= 9, s"replica accreted ${dirs.size} runs — compaction policy idle")
+    // content still ≡ base, and the carried watermark makes the next
+    // walk a strict no-op (a dropped tag would force a re-bootstrap)
+    val b = Snapshots.read(spark, baseT)
+    val r = Snapshots.read(spark, replica)
+    assert(b.exceptAll(r).isEmpty && r.exceptAll(b).isEmpty,
+      "post-compaction replica diverged from base")
+    val v = Snapshots.currentVersion(replica)
+    IndexRegistry.maintainAll(spark, baseT)
+    assert(Snapshots.currentVersion(replica) == v,
+      "compaction dropped the watermark: the walk re-committed")
+  }
+
   // ---- composed registry-walk races (round 13): the per-family folds
   // are head-CAS cycles (Snapshots.foldThrough), so concurrent walks —
   // the steady state of a production pipeline, erasure stream racing
