@@ -427,7 +427,11 @@ object SourceQueries {
     (s, dir) => {
       val (base, mv, ev) = sketchMvEnsure(s, dir)
       graft.plans.MvRewrite.registerSketch(base, mv, Seq("day"), "user_id", 12)
-      val d0 = ev.agg(min(col("day"))).head().getLong(0)
+      // empty corpus: min(day) is NULL — slice from day 0 (the query
+      // then serves zero rows instead of throwing, the EdgeCase
+      // contract every catalog query holds)
+      val mn = ev.agg(min(col("day"))).head()
+      val d0 = if (mn.isNullAt(0)) 0L else mn.getLong(0)
       val est = Snapshots.read(s, base)
         .where(col("day") < lit(d0 + 4))
         .groupBy("day")
