@@ -113,6 +113,15 @@ object Bench {
     // run) makes a maintenance-latency regression trip on its own
     // line instead of hiding inside composite wall-clock
     val walkMs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // ...and the WALL the DML request actually waits (max fold end −
+    // min fold start): families fold in parallel, so the per-family
+    // SUM above is a regression tripwire, not an SLO — a 15 s query
+    // can legitimately carry 60 s of summed parallel folds. Both ship.
+    val walkWallMs = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // fold-contention siblings: lost claim races + backoff ms a
+    // query's registry walks paid (admission-control telemetry —
+    // normally zero; non-zero rows flag a contention storm)
+    val walkContention = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     // best-of-3: single-shot timings swing ±30% under container
     // contention; the minimum is the stable estimate of true cost
     val results = queries.map { case (name, fn) =>
@@ -121,11 +130,20 @@ object Bench {
         else {
           val (r0, w0) = settleBytes()
           graft.sources.IndexRegistry.drainWalkLog()
+          graft.sources.Snapshots.drainFoldContention()
           val tt = timed(name, fn)
           val (r1, w1) = settleBytes()
           shuffleBytes(name) = (r1 - r0, w1 - w0)
           val walks = graft.sources.IndexRegistry.drainWalkLog()
-          if (walks.nonEmpty) walkMs(name) = walks.map(_._3).sum
+          if (walks.nonEmpty) {
+            walkMs(name) = walks.map(_._3).sum
+            walkWallMs(name) =
+              (walks.map(_._5).max - walks.map(_._4).min) / 1000000L
+          }
+          val cont = graft.sources.Snapshots.drainFoldContention()
+          if (cont.nonEmpty)
+            walkContention(name) =
+              (cont.values.map(_._1).sum, cont.values.map(_._2).sum)
           tt
         }
       }.min
@@ -264,6 +282,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val walkJson = walkMs.map { case (k, ms) => jsonStr(k) + ":" + ms }
       .mkString("{", ",", "}")
+    val walkWallJson = walkWallMs.map { case (k, ms) => jsonStr(k) + ":" + ms }
+      .mkString("{", ",", "}")
+    val walkContJson = walkContention.map { case (k, (c, b)) =>
+      jsonStr(k) + s""":{"conflicts":$c,"backoff_ms":$b}"""
+    }.mkString("{", ",", "}")
     // shuffle-byte REGRESSION tripwire: bytes are plan-deterministic
     // (same plan + same fingerprinted data ⟹ same bytes), so a >1.2x
     // write-byte jump on a meaningfully-shuffling query (>1 MB prior)
@@ -282,7 +305,7 @@ object Bench {
           pw > 1000000L && w > 1.2 * pw) =>
         jsonStr(k) + s""":{"prior_write":${priorShuffle(k)},"write":$w}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"annotations":$annJson,"env":$envJson,"index_roots_bytes":$rootsJson,"shuffle_bytes":$shufJson,"shuffle_regressions":$shufRegJson,"walk_ms":$walkJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"annotations":$annJson,"env":$envJson,"index_roots_bytes":$rootsJson,"shuffle_bytes":$shufJson,"shuffle_regressions":$shufRegJson,"walk_ms":$walkJson,"walk_wall_ms":$walkWallJson,"walk_contention":$walkContJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured tail can front-truncate past ~70 queries,
     // losing the early alphabet's timings — persist the complete map

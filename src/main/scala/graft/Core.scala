@@ -54,6 +54,11 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // restore the persisted MV-rewrite catalog (registrations +
+    // freshness pins survive the JVM — a fresh session serves
+    // dashboards from its views immediately, not from base scans
+    // until someone re-registers by hand)
+    graft.plans.MvRewrite.loadCatalog(spark)
     spark
   }
 

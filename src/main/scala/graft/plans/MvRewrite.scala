@@ -49,16 +49,24 @@ object MvRewrite {
     * current watermark reflects. Call again after a refresh to move
     * the pin forward — re-registration REPLACES the table's previous
     * pin (the registry stays bounded when a streaming rollup
-    * re-registers every micro-batch).
+    * re-registers every micro-batch). The registration is PERSISTED
+    * as table metadata ([[restore]] reloads it in a fresh session).
     */
   def register(baseTable: String, mvTable: String,
       keys: Seq[String], sums: Seq[String],
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil): Unit = {
     import graft.sources.{MaterializedView, Snapshots}
-    val through = MaterializedView.refreshedThrough(mvTable)
+    // pin ONE view version and derive BOTH the watermark and the
+    // served dirs from it: a concurrent refresh landing between two
+    // separate head reads would pair an old watermark (old base dirs)
+    // with NEWER view content — newer answers served to a query
+    // scanning the old pinned base, a wrong answer rather than
+    // staleness
+    val v = Snapshots.currentVersion(mvTable)
+    val through = MaterializedView.refreshedThroughAt(mvTable, v)
     require(through > 0, s"$mvTable has no refreshed version")
     val spark = SparkSession.active
-    val mvDirs = Snapshots.versionDirs(mvTable, Snapshots.currentVersion(mvTable))
+    val mvDirs = Snapshots.versionDirs(mvTable, v)
     registry = MvDef(
       mvTable,
       Snapshots.versionDirs(baseTable, through).map(normalize).toSet,
@@ -67,6 +75,8 @@ object MvRewrite {
       // time (the analog of the reference's TableStats row counts)
       spark.read.parquet(mvDirs: _*).count(),
       mins.toSet, maxs.toSet) +: registry.filterNot(_.mvTable == mvTable)
+    persist(mvTable, Seq("agg", baseTable, keys.mkString(","),
+      sums.mkString(","), mins.mkString(","), maxs.mkString(",")))
   }
 
   /** One registered SKETCH view ([[graft.sources.MaterializedView
@@ -87,45 +97,188 @@ object MvRewrite {
   def registerSketch(baseTable: String, mvTable: String,
       keys: Seq[String], idCol: String, lgK: Int = 12): Unit = {
     import graft.sources.{MaterializedView, Snapshots}
-    val through = MaterializedView.sketchRefreshedThrough(mvTable)
+    // pin ONE view version for watermark AND dirs (see [[register]])
+    val v = Snapshots.currentVersion(mvTable)
+    val through = MaterializedView.sketchRefreshedThroughAt(mvTable, v)
     require(through > 0, s"$mvTable has no sketch-refreshed version")
-    val mvDirs = Snapshots.versionDirs(mvTable, Snapshots.currentVersion(mvTable))
+    val mvDirs = Snapshots.versionDirs(mvTable, v)
     sketchRegistry = SketchMvDef(
       mvTable,
       Snapshots.versionDirs(baseTable, through).map(normalize).toSet,
       mvDirs, keys.toSet, idCol, lgK) +:
       sketchRegistry.filterNot(_.mvTable == mvTable)
+    persist(mvTable, Seq("sketch", baseTable, keys.mkString(","), idCol,
+      lgK.toString))
   }
 
   /** One registered JOIN view ([[graft.sources.MaterializedView
     * .joinRefresh]]): the signed denormalized L ⋈_key R, pinned at the
-    * base dirs each side's watermark version reflects.
+    * base dirs each side's watermark version reflects. `viewRows` is
+    * the PHYSICAL (signed, tombstone-inclusive) row count the netting
+    * serve must scan; `baseRows` the summed base-side row counts the
+    * join it replaces would scan — the cost statistics behind the
+    * routing gate (the reference's TableStats-driven access-path
+    * choice, QueryPlan.executeOptimal).
     */
   final case class JoinMvDef(mvTable: String, leftDirs: Set[String],
-    rightDirs: Set[String], mvDirs: Seq[String], key: String)
+    rightDirs: Set[String], mvDirs: Seq[String], key: String,
+    viewRows: Long = 0L, baseRows: Long = Long.MaxValue)
 
   @volatile private[graft] var joinRegistry: Seq[JoinMvDef] = Nil
 
   /** Register a join view for rewriting, pinning BOTH bases at the
     * versions the view's watermarks reflect — [[register]]'s
     * denormalized-view sibling. Re-registration replaces the table's
-    * previous pin.
+    * previous pin. Cost statistics (physical view rows vs base scan
+    * rows) come off parquet FOOTERS — no Spark job at registration.
     */
   def registerJoin(leftTable: String, rightTable: String,
       mvTable: String, key: String): Unit = {
     import graft.sources.{MaterializedView, Snapshots}
-    val (lThrough, rThrough) = MaterializedView.joinRefreshedThrough(mvTable)
+    // pin ONE view version for watermarks AND dirs (see [[register]])
+    val v = Snapshots.currentVersion(mvTable)
+    val (lThrough, rThrough) = MaterializedView.joinRefreshedThroughAt(mvTable, v)
     require(lThrough > 0 && rThrough > 0,
       s"$mvTable has no join-refreshed version")
+    val spark = SparkSession.active
+    val lDirs = Snapshots.versionDirs(leftTable, lThrough)
+    val rDirs = Snapshots.versionDirs(rightTable, rThrough)
+    val mvDirs = Snapshots.versionDirs(mvTable, v)
     joinRegistry = JoinMvDef(
       mvTable,
-      Snapshots.versionDirs(leftTable, lThrough).map(normalize).toSet,
-      Snapshots.versionDirs(rightTable, rThrough).map(normalize).toSet,
-      Snapshots.versionDirs(mvTable, Snapshots.currentVersion(mvTable)),
-      key) +: joinRegistry.filterNot(_.mvTable == mvTable)
+      lDirs.map(normalize).toSet,
+      rDirs.map(normalize).toSet,
+      mvDirs,
+      key,
+      viewRows = Snapshots.footerRows(spark, mvDirs),
+      baseRows = Snapshots.footerRows(spark, lDirs) +
+        Snapshots.footerRows(spark, rDirs)) +:
+      joinRegistry.filterNot(_.mvTable == mvTable)
+    persist(mvTable, Seq("join", leftTable, rightTable, key))
   }
 
   def clear(): Unit = { registry = Nil; sketchRegistry = Nil; joinRegistry = Nil }
+
+  // ---- persisted rewrite catalog (survives the JVM) ----
+  //
+  // The in-memory registries above are the SERVING tier; without a
+  // persisted twin every registration (and its freshness pin) would
+  // evaporate on JVM exit and a fresh session would serve every
+  // dashboard from base scans until someone re-registered by hand.
+  // Each registration therefore also writes its DEFINITION (kind +
+  // arguments, one TSV line) to `<mvTable>/meta/mvrewrite.def` — the
+  // `dependents.list` pattern ([[graft.sources.IndexRegistry]]) — and
+  // upserts the view's path into one deployment-wide catalog file.
+  // [[loadCatalog]] (run by `GraftSession.create`) re-registers every
+  // persisted definition: the PIN is re-derived from the persisted
+  // watermark tags at load time (one source of truth — a stored pin
+  // could go stale against a refresh that happened between sessions),
+  // and a pinned base version whose manifest was VACUUMED fails LOUD
+  // instead of silently serving from a dangling pin.
+
+  private[graft] val catalogFile: java.nio.file.Path =
+    java.nio.file.Paths.get("/root/repo/target/graft-tables/mvrewrite.catalog")
+
+  private def defFile(mvTable: String): java.nio.file.Path =
+    java.nio.file.Paths.get(mvTable, "meta", "mvrewrite.def")
+
+  private def persist(mvTable: String, parts: Seq[String]): Unit = synchronized {
+    import java.nio.file.{Files, StandardCopyOption}
+    require(parts.forall(p => !p.contains("\t") && !p.contains("\n")),
+      s"mvrewrite definition parts must not contain tabs/newlines: $parts")
+    val f = defFile(mvTable)
+    Files.createDirectories(f.getParent)
+    val tmp = f.resolveSibling(s".mvrewrite-${java.util.UUID.randomUUID}.tmp")
+    Files.write(tmp, (parts.mkString("\t") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    val abs = java.nio.file.Paths.get(mvTable).toAbsolutePath.normalize.toString
+    Files.createDirectories(catalogFile.getParent)
+    val existing =
+      if (Files.exists(catalogFile))
+        new String(Files.readAllBytes(catalogFile),
+          java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSet
+      else Set.empty[String]
+    if (!existing.contains(abs))
+      Files.write(catalogFile,
+        (abs + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    ()
+  }
+
+  /** Re-register ONE persisted rewrite definition from
+    * `<mvTable>/meta/mvrewrite.def`. The freshness pin is re-derived
+    * from the view's CURRENT persisted watermark tags; a pin whose
+    * base manifest was vacuumed fails LOUD with the view named.
+    */
+  def restore(spark: SparkSession, mvTable: String): Unit = {
+    import java.nio.file.Files
+    val f = defFile(mvTable)
+    require(Files.exists(f), s"no persisted mvrewrite definition at $mvTable")
+    val parts = new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.find(_.nonEmpty)
+      .getOrElse(sys.error(s"empty mvrewrite definition at $mvTable"))
+      .split("\t", -1).toSeq
+    def list(s: String): Seq[String] =
+      if (s.isEmpty) Nil else s.split(",", -1).toSeq
+    try parts.head match {
+      case "agg" =>
+        register(parts(1), mvTable, list(parts(2)), list(parts(3)),
+          list(parts(4)), list(parts(5)))
+      case "sketch" =>
+        registerSketch(parts(1), mvTable, list(parts(2)), parts(3),
+          parts(4).toInt)
+      case "join" =>
+        registerJoin(parts(1), parts(2), mvTable, parts(3))
+      case k => sys.error(s"unknown mvrewrite kind '$k' at $mvTable")
+    } catch {
+      case e: IllegalArgumentException =>
+        // loud, with the integrity story attached: the pinned base
+        // manifest is gone (vacuumed past the pin) — serving would
+        // require a freshness check against dirs that no longer exist
+        throw new IllegalStateException(
+          s"persisted mvrewrite registration for $mvTable cannot be " +
+            s"restored — its pinned base version is unavailable " +
+            s"(vacuumed?): ${e.getMessage}", e)
+    }
+  }
+
+  /** Load every persisted rewrite registration at session start —
+    * views whose table (or whose base tables) were DROPPED since are
+    * skipped; a view whose base exists but whose pinned manifest was
+    * vacuumed fails loud ([[restore]]). Returns the restored tables.
+    */
+  def loadCatalog(spark: SparkSession): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    if (!Files.exists(catalogFile)) return Nil
+    new String(Files.readAllBytes(catalogFile),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSeq.distinct
+      .filter { mvTable =>
+        if (!Files.exists(defFile(mvTable))) false // view dropped
+        else {
+          val parts = new String(Files.readAllBytes(defFile(mvTable)),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .linesIterator.find(_.nonEmpty).getOrElse("").split("\t", -1).toSeq
+          val bases = parts.head match {
+            case "join" => Seq(parts(1), parts(2))
+            case _ if parts.length > 1 => Seq(parts(1))
+            case _ => Nil
+          }
+          // dropped base table (test teardown, retired pipeline):
+          // prune silently — only a PRESENT base with a vacuumed pin
+          // is an integrity failure
+          bases.nonEmpty &&
+            bases.forall(b => Files.exists(Paths.get(b, "meta"))) &&
+            Files.exists(Paths.get(mvTable, "meta")) && {
+              restore(spark, mvTable); true
+            }
+        }
+      }
+  }
 
   /** Path normalization: relation rootPaths carry a scheme. */
   private[plans] def normalize(p: String): String =
@@ -151,7 +304,17 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         val lDirs = scanDirs(lc).get._1
         val rDirs = scanDirs(rc).get._1
         joinRegistry.filter(mv => mv.leftDirs == lDirs && mv.rightDirs == rDirs &&
-            lk.name == mv.key && rk.name == mv.key)
+            lk.name == mv.key && rk.name == mv.key &&
+            // cost gate (the aggregate arm's TableStats discipline
+            // applied to routing): the netting serve scans every
+            // PHYSICAL signed row of the view — a churn-bloated view
+            // (tombstone debt near the compaction bound) can carry
+            // more rows than the two base scans the join would read,
+            // at which point re-joining is the cheaper plan. Route
+            // only when the view scan is no larger than the base
+            // scans it replaces; refuse otherwise (answer unchanged,
+            // the join simply runs).
+            mv.viewRows <= mv.baseRows)
           .iterator.map(mv => joinRewrite(j, mv))
           .collectFirst { case Some(p) => p }
           .getOrElse(j)

@@ -97,21 +97,35 @@ object IndexRegistry {
 
   /** The (family, roots) attachments of a base table, in attach order.
     * Deduplicated by family: two RACING attaches of the same family
-    * (both observing it absent, both appending the identical line —
-    * divergent roots are rejected by [[attach]]'s check on whichever
-    * lands second) must not make the walk fold that family twice; the
-    * first line wins, which is also the earlier attach order.
+    * that both observed it absent may both append their line; when the
+    * lines are IDENTICAL the first wins (same roots, no harm). Lines
+    * for one family with DIFFERENT roots fail LOUD here instead of
+    * being silently masked: [[attach]]'s divergent-roots check only
+    * catches the non-racing case (second attacher reads the first's
+    * line), and a masked divergence means the dropped attacher's index
+    * roots are never maintained while its caller believes the attach
+    * succeeded — a torn registry, the exact failure this catalog
+    * exists to prevent.
     */
   def dependents(baseTable: String): Seq[(String, Seq[String])] = {
     val p = depsFile(baseTable)
     if (!Files.exists(p)) return Seq.empty
-    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
       .filter(_.nonEmpty)
       .map { l =>
         val parts = l.split("\t", -1).toSeq
         (parts.head, parts.tail)
       }
-      .distinctBy(_._1)
+    val divergent = lines.groupBy(_._1)
+      .collect { case (f, ls) if ls.map(_._2).distinct.size > 1 => f }
+    require(divergent.isEmpty,
+      s"dependents catalog at $baseTable carries DIVERGENT roots for " +
+        s"famil${if (divergent.size == 1) "y" else "ies"} " +
+        s"${divergent.mkString(", ")} — two racing attaches registered " +
+        "different index roots; reconcile the catalog (keep one line per " +
+        "family) before walking, or the losing roots silently miss " +
+        "maintenance")
+    lines.distinctBy(_._1)
   }
 
   /** Fold the base table's pending changes through EVERY attached
@@ -155,8 +169,9 @@ object IndexRegistry {
     def fold(family: String, roots: Seq[String], fn: Maintainer): (String, Long) = {
       val t0 = System.nanoTime()
       fn(s, baseTable, roots)
-      val ms = (System.nanoTime() - t0) / 1000000L
-      walkLog.add((baseTable, family, ms))
+      val t1 = System.nanoTime()
+      val ms = (t1 - t0) / 1000000L
+      walkLogAdd((baseTable, family, ms, t0, t1))
       (family, ms)
     }
     if (!parallel || resolved.size <= 1)
@@ -185,21 +200,47 @@ object IndexRegistry {
     }
   }
 
-  /** Per-fold walk log — (baseTable, family, fold millis) appended by
-    * every [[maintainAllTimed]] on this JVM. The bench harness drains
-    * it around each query to attach registry-maintenance latency
-    * (`walk_ms`) to the queries that triggered walks, so a
-    * maintenance-latency regression trips deterministically instead
-    * of hiding inside a composite query's wall-clock.
+  /** One walk-log entry: (baseTable, family, fold millis, fold start
+    * nanos, fold end nanos). Wall-clock endpoints let the bench report
+    * the WALL a DML request actually waits (max end − min start across
+    * a query's parallel folds) next to the fold-time SUM.
+    */
+  type WalkEntry = (String, String, Long, Long, Long)
+
+  /** Per-fold walk log, appended by every [[maintainAllTimed]] on this
+    * JVM. The bench harness drains it around each query to attach
+    * registry-maintenance latency (`walk_ms` / `walk_wall_ms`) to the
+    * queries that triggered walks, so a maintenance-latency regression
+    * trips deterministically instead of hiding inside a composite
+    * query's wall-clock. BOUNDED: only the bench drains it, so on a
+    * long-lived driver running DML without a bench the log would grow
+    * one entry per family per walk forever — past [[WalkLogCap]] the
+    * oldest entries drop (counted in [[droppedWalkEntries]]), keeping
+    * the footprint flat while the drain-around-query contract is
+    * unaffected (a bench drains far more often than the cap fills).
     */
   private val walkLog =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
+    new java.util.concurrent.ConcurrentLinkedQueue[WalkEntry]()
+  private val WalkLogCap = 4096
+  private val walkLogSize = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val droppedWalk = new java.util.concurrent.atomic.LongAdder()
+
+  private def walkLogAdd(e: WalkEntry): Unit = {
+    walkLog.add(e)
+    if (walkLogSize.incrementAndGet() > WalkLogCap) {
+      if (walkLog.poll() != null) { walkLogSize.decrementAndGet(); droppedWalk.increment() }
+    }
+    ()
+  }
+
+  /** Entries dropped from the capped walk log since JVM start. */
+  def droppedWalkEntries: Long = droppedWalk.sum()
 
   /** Remove and return everything accumulated in the walk log. */
-  def drainWalkLog(): Seq[(String, String, Long)] = {
-    val buf = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+  def drainWalkLog(): Seq[WalkEntry] = {
+    val buf = scala.collection.mutable.ArrayBuffer[WalkEntry]()
     var e = walkLog.poll()
-    while (e != null) { buf += e; e = walkLog.poll() }
+    while (e != null) { buf += e; walkLogSize.decrementAndGet(); e = walkLog.poll() }
     buf.toSeq
   }
 

@@ -59,13 +59,21 @@ object MaterializedView {
   /** The base version the MV at `mvTable` currently reflects (0 if the
     * MV does not exist yet).
     */
-  def refreshedThrough(mvTable: String): Int = {
-    val v = Snapshots.currentVersion(mvTable)
+  def refreshedThrough(mvTable: String): Int =
+    refreshedThroughAt(mvTable, Snapshots.currentVersion(mvTable))
+
+  /** [[refreshedThrough]] at a PINNED view version — the accessor an
+    * optimizer-rule registration must use so the watermark and the
+    * served dirs come from the SAME version read (a concurrent refresh
+    * landing between two separate head reads would pair an old
+    * watermark with newer view content — a wrong answer, not
+    * staleness).
+    */
+  def refreshedThroughAt(mvTable: String, v: Int): Int =
     if (v == 0) 0
     else Snapshots.versionTags(mvTable, v).collectFirst {
       case t if t.startsWith(TagPrefix) => t.drop(TagPrefix.length).toInt
     }.getOrElse(0)
-  }
 
   /** Stable MV schema: keys, `cnt` long, one exact decimal(38,6)
     * running sum per sum column, plus native-typed min/max columns.
@@ -211,13 +219,17 @@ object MaterializedView {
     * under the sketch watermark, read by the optimizer-rule pin
     * ([[graft.plans.MvRewrite.registerSketch]]).
     */
-  def sketchRefreshedThrough(mvTable: String): Int = {
-    val v = Snapshots.currentVersion(mvTable)
+  def sketchRefreshedThrough(mvTable: String): Int =
+    sketchRefreshedThroughAt(mvTable, Snapshots.currentVersion(mvTable))
+
+  /** [[sketchRefreshedThrough]] at a PINNED view version — see
+    * [[refreshedThroughAt]] for why registrations must pin one read.
+    */
+  def sketchRefreshedThroughAt(mvTable: String, v: Int): Int =
     if (v == 0) 0
     else Snapshots.versionTags(mvTable, v).collectFirst {
       case t if t.startsWith(SkTagPrefix) => t.drop(SkTagPrefix.length).toInt
     }.getOrElse(0)
-  }
 
   /** Incrementally maintained MERGEABLE-SKETCH view — the sketch cell
     * of the MV matrix next to count/sum (abelian fold), min/max
@@ -324,8 +336,13 @@ object MaterializedView {
     * currently reflects ((0, 0) if the view does not exist) — read by
     * the optimizer-rule pin ([[graft.plans.MvRewrite.registerJoin]]).
     */
-  def joinRefreshedThrough(mvTable: String): (Int, Int) = {
-    val v = Snapshots.currentVersion(mvTable)
+  def joinRefreshedThrough(mvTable: String): (Int, Int) =
+    joinRefreshedThroughAt(mvTable, Snapshots.currentVersion(mvTable))
+
+  /** [[joinRefreshedThrough]] at a PINNED view version — see
+    * [[refreshedThroughAt]] for why registrations must pin one read.
+    */
+  def joinRefreshedThroughAt(mvTable: String, v: Int): (Int, Int) = {
     if (v == 0) return (0, 0)
     def tagOf(prefix: String) = Snapshots.versionTags(mvTable, v).collectFirst {
       case t if t.startsWith(prefix) => t.drop(prefix.length).toInt

@@ -205,6 +205,31 @@ object Snapshots {
     sys.error(s"commit to $table failed after $MaxCommitAttempts attempts")
   }
 
+  /** ONE-SHOT conflict-checked claim — the true compare-and-swap every
+    * head-CAS'd commit rests on: claim exactly `expectHead + 1` with
+    * content derived from `expectHead`, and let the create-exclusive
+    * manifest claim ITSELF be the atomicity point — an already-present
+    * v(expectHead+1).manifest (any racer won) is the conflict signal
+    * (None). The check-then-act alternative (validate the head, then
+    * re-read it to pick the next version) leaves a window where a racer
+    * committing expectHead+1 between the two reads makes this commit
+    * land at expectHead+2 ON TOP of the racer's content despite the
+    * "CAS" — double-folding a watermark delta, or re-publishing rows a
+    * concurrent append carried past a delete probe. Here there is no
+    * second read: either we create expectHead+1 or we conflict.
+    */
+  private def commitExactIf(table: String, expectHead: Int,
+      dirs: Seq[String], tags: Seq[String],
+      inheritSchema: Boolean = true): Option[Int] = {
+    val all =
+      if (inheritSchema && expectHead > 0 &&
+          !tags.exists(_.startsWith(SchemaTagPrefix)))
+        tags ++ schemaMetaTags(table, expectHead)
+      else tags
+    if (claimManifest(table, expectHead + 1, dirs, all)) Some(expectHead + 1)
+    else None
+  }
+
   /** Commit a new version whose content REPLACES the table. */
   def commitOverwrite(df: DataFrame, table: String): Int = {
     val dir = writeData(df, table)
@@ -436,13 +461,14 @@ object Snapshots {
           .write.mode(SaveMode.ErrorIfExists).parquet(out)
         out
       }
-      val ConflictSentinel = -1
-      val v = commitLoop(table,
-        prev => manifestDirs(table, prev).filterNot(touched.toSet) ++ staged,
-        abortIf = () =>
-          if (currentVersion(table) == cur) None else Some(ConflictSentinel))
-      if (v == ConflictSentinel) staged.foreach(deleteDataDir)
-      else return v
+      // exact claim of cur+1: the probe is only valid against the
+      // snapshot it ran on, and the claim itself is the CAS — a racer
+      // committing between our probe and this claim makes it fail
+      commitExactIf(table, cur,
+        manifestDirs(table, cur).filterNot(touched.toSet) ++ staged, Nil) match {
+        case Some(v) => return v
+        case None => staged.foreach(deleteDataDir)
+      }
     }
     sys.error(s"deleteMatching on $table lost $attempt head races")
   }
@@ -470,22 +496,25 @@ object Snapshots {
       out
     }
     val srcDir = writeData(source, table)
-    val ConflictSentinel = -1
-    val v = commitLoop(table,
-      prev => {
-        val prevDirs = if (prev == 0) Seq.empty else manifestDirs(table, prev)
-        prevDirs.filterNot(touched.toSet) ++ staged :+ srcDir
-      },
-      tags = tags,
-      abortIf = () => extraAbort().orElse {
-        // head CAS: the probe is only valid against the exact snapshot
-        // it ran on — any commit since (even a pure append) may carry
-        // matched keys it never saw
-        if (currentVersion(table) == cur) None else Some(ConflictSentinel)
-      })
-    if (v == ConflictSentinel) {
-      (staged :+ srcDir).foreach(deleteDataDir); None
-    } else Some(v)
+    // replay check (exactly-once ingest tag) runs once, just before the
+    // claim; a twin committing AFTER this check makes our exact claim
+    // fail (conflict), and the caller's retry re-runs the check
+    extraAbort() match {
+      case Some(v) =>
+        (staged :+ srcDir).foreach(deleteDataDir)
+        return Some(v)
+      case None => ()
+    }
+    // head CAS: the probe is only valid against the exact snapshot it
+    // ran on — any commit since (even a pure append) may carry matched
+    // keys it never saw. The exact claim of cur+1 IS the CAS.
+    val out = commitExactIf(table, cur,
+      (if (cur == 0) Seq.empty
+       else manifestDirs(table, cur)).filterNot(touched.toSet) ++
+        staged :+ srcDir,
+      tags)
+    if (out.isEmpty) (staged :+ srcDir).foreach(deleteDataDir)
+    out
   }
 
   /** EXACTLY-ONCE streaming merge — the CDC-apply loop: each
@@ -586,12 +615,12 @@ object Snapshots {
   def commitOverwriteTaggedIf(df: DataFrame, table: String, expectHead: Int,
       tags: Seq[String]): Option[Int] = {
     val dir = writeData(df, table)
-    val ConflictSentinel = -1
-    val v = commitLoop(table, _ => Seq(dir), tags = tags,
-      abortIf = () =>
-        if (currentVersion(table) == expectHead) None else Some(ConflictSentinel),
+    // the create-exclusive claim of expectHead+1 IS the CAS — no head
+    // re-read between validation and claim (see [[commitExactIf]])
+    val out = commitExactIf(table, expectHead, Seq(dir), tags,
       inheritSchema = false)
-    if (v == ConflictSentinel) { deleteDataDir(dir); None } else Some(v)
+    if (out.isEmpty) deleteDataDir(dir)
+    out
   }
 
   /** The provenance tags committed with a version's manifest. */
@@ -641,13 +670,14 @@ object Snapshots {
   def commitAppendTaggedIf(df: DataFrame, table: String, expectHead: Int,
       tags: Seq[String]): Option[Int] = {
     val dir = writeData(df, table)
-    val ConflictSentinel = -1
-    val v = commitLoop(table, prev =>
-      (if (prev == 0) Seq.empty else manifestDirs(table, prev)) :+ dir,
-      tags = tags,
-      abortIf = () =>
-        if (currentVersion(table) == expectHead) None else Some(ConflictSentinel))
-    if (v == ConflictSentinel) { deleteDataDir(dir); None } else Some(v)
+    // exact claim of expectHead+1 with dirs pinned to expectHead's
+    // manifest — the claim is the CAS (see [[commitExactIf]])
+    val out = commitExactIf(table, expectHead,
+      (if (expectHead == 0) Seq.empty
+       else manifestDirs(table, expectHead)) :+ dir,
+      tags)
+    if (out.isEmpty) deleteDataDir(dir)
+    out
   }
 
   /** Conflict-checked WATERMARK FOLD — the maintenance-cycle primitive
@@ -674,27 +704,85 @@ object Snapshots {
   def foldThrough(table: String, prefix: String, curV: Int,
       recomputeWhen: Int => Boolean = _ => false)(
       bootstrap: => DataFrame)(delta: Int => DataFrame): Int = {
-    var attempt = 0
-    while (attempt < 40) {
-      attempt += 1
-      val head = currentVersion(table)
-      val lastV = tagWatermarkAt(table, prefix, head)
-      if (lastV >= curV) return head
-      val tags = Seq(prefix + curV)
-      // recomputeWhen: the watermark version is unusable for a delta
-      // read (e.g. the base manifest was VACUUMED under the index) —
-      // degrade to one full recompute + a fresh watermark, the MV
-      // refresh convention, instead of failing every fold forever
-      val out =
-        if (lastV == 0 || recomputeWhen(lastV))
-          commitOverwriteTaggedIf(bootstrap, table, head, tags)
-        else commitAppendTaggedIf(delta(lastV), table, head, tags)
-      out match {
-        case Some(v) => return v
-        case None => () // lost the head race: re-pin and re-derive
+    // ADMISSION CONTROL (round-14): a contention storm — many
+    // concurrent walks folding one derived table — must degrade
+    // GRACEFULLY, not by retry-spinning each fold toward its attempt
+    // ceiling. Three pieces: (1) a per-table fold budget (fair
+    // semaphore) bounds how many folds even compete for one head at a
+    // time, so the storm queues instead of thrashing staged writes
+    // that conflict-abort; (2) a lost claim backs off with bounded
+    // exponential delay + jitter before re-pinning, de-synchronizing
+    // the survivors; (3) conflicts and backoff time are COUNTED per
+    // table ([[drainFoldContention]]) and surfaced by the bench next
+    // to walk_ms, so contention is a tracked metric, not an invisible
+    // tax. Uncontended folds pay one uncontested tryAcquire — free.
+    val gate = foldGates.computeIfAbsent(table,
+      _ => new java.util.concurrent.Semaphore(MaxConcurrentFolds, true))
+    gate.acquire()
+    try {
+      var attempt = 0
+      while (attempt < 40) {
+        attempt += 1
+        val head = currentVersion(table)
+        val lastV = tagWatermarkAt(table, prefix, head)
+        if (lastV >= curV) return head
+        val tags = Seq(prefix + curV)
+        // recomputeWhen: the watermark version is unusable for a delta
+        // read (e.g. the base manifest was VACUUMED under the index) —
+        // degrade to one full recompute + a fresh watermark, the MV
+        // refresh convention, instead of failing every fold forever
+        val out =
+          if (lastV == 0 || recomputeWhen(lastV))
+            commitOverwriteTaggedIf(bootstrap, table, head, tags)
+          else commitAppendTaggedIf(delta(lastV), table, head, tags)
+        out match {
+          case Some(v) => return v
+          case None => // lost the head race: count, back off, re-derive
+            noteFoldConflict(table, attempt)
+        }
       }
-    }
-    sys.error(s"maintenance fold of $table lost $attempt head races")
+      sys.error(s"maintenance fold of $table lost $attempt head races")
+    } finally gate.release()
+  }
+
+  // ---- registry-walk admission control (round-14 verdict item) ----
+
+  private val MaxConcurrentFolds = 4
+  private val foldGates =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Semaphore]()
+  private val foldConflictCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+  private val foldBackoffMs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+
+  /** Record one lost fold race and sleep a bounded exponential backoff
+    * (2^attempt ms, capped at 100 ms, with uniform jitter) so racing
+    * survivors de-synchronize instead of re-colliding in lockstep.
+    */
+  private def noteFoldConflict(table: String, attempt: Int): Unit = {
+    foldConflictCounts.computeIfAbsent(table,
+      _ => new java.util.concurrent.atomic.LongAdder()).increment()
+    val cap = math.min(100L, 1L << math.min(attempt, 7))
+    val sleep = 1L + java.util.concurrent.ThreadLocalRandom.current().nextLong(cap)
+    foldBackoffMs.computeIfAbsent(table,
+      _ => new java.util.concurrent.atomic.LongAdder()).add(sleep)
+    Thread.sleep(sleep)
+  }
+
+  /** Drain the per-table fold-contention counters accumulated since
+    * the last drain: table → (lost claim races, backoff ms slept).
+    * The bench surfaces these next to walk_ms so a contention storm is
+    * a tracked regression line, not an invisible retry tax.
+    */
+  def drainFoldContention(): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val tables = (foldConflictCounts.keySet().asScala ++
+      foldBackoffMs.keySet().asScala).toSeq.distinct
+    tables.map { t =>
+      val c = Option(foldConflictCounts.remove(t)).map(_.sum()).getOrElse(0L)
+      val b = Option(foldBackoffMs.remove(t)).map(_.sum()).getOrElse(0L)
+      t -> (c, b)
+    }.filter { case (_, (c, b)) => c > 0 || b > 0 }.toMap
   }
 
   /** MAJOR compaction of a tombstone-folded derived table: rewrite the
@@ -744,14 +832,23 @@ object Snapshots {
   def compactionDebt(spark: SparkSession, table: String): (Long, Long) = {
     val v = currentVersion(table)
     if (v == 0) return (0L, 0L)
-    // exact row counts straight off the parquet FOOTERS, on the
-    // driver — a policy check must not cost one Spark job per
-    // manifest dir (it runs inside every maintenance entry point;
-    // a long-lived table can carry many delta dirs). Footer row
-    // counts are exact (written by the committing job), so the
-    // policy math is unchanged.
+    val counts = manifestDirs(table, v).map(d => footerRows(spark, Seq(d)))
+    (counts.head, counts.tail.sum)
+  }
+
+  /** Exact row count of FLAT parquet data dirs straight off the
+    * footers, on the driver — a policy/cost check must not cost one
+    * Spark job per manifest dir (it runs inside every maintenance
+    * entry point and at optimizer-rule registration; a long-lived
+    * table can carry many delta dirs). Footer row counts are exact
+    * (written by the committing job). Only DIRECT children are
+    * counted — the [[writeData]]/[[stageDir]] layout; a
+    * partition-structured dir needs a recursive walk this probe
+    * deliberately does not pay.
+    */
+  def footerRows(spark: SparkSession, dirs: Seq[String]): Long = {
     val conf = spark.sessionState.newHadoopConf()
-    def rowsOf(d: String): Long = {
+    dirs.map { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) 0L
@@ -768,9 +865,7 @@ object Snapshots {
               n
             } finally r.close()
           }.sum
-    }
-    val counts = manifestDirs(table, v).map(rowsOf)
-    (counts.head, counts.tail.sum)
+    }.sum
   }
 
   /** Size-ratio compaction POLICY over [[compactNet]] — the LSM
@@ -963,16 +1058,25 @@ object Snapshots {
     */
   def commitTransformIf(table: String, requires: Seq[String])(
       f: Seq[String] => Seq[String]): Option[Int] = {
-    val ConflictSentinel = -1
-    val v = commitLoop(table,
-      prev => f(if (prev == 0) Seq.empty else manifestDirs(table, prev)),
-      abortIf = () => {
-        val cur = currentVersion(table)
-        val present = if (cur == 0) Set.empty[String]
-          else manifestDirs(table, cur).toSet
-        if (requires.forall(present.contains)) None else Some(ConflictSentinel)
-      })
-    if (v == ConflictSentinel) None else Some(v)
+    // per attempt: pin ONE version, validate `requires` against ITS
+    // manifest, and claim exactly cur+1 with content derived from that
+    // same manifest — the claim is the CAS, so a racer landing between
+    // validation and claim fails the claim instead of letting stale
+    // staged content graft onto the racer's manifest. A benign race
+    // (requires still present in the new head) retries; a conflicting
+    // one (an input dir left the manifest) aborts with None.
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val cur = currentVersion(table)
+      val dirs = if (cur == 0) Seq.empty[String] else manifestDirs(table, cur)
+      if (!requires.forall(dirs.toSet.contains)) return None
+      commitExactIf(table, cur, f(dirs), Nil) match {
+        case Some(v) => return Some(v)
+        case None => () // claim race: re-pin and re-validate
+      }
+    }
+    None
   }
 
   /** The data directories making up a committed version (read-only
@@ -1066,19 +1170,40 @@ object Snapshots {
       return committedVersion(table, streamId, batchId)
         .getOrElse(currentVersion(table))
     val dir = writeData(df, table)
-    // the committed-check re-runs at the top of EVERY claim attempt:
-    // two concurrent replays of the same batch (a zombie driver racing
-    // its restarted query) can both pass the check above, but the loser
-    // of the version race re-checks, sees the winner's tag, and abandons
-    // its commit instead of appending the batch twice
-    commitLoop(table, prev =>
-      (if (prev == 0) Seq.empty else manifestDirs(table, prev)) :+ dir,
-      tags = Seq(ingestTag(streamId, batchId)),
-      abortIf = () =>
-        if (batchCommitted(table, streamId, batchId))
-          Some(committedVersion(table, streamId, batchId)
-            .getOrElse(currentVersion(table)))
-        else None)
+    ingestExact(table, streamId, batchId, dir)
+  }
+
+  /** Shared exactly-once claim loop for the ingest-tag family: per
+    * attempt, re-check the (streamId, batchId) tag, pin ONE head, and
+    * claim exactly head+1 — the create-exclusive claim is the CAS, so
+    * two concurrent replays of the same batch (a zombie driver racing
+    * its restarted query) can never BOTH commit: the loser's claim
+    * fails, it re-checks, sees the winner's tag, and resolves to the
+    * winner's version. The check-then-act alternative (check the tag,
+    * then re-read the head to pick the next version) left a window
+    * where a twin committing between the two reads let the batch land
+    * twice.
+    */
+  private def ingestExact(table: String, streamId: String, batchId: Long,
+      dir: String): Int = {
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      if (batchCommitted(table, streamId, batchId)) {
+        deleteDataDir(dir)
+        return committedVersion(table, streamId, batchId)
+          .getOrElse(currentVersion(table))
+      }
+      val head = currentVersion(table)
+      commitExactIf(table, head,
+        (if (head == 0) Seq.empty else manifestDirs(table, head)) :+ dir,
+        Seq(ingestTag(streamId, batchId))) match {
+        case Some(v) => return v
+        case None => () // claim race: re-check the tag and retry
+      }
+    }
+    sys.error(s"ingest batch ($streamId, $batchId) to $table lost " +
+      s"$MaxCommitAttempts claim races")
   }
 
   /** [[ingestBatch]] with a CALLER-STAGED data dir — for batches whose
@@ -1095,14 +1220,7 @@ object Snapshots {
         .getOrElse(currentVersion(table))
     val dir = stageDir(table)
     stage(dir)
-    commitLoop(table, prev =>
-      (if (prev == 0) Seq.empty else manifestDirs(table, prev)) :+ dir,
-      tags = Seq(ingestTag(streamId, batchId)),
-      abortIf = () =>
-        if (batchCommitted(table, streamId, batchId))
-          Some(committedVersion(table, streamId, batchId)
-            .getOrElse(currentVersion(table)))
-        else None)
+    ingestExact(table, streamId, batchId, dir)
   }
 
   /** EXACTLY-ONCE batched DELETE — the erasure-request stream's commit
@@ -1154,15 +1272,24 @@ object Snapshots {
     // content-REPLACING commit: the batch's own data defines the
     // schema afresh — inheriting the predecessor's schema tags (the
     // append-family default) would serve the OLD schema over the new
-    // content (evolved-in columns invisible, dropped ones resurrected)
-    commitLoop(table, _ => Seq(dir),
-      tags = Seq(ingestTag(streamId, batchId)),
-      abortIf = () =>
-        if (batchCommitted(table, streamId, batchId))
-          Some(committedVersion(table, streamId, batchId)
-            .getOrElse(currentVersion(table)))
-        else None,
-      inheritSchema = false)
+    // content (evolved-in columns invisible, dropped ones resurrected).
+    // Same exactly-once exact-claim loop as [[ingestExact]].
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      if (batchCommitted(table, streamId, batchId)) {
+        deleteDataDir(dir)
+        return committedVersion(table, streamId, batchId)
+          .getOrElse(currentVersion(table))
+      }
+      commitExactIf(table, currentVersion(table), Seq(dir),
+        Seq(ingestTag(streamId, batchId)), inheritSchema = false) match {
+        case Some(v) => return v
+        case None => () // claim race: re-check the tag and retry
+      }
+    }
+    sys.error(s"overwrite batch ($streamId, $batchId) to $table lost " +
+      s"$MaxCommitAttempts claim races")
   }
 
   /** Continuous ingestion: run a streaming DataFrame into the
@@ -1535,7 +1662,6 @@ object Snapshots {
     import org.apache.spark.sql.functions.col
     val curV = currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
-    val ConflictSentinel = -1
     var attempt = 0
     while (attempt < 20) {
       attempt += 1
@@ -1550,11 +1676,12 @@ object Snapshots {
         Sources.writeZOrderedN(
           readVersion(spark, baseTable, curV), dir, zCols, files = files)
         markClustered(dir)
-        val v = commitLoop(table, _ => Seq(dir), tags = tags,
-          abortIf = () =>
-            if (currentVersion(table) == head) None else Some(ConflictSentinel),
-          inheritSchema = false)
-        if (v == ConflictSentinel) deleteDataDir(dir) else return v
+        // the exact claim of head+1 is the CAS (see [[commitExactIf]])
+        commitExactIf(table, head, Seq(dir), tags,
+          inheritSchema = false) match {
+          case Some(v) => return v
+          case None => deleteDataDir(dir)
+        }
       } else {
         val (ins0, del0) = changesBetween(spark, baseTable, lastV, curV)
         val ins = ins0.localCheckpoint()
@@ -1588,14 +1715,15 @@ object Snapshots {
             markClustered(out)
             Some(out)
           }
-        val v = commitLoop(table,
-          prev => manifestDirs(table, prev).filterNot(touched.toSet) ++
+        // exact claim of head+1, content pinned to head's manifest —
+        // the claim is the CAS (see [[commitExactIf]])
+        val out = commitExactIf(table, head,
+          manifestDirs(table, head).filterNot(touched.toSet) ++
             staged ++ insDir.toSeq,
-          tags = tags,
-          abortIf = () =>
-            if (currentVersion(table) == head) None else Some(ConflictSentinel))
-        if (v == ConflictSentinel) (staged ++ insDir.toSeq).foreach(deleteDataDir)
+          tags)
+        if (out.isEmpty) (staged ++ insDir.toSeq).foreach(deleteDataDir)
         else {
+          val v = out.get
           // run-count compaction policy (the LSM size-ratio convention
           // applied to runs): fold churn accretes one clustered insert
           // run + rewritten survivor runs per DML cycle — past the
@@ -1619,7 +1747,6 @@ object Snapshots {
     */
   private def clusteredMaybeCompact(spark: SparkSession, table: String,
       zCols: Seq[String], files: Int, maxRuns: Int = 8): Unit = {
-    val ConflictSentinel = -1
     var attempt = 0
     while (attempt < 20) {
       attempt += 1
@@ -1630,12 +1757,13 @@ object Snapshots {
       Sources.writeZOrderedN(readVersion(spark, table, head), dir, zCols,
         files = files)
       markClustered(dir)
-      val v = commitLoop(table, _ => Seq(dir),
-        tags = Seq(ZlThroughPrefix + through) ++ schemaMetaTags(table, head),
-        abortIf = () =>
-          if (currentVersion(table) == head) None else Some(ConflictSentinel),
-        inheritSchema = false)
-      if (v == ConflictSentinel) deleteDataDir(dir) else return
+      // exact claim of head+1 — the claim is the CAS
+      commitExactIf(table, head, Seq(dir),
+        Seq(ZlThroughPrefix + through) ++ schemaMetaTags(table, head),
+        inheritSchema = false) match {
+        case Some(_) => return
+        case None => deleteDataDir(dir)
+      }
     }
     sys.error(s"clustered compaction of $table lost $attempt head races")
   }
