@@ -504,4 +504,119 @@ class CboSpec extends SparkSpec {
         "post-refresh routed serve diverged from the real join")
     } finally MvRewrite.clear()
   }
+
+  test("persisted rewrite catalog: registrations survive a session restart; a vacuumed pin fails loud") {
+    import graft.functions.Portable
+    import graft.plans.MvRewrite
+    import graft.sources.{MaterializedView, Snapshots}
+    val root = "/root/repo/target/cbo-spec/mv_persist"
+    Snapshots.deleteRecursively(root)
+    val base = s"$root/base"; val mv = s"$root/mv"
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    Snapshots.commitOverwrite(li, base)
+    MaterializedView.refresh(spark, base, mv, Seq("l_returnflag"), Seq("l_quantity"))
+    try {
+      def canonical() = Snapshots.read(spark, base)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Portable.dsum(col("l_quantity")).as("s"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val truth = rows(canonical())
+      MvRewrite.register(base, mv, Seq("l_returnflag"), Seq("l_quantity"))
+      assert(physicalPlan(canonical()).contains("/mv/"))
+
+      // "JVM exit": every in-memory registry evaporates — without the
+      // persisted catalog the next session serves base scans forever
+      MvRewrite.clear()
+      assert(physicalPlan(canonical()).contains("/base/"),
+        "cleared registry must stop rewriting (restart simulation baseline)")
+
+      // session start (GraftSession.create's hook): the persisted
+      // definitions re-register, the pin re-derives from the persisted
+      // watermark tags, and the rewrite fires again — bit-identically
+      val restored = MvRewrite.loadCatalog(spark)
+      assert(restored.exists(_.endsWith("mv_persist/mv")),
+        s"expected the persisted registration to reload, got: $restored")
+      val served = canonical()
+      assert(physicalPlan(served).contains("/mv/") &&
+        !physicalPlan(served).contains("/base/"),
+        s"restored registration must rewrite:\n${physicalPlan(served)}")
+      assert(rows(served) == truth, "restored rewrite must be answer-invariant")
+
+      // vacuumed pin: retire the base manifest version the watermark
+      // pins — restoring that registration must fail LOUD (a silent
+      // skip would serve dashboards from base scans with nobody told;
+      // a silent serve would answer freshness checks against dirs
+      // that no longer exist)
+      MvRewrite.clear()
+      val pinned = MaterializedView.refreshedThrough(mv)
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(base, "meta", s"v$pinned.manifest"))
+      val e = intercept[IllegalStateException] { MvRewrite.restore(spark, mv) }
+      assert(e.getMessage.contains(mv), e.getMessage)
+    } finally {
+      MvRewrite.clear()
+      // drop the root so the poisoned entry PRUNES from later session
+      // loads (the dropped-table path) instead of failing them
+      Snapshots.deleteRecursively(root)
+    }
+  }
+
+  test("JOIN-view cost gate: a churn-bloated view refuses routing; compaction re-admits it") {
+    import graft.plans.MvRewrite
+    import graft.sources.{MaterializedView, Snapshots}
+    val root = "/root/repo/target/cbo-spec/mv_join_gate"
+    Snapshots.deleteRecursively(root)
+    val (oT, lT, vT) = (s"$root/orders", s"$root/lineitem", s"$root/view")
+    // 100 orders x 4 lineitems: view net rows (400) stay close to the
+    // base scan total (500), so realistic tombstone churn can push the
+    // view's PHYSICAL rows past the base scans while remaining under
+    // joinMaybeCompact's 0.5 debt bound — exactly the regime where
+    // routing to the view is a pessimization
+    val o = spark.range(100).selectExpr("id as o_orderkey", "id % 7 as o_custkey")
+    val l = spark.range(400).selectExpr("id % 100 as o_orderkey", "id as l_lineid")
+    Snapshots.commitOverwrite(o, oT)
+    Snapshots.commitOverwrite(l, lT)
+    MaterializedView.joinRefresh(spark, oT, lT, vT, "o_orderkey")
+    try {
+      def joined() = Snapshots.read(spark, oT)
+        .join(Snapshots.read(spark, lT), Seq("o_orderkey"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // fresh view: 400 physical rows vs 500 base rows — routes
+      MvRewrite.registerJoin(oT, lT, vT, "o_orderkey")
+      assert(physicalPlan(joined()).contains("/view/"),
+        s"fresh view must route:\n${physicalPlan(joined())}")
+
+      // churn: delete 120 right rows; the signed view accretes 120
+      // tombstones (physical 520) while the base scans SHRINK to 380 —
+      // debt (120 <= 0.5*400) stays under the compaction bound, so the
+      // bloat persists and the gate must refuse
+      Snapshots.deleteWhere(spark, lT, col("o_orderkey") < 30)
+      MaterializedView.joinRefresh(spark, oT, lT, vT, "o_orderkey")
+      val truth = rows(joined())
+      MvRewrite.registerJoin(oT, lT, vT, "o_orderkey")
+      val gated = joined()
+      assert(physicalPlan(gated).contains("/orders/") &&
+        physicalPlan(gated).contains("/lineitem/"),
+        s"churn-bloated view must refuse routing:\n${physicalPlan(gated)}")
+      assert(rows(gated) == truth, "refusal must leave the answer unchanged")
+
+      // more churn crosses the 0.5 debt bound -> joinMaybeCompact nets
+      // the view; post-compaction the view is small again and the gate
+      // re-admits it
+      Snapshots.deleteWhere(spark, lT, col("o_orderkey") < 60)
+      MaterializedView.joinRefresh(spark, oT, lT, vT, "o_orderkey")
+      MvRewrite.registerJoin(oT, lT, vT, "o_orderkey")
+      val readmitted = joined()
+      assert(physicalPlan(readmitted).contains("/view/"),
+        s"compacted view must route again:\n${physicalPlan(readmitted)}")
+      MvRewrite.clear()
+      assert(rows(readmitted) == rows(joined()),
+        "re-admitted routed serve diverged from the real join")
+    } finally MvRewrite.clear()
+  }
 }

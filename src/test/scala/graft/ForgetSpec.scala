@@ -560,6 +560,77 @@ class ForgetSpec extends SparkSpec {
       "cross-process racing walks diverged from the sequential serve")
   }
 
+  test("contention storm: 8 racing folds converge under admission control, contention surfaced") {
+    import scala.concurrent.Future
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val root = s"$tmp/storm"
+    Snapshots.deleteRecursively(root)
+    val baseT = s"$root/base"; val idxT = s"$root/idx"
+    Snapshots.commitOverwrite(spark.range(0, 50).toDF("id"), baseT)
+    Snapshots.drainFoldContention() // isolate this test's counters
+    // 8 walkers, each repeatedly appending a disjoint batch to the
+    // base and folding the derived table through its own head — the
+    // storm shape the admission control exists for: folds queue at the
+    // per-table budget and back off on lost claims instead of
+    // retry-spinning toward the attempt ceiling (which would surface
+    // here as a sys.error failing the future)
+    val threads = 8; val rounds = 3
+    def fold(curV: Int): Unit = {
+      Snapshots.foldThrough(idxT, "storm_through ", curV)(
+        Snapshots.readVersion(spark, baseT, curV)) { lastV =>
+        val (ins, _) = Snapshots.changesBetween(spark, baseT, lastV, curV)
+        ins
+      }
+      ()
+    }
+    val racers = (1 to threads).map { t =>
+      Future {
+        (1 to rounds).foreach { r =>
+          Snapshots.commitAppend(
+            spark.range(1000L * t + 100L * r, 1000L * t + 100L * r + 10)
+              .toDF("id"), baseT)
+          fold(Snapshots.currentVersion(baseT))
+        }
+        0
+      }
+    }
+    settleAll(racers)
+    // fold any trailing gap (a walker may have pinned a head older
+    // than the last racing append), then compare content
+    fold(Snapshots.currentVersion(baseT))
+    def ids(t: String) = Snapshots.read(spark, t)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(idxT) == ids(baseT),
+      "racing folds under admission control diverged from the base")
+    // the storm must be a TRACKED event, not an invisible retry tax:
+    // at least one lost claim race was counted and backed off
+    val cont = Snapshots.drainFoldContention()
+    val (conflicts, backoff) = cont.getOrElse(idxT, (0L, 0L))
+    assert(conflicts > 0 && backoff > 0,
+      s"expected surfaced fold contention on $idxT, got $cont")
+  }
+
+  test("persisted divergent-roots duplicate lines fail the walk loudly, never silently mask") {
+    Forget.registerBuiltins()
+    val base = s"$tmp/diverge/base"
+    Snapshots.deleteRecursively(s"$tmp/diverge")
+    IndexRegistry.attach(base, "fingerprints", Seq(s"$tmp/diverge/fps"))
+    // simulate the attach RACE attach() itself cannot catch: two
+    // attachers of one family with DIFFERENT roots both observed it
+    // absent and both appended — the catalog now carries both lines,
+    // and silently serving only the first would leave the second
+    // attacher's roots unmaintained while its caller believes the
+    // attach succeeded
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base, "meta", "dependents.list"),
+      s"fingerprints\t$tmp/diverge/OTHER\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    val e = intercept[IllegalArgumentException] { IndexRegistry.dependents(base) }
+    assert(e.getMessage.contains("fingerprints"), e.getMessage)
+  }
+
   test("forgetWhere racing index-root COMPACTORS converges to the sequential serve") {
     import scala.concurrent.Future
     implicit val ec: scala.concurrent.ExecutionContext =
