@@ -1839,11 +1839,16 @@ object Dedup {
     * unlike row 22's probabilistic MinHash, detection is certain,
     * at ~1/w the index size of indexing every gram (row 21c).
     *
-    * Scale shape: grams and window expansion are map-side (each gram
-    * joins ≤ w windows — corpus-linear ×4); the per-window argmin is
-    * one window function partitioned by (doc, window) — keys grow
-    * with the corpus, never a global sort; the rollup groups on the
-    * fingerprint hash. Never pairwise.
+    * Scale shape: grams are map-side; the per-window argmin is ONE
+    * rolling min over a w-row ROWS frame on pos-ordered grams per doc
+    * (round-14: replaces a ×w window-membership explode + per-(doc,
+    * window) row_number — one shuffle keyed by doc, no fanout). Each
+    * window's winner is min(struct(hash, −pos)) over its frame —
+    * lexicographic struct ordering gives smallest hash, ties to the
+    * LARGEST pos, i.e. the canonical rightmost-min rule, so the
+    * selected set is identical to the row_number form. Per-doc keys
+    * grow with the corpus, never a global sort; the rollup groups on
+    * the fingerprint hash. Never pairwise.
     */
   val winnow: QueryDef = QueryDef(
     "d_dedup_winnow",
@@ -1861,15 +1866,17 @@ object Dedup {
               cast(array() as array<bigint>))"""))
         .select(col("doc_id"), size(col("g")).as("ng"),
           posexplode(col("g")).as(Seq("pos", "h")))
-      val inWindows = grams
-        .withColumn("j", explode(expr(
-          s"""if(greatest(0, pos - $W + 1) <= least(pos, ng - $W),
-              sequence(greatest(0, pos - $W + 1), least(pos, ng - $W)),
-              cast(array() as array<int>))""")))
-      val w = Window.partitionBy("doc_id", "j")
-        .orderBy(col("h"), col("pos").desc)
-      inWindows.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("doc_id"), col("pos"), col("h")).distinct()
+      // row at pos = window start j: frame [j, j + W - 1] holds exactly
+      // the window's grams (positions are consecutive ints per doc)
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, W - 1)
+      grams
+        .withColumn("sel",
+          min(struct(col("h").as("mh"), (-col("pos")).as("np"))).over(w))
+        .where(col("pos") <= col("ng") - W) // valid window starts only
+        .select(col("doc_id"), col("sel.mh").as("h"),
+          (-col("sel.np")).as("pos"))
+        .distinct()
         .groupBy(col("h").as("fingerprint"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occurrences"))
