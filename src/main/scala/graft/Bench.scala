@@ -93,6 +93,50 @@ object Bench {
     }
     val shuffleBytes = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
 
+    // HOST-LOAD CALIBRATION GATE (round-14): the 1.5x outlier retry
+    // can re-measure individual spikes but cannot fix a UNIFORMLY slow
+    // window (round-13's driver bench carried 24 untouched-file drift
+    // annotations a same-tree re-run did not reproduce). Before timing
+    // anything, run a pinned CPU-bound probe (xxhash64 fold over a
+    // fixed range — data-independent, shuffle-free) against its
+    // committed reference (tools/bench_calibration.json, written once
+    // on first run); while the host is >1.1x slower than reference,
+    // wait and re-probe (bounded — ~1 min worst case), then RECORD the
+    // final ratio in the output so a drift-polluted window adjudicates
+    // itself instead of polluting the round-over-round signal.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 12000000000L, 1L, cpus.toInt)
+        .select(xxhash64(col("id")).as("h"))
+        .agg(expr("bit_xor(h)")).head()
+      (System.nanoTime() - t0) / 1e6
+    }
+    calibrate() // JIT/codegen warm-up, unmeasured
+    var calMs = calibrate()
+    val calPath = java.nio.file.Paths.get("/root/repo/tools/bench_calibration.json")
+    val calRef: Option[Double] =
+      try {
+        val txt = java.nio.file.Files.readString(calPath)
+        """"ref_ms":([0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+      } catch { case _: Throwable => None }
+    var calAttempts = 1
+    calRef match {
+      case Some(ref) =>
+        while (calMs > 1.1 * ref && calAttempts < 5) {
+          Thread.sleep(15000)
+          calAttempts += 1
+          calMs = math.min(calMs, calibrate())
+        }
+      case None =>
+        // first run on this deployment: commit the reference
+        try java.nio.file.Files.writeString(calPath,
+          s"""{"ref_ms":$calMs,"probe":"xxhash64 fold over range(1.2e10), ${cpus} threads"}\n""")
+        catch { case _: Throwable => () }
+    }
+    val calJson = s"""{"ms":${math.round(calMs)},"ref_ms":${
+      math.round(calRef.getOrElse(calMs))},"ratio":${
+      math.round(100.0 * calMs / calRef.getOrElse(calMs)) / 100.0},"attempts":$calAttempts}"""
+
     // optional dev-only filter (the driver never sets this)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -305,7 +349,7 @@ object Bench {
           pw > 1000000L && w > 1.2 * pw) =>
         jsonStr(k) + s""":{"prior_write":${priorShuffle(k)},"write":$w}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"annotations":$annJson,"env":$envJson,"index_roots_bytes":$rootsJson,"shuffle_bytes":$shufJson,"shuffle_regressions":$shufRegJson,"walk_ms":$walkJson,"walk_wall_ms":$walkWallJson,"walk_contention":$walkContJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"annotations":$annJson,"env":$envJson,"index_roots_bytes":$rootsJson,"shuffle_bytes":$shufJson,"shuffle_regressions":$shufRegJson,"walk_ms":$walkJson,"walk_wall_ms":$walkWallJson,"walk_contention":$walkContJson,"calibration":$calJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured tail can front-truncate past ~70 queries,
     // losing the early alphabet's timings — persist the complete map
