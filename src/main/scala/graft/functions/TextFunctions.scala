@@ -3380,8 +3380,58 @@ object TextFunctions {
                 ORDER BY ratio_x1000 DESC, w) AS BIGINT) AS rk FROM sc) t
             WHERE rk <= 3"""))
 
+  /** ENCODING / MOJIBAKE audit — the byte-hygiene gate a crawl corpus
+    * passes BEFORE any text metric is trusted (broken decodes poison
+    * tokenization, dedup shingles, and language ID alike): per source,
+    * how many docs carry U+FFFD replacement characters (a decoder
+    * already gave up), how many carry raw C0 control characters
+    * (binary mis-sniffed as text; tab/newline/CR excluded), and the
+    * corpus non-ASCII character rate (×100k, truncated — a sudden
+    * shift flags a charset regression upstream, not "foreign text is
+    * bad"). All counts are exact integers; the rate divides two exact
+    * sums (non-negative, so Spark div ≡ DuckDB //).
+    *
+    * Scale shape: one map-side scan computes the three per-doc flags,
+    * one source-keyed aggregate; output = |sources| rows. Regexes are
+    * single-pass char classes — no backtracking blowup on long docs.
+    */
+  val encodingAudit: QueryDef = QueryDef(
+    "t_encoding_audit",
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("nonascii",
+          length(regexp_replace(col("text"), "[\\x00-\\x7F]", "")))
+        .withColumn("has_repl",
+          when(col("text").contains("�"), 1L).otherwise(0L))
+        .withColumn("has_ctrl",
+          when(col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), 1L)
+            .otherwise(0L))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("has_repl")).as("n_replacement_docs"),
+          sum(col("has_ctrl")).as("n_control_docs"),
+          sum(col("nonascii")).as("nonascii_chars"),
+          expr("(sum(nonascii) * 100000) div greatest(sum(length(text)), 1)")
+            .as("nonascii_x100k"))
+    },
+    Some("""WITH d AS (SELECT source,
+              length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS nonascii,
+              CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS has_repl,
+              CASE WHEN regexp_matches(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')
+                THEN 1 ELSE 0 END AS has_ctrl,
+              length(text) AS n
+            FROM documents)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(has_repl) AS BIGINT) AS n_replacement_docs,
+            CAST(SUM(has_ctrl) AS BIGINT) AS n_control_docs,
+            CAST(SUM(nonascii) AS BIGINT) AS nonascii_chars,
+            CAST((CAST(SUM(nonascii) AS BIGINT) * 100000)
+              // greatest(CAST(SUM(n) AS BIGINT), 1) AS BIGINT) AS nonascii_x100k
+          FROM d GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(langId, quality, qualityLm, qualityBuckets, tokens, fingerprint, hashSample, stratifiedSample, datasetCard,
+      encodingAudit,
       sourceDistinctTerms,
       normalize, contamination, weightedSample, pipelineE2e, wordCount,
       collocations, repetition, piiRedact, packSequences, mixtureSample,

@@ -3146,6 +3146,132 @@ object Events {
             CAST(CAST(SUM(d) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_div_x1e6
           FROM d GROUP BY 1, 2"""))
 
+  /** MANN-WHITNEY U (rank-sum) test — the nonparametric twin of
+    * [[abTest]]'s two-proportion readout: compares the purchase-VALUE
+    * distribution between the two id-parity arms without assuming
+    * normality (the standard readout when the metric is skewed
+    * revenue, not a conversion flag). Exact integer arithmetic
+    * throughout: tie-averaged ranks are computed from the VALUE
+    * HISTOGRAM (ranks cum+1..cum+t at a tied value average to
+    * (2·cum+t+1)/2, so DOUBLED rank sums stay integral), U follows
+    * from 2R₁ − n₁(n₁+1), and the rank-biserial effect size ships as
+    * a truncated ×1000 fixed-point on the non-negative |U_a − U_b|
+    * (Spark div truncates, DuckDB // floors — identical only for
+    * non-negative operands, the checksum convention).
+    *
+    * Scale shape: the corpus folds to a cents-value histogram in one
+    * shuffle; the rank prefix-sum is a window over the (bounded)
+    * distinct-value series, the [[changepoint]] precedent — never a
+    * corpus-sized sort. Int64 audit: 2·rank sums ≤ 2N² — fine to ~2B
+    * purchases; past that the fold casts to decimal(38,0).
+    */
+  val mannWhitney: QueryDef = QueryDef(
+    "q_events_mannwhitney",
+    (s, dir) => {
+      val e = events(s, dir).where(col("event_type") === "purchase")
+        .select(expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"),
+          (col("user_id") % 2).as("arm"))
+      val h = e.groupBy("cents").agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val t = h
+        .withColumn("cum", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+        .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+          sum(col("ca") * (col("cum") * 2 + col("ca") + col("cb") + 1)).as("rr2a"))
+      t.withColumn("u2_a", col("rr2a") - col("n_a") * (col("n_a") + 1))
+        .withColumn("u2_b", col("n_a") * col("n_b") * 2 - col("u2_a"))
+        .select(col("n_a"), col("n_b"), col("u2_a"), col("u2_b"),
+          expr("(500 * abs(u2_a - u2_b)) div (n_a * n_b)").as("effect_x1000"),
+          (col("u2_a") > col("u2_b")).as("a_shift_up"))
+    },
+    Some("""WITH e AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+              user_id % 2 AS arm
+            FROM events WHERE event_type = 'purchase'),
+          h AS (SELECT cents,
+              CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+              CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+            FROM e GROUP BY 1),
+          r AS (SELECT ca, cb,
+              COALESCE(SUM(ca + cb) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM h),
+          t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+              CAST(SUM(cb) AS BIGINT) AS n_b,
+              CAST(SUM(ca * (cum * 2 + ca + cb + 1)) AS BIGINT) AS rr2a
+            FROM r),
+          u AS (SELECT n_a, n_b,
+              rr2a - n_a * (n_a + 1) AS u2_a,
+              n_a * n_b * 2 - (rr2a - n_a * (n_a + 1)) AS u2_b
+            FROM t)
+          SELECT n_a, n_b, u2_a, u2_b,
+            CAST((500 * abs(u2_a - u2_b)) // (n_a * n_b) AS BIGINT) AS effect_x1000,
+            u2_a > u2_b AS a_shift_up
+          FROM u"""))
+
+  /** CHI-SQUARE independence audit of event_type × day-of-week — the
+    * contingency-table sibling of [[dowEffect]]'s one-way variance
+    * decomposition: is traffic MIX (not just volume) day-dependent?
+    * χ² = Σ (o·N − r·c)² / (N·r·c) over the FULL T×7 grid (absent
+    * cells contribute their expected mass — dropping them understates
+    * the statistic), each term a truncated ×1000 fixed-point in
+    * decimal(38,0)/HUGEINT so both engines sum identical integers.
+    *
+    * Scale shape: the corpus folds to ≤ T×7 observed cells in one
+    * shuffle; the grid completion is a T×7 cross join of two tiny
+    * aggregates; output is one row. The decimal(38,0) term math holds
+    * to N ≈ 10⁹ events; a 100 TB log first rolls up to daily counts.
+    */
+  val chiSquare: QueryDef = QueryDef(
+    "q_events_chisq",
+    (s, dir) => {
+      val cells = events(s, dir)
+        .groupBy(col("event_type").as("et"),
+          expr("pmod(ts div 1000000000 div 86400 + 3, 7)").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rowsT = cells.groupBy("et").agg(sum(col("o")).as("r"))
+      val colsT = cells.groupBy("dow").agg(sum(col("o")).as("c"))
+      val tot = cells.agg(sum(col("o")).as("nn"))
+      val grid = rowsT.crossJoin(colsT)
+        .join(cells, Seq("et", "dow"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("num", expr(
+          "cast(o as decimal(38,0)) * nn - cast(r as decimal(38,0)) * c"))
+      grid.agg(
+        max(col("nn")).as("n"),
+        countDistinct(col("et")).as("n_types"),
+        countDistinct(col("dow")).as("n_dows"),
+        sum(expr(
+          "(num * num * 1000) div (cast(nn as decimal(38,0)) * r * c)"))
+          .as("chi2_x1000"))
+        .select(col("n"), col("n_types"), col("n_dows"),
+          ((col("n_types") - 1) * (col("n_dows") - 1)).as("dof"),
+          col("chi2_x1000"))
+    },
+    Some("""WITH cells AS (SELECT event_type AS et,
+              (CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 + 3) % 7 AS dow,
+              CAST(COUNT(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2),
+          rt AS (SELECT et, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+          ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+          tt AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+          grid AS (SELECT rt.et, ct.dow, rt.r, ct.c,
+              COALESCE(cells.o, 0) AS o, tt.nn,
+              (CAST(COALESCE(cells.o, 0) AS HUGEINT) * tt.nn
+                - CAST(rt.r AS HUGEINT) * ct.c) AS num
+            FROM rt CROSS JOIN ct CROSS JOIN tt
+            LEFT JOIN cells ON cells.et = rt.et AND cells.dow = ct.dow)
+          SELECT MAX(nn) AS n,
+            CAST(COUNT(DISTINCT et) AS BIGINT) AS n_types,
+            CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_dows,
+            (CAST(COUNT(DISTINCT et) AS BIGINT) - 1)
+              * (CAST(COUNT(DISTINCT dow) AS BIGINT) - 1) AS dof,
+            CAST(SUM((num * num * 1000)
+              // (CAST(nn AS HUGEINT) * r * c)) AS BIGINT) AS chi2_x1000
+          FROM grid"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
@@ -3156,7 +3282,7 @@ object Events {
       powerLaw, rollingDauHll, scd2Lookup, botCadence, srm, hwBacktest,
       funnelWindowed, growthAccounting, sloBurn, retentionDn, dowEffect,
       audienceOverlap, userDiversity, attributionLinear,
-      attributionUshaped, sessionPaths, asofNearest)
+      attributionUshaped, sessionPaths, asofNearest, mannWhitney, chiSquare)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

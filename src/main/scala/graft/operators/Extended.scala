@@ -1075,10 +1075,65 @@ object Extended {
             CUME_DIST() OVER w AS cume
           FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY cents)"""))
 
+  /** RATIO-TO-REPORT / percent-of-parent — the OLAP share query every
+    * drill-down dashboard renders next to [[rollup]]'s absolute
+    * totals: each nation's revenue as a share of its REGION (the
+    * parent level) and each region's share of the grand total, in one
+    * pass. Shares are exact ×1e6 fixed-point over exact cents
+    * (non-negative integer div, engine-identical); the two parent
+    * sums are windows over the 25-row nation rollup, never the fact
+    * table — the RATIO_TO_REPORT shape other engines ship as a
+    * builtin, composed here from a grouped fold + two window sums.
+    *
+    * Scale shape: one fact-table shuffle folds orders to the
+    * (region, nation) grid with map-side partials and broadcast dims;
+    * both share windows run on the dimension-sized grid.
+    */
+  val shareOfParent: QueryDef = QueryDef(
+    "q_share_of_parent",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+      val byNation = o
+        .join(Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")
+          .select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name").agg(sum(col("cents")).as("cents"))
+      byNation
+        .withColumn("region_cents",
+          sum(col("cents")).over(Window.partitionBy("r_name")))
+        .withColumn("total_cents", sum(col("cents")).over(Window.partitionBy()))
+        .select(col("r_name"), col("n_name"), col("cents"),
+          expr("(cents * 1000000) div region_cents").as("share_of_region_x1e6"),
+          expr("(region_cents * 1000000) div total_cents").as("region_share_x1e6"))
+    },
+    Some("""WITH bn AS (SELECT r.r_name, n.n_name,
+              CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2),
+          w AS (SELECT r_name, n_name, cents,
+              CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT) AS region_cents,
+              CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+            FROM bn)
+          SELECT r_name, n_name, cents,
+            (cents * 1000000) // region_cents AS share_of_region_x1e6,
+            (region_cents * 1000000) // total_cents AS region_share_x1e6
+          FROM w"""))
+
   val defs: Seq[QueryDef] = Seq(
     rollup, windowFuncs, joinOuter, setOps, percentiles, scalarFuncs, pivot,
     subqueryScalar, existsSubquery, cube, windowFrames, groupingSets, setOpsAll,
     subquerySelect, lateralTopPerKey, recursiveCte, joinFullOuter, unpivot,
     basketPairs, assocRules, skyline, intervalJoin, abcPareto, cohortLtv, gini,
-    yoyGrowth, orderAging, windowRankFuncs)
+    yoyGrowth, orderAging, windowRankFuncs, shareOfParent)
 }

@@ -4813,8 +4813,56 @@ object Similarity {
              ORDER BY sim DESC NULLS LAST, n_id) AS rn FROM rr) x
          WHERE rn <= 5"""))
 
+  /** PAIRWISE-SIMILARITY distribution audit — embedding-collapse
+    * detection (the corpus-level complement of [[embeddingVariance]]'s
+    * PC1 share): the cosine HISTOGRAM over a deterministic unbiased
+    * pair sample (vector i paired with i + ⌈n/2⌉ in id order — every
+    * vector in at most one pair, no self-pairs, no RNG). A healthy
+    * embedding table shows mass spread across buckets; a collapsing
+    * encoder (all vectors similar) piles mass at the top bucket and a
+    * dead one at 0. Cosines use the exact-integer quantized dot/norm
+    * convention ([[quantized]]), so the one IEEE divide — and the
+    * ×10 bucket floor — is bit-identical in both engines; per-bucket
+    * min/max are order-independent and safe to hash.
+    *
+    * Scale shape: the pairing is an id-shifted self-equi-join (one
+    * shuffle, n/2 rows), the histogram ≤ 21 buckets. Never all-pairs:
+    * the sample is O(n) by construction at any corpus size.
+    */
+  val similarityHistogram: QueryDef = QueryDef(
+    "s_similarity_histogram",
+    (s, dir) => {
+      val v = quantized(Tables.load(s, dir, "embeddings"))
+      val h = broadcast(v.agg(expr("(max(vec_id) + 1) div 2").as("hh")))
+      val sims = v.toDF("a", "qa", "na").crossJoin(h)
+        .where(col("a") < col("hh"))
+        .withColumn("b", col("a") + col("hh"))
+        .join(v.toDF("b", "qb", "nb"), Seq("b"))
+        .select(cosine(dotL(col("qa"), col("qb")), col("na"), col("nb")).as("sim"))
+        .where(col("sim").isNotNull)
+      sims.groupBy(floor(col("sim") * 10).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"))
+    },
+    Some(s"""WITH $quantizedSql,
+          n AS (SELECT vec_id, q,
+              CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+          hh AS (SELECT (MAX(vec_id) + 1) // 2 AS h FROM n),
+          p AS (SELECT a.q AS qa, a.nrm AS na, b.q AS qb, b.nrm AS nb
+            FROM n a CROSS JOIN hh JOIN n b ON b.vec_id = a.vec_id + hh.h
+            WHERE a.vec_id < hh.h),
+          sc AS (SELECT
+              CAST(list_sum(list_transform(list_zip(qa, qb), z -> z[1]*z[2])) AS DOUBLE)
+                / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim
+            FROM p)
+          SELECT CAST(FLOOR(sim * 10) AS INT) AS bucket,
+            CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            MIN(sim) AS min_sim, MAX(sim) AS max_sim
+          FROM sc WHERE sim IS NOT NULL GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
-    Seq(knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
+    Seq(similarityHistogram,
+      knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnPqRecall,
       knnIvfPqRecall, knnGraph, knnGraphIncremental,

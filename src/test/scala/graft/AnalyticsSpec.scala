@@ -2244,4 +2244,130 @@ class AnalyticsSpec extends SparkSpec {
       assert(got(p._1) == expect, s"purchase ${p._1}")
     }
   }
+
+  test("Mann-Whitney U equals a brute-force tie-averaged rank sum") {
+    val got = SparkEntry.queries("q_events_mannwhitney")(spark, sfDir).head()
+    val obs = Tables.load(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .select(expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"),
+        (col("user_id") % 2).as("arm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = obs.sortBy(_._1)
+    // doubled tie-averaged rank per observation: 2*avg(rank range)
+    val r2 = sorted.zipWithIndex.groupBy(_._1._1).toSeq.flatMap { case (_, xs) =>
+      val lo = xs.map(_._2).min + 1L
+      val hi = xs.map(_._2).max + 1L
+      xs.toSeq.map { case ((_, arm), _) => (arm, lo + hi) }
+    }
+    val nA = obs.count(_._2 == 0L).toLong
+    val nB = obs.length - nA
+    val rr2a = r2.collect { case (0L, v) => v }.sum
+    val u2a = rr2a - nA * (nA + 1)
+    val u2b = 2 * nA * nB - u2a
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((nA, nB, u2a, u2b)), s"got $got, brute ($nA, $nB, $u2a, $u2b)")
+    assert(got.getLong(4) == 500L * math.abs(u2a - u2b) / (nA * nB))
+    assert(got.getBoolean(5) == (u2a > u2b))
+  }
+
+  test("chi-square statistic equals a brute-force contingency fold over the FULL grid") {
+    val got = SparkEntry.queries("q_events_chisq")(spark, sfDir).head()
+    val cells = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"),
+        expr("pmod(unix_micros(cast(ts as timestamp)) div 1000000 div 86400 + 3, 7)").as("dow"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val types = cells.keys.map(_._1).toSeq.distinct
+    val dows = cells.keys.map(_._2).toSeq.distinct
+    val n = cells.values.sum
+    val rT = types.map(t => t -> cells.collect { case ((`t`, _), c) => c }.sum).toMap
+    val cT = dows.map(d => d -> cells.collect { case ((_, `d`), c) => c }.sum).toMap
+    val chi2 = (for (t <- types; d <- dows) yield {
+      val o = BigInt(cells.getOrElse((t, d), 0L))
+      val num = o * n - BigInt(rT(t)) * cT(d)
+      (num * num * 1000) / (BigInt(n) * rT(t) * cT(d))
+    }).sum
+    assert(got.getLong(0) == n && got.getLong(1) == types.size &&
+      got.getLong(2) == dows.size)
+    assert(got.getLong(3) == (types.size - 1).toLong * (dows.size - 1))
+    assert(BigInt(got.getLong(4)) == chi2, s"chi2 got ${got.getLong(4)}, brute $chi2")
+  }
+
+  test("encoding audit equals brute-force per-source regex counts") {
+    val got = SparkEntry.queries("t_encoding_audit")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).groupBy(_._1)
+    val ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]".r
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (src, xs) =>
+      val texts = xs.map(_._2)
+      val nonascii = texts.map(_.count(_ > 0x7F).toLong).sum
+      val chars = texts.map(_.length.toLong).sum
+      val expect = (texts.length.toLong,
+        texts.count(_.contains('�')).toLong,
+        texts.count(t => ctrl.findFirstIn(t).isDefined).toLong,
+        nonascii, nonascii * 100000 / math.max(chars, 1))
+      assert(got(src) == expect, s"$src: got ${got(src)}, brute $expect")
+    }
+  }
+
+  test("similarity histogram equals a brute-force pairing over quantized cosines") {
+    val got = SparkEntry.queries("s_similarity_histogram")(spark, sfDir)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray)
+      .toMap
+    val h = (vecs.keys.max + 1) / 2
+    val sims = vecs.keys.toSeq.filter(a => a < h && vecs.contains(a + h)).map { a =>
+      val (qa, qb) = (vecs(a), vecs(a + h))
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      val na = qa.map(x => x * x).sum
+      val nb = qb.map(x => x * x).sum
+      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    }.filterNot(_.isNaN)
+    val brute = sims.groupBy(s => math.floor(s * 10).toInt)
+      .view.mapValues(xs => (xs.size.toLong, xs.min, xs.max)).toMap
+    assert(got == brute, s"got $got, brute $brute")
+  }
+
+  test("share-of-parent ratios conserve: region shares sum to ~1e6, nation shares per region too") {
+    val rows = SparkEntry.queries("q_share_of_parent")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // exact conservation up to truncation: each div truncates, so a
+    // parent's child shares sum within |children| of 1e6
+    rows.groupBy(_._1).foreach { case (region, xs) =>
+      val s = xs.map(_._4).sum
+      assert(s <= 1000000 && s > 1000000 - xs.length,
+        s"$region nation shares sum to $s")
+    }
+    val regionShares = rows.groupBy(_._1).view.mapValues(_.head._5).toMap
+    val rs = regionShares.values.sum
+    assert(rs <= 1000000 && rs > 1000000 - regionShares.size,
+      s"region shares sum to $rs")
+    // and the absolute cents agree with a brute-force join
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue()
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => lv(r, 0) -> lv(r, 1)).toMap
+    val nat = Tables.load(spark, sfDir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey").collect()
+      .map(r => lv(r, 0) -> ((r.getString(1), lv(r, 2)))).toMap
+    val reg = Tables.load(spark, sfDir, "region")
+      .select("r_regionkey", "r_name").collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    val brute = Tables.load(spark, sfDir, "orders")
+      .select("o_custkey", "o_totalprice").collect()
+      .map { r =>
+        val (nName, rKey) = nat(cust(lv(r, 0)))
+        ((reg(rKey), nName), math.floor(r.getDouble(1) * 100 + 0.5).toLong)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(rows.map(x => ((x._1, x._2), x._3)).toMap == brute)
+  }
 }
