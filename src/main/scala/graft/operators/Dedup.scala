@@ -1912,10 +1912,54 @@ object Dedup {
           FROM sel GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2"""
     })
 
+  /** PREFIX-duplicate detection — the truncation/pagination duplicate
+    * class the exact (row 21) and substring (row 21c) rungs miss:
+    * two crawls of one page cut at different points share a long
+    * PREFIX but differ in suffix, so whole-doc hashes diverge and the
+    * duplicated-span rung only finds interior chunks. Here every doc
+    * with ≥ 8 tokens keys on the hash of its first 32 lowercased
+    * tokens (the C4-style URL+prefix convention, content-keyed);
+    * groups of ≥ 2 report their size and the token-length SPREAD —
+    * max−min > 0 is the truncation signature, = 0 plain re-crawls.
+    *
+    * Scale shape: one map-side prefix hash + one hash-keyed
+    * aggregate; never pairwise, no explode — the cheapest dedup rung
+    * above exact.
+    */
+  val prefixDedup: QueryDef = QueryDef(
+    "d_dedup_prefix",
+    (s, dir) => {
+      val h60 = (g: String) =>
+        s"cast(conv(substr(md5($g), 1, 15), 16, 10) as bigint)"
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
+        .where(expr("size(tk) >= 8"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+          expr(h60("array_join(slice(tk, 1, 32), ' ')")).as("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .where(col("n_docs") >= 2)
+    },
+    Some {
+      val h60 = (g: String) => graft.functions.Portable.textSql.h60(g)
+      s"""WITH tk AS (SELECT doc_id,
+            ${graft.functions.Portable.textSql.tokensLower} AS tk
+          FROM documents),
+          p AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+              CAST(${h60("array_to_string(tk[1:32], ' ')")} AS BIGINT) AS prefix_hash
+            FROM tk WHERE len(tk) >= 8)
+          SELECT prefix_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+          FROM p GROUP BY 1 HAVING COUNT(*) >= 2"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(exact, paragraph, substring, minhash, editDistance, simhashDef,
       ngramJaccard, cluster, canonicalByQuality, incremental, dedupReport,
       sourceOverlap, containment, splitLeakage, corpusDiversity,
       minhashAccuracy, lshPlanner, bucketStats, exactIncremental,
-      thresholdSweep, cdcChunks, winnow, simhashIncremental)
+      thresholdSweep, cdcChunks, winnow, simhashIncremental, prefixDedup)
 }

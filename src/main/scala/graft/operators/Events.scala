@@ -3272,6 +3272,85 @@ object Events {
               // (CAST(nn AS HUGEINT) * r * c)) AS BIGINT) AS chi2_x1000
           FROM grid"""))
 
+  /** FANO FACTOR (index of dispersion) burstiness audit — is a
+    * type's daily volume Poisson-like (Fano ≈ 1), sub-dispersed
+    * (throttled/scheduled, < 1) or BURSTY (incident- or campaign-
+    * driven, ≫ 1)? The dispersion read behind [[cusum]]'s sequential
+    * alarm and [[dowEffect]]'s cycle test: variance/mean of the daily
+    * count series per type, exact ×1000 fixed point via
+    * (n·Σy² − S²)·1000 div ((n−1)·S) — sample variance over mean with
+    * one truncated integral division, engine-identical (non-negative:
+    * n·Σy² ≥ S² by Cauchy-Schwarz).
+    *
+    * Scale shape: the corpus folds to the ≤ types×days daily grid in
+    * one shuffle; the dispersion fold is a types-sized aggregate.
+    * Int64 audit: n·Σy²·1000 — fine to ~10⁶ events/day/type over 30
+    * days; a 100 TB log's grid is still types×days.
+    */
+  val fano: QueryDef = QueryDef(
+    "q_events_fano",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          expr("ts div 1000000000 div 86400").as("day"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("y")).as("n_events"),
+          sum(col("y") * col("y")).as("ssq"))
+        .select(col("event_type"), col("n_days"), col("n_events"),
+          expr("(n_events * 1000) div n_days").as("mean_x1000"),
+          expr("""((n_days * ssq - n_events * n_events) * 1000)
+                  div nullif((n_days - 1) * n_events, 0)""").as("fano_x1000"))
+    },
+    Some("""WITH daily AS (SELECT event_type,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+              CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+          t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+              CAST(SUM(y) AS BIGINT) AS n_events,
+              CAST(SUM(y * y) AS BIGINT) AS ssq
+            FROM daily GROUP BY 1)
+          SELECT event_type, n_days, n_events,
+            (n_events * 1000) // n_days AS mean_x1000,
+            CAST(((n_days * ssq - n_events * n_events) * 1000)
+              // NULLIF((n_days - 1) * n_events, 0) AS BIGINT) AS fano_x1000
+          FROM t"""))
+
+  /** JSON SCHEMA DISCOVERY — the semi-structured twin of a relational
+    * schema catalog ([[jsonExtract]] reads ONE known key; this
+    * inventories ALL of them): per event type, every key appearing in
+    * the `props` JSON column with its occurrence count and presence
+    * rate ×1000 — the report that catches producer drift (a key
+    * appearing on 40% of events was probably added mid-stream; a key
+    * at 100.0% is contract). Malformed/null JSON contributes no keys
+    * but still counts in the denominator, so presence rates reflect
+    * the real payload population.
+    *
+    * Scale shape: one map-side key explode + a (type, key) aggregate
+    * joined to a types-sized total; output ≤ types × distinct keys.
+    */
+  val jsonKeys: QueryDef = QueryDef(
+    "q_events_json_keys",
+    (s, dir) => {
+      val e = events(s, dir)
+      val tot = e.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      val keys = e
+        .select(col("event_type"), explode(json_object_keys(col("props"))).as("key"))
+        .groupBy("event_type", "key").agg(count(lit(1)).as("n_present"))
+      keys.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("key"), col("n_present"), col("n_events"),
+          expr("(n_present * 1000) div n_events").as("presence_x1000"))
+    },
+    Some("""WITH tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1),
+          k AS (SELECT event_type, unnest(json_keys(props)) AS key
+            FROM events),
+          kc AS (SELECT event_type, key, CAST(COUNT(*) AS BIGINT) AS n_present
+            FROM k GROUP BY 1, 2)
+          SELECT kc.event_type, kc.key, kc.n_present, tot.n_events,
+            (kc.n_present * 1000) // tot.n_events AS presence_x1000
+          FROM kc JOIN tot ON tot.event_type = kc.event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
@@ -3282,7 +3361,8 @@ object Events {
       powerLaw, rollingDauHll, scd2Lookup, botCadence, srm, hwBacktest,
       funnelWindowed, growthAccounting, sloBurn, retentionDn, dowEffect,
       audienceOverlap, userDiversity, attributionLinear,
-      attributionUshaped, sessionPaths, asofNearest, mannWhitney, chiSquare)
+      attributionUshaped, sessionPaths, asofNearest, mannWhitney, chiSquare,
+      fano, jsonKeys)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -2370,4 +2370,75 @@ class AnalyticsSpec extends SparkSpec {
       }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     assert(rows.map(x => ((x._1, x._2), x._3)).toMap == brute)
   }
+
+  test("Fano factor equals a brute-force dispersion fold over daily counts") {
+    val got = SparkEntry.queries("q_events_fano")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val daily = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000 div 86400").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byType = daily.groupBy(_._1._1)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, cells) =>
+      val ys = cells.values.toSeq
+      val n = ys.length.toLong
+      val s = ys.sum
+      val ssq = ys.map(y => y * y).sum
+      val fano = if (n <= 1 || s == 0) null
+        else ((n * ssq - s * s) * 1000) / ((n - 1) * s)
+      assert(got(t)._1 == n && got(t)._2 == s &&
+        got(t)._3 == s * 1000 / n, s"$t counts")
+      if (fano != null) assert(got(t)._4 == fano, s"$t fano")
+    }
+  }
+
+  test("JSON key inventory equals a brute-force Jackson key scan") {
+    val got = SparkEntry.queries("q_events_json_keys")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_type", "props").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val totals = ev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val counts = ev.flatMap { case (t, p) =>
+      val keys = try {
+        val node = om.readTree(p)
+        if (node != null && node.isObject) {
+          val it = node.fieldNames(); val buf = scala.collection.mutable.Buffer[String]()
+          while (it.hasNext) buf += it.next()
+          buf.toSeq
+        } else Seq.empty[String]
+      } catch { case _: Throwable => Seq.empty[String] }
+      keys.map(k => (t, k))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.keySet == counts.keySet)
+    counts.foreach { case (tk, c) =>
+      val n = totals(tk._1)
+      assert(got(tk) == ((c, n, c * 1000 / n)), s"key $tk")
+    }
+  }
+
+  test("prefix dedup equals a brute-force first-32-token hash grouping") {
+    val got = SparkEntry.queries("d_dedup_prefix")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def h60(x: String): Long = {
+      val b = x.getBytes("UTF-8")
+      graft.functions.Md5Hash60Util.hash60(b, 0, b.length)
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0))
+      .map(t => t.toLowerCase.split(" ").filter(_.nonEmpty))
+      .filter(_.length >= 8)
+      .map(tk => (h60(tk.take(32).mkString(" ")), tk.length.toLong))
+    val brute = docs.groupBy(_._1).collect {
+      case (h, xs) if xs.length >= 2 =>
+        h -> ((xs.length.toLong, xs.map(_._2).min, xs.map(_._2).max))
+    }
+    assert(got == brute.toMap, s"got ${got.size} groups, brute ${brute.size}")
+  }
 }
