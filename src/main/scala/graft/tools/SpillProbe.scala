@@ -39,7 +39,11 @@ object SpillProbe {
       .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "1024")
       .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "1024")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8")
-      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "100000")
+      // 25k (round-14, was 100k): the winnow rewrite removed its ×4
+      // window-membership fanout, dropping the heaviest shuffle below
+      // the old per-task force threshold — the probe's forcing config
+      // tightens with the engine so the spill PATHS stay exercised
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "25000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new SparkListener {

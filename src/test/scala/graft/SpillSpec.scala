@@ -73,10 +73,14 @@ class SpillSpec extends SparkSpec {
         "thresholds are not forcing the spill paths this gate exists to test")
   }
 
-  // the four heaviest shapes: the in-window explode (winnow), the
-  // versioned join-MV DML cycle, the tombstone-netted BM25 DML serve,
-  // and the TypedImperativeAggregate scatter (forced to its
-  // sort-based fallback by the probe's threshold)
+  // the four heaviest shapes: the rolling-frame winnow (round-14
+  // rewrite — its former ×4 window-membership explode was the 2 GiB
+  // profile's dominant spiller; the probe's force threshold tightened
+  // 100k→25k elements so the leaner plan still drives the external-
+  // sorter spill path), the versioned join-MV DML cycle, the
+  // tombstone-netted BM25 DML serve, and the TypedImperativeAggregate
+  // scatter (forced to its sort-based fallback by the probe's
+  // threshold)
   private val heavy = Seq("d_dedup_winnow", "q_mv_join_incremental",
     "t_search_bm25_dml", "s_embedding_pca")
 
