@@ -1956,10 +1956,73 @@ object Dedup {
           FROM p GROUP BY 1 HAVING COUNT(*) >= 2"""
     })
 
+  /** SUFFIX-duplicate detection — [[prefixDedup]]'s mirror for the
+    * HEAD-truncation class: two copies of one page that lost different
+    * amounts of header/navigation share a long SUFFIX but differ at
+    * the start, so whole-doc hashes diverge, the prefix rung keys on
+    * exactly the part that changed, and the span rung only finds
+    * interior chunks. Docs with ≥ 8 tokens key on the hash of their
+    * LAST 32 lowercased tokens; groups of ≥ 2 report size and
+    * token-length spread. Shared trailing boilerplate (footers,
+    * signatures) surfaces here too — max−min ≈ 0 with many docs is
+    * the template-footer signature row 49 strips.
+    *
+    * Scale shape: identical to the prefix rung — one map-side hash +
+    * one keyed aggregate, no explode, never pairwise.
+    */
+  val suffixDedup: QueryDef = QueryDef(
+    "d_dedup_suffix",
+    (s, dir) => {
+      val h60 = (g: String) =>
+        s"cast(conv(substr(md5($g), 1, 15), 16, 10) as bigint)"
+      val hashes = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
+        .where(expr("size(tk) >= 8"))
+        .select(col("doc_id"), col("source"),
+          expr(h60(
+            "array_join(slice(tk, greatest(1, size(tk) - 31), 32), ' ')"))
+            .as("suffix_hash"))
+      val dupHashes = hashes.groupBy("suffix_hash")
+        .agg(count(lit(1)).as("c")).where(col("c") >= 2)
+        .select("suffix_hash")
+      val dups = hashes.join(dupHashes, Seq("suffix_hash"), "left_semi")
+        .groupBy("source")
+        .agg(count(lit(1)).as("d"), countDistinct(col("suffix_hash")).as("g"))
+      hashes.groupBy("source").agg(count(lit(1)).as("n_docs_eligible"))
+        .join(dups, Seq("source"), "left")
+        .select(col("source"), col("n_docs_eligible"),
+          coalesce(col("d"), lit(0L)).as("n_suffix_dup_docs"),
+          coalesce(col("g"), lit(0L)).as("n_dup_groups"))
+    },
+    Some {
+      val h60 = (g: String) => graft.functions.Portable.textSql.h60(g)
+      s"""WITH tk AS (SELECT doc_id, source,
+            ${graft.functions.Portable.textSql.tokensLower} AS tk
+          FROM documents),
+          p AS (SELECT doc_id, source,
+              CAST(${h60(
+                "array_to_string(tk[CAST(greatest(1, len(tk) - 31) AS BIGINT):], ' ')")}
+                AS BIGINT) AS suffix_hash
+            FROM tk WHERE len(tk) >= 8),
+          dh AS (SELECT suffix_hash FROM p GROUP BY 1 HAVING COUNT(*) >= 2),
+          d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS d,
+              CAST(COUNT(DISTINCT suffix_hash) AS BIGINT) AS g
+            FROM p WHERE suffix_hash IN (SELECT suffix_hash FROM dh)
+            GROUP BY 1),
+          b AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_eligible
+            FROM p GROUP BY 1)
+          SELECT b.source, b.n_docs_eligible,
+            COALESCE(d.d, 0) AS n_suffix_dup_docs,
+            COALESCE(d.g, 0) AS n_dup_groups
+          FROM b LEFT JOIN d ON d.source = b.source"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(exact, paragraph, substring, minhash, editDistance, simhashDef,
       ngramJaccard, cluster, canonicalByQuality, incremental, dedupReport,
       sourceOverlap, containment, splitLeakage, corpusDiversity,
       minhashAccuracy, lshPlanner, bucketStats, exactIncremental,
-      thresholdSweep, cdcChunks, winnow, simhashIncremental, prefixDedup)
+      thresholdSweep, cdcChunks, winnow, simhashIncremental, prefixDedup,
+      suffixDedup)
 }

@@ -4860,8 +4860,81 @@ object Similarity {
             MIN(sim) AS min_sim, MAX(sim) AS max_sim
           FROM sc WHERE sim IS NOT NULL GROUP BY 1"""))
 
+  /** K-CORE decomposition (bounded peel) — the graph-health read
+    * behind data selection on the kNN graph (rows 27h/27m audit
+    * centrality and local closure; the k-core is the standard global
+    * DENSITY skeleton: vertices surviving iterated removal of
+    * degree-< k nodes form the graph's cohesive core, and a thin core
+    * means the neighborhood structure most graph-ANN and
+    * graph-sampling methods rely on is shallow). Three SYNCHRONIZED
+    * peeling rounds (the row-71 label-propagation convention — a
+    * bounded, deterministic pass, oracle-unrolled), each: degree
+    * count over the symmetrized edge set, keep ≥ k, semi-join both
+    * endpoints. A `converged` flag (round 3 removed nothing) marks
+    * when the bounded peel IS the exact k-core; when false the
+    * numbers are an upper bound still peeling (k=3 at sf0.001 — the
+    * flag tells the caller which, spec-proven against a brute
+    * fixpoint).
+    *
+    * Scale shape: each round is one degree aggregate + two semi-joins
+    * on the O(N·k) edge set, all keyed by vertex; nothing pairwise,
+    * nothing driver-side.
+    */
+  val graphKCore: QueryDef = QueryDef(
+    "s_graph_kcore",
+    (s, dir) => {
+      val g = knnGraphTable(s, dir)
+      val e0 = g.select(col("g_src").as("src"), col("g_dst").as("dst"))
+        .unionAll(g.select(col("g_dst").as("src"), col("g_src").as("dst")))
+        .distinct()
+      def peel(e: DataFrame, k: Int): DataFrame = {
+        val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+          .where(col("d") >= k).select("src")
+        e.join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+      }
+      def row(k: Int): DataFrame = {
+        val e2 = peel(peel(e0, k), k)
+        val e3 = peel(e2, k)
+        e3.select(col("src").as("v")).distinct()
+          .agg(count(lit(1)).as("n_core_vertices"))
+          .crossJoin(e3.agg(expr("count(1) div 2").as("n_core_edges")))
+          .crossJoin(
+            e2.agg(count(lit(1)).as("ne2"))
+              .crossJoin(e3.agg(count(lit(1)).as("ne3")))
+              .select((col("ne2") === col("ne3")).as("converged")))
+          .select(lit(k.toLong).as("k"), col("n_core_vertices"),
+            col("n_core_edges"), col("converged"))
+      }
+      row(2).unionAll(row(3))
+    },
+    Some {
+      def coreSql(k: Int): String =
+        s"""d${k}a AS (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) >= $k),
+           e${k}1 AS (SELECT e.src, e.dst FROM e0 e
+              JOIN d${k}a x ON x.src = e.src JOIN d${k}a y ON y.src = e.dst),
+           d${k}b AS (SELECT src FROM e${k}1 GROUP BY src HAVING COUNT(*) >= $k),
+           e${k}2 AS (SELECT e.src, e.dst FROM e${k}1 e
+              JOIN d${k}b x ON x.src = e.src JOIN d${k}b y ON y.src = e.dst),
+           d${k}c AS (SELECT src FROM e${k}2 GROUP BY src HAVING COUNT(*) >= $k),
+           e${k}3 AS (SELECT e.src, e.dst FROM e${k}2 e
+              JOIN d${k}c x ON x.src = e.src JOIN d${k}c y ON y.src = e.dst)"""
+      def coreRow(k: Int): String =
+        s"""SELECT CAST($k AS BIGINT) AS k,
+             (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e${k}3)
+               AS n_core_vertices,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e${k}3) // 2 AS n_core_edges,
+             (SELECT COUNT(*) FROM e${k}2) = (SELECT COUNT(*) FROM e${k}3)
+               AS converged"""
+      s"""WITH $graphSqlCtes,
+         e0 AS (SELECT g_src AS src, g_dst AS dst FROM graph
+                UNION SELECT g_dst, g_src FROM graph),
+         ${coreSql(2)}, ${coreSql(3)}
+         ${coreRow(2)} UNION ALL ${coreRow(3)}"""
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(similarityHistogram,
+    Seq(similarityHistogram, graphKCore,
       knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnPqRecall,

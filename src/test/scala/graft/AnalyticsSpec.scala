@@ -2441,4 +2441,54 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(got == brute.toMap, s"got ${got.size} groups, brute ${brute.size}")
   }
+
+  test("suffix-dup audit equals a brute-force last-32-token hash rollup per source") {
+    val got = SparkEntry.queries("d_dedup_suffix")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def h60(x: String): Long = {
+      val b = x.getBytes("UTF-8")
+      graft.functions.Md5Hash60Util.hash60(b, 0, b.length)
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)))
+      .filter(_._2.length >= 8)
+      .map { case (src, tk) => (src, h60(tk.takeRight(32).mkString(" "))) }
+    val dupHashes = docs.groupBy(_._2).collect { case (h, xs) if xs.length >= 2 => h }.toSet
+    val brute = docs.groupBy(_._1).map { case (src, xs) =>
+      val dup = xs.filter(x => dupHashes(x._2))
+      src -> ((xs.length.toLong, dup.length.toLong, dup.map(_._2).distinct.length.toLong))
+    }
+    assert(got == brute, s"got $got, brute $brute")
+  }
+
+  test("bounded-peel k-core equals a brute fixpoint peel (converged on the committed corpus)") {
+    val got = SparkEntry.queries("s_graph_kcore")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val raw = Similarity.knnGraphTable(spark, sfDir)
+      .select("g_src", "g_dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = (raw ++ raw.map(e => (e._2, e._1))).distinct
+    def peelOnce(e: Array[(Long, Long)], k: Long): Array[(Long, Long)] = {
+      val deg = e.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val keep = deg.collect { case (v, d) if d >= k => v }.toSet
+      e.filter(x => keep(x._1) && keep(x._2))
+    }
+    Seq(2L, 3L).foreach { k =>
+      val e2 = peelOnce(peelOnce(sym, k), k)
+      val e3 = peelOnce(e2, k)
+      val (gv, ge, conv) = got(k)
+      // the flag's exact semantic: round 3 removed nothing
+      assert(conv == (e2.length == e3.length), s"k=$k converged flag")
+      assert((gv, ge) ==
+        ((e3.map(_._1).distinct.length.toLong, e3.length.toLong / 2)),
+        s"k=$k: got ($gv,$ge), brute 3-round peel " +
+          s"(${e3.map(_._1).distinct.length}, ${e3.length / 2})")
+      // and when the flag says converged, the bounded peel IS the
+      // exact k-core (one more brute round must be a no-op)
+      if (conv) assert(peelOnce(e3, k).length == e3.length, s"k=$k fixpoint")
+    }
+  }
 }
