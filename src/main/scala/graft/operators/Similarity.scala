@@ -4884,9 +4884,13 @@ object Similarity {
     "s_graph_kcore",
     (s, dir) => {
       val g = knnGraphTable(s, dir)
+      // each peeled edge set feeds BOTH the next round's lineage and
+      // its own count aggregate, for two k values — checkpoint the
+      // (O(N·k)-small) frames so the union's DAG reads each round once
+      // instead of re-deriving the whole peel chain per aggregate
       val e0 = g.select(col("g_src").as("src"), col("g_dst").as("dst"))
         .unionAll(g.select(col("g_dst").as("src"), col("g_src").as("dst")))
-        .distinct()
+        .distinct().localCheckpoint()
       def peel(e: DataFrame, k: Int): DataFrame = {
         val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
           .where(col("d") >= k).select("src")
@@ -4894,8 +4898,8 @@ object Similarity {
           .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
       }
       def row(k: Int): DataFrame = {
-        val e2 = peel(peel(e0, k), k)
-        val e3 = peel(e2, k)
+        val e2 = peel(peel(e0, k), k).localCheckpoint()
+        val e3 = peel(e2, k).localCheckpoint()
         e3.select(col("src").as("v")).distinct()
           .agg(count(lit(1)).as("n_core_vertices"))
           .crossJoin(e3.agg(expr("count(1) div 2").as("n_core_edges")))
