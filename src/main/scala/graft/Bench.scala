@@ -39,7 +39,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val timingsPath = sys.env.getOrElse("SPARK_GRAFT_TIMINGS", "/root/repo/TIMINGS_latest.json")
+    val timingsPath = sys.env.getOrElse("SPARK_GRAFT_TIMINGS", graft.Roots.repo + "/TIMINGS_latest.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -113,7 +113,7 @@ object Bench {
     }
     calibrate() // JIT/codegen warm-up, unmeasured
     var calMs = calibrate()
-    val calPath = java.nio.file.Paths.get("/root/repo/tools/bench_calibration.json")
+    val calPath = java.nio.file.Paths.get(graft.Roots.repo, "tools/bench_calibration.json")
     val calRef: Option[Double] =
       try {
         val txt = java.nio.file.Files.readString(calPath)
@@ -264,7 +264,7 @@ object Bench {
         "forget", "invidx", "ivf", "jsonsink", "ivfpq", "knnbands", "knngraph",
         "minhash_index", "mv", "neardup", "partsink", "simhash_index",
         "pqtrained", "semdedup", "spark-warehouse", "zorder")
-      fams.map(f => jsonStr(f) + ":" + du(Paths.get("/root/repo/target", f)))
+      fams.map(f => jsonStr(f) + ":" + du(Paths.get(graft.Roots.scratch, f)))
         .mkString("{", ",", "}")
     }
     // host-drift self-adjudication (round-12): a line >1.5x its prior
@@ -278,7 +278,7 @@ object Bench {
       def sh(cmd: Seq[String]): String =
         try {
           val p = new ProcessBuilder(cmd: _*)
-            .directory(new java.io.File("/root/repo"))
+            .directory(new java.io.File(graft.Roots.repo))
             .redirectErrorStream(true).start()
           val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
           p.waitFor()
@@ -297,7 +297,7 @@ object Bench {
         val srcFiles: Seq[java.nio.file.Path] = {
           import scala.jdk.CollectionConverters._
           val w = java.nio.file.Files.walk(
-            java.nio.file.Paths.get("/root/repo/src/main/scala/graft"))
+            java.nio.file.Paths.get(graft.Roots.repo, "src/main/scala/graft"))
           try w.iterator().asScala.filter(_.toString.endsWith(".scala")).toSeq
           finally w.close()
         }
@@ -305,7 +305,7 @@ object Bench {
           f -> java.nio.file.Files.readString(f))
         elevated.flatMap { case (name, t) =>
           contents.find(_._2.contains("\"" + name + "\"")).map(_._1).flatMap { f =>
-            val rel = java.nio.file.Paths.get("/root/repo").relativize(f).toString
+            val rel = java.nio.file.Paths.get(graft.Roots.repo).relativize(f).toString
             val commitsSince = sh(Seq("git", "log", "--format=%h",
               s"$priorCommit..HEAD", "--", rel))
             val dirty = sh(Seq("git", "status", "--porcelain", "--", rel))

@@ -14,6 +14,21 @@ final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Filesystem roots, centralized and env-overridable — the single
+  * place a deployment repoints. Every persisted table/index root in
+  * `src/main` MUST build its path from [[scratch]] (a tools gate
+  * greps for stray literals). Defaults match the sandbox layout;
+  * a cluster deployment sets `SPARK_GRAFT_REPO_ROOT` /
+  * `SPARK_GRAFT_SCRATCH` (e.g. to an HDFS/S3 prefix for scratch).
+  */
+object Roots {
+  /** Repository root (tools inputs/outputs: calibration pins, PLANS.md). */
+  val repo: String = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", "/root/repo")
+
+  /** Scratch root for persisted tables, indexes, and sinks. */
+  val scratch: String = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", repo + "/target")
+}
+
 /** Table loaders for a driver test-data directory (TESTDATA.md). */
 object Tables {
   val names: Seq[String] = Seq(
@@ -50,7 +65,7 @@ object GraftSession {
       // them to prove injection at test scale.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
+      .config("spark.sql.warehouse.dir", graft.Roots.scratch + "/spark-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

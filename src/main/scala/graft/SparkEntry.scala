@@ -5,7 +5,7 @@ import graft.operators.{Dedup, Events, Extended, Forget, Multimodal, Relational,
 import graft.functions.{StatsQueries, TextFunctions}
 import graft.sources.SourceQueries
 
-/** Driver contract — see /root/repo/SURVEY.md §2 (capability
+/** Driver contract — see SURVEY.md §2 (capability
   * inventory) and §7 (build plan). Every implemented capability is one
   * QueryDef: a named DataFrame query plus (where SQL-expressible) a
   * DuckDB oracle that hash-matches bit-for-bit.

@@ -519,7 +519,7 @@ object StatsQueries {
       "q_table_checksum_incremental",
       (s, dir) => {
         import graft.sources.Snapshots
-        val statsT = "/root/repo/target/checksum_parts/" +
+        val statsT = graft.Roots.scratch + "/checksum_parts/" +
           dir.replaceAll("[^A-Za-z0-9]", "_")
         val fp = Snapshots.fileFingerprint(s"$dir/lineitem.parquet")
         def partStats(df: org.apache.spark.sql.DataFrame) = df

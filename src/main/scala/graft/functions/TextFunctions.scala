@@ -1078,7 +1078,7 @@ object TextFunctions {
     "t_inverted_search",
     (s, dir) => {
       import graft.sources.Snapshots
-      val postT = "/root/repo/target/invidx/" +
+      val postT = graft.Roots.scratch + "/invidx/" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "/postings"
       val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
       val v = Snapshots.ensureIndex(postT, fp) { out =>
@@ -1122,7 +1122,7 @@ object TextFunctions {
     "t_search_incremental",
     (s, dir) => {
       import graft.sources.Snapshots
-      val root = "/root/repo/target/invidx/" +
+      val root = graft.Roots.scratch + "/invidx/" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "/postings_clustered"
       Snapshots.deleteRecursively(root)
       val d = Tables.load(s, dir, "documents")
@@ -1234,7 +1234,7 @@ object TextFunctions {
     "t_search_dml",
     (s, dir) => {
       import graft.sources.Snapshots
-      val root = "/root/repo/target/invidx/" +
+      val root = graft.Roots.scratch + "/invidx/" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "/dml"
       Snapshots.deleteRecursively(root)
       val (baseT, postT) = (s"$root/docs", s"$root/postings")
@@ -1272,7 +1272,7 @@ object TextFunctions {
     "t_phrase_search",
     (s, dir) => {
       import graft.sources.Snapshots
-      val postT = "/root/repo/target/invidx/" +
+      val postT = graft.Roots.scratch + "/invidx/" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "/postings_pos"
       val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
       val v = Snapshots.ensureIndex(postT, fp) { out =>
@@ -1396,7 +1396,7 @@ object TextFunctions {
   private def bm25Ranked(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import graft.sources.Snapshots
-    val root = "/root/repo/target/invidx/" +
+    val root = graft.Roots.scratch + "/invidx/" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     val postT = root + "/postings"
     val dlT = root + "/doclen"
@@ -1509,7 +1509,7 @@ object TextFunctions {
     "t_search_bm25_incremental",
     (s, dir) => {
       import graft.sources.Snapshots
-      val root = "/root/repo/target/invidx/" +
+      val root = graft.Roots.scratch + "/invidx/" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "/bm25inc"
       Snapshots.deleteRecursively(root)
       val (postT, dlT, totT) = (s"$root/postings", s"$root/doclen", s"$root/totals")
@@ -1629,7 +1629,7 @@ object TextFunctions {
     "t_search_bm25_dml",
     (s, dir) => {
       import graft.sources.Snapshots
-      val root = "/root/repo/target/invidx/" +
+      val root = graft.Roots.scratch + "/invidx/" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "/bm25dml"
       Snapshots.deleteRecursively(root)
       val (baseT, postT, dlT, totT) =

@@ -497,7 +497,7 @@ object Dedup {
       val d = Tables.load(s, dir, "documents")
       val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
         .replaceAll("[^A-Za-z0-9]", "").take(16)
-      val table = "/root/repo/target/simhash_index/v1_" +
+      val table = graft.Roots.scratch + "/simhash_index/v1_" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp
       if (Snapshots.currentVersion(table) == 0) {
         Snapshots.gcSiblingRoots(table)
@@ -724,7 +724,7 @@ object Dedup {
     */
   def nearDupPairsTable(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import graft.sources.Snapshots
-    val base = "/root/repo/target/neardup/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = graft.Roots.scratch + "/neardup/" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val fp = Snapshots.fileFingerprint(s"$dir/documents.parquet")
     val ver = Snapshots.ensureIndex(base, fp) { out =>
       Snapshots.writeStaged(ngramNearDupPairs(s, dir), out)
@@ -1062,7 +1062,7 @@ object Dedup {
       // testdata regeneration while the oracle re-signed the new one
       val fp = graft.sources.Snapshots.fileFingerprint(s"$dir/documents.parquet")
         .replaceAll("[^A-Za-z0-9]", "").take(16)
-      val table = "/root/repo/target/minhash_index/v1_" +
+      val table = graft.Roots.scratch + "/minhash_index/v1_" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp
       if (graft.sources.Snapshots.currentVersion(table) == 0) {
         graft.sources.Snapshots.gcSiblingRoots(table)
@@ -1665,7 +1665,7 @@ object Dedup {
       val d = Tables.load(s, dir, "documents")
       val fpKey = Snapshots.fileFingerprint(s"$dir/documents.parquet")
         .replaceAll("[^A-Za-z0-9]", "").take(16)
-      val root = "/root/repo/target/exactdedup/" +
+      val root = graft.Roots.scratch + "/exactdedup/" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fpKey
       if (Snapshots.currentVersion(root) == 0) {
         Snapshots.gcSiblingRoots(root)

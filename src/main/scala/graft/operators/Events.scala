@@ -3183,7 +3183,7 @@ object Events {
       t.withColumn("u2_a", col("rr2a") - col("n_a") * (col("n_a") + 1))
         .withColumn("u2_b", col("n_a") * col("n_b") * 2 - col("u2_a"))
         .select(col("n_a"), col("n_b"), col("u2_a"), col("u2_b"),
-          expr("(500 * abs(u2_a - u2_b)) div (n_a * n_b)").as("effect_x1000"),
+          expr("(500 * abs(u2_a - u2_b)) div nullif(n_a * n_b, 0)").as("effect_x1000"),
           (col("u2_a") > col("u2_b")).as("a_shift_up"))
     },
     Some("""WITH e AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
@@ -3206,7 +3206,7 @@ object Events {
               n_a * n_b * 2 - (rr2a - n_a * (n_a + 1)) AS u2_b
             FROM t)
           SELECT n_a, n_b, u2_a, u2_b,
-            CAST((500 * abs(u2_a - u2_b)) // (n_a * n_b) AS BIGINT) AS effect_x1000,
+            CAST((500 * abs(u2_a - u2_b)) // NULLIF(n_a * n_b, 0) AS BIGINT) AS effect_x1000,
             u2_a > u2_b AS a_shift_up
           FROM u"""))
 
@@ -3343,7 +3343,7 @@ object Events {
     },
     Some("""WITH tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1),
-          k AS (SELECT event_type, unnest(json_keys(props)) AS key
+          k AS (SELECT event_type, unnest(json_keys(TRY_CAST(props AS JSON))) AS key
             FROM events),
           kc AS (SELECT event_type, key, CAST(COUNT(*) AS BIGINT) AS n_present
             FROM k GROUP BY 1, 2)

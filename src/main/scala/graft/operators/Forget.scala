@@ -115,7 +115,7 @@ object Forget {
     */
   def bootstrap(s: SparkSession, dir: String, tag: String = ""): (String, String) = {
     registerBuiltins()
-    val root = "/root/repo/target/forget/" +
+    val root = graft.Roots.scratch + "/forget/" +
       dir.replaceAll("[^A-Za-z0-9]", "_") + tag
     Snapshots.deleteRecursively(root)
     val baseT = s"$root/base"
@@ -309,7 +309,7 @@ object Forget {
     "t_search_forget_stream",
     (s, dir) => {
       registerBuiltins()
-      val root = "/root/repo/target/forget/" +
+      val root = graft.Roots.scratch + "/forget/" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_stream"
       Snapshots.deleteRecursively(root)
       val baseT = s"$root/docs"
@@ -350,7 +350,7 @@ object Forget {
     "t_search_recrawl_stream",
     (s, dir) => {
       registerBuiltins()
-      val root = "/root/repo/target/forget/" +
+      val root = graft.Roots.scratch + "/forget/" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_recrawl"
       Snapshots.deleteRecursively(root)
       val baseT = s"$root/docs"
@@ -432,7 +432,7 @@ object Forget {
     */
   def relationalBootstrap(s: SparkSession, dir: String, tag: String = ""): (String, String) = {
     registerRelationalBuiltins()
-    val root = "/root/repo/target/forget/" +
+    val root = graft.Roots.scratch + "/forget/" +
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_rel" + tag
     Snapshots.deleteRecursively(root)
     val baseT = s"$root/orders"

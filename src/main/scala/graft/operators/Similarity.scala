@@ -740,7 +740,7 @@ object Similarity {
     */
   def knnBandsTable(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import graft.sources.Snapshots
-    val table = "/root/repo/target/knnbands/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = graft.Roots.scratch + "/knnbands/" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
     val ver = Snapshots.ensureIndex(table, fp) { out =>
       Snapshots.writeStaged(
@@ -779,7 +779,7 @@ object Similarity {
     */
   def knnGraphTable(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import graft.sources.Snapshots
-    val table = "/root/repo/target/knngraph/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = graft.Roots.scratch + "/knngraph/" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
     val ver = Snapshots.ensureIndex(table, fp) { out =>
       Snapshots.writeStaged(buildGraph(Tables.load(s, dir, "embeddings"))
@@ -1207,7 +1207,7 @@ object Similarity {
     */
   private[graft] def ivfIndex(s: SparkSession, dir: String): (DataFrame, String, Int) = {
     import graft.sources.Snapshots
-    val base = "/root/repo/target/ivf/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = graft.Roots.scratch + "/ivf/" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val (listsT, centsT) = (s"$base/lists", s"$base/centroids")
     // the content key carries the cluster count next to the input
     // fingerprint (the bloomSkipIndex convention): an index built
@@ -1867,7 +1867,7 @@ object Similarity {
     "s_knn_ivf_dml",
     (s, dir) => {
       import graft.sources.Snapshots
-      val root = "/root/repo/target/ivfdml/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Roots.scratch + "/ivfdml/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       Snapshots.deleteRecursively(root)
       val (baseT, centsT, listsT) = (s"$root/vecs", s"$root/cents", s"$root/lists")
       val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
@@ -1949,7 +1949,7 @@ object Similarity {
     "s_knn_ivf_drift",
     (s, dir) => {
       import graft.sources.Snapshots
-      val root = "/root/repo/target/ivfdrift/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Roots.scratch + "/ivfdrift/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       Snapshots.deleteRecursively(root)
       val (baseT, centsT, listsT) = (s"$root/vecs", s"$root/cents", s"$root/lists")
       val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
@@ -2254,7 +2254,7 @@ object Similarity {
     */
   private def ivfPqServe(s: SparkSession, dir: String, k: Int): DataFrame = {
       import graft.sources.Snapshots
-      val base = "/root/repo/target/ivfpq/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = graft.Roots.scratch + "/ivfpq/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       val (centsT, cbT, codesT) = (s"$base/cents", s"$base/codebooks", s"$base/codes")
       val e = Tables.load(s, dir, "embeddings")
       // C rides in the content key (see ivfIndex) — cents and the
@@ -2776,7 +2776,7 @@ object Similarity {
     "s_knn_pq_served",
     (s, dir) => {
       import graft.sources.Snapshots
-      val base = "/root/repo/target/pqtrained/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = graft.Roots.scratch + "/pqtrained/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       val (cbT, codesT) = (s"$base/codebooks", s"$base/codes")
       val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
       val e = Tables.load(s, dir, "embeddings")
@@ -3250,7 +3250,7 @@ object Similarity {
       // on the new one
       val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
         .replaceAll("[^A-Za-z0-9]", "").take(16)
-      val root = "/root/repo/target/semdedup/" +
+      val root = graft.Roots.scratch + "/semdedup/" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp
       val (centsT, memT) = (s"$root/cents", s"$root/members")
       if (Snapshots.currentVersion(centsT) == 0) {

@@ -764,7 +764,7 @@ object TpcH {
     "q_tpch_refresh",
     (s, dir) => {
       import graft.sources.Snapshots
-      val root = "/root/repo/target/tpch_rf/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Roots.scratch + "/tpch_rf/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       Snapshots.deleteRecursively(root)
       val (ordersT, lineT) = (s"$root/orders", s"$root/lineitem")
       val o = Tables.load(s, dir, "orders").select("o_orderkey")

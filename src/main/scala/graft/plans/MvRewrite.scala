@@ -177,13 +177,27 @@ object MvRewrite {
   // instead of silently serving from a dangling pin.
 
   private[graft] val catalogFile: java.nio.file.Path =
-    java.nio.file.Paths.get("/root/repo/target/graft-tables/mvrewrite.catalog")
+    java.nio.file.Paths.get(graft.Roots.scratch + "/graft-tables/mvrewrite.catalog")
 
   private def defFile(mvTable: String): java.nio.file.Path =
     java.nio.file.Paths.get(mvTable, "meta", "mvrewrite.def")
 
-  private def persist(mvTable: String, parts: Seq[String]): Unit = synchronized {
+  private def absPath(p: String): String =
+    java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+
+  private def persist(mvTable: String, parts0: Seq[String]): Unit = synchronized {
     import java.nio.file.{Files, StandardCopyOption}
+    // normalize ALL table paths (base and view) to absolute at persist
+    // time, matching the catalog-file convention — a def recorded with
+    // a relative path would restore CWD-dependently: a session started
+    // from another directory would silently prune the view as
+    // "dropped" (its meta/ probe misses) and serve base scans forever
+    val parts = parts0.head match {
+      case "join" =>
+        Seq(parts0.head, absPath(parts0(1)), absPath(parts0(2))) ++ parts0.drop(3)
+      case _ =>
+        Seq(parts0.head, absPath(parts0(1))) ++ parts0.drop(2)
+    }
     require(parts.forall(p => !p.contains("\t") && !p.contains("\n")),
       s"mvrewrite definition parts must not contain tabs/newlines: $parts")
     val f = defFile(mvTable)
@@ -246,14 +260,57 @@ object MvRewrite {
     }
   }
 
+  /** Drop a view's persisted registration: in-memory registries, the
+    * `<mvTable>/meta/mvrewrite.def` file, and its catalog line. Delete
+    * order makes a crash mid-way safe: the def file goes first, so an
+    * orphaned catalog line points at a missing def and [[loadCatalog]]
+    * prunes it silently as "dropped" — never a half-registered view.
+    */
+  def deregister(mvTable: String): Unit = synchronized {
+    import java.nio.file.{Files, StandardCopyOption}
+    val abs = absPath(mvTable)
+    registry = registry.filterNot(m => absPath(m.mvTable) == abs)
+    sketchRegistry = sketchRegistry.filterNot(m => absPath(m.mvTable) == abs)
+    joinRegistry = joinRegistry.filterNot(m => absPath(m.mvTable) == abs)
+    Files.deleteIfExists(defFile(mvTable))
+    if (Files.exists(catalogFile)) {
+      val kept = new String(Files.readAllBytes(catalogFile),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).filterNot(_ == abs).toSeq
+      val tmp = catalogFile.resolveSibling(
+        s".mvrewrite-catalog-${java.util.UUID.randomUUID}.tmp")
+      Files.write(tmp, kept.map(_ + "\n").mkString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, catalogFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    ()
+  }
+
+  /** Views skipped by the last [[loadCatalog]] because their pinned
+    * base manifest was vacuumed (only populated under the
+    * skip-vacuumed load option). Each needs re-registration (fresh
+    * pin) or [[deregister]].
+    */
+  @volatile private[graft] var quarantinedOnLoad: Seq[String] = Nil
+
   /** Load every persisted rewrite registration at session start —
     * views whose table (or whose base tables) were DROPPED since are
     * skipped; a view whose base exists but whose pinned manifest was
-    * vacuumed fails loud ([[restore]]). Returns the restored tables.
+    * vacuumed fails loud ([[restore]]) BY DEFAULT. Set the session
+    * conf `spark.graft.mvrewrite.loadSkipVacuumed=true` to instead
+    * quarantine such views — logged loudly, skipped from registration,
+    * recorded in [[quarantinedOnLoad]] — so one stale registration
+    * cannot take down session creation for workloads that never touch
+    * that view. Returns the restored tables.
     */
   def loadCatalog(spark: SparkSession): Seq[String] = {
     import java.nio.file.{Files, Paths}
+    quarantinedOnLoad = Nil
     if (!Files.exists(catalogFile)) return Nil
+    val skipVacuumed = spark.conf
+      .getOption("spark.graft.mvrewrite.loadSkipVacuumed")
+      .exists(_.equalsIgnoreCase("true"))
     new String(Files.readAllBytes(catalogFile),
       java.nio.charset.StandardCharsets.UTF_8)
       .linesIterator.filter(_.nonEmpty).toSeq.distinct
@@ -274,7 +331,21 @@ object MvRewrite {
           bases.nonEmpty &&
             bases.forall(b => Files.exists(Paths.get(b, "meta"))) &&
             Files.exists(Paths.get(mvTable, "meta")) && {
-              restore(spark, mvTable); true
+              if (!skipVacuumed) { restore(spark, mvTable); true }
+              else
+                try { restore(spark, mvTable); true }
+                catch {
+                  case e: IllegalStateException =>
+                    // quarantine: keep session creation available, make
+                    // the broken view loud here and fail hard only when
+                    // IT is next touched (serve finds no registration →
+                    // base scan; re-registration repins or fails)
+                    System.err.println(
+                      s"[graft] QUARANTINED mvrewrite view $mvTable at " +
+                        s"catalog load: ${e.getMessage}")
+                    quarantinedOnLoad = quarantinedOnLoad :+ mvTable
+                    false
+                }
             }
         }
       }

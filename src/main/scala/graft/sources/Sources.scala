@@ -174,7 +174,7 @@ object SourceQueries {
       // input was regenerated in place, and two racing builders could
       // interleave Overwrite writes into one path)
       val fp = Snapshots.fileFingerprint(s"$dir/lineitem.parquet")
-      val path = "/root/repo/target/zorder/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = graft.Roots.scratch + "/zorder/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       val ver = Snapshots.ensureIndex(path, fp) { out =>
         Sources.writeZOrdered(li, out, "l_partkey", "l_suppkey")
       }
@@ -204,7 +204,7 @@ object SourceQueries {
       // on it. Fresh fingerprint → fresh root; superseded siblings GC'd.
       val fp = graft.sources.Snapshots.fileFingerprint(s"$dir/lineitem.parquet")
         .replaceAll("[^A-Za-z0-9]", "").take(16)
-      val root = "/root/repo/target/mv/" +
+      val root = graft.Roots.scratch + "/mv/" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp
       val base = s"$root/base"
       val mv = s"$root/mv"
@@ -260,7 +260,7 @@ object SourceQueries {
     "q_merge_upsert",
     (s, dir) => {
       import graft.sources.Snapshots
-      val table = "/root/repo/target/merge/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val table = graft.Roots.scratch + "/merge/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       Snapshots.deleteRecursively(table)
       val o = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
@@ -316,7 +316,7 @@ object SourceQueries {
       // could), keyed on the input fingerprint so regenerated inputs
       // rebuild instead of serving stale data
       val fp = Snapshots.fileFingerprint(s"$dir/lineitem.parquet")
-      val t = "/root/repo/target/bloomidx/" +
+      val t = graft.Roots.scratch + "/bloomidx/" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "/lineitem"
       Snapshots.ensureIndex(t, fp) { out =>
         Tables.load(s, dir, "lineitem")
@@ -344,7 +344,7 @@ object SourceQueries {
     "q_snapshot_diff",
     (s, dir) => {
       import graft.sources.Snapshots
-      val t = "/root/repo/target/diff/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val t = graft.Roots.scratch + "/diff/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       Snapshots.deleteRecursively(t)
       val o = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
@@ -378,7 +378,7 @@ object SourceQueries {
     "q_mv_join_incremental",
     (s, dir) => {
       import graft.sources.Snapshots
-      val root = "/root/repo/target/mvjoin/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Roots.scratch + "/mvjoin/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       Snapshots.deleteRecursively(root)
       val (oT, lT, vT) = (s"$root/orders", s"$root/lineitem", s"$root/view")
       val o = Tables.load(s, dir, "orders")
@@ -470,7 +470,7 @@ object SourceQueries {
     "q_mv_join_rewrite",
     (s, dir) => {
       import graft.sources.Snapshots
-      val root = "/root/repo/target/mvjoin/" +
+      val root = graft.Roots.scratch + "/mvjoin/" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "_rw"
       Snapshots.deleteRecursively(root)
       val (oT, lT, vT) = (s"$root/orders", s"$root/lineitem", s"$root/view")
@@ -524,7 +524,7 @@ object SourceQueries {
     (s, dir) => {
       val n = graft.Tables.load(s, dir, "nation")
       val fp = Snapshots.fileFingerprint(s"$dir/nation.parquet")
-      val path = "/root/repo/target/csvsink/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = graft.Roots.scratch + "/csvsink/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       val ver = Snapshots.ensureIndex(path, fp) { out =>
         n.write.option("header", "true").csv(out)
       }
@@ -556,7 +556,7 @@ object SourceQueries {
     (s, dir) => {
       val n = graft.Tables.load(s, dir, "nation")
       val fp = Snapshots.fileFingerprint(s"$dir/nation.parquet")
-      val path = "/root/repo/target/jsonsink/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = graft.Roots.scratch + "/jsonsink/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       val ver = Snapshots.ensureIndex(path, fp) { out =>
         n.write.json(out)
       }
@@ -592,7 +592,7 @@ object SourceQueries {
       val o = graft.Tables.load(s, dir, "orders")
         .withColumn("yr", year(col("o_orderdate")).cast("int"))
       val fp = Snapshots.fileFingerprint(s"$dir/orders.parquet")
-      val path = "/root/repo/target/partsink/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = graft.Roots.scratch + "/partsink/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       val ver = Snapshots.ensureIndex(path, fp) { out =>
         Sources.writePartitioned(o, out, "yr")
       }
@@ -647,7 +647,7 @@ object SourceQueries {
       dir: String): (String, String, org.apache.spark.sql.DataFrame) = {
     val fp = Snapshots.fileFingerprint(s"$dir/events.parquet")
       .replaceAll("[^A-Za-z0-9]", "").take(16)
-    val root = "/root/repo/target/mv/" +
+    val root = graft.Roots.scratch + "/mv/" +
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_sk_" + fp
     val base = s"$root/base"
     val mv = s"$root/mv"

@@ -30,7 +30,7 @@ object Bm25DmlAb {
     }
     for (round <- 1 to 2) {
       println(s"== round $round")
-      val root = "/root/repo/target/invidx/" +
+      val root = graft.Roots.scratch + "/invidx/" +
         dir.replaceAll("[^A-Za-z0-9]", "_") + "/bm25dml_ab"
       Snapshots.deleteRecursively(root)
       val (baseT, postT, dlT, totT) =

@@ -27,7 +27,7 @@ object EdgeSweep {
       }
     }
     for ((label, limit) <- Seq("EMPTY" -> 0, "ONE" -> 1)) {
-      val dst = s"/root/repo/target/edgesweep/${label.toLowerCase}"
+      val dst = graft.Roots.scratch + s"/edgesweep/${label.toLowerCase}"
       writeScaled(dst, limit)
       var bad = 0
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -27,7 +27,7 @@ object MvJoinAb {
     }
     for (round <- 1 to 2) {
       println(s"== round $round")
-      val root = "/root/repo/target/mvjoin_ab/" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Roots.scratch + "/mvjoin_ab/" + dir.replaceAll("[^A-Za-z0-9]", "_")
       Snapshots.deleteRecursively(root)
       val (oT, lT, vT) = (s"$root/orders", s"$root/lineitem", s"$root/view")
       val o = Tables.load(spark, dir, "orders")

@@ -29,7 +29,7 @@ object ScaleLaw {
   private val Stride = 100000000L
 
   private def scaledDir(s: SparkSession, base: String, factor: Int): String = {
-    val out = s"/root/repo/target/scalelaw/x$factor"
+    val out = graft.Roots.scratch + s"/scalelaw/x$factor"
     graft.sources.Snapshots.deleteRecursively(out)
     val dims = Seq("region", "nation", "customer", "supplier", "part")
     dims.foreach { t =>
@@ -96,7 +96,7 @@ object ScaleLaw {
     // slowest-N from the committed round timings
     val prior: Seq[(String, Double)] = {
       val txt = java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/root/repo/TIMINGS_latest.json"))
+        java.nio.file.Paths.get(graft.Roots.repo, "TIMINGS_latest.json"))
       val m = """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r
       val qsPart = txt.drop(math.max(0, txt.indexOf("\"queries\"")))
       m.findAllMatchIn(qsPart).map(x => x.group(1) -> x.group(2).toDouble)
@@ -122,7 +122,7 @@ object ScaleLaw {
       f"""  {"query":"$n","base_s":$a%.3f,"x${factor}_s":$b%.3f,"ratio":$r%.3f,"exponent":$e%.3f}"""
     }.mkString("[\n", ",\n", "\n]")
     val outPath = if (args.length > 3) args(3)
-      else s"/root/repo/tools/scalelaw_x$factor.json"
+      else graft.Roots.repo + s"/tools/scalelaw_x$factor.json"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath),
       s"""{"base":"$base","factor":$factor,"rows":$json}\n""")

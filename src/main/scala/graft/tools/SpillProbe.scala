@@ -32,7 +32,7 @@ object SpillProbe {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse-spill")
+      .config("spark.sql.warehouse.dir", graft.Roots.scratch + "/spark-warehouse-spill")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.windowExec.buffer.in.memory.threshold", "1024")
       .config("spark.sql.windowExec.buffer.spill.threshold", "1024")

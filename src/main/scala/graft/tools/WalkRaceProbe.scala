@@ -32,7 +32,7 @@ object WalkRaceProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
-        s"/root/repo/target/spark-warehouse-walkrace-$mode")
+        graft.Roots.scratch + s"/spark-warehouse-walkrace-$mode")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

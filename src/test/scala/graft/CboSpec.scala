@@ -555,10 +555,75 @@ class CboSpec extends SparkSpec {
         java.nio.file.Paths.get(base, "meta", s"v$pinned.manifest"))
       val e = intercept[IllegalStateException] { MvRewrite.restore(spark, mv) }
       assert(e.getMessage.contains(mv), e.getMessage)
+
+      // the SAME vacuumed pin under the availability conf: catalog load
+      // quarantines the broken view (skip + record) instead of taking
+      // down session creation for workloads that never touch it
+      spark.conf.set("spark.graft.mvrewrite.loadSkipVacuumed", "true")
+      try {
+        val loaded = MvRewrite.loadCatalog(spark)
+        assert(!loaded.exists(_.endsWith("mv_persist/mv")),
+          s"vacuumed view must not restore under skip conf: $loaded")
+        assert(MvRewrite.quarantinedOnLoad.exists(_.endsWith("mv_persist/mv")),
+          s"vacuumed view must be quarantined: ${MvRewrite.quarantinedOnLoad}")
+      } finally spark.conf.unset("spark.graft.mvrewrite.loadSkipVacuumed")
+      // default stays fail-loud
+      intercept[IllegalStateException] { MvRewrite.loadCatalog(spark) }
+      // deregister is the operator's repair path for a vacuumed pin:
+      // catalog load is clean again with the entry gone
+      MvRewrite.deregister(mv)
+      assert(!MvRewrite.loadCatalog(spark).exists(_.endsWith("mv_persist/mv")))
     } finally {
       MvRewrite.clear()
       // drop the root so the poisoned entry PRUNES from later session
       // loads (the dropped-table path) instead of failing them
+      Snapshots.deleteRecursively(root)
+    }
+  }
+
+  test("mvrewrite lifecycle: deregister drops the def + catalog line; defs persist absolute paths") {
+    import graft.plans.MvRewrite
+    import graft.sources.{MaterializedView, Snapshots}
+    val root = "/root/repo/target/cbo-spec/mv_lifecycle"
+    Snapshots.deleteRecursively(root)
+    val base = s"$root/base"; val mv = s"$root/mv"
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    Snapshots.commitOverwrite(li, base)
+    MaterializedView.refresh(spark, base, mv, Seq("l_returnflag"), Seq("l_quantity"))
+    try {
+      def canonical() = Snapshots.read(spark, base)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      MvRewrite.register(base, mv, Seq("l_returnflag"), Seq("l_quantity"))
+      // persisted def carries ABSOLUTE paths (CWD-independent restore —
+      // a relative base path would make a session started elsewhere
+      // silently prune the view as "dropped" and serve base scans)
+      val defPath = java.nio.file.Paths.get(mv, "meta", "mvrewrite.def")
+      val defLine = java.nio.file.Files.readString(defPath).trim.split("\t")
+      assert(defLine(1).startsWith("/"),
+        s"persisted base path must be absolute: ${defLine.mkString("|")}")
+      assert(physicalPlan(canonical()).contains("/mv/"))
+
+      // deregister: in-memory stops rewriting immediately...
+      MvRewrite.deregister(mv)
+      assert(physicalPlan(canonical()).contains("/base/"),
+        "deregistered view must stop rewriting in-session")
+      // ...the def file and catalog line are gone...
+      assert(!java.nio.file.Files.exists(defPath), "def file must be removed")
+      val cat =
+        if (java.nio.file.Files.exists(MvRewrite.catalogFile))
+          java.nio.file.Files.readString(MvRewrite.catalogFile)
+        else ""
+      assert(!cat.contains("mv_lifecycle"),
+        s"catalog line must be removed: $cat")
+      // ...and a clean restart load does not resurrect it
+      MvRewrite.clear()
+      val reloaded = MvRewrite.loadCatalog(spark)
+      assert(!reloaded.exists(_.endsWith("mv_lifecycle/mv")),
+        s"deregistered view must not reload: $reloaded")
+      assert(physicalPlan(canonical()).contains("/base/"))
+    } finally {
+      MvRewrite.clear()
       Snapshots.deleteRecursively(root)
     }
   }
