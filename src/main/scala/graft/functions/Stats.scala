@@ -845,11 +845,89 @@ object StatsQueries {
           FROM cc JOIN tot ON tot.lang = cc.lang
           GROUP BY 1"""))
 
+  /** STORAGE-ENCODING ADVISOR — the physical-design read behind
+    * parquet/ORC encoding choices (dictionary vs run-length vs plain:
+    * Abadi et al. 2006, "Integrating compression and execution in
+    * column-oriented DBMS"): per candidate lineitem column, the
+    * cardinality and run structure that decide the encoding. Runs are
+    * counted WITHIN (l_orderkey) partitions ordered by l_linenumber —
+    * the table's native clustering — so the window is partitioned
+    * (never a global sort; runs across order boundaries are ignored,
+    * an undercount of at most one run per order, identically in both
+    * engines). Advice thresholds: dictionary when distinct/row ratio
+    * < 1%, run-length when the average run ≥ 2, else plain — the
+    * standard first-cut heuristics, stated in the output so the
+    * artifact is self-describing.
+    *
+    * Scale shape: per column one partitioned lag window on the
+    * natural key + one fold; columns audited in parallel arms of a
+    * union. At 100 TB this is the same shape per column — no global
+    * ordering anywhere.
+    */
+  val encodingAdvisor: QueryDef = QueryDef(
+    "q_encoding_advisor",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      def arm(name: String, c: Column): DataFrame = {
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // data — `v` joins the ordering so the lag is deterministic
+        // in both engines (equal-v ties are interchangeable)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey").orderBy(col("l_linenumber"), col("v"))
+        li.select(col("l_orderkey"), col("l_linenumber"),
+            c.cast("string").as("v"))
+          .withColumn("pv", lag(col("v"), 1).over(w))
+          .select(
+            lit(name).as("col_name"),
+            col("v"),
+            when(col("pv").isNull || col("pv") =!= col("v"), 1L)
+              .otherwise(0L).as("run_start"))
+          .groupBy("col_name")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("v")).as("n_distinct"),
+            sum(col("run_start")).as("n_runs"))
+      }
+      arm("l_returnflag", col("l_returnflag"))
+        .unionAll(arm("l_linestatus", col("l_linestatus")))
+        .unionAll(arm("l_tax_cents", (col("l_tax") * 100).cast("bigint")))
+        .unionAll(arm("l_quantity", col("l_quantity").cast("bigint")))
+        .select(col("col_name"), col("n_rows"), col("n_distinct"), col("n_runs"),
+          expr("(n_rows * 1000) div nullif(n_runs, 0)").as("avg_run_x1000"),
+          expr("(n_distinct * 1000000) div nullif(n_rows, 0)").as("distinct_x1e6"))
+        .withColumn("advice",
+          expr("""CASE WHEN distinct_x1e6 < 10000 THEN 'dict'
+                  WHEN avg_run_x1000 >= 2000 THEN 'rle'
+                  ELSE 'plain' END"""))
+    },
+    Some {
+      def arm(name: String, c: String) =
+        s"""SELECT '$name' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+            CAST(SUM(run_start) AS BIGINT) AS n_runs
+          FROM (SELECT v, CASE WHEN pv IS NULL OR pv <> v THEN 1 ELSE 0 END AS run_start
+            FROM (SELECT CAST($c AS VARCHAR) AS v,
+                LAG(CAST($c AS VARCHAR)) OVER (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber, CAST($c AS VARCHAR)) AS pv
+              FROM lineitem) x) y"""
+      s"""WITH arms AS (${arm("l_returnflag", "l_returnflag")}
+           UNION ALL ${arm("l_linestatus", "l_linestatus")}
+           UNION ALL ${arm("l_tax_cents", "CAST(l_tax * 100 AS BIGINT)")}
+           UNION ALL ${arm("l_quantity", "CAST(l_quantity AS BIGINT)")}),
+         m AS (SELECT col_name, n_rows, n_distinct, n_runs,
+             (n_rows * 1000) // NULLIF(n_runs, 0) AS avg_run_x1000,
+             (n_distinct * 1000000) // NULLIF(n_rows, 0) AS distinct_x1e6
+           FROM arms)
+         SELECT *, CASE WHEN distinct_x1e6 < 10000 THEN 'dict'
+             WHEN avg_run_x1000 >= 2000 THEN 'rle'
+             ELSE 'plain' END AS advice
+         FROM m"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(histogram, tableStats, stringHistogram, approxStats, histogramEquiDepth,
       sketchQuantiles, skewProfile, dataQuality, tableChecksum,
       tableChecksumIncremental, approxStatsGrouped, tableProfile, benford,
-      columnCorr, selectivityEval, groupwiseQuantiles)
+      columnCorr, selectivityEval, groupwiseQuantiles, encodingAdvisor)
 
   /** Equi-width histogram summary of a numeric column: (lo, hi,
     * bucket counts). One narrow aggregate pass; the B-bucket result is

@@ -2018,11 +2018,82 @@ object Dedup {
           FROM b LEFT JOIN d ON d.source = b.source"""
     })
 
+  /** b-BIT MinHash accuracy — the storage-compression rung UNDER
+    * [[minhashAccuracy]] (Li & König 2010, "b-bit minwise hashing"):
+    * keep only the LOWEST BIT of each of the K min-hashes (32× less
+    * signature storage at K=32×64-bit) and estimate Jaccard from the
+    * bit-agreement rate. For b=1 the collision probability of two
+    * INDEPENDENT mins' low bits is ½, so E[agree] = J + (1−J)/2 and
+    * the unbiased estimator is Ĵ = 2·rate − 1 (clamped at 0 —
+    * agreement below ½ is sampling noise, not negative similarity).
+    * Ships, per banded candidate pair, the exact Jaccard, the full
+    * K-row estimate, the 1-bit estimate, and both absolute errors —
+    * the measured cost of the compression, next to the measured cost
+    * of the estimator itself (its parent query), the same
+    * decision-artifact convention as the recall ladder.
+    *
+    * Scale shape: identical to [[minhashAccuracy]] — banded
+    * candidates, per-pair K-element zips, never all-pairs.
+    */
+  val minhashBbit: QueryDef = QueryDef(
+    "d_minhash_bbit",
+    (s, dir) => {
+      val sg = signed(Tables.load(s, dir, "documents"))
+      val pairs = minhashCandidates(sg)
+      val sa = sg.select(col("doc_id").as("a"), col("shingles").as("sh_a"),
+        col("sig").as("sig_a"))
+      val sb = sg.select(col("doc_id").as("b"), col("shingles").as("sh_b"),
+        col("sig").as("sig_b"))
+      val inter = graft.functions.Native.sortedIntersectSize(col("sh_a"), col("sh_b"))
+      pairs.join(sa, "a").join(sb, "b")
+        .select(col("a"), col("b"), inter.as("inter"),
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("zsum"),
+          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)")
+            .as("matches"),
+          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x % 2 = y % 2, 1L, 0L)), 0L, (acc, v) -> acc + v)")
+            .as("matches1"))
+        .select(col("a"), col("b"),
+          expr("(inter * 1000) div nullif(zsum - inter, 0)").as("exact_x1000"),
+          expr(s"(matches * 1000) div $K").as("est_full_x1000"),
+          expr(s"greatest((matches1 * 2000) div $K - 1000, 0L)").as("est_bbit_x1000"))
+        .select(col("a"), col("b"), col("exact_x1000"),
+          col("est_full_x1000"), col("est_bbit_x1000"),
+          abs(col("est_full_x1000") - col("exact_x1000")).as("err_full"),
+          abs(col("est_bbit_x1000") - col("exact_x1000")).as("err_bbit"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         sh AS (SELECT doc_id, ${gramsSql(3)} AS shingles FROM tk),
+         sg AS (SELECT doc_id, shingles, list_transform(range(0, $K), k ->
+             list_min(list_transform(shingles, h ->
+               ((2*k+1)*(h % $HashP) + ((k*2654435761) % $HashP)) % $HashP))) AS sig
+           FROM sh),
+         bx AS (SELECT doc_id, unnest(range(0, $Bands)) AS band, sig FROM sg),
+         bb AS (SELECT doc_id, band, ${bandBucketSql("band")} AS bucket FROM bx),
+         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bb l JOIN bb r
+             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         pj AS (SELECT c.a, c.b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+               CAST(len(sa.shingles) + len(sb.shingles) AS BIGINT) AS zsum,
+               CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS BIGINT)
+                 AS matches,
+               CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] % 2 = z[2] % 2)) AS BIGINT)
+                 AS matches1
+             FROM cand c JOIN sg sa ON sa.doc_id = c.a JOIN sg sb ON sb.doc_id = c.b),
+         m AS (SELECT a, b,
+               (inter * 1000) // NULLIF(zsum - inter, 0) AS exact_x1000,
+               (matches * 1000) // $K AS est_full_x1000,
+               GREATEST((matches1 * 2000) // $K - 1000, 0) AS est_bbit_x1000
+             FROM pj)
+         SELECT a, b, exact_x1000, est_full_x1000, est_bbit_x1000,
+           ABS(est_full_x1000 - exact_x1000) AS err_full,
+           ABS(est_bbit_x1000 - exact_x1000) AS err_bbit
+         FROM m"""))
+
   val defs: Seq[QueryDef] =
     Seq(exact, paragraph, substring, minhash, editDistance, simhashDef,
       ngramJaccard, cluster, canonicalByQuality, incremental, dedupReport,
       sourceOverlap, containment, splitLeakage, corpusDiversity,
       minhashAccuracy, lshPlanner, bucketStats, exactIncremental,
       thresholdSweep, cdcChunks, winnow, simhashIncremental, prefixDedup,
-      suffixDedup)
+      suffixDedup, minhashBbit)
 }

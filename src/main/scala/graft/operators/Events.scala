@@ -3351,6 +3351,262 @@ object Events {
             (kc.n_present * 1000) // tot.n_events AS presence_x1000
           FROM kc JOIN tot ON tot.event_type = kc.event_type"""))
 
+  /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental twin of
+    * [[abTest]]'s randomized readout: when assignment is NOT
+    * randomized (a feature shipped to arm A at time T), the naive
+    * post-period arm gap confounds treatment with pre-existing arm
+    * differences; DiD nets them out as (post−pre gap of A) − (post−pre
+    * gap of B). Arms are the id-parity split (the [[mannWhitney]]
+    * convention), the policy boundary is the deterministic midpoint of
+    * the observed day range, the metric is mean purchase cents per
+    * event. Integer throughout: per-cell means are truncated cents
+    * (div on non-negative operands — the checksum convention), the DiD
+    * estimate a difference of those materialized means.
+    *
+    * Scale shape: one filter + one 4-cell conditional fold (map-side
+    * combine) against a broadcast 1-row bounds scalar; output 1 row.
+    */
+  val didQ: QueryDef = QueryDef(
+    "q_events_did",
+    (s, dir) => {
+      val e = events(s, dir).where(col("event_type") === "purchase")
+        .select(expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"),
+          (col("user_id") % 2).as("arm"),
+          expr("ts div 1000000000 div 86400").as("day"))
+      val b = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(expr("(d0 + d1 + 1) div 2").as("mid"))
+      val cell = e.crossJoin(broadcast(b))
+        .withColumn("post", (col("day") >= col("mid")).cast("int"))
+      def n(a: Int, p: Int) =
+        sum(when(col("arm") === a && col("post") === p, 1L).otherwise(0L))
+      def v(a: Int, p: Int) =
+        sum(when(col("arm") === a && col("post") === p, col("cents")).otherwise(0L))
+      cell.agg(
+          n(0, 0).as("n_pre_a"), n(0, 1).as("n_post_a"),
+          n(1, 0).as("n_pre_b"), n(1, 1).as("n_post_b"),
+          v(0, 0).as("v_pre_a"), v(0, 1).as("v_post_a"),
+          v(1, 0).as("v_pre_b"), v(1, 1).as("v_post_b"))
+        .select(col("n_pre_a"), col("n_post_a"), col("n_pre_b"), col("n_post_b"),
+          expr("v_pre_a div nullif(n_pre_a, 0)").as("mean_pre_a_cents"),
+          expr("v_post_a div nullif(n_post_a, 0)").as("mean_post_a_cents"),
+          expr("v_pre_b div nullif(n_pre_b, 0)").as("mean_pre_b_cents"),
+          expr("v_post_b div nullif(n_post_b, 0)").as("mean_post_b_cents"))
+        .withColumn("did_cents",
+          expr("""(mean_post_a_cents - mean_pre_a_cents)
+                  - (mean_post_b_cents - mean_pre_b_cents)"""))
+    },
+    Some("""WITH e AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+              user_id % 2 AS arm,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+            FROM events WHERE event_type = 'purchase'),
+          b AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e),
+          c AS (SELECT
+              CAST(SUM(CASE WHEN arm = 0 AND day <  mid THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_a,
+              CAST(SUM(CASE WHEN arm = 0 AND day >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_post_a,
+              CAST(SUM(CASE WHEN arm = 1 AND day <  mid THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_b,
+              CAST(SUM(CASE WHEN arm = 1 AND day >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_post_b,
+              CAST(SUM(CASE WHEN arm = 0 AND day <  mid THEN cents ELSE 0 END) AS BIGINT) AS v_pre_a,
+              CAST(SUM(CASE WHEN arm = 0 AND day >= mid THEN cents ELSE 0 END) AS BIGINT) AS v_post_a,
+              CAST(SUM(CASE WHEN arm = 1 AND day <  mid THEN cents ELSE 0 END) AS BIGINT) AS v_pre_b,
+              CAST(SUM(CASE WHEN arm = 1 AND day >= mid THEN cents ELSE 0 END) AS BIGINT) AS v_post_b
+            FROM e CROSS JOIN b),
+          m AS (SELECT n_pre_a, n_post_a, n_pre_b, n_post_b,
+              v_pre_a  // NULLIF(n_pre_a, 0)  AS mean_pre_a_cents,
+              v_post_a // NULLIF(n_post_a, 0) AS mean_post_a_cents,
+              v_pre_b  // NULLIF(n_pre_b, 0)  AS mean_pre_b_cents,
+              v_post_b // NULLIF(n_post_b, 0) AS mean_post_b_cents
+            FROM c)
+          SELECT *, (mean_post_a_cents - mean_pre_a_cents)
+              - (mean_post_b_cents - mean_pre_b_cents) AS did_cents
+          FROM m"""))
+
+  /** PARTIAL autocorrelation (PACF, lags 1–3) — the model-order
+    * companion of [[acf]]: ACF at lag k mixes direct dependence with
+    * dependence routed through intermediate lags; PACF nets the
+    * shorter lags out (Durbin–Levinson recursion), which is the
+    * number an AR-order choice actually reads (an AR(1) series shows
+    * decaying ACF at every lag but PACF ≈ 0 past lag 1). Computed on
+    * the zero-filled daily count series per event type with a single
+    * global mean (the standard time-series definition — unlike ACF's
+    * per-lag-pair means), autocovariances assembled from integer
+    * sums, and the recursion evaluated as an IDENTICAL double
+    * expression chain in both engines (the [[acf]] parity
+    * convention: integers until one deterministic double tail).
+    *
+    * Scale shape: the series is the bounded daily grid (≤ types ×
+    * days rows); three self-joins on day+k keyed by type, integer
+    * folds, 1-row-per-type double tail. Nothing corpus-sized.
+    */
+  val pacf: QueryDef = QueryDef(
+    "q_events_pacf",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(expr("ts div 1000000000 div 86400").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("y"))
+      val dense = daily.groupBy("event_type")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("y"), lit(0L)).as("y"))
+        .localCheckpoint()
+      val tot = dense.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+          sum(col("y") * col("y")).as("ss"))
+      val lagged = dense.select(col("event_type"), col("day"), col("y").as("x"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .withColumn("day2", col("day") + col("k"))
+        .join(dense.select(col("event_type"), col("day").as("day2"),
+          col("y").as("yy")), Seq("event_type", "day2"))
+        .groupBy("event_type", "k")
+        .agg(sum(col("x") * col("yy")).as("sxy"),
+          sum(col("x")).as("sx"), sum(col("yy")).as("sy"))
+      def pick(k: Int, c: String) =
+        max(when(col("k") === k, col(c))).as(s"$c$k")
+      val wide = lagged.groupBy("event_type").agg(
+        pick(1, "sxy"), pick(2, "sxy"), pick(3, "sxy"),
+        pick(1, "sx"), pick(2, "sx"), pick(3, "sx"),
+        pick(1, "sy"), pick(2, "sy"), pick(3, "sy"))
+      tot.join(wide, Seq("event_type"))
+        .withColumn("mu", expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("c0", expr("CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * mu"))
+        .withColumn("c1", expr(
+          "CAST(sxy1 AS DOUBLE) - mu * CAST(sx1 + sy1 AS DOUBLE) + CAST(n - 1 AS DOUBLE) * mu * mu"))
+        .withColumn("c2", expr(
+          "CAST(sxy2 AS DOUBLE) - mu * CAST(sx2 + sy2 AS DOUBLE) + CAST(n - 2 AS DOUBLE) * mu * mu"))
+        .withColumn("c3", expr(
+          "CAST(sxy3 AS DOUBLE) - mu * CAST(sx3 + sy3 AS DOUBLE) + CAST(n - 3 AS DOUBLE) * mu * mu"))
+        .withColumn("rho1", expr("c1 / NULLIF(c0, 0)"))
+        .withColumn("rho2", expr("c2 / NULLIF(c0, 0)"))
+        .withColumn("rho3", expr("c3 / NULLIF(c0, 0)"))
+        .withColumn("pacf1", col("rho1"))
+        .withColumn("pacf2", expr(
+          "(rho2 - rho1 * rho1) / NULLIF(1 - rho1 * rho1, 0)"))
+        .withColumn("phi21", expr("rho1 - pacf2 * rho1"))
+        .withColumn("pacf3", expr(
+          """(rho3 - phi21 * rho2 - pacf2 * rho1)
+             / NULLIF(1 - phi21 * rho1 - pacf2 * rho2, 0)"""))
+        .select(col("event_type"), col("n").as("n_days"),
+          col("rho1"), col("rho2"), col("rho3"),
+          col("pacf1"), col("pacf2"), col("pacf3"))
+    },
+    Some("""WITH daily AS (SELECT
+              CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+              event_type, COUNT(*) AS y
+            FROM events GROUP BY 1, 2),
+          b AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+            FROM daily GROUP BY 1),
+          grid AS (SELECT event_type, UNNEST(range(d0, d1 + 1)) AS day FROM b),
+          dense AS (SELECT g.event_type, g.day,
+              CAST(COALESCE(d.y, 0) AS BIGINT) AS y
+            FROM grid g LEFT JOIN daily d
+              ON d.event_type = g.event_type AND d.day = g.day),
+          tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(y) AS BIGINT) AS s,
+              CAST(SUM(y * y) AS BIGINT) AS ss
+            FROM dense GROUP BY 1),
+          lags AS (SELECT CAST(UNNEST([1, 2, 3]) AS BIGINT) AS k),
+          p AS (SELECT a.event_type, l.k, a.y AS x, b2.y AS yy
+            FROM dense a CROSS JOIN lags l
+            JOIN dense b2 ON b2.event_type = a.event_type
+              AND b2.day = a.day + l.k),
+          m AS (SELECT event_type, k,
+              CAST(SUM(x * yy) AS BIGINT) AS sxy,
+              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yy) AS BIGINT) AS sy
+            FROM p GROUP BY 1, 2),
+          wide AS (SELECT event_type,
+              MAX(CASE WHEN k = 1 THEN sxy END) AS sxy1,
+              MAX(CASE WHEN k = 2 THEN sxy END) AS sxy2,
+              MAX(CASE WHEN k = 3 THEN sxy END) AS sxy3,
+              MAX(CASE WHEN k = 1 THEN sx END) AS sx1,
+              MAX(CASE WHEN k = 2 THEN sx END) AS sx2,
+              MAX(CASE WHEN k = 3 THEN sx END) AS sx3,
+              MAX(CASE WHEN k = 1 THEN sy END) AS sy1,
+              MAX(CASE WHEN k = 2 THEN sy END) AS sy2,
+              MAX(CASE WHEN k = 3 THEN sy END) AS sy3
+            FROM m GROUP BY 1),
+          d1 AS (SELECT t.*, w.sxy1, w.sxy2, w.sxy3, w.sx1, w.sx2, w.sx3,
+              w.sy1, w.sy2, w.sy3,
+              CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+            FROM tot t JOIN wide w USING (event_type)),
+          d2 AS (SELECT *,
+              CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * mu AS c0,
+              CAST(sxy1 AS DOUBLE) - mu * CAST(sx1 + sy1 AS DOUBLE) + CAST(n - 1 AS DOUBLE) * mu * mu AS c1,
+              CAST(sxy2 AS DOUBLE) - mu * CAST(sx2 + sy2 AS DOUBLE) + CAST(n - 2 AS DOUBLE) * mu * mu AS c2,
+              CAST(sxy3 AS DOUBLE) - mu * CAST(sx3 + sy3 AS DOUBLE) + CAST(n - 3 AS DOUBLE) * mu * mu AS c3
+            FROM d1),
+          d3 AS (SELECT *, c1 / NULLIF(c0, 0) AS rho1,
+              c2 / NULLIF(c0, 0) AS rho2, c3 / NULLIF(c0, 0) AS rho3
+            FROM d2),
+          d4 AS (SELECT *, rho1 AS pacf1,
+              (rho2 - rho1 * rho1) / NULLIF(1 - rho1 * rho1, 0) AS pacf2
+            FROM d3),
+          d5 AS (SELECT *, rho1 - pacf2 * rho1 AS phi21 FROM d4)
+          SELECT event_type, n AS n_days, rho1, rho2, rho3, pacf1, pacf2,
+            (rho3 - phi21 * rho2 - pacf2 * rho1)
+              / NULLIF(1 - phi21 * rho1 - pacf2 * rho2, 0) AS pacf3
+          FROM d5"""))
+
+  /** NEXT-EVENT PREDICTABILITY — the entropy-rate read on the
+    * [[markov]] transition structure, with [[userDiversity]]'s
+    * integer-exact Gini–Simpson diversity in place of Shannon entropy
+    * (log parity across engines is last-ulp-fragile; the collision
+    * probability 1 − Σp² ranks states identically and stays in exact
+    * arithmetic): per current event type, how concentrated is the
+    * NEXT event's distribution? Low diversity = scripted flows (good
+    * bot/funnel signal); high = genuine branching. Ships the top next
+    * state and its share (deterministic tie-break by type name) —
+    * the pair a session-design review actually reads.
+    *
+    * Scale shape: one windowed lead per user (the markov shuffle),
+    * one (from, to) fold, one from-level fold; output ≤ |types| rows.
+    */
+  val predictability: QueryDef = QueryDef(
+    "q_events_predictability",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        sec.as("t"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      val cells = e.withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val top = cells.withColumn("rk", row_number().over(
+          Window.partitionBy("from_type").orderBy(col("n").desc, col("to_type"))))
+        .where(col("rk") === 1)
+        .select(col("from_type"), col("to_type").as("top_to_type"),
+          col("n").as("top_n"))
+      cells.groupBy("from_type")
+        .agg(sum(col("n")).as("n_trans"),
+          count(lit(1)).as("n_next_types"),
+          sum(col("n") * col("n")).as("ss"))
+        .join(top, Seq("from_type"))
+        .select(col("from_type"), col("n_trans"), col("n_next_types"),
+          expr("((n_trans * n_trans - ss) * 1000000) div (n_trans * n_trans)")
+            .as("gini_next_x1e6"),
+          col("top_to_type"),
+          expr("(top_n * 1000) div n_trans").as("top_share_x1000"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+              CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id FROM events),
+          s AS (SELECT event_type AS from_type,
+              LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                AS to_type FROM e),
+          c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM s
+            WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          top AS (SELECT from_type, to_type AS top_to_type, n AS top_n FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY from_type
+                ORDER BY n DESC, to_type) AS rk FROM c) x WHERE rk = 1),
+          f AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_trans,
+              CAST(COUNT(*) AS BIGINT) AS n_next_types,
+              CAST(SUM(n * n) AS BIGINT) AS ss
+            FROM c GROUP BY 1)
+          SELECT f.from_type, f.n_trans, f.n_next_types,
+            ((n_trans * n_trans - ss) * 1000000) // (n_trans * n_trans)
+              AS gini_next_x1e6,
+            t.top_to_type, (t.top_n * 1000) // f.n_trans AS top_share_x1000
+          FROM f JOIN top t USING (from_type)"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
@@ -3362,7 +3618,7 @@ object Events {
       funnelWindowed, growthAccounting, sloBurn, retentionDn, dowEffect,
       audienceOverlap, userDiversity, attributionLinear,
       attributionUshaped, sessionPaths, asofNearest, mannWhitney, chiSquare,
-      fano, jsonKeys)
+      fano, jsonKeys, didQ, pacf, predictability)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

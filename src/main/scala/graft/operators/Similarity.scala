@@ -105,6 +105,23 @@ object Similarity {
   private val BandsV = 3
   private val BitsPerBand = 8
 
+  /** XOR masks of the multi-probe set: self (0), every 1-bit flip,
+    * every 2-bit flip — 37 per band. ONE definition feeds the served
+    * query ([[knnLshMultiprobe]]), its recall eval
+    * ([[annRecallMultiprobe]]), and both DuckDB oracles, so the
+    * measured recall can never drift from the path it claims to grade.
+    */
+  private val MultiprobeFlips: Seq[Long] =
+    0L +: ((0 until BitsPerBand).map(i => 1L << i) ++
+      (for { i <- 0 until BitsPerBand; j <- (i + 1) until BitsPerBand }
+        yield (1L << i) | (1L << j)))
+
+  private def multiprobeCols(bucket: Column): Column =
+    explode(array(MultiprobeFlips.map(f => bucket.bitwiseXOR(lit(f))): _*))
+
+  private def multiprobeFlipsSql: String =
+    MultiprobeFlips.map(f => s"xor(qb.bucket, $f)").mkString("[", ", ", "]")
+
   /** Per-band bucket ids: band b packs the sign bits of planes
     * b*BitsPerBand … b*BitsPerBand+BitsPerBand−1 into an 8-bit value.
     * All plane dots run in one native compiled pass
@@ -258,6 +275,88 @@ object Similarity {
            GROUP BY 1)
          SELECT q_id, n_true, n_hit,
            CAST((n_hit * 1000) // n_true AS BIGINT) AS recall_x1000 FROM j"""))
+
+  /** Multi-probe LSH RECALL eval — recall@5 of the MULTI-PROBE LSH
+    * serving path (`s_knn_lsh_multiprobe`: own bucket + every 1- and
+    * 2-bit-flip neighbor per band, [[MultiprobeFlips]]) against exact
+    * brute-force truth, the same harness as [[annRecall]]. Round-14
+    * verdict item 4: the
+    * single-probe tier measures ~0.08 recall@5 — its 3×8-bit bands
+    * are tuned for near-dup detection (d_dedup_embedding), not top-k
+    * retrieval — so the SERVED top-k path is the multi-probe form and
+    * this query is the ladder row that proves (or indicts) it each
+    * round. Probing grows the query fan-out 9× (tiny side); the
+    * corpus index is untouched — recall bought without reshuffling
+    * the corpus.
+    */
+  val annRecallMultiprobe: QueryDef = QueryDef(
+    "s_knn_lsh_multiprobe_recall",
+    (s, dir) => {
+      val v = quantized(Tables.load(s, dir, "embeddings"))
+        .withColumn("buckets", lshBandBuckets(col("q")))
+        .localCheckpoint()
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+      def top5(cand: DataFrame) = cand
+        .join(v.select(col("vec_id").as("q_id"), col("q").as("q_q"),
+          col("nrm").as("q_nrm")), Seq("q_id"))
+        .join(v.select(col("vec_id").as("n_id"), col("q").as("n_q"),
+          col("nrm").as("n_nrm")), Seq("n_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(dotL(col("q_q"), col("n_q")), col("q_nrm"), col("n_nrm")).as("sim"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("q_id", "n_id")
+      val bruteCand = v.where(col("vec_id") < 5).select(col("vec_id").as("q_id"))
+        .crossJoin(v.select(col("vec_id").as("n_id")))
+        .where(col("q_id") =!= col("n_id"))
+      val bv = bandedVectors(v)
+      val probes = bv.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("band"),
+          multiprobeCols(col("bucket")).as("bucket"))
+      val mpCand = probes
+        .join(bv.toDF("n_id", "band", "bucket"), Seq("band", "bucket"))
+        .where(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id").distinct()
+      top5(bruteCand)
+        .join(top5(mpCand).withColumn("hit", lit(1L)),
+          Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_x1000", expr("(n_hit * 1000) div n_true"))
+    },
+    Some {
+      s"""WITH $quantizedSql, $bandedSql,
+         bfp AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+             a.nrm AS na, b.nrm AS nb
+           FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         bfs AS (SELECT q_id, n_id,
+             CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM bfp),
+         bft AS (SELECT q_id, n_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+             FROM bfs) x WHERE rn <= 5),
+         probes AS (SELECT qb.vec_id AS q_id, qb.band,
+             unnest($multiprobeFlipsSql) AS bucket
+           FROM bb qb WHERE qb.vec_id < 5),
+         lc AS (SELECT DISTINCT p.q_id, nb.vec_id AS n_id
+             FROM probes p JOIN bb nb ON p.band = nb.band AND p.bucket = nb.bucket
+             WHERE nb.vec_id <> p.q_id),
+         lp AS (SELECT c.q_id, c.n_id,
+             CAST(list_sum(list_transform(list_zip(a.q, b.q), s -> s[1]*s[2])) AS BIGINT) AS dot,
+             a.nrm AS na, b.nrm AS nb
+           FROM lc c JOIN n a ON a.vec_id = c.q_id JOIN n b ON b.vec_id = c.n_id),
+         ls AS (SELECT q_id, n_id,
+             CAST(dot AS DOUBLE) / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS sim FROM lp),
+         lst AS (SELECT q_id, n_id FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+             FROM ls) x WHERE rn <= 5),
+         j AS (SELECT b.q_id, COUNT(*) AS n_true,
+             CAST(SUM(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+           FROM bft b LEFT JOIN lst l ON b.q_id = l.q_id AND b.n_id = l.n_id
+           GROUP BY 1)
+         SELECT q_id, n_true, n_hit,
+           CAST((n_hit * 1000) // n_true AS BIGINT) AS recall_x1000 FROM j"""
+    })
 
   /** MATRYOSHKA truncated-dimension eval — the storage-tiering
     * decision artifact for MRL-style embeddings (Kusupati et al. 2022):
@@ -1089,14 +1188,18 @@ object Similarity {
   }
 
   /** §2.2 row 27c — multi-probe LSH ANN: queries probe their own
-    * bucket AND every 1-bit-flip neighbor in each band (1 + 8 probes
-    * per band). The near-miss case banding alone drops — a 0.9-cosine
-    * neighbor disagreeing on exactly one plane in every band — is
-    * recovered at the cost of expanding only the (tiny) query side
-    * 9×; the corpus index is untouched and still shuffles once by
+    * bucket AND every 1- and 2-bit-flip neighbor in each band
+    * (1 + 8 + 28 = 37 probes per band; widened from 1-bit in round 15
+    * — the measured 1-bit recall@5 was 0.44, under the 0.5 serving
+    * bar, and 2-bit probing is the standard next rung: Lv et al.
+    * 2007, multi-probe LSH). The near-miss case banding alone drops —
+    * a high-cosine neighbor disagreeing on a plane or two per band —
+    * is recovered at the cost of expanding only the (tiny) query side
+    * 37×; the corpus index is untouched and still shuffles once by
     * (band, bucket). This is how recall scales WITHOUT adding bands:
     * probes grow the query fan-out (cheap), bands grow the corpus
-    * index (expensive).
+    * index (expensive). [[annRecallMultiprobe]] measures this path's
+    * recall every round.
     */
   val knnLshMultiprobe: QueryDef = QueryDef(
     "s_knn_lsh_multiprobe",
@@ -1106,8 +1209,7 @@ object Similarity {
       val bv = bandedVectors(v)
       val probes = bv.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("band"),
-          explode(array(col("bucket") +: (0 until BitsPerBand).map(i =>
-            col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
+          multiprobeCols(col("bucket")).as("bucket"))
       val cand = probes
         .join(bv.toDF("n_id", "band", "bucket"), Seq("band", "bucket"))
         .where(col("n_id") =!= col("q_id"))
@@ -1122,10 +1224,9 @@ object Similarity {
         .select("q_id", "n_id", "sim")
     },
     Some {
-      val flips = (0 until BitsPerBand).map(i => s"xor(qb.bucket, ${1L << i})")
       s"""WITH $quantizedSql, $bandedSql,
        probes AS (SELECT qb.vec_id AS q_id, qb.band,
-           unnest(${flips.mkString("[qb.bucket, ", ", ", "]")}) AS bucket
+           unnest($multiprobeFlipsSql) AS bucket
          FROM bb qb WHERE qb.vec_id < 5),
        cand AS (SELECT DISTINCT p.q_id, nb.vec_id AS n_id
            FROM probes p JOIN bb nb ON p.band = nb.band AND p.bucket = nb.bucket
@@ -4860,6 +4961,102 @@ object Similarity {
             MIN(sim) AS min_sim, MAX(sim) AS max_sim
           FROM sc WHERE sim IS NOT NULL GROUP BY 1"""))
 
+  /** EXACT k-core: peel to FIXPOINT — the unbounded twin of
+    * [[graphKCore]]'s three-round bounded peel (round-14 verdict item
+    * 5). The loop is the [[graft.operators.Dedup.connectedComponents]]
+    * driver-loop shape: each round one degree aggregate + two
+    * semi-joins on the shrinking edge set, `localCheckpoint` per round
+    * to truncate lineage, and the ONLY driver-side value per round is
+    * the edge-count aggregate that detects the fixpoint (monotone
+    * shrinkage ⇒ equal counts ⇔ no removal ⇔ converged — never the
+    * edges themselves). Termination is certain: each non-final round
+    * removes ≥ 1 edge, so rounds ≤ |E|; `maxIters` is a loud backstop,
+    * not a semantic bound. Takes `edges` already symmetrized +
+    * distinct (src, dst); returns the exact k-core edge set.
+    * Spec-proven against a brute driver fixpoint on random graphs
+    * (RandomizedSpec); the bounded [[graphKCore]] stays the oracled
+    * catalog entry because a DuckDB oracle cannot unroll an unbounded
+    * loop.
+    */
+  def kCoreExact(edges: DataFrame, k: Int, maxIters: Int = 1000): DataFrame = {
+    var e = edges.localCheckpoint()
+    var n = e.count()
+    var iter = 0
+    var converged = n == 0
+    while (!converged && iter < maxIters) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select("src")
+      val next = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      e = next; n = m
+      iter += 1
+    }
+    require(converged || iter < maxIters,
+      s"k-core peel did not converge within $maxIters rounds")
+    e
+  }
+
+  /** DEGREE ASSORTATIVITY of the kNN graph (Newman 2002) — the
+    * mixing-pattern read next to [[graphKCore]]'s density skeleton
+    * and `s_graph_degree`'s tail audit: the Pearson correlation of
+    * endpoint degrees over the symmetrized edge set. Positive = hubs
+    * attach to hubs (a core-periphery embedding space — beam search
+    * seeds well, isolated points suffer); negative = hub-and-spoke
+    * mixing (high-degree vectors are everyone's neighbor — the
+    * hubness pathology of high-dimensional kNN, worth knowing before
+    * trusting graph-ANN recall). Integer sums feed one deterministic
+    * double tail (the `q_events_acf` parity convention); degenerate
+    * (zero-variance) degree distributions yield NULL via the shared
+    * nullif guard.
+    *
+    * Scale shape: degree fold + two vertex-keyed joins on the O(N·k)
+    * edge set, one 1-row fold — nothing pairwise. Int64 headroom:
+    * Σd² ≤ N·(2k)³ at k = GraphK — fine past 10¹² edges; a 100 TB
+    * corpus casts the folds to decimal(38,0) first.
+    */
+  val graphAssortativity: QueryDef = QueryDef(
+    "s_graph_assortativity",
+    (s, dir) => {
+      val g = knnGraphTable(s, dir)
+      val e0 = g.select(col("g_src").as("src"), col("g_dst").as("dst"))
+        .unionAll(g.select(col("g_dst").as("src"), col("g_src").as("dst")))
+        .distinct().localCheckpoint()
+      val deg = e0.groupBy("src").agg(count(lit(1)).as("d"))
+      val m = e0.join(deg, Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("d").as("d2")), Seq("dst"))
+        .agg(count(lit(1)).as("m"), sum(col("d")).as("sx"),
+          sum(col("d2")).as("sy"), sum(col("d") * col("d2")).as("sxy"),
+          sum(col("d") * col("d")).as("sxx"),
+          sum(col("d2") * col("d2")).as("syy"))
+      m.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_vertices"))))
+        .select(col("n_vertices"), expr("m div 2").as("n_edges"),
+          expr("""CAST(m * sxy - sx * sy AS DOUBLE)
+            / NULLIF(SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
+              * SQRT(CAST(m * syy - sy * sy AS DOUBLE)), 0)""")
+            .as("assortativity"))
+    },
+    Some(s"""WITH $graphSqlCtes,
+         e0 AS (SELECT g_src AS src, g_dst AS dst FROM graph
+                UNION SELECT g_dst, g_src FROM graph),
+         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e0 GROUP BY 1),
+         j AS (SELECT x.d AS d, y.d AS d2 FROM e0 e
+             JOIN deg x ON x.src = e.src JOIN deg y ON y.src = e.dst),
+         mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(d) AS BIGINT) AS sx, CAST(SUM(d2) AS BIGINT) AS sy,
+             CAST(SUM(d * d2) AS BIGINT) AS sxy,
+             CAST(SUM(d * d) AS BIGINT) AS sxx,
+             CAST(SUM(d2 * d2) AS BIGINT) AS syy
+           FROM j),
+         nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM deg)
+         SELECT n_vertices, m // 2 AS n_edges,
+           CAST(m * sxy - sx * sy AS DOUBLE)
+             / NULLIF(SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
+               * SQRT(CAST(m * syy - sy * sy AS DOUBLE)), 0) AS assortativity
+         FROM mm CROSS JOIN nv"""))
+
   /** K-CORE decomposition (bounded peel) — the graph-health read
     * behind data selection on the kNN graph (rows 27h/27m audit
     * centrality and local closure; the k-core is the standard global
@@ -4938,14 +5135,15 @@ object Similarity {
     })
 
   val defs: Seq[QueryDef] =
-    Seq(similarityHistogram, graphKCore,
+    Seq(similarityHistogram, graphKCore, graphAssortativity,
       knnBruteForce, knnLsh, knnLshMultiprobe, embeddingNearDup, knnIvf,
       knnIvfDml, knnIvfDrift, knnFiltered, knnPurity, knnJoin,
       knnPq, knnIvfPq, knnPqTrained, knnPqServed, knnPqRecall,
       knnIvfPqRecall, knnGraph, knnGraphIncremental,
       knnBeam, knnBeamConverged, graphPagerank, hardNegatives, dedupSemantic,
       dedupSemanticIncremental, mmrRerank, nearestCentroid, graphTriangles,
-      mutualComponents, embeddingAudit, graphPprSeeded, annRecall, ivfSweep,
+      mutualComponents, embeddingAudit, graphPprSeeded, annRecall,
+      annRecallMultiprobe, ivfSweep,
       labelKappa, evalRetrieval, graphCommunities, knnRouted, truncatedRecall,
       silhouette, labelCentroidDrift, embeddingPca, graphLinkPredict,
       embeddingVariance, embeddingIsolation, embeddingDimAudit, ivfBalance,

@@ -2491,4 +2491,148 @@ class AnalyticsSpec extends SparkSpec {
       if (conv) assert(peelOnce(e3, k).length == e3.length, s"k=$k fixpoint")
     }
   }
+
+  test("difference-in-differences equals a brute 4-cell fold at the midpoint boundary") {
+    val got = SparkEntry.queries("q_events_did")(spark, sfDir).head()
+    val obs = Tables.load(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .select(expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"),
+        (col("user_id") % 2).as("arm"),
+        expr("cast(floor(unix_micros(cast(ts as timestamp)) / 1000000) as bigint) div 86400")
+          .as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (obs.map(_._3).min + obs.map(_._3).max + 1) / 2
+    def cell(arm: Long, post: Boolean) =
+      obs.filter(o => o._2 == arm && ((o._3 >= mid) == post))
+    def mean(arm: Long, post: Boolean): Long = {
+      val c = cell(arm, post); c.map(_._1).sum / c.length
+    }
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((cell(0, false).length.toLong, cell(0, true).length.toLong,
+        cell(1, false).length.toLong, cell(1, true).length.toLong)))
+    val did = (mean(0, true) - mean(0, false)) - (mean(1, true) - mean(1, false))
+    assert(got.getLong(8) == did, s"did got ${got.getLong(8)}, brute $did")
+  }
+
+  test("PACF equals a brute Durbin-Levinson recursion on the dense daily series") {
+    val got = SparkEntry.queries("q_events_pacf")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    val daily = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"),
+        expr("cast(floor(unix_micros(cast(ts as timestamp)) / 1000000) as bigint) div 86400")
+          .as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val types = daily.keys.map(_._1).toSeq.distinct
+    for (t <- types) {
+      val days = daily.keys.collect { case (`t`, d) => d }
+      val y = (days.min to days.max).map(d => daily.getOrElse((t, d), 0L).toDouble)
+      val n = y.length
+      val mu = y.sum / n
+      val c0 = y.map(v => (v - mu) * (v - mu)).sum
+      def c(k: Int) = (k until n).map(i => (y(i) - mu) * (y(i - k) - mu)).sum
+      val (r1, r2, r3) = (c(1) / c0, c(2) / c0, c(3) / c0)
+      val p2 = (r2 - r1 * r1) / (1 - r1 * r1)
+      val phi21 = r1 - p2 * r1
+      val p3 = (r3 - phi21 * r2 - p2 * r1) / (1 - phi21 * r1 - p2 * r2)
+      val (g1, g2, g3) = got(t)
+      assert(math.abs(g1 - r1) < 1e-9 && math.abs(g2 - p2) < 1e-9 &&
+        math.abs(g3 - p3) < 1e-9,
+        s"$t: got ($g1,$g2,$g3), brute ($r1,$p2,$p3)")
+    }
+  }
+
+  test("next-event predictability equals a brute transition fold") {
+    val got = SparkEntry.queries("q_events_predictability")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5)))).toMap
+    val seqs = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("cast(floor(unix_micros(cast(ts as timestamp)) / 1000000) as bigint)").as("t"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).values.flatMap { es =>
+        val s = es.toSeq.sortBy(e => (e._3, e._4)).map(_._2)
+        s.zip(s.drop(1))
+      }.toSeq
+    val byFrom = seqs.groupBy(_._1)
+    for ((from, pairs) <- byFrom) {
+      val cells = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      val nT = cells.map(_._2).sum
+      val ss = cells.map(c => c._2 * c._2).sum
+      val (topTo, topN) = cells.minBy { case (to, c) => (-c, to) }
+      val (gn, gk, gg, gt, gs) = got(from)
+      assert((gn, gk, gt) == ((nT, cells.length.toLong, topTo)), s"$from")
+      assert(gg == (nT * nT - ss) * 1000000L / (nT * nT), s"$from gini")
+      assert(gs == topN * 1000L / nT, s"$from top share")
+    }
+  }
+
+  test("encoding advisor equals brute per-order run counts") {
+    val got = SparkEntry.queries("q_encoding_advisor")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(6)))).toMap
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"),
+        (col("l_tax") * 100).cast("bigint").as("l_tax_cents"),
+        col("l_quantity").cast("bigint").as("l_quantity"))
+      .collect()
+    def brute(get: org.apache.spark.sql.Row => String): (Long, Long, Long) = {
+      val vs = rows.map(r => (r.getLong(0), r.getInt(1), get(r)))
+      val runs = vs.groupBy(_._1).values.map { grp =>
+        val ord = grp.toSeq.sortBy(g => (g._2, g._3)).map(_._3)
+        1 + ord.zip(ord.drop(1)).count { case (a, b) => a != b }
+      }.sum
+      (vs.length.toLong, vs.map(_._3).distinct.length.toLong, runs.toLong)
+    }
+    val arms: Seq[(String, org.apache.spark.sql.Row => String)] = Seq(
+      "l_returnflag" -> (_.getString(2)), "l_linestatus" -> (_.getString(3)),
+      "l_tax_cents" -> (_.getLong(4).toString),
+      "l_quantity" -> (_.getLong(5).toString))
+    for ((name, get) <- arms) {
+      val (n, nd, nr) = brute(get)
+      val (gn, gnd, gnr, _) = got(name)
+      assert((gn, gnd, gnr) == ((n, nd, nr)),
+        s"$name: got ($gn,$gnd,$gnr), brute ($n,$nd,$nr)")
+    }
+  }
+
+  test("b-bit minhash agrees with the full-signature audit on shared columns, estimator bounded") {
+    def rows(q: String) = SparkEntry.queries(q)(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toMap
+    val bbit = SparkEntry.queries("d_minhash_bbit")(spark, sfDir).collect()
+    val full = rows("d_minhash_accuracy")
+    assert(bbit.nonEmpty)
+    bbit.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      // exact and full-signature columns must be IDENTICAL to the
+      // parent audit's (one estimator pipeline, two reports)
+      val (ex, ef) = full(key)
+      assert((if (r.isNullAt(2)) None else Some(r.getLong(2))) == ex, s"$key exact")
+      assert(r.getLong(3) == ef, s"$key est_full")
+      val eb = r.getLong(4)
+      assert(eb >= 0L && eb <= 1000L, s"$key est_bbit out of range: $eb")
+    }
+  }
+
+  test("graph assortativity equals a brute Pearson over the symmetrized edge set") {
+    val got = SparkEntry.queries("s_graph_assortativity")(spark, sfDir).head()
+    val g = graft.operators.Similarity.knnGraphTable(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val e0 = (g ++ g.map(_.swap)).distinct
+    val deg = e0.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xy = e0.map { case (u, v) => (deg(u), deg(v)) }
+    val m = xy.length.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (xy.map(p => p._1 * p._1).sum, xy.map(p => p._2 * p._2).sum)
+    val r = (m * sxy - sx * sy).toDouble /
+      (math.sqrt((m * sxx - sx * sx).toDouble) * math.sqrt((m * syy - sy * sy).toDouble))
+    assert(got.getLong(0) == deg.size.toLong && got.getLong(1) == m / 2)
+    assert(math.abs(got.getDouble(2) - r) < 1e-9,
+      s"assortativity got ${got.getDouble(2)}, brute $r")
+  }
 }

@@ -71,6 +71,38 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("exact k-core fixpoint peel equals the brute driver fixpoint on random graphs") {
+    import graft.operators.Similarity
+    val rnd = new Random(1315)
+    for (round <- 1 to 6; k <- Seq(2, 3)) {
+      val n = 3 + rnd.nextInt(14)
+      val pairs = Seq.fill(rnd.nextInt(3 * n))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+      // brute fixpoint on the driver: repeatedly drop vertices of
+      // degree < k from the undirected edge set until nothing changes
+      var brute = pairs
+      var changed = true
+      while (changed) {
+        val deg = brute.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val next = brute.filter(p => deg(p._1) >= k && deg(p._2) >= k)
+        changed = next.size != brute.size
+        brute = next
+      }
+      val expected = brute.flatMap(p => Seq(p, p.swap)).toSet
+      val edges = pairs.toDF("a", "b")
+        .select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.toDF("a", "b").select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+      val got = Similarity.kCoreExact(edges, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"round $round k=$k: $got vs $expected (pairs $pairs)")
+    }
+  }
+
   test("bucketed band join equals the brute-force theta count on random data") {
     import graft.operators.RangeJoin
     val rnd = new Random(99)
