@@ -3607,6 +3607,169 @@ object Events {
             t.top_to_type, (t.top_n * 1000) // f.n_trans AS top_share_x1000
           FROM f JOIN top t USING (from_type)"""))
 
+  /** CUPED variance reduction (Deng et al. 2013, "Improving the
+    * sensitivity of online controlled experiments") — the modern
+    * experimentation-platform standard next to [[didQ]]: each user's
+    * PRE-period value is a covariate that explains away baseline
+    * variance, shrinking the post-period metric's variance by the
+    * squared pre/post correlation without touching the expectation
+    * (θ is pooled across arms, so the adjustment is assignment-
+    * independent). Per user: x = pre-boundary purchase cents, y =
+    * post-boundary cents (the [[didQ]] midpoint boundary); θ =
+    * cov(x,y)/var(x) from pooled integer moments; ships per-arm raw
+    * means, the raw and CUPED-adjusted arm differences (the global
+    * x̄ terms cancel in the difference), θ, and the variance-retained
+    * ratio 1 − ρ² — all one deterministic double tail over exact
+    * integer sums (the [[pacf]] parity convention).
+    *
+    * Scale shape: one per-user fold (the RFM shuffle), one 1-row
+    * moment fold, double tail on the driver-sized result.
+    */
+  val cuped: QueryDef = QueryDef(
+    "q_events_cuped",
+    (s, dir) => {
+      val e = events(s, dir).where(col("event_type") === "purchase")
+        .select(expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"),
+          col("user_id"),
+          expr("ts div 1000000000 div 86400").as("day"))
+      val b = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(expr("(d0 + d1 + 1) div 2").as("mid"))
+      val per = e.crossJoin(broadcast(b))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+        .withColumn("arm", col("user_id") % 2)
+      per.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx_a"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx_b"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy_b"))
+        .withColumn("covxy", expr(
+          "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("varx", expr(
+          "CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("vary", expr(
+          "CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("theta", expr("covxy / NULLIF(varx, 0)"))
+        .withColumn("var_retained", expr(
+          "1 - covxy * covxy / NULLIF(varx * vary, 0)"))
+        .withColumn("diff_raw", expr(
+          """CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)"""))
+        .withColumn("diff_cuped", expr(
+          """(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+             - (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+              - theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)))"""))
+        .select(col("n").as("n_users"), col("n_a"), col("n_b"),
+          col("theta"), col("var_retained"), col("diff_raw"), col("diff_cuped"))
+    },
+    Some("""WITH e AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+              user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+            FROM events WHERE event_type = 'purchase'),
+          b AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e),
+          per AS (SELECT user_id,
+              CAST(SUM(CASE WHEN day < mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+              CAST(SUM(CASE WHEN day >= mid THEN cents ELSE 0 END) AS BIGINT) AS y,
+              user_id % 2 AS arm
+            FROM e CROSS JOIN b GROUP BY user_id),
+          m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(x * x) AS BIGINT) AS sxx,
+              CAST(SUM(x * y) AS BIGINT) AS sxy,
+              CAST(SUM(y * y) AS BIGINT) AS syy,
+              CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+              CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+              CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+              CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+              CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+            FROM per),
+          d1 AS (SELECT *,
+              CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS covxy,
+              CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS varx,
+              CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS vary
+            FROM m),
+          d2 AS (SELECT *, covxy / NULLIF(varx, 0) AS theta,
+              1 - covxy * covxy / NULLIF(varx * vary, 0) AS var_retained
+            FROM d1)
+          SELECT n AS n_users, n_a, n_b, theta, var_retained,
+            CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff_raw,
+            (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+             - (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+              - theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))) AS diff_cuped
+          FROM d2"""))
+
+  /** EXPERIMENT POWER / SAMPLE-SIZE calculator — the number read
+    * BEFORE launching what [[abTest]]/[[cuped]] read after: from the
+    * observed per-user purchase-cents distribution, the users-per-arm
+    * needed to detect a 1% / 5% / 10% lift of the mean at α = 0.05
+    * (two-sided) and 80% power — n = 2σ²(z₀.₉₇₅ + z₀.₈)²/δ², the
+    * standard two-sample normal approximation with the z constants
+    * (1.959964 + 0.841621) written as one literal in both engines.
+    * Also ships the detectable lift at the CURRENT population size
+    * (the inverse read: "with the users we have, what effect could
+    * we even see?"). Integer moments → one double tail; CEIL of the
+    * same IEEE double is engine-identical.
+    *
+    * Scale shape: one per-user fold + one 1-row moment fold; the
+    * 3-row lift grid is a literal explode.
+    */
+  val powerCalc: QueryDef = QueryDef(
+    "q_events_power",
+    (s, dir) => {
+      val per = events(s, dir).where(col("event_type") === "purchase")
+        .select(expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"),
+          col("user_id"))
+        .groupBy("user_id").agg(sum(col("cents")).as("y"))
+      val m = per.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      m.select(col("n"), explode(array(lit(1L), lit(5L), lit(10L))).as("lift_pct"),
+          col("sy"), col("syy"))
+        .withColumn("mu", expr("CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("var_y", expr(
+          "CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)"))
+        .withColumn("delta", expr("mu * CAST(lift_pct AS DOUBLE) / 100"))
+        .withColumn("n_required", expr(
+          """CAST(CEIL(2 * var_y * 2.8015854724 * 2.8015854724
+             / NULLIF(delta * delta, 0)) AS BIGINT)"""))
+        .withColumn("detectable_lift_x10000", expr(
+          """CAST(CEIL(SQRT(2 * var_y * 2.8015854724 * 2.8015854724
+             / (CAST(n AS DOUBLE) / 2)) / NULLIF(mu, 0) * 10000) AS BIGINT)"""))
+        .select(col("n").as("n_users"), col("lift_pct"), col("mu"),
+          col("var_y"), col("n_required"), col("detectable_lift_x10000"))
+    },
+    Some("""WITH per AS (SELECT user_id,
+              CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM per),
+          g AS (SELECT n, CAST(UNNEST([1, 5, 10]) AS BIGINT) AS lift_pct,
+              sy, syy FROM m),
+          d1 AS (SELECT *, CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+              CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE)
+                / CAST(n - 1 AS DOUBLE) AS var_y
+            FROM g),
+          d2 AS (SELECT *, mu * CAST(lift_pct AS DOUBLE) / 100 AS delta FROM d1)
+          SELECT n AS n_users, lift_pct, mu, var_y,
+            CAST(CEIL(2 * var_y * 2.8015854724 * 2.8015854724
+              / NULLIF(delta * delta, 0)) AS BIGINT) AS n_required,
+            CAST(CEIL(SQRT(2 * var_y * 2.8015854724 * 2.8015854724
+              / (CAST(n AS DOUBLE) / 2)) / NULLIF(mu, 0) * 10000) AS BIGINT)
+              AS detectable_lift_x10000
+          FROM d2"""))
+
   val defs: Seq[QueryDef] =
     Seq(window1h, sessionize, asofJoin, jsonExtract, funnel, retention,
       anomaly, pattern, patternCart, patternRetry, topkWindow, resample, scd2,
@@ -3618,7 +3781,7 @@ object Events {
       funnelWindowed, growthAccounting, sloBurn, retentionDn, dowEffect,
       audienceOverlap, userDiversity, attributionLinear,
       attributionUshaped, sessionPaths, asofNearest, mannWhitney, chiSquare,
-      fano, jsonKeys, didQ, pacf, predictability)
+      fano, jsonKeys, didQ, pacf, predictability, cuped, powerCalc)
 }
 
 /** Reusable MATCH_RECOGNIZE-shaped surface (round 8 — generalized from

@@ -25,6 +25,45 @@ import graft.sources.{IndexRegistry, Snapshots}
   * array) and mirrors each line to stdout as `FORGETBUDGET {...}`.
   */
 object ForgetBudget {
+  /** Synthesize a docs+embeddings corpus `factor`× a base sf dir — the
+    * [[ScaleLaw]] replication arms restricted to the two tables the
+    * six-family bootstrap reads (text varied per replica so near-dup
+    * pair counts stay ~linear; embeddings offset per replica so LSH
+    * bucket sizes stay ~flat). Lets the budget ladder extend one
+    * corpus decade past the largest driver-shipped sf ("x10:<dir>"
+    * args) — the flat-wall claim is the one the 100 TB story leans on
+    * hardest, so it gets a third measured octave.
+    */
+  private def scaledDocsDir(s: SparkSession, base: String, factor: Int): String = {
+    val stride = 100000000L
+    val out = graft.Roots.scratch + s"/forgetbudget/x$factor"
+    graft.sources.Snapshots.deleteRecursively(out)
+    def reps(t: String,
+        f: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit = {
+      val src = s.read.parquet(s"$base/$t.parquet")
+      (0 until factor).map(i => f(src, i)).reduce(_ unionByName _)
+        .write.parquet(s"$out/$t.parquet")
+    }
+    reps("documents", (d, i) => {
+      val words = split(col("text"), " ")
+      val t = i % 4 match {
+        case 0 => col("text")
+        case 1 => concat_ws(" ", reverse(words))
+        case 2 => concat_ws(" ", array_sort(words))
+        case 3 => concat_ws(" ", reverse(array_sort(words)))
+      }
+      d.withColumn("doc_id", col("doc_id") + lit(i * stride))
+        .withColumn("text", t)
+        .withColumn("n_chars", length(t).cast("long"))
+    })
+    reps("embeddings", (d, i) => d
+      .withColumn("vec_id", col("vec_id") + lit(i * stride))
+      .withColumn("embedding",
+        if (i == 0) col("embedding")
+        else expr(s"transform(embedding, (x, j) -> cast(x + 0.013 * $i * ((j * 7) % 13 - 6) as float))")))
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val outJson = args(0)
     val sfDirs = args.drop(1).toSeq
@@ -46,7 +85,13 @@ object ForgetBudget {
       ("pct33", col("doc_id") % 3 === 0))
 
     val lines = scala.collection.mutable.ArrayBuffer[String]()
-    sfDirs.foreach { dir =>
+    sfDirs.foreach { dirArg =>
+      // "x10:<dir>" synthesizes a 10x docs+embeddings corpus first
+      val dir = dirArg.split(":", 2) match {
+        case Array(f, base) if f.startsWith("x") =>
+          scaledDocsDir(spark, base, f.drop(1).toInt)
+        case _ => dirArg
+      }
       val (baseT, _) = Forget.bootstrap(spark, dir, tag = "_budget")
       val corpus = Snapshots.read(spark, baseT).count()
       rounds.foreach { case (label, cond) =>

@@ -2618,6 +2618,66 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("CUPED theta and adjusted difference equal a brute per-user covariate fold") {
+    val got = SparkEntry.queries("q_events_cuped")(spark, sfDir).head()
+    val obs = Tables.load(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .select(expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"),
+        col("user_id"),
+        expr("cast(floor(unix_micros(cast(ts as timestamp)) / 1000000) as bigint) div 86400")
+          .as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (obs.map(_._3).min + obs.map(_._3).max + 1) / 2
+    val per = obs.groupBy(_._2).map { case (u, es) =>
+      (u, es.filter(_._3 < mid).map(_._1).sum, es.filter(_._3 >= mid).map(_._1).sum)
+    }.toSeq
+    val n = per.length.toDouble
+    def mean(f: ((Long, Long, Long)) => Long, p: Seq[(Long, Long, Long)]) =
+      p.map(f).sum.toDouble / p.length
+    val (mx, my) = (mean(_._2, per), mean(_._3, per))
+    val cov = per.map(p => (p._2 - mx) * (p._3 - my)).sum / n
+    val vx = per.map(p => (p._2 - mx) * (p._2 - mx)).sum / n
+    val theta = cov / vx
+    val (pa, pb) = per.partition(_._1 % 2 == 0)
+    val diffC = (mean(_._3, pa) - theta * mean(_._2, pa)) -
+      (mean(_._3, pb) - theta * mean(_._2, pb))
+    assert(got.getLong(0) == per.length.toLong &&
+      got.getLong(1) == pa.length.toLong && got.getLong(2) == pb.length.toLong)
+    assert(math.abs(got.getDouble(3) - theta) < 1e-6,
+      s"theta got ${got.getDouble(3)}, brute $theta")
+    assert(math.abs(got.getDouble(6) - diffC) < 1e-6,
+      s"diff_cuped got ${got.getDouble(6)}, brute $diffC")
+    // variance-retained must be in (0, 1] and the adjustment must not
+    // move the difference by more than the raw means themselves
+    assert(got.getDouble(4) > 0 && got.getDouble(4) <= 1.0)
+  }
+
+  test("power calculator equals the closed-form two-sample normal approximation") {
+    val rows = SparkEntry.queries("q_events_power")(spark, sfDir)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(0), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val per = Tables.load(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .select(expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"),
+        col("user_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val n = per.length
+    val mu = per.map(_._2).sum.toDouble / n
+    val varY = {
+      val sy = per.map(_._2).sum
+      val syy = per.map(v => v._2 * v._2).sum
+      (n.toDouble * syy - sy.toDouble * sy) / n / (n - 1)
+    }
+    for ((lift, (gn, gmu, gvar, greq)) <- rows) {
+      assert(gn == n.toLong)
+      assert(math.abs(gmu - mu) < 1e-6 && math.abs(gvar - varY) / varY < 1e-9)
+      val delta = mu * lift / 100.0
+      val req = math.ceil(2 * varY * 2.8015854724 * 2.8015854724 / (delta * delta)).toLong
+      assert(greq == req, s"lift $lift: got $greq, brute $req")
+    }
+  }
+
   test("graph assortativity equals a brute Pearson over the symmetrized edge set") {
     val got = SparkEntry.queries("s_graph_assortativity")(spark, sfDir).head()
     val g = graft.operators.Similarity.knnGraphTable(spark, sfDir)
