@@ -129,11 +129,41 @@ object Similarity {
     * (zip_with+aggregate) form re-walks the vector per plane through
     * interpreted HOF dispatch, ~5× slower at 24 planes.
     */
-  def lshBandBuckets(q: Column): Column = {
-    val bits = graft.functions.Native.planeSignBits(q, BandsV * BitsPerBand)
+  def lshBandBuckets(q: Column): Column = lshBandBuckets(q, BitsPerBand)
+
+  /** Parameterized band width — the kNN-GRAPH scale path (round-15:
+    * tools/forget_budget_r15.md measured the fixed 8-bit space going
+    * quadratic at the third corpus decade). All CATALOG queries and
+    * their DuckDB oracles stay on the 8-bit default; only
+    * corpus-sized graph builds pass a wider width.
+    */
+  def lshBandBuckets(q: Column, bits: Int): Column = {
+    val sign = graft.functions.Native.planeSignBits(q, BandsV * bits)
     array((0 until BandsV).map(b =>
-      shiftrightunsigned(bits, b * BitsPerBand)
-        .bitwiseAND(lit((1L << BitsPerBand) - 1))): _*)
+      shiftrightunsigned(sign, b * bits)
+        .bitwiseAND(lit((1L << bits) - 1))): _*)
+  }
+
+  /** Corpus-adaptive bits per band for kNN-graph builds — the band
+    * twin of IVF's ⌈√N⌉ cluster law ([[cCountOf]]): with a FIXED band
+    * space, bucket occupancy grows linearly in N and candidate PAIRS
+    * quadratically (measured: tools/forget_budget_r15.md — the
+    * kNN-graph fold at 50k docs). Holding expected occupancy near a
+    * target keeps total candidates O(N): bits = ⌈log₂(N / 64)⌉,
+    * clamped to [[[BitsPerBand]], 20] (3 bands × 20 ≤ the 64-bit
+    * plane-sign budget). The floor keeps EVERY catalog corpus
+    * (≤ ~16k vectors) on exactly the 8-bit space the hash oracles
+    * unroll, so parity is untouched; the scale path activates only
+    * above it. Wider bands trade recall for cost exactly like
+    * fewer-probe IVF — the graph stays a valid kNN-graph (candidates
+    * are still all-band collisions), just sparser-candidate at huge N,
+    * which is the standard LSH scaling (Indyk-Motwani: band width
+    * grows with log N).
+    */
+  private[graft] def graphBitsFor(n: Long): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1L, n).toDouble / 64.0) / math.log(2.0)).toInt
+    math.min(20, math.max(BitsPerBand, needed))
   }
 
   /** (vec_id, band, bucket) — one row per band, the ANN shuffle key. */
@@ -437,9 +467,12 @@ object Similarity {
     * [[BandsV]] 8-bit sign bands. Public so the scale-law test can
     * check the ~BandsV·C(N,2)/2^BitsPerBand expected count.
     */
-  def lshCandidatePairs(embeddings: DataFrame): DataFrame = {
+  def lshCandidatePairs(embeddings: DataFrame): DataFrame =
+    lshCandidatePairs(embeddings, BitsPerBand)
+
+  def lshCandidatePairs(embeddings: DataFrame, bits: Int): DataFrame = {
     val bv = bandedVectors(quantized(embeddings)
-      .withColumn("buckets", lshBandBuckets(col("q"))))
+      .withColumn("buckets", lshBandBuckets(col("q"), bits)))
     bv.toDF("a", "band", "bucket")
       .join(bv.toDF("b", "band", "bucket"), Seq("band", "bucket"))
       .where(col("a") < col("b")).select("a", "b").distinct()
@@ -532,9 +565,12 @@ object Similarity {
     * per source — (g_src, g_dst, g_sim). Storing the edge score makes
     * [[graphAppendIncremental]] possible without re-scoring old edges.
     */
-  private[graft] def buildGraph(embeddings: DataFrame): DataFrame = {
+  private[graft] def buildGraph(embeddings: DataFrame): DataFrame =
+    buildGraph(embeddings, BitsPerBand)
+
+  private[graft] def buildGraph(embeddings: DataFrame, bits: Int): DataFrame = {
     val v = quantized(embeddings).localCheckpoint()
-    val cand = lshCandidatePairs(embeddings)
+    val cand = lshCandidatePairs(embeddings, bits)
     val sym = cand.unionAll(cand.select(col("b").as("a"), col("a").as("b")))
     val wG = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
     scorePairs(v, sym, "a", "b")
@@ -640,7 +676,32 @@ object Similarity {
   private val GraphThroughPrefix = "graph_through "
 
   private def graphBandsOf(vecs: DataFrame): DataFrame =
-    bandedVectors(quantized(vecs).withColumn("buckets", lshBandBuckets(col("q"))))
+    graphBandsOf(vecs, BitsPerBand)
+
+  private def graphBandsOf(vecs: DataFrame, bits: Int): DataFrame =
+    bandedVectors(quantized(vecs).withColumn("buckets", lshBandBuckets(col("q"), bits)))
+
+  /** Band width PINNED per bands-sidecar root (the frozen-quantizer
+    * contract, band edition): the accumulated sidecar must be ONE
+    * consistent band space across every fold, so the width derives
+    * from the corpus ONCE at first build ([[graphBitsFor]]) and
+    * persists at `<bandsT>/meta/graph.bits`; every later fold reads
+    * the pin. Create-exclusive write, first-writer-wins under racing
+    * bootstraps (both race the same corpus version's count; the
+    * re-read settles either way).
+    */
+  private def pinnedGraphBits(bandsT: String, corpusCount: => Long): Int = {
+    import java.nio.file.{Files, Paths}
+    val f = Paths.get(bandsT, "meta", "graph.bits")
+    if (!Files.exists(f)) {
+      val b = graphBitsFor(corpusCount)
+      Files.createDirectories(f.getParent)
+      try Files.write(f, b.toString.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => }
+    }
+    new String(Files.readAllBytes(f), "UTF-8").trim.toInt
+  }
 
   private def graphBandsNet(df: DataFrame): DataFrame =
     df.groupBy("vec_id", "band", "bucket")
@@ -689,6 +750,12 @@ object Similarity {
     import graft.sources.Snapshots
     val curV = Snapshots.currentVersion(baseTable)
     require(curV > 0, s"base table $baseTable has no committed version")
+    // corpus-adaptive band width, pinned to this root at first build
+    // (8 bits at every catalog sf — wider only at corpus scale, where
+    // the fixed space's quadratic candidate growth was measured:
+    // tools/forget_budget_r15.md)
+    val bits = pinnedGraphBits(bandsT,
+      project(Snapshots.readVersion(s, baseTable, curV)).count())
     // TWO head-CAS folds (Snapshots.foldThrough), each table under its
     // own watermark: the band sidecar first, then the adjacency — the
     // graph delta reads the NET bands, which the completed first fold
@@ -702,20 +769,20 @@ object Similarity {
     // composed-race specs in ForgetSpec).
     Snapshots.foldThrough(bandsT, GraphThroughPrefix, curV,
         recomputeWhen = lastV => !Snapshots.versionAvailable(baseTable, lastV))(
-      graphBandsOf(project(Snapshots.readVersion(s, baseTable, curV)))
+      graphBandsOf(project(Snapshots.readVersion(s, baseTable, curV)), bits)
         .withColumn("sgn", lit(1L))) { lastV =>
       val (ins0, del0) = Snapshots.changesBetween(s, baseTable, lastV, curV)
-      graphBandsOf(project(ins0)).withColumn("sgn", lit(1L))
-        .unionByName(graphBandsOf(project(del0)).withColumn("sgn", lit(-1L)))
+      graphBandsOf(project(ins0), bits).withColumn("sgn", lit(1L))
+        .unionByName(graphBandsOf(project(del0), bits).withColumn("sgn", lit(-1L)))
     }
     Snapshots.foldThrough(graphT, GraphThroughPrefix, curV,
         recomputeWhen = lastV => !Snapshots.versionAvailable(baseTable, lastV))(
-      buildGraph(project(Snapshots.readVersion(s, baseTable, curV)))
+      buildGraph(project(Snapshots.readVersion(s, baseTable, curV)), bits)
         .withColumn("sgn", lit(1L))) { lastV =>
       val (ins0, del0) = Snapshots.changesBetween(s, baseTable, lastV, curV)
       val ins = project(ins0).localCheckpoint()
       val del = project(del0).localCheckpoint()
-      val insBands = graphBandsOf(ins).localCheckpoint()
+      val insBands = graphBandsOf(ins, bits).localCheckpoint()
       val liveBands = graphBandsNet(Snapshots.read(s, bandsT)).localCheckpoint()
       val deleted = del.select("vec_id").distinct()
       val inserted = ins.select("vec_id").distinct()
@@ -880,8 +947,12 @@ object Similarity {
     import graft.sources.Snapshots
     val table = graft.Roots.scratch + "/knngraph/" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
-    val ver = Snapshots.ensureIndex(table, fp) { out =>
-      Snapshots.writeStaged(buildGraph(Tables.load(s, dir, "embeddings"))
+    // corpus-adaptive band width (8 at every catalog sf — see
+    // graphBitsFor); in the content key so a corpus crossing the
+    // threshold rebuilds instead of serving the narrower space
+    val bits = graphBitsFor(embeddingsCountCached(s, dir, fp))
+    val ver = Snapshots.ensureIndex(table, s"${fp}_b$bits") { out =>
+      Snapshots.writeStaged(buildGraph(Tables.load(s, dir, "embeddings"), bits)
         .repartition(col("g_src")), out)
     }
     s.read.parquet(Snapshots.versionDirs(table, ver): _*)

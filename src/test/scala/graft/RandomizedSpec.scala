@@ -103,6 +103,50 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("graph band-width law: 8 bits at every catalog sf, log-growth above, and a wider build equals brute") {
+    import graft.operators.Similarity
+    // every catalog corpus stays on the oracle-unrolled 8-bit space
+    for (n <- Seq(0L, 50L, 500L, 5000L, 16384L))
+      assert(Similarity.graphBitsFor(n) == 8, s"n=$n")
+    // log growth above the floor, capped at the 64-bit plane budget
+    assert(Similarity.graphBitsFor(50000L) == 10)
+    assert(Similarity.graphBitsFor(1000000L) == 14)
+    assert(Similarity.graphBitsFor(Long.MaxValue) == 20)
+    // end-to-end: a 9-bit build equals a brute 9-bit banded top-K
+    val e = Tables.load(spark, sfDir, "embeddings").limit(200).localCheckpoint()
+    val got = Similarity.buildGraph(e, 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = e.collect().map { r =>
+      val q = r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray
+      r.getAs[Long]("vec_id") -> q
+    }.toMap
+    def buckets(q: Array[Long], bits: Int): Seq[(Int, Long)] = {
+      val sign = graft.functions.PlaneSignBitsUtil.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(q.map(x => x: Any)),
+        3 * bits)
+      (0 until 3).map(b => b -> ((sign >>> (b * bits)) & ((1L << bits) - 1)))
+    }
+    val banded = vecs.toSeq.flatMap { case (id, q) =>
+      buckets(q, 9).map { case (b, bk) => ((b, bk), id) }
+    }
+    val cand = banded.groupBy(_._1).values.flatMap { g =>
+      for (a <- g.map(_._2); b <- g.map(_._2); if a != b) yield (a, b)
+    }.toSet
+    def cosine(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map(p => p._1 * p._2).sum.toDouble
+      val (na, nb) = (a.map(x => x * x).sum.toDouble, b.map(x => x * x).sum.toDouble)
+      dot / math.sqrt(na * nb)
+    }
+    val expected = cand.groupBy(_._1).toSeq.flatMap { case (a, ps) =>
+      ps.toSeq.map { case (_, b) => (b, cosine(vecs(a), vecs(b))) }
+        .sortBy { case (b, sim) => (-sim, b) }.take(3)
+        .map { case (b, _) => (a, b) }
+    }.toSet
+    assert(got == expected,
+      s"9-bit build diverged: extra=${got -- expected} missing=${expected -- got}")
+  }
+
   test("bucketed band join equals the brute-force theta count on random data") {
     import graft.operators.RangeJoin
     val rnd = new Random(99)
