@@ -29,6 +29,34 @@ object Roots {
   val scratch: String = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", repo + "/target")
 }
 
+/** Run independent Spark actions from a small driver thread pool so the
+  * next job's tasks back-fill executors freed by the current job's tail
+  * (guide §2.6): Spark's scheduler happily runs several jobs at once —
+  * actions are only sequential because driver code calls them
+  * sequentially. Used by maintenance composites whose per-table chains
+  * are independent (e.g. the three BM25 sidecar folds, or the orders /
+  * lineitem halves of the TPC-H refresh stream). Each chain's commits
+  * stay ordered WITHIN its thread, so per-table version sequences are
+  * untouched; cross-table interleaving was already unspecified.
+  * Exceptions propagate to the caller (first one wins), so a failed
+  * chain still fails the composite loudly.
+  */
+object Par {
+  def run[A](thunks: (() => A)*): Seq[A] = {
+    if (thunks.sizeIs <= 1) return thunks.map(_())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    try {
+      val fs = thunks.map(t => pool.submit(new java.util.concurrent.Callable[A] {
+        override def call(): A = t()
+      }))
+      fs.map { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+}
+
 /** Table loaders for a driver test-data directory (TESTDATA.md). */
 object Tables {
   val names: Seq[String] = Seq(
@@ -114,6 +142,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[WordNGramHashes].getName, "graft_word_ngrams"),
       (exprs: Seq[Expression]) => WordNGramHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_word_ngrams_pos"),
+      new ExpressionInfo(classOf[graft.functions.WordNGramPosHashes].getName, "graft_word_ngrams_pos"),
+      (exprs: Seq[Expression]) => graft.functions.WordNGramPosHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_h60"),
+      new ExpressionInfo(classOf[graft.functions.Md5Hash60].getName, "graft_h60"),
+      (exprs: Seq[Expression]) => graft.functions.Md5Hash60(exprs.head)),
     (FunctionIdentifier("graft_plane_sign_bits"),
       new ExpressionInfo(classOf[PlaneSignBits].getName, "graft_plane_sign_bits"),
       (exprs: Seq[Expression]) => PlaneSignBits(exprs.head,

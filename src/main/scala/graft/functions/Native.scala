@@ -48,6 +48,18 @@ object Native {
   def wordNGramHashes(text: Column, n: Int): Column =
     B.column(WordNGramHashes(B.expression(text), n))
 
+  /** Positional (per-window-start, duplicates kept) word-n-gram h60
+    * hashes — the winnow/CDC rung's tokenizer in one compiled pass;
+    * <n tokens → empty array. See [[WordNGramPosHashes]].
+    */
+  def wordNGramPosHashes(text: Column, n: Int): Column =
+    B.column(WordNGramPosHashes(B.expression(text), n))
+
+  /** Scalar h60 (first 15 hex chars of md5 as a 60-bit int) computed
+    * straight off the digest bytes — see [[Md5Hash60]].
+    */
+  def h60(text: Column): Column = B.column(Md5Hash60(B.expression(text)))
+
   /** Sign bits of `planes` deterministic hyperplane dot products over
     * an integer vector, packed into one Long (bit j = plane j). The
     * lambda form (zip_with + aggregate per plane) is interpreted, not
@@ -124,6 +136,34 @@ object Md5Hash60Util {
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
     h >>> 4
   }
+
+  def hash60(s: UTF8String): Long = {
+    val b = s.getBytes
+    hash60(b, 0, b.length)
+  }
+}
+
+/** Scalar h60: the codegen'd form of the SQL chain
+  * `cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)` — identical
+  * value (first 15 hex chars of the md5 digest as a 60-bit int), but
+  * computed straight off the digest bytes instead of materializing the
+  * 32-char hex string, substring-copying it, and re-parsing it through
+  * conv's arbitrary-base decimal loop. The checksum/fingerprint map
+  * stages are pure per-row work at 100 TB; this removes three string
+  * allocations per row from them.
+  */
+case class Md5Hash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_h60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Hash60Util.hash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash60Util.hash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60 =
+    copy(child = newChild)
 }
 
 object SimHash60Util {
@@ -228,6 +268,78 @@ object WordNGramHashesUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       java.util.Arrays.copyOf(out, m))
   }
+}
+
+object WordNGramPosHashesUtil {
+
+  /** POSITIONAL [[Md5Hash60Util]] hashes of word n-grams (tokens split
+    * on runs of ASCII space, joined by a single space): one hash per
+    * window start, in token order, duplicates kept. Fewer than n
+    * tokens → EMPTY array — this matches the HOF form
+    * `if(size(tk) >= n, transform(sequence(1, size(tk)-n+1), …),
+    * array())` that the positional dedup rungs (winnow/CDC) were
+    * written in, which is a different <n-token convention from
+    * [[WordNGramHashesUtil]]'s hash-of-all-tokens.
+    */
+  def compute(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var inTok = false
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) {
+        if (inTok) { ends.add(i); inTok = false }
+      } else if (!inTok) { starts.add(i); inTok = true }
+      i += 1
+    }
+    if (inTok) ends.add(bytes.length)
+    val t = starts.size()
+    val win = if (t >= n) t - n + 1 else 0
+    val out = new Array[Long](win)
+    var buf = new Array[Byte](64)
+    var w = 0
+    while (w < win) {
+      var blen = 0
+      var j = w
+      val jEnd = w + n
+      while (j < jEnd) {
+        val st = starts.get(j).intValue()
+        val e = ends.get(j).intValue()
+        val need = blen + (e - st) + 1
+        if (need > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        System.arraycopy(bytes, st, buf, blen, e - st)
+        blen += e - st
+        if (j < jEnd - 1) { buf(blen) = ' '.toByte; blen += 1 }
+        j += 1
+      }
+      out(w) = Md5Hash60Util.hash60(buf, 0, blen)
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Positional word-n-gram h60 hashes — the winnowing/CDC tokenizer
+  * hot path in one compiled pass over the bytes. The HOF form it
+  * replaces (`transform(sequence(…), gp -> conv(substr(md5(array_join(
+  * slice(tk, gp, n), ' ')), 1, 15), 16, 10))`) re-slices and re-joins
+  * the token array per gram through interpreted lambda dispatch and
+  * parses a hex string per hash.
+  */
+case class WordNGramPosHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams_pos"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordNGramPosHashesUtil.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordNGramPosHashesUtil.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGramPosHashes =
+    copy(child = newChild)
 }
 
 case class WordNGramHashes(child: Expression, n: Int) extends UnaryExpression {

@@ -478,16 +478,17 @@ object StatsQueries {
       ("documents", "concat_ws('|', cast(doc_id as string), md5(text), lang, source, cast(n_chars as string))",
         "concat_ws('|', CAST(doc_id AS VARCHAR), md5(text), lang, source, CAST(n_chars AS VARCHAR))"))
 
-  /** First 15 hex chars of md5(ser) as a 60-bit int (Spark SQL text). */
-  private def sparkH(ser: String): String =
-    s"cast(conv(substr(md5($ser), 1, 15), 16, 10) as bigint)"
+  /** h60 of the serialized row (native digest-bytes path — r15; same
+    * value as the former conv(substr(md5(…))) SQL chain). */
+  private def sparkH(ser: String): org.apache.spark.sql.Column =
+    graft.functions.Native.h60(expr(ser))
 
   val tableChecksum: QueryDef =
     QueryDef(
       "q_table_checksum",
       (s, dir) => checksumTables.map { case (t, ser, _) =>
         Tables.load(s, dir, t)
-          .select(expr(sparkH(ser)).cast("decimal(38,0)").as("h"))
+          .select(sparkH(ser).cast("decimal(38,0)").as("h"))
           .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("chk"))
           .select(lit(t).as("table_name"), col("n_rows"),
             (col("chk") % lit(ChecksumMod)).cast("long").as("checksum"))
@@ -525,7 +526,7 @@ object StatsQueries {
         def partStats(df: org.apache.spark.sql.DataFrame) = df
           .groupBy(pmod(col("l_orderkey"), lit(8L)).as("part_id"))
           .agg(count(lit(1)).as("n_rows"),
-            (sum(expr(sparkH(sparkSer)).cast("decimal(38,0)"))
+            (sum(sparkH(sparkSer).cast("decimal(38,0)"))
               % lit(ChecksumMod)).cast("long").as("chk"))
         val v = Snapshots.ensureIndex(statsT, fp) { out =>
           partStats(Tables.load(s, dir, "lineitem")

@@ -1519,15 +1519,25 @@ object TextFunctions {
       def totalsPartial(docs: org.apache.spark.sql.DataFrame) =
         docLengths(docs).agg(count(lit(1)).cast("long").as("np"),
           sum(col("dl")).cast("long").as("totalp"))
-      // bootstrap: 90% of the corpus as the clustered base run
-      Snapshots.commitClustered(postingsOf(base), postT, Seq("b"), files = 8)
-      Snapshots.commitAppend(docLengths(base), dlT)
-      Snapshots.commitAppend(totalsPartial(base), totT)
-      // the new batch: three O(batch) commits + delta-only compaction
-      Snapshots.appendDelta(postingsOf(batch), postT)
-      Snapshots.compact(s, postT, Seq("b"), files = 4)
-      Snapshots.commitAppend(docLengths(batch), dlT)
-      Snapshots.commitAppend(totalsPartial(batch), totT)
+      // bootstrap: 90% of the corpus as the clustered base run, then
+      // the new batch's three O(batch) commits + delta-only compaction.
+      // The three tables are independent chains — overlap their jobs
+      // from a driver pool (guide §2.6); within each chain the commit
+      // order (and so each table's version sequence) is unchanged.
+      graft.Par.run(
+        () => {
+          Snapshots.commitClustered(postingsOf(base), postT, Seq("b"), files = 8)
+          Snapshots.appendDelta(postingsOf(batch), postT)
+          Snapshots.compact(s, postT, Seq("b"), files = 4)
+        },
+        () => {
+          Snapshots.commitAppend(docLengths(base), dlT)
+          Snapshots.commitAppend(docLengths(batch), dlT)
+        },
+        () => {
+          Snapshots.commitAppend(totalsPartial(base), totT)
+          Snapshots.commitAppend(totalsPartial(batch), totT)
+        })
       val tot = Snapshots.read(s, totT)
         .agg(sum(col("np")).cast("long").as("n"),
           sum(col("totalp")).cast("long").as("total"))
@@ -1580,23 +1590,31 @@ object TextFunctions {
       }
       ()
     }
-    fold(postT, postingsOf,
-      (ins, del) => postingsOf(ins).unionByName(
-        postingsOf(del).withColumn("tf", -col("tf"))))
-    fold(dlT, docLengths,
-      (ins, del) => docLengths(ins).unionByName(
-        docLengths(del).withColumn("dl", -col("dl"))))
-    fold(totT, base => signedTotals(base, base.limit(0)), signedTotals)
-    // size-ratio compaction policy per table (each under its own
-    // watermark, serving invariant — the nets are exactly what the
-    // scorer folds at read time)
-    Snapshots.maybeCompactNet(s, postT, PostThroughPrefix)(servePostingsNet)
-    Snapshots.maybeCompactNet(s, dlT, PostThroughPrefix)(df =>
-      df.groupBy("doc_id").agg(sum(col("dl")).cast("long").as("dl"))
-        .where(col("dl") > 0))
-    Snapshots.maybeCompactNet(s, totT, PostThroughPrefix)(df =>
-      df.agg(sum(col("np")).cast("long").as("np"),
-        sum(col("totalp")).cast("long").as("totalp")))
+    // the three sidecar folds are INDEPENDENT per-table chains (each
+    // under its own watermark) — run them from a driver thread pool so
+    // their jobs overlap (guide §2.6); each chain keeps its own fold →
+    // compaction order, so per-table version sequences are unchanged
+    graft.Par.run(
+      () => {
+        fold(postT, postingsOf,
+          (ins, del) => postingsOf(ins).unionByName(
+            postingsOf(del).withColumn("tf", -col("tf"))))
+        Snapshots.maybeCompactNet(s, postT, PostThroughPrefix)(servePostingsNet)
+      },
+      () => {
+        fold(dlT, docLengths,
+          (ins, del) => docLengths(ins).unionByName(
+            docLengths(del).withColumn("dl", -col("dl"))))
+        Snapshots.maybeCompactNet(s, dlT, PostThroughPrefix)(df =>
+          df.groupBy("doc_id").agg(sum(col("dl")).cast("long").as("dl"))
+            .where(col("dl") > 0))
+      },
+      () => {
+        fold(totT, base => signedTotals(base, base.limit(0)), signedTotals)
+        Snapshots.maybeCompactNet(s, totT, PostThroughPrefix)(df =>
+          df.agg(sum(col("np")).cast("long").as("np"),
+            sum(col("totalp")).cast("long").as("totalp")))
+      })
     ()
   }
 

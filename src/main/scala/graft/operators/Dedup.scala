@@ -1367,10 +1367,10 @@ object Dedup {
   val splitLeakage: QueryDef = QueryDef(
     "d_split_leakage",
     (s, dir) => {
-      val bucket = expr(
-        "pmod(cast(conv(substr(md5(cast(canonical_id as string)), 1, 15), 16, 10) as bigint), 10)")
-      val naiveBucket = expr(
-        "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint), 10)")
+      val bucket =
+        pmod(graft.functions.Native.h60(col("canonical_id").cast("string")), lit(10L))
+      val naiveBucket =
+        pmod(graft.functions.Native.h60(col("doc_id").cast("string")), lit(10L))
       val assigned = cluster.fn(s, dir)
         .withColumn("split",
           when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
@@ -1773,13 +1773,11 @@ object Dedup {
       val h60 = (g: String) =>
         s"cast(conv(substr(md5($g), 1, 15), 16, 10) as bigint)"
       Tables.load(s, dir, "documents")
+        // positional gram hashes in one compiled pass (r15) — same h60
+        // values and <3-token empty-array gate as the HOF form
         .select(col("doc_id"),
-          expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
-        .withColumn("g", expr(
-          s"""if(size(tk) >= 3,
-              transform(sequence(1, size(tk) - 2),
-                gp -> ${h60("array_join(slice(tk, gp, 3), ' ')")}),
-              cast(array() as array<bigint>))"""))
+          expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"),
+          graft.functions.Native.wordNGramPosHashes(lower(col("text")), 3).as("g"))
         .withColumn("cuts", expr(
           """filter(transform(g, (gh, gi) ->
               if(gh % 8 = 0 and gi + 3 < size(tk), gi + 3,
@@ -1854,32 +1852,38 @@ object Dedup {
     "d_dedup_winnow",
     (s, dir) => {
       val W = 4
-      val h60 = (g: String) =>
-        s"cast(conv(substr(md5($g), 1, 15), 16, 10) as bigint)"
+      // positional gram hashes in one compiled pass (r15: replaces the
+      // interpreted transform/slice/md5/conv HOF chain — same h60
+      // values, same <3-token empty-array gate)
       val grams = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
-        .withColumn("g", expr(
-          s"""if(size(tk) >= 3,
-              transform(sequence(1, size(tk) - 2),
-                gp -> ${h60("array_join(slice(tk, gp, 3), ' ')")}),
-              cast(array() as array<bigint>))"""))
+          graft.functions.Native.wordNGramPosHashes(lower(col("text")), 3).as("g"))
         .select(col("doc_id"), size(col("g")).as("ng"),
           posexplode(col("g")).as(Seq("pos", "h")))
       // row at pos = window start j: frame [j, j + W - 1] holds exactly
       // the window's grams (positions are consecutive ints per doc)
       val w = Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.currentRow, W - 1)
+      // r15 exchange diet: the former distinct() + groupBy(h) +
+      // countDistinct(doc_id) chain re-shuffled three times after the
+      // window; grouping by (doc_id, h) first rides the window's
+      // existing hash(doc_id) partitioning (zero new exchanges — the
+      // per-(doc, fingerprint) distinct-position count is the same
+      // dedup the distinct() did), leaving ONE exchange on the
+      // fingerprint for the rollup. n_docs = one row per (doc_id, h)
+      // group; n_occurrences = Σ per-doc distinct selected positions —
+      // bit-identical to the distinct() form.
       grams
         .withColumn("sel",
           min(struct(col("h").as("mh"), (-col("pos")).as("np"))).over(w))
         .where(col("pos") <= col("ng") - W) // valid window starts only
         .select(col("doc_id"), col("sel.mh").as("h"),
           (-col("sel.np")).as("pos"))
-        .distinct()
+        .groupBy(col("doc_id"), col("h"))
+        .agg(countDistinct(col("pos")).as("occ"))
         .groupBy(col("h").as("fingerprint"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_occurrences"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("occ")).as("n_occurrences"))
         .where(col("n_docs") >= 2)
     },
     Some {
@@ -1929,14 +1933,13 @@ object Dedup {
   val prefixDedup: QueryDef = QueryDef(
     "d_dedup_prefix",
     (s, dir) => {
-      val h60 = (g: String) =>
-        s"cast(conv(substr(md5($g), 1, 15), 16, 10) as bigint)"
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
         .where(expr("size(tk) >= 8"))
         .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
-          expr(h60("array_join(slice(tk, 1, 32), ' ')")).as("prefix_hash"))
+          graft.functions.Native.h60(
+            expr("array_join(slice(tk, 1, 32), ' ')")).as("prefix_hash"))
         .groupBy("prefix_hash")
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_tokens")).as("min_tokens"),
@@ -1973,14 +1976,12 @@ object Dedup {
   val suffixDedup: QueryDef = QueryDef(
     "d_dedup_suffix",
     (s, dir) => {
-      val h60 = (g: String) =>
-        s"cast(conv(substr(md5($g), 1, 15), 16, 10) as bigint)"
       val hashes = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
         .where(expr("size(tk) >= 8"))
         .select(col("doc_id"), col("source"),
-          expr(h60(
+          graft.functions.Native.h60(expr(
             "array_join(slice(tk, greatest(1, size(tk) - 31), 32), ' ')"))
             .as("suffix_hash"))
       val dupHashes = hashes.groupBy("suffix_hash")

@@ -558,6 +558,11 @@ object Extended {
         .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"), col("support")))
       val w = Window.orderBy(col("conf_x1000").desc, col("support").desc,
         col("ante"), col("cons"))
+      // top-20 via orderBy+limit BEFORE the rank window (the
+      // basketPairs r15 pattern): TakeOrderedAndProject keeps
+      // per-partition heaps, and the single-partition rank window then
+      // sees 20 rows instead of the full 2×pairs rule frame — the
+      // where(rk <= 20) filter selected exactly this top-20 anyway
       rules
         .join(broadcast(itemCnt.toDF("ante", "cnt_a")), "ante")
         .join(broadcast(itemCnt.toDF("cons", "cnt_c")), "cons")
@@ -565,8 +570,9 @@ object Extended {
         .withColumn("conf_x1000", expr("(support * 1000) div cnt_a"))
         .withColumn("lift_x1000",
           expr("(support * n_orders * 1000) div (cnt_a * cnt_c)"))
+        .orderBy(col("conf_x1000").desc, col("support").desc,
+          col("ante"), col("cons")).limit(20)
         .withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 20)
         .select("rk", "ante", "cons", "support", "conf_x1000", "lift_x1000")
     },
     Some(s"""WITH $pairSupportsSql,

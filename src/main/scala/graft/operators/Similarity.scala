@@ -1395,7 +1395,7 @@ object Similarity {
       val seeds = broadcast(v.where(col("vec_id") < c)
         .select(col("vec_id").as("cid"), col("q").as("cq")))
       // assignment 1: nearest seed by exact integer squared L2
-      val a1 = v.crossJoin(seeds)
+      val a1 = v.repartition(col("vec_id")).crossJoin(seeds)
         .select(col("vec_id"), col("q"), col("nrm"), col("cid"),
           graft.functions.Native.sqDistScaled(col("q"), col("cq"), lit(1L))
             .cast("double").as("m"))
@@ -1414,7 +1414,7 @@ object Similarity {
     val listsV = Snapshots.ensureIndex(listsT, fp) { out =>
       // assignment 2: inverted lists under the committed centroids
       val v = quantized(Tables.load(s, dir, "embeddings"))
-      val a2 = v.crossJoin(cents)
+      val a2 = v.repartition(col("vec_id")).crossJoin(cents)
         .select(col("vec_id"), col("q"), col("nrm"), col("cid"),
           (graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
             .cast("double") / (col("cn") * col("cn")).cast("double")).as("m"))
@@ -1891,7 +1891,7 @@ object Similarity {
       val cents =
         if (Snapshots.currentVersion(centsT) > 0) Snapshots.read(s, centsT)
         else {
-          val (c, _) = ivfBuild(base, cCountOf(base.count()), 1)
+          val c = ivfTrain(base, cCountOf(base.count()), 1)
           // the frozen quantizer, carrying its train-time drift baseline
           // (one extra assign pass) for the ivfRetrainIfDrifted trigger
           Snapshots.commitOverwriteTagged(c, centsT,
@@ -1929,7 +1929,8 @@ object Similarity {
     */
   private def driftAssigned(v: DataFrame, cents: DataFrame): DataFrame = {
     val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
-    v.crossJoin(broadcast(cents))
+    // hash(vec_id) established pre-expansion — see [[ivfAssign]] (r15)
+    v.repartition(col("vec_id")).crossJoin(broadcast(cents))
       .withColumn("num",
         graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn")))
       .withColumn("m",
@@ -1993,7 +1994,7 @@ object Similarity {
     val fire = base0.exists(b => drift > ratio * b)
     if (fire) {
       val baseDf = Snapshots.readVersion(s, baseTable, curV)
-      val (newCents, _) = ivfBuild(baseDf, cCountOf(baseDf.count()), rounds)
+      val newCents = ivfTrain(baseDf, cCountOf(baseDf.count()), rounds)
       Snapshots.commitOverwriteTagged(newCents, centsT,
         Seq(IvfDriftBasePrefix + driftMean(live, newCents)))
       Snapshots.commitOverwriteTagged(
@@ -2361,7 +2362,7 @@ object Similarity {
       val e = Tables.load(s, dir, "embeddings")
       val v = quantized(e).localCheckpoint()
       // coarse quantizer + inverted lists (seeds -> 1 Lloyd round)
-      val (cents, _) = ivfBuild(e, cCountOf(e.count()), 1)
+      val cents = ivfTrain(e, cCountOf(e.count()), 1)
       val lists = ivfAssign(v, cents)
         .select(col("vec_id").as("n_id"), col("cid")).localCheckpoint()
       // PQ codebooks, corpus codes, query ADC tables (seed codebooks)
@@ -2436,7 +2437,7 @@ object Similarity {
       val fp = fpBase + s"-c$c"
       // ---- offline: coarse quantizer, PQ codebooks, cid-keyed codes
       val centsV = Snapshots.ensureIndex(centsT, fp) { out =>
-        val (cents, _) = ivfBuild(e, c, 1)
+        val cents = ivfTrain(e, c, 1)
         Snapshots.writeStaged(cents, out)
       }
       val cents = broadcast(s.read.parquet(Snapshots.versionDirs(centsT, centsV): _*))
@@ -2629,7 +2630,8 @@ object Similarity {
     var cents = sv.where(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("k"), col("sq").as("cs"), lit(1L).as("cn"))
       .localCheckpoint()
-    def assign() = sv.join(broadcast(cents), Seq("m"))
+    def assign() = sv.repartition(col("vec_id"), col("m"))
+      .join(broadcast(cents), Seq("m"))
       .withColumn("pd", pqMetric)
       .withColumn("rn", row_number().over(byD)).where(col("rn") === 1)
       .select("m", "k", "vec_id", "sq", "pd")
@@ -2648,6 +2650,38 @@ object Similarity {
     objectives += assign().agg(coalesce(sum(col("pd")), lit(0.0)))
       .head().getDouble(0)
     (cents, objectives.result())
+  }
+
+  /** [[pqBuild]] minus the objective telemetry — the production
+    * trainer (r15, the [[ivfTrain]] convention): every catalog call
+    * site discards the objective sequence, which cost two aggregation
+    * jobs per round plus one full extra assign pass. Assignment and
+    * update are the same code → bit-identical codebooks (asserted in
+    * RandomizedSpec's ivfTrain twin test pattern via PipelineSpec's
+    * objective suite still exercising [[pqBuild]]).
+    */
+  def pqTrain(embeddings: DataFrame, rounds: Int): DataFrame = {
+    val sv = subVectors(quantized(embeddings)).localCheckpoint()
+    val byD = Window.partitionBy("vec_id", "m").orderBy(col("pd"), col("k"))
+    var cents = sv.where(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("k"), col("sq").as("cs"), lit(1L).as("cn"))
+      .localCheckpoint()
+    def assign() = sv.repartition(col("vec_id"), col("m"))
+      .join(broadcast(cents), Seq("m"))
+      .withColumn("pd", pqMetric)
+      .withColumn("rn", row_number().over(byD)).where(col("rn") === 1)
+      .select("m", "k", "vec_id", "sq", "pd")
+    for (_ <- 1 to rounds) {
+      val a = assign().localCheckpoint()
+      val sums = a.select(col("m"), col("k"), posexplode(col("sq"))).toDF("m", "k", "dim", "v")
+        .groupBy("m", "k", "dim").agg(sum(col("v")).as("sv"))
+        .groupBy("m", "k").agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("sv")))),
+          x => x.getField("sv")).as("cs"))
+      cents = sums.join(a.groupBy("m", "k").agg(count(lit(1)).as("cn")), Seq("m", "k"))
+        .localCheckpoint()
+    }
+    cents
   }
 
   /** Read a cid-partitioned index table committed as one or more
@@ -2673,7 +2707,9 @@ object Similarity {
     val v = quantized(embeddings).localCheckpoint()
     val lists = ivfAssign(v, cents).select(col("vec_id"), col("cid"))
     val sv = subVectors(v)
-    val pdistC = sv.join(broadcast(cb), col("m") === col("cb_m"))
+    // hash(vec_id, m) established pre-expansion — see [[ivfAssign]] (r15)
+    val pdistC = sv.repartition(col("vec_id"), col("m"))
+      .join(broadcast(cb), col("m") === col("cb_m"))
       .select(col("vec_id"), col("m"), col("k"),
         graft.functions.Native.sqDistScaled(col("sq"), col("cq"), lit(1L)).as("pd"))
     val byD = Window.partitionBy("vec_id", "m").orderBy(col("pd"), col("k"))
@@ -2754,7 +2790,15 @@ object Similarity {
     */
   def ivfAssign(v: DataFrame, centroids: DataFrame): DataFrame = {
     val byDist = Window.partitionBy("vec_id").orderBy(col("m"), col("cid"))
-    v.crossJoin(broadcast(centroids))
+    // r15: establish the per-vector partitioning BEFORE the broadcast
+    // expansion. The argmin window needs hash(vec_id); placed after the
+    // C-way crossJoin that exchange carried corpus × C expanded rows
+    // (each with the 64-long q array), while here it carries the corpus
+    // once and the broadcast join + window sort stay local — C× fewer
+    // shuffle bytes on every assign pass (Lloyd rounds, DML folds,
+    // drift scans), same exchange count, identical rows out.
+    v.repartition(col("vec_id"))
+      .crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("q"), col("nrm"), col("cid"),
         (graft.functions.Native.sqDistScaled(col("q"), col("cs"), col("cn"))
           .cast("double") / (col("cn") * col("cn")).cast("double")).as("m"))
@@ -2800,6 +2844,26 @@ object Similarity {
     objectives += ivfAssign(v, centroids)
       .agg(coalesce(sum(col("m")), lit(0.0))).head().getDouble(0)
     (centroids, objectives.result())
+  }
+
+  /** [[ivfBuild]] minus the clustering-objective telemetry — the
+    * production trainer (r15): every catalog call site discards the
+    * objective sequence, yet computing it cost two aggregation jobs
+    * per round PLUS one full extra assign pass over the corpus at the
+    * end. Assignment and update are the same code, so the returned
+    * centroid table is bit-identical to `ivfBuild(…)._1`; PipelineSpec
+    * keeps using [[ivfBuild]] where the non-increasing objective is
+    * the thing under test, and asserts this twin's equality.
+    */
+  def ivfTrain(embeddings: DataFrame, c: Int, rounds: Int): DataFrame = {
+    val v = quantized(embeddings).localCheckpoint()
+    var centroids = v.where(col("vec_id") < c)
+      .select(col("vec_id").as("cid"), col("q").as("cs"), lit(1L).as("cn"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds)
+      centroids = ivfUpdate(ivfAssign(v, centroids).localCheckpoint())
+        .localCheckpoint()
+    centroids
   }
 
   /** §2.2 row 27e, TRAINED twin — the full trained-PQ pipeline under
@@ -2887,7 +2951,7 @@ object Similarity {
     "s_knn_pq_recall",
     (s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      val (cents, _) = pqBuild(e, rounds = 1)
+      val cents = pqTrain(e, rounds = 1)
       val pq10 = pqSearch(e, cents, nQueries = 5, shortlist = PqShort, k = 10)
         .select("q_id", "n_id")
       val v = quantized(e)
@@ -2928,7 +2992,7 @@ object Similarity {
     "s_knn_pq_trained",
     (s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      val (cents, _) = pqBuild(e, rounds = 1)
+      val cents = pqTrain(e, rounds = 1)
       pqSearch(e, cents, nQueries = 5, shortlist = PqShort, k = 5)
     },
     Some(pqTrainedOracle))
@@ -2953,7 +3017,7 @@ object Similarity {
       val fp = Snapshots.fileFingerprint(s"$dir/embeddings.parquet")
       val e = Tables.load(s, dir, "embeddings")
       val cbV = Snapshots.ensureIndex(cbT, fp) { out =>
-        val (cents, _) = pqBuild(e, rounds = 1)
+        val cents = pqTrain(e, rounds = 1)
         Snapshots.writeStaged(cents, out)
       }
       val cb = broadcast(s.read.parquet(Snapshots.versionDirs(cbT, cbV): _*))
@@ -3224,7 +3288,7 @@ object Similarity {
     val n = e.count()
     val c = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
     val cap = SemCapFactor * ((n + c - 1) / c)
-    val (cents, _) = ivfBuild(e, c, 1)
+    val cents = ivfTrain(e, c, 1)
     val a2 = ivfAssign(quantized(e), cents)
       .select(col("vec_id"), col("q"), col("nrm"), col("cid"))
     val sizes = a2.groupBy("cid").agg(count(lit(1)).as("csz"))
@@ -3327,7 +3391,7 @@ object Similarity {
   private[graft] def semDedupBootstrap(s: SparkSession, base: DataFrame,
       centsT: String, memT: String): Unit = {
     import graft.sources.Snapshots
-    val (cents, _) = ivfBuild(base, cCountOf(base.count()), 1)
+    val cents = ivfTrain(base, cCountOf(base.count()), 1)
     Snapshots.commitOverwriteTagged(cents, centsT,
       Seq(IvfDriftBasePrefix + driftMean(quantized(base), cents)))
     Snapshots.commitOverwrite(ivfAssign(quantized(base), cents).drop("m"), memT)
@@ -3375,7 +3439,7 @@ object Similarity {
         t.drop(IvfDriftBasePrefix.length).toLong }
     val fire = base0.exists(b => drift > ratio * b)
     if (fire) {
-      val (newCents, _) = ivfBuild(corpus, cCountOf(corpus.count()), 1)
+      val newCents = ivfTrain(corpus, cCountOf(corpus.count()), 1)
       Snapshots.commitOverwriteTagged(newCents, centsT,
         Seq(IvfDriftBasePrefix + driftMean(live, newCents)))
       Snapshots.commitOverwrite(ivfAssign(live, newCents).drop("m"), memT)

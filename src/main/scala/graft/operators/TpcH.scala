@@ -770,17 +770,25 @@ object TpcH {
       val o = Tables.load(s, dir, "orders").select("o_orderkey")
       val l = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_returnflag", "l_quantity")
-      Snapshots.commitOverwrite(o, ordersT)
-      Snapshots.commitOverwrite(l, lineT)
-      // RF1: insert new orders + their lineitems (keys shifted by a
-      // multiple of 50, so the inserted slice is disjoint from RF2's)
-      Snapshots.commitAppend(o.where(col("o_orderkey") % 50 === 7)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(3000000000L)), ordersT)
-      Snapshots.commitAppend(l.where(col("l_orderkey") % 50 === 7)
-        .withColumn("l_orderkey", col("l_orderkey") + lit(3000000000L)), lineT)
-      // RF2: delete an old-order slice from both tables, file-level
-      Snapshots.deleteWhereSelective(s, ordersT, col("o_orderkey") % 50 === 13)
-      Snapshots.deleteWhereSelective(s, lineT, col("l_orderkey") % 50 === 13)
+      // RF1 inserts (keys shifted by a multiple of 50, so the inserted
+      // slice is disjoint from RF2's) + RF2 file-level deletes. The
+      // orders and lineitem refresh streams are INDEPENDENT chains
+      // until the validation join — run them from a driver pool so
+      // their jobs overlap (guide §2.6); each table's commit order is
+      // unchanged within its thread.
+      graft.Par.run(
+        () => {
+          Snapshots.commitOverwrite(o, ordersT)
+          Snapshots.commitAppend(o.where(col("o_orderkey") % 50 === 7)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(3000000000L)), ordersT)
+          Snapshots.deleteWhereSelective(s, ordersT, col("o_orderkey") % 50 === 13)
+        },
+        () => {
+          Snapshots.commitOverwrite(l, lineT)
+          Snapshots.commitAppend(l.where(col("l_orderkey") % 50 === 7)
+            .withColumn("l_orderkey", col("l_orderkey") + lit(3000000000L)), lineT)
+          Snapshots.deleteWhereSelective(s, lineT, col("l_orderkey") % 50 === 13)
+        })
       Snapshots.read(s, lineT)
         .join(Snapshots.read(s, ordersT), col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_returnflag")

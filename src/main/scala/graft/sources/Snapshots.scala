@@ -318,7 +318,7 @@ object Snapshots {
     */
   def diff(spark: SparkSession, table: String,
       vFrom: Int, vTo: Int): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, explode, lit, sequence, sum}
     val from = manifestDirs(table, vFrom)
     val to = manifestDirs(table, vTo)
     val reader = committedReader(spark, table, vTo)
@@ -327,9 +327,26 @@ object Snapshots {
     def side(dirs: Seq[String]): DataFrame =
       if (dirs.isEmpty) readVersion(spark, table, vTo).where(lit(false))
       else reader.parquet(dirs: _*)
-    side(onlyTo).exceptAll(side(onlyFrom)).withColumn("chg", lit("insert"))
-      .unionByName(
-        side(onlyFrom).exceptAll(side(onlyTo)).withColumn("chg", lit("delete")))
+    // one signed netting pass shared by both directions instead of two
+    // independent exceptAll calls — see [[changesBetween]] (r15): the
+    // insert and delete branches become filters over ONE aggregate, so
+    // ReuseExchange reads the symmetric difference once.
+    val after = side(onlyTo)
+    val cols = after.columns.toSeq
+    val sgn = "__cdc_sgn"
+    val net = "__cdc_net"
+    require(!cols.contains(sgn) && !cols.contains(net),
+      s"diff: table $table carries a reserved __cdc_ column")
+    val netted = after.withColumn(sgn, lit(1L))
+      .unionByName(side(onlyFrom).withColumn(sgn, lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(sgn).as(net))
+    def branch(copies: org.apache.spark.sql.Column, chg: String) =
+      netted.where(copies > 0)
+        .withColumn("__cdc_dup", explode(sequence(lit(1L), copies)))
+        .select(cols.map(col): _*)
+        .withColumn("chg", lit(chg))
+    branch(col(net), "insert").unionByName(branch(-col(net), "delete"))
   }
 
   /** ONE existence-probe job over candidate dirs — not a serial
@@ -589,7 +606,33 @@ object Snapshots {
       else reader.parquet(like: _*).limit(0)
     val before = readOrEmpty(dropped, from ++ to)
     val after = readOrEmpty(added, from ++ to)
-    (after.exceptAll(before), before.exceptAll(after))
+    // Signed-count netting instead of two exceptAll calls. exceptAll
+    // compiles to exactly this shape (±1 tag → union → sum-per-row →
+    // replicate), but the two directions built separately union in
+    // OPPOSITE order, so their exchanges never unify and every
+    // maintenance fold shuffled the changed dirs TWICE. Deriving both
+    // directions from ONE netted aggregate makes the two subtrees
+    // byte-identical, and ReuseExchange serves the second direction
+    // from the first one's shuffle files: one pass over the changed
+    // dirs, half the change-feed shuffle. Semantics are unchanged —
+    // for a row with a copies after and b before, net = a − b, and
+    // replicating max(net, 0) / max(−net, 0) times is precisely
+    // exceptAll's multiset subtraction in each direction.
+    import org.apache.spark.sql.functions.{col, explode, lit, sequence, sum}
+    val cols = after.columns.toSeq
+    val sgn = "__cdc_sgn"
+    val net = "__cdc_net"
+    require(!cols.contains(sgn) && !cols.contains(net),
+      s"changesBetween: table $table carries a reserved __cdc_ column")
+    val netted = after.withColumn(sgn, lit(1L))
+      .unionByName(before.withColumn(sgn, lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(sgn).as(net))
+    def replicate(copies: org.apache.spark.sql.Column) =
+      netted.where(copies > 0)
+        .withColumn("__cdc_dup", explode(sequence(lit(1L), copies)))
+        .select(cols.map(col): _*)
+    (replicate(col(net)), replicate(-col(net)))
   }
 
   /** [[commitOverwrite]] carrying provenance tags in the manifest —

@@ -386,13 +386,17 @@ object SourceQueries {
       val l = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey").as("o_orderkey"),
           col("l_linenumber"), col("l_quantity"))
-      Snapshots.commitOverwrite(o.where(col("o_orderkey") % 10 =!= 0), oT)
-      Snapshots.commitOverwrite(l.where(col("o_orderkey") % 7 =!= 0), lT)
+      // the two base commits are independent chains — overlap their
+      // jobs (guide §2.6); the refresh is the barrier that reads both
+      graft.Par.run(
+        () => Snapshots.commitOverwrite(o.where(col("o_orderkey") % 10 =!= 0), oT),
+        () => Snapshots.commitOverwrite(l.where(col("o_orderkey") % 7 =!= 0), lT))
       MaterializedView.joinRefresh(s, oT, lT, vT, "o_orderkey") // bootstrap
       Snapshots.deleteWhere(s, oT, col("o_orderkey") % 9 === 0)
       MaterializedView.joinRefresh(s, oT, lT, vT, "o_orderkey") // ΔL side only
-      Snapshots.commitAppend(o.where(col("o_orderkey") % 10 === 0), oT)
-      Snapshots.commitAppend(l.where(col("o_orderkey") % 7 === 0), lT)
+      graft.Par.run(
+        () => Snapshots.commitAppend(o.where(col("o_orderkey") % 10 === 0), oT),
+        () => Snapshots.commitAppend(l.where(col("o_orderkey") % 7 === 0), lT))
       MaterializedView.joinRefresh(s, oT, lT, vT, "o_orderkey") // both + cross
       Snapshots.deleteWhere(s, lT, col("l_quantity") < 10)
       MaterializedView.joinRefresh(s, oT, lT, vT, "o_orderkey") // ΔR side only
@@ -479,11 +483,15 @@ object SourceQueries {
       val l = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey").as("o_orderkey"),
           col("l_linenumber"), col("l_quantity"))
-      Snapshots.commitOverwrite(o, oT)
-      Snapshots.commitOverwrite(l.where(col("o_orderkey") % 7 =!= 0), lT)
+      // independent per-table chains overlap (guide §2.6); refreshes
+      // stay barriers reading both heads
+      graft.Par.run(
+        () => Snapshots.commitOverwrite(o, oT),
+        () => Snapshots.commitOverwrite(l.where(col("o_orderkey") % 7 =!= 0), lT))
       MaterializedView.joinRefresh(s, oT, lT, vT, "o_orderkey") // bootstrap
-      Snapshots.deleteWhere(s, oT, col("o_orderkey") % 9 === 0)
-      Snapshots.commitAppend(l.where(col("o_orderkey") % 7 === 0), lT)
+      graft.Par.run(
+        () => Snapshots.deleteWhere(s, oT, col("o_orderkey") % 9 === 0),
+        () => Snapshots.commitAppend(l.where(col("o_orderkey") % 7 === 0), lT))
       MaterializedView.joinRefresh(s, oT, lT, vT, "o_orderkey") // signed deltas
       // the pin stays registered (lazy frame — the rule must be live
       // at materialization); only a join of exactly these two pinned

@@ -294,4 +294,100 @@ class RandomizedSpec extends SparkSpec {
         s"decimal sum changed under $parts partitions: $got vs $reference")
     }
   }
+
+  // ---- round-15 optimization equivalences ----
+
+  test("native h60 equals the conv(substr(md5)) SQL chain on random strings") {
+    val rnd = new Random(1501)
+    val strs = Seq.fill(200)(
+      new Random(rnd.nextLong()).alphanumeric.take(rnd.nextInt(40)).mkString) ++
+      Seq("", " ", "a b  c", "naïve ünïcode £€", "x" * 500)
+    val df = strs.toDF("s")
+    val got = df.select(graft.functions.Native.h60(col("s")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = df.select(
+        expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)").as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
+  test("positional word-n-gram hashes equal the transform/slice/md5 HOF form") {
+    val rnd = new Random(1502)
+    def word(): String = Seq.fill(1 + rnd.nextInt(6))(
+      ('a' + rnd.nextInt(26)).toChar).mkString
+    val texts = Seq.fill(80)(Seq.fill(rnd.nextInt(8))(word()).mkString(" ")) ++
+      Seq("", "one", "one two", "one two three", "  padded   spaces  ",
+        "a b c d e f g h")
+    for (n <- Seq(2, 3, 4)) {
+      val df = texts.toDF("text")
+        .select(col("text"),
+          expr("filter(split(lower(text), ' '), x -> x <> '')").as("tk"))
+      val got = df.select(
+          graft.functions.Native.wordNGramPosHashes(lower(col("text")), n).as("g"))
+        .collect().map(_.getSeq[Long](0).toList).toList
+      val want = df.select(expr(
+          s"""if(size(tk) >= $n,
+              transform(sequence(1, size(tk) - ${n - 1}),
+                gp -> cast(conv(substr(md5(array_join(slice(tk, gp, $n), ' ')), 1, 15), 16, 10) as bigint)),
+              cast(array() as array<bigint>))""").as("g"))
+        .collect().map(_.getSeq[Long](0).toList).toList
+      assert(got == want, s"n=$n")
+    }
+  }
+
+  test("netted changesBetween equals exceptAll multiset subtraction on random DML") {
+    import graft.sources.Snapshots
+    val rnd = new Random(1503)
+    val root = graft.Roots.scratch + "/randspec_cdc"
+    for (round <- 1 to 4) {
+      val t = s"$root/t$round"
+      Snapshots.deleteRecursively(t)
+      val base = Seq.fill(30 + rnd.nextInt(40))(
+        (rnd.nextInt(10).toLong, rnd.nextInt(5).toLong)).toDF("k", "v")
+      val v1 = Snapshots.commitOverwrite(base, t)
+      // random rewrite: delete a slice, append duplicates-heavy rows
+      Snapshots.deleteWhere(spark, t, col("k") % (2 + rnd.nextInt(3)) === 0)
+      Snapshots.commitAppend(Seq.fill(10 + rnd.nextInt(20))(
+        (rnd.nextInt(10).toLong, rnd.nextInt(5).toLong)).toDF("k", "v"), t)
+      val v2 = Snapshots.currentVersion(t)
+      val (ins, del) = Snapshots.changesBetween(spark, t, v1, v2)
+      def multiset(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      val before = Snapshots.readVersion(spark, t, v1)
+      val after = Snapshots.readVersion(spark, t, v2)
+      assert(multiset(ins) == multiset(after.exceptAll(before)), s"ins round $round")
+      assert(multiset(del) == multiset(before.exceptAll(after)), s"del round $round")
+    }
+  }
+
+  test("pqTrain returns codebooks bit-identical to pqBuild's") {
+    import graft.operators.Similarity
+    val rnd = new Random(1505)
+    val e = Seq.tabulate(40)(i =>
+        (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val (built, _) = Similarity.pqBuild(e, rounds = 1)
+    val trained = Similarity.pqTrain(e, rounds = 1)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("m", "k", "cs", "cn").collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          r.getSeq[Long](2).toList, r.getLong(3))).toList.sortBy(x => (x._1, x._2))
+    assert(rowsOf(trained) == rowsOf(built))
+  }
+
+  test("ivfTrain returns centroids bit-identical to ivfBuild's") {
+    import graft.operators.Similarity
+    val rnd = new Random(1504)
+    val e = Seq.tabulate(60)(i =>
+        (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    for (rounds <- Seq(1, 2)) {
+      val (built, _) = Similarity.ivfBuild(e, c = 6, rounds = rounds)
+      val trained = Similarity.ivfTrain(e, c = 6, rounds = rounds)
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0),
+          r.getSeq[Long](1).toList, r.getLong(2))).toList.sortBy(_._1)
+      assert(rowsOf(trained) == rowsOf(built), s"rounds=$rounds")
+    }
+  }
 }
