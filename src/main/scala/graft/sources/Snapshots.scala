@@ -400,12 +400,14 @@ object Snapshots {
     val reader = committedReader(spark, table, cur)
     val touched = probeTouched(reader, dirs, _.where(cond))
     if (touched.isEmpty) return Some(cur)
-    val staged = touched.map { d =>
+    // the per-dir rewrites are independent writes — overlap their jobs
+    // from a driver pool (guide §2.6); result order matches `touched`
+    val staged = graft.Par.run(touched.map(d => () => {
       val out = stageDir(table)
       rewrite(reader.parquet(d)).write
         .mode(SaveMode.ErrorIfExists).parquet(out)
       out
-    }
+    }): _*)
     val out = commitTransformIf(table, requires = touched)(prev =>
       prev.filterNot(touched.toSet) ++ staged)
     // conflict abort: clean the staged rewrites (the mergeTagged /
@@ -471,13 +473,14 @@ object Snapshots {
       val reader = committedReader(spark, table, cur)
       val touched = probeTouched(reader, dirs, _.join(srcKeys, Seq(key), "left_semi"))
       if (touched.isEmpty) return cur
-      val staged = touched.map { d =>
+      // independent per-dir rewrites overlap (guide §2.6)
+      val staged = graft.Par.run(touched.map(d => () => {
         val out = stageDir(table)
         reader.parquet(d)
           .join(srcKeys, Seq(key), "left_anti")
           .write.mode(SaveMode.ErrorIfExists).parquet(out)
         out
-      }
+      }): _*)
       // exact claim of cur+1: the probe is only valid against the
       // snapshot it ran on, and the claim itself is the CAS — a racer
       // committing between our probe and this claim makes it fail
@@ -505,13 +508,14 @@ object Snapshots {
     val touched =
       if (dirs.isEmpty) Seq.empty[String]
       else probeTouched(reader, dirs, _.join(srcKeys, Seq(key), "left_semi"))
-    val staged = touched.map { d =>
+    // independent per-dir rewrites overlap (guide §2.6)
+    val staged = graft.Par.run(touched.map(d => () => {
       val out = stageDir(table)
       reader.parquet(d)
         .join(srcKeys, Seq(key), "left_anti")
         .write.mode(SaveMode.ErrorIfExists).parquet(out)
       out
-    }
+    }): _*)
     val srcDir = writeData(source, table)
     // replay check (exactly-once ingest tag) runs once, just before the
     // claim; a twin committing AFTER this check makes our exact claim
