@@ -487,15 +487,28 @@ object Extended {
     */
   private def pairSupports(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val li = Tables.load(s, dir, "lineitem")
+    // r15: ONE shuffle into per-order baskets (map-side partial
+    // collect_set) replaces the distinct + self-join form, which
+    // shuffled the (okey, part) frame three times (distinct, then each
+    // join side re-hashed on okey). Pairs explode LOCALLY from the
+    // sorted basket array — C(basket, 2) per order, the same bound the
+    // self-join's where(p1 < p2) enforced — then ONE pair-cell
+    // aggregate. Basket frame reused for n_orders (count of baskets)
+    // and item counts (local explode), identical multisets throughout.
+    val baskets = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
-    val nOrders = li.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
-    val itemCnt = li.groupBy("part").agg(count(lit(1)).as("cnt"))
-    val pairs = li.toDF("okey", "p1")
-      .join(li.toDF("okey", "p2"), "okey")
-      .where(col("p1") < col("p2"))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+      .groupBy("okey").agg(sort_array(collect_set(col("part"))).as("parts"))
+      .localCheckpoint()
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val itemCnt = baskets.select(explode(col("parts")).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("cnt"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(parts, (x, xi) ->
+             transform(slice(parts, xi + 2, size(parts) - xi - 1),
+               y -> named_struct('p1', x, 'p2', y))))""")).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .agg(count(lit(1)).as("support"))
     (nOrders, itemCnt, pairs)
   }
 
