@@ -353,13 +353,14 @@ object MaterializedView {
   /** Incrementally maintained JOIN view V = π(cols)(L ⋈_key R) over
     * two [[Snapshots]] base tables — the other half of view
     * maintenance next to [[refresh]]'s aggregates: joins are not
-    * algebraic per group, so the delta is the classic SIGNED
-    * delta-join expansion (V_new − V_old = ΔL⋈R_old + L_old⋈ΔR +
-    * ΔL⋈ΔR, signs multiplying across the product — deletes carry −1),
+    * algebraic per group, so the delta is the SIGNED delta-join
+    * expansion in its two-term form (V_new − V_old = ΔL⋈R_new +
+    * L_old⋈ΔR — the classic three-term ΔL⋈R_old + L_old⋈ΔR + ΔL⋈ΔR
+    * nets to the same multiset by bilinearity; deletes carry −1),
     * appended as tombstone-folded rows and netted at read
     * ([[serveJoin]]). Each refresh reads ONLY the change feed of each
     * base ([[Snapshots.changesBetween]] — the dirs that entered/left
-    * the manifest) joined against the OTHER side's pinned old version:
+    * the manifest) joined against the other side's pinned version:
     * O(Δ·matched) per refresh, never a full re-join. Per-base
     * watermark versions ride as tags on the view's own atomic commits
     * (crash between base DML and refresh loses nothing — the next
@@ -420,15 +421,20 @@ object MaterializedView {
             lDel.withColumn("sl", lit(-1L)))
           val dR = rIns.withColumn("sr", lit(1L)).unionByName(
             rDel.withColumn("sr", lit(-1L)))
+          // TWO-term signed expansion (r15): V_new − V_old =
+          // ΔL⋈R_new + L_old⋈ΔR — the three-term ΔL⋈R_old + L_old⋈ΔR +
+          // ΔL⋈ΔR form netted to the same multiset (bilinearity of ⋈
+          // over signed multisets: ΔL⋈R_new = ΔL⋈R_old + ΔL⋈ΔR) but
+          // ran one more join per refresh and appended tombstone pairs
+          // that only existed to cancel at read. One fewer join, fewer
+          // appended rows, identical net view (SourcesSpec serving
+          // assertions + the q_mv_join_* oracles are the proof).
           val lOld = Snapshots.readVersion(spark, leftTable, lLast)
-          val rOld = Snapshots.readVersion(spark, rightTable, rLast)
+          val rNew = Snapshots.readVersion(spark, rightTable, rTo)
           val delta =
-            dL.join(rOld, key).withColumn("sgn", col("sl")).drop("sl")
+            dL.join(rNew, key).withColumn("sgn", col("sl")).drop("sl")
               .unionByName(
                 lOld.join(dR, key).withColumn("sgn", col("sr")).drop("sr"))
-              .unionByName(
-                dL.join(dR, key).withColumn("sgn", col("sl") * col("sr"))
-                  .drop("sl", "sr"))
           Snapshots.commitAppendTaggedIf(delta, mvTable, mvV, tags)
         }
       committed.foreach { v =>

@@ -365,10 +365,11 @@ object SourceQueries {
   /** Incrementally maintained JOIN view under real DML
     * ([[MaterializedView.joinRefresh]]): orders ⋈ lineitem bootstraps
     * from partial slices, then three maintenance cycles fold a
-    * delete-on-left, a double append (both sides in ONE refresh — the
-    * ΔL⋈ΔR cross term is live), and a delete-on-right, each refresh
-    * reading only the change feeds joined against the other side's
-    * pinned old version. The served view aggregates per order; the
+    * delete-on-left, a double append (both sides move in ONE refresh,
+    * so ΔL joins a right version that itself changed — the cross
+    * coverage, absorbed by the ΔL⋈R_new term), and a delete-on-right,
+    * each refresh reading only the change feeds joined against the
+    * other side's pinned version. The served view aggregates per order; the
     * DuckDB oracle recomputes the join from the FINAL table states,
     * proving three rounds of signed delta-joins ≡ one recompute. The
     * table is rebuilt per run (the DML sequence IS the operator under
