@@ -81,31 +81,74 @@ object StatsQueries {
   val approxStats: QueryDef = QueryDef(
     "q_approx_stats",
     (s, dir) => {
-      // Independent 1-row aggregates, crossJoined at the end, instead
-      // of one wide mixed aggregate: TWO distinct columns in a single
-      // agg force an Expand that triples every scanned row, and the
-      // lone all-rows group then funnels the exact percentile, both
-      // HLLs and both distinct sets through one merge task (measured
-      // 6+ s at sf0.1 vs ~1 s split). Separate branches each scan one
-      // pruned column, keep their partial aggregation parallel, and
-      // Spark runs the independent stages concurrently under the one
-      // final join of 1-row frames. Same outputs bit-for-bit.
+      // Two structural rules shape this plan (r8 + r15):
+      //  - The EXACT distinct counts stay on their own distinct-then-
+      //    count branches: TWO distinct columns in a single agg force
+      //    an Expand that triples every scanned row and funnel both
+      //    distinct sets through one merge task (measured 6+ s at
+      //    sf0.1 vs ~1 s split), and the map-side partial distinct
+      //    collapses each partition's keys before the shuffle.
+      //  - Everything WITHOUT a distinct (count, both HLLs, both
+      //    percentile forms) rides ONE shared scan: none of these
+      //    trigger Expand, their partials stay parallel and tiny, and
+      //    collapsing the four former single-aggregate branches into
+      //    one removes three full passes over the table (guide §1.2 —
+      //    at 100 TB each pass is a complete read of the fact table).
+      // Same outputs bit-for-bit.
       val li = Tables.load(s, dir, "lineitem")
-      val counts = li.agg(count(lit(1)).as("n_rows"))
-      // distinct-then-count instead of countDistinct: the map-side
-      // partial distinct collapses each partition's keys before the
-      // shuffle, and the count is a partial agg over the distinct set
       val dOk = li.select("l_orderkey").distinct()
         .agg(count(lit(1)).as("d_orderkey"))
       val dPk = li.select("l_partkey").distinct()
         .agg(count(lit(1)).as("d_partkey"))
-      val adOk = li.agg(approx_count_distinct(col("l_orderkey"), 0.05).as("ad_ok"))
-      val adPk = li.agg(approx_count_distinct(col("l_partkey"), 0.05).as("ad_pk"))
-      val pcts = li.agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("p"),
-        expr("percentile(l_extendedprice, array(0.45, 0.55, 0.94, 0.96))").as("pe"))
-      counts.crossJoin(dOk).crossJoin(dPk).crossJoin(adOk).crossJoin(adPk)
-        .crossJoin(pcts)
+      val rest = li.agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("ad_ok"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("ad_pk"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("p"))
+      // r15: the exact-percentile twin used to be the builtin
+      // `percentile(...)` aggregate, whose final merge buffers EVERY
+      // distinct value in one task (the guide §5 driver/merge-funnel
+      // shape — measured 2.2 s of this query's 2.7 s at sf0.1, and an
+      // OOM at 100 TB). Replaced by the DISTRIBUTED rank construction:
+      // per-value counts (map-side partial agg), a distributed prefix
+      // sum over the value order (range repartition + broadcast
+      // offsets — no single-task sort), and conditional-max picks of
+      // the two bracketing ranks per percentile. The interpolation
+      // reproduces Percentile.getPercentile bit-for-bit:
+      // position = (N−1).toDouble · p, lower/higher = floor/ceil,
+      // keys at cumulative ranks lower+1 / higher+1, equal-rank and
+      // equal-key short-circuits, (higher−pos)·vLo + (pos−lower)·vHi.
+      val pq = Seq(0.45, 0.55, 0.94, 0.96)
+      val cells = li.select(col("l_extendedprice").cast("double").as("v"))
+        .where(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .withColumn("neg_v", -col("v"))
+      val cum = graft.operators.Extended
+        .globalPrefixSum(cells, "neg_v", "v", "cnt")
+        .withColumnRenamed("cum", "cr")
+      val nn = broadcast(cells.agg(sum(col("cnt")).as("nv")))
+      val picks = cum.crossJoin(nn).agg(
+        max(col("nv")).as("nvv"),
+        pq.zipWithIndex.flatMap { case (p, i) =>
+          val pos = (col("nv") - lit(1L)).cast("double") * lit(p)
+          val rLo = floor(pos).cast("long") + lit(1L)
+          val rHi = ceil(pos).cast("long") + lit(1L)
+          Seq(
+            max(when(col("cr") - col("cnt") < rLo && rLo <= col("cr"),
+              col("v"))).as(s"vlo_$i"),
+            max(when(col("cr") - col("cnt") < rHi && rHi <= col("cr"),
+              col("v"))).as(s"vhi_$i"))
+        }: _*)
+      val pe1 = picks.select(array(pq.zipWithIndex.map { case (p, i) =>
+        val pos = (col("nvv") - lit(1L)).cast("double") * lit(p)
+        val lower = floor(pos).cast("long")
+        val higher = ceil(pos).cast("long")
+        when(higher === lower, col(s"vlo_$i"))
+          .when(col(s"vhi_$i") === col(s"vlo_$i"), col(s"vlo_$i"))
+          .otherwise((higher.cast("double") - pos) * col(s"vlo_$i") +
+            (pos - lower.cast("double")) * col(s"vhi_$i"))
+      }: _*).as("pe"))
+      rest.crossJoin(dOk).crossJoin(dPk).crossJoin(pe1)
         .select(col("n_rows"), col("d_orderkey"), col("d_partkey"),
           (abs(col("ad_ok") - col("d_orderkey")) <= col("d_orderkey") * 0.15)
             .as("hll_ok_orderkey"),
@@ -252,42 +295,64 @@ object StatsQueries {
       "q_table_profile",
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
+        // r15: the four per-column (aggd, checks) pass PAIRS collapse
+        // into ONE shared aggregate scan and ONE shared bound-check
+        // scan over a 4-column projection — none of these aggregates
+        // is DISTINCT, so no Expand appears and the partials stay
+        // parallel; 12 full passes become 6 (guide §1.2 — at 100 TB
+        // each pass is a complete fact-table read). Only the exact
+        // distinct counts keep per-column distinct-then-count branches
+        // (two distinct columns in one agg would Expand). Same values,
+        // same 4-row unionAll output, bit-for-bit.
+        val vals = li.select(cols.map(c =>
+          expr(s"cast(cast($c as decimal(18,2)) * 100 as bigint)").as(s"v_$c")): _*)
+        val aggd = vals.agg(
+          count(lit(1)).as("n_rows"),
+          cols.flatMap { c =>
+            val v = col(s"v_$c")
+            Seq(
+              sum(when(v.isNull, 1L).otherwise(0L)).as(s"n_null_$c"),
+              count(v).as(s"n_val_$c"),
+              min(v).as(s"min_$c"), max(v).as(s"max_$c"),
+              expr(s"sum(v_$c) * 100 div count(v_$c)").as(s"mean_$c"),
+              Sketches.quantileSketch(v.cast("double"), qs.map(_._1))
+                .as(s"est_$c"))
+          }: _*)
+        // bound check: e from the broadcast 1-row sketch frame, two
+        // conditional counts per (column, quantile) in ONE scan
+        val checks = vals.crossJoin(broadcast(aggd.select(
+            cols.flatMap(c => Seq(col(s"est_$c"),
+              col(s"n_val_$c").as(s"nv_$c"))): _*)))
+          .agg(
+            max(col(s"nv_${cols.head}")).as(s"nv2_${cols.head}"),
+            (cols.tail.map(c => max(col(s"nv_$c")).as(s"nv2_$c")) ++
+              cols.flatMap { c =>
+                qs.zipWithIndex.flatMap { case ((_, t), i) =>
+                  val e = element_at(col(s"est_$c"), i + 1)
+                  val v = col(s"v_$c")
+                  Seq(
+                    sum(when(v.cast("double") < e, 1L).otherwise(0L))
+                      .as(s"${t}_lt_$c"),
+                    sum(when(v.cast("double") <= e * (33.0 / 32), 1L)
+                      .otherwise(0L)).as(s"${t}_le_$c"))
+                }
+              }): _*)
+        val nds = cols.map(c => vals.select(col(s"v_$c").as("v"))
+          .where(col("v").isNotNull).distinct()
+          .agg(count(lit(1)).as(s"n_distinct_$c")))
+        val joined = nds.foldLeft(aggd.crossJoin(checks))(_ crossJoin _)
         cols.map { c =>
-          val cents = s"cast(cast($c as decimal(18,2)) * 100 as bigint)"
-          val base = li.select(expr(cents).as("v"))
-          val aggd = base.agg(
-            count(lit(1)).as("n_rows"),
-            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-            count(col("v")).as("n_val"),
-            min(col("v")).as("min_c"), max(col("v")).as("max_c"),
-            expr("sum(v) * 100 div count(v)").as("mean_x10000"),
-            Sketches.quantileSketch(col("v").cast("double"), qs.map(_._1))
-              .as("est"))
-          val nd = base.where(col("v").isNotNull).distinct()
-            .agg(count(lit(1)).as("n_distinct"))
-          // bound check: e from the broadcast 1-row sketch frame, two
-          // conditional counts per quantile in ONE scan
-          val checks = base.crossJoin(broadcast(aggd.select(col("est"),
-              col("n_val").as("nv"))))
-            .agg(max(col("nv")).as("nv2"), qs.zipWithIndex.flatMap {
-              case ((_, t), i) =>
-                val e = element_at(col("est"), i + 1)
-                Seq(
-                  sum(when(col("v").cast("double") < e, 1L).otherwise(0L))
-                    .as(s"${t}_lt"),
-                  sum(when(col("v").cast("double") <= e * (33.0 / 32), 1L)
-                    .otherwise(0L)).as(s"${t}_le"))
-            }: _*)
           val flags = qs.map { case (q, t) =>
-            val tt = floor(lit(q) * (col("nv2") - 1)).cast("long")
-            (coalesce(col("nv2"), lit(0L)) === 0L ||
-              (col(s"${t}_lt") <= tt && col(s"${t}_le") >= tt + 1L))
+            val tt = floor(lit(q) * (col(s"nv2_$c") - 1)).cast("long")
+            (coalesce(col(s"nv2_$c"), lit(0L)) === 0L ||
+              (col(s"${t}_lt_$c") <= tt && col(s"${t}_le_$c") >= tt + 1L))
               .as(s"${t}_ok")
           }
-          aggd.crossJoin(nd).crossJoin(checks)
-            .select(lit(c).as("column_name") +:
-              (Seq("n_rows", "n_null", "n_distinct", "min_c", "max_c",
-                "mean_x10000").map(col) ++ flags): _*)
+          joined.select(lit(c).as("column_name") +:
+            (Seq(col("n_rows"), col(s"n_null_$c").as("n_null"),
+              col(s"n_distinct_$c").as("n_distinct"),
+              col(s"min_$c").as("min_c"), col(s"max_$c").as("max_c"),
+              col(s"mean_$c").as("mean_x10000")) ++ flags): _*)
         }.reduce(_ unionAll _)
       },
       Some(cols.map { c =>

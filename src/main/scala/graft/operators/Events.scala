@@ -995,10 +995,26 @@ object Events {
         // DESC natively; freq/monetary rank ASC via negation
         .withColumn("neg_freq", -col("freq"))
         .withColumn("neg_mon", -col("monetary"))
-      val ranked0 = Extended.globalRank(users, "recency_days", "user_id", "r_rn")
-      val ranked1 = Extended.globalRank(ranked0, "neg_freq", "user_id", "f_rn")
-      val ranked2 = Extended.globalRank(ranked1, "neg_mon", "user_id", "m_rn")
-      val n1 = broadcast(users.agg(count(lit(1)).as("n")))
+      // r15: the three quintile ranks are INDEPENDENT permutations of
+      // the same purchaser frame, but chaining them (rank2 over
+      // rank1's output) serialized three range-repartitions of the
+      // full frame — each globalRank eagerly materializes its ordered
+      // frame. Checkpoint the purchaser fold once, run the three rank
+      // chains over NARROW (user_id, metric) projections from a
+      // driver pool (guide §2.6), and join the (user_id, rank) frames
+      // back on the unique user key — 1:1 joins, so the frame and
+      // every rank value are unchanged; the range shuffles now carry
+      // two columns instead of the whole widening frame (§2.3).
+      val u = users.localCheckpoint()
+      val Seq(rr, fr, mr) = graft.Par.run(
+        () => Extended.globalRank(u.select("user_id", "recency_days"),
+          "recency_days", "user_id", "r_rn").select("user_id", "r_rn"),
+        () => Extended.globalRank(u.select("user_id", "neg_freq"),
+          "neg_freq", "user_id", "f_rn").select("user_id", "f_rn"),
+        () => Extended.globalRank(u.select("user_id", "neg_mon"),
+          "neg_mon", "user_id", "m_rn").select("user_id", "m_rn"))
+      val ranked2 = u.join(rr, "user_id").join(fr, "user_id").join(mr, "user_id")
+      val n1 = broadcast(u.agg(count(lit(1)).as("n")))
       val ranked = ranked2.crossJoin(n1)
         .withColumn("r_score", expr("(r_rn - 1) * 5 div n + 1"))
         .withColumn("f_score", expr("(f_rn - 1) * 5 div n + 1"))
