@@ -508,15 +508,19 @@ object Snapshots {
     val touched =
       if (dirs.isEmpty) Seq.empty[String]
       else probeTouched(reader, dirs, _.join(srcKeys, Seq(key), "left_semi"))
-    // independent per-dir rewrites overlap (guide §2.6)
-    val staged = graft.Par.run(touched.map(d => () => {
+    // independent per-dir rewrites AND the source-batch landing write
+    // overlap (guide §2.6) — the source dir does not depend on any
+    // staged rewrite, so running it serially after them only added
+    // its write latency to the merge wall
+    val stagedAll = graft.Par.run(touched.map(d => () => {
       val out = stageDir(table)
       reader.parquet(d)
         .join(srcKeys, Seq(key), "left_anti")
         .write.mode(SaveMode.ErrorIfExists).parquet(out)
       out
-    }): _*)
-    val srcDir = writeData(source, table)
+    }) :+ (() => writeData(source, table)): _*)
+    val staged = stagedAll.init
+    val srcDir = stagedAll.last
     // replay check (exactly-once ingest tag) runs once, just before the
     // claim; a twin committing AFTER this check makes our exact claim
     // fail (conflict), and the caller's retry re-runs the check
