@@ -1544,11 +1544,19 @@ object Events {
       .withColumn("neg_t", -col("t"))
     val run = Extended.globalPrefixSum(points, "neg_t", "kind", "delta")
       .withColumnRenamed("cum", "running")
-    val peak = run.agg(max(col("running")).as("peak_concurrent"))
-    run.crossJoin(broadcast(peak))
-      .where(col("running") === col("peak_concurrent"))
-      .groupBy("peak_concurrent")
-      .agg(min(col("t")).as("first_peak_s"))
+    // r15: peak and its first attainment in ONE aggregate pass —
+    // max(struct(running, −t)) orders by running first, then by −t,
+    // so the struct max IS (max running, min t at that running);
+    // the former shape aggregated the peak, then re-scanned `run`
+    // through a broadcast-filter + groupBy to find min(t) — a second
+    // full pass over the sweep frame at any scale (§1.2). The null
+    // guard keeps the empty-corpus contract: no boundaries → no rows
+    // (max over empty is a null struct, filtered out), exactly the
+    // rows the filter+groupBy form produced.
+    run.agg(max(struct(col("running"), (-col("t")).as("nt"))).as("pk"))
+      .where(col("pk").isNotNull)
+      .select(col("pk.running").as("peak_concurrent"),
+        (-col("pk.nt")).as("first_peak_s"))
       .crossJoin(broadcast(pts.where(col("kind") === 1L)
         .agg(sum(col("cnt")).cast("long").as("n_sessions"))))
       .select("peak_concurrent", "first_peak_s", "n_sessions")
