@@ -40,14 +40,25 @@ object StatsQueries {
     */
   val tableStats: QueryDef = QueryDef(
     "q_table_stats",
-    (s, dir) => Tables.load(s, dir, "lineitem").agg(
-      count(lit(1)).as("n_rows"),
-      countDistinct(col("l_orderkey")).as("d_orderkey"),
-      countDistinct(col("l_partkey")).as("d_partkey"),
-      countDistinct(col("l_suppkey")).as("d_suppkey"),
-      countDistinct(col("l_returnflag")).as("d_returnflag"))
-      .withColumn("avg_lines_per_order",
-        col("n_rows").cast("double") / nullif(col("d_orderkey"), lit(0L))),
+    (s, dir) => {
+      // r15: FOUR countDistinct columns in one aggregate forced an
+      // Expand that quintuples every scanned row (5× rows into the
+      // shuffle) and funnels all four distinct sets through one merge
+      // task — the q_approx_stats shape. Independent distinct-then-
+      // count branches keep each map-side partial distinct parallel
+      // and shuffle only unique keys; the 1-row frames crossJoin at
+      // the end. Same outputs bit-for-bit.
+      val li = Tables.load(s, dir, "lineitem")
+      def dcount(c: String, as: String) =
+        li.select(c).distinct().agg(count(lit(1)).as(as))
+      li.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(dcount("l_orderkey", "d_orderkey"))
+        .crossJoin(dcount("l_partkey", "d_partkey"))
+        .crossJoin(dcount("l_suppkey", "d_suppkey"))
+        .crossJoin(dcount("l_returnflag", "d_returnflag"))
+        .withColumn("avg_lines_per_order",
+          col("n_rows").cast("double") / nullif(col("d_orderkey"), lit(0L)))
+    },
     Some("""SELECT COUNT(*) AS n_rows,
             COUNT(DISTINCT l_orderkey) AS d_orderkey,
             COUNT(DISTINCT l_partkey) AS d_partkey,
@@ -953,6 +964,12 @@ object StatsQueries {
             countDistinct(col("v")).as("n_distinct"),
             sum(col("run_start")).as("n_runs"))
       }
+      // r15 NOT taken: a shared wide (okey, lineno, v_0..v_3)
+      // projection to let the four windows reuse one hash(l_orderkey)
+      // exchange — column pruning re-splits the projection per arm,
+      // so the four exchanges never canonicalize equal (measured:
+      // shuffle bytes byte-identical at 29.3 MB, wall flat). The
+      // per-arm single-column shuffles stand.
       arm("l_returnflag", col("l_returnflag"))
         .unionAll(arm("l_linestatus", col("l_linestatus")))
         .unionAll(arm("l_tax_cents", (col("l_tax") * 100).cast("bigint")))
