@@ -148,7 +148,28 @@ object Bench {
       catch { case e: Throwable => errors(name) = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(160) }
       (System.nanoTime() - t0) / 1e9
     }
-    queries.foreach { case (name, fn) => timed(name, fn) } // warmup
+    // warmup — also the BUILD run for build-once-per-process roots
+    // (forget family, r16: roots no longer persist across driver runs,
+    // so the warmup pays each query's one cold bootstrap+DML fold).
+    // The registry walk log is drained around each warmup run and
+    // shipped as walk_ms_build / walk_wall_ms_build: the driver-visible
+    // price of the erasure/maintenance folds, per query, separated from
+    // the measured SERVE timings below (verdict r15 item 2 — additions
+    // only, the line stays parseable).
+    val walkMsBuild = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val walkWallMsBuild = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val buildSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    queries.foreach { case (name, fn) =>
+      graft.sources.IndexRegistry.drainWalkLog()
+      val t = timed(name, fn)
+      val walks = graft.sources.IndexRegistry.drainWalkLog()
+      if (walks.nonEmpty) {
+        walkMsBuild(name) = walks.map(_._3).sum
+        walkWallMsBuild(name) =
+          (walks.map(_._5).max - walks.map(_._4).min) / 1000000L
+        buildSec(name) = math.round(t * 1000.0) / 1000.0
+      }
+    }
     errors.clear() // only measured-pass errors ship
     // registry-walk latency per query (round-13): the forget/DML
     // composites spend most of their time in registry maintenance
@@ -328,6 +349,12 @@ object Bench {
       .mkString("{", ",", "}")
     val walkWallJson = walkWallMs.map { case (k, ms) => jsonStr(k) + ":" + ms }
       .mkString("{", ",", "}")
+    val walkBuildJson = walkMsBuild.map { case (k, ms) => jsonStr(k) + ":" + ms }
+      .mkString("{", ",", "}")
+    val walkWallBuildJson = walkWallMsBuild.map { case (k, ms) =>
+      jsonStr(k) + ":" + ms }.mkString("{", ",", "}")
+    val buildSecJson = buildSec.map { case (k, s) => jsonStr(k) + ":" + s }
+      .mkString("{", ",", "}")
     val walkContJson = walkContention.map { case (k, (c, b)) =>
       jsonStr(k) + s""":{"conflicts":$c,"backoff_ms":$b}"""
     }.mkString("{", ",", "}")
@@ -349,7 +376,7 @@ object Bench {
           pw > 1000000L && w > 1.2 * pw) =>
         jsonStr(k) + s""":{"prior_write":${priorShuffle(k)},"write":$w}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"annotations":$annJson,"env":$envJson,"index_roots_bytes":$rootsJson,"shuffle_bytes":$shufJson,"shuffle_regressions":$shufRegJson,"walk_ms":$walkJson,"walk_wall_ms":$walkWallJson,"walk_contention":$walkContJson,"calibration":$calJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outJson,"errors":$errJson,"annotations":$annJson,"env":$envJson,"index_roots_bytes":$rootsJson,"shuffle_bytes":$shufJson,"shuffle_regressions":$shufRegJson,"walk_ms":$walkJson,"walk_wall_ms":$walkWallJson,"walk_ms_build":$walkBuildJson,"walk_wall_ms_build":$walkWallBuildJson,"build_sec":$buildSecJson,"walk_contention":$walkContJson,"calibration":$calJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured tail can front-truncate past ~70 queries,
     // losing the early alphabet's timings — persist the complete map

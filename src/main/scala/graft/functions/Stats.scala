@@ -351,6 +351,15 @@ object StatsQueries {
         val nds = cols.map(c => vals.select(col(s"v_$c").as("v"))
           .where(col("v").isNotNull).distinct()
           .agg(count(lit(1)).as(s"n_distinct_$c")))
+        // r16 A/B (r15-verdict item 3, tools/TableProfileAb): the
+        // union references `joined` 4×, so the STATIC plan duplicates
+        // the aggregate tree (56 scans) — but runtime exchange reuse
+        // DOES dedup it (same-window probe: shipped shape converges to
+        // ~1.5 s; an eager localCheckpoint of the 1-row frame measured
+        // ~1.85 s — the extra job + pipeline barrier cost more than the
+        // dedup it guaranteed, so it was reverted). The driver's r15
+        // 2.08 s reading did not reproduce in either of this round's
+        // full benches (1.33 / 1.55 across two windows): host drift.
         val joined = nds.foldLeft(aggd.crossJoin(checks))(_ crossJoin _)
         cols.map { c =>
           val flags = qs.map { case (q, t) =>

@@ -1221,6 +1221,32 @@ object TextFunctions {
       .agg(sum(col("tf")).cast("long").as("tf"))
       .where(col("tf") > 0)
 
+  /** [[servePostingsNet]] from the postings TABLE head, bucket-pruned
+    * when `pruned` — skips the netting aggregate when the head is
+    * committed-as-netted (bootstrap or compaction; per-(term,doc) tf
+    * is ≥ 1 by construction there, so the passthrough is net's output
+    * exactly).
+    */
+  private[graft] def servePostingsNetAt(s: org.apache.spark.sql.SparkSession,
+      postT: String, pruned: Boolean = true): org.apache.spark.sql.DataFrame = {
+    def prune(df: org.apache.spark.sql.DataFrame) =
+      if (pruned) df.where(col("b").isin(searchBuckets: _*)) else df
+    graft.sources.Snapshots.serveNetted(s, postT)(
+      df => servePostingsNet(prune(df)))(prune)
+  }
+
+  /** Netted doclen serve from the TABLE head — the bucket-free doclen
+    * sibling of [[servePostingsNetAt]]. The netted passthrough still
+    * applies the dl > 0 filter: a zero-length doc's bootstrap row has
+    * dl = 0, which the net aggregate drops.
+    */
+  private[graft] def serveDoclenNetAt(s: org.apache.spark.sql.SparkSession,
+      dlT: String): org.apache.spark.sql.DataFrame =
+    graft.sources.Snapshots.serveNetted(s, dlT)(
+      _.groupBy("doc_id").agg(sum(col("dl")).cast("long").as("dl"))
+        .where(col("dl") > 0))(
+      _.select("doc_id", "dl").where(col("dl") > 0))
+
   /** Catalog twin of the delete-aware path: bootstrap 90% of the
     * corpus into a snapshot table and build its postings; DELETE the
     * doc_id % 7 == 0 slice and APPEND the held-out 10% batch; one
@@ -1244,8 +1270,7 @@ object TextFunctions {
       Snapshots.deleteWhere(s, baseT, pmod(col("doc_id"), lit(7)) === 0)
       Snapshots.commitAppend(d.where(pmod(col("doc_id"), lit(10)) === 0), baseT)
       postingsMaintain(s, baseT, postT) // folds delete + append, O(changes)
-      serveConjunctive(s, servePostingsNet(
-        Snapshots.read(s, postT).where(col("b").isin(searchBuckets: _*))))
+      serveConjunctive(s, servePostingsNetAt(s, postT))
     },
     Some(conjunctiveOracleSql(
       "WHERE (doc_id % 10 <> 0 AND doc_id % 7 <> 0) OR doc_id % 10 = 0")))
@@ -1636,11 +1661,7 @@ object TextFunctions {
     val tot = Snapshots.read(s, totT)
       .agg(sum(col("np")).cast("long").as("n"),
         sum(col("totalp")).cast("long").as("total"))
-    val dlNet = Snapshots.read(s, dlT).groupBy("doc_id")
-      .agg(sum(col("dl")).cast("long").as("dl")).where(col("dl") > 0)
-    bm25Serve(s, servePostingsNet(
-      Snapshots.read(s, postT).where(col("b").isin(searchBuckets: _*))),
-      dlNet, tot)
+    bm25Serve(s, servePostingsNetAt(s, postT), serveDoclenNetAt(s, dlT), tot)
   }
 
   val searchBm25Dml: QueryDef = QueryDef(

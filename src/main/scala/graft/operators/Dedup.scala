@@ -816,7 +816,8 @@ object Dedup {
     * [[bandedSigned]], so it drops into [[batchDedupStats]] unchanged.
     */
   def serveBandIndex(s: org.apache.spark.sql.SparkSession, idxTable: String): DataFrame =
-    bandNet(graft.sources.Snapshots.read(s, idxTable))
+    graft.sources.Snapshots.serveNetted(s, idxTable)(bandNet)(
+      _.select("doc_id", "shingles", "band", "bucket"))
 
   private def bandNet(df: DataFrame): DataFrame =
     df.groupBy("doc_id", "band", "bucket", "shingles")
@@ -867,7 +868,8 @@ object Dedup {
     */
   def serveSimhashIndex(s: org.apache.spark.sql.SparkSession,
       idxTable: String): DataFrame =
-    simhashNet(graft.sources.Snapshots.read(s, idxTable))
+    graft.sources.Snapshots.serveNetted(s, idxTable)(simhashNet)(
+      _.select("doc_id", "simhash", "block", "blockval"))
 
   private def simhashNet(df: DataFrame): DataFrame =
     df.groupBy("doc_id", "simhash", "block", "blockval")
@@ -910,7 +912,8 @@ object Dedup {
     */
   def serveFingerprintIndex(s: org.apache.spark.sql.SparkSession,
       idxTable: String): DataFrame =
-    fpNet(graft.sources.Snapshots.read(s, idxTable))
+    graft.sources.Snapshots.serveNetted(s, idxTable)(fpNet)(
+      _.select("doc_id", "fp"))
       .groupBy("fp").agg(min(col("doc_id")).as("canonical_id"))
 
   private def fpNet(df: DataFrame): DataFrame =

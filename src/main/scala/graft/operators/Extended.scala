@@ -234,40 +234,47 @@ object Extended {
         Tables.load(s, dir, "orders").createOrReplaceTempView("orders_rc")
         s.sql(
           """SELECT o_custkey, o_orderkey,
-                    LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key,
-                    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
-             FROM orders_rc""")
+                    LEAD(o_orderkey) OVER w AS next_key,
+                    LEAD(o_orderkey, 3) OVER w AS next3_key,
+                    LEAD(o_orderkey, 4) OVER w AS next4_key,
+                    ROW_NUMBER() OVER w AS rn
+             FROM orders_rc
+             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")
           // pre-partitioned on the per-level join key: localCheckpoint
           // preserves the partitioning, so each recursion level joins
           // the frontier against already-partitioned successors
           .repartition(col("o_orderkey")).localCheckpoint()
           .createOrReplaceTempView("nxt_rc")
         // a level's frontier is ≤ one row per live chain and only
-        // SHRINKS, yet every one of the ~24 UnionLoop levels schedules
-        // a full session-width exchange — per-level task latency is
-        // the whole cost (r5 verdict item 7). Run the recursion NARROW
-        // and eagerly (checkpoint), restoring the session width for
-        // everything downstream. Same-session A/B at sf0.1, best-of-3
-        // (tools/RecursiveCteAb): recursion alone 4.7 s at width 32 →
-        // 3.6 s at width 4; whole query 3.9 s → 3.5 s. AQE coalescing
-        // cannot recover it (parallelismFirst=false measured 4.5 s —
-        // UnionLoop levels keep their static width), and co-partitioning
-        // the successor table at the narrow width adds nothing further
-        // (3.52 vs 3.54). What remains is UnionLoop's per-level job
-        // floor × depth — irreducible from the query side; chains whose
-        // depth is derivable per-row have the one-window optimal rewrite
-        // asserted equal in RelationalSpec. At cluster scale the narrow
-        // width is the frontier's own size class — the wide successor
-        // table above is untouched (checkpointed at session width).
+        // SHRINKS, yet every UnionLoop level schedules a full
+        // session-width exchange — per-level task latency is the whole
+        // cost (r5 verdict item 7). Two levers, both measured:
+        //  - run the recursion NARROW and eagerly (checkpoint),
+        //    restoring the session width downstream (r15:
+        //    tools/RecursiveCteAb — recursion 4.7 s at width 32 →
+        //    3.6 s at width 4; AQE coalescing cannot recover it);
+        //  - POINTER HOPPING (r16, verdict item 4): the successor table
+        //    carries LEAD-3/LEAD-4 pointers from the SAME one window
+        //    pass, the anchor seeds depths 1..4, and each recursion
+        //    level advances FOUR chain positions (emit depth d+4 iff
+        //    k_{d+4} exists ⟺ n.next3 non-null; carry p = n.next4 =
+        //    k_{d+5}) — the emitted depth multiset is unchanged (each
+        //    depth d ≤ K emitted exactly once, RelationalSpec asserts
+        //    equality with the single-step walk), but the level count —
+        //    and with it UnionLoop's per-level job floor, the measured
+        //    cost — drops 24 → 7 at sf0.1. The oracle stays the
+        //    single-step ANSI text (DuckDB materializes CTEs; its
+        //    levels are cheap there).
         val old = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
         val chain =
           try s.sql(
             """WITH RECURSIVE chain AS (
-                 SELECT o_custkey, next_key, CAST(1 AS BIGINT) AS depth FROM nxt_rc WHERE rn = 1
+                 SELECT o_custkey, next_key, CAST(rn AS BIGINT) AS depth FROM nxt_rc WHERE rn <= 4
                  UNION ALL
-                 SELECT n.o_custkey, n.next_key, c.depth + 1
-                 FROM chain c JOIN nxt_rc n ON n.o_orderkey = c.next_key)
+                 SELECT n.o_custkey, n.next4_key, c.depth + 4
+                 FROM chain c JOIN nxt_rc n ON n.o_orderkey = c.next_key
+                 WHERE n.next3_key IS NOT NULL)
                SELECT depth FROM chain""").localCheckpoint()
           finally s.conf.set("spark.sql.shuffle.partitions", old)
         chain.groupBy("depth").agg(count(lit(1)).as("n_customers"))

@@ -828,7 +828,8 @@ object Similarity {
     * [[buildGraph]] of the live base.
     */
   def serveKnnGraph(s: SparkSession, graphT: String): DataFrame =
-    graphNet(graft.sources.Snapshots.read(s, graphT))
+    graft.sources.Snapshots.serveNetted(s, graphT)(graphNet)(
+      _.select("g_src", "g_dst", "g_sim"))
 
   /** DuckDB CTE chain rebuilding the kNN-graph adjacency from a
     * restricted embeddings corpus — the live-corpus oracle of
@@ -2010,8 +2011,9 @@ object Similarity {
     * under the frozen quantizer.
     */
   def serveIvfLists(s: SparkSession, listsT: String): DataFrame =
-    ivfNet(graft.sources.Snapshots.read(s, listsT))
-      .select("vec_id", "q", "nrm", "cid")
+    graft.sources.Snapshots.serveNetted(s, listsT)(df =>
+      ivfNet(df).select("vec_id", "q", "nrm", "cid"))(
+      _.select("vec_id", "q", "nrm", "cid"))
 
   private def ivfNet(df: DataFrame): DataFrame =
     df.groupBy("vec_id", "q", "nrm", "cid")

@@ -410,7 +410,10 @@ object MaterializedView {
           val full = Snapshots.readVersion(spark, leftTable, math.max(lCur, lLast))
             .join(Snapshots.readVersion(spark, rightTable, math.max(rCur, rLast)), key)
             .withColumn("sgn", lit(1L))
-          Snapshots.commitOverwriteTaggedIf(full, mvTable, mvV, tags)
+          // all-sgn=1 content: serveJoin's per-row explode(1..1) is the
+          // identity, so the bootstrap may serve without re-netting
+          Snapshots.commitOverwriteTaggedIf(full, mvTable, mvV,
+            tags :+ Snapshots.NettedTag)
         } else {
           setMode(mvTable, "delta-join")
           val lTo = math.max(lCur, lLast)
@@ -450,12 +453,22 @@ object MaterializedView {
     * BAG — two identical right rows yield two identical view rows).
     */
   def serveJoin(spark: SparkSession, mvTable: String): DataFrame = {
-    val df = Snapshots.read(spark, mvTable)
+    // pin ONE version for the netted check and the read (a refresh
+    // landing in between must not pair a stale tag with new content)
+    val v = Snapshots.currentVersion(mvTable)
+    val df = Snapshots.readVersion(spark, mvTable, v)
     val cols = df.columns.filter(_ != "sgn").toSeq
-    df.groupBy(cols.map(col): _*).agg(sum(col("sgn")).as("net"))
-      .where(col("net") > 0)
-      .withColumn("dup", explode(sequence(lit(1L), col("net"))))
-      .select(cols.map(col): _*)
+    if (Snapshots.nettedAt(mvTable, v))
+      // compacted head: content IS the netted view (one row per
+      // distinct value, sgn = its bag multiplicity) — skip the
+      // re-netting shuffle, expand multiplicity directly
+      df.withColumn("dup", explode(sequence(lit(1L), col("sgn"))))
+        .select(cols.map(col): _*)
+    else
+      df.groupBy(cols.map(col): _*).agg(sum(col("sgn")).as("net"))
+        .where(col("net") > 0)
+        .withColumn("dup", explode(sequence(lit(1L), col("net"))))
+        .select(cols.map(col): _*)
   }
 
   /** Size-ratio-triggered major compaction of the signed join view —
@@ -477,7 +490,10 @@ object MaterializedView {
       val cols = df.columns.filter(_ != "sgn").toSeq
       val netted = df.groupBy(cols.map(col): _*).agg(sum(col("sgn")).as("sgn"))
         .where(col("sgn") > 0)
-      Snapshots.commitOverwriteTaggedIf(netted, mvTable, head, tags)
+      // the compacted content IS the netted view — tag it so serves
+      // skip the re-netting shuffle (see Snapshots.NettedTag)
+      Snapshots.commitOverwriteTaggedIf(netted, mvTable, head,
+          tags :+ Snapshots.NettedTag)
         .foreach(v => out = v)
     }
     Some(out)

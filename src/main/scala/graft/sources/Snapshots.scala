@@ -236,6 +236,49 @@ object Snapshots {
     commitLoop(table, _ => Seq(dir), inheritSchema = false)
   }
 
+  // ---- CDC sidecars: every DML commit records its own row delta ----
+
+  /** Tag prefixes recording a DML commit's CHANGE-ROW dirs in its
+    * manifest (r16): a version carrying one of these asserts
+    * multiset(v) = multiset(v−1) − rows(cdcdel dirs) + rows(cdcins
+    * dirs) — written by the DML that PRODUCED the delta, so
+    * [[changesBetween]] can read O(changed rows) instead of
+    * re-reading and netting both versions of every touched dir (the
+    * Delta CDF design). Sidecar dirs live under `table/cdc/` — outside
+    * the data root, so [[vacuum]] never mistakes them for orphans.
+    */
+  private val CdcInsTag = "cdcins "
+  private val CdcDelTag = "cdcdel "
+
+  /** Marker for a commit whose LIVE ROW MULTISET equals its
+    * predecessor's (compaction / re-layout): the change feed skips the
+    * step outright instead of reading and netting the rewritten dirs
+    * to an empty delta.
+    */
+  private val CdcNoopTag = "cdcnoop"
+
+  /** DML split write: stage the surviving rows as a fresh data dir and
+    * the removed/replaced rows as a fresh CDC sidecar dir, as TWO
+    * PARALLEL filtered writes over the same source (§2.6 — measured
+    * wall-equal to the single pre-sidecar filtered write in
+    * SplitWriteAb; a one-pass partitionBy(hit) write cost ~+30% from
+    * dynamic-partition sorting and was rejected). Both dirs stay
+    * readable when a side is empty ([[ensureParquetFooter]]). Returns
+    * (dataDir, cdcDir).
+    */
+  private def writeSplit(kept: DataFrame, hits: DataFrame,
+      table: String): (String, String) = {
+    val dataDir = stageDir(table)
+    val cdcDir = Paths.get(table, "cdc",
+      java.util.UUID.randomUUID.toString).toString
+    graft.Par.run(
+      () => { kept.write.mode(SaveMode.ErrorIfExists).parquet(dataDir); () },
+      () => { hits.write.mode(SaveMode.ErrorIfExists).parquet(cdcDir); () })
+    ensureParquetFooter(kept, dataDir)
+    ensureParquetFooter(hits, cdcDir)
+    (dataDir, cdcDir)
+  }
+
   /** Versioned DML — the reference's updateRecord/deleteRecord
     * (reference: Database.java) on immutable storage: the snapshot is
     * rewritten with the predicate applied and committed as a NEW
@@ -244,32 +287,63 @@ object Snapshots {
     * dirs and stages into a fresh dir — never in place. At 100 TB
     * selective DML would rewrite only affected files (the dir-level
     * analog is [[commitTransform]]); these whole-table forms are the
-    * semantics contract.
+    * semantics contract. Both forms commit a CDC sidecar (the deleted
+    * — for updates, also the replacement — rows) so downstream change
+    * feeds read O(changed rows), never the rewritten table twice.
     */
   def deleteWhere(spark: SparkSession, table: String,
-      cond: org.apache.spark.sql.Column): Int =
+      cond: org.apache.spark.sql.Column): Int = {
     // SQL DELETE semantics: rows where cond is NULL are KEPT (a bare
     // where(!cond) would drop them — NOT NULL is NULL, filtered out).
     // Schema-PRESERVING commit: a DML rewrite keeps the table's
     // committed schema, so re-carry the head's schema tags — routing
     // through plain commitOverwrite would silently drop them and
-    // downstream CDC reads would fall back to raw footer sampling
-    commitOverwriteTagged(read(spark, table)
-      .where(!org.apache.spark.sql.functions.coalesce(
-        cond, org.apache.spark.sql.functions.lit(false))), table,
-      schemaMetaTags(table, currentVersion(table)))
+    // downstream CDC reads would fall back to raw footer sampling.
+    // ONE split write stages kept rows (the new data dir) and deleted
+    // rows (the CDC sidecar) together — same job as the pre-sidecar
+    // rewrite.
+    val cur = currentVersion(table)
+    val df = read(spark, table)
+    val hit = org.apache.spark.sql.functions.coalesce(
+      cond, org.apache.spark.sql.functions.lit(false))
+    val (dataDir, delDir) = writeSplit(df.where(!hit), df.where(hit), table)
+    commitLoop(table, _ => Seq(dataDir),
+      tags = schemaMetaTags(table, cur) :+ (CdcDelTag + delDir),
+      inheritSchema = false)
+  }
 
   /** See [[deleteWhere]]: conditional column replacement as a new
-    * version. */
+    * version. An update is delete-of-old + insert-of-new for exactly
+    * the cond-TRUE rows (when()'s semantics — NULL cond keeps the old
+    * value): the split write stages untouched rows + the old hit rows
+    * (the CDC delete side), and one O(changed) second job applies the
+    * replacement to the hit rows — that dir is BOTH the second data
+    * dir and the CDC insert side. When the replacement would change
+    * the column's TYPE (mixed per-dir schemas would corrupt reads),
+    * fall back to the legacy whole-table rewrite.
+    */
   def updateWhere(spark: SparkSession, table: String,
       cond: org.apache.spark.sql.Column, column: String,
       value: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    val cur = currentVersion(table)
     val df = read(spark, table)
-    // schema-preserving like [[deleteWhere]]
-    commitOverwriteTagged(
-      df.withColumn(column, org.apache.spark.sql.functions
-        .when(cond, value).otherwise(df(column))), table,
-      schemaMetaTags(table, currentVersion(table)))
+    def upd(frame: DataFrame) =
+      frame.withColumn(column, when(cond, value).otherwise(frame(column)))
+    if (upd(df).schema.map(_.dataType) != df.schema.map(_.dataType)) {
+      // type-coercing update: every row's column changes type — the
+      // whole table is the delta, one rewrite, sidecars add nothing
+      return commitOverwriteTagged(upd(df), table,
+        schemaMetaTags(table, cur))
+    }
+    val hit = coalesce(cond, lit(false))
+    val (keptDir, delDir) = writeSplit(df.where(!hit), df.where(hit), table)
+    val insDir = writeData(
+      upd(committedReader(spark, table, cur).parquet(delDir)), table)
+    commitLoop(table, _ => Seq(keptDir, insDir),
+      tags = schemaMetaTags(table, cur) ++
+        Seq(CdcDelTag + delDir, CdcInsTag + insDir),
+      inheritSchema = false)
   }
 
   /** FILE-LEVEL selective DML: rewrite ONLY the data directories that
@@ -291,18 +365,14 @@ object Snapshots {
     // probe only marks TRUE-matching dirs, so without the coalesce a
     // NULL-cond row's fate would depend on which dir it shares with a
     // real match (physical layout leaking into delete semantics)
-    rewriteTouched(spark, table, cond, df =>
-      df.where(!org.apache.spark.sql.functions.coalesce(
-        cond, org.apache.spark.sql.functions.lit(false))))
+    rewriteTouched(spark, table, cond, update = None)
 
   /** See [[deleteWhereSelective]]: conditional column replacement that
     * rewrites only the dirs the predicate can touch. */
   def updateWhereSelective(spark: SparkSession, table: String,
       cond: org.apache.spark.sql.Column, column: String,
       value: org.apache.spark.sql.Column): Option[Int] =
-    rewriteTouched(spark, table, cond, df =>
-      df.withColumn(column, org.apache.spark.sql.functions
-        .when(cond, value).otherwise(df(column))))
+    rewriteTouched(spark, table, cond, update = Some((column, value)))
 
   /** Time-travel DIFF between two committed versions, computed from
     * the MANIFESTS: a data directory shared by both manifests carries
@@ -393,26 +463,60 @@ object Snapshots {
 
   private def rewriteTouched(spark: SparkSession, table: String,
       cond: org.apache.spark.sql.Column,
-      rewrite: DataFrame => DataFrame): Option[Int] = {
+      update: Option[(String, org.apache.spark.sql.Column)]): Option[Int] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
     val cur = currentVersion(table)
     require(cur > 0, s"no committed version at $table")
     val dirs = manifestDirs(table, cur)
     val reader = committedReader(spark, table, cur)
     val touched = probeTouched(reader, dirs, _.where(cond))
     if (touched.isEmpty) return Some(cur)
+    def upd(frame: DataFrame) = update match {
+      case Some((column, value)) =>
+        frame.withColumn(column, when(cond, value).otherwise(frame(column)))
+      case None => frame
+    }
+    // a type-COERCING update changes every row of every touched dir —
+    // rewrite the touched dirs whole (no split: mixed per-dir column
+    // types would corrupt reads), and skip the sidecar (the delta IS
+    // the touched dirs; the feed's manifest-diff fallback handles it)
+    val coercing = update.isDefined && {
+      val probe = reader.parquet(touched.head)
+      upd(probe).schema.map(_.dataType) != probe.schema.map(_.dataType)
+    }
+    val hit = coalesce(cond, lit(false))
     // the per-dir rewrites are independent writes — overlap their jobs
-    // from a driver pool (guide §2.6); result order matches `touched`
-    val staged = graft.Par.run(touched.map(d => () => {
-      val out = stageDir(table)
-      rewrite(reader.parquet(d)).write
-        .mode(SaveMode.ErrorIfExists).parquet(out)
-      out
+    // from a driver pool (guide §2.6); result order matches `touched`.
+    // Each SPLIT write stages the dir's kept rows (the replacement data
+    // dir) and its hit rows (the CDC delete sidecar) in ONE job — the
+    // same job the pre-sidecar rewrite cost. Each thunk builds its OWN
+    // DataFrameReader (committedReader per call) — DataFrameReader is
+    // mutable and not thread-safe.
+    val splits: Seq[(String, String)] = graft.Par.run(touched.map(d => () => {
+      val src = committedReader(spark, table, cur).parquet(d)
+      if (coercing) {
+        val out = stageDir(table)
+        upd(src).write.mode(SaveMode.ErrorIfExists).parquet(out)
+        (out, "")
+      } else writeSplit(src.where(!hit), src.where(hit), table)
     }): _*)
-    val out = commitTransformIf(table, requires = touched)(prev =>
-      prev.filterNot(touched.toSet) ++ staged)
+    val kept = splits.map(_._1)
+    val dels = if (coercing) Seq.empty else splits.map(_._2)
+    // update: ONE O(changed) second job applies the replacement to the
+    // hit rows; the result dir is both a data dir and the CDC insert
+    // side (delete-of-old + insert-of-new, the update CDC convention)
+    val insDirs =
+      if (update.isEmpty || coercing) Seq.empty[String]
+      else Seq(writeData(
+        upd(committedReader(spark, table, cur).parquet(dels: _*)), table))
+    val cdcTags =
+      if (coercing) Seq.empty
+      else dels.map(CdcDelTag + _) ++ insDirs.map(CdcInsTag + _)
+    val out = commitTransformIf(table, requires = touched, tags = cdcTags)(
+      prev => prev.filterNot(touched.toSet) ++ kept ++ insDirs)
     // conflict abort: clean the staged rewrites (the mergeTagged /
     // compact convention) so retry loops don't accrete orphan dirs
-    if (out.isEmpty) staged.foreach(deleteDataDir)
+    if (out.isEmpty) (kept ++ dels ++ insDirs).foreach(deleteDataDir)
     out
   }
 
@@ -473,21 +577,25 @@ object Snapshots {
       val reader = committedReader(spark, table, cur)
       val touched = probeTouched(reader, dirs, _.join(srcKeys, Seq(key), "left_semi"))
       if (touched.isEmpty) return cur
-      // independent per-dir rewrites overlap (guide §2.6)
-      val staged = graft.Par.run(touched.map(d => () => {
-        val out = stageDir(table)
-        reader.parquet(d)
-          .join(srcKeys, Seq(key), "left_anti")
-          .write.mode(SaveMode.ErrorIfExists).parquet(out)
-        out
+      // independent per-dir rewrites overlap (guide §2.6). Each SPLIT
+      // write stages the dir's surviving rows (the replacement data
+      // dir) and its matched rows (the CDC delete sidecar) in ONE job.
+      // Per-thunk readers: DataFrameReader is mutable, not thread-safe.
+      val splits = graft.Par.run(touched.map(d => () => {
+        def src = committedReader(spark, table, cur).parquet(d)
+        writeSplit(src.join(srcKeys, Seq(key), "left_anti"),
+          src.join(srcKeys, Seq(key), "left_semi"), table)
       }): _*)
+      val staged = splits.map(_._1)
+      val dels = splits.map(_._2)
       // exact claim of cur+1: the probe is only valid against the
       // snapshot it ran on, and the claim itself is the CAS — a racer
       // committing between our probe and this claim makes it fail
       commitExactIf(table, cur,
-        manifestDirs(table, cur).filterNot(touched.toSet) ++ staged, Nil) match {
+        manifestDirs(table, cur).filterNot(touched.toSet) ++ staged,
+        dels.map(CdcDelTag + _)) match {
         case Some(v) => return v
-        case None => staged.foreach(deleteDataDir)
+        case None => (staged ++ dels).foreach(deleteDataDir)
       }
     }
     sys.error(s"deleteMatching on $table lost $attempt head races")
@@ -511,22 +619,29 @@ object Snapshots {
     // independent per-dir rewrites AND the source-batch landing write
     // overlap (guide §2.6) — the source dir does not depend on any
     // staged rewrite, so running it serially after them only added
-    // its write latency to the merge wall
-    val stagedAll = graft.Par.run(touched.map(d => () => {
-      val out = stageDir(table)
-      reader.parquet(d)
-        .join(srcKeys, Seq(key), "left_anti")
-        .write.mode(SaveMode.ErrorIfExists).parquet(out)
-      out
-    }) :+ (() => writeData(source, table)): _*)
-    val staged = stagedAll.init
-    val srcDir = stagedAll.last
+    // its write latency to the merge wall. Each per-dir SPLIT write
+    // stages the survivors (the replacement data dir) and the REPLACED
+    // rows (the CDC delete sidecar) in ONE job; the source dir itself
+    // doubles as the CDC insert side, so the feed needs no extra copy
+    // of the batch. Per-thunk readers: DataFrameReader is mutable and
+    // not thread-safe.
+    val stagedAll: Seq[(String, String)] = graft.Par.run(
+      touched.map(d => () => {
+        def src = committedReader(spark, table, cur).parquet(d)
+        writeSplit(src.join(srcKeys, Seq(key), "left_anti"),
+          src.join(srcKeys, Seq(key), "left_semi"), table)
+      }) :+
+        (() => (writeData(source, table), "")): _*)
+    val staged = stagedAll.init.map(_._1)
+    val delDirs = stagedAll.init.map(_._2)
+    val srcDir = stagedAll.last._1
+    val cdcTags = (CdcInsTag + srcDir) +: delDirs.map(CdcDelTag + _)
     // replay check (exactly-once ingest tag) runs once, just before the
     // claim; a twin committing AFTER this check makes our exact claim
     // fail (conflict), and the caller's retry re-runs the check
     extraAbort() match {
       case Some(v) =>
-        (staged :+ srcDir).foreach(deleteDataDir)
+        (staged ++ delDirs :+ srcDir).foreach(deleteDataDir)
         return Some(v)
       case None => ()
     }
@@ -537,8 +652,8 @@ object Snapshots {
       (if (cur == 0) Seq.empty
        else manifestDirs(table, cur)).filterNot(touched.toSet) ++
         staged :+ srcDir,
-      tags)
-    if (out.isEmpty) (staged :+ srcDir).foreach(deleteDataDir)
+      tags ++ cdcTags)
+    if (out.isEmpty) (staged ++ delDirs :+ srcDir).foreach(deleteDataDir)
     out
   }
 
@@ -597,10 +712,51 @@ object Snapshots {
     */
   def changesBetween(spark: SparkSession, table: String,
       fromV: Int, toV: Int): (DataFrame, DataFrame) = {
-    val from = manifestDirs(table, fromV)
-    val to = manifestDirs(table, toV)
-    val dropped = from.filterNot(to.toSet)
-    val added = to.filterNot(from.toSet)
+    // FAST PATH (r16): walk the span version by version and assemble
+    // the feed from each step's own change record — the appended dirs
+    // for a pure append, the CDC sidecar for a DML commit ([[CdcInsTag]]
+    // /[[CdcDelTag]]). The feed then reads O(changed rows): a selective
+    // delete contributes its deleted rows, never the touched dirs'
+    // carried survivors, and a whole-table deleteWhere contributes its
+    // deleted rows, never old+new copies of the table. Any step without
+    // a change record (bootstrap overwrite, compaction transform,
+    // vacuumed intermediate manifest) falls back to the manifest-diff
+    // netting below, whose result is identical by construction
+    // (equivalence asserted in RandomizedSpec against exceptAll on
+    // random DML histories, both paths).
+    val sidecar: Option[(Seq[String], Seq[String])] =
+      if (fromV <= 0 || toV <= fromV ||
+          !(fromV to toV).forall(v => versionAvailable(table, v))) None
+      else {
+        var ins = Vector.empty[String]
+        var del = Vector.empty[String]
+        var ok = true
+        var prevDirs = manifestDirs(table, fromV)
+        var v = fromV + 1
+        while (ok && v <= toV) {
+          val tags = versionTags(table, v)
+          val curDirs = manifestDirs(table, v)
+          val ci = tags.collect { case t if t.startsWith(CdcInsTag) =>
+            t.drop(CdcInsTag.length) }
+          val cd = tags.collect { case t if t.startsWith(CdcDelTag) =>
+            t.drop(CdcDelTag.length) }
+          if (ci.nonEmpty || cd.nonEmpty) { ins ++= ci; del ++= cd }
+          else if (tags.contains(CdcNoopTag)) () // content-preserving
+          else if (prevDirs.forall(curDirs.toSet)) // pure append / tag-only
+            ins ++= curDirs.filterNot(prevDirs.toSet)
+          else ok = false // rewrite without a change record
+          prevDirs = curDirs
+          v += 1
+        }
+        if (ok && (ins ++ del).forall(d => Files.exists(Paths.get(d))))
+          Some((ins, del))
+        else None
+      }
+    val (insDirs, delDirs) = sidecar.getOrElse {
+      val from = manifestDirs(table, fromV)
+      val to = manifestDirs(table, toV)
+      (to.filterNot(from.toSet), from.filterNot(to.toSet))
+    }
     // BOTH sides read in the TO version's committed schema (the
     // [[diff]] convention): a raw read over a schema-evolved history
     // would resolve different column sets for the two sides (old dirs
@@ -609,11 +765,18 @@ object Snapshots {
     // evolved-in columns read null for old rows and the subtraction
     // is well-defined
     val reader = committedReader(spark, table, toV)
-    def readOrEmpty(dirs: Seq[String], like: Seq[String]) =
+    val like = manifestDirs(table, toV) ++ manifestDirs(table, fromV)
+    def readOrEmpty(dirs: Seq[String]) =
       if (dirs.nonEmpty) reader.parquet(dirs: _*)
       else reader.parquet(like: _*).limit(0)
-    val before = readOrEmpty(dropped, from ++ to)
-    val after = readOrEmpty(added, from ++ to)
+    val before = readOrEmpty(delDirs)
+    val after = readOrEmpty(insDirs)
+    // A one-sided feed needs no netting: with nothing to subtract, the
+    // netted replicate of the surviving side is the side itself (net =
+    // its own copy count) — skip the group-by shuffle entirely. This is
+    // every append-only fold, and every pure-delete DML fold on the
+    // sidecar path.
+    if (delDirs.isEmpty || insDirs.isEmpty) return (after, before)
     // Signed-count netting instead of two exceptAll calls. exceptAll
     // compiles to exactly this shape (±1 tag → union → sum-per-row →
     // replicate), but the two directions built separately union in
@@ -782,9 +945,13 @@ object Snapshots {
         // read (e.g. the base manifest was VACUUMED under the index) —
         // degrade to one full recompute + a fresh watermark, the MV
         // refresh convention, instead of failing every fold forever
+        // the bootstrap of every maintained structure is net-shaped by
+        // construction (one grouped row per served entity, no
+        // tombstones) — commit it tagged as netted so serves can skip
+        // the re-netting aggregate until the first delta lands
         val out =
           if (lastV == 0 || recomputeWhen(lastV))
-            commitOverwriteTaggedIf(bootstrap, table, head, tags)
+            commitOverwriteTaggedIf(bootstrap, table, head, tags :+ NettedTag)
           else commitAppendTaggedIf(delta(lastV), table, head, tags)
         out match {
           case Some(v) => return v
@@ -848,6 +1015,38 @@ object Snapshots {
     * (snapshot isolation), and a post-compaction maintenance pass
     * still no-ops at the same watermark.
     */
+  /** Tag marking a version whose content IS the output of its serving
+    * net function (written by [[compactNet]] and the join-view
+    * compaction): a serve against such a head may skip the re-netting
+    * aggregate outright — re-netting already-netted rows is the
+    * identity — saving one full-table shuffle per serve. Any later
+    * maintenance append commits a new (untagged) version, so the
+    * shortcut can never see a stale claim.
+    */
+  private[graft] val NettedTag = "cdcnetted"
+
+  /** Whether `version`'s content is committed-as-netted (see
+    * [[NettedTag]]). Callers must pin ONE version for the check and
+    * the read.
+    */
+  def nettedAt(table: String, version: Int): Boolean =
+    version > 0 && versionTags(table, version).contains(NettedTag)
+
+  /** Serve a tombstone-folded derived table: apply the serving `net`
+    * aggregate UNLESS the pinned head was committed-as-netted (a
+    * bootstrap or compaction — see [[NettedTag]]), in which case
+    * `alreadyNetted` (typically a bare projection) serves the rows
+    * directly, skipping the re-netting shuffle. Version pinned once
+    * for the tag check and the read.
+    */
+  def serveNetted(spark: SparkSession, table: String)(
+      net: DataFrame => DataFrame)(
+      alreadyNetted: DataFrame => DataFrame): DataFrame = {
+    val v = currentVersion(table)
+    val df = readVersion(spark, table, v)
+    if (nettedAt(table, v)) alreadyNetted(df) else net(df)
+  }
+
   def compactNet(spark: SparkSession, table: String, watermarkPrefix: String)(
       net: DataFrame => DataFrame): Int = {
     // CAS on the head version read at compaction start: a maintenance
@@ -865,7 +1064,8 @@ object Snapshots {
       // call would silently revert a schema-tracked table to
       // footer-inferred reads, re-exposing dropped columns)
       commitOverwriteTaggedIf(net(readVersion(spark, table, head)), table,
-        head, Seq(watermarkPrefix + through) ++ schemaMetaTags(table, head)) match {
+        head, Seq(watermarkPrefix + through, NettedTag) ++
+          schemaMetaTags(table, head)) match {
         case Some(v) => out = v
         case None => ()
       }
@@ -1107,7 +1307,8 @@ object Snapshots {
     * hazard against a racing commitOverwrite, whose fresh content must
     * not have stale compacted data grafted back on top.
     */
-  def commitTransformIf(table: String, requires: Seq[String])(
+  def commitTransformIf(table: String, requires: Seq[String],
+      tags: Seq[String] = Nil)(
       f: Seq[String] => Seq[String]): Option[Int] = {
     // per attempt: pin ONE version, validate `requires` against ITS
     // manifest, and claim exactly cur+1 with content derived from that
@@ -1122,7 +1323,7 @@ object Snapshots {
       val cur = currentVersion(table)
       val dirs = if (cur == 0) Seq.empty[String] else manifestDirs(table, cur)
       if (!requires.forall(dirs.toSet.contains)) return None
-      commitExactIf(table, cur, f(dirs), Nil) match {
+      commitExactIf(table, cur, f(dirs), tags) match {
         case Some(v) => return Some(v)
         case None => () // claim race: re-pin and re-validate
       }
@@ -1294,14 +1495,20 @@ object Snapshots {
         return committedVersion(table, streamId, batchId)
           .getOrElse(currentVersion(table))
       val head = currentVersion(table)
-      val live = readVersion(spark, table, head)
-        .where(!org.apache.spark.sql.functions.coalesce(
-          cond, org.apache.spark.sql.functions.lit(false)))
-      // schema-preserving like [[deleteWhere]]
-      commitOverwriteTaggedIf(live, table, head,
-        Seq(ingestTag(streamId, batchId)) ++ schemaMetaTags(table, head)) match {
+      val hit = org.apache.spark.sql.functions.coalesce(
+        cond, org.apache.spark.sql.functions.lit(false))
+      val df = readVersion(spark, table, head)
+      // the split write stages the kept rows (the new data dir) and
+      // the deleted rows (the CDC sidecar) — schema-preserving like
+      // [[deleteWhere]]
+      val (dataDir, delDir) = writeSplit(df.where(!hit), df.where(hit), table)
+      commitExactIf(table, head, Seq(dataDir),
+        Seq(ingestTag(streamId, batchId), CdcDelTag + delDir) ++
+          schemaMetaTags(table, head),
+        inheritSchema = false) match {
         case Some(v) => return v
-        case None => () // lost a head race — re-read, re-filter, retry
+        case None => // lost a head race — clean and retry
+          Seq(dataDir, delDir).foreach(deleteDataDir)
       }
     }
     sys.error(s"deleteBatch to $table lost $attempt head races")
@@ -1673,7 +1880,8 @@ object Snapshots {
     // a conflict, not a merge: if any input delta left the manifest, our
     // staged dir would duplicate (or resurrect) its rows — abort, drop
     // the staged dir, and recompact from the new snapshot.
-    commitTransformIf(table, deltas)(dirs =>
+    // content-preserving: the change feed may skip this step
+    commitTransformIf(table, deltas, tags = Seq(CdcNoopTag))(dirs =>
       dirs.filterNot(deltas.contains) :+ dir).getOrElse {
       deleteDataDir(dir)
       compact(spark, table, zCols, files)
@@ -1833,7 +2041,9 @@ object Snapshots {
     val dir = stageDir(table)
     Sources.writeZOrderedN(spark.read.parquet(snap: _*), dir, zCols, files = files)
     markClustered(dir)
-    commitTransformIf(table, snap)(dirs => dir +: dirs.filterNot(snap.contains))
+    // content-preserving: the change feed may skip this step
+    commitTransformIf(table, snap, tags = Seq(CdcNoopTag))(dirs =>
+      dir +: dirs.filterNot(snap.contains))
       .getOrElse {
         deleteDataDir(dir)
         compactFull(spark, table, zCols, files)

@@ -360,6 +360,59 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("sidecar change feed equals exceptAll across every DML form on random histories") {
+    // r16: DML commits record their own row delta (CDC sidecar), and
+    // changesBetween assembles multi-step feeds from the sidecars in
+    // O(changed rows). Equivalence contract: for ANY random history of
+    // appends / whole-table + selective deletes / updates / keyed
+    // merges / keyed deletes, the feed between any two surviving
+    // versions equals exceptAll of the endpoint snapshots — the same
+    // ground truth the manifest-diff fallback satisfies.
+    import graft.sources.Snapshots
+    val rnd = new Random(1604)
+    val root = graft.Roots.scratch + "/randspec_cdc_sidecar"
+    for (round <- 1 to 4) {
+      val t = s"$root/t$round"
+      Snapshots.deleteRecursively(t)
+      def rows(n: Int) = Seq.fill(n)(
+        (rnd.nextInt(12).toLong, rnd.nextInt(6).toLong)).toDF("k", "v")
+      val v1 =
+        if (round % 2 == 0) Snapshots.commitOverwrite(rows(60), t)
+        else Snapshots.commitClustered(rows(60), t, Seq("k"), files = 3)
+      val checkFrom = scala.collection.mutable.ArrayBuffer(v1)
+      def step(i: Int): Unit = (i % 6) match {
+        case 0 => Snapshots.commitAppend(rows(8 + rnd.nextInt(10)), t)
+        case 1 => Snapshots.deleteWhere(spark, t,
+          col("k") % (2 + rnd.nextInt(3)) === 0)
+        case 2 => Snapshots.updateWhere(spark, t,
+          col("v") > rnd.nextInt(4), "v", col("v") + 10L)
+        case 3 => Snapshots.deleteWhereSelective(spark, t,
+          col("k") === rnd.nextInt(12).toLong)
+        case 4 => Snapshots.merge(spark, t,
+          rows(6).groupBy("k").agg(max(col("v")).as("v")), "k")
+        case 5 => Snapshots.deleteMatching(spark, t, "k",
+          Seq.fill(3)(rnd.nextInt(12).toLong).toDF("k"))
+      }
+      (0 until 6).foreach { i =>
+        step(rnd.nextInt(6))
+        checkFrom += Snapshots.currentVersion(t)
+      }
+      val v2 = Snapshots.currentVersion(t)
+      def multiset(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      // every span ending at head, including multi-step compositions
+      checkFrom.distinct.filter(_ < v2).foreach { vFrom =>
+        val (ins, del) = Snapshots.changesBetween(spark, t, vFrom, v2)
+        val before = Snapshots.readVersion(spark, t, vFrom)
+        val after = Snapshots.readVersion(spark, t, v2)
+        assert(multiset(ins) == multiset(after.exceptAll(before)),
+          s"ins round $round span $vFrom->$v2")
+        assert(multiset(del) == multiset(before.exceptAll(after)),
+          s"del round $round span $vFrom->$v2")
+      }
+    }
+  }
+
   test("pqTrain returns codebooks bit-identical to pqBuild's") {
     import graft.operators.Similarity
     val rnd = new Random(1505)
