@@ -28,3 +28,26 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// r16: the suite ran ~35 min serially (over the driver's test budget;
+// tests_ok:false in VERIFY_r15 was a budget kill, not a failure).
+// Suites are independent — fork ONE JVM PER SUITE and run up to 5
+// concurrently. Each group gets its OWN scratch root (Roots.scratch
+// reads SPARK_GRAFT_SCRATCH at JVM init), so persisted tables/indexes
+// never collide across concurrently-running suites; testdata reads
+// are read-only. 5 × local[4] sessions ≈ 20 cores, 5 × 8g heap —
+// comfortably inside the sandbox.
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  (Test / definedTests).value.map { t =>
+    Tests.Group(
+      name = t.name,
+      tests = Seq(t),
+      runPolicy = Tests.SubProcess(ForkOptions()
+        .withRunJVMOptions(opts)
+        .withEnvVars(Map("SPARK_GRAFT_SCRATCH" ->
+          s"/root/repo/target/testscratch/${t.name.replace('.', '_')}"))))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 5),
+  Tags.limitAll(12))

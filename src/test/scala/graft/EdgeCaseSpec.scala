@@ -18,6 +18,23 @@ class EdgeCaseSpec extends SparkSpec {
   private val queriesUnderTest: Seq[String] =
     SparkEntry.queries.keys.toSeq.sorted
 
+  /** Run independent per-query probes from a small driver pool (the
+    * two full-catalog sweeps were the suite's whole runtime — r16
+    * test-budget item); failures collect instead of failing fast so
+    * one report names every offender.
+    */
+  private def sweep(dst: String)(probe: String => Option[String]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val failures =
+      try queriesUnderTest.map { q =>
+        pool.submit(new java.util.concurrent.Callable[Option[String]] {
+          override def call(): Option[String] = probe(q)
+        })
+      }.flatMap(_.get())
+      finally pool.shutdown()
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   private def writeScaled(dst: String, limit: Int): Unit = {
     graft.sources.Snapshots.deleteRecursively(dst)
     Tables.names.foreach { t =>
@@ -29,15 +46,16 @@ class EdgeCaseSpec extends SparkSpec {
   test("catalog queries do not throw on an EMPTY corpus") {
     val dst = "/root/repo/target/edgecase/empty"
     writeScaled(dst, 0)
-    for (q <- queriesUnderTest) {
-      val rows =
-        try SparkEntry.queries(q)(spark, dst).collect()
-        catch { case e: Throwable =>
-          fail(s"$q threw on the empty corpus: ${e.getClass.getSimpleName}: ${e.getMessage}")
-        }
-      // a global aggregate may emit one all-null summary row; grouped
-      // shapes must emit nothing — either way, no exception
-      assert(rows.length <= 1 || rows.forall(_ != null), q)
+    sweep(dst) { q =>
+      try {
+        val rows = SparkEntry.queries(q)(spark, dst).collect()
+        // a global aggregate may emit one all-null summary row; grouped
+        // shapes must emit nothing — either way, no exception
+        if (rows.length <= 1 || rows.forall(_ != null)) None
+        else Some(s"$q: null rows on the empty corpus")
+      } catch { case e: Throwable =>
+        Some(s"$q threw on the empty corpus: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
   }
 
@@ -116,10 +134,10 @@ class EdgeCaseSpec extends SparkSpec {
   test("catalog queries do not throw on a SINGLE-ROW corpus") {
     val dst = "/root/repo/target/edgecase/one"
     writeScaled(dst, 1)
-    for (q <- queriesUnderTest) {
-      try SparkEntry.queries(q)(spark, dst).collect()
+    sweep(dst) { q =>
+      try { SparkEntry.queries(q)(spark, dst).collect(); None }
       catch { case e: Throwable =>
-        fail(s"$q threw on the single-row corpus: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        Some(s"$q threw on the single-row corpus: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
   }

@@ -27,23 +27,33 @@ class MultiFileSpec extends SparkSpec {
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(liFiles > 1, s"expected a multi-file lineitem copy, got $liFiles file(s)")
 
-    val failures = scala.collection.mutable.ListBuffer.empty[String]
-    for ((q, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      def rows(dir: String): Seq[String] =
-        fn(spark, dir).collect().map(_.toString).sorted.toSeq
-      try {
-        val (single, multi) = (rows(sfDir), rows(dst))
-        if (single.isEmpty)
-          failures += s"$q: no rows on the single-file layout"
-        else if (single != multi)
-          failures += s"$q: ${single.size} vs ${multi.size} rows; first diff: " +
-            single.zipAll(multi, "<none>", "<none>")
-              .collectFirst { case (a, b) if a != b => s"$a vs $b" }
-              .getOrElse("<size-only>")
-      } catch {
-        case e: Throwable => failures += s"$q: threw ${e.getMessage}"
-      }
-    }
+    // queries are independent — run them from a small driver pool so
+    // Spark overlaps their (tiny, latency-bound) jobs; this one test
+    // was the suite's longest at ~9 min serial (r16 test-budget item)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val failures =
+      try SparkEntry.queries.toSeq.sortBy(_._1).map { case (q, fn) =>
+        pool.submit(new java.util.concurrent.Callable[Option[String]] {
+          override def call(): Option[String] = {
+            def rows(dir: String): Seq[String] =
+              fn(spark, dir).collect().map(_.toString).sorted.toSeq
+            try {
+              val (single, multi) = (rows(sfDir), rows(dst))
+              if (single.isEmpty)
+                Some(s"$q: no rows on the single-file layout")
+              else if (single != multi)
+                Some(s"$q: ${single.size} vs ${multi.size} rows; first diff: " +
+                  single.zipAll(multi, "<none>", "<none>")
+                    .collectFirst { case (a, b) if a != b => s"$a vs $b" }
+                    .getOrElse("<size-only>"))
+              else None
+            } catch {
+              case e: Throwable => Some(s"$q: threw ${e.getMessage}")
+            }
+          }
+        })
+      }.flatMap(_.get())
+      finally pool.shutdown()
     assert(failures.isEmpty,
       s"${failures.size} queries diverged on the multi-file layout:\n" +
         failures.mkString("\n"))

@@ -299,7 +299,7 @@ class PipelineSpec extends SparkSpec {
     // graph is a parquet scan in the plan, not an in-query rebuild
     Seq("s_knn_graph", "s_knn_beam").foreach { q =>
       val plan = physicalPlan(SparkEntry.queries(q)(spark, dir))
-      assert(plan.contains("target/knngraph"),
+      assert(plan.contains("/knngraph"),
         s"$q must scan the persisted graph table:\n$plan")
     }
     // the CONVERGENCE-run variant (production serving; outside the
@@ -324,9 +324,9 @@ class PipelineSpec extends SparkSpec {
     // this is the durable evidence for the vector subtree)
     val plan = physicalPlan(
       SparkEntry.queries("s_hybrid_rrf")(spark, "/root/testdata/sf0.01"))
-    assert(plan.contains("target/invidx"),
+    assert(plan.contains("/invidx"),
       "hybrid lexical side must scan the persisted postings index")
-    assert(plan.contains("target/ivf/"),
+    assert(plan.contains("/ivf/"),
       "hybrid vector side must scan the persisted IVF lists")
   }
 
@@ -390,7 +390,7 @@ class PipelineSpec extends SparkSpec {
   test("pagerank: mass conserved, teleport floor exact, serves the persisted graph") {
     val dir = sfDir
     val plan = physicalPlan(SparkEntry.queries("s_graph_pagerank")(spark, dir))
-    assert(plan.contains("target/knngraph"),
+    assert(plan.contains("/knngraph"),
       s"pagerank must scan the persisted graph table:\n$plan")
     val graph = Similarity.knnGraphTable(spark, dir)
     val nN = graph.select("g_src").distinct().count()
@@ -1528,7 +1528,7 @@ class PipelineSpec extends SparkSpec {
     val dir = sfDir
     val served = SparkEntry.queries("t_inverted_search")(spark, dir)
     val plan = physicalPlan(served)
-    assert(plan.contains("target/invidx"),
+    assert(plan.contains("/invidx"),
       s"must scan the persisted postings table:\n$plan")
     assert("""PartitionFilters: \[b#\d+ IN \(""".r.findFirstIn(plan).isDefined,
       s"the postings scan must prune to the query terms' buckets:\n$plan")

@@ -19,5 +19,13 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = GraftSession.create("local[4]", 4)
+  lazy val session: SparkSession = {
+    val s = GraftSession.create("local[4]", 4)
+    // r16: suites run with per-group scratch roots (build.sbt
+    // testGrouping), which lengthens every persisted-table path; raise
+    // the explain metadata cap so plan assertions on path suffixes
+    // (e.g. "postings_pos") are not hidden by location truncation
+    s.conf.set("spark.sql.maxMetadataStringLength", "400")
+    s
+  }
 }
