@@ -51,7 +51,17 @@ object Par {
       }))
       fs.map { f =>
         try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // fail the composite with NO chains still in flight (r15
+            // advice): cancel the siblings and wait them out, so a
+            // caller's cleanup/retry never runs concurrently with a
+            // half-done chain still committing table versions
+            fs.foreach(_.cancel(true))
+            pool.shutdownNow()
+            pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+            throw e.getCause
+        }
       }
     } finally pool.shutdown()
   }

@@ -327,6 +327,13 @@ object WordNGramPosHashesUtil {
   * the token array per gram through interpreted lambda dispatch and
   * parses a hex string per hash.
   */
+// NULL contract (r15 advice, documented): a NULL text yields SQL NULL
+// (UnaryExpression null propagation), whereas the HOF chain this
+// replaced returned an EMPTY ARRAY for null (size(null) = -1 failed
+// its >= n gate). The corpus contract is documents.text IS NOT NULL
+// (the generator never emits null text; posexplode drops both shapes
+// identically on the winnow path) — a consumer over nullable text
+// must coalesce(graft_word_ngrams_pos(...), array()) itself.
 case class WordNGramPosHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_word_ngrams_pos"

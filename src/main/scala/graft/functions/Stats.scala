@@ -150,15 +150,19 @@ object StatsQueries {
             max(when(col("cr") - col("cnt") < rHi && rHi <= col("cr"),
               col("v"))).as(s"vhi_$i"))
         }: _*)
-      val pe1 = picks.select(array(pq.zipWithIndex.map { case (p, i) =>
-        val pos = (col("nvv") - lit(1L)).cast("double") * lit(p)
-        val lower = floor(pos).cast("long")
-        val higher = ceil(pos).cast("long")
-        when(higher === lower, col(s"vlo_$i"))
-          .when(col(s"vhi_$i") === col(s"vlo_$i"), col(s"vlo_$i"))
-          .otherwise((higher.cast("double") - pos) * col(s"vlo_$i") +
-            (pos - lower.cast("double")) * col(s"vhi_$i"))
-      }: _*).as("pe"))
+      // empty/all-null input: the builtin percentile(...) returns a
+      // NULL array VALUE, not an array of nulls — reproduce that
+      // contract with the nvv guard (r15 advice)
+      val pe1 = picks.select(when(col("nvv").isNull, lit(null))
+        .otherwise(array(pq.zipWithIndex.map { case (p, i) =>
+          val pos = (col("nvv") - lit(1L)).cast("double") * lit(p)
+          val lower = floor(pos).cast("long")
+          val higher = ceil(pos).cast("long")
+          when(higher === lower, col(s"vlo_$i"))
+            .when(col(s"vhi_$i") === col(s"vlo_$i"), col(s"vlo_$i"))
+            .otherwise((higher.cast("double") - pos) * col(s"vlo_$i") +
+              (pos - lower.cast("double")) * col(s"vhi_$i"))
+        }: _*)).as("pe"))
       rest.crossJoin(dOk).crossJoin(dPk).crossJoin(pe1)
         .select(col("n_rows"), col("d_orderkey"), col("d_partkey"),
           (abs(col("ad_ok") - col("d_orderkey")) <= col("d_orderkey") * 0.15)

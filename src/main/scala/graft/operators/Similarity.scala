@@ -1134,7 +1134,6 @@ object Similarity {
       // EVERY eager job after the narrow set() runs inside the try —
       // a failure here must not leave the session narrowed
       scored = scorePairs(v, seeds, "q_id", "n_id").localCheckpoint()
-      expanded = seeds.limit(0).localCheckpoint()
       val cap = fixedRounds.getOrElse(maxRounds)
       var r = 0
       var converged = false
@@ -1144,8 +1143,11 @@ object Similarity {
           .where(col("rn") <= BeamEf).select("q_id", "n_id")
         // the visited set stays LAZY — a union of already-
         // checkpointed frontiers — so each round materializes two
-        // frames (frontier, scored), not three
-        val frontier = pool.join(expanded, Seq("q_id", "n_id"), "left_anti")
+        // frames (frontier, scored), not three. Round 1 has no
+        // visited set at all: the anti-join (and the former eager
+        // empty-frame checkpoint job) is skipped outright (r16).
+        val frontier = (if (expanded == null) pool
+          else pool.join(expanded, Seq("q_id", "n_id"), "left_anti"))
           .localCheckpoint()
         // TERMINATION (converge mode): each round either expands ≥ 1
         // never-expanded pool entry (the visited set grows strictly,
@@ -1155,7 +1157,8 @@ object Similarity {
         if (fixedRounds.isEmpty && frontier.isEmpty) converged = true
         else {
           expansions += 1
-          expanded = expanded.unionAll(frontier)
+          expanded =
+            if (expanded == null) frontier else expanded.unionAll(frontier)
           val hop = frontier.join(graph, col("n_id") === col("g_src"))
             .select(col("q_id"), col("g_dst").as("n_id"))
             .where(col("n_id") =!= col("q_id")).distinct()
@@ -3115,10 +3118,16 @@ object Similarity {
         .select(col("vid"),
           (lit(teleport) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) DIV 100"))
             .as("rank"))
-      // checkpoint all but the last round: bounds the iterated plan
-      // while keeping the persisted-graph scan visible in the final
-      // plan (asserted in PipelineSpec), the s_knn_beam convention
-      ranks = if (i < PrIters) next.localCheckpoint() else next
+      // r16: the rank chain is LINEAR (each round's frame is referenced
+      // exactly once by the next), so the whole [[PrIters]]-round
+      // iteration runs as ONE lazy plan — the former per-round
+      // localCheckpoints each cost a full materialization (3 extra
+      // multi-job executions) only to bound a 4-deep plan that needs no
+      // bounding. The loop-invariant edge frame's repartition exchange
+      // is reused across rounds (ReusedExchange, verified in the after
+      // plan), so nothing is recomputed, and the persisted-graph scan
+      // stays visible in the final plan (asserted in PipelineSpec).
+      ranks = next
     }
     ranks
   }
@@ -3166,7 +3175,9 @@ object Similarity {
             .select(col("vid"),
               (when(col("vid") < 5, lit(teleport)).otherwise(lit(0L)) +
                 expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) DIV 100")).as("rank"))
-          ranks = if (i < PrIters) next.localCheckpoint() else next
+          // linear chain — one lazy plan, no per-round checkpoints
+          // (see pagerankRanks)
+          ranks = next
         }
         ranks.orderBy(col("rank").desc, col("vid")).limit(20)
           .select(col("vid").as("vec_id"), col("rank"))

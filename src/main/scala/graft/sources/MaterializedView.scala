@@ -461,14 +461,13 @@ object MaterializedView {
     if (Snapshots.nettedAt(mvTable, v))
       // compacted head: content IS the netted view (one row per
       // distinct value, sgn = its bag multiplicity) — skip the
-      // re-netting shuffle, expand multiplicity directly
-      df.withColumn("dup", explode(sequence(lit(1L), col("sgn"))))
-        .select(cols.map(col): _*)
+      // re-netting shuffle, expand multiplicity with the streaming
+      // generator (never an O(multiplicity) sequence array)
+      Snapshots.replicateRows(df, col("sgn"), cols)
     else
-      df.groupBy(cols.map(col): _*).agg(sum(col("sgn")).as("net"))
-        .where(col("net") > 0)
-        .withColumn("dup", explode(sequence(lit(1L), col("net"))))
-        .select(cols.map(col): _*)
+      Snapshots.replicateRows(
+        df.groupBy(cols.map(col): _*).agg(sum(col("sgn")).as("net")),
+        col("net"), cols)
   }
 
   /** Size-ratio-triggered major compaction of the signed join view —

@@ -257,6 +257,27 @@ object Snapshots {
     */
   private val CdcNoopTag = "cdcnoop"
 
+  /** Expand each surviving netted row `copies` times with a STREAMING
+    * generator — the same [[org.apache.spark.sql.catalyst.expressions
+    * .ReplicateRows]] Spark's own RewriteExceptAll plans — instead of
+    * materializing an O(copies) `sequence(1, net)` array per row (r15
+    * advice: a heavily-duplicated row of a low-cardinality sidecar
+    * table would allocate a net-length Long array, or trip sequence's
+    * length cap, where exceptAll streamed).
+    */
+  private[sources] def replicateRows(df: DataFrame,
+      copies: org.apache.spark.sql.Column, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.{GraftColumnBridge => B}
+    import org.apache.spark.sql.functions.col
+    val survivors = df.where(copies > 0)
+    survivors.select(B.column(
+      org.apache.spark.sql.catalyst.expressions.ReplicateRows(
+        B.expression(copies.cast("long")) +:
+          cols.map(c => B.expression(survivors(c))))))
+      .toDF(cols: _*)
+      .select(cols.map(col): _*)
+  }
+
   /** DML split write: stage the surviving rows as a fresh data dir and
     * the removed/replaced rows as a fresh CDC sidecar dir, as TWO
     * PARALLEL filtered writes over the same source (§2.6 — measured
@@ -412,10 +433,7 @@ object Snapshots {
       .groupBy(cols.map(col): _*)
       .agg(sum(sgn).as(net))
     def branch(copies: org.apache.spark.sql.Column, chg: String) =
-      netted.where(copies > 0)
-        .withColumn("__cdc_dup", explode(sequence(lit(1L), copies)))
-        .select(cols.map(col): _*)
-        .withColumn("chg", lit(chg))
+      replicateRows(netted, copies, cols).withColumn("chg", lit(chg))
     branch(col(net), "insert").unionByName(branch(-col(net), "delete"))
   }
 
@@ -799,11 +817,8 @@ object Snapshots {
       .unionByName(before.withColumn(sgn, lit(-1L)))
       .groupBy(cols.map(col): _*)
       .agg(sum(sgn).as(net))
-    def replicate(copies: org.apache.spark.sql.Column) =
-      netted.where(copies > 0)
-        .withColumn("__cdc_dup", explode(sequence(lit(1L), copies)))
-        .select(cols.map(col): _*)
-    (replicate(col(net)), replicate(-col(net)))
+    (replicateRows(netted, col(net), cols),
+      replicateRows(netted, -col(net), cols))
   }
 
   /** [[commitOverwrite]] carrying provenance tags in the manifest —
